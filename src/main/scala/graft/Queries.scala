@@ -1,0 +1,16 @@
+package graft
+
+import graft.queries._
+
+/** Aggregation of every driver-checkable query family (SparkEntry contract).
+  * Each family lives in `graft.queries.*`; keys are globally unique. */
+object Queries {
+  val all: Map[String, Q.QueryFn] =
+    AvroQueries.all ++ AnalyticsQueries.all
+
+  val oracles: Map[String, String] =
+    AvroQueries.oracles ++ AnalyticsQueries.oracles
+
+  require(oracles.keySet.subsetOf(all.keySet),
+    s"oracle without query: ${oracles.keySet -- all.keySet}")
+}

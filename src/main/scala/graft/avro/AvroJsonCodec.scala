@@ -1,0 +1,189 @@
+package graft.avro
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+
+/** Per-executor decode state: schema-id → parsed schema LRU, plus per-thread
+  * cached `DatumReader`/`DatumWriter`s.
+  *
+  * Two-level cache design mirrors the reference —
+  * `SynchronizedCache(LRUCache(capacity))` over the registry client
+  * (`/root/reference/src/main/java/com/ing/eventbus/connect/schema/converters/AvroTransform.java:108-109`,
+  * hit path `:259-261`, miss+fetch `:262-269`) — relocated from the single
+  * Connect task thread to each executor JVM (SURVEY.md §4.3 #2). The reader/
+  * writer cache is a pure-win improvement the reference lacks (it allocates a
+  * fresh `DatumReader`/`DatumWriter`/`JsonEncoder` per record,
+  * `AvroTransform.java:241-246`; SURVEY.md §4.1).
+  *
+  * Thread-safety: the schema LRU is a synchronized `LinkedHashMap` in access
+  * order; Avro `DatumReader`s are not guaranteed thread-safe, so they are
+  * cached per-thread (32 hot threads in local[32]; one per core on a real
+  * executor).
+  */
+final class AvroDecoderState(provider: SchemaProvider, capacity: Int) {
+
+  private val schemas =
+    new java.util.LinkedHashMap[Integer, Schema](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Integer, Schema]): Boolean =
+        size() > capacity
+    }
+
+  /** Count of decode failures swallowed in PERMISSIVE mode — the metric the
+    * reference never had (it only `printStackTrace`d, SURVEY.md §4.3 #3). */
+  val swallowedErrors = new LongAdder
+
+  def schemaById(id: Int): Schema = {
+    schemas.synchronized {
+      val hit = schemas.get(Integer.valueOf(id))
+      if (hit != null) return hit
+    }
+    // Fetch outside the lock: a slow registry call must not serialize all
+    // decode threads (cold-start stampede is bounded by thread count).
+    val json = provider.schemaJsonById(id).getOrElse {
+      throw new SchemaLookupException(s"Schema id $id not found in registry")
+    }
+    val parsed = new Schema.Parser().parse(json)
+    schemas.synchronized {
+      val again = schemas.get(Integer.valueOf(id))
+      if (again != null) again
+      else { schemas.put(Integer.valueOf(id), parsed); parsed }
+    }
+  }
+
+  private final class ThreadState {
+    val readers = new java.util.LinkedHashMap[Integer,
+      GenericDatumReader[AnyRef]](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Integer,
+        GenericDatumReader[AnyRef]]): Boolean = size() > capacity
+    }
+    val writers = new java.util.LinkedHashMap[Integer,
+      GenericDatumWriter[AnyRef]](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Integer,
+        GenericDatumWriter[AnyRef]]): Boolean = size() > capacity
+    }
+  }
+
+  private val threadState =
+    ThreadLocal.withInitial[ThreadState](() => new ThreadState)
+
+  /** Decode an Avro-binary body (writer schema = reader schema, no
+    * evolution — `AvroTransform.java:241-243`) and re-encode with Avro's
+    * own `JsonEncoder` (non-pretty, `:244-251`). Avro's JSON rendering
+    * (union wrapping, ISO-8859-1 bytes) is kept deliberately for parity
+    * with the golden output (`TransformTest.java:508`). */
+  def avroBinaryToJson(schemaId: Int, body: Array[Byte]): String = {
+    val schema = schemaById(schemaId)
+    val ts = threadState.get()
+    var reader = ts.readers.get(Integer.valueOf(schemaId))
+    if (reader == null) {
+      reader = new GenericDatumReader[AnyRef](schema)
+      ts.readers.put(Integer.valueOf(schemaId), reader)
+    }
+    var writer = ts.writers.get(Integer.valueOf(schemaId))
+    if (writer == null) {
+      writer = new GenericDatumWriter[AnyRef](schema)
+      ts.writers.put(Integer.valueOf(schemaId), writer)
+    }
+    val datum = reader.read(null,
+      DecoderFactory.get().binaryDecoder(body, null))
+    val out = new ByteArrayOutputStream(body.length * 2 + 16)
+    val enc = EncoderFactory.get().jsonEncoder(schema, out, false)
+    writer.write(datum, enc)
+    enc.flush()
+    out.toString(UTF_8)
+  }
+}
+
+/** JVM-wide registry of decoder states, keyed by the provider's cache token:
+  * every task on an executor shares one schema LRU per pipeline, exactly one
+  * network fetch per new schema id per executor. */
+object AvroDecoderState {
+  private val states = new ConcurrentHashMap[String, AvroDecoderState]()
+
+  def forProvider(provider: SchemaProvider, capacity: Int): AvroDecoderState =
+    states.computeIfAbsent(provider.cacheToken,
+      _ => new AvroDecoderState(provider, capacity))
+
+  /** Test/metrics hook. */
+  def swallowedErrorCount(cacheToken: String): Long = {
+    val s = states.get(cacheToken)
+    if (s == null) 0L else s.swallowedErrors.sum()
+  }
+}
+
+/** JSON envelope construction (SURVEY.md §2.1 #10/#11).
+  *
+  * Built by direct string assembly (single pass, no intermediate JSON tree)
+  * with `org.json.JSONObject`-compatible escaping, so the value envelope is
+  * byte-identical to the reference's golden output
+  * (`TransformTest.java:508`): key order
+  * `originSchema, originMessage, originSchemaId`.
+  */
+object AvroEnvelope {
+
+  /** JSON string escape compatible with `org.json.JSONObject.quote` for the
+    * characters that can appear here: quote, backslash, control chars, and
+    * the `- ` / ` -℀` ranges org.json also escapes. */
+  def escape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 16)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '/' if i > 0 && s.charAt(i - 1) == '<' => sb.append("\\/")
+        case _ if c < ' ' || (c >= 0x80 && c < 0xa0) ||
+            (c >= 0x2000 && c < 0x2100) =>
+          sb.append(f"\\u${c.toInt}%04x")
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Value-side envelope (`rewriteToSingleJson(int, byte[], Schema)`,
+    * `AvroTransform.java:230-237`): the decoded message is a JSON-escaped
+    * STRING, not a nested object (golden proof `TransformTest.java:508`). */
+  def valueEnvelope(schemaId: Int, decodedJson: String,
+      schemaJson: String): Array[Byte] = {
+    val sb = new java.lang.StringBuilder(
+      decodedJson.length + schemaJson.length + 64)
+    sb.append("{\"originSchema\":\"").append(escape(schemaJson))
+      .append("\",\"originMessage\":\"").append(escape(decodedJson))
+      .append("\",\"originSchemaId\":").append(schemaId).append('}')
+    sb.toString.getBytes(UTF_8)
+  }
+
+  /** Key-side envelope (`rewriteToSingleJson(byte[], Schema)`,
+    * `AvroTransform.java:224-229`): the decoded record's own fields are
+    * INLINED and `originSchema` is injected as a sibling — the documented
+    * key/value asymmetry (SURVEY.md §7.4). Splices the schema in without
+    * re-parsing the decoded JSON. */
+  def keyEnvelope(decodedJson: String, schemaJson: String): Array[Byte] = {
+    val t = decodedJson.trim
+    val out =
+      if (t.startsWith("{") && t.endsWith("}")) {
+        val inner = t.substring(1, t.length - 1).trim
+        val sep = if (inner.isEmpty) "" else ","
+        s"{$inner$sep\"originSchema\":\"${escape(schemaJson)}\"}"
+      } else {
+        // Non-record key (Avro primitive): fall back to a wrapping object.
+        s"""{"originKey":$t,"originSchema":"${escape(schemaJson)}"}"""
+      }
+    out.getBytes(UTF_8)
+  }
+}

@@ -1,0 +1,177 @@
+package graft.avro
+
+import java.io.IOException
+
+import org.apache.avro.AvroRuntimeException
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+import graft.config.{EngineConfig, ErrorMode}
+
+/** Decoded payload view for introspection pipelines: the three envelope
+  * fields before re-serialization. */
+final case class DecodedPayload(
+    originSchemaId: Int,
+    originMessage: String,
+    originSchema: String)
+
+/** The engine's core pipeline: Confluent-wire-format Avro bytes → decoded
+  * self-describing JSON envelope, per configured topic — the Spark-native
+  * re-expression of the reference SMT's `apply(R r)` hot path
+  * (`/root/reference/src/main/java/com/ing/eventbus/connect/schema/converters/AvroTransform.java:118-214`;
+  * dataflow trace SURVEY.md §3.2).
+  *
+  * Shape: one declarative logical plan —
+  * {{{
+  *   kafkaDF
+  *     .withColumn("value", when(topic ∈ enabled, envelope(decode(value)))
+  *                          .otherwise(value))           // §2.1 #2,#8-#10
+  *     .withColumn("key",   when(topic ∈ keyTopics, keyEnvelope(decode(key)))
+  *                          .otherwise(key))             // §2.1 #3,#11
+  *     [.drop/rebuild headers]                           // §2.1 #12
+  * }}}
+  * Catalyst plans scan→filter→project natively; the only non-built-in piece
+  * is the dynamic-schema decode (schema id varies per ROW, so `from_avro`'s
+  * literal-schema contract cannot express it — SURVEY.md §4.3 #1).
+  *
+  * Null semantics: null payloads (Kafka tombstones) pass through untouched
+  * (`AvroTransform.java:133-135`, `:168-170`) — the UDFs are null-in/null-out
+  * and `when` keeps the original null column value.
+  */
+object AvroTransform {
+
+  /** Names of the Kafka-source-shaped input columns we transform. */
+  val TopicCol = "topic"
+  val KeyCol = "key"
+  val ValueCol = "value"
+
+  private def isDecodeFailure(t: Throwable): Boolean = t match {
+    case _: IOException => true // reference catches IOException (`:149`,`:188`)
+    case _: AvroRuntimeException => true // Avro 1.12 wraps some malformed-input errors
+    case _: ArrayIndexOutOfBoundsException => true // malformed varint index
+    case _ => false
+  }
+
+  /** Fused wire-parse → schema-lookup → Avro-decode → envelope for the VALUE
+    * side. PERMISSIVE swallows decode failures and forwards the original
+    * bytes (`AvroTransform.java:188-191`); wire-format violations throw in
+    * both modes (`:173-177`). */
+  def valueDecoderUdf(cfg: EngineConfig, provider: SchemaProvider)
+      : UserDefinedFunction = {
+    val capacity = cfg.schemaCapacity
+    val permissive = cfg.errorMode == ErrorMode.Permissive
+    udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null // tombstone passthrough (`:168-170`)
+      else {
+        val state = AvroDecoderState.forProvider(provider, capacity)
+        val framed = WireFormat.parse(bytes) // throws WireFormatException
+        try {
+          val json = state.avroBinaryToJson(framed.schemaId, framed.body)
+          val schemaJson = state.schemaById(framed.schemaId).toString
+          AvroEnvelope.valueEnvelope(framed.schemaId, json, schemaJson)
+        } catch {
+          case t: Throwable if permissive && isDecodeFailure(t) =>
+            state.swallowedErrors.increment()
+            bytes
+        }
+      }
+    }
+  }
+
+  /** KEY-side decode (`AvroTransform.java:131-158`): fields inlined +
+    * `originSchema` injected. `cfg.stripKeyWireHeader=false` reproduces the
+    * reference's unstripped-key bug (`:148`; SURVEY.md §7.4). */
+  def keyDecoderUdf(cfg: EngineConfig, provider: SchemaProvider)
+      : UserDefinedFunction = {
+    val capacity = cfg.schemaCapacity
+    val permissive = cfg.errorMode == ErrorMode.Permissive
+    val strip = cfg.stripKeyWireHeader
+    udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null // null key passthrough (`:133-135`)
+      else {
+        val state = AvroDecoderState.forProvider(provider, capacity)
+        val framed = WireFormat.parse(bytes)
+        val body = if (strip) framed.body else bytes // bug-compat path
+        try {
+          val json = state.avroBinaryToJson(framed.schemaId, body)
+          val schemaJson = state.schemaById(framed.schemaId).toString
+          AvroEnvelope.keyEnvelope(json, schemaJson)
+        } catch {
+          case t: Throwable if permissive && isDecodeFailure(t) =>
+            state.swallowedErrors.increment()
+            bytes
+        }
+      }
+    }
+  }
+
+  /** Introspection decoder: envelope fields as a typed struct column
+    * (null on tombstone). Used by verification queries that re-project the
+    * decoded message relationally instead of re-serializing to bytes. */
+  def decodedStructUdf(cfg: EngineConfig, provider: SchemaProvider)
+      : UserDefinedFunction = {
+    val capacity = cfg.schemaCapacity
+    udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null.asInstanceOf[DecodedPayload]
+      else {
+        val state = AvroDecoderState.forProvider(provider, capacity)
+        val framed = WireFormat.parse(bytes)
+        val json = state.avroBinaryToJson(framed.schemaId, framed.body)
+        DecodedPayload(framed.schemaId, json,
+          state.schemaById(framed.schemaId).toString)
+      }
+    }
+  }
+
+  /** The full record-stream transform over a Kafka-source-shaped DataFrame
+    * (columns: topic, partition, key, value, timestamp, headers — any subset
+    * containing `topic`+`value` works). Batch and streaming DataFrames both
+    * accepted: the transform is stateless, so streaming is pure wiring
+    * (SURVEY.md §7.1 M2).
+    *
+    * Records on non-configured topics pass through UNCHANGED
+    * (`AvroTransform.java:121`, `:211-213`). Pushing the topic predicate
+    * into the Kafka source's `subscribe` list is strictly better when the
+    * caller controls the source (SURVEY.md §4.1) — this operator handles the
+    * mixed-topic case.
+    */
+  def apply(df: DataFrame, cfg: EngineConfig,
+      provider: SchemaProvider): DataFrame = {
+    val decodeValue = valueDecoderUdf(cfg, provider)
+    val decodeKey = keyDecoderUdf(cfg, provider)
+    val topics = cfg.enabledTopics
+    val keyTopics = cfg.keyTopics
+
+    val valueDecoded = df.withColumn(ValueCol,
+      when(col(TopicCol).isin(topics: _*), decodeValue(col(ValueCol)))
+        .otherwise(col(ValueCol)))
+
+    val keyDecoded =
+      if (keyTopics.isEmpty || !df.columns.contains(KeyCol)) valueDecoded
+      else valueDecoded.withColumn(KeyCol,
+        when(col(TopicCol).isin(keyTopics: _*), decodeKey(col(KeyCol)))
+          .otherwise(col(KeyCol)))
+
+    // `include.headers=false` drops header carry-over (`:199-209`, `:53`).
+    if (!cfg.includeHeaders && keyDecoded.columns.contains("headers"))
+      keyDecoded.drop("headers")
+    else keyDecoded
+  }
+
+  /** Decoded envelope as queryable columns:
+    * `origin_schema_id`, `origin_message`, `origin_schema` (null for
+    * tombstones / non-enabled topics). */
+  def decoded(df: DataFrame, cfg: EngineConfig,
+      provider: SchemaProvider): DataFrame = {
+    val dec = decodedStructUdf(cfg, provider)
+    val gate: Column =
+      when(col(TopicCol).isin(cfg.enabledTopics: _*), dec(col(ValueCol)))
+    df.withColumn("_dec", gate)
+      .withColumn("origin_schema_id", col("_dec.originSchemaId"))
+      .withColumn("origin_message", col("_dec.originMessage"))
+      .withColumn("origin_schema", col("_dec.originSchema"))
+      .drop("_dec")
+  }
+}

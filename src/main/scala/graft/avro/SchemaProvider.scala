@@ -1,0 +1,127 @@
+package graft.avro
+
+import java.util.concurrent.atomic.AtomicInteger
+import scala.collection.concurrent.TrieMap
+
+/** Raised when a schema id cannot be resolved — the Spark analogue of the
+  * reference's registry-lookup failure
+  * (`/root/reference/src/main/java/com/ing/eventbus/connect/schema/converters/AvroTransform.java:270-273`,
+  * tested `TransformTest.java:201-221`). */
+final class SchemaLookupException(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+
+/** Resolves a Confluent-style schema id to the writer schema's JSON text.
+  *
+  * This is the seam that replaces the reference's
+  * `CachedSchemaRegistryClient` (`AvroTransform.java:109`, `:267`): the
+  * production implementation is an HTTP registry client, tests use
+  * [[InMemorySchemaProvider]] (replacing the reference's 324-LoC WireMock
+  * harness — SURVEY.md §5). Implementations must be [[Serializable]]: the
+  * provider is captured by the decode expression's closure and shipped to
+  * executors; per-executor caching happens in [[AvroDecoderState]], NOT here
+  * (a broadcast would be wrong — the registry is mutable over time,
+  * SURVEY.md §1.4).
+  */
+trait SchemaProvider extends Serializable {
+
+  /** Writer-schema JSON for `id`, or None if the id is unknown. */
+  def schemaJsonById(id: Int): Option[String]
+
+  /** Stable identity for the per-JVM decoder-state cache. Two provider
+    * instances with the same token share executor-side caches. */
+  def cacheToken: String
+}
+
+/** Immutable in-memory id → schema-JSON map. Serializable, tiny (schemas are
+  * a handful of strings), so it rides along in the task closure. */
+final case class InMemorySchemaProvider(
+    byId: Map[Int, String],
+    override val cacheToken: String = java.util.UUID.randomUUID().toString
+) extends SchemaProvider {
+  override def schemaJsonById(id: Int): Option[String] = byId.get(id)
+}
+
+/** Confluent Schema Registry client over plain HTTP — production parity with
+  * the reference's `getById` call (`AvroTransform.java:267`). Built lazily on
+  * first use on each executor (`@transient lazy`), matching the reference's
+  * lazy first-HTTP-on-first-miss behavior (SURVEY.md §4.1). Multiple base
+  * URLs are tried in order.
+  *
+  * NOTE: exercised only through its parsing seam in this offline
+  * environment (zero egress); the HTTP path follows the public registry
+  * REST contract `GET /schemas/ids/{id}` → `{"schema": "<json>"}`.
+  */
+final case class HttpSchemaRegistryProvider(
+    baseUrls: Seq[String],
+    override val cacheToken: String
+) extends SchemaProvider {
+
+  override def schemaJsonById(id: Int): Option[String] = {
+    var last: Throwable = null
+    baseUrls.foreach { base =>
+      try {
+        val url = new java.net.URI(
+          s"${base.stripSuffix("/")}/schemas/ids/$id").toURL
+        val conn =
+          url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setConnectTimeout(10000)
+        conn.setReadTimeout(30000)
+        conn.setRequestProperty("Accept",
+          "application/vnd.schemaregistry.v1+json")
+        conn.getResponseCode match {
+          case 200 =>
+            val body = new String(conn.getInputStream.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+            return Some(HttpSchemaRegistryProvider.extractSchemaField(body))
+          case 404 => return None
+          case code => last = new RuntimeException(s"registry HTTP $code")
+        }
+      } catch { case t: Throwable => last = t }
+    }
+    throw new SchemaLookupException(
+      s"Failed to fetch schema id $id from ${baseUrls.mkString(",")}", last)
+  }
+}
+
+object HttpSchemaRegistryProvider {
+
+  /** Pull the `schema` field out of a registry response. Uses Jackson (on
+    * the Spark classpath) — the response's `schema` value is itself a
+    * JSON-escaped string of the Avro schema. */
+  def extractSchemaField(responseBody: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(responseBody)
+    val s = node.get("schema")
+    if (s == null)
+      throw new SchemaLookupException(
+        s"Registry response missing 'schema' field: $responseBody")
+    s.asText()
+  }
+}
+
+/** Driver-side test/fixture registry with the semantics of the reference's
+  * mock (`SchemaRegistryMock.java:159-177`): `register` hands out
+  * monotonically increasing ids starting at 1; subjects follow
+  * TopicNameStrategy (`<topic>-key` / `<topic>-value`). Re-registering an
+  * identical schema under the same subject returns the existing id. */
+final class SchemaRegistryStub {
+  private val nextId = new AtomicInteger(1)
+  private val byId = TrieMap.empty[Int, String]
+  private val bySubject = TrieMap.empty[(String, String), Int]
+
+  def registerValueSchema(topic: String, schemaJson: String): Int =
+    register(s"$topic-value", schemaJson)
+
+  def registerKeySchema(topic: String, schemaJson: String): Int =
+    register(s"$topic-key", schemaJson)
+
+  def register(subject: String, schemaJson: String): Int =
+    bySubject.getOrElseUpdate((subject, schemaJson), {
+      val id = nextId.getAndIncrement()
+      byId.put(id, schemaJson)
+      id
+    })
+
+  /** Snapshot as an immutable, serializable provider for the plan. */
+  def toProvider: InMemorySchemaProvider = InMemorySchemaProvider(byId.toMap)
+}

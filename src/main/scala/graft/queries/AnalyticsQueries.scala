@@ -1,0 +1,331 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TPC-H-style analytics over the driver's star schema (TESTDATA.md).
+  *
+  * These are the scale-bearing operators (SURVEY.md §2.2: the reference has
+  * none of them, so Spark built-ins define the semantics): hash/broadcast
+  * joins, partial aggregation, window functions, semi joins, set ops,
+  * rollups, top-k. Plan hygiene at 100 TB:
+  *   - dimension tables (`region`, `nation`, `part`, `customer`, `supplier`)
+  *     are broadcast — no shuffle of the fact table for those joins;
+  *   - filters sit directly on scans (predicate pushdown into parquet);
+  *   - aggregates use map-side partial aggregation (hash agg on decimals);
+  *   - top-k is `orderBy.limit` → Spark's TakeOrderedAndProject, which never
+  *     materializes a full sort at scale.
+  */
+object AnalyticsQueries {
+  import Q._
+
+  val all: Map[String, QueryFn] = Map(
+    // TPC-H Q1 shape: full-scan partial-agg; the bench headliner.
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum2(col("l_quantity")).as("sum_qty"),
+          sum2(col("l_extendedprice")).as("sum_base_price"),
+          sum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          sum6(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).as("sum_charge"),
+          avg2(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // TPC-H Q3 shape: broadcast dim filter + fact join + grouped top-k.
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-03-15")))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1998-03-15")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q4 shape: semi join with a non-equi conjunct.
+    "q4_order_priority" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+      val li = t(s, dir, "lineitem")
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q5 shape: star join, small dims broadcast, one fact shuffle.
+    "q5_region_revenue" -> ((s, dir) => {
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      val li = t(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust.withColumnRenamed("c_nationkey", "cn_key")),
+          col("o_custkey") === col("c_custkey") &&
+            col("cn_key") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q6 shape: pushdown-heavy single-table filter + scalar agg.
+    "q6_revenue_forecast" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum4(col("l_extendedprice") * col("l_discount")).as("revenue"))),
+
+    // Window function: top-3 customers by spend per nation.
+    "q_top_customers_window" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      val spend = ord
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_name"))
+        .agg(sum2(col("o_totalprice")).as("total_spent"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("total_spent").desc, col("c_name"))
+      spend.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy(col("n_name"), col("rk"))
+    }),
+
+    // Distinct aggregation (shuffle-heavy; expand + two-phase agg).
+    "q_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"))),
+
+    // Set operation: customers active in 1995 but not 1996.
+    "q_setop_except" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val y95 = ord.filter(
+        col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-01-01")))
+        .select(col("o_custkey").as("custkey"))
+      val y96 = ord.filter(
+        col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("o_custkey").as("custkey"))
+      y95.except(y96).orderBy(col("custkey"))
+    }),
+
+    // Set operation: customers active in BOTH years.
+    "q_setop_intersect" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val y95 = ord.filter(
+        col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-01-01")))
+        .select(col("o_custkey").as("custkey"))
+      val y96 = ord.filter(
+        col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("o_custkey").as("custkey"))
+      y95.intersect(y96).orderBy(col("custkey"))
+    }),
+
+    // Global top-k: TakeOrderedAndProject, not a full sort.
+    "q_orders_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)),
+
+    // Broadcast dim join + agg by brand.
+    "q_brand_volume" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("cnt"), sum2(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("p_brand"))),
+
+    // Rollup (grouping sets).
+    "q_rollup_flags" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // Self-join against a derived aggregate (above-average orders).
+    "q_above_avg_orders" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val avgP = ord.groupBy(col("o_orderstatus").as("st"))
+        .agg((sum(dec2(col("o_totalprice"))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_p"))
+      ord.join(broadcast(avgP), col("o_orderstatus") === col("st"))
+        .filter(col("o_totalprice") > col("avg_p"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_above"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Event-time tumbling window (batch twin of the streaming agg).
+    "q_events_hourly" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum2(col("value")).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("cnt"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // Daily rollup over the event stream table.
+    "q_events_daily" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum2(col("value")).as("total_value"))
+        .orderBy(col("day"), col("event_type"))),
+
+    // Semi-structured extraction from the props JSON column.
+    "q_events_props" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+            .cast("int").as("k"))
+        .orderBy(col("event_id")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+        |COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |AND o_orderdate < TIMESTAMP '1998-03-15'
+        |AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |AND o_orderdate < TIMESTAMP '1996-04-01'
+        |AND EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |AND r_name = 'ASIA'
+        |AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_revenue_forecast" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |AND l_shipdate < TIMESTAMP '1998-01-01'
+        |AND l_discount >= 0.05 AND l_discount <= 0.07
+        |AND l_quantity < 24""".stripMargin,
+    "q_top_customers_window" ->
+      """SELECT n_name, c_name, total_spent, rk FROM (
+        |SELECT n_name, c_name,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+        |ROW_NUMBER() OVER (PARTITION BY n_name
+        |  ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC, c_name) AS rk
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, c_name) sub
+        |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |COUNT(DISTINCT l_partkey) AS distinct_parts,
+        |COUNT(DISTINCT l_suppkey) AS distinct_supps,
+        |COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_setop_except" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY custkey""".stripMargin,
+    "q_setop_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY custkey""".stripMargin,
+    "q_orders_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "q_brand_volume" ->
+      """SELECT p_brand, COUNT(*) AS cnt,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_rollup_flags" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_above_avg_orders" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_above
+        |FROM orders o JOIN (
+        |  SELECT o_orderstatus AS st,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS avg_p
+        |  FROM orders GROUP BY o_orderstatus) a ON o.o_orderstatus = a.st
+        |WHERE o.o_totalprice > a.avg_p
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |COUNT(*) AS cnt,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS cnt,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_props" ->
+      """SELECT event_id,
+        |CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

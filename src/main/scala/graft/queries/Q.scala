@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for the driver-checked query set.
+  *
+  * Determinism contract with the DuckDB oracle (BASELINE.md): float
+  * aggregates go through exact decimal arithmetic —
+  * `CAST(x AS DECIMAL(18,s))` recovers the true fixed-point value of the
+  * source doubles (prices/quantities/discounts carry ≤ 4 real decimal
+  * digits, and double error ~1e-16 relative is far below the rounding
+  * threshold), decimal SUM is order-independent and exact, and the final
+  * `CAST(.. AS DOUBLE)` is exact — so Spark and DuckDB produce bit-identical
+  * doubles regardless of partitioning/aggregation order. Every query also
+  * carries a total deterministic ORDER BY.
+  */
+object Q {
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table with `ts` normalized to TimestampType.
+    *
+    * The driver's events parquet stores `ts` as TIMESTAMP(NANOS), which
+    * Spark 4 rejects by default; `nanosAsLong` (a runtime conf — safe to set
+    * on the driver's session) reads it as nanos-since-epoch, and we convert
+    * with integer division (`DIV`, not `/` — ~1.7e18 ns overflows double
+    * precision). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Exact fixed-point view of a 2-decimal money/quantity double. */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact fixed-point view of a product of two 2-decimal doubles. */
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Exact fixed-point view of a product of three 2-decimal doubles. */
+  def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Order-independent, engine-portable double sum of 2-decimal values. */
+  def sum2(c: Column): Column = sum(dec2(c)).cast("double")
+
+  def sum4(c: Column): Column = sum(dec4(c)).cast("double")
+
+  def sum6(c: Column): Column = sum(dec6(c)).cast("double")
+
+  /** Portable average: exact decimal sum, then one double division. */
+  def avg2(c: Column): Column =
+    sum(dec2(c)).cast("double") / count(lit(1)).cast("double")
+}
