@@ -6,10 +6,10 @@ import graft.queries._
   * Each family lives in `graft.queries.*`; keys are globally unique. */
 object Queries {
   val all: Map[String, Q.QueryFn] =
-    AvroQueries.all ++ AnalyticsQueries.all
+    AvroQueries.all ++ AnalyticsQueries.all ++ ExtensionQueries.all
 
   val oracles: Map[String, String] =
-    AvroQueries.oracles ++ AnalyticsQueries.oracles
+    AvroQueries.oracles ++ AnalyticsQueries.oracles ++ ExtensionQueries.oracles
 
   require(oracles.keySet.subsetOf(all.keySet),
     s"oracle without query: ${oracles.keySet -- all.keySet}")

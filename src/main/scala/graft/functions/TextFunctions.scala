@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the large-scale training-data pipeline
+  * surface (builder mandate; no reference counterpart — SURVEY.md §2.2).
+  *
+  * Everything here is composed from `org.apache.spark.sql.functions`
+  * built-ins and SQL higher-order functions — no UDFs: expressions stay in
+  * Tungsten (no JVM-object ser/deser per row), are null-safe, and the
+  * whole-stage-codegen'd parts (string/regex ops) dominate the runtime.
+  * Determinism: every function is a pure function of its input strings, so
+  * results are identical across partitionings and cluster sizes.
+  */
+object TextFunctions {
+
+  /** Lowercase, strip non-alphanumerics to spaces, collapse whitespace. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Whitespace tokens of the raw string (empty string → empty array). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Normalized word tokens (the dedup/fingerprint alphabet). */
+  def normTokens(text: Column): Column = tokens(normalize(text))
+
+  /** BPE-ish subword count: whitespace words are further split at
+    * letter/digit boundaries and every ≤4-char chunk counts as one token —
+    * a cheap deterministic proxy for a real tokenizer's token count. */
+  def subwordCount(text: Column): Column = {
+    val pieces = split(trim(text), "\\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])")
+    aggregate(
+      when(length(trim(text)) === 0, array().cast("array<string>"))
+        .otherwise(pieces),
+      lit(0),
+      (acc, p) => acc + ceil(length(p) / lit(4.0)).cast("int"))
+  }
+
+  /** k-word shingles over the normalized token stream. Documents shorter
+    * than k tokens yield a single whole-document shingle so they still
+    * participate in dedup. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val ts = normTokens(text)
+    when(size(ts) < k, array(concat_ws(" ", ts)))
+      .otherwise(transform(
+        sequence(lit(1), size(ts) - (k - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(k)))))
+  }
+
+  /** Character n-grams of the normalized text. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val norm = normalize(text)
+    when(length(norm) < n, array(norm))
+      .otherwise(transform(
+        sequence(lit(1), length(norm) - (n - 1)),
+        i => norm.substr(i, lit(n))))
+  }
+
+  /** MinHash signature: `numHashes` independent 64-bit min-hashes over the
+    * shingle set. Hash family h_i(s) = xxhash64(i, s) (xxhash64 is Spark's
+    * codegen'd 64-bit hash; mixing the index in as a column gives an
+    * indexed family). Returns array<bigint> of length `numHashes`. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, s => xxhash64(i, s))))
+
+  /** LSH band keys for a minhash signature: hash each of `bands` disjoint
+    * slices of `rowsPerBand` signature entries (banding scheme of the
+    * classic MinHash-LSH construction; two docs share a band key iff their
+    * signatures agree on that whole band). Band index is mixed into the key
+    * so keys from different bands never collide. */
+  def minhashBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, concat_ws(",",
+        transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string")))))
+
+  /** 64-bit SimHash over the shingle multiset: per bit, sum +1/-1 votes of
+    * each shingle's xxhash64; bit set iff the vote is positive. Pure
+    * higher-order-function expression. */
+  def simhash64(shingles: Column): Column = {
+    // counts: array of 64 ints (votes per bit)
+    val votes = aggregate(
+      shingles,
+      array_repeat(lit(0), 64),
+      (acc, s) => {
+        val h = xxhash64(s)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, b) => a + when(call_function("shiftright", h, b.cast("int"))
+            .bitwiseAND(1) === 1, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, b) => when(v > 0,
+          call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(0L)),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Rolling polynomial fingerprint of the normalized token stream —
+    * order-sensitive document fingerprint (Karp-Rabin style, base 1000003
+    * mod 2^41: keeps every intermediate below 2^63 so the expression is
+    * ANSI-mode safe — Spark 4 throws on silent long wraparound). */
+  def fingerprint64(text: Column): Column = {
+    val m = lit(1L << 41)
+    aggregate(normTokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), m), m))
+  }
+
+  /** Exact Jaccard similarity of two shingle ARRAYS (treated as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, lit(1.0)).otherwise(inter / union)
+  }
+
+  // ---- language id (n-gram/stopword heuristic) ----
+
+  /** Tiny per-language marker lexicons (public common stopwords). */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "en", "une", "que", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"))
+
+  /** Predicted language: argmax of marker-token hits over [[LangMarkers]];
+    * deterministic tie-break = lexicographically greatest language among
+    * the tied scores (documented engine rule); "und" when nothing matches.
+    * Composed as array_max over (score, lang) structs — no UDF. */
+  def langId(text: Column): Column = {
+    val ts = normTokens(text)
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(array_intersect(ts, array(words.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  // ---- quality scoring ----
+
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,!?;:]", ""))
+
+  def digitCount(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", ""))
+
+  def upperCount(text: Column): Column =
+    length(regexp_replace(text, "[^A-Z]", ""))
+
+  private def safeRatio(num: Column, den: Column): Column =
+    when(den === 0, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+
+  /** English-stopword hit ratio over normalized tokens. */
+  def stopwordRatio(text: Column): Column = {
+    val ts = normTokens(text)
+    val hits = size(filter(ts,
+      t => t.isin(LangMarkers("en"): _*)))
+    safeRatio(hits, size(ts))
+  }
+
+  /** Composite [0,1] document quality score: mean-word-length band,
+    * punctuation/digit sanity, stopword presence — the standard cheap
+    * pre-training quality signals, deterministic and portable. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text)
+    val nTokens = tokenCount(text)
+    val meanWordLen = safeRatio(nChars, nTokens)
+    val lenScore = when(nTokens >= 10 && nTokens <= 100000, lit(1.0))
+      .otherwise(lit(0.3))
+    val wordLenScore = when(meanWordLen >= 3 && meanWordLen <= 12, lit(1.0))
+      .otherwise(lit(0.4))
+    val punctScore = when(safeRatio(punctCount(text), nChars) <= 0.1, lit(1.0))
+      .otherwise(lit(0.5))
+    val digitScore = when(safeRatio(digitCount(text), nChars) <= 0.3, lit(1.0))
+      .otherwise(lit(0.5))
+    val stopScore = when(stopwordRatio(text) >= 0.05, lit(1.0)).otherwise(lit(0.6))
+    (lenScore * 0.25 + wordLenScore * 0.2 + punctScore * 0.2 +
+      digitScore * 0.15 + stopScore * 0.2)
+  }
+}

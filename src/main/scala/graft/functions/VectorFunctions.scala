@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector primitives over `array<float>` embedding columns
+  * (TESTDATA.md `embeddings`), composed from higher-order functions —
+  * no UDF, no MLlib `Vector` conversion (which would copy every row into a
+  * driver-defined object).
+  *
+  * Determinism: `aggregate` folds arrays left-to-right, so double sums are
+  * bit-stable for a given row regardless of partitioning — safe for oracle
+  * comparison and for tie-free top-k ranking.
+  */
+object VectorFunctions {
+
+  /** Cast float vector to double for stable arithmetic. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column =
+    sqrt(aggregate(transform(asDouble(a), x => x * x),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity in double precision; 0 when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm2(a) * norm2(b)
+    when(n === 0, lit(0.0)).otherwise(d / n)
+  }
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Random-hyperplane LSH signature (`nBits` sign bits packed in a long).
+    *
+    * Hyperplane matrix is pseudo-random but fully deterministic: component
+    * j of plane b is `xxhash64(seed, b, j)` scaled to [-1, 1] — no RNG
+    * state, identical on every executor, reproducible across runs (a
+    * requirement here: `Math.random` would silently break resume/retry).
+    * Cosine-similar vectors agree on most sign bits, so bucketing on
+    * (block of bits) finds near neighbors without a cross join. */
+  def hyperplaneSignature(v: Column, nBits: Int, seed: Int = 42): Column = {
+    val dv = asDouble(v)
+    val bits = transform(sequence(lit(0), lit(nBits - 1)), b => {
+      // dot(v, plane_b) via index-zip: plane_b[j] = hash(seed,b,j)/MAX -> [-1,1]
+      val proj = aggregate(
+        zip_with(dv, sequence(lit(0), size(dv) - 1),
+          (x, j) => x * (xxhash64(lit(seed), b, j).cast("double") /
+            lit(Long.MaxValue.toDouble))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, call_function("shiftleft", lit(1L), b.cast("int")))
+        .otherwise(0L)
+    })
+    aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Split a packed signature into `blocks` block-keys for multi-probe
+    * bucketing (pairs within Hamming distance `blocks-1` share ≥1 block). */
+  def signatureBlocks(sig: Column, nBits: Int, blocks: Int): Column = {
+    val width = nBits / blocks
+    val mask = (1L << width) - 1
+    transform(sequence(lit(0), lit(blocks - 1)),
+      b => struct(b.as("block_id"),
+        call_function("shiftright", sig, (b * width).cast("int"))
+          .bitwiseAND(mask).as("block_val")))
+  }
+}

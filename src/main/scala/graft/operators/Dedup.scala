@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** Deduplication operators for the training-data pipeline surface (builder
+  * mandate; the reference has no dedup — SURVEY.md §2.2, so semantics are
+  * defined here and pinned by tests + driver oracles).
+  *
+  * Scale design (the 100 TB contract):
+  *   - NOTHING here cross-joins the corpus. Every near-dup variant is
+  *     candidate-generation via LSH bucketing (shuffle on band/block keys)
+  *     followed by exact verification only WITHIN buckets.
+  *   - Signatures (minhash/simhash/hyperplane) are computed row-local in a
+  *     single projection — embarrassingly parallel, no shuffle.
+  *   - The candidate self-join shuffles (key, docId, signature) — never the
+  *     document text; exact verification re-joins the (small) candidate
+  *     pair list back to the shingle sets by id.
+  *   - Identical-document floods (the classic LSH skew case) are bounded by
+  *     `spark.sql.shuffle.partitions` × AQE skew-join splitting; band keys
+  *     include the band index so bucket sizes stay near-uniform.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest `idCol` per group of identical `cols`.
+    * One hash-shuffle on the group columns; map-side partial min. */
+  def exact(df: DataFrame, cols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(cols.map(col): _*)
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact text dedup keyed on sha2(text) instead of the raw text — at
+    * 100 TB the shuffle carries a 32-byte digest per row, not documents.
+    * Collision probability at 2^-128 is below any hardware error rate. */
+  def exactByHash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(sha2(col(textCol), 256).as("text_sha"), col(idCol))
+      .groupBy(col("text_sha"))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash + banded-LSH near-duplicate pairs with exact-Jaccard
+    * verification (shingle → minhash → band → bucket-join → verify).
+    *
+    * @param threshold exact Jaccard threshold on word-shingle sets
+    * @return (a, b, jaccard) pairs, a < b, jaccard ≥ threshold
+    */
+  def minhashNearDup(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val rows = numHashes / bands
+    val shingled = df.select(col(idCol).as("id"),
+      TF.wordShingles(col(textCol), shingleK).as("shingles"))
+    // One row per (doc, band) via explode FIRST: the Generate node is a
+    // projection barrier, so `shingles` is materialized once per doc and
+    // each band computes only its own `rows` min-hashes — composing the
+    // full signature inline inside a band-key lambda would re-evaluate
+    // the whole 64-hash signature per band (16x work; measured, not
+    // hypothetical).
+    val bandRows = shingled
+      .select(col("id"), col("shingles"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("id"),
+        xxhash64(col("band"), concat_ws(",",
+          transform(
+            sequence(col("band") * rows, (col("band") + 1) * rows - 1),
+            i => array_min(transform(col("shingles"),
+              s => xxhash64(i, s))).cast("string")))).as("bk"))
+    val l = bandRows.select(col("bk"), col("id").as("a"))
+    val r = bandRows.select(col("bk"), col("id").as("b"))
+    val pairs = l.join(r, Seq("bk")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    // verify: join candidate ids back to shingle sets (small side = pairs)
+    val withA = pairs.join(
+      shingled.select(col("id").as("a"), col("shingles").as("sh_a")), Seq("a"))
+    val verified = withA.join(
+      shingled.select(col("id").as("b"), col("shingles").as("sh_b")), Seq("b"))
+      .withColumn("jaccard", TF.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+    verified.select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup: 64-bit fingerprints, bucketing on `blocks` bit
+    * blocks (pigeonhole: hamming ≤ blocks-1 ⇒ some block identical),
+    * verified by exact Hamming distance. */
+  def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    val fps = df.select(col(idCol).as("id"),
+      TF.simhash64(TF.wordShingles(col(textCol), shingleK)).as("fp"))
+    val keyed = fps.select(col("id"), col("fp"),
+      VF.signatureBlocks(col("fp"), 64, blocks).as("bks"))
+    val exploded = keyed.select(col("id"), col("fp"),
+      explode(col("bks")).as("bk"))
+    val l = exploded.select(col("bk"), col("id").as("a"), col("fp").as("fp_a"))
+    val r = exploded.select(col("bk"), col("id").as("b"), col("fp").as("fp_b"))
+    l.join(r, Seq("bk")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        TF.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** N-gram Jaccard dedup: exact character-n-gram Jaccard, blocked by
+    * (language, length bucket) to bound pair generation. The blocking is a
+    * recall/coverage trade documented for the caller; near-dups of very
+    * different lengths are not candidates (they can't pass a high Jaccard
+    * threshold anyway). */
+  def ngramJaccardNearDup(df: DataFrame, textCol: String, idCol: String,
+      langCol: String, n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val grams = df.select(col(idCol).as("id"), col(langCol).as("lang"),
+      (floor(log2(length(col(textCol)) + 1)) * 2).cast("int").as("len_bucket"),
+      TF.charNgrams(col(textCol), n).as("grams"))
+    val l = grams.select(col("lang"), col("len_bucket"), col("id").as("a"),
+      col("grams").as("g_a"))
+    val r = grams.select(col("lang"), col("len_bucket"), col("id").as("b"),
+      col("grams").as("g_b"))
+    l.join(r, Seq("lang", "len_bucket")).filter(col("a") < col("b"))
+      .withColumn("jaccard", TF.jaccard(col("g_a"), col("g_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup: random-hyperplane LSH buckets (multi-block
+    * probing), exact cosine verification within buckets. */
+  def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double = 0.95, nBits: Int = 32, blocks: Int = 4)
+      : DataFrame = {
+    // Signature in its own projection, blocks via explode: keeps the
+    // hyperplane projection (nBits × dim hash-multiplies) evaluated once
+    // per row instead of once per block (see minhashNearDup note).
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VF.hyperplaneSignature(col(vecCol), nBits).as("sig"))
+    val exploded = sigs.select(col("id"), col("v"),
+      explode(VF.signatureBlocks(col("sig"), nBits, blocks)).as("bk"))
+    val l = exploded.select(col("bk"), col("id").as("a"), col("v").as("v_a"))
+    val r = exploded.select(col("bk"), col("id").as("b"), col("v").as("v_b"))
+    l.join(r, Seq("bk")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("v_a"), col("v_b")).distinct()
+      .withColumn("cosine", VF.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+}

@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+class DedupSpec extends SparkFunSuite {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "the quick brown fox jumps over the lazy dog", "en"), // exact dup
+      (3L, "the quick brown fox leaps over the lazy dog", "en"), // near dup
+      (4L, "completely different content about spark engines", "en"),
+      (5L, "unrelated short text", "de"))
+      .toDF("doc_id", "text", "lang")
+  }
+
+  test("exact dedup keeps min id and counts copies") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+      .orderBy("survivor_id").collect()
+    assert(out.map(r => (r.getAs[Long]("survivor_id"),
+      r.getAs[Long]("n_copies"))).toSeq ==
+      Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("exactByHash groups identically to exact-by-text") {
+    val byText = Dedup.exact(docs, Seq("text"), "doc_id")
+      .select("survivor_id", "n_copies").orderBy("survivor_id").collect()
+    val byHash = Dedup.exactByHash(docs, "text", "doc_id")
+      .select("survivor_id", "n_copies").orderBy("survivor_id").collect()
+    assert(byText.toSeq == byHash.toSeq)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashNearDup(docs, "text", "doc_id",
+      threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((1L, 2L))) // identical
+    assert(pairs.subsetOf(Set((1L, 2L), (1L, 3L), (2L, 3L))))
+  }
+
+  test("minhash jaccard of identical docs is 1.0") {
+    val pairs = Dedup.minhashNearDup(docs, "text", "doc_id", threshold = 0.99)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Double]("jaccard")))
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+  }
+
+  test("simhash finds identical pair at hamming 0") {
+    val pairs = Dedup.simhashNearDup(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Int]("hamming")))
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+  }
+
+  test("ngram jaccard blocks by lang and finds near pair") {
+    val pairs = Dedup.ngramJaccardNearDup(docs, "text", "doc_id", "lang",
+      threshold = 0.6).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => b == 5L }) // different lang block
+  }
+
+  test("embedding near-dup finds identical vectors via hyperplane LSH") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, -0.2f)),
+      (2L, Array(1.0f, 0.0f, 0.5f, -0.2f)), // identical
+      (3L, Array(0.99f, 0.01f, 0.5f, -0.2f)), // very close
+      (4L, Array(-1.0f, 2.0f, -0.5f, 0.7f))) // far
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(vecs, "embedding", "vec_id",
+      threshold = 0.99).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
+  }
+}
+
+class SimilaritySpec extends SparkFunSuite {
+
+  private def emb = {
+    val s = spark
+    import s.implicits._
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+  }
+
+  test("brute-force top-k: ranks are 1..k, neighbors unique, cosine desc") {
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), 5)
+      .collect()
+    assert(out.length == 15)
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (_, rows) =>
+      val ranked = rows.sortBy(_.getAs[Int]("rank"))
+      assert(ranked.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+      val sims = ranked.map(_.getAs[Double]("cosine")).toSeq
+      assert(sims == sims.sorted.reverse)
+      assert(rows.map(_.getAs[Long]("neighbor_id")).distinct.length == 5)
+      assert(!rows.exists(r =>
+        r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id")))
+    }
+  }
+
+  test("top-k agg matches window-function reference on the same scores") {
+    val s = spark
+    import s.implicits._
+    val scored = Seq((1L, 0.9, 10L), (1L, 0.95, 11L), (1L, 0.95, 9L),
+      (1L, 0.1, 12L), (2L, 0.4, 20L)).toDF("query_id", "cosine", "neighbor_id")
+    val got = scored.groupBy(col("query_id"))
+      .agg(Similarity.topK(col("cosine"), col("neighbor_id"), 2).as("top"))
+      .select(col("query_id"), explode(col("top")).as("hit"))
+      .select(col("query_id"), col("hit.id"), col("hit.score"))
+      .orderBy("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 9L, 0.95), (1L, 11L, 0.95), (2L, 20L, 0.4)))
+  }
+
+  test("IVF recall vs brute force >= 0.5 at nprobe=4/nlist=8 (sf0.001)") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 5, nlist = 8, nprobe = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+}
+
+class TextFunctionsSpec extends SparkFunSuite {
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any = {
+    val s = spark
+    import s.implicits._
+    Seq(text).toDF("t").select(c.as("v")).head.get(0)
+  }
+
+  test("tokenCount handles empties and runs of whitespace") {
+    assert(one(TF.tokenCount(col("t")), "a  b\tc") == 3)
+    assert(one(TF.tokenCount(col("t")), "") == 0)
+    assert(one(TF.tokenCount(col("t")), "   ") == 0)
+    assert(one(TF.tokenCount(col("t")), "one") == 1)
+  }
+
+  test("wordShingles: k-grams and short-doc fallback") {
+    assert(one(TF.wordShingles(col("t"), 3), "a b c d") ==
+      Seq("a b c", "b c d"))
+    assert(one(TF.wordShingles(col("t"), 3), "a b") == Seq("a b"))
+  }
+
+  test("langId picks the language with most marker hits; und on none") {
+    assert(one(TF.langId(col("t")), "the cat and the dog is in the house") == "en")
+    assert(one(TF.langId(col("t")), "el perro y la casa de los gatos") == "es")
+    assert(one(TF.langId(col("t")), "der hund und die katze ist nicht da") == "de")
+    assert(one(TF.langId(col("t")), "zzz qqq xxx") == "und")
+  }
+
+  test("fingerprint64 is order-sensitive and deterministic") {
+    val a = one(TF.fingerprint64(col("t")), "alpha beta gamma")
+    val a2 = one(TF.fingerprint64(col("t")), "alpha beta gamma")
+    val b = one(TF.fingerprint64(col("t")), "beta alpha gamma")
+    assert(a == a2 && a != b)
+  }
+
+  test("simhash: identical texts equal, near texts close, far texts far") {
+    val h1 = one(TF.simhash64(TF.wordShingles(col("t"), 3)),
+      "the quick brown fox jumps over the lazy dog today").asInstanceOf[Long]
+    val h1b = one(TF.simhash64(TF.wordShingles(col("t"), 3)),
+      "the quick brown fox jumps over the lazy dog today").asInstanceOf[Long]
+    val h2 = one(TF.simhash64(TF.wordShingles(col("t"), 3)),
+      "the quick brown fox leaps over the lazy dog today").asInstanceOf[Long]
+    val h3 = one(TF.simhash64(TF.wordShingles(col("t"), 3)),
+      "completely unrelated words in this sentence structure").asInstanceOf[Long]
+    assert(h1 == h1b)
+    assert(java.lang.Long.bitCount(h1 ^ h2) < java.lang.Long.bitCount(h1 ^ h3))
+  }
+
+  test("qualityScore in [0,1]; junk scores lower than clean prose") {
+    val clean = one(TF.qualityScore(col("t")),
+      "the engine reads the table and computes the result for the user in time")
+      .asInstanceOf[Double]
+    val junk = one(TF.qualityScore(col("t")), "1234 5678 !!!! ;;;; 000")
+      .asInstanceOf[Double]
+    assert(clean >= 0 && clean <= 1 && junk >= 0 && junk <= 1)
+    assert(clean > junk)
+  }
+
+  test("vector cosine: orthogonal 0, identical 1") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val sims = df.select(VF.cosine(col("a"), col("b"))).collect()
+      .map(_.getDouble(0))
+    assert(math.abs(sims(0)) < 1e-12)
+    assert(math.abs(sims(1) - 1.0) < 1e-12)
+  }
+}
+
+class MultimodalSpec extends SparkFunSuite {
+
+  test("withBlob: byte metadata is exact; kind sniffs magic bytes") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "héllo")).toDF("doc_id", "text")
+    val row = Multimodal.withBlob(df, "text").head
+    assert(row.getAs[Int]("n_bytes") == 6) // é is 2 bytes in utf-8
+    assert(row.getAs[String]("kind") == "bin")
+    assert(row.getAs[String]("content_sha").length == 64)
+  }
+
+  test("extractFeatures: deterministic stub features, dim 8, mean in range") {
+    val s = spark
+    import s.implicits._
+    val df = Multimodal.withBlob(
+      Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text"), "text")
+    val rows = Multimodal.extractFeatures(df, "doc_id").collect()
+      .sortBy(_.doc_id)
+    assert(rows(0).features.length == Multimodal.FeatureExtractor.FeatureDim)
+    assert(rows(0).mean_byte > 0 && rows(0).mean_byte < 256)
+    assert(rows(1).n_bytes == 0 && rows(1).mean_byte == 0.0)
+    // determinism
+    val again = Multimodal.extractFeatures(df, "doc_id").collect()
+      .sortBy(_.doc_id)
+    assert(rows.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
+  }
+}
