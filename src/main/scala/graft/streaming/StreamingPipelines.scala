@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.avro.{AvroTransform, SchemaProvider}
+import graft.config.EngineConfig
+
+/** Structured-Streaming wiring for the engine (SURVEY.md §7.1 M2).
+  *
+  * The reference runs as a per-record SMT inside a Kafka Connect worker
+  * (`AvroTransform.java:118` — `apply(R r)`); its only state is the schema
+  * LRU cache, which is a cache, not stream state (SURVEY.md §2.2). The
+  * decode transform is therefore completely stateless and works UNCHANGED
+  * on a streaming DataFrame — [[decodeStream]] is the same logical plan
+  * over `readStream`. Prod source/sink are Kafka
+  * (`spark.readStream.format("kafka")` / `writeStream.format("kafka")
+  * .option("includeHeaders", ...)`); tests drive MemoryStream (offline
+  * container, no broker — SURVEY.md §5).
+  *
+  * Beyond reference parity, the event-time operators the reference lacks:
+  * watermarked tumbling-window aggregation and session-gap state
+  * (`flatMapGroupsWithState`) — Spark's native replacements for what a
+  * Kafka Streams user would hand-roll.
+  */
+object StreamingPipelines {
+
+  /** The reference pipeline over any streaming (or batch) kafka-shaped
+    * DataFrame. Stateless: checkpoint/exactly-once come from the sink. */
+  def decodeStream(df: DataFrame, cfg: EngineConfig,
+      provider: SchemaProvider): DataFrame =
+    AvroTransform(df, cfg, provider)
+
+  /** Watermarked tumbling-window counts/sums per event_type over a decoded
+    * event stream with columns (ts: timestamp, event_type, value). Late
+    * data beyond `lateness` is dropped; state is bounded by
+    * watermark ✕ window count, so this runs forever at constant memory. */
+  def windowedAgg(events: DataFrame, window_ : String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("total_value"))
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String,
+      value: Double)
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+  /** Internal per-user state (public: Catalyst state encoders need an
+    * accessible constructor + accessors for codegen). */
+  final case class SessionState(start: Long, last: Long,
+      n: Long, total: Double)
+
+  /** Session-gap analysis: one output row per closed user session, where a
+    * session closes after `gapMs` of event-time inactivity. Timeouts are
+    * EVENT-time (watermark-driven): fully deterministic, replayable, and
+    * MemoryStream-testable — a processing-time timeout would tie results
+    * to the wall clock (and `processAllAvailable` never settles). State
+    * per key is O(1) and expires with the watermark, so state size tracks
+    * ACTIVE users only — the property that matters at 100 TB/day volume. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var out = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.last > gapMs =>
+                  out ::= Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1,
+                    e.value))
+                case Some(s) =>
+                  cur = Some(s.copy(last = e.ts.getTime, n = s.n + 1,
+                    total = s.total + e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1,
+                    e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+import graft.avro.{Fixtures, WireFormat}
+
+/** Streaming twin of the golden/batch tests: same transform, MemoryStream
+  * source, memory sink (SURVEY.md §5 — replaces a live broker). */
+class StreamingSpec extends SparkFunSuite {
+
+  test("streaming decode: golden envelope via MemoryStream (M2 wiring)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val (provider, id) = Fixtures.registry()
+    val input = MemoryStream[(String, Array[Byte])]
+    val df = input.toDF().toDF("topic", "value")
+    val out = StreamingPipelines.decodeStream(df, Fixtures.cfg(), provider)
+
+    val q = out.writeStream.format("memory").queryName("golden_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(("TransformTest",
+        WireFormat.frame(id, Fixtures.encodeFullName("fname", "lname"))))
+      input.addData(("otherTopic", "raw".getBytes(UTF_8)))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT topic, value FROM golden_stream").collect()
+      val decoded = rows.find(_.getString(0) == "TransformTest").get
+      assert(new String(decoded.getAs[Array[Byte]](1), UTF_8) ==
+        Fixtures.GoldenEnvelope)
+      val passthrough = rows.find(_.getString(0) == "otherTopic").get
+      assert(passthrough.getAs[Array[Byte]](1).sameElements("raw".getBytes(UTF_8)))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed agg emits closed windows, drops late data") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingPipelines.windowedAgg(events,
+      window_ = "10 minutes", lateness = "5 minutes")
+
+    val q = agg.writeStream.format("memory").queryName("win_stream")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData((t(1), "click", 1.0), (t(2), "click", 2.0))
+      q.processAllAvailable()
+      // advance watermark far past the first window
+      input.addData((t(40), "click", 5.0))
+      q.processAllAvailable()
+      // this event is older than watermark (10:40 - 5min) → dropped
+      input.addData((t(3), "click", 100.0))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 11:30:00"), "click", 9.0))
+      q.processAllAvailable()
+
+      val rows = s.sql(
+        "SELECT window_start, cnt, total_value FROM win_stream").collect()
+      val first = rows.find(_.getTimestamp(0) ==
+        Timestamp.valueOf("2024-01-01 10:00:00")).get
+      assert(first.getLong(1) == 2 && first.getDouble(2) == 3.0) // late row dropped
+    } finally q.stop()
+  }
+
+  test("sessionize: gap splits sessions, state closes on later batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import StreamingPipelines.{Event, Session}
+    val input = MemoryStream[Event]
+    val sessions = StreamingPipelines.sessionize(input.toDS(),
+      gapMs = 60 * 1000L)
+
+    val q = sessions.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+      // two bursts for user 1 separated by > gap, in one batch:
+      input.addData(
+        Event(1L, t(0), "click", 1.0), Event(1L, t(10), "click", 2.0),
+        Event(1L, t(200), "view", 3.0), // new session (190s > 60s gap)
+        Event(2L, t(5), "click", 4.0))
+      q.processAllAvailable()
+      val closed = s.sql("SELECT * FROM sess_stream").as[Session].collect()
+      // first burst closed by the in-batch gap
+      assert(closed.exists(x => x.user_id == 1L && x.n_events == 2 &&
+        x.total_value == 3.0))
+      // user 2 closed by the event-time timeout: watermark reached t(200),
+      // past its last event t(5) + 60s gap
+      assert(closed.exists(x => x.user_id == 2L && x.n_events == 1 &&
+        x.total_value == 4.0))
+      // user 1's second burst still open: timeout t(260) > watermark t(200)
+      assert(!closed.exists(x => x.user_id == 1L && x.n_events == 1))
+      // advance the watermark far past every open session's gap → event-time
+      // timeouts close them
+      input.addData(Event(3L, t(10000), "click", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(3L, t(20000), "click", 0.0))
+      q.processAllAvailable()
+      val after = s.sql("SELECT * FROM sess_stream").as[Session].collect()
+      assert(after.exists(x => x.user_id == 2L && x.n_events == 1))
+      assert(after.exists(x => x.user_id == 1L && x.n_events == 1 &&
+        x.total_value == 3.0))
+    } finally q.stop()
+  }
+}
