@@ -1,5 +1,11 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every SparkEntry query at
+  * SPARK_GRAFT_SF_DIR and prints exactly ONE stdout JSON line
+  * (`{"metric":"total",...}`). Per-query progress goes to stderr so a
+  * partial run still shows where time went. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +13,33 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // Warm-up: JIT + parquet footer caches + first-stage scheduling, so the
+    // first timed query doesn't absorb session start-up.
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop sink: forces full evaluation of every output column —
+        // count() would let Catalyst prune projections (a decode-heavy
+        // query would be timed as a bare scan).
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-28s $sec%8.2fs")
+        name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

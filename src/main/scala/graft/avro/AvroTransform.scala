@@ -1,9 +1,5 @@
 package graft.avro
 
-import java.io.IOException
-
-import org.apache.avro.AvroRuntimeException
-
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
@@ -47,65 +43,30 @@ object AvroTransform {
   val KeyCol = "key"
   val ValueCol = "value"
 
-  private def isDecodeFailure(t: Throwable): Boolean = t match {
-    case _: IOException => true // reference catches IOException (`:149`,`:188`)
-    case _: AvroRuntimeException => true // Avro 1.12 wraps some malformed-input errors
-    case _: ArrayIndexOutOfBoundsException => true // malformed varint index
-    case _ => false
-  }
-
-  /** Fused wire-parse → schema-lookup → Avro-decode → envelope for the VALUE
-    * side. PERMISSIVE swallows decode failures and forwards the original
-    * bytes (`AvroTransform.java:188-191`); wire-format violations throw in
-    * both modes (`:173-177`). */
-  def valueDecoderUdf(cfg: EngineConfig, provider: SchemaProvider)
-      : UserDefinedFunction = {
-    val capacity = cfg.schemaCapacity
-    val permissive = cfg.errorMode == ErrorMode.Permissive
-    udf { (bytes: Array[Byte]) =>
-      if (bytes == null) null // tombstone passthrough (`:168-170`)
-      else {
-        val state = AvroDecoderState.forProvider(provider, capacity)
-        val framed = WireFormat.parse(bytes) // throws WireFormatException
-        try {
-          val json = state.avroBinaryToJson(framed.schemaId, framed.body)
-          val schemaJson = state.schemaById(framed.schemaId).toString
-          AvroEnvelope.valueEnvelope(framed.schemaId, json, schemaJson)
-        } catch {
-          case t: Throwable if permissive && isDecodeFailure(t) =>
-            state.swallowedErrors.increment()
-            bytes
-        }
-      }
-    }
-  }
+  /** VALUE-side fused decode as a native Catalyst expression column
+    * (M3 — `graft.plans.AvroDecodeEnvelope`). PERMISSIVE swallows decode
+    * failures and forwards the original bytes (`AvroTransform.java:188-191`);
+    * wire-format violations throw in both modes (`:173-177`). */
+  def valueDecoder(cfg: EngineConfig, provider: SchemaProvider)
+      (c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.AvroDecodeEnvelope(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c),
+        provider, cfg.schemaCapacity,
+        cfg.errorMode == ErrorMode.Permissive,
+        isKey = false, stripKey = true))
 
   /** KEY-side decode (`AvroTransform.java:131-158`): fields inlined +
     * `originSchema` injected. `cfg.stripKeyWireHeader=false` reproduces the
     * reference's unstripped-key bug (`:148`; SURVEY.md §7.4). */
-  def keyDecoderUdf(cfg: EngineConfig, provider: SchemaProvider)
-      : UserDefinedFunction = {
-    val capacity = cfg.schemaCapacity
-    val permissive = cfg.errorMode == ErrorMode.Permissive
-    val strip = cfg.stripKeyWireHeader
-    udf { (bytes: Array[Byte]) =>
-      if (bytes == null) null // null key passthrough (`:133-135`)
-      else {
-        val state = AvroDecoderState.forProvider(provider, capacity)
-        val framed = WireFormat.parse(bytes)
-        val body = if (strip) framed.body else bytes // bug-compat path
-        try {
-          val json = state.avroBinaryToJson(framed.schemaId, body)
-          val schemaJson = state.schemaById(framed.schemaId).toString
-          AvroEnvelope.keyEnvelope(json, schemaJson)
-        } catch {
-          case t: Throwable if permissive && isDecodeFailure(t) =>
-            state.swallowedErrors.increment()
-            bytes
-        }
-      }
-    }
-  }
+  def keyDecoder(cfg: EngineConfig, provider: SchemaProvider)
+      (c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.AvroDecodeEnvelope(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c),
+        provider, cfg.schemaCapacity,
+        cfg.errorMode == ErrorMode.Permissive,
+        isKey = true, stripKey = cfg.stripKeyWireHeader))
 
   /** Introspection decoder: envelope fields as a typed struct column
     * (null on tombstone). Used by verification queries that re-project the
@@ -139,8 +100,8 @@ object AvroTransform {
     */
   def apply(df: DataFrame, cfg: EngineConfig,
       provider: SchemaProvider): DataFrame = {
-    val decodeValue = valueDecoderUdf(cfg, provider)
-    val decodeKey = keyDecoderUdf(cfg, provider)
+    val decodeValue = valueDecoder(cfg, provider) _
+    val decodeKey = keyDecoder(cfg, provider) _
     val topics = cfg.enabledTopics
     val keyTopics = cfg.keyTopics
 

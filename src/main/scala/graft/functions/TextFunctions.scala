@@ -61,13 +61,32 @@ object TextFunctions {
         i => norm.substr(i, lit(n))))
   }
 
+  /** Hashed k-word shingle set (array<bigint>) — the scale front-end for
+    * LSH dedup: one native pass, no shingle strings materialized
+    * (`graft.plans.ShingleHashes`). */
+  def wordShingleHashes(text: Column, k: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.ShingleHashes(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          normalize(text)), k, byChar = false))
+
+  /** Hashed character n-gram set (array<bigint>), one native pass. */
+  def charNgramHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.ShingleHashes(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          normalize(text)), n, byChar = true))
+
   /** MinHash signature: `numHashes` independent 64-bit min-hashes over the
-    * shingle set. Hash family h_i(s) = xxhash64(i, s) (xxhash64 is Spark's
-    * codegen'd 64-bit hash; mixing the index in as a column gives an
-    * indexed family). Returns array<bigint> of length `numHashes`. */
+    * shingle set (native kernel `graft.plans.MinHashSignature` — one string
+    * hash per shingle + splitmix64 remix per hash index; the HOF
+    * formulation costs ~25k interpreted lambda evals per row).
+    * Returns array<bigint> of length `numHashes`. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, s => xxhash64(i, s))))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.MinHashSignature(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(shingles),
+        numHashes))
 
   /** LSH band keys for a minhash signature: hash each of `bands` disjoint
     * slices of `rowsPerBand` signature entries (banding scheme of the
@@ -81,26 +100,12 @@ object TextFunctions {
           x => x.cast("string")))))
 
   /** 64-bit SimHash over the shingle multiset: per bit, sum +1/-1 votes of
-    * each shingle's xxhash64; bit set iff the vote is positive. Pure
-    * higher-order-function expression. */
-  def simhash64(shingles: Column): Column = {
-    // counts: array of 64 ints (votes per bit)
-    val votes = aggregate(
-      shingles,
-      array_repeat(lit(0), 64),
-      (acc, s) => {
-        val h = xxhash64(s)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, b) => a + when(call_function("shiftright", h, b.cast("int"))
-            .bitwiseAND(1) === 1, 1).otherwise(-1))
-      })
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, b) => when(v > 0,
-          call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(0L)),
-      lit(0L),
-      (acc, x) => acc.bitwiseOR(x))
-  }
+    * each shingle's hash; bit set iff the vote is positive (native kernel
+    * `graft.plans.SimHash64`). */
+  def simhash64(shingles: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.SimHash64(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(shingles)))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -115,12 +120,22 @@ object TextFunctions {
       (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), m), m))
   }
 
-  /** Exact Jaccard similarity of two shingle ARRAYS (treated as sets). */
+  /** Exact Jaccard similarity of two shingle ARRAYS (treated as sets).
+    * Generic (any element type), hash-set based. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = size(array_union(a, b)).cast("double")
     when(union === 0, lit(1.0)).otherwise(inter / union)
   }
+
+  /** Exact Jaccard over SORTED-DISTINCT array<bigint> sets (the
+    * [[wordShingleHashes]]/[[charNgramHashes]] output contract): native
+    * single merge scan per pair (`graft.plans.JaccardSortedSets`). */
+  def jaccardSorted(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.JaccardSortedSets(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
   // ---- language id (n-gram/stopword heuristic) ----
 

@@ -44,20 +44,11 @@ object VectorFunctions {
     * requirement here: `Math.random` would silently break resume/retry).
     * Cosine-similar vectors agree on most sign bits, so bucketing on
     * (block of bits) finds near neighbors without a cross join. */
-  def hyperplaneSignature(v: Column, nBits: Int, seed: Int = 42): Column = {
-    val dv = asDouble(v)
-    val bits = transform(sequence(lit(0), lit(nBits - 1)), b => {
-      // dot(v, plane_b) via index-zip: plane_b[j] = hash(seed,b,j)/MAX -> [-1,1]
-      val proj = aggregate(
-        zip_with(dv, sequence(lit(0), size(dv) - 1),
-          (x, j) => x * (xxhash64(lit(seed), b, j).cast("double") /
-            lit(Long.MaxValue.toDouble))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, call_function("shiftleft", lit(1L), b.cast("int")))
-        .otherwise(0L)
-    })
-    aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def hyperplaneSignature(v: Column, nBits: Int, seed: Int = 42): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.HyperplaneSignature(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(v),
+        nBits, seed.toLong))
 
   /** Split a packed signature into `blocks` block-keys for multi-probe
     * bucketing (pairs within Hamming distance `blocks-1` share ≥1 block). */

@@ -38,6 +38,34 @@ object Dedup {
       .groupBy(col("text_sha"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
+  /** Shared LSH-candidate + exact-Jaccard-verify pipeline over any
+    * (id, shingles) view: native minhash signature → band keys →
+    * bucket self-join → verify within candidates only. */
+  private def lshJaccardPairs(shingled: DataFrame, numHashes: Int,
+      bands: Int, threshold: Double): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = shingled.select(col("id"), col("shingles"),
+      TF.minhashSignature(col("shingles"), numHashes).as("sig"))
+    // keep `sig` in the output list next to the explode so CollapseProject
+    // can't inline the signature kernel into the band-key lambda
+    val bandRows = sigs
+      .select(col("id"), col("sig"),
+        explode(TF.minhashBandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("bk"))
+    val l = bandRows.select(col("bk"), col("id").as("a"))
+    val r = bandRows.select(col("bk"), col("id").as("b"))
+    val pairs = l.join(r, Seq("bk")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    // verify: join candidate ids back to shingle sets (small side = pairs)
+    val withA = pairs.join(
+      shingled.select(col("id").as("a"), col("shingles").as("sh_a")), Seq("a"))
+    withA.join(
+      shingled.select(col("id").as("b"), col("shingles").as("sh_b")), Seq("b"))
+      .withColumn("jaccard", TF.jaccardSorted(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** MinHash + banded-LSH near-duplicate pairs with exact-Jaccard
     * verification (shingle → minhash → band → bucket-join → verify).
     *
@@ -46,38 +74,11 @@ object Dedup {
     */
   def minhashNearDup(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
-    val rows = numHashes / bands
-    val shingled = df.select(col(idCol).as("id"),
-      TF.wordShingles(col(textCol), shingleK).as("shingles"))
-    // One row per (doc, band) via explode FIRST: the Generate node is a
-    // projection barrier, so `shingles` is materialized once per doc and
-    // each band computes only its own `rows` min-hashes — composing the
-    // full signature inline inside a band-key lambda would re-evaluate
-    // the whole 64-hash signature per band (16x work; measured, not
-    // hypothetical).
-    val bandRows = shingled
-      .select(col("id"), col("shingles"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("id"),
-        xxhash64(col("band"), concat_ws(",",
-          transform(
-            sequence(col("band") * rows, (col("band") + 1) * rows - 1),
-            i => array_min(transform(col("shingles"),
-              s => xxhash64(i, s))).cast("string")))).as("bk"))
-    val l = bandRows.select(col("bk"), col("id").as("a"))
-    val r = bandRows.select(col("bk"), col("id").as("b"))
-    val pairs = l.join(r, Seq("bk")).filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    // verify: join candidate ids back to shingle sets (small side = pairs)
-    val withA = pairs.join(
-      shingled.select(col("id").as("a"), col("shingles").as("sh_a")), Seq("a"))
-    val verified = withA.join(
-      shingled.select(col("id").as("b"), col("shingles").as("sh_b")), Seq("b"))
-      .withColumn("jaccard", TF.jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-    verified.select(col("a"), col("b"), col("jaccard"))
-  }
+      threshold: Double = 0.8): DataFrame =
+    lshJaccardPairs(
+      df.select(col(idCol).as("id"),
+        TF.wordShingleHashes(col(textCol), shingleK).as("shingles")),
+      numHashes, bands, threshold)
 
   /** SimHash near-dup: 64-bit fingerprints, bucketing on `blocks` bit
     * blocks (pigeonhole: hamming ≤ blocks-1 ⇒ some block identical),
@@ -86,7 +87,7 @@ object Dedup {
       shingleK: Int = 3, maxHamming: Int = 3): DataFrame = {
     val blocks = maxHamming + 1
     val fps = df.select(col(idCol).as("id"),
-      TF.simhash64(TF.wordShingles(col(textCol), shingleK)).as("fp"))
+      TF.simhash64(TF.wordShingleHashes(col(textCol), shingleK)).as("fp"))
     val keyed = fps.select(col("id"), col("fp"),
       VF.signatureBlocks(col("fp"), 64, blocks).as("bks"))
     val exploded = keyed.select(col("id"), col("fp"),
@@ -100,25 +101,17 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** N-gram Jaccard dedup: exact character-n-gram Jaccard, blocked by
-    * (language, length bucket) to bound pair generation. The blocking is a
-    * recall/coverage trade documented for the caller; near-dups of very
-    * different lengths are not candidates (they can't pass a high Jaccard
-    * threshold anyway). */
+  /** Character-n-gram Jaccard dedup: exact n-gram-set Jaccard, with
+    * MinHash-LSH candidate generation over the n-gram sets (a blocked
+    * O(n²/blocks) variant was tried first and is quadratic-with-a-constant
+    * — pathological already at sf0.1; LSH banding keeps candidate
+    * generation near-linear while the final Jaccard is still EXACT). */
   def ngramJaccardNearDup(df: DataFrame, textCol: String, idCol: String,
-      langCol: String, n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val grams = df.select(col(idCol).as("id"), col(langCol).as("lang"),
-      (floor(log2(length(col(textCol)) + 1)) * 2).cast("int").as("len_bucket"),
-      TF.charNgrams(col(textCol), n).as("grams"))
-    val l = grams.select(col("lang"), col("len_bucket"), col("id").as("a"),
-      col("grams").as("g_a"))
-    val r = grams.select(col("lang"), col("len_bucket"), col("id").as("b"),
-      col("grams").as("g_b"))
-    l.join(r, Seq("lang", "len_bucket")).filter(col("a") < col("b"))
-      .withColumn("jaccard", TF.jaccard(col("g_a"), col("g_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
-  }
+      n: Int = 5, threshold: Double = 0.5): DataFrame =
+    lshJaccardPairs(
+      df.select(col(idCol).as("id"),
+        TF.charNgramHashes(col(textCol), n).as("shingles")),
+      numHashes = 32, bands = 8, threshold = threshold)
 
   /** Embedding-cosine near-dup: random-hyperplane LSH buckets (multi-block
     * probing), exact cosine verification within buckets. */

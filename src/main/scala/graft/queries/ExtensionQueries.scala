@@ -58,8 +58,12 @@ object ExtensionQueries {
         .orderBy(col("a"), col("b"))),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
+      // n=5: char-3-grams of this small-vocab corpus have ~0.45 median
+      // jaccard between UNRELATED docs (measured) — 3-gram LSH candidates
+      // would be near-quadratic. 5-grams separate (median 0.18 vs 1.0 for
+      // twins), so candidates stay near-linear.
       Dedup.ngramJaccardNearDup(docsUnion(s, dir), "text", "doc_id",
-          "lang", n = 3, threshold = 0.6)
+          n = 5, threshold = 0.5)
         .orderBy(col("a"), col("b"))),
 
     "dedup_embedding" -> ((s, dir) =>

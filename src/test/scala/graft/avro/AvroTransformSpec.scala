@@ -132,7 +132,9 @@ class AvroTransformSpec extends SparkFunSuite {
     val truncated = WireFormat.frame(id, Array[Byte](0x02))
     val out = AvroTransform(kafkaDf("TransformTest", null, truncated),
       cfg(mode = ErrorMode.FailFast), provider)
-    intercept[SparkException](out.collect())
+    val e = intercept[Throwable](out.collect())
+    assert(rootChain(e).exists(t => t.isInstanceOf[java.io.IOException] ||
+      t.isInstanceOf[SparkException]))
   }
 
   test("key decode: fields inlined + originSchema injected, corrected strip " +

@@ -57,13 +57,13 @@ class DedupSpec extends SparkFunSuite {
     assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
   }
 
-  test("ngram jaccard blocks by lang and finds near pair") {
-    val pairs = Dedup.ngramJaccardNearDup(docs, "text", "doc_id", "lang",
-      threshold = 0.6).collect()
+  test("ngram jaccard (LSH candidates) finds exact and near pairs only") {
+    val pairs = Dedup.ngramJaccardNearDup(docs, "text", "doc_id",
+      threshold = 0.5).collect()
       .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
     assert(pairs.contains((1L, 2L)))
     assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
-    assert(!pairs.exists { case (a, b) => b == 5L }) // different lang block
+    assert(!pairs.exists { case (a, b) => b == 5L || a == 4L || b == 4L })
   }
 
   test("embedding near-dup finds identical vectors via hyperplane LSH") {
