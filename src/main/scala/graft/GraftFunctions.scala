@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+import graft.plans._
+
+/** SQL registration for the engine's native expressions — makes every
+  * custom kernel available to `spark.sql(...)` users, completing the API
+  * surface next to the Column-level wrappers in `graft.functions.*`:
+  *
+  * {{{
+  *   graft.GraftFunctions.register(spark)
+  *   spark.sql("SELECT graft_top_k(score, id, 5) FROM t GROUP BY q")
+  * }}}
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, name: String): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_top_k",
+      es => TopKByScore(es(0), es(1), intArg(es(2), "k")), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      es => MinHashSignature(es(0), intArg(es(1), "numHashes")), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      es => SimHash64(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_word_shingle_hashes",
+      es => ShingleHashes(es(0), intArg(es(1), "k"), byChar = false),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_char_ngram_hashes",
+      es => ShingleHashes(es(0), intArg(es(1), "n"), byChar = true),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_jaccard_sorted",
+      es => JaccardSortedSets(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_hyperplane_sig",
+      es => HyperplaneSignature(es(0), intArg(es(1), "nBits"),
+        intArg(es(2), "seed").toLong), "built-in")
+  }
+}

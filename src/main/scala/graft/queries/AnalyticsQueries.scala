@@ -214,7 +214,43 @@ object AnalyticsQueries {
         .select(col("event_id"),
           regexp_extract(col("props"), "\"k\": (\\d+)", 1)
             .cast("int").as("k"))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))),
+
+    // Anti join: customers with no orders in 1995.
+    "q_anti_join" -> ((s, dir) => {
+      val ord95 = t(s, dir, "orders").filter(
+        col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-01-01")))
+      t(s, dir, "customer")
+        .join(ord95, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Batch session-gap analysis (window lag + running sum) — the batch
+    // twin of StreamingPipelines.sessionize, oracle-checkable end to end.
+    // All time math in integral microseconds so Spark (µs timestamps) and
+    // DuckDB (ns) agree bit-for-bit.
+    "q_sessionize_batch" -> ((s, dir) => {
+      val gapUs = 30L * 60 * 1000000
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("prev_tus", lag(col("tus"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_tus").isNull ||
+            col("tus") - col("prev_tus") > gapUs, 1).otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      e.groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum2(col("value")).as("total_value"),
+          min(col("tus")).as("session_start_us"),
+          max(col("tus")).as("session_end_us"))
+        .orderBy(col("user_id"), col("sess_id"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -326,6 +362,32 @@ object AnalyticsQueries {
     "q_events_props" ->
       """SELECT event_id,
         |CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_sessionize_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS tus,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_tus
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, value, tus,
+        |    SUM(CASE WHEN prev_tus IS NULL
+        |      OR tus - prev_tus > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM e)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  MIN(tus) AS session_start_us, MAX(tus) AS session_end_us
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin
   )
 }

@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans for the scale-critical queries and
+  * greps them for the plan properties the 100 TB design depends on:
+  * parquet filter pushdown, pruned read schemas, broadcast joins for dims,
+  * partial aggregation, and whole-stage codegen coverage. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val interesting = Seq("q1_pricing_summary", "q3_shipping_priority",
+      "q5_region_revenue", "q6_revenue_forecast", "q_orders_topk",
+      "sim_topk_brute", "dedup_minhash", "avro_roundtrip_agg")
+    interesting.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExtendedMode)
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"===== $name =====")
+      println(formatted.linesIterator
+        .filter(l => l.contains("Scan parquet") || l.contains("PushedFilters")
+          || l.contains("ReadSchema") || l.contains("BroadcastHashJoin")
+          || l.contains("SortMergeJoin") || l.contains("HashAggregate")
+          || l.contains("TakeOrderedAndProject")
+          || l.contains("WholeStageCodegen") || l.contains("Exchange")
+          || l.contains("ObjectHashAggregate"))
+        .take(40).mkString("\n"))
+      val nCodegen = "WholeStageCodegen".r.findAllIn(formatted).length
+      val nExchange = "Exchange".r.findAllIn(plan).length
+      println(s"--- codegen spans: $nCodegen")
+      println()
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraftFunctionsSpec extends SparkFunSuite {
+
+  test("all graft_* functions are callable from SQL") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(s)
+    Seq((1L, "the quick brown fox jumps over the dog", 0.9),
+      (2L, "another document entirely", 0.7))
+      .toDF("id", "text", "score").createOrReplaceTempView("gf_t")
+
+    val row = s.sql(
+      """SELECT
+        |  graft_top_k(score, id, 1) AS topk,
+        |  graft_minhash_sig(graft_word_shingle_hashes(lower(text), 3), 8) AS mh,
+        |  graft_simhash64(graft_word_shingle_hashes(lower(text), 3)) AS sh,
+        |  graft_char_ngram_hashes(lower(text), 5) AS cg,
+        |  graft_jaccard_sorted(graft_word_shingle_hashes(lower(text), 3),
+        |                       graft_word_shingle_hashes(lower(text), 3)) AS jac
+        |FROM gf_t GROUP BY text, score, id""".stripMargin).collect()
+    assert(row.length == 2)
+    row.foreach { r =>
+      assert(r.getSeq[Long](r.fieldIndex("mh")).length == 8)
+      assert(r.getAs[Double]("jac") == 1.0)
+    }
+  }
+
+  test("graft_hyperplane_sig from SQL over array<float>") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(s)
+    Seq((1L, Array(0.5f, -0.25f, 1.0f))).toDF("id", "v")
+      .createOrReplaceTempView("gf_v")
+    val sig = s.sql("SELECT graft_hyperplane_sig(v, 16, 42) FROM gf_v")
+      .head.getLong(0)
+    val again = s.sql("SELECT graft_hyperplane_sig(v, 16, 42) FROM gf_v")
+      .head.getLong(0)
+    assert(sig == again)
+  }
+}
