@@ -58,7 +58,13 @@ final case class HttpSchemaRegistryProvider(
 
   override def schemaJsonById(id: Int): Option[String] = {
     var last: Throwable = null
-    baseUrls.foreach { base =>
+    var result: Option[Option[String]] = None // Some(outcome) = decided
+    val it = baseUrls.iterator
+    while (result.isEmpty && it.hasNext) {
+      val base = it.next()
+      // NOTE: catch NonFatal only — a broad `catch Throwable` around code
+      // with an early `return` swallows Scala's NonLocalReturnControl and
+      // turns success into failure (hence the return-free structure here).
       try {
         val url = new java.net.URI(
           s"${base.stripSuffix("/")}/schemas/ids/$id").toURL
@@ -72,14 +78,15 @@ final case class HttpSchemaRegistryProvider(
           case 200 =>
             val body = new String(conn.getInputStream.readAllBytes(),
               java.nio.charset.StandardCharsets.UTF_8)
-            return Some(HttpSchemaRegistryProvider.extractSchemaField(body))
-          case 404 => return None
+            result =
+              Some(Some(HttpSchemaRegistryProvider.extractSchemaField(body)))
+          case 404 => result = Some(None)
           case code => last = new RuntimeException(s"registry HTTP $code")
         }
-      } catch { case t: Throwable => last = t }
+      } catch { case scala.util.control.NonFatal(t) => last = t }
     }
-    throw new SchemaLookupException(
-      s"Failed to fetch schema id $id from ${baseUrls.mkString(",")}", last)
+    result.getOrElse(throw new SchemaLookupException(
+      s"Failed to fetch schema id $id from ${baseUrls.mkString(",")}", last))
   }
 }
 
