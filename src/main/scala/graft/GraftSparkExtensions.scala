@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.plans._
+
+/** SparkSessionExtensions entry point — lets any session pick up the
+  * engine's native functions with zero code:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftSparkExtensions ...
+  *   // or
+  *   SparkSession.builder().withExtensions(new GraftSparkExtensions) ...
+  * }}}
+  *
+  * Same function set as [[GraftFunctions.register]], injected at session
+  * build so SQL/JDBC-only users (thrift server, notebooks) get them too.
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "",
+      "built-in")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("graft_top_k"),
+      info("graft_top_k",
+        "graft_top_k(score, id, k) - bounded-heap partial top-k aggregate"),
+      es => TopKByScore(es(0), es(1), intArg(es(2), "k"))))
+    e.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig",
+        "graft_minhash_sig(shingles, H) - H-entry minhash signature"),
+      es => MinHashSignature(es(0), intArg(es(1), "numHashes"))))
+    e.injectFunction((FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "graft_simhash64(shingles) - 64-bit simhash"),
+      es => SimHash64(es(0))))
+    e.injectFunction((FunctionIdentifier("graft_word_shingle_hashes"),
+      info("graft_word_shingle_hashes",
+        "graft_word_shingle_hashes(text, k) - hashed k-word shingle set"),
+      es => ShingleHashes(es(0), intArg(es(1), "k"), byChar = false)))
+    e.injectFunction((FunctionIdentifier("graft_char_ngram_hashes"),
+      info("graft_char_ngram_hashes",
+        "graft_char_ngram_hashes(text, n) - hashed char n-gram set"),
+      es => ShingleHashes(es(0), intArg(es(1), "n"), byChar = true)))
+    e.injectFunction((FunctionIdentifier("graft_jaccard_sorted"),
+      info("graft_jaccard_sorted",
+        "graft_jaccard_sorted(a, b) - exact jaccard of sorted bigint sets"),
+      es => JaccardSortedSets(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("graft_hyperplane_sig"),
+      info("graft_hyperplane_sig",
+        "graft_hyperplane_sig(vec, nBits, seed) - sign-bit LSH signature"),
+      es => HyperplaneSignature(es(0), intArg(es(1), "nBits"),
+        intArg(es(2), "seed").toLong)))
+  }
+}

@@ -28,34 +28,71 @@ import org.apache.avro.io.{DecoderFactory, EncoderFactory}
   */
 final class AvroDecoderState(provider: SchemaProvider, capacity: Int) {
 
+  /** Parsed schema + its serialized JSON, both computed exactly once per
+    * (executor, id): `Schema.toString` rebuilds the whole schema JSON, so
+    * calling it per record (as the reference effectively does via
+    * `schema.toString()` in the envelope) would dominate the envelope
+    * cost. */
+  final case class CachedSchema(schema: Schema, json: String)
+
+  // Canonical LRU (capacity semantics parity with the reference's
+  // SynchronizedCache(LRUCache), `AvroTransform.java:108`) + a lock-free
+  // read mirror: the hot path does ONE ConcurrentHashMap get per record;
+  // LRU access order is refreshed opportunistically (every 64th hit per
+  // thread) — near-LRU eviction, exact-LRU is irrelevant when the working
+  // set fits `schema.capacity`, and an always-locked access-ordered map
+  // serializes all decode threads.
   private val schemas =
-    new java.util.LinkedHashMap[Integer, Schema](16, 0.75f, true) {
+    new java.util.LinkedHashMap[Integer, CachedSchema](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Integer, Schema]): Boolean =
-        size() > capacity
+          e: java.util.Map.Entry[Integer, CachedSchema]): Boolean = {
+        val evict = size() > capacity
+        if (evict) mirror.remove(e.getKey)
+        evict
+      }
     }
+  private val mirror = new ConcurrentHashMap[Integer, CachedSchema]()
+  private val touchCounter = ThreadLocal.withInitial[Array[Int]](() => new Array[Int](1))
 
   /** Count of decode failures swallowed in PERMISSIVE mode — the metric the
     * reference never had (it only `printStackTrace`d, SURVEY.md §4.3 #3). */
   val swallowedErrors = new LongAdder
 
-  def schemaById(id: Int): Schema = {
-    schemas.synchronized {
-      val hit = schemas.get(Integer.valueOf(id))
-      if (hit != null) return hit
+  /** Schema-cache hit/miss counters (BASELINE.md asks for the hit ratio
+    * under multi-schema topics). */
+  val cacheHits = new LongAdder
+  val cacheMisses = new LongAdder
+
+  def cachedSchema(id: Int): CachedSchema = {
+    val key = Integer.valueOf(id)
+    val fast = mirror.get(key)
+    if (fast != null) {
+      cacheHits.increment()
+      val c = touchCounter.get()
+      c(0) += 1
+      if ((c(0) & 63) == 0) schemas.synchronized { schemas.get(key) } // LRU touch
+      return fast
     }
+    cacheMisses.increment()
     // Fetch outside the lock: a slow registry call must not serialize all
     // decode threads (cold-start stampede is bounded by thread count).
     val json = provider.schemaJsonById(id).getOrElse {
       throw new SchemaLookupException(s"Schema id $id not found in registry")
     }
     val parsed = new Schema.Parser().parse(json)
+    val entry = CachedSchema(parsed, parsed.toString)
     schemas.synchronized {
-      val again = schemas.get(Integer.valueOf(id))
+      val again = schemas.get(key)
       if (again != null) again
-      else { schemas.put(Integer.valueOf(id), parsed); parsed }
+      else {
+        schemas.put(key, entry)
+        mirror.put(key, entry)
+        entry
+      }
     }
   }
+
+  def schemaById(id: Int): Schema = cachedSchema(id).schema
 
   private final class ThreadState {
     val readers = new java.util.LinkedHashMap[Integer,
@@ -78,8 +115,14 @@ final class AvroDecoderState(provider: SchemaProvider, capacity: Int) {
     * own `JsonEncoder` (non-pretty, `:244-251`). Avro's JSON rendering
     * (union wrapping, ISO-8859-1 bytes) is kept deliberately for parity
     * with the golden output (`TransformTest.java:508`). */
-  def avroBinaryToJson(schemaId: Int, body: Array[Byte]): String = {
-    val schema = schemaById(schemaId)
+  def avroBinaryToJson(schemaId: Int, body: Array[Byte]): String =
+    decodeToJson(cachedSchema(schemaId), schemaId, body)
+
+  /** Fused decode with a pre-resolved schema entry — one cache lookup per
+    * record for the whole decode+envelope path. */
+  def decodeToJson(cached: CachedSchema, schemaId: Int,
+      body: Array[Byte]): String = {
+    val schema = cached.schema
     val ts = threadState.get()
     var reader = ts.readers.get(Integer.valueOf(schemaId))
     if (reader == null) {
@@ -111,10 +154,15 @@ object AvroDecoderState {
     states.computeIfAbsent(provider.cacheToken,
       _ => new AvroDecoderState(provider, capacity))
 
-  /** Test/metrics hook. */
+  /** Test/metrics hooks. */
   def swallowedErrorCount(cacheToken: String): Long = {
     val s = states.get(cacheToken)
     if (s == null) 0L else s.swallowedErrors.sum()
+  }
+
+  def cacheStats(cacheToken: String): (Long, Long) = {
+    val s = states.get(cacheToken)
+    if (s == null) (0L, 0L) else (s.cacheHits.sum(), s.cacheMisses.sum())
   }
 }
 

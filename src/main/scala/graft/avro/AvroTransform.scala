@@ -79,9 +79,9 @@ object AvroTransform {
       else {
         val state = AvroDecoderState.forProvider(provider, capacity)
         val framed = WireFormat.parse(bytes)
-        val json = state.avroBinaryToJson(framed.schemaId, framed.body)
-        DecodedPayload(framed.schemaId, json,
-          state.schemaById(framed.schemaId).toString)
+        val cached = state.cachedSchema(framed.schemaId)
+        val json = state.decodeToJson(cached, framed.schemaId, framed.body)
+        DecodedPayload(framed.schemaId, json, cached.json)
       }
     }
   }

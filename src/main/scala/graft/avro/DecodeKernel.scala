@@ -23,10 +23,10 @@ object DecodeKernel {
   def decodeValue(bytes: Array[Byte], state: AvroDecoderState,
       permissive: Boolean): Array[Byte] = {
     val framed = WireFormat.parse(bytes)
+    val cached = state.cachedSchema(framed.schemaId)
     try {
-      val json = state.avroBinaryToJson(framed.schemaId, framed.body)
-      val schemaJson = state.schemaById(framed.schemaId).toString
-      AvroEnvelope.valueEnvelope(framed.schemaId, json, schemaJson)
+      val json = state.decodeToJson(cached, framed.schemaId, framed.body)
+      AvroEnvelope.valueEnvelope(framed.schemaId, json, cached.json)
     } catch {
       case t: Throwable if permissive && isDecodeFailure(t) =>
         state.swallowedErrors.increment()
@@ -41,10 +41,10 @@ object DecodeKernel {
       permissive: Boolean, strip: Boolean): Array[Byte] = {
     val framed = WireFormat.parse(bytes)
     val body = if (strip) framed.body else bytes
+    val cached = state.cachedSchema(framed.schemaId)
     try {
-      val json = state.avroBinaryToJson(framed.schemaId, body)
-      val schemaJson = state.schemaById(framed.schemaId).toString
-      AvroEnvelope.keyEnvelope(json, schemaJson)
+      val json = state.decodeToJson(cached, framed.schemaId, body)
+      AvroEnvelope.keyEnvelope(json, cached.json)
     } catch {
       case t: Throwable if permissive && isDecodeFailure(t) =>
         state.swallowedErrors.increment()

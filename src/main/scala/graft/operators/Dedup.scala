@@ -123,12 +123,19 @@ object Dedup {
     // per row instead of once per block (see minhashNearDup note).
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       VF.hyperplaneSignature(col(vecCol), nBits).as("sig"))
-    val exploded = sigs.select(col("id"), col("v"),
+    val exploded = sigs.select(col("id"),
       explode(VF.signatureBlocks(col("sig"), nBits, blocks)).as("bk"))
-    val l = exploded.select(col("bk"), col("id").as("a"), col("v").as("v_a"))
-    val r = exploded.select(col("bk"), col("id").as("b"), col("v").as("v_b"))
-    l.join(r, Seq("bk")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("v_a"), col("v_b")).distinct()
+    val l = exploded.select(col("bk"), col("id").as("a"))
+    val r = exploded.select(col("bk"), col("id").as("b"))
+    // dedupe candidate IDs first — the bucket join and distinct shuffle
+    // only (block_key, id); vectors are joined back to the (small)
+    // candidate list afterwards, never shuffled through the pair explosion
+    val pairs = l.join(r, Seq("bk")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    pairs
+      .join(vecs.select(col("id").as("a"), col("v").as("v_a")), Seq("a"))
+      .join(vecs.select(col("id").as("b"), col("v").as("v_b")), Seq("b"))
       .withColumn("cosine", VF.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))

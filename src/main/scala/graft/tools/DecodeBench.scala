@@ -45,6 +45,9 @@ object DecodeBench {
     timedPass("decode cache-warm2")
     println(s"swallowed errors: " +
       AvroDecoderState.swallowedErrorCount(provider.cacheToken))
+    val (hits, misses) = AvroDecoderState.cacheStats(provider.cacheToken)
+    println(f"schema cache: $hits hits / $misses misses " +
+      f"(hit ratio ${hits.toDouble / math.max(1, hits + misses)}%.6f)")
     spark.stop()
   }
 }
