@@ -25,12 +25,16 @@ object VectorFunctions {
     sqrt(aggregate(transform(asDouble(a), x => x * x),
       lit(0.0), (acc, x) => acc + x))
 
-  /** Cosine similarity in double precision; 0 when either norm is 0. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = norm2(a) * norm2(b)
-    when(n === 0, lit(0.0)).otherwise(d / n)
-  }
+  /** Cosine similarity in double precision; 0 when either norm is 0.
+    * Native single-pass kernel (`graft.plans.CosineSimilarity`) — the HOF
+    * formulation costs ~2×dim interpreted lambda evals per pair, which
+    * dominated the near-dup verify stage. Bit-identical accumulation
+    * order to the HOF version (oracle-verified vs DuckDB). */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.CosineSimilarity(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),

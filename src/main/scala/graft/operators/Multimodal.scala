@@ -64,6 +64,36 @@ object Multimodal {
     }
   }
 
+  final case class ChunkRow(doc_id: Long, chunk_index: Int, offset: Int,
+      chunk: Array[Byte])
+
+  /** Frame/segment sampling over an opaque media blob: deterministically
+    * sample `nChunks` fixed-size chunks at evenly spaced offsets (the
+    * video-frame-sampling access pattern — decode only the sampled
+    * offsets, never the whole payload). One output row per sampled chunk,
+    * exploded row-locally: no shuffle, columnar-friendly downstream. */
+  def sampleChunks(df: DataFrame, idCol: String, blobCol: String = "blob",
+      chunkSize: Int = 64, nChunks: Int = 4): Dataset[ChunkRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
+      .as[BlobRow]
+      .flatMap { r =>
+        val bytes = if (r.blob == null) Array.emptyByteArray else r.blob
+        if (bytes.isEmpty) Iterator.empty
+        else {
+          val n = math.min(nChunks, math.max(1, bytes.length / chunkSize))
+          val stride = math.max(1, (bytes.length - chunkSize) / math.max(1, n - 1))
+          (0 until n).iterator.map { i =>
+            val off = math.min(i * stride, math.max(0, bytes.length - 1))
+            val end = math.min(off + chunkSize, bytes.length)
+            ChunkRow(r.doc_id, i, off,
+              java.util.Arrays.copyOfRange(bytes, off, end))
+          }
+        }
+      }
+  }
+
   /** Per-partition batch feature extraction: one extractor instance per
     * partition (where a codec would allocate its native context once),
     * streaming iterator-to-iterator — no partition materialization. */

@@ -260,6 +260,50 @@ case class ShingleHashes(child: Expression, k: Int, byChar: Boolean)
     if (byChar) "graft_char_ngram_hashes" else "graft_word_shingle_hashes"
 }
 
+/** `cosine_sim(a, b)` over two array<float>/array<double> vectors: one
+  * native pass accumulating dot product and both norms in doubles, with
+  * the SAME left-to-right accumulation and final `dot / (sqrt(na)*sqrt(nb))`
+  * op order as the HOF formulation it replaces — results stay bit-identical
+  * (the sim_topk oracle matches DuckDB's doubles exactly). 0.0 when either
+  * norm is 0. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  @transient private lazy val leftIsDouble =
+    left.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+  @transient private lazy val rightIsDouble =
+    right.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (leftIsDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (rightIsDouble) y.getDouble(i) else y.getFloat(i).toDouble
+      dot += xv * yv
+      na += xv * xv
+      nb += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cosineExpr", this,
+      classOf[CosineSimilarity].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (Double) $self.nullSafeEval($a, $b);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_cosine_sim"
+}
+
 /** `jaccard_sorted(a, b)` over two SORTED-DISTINCT array<bigint> sets
   * (the [[ShingleHashes]] output contract): one O(|a|+|b|) merge scan —
   * `array_intersect`/`array_union` build a hash set per row pair, which
