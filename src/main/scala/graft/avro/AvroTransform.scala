@@ -70,21 +70,14 @@ object AvroTransform {
 
   /** Introspection decoder: envelope fields as a typed struct column
     * (null on tombstone). Used by verification queries that re-project the
-    * decoded message relationally instead of re-serializing to bytes. */
-  def decodedStructUdf(cfg: EngineConfig, provider: SchemaProvider)
-      : UserDefinedFunction = {
-    val capacity = cfg.schemaCapacity
-    udf { (bytes: Array[Byte]) =>
-      if (bytes == null) null.asInstanceOf[DecodedPayload]
-      else {
-        val state = AvroDecoderState.forProvider(provider, capacity)
-        val framed = WireFormat.parse(bytes)
-        val cached = state.cachedSchema(framed.schemaId)
-        val json = state.decodeToJson(cached, framed.schemaId, framed.body)
-        DecodedPayload(framed.schemaId, json, cached.json)
-      }
-    }
-  }
+    * decoded message relationally instead of re-serializing to bytes.
+    * Native expression — no ScalaUDF encoder round-trip. */
+  def decodedStruct(cfg: EngineConfig, provider: SchemaProvider)
+      (c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.AvroDecodeStruct(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c),
+        provider, cfg.schemaCapacity))
 
   /** The full record-stream transform over a Kafka-source-shaped DataFrame
     * (columns: topic, partition, key, value, timestamp, headers — any subset
@@ -126,7 +119,7 @@ object AvroTransform {
     * tombstones / non-enabled topics). */
   def decoded(df: DataFrame, cfg: EngineConfig,
       provider: SchemaProvider): DataFrame = {
-    val dec = decodedStructUdf(cfg, provider)
+    val dec = decodedStruct(cfg, provider) _
     val gate: Column =
       when(col(TopicCol).isin(cfg.enabledTopics: _*), dec(col(ValueCol)))
     df.withColumn("_dec", gate)

@@ -114,9 +114,12 @@ object TextFunctions {
     * order-sensitive document fingerprint (Karp-Rabin style, base 1000003
     * mod 2^41: keeps every intermediate below 2^63 so the expression is
     * ANSI-mode safe — Spark 4 throws on silent long wraparound). */
-  def fingerprint64(text: Column): Column = {
+  def fingerprint64(text: Column): Column =
+    fingerprint64FromTokens(normTokens(text))
+
+  def fingerprint64FromTokens(ts: Column): Column = {
     val m = lit(1L << 41)
-    aggregate(normTokens(text), lit(0L),
+    aggregate(ts, lit(0L),
       (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), m), m))
   }
 
@@ -151,8 +154,11 @@ object TextFunctions {
     * deterministic tie-break = lexicographically greatest language among
     * the tied scores (documented engine rule); "und" when nothing matches.
     * Composed as array_max over (score, lang) structs — no UDF. */
-  def langId(text: Column): Column = {
-    val ts = normTokens(text)
+  def langId(text: Column): Column = langIdFromTokens(normTokens(text))
+
+  /** [[langId]] over a pre-computed normalized-token column — lets callers
+    * computing several token-based signals materialize tokens ONCE. */
+  def langIdFromTokens(ts: Column): Column = {
     val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(
         size(array_intersect(ts, array(words.map(lit): _*))).as("score"),
@@ -177,8 +183,10 @@ object TextFunctions {
     when(den === 0, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
 
   /** English-stopword hit ratio over normalized tokens. */
-  def stopwordRatio(text: Column): Column = {
-    val ts = normTokens(text)
+  def stopwordRatio(text: Column): Column =
+    stopwordRatioFromTokens(normTokens(text))
+
+  def stopwordRatioFromTokens(ts: Column): Column = {
     val hits = size(filter(ts,
       t => t.isin(LangMarkers("en"): _*)))
     safeRatio(hits, size(ts))
@@ -187,7 +195,10 @@ object TextFunctions {
   /** Composite [0,1] document quality score: mean-word-length band,
     * punctuation/digit sanity, stopword presence — the standard cheap
     * pre-training quality signals, deterministic and portable. */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, normTokens(text))
+
+  def qualityScoreFromTokens(text: Column, normToks: Column): Column = {
     val nChars = length(text)
     val nTokens = tokenCount(text)
     val meanWordLen = safeRatio(nChars, nTokens)
@@ -199,7 +210,8 @@ object TextFunctions {
       .otherwise(lit(0.5))
     val digitScore = when(safeRatio(digitCount(text), nChars) <= 0.3, lit(1.0))
       .otherwise(lit(0.5))
-    val stopScore = when(stopwordRatio(text) >= 0.05, lit(1.0)).otherwise(lit(0.6))
+    val stopScore = when(stopwordRatioFromTokens(normToks) >= 0.05, lit(1.0))
+      .otherwise(lit(0.6))
     (lenScore * 0.25 + wordLenScore * 0.2 + punctScore * 0.2 +
       digitScore * 0.15 + stopScore * 0.2)
   }

@@ -22,17 +22,26 @@ object Multimodal {
     * has no true media column; utf-8 bytes stand in as the payload while
     * keeping every byte-level operation real). Media-kind sniffing uses
     * magic-byte dispatch exactly as a real decoder front-end would. */
-  def withBlob(df: DataFrame, textCol: String): DataFrame = {
-    val blob = encode(col(textCol), "utf-8")
-    df.withColumn("blob", blob)
-      .withColumn("n_bytes", octet_length(col("blob")))
+  def withBlob(df: DataFrame, textCol: String): DataFrame =
+    withBlobMeta(df.withColumn("blob", encode(col(textCol), "utf-8")))
+
+  /** Attach metadata to an existing binary `blob` column (real media
+    * payloads enter here). */
+  def withBlobMeta(df: DataFrame): DataFrame =
+    df.withColumn("n_bytes", octet_length(col("blob")))
       .withColumn("content_sha", sha2(col("blob"), 256))
-      .withColumn("kind",
-        when(substring(col("blob"), 1, 4) === lit("PNG".getBytes("ISO-8859-1")), "png")
-          .when(substring(col("blob"), 1, 3) === lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)), "jpeg")
-          .when(substring(col("blob"), 1, 4) === lit("RIFF".getBytes), "riff")
-          .otherwise("bin"))
-  }
+      .withColumn("kind", sniffKind(col("blob")))
+
+  /** Magic-byte media-kind dispatch, exactly as a decoder front-end would
+    * route payloads to codecs (PNG signature starts 0x89 P N G; JPEG is
+    * 0xFFD8FF; RIFF containers carry WAV/AVI/WebP). */
+  def sniffKind(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(substring(blob, 1, 4) ===
+      lit(Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47)), "png")
+      .when(substring(blob, 1, 3) ===
+        lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)), "jpeg")
+      .when(substring(blob, 1, 4) === lit("RIFF".getBytes), "riff")
+      .otherwise("bin")
 
   final case class BlobRow(doc_id: Long, blob: Array[Byte])
   final case class FeatureRow(doc_id: Long, n_bytes: Int, mean_byte: Double,

@@ -60,3 +60,50 @@ case class AvroDecodeEnvelope(
   override def prettyName: String =
     if (isKey) "graft_avro_decode_key" else "graft_avro_decode"
 }
+
+/** Introspection variant: decode to a typed struct
+  * `(origin_schema_id int, origin_message string, origin_schema string)`
+  * instead of re-serialized envelope bytes — the relational face of the
+  * pipeline for queries over decoded fields. Native (no ScalaUDF encoder
+  * round-trip); null input → null struct (tombstone). */
+case class AvroDecodeStruct(
+    child: Expression,
+    provider: SchemaProvider,
+    capacity: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("originSchemaId",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("originMessage",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("originSchema",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+  override def nullable: Boolean = true
+
+  @transient private lazy val state: AvroDecoderState =
+    AvroDecoderState.forProvider(provider, capacity)
+
+  override def nullSafeEval(input: Any): Any = {
+    val framed = graft.avro.WireFormat.parse(input.asInstanceOf[Array[Byte]])
+    val cached = state.cachedSchema(framed.schemaId)
+    val json = state.decodeToJson(cached, framed.schemaId, framed.body)
+    org.apache.spark.sql.catalyst.InternalRow(
+      framed.schemaId,
+      org.apache.spark.unsafe.types.UTF8String.fromString(json),
+      org.apache.spark.unsafe.types.UTF8String.fromString(cached.json))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("avroDecodeStruct", this,
+      classOf[AvroDecodeStruct].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) " +
+        s"$self.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : AvroDecodeStruct = copy(child = newChild)
+  override def prettyName: String = "graft_avro_decode_struct"
+}

@@ -96,13 +96,17 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))),
 
     "text_profile" -> ((s, dir) =>
+      // tokens materialized ONCE (multi-referenced alias = projection
+      // barrier), then every token-based signal reads the array column
       t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TF.normTokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          TF.langId(col("text")).as("lang_pred"),
-          TF.qualityScore(col("text")).as("quality"),
-          TF.fingerprint64(col("text")).as("fingerprint"),
+          TF.langIdFromTokens(col("toks")).as("lang_pred"),
+          TF.qualityScoreFromTokens(col("text"), col("toks")).as("quality"),
+          TF.fingerprint64FromTokens(col("toks")).as("fingerprint"),
           TF.subwordCount(col("text")).as("n_subwords"),
-          TF.stopwordRatio(col("text")).as("stopword_ratio"))
+          TF.stopwordRatioFromTokens(col("toks")).as("stopword_ratio"))
         .orderBy(col("doc_id"))),
 
     // ---- multimodal plumbing ----

@@ -114,6 +114,20 @@ class AvroComplexTypesSpec extends SparkFunSuite {
 class MultimodalChunkSpec extends SparkFunSuite {
   import graft.operators.Multimodal
 
+  test("sniffKind routes real magic bytes: png/jpeg/riff/bin") {
+    val s = spark
+    import s.implicits._
+    val blobs = Seq(
+      (1L, Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)),
+      (2L, Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)),
+      (3L, "RIFF1234WAVE".getBytes("ISO-8859-1")),
+      (4L, "plain text".getBytes))
+      .toDF("doc_id", "blob")
+    val kinds = graft.operators.Multimodal.withBlobMeta(blobs)
+      .orderBy("doc_id").collect().map(_.getAs[String]("kind")).toSeq
+    assert(kinds == Seq("png", "jpeg", "riff", "bin"))
+  }
+
   test("sampleChunks: deterministic evenly-spaced chunks, short/empty blobs") {
     val s = spark
     import s.implicits._
