@@ -227,6 +227,55 @@ object AnalyticsQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // SQL-text entry path (spark.sql over registered views) — Q7-style
+    // nation-pair volume. Same Catalyst plan machinery as the DataFrame
+    // API; included to pin the SQL surface.
+    "q7_nation_volume" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      t(s, dir, "customer").createOrReplaceTempView("g_customer")
+      t(s, dir, "supplier").createOrReplaceTempView("g_supplier")
+      t(s, dir, "nation").createOrReplaceTempView("g_nation")
+      s.sql(
+        """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |  year(l_shipdate) AS l_year,
+          |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+          |    AS DOUBLE) AS revenue
+          |FROM g_supplier JOIN g_lineitem ON s_suppkey = l_suppkey
+          |JOIN g_orders ON o_orderkey = l_orderkey
+          |JOIN g_customer ON c_custkey = o_custkey
+          |JOIN g_nation n1 ON s_nationkey = n1.n_nationkey
+          |JOIN g_nation n2 ON c_nationkey = n2.n_nationkey
+          |WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+          |    OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+          |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01'
+          |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+          |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+    }),
+
+    // Scalar subquery: orders above the global average price.
+    "q_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g_orders_ss")
+      s.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n_above FROM g_orders_ss
+          |WHERE o_totalprice > (
+          |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    / CAST(COUNT(*) AS DOUBLE) FROM g_orders_ss)
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // Conditional aggregation (pivot shape via CASE).
+    "q_conditional_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("l_discount") > 0.05, 1)).as("hi_disc"),
+          count(when(col("l_discount") <= 0.05, 1)).as("lo_disc"),
+          sum2(when(col("l_quantity") >= 25, col("l_extendedprice"))
+            .otherwise(lit(0.0))).as("bulk_price"))
+        .orderBy(col("l_returnflag"))),
+
     // Batch session-gap analysis (window lag + running sum) — the batch
     // twin of StreamingPipelines.sessionize, oracle-checkable end to end.
     // All time math in integral microseconds so Spark (µs timestamps) and
@@ -363,6 +412,35 @@ object AnalyticsQueries {
       """SELECT event_id,
         |CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS revenue
+        |FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+        |    OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_above FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT l_returnflag,
+        |COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS hi_disc,
+        |COUNT(CASE WHEN l_discount <= 0.05 THEN 1 END) AS lo_disc,
+        |CAST(SUM(CAST(CASE WHEN l_quantity >= 25 THEN l_extendedprice
+        |  ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS bulk_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
