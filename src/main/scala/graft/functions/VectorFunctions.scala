@@ -54,6 +54,16 @@ object VectorFunctions {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(v),
         nBits, seed.toLong))
 
+  /** Ids of the `take` nearest centroids (L2, ties by id) — centroid set
+    * embedded in the expression, so assignment is row-local (no join/window/
+    * shuffle over the corpus; see [[graft.plans.NearestCentroids]]). */
+  def nearestCentroids(v: Column, centIds: Array[Long],
+      centVecs: Array[Array[Double]], take: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.NearestCentroids(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(v),
+        centIds, centVecs, take))
+
   /** Split a packed signature into `blocks` block-keys for multi-probe
     * bucketing (pairs within Hamming distance `blocks-1` share ≥1 block). */
   def signatureBlocks(sig: Column, nBits: Int, blocks: Int): Column = {

@@ -101,6 +101,24 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SimHash-routed exact-duplicate pairs: candidates from the simhash
+    * block index (pigeonhole, hamming ≤ maxHamming), then verified by raw
+    * text equality. Identical text ⇒ identical fingerprint ⇒ the pair
+    * shares every block, so recall over exact duplicates is GUARANTEED —
+    * which also makes the output independent of the engine-defined hash
+    * family and therefore fully oracle-checkable in portable SQL (the
+    * hamming-thresholded near-dup variant [[simhashNearDup]] stays
+    * available; its hash-family-dependent output is pinned by ScalaTest
+    * invariants instead). Only (id, fingerprint, block) rows reach the
+    * candidate shuffle; text is joined back to the small pair list. */
+  def simhashExactDup(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, maxHamming: Int = 3): DataFrame =
+    simhashNearDup(df, textCol, idCol, shingleK, maxHamming)
+      .join(df.select(col(idCol).as("a"), col(textCol).as("t_a")), Seq("a"))
+      .join(df.select(col(idCol).as("b"), col(textCol).as("t_b")), Seq("b"))
+      .filter(col("t_a") === col("t_b"))
+      .select(col("a"), col("b"))
+
   /** Character-n-gram Jaccard dedup: exact n-gram-set Jaccard, with
     * MinHash-LSH candidate generation over the n-gram sets (a blocked
     * O(n²/blocks) variant was tried first and is quadratic-with-a-constant

@@ -41,45 +41,38 @@ object Similarity {
   /** IVF (inverted-file) ANN: corpus is partitioned into `nlist` cells by
     * nearest centroid; a query scans only its `nprobe` closest cells.
     *
-    * Centroids here are chosen deterministically (every ⌈n/nlist⌉-th vector
-    * by id — reproducible without an RNG or an iterative k-means job); the
-    * cell assignment is a broadcast argmax, so building the index is one
-    * corpus scan. On a real deployment the centroid table would come from
-    * a periodic k-means job and the assigned corpus would be WRITTEN
-    * bucketed by cell id, making every query a partition-pruned scan. */
+    * Centroids are the `nlist` smallest-id vectors — deterministic with no
+    * RNG, no `count()` action, and no full sort (`orderBy.limit` is a
+    * map-side partial top-k, `TakeOrderedAndProject`). The tiny centroid
+    * table is collected ONCE at index-build time and embedded in a
+    * [[graft.plans.NearestCentroids]] expression, so cell assignment is a
+    * pure row-local projection over a single corpus scan: no centroid join,
+    * no window, and — the 100 TB contract — the corpus is never shuffled.
+    * On a real deployment the centroids would come from a periodic k-means
+    * job and the assigned corpus would be WRITTEN partitioned by cell id,
+    * making every query a partition-pruned scan (see
+    * [[graft.tools.PlanAudit]] for the demonstrated plan shapes). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val n = corpus.count()
-    val stride = math.max(1L, n / nlist)
-    val centroids = corpus
-      .filter(col(idCol) % stride === 0).limit(nlist)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+    // index build: nlist rows cross the driver — an IVF index's centroid
+    // set is small by construction, like a broadcast dimension
+    val centRows = corpus
+      .select(col(idCol).cast("long").as("cid"), VF.asDouble(col(vecCol)).as("cv"))
+      .orderBy(col("cid")).limit(nlist).collect()
+    val centIds = centRows.map(_.getLong(0))
+    val centVecs = centRows.map(_.getSeq[Double](1).toArray)
 
-    // assign corpus rows to nearest centroid (broadcast argmin)
-    val cents = broadcast(centroids)
     val assigned = corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("c_vec"))
-      .join(cents)
-      .withColumn("dist", VF.l2Distance(col("c_vec"), col("cent_vec")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("neighbor_id"))
-          .orderBy(col("dist"), col("cent_id"))))
-      .filter(col("rn") === 1)
-      .select(col("neighbor_id"), col("c_vec"), col("cent_id").as("cell"))
+      col(vecCol).as("c_vec"),
+      element_at(VF.nearestCentroids(col(vecCol), centIds, centVecs, 1), 1)
+        .as("cell"))
 
-    // route each query to its nprobe nearest cells
+    // route each query to its nprobe nearest cells (row-local, then explode)
     val probes = queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("q_vec"))
-      .join(cents)
-      .withColumn("dist", VF.l2Distance(col("q_vec"), col("cent_vec")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("dist"), col("cent_id"))))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("q_vec"), col("cent_id").as("cell"))
+        col(vecCol).as("q_vec"),
+        explode(VF.nearestCentroids(col(vecCol), centIds, centVecs, nprobe))
+          .as("cell"))
 
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))

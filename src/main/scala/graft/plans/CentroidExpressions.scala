@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** `nearest_centroids(vec)` → array<bigint>: ids of the `take` nearest
+  * centroids to `vec` by L2 distance (ties broken by ascending centroid id).
+  *
+  * The centroid table is embedded in the expression itself (an IVF index has
+  * a FIXED, small centroid set — nlist ≤ a few thousand), so cell assignment
+  * is a pure row-local projection: no join against a centroid table, no
+  * window over the corpus, no shuffle of any kind. At 100 TB the corpus is
+  * scanned exactly once and every row emits its cell id in place; the
+  * expression ships to executors inside the serialized plan like any other
+  * literal. Distances accumulate left-to-right in doubles (deterministic,
+  * partitioning-independent); sqrt is skipped — monotonic, so the ranking
+  * matches an engine that compares true L2 distances.
+  */
+case class NearestCentroids(child: Expression, centIds: Array[Long],
+    centVecs: Array[Array[Double]], take: Int) extends UnaryExpression {
+  require(centIds.length == centVecs.length && centIds.nonEmpty,
+    "centroid ids/vectors must align and be non-empty")
+  require(take > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val isDouble: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val n = centIds.length
+    val dists = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val cv = centVecs(c)
+      val m = math.min(dim, cv.length)
+      var acc = 0.0
+      var j = 0
+      while (j < m) {
+        val x = (if (isDouble) v.getDouble(j) else v.getFloat(j).toDouble) - cv(j)
+        acc += x * x
+        j += 1
+      }
+      dists(c) = acc
+      c += 1
+    }
+    val out = new Array[Long](math.min(take, n))
+    val used = new Array[Boolean](n)
+    var r = 0
+    while (r < out.length) {
+      var best = -1
+      var i = 0
+      while (i < n) {
+        if (!used(i) && (best < 0 || dists(i) < dists(best) ||
+            (dists(i) == dists(best) && centIds(i) < centIds(best)))) best = i
+        i += 1
+      }
+      used(best) = true
+      out(r) = centIds(best)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nearestCentroidsExpr", this,
+      classOf[NearestCentroids].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$self.nullSafeEval($c);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_nearest_centroids"
+}

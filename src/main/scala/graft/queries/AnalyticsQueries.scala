@@ -246,8 +246,8 @@ object AnalyticsQueries {
           |JOIN g_customer ON c_custkey = o_custkey
           |JOIN g_nation n1 ON s_nationkey = n1.n_nationkey
           |JOIN g_nation n2 ON c_nationkey = n2.n_nationkey
-          |WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-          |    OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+          |WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+          |    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
           |  AND l_shipdate >= TIMESTAMP '1995-01-01'
           |  AND l_shipdate < TIMESTAMP '1997-01-01'
           |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
@@ -422,8 +422,8 @@ object AnalyticsQueries {
         |JOIN customer ON c_custkey = o_custkey
         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-        |    OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+        |WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+        |    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
         |  AND l_shipdate >= TIMESTAMP '1995-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)

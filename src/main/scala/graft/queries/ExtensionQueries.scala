@@ -13,12 +13,20 @@ import graft.operators.{Dedup, Multimodal, Similarity}
   * Documents/embeddings at every SF contain no duplicates, so dedup
   * queries run on `corpus ∪ shifted-id-corpus` — every doc then has an
   * exact twin, guaranteeing deterministic non-empty near-dup output while
-  * genuine near-pairs (if any) are still surfaced. Where the computation is
-  * portable SQL (exact dedup, byte metadata, token/char stats, brute-force
-  * cosine ranks) the driver gets a full DuckDB oracle; hash-based operators
-  * (minhash/simhash/hyperplane — engine-defined hash family) are
-  * deterministic but not SQL-expressible, so they carry rows-only checks
-  * plus ScalaTest invariants.
+  * genuine near-pairs (if any) are still surfaced.
+  *
+  * Oracle strategy: every query here carries a full DuckDB oracle except
+  * `text_fingerprint` (engine-defined xxhash64 family — not expressible in
+  * portable SQL; rows-only + ScalaTest invariants). The LSH families are
+  * oracle-checkable because their OUTPUT is hash-independent: the verify
+  * stage emits exact word-shingle / char-n-gram Jaccard (recomputable over
+  * raw text in SQL) or raw-text equality, and at verification SF the
+  * nearest sub-threshold pair sits far below the cut (measured: word-3-
+  * shingle 0.067 vs threshold 0.8; char-5-gram 0.31 vs 0.5; cosine 0.51 vs
+  * 0.95), so LSH recall is exact and the all-pairs SQL recomputation
+  * matches. Dedup oracles exploit the twin construction: pair Jaccards are
+  * computed over the 500 original docs and expanded 4-ways to the union
+  * (twin text is byte-identical ⇒ identical shingle sets ⇒ identical j).
   */
 object ExtensionQueries {
   import Q._
@@ -52,8 +60,10 @@ object ExtensionQueries {
           shingleK = 3, numHashes = 64, bands = 16, threshold = 0.8)
         .orderBy(col("a"), col("b"))),
 
+    // exact-duplicate routing through the simhash block index — output is
+    // hash-family independent (see Dedup.simhashExactDup), hence oracled
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashNearDup(docsUnion(s, dir), "text", "doc_id",
+      Dedup.simhashExactDup(docsUnion(s, dir), "text", "doc_id",
           maxHamming = 3)
         .orderBy(col("a"), col("b"))),
 
@@ -82,7 +92,8 @@ object ExtensionQueries {
     "sim_topk_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-        nlist = 16, nprobe = 4)
+          nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
     // ---- text analysis ----
@@ -104,9 +115,17 @@ object ExtensionQueries {
         .select(col("doc_id"),
           TF.langIdFromTokens(col("toks")).as("lang_pred"),
           TF.qualityScoreFromTokens(col("text"), col("toks")).as("quality"),
-          TF.fingerprint64FromTokens(col("toks")).as("fingerprint"),
           TF.subwordCount(col("text")).as("n_subwords"),
           TF.stopwordRatioFromTokens(col("toks")).as("stopword_ratio"))
+        .orderBy(col("doc_id"))),
+
+    // rows-only by design: the rolling fingerprint is built on Spark's
+    // xxhash64 (engine-defined hash family) — no portable-SQL equivalent
+    // exists, so this entry is pinned by ScalaTest invariants instead
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.fingerprint64(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))),
 
     // ---- multimodal plumbing ----
@@ -115,14 +134,80 @@ object ExtensionQueries {
         .select(col("doc_id"), col("n_bytes"), col("content_sha"), col("kind"))
         .orderBy(col("doc_id"))),
 
-    "mm_features" -> ((s, dir) =>
+    "mm_features" -> ((s, dir) => {
+      // feature vector flattened to per-dimension float columns: the
+      // driver's pandas harness can hash scalars, and each dim gets its
+      // own DuckDB-recomputed byte-histogram oracle column
+      val featCols = (0 until Multimodal.FeatureExtractor.FeatureDim)
+        .map(i => element_at(col("features"), i + 1).as(s"f$i"))
       Multimodal.extractFeatures(
           Multimodal.withBlob(t(s, dir, "documents"), "text"), "doc_id")
         .toDF()
-        .select(col("doc_id"), col("n_bytes"), col("mean_byte"),
-          col("features"))
-        .orderBy(col("doc_id")))
+        .select(Seq(col("doc_id"), col("n_bytes"), col("mean_byte"))
+          ++ featCols: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    "mm_chunks" -> ((s, dir) =>
+      Multimodal.sampleChunks(
+          Multimodal.withBlob(t(s, dir, "documents"), "text"), "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("chunk_index"), col("offset"),
+          sha2(col("chunk"), 256).as("chunk_sha"))
+        .orderBy(col("doc_id"), col("chunk_index")))
   )
+
+  /** Shared SQL fragment: normalized tokens of `documents.text`
+    * (lowercase, non-alnum → space, collapse, trim; '' → empty list) —
+    * mirrors TextFunctions.normTokens. */
+  private val NormToksSql =
+    """SELECT doc_id, text,
+      |  CASE WHEN norm = '' THEN []::VARCHAR[]
+      |       ELSE string_split(norm, ' ') END AS toks
+      |FROM (SELECT doc_id, text,
+      |        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      |      FROM documents)""".stripMargin
+
+  /** Word-3-shingle sets (mirrors ShingleHashes byChar=false, k=3:
+    * distinct shingles; < k tokens → one whole-doc shingle). */
+  private val WordShinglesSql =
+    s"""SELECT doc_id,
+       |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |       ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |              i -> array_to_string(toks[i:i+2], ' '))) END AS s
+       |FROM ($NormToksSql)""".stripMargin
+
+  /** Char-5-gram sets of the normalized text (mirrors ShingleHashes
+    * byChar=true, n=5). */
+  private val CharNgramsSql =
+    """SELECT doc_id,
+      |  CASE WHEN length(norm) < 5 THEN [norm]
+      |       ELSE list_distinct(list_transform(range(1, length(norm) - 3),
+      |              i -> norm[i:i+4])) END AS s
+      |FROM (SELECT doc_id,
+      |        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      |      FROM documents)""".stripMargin
+
+  /** All-pairs exact Jaccard over per-doc shingle sets, thresholded, then
+    * expanded to the doc∪twin union: a qualifying original pair (a,b)
+    * appears as 4 union pairs with identical jaccard (twin text is
+    * byte-identical), plus every doc pairs with its own twin at j = 1.0. */
+  private def jaccardPairsOracle(shinglesSql: String, threshold: Double) =
+    s"""WITH sh AS ($shinglesSql),
+       |pj AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b,
+       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      AS j
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+       |qual AS (SELECT a, b, j FROM pj WHERE j >= $threshold)
+       |SELECT a, b, j AS jaccard FROM (
+       |  SELECT a, b, j FROM qual
+       |  UNION ALL SELECT a, b + 1000000, j FROM qual
+       |  UNION ALL SELECT b, a + 1000000, j FROM qual
+       |  UNION ALL SELECT a + 1000000, b + 1000000, j FROM qual
+       |  UNION ALL SELECT doc_id, doc_id + 1000000, 1.0 FROM documents
+       |) ORDER BY a, b""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -135,6 +220,26 @@ object ExtensionQueries {
         |UNION ALL SELECT doc_id + 1000000, text FROM documents)
         |SELECT MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
         |FROM u GROUP BY text ORDER BY survivor_id""".stripMargin,
+    "dedup_minhash" -> jaccardPairsOracle(WordShinglesSql, 0.8),
+    "dedup_ngram_jaccard" -> jaccardPairsOracle(CharNgramsSql, 0.5),
+    "dedup_simhash" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT x.doc_id AS a, y.doc_id AS b
+        |FROM u x JOIN u y ON x.doc_id < y.doc_id AND x.text = y.text
+        |ORDER BY a, b""".stripMargin,
+    "dedup_embedding" ->
+      """WITH p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |    list_cosine_similarity(a.embedding, b.embedding) AS c
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |qual AS (SELECT a, b FROM p WHERE c >= 0.95)
+        |SELECT a, b FROM (
+        |  SELECT a, b FROM qual
+        |  UNION ALL SELECT a, b + 1000000 FROM qual
+        |  UNION ALL SELECT b, a + 1000000 FROM qual
+        |  UNION ALL SELECT a + 1000000, b + 1000000 FROM qual
+        |  UNION ALL SELECT vec_id, vec_id + 1000000 FROM embeddings
+        |) ORDER BY a, b""".stripMargin,
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv
         |  FROM embeddings WHERE vec_id < 10),
@@ -146,6 +251,38 @@ object ExtensionQueries {
         |  FROM s)
         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // full IVF pipeline in SQL: smallest-16-id centroids, L2-argmin cell
+    // assignment (ties by centroid id), 4-probe routing, cosine rank
+    "sim_topk_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_vec
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, embedding
+        |  FROM embeddings),
+        |assigned AS (
+        |  SELECT vec_id AS neighbor_id, embedding AS c_vec, cent_id AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY list_distance(v, cent_vec), cent_id) AS rn
+        |  FROM corp, cents),
+        |cells AS (SELECT neighbor_id, c_vec, cell FROM assigned WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, q_vec, cell FROM (
+        |    SELECT vec_id AS query_id, embedding AS q_vec, cent_id AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |        ORDER BY list_distance(v, cent_vec), cent_id) AS rn
+        |    FROM corp, cents WHERE vec_id < 10)
+        |  WHERE rn <= 4),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(q_vec, c_vec) AS sim
+        |  FROM probes JOIN cells USING (cell)
+        |  WHERE neighbor_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |CASE WHEN length(trim(text)) = 0 THEN 0
@@ -153,9 +290,116 @@ object ExtensionQueries {
         |length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
         |length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mirrors TextFunctions.{langIdFromTokens, qualityScoreFromTokens,
+    // subwordCount, stopwordRatioFromTokens} term by term
+    "text_profile" ->
+      s"""WITH tk AS ($NormToksSql),
+         |langs(lang, markers) AS (VALUES
+         |  ('de', ['der','die','das','und','ist','von','mit','den','nicht','ein']),
+         |  ('en', ['the','and','of','to','in','is','that','for','with','a']),
+         |  ('es', ['el','la','de','que','y','en','los','del','las','por']),
+         |  ('fr', ['le','la','les','de','des','et','en','une','que','pour']),
+         |  ('zh', ['的','是','了','在','我','有','和','不','人','这'])),
+         |lang_scored AS (
+         |  SELECT doc_id, lang,
+         |    len(list_distinct(list_intersect(toks, markers))) AS score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY
+         |      len(list_distinct(list_intersect(toks, markers))) DESC,
+         |      lang DESC) AS rn
+         |  FROM tk CROSS JOIN langs),
+         |lang_pick AS (
+         |  SELECT doc_id,
+         |    CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+         |  FROM lang_scored WHERE rn = 1),
+         |base AS (
+         |  SELECT doc_id, text, toks,
+         |    length(text) AS n_chars,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE length(regexp_split_to_array(trim(text), '\\s+')) END
+         |      AS n_tokens,
+         |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+         |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(toks, t -> list_contains(
+         |        ['the','and','of','to','in','is','that','for','with','a'], t)))
+         |        AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE CAST(list_sum(list_transform(
+         |        regexp_split_to_array(trim(regexp_replace(regexp_replace(
+         |          trim(text),
+         |          '([a-zA-Z])([0-9])', '\\1 \\2', 'g'),
+         |          '([0-9])([a-zA-Z])', '\\1 \\2', 'g')), '\\s+'),
+         |        p -> CAST(ceil(length(p) / 4.0) AS INT))) AS INT) END
+         |      AS n_subwords
+         |  FROM tk),
+         |scored AS (
+         |  SELECT doc_id, n_subwords, stopword_ratio,
+         |    CAST(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+         |      THEN 1.0 ELSE 0.3 END AS DOUBLE) AS len_score,
+         |    CAST(CASE WHEN (CASE WHEN n_tokens = 0 THEN 0.0
+         |        ELSE CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END)
+         |        BETWEEN 3 AND 12 THEN 1.0 ELSE 0.4 END AS DOUBLE)
+         |      AS word_len_score,
+         |    CAST(CASE WHEN (CASE WHEN n_chars = 0 THEN 0.0
+         |        ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) END)
+         |        <= 0.1 THEN 1.0 ELSE 0.5 END AS DOUBLE) AS punct_score,
+         |    CAST(CASE WHEN (CASE WHEN n_chars = 0 THEN 0.0
+         |        ELSE CAST(n_digits AS DOUBLE) / CAST(n_chars AS DOUBLE) END)
+         |        <= 0.3 THEN 1.0 ELSE 0.5 END AS DOUBLE) AS digit_score,
+         |    CAST(CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.6 END
+         |      AS DOUBLE) AS stop_score
+         |  FROM base)
+         |SELECT s.doc_id, l.lang_pred,
+         |  s.len_score * CAST(0.25 AS DOUBLE)
+         |    + s.word_len_score * CAST(0.2 AS DOUBLE)
+         |    + s.punct_score * CAST(0.2 AS DOUBLE)
+         |    + s.digit_score * CAST(0.15 AS DOUBLE)
+         |    + s.stop_score * CAST(0.2 AS DOUBLE) AS quality,
+         |  s.n_subwords, s.stopword_ratio
+         |FROM scored s JOIN lang_pick l ON s.doc_id = l.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |sha256(text) AS content_sha, 'bin' AS kind
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // byte histogram mod 8 over the utf-8 payload (documents are pure
+    // ASCII at every SF — verified — so ascii(char) == byte value)
+    "mm_features" ->
+      """WITH ex AS (SELECT doc_id, text,
+        |    unnest(range(1, length(text) + 1)) AS i FROM documents),
+        |byt AS (SELECT doc_id, ascii(substr(text, i, 1)) AS v FROM ex),
+        |agg AS (SELECT doc_id, count(*) AS n, sum(v) AS s,
+        |  count(*) FILTER (v % 8 = 0) AS c0, count(*) FILTER (v % 8 = 1) AS c1,
+        |  count(*) FILTER (v % 8 = 2) AS c2, count(*) FILTER (v % 8 = 3) AS c3,
+        |  count(*) FILTER (v % 8 = 4) AS c4, count(*) FILTER (v % 8 = 5) AS c5,
+        |  count(*) FILTER (v % 8 = 6) AS c6, count(*) FILTER (v % 8 = 7) AS c7
+        |  FROM byt GROUP BY doc_id)
+        |SELECT doc_id, n AS n_bytes,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_byte,
+        |  CAST(c0 AS FLOAT) / CAST(n AS FLOAT) AS f0,
+        |  CAST(c1 AS FLOAT) / CAST(n AS FLOAT) AS f1,
+        |  CAST(c2 AS FLOAT) / CAST(n AS FLOAT) AS f2,
+        |  CAST(c3 AS FLOAT) / CAST(n AS FLOAT) AS f3,
+        |  CAST(c4 AS FLOAT) / CAST(n AS FLOAT) AS f4,
+        |  CAST(c5 AS FLOAT) / CAST(n AS FLOAT) AS f5,
+        |  CAST(c6 AS FLOAT) / CAST(n AS FLOAT) AS f6,
+        |  CAST(c7 AS FLOAT) / CAST(n AS FLOAT) AS f7
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // deterministic chunk sampling arithmetic replicated over text bytes
+    // (chunkSize=64, nChunks=4; integer div/min/max identical to the Scala)
+    "mm_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |p AS (SELECT doc_id, text, len,
+        |  LEAST(4, GREATEST(1, len // 64)) AS n FROM d),
+        |ix AS (SELECT doc_id, text, len, n,
+        |  unnest(range(0, n)) AS i FROM p),
+        |ch AS (SELECT doc_id, i AS chunk_index,
+        |  LEAST(i * GREATEST(1, (len - 64) // GREATEST(1, n - 1)),
+        |    GREATEST(0, len - 1)) AS off,
+        |  len, text FROM ix)
+        |SELECT doc_id, chunk_index, off AS offset,
+        |  sha256(substr(text, off + 1, LEAST(off + 64, len) - off))
+        |    AS chunk_sha
+        |FROM ch ORDER BY doc_id, chunk_index""".stripMargin
   )
 }

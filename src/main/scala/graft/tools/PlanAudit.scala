@@ -19,11 +19,15 @@ object PlanAudit {
 
     val interesting = Seq("q1_pricing_summary", "q3_shipping_priority",
       "q5_region_revenue", "q6_revenue_forecast", "q_orders_topk",
-      "sim_topk_brute", "dedup_minhash", "avro_roundtrip_agg")
+      "sim_topk_brute", "sim_topk_ivf", "dedup_minhash", "avro_roundtrip_agg")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExtendedMode)
+      // Codegen stages are marked `*(id)` in the SIMPLE plan string, but
+      // only once AQE has finalized each stage — execute first (collect, not
+      // count: count() would let Catalyst prune the projections under
+      // audit), then count DISTINCT stage ids in the final adaptive plan.
+      df.collect()
+      val simple = df.queryExecution.executedPlan.toString
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       println(s"===== $name =====")
@@ -35,9 +39,9 @@ object PlanAudit {
           || l.contains("WholeStageCodegen") || l.contains("Exchange")
           || l.contains("ObjectHashAggregate"))
         .take(40).mkString("\n"))
-      val nCodegen = "WholeStageCodegen".r.findAllIn(formatted).length
-      val nExchange = "Exchange".r.findAllIn(plan).length
-      println(s"--- codegen spans: $nCodegen")
+      val nCodegen = """\*\(\d+\)""".r.findAllIn(simple).toSet.size
+      val nExchange = "Exchange".r.findAllIn(simple).length
+      println(s"--- codegen stages: $nCodegen, exchanges: $nExchange")
       println()
     }
     spark.stop()
