@@ -146,21 +146,41 @@ final class AvroDecoderState(provider: SchemaProvider, capacity: Int) {
 
 /** JVM-wide registry of decoder states, keyed by the provider's cache token:
   * every task on an executor shares one schema LRU per pipeline, exactly one
-  * network fetch per new schema id per executor. */
+  * network fetch per new schema id per executor.
+  *
+  * BOUNDED (access-ordered LRU, [[AvroDecoderState.MaxStates]] entries): a
+  * long-lived driver/executor JVM that keeps constructing pipelines must
+  * not accumulate decoder states forever — an evicted state is simply
+  * rebuilt (and its schema cache re-warmed) if that pipeline runs again.
+  * The lookup is once per expression instance per executor (cached in a
+  * `@transient lazy val`), so the synchronized map is OFF the per-row path.
+  */
 object AvroDecoderState {
-  private val states = new ConcurrentHashMap[String, AvroDecoderState]()
+  val MaxStates = 64
+  private val states =
+    new java.util.LinkedHashMap[String, AvroDecoderState](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, AvroDecoderState]): Boolean =
+        size() > MaxStates
+    }
 
   def forProvider(provider: SchemaProvider, capacity: Int): AvroDecoderState =
-    states.computeIfAbsent(provider.cacheToken,
-      _ => new AvroDecoderState(provider, capacity))
+    states.synchronized {
+      var s = states.get(provider.cacheToken)
+      if (s == null) {
+        s = new AvroDecoderState(provider, capacity)
+        states.put(provider.cacheToken, s)
+      }
+      s
+    }
 
   /** Test/metrics hooks. */
-  def swallowedErrorCount(cacheToken: String): Long = {
+  def swallowedErrorCount(cacheToken: String): Long = states.synchronized {
     val s = states.get(cacheToken)
     if (s == null) 0L else s.swallowedErrors.sum()
   }
 
-  def cacheStats(cacheToken: String): (Long, Long) = {
+  def cacheStats(cacheToken: String): (Long, Long) = states.synchronized {
     val s = states.get(cacheToken)
     if (s == null) (0L, 0L) else (s.cacheHits.sum(), s.cacheMisses.sum())
   }

@@ -6,6 +6,15 @@ import org.apache.spark.sql.functions._
 
 import graft.config.{EngineConfig, ErrorMode}
 
+/** Raised by the analysis-time type gate (SURVEY.md §2.1 #4): the Spark
+  * analogue of the reference's `ConnectException("... Record value does not
+  * have a byte[] schema.")` (`AvroTransform.java:135-137`, `:194-197`,
+  * gate predicate `ConnectSchemaUtil.java:7-13`). Raised EAGERLY at plan
+  * construction — a mistyped column fails with the offending column and
+  * type named, not with a ClassCastException deep inside an executor. */
+final class TypeGateException(msg: String)
+    extends IllegalArgumentException(msg)
+
 /** Decoded payload view for introspection pipelines: the three envelope
   * fields before re-serialization. */
 final case class DecodedPayload(
@@ -79,6 +88,36 @@ object AvroTransform {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(c),
         provider, cfg.schemaCapacity))
 
+  /** Analysis-time BinaryType gate (`ConnectSchemaUtil.isBytesSchema` —
+    * the reference checks the Connect schema per record and throws
+    * `ConnectException`; Spark's column types are static, so the rebuild
+    * checks ONCE at plan construction). Nullability is irrelevant, like the
+    * reference's BYTES vs OPTIONAL_BYTES. */
+  def requireBinary(df: DataFrame, colName: String, side: String): Unit = {
+    val field = df.schema.fields.find(_.name == colName).getOrElse(
+      throw new TypeGateException(
+        s"AvroTransform - Transform failed. Record $side column " +
+          s"'$colName' is missing from the input schema " +
+          s"(${df.schema.fieldNames.mkString(", ")})."))
+    if (field.dataType != org.apache.spark.sql.types.BinaryType)
+      throw new TypeGateException(
+        s"AvroTransform - Transform failed. Record $side column " +
+          s"'$colName' does not have a byte[] (binary) schema; found " +
+          s"${field.dataType.simpleString}.")
+  }
+
+  /** Fixed-schema typed decode fast path (SURVEY.md §7.3) for topics
+    * DECLARED to carry a single writer schema: Confluent-framed bytes →
+    * typed struct column, no per-row registry lookup, no JSON round-trip
+    * (`graft.plans.AvroDecodeFixed`). `expectedSchemaId ≥ 0` turns the
+    * single-schema declaration into a checked contract. */
+  def fromAvroFixed(schemaJson: String, expectedSchemaId: Int = -1,
+      permissive: Boolean = false)(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.AvroDecodeFixed(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c),
+        schemaJson, expectedSchemaId, permissive))
+
   /** The full record-stream transform over a Kafka-source-shaped DataFrame
     * (columns: topic, partition, key, value, timestamp, headers — any subset
     * containing `topic`+`value` works). Batch and streaming DataFrames both
@@ -97,6 +136,10 @@ object AvroTransform {
     val decodeKey = keyDecoder(cfg, provider) _
     val topics = cfg.enabledTopics
     val keyTopics = cfg.keyTopics
+
+    requireBinary(df, ValueCol, "value")
+    if (keyTopics.nonEmpty && df.columns.contains(KeyCol))
+      requireBinary(df, KeyCol, "key")
 
     val valueDecoded = df.withColumn(ValueCol,
       when(col(TopicCol).isin(topics: _*), decodeValue(col(ValueCol)))
@@ -119,6 +162,7 @@ object AvroTransform {
     * tombstones / non-enabled topics). */
   def decoded(df: DataFrame, cfg: EngineConfig,
       provider: SchemaProvider): DataFrame = {
+    requireBinary(df, ValueCol, "value")
     val dec = decodedStruct(cfg, provider) _
     val gate: Column =
       when(col(TopicCol).isin(cfg.enabledTopics: _*), dec(col(ValueCol)))

@@ -33,12 +33,32 @@ trait SchemaProvider extends Serializable {
 }
 
 /** Immutable in-memory id → schema-JSON map. Serializable, tiny (schemas are
-  * a handful of strings), so it rides along in the task closure. */
+  * a handful of strings), so it rides along in the task closure.
+  *
+  * The default cache token is a CONTENT hash of the schema map — two
+  * provider instances carrying identical schemas share one executor-side
+  * decoder state, so re-constructing a pipeline (each `registry()` call
+  * used to mint a random UUID) no longer grows the JVM-wide state registry.
+  * Pass `tokenOverride` to force cache isolation (tests). */
 final case class InMemorySchemaProvider(
     byId: Map[Int, String],
-    override val cacheToken: String = java.util.UUID.randomUUID().toString
+    tokenOverride: Option[String] = None
 ) extends SchemaProvider {
+  override val cacheToken: String =
+    tokenOverride.getOrElse(InMemorySchemaProvider.contentToken(byId))
   override def schemaJsonById(id: Int): Option[String] = byId.get(id)
+}
+
+object InMemorySchemaProvider {
+  def contentToken(byId: Map[Int, String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    byId.toSeq.sortBy(_._1).foreach { case (id, json) =>
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(id).array())
+      md.update(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte)
+    }
+    "inmem-" + md.digest().map(b => f"$b%02x").mkString
+  }
 }
 
 /** Confluent Schema Registry client over plain HTTP — production parity with
@@ -53,8 +73,19 @@ final case class InMemorySchemaProvider(
   */
 final case class HttpSchemaRegistryProvider(
     baseUrls: Seq[String],
-    override val cacheToken: String
+    override val cacheToken: String,
+    userInfo: Option[String] = None,
+    extraHeaders: Map[String, String] = Map.empty
 ) extends SchemaProvider {
+
+  /** Pre-encoded basic-auth header value; `userInfo` is `user:password`
+    * (the reference's `basic.auth.credentials.source=USER_INFO` +
+    * `basic.auth.user.info` pair, passed as `sourceProps` into
+    * `CachedSchemaRegistryClient` — `AvroTransform.java:98,109`; mock
+    * credentials `Constants.java:5-15`). */
+  @transient private lazy val authHeader: Option[String] =
+    userInfo.map(ui => "Basic " + java.util.Base64.getEncoder.encodeToString(
+      ui.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
 
   override def schemaJsonById(id: Int): Option[String] = {
     var last: Throwable = null
@@ -74,6 +105,8 @@ final case class HttpSchemaRegistryProvider(
         conn.setReadTimeout(30000)
         conn.setRequestProperty("Accept",
           "application/vnd.schemaregistry.v1+json")
+        authHeader.foreach(conn.setRequestProperty("Authorization", _))
+        extraHeaders.foreach { case (k, v) => conn.setRequestProperty(k, v) }
         conn.getResponseCode match {
           case 200 =>
             val body = new String(conn.getInputStream.readAllBytes(),

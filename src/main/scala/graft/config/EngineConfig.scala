@@ -54,7 +54,8 @@ final case class EngineConfig(
     schemaCapacity: Int = EngineConfig.DefaultSchemaCapacity,
     includeHeaders: Boolean = true,
     errorMode: ErrorMode = ErrorMode.Permissive,
-    stripKeyWireHeader: Boolean = true
+    stripKeyWireHeader: Boolean = true,
+    registryUserInfo: Option[String] = None
 ) {
   require(schemaCapacity > 0, "schema.capacity must be positive")
 
@@ -74,6 +75,12 @@ object EngineConfig {
   val IncludeHeadersKey = "include.headers"
   val AvroTopicsKey = "avro.topics"
   val ErrorModeKey = "error.mode" // extension (SURVEY.md §4.3 #3)
+  // Registry basic auth, Confluent client convention (the reference wires
+  // `sourceProps` into `CachedSchemaRegistryClient` — `AvroTransform
+  // .java:98,109` — and its mock tests USER_INFO credentials,
+  // `Constants.java:5-15`, `SchemaRegistryMock.java:82-85`).
+  val SrcBasicAuthSourceKey = "src.basic.auth.credentials.source"
+  val SrcUserInfoKey = "src.basic.auth.user.info"
   val DefaultSchemaCapacity = 100 // `AvroTransform.java:49`
 
   /** Parse a raw properties map (the Connect-style config surface).
@@ -109,7 +116,21 @@ object EngineConfig {
         throw new EngineConfigException(
           s"'$ErrorModeKey' must be PERMISSIVE or FAILFAST, got '$other'")
     }
-    EngineConfig(urls, topics, capacity, includeHeaders, errorMode)
+    val userInfo = props.get(SrcBasicAuthSourceKey).map(_.trim) match {
+      case Some(s) if s.equalsIgnoreCase("USER_INFO") =>
+        props.get(SrcUserInfoKey).map(_.trim).filter(_.nonEmpty) match {
+          case Some(ui) if ui.contains(":") => Some(ui)
+          case _ => throw new EngineConfigException(
+            s"'$SrcBasicAuthSourceKey=USER_INFO' requires " +
+              s"'$SrcUserInfoKey' in 'user:password' form")
+        }
+      case Some(s) if s.isEmpty || s.equalsIgnoreCase("URL") => None
+      case None => None
+      case Some(other) => throw new EngineConfigException(
+        s"'$SrcBasicAuthSourceKey' must be USER_INFO or URL, got '$other'")
+    }
+    EngineConfig(urls, topics, capacity, includeHeaders, errorMode,
+      registryUserInfo = userInfo)
   }
 
   /** Parse `topic:bool` entries with the reference's validation semantics

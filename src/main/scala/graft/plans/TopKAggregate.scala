@@ -82,9 +82,15 @@ case class TopKByScore(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] {
+  extends TypedImperativeAggregate[TopKBuffer]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   require(k > 0 && k <= (1 << 20), s"k must be in (0, 2^20], got $k")
+
+  // Declared input types: int/decimal scores and int ids coerce at
+  // ANALYSIS time instead of ClassCastException-ing inside update() on an
+  // executor (SQL callers of graft_top_k hit this).
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
 
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
   override def nullable: Boolean = false

@@ -103,6 +103,25 @@ object AvroQueries {
         .orderBy(col("event_id"))
     }),
 
+    // SURVEY §7.3 typed fast path: a topic DECLARED single-schema decodes
+    // straight to a typed struct (no per-row registry lookup, no JSON
+    // round-trip) and the id guard pins the contract; re-projecting every
+    // field must be the identity on the events table.
+    "avro_typed_fast" -> ((s, dir) => {
+      val (_, id) = AvroEventCorpus.registry()
+      val framed = AvroEventCorpus.framedEvents(s, dir, id)
+      framed
+        .select(AvroTransform.fromAvroFixed(AvroEventCorpus.EventSchemaJson,
+          expectedSchemaId = id)(col("value")).as("e"))
+        .select(col("e.event_id").as("event_id"),
+          col("e.user_id").as("user_id"),
+          col("e.event_type").as("event_type"),
+          col("e.value").as("value"),
+          col("e.props").as("props"),
+          col("e.ts_us").as("ts_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // #3/#11 key-side decode: fields inlined + originSchema injected.
     "avro_key_decode" -> ((s, dir) => {
       val (provider, id) = AvroEventCorpus.registry()
@@ -142,6 +161,9 @@ object AvroQueries {
         |FROM events ORDER BY event_id""".stripMargin,
     "avro_key_decode" ->
       """SELECT event_id, event_type AS key_event_type
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "avro_typed_fast" ->
+      """SELECT event_id, user_id, event_type, value, props,
+        |epoch_us(ts) AS ts_us FROM events ORDER BY event_id""".stripMargin
   )
 }
