@@ -96,6 +96,19 @@ object ExtensionQueries {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // the 100 TB deployment shape: corpus WRITTEN partitioned by cell,
+    // probes read only their cells (PartitionFilters in the plan). Same
+    // centroid rule + parameters as sim_topk_ivf ⇒ same oracle.
+    "sim_topk_ivf_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
+        Integer.toHexString(dir.hashCode)
+      val index = Similarity.buildIvfIndex(emb, path, nlist = 16)
+      Similarity.ivfTopKIndexed(index, emb.filter(col("vec_id") < 10),
+          k = 5, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
     // ---- text analysis ----
     "text_stats" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -209,6 +222,39 @@ object ExtensionQueries {
        |  UNION ALL SELECT doc_id, doc_id + 1000000, 1.0 FROM documents
        |) ORDER BY a, b""".stripMargin
 
+  /** Full IVF pipeline in DuckDB SQL — shared by the inline and the
+    * written-index variants (identical semantics by construction). */
+  private val IvfOracleSql =
+    """WITH cents AS (
+      |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_vec
+      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, embedding
+      |  FROM embeddings),
+      |assigned AS (
+      |  SELECT vec_id AS neighbor_id, embedding AS c_vec, cent_id AS cell,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY list_distance(v, cent_vec), cent_id) AS rn
+      |  FROM corp, cents),
+      |cells AS (SELECT neighbor_id, c_vec, cell FROM assigned WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, q_vec, cell FROM (
+      |    SELECT vec_id AS query_id, embedding AS q_vec, cent_id AS cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id
+      |        ORDER BY list_distance(v, cent_vec), cent_id) AS rn
+      |    FROM corp, cents WHERE vec_id < 10)
+      |  WHERE rn <= 4),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_cosine_similarity(q_vec, c_vec) AS sim
+      |  FROM probes JOIN cells USING (cell)
+      |  WHERE neighbor_id <> query_id),
+      |r AS (SELECT query_id, neighbor_id,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """WITH u AS (SELECT doc_id, text FROM documents
@@ -252,37 +298,11 @@ object ExtensionQueries {
         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     // full IVF pipeline in SQL: smallest-16-id centroids, L2-argmin cell
-    // assignment (ties by centroid id), 4-probe routing, cosine rank
-    "sim_topk_ivf" ->
-      """WITH cents AS (
-        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_vec
-        |  FROM embeddings ORDER BY vec_id LIMIT 16),
-        |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, embedding
-        |  FROM embeddings),
-        |assigned AS (
-        |  SELECT vec_id AS neighbor_id, embedding AS c_vec, cent_id AS cell,
-        |    ROW_NUMBER() OVER (PARTITION BY vec_id
-        |      ORDER BY list_distance(v, cent_vec), cent_id) AS rn
-        |  FROM corp, cents),
-        |cells AS (SELECT neighbor_id, c_vec, cell FROM assigned WHERE rn = 1),
-        |probes AS (
-        |  SELECT query_id, q_vec, cell FROM (
-        |    SELECT vec_id AS query_id, embedding AS q_vec, cent_id AS cell,
-        |      ROW_NUMBER() OVER (PARTITION BY vec_id
-        |        ORDER BY list_distance(v, cent_vec), cent_id) AS rn
-        |    FROM corp, cents WHERE vec_id < 10)
-        |  WHERE rn <= 4),
-        |scored AS (
-        |  SELECT query_id, neighbor_id,
-        |    list_cosine_similarity(q_vec, c_vec) AS sim
-        |  FROM probes JOIN cells USING (cell)
-        |  WHERE neighbor_id <> query_id),
-        |r AS (SELECT query_id, neighbor_id,
-        |  ROW_NUMBER() OVER (PARTITION BY query_id
-        |    ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    // assignment (ties by centroid id), 4-probe routing, cosine rank.
+    // The indexed variant is the SAME computation over a written
+    // cell-partitioned corpus, so it shares the oracle.
+    "sim_topk_ivf" -> IvfOracleSql,
+    "sim_topk_ivf_indexed" -> IvfOracleSql,
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |CASE WHEN length(trim(text)) = 0 THEN 0

