@@ -42,5 +42,18 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_hyperplane_sig",
       es => HyperplaneSignature(es(0), intArg(es(1), "nBits"),
         intArg(es(2), "seed").toLong), "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine_sim",
+      es => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_from_avro",
+      es => AvroDecodeFixed(es(0), stringArg(es(1), "schemaJson"),
+        if (es.length > 2) intArg(es(2), "expectedSchemaId") else -1),
+      "built-in")
+  }
+
+  private def stringArg(e: Expression, name: String): String = e.eval() match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case s: String => s
+    case other => throw new IllegalArgumentException(
+      s"$name must be a string literal, got $other")
   }
 }

@@ -62,22 +62,85 @@ object Similarity {
       .orderBy(col("cid")).limit(nlist).collect()
     val centIds = centRows.map(_.getLong(0))
     val centVecs = centRows.map(_.getSeq[Double](1).toArray)
+    ivfTopKWithCentroids(corpus, queries, k, centIds, centVecs, nprobe,
+      vecCol, idCol)
+  }
 
+  /** IVF top-k with an EXPLICIT centroid table (e.g. one trained by
+    * [[kmeansCentroids]]); [[ivfTopK]] delegates here after picking its
+    * deterministic default centroids. */
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame, k: Int,
+      centIds: Array[Long], centVecs: Array[Array[Double]], nprobe: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val assigned = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("c_vec"),
       element_at(VF.nearestCentroids(col(vecCol), centIds, centVecs, 1), 1)
         .as("cell"))
-
-    // route each query to its nprobe nearest cells (row-local, then explode)
     val probes = queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("q_vec"),
-        explode(VF.nearestCentroids(col(vecCol), centIds, centVecs, nprobe))
-          .as("cell"))
-
+      col(vecCol).as("q_vec"),
+      explode(VF.nearestCentroids(col(vecCol), centIds, centVecs, nprobe))
+        .as("cell"))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", VF.cosine(col("q_vec"), col("c_vec")))
     finishTopK(scored, k)
+  }
+
+  /** One Lloyd's-iteration centroid refinement: assign every corpus row to
+    * its nearest centroid (row-local [[graft.plans.NearestCentroids]]
+    * projection — no shuffle), then per-cell per-dimension means.
+    *
+    * Scale shape: the only shuffle is the `(cell, pos)` partial aggregate —
+    * map-side combine reduces every partition to ≤ nlist×dim rows before
+    * the exchange, so a 100 TB corpus shuffles kilobytes per iteration.
+    * Components are quantized to exact integers (`round(x·1e10)` — half
+    * away from zero on the identical IEEE double product in any engine),
+    * so the per-cell sums are exact integer arithmetic: the trained
+    * centroids are bit-identical across partitionings, cluster sizes AND
+    * engines (DuckDB-oracle-checkable; a float→DECIMAL cast is NOT
+    * portable — Spark casts via the shortest string representation, DuckDB
+    * via the binary expansion). Cells keep their original centroid id as a
+    * stable label; an emptied cell keeps its old vector. */
+  def refineCentroids(corpus: DataFrame, centIds: Array[Long],
+      centVecs: Array[Array[Double]], vecCol: String = "embedding")
+      : Array[Array[Double]] = {
+    val dim = centVecs.head.length
+    val means = corpus.select(
+        element_at(VF.nearestCentroids(col(vecCol), centIds, centVecs, 1), 1)
+          .as("cell"),
+        col(vecCol).as("v"))
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(round(col("x").cast("double") * 1e10).cast("long"))
+          .cast("double") /
+        count(lit(1)).cast("double") / 1e10).as("m"))
+      .collect()
+    val byCell = means.groupBy(_.getLong(0))
+    centIds.zip(centVecs).map { case (cid, old) =>
+      byCell.get(cid).fold(old) { rows =>
+        val v = new Array[Double](dim)
+        rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+        v
+      }
+    }
+  }
+
+  /** Deterministic k-means centroid training for the IVF index (the
+    * "periodic k-means job" the index docs reference): smallest-id init,
+    * `iters` Lloyd's iterations, each one corpus scan + a tiny aggregate.
+    * Returns (stable cell labels, trained centroid vectors). */
+  def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id")
+      : (Array[Long], Array[Array[Double]]) = {
+    val centRows = corpus
+      .select(col(idCol).cast("long").as("cid"), VF.asDouble(col(vecCol)).as("cv"))
+      .orderBy(col("cid")).limit(nlist).collect()
+    val centIds = centRows.map(_.getLong(0))
+    var vecs = centRows.map(_.getSeq[Double](1).toArray)
+    (0 until iters).foreach { _ =>
+      vecs = refineCentroids(corpus, centIds, vecs, vecCol)
+    }
+    (centIds, vecs)
   }
 
   /** A written IVF index: corpus parquet partitioned by cell id + the

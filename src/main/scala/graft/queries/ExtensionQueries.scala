@@ -109,6 +109,20 @@ object ExtensionQueries {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // one Lloyd's iteration of the IVF centroid trainer: assignment is a
+    // row-local projection; the per-(cell,dim) decimal means are order-
+    // independent, so the trained centroids are exactly reproducible in SQL
+    "ivf_kmeans_refine" -> ((s, dir) => {
+      val (ids, vecs) = Similarity.kmeansCentroids(
+        t(s, dir, "embeddings"), nlist = 16, iters = 1)
+      import s.implicits._
+      ids.zip(vecs).toSeq
+        .flatMap { case (cid, v) =>
+          v.zipWithIndex.map { case (m, p) => (cid, p, m) } }
+        .toDF("cell", "pos", "mean")
+        .orderBy(col("cell"), col("pos"))
+    }),
+
     // ---- text analysis ----
     "text_stats" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -303,6 +317,25 @@ object ExtensionQueries {
     // cell-partitioned corpus, so it shares the oracle.
     "sim_topk_ivf" -> IvfOracleSql,
     "sim_topk_ivf_indexed" -> IvfOracleSql,
+    "ivf_kmeans_refine" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_vec
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, embedding
+        |  FROM embeddings),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cent_id AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY list_distance(v, cent_vec), cent_id) AS rn
+        |  FROM corp, cents),
+        |cells AS (SELECT embedding, cell FROM assigned WHERE rn = 1),
+        |ex AS (SELECT cell,
+        |  unnest(range(0, len(embedding))) AS pos,
+        |  unnest(embedding) AS x FROM cells)
+        |SELECT cell, pos,
+        |  CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1e10) AS BIGINT)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1e10 AS mean
+        |FROM ex GROUP BY cell, pos ORDER BY cell, pos""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |CASE WHEN length(trim(text)) = 0 THEN 0

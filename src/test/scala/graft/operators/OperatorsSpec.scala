@@ -154,6 +154,31 @@ class SimilaritySpec extends SparkFunSuite {
       .count(_.getName.startsWith("cell="))
     assert(cellDirs == 8, s"index should have one dir per cell, got $cellDirs")
   }
+
+  test("k-means refinement: deterministic, reduces within-cluster inertia, " +
+      "and trained centroids drive ivfTopKWithCentroids") {
+    // driver-side inertia over the tiny sf0.001 corpus (test-only math)
+    val vectors = emb.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def inertia(vecs: Array[Array[Double]]): Double =
+      vectors.map(v => vecs.map(c => d2(v, c)).min).sum
+
+    val (ids0, init) = Similarity.kmeansCentroids(emb, nlist = 8, iters = 0)
+    val (ids1, trained) = Similarity.kmeansCentroids(emb, nlist = 8, iters = 2)
+    val (_, trainedAgain) = Similarity.kmeansCentroids(emb, nlist = 8, iters = 2)
+    assert(ids0.toSeq == ids1.toSeq)
+    assert(trained.map(_.toSeq).toSeq == trainedAgain.map(_.toSeq).toSeq,
+      "training must be bit-deterministic")
+    assert(inertia(trained) <= inertia(init) + 1e-9,
+      "Lloyd's iterations must not increase inertia")
+
+    val queries = emb.filter(col("vec_id") < 3)
+    val hits = Similarity.ivfTopKWithCentroids(emb, queries, 5, ids1,
+      trained, nprobe = 3).collect()
+    assert(hits.length == 15) // 3 queries × k=5
+  }
 }
 
 class TextFunctionsSpec extends SparkFunSuite {
