@@ -63,6 +63,14 @@ final class AvroDecoderState(provider: SchemaProvider, capacity: Int) {
   val cacheHits = new LongAdder
   val cacheMisses = new LongAdder
 
+  // Cold-start single-flight (SURVEY.md §7.4): the first thread to miss an
+  // id does the (slow, remote) fetch; concurrent missers of the SAME id
+  // wait on its future instead of stampeding the registry. A failed fetch
+  // completes exceptionally and is removed, so the next record retries —
+  // a transient registry error never poisons the cache.
+  private val inflight =
+    new ConcurrentHashMap[Integer, java.util.concurrent.CompletableFuture[CachedSchema]]()
+
   def cachedSchema(id: Int): CachedSchema = {
     val key = Integer.valueOf(id)
     val fast = mirror.get(key)
@@ -74,22 +82,40 @@ final class AvroDecoderState(provider: SchemaProvider, capacity: Int) {
       return fast
     }
     cacheMisses.increment()
-    // Fetch outside the lock: a slow registry call must not serialize all
-    // decode threads (cold-start stampede is bounded by thread count).
-    val json = provider.schemaJsonById(id).getOrElse {
-      throw new SchemaLookupException(s"Schema id $id not found in registry")
-    }
-    val parsed = new Schema.Parser().parse(json)
-    val entry = CachedSchema(parsed, parsed.toString)
-    schemas.synchronized {
-      val again = schemas.get(key)
-      if (again != null) again
-      else {
-        schemas.put(key, entry)
-        mirror.put(key, entry)
-        entry
+    val fut = new java.util.concurrent.CompletableFuture[CachedSchema]()
+    val prior = inflight.putIfAbsent(key, fut)
+    if (prior != null) {
+      try return prior.join()
+      catch {
+        case e: java.util.concurrent.CompletionException => throw e.getCause
       }
     }
+    try {
+      // we won the fetch race; re-check the mirror (a fetch may have
+      // completed and been removed from `inflight` before our putIfAbsent)
+      val again = mirror.get(key)
+      if (again != null) { fut.complete(again); return again }
+      // fetch outside the LRU lock: a slow registry call must not
+      // serialize the decode of already-cached ids
+      val json = provider.schemaJsonById(id).getOrElse {
+        throw new SchemaLookupException(s"Schema id $id not found in registry")
+      }
+      val parsed = new Schema.Parser().parse(json)
+      val entry = CachedSchema(parsed, parsed.toString)
+      val winner = schemas.synchronized {
+        val raced = schemas.get(key)
+        if (raced != null) raced
+        else {
+          schemas.put(key, entry)
+          mirror.put(key, entry)
+          entry
+        }
+      }
+      fut.complete(winner)
+      winner
+    } catch {
+      case t: Throwable => fut.completeExceptionally(t); throw t
+    } finally inflight.remove(key)
   }
 
   def schemaById(id: Int): Schema = cachedSchema(id).schema

@@ -119,6 +119,48 @@ object Dedup {
       .filter(col("t_a") === col("t_b"))
       .select(col("a"), col("b"))
 
+  /** End-to-end survivor selection over near-dup PAIRS: connected
+    * components by iterative min-label propagation, so every document maps
+    * to the smallest id in its duplicate cluster (the row to keep).
+    *
+    * Scale shape: the standard large-scale connected-components loop —
+    * per iteration one edge⋈label join + a min aggregate, both plain
+    * shuffles on ids (never text), with lineage truncated via
+    * `localCheckpoint` so the plan does not grow per iteration (on a real
+    * cluster: `checkpoint` to the cluster store). Converges in ≤ max
+    * component DIAMETER iterations; near-dup clusters are small and dense
+    * by construction (LSH + verify), so 2-3 iterations in practice.
+    *
+    * @param ids   one column `id`: the full universe (singletons included)
+    * @param pairs columns `a`, `b`: verified duplicate pairs
+    * @return (id, survivor_id) for EVERY id in the universe
+    */
+  def survivorsFromPairs(ids: DataFrame, pairs: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(pairs.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint() // materialize once; reused every iteration
+    var labels = ids.select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neigh = edges
+        .join(labels.select(col("id").as("y"), col("label").as("nlab")),
+          Seq("y"))
+        .groupBy(col("x")).agg(min(col("nlab")).as("nl"))
+      val updated = labels
+        .join(neigh.select(col("x").as("id"), col("nl")), Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("next"))
+        .localCheckpoint()
+      changed = updated.filter(col("next") < col("label")).count()
+      labels = updated.select(col("id"), col("next").as("label"))
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("survivor_id"))
+  }
+
   /** Character-n-gram Jaccard dedup: exact n-gram-set Jaccard, with
     * MinHash-LSH candidate generation over the n-gram sets (a blocked
     * O(n²/blocks) variant was tried first and is quadratic-with-a-constant

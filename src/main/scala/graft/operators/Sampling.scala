@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / corpus-mixing operators for training-data
+  * pipelines (builder mandate; no reference counterpart — SURVEY.md §2.2).
+  *
+  * `df.sample()` is seed-stable only for a FIXED partitioning — any
+  * repartition, AQE re-plan, or input-split change reshuffles which rows
+  * are kept. These operators hash the ROW ID instead: membership is a pure
+  * row-local function of the data, so samples are reproducible across
+  * cluster sizes, re-runs and engines (the driver's DuckDB oracle
+  * recomputes them exactly), and they compose — a row's membership at rate
+  * r is a superset of its membership at r' < r with the same salt.
+  *
+  * The hash is a multiplicative Knuth hash in exact int64 arithmetic
+  * (`(id + salt) * 2654435761 mod den`) — ANSI-mode safe for ids below
+  * ~2^31 (documented bound; hash the id down first for wider domains), and
+  * expressible in any SQL engine, unlike xxhash64.
+  */
+object Sampling {
+
+  /** 2^32 / golden ratio (Knuth's multiplicative constant). */
+  val Knuth: Long = 2654435761L
+
+  /** Row-local membership bucket in [0, den). */
+  def bucket(id: Column, den: Int, salt: Long): Column =
+    pmod((id.cast("long") + lit(salt)) * lit(Knuth), lit(den.toLong))
+
+  /** Keep ~num/den of rows, chosen by id hash — deterministic,
+    * partitioning-independent, pushdown-friendly (a pure filter). */
+  def hashSample(df: DataFrame, idCol: String, num: Int, den: Int,
+      salt: Long = 0L): DataFrame = {
+    require(num >= 0 && num <= den && den > 0)
+    df.filter(bucket(col(idCol), den, salt) < num)
+  }
+
+  /** Per-stratum rates: `rates(strataValue) = numerator` out of `den`.
+    * Strata absent from the map are dropped (rate 0). The rate table rides
+    * in the plan as a literal map — row-local, no join. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Int], den: Int, salt: Long = 0L): DataFrame = {
+    require(rates.values.forall(n => n >= 0 && n <= den))
+    val rateMap = map(rates.toSeq.sortBy(_._1).flatMap {
+      case (k, n) => Seq(lit(k), lit(n)) }: _*)
+    df.filter(bucket(col(idCol), den, salt) <
+      coalesce(element_at(rateMap, col(strataCol)), lit(0)))
+  }
+
+  /** Weighted mix of corpora: per-source hash-sample then union. Each
+    * source gets a distinct salt so co-numbered rows across sources are
+    * not correlated. Schemas must align (caller selects common columns). */
+  def mixCorpora(sources: Seq[(DataFrame, Int)], idCol: String,
+      den: Int): DataFrame =
+    sources.zipWithIndex.map { case ((df, num), i) =>
+      hashSample(df, idCol, num, den, salt = i.toLong)
+    }.reduce(_ unionAll _)
+}

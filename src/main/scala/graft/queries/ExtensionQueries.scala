@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 
 /** Driver-checkable queries for the training-data pipeline operators:
   * dedup (exact + 4 near-dup families), similarity search (brute + IVF),
@@ -81,6 +81,29 @@ object ExtensionQueries {
           threshold = 0.95)
         .select(col("a"), col("b"))
         .orderBy(col("a"), col("b"))),
+
+    // end-to-end dedup: minhash near-dup pairs → connected components →
+    // every doc mapped to its cluster survivor (smallest id)
+    "dedup_survivors" -> ((s, dir) => {
+      val u = docsUnion(s, dir)
+      val pairs = Dedup.minhashNearDup(u, "text", "doc_id",
+        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      Dedup.survivorsFromPairs(u.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("survivor_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- sampling / corpus mixing ----
+    "sample_hash" -> ((s, dir) =>
+      Sampling.hashSample(t(s, dir, "documents"), "doc_id", num = 3, den = 10)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "documents"), "source", "doc_id",
+          rates = Map("src0" -> 8, "src1" -> 5, "src2" -> 2), den = 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
 
     // ---- similarity search ----
     "sim_topk_brute" -> ((s, dir) => {
@@ -281,6 +304,43 @@ object ExtensionQueries {
         |SELECT MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
         |FROM u GROUP BY text ORDER BY survivor_id""".stripMargin,
     "dedup_minhash" -> jaccardPairsOracle(WordShinglesSql, 0.8),
+    // same qualifying pairs as dedup_minhash, then the transitive closure
+    // (recursive CTE) picks each component's min id
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE sh AS ($WordShinglesSql),
+         |pj AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+         |      AS DOUBLE) AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |qual AS (SELECT a, b FROM pj WHERE j >= 0.8),
+         |pairs AS (
+         |  SELECT a, b FROM qual
+         |  UNION ALL SELECT a, b + 1000000 FROM qual
+         |  UNION ALL SELECT b, a + 1000000 FROM qual
+         |  UNION ALL SELECT a + 1000000, b + 1000000 FROM qual
+         |  UNION ALL SELECT doc_id, doc_id + 1000000 FROM documents),
+         |u AS (SELECT doc_id FROM documents
+         |  UNION ALL SELECT doc_id + 1000000 FROM documents),
+         |edges AS (SELECT a AS x, b AS y FROM pairs
+         |  UNION ALL SELECT b AS x, a AS y FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS l FROM u
+         |  UNION
+         |  SELECT e.x AS id, r.l FROM edges e JOIN reach r ON r.id = e.y)
+         |SELECT id AS doc_id, MIN(l) AS survivor_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "sample_hash" ->
+      """SELECT doc_id FROM documents
+        |WHERE ((doc_id + 0) * 2654435761) % 10 < 3
+        |ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ((doc_id + 0) * 2654435761) % 10 <
+        |  CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 5
+        |    WHEN 'src2' THEN 2 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsOracle(CharNgramsSql, 0.5),
     "dedup_simhash" ->
       """WITH u AS (SELECT doc_id, text FROM documents

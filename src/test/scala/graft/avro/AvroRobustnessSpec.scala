@@ -198,4 +198,37 @@ class AvroRobustnessSpec extends SparkFunSuite {
       assert(provider.schemaJsonById(999).isEmpty)
     } finally server.stop(0)
   }
+
+  test("cold-start misses are single-flighted: N racing threads, one fetch " +
+      "(SURVEY.md §7.4); a failed fetch does not poison the cache") {
+    val fetches = new java.util.concurrent.atomic.AtomicInteger
+    val failFirst = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val provider = new SchemaProvider {
+      override val cacheToken = "single-flight-test"
+      override def schemaJsonById(id: Int): Option[String] = {
+        fetches.incrementAndGet()
+        Thread.sleep(50) // wide race window
+        if (id == 7 && failFirst.getAndSet(false))
+          throw new SchemaLookupException("transient registry failure")
+        Some(Fixtures.FullNameSchemaJson)
+      }
+    }
+    val state = new AvroDecoderState(provider, capacity = 10)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      // 8 threads race the same cold id → exactly one fetch
+      val tasks = (1 to 8).map(_ => pool.submit(
+        new java.util.concurrent.Callable[String] {
+          override def call(): String = state.schemaById(1).getName
+        }))
+      assert(tasks.map(_.get()).forall(_ == "FullName"))
+      assert(fetches.get() == 1, s"expected 1 fetch, got ${fetches.get()}")
+
+      // a failing fetch propagates but the NEXT call retries and succeeds
+      val before = fetches.get()
+      intercept[SchemaLookupException](state.schemaById(7))
+      assert(state.schemaById(7).getName == "FullName")
+      assert(fetches.get() == before + 2)
+    } finally pool.shutdown()
+  }
 }

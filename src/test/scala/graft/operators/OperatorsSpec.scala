@@ -179,6 +179,45 @@ class SimilaritySpec extends SparkFunSuite {
       trained, nprobe = 3).collect()
     assert(hits.length == 15) // 3 queries × k=5
   }
+
+  test("hash sampling: deterministic, partitioning-independent, and rates " +
+      "nest (membership at num=2 ⊆ membership at num=5)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = ids(Sampling.hashSample(docs, "doc_id", 2, 10))
+    val s2again = ids(Sampling.hashSample(docs.repartition(7), "doc_id", 2, 10))
+    val s5 = ids(Sampling.hashSample(docs, "doc_id", 5, 10))
+    assert(s2 == s2again, "sample must not depend on partitioning")
+    assert(s2.subsetOf(s5), "rates must nest for the same salt")
+    assert(s2.nonEmpty && s5.size < ids(docs).size)
+    // distinct salts decorrelate
+    val salted = ids(Sampling.hashSample(docs, "doc_id", 2, 10, salt = 9L))
+    assert(salted != s2)
+  }
+
+  test("stratified sampling: per-stratum rates, absent strata dropped") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Sampling.stratifiedSample(docs, "source", "doc_id",
+      rates = Map("src0" -> 10, "src1" -> 0), den = 10).collect()
+    val bySource = out.groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+    val total = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.getOrElse("src0", 0) == total("src0"), "rate 10/10 keeps all")
+    assert(!bySource.contains("src1") && !bySource.contains("src2"))
+  }
+
+  test("survivorsFromPairs: chains collapse to the component min; " +
+      "singletons survive as themselves") {
+    val s = spark
+    import s.implicits._
+    val ids = (1L to 6L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = Dedup.survivorsFromPairs(ids, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      6L -> 5L))
+  }
 }
 
 class TextFunctionsSpec extends SparkFunSuite {
