@@ -227,6 +227,25 @@ object AnalyticsQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // AS-OF join: each event picks up the user's most recent order as of
+    // the event time (operators/AsofJoin — union + running-last, one
+    // shuffle on the key). Right side pre-aggregated to one row per
+    // (custkey, date) to pin tie policy; oracle uses DuckDB's NATIVE
+    // ASOF JOIN — an independent algorithm agreeing on every row.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")
+      graft.operators.AsofJoin.asofJoin(ev, ord,
+          key = "user_id", leftTime = "ts", rightTime = "o_orderdate",
+          payloadCols = Seq("last_orderkey"))
+        .select(col("event_id"), col("user_id"), col("last_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
     // SQL-text entry path (spark.sql over registered views) — Q7-style
     // nation-pair volume. Same Catalyst plan machinery as the DataFrame
     // API; included to pin the SQL surface.
@@ -412,6 +431,14 @@ object AnalyticsQueries {
       """SELECT event_id,
         |CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_asof_join" ->
+      """WITH ord AS (SELECT o_custkey, o_orderdate,
+        |  MAX(o_orderkey) AS last_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.last_orderkey
+        |FROM events e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  year(l_shipdate) AS l_year,

@@ -34,6 +34,28 @@ object StreamingPipelines {
       provider: SchemaProvider): DataFrame =
     AvroTransform(df, cfg, provider)
 
+  /** Typed fast path over a stream: the fixed-schema decode expression is
+    * stateless, so it lifts to streaming unchanged — the streaming twin of
+    * `AvroTransform.fromAvroFixed` (SURVEY.md §7.3). */
+  def decodeTypedStream(df: DataFrame, schemaJson: String,
+      expectedSchemaId: Int = -1, valueCol: String = "value"): DataFrame =
+    df.withColumn("event",
+      AvroTransform.fromAvroFixed(schemaJson, expectedSchemaId)(col(valueCol)))
+
+  /** Streaming exact dedup on content digest with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keeps a digest key only until the
+    * watermark passes it, so state size tracks the dedup horizon (e.g.
+    * "suppress duplicates arriving within 24h"), not the full stream
+    * history — the property that keeps this running forever at 100 TB/day.
+    * The digest (not the payload) is what enters the state store, same
+    * 32-bytes-per-row shuffle contract as the batch `exactByHash`. */
+  def dedupExactStream(docs: DataFrame, textCol: String, tsCol: String,
+      horizon: String = "24 hours"): DataFrame =
+    docs
+      .withColumn("text_sha", sha2(col(textCol), 256))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("text_sha")
+
   /** Watermarked tumbling-window counts/sums per event_type over a decoded
     * event stream with columns (ts: timestamp, event_type, value). Late
     * data beyond `lateness` is dropped; state is bounded by

@@ -220,6 +220,42 @@ class SimilaritySpec extends SparkFunSuite {
   }
 }
 
+class AsofJoinSpec extends SparkFunSuite {
+
+  test("asof join: most recent right row per key, inclusive at equal " +
+      "time, null when nothing precedes") {
+    val s = spark
+    import s.implicits._
+    val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 15L, "t3"),
+      (3L, 5L, "t4")).toDF("k", "t", "trade")
+    val quotes = Seq((1L, 10L, 100.0), (1L, 15L, 110.0), (2L, 15L, 200.0),
+      (2L, 16L, 210.0)).toDF("k", "qt", "price")
+    val got = AsofJoin.asofJoin(trades, quotes, key = "k",
+        leftTime = "t", rightTime = "qt", payloadCols = Seq("price"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("t"),
+        Option(r.getAs[java.lang.Double]("price")).map(_.toDouble)))
+    assert(got.toSeq == Seq(
+      (1L, 10L, Some(100.0)), // equal time: inclusive
+      (1L, 20L, Some(110.0)), // latest preceding, not first
+      (2L, 15L, Some(200.0)), // 16 is in the future, excluded
+      (3L, 5L, None)))        // no quote for key 3
+  }
+
+  test("asof join plan: one shuffle on the key, no cross join") {
+    val s = spark
+    import s.implicits._
+    val l = (1L to 100L).map(i => (i % 5, i)).toDF("k", "t")
+    val r = (1L to 50L).map(i => (i % 5, i, i * 2)).toDF("k", "qt", "v")
+    val df = AsofJoin.asofJoin(l, r, "k", "t", "qt", Seq("v"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2, plan)
+  }
+}
+
 class TextFunctionsSpec extends SparkFunSuite {
 
   private def one(c: org.apache.spark.sql.Column, text: String): Any = {

@@ -38,6 +38,50 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("streaming typed decode: fixed-schema struct fields on a stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val (_, id) = Fixtures.registry()
+    val input = MemoryStream[Array[Byte]]
+    val out = StreamingPipelines.decodeTypedStream(
+      input.toDF().toDF("value"), Fixtures.FullNameSchemaJson, id)
+      .select(col("event.first").as("first"), col("event.last").as("last"))
+    val q = out.writeStream.format("memory").queryName("typed_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(WireFormat.frame(id,
+        Fixtures.encodeFullName("fname", "lname")))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT first, last FROM typed_stream").collect()
+      assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+        Seq(("fname", "lname")))
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup: duplicates within the watermark horizon " +
+      "suppressed, state bounded by the horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val out = StreamingPipelines.dedupExactStream(
+      input.toDF().toDF("ts", "text"), "text", "ts", horizon = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData((t(1), "alpha"), (t(2), "alpha"), (t(2), "beta"))
+      q.processAllAvailable()
+      // same content again within the horizon → suppressed
+      input.addData((t(4), "alpha"))
+      q.processAllAvailable()
+      val texts = s.sql("SELECT text FROM dedup_stream").collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(texts == Seq("alpha", "beta"))
+    } finally q.stop()
+  }
+
   test("watermarked windowed agg emits closed windows, drops late data") {
     val s = spark
     import s.implicits._
