@@ -246,6 +246,44 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Range join: events within 1 hour AFTER each purchase by the same
+    // user (operators/RangeJoin — bucketed equi-join + exact filter, never
+    // a nested-loop plan). Oracle is DuckDB's plain range-predicate join
+    // (its optimizer runs an IEJoin — again an independent algorithm).
+    // Events self-join: the orders table lives in a different synthetic
+    // era (1995-2001) than events (2024), so cross-table windows are empty.
+    "q_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("win_end"))
+      graft.operators.RangeJoin.pointInInterval(ev, purchases,
+          key = "user_id", pointCol = "ts",
+          startCol = "win_start", endCol = "win_end",
+          bucketSeconds = 3600L)
+        .filter(col("event_id") =!= col("purchase_id"))
+        .select(col("purchase_id"), col("event_id"))
+        .orderBy(col("purchase_id"), col("event_id"))
+    }),
+
+    // Exact distributed percentiles. Scale note: Spark's percentile
+    // aggregates a distinct-value→count histogram per group, so state is
+    // bounded by the value DOMAIN (2-decimal quantized here), not row
+    // count. Interpolated results are pinned to the 1e-3 grid both
+    // engines agree on (midpoints of 2-decimal values).
+    "q_percentiles" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("CAST(CAST(percentile(value, 0.5) AS DECIMAL(18,3)) AS DOUBLE)")
+            .as("p50"),
+          expr("CAST(CAST(percentile(value, 0.9) AS DECIMAL(18,3)) AS DOUBLE)")
+            .as("p90"))
+        .orderBy(col("event_type"))),
+
     // SQL-text entry path (spark.sql over registered views) — Q7-style
     // nation-pair volume. Same Catalyst plan machinery as the DataFrame
     // API; included to pin the SQL surface.
@@ -439,6 +477,20 @@ object AnalyticsQueries {
         |FROM events e ASOF LEFT JOIN ord o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT p.event_id AS purchase_id, e.event_id
+        |FROM events e JOIN events p ON e.user_id = p.user_id
+        |  AND p.event_type = 'purchase'
+        |  AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 1 HOUR
+        |  AND e.event_id <> p.event_id
+        |ORDER BY purchase_id, e.event_id""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,3)) AS DOUBLE)
+        |    AS p50,
+        |  CAST(CAST(quantile_cont(value, 0.9) AS DECIMAL(18,3)) AS DOUBLE)
+        |    AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  year(l_shipdate) AS l_year,

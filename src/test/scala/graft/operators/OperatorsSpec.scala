@@ -256,6 +256,36 @@ class AsofJoinSpec extends SparkFunSuite {
   }
 }
 
+class RangeJoinSpec extends SparkFunSuite {
+  import java.sql.Timestamp
+
+  test("point-in-interval: inclusive start, exclusive end, cross-bucket " +
+      "intervals found, empty intervals dropped, no nested-loop plan") {
+    val s = spark
+    import s.implicits._
+    def ts(str: String) = Timestamp.valueOf(str)
+    val points = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")), // == start: included
+      (1L, 11L, ts("2024-01-03 12:00:00")), // inside
+      (1L, 12L, ts("2024-01-08 00:00:00")), // == end: excluded
+      (2L, 13L, ts("2024-01-05 00:00:00"))  // other key, inside its window
+    ).toDF("k", "pid", "t")
+    val intervals = Seq(
+      (1L, 100L, ts("2024-01-01 00:00:00"), ts("2024-01-08 00:00:00")),
+      (2L, 200L, ts("2024-01-04 23:00:00"), ts("2024-01-05 01:00:00")),
+      (2L, 300L, ts("2024-01-05 00:00:00"), ts("2024-01-05 00:00:00")) // empty
+    ).toDF("k", "iid", "s", "e")
+    val df = RangeJoin.pointInInterval(points, intervals, "k", "t", "s", "e",
+      bucketSeconds = 24 * 3600)
+    val got = df.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 100L), (11L, 100L), (13L, 200L)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
+
 class TextFunctionsSpec extends SparkFunSuite {
 
   private def one(c: org.apache.spark.sql.Column, text: String): Any = {
