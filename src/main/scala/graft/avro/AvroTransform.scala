@@ -118,6 +118,16 @@ object AvroTransform {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(c),
         schemaJson, expectedSchemaId, permissive))
 
+  /** Typed ENCODE mirror of [[fromAvroFixed]] (the engine analogue of
+    * `to_avro`): a struct column shaped like the schema → Avro binary body
+    * (`graft.plans.AvroEncodeFixed`). Frame with
+    * `WireFormat.frameCol(id, _)` for the Confluent wire format. */
+  def toAvroFixed(schemaJson: String)(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.AvroEncodeFixed(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c),
+        schemaJson))
+
   /** The full record-stream transform over a Kafka-source-shaped DataFrame
     * (columns: topic, partition, key, value, timestamp, headers — any subset
     * containing `topic`+`value` works). Batch and streaming DataFrames both

@@ -5,9 +5,10 @@ import java.nio.ByteBuffer
 import scala.jdk.CollectionConverters._
 
 import org.apache.avro.Schema
-import org.apache.avro.generic.{GenericDatumReader, GenericFixed, GenericRecord}
-import org.apache.avro.io.{BinaryDecoder, DecoderFactory}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericFixed, GenericRecord}
+import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
@@ -210,4 +211,135 @@ case class AvroDecodeFixed(
   override protected def withNewChildInternal(newChild: Expression)
       : AvroDecodeFixed = copy(child = newChild)
   override def prettyName: String = "graft_from_avro"
+}
+
+/** Catalyst → Avro value converters (the encode mirror of
+  * [[AvroCatalyst.converter]]); same supported type lattice. Built once
+  * per schema; per-row work is direct function calls. */
+object AvroCatalystEncode {
+  import scala.jdk.CollectionConverters._
+
+  private def nonNull(s: Schema): Schema =
+    if (s.getType != Schema.Type.UNION) s
+    else {
+      val nn = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      if (nn.size == 1) nn.head
+      else throw new IllegalArgumentException(
+        s"Unsupported Avro union for typed encode: $s")
+    }
+
+  /** Converter from the Catalyst internal value of
+    * `AvroCatalyst.toSparkType(s)` to the Avro runtime value `s` expects. */
+  def converter(s: Schema): Any => AnyRef = {
+    val base = nonNull(s)
+    base.getType match {
+      case Schema.Type.RECORD =>
+        val fields = base.getFields.asScala.toArray
+        val sparkTypes = fields.map(f => AvroCatalyst.toSparkType(f.schema))
+        val convs = fields.map(f => converter(f.schema))
+        v => {
+          val row = v.asInstanceOf[InternalRow]
+          val rec = new GenericData.Record(base)
+          var i = 0
+          while (i < fields.length) {
+            val fv =
+              if (row.isNullAt(i)) null
+              else convs(i)(row.get(i, sparkTypes(i)))
+            rec.put(i, fv)
+            i += 1
+          }
+          rec
+        }
+      case Schema.Type.STRING => v => v.asInstanceOf[UTF8String].toString
+      case Schema.Type.ENUM =>
+        v => new GenericData.EnumSymbol(base, v.asInstanceOf[UTF8String].toString)
+      case Schema.Type.BYTES =>
+        v => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case Schema.Type.FIXED =>
+        v => new GenericData.Fixed(base, v.asInstanceOf[Array[Byte]])
+      case Schema.Type.INT | Schema.Type.LONG | Schema.Type.FLOAT |
+           Schema.Type.DOUBLE | Schema.Type.BOOLEAN =>
+        v => v.asInstanceOf[AnyRef]
+      case Schema.Type.ARRAY =>
+        val et = AvroCatalyst.toSparkType(base.getElementType)
+        val ec = converter(base.getElementType)
+        v => {
+          val in = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          val out = new java.util.ArrayList[AnyRef](in.numElements())
+          var i = 0
+          while (i < in.numElements()) {
+            out.add(if (in.isNullAt(i)) null else ec(in.get(i, et)))
+            i += 1
+          }
+          out
+        }
+      case Schema.Type.MAP =>
+        val vt = AvroCatalyst.toSparkType(base.getValueType)
+        val vc = converter(base.getValueType)
+        v => {
+          val in = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+          val out = new java.util.HashMap[String, AnyRef](in.numElements())
+          val keys = in.keyArray()
+          val vals = in.valueArray()
+          var i = 0
+          while (i < in.numElements()) {
+            out.put(keys.getUTF8String(i).toString,
+              if (vals.isNullAt(i)) null else vc(vals.get(i, vt)))
+            i += 1
+          }
+          out
+        }
+      case other => throw new IllegalArgumentException(
+        s"Unsupported Avro type for typed encode: $other")
+    }
+  }
+}
+
+/** `graft_to_avro(struct)` — FIXED-schema typed ENCODE: the mirror of
+  * [[AvroDecodeFixed]] (and the engine analogue of `to_avro`). Takes a
+  * struct column whose shape matches `AvroCatalyst.toSparkType(schema)`
+  * and emits the Avro binary body. Per-thread writer + encoder reuse (the
+  * reference allocates all three per record — `AvroTransform.java:241-246`);
+  * used by the framed-corpus fixture so the encode side of round-trip
+  * queries is native, not a ScalaUDF. Null input → null. */
+case class AvroEncodeFixed(child: Expression, schemaJson: String)
+    extends UnaryExpression {
+
+  @transient private lazy val schema: Schema =
+    new Schema.Parser().parse(schemaJson)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  @transient private lazy val conv: Any => AnyRef =
+    AvroCatalystEncode.converter(schema)
+
+  private final class ThreadState {
+    val writer = new GenericDatumWriter[AnyRef](schema)
+    val out = new java.io.ByteArrayOutputStream(128)
+    var encoder: BinaryEncoder = _
+  }
+  @transient private lazy val local: ThreadLocal[ThreadState] =
+    ThreadLocal.withInitial(() => new ThreadState)
+
+  override def nullSafeEval(input: Any): Any = {
+    val st = local.get()
+    st.out.reset()
+    st.encoder = EncoderFactory.get().binaryEncoder(st.out, st.encoder)
+    st.writer.write(conv(input), st.encoder)
+    st.encoder.flush()
+    st.out.toByteArray
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("avroEncodeFixed", this,
+      classOf[AvroEncodeFixed].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (byte[]) $self.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : AvroEncodeFixed = copy(child = newChild)
+  override def prettyName: String = "graft_to_avro"
 }

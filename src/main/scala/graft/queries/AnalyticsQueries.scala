@@ -269,6 +269,19 @@ object AnalyticsQueries {
         .orderBy(col("purchase_id"), col("event_id"))
     }),
 
+    // Two-phase salted aggregation (operators/Skew): hot event_type keys
+    // spread over 32 salt buckets in phase 1; results must equal the plain
+    // GROUP BY (the oracle IS the plain GROUP BY) — pins correctness of
+    // the skew-mitigation shape through the driver gate.
+    "q_skew_salted_agg" -> ((s, dir) =>
+      graft.operators.Skew.saltedAgg(
+          events(s, dir), Seq("event_type"), saltBuckets = 32,
+          partial = Seq(count(lit(1)).as("c"),
+            sum(dec2(col("value"))).as("v")),
+          final_ = Seq(sum(col("c")).as("cnt"),
+            sum(col("v")).cast("double").as("total_value")))
+        .orderBy(col("event_type"))),
+
     // Exact distributed percentiles. Scale note: Spark's percentile
     // aggregates a distinct-value→count histogram per group, so state is
     // bounded by the value DOMAIN (2-decimal quantized here), not row
@@ -484,6 +497,10 @@ object AnalyticsQueries {
         |  AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 1 HOUR
         |  AND e.event_id <> p.event_id
         |ORDER BY purchase_id, e.event_id""".stripMargin,
+    "q_skew_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type,
         |  CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,3)) AS DOUBLE)

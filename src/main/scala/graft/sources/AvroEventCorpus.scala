@@ -88,13 +88,15 @@ object AvroEventCorpus {
       tombstoneEvery: Int = 0,
       corruptEvery: Int = 0,
       frameKey: Boolean = false): DataFrame = {
-    val encodeUdf = udf(
-      (id: Long, uid: Long, et: String, v: Double, p: String, tsUs: Long) =>
-        encodeEventBody(id, uid, et, v, p, tsUs))
-
     val events = graft.queries.Q.events(spark, sfDir)
-    val cleanBody = encodeUdf(col("event_id"), col("user_id"),
-      col("event_type"), col("value"), col("props"), unix_micros(col("ts")))
+    // native typed encode (graft.plans.AvroEncodeFixed) — byte-identical
+    // to the GenericDatumWriter reference encode in [[encodeEventBody]]
+    // (spec-pinned), but codegen-resident: no ScalaUDF boundary in the
+    // encode half of every round-trip query. Struct field order follows
+    // the schema's field order.
+    val cleanBody = graft.avro.AvroTransform.toAvroFixed(EventSchemaJson)(
+      struct(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"), unix_micros(col("ts")).as("ts_us")))
     var body = cleanBody
     if (corruptEvery > 0)
       body = when(col("event_id") % corruptEvery === 0,

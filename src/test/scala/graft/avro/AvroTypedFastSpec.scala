@@ -183,6 +183,30 @@ class AvroTypedFastSpec extends SparkFunSuite {
     assert(row.getDouble(5) == 2.5)
   }
 
+  test("typed encode is byte-identical to the GenericDatumWriter reference " +
+      "encode, and round-trips through the typed decode") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(("fname", "lname"), ("", "x"), ("ünï©ödé", "末"))
+    val got = rows.toDF("first", "last")
+      .select(AvroTransform.toAvroFixed(FullNameSchemaJson)(
+        struct(col("first"), col("last"))).as("body"))
+      .collect().map(_.getAs[Array[Byte]]("body"))
+    rows.zip(got).foreach { case ((f, l), bytes) =>
+      assert(bytes.sameElements(encodeFullName(f, l)),
+        s"native encode of ($f,$l) diverged from GenericDatumWriter")
+    }
+    // encode → frame → typed decode is the identity
+    val round = rows.toDF("first", "last")
+      .select(AvroTransform.fromAvroFixed(FullNameSchemaJson)(
+        graft.avro.WireFormat.frameCol(1,
+          AvroTransform.toAvroFixed(FullNameSchemaJson)(
+            struct(col("first"), col("last"))))).as("e"))
+      .select("e.first", "e.last")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(round == rows)
+  }
+
   test("multi-branch unions are rejected with a clear error (the dynamic " +
       "JSON path is the escape hatch)") {
     val bad = """{"type":"record","name":"U","fields":[
