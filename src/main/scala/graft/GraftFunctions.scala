@@ -48,6 +48,9 @@ object GraftFunctions {
       es => AvroDecodeFixed(es(0), stringArg(es(1), "schemaJson"),
         if (es.length > 2) intArg(es(2), "expectedSchemaId") else -1),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_to_avro",
+      es => AvroEncodeFixed(es(0), stringArg(es(1), "schemaJson")),
+      "built-in")
   }
 
   private def stringArg(e: Expression, name: String): String = e.eval() match {

@@ -28,6 +28,33 @@ class GraftFunctionsSpec extends SparkFunSuite {
     }
   }
 
+  test("graft_top_k coerces int scores/ids at analysis time " +
+      "(ImplicitCastInputTypes)") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(s)
+    Seq((1, 10), (5, 20), (3, 30)).toDF("sc", "id")
+      .createOrReplaceTempView("gf_int")
+    // int score + int id: previously ClassCastException inside update()
+    val top = s.sql("SELECT graft_top_k(sc, id, 2) FROM gf_int")
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(r => (r.getDouble(0), r.getLong(1))) ==
+      Seq((5.0, 20L), (3.0, 30L)))
+  }
+
+  test("graft_to_avro / graft_from_avro round-trip from SQL") {
+    val s = spark
+    GraftFunctions.register(s)
+    val schema = graft.avro.Fixtures.FullNameSchemaJson.replace("\"", "\\\"")
+    val got = s.sql(
+      s"""SELECT graft_from_avro(
+         |  concat(X'0000000001',
+         |    graft_to_avro(named_struct('first', 'a', 'last', 'b'),
+         |      "$schema")),
+         |  "$schema", 1).first AS f""".stripMargin).head.getString(0)
+    assert(got == "a")
+  }
+
   test("graft_hyperplane_sig from SQL over array<float>") {
     val s = spark
     import s.implicits._
