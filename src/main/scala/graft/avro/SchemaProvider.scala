@@ -125,6 +125,24 @@ final case class HttpSchemaRegistryProvider(
 
 object HttpSchemaRegistryProvider {
 
+  /** Production wiring: build the registry client straight from an
+    * [[graft.config.EngineConfig]] (URLs + basic-auth user info — the
+    * reference's `sourceUrls`/`sourceProps` → `CachedSchemaRegistryClient`
+    * constructor, `AvroTransform.java:109`). The cache token is a content
+    * hash of the connection identity, so identical configs share one
+    * executor-side decoder state and differing credentials/URLs never
+    * alias each other's caches. */
+  def fromConfig(cfg: graft.config.EngineConfig): HttpSchemaRegistryProvider = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    (cfg.registryUrls ++ cfg.registryUserInfo.toSeq).foreach { s =>
+      md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte)
+    }
+    HttpSchemaRegistryProvider(cfg.registryUrls,
+      cacheToken = "http-" + md.digest().map(b => f"$b%02x").mkString,
+      userInfo = cfg.registryUserInfo)
+  }
+
   /** Pull the `schema` field out of a registry response. Uses Jackson (on
     * the Spark classpath) — the response's `schema` value is itself a
     * JSON-escaped string of the Avro schema. */

@@ -207,6 +207,53 @@ class AvroTypedFastSpec extends SparkFunSuite {
     assert(round == rows)
   }
 
+  test("property: random records of every supported type round-trip " +
+      "encode → frame → decode bit-exactly (ScalaCheck, fixed seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    val schemaJson =
+      """{"type":"record","name":"P","fields":[
+        |{"name":"l","type":"long"},
+        |{"name":"i","type":"int"},
+        |{"name":"d","type":"double"},
+        |{"name":"f","type":"float"},
+        |{"name":"b","type":"boolean"},
+        |{"name":"str","type":"string"},
+        |{"name":"opt","type":["null","string"],"default":null},
+        |{"name":"xs","type":{"type":"array","items":"long"}}
+        |]}""".stripMargin.replace("\n", "")
+    val gen = for {
+      l <- Gen.long; i <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+      d <- Gen.chooseNum(-1e12, 1e12); f <- Gen.chooseNum(-1e6f, 1e6f)
+      b <- Gen.oneOf(true, false)
+      str <- Gen.asciiPrintableStr
+      opt <- Gen.option(Gen.alphaNumStr)
+      xs <- Gen.listOfN(3, Gen.long)
+    } yield (l, i, d, f, b, str, opt, xs)
+    val rows = (0 until 60).flatMap(k =>
+      gen.apply(Gen.Parameters.default, Seed(1000L + k)))
+    val df = rows.toDF("l", "i", "d", "f", "b", "str", "opt", "xs")
+    val back = df.select(AvroTransform.fromAvroFixed(schemaJson)(
+        graft.avro.WireFormat.frameCol(9,
+          AvroTransform.toAvroFixed(schemaJson)(
+            struct(col("l"), col("i"), col("d"), col("f"), col("b"),
+              col("str"), col("opt"), col("xs"))))).as("e"))
+      .select("e.l", "e.i", "e.d", "e.f", "e.b", "e.str", "e.opt", "e.xs")
+      .collect()
+    rows.zip(back).foreach { case ((l, i, d, f, b, str, opt, xs), r) =>
+      assert(r.getLong(0) == l && r.getInt(1) == i)
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(d))
+      assert(java.lang.Float.floatToIntBits(r.getFloat(3)) ==
+        java.lang.Float.floatToIntBits(f))
+      assert(r.getBoolean(4) == b && r.getString(5) == str)
+      assert(Option(r.getString(6)) == opt)
+      assert(r.getSeq[Long](7).toList == xs)
+    }
+  }
+
   test("multi-branch unions are rejected with a clear error (the dynamic " +
       "JSON path is the escape hatch)") {
     val bad = """{"type":"record","name":"U","fields":[
@@ -263,6 +310,24 @@ class RegistryAuthSpec extends SparkFunSuite {
         .contains(Fixtures.FullNameSchemaJson))
       assert(sawHeader == "yes")
     } finally server.stop(0)
+  }
+
+  test("HttpSchemaRegistryProvider.fromConfig wires URLs + auth and keys " +
+      "the decoder-state cache by connection identity") {
+    val props = Map(
+      "src.schema.registry.url" -> "http://a,http://b",
+      "avro.topics" -> "t:true",
+      "src.basic.auth.credentials.source" -> "USER_INFO",
+      "src.basic.auth.user.info" -> "u:p")
+    val p1 = HttpSchemaRegistryProvider.fromConfig(EngineConfig.fromProps(props))
+    val p2 = HttpSchemaRegistryProvider.fromConfig(EngineConfig.fromProps(props))
+    assert(p1.baseUrls == Seq("http://a", "http://b"))
+    assert(p1.userInfo.contains("u:p"))
+    assert(p1.cacheToken == p2.cacheToken, "same config → shared state")
+    val pOther = HttpSchemaRegistryProvider.fromConfig(EngineConfig.fromProps(
+      props + ("src.basic.auth.user.info" -> "u:DIFFERENT")))
+    assert(pOther.cacheToken != p1.cacheToken,
+      "different credentials must not alias caches")
   }
 
   test("EngineConfig parses the basic-auth keys (USER_INFO source)") {

@@ -180,6 +180,25 @@ class SimilaritySpec extends SparkFunSuite {
     assert(hits.length == 15) // 3 queries × k=5
   }
 
+  test("NearestCentroids kernel: differential vs driver-side brute force " +
+      "over the real embeddings (order, ties, take>1)") {
+    import graft.functions.{VectorFunctions => VF}
+    val vectors = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val (centIds, centVecs) = vectors.take(8).unzip
+    def brute(v: Array[Double], take: Int): Seq[Long] =
+      centIds.zip(centVecs).map { case (cid, c) =>
+        val d = v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+        (d, cid)
+      }.sortBy(identity).take(take).map(_._2).toSeq
+    val got = emb.select(col("vec_id"),
+        VF.nearestCentroids(col("embedding"), centIds, centVecs, 3).as("nc"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    vectors.foreach { case (id, v) =>
+      assert(got(id) == brute(v, 3), s"mismatch for vec $id")
+    }
+  }
+
   test("hash sampling: deterministic, partitioning-independent, and rates " +
       "nest (membership at num=2 ⊆ membership at num=5)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
