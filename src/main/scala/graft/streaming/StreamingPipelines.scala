@@ -56,6 +56,31 @@ object StreamingPipelines {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("text_sha")
 
+  /** Stream-stream INTERVAL join — the streaming twin of
+    * `operators.RangeJoin`: each trigger event joins to the follow events
+    * of the same user within `[trigger_ts, trigger_ts + window)`. Both
+    * sides carry watermarks and the join condition is time-bounded in both
+    * directions, so Spark can expire join state as the watermark advances
+    * — constant state for unbounded streams (an unbounded-time stream join
+    * would buffer forever). Output columns:
+    * (trigger_id, event_id, user_id). */
+  def followWithin(events: DataFrame, triggerType: String = "purchase",
+      window_ : String = "1 hour", lateness: String = "10 minutes")
+      : DataFrame = {
+    val follows = events
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withWatermark("ts", lateness)
+    val triggers = events
+      .filter(col("event_type") === triggerType)
+      .select(col("user_id").as("t_user"), col("event_id").as("trigger_id"),
+        col("ts").as("t_ts"))
+      .withWatermark("t_ts", lateness)
+    follows.join(triggers,
+        expr(s"user_id = t_user AND ts >= t_ts AND " +
+          s"ts < t_ts + INTERVAL $window_ AND event_id <> trigger_id"))
+      .select(col("trigger_id"), col("event_id"), col("user_id"))
+  }
+
   /** Watermarked tumbling-window counts/sums per event_type over a decoded
     * event stream with columns (ts: timestamp, event_type, value). Late
     * data beyond `lateness` is dropped; state is bounded by

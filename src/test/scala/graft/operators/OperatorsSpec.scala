@@ -275,6 +275,36 @@ class AsofJoinSpec extends SparkFunSuite {
   }
 }
 
+/** Mergeable-sketch coverage (SURVEY.md §2.2 lists HLL/sketches among the
+  * categories absent from the reference): Spark 4 ships Datasketches HLL
+  * natively; the property that matters at 100 TB is MERGE-INVARIANCE —
+  * per-partition/per-source sketches unioned equal the single global
+  * sketch, so distinct counts never need a global shuffle of raw values. */
+class SketchSpec extends SparkFunSuite {
+  import org.apache.spark.sql.functions.expr
+
+  test("hll sketches: per-source partials union deterministically, both " +
+      "union and global estimates within 5% of exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val global = docs
+      .select(expr("hll_sketch_estimate(hll_sketch_agg(text))"))
+      .head.getLong(0)
+    def mergedEstimate(): Long = docs.groupBy(col("source"))
+      .agg(expr("hll_sketch_agg(text)").as("sk"))
+      .select(expr("hll_sketch_estimate(hll_union_agg(sk))"))
+      .head.getLong(0)
+    val merged = mergedEstimate()
+    // NOTE: union of sparse partial sketches is NOT estimate-identical to
+    // a single-pass sketch (register promotion differs) — the contract is
+    // determinism + bounded error, not bit equality with the global pass
+    assert(merged == mergedEstimate(), "sketch union must be deterministic")
+    val exact = docs.select(countDistinct(col("text"))).head.getLong(0)
+    for ((name, est) <- Seq("global" -> global, "merged" -> merged))
+      assert(math.abs(est - exact).toDouble / exact < 0.05,
+        s"$name estimate $est vs exact $exact")
+  }
+}
+
 class RangeJoinSpec extends SparkFunSuite {
   import java.sql.Timestamp
 

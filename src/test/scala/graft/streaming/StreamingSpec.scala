@@ -82,6 +82,31 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: follows within the window matched, " +
+      "outside-window and self pairs excluded") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Long, Timestamp, String)]
+    val events = input.toDF().toDF("user_id", "event_id", "ts", "event_type")
+    val joined = StreamingPipelines.followWithin(events,
+      window_ = "1 hour", lateness = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("follow_stream")
+      .outputMode("append").start()
+    try {
+      def t(h: Int, min: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+      input.addData(
+        (1L, 100L, t(10, 0), "purchase"),
+        (1L, 101L, t(10, 30), "click"),  // within 1h of purchase 100
+        (1L, 102L, t(11, 30), "click"),  // outside the window
+        (2L, 200L, t(10, 15), "click"))  // other user, no purchase
+      q.processAllAvailable()
+      val got = s.sql("SELECT trigger_id, event_id FROM follow_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((100L, 101L)))
+    } finally q.stop()
+  }
+
   test("watermarked windowed agg emits closed windows, drops late data") {
     val s = spark
     import s.implicits._
