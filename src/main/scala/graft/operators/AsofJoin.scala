@@ -45,23 +45,30 @@ object AsofJoin {
     val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
     val leftCols = left.columns.toSeq
 
+    // All payloads ride in ONE struct that is non-null exactly on right
+    // rows: `last(_payload, ignoreNulls)` then picks the true as-of ROW
+    // atomically. (A per-column `last(p, ignoreNulls)` would skip a right
+    // row whose payload value is legitimately NULL — resurrecting a stale
+    // value — and could stitch different right rows into one result.)
     val l = left.select(
       leftCols.map(col) ++
-        payloadCols.map(p => lit(null).cast(rightTypes(p)).as(p)) ++
-        Seq(col(leftTime).as("_t"), lit(1).as("_side")): _*)
+        Seq(lit(null).cast(org.apache.spark.sql.types.StructType(
+            payloadCols.map(p => org.apache.spark.sql.types.StructField(
+              p, rightTypes(p))))).as("_payload"),
+          col(leftTime).as("_t"), lit(1).as("_side")): _*)
     val r = right.select(
       leftCols.map(c => if (c == key) col(key)
         else lit(null).cast(leftTypes(c)).as(c)) ++
-        payloadCols.map(col) ++
-        Seq(col(rightTime).as("_t"), lit(0).as("_side")): _*)
+        Seq(struct(payloadCols.map(col): _*).as("_payload"),
+          col(rightTime).as("_t"), lit(0).as("_side")): _*)
 
     val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payloadCols
-      .foldLeft(l.unionByName(r)) { (df, p) =>
-        df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-      }
+    val joined = l.unionByName(r)
+      .withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .drop("_t", "_side")
+    payloadCols
+      .foldLeft(joined)((df, p) => df.withColumn(p, col(s"_payload.$p")))
+      .drop("_payload", "_t", "_side")
   }
 }

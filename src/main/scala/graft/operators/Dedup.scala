@@ -155,10 +155,15 @@ object Dedup {
           least(col("label"), coalesce(col("nl"), col("label"))).as("next"))
         .localCheckpoint()
       changed = updated.filter(col("next") < col("label")).count()
+      // the superseded checkpoint's cached blocks are dead weight now —
+      // without this, the loop pins O(iterations × |ids|) rows in storage
+      labels.unpersist()
       labels = updated.select(col("id"), col("next").as("label"))
       iter += 1
     }
-    labels.select(col("id"), col("label").as("survivor_id"))
+    val out = labels.select(col("id"), col("label").as("survivor_id"))
+    edges.unpersist()
+    out
   }
 
   /** Character-n-gram Jaccard dedup: exact n-gram-set Jaccard, with

@@ -203,9 +203,12 @@ case class AvroDecodeFixed(
       ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("avroDecodeFixed", this,
       classOf[AvroDecodeFixed].getName)
+    // cast follows dataType: top-level schemas need not be records
+    // (string/long/array/map all map to non-InternalRow java types)
+    val boxed = org.apache.spark.sql.catalyst.expressions.codegen
+      .CodeGenerator.boxedType(dataType)
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) " +
-        s"$self.nullSafeEval($c);")
+      s"${ev.value} = ($boxed) $self.nullSafeEval($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression)
@@ -256,7 +259,16 @@ object AvroCatalystEncode {
       case Schema.Type.BYTES =>
         v => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
       case Schema.Type.FIXED =>
-        v => new GenericData.Fixed(base, v.asInstanceOf[Array[Byte]])
+        // GenericDatumWriter writes exactly getFixedSize() bytes — an
+        // unchecked oversized array would be SILENTLY truncated
+        v => {
+          val bytes = v.asInstanceOf[Array[Byte]]
+          if (bytes.length != base.getFixedSize)
+            throw new IllegalArgumentException(
+              s"Avro fixed '${base.getName}' requires exactly " +
+                s"${base.getFixedSize} bytes, got ${bytes.length}")
+          new GenericData.Fixed(base, bytes)
+        }
       case Schema.Type.INT | Schema.Type.LONG | Schema.Type.FLOAT |
            Schema.Type.DOUBLE | Schema.Type.BOOLEAN =>
         v => v.asInstanceOf[AnyRef]

@@ -38,7 +38,12 @@ case class NearestCentroids(child: Expression, centIds: Array[Long],
     var c = 0
     while (c < n) {
       val cv = centVecs(c)
-      val m = math.min(dim, cv.length)
+      if (cv.length != dim)
+        throw new IllegalArgumentException(
+          s"dimension mismatch: vector has $dim components, centroid " +
+            s"${centIds(c)} has ${cv.length} — refusing a silent " +
+            s"prefix-only distance")
+      val m = dim
       var acc = 0.0
       var j = 0
       while (j < m) {

@@ -476,7 +476,9 @@ object ExtensionQueries {
         |sha256(text) AS content_sha, 'bin' AS kind
         |FROM documents ORDER BY doc_id""".stripMargin,
     // byte histogram mod 8 over the utf-8 payload (documents are pure
-    // ASCII at every SF — verified — so ascii(char) == byte value)
+    // ASCII at every SF — verified — so ascii(char) == byte value). LEFT
+    // JOIN back to documents: the Scala extractor emits an all-zero row
+    // for an empty payload, so the oracle must too (latent empty-doc case).
     "mm_features" ->
       """WITH ex AS (SELECT doc_id, text,
         |    unnest(range(1, length(text) + 1)) AS i FROM documents),
@@ -487,21 +489,25 @@ object ExtensionQueries {
         |  count(*) FILTER (v % 8 = 4) AS c4, count(*) FILTER (v % 8 = 5) AS c5,
         |  count(*) FILTER (v % 8 = 6) AS c6, count(*) FILTER (v % 8 = 7) AS c7
         |  FROM byt GROUP BY doc_id)
-        |SELECT doc_id, n AS n_bytes,
-        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_byte,
-        |  CAST(c0 AS FLOAT) / CAST(n AS FLOAT) AS f0,
-        |  CAST(c1 AS FLOAT) / CAST(n AS FLOAT) AS f1,
-        |  CAST(c2 AS FLOAT) / CAST(n AS FLOAT) AS f2,
-        |  CAST(c3 AS FLOAT) / CAST(n AS FLOAT) AS f3,
-        |  CAST(c4 AS FLOAT) / CAST(n AS FLOAT) AS f4,
-        |  CAST(c5 AS FLOAT) / CAST(n AS FLOAT) AS f5,
-        |  CAST(c6 AS FLOAT) / CAST(n AS FLOAT) AS f6,
-        |  CAST(c7 AS FLOAT) / CAST(n AS FLOAT) AS f7
-        |FROM agg ORDER BY doc_id""".stripMargin,
+        |SELECT d.doc_id, COALESCE(a.n, 0) AS n_bytes,
+        |  COALESCE(CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE), 0.0)
+        |    AS mean_byte,
+        |  COALESCE(CAST(a.c0 AS FLOAT) / CAST(a.n AS FLOAT), 0.0) AS f0,
+        |  COALESCE(CAST(a.c1 AS FLOAT) / CAST(a.n AS FLOAT), 0.0) AS f1,
+        |  COALESCE(CAST(a.c2 AS FLOAT) / CAST(a.n AS FLOAT), 0.0) AS f2,
+        |  COALESCE(CAST(a.c3 AS FLOAT) / CAST(a.n AS FLOAT), 0.0) AS f3,
+        |  COALESCE(CAST(a.c4 AS FLOAT) / CAST(a.n AS FLOAT), 0.0) AS f4,
+        |  COALESCE(CAST(a.c5 AS FLOAT) / CAST(a.n AS FLOAT), 0.0) AS f5,
+        |  COALESCE(CAST(a.c6 AS FLOAT) / CAST(a.n AS FLOAT), 0.0) AS f6,
+        |  COALESCE(CAST(a.c7 AS FLOAT) / CAST(a.n AS FLOAT), 0.0) AS f7
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // deterministic chunk sampling arithmetic replicated over text bytes
-    // (chunkSize=64, nChunks=4; integer div/min/max identical to the Scala)
+    // (chunkSize=64, nChunks=4; integer div/min/max identical to the
+    // Scala; empty payloads emit no chunk rows there, hence len > 0)
     "mm_chunks" ->
-      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      """WITH d AS (SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE length(text) > 0),
         |p AS (SELECT doc_id, text, len,
         |  LEAST(4, GREATEST(1, len // 64)) AS n FROM d),
         |ix AS (SELECT doc_id, text, len, n,

@@ -145,9 +145,11 @@ class SimilaritySpec extends SparkFunSuite {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
         r.getAs[Long]("neighbor_id"))).toSeq
     assert(indexed == inline)
-    // plan proof: the parquet scan carries a partition filter on `cell`
+    // plan proof: the parquet scan carries a NON-EMPTY partition filter on
+    // `cell` (a bare `PartitionFilters: []` also prints on unpruned scans)
     val plan = indexedDf.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+    assert("""PartitionFilters: \[[^\]]*cell[^\]]*\]""".r
+        .findFirstIn(plan).isDefined,
       s"expected partition-pruned scan, got:\n$plan")
     // and the pruned read touches at most nprobe×queries distinct cells
     val cellDirs = new java.io.File(dir).listFiles()
@@ -259,6 +261,22 @@ class AsofJoinSpec extends SparkFunSuite {
       (1L, 20L, Some(110.0)), // latest preceding, not first
       (2L, 15L, Some(200.0)), // 16 is in the future, excluded
       (3L, 5L, None)))        // no quote for key 3
+  }
+
+  test("asof join: a right row with a NULL payload value is still the " +
+      "as-of match (no stale resurrection, no torn rows)") {
+    val s = spark
+    import s.implicits._
+    val trades = Seq((1L, 30L, "t")).toDF("k", "t", "trade")
+    val quotes = Seq(
+      (1L, 10L, Option(100.0), Option(5L)),
+      (1L, 20L, Option.empty[Double], Option(7L))) // as-of row, price NULL
+      .toDF("k", "qt", "price", "size")
+    val row = AsofJoin.asofJoin(trades, quotes, "k", "t", "qt",
+      Seq("price", "size")).head
+    assert(row.isNullAt(row.fieldIndex("price")),
+      "must take the t=20 row's NULL price, not resurrect t=10's 100.0")
+    assert(row.getLong(row.fieldIndex("size")) == 7L)
   }
 
   test("asof join plan: one shuffle on the key, no cross join") {
