@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run inherits the parent's raw stdout: without this, sbt routes
+// the child's stdout through its logger and prefixes every line with
+// "[info] " — which breaks any consumer expecting a bare JSON line from
+// graft.Bench (the driver's per-line json.loads fails on the prefix).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g on the 128 GiB box: the 52-query sweep allocates ~100k short-lived
+  // envelope strings per decode query across 32 threads — an 8g heap shows
+  // multi-second GC stalls on a contended machine (BENCH_r02's 25 s
+  // avro_error_permissive outlier vs 1.8 s steady-state).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-Xms2g",
 )

@@ -20,8 +20,22 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm-up: JIT + parquet footer caches + first-stage scheduling, so the
-    // first timed query doesn't absorb session start-up.
+    // first timed query doesn't absorb session start-up. The avro sweep's
+    // first queries otherwise pay 2-3 s of one-time JIT for the encode/
+    // decode/envelope kernels and the noop-write path, which belongs to the
+    // session, not the query.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    locally {
+      import org.apache.spark.sql.functions.col
+      val (provider, id) = graft.sources.AvroEventCorpus.registry()
+      val framed = graft.sources.AvroEventCorpus
+        .framedEvents(spark, sfDir, id).limit(4096)
+      graft.avro.AvroTransform.decoded(framed,
+          graft.config.EngineConfig(Seq("stub://in-memory"),
+            Map("events" -> false)), provider)
+        .groupBy(col("origin_schema_id")).count()
+        .write.format("noop").mode("overwrite").save()
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
