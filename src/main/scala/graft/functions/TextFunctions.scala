@@ -168,6 +168,21 @@ object TextFunctions {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Occurrence-weighted language evidence: `(score, lang)` where score
+    * counts every marker-token OCCURRENCE (not just distinct hits, like
+    * [[langIdFromTokens]] does) — repeated function words are the strongest
+    * language signal, so weighting by frequency separates better on short
+    * mixed-vocabulary documents. Same deterministic argmax rule:
+    * lexicographically greatest language among tied scores. */
+  def langEvidenceFromTokens(ts: Column): Column = {
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(filter(ts, t => t.isin(words: _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*))
+  }
+
   // ---- quality scoring ----
 
   def punctCount(text: Column): Column =

@@ -227,6 +227,21 @@ object AnalyticsQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // Semi join: lineitems of urgent orders, aggregated per returnflag.
+    // LeftSemi keeps the fact scan single-sided (no row duplication) and
+    // — with AQE runtime filters — the urgent-orderkey set reaches the
+    // lineitem scan as a bloom/IN filter before the join at scale.
+    "q_semi_join" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      t(s, dir, "lineitem")
+        .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), sum2(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // AS-OF join: each event picks up the user's most recent order as of
     // the event time (operators/AsofJoin — union + running-last, one
     // shuffle on the key). Right side pre-aggregated to one row per
@@ -537,6 +552,13 @@ object AnalyticsQueries {
         |CAST(SUM(CAST(CASE WHEN l_quantity >= 25 THEN l_extendedprice
         |  ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS bulk_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_semi_join" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders

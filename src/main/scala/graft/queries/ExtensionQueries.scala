@@ -178,6 +178,78 @@ object ExtensionQueries {
           TF.fingerprint64(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))),
 
+    // int8 scalar-quantized ANN: per-dim calibration, row-local quantize,
+    // integer dot-product ranking (see Similarity.int8TopK scale notes)
+    "sim_topk_int8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.int8TopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("score"))
+    }),
+
+    // TWO Lloyd's iterations: proves the trainer loop (assign → exact
+    // decimal means → re-assign against the TRAINED doubles) stays
+    // deterministic and oracle-reproducible past the first step
+    "ivf_kmeans_refine2" -> ((s, dir) => {
+      val (ids, vecs) = Similarity.kmeansCentroids(
+        t(s, dir, "embeddings"), nlist = 16, iters = 2)
+      import s.implicits._
+      ids.zip(vecs).toSeq
+        .flatMap { case (cid, v) =>
+          v.zipWithIndex.map { case (m, p) => (cid, p, m) } }
+        .toDF("cell", "pos", "mean")
+        .orderBy(col("cell"), col("pos"))
+    }),
+
+    // Gopher-style repetition signals: type-token ratio + most-frequent-
+    // bigram share + duplicated-bigram share. Scale shape: explode →
+    // (doc_id, bigram) partial-agg (map-side combine collapses each
+    // partition's repeats before the exchange) → per-doc agg; the join
+    // back to per-doc token stats is co-partitioned on doc_id.
+    "text_repetition" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        TF.normTokens(col("text")).as("toks"))
+      val tokStats = toks.select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"))
+      val bigrams = toks.select(col("doc_id"),
+        explode(when(size(col("toks")) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", slice(col("toks"), i, lit(2)))))).as("bg"))
+      val bgStats = bigrams
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_n"),
+          count(lit(1)).as("n_distinct_bg"))
+      tokStats.join(bgStats, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("n_tokens") === 0, lit(0.0))
+            .otherwise(col("n_distinct").cast("double") /
+              col("n_tokens").cast("double")).as("distinct_token_ratio"),
+          coalesce(col("top_n").cast("double") /
+            col("n_bigrams").cast("double"), lit(0.0)).as("top_bigram_frac"),
+          coalesce((col("n_bigrams") - col("n_distinct_bg")).cast("double") /
+            col("n_bigrams").cast("double"), lit(0.0)).as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // occurrence-weighted language id (richer than text_profile's
+    // distinct-hit argmax): winning language, its marker-occurrence count,
+    // and the marker density as a confidence proxy
+    "text_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.normTokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          TF.langEvidenceFromTokens(col("toks")).as("ev"))
+        .select(col("doc_id"),
+          when(col("ev.score") > 0, col("ev.lang")).otherwise(lit("und"))
+            .as("lang_pred"),
+          col("ev.score").as("marker_hits"),
+          when(size(col("toks")) === 0, lit(0.0))
+            .otherwise(col("ev.score").cast("double") /
+              size(col("toks")).cast("double")).as("marker_ratio"))
+        .orderBy(col("doc_id"))),
+
     // ---- multimodal plumbing ----
     "mm_meta" -> ((s, dir) =>
       Multimodal.withBlob(t(s, dir, "documents"), "text")
@@ -396,6 +468,121 @@ object ExtensionQueries {
         |  CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1e10) AS BIGINT)) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) / 1e10 AS mean
         |FROM ex GROUP BY cell, pos ORDER BY cell, pos""".stripMargin,
+    // mirrors Similarity.int8TopK: per-dim min/max calibration, affine
+    // round-half-up quantization (identical IEEE double ops both engines),
+    // exact integer dot product, ties by neighbor_id
+    "sim_topk_int8" ->
+      """WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, unnest(v) AS x,
+        |  unnest(range(1, len(v) + 1)) AS pos FROM corp),
+        |st AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY pos),
+        |sc AS (SELECT pos, mn,
+        |  CASE WHEN mx > mn THEN CAST(255 AS DOUBLE) / (mx - mn)
+        |    ELSE CAST(0 AS DOUBLE) END AS s FROM st),
+        |codes AS (SELECT vec_id,
+        |    list(CAST(round((x - mn) * s) AS BIGINT) - 128 ORDER BY pos) AS c
+        |  FROM e JOIN sc USING (pos) GROUP BY vec_id),
+        |q AS (SELECT vec_id AS query_id, c AS qc FROM codes
+        |  WHERE vec_id < 10),
+        |s2 AS (SELECT query_id, vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(qc) + 1),
+        |      i -> qc[i] * c[i])) AS BIGINT) AS score
+        |  FROM q, codes WHERE vec_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id, score,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id) AS rank FROM s2)
+        |SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // two chained Lloyd's iterations: iteration-1 exact decimal means
+    // (same arithmetic as ivf_kmeans_refine) become the iteration-2
+    // centroid table; emptied cells keep their previous vector at every
+    // step, mirroring Similarity.refineCentroids' fold
+    "ivf_kmeans_refine2" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_vec
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, embedding
+        |  FROM embeddings),
+        |a1 AS (
+        |  SELECT vec_id, embedding, cent_id AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY list_distance(v, cent_vec), cent_id) AS rn
+        |  FROM corp, cents),
+        |c1 AS (SELECT embedding, cell FROM a1 WHERE rn = 1),
+        |ex1 AS (SELECT cell, unnest(range(0, len(embedding))) AS pos,
+        |  unnest(embedding) AS x FROM c1),
+        |m1 AS (SELECT cell, pos,
+        |  CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1e10) AS BIGINT)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1e10 AS mean
+        |  FROM ex1 GROUP BY cell, pos),
+        |v1 AS (SELECT cell, list(mean ORDER BY pos) AS cv FROM m1
+        |  GROUP BY cell),
+        |cent1 AS (SELECT c.cent_id AS cell, COALESCE(v1.cv, c.cent_vec) AS cv
+        |  FROM cents c LEFT JOIN v1 ON v1.cell = c.cent_id),
+        |a2 AS (
+        |  SELECT corp.vec_id, corp.embedding, cent1.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY corp.vec_id
+        |      ORDER BY list_distance(corp.v, cent1.cv), cent1.cell) AS rn
+        |  FROM corp, cent1),
+        |c2 AS (SELECT embedding, cell FROM a2 WHERE rn = 1),
+        |ex2 AS (SELECT cell, unnest(range(0, len(embedding))) AS pos,
+        |  unnest(embedding) AS x FROM c2),
+        |m2 AS (SELECT cell, pos,
+        |  CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1e10) AS BIGINT)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1e10 AS mean
+        |  FROM ex2 GROUP BY cell, pos),
+        |dims AS (SELECT DISTINCT unnest(range(0, len(embedding))) AS pos
+        |  FROM corp)
+        |SELECT ct.cell, d.pos, COALESCE(m2.mean, ct.cv[d.pos + 1]) AS mean
+        |FROM cent1 ct CROSS JOIN dims d
+        |LEFT JOIN m2 ON m2.cell = ct.cell AND m2.pos = d.pos
+        |ORDER BY ct.cell, d.pos""".stripMargin,
+    "text_repetition" ->
+      s"""WITH tk AS ($NormToksSql),
+         |ts AS (SELECT doc_id, len(toks) AS n_tokens,
+         |  len(list_distinct(toks)) AS n_distinct FROM tk),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS b
+         |  FROM tk WHERE len(toks) >= 2),
+         |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+         |bs AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_n,
+         |  COUNT(*) AS n_dist FROM bc GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_tokens,
+         |  CASE WHEN t.n_tokens = 0 THEN CAST(0 AS DOUBLE)
+         |    ELSE CAST(t.n_distinct AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+         |    END AS distinct_token_ratio,
+         |  COALESCE(CAST(b.top_n AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE),
+         |    CAST(0 AS DOUBLE)) AS top_bigram_frac,
+         |  COALESCE(CAST(b.n_bigrams - b.n_dist AS DOUBLE)
+         |    / CAST(b.n_bigrams AS DOUBLE), CAST(0 AS DOUBLE))
+         |    AS dup_bigram_frac
+         |FROM ts t LEFT JOIN bs b USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // occurrence-weighted scores (list_filter counts every occurrence);
+    // same argmax tie-break as the engine: greatest lang among ties
+    "text_langid" ->
+      s"""WITH tk AS ($NormToksSql),
+         |langs(lang, markers) AS (VALUES
+         |  ('de', ['der','die','das','und','ist','von','mit','den','nicht','ein']),
+         |  ('en', ['the','and','of','to','in','is','that','for','with','a']),
+         |  ('es', ['el','la','de','que','y','en','los','del','las','por']),
+         |  ('fr', ['le','la','les','de','des','et','en','une','que','pour']),
+         |  ('zh', ['的','是','了','在','我','有','和','不','人','这'])),
+         |scored AS (
+         |  SELECT doc_id, lang, len(toks) AS n_toks,
+         |    len(list_filter(toks, t -> list_contains(markers, t))) AS score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY
+         |      len(list_filter(toks, t -> list_contains(markers, t))) DESC,
+         |      lang DESC) AS rn
+         |  FROM tk CROSS JOIN langs)
+         |SELECT doc_id,
+         |  CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+         |  score AS marker_hits,
+         |  CASE WHEN n_toks = 0 THEN CAST(0 AS DOUBLE)
+         |    ELSE CAST(score AS DOUBLE) / CAST(n_toks AS DOUBLE)
+         |    END AS marker_ratio
+         |FROM scored WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |CASE WHEN length(trim(text)) = 0 THEN 0
