@@ -51,6 +51,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_to_avro",
       es => AvroEncodeFixed(es(0), stringArg(es(1), "schemaJson")),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_nearest_centroids",
+      es => NearestCentroids(es(0), longArrayArg(es(1), "centIds"),
+        vecArrayArg(es(2), "centVecs"), intArg(es(3), "take")), "built-in")
   }
 
   private def stringArg(e: Expression, name: String): String = e.eval() match {
@@ -58,5 +61,52 @@ object GraftFunctions {
     case s: String => s
     case other => throw new IllegalArgumentException(
       s"$name must be a string literal, got $other")
+  }
+
+  /** Foldable `array<integral>` argument → Array[Long] (centroid ids). */
+  private[graft] def longArrayArg(e: Expression, name: String): Array[Long] = {
+    require(e.foldable, s"$name must be an array literal")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        e.dataType match {
+          case org.apache.spark.sql.types.ArrayType(et, _) =>
+            (0 until a.numElements()).map(i => a.get(i, et) match {
+              case l: Long => l
+              case i2: Int => i2.toLong
+              case other => throw new IllegalArgumentException(
+                s"$name elements must be integers, got $other")
+            }).toArray
+          case dt => throw new IllegalArgumentException(
+            s"$name must be an array, got $dt")
+        }
+      case other => throw new IllegalArgumentException(
+        s"$name must be an array literal, got $other")
+    }
+  }
+
+  /** Foldable `array<array<numeric>>` argument → centroid matrix. */
+  private[graft] def vecArrayArg(e: Expression, name: String)
+      : Array[Array[Double]] = {
+    require(e.foldable, s"$name must be an array-of-arrays literal")
+    (e.eval(), e.dataType) match {
+      case (a: org.apache.spark.sql.catalyst.util.ArrayData,
+          org.apache.spark.sql.types.ArrayType(
+            inner @ org.apache.spark.sql.types.ArrayType(et, _), _)) =>
+        (0 until a.numElements()).map { i =>
+          val row = a.get(i, inner)
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          (0 until row.numElements()).map(j => row.get(j, et) match {
+            case d: Double => d
+            case f: Float => f.toDouble
+            case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+            case i2: Int => i2.toDouble
+            case l: Long => l.toDouble
+            case other => throw new IllegalArgumentException(
+              s"$name elements must be numeric, got $other")
+          }).toArray
+        }.toArray
+      case (_, dt) => throw new IllegalArgumentException(
+        s"$name must be an array-of-arrays literal, got $dt")
+    }
   }
 }

@@ -60,5 +60,12 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         "graft_hyperplane_sig(vec, nBits, seed) - sign-bit LSH signature"),
       es => HyperplaneSignature(es(0), intArg(es(1), "nBits"),
         intArg(es(2), "seed").toLong)))
+    e.injectFunction((FunctionIdentifier("graft_nearest_centroids"),
+      info("graft_nearest_centroids",
+        "graft_nearest_centroids(vec, centIds, centVecs, take) - ids of " +
+          "the take nearest centroids (row-local, centroids from literals)"),
+      es => NearestCentroids(es(0), GraftFunctions.longArrayArg(es(1),
+        "centIds"), GraftFunctions.vecArrayArg(es(2), "centVecs"),
+        intArg(es(3), "take"))))
   }
 }

@@ -179,6 +179,43 @@ object AnalyticsQueries {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // CUBE: all four grouping combinations in one pass (Spark expands to a
+    // single Expand + partial-agg — no per-grouping re-scan).
+    "q_cube_flags" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum2(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // PIVOT: event counts per day fanned out to one column per type.
+    // The pivot value list is declared, so the plan is a single groupBy
+    // with conditional aggregates — no second pass to discover values.
+    "q_pivot_events" -> ((s, dir) =>
+      events(s, dir)
+        .select(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("view", "click", "purchase", "refund"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("day"), col("view").as("n_view"),
+          col("click").as("n_click"), col("purchase").as("n_purchase"),
+          col("refund").as("n_refund"))
+        .orderBy(col("day"))),
+
+    // Window FRAME (rows unbounded-preceding): exact running spend per
+    // customer — decimal accumulation keeps the running sums portable.
+    "q_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          sum(dec2(col("o_totalprice"))).over(w).cast("double")
+            .as("run_total"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }),
+
     // Self-join against a derived aggregate (above-average orders).
     "q_above_avg_orders" -> ((s, dir) => {
       val ord = t(s, dir, "orders")
@@ -476,6 +513,26 @@ object AnalyticsQueries {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube_flags" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_pivot_events" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |COUNT(*) FILTER (event_type = 'view') AS n_view,
+        |COUNT(*) FILTER (event_type = 'click') AS n_click,
+        |COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |COUNT(*) FILTER (event_type = 'refund') AS n_refund
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderdate, o_orderkey,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  AS run_total
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "q_above_avg_orders" ->
       """SELECT o_orderstatus, COUNT(*) AS n_above
         |FROM orders o JOIN (

@@ -20,7 +20,8 @@ object PlanAudit {
     val interesting = Seq("q1_pricing_summary", "q3_shipping_priority",
       "q5_region_revenue", "q6_revenue_forecast", "q_orders_topk",
       "sim_topk_brute", "sim_topk_ivf", "dedup_minhash", "avro_roundtrip_agg",
-      "q_asof_join", "q_range_join", "q_skew_salted_agg")
+      "q_asof_join", "q_range_join", "q_skew_salted_agg",
+      "sim_topk_int8", "text_repetition", "q_semi_join")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       // Codegen stages are marked `*(id)` in the SIMPLE plan string, but

@@ -67,4 +67,22 @@ class GraftFunctionsSpec extends SparkFunSuite {
       .head.getLong(0)
     assert(sig == again)
   }
+
+  test("graft_nearest_centroids from SQL with literal centroid arrays") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(s)
+    Seq((0L, Array(0.0f, 0.0f)), (1L, Array(9.0f, 9.0f)),
+      (2L, Array(10.0f, 10.0f)))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("gf_vecs")
+    val out = s.sql(
+      """SELECT vec_id, graft_nearest_centroids(embedding,
+        |  array(100L, 200L),
+        |  array(array(0.0D, 0.0D), array(10.0D, 10.0D)), 2) AS cells
+        |FROM gf_vecs ORDER BY vec_id""".stripMargin).collect()
+      .map(r => r.getSeq[Long](1).toSeq)
+    assert(out(0) == Seq(100L, 200L)) // nearest origin first
+    assert(out(1) == Seq(200L, 100L)) // (9,9) closer to (10,10)
+    assert(out(2) == Seq(200L, 100L))
+  }
 }
