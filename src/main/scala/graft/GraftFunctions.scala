@@ -54,6 +54,16 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_nearest_centroids",
       es => NearestCentroids(es(0), longArrayArg(es(1), "centIds"),
         vecArrayArg(es(2), "centVecs"), intArg(es(3), "take")), "built-in")
+    registerOptimizations(spark)
+  }
+
+  /** Runtime twin of [[GraftSparkExtensions]]'s `injectOptimizerRule` for
+    * sessions built without extensions (the extensions conf is fixed at
+    * session build time; `extraOptimizations` is not). Idempotent. */
+  def registerOptimizations(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(JaccardLengthPruning))
+      spark.experimental.extraOptimizations = cur :+ JaccardLengthPruning
   }
 
   private def stringArg(e: Expression, name: String): String = e.eval() match {

@@ -67,5 +67,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       es => NearestCentroids(es(0), GraftFunctions.longArrayArg(es(1),
         "centIds"), GraftFunctions.vecArrayArg(es(2), "centVecs"),
         intArg(es(3), "take"))))
+    e.injectOptimizerRule(_ => JaccardLengthPruning)
   }
 }
