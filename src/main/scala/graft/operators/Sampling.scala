@@ -56,4 +56,33 @@ object Sampling {
     sources.zipWithIndex.map { case ((df, num), i) =>
       hashSample(df, idCol, num, den, salt = i.toLong)
     }.reduce(_ unionAll _)
+
+  /** Epoch-weighted mixture ("2.5 epochs of wiki, 0.25 of web"): every row
+    * is emitted `floor(w)` times, plus once more for a hash-chosen ~frac(w)
+    * of rows, with a 0-based `copy` index for downstream sharding.
+    *
+    * Row-local (literal weight maps + explode — no join, no shuffle; the
+    * output inherits the input's partitioning) and deterministic: the
+    * fractional-epoch membership is the same id-hash rule as
+    * [[hashSample]], so mixtures are reproducible across cluster sizes and
+    * engines. Fractions are quantized to `1/den` (default 1e-3). */
+  def epochMix(df: DataFrame, strataCol: String, idCol: String,
+      weights: Map[String, Double], den: Int = 1000, salt: Long = 0L)
+      : DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w < 1000),
+      "epoch weights must be in [0, 1000)")
+    val whole = map(weights.toSeq.sortBy(_._1).flatMap { case (k, w) =>
+      Seq(lit(k), lit(w.toInt)) }: _*)
+    val frac = map(weights.toSeq.sortBy(_._1).flatMap { case (k, w) =>
+      Seq(lit(k), lit(math.round((w - w.toInt) * den).toInt)) }: _*)
+    val copies = coalesce(element_at(whole, col(strataCol)), lit(0)) +
+      when(bucket(col(idCol), den, salt) <
+        coalesce(element_at(frac, col(strataCol)), lit(0)), lit(1))
+        .otherwise(lit(0))
+    // sequence(0, -1) would STEP BACKWARDS (Spark infers step sign), so
+    // zero-copy rows must take the empty-array branch explicitly
+    df.withColumn("copy",
+      explode(when(copies > 0, sequence(lit(0), copies - 1))
+        .otherwise(array().cast("array<int>"))))
+  }
 }

@@ -105,6 +105,14 @@ object ExtensionQueries {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // epoch-weighted corpus mixture: 2.5 epochs of src0, 1 of src1,
+    // 0.25 of src2 — whole copies + hash-chosen fractional membership
+    "sample_epoch_mix" -> ((s, dir) =>
+      Sampling.epochMix(t(s, dir, "documents"), "source", "doc_id",
+          weights = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25))
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))),
+
     // ---- similarity search ----
     "sim_topk_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -413,6 +421,16 @@ object ExtensionQueries {
         |  CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 5
         |    WHEN 'src2' THEN 2 ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
+    "sample_epoch_mix" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+        |    ELSE 0 END
+        |  + CASE WHEN ((doc_id + 0) * 2654435761) % 1000 <
+        |      (CASE source WHEN 'src0' THEN 500 WHEN 'src2' THEN 250
+        |        ELSE 0 END) THEN 1 ELSE 0 END AS copies
+        |  FROM documents)
+        |SELECT doc_id, source, unnest(range(0, copies)) AS copy
+        |FROM w ORDER BY doc_id, copy""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsOracle(CharNgramsSql, 0.5),
     "dedup_simhash" ->
       """WITH u AS (SELECT doc_id, text FROM documents

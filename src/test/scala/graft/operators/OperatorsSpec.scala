@@ -228,6 +228,35 @@ class SimilaritySpec extends SparkFunSuite {
     assert(!bySource.contains("src1") && !bySource.contains("src2"))
   }
 
+  test("epochMix: whole copies for every row, fractional copies for the " +
+      "hash-chosen share, zero-weight strata dropped") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Sampling.epochMix(docs, "source", "doc_id",
+      weights = Map("src0" -> 2.5, "src1" -> 1.0)).collect()
+    val copies = out.groupBy(_.getAs[Long]("doc_id")).view
+      .mapValues(_.map(_.getAs[Int]("copy")).sorted.toSeq).toMap
+    val bySource = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    bySource.foreach { case (id, src) =>
+      val got = copies.getOrElse(id, Seq.empty)
+      src match {
+        case "src0" => // 2 or 3 copies, contiguous from 0
+          assert(got == (0 until got.size).toSeq && Set(2, 3)(got.size))
+        case "src1" => assert(got == Seq(0))
+        case _ => assert(got.isEmpty, s"weightless source emitted $got")
+      }
+    }
+    // the fractional share is the same membership rule as hashSample
+    val extra = out.filter(r => bySource(r.getAs[Long]("doc_id")) == "src0")
+      .groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.size).toMap
+      .filter(_._2 == 3).keySet
+    val expected = Sampling.hashSample(
+        docs.filter(org.apache.spark.sql.functions.col("source") === "src0"),
+        "doc_id", 500, 1000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(extra == expected)
+  }
+
   test("survivorsFromPairs: chains collapse to the component min; " +
       "singletons survive as themselves") {
     val s = spark

@@ -64,6 +64,30 @@ class QuantizedSimSpec extends SparkFunSuite {
     assert(score == expect)
   }
 
+  test("quantization error is bounded by half a step on random vectors") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 200).map(i =>
+      (i.toLong, Array.fill(16)((rnd.nextFloat() - 0.5f) * 20f)))
+    val df = data.toDF("vec_id", "embedding")
+    val (mins, maxs) = Similarity.dimStats(df)
+    val step = mins.zip(maxs).map { case (mn, mx) => (mx - mn) / 255.0 }
+    val byId = df.select(col("vec_id"),
+        Similarity.quantizeInt8(col("embedding"), mins, maxs).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    data.foreach { case (id, vec) =>
+      val codes = byId(id)
+      vec.zipWithIndex.foreach { case (x, d) =>
+        val code = codes(d)
+        assert(code >= -128 && code <= 127)
+        val reconstructed = mins(d) + (code + 128) * step(d)
+        assert(math.abs(x.toDouble - reconstructed) <= step(d) / 2 + 1e-9,
+          s"vec $id dim $d: x=$x reconstructed=$reconstructed step=${step(d)}")
+      }
+    }
+  }
+
   test("repetition signals on a hand-checked token stream") {
     val s = spark
     import s.implicits._
