@@ -155,6 +155,39 @@ object AnalyticsQueries {
       y95.intersect(y96).orderBy(col("custkey"))
     }),
 
+    // Multiset (bag) set ops: each surviving row keeps its multiplicity
+    // difference/minimum — Spark plans these as aggregate+generate, not
+    // the distinct-based anti/semi joins of EXCEPT/INTERSECT.
+    "q_setop_except_all" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val y95 = ord.filter(
+        col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-01-01")))
+        .select(col("o_custkey").as("custkey"))
+      val y96 = ord.filter(
+        col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("o_custkey").as("custkey"))
+      y95.exceptAll(y96).groupBy(col("custkey"))
+        .agg(count(lit(1)).as("multiplicity"))
+        .orderBy(col("custkey"))
+    }),
+
+    "q_setop_intersect_all" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val y95 = ord.filter(
+        col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-01-01")))
+        .select(col("o_custkey").as("custkey"))
+      val y96 = ord.filter(
+        col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("o_custkey").as("custkey"))
+      y95.intersectAll(y96).groupBy(col("custkey"))
+        .agg(count(lit(1)).as("multiplicity"))
+        .orderBy(col("custkey"))
+    }),
+
     // Global top-k: TakeOrderedAndProject, not a full sort.
     "q_orders_topk" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -237,6 +270,23 @@ object AnalyticsQueries {
         .select(col("window.start").as("window_start"), col("event_type"),
           col("cnt"), col("total_value"))
         .orderBy(col("window_start"), col("event_type"))),
+
+    // Event-time SLIDING window via a RANGE frame over epoch micros:
+    // every event sees its user's trailing-hour totals. A numeric RANGE
+    // frame includes all peers of the boundary timestamps, so the result
+    // is deterministic even when events share a timestamp.
+    "q_sliding_value" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+        .rangeBetween(-3600000000L, 0L)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tus"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          sum(dec2(col("value"))).over(w).cast("double")
+            .as("trail_1h_value"),
+          count(lit(1)).over(w).as("trail_1h_events"))
+        .orderBy(col("event_id"))
+    }),
 
     // Daily rollup over the event stream table.
     "q_events_daily" -> ((s, dir) =>
@@ -494,6 +544,28 @@ object AnalyticsQueries {
         |SELECT o_custkey AS custkey FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |ORDER BY custkey""".stripMargin,
+    "q_setop_except_all" ->
+      """WITH ex AS (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  EXCEPT ALL
+        |  SELECT o_custkey AS custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT custkey, COUNT(*) AS multiplicity FROM ex
+        |GROUP BY custkey ORDER BY custkey""".stripMargin,
+    "q_setop_intersect_all" ->
+      """WITH ia AS (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  INTERSECT ALL
+        |  SELECT o_custkey AS custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT custkey, COUNT(*) AS multiplicity FROM ia
+        |GROUP BY custkey ORDER BY custkey""".stripMargin,
     "q_setop_intersect" ->
       """SELECT o_custkey AS custkey FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
@@ -541,6 +613,19 @@ object AnalyticsQueries {
         |  FROM orders GROUP BY o_orderstatus) a ON o.o_orderstatus = a.st
         |WHERE o.o_totalprice > a.avg_p
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_sliding_value" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY user_id ORDER BY tus
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  AS trail_1h_value,
+        |COUNT(*) OVER (
+        |  PARTITION BY user_id ORDER BY tus
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |  AS trail_1h_events
+        |FROM e ORDER BY event_id""".stripMargin,
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |COUNT(*) AS cnt,

@@ -1,0 +1,84 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+import graft.operators.Similarity
+
+/** Plan-SHAPE contracts for the scale-critical operators: these pin the
+  * 100 TB design claims (corpus never shuffled, assignments row-local,
+  * top-k partial-aggregated) as CI assertions, so a refactor that silently
+  * reintroduces an exchange fails the suite, not just a manual PlanAudit
+  * run.
+  *
+  * Counting convention: with AQE, `executedPlan.toString` AFTER execution
+  * prints the final adaptive plan per stage — we count Exchange operators
+  * in it directly (broadcast exchanges are counted separately from shuffle
+  * exchanges; only shuffles move the corpus).
+  */
+class PlanContractSpec extends SparkFunSuite {
+
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  /** Final adaptive plan only — `AdaptiveSparkPlan.toString` appends the
+    * pre-execution "== Initial Plan ==" section, which would double every
+    * operator count. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+  }
+
+  private def shuffles(df: DataFrame): Int =
+    "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllIn(finalPlan(df)).length
+
+  private def broadcasts(df: DataFrame): Int =
+    "BroadcastExchange".r.findAllIn(finalPlan(df)).length
+
+  test("bruteForceTopK: queries broadcast; the only shuffles are the " +
+      "two-phase top-k agg and the output sort") {
+    val q = emb.filter(col("vec_id") < 5)
+    val df = Similarity.bruteForceTopK(emb, q, k = 3)
+    assert(broadcasts(df) >= 1, "query side must broadcast")
+    // partial top-k exchange (hash by query_id) + deterministic orderBy
+    assert(shuffles(df) <= 2,
+      s"corpus must not shuffle:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("ivfTopKWithCentroids: cell assignment is row-local — no exchange " +
+      "between the corpus scan and the probe join") {
+    val q = emb.filter(col("vec_id") < 5)
+    val (ids, vecs) = Similarity.kmeansCentroids(emb, nlist = 4, iters = 0)
+    val df = Similarity.ivfTopKWithCentroids(emb, q, k = 3, ids, vecs,
+      nprobe = 2)
+    assert(broadcasts(df) >= 1, "probes must broadcast")
+    assert(shuffles(df) <= 2,
+      s"corpus-side assignment must stay shuffle-free:\n" +
+        df.queryExecution.executedPlan)
+  }
+
+  test("int8TopK: quantization is a row-local projection; corpus never " +
+      "shuffles") {
+    val df = Similarity.int8TopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+    assert(broadcasts(df) >= 1)
+    assert(shuffles(df) <= 2,
+      s"quantized corpus must not shuffle:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("dimStats calibration: partial aggregate — the exchange carries " +
+      "dim-sized partials, and the plan has exactly one shuffle") {
+    // posexplode + groupBy(pos): map-side combine collapses each partition
+    // to <= dim rows before the single exchange
+    val stats = emb
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")), max(col("x")))
+    assert(shuffles(stats) == 1)
+    val plan = finalPlan(stats)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final aggregate:\n$plan")
+  }
+}
