@@ -28,12 +28,34 @@ object Bench {
     locally {
       import org.apache.spark.sql.functions.col
       val (provider, id) = graft.sources.AvroEventCorpus.registry()
+      // 20k rows: enough invocations to push the encode/decode hot loops
+      // through C2 (4k left the first timed query paying tiered
+      // compilation: measured 6.7 s first-query vs 2.9 s steady state)
       val framed = graft.sources.AvroEventCorpus
-        .framedEvents(spark, sfDir, id).limit(4096)
+        .framedEvents(spark, sfDir, id).limit(20000)
+      // drive the warmup through the same shape as the timed queries:
+      // decode → envelope columns → global sort → noop, so the envelope
+      // projection and sort codegen JIT here, not in the first timed query
       graft.avro.AvroTransform.decoded(framed,
           graft.config.EngineConfig(Seq("stub://in-memory"),
             Map("events" -> false)), provider)
-        .groupBy(col("origin_schema_id")).count()
+        .select(col("origin_schema_id"), col("origin_message"),
+          col("value"), col("key"))
+        .orderBy(col("origin_schema_id"))
+        .write.format("noop").mode("overwrite").save()
+      // the dedup/similarity native kernels (shingle/minhash/simhash/
+      // cosine) JIT separately from the avro path — first dedup query
+      // otherwise pays ~2 s of compilation that belongs to the session
+      // (measured: dedup_minhash 8.2 s cold vs 1.8-2.2 s warm at sf0.1)
+      val warmDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .limit(256)
+      graft.operators.Dedup.minhashNearDup(warmDocs, "text", "doc_id",
+          shingleK = 3, numHashes = 64, bands = 16, threshold = 0.8)
+        .write.format("noop").mode("overwrite").save()
+      val warmEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .limit(256)
+      graft.operators.Similarity.bruteForceTopK(warmEmb,
+          warmEmb.filter(col("vec_id") < 2), k = 2)
         .write.format("noop").mode("overwrite").save()
     }
 
