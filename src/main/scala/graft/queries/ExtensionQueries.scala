@@ -258,6 +258,24 @@ object ExtensionQueries {
               size(col("toks")).cast("double")).as("marker_ratio"))
         .orderBy(col("doc_id"))),
 
+    // end-to-end keep/drop decision (C4/Gopher-style): quality score +
+    // language gate + repetition gate composed into one row-local pass —
+    // the signals AND the boolean verdict are oracle-pinned for every doc
+    "text_quality_filter" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TF.normTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          TF.langIdFromTokens(col("toks")).as("lang_pred"),
+          TF.qualityScoreFromTokens(col("text"), col("toks")).as("quality"),
+          when(size(col("toks")) === 0, lit(0.0))
+            .otherwise(size(array_distinct(col("toks"))).cast("double") /
+              size(col("toks")).cast("double")).as("distinct_ratio"))
+        .withColumn("keep",
+          col("quality") >= 0.95 && col("lang_pred") === "en" &&
+            col("distinct_ratio") >= 0.5)
+        .orderBy(col("doc_id"))),
+
     // ---- multimodal plumbing ----
     "mm_meta" -> ((s, dir) =>
       Multimodal.withBlob(t(s, dir, "documents"), "text")
@@ -674,6 +692,65 @@ object ExtensionQueries {
          |    + s.digit_score * CAST(0.15 AS DOUBLE)
          |    + s.stop_score * CAST(0.2 AS DOUBLE) AS quality,
          |  s.n_subwords, s.stopword_ratio
+         |FROM scored s JOIN lang_pick l ON s.doc_id = l.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
+    // same lang/quality arithmetic as the text_profile oracle, plus the
+    // distinct-token gate; the keep verdict is a pure boolean over them
+    "text_quality_filter" ->
+      s"""WITH tk AS ($NormToksSql),
+         |langs(lang, markers) AS (VALUES
+         |  ('de', ['der','die','das','und','ist','von','mit','den','nicht','ein']),
+         |  ('en', ['the','and','of','to','in','is','that','for','with','a']),
+         |  ('es', ['el','la','de','que','y','en','los','del','las','por']),
+         |  ('fr', ['le','la','les','de','des','et','en','une','que','pour']),
+         |  ('zh', ['的','是','了','在','我','有','和','不','人','这'])),
+         |lang_scored AS (
+         |  SELECT doc_id, lang,
+         |    len(list_distinct(list_intersect(toks, markers))) AS score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY
+         |      len(list_distinct(list_intersect(toks, markers))) DESC,
+         |      lang DESC) AS rn
+         |  FROM tk CROSS JOIN langs),
+         |lang_pick AS (
+         |  SELECT doc_id,
+         |    CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+         |  FROM lang_scored WHERE rn = 1),
+         |base AS (
+         |  SELECT doc_id, toks,
+         |    length(text) AS n_chars,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE length(regexp_split_to_array(trim(text), '\\s+')) END
+         |      AS n_tokens,
+         |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+         |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(toks, t -> list_contains(
+         |        ['the','and','of','to','in','is','that','for','with','a'], t)))
+         |        AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+         |    CASE WHEN len(toks) = 0 THEN CAST(0 AS DOUBLE)
+         |      ELSE CAST(len(list_distinct(toks)) AS DOUBLE)
+         |        / CAST(len(toks) AS DOUBLE) END AS distinct_ratio
+         |  FROM tk),
+         |scored AS (
+         |  SELECT doc_id, distinct_ratio,
+         |    CAST(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+         |      THEN 1.0 ELSE 0.3 END AS DOUBLE) * CAST(0.25 AS DOUBLE)
+         |    + CAST(CASE WHEN (CASE WHEN n_tokens = 0 THEN 0.0
+         |        ELSE CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END)
+         |        BETWEEN 3 AND 12 THEN 1.0 ELSE 0.4 END AS DOUBLE)
+         |      * CAST(0.2 AS DOUBLE)
+         |    + CAST(CASE WHEN (CASE WHEN n_chars = 0 THEN 0.0
+         |        ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) END)
+         |        <= 0.1 THEN 1.0 ELSE 0.5 END AS DOUBLE) * CAST(0.2 AS DOUBLE)
+         |    + CAST(CASE WHEN (CASE WHEN n_chars = 0 THEN 0.0
+         |        ELSE CAST(n_digits AS DOUBLE) / CAST(n_chars AS DOUBLE) END)
+         |        <= 0.3 THEN 1.0 ELSE 0.5 END AS DOUBLE) * CAST(0.15 AS DOUBLE)
+         |    + CAST(CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.6 END
+         |      AS DOUBLE) * CAST(0.2 AS DOUBLE) AS quality
+         |  FROM base)
+         |SELECT s.doc_id, l.lang_pred, s.quality, s.distinct_ratio,
+         |  (s.quality >= 0.95 AND l.lang_pred = 'en'
+         |    AND s.distinct_ratio >= 0.5) AS keep
          |FROM scored s JOIN lang_pick l ON s.doc_id = l.doc_id
          |ORDER BY s.doc_id""".stripMargin,
     "mm_meta" ->
