@@ -24,6 +24,35 @@ object Bench {
     // first queries otherwise pay 2-3 s of one-time JIT for the encode/
     // decode/envelope kernels and the noop-write path, which belongs to the
     // session, not the query.
+    // warmup failures must not abort the sweep — the timed loop below
+    // survives per-query failures, and a cold-start sweep is still a sweep
+    try warmup(spark, sfDir)
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] warmup failed (continuing cold): $t")
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop sink: forces full evaluation of every output column —
+        // count() would let Catalyst prune projections (a decode-heavy
+        // query would be timed as a bare scan).
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-28s $sec%8.2fs")
+        name -> sec
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+
+  private def warmup(spark: SparkSession, sfDir: String): Unit = {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     locally {
       import org.apache.spark.sql.functions.col
@@ -58,25 +87,5 @@ object Bench {
           warmEmb.filter(col("vec_id") < 2), k = 2)
         .write.format("noop").mode("overwrite").save()
     }
-
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        // noop sink: forces full evaluation of every output column —
-        // count() would let Catalyst prune projections (a decode-heavy
-        // query would be timed as a bare scan).
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case t: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
-        }
-        val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-28s $sec%8.2fs")
-        name -> sec
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
   }
 }

@@ -150,21 +150,36 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"))
 
-  /** Predicted language: argmax of marker-token hits over [[LangMarkers]];
-    * deterministic tie-break = lexicographically greatest language among
-    * the tied scores (documented engine rule); "und" when nothing matches.
-    * Composed as array_max over (score, lang) structs — no UDF. */
-  def langId(text: Column): Column = langIdFromTokens(normTokens(text))
+  /** zh marker evidence must be CHARACTER-level: [[normalize]] strips all
+    * non-[a-z0-9], so the zh markers can never appear as tokens, and
+    * Chinese text is unsegmented anyway — token equality would need a word
+    * segmenter. Counting marker-character occurrences in the RAW text is
+    * one codegen'd regexp per row and works on unsegmented runs. */
+  def zhMarkerCount(text: Column): Column =
+    length(text) -
+      length(regexp_replace(text, "[" + LangMarkers("zh").mkString + "]", ""))
+
+  /** Predicted language: argmax of marker evidence — distinct marker-token
+    * hits for the latin-script languages, marker-CHARACTER occurrences for
+    * zh (see [[zhMarkerCount]]); deterministic tie-break =
+    * lexicographically greatest language among the tied scores (documented
+    * engine rule); "und" when nothing matches. Composed as array_max over
+    * (score, lang) structs — no UDF. */
+  def langId(text: Column): Column = langIdFromTokens(text, normTokens(text))
 
   /** [[langId]] over a pre-computed normalized-token column — lets callers
-    * computing several token-based signals materialize tokens ONCE. */
-  def langIdFromTokens(ts: Column): Column = {
-    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(
-        size(array_intersect(ts, array(words.map(lit): _*))).as("score"),
-        lit(lang).as("lang"))
+    * computing several token-based signals materialize tokens ONCE (the
+    * raw text column is still needed for the zh character evidence). */
+  def langIdFromTokens(text: Column, ts: Column): Column = {
+    val latin = (LangMarkers - "zh").toSeq.sortBy(_._1).map {
+      case (lang, words) =>
+        struct(
+          size(array_intersect(ts, array(words.map(lit): _*))).as("score"),
+          lit(lang).as("lang"))
     }
-    val best = array_max(array(scored: _*))
+    val zh = struct(zhMarkerCount(text).cast("int").as("score"),
+      lit("zh").as("lang"))
+    val best = array_max(array(latin :+ zh: _*))
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
@@ -172,15 +187,20 @@ object TextFunctions {
     * counts every marker-token OCCURRENCE (not just distinct hits, like
     * [[langIdFromTokens]] does) — repeated function words are the strongest
     * language signal, so weighting by frequency separates better on short
-    * mixed-vocabulary documents. Same deterministic argmax rule:
-    * lexicographically greatest language among tied scores. */
-  def langEvidenceFromTokens(ts: Column): Column = {
-    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(
-        size(filter(ts, t => t.isin(words: _*))).as("score"),
-        lit(lang).as("lang"))
+    * mixed-vocabulary documents. zh evidence is marker-character
+    * occurrences ([[zhMarkerCount]] — already occurrence-weighted). Same
+    * deterministic argmax rule: lexicographically greatest language among
+    * tied scores. */
+  def langEvidenceFromTokens(text: Column, ts: Column): Column = {
+    val latin = (LangMarkers - "zh").toSeq.sortBy(_._1).map {
+      case (lang, words) =>
+        struct(
+          size(filter(ts, t => t.isin(words: _*))).as("score"),
+          lit(lang).as("lang"))
     }
-    array_max(array(scored: _*))
+    val zh = struct(zhMarkerCount(text).cast("int").as("score"),
+      lit("zh").as("lang"))
+    array_max(array(latin :+ zh: _*))
   }
 
   // ---- quality scoring ----

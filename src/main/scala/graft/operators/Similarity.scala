@@ -216,10 +216,16 @@ object Similarity {
   }
 
   /** Affine int8 code of a float vector: per dimension,
-    * `round((x - min) * 255 / (max - min)) - 128` (constant dimensions map
-    * to -128). Row-local projection against the literal calibration arrays
-    * — no join, no shuffle; `round` is half-up on the non-negative scaled
-    * value, so the codes are engine-portable (DuckDB-oracle-checkable). */
+    * `clamp(round((x - min) * 255 / (max - min)), 0, 255) - 128` (constant
+    * dimensions map to -128). Row-local projection against the literal
+    * calibration arrays — no join, no shuffle.
+    *
+    * The clamp keeps the int8 contract for vectors OUTSIDE the calibrated
+    * range (queries need not come from the corpus that set min/max), and
+    * makes the rounding engine-portable everywhere: in-range scaled values
+    * are non-negative (half-up == half-away), and any out-of-range value —
+    * where the engines' rounding of negatives could differ — saturates to
+    * the same boundary code either way. */
   def quantizeInt8(v: Column, mins: Array[Double], maxs: Array[Double])
       : Column = {
     val scales = mins.zip(maxs).map { case (mn, mx) =>
@@ -228,7 +234,8 @@ object Similarity {
     transform(
       zip_with(
         zip_with(VF.asDouble(v), typedLit(mins.toSeq), (x, m) => x - m),
-        typedLit(scales.toSeq), (y, s) => round(y * s)),
+        typedLit(scales.toSeq),
+        (y, s) => least(greatest(round(y * s), lit(0.0)), lit(255.0))),
       z => z.cast("int") - 128)
   }
 

@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, Cast, Expression,
-  GreaterThanOrEqual, LessThanOrEqual, Literal, Multiply, Size}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast,
+  Expression, GreaterThanOrEqual, LessThanOrEqual, Literal, Multiply, Size}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
@@ -20,6 +20,14 @@ import org.apache.spark.sql.types.DoubleType
   * win is small; on brute-force / high-skew verify stages the guard prunes
   * the bulk of pairs for two comparisons each.
   *
+  * Applies ONLY when both jaccard operands are bare attributes: the guard
+  * duplicates each operand subtree inside `Size(...)`, and conjuncts are
+  * codegen'd independently (no CSE across them), so guarding a computed
+  * operand (e.g. an inline shingle construction) would re-evaluate it per
+  * row instead of reading a length — a regression, not a win. Pipelines
+  * that materialize the sets first (the engine's own dedup verify stages
+  * do) always qualify.
+  *
   * Semantics-preserving by construction (the guard is implied by the
   * original predicate) and idempotent (rewritten nodes are tagged, so the
   * optimizer's fix-point loop cannot stack guards).
@@ -32,11 +40,13 @@ object JaccardLengthPruning extends Rule[LogicalPlan] {
     case f @ Filter(cond, _) =>
       val rewritten = cond.transform {
         case geq @ GreaterThanOrEqual(j: JaccardSortedSets, Literal(t, DoubleType))
-            if positive(t) && geq.getTagValue(Pruned).isEmpty =>
+            if positive(t) && cheapOperands(j) &&
+              geq.getTagValue(Pruned).isEmpty =>
           geq.setTagValue(Pruned, true)
           And(guard(j, t.asInstanceOf[Double]), geq)
         case leq @ LessThanOrEqual(Literal(t, DoubleType), j: JaccardSortedSets)
-            if positive(t) && leq.getTagValue(Pruned).isEmpty =>
+            if positive(t) && cheapOperands(j) &&
+              leq.getTagValue(Pruned).isEmpty =>
           leq.setTagValue(Pruned, true)
           And(guard(j, t.asInstanceOf[Double]), leq)
       }
@@ -47,6 +57,10 @@ object JaccardLengthPruning extends Rule[LogicalPlan] {
     case d: java.lang.Double => d > 0.0
     case _ => false
   }
+
+  /** Only attribute operands are safe to duplicate into the guard. */
+  private def cheapOperands(j: JaccardSortedSets): Boolean =
+    j.left.isInstanceOf[Attribute] && j.right.isInstanceOf[Attribute]
 
   /** `size(a) >= t·size(b) AND size(b) >= t·size(a)` in double space. */
   private def guard(j: JaccardSortedSets, t: Double): Expression = {

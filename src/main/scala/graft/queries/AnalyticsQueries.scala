@@ -228,12 +228,14 @@ object AnalyticsQueries {
       events(s, dir)
         .select(date_trunc("day", col("ts")).as("day"), col("event_type"))
         .groupBy(col("day"))
-        .pivot("event_type", Seq("view", "click", "purchase", "refund"))
+        // the table's actual event_type domain (all five values)
+        .pivot("event_type",
+          Seq("view", "click", "purchase", "signup", "error"))
         .agg(count(lit(1)))
         .na.fill(0L)
         .select(col("day"), col("view").as("n_view"),
           col("click").as("n_click"), col("purchase").as("n_purchase"),
-          col("refund").as("n_refund"))
+          col("signup").as("n_signup"), col("error").as("n_error"))
         .orderBy(col("day"))),
 
     // Window FRAME (rows unbounded-preceding): exact running spend per
@@ -595,7 +597,8 @@ object AnalyticsQueries {
         |COUNT(*) FILTER (event_type = 'view') AS n_view,
         |COUNT(*) FILTER (event_type = 'click') AS n_click,
         |COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
-        |COUNT(*) FILTER (event_type = 'refund') AS n_refund
+        |COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+        |COUNT(*) FILTER (event_type = 'error') AS n_error
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "q_running_total" ->
       """SELECT o_custkey, o_orderdate, o_orderkey,

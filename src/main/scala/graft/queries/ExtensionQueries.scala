@@ -171,7 +171,7 @@ object ExtensionQueries {
         .select(col("doc_id"), col("text"),
           TF.normTokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          TF.langIdFromTokens(col("toks")).as("lang_pred"),
+          TF.langIdFromTokens(col("text"), col("toks")).as("lang_pred"),
           TF.qualityScoreFromTokens(col("text"), col("toks")).as("quality"),
           TF.subwordCount(col("text")).as("n_subwords"),
           TF.stopwordRatioFromTokens(col("toks")).as("stopword_ratio"))
@@ -246,9 +246,10 @@ object ExtensionQueries {
     // and the marker density as a confidence proxy
     "text_langid" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), TF.normTokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("text"),
+          TF.normTokens(col("text")).as("toks"))
         .select(col("doc_id"), col("toks"),
-          TF.langEvidenceFromTokens(col("toks")).as("ev"))
+          TF.langEvidenceFromTokens(col("text"), col("toks")).as("ev"))
         .select(col("doc_id"),
           when(col("ev.score") > 0, col("ev.lang")).otherwise(lit("und"))
             .as("lang_pred"),
@@ -266,7 +267,7 @@ object ExtensionQueries {
         .select(col("doc_id"), col("text"),
           TF.normTokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          TF.langIdFromTokens(col("toks")).as("lang_pred"),
+          TF.langIdFromTokens(col("text"), col("toks")).as("lang_pred"),
           TF.qualityScoreFromTokens(col("text"), col("toks")).as("quality"),
           when(size(col("toks")) === 0, lit(0.0))
             .otherwise(size(array_distinct(col("toks"))).cast("double") /
@@ -517,7 +518,9 @@ object ExtensionQueries {
         |  CASE WHEN mx > mn THEN CAST(255 AS DOUBLE) / (mx - mn)
         |    ELSE CAST(0 AS DOUBLE) END AS s FROM st),
         |codes AS (SELECT vec_id,
-        |    list(CAST(round((x - mn) * s) AS BIGINT) - 128 ORDER BY pos) AS c
+        |    list(CAST(LEAST(GREATEST(round((x - mn) * s),
+        |      CAST(0 AS DOUBLE)), CAST(255 AS DOUBLE)) AS BIGINT) - 128
+        |      ORDER BY pos) AS c
         |  FROM e JOIN sc USING (pos) GROUP BY vec_id),
         |q AS (SELECT vec_id AS query_id, c AS qc FROM codes
         |  WHERE vec_id < 10),
@@ -607,9 +610,15 @@ object ExtensionQueries {
          |  ('zh', ['的','是','了','在','我','有','和','不','人','这'])),
          |scored AS (
          |  SELECT doc_id, lang, len(toks) AS n_toks,
-         |    len(list_filter(toks, t -> list_contains(markers, t))) AS score,
+         |    CASE WHEN lang = 'zh' THEN length(text) -
+         |        length(regexp_replace(text, '[的是了在我有和不人这]', '', 'g'))
+         |      ELSE len(list_filter(toks, t -> list_contains(markers, t))) END
+         |      AS score,
          |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY
-         |      len(list_filter(toks, t -> list_contains(markers, t))) DESC,
+         |      CASE WHEN lang = 'zh' THEN length(text) -
+         |          length(regexp_replace(text, '[的是了在我有和不人这]', '', 'g'))
+         |        ELSE len(list_filter(toks, t -> list_contains(markers, t)))
+         |        END DESC,
          |      lang DESC) AS rn
          |  FROM tk CROSS JOIN langs)
          |SELECT doc_id,
@@ -638,9 +647,15 @@ object ExtensionQueries {
          |  ('zh', ['的','是','了','在','我','有','和','不','人','这'])),
          |lang_scored AS (
          |  SELECT doc_id, lang,
-         |    len(list_distinct(list_intersect(toks, markers))) AS score,
+         |    CASE WHEN lang = 'zh' THEN length(text) -
+         |        length(regexp_replace(text, '[的是了在我有和不人这]', '', 'g'))
+         |      ELSE len(list_distinct(list_intersect(toks, markers))) END
+         |      AS score,
          |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY
-         |      len(list_distinct(list_intersect(toks, markers))) DESC,
+         |      CASE WHEN lang = 'zh' THEN length(text) -
+         |          length(regexp_replace(text, '[的是了在我有和不人这]', '', 'g'))
+         |        ELSE len(list_distinct(list_intersect(toks, markers))) END
+         |        DESC,
          |      lang DESC) AS rn
          |  FROM tk CROSS JOIN langs),
          |lang_pick AS (
@@ -706,9 +721,15 @@ object ExtensionQueries {
          |  ('zh', ['的','是','了','在','我','有','和','不','人','这'])),
          |lang_scored AS (
          |  SELECT doc_id, lang,
-         |    len(list_distinct(list_intersect(toks, markers))) AS score,
+         |    CASE WHEN lang = 'zh' THEN length(text) -
+         |        length(regexp_replace(text, '[的是了在我有和不人这]', '', 'g'))
+         |      ELSE len(list_distinct(list_intersect(toks, markers))) END
+         |      AS score,
          |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY
-         |      len(list_distinct(list_intersect(toks, markers))) DESC,
+         |      CASE WHEN lang = 'zh' THEN length(text) -
+         |          length(regexp_replace(text, '[的是了在我有和不人这]', '', 'g'))
+         |        ELSE len(list_distinct(list_intersect(toks, markers))) END
+         |        DESC,
          |      lang DESC) AS rn
          |  FROM tk CROSS JOIN langs),
          |lang_pick AS (

@@ -107,16 +107,19 @@ class QuantizedSimSpec extends SparkFunSuite {
     val df = Seq(
       (1L, "the the le chien"), // en 2 vs fr 1 → en
       (2L, "the le"),           // en 1 = fr 1 → tie → fr (greatest lang)
-      (3L, "xyzzy plugh"))      // no markers → score 0 → und
+      (3L, "xyzzy plugh"),      // no markers → score 0 → und
+      (4L, "我有一个想法，这是真的")) // zh via marker-CHARACTER evidence
       .toDF("doc_id", "text")
     val out = df.select(col("doc_id"),
-        TF.langEvidenceFromTokens(TF.normTokens(col("text"))).as("ev"))
+        TF.langEvidenceFromTokens(col("text"), TF.normTokens(col("text")))
+          .as("ev"))
       .select(col("doc_id"),
         when(col("ev.score") > 0, col("ev.lang")).otherwise(lit("und"))
           .as("lang"),
         col("ev.score"))
       .orderBy("doc_id").collect()
       .map(r => (r.getString(1), r.getInt(2)))
-    assert(out.toSeq == Seq(("en", 2), ("fr", 1), ("und", 0)))
+    // "我有一个想法，这是真的": markers 我,有,这,是,的 → 5 char hits
+    assert(out.toSeq == Seq(("en", 2), ("fr", 1), ("und", 0), ("zh", 5)))
   }
 }
