@@ -54,6 +54,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_nearest_centroids",
       es => NearestCentroids(es(0), longArrayArg(es(1), "centIds"),
         vecArrayArg(es(2), "centVecs"), intArg(es(3), "take")), "built-in")
+    reg.createOrReplaceTempFunction("graft_poly_fingerprint",
+      es => PolyFingerprint(es(0)), "built-in")
     registerOptimizations(spark)
   }
 

@@ -67,6 +67,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       es => NearestCentroids(es(0), GraftFunctions.longArrayArg(es(1),
         "centIds"), GraftFunctions.vecArrayArg(es(2), "centVecs"),
         intArg(es(3), "take"))))
+    e.injectFunction((FunctionIdentifier("graft_poly_fingerprint"),
+      info("graft_poly_fingerprint",
+        "graft_poly_fingerprint(normText) - portable Karp-Rabin fingerprint"),
+      es => PolyFingerprint(es(0))))
     e.injectOptimizerRule(_ => JaccardLengthPruning)
   }
 }

@@ -123,6 +123,18 @@ object TextFunctions {
       (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), m), m))
   }
 
+  /** Engine-PORTABLE Karp-Rabin fingerprint: the same base/modulus chain as
+    * [[fingerprint64]] but folded over the CODEPOINTS of the normalized
+    * text instead of per-token xxhash64 values — any SQL engine can
+    * reproduce it with a list fold, so (unlike [[fingerprint64]]) it is
+    * fully DuckDB-oracle-checkable. Native codegen'd kernel
+    * ([[graft.plans.PolyFingerprint]]): one pass over the UTF8 bytes. */
+  def fingerprintPoly(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.PolyFingerprint(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          normalize(text))))
+
   /** Exact Jaccard similarity of two shingle ARRAYS (treated as sets).
     * Generic (any element type), hash-set based. */
   def jaccard(a: Column, b: Column): Column = {
@@ -250,4 +262,30 @@ object TextFunctions {
     (lenScore * 0.25 + wordLenScore * 0.2 + punctScore * 0.2 +
       digitScore * 0.15 + stopScore * 0.2)
   }
+
+  // ---- PII redaction (training-data scrubbing) ----
+  //
+  // Regex dialect intersection: RE2 (the oracle engine) has no lookaround
+  // and no backreferences, so the patterns stick to character classes,
+  // bounded repetition, `(?:)` groups and ASCII `\b` — identical semantics
+  // under java.util.regex and RE2. All three run as codegen'd string ops.
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Scrubbed text: emails → `<EMAIL>`, then phones → `<PHONE>`, then
+    * IPv4s → `<IP>`. Application ORDER is part of the contract (an email's
+    * host can never be re-matched as an IP because the whole email is
+    * replaced first). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailRe))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe))
+  def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Re))
 }

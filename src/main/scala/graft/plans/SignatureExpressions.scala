@@ -153,6 +153,27 @@ object HashKernels {
     out
   }
 
+  /** Karp-Rabin polynomial fingerprint of a pre-normalized (ASCII,
+    * single-space-canonical) text: fold `acc*B + codepoint (mod 2^41)` left
+    * to right. Unlike the xxhash64-chain fingerprint, every step is plain
+    * integer arithmetic on codepoints, so an independent engine (the DuckDB
+    * oracle) reproduces it exactly with a list fold. B = 1000003 and
+    * M = 2^41 keep `acc*B + c < 2^62` — no overflow anywhere. */
+  def polyFingerprint(text: UTF8String): Long = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val n = text.numBytes()
+    val M = 1L << 41
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val c = org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0xff
+      acc = (acc * 1000003L + c) % M
+      i += 1
+    }
+    acc
+  }
+
   /** Random-hyperplane signature: plane component (b, j) is a deterministic
     * splitmix64 value scaled to [-1, 1] — reproducible on every executor
     * with no RNG state or broadcast plane matrix. */
@@ -337,6 +358,24 @@ case class JaccardSortedSets(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
   override def prettyName: String = "graft_jaccard_sorted"
+}
+
+/** `poly_fingerprint(normalizedText)` → bigint Karp-Rabin fingerprint
+  * (see [[HashKernels.polyFingerprint]]). Input contract: pre-normalized
+  * ASCII text ([[graft.functions.TextFunctions.normalize]] output) — the
+  * byte fold then equals the codepoint fold any SQL engine can express. */
+case class PolyFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.polyFingerprint(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernels = "graft.plans.HashKernels"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $kernels.polyFingerprint($c);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_poly_fingerprint"
 }
 
 /** `hyperplane_sig(vec, nBits, seed)` → bigint sign-bit signature over an

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{Contamination, Dedup, Multimodal, Relevance,
+  Sampling, Similarity}
 
 /** Driver-checkable queries for the training-data pipeline operators:
   * dedup (exact + 4 near-dup families), similarity search (brute + IVF),
@@ -185,6 +186,67 @@ object ExtensionQueries {
         .select(col("doc_id"),
           TF.fingerprint64(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))),
+
+    // the PORTABLE fingerprint twin: same base/modulus chain folded over
+    // normalized-text codepoints — full DuckDB oracle (list_reduce fold)
+    "text_fingerprint_poly" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.fingerprintPoly(col("text")).as("fingerprint"),
+          length(TF.normalize(col("text"))).as("n_norm_chars"))
+        .orderBy(col("doc_id"))),
+
+    // PII scrub (training-data scrubbing): the synthetic corpus carries no
+    // natural PII, so the query first plants deterministic doc_id-derived
+    // emails/phones/IPs (same construction in the oracle — the q7 lesson:
+    // an all-zeros redaction check would be vacuous), then redacts and
+    // counts. Row-local regex work: codegen'd, no shuffle, 100 TB-safe.
+    "text_pii_redact" -> ((s, dir) => {
+      val planted = concat(
+        col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" call 555-867-5309"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 200).cast("string"),
+            lit(".0."), (col("doc_id") % 250).cast("string")))
+          .otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), planted.as("s"))
+        .select(col("doc_id"),
+          TF.redactPii(col("s")).as("redacted"),
+          TF.emailCount(col("s")).as("n_email"),
+          TF.phoneCount(col("s")).as("n_phone"),
+          TF.ipv4Count(col("s")).as("n_ip"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // TF-IDF salient terms: single corpus scan (df derives from the tf
+    // aggregate), broadcast 1-row corpus count, rational idf N/df (no ln —
+    // see Relevance scaladoc for the portability argument)
+    "text_tfidf_top3" -> ((s, dir) =>
+      Relevance.tfIdfTopTerms(t(s, dir, "documents"), "text", "doc_id", 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // BM25 with standard k1/b: same rational idf; length normalization
+    // via exact integer dl and corpus totals in one broadcast row
+    "text_bm25_top3" -> ((s, dir) =>
+      Relevance.bm25TopTerms(t(s, dir, "documents"), "text", "doc_id", 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // benchmark-contamination check: docs with doc_id%10==0 play the
+    // "benchmark"; the rest are the training corpus. Broadcast benchmark
+    // shingle set, hash-only shuffle (see Contamination scaladoc)
+    "contam_ngram_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Contamination.ngramOverlap(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", k = 3)
+        .orderBy(col("doc_id"))
+    }),
 
     // int8 scalar-quantized ANN: per-dim calibration, row-local quantize,
     // integer dot-product ranking (see Similarity.int8TopK scale notes)
@@ -392,6 +454,97 @@ object ExtensionQueries {
       |ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // independent fold of the same Karp-Rabin chain over normalized-text
+    // codepoints (list_reduce with an explicit 0 seed); ASCII-only by
+    // construction so DuckDB codepoints == the kernel's UTF-8 bytes
+    "text_fingerprint_poly" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(s) + 1),
+        |        i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+        |    (acc, x) -> (acc * 1000003 + x) % 2199023255552) AS fingerprint,
+        |  length(s) AS n_norm_chars
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "text_pii_redact" ->
+      """WITH aug AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' ||
+        |    CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309' ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0 THEN ' from 10.' ||
+        |    CAST(doc_id % 200 AS VARCHAR) || '.0.' ||
+        |    CAST(doc_id % 250 AS VARCHAR) ELSE '' END AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(s,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted,
+        |  len(regexp_extract_all(s,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(s,
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone,
+        |  len(regexp_extract_all(s,
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    "text_tfidf_top3" ->
+      s"""WITH tk AS ($NormToksSql),
+         |tok AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, term, tf, df,
+         |    CAST(tf AS DOUBLE) *
+         |      (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term) AS rank FROM scored)
+         |SELECT doc_id, rank, term, tf, df, score FROM ranked
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_bm25_top3" ->
+      s"""WITH tk AS ($NormToksSql),
+         |tok AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+         |  GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+         |scored AS (SELECT doc_id, term, tf, df, dl,
+         |    (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) *
+         |    ((CAST(tf AS DOUBLE) *
+         |        (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+         |      (CAST(tf AS DOUBLE) +
+         |        CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+         |          CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) *
+         |            (CAST(n_docs AS DOUBLE) /
+         |              CAST(total_dl AS DOUBLE)))))) AS score
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+         |  CROSS JOIN n),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term) AS rank FROM scored)
+         |SELECT doc_id, rank, term, tf, df, dl, score FROM ranked
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // string-shingle recomputation of the hash-based overlap counts (the
+    // counts are hash-independent — same trick as the dedup oracles)
+    "contam_ngram_overlap" ->
+      s"""WITH sh AS ($WordShinglesSql),
+         |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh
+         |  WHERE doc_id % 10 = 0),
+         |corp AS (SELECT doc_id, unnest(s) AS g FROM sh
+         |  WHERE doc_id % 10 <> 0),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corp
+         |  GROUP BY doc_id),
+         |hit AS (SELECT c.doc_id, COUNT(*) AS n_contaminated
+         |  FROM corp c JOIN bench USING (g) GROUP BY c.doc_id)
+         |SELECT doc_id, n_shingles,
+         |  COALESCE(n_contaminated, 0) AS n_contaminated,
+         |  CAST(COALESCE(n_contaminated, 0) AS DOUBLE) /
+         |    CAST(n_shingles AS DOUBLE) AS contamination
+         |FROM tot LEFT JOIN hit USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """WITH u AS (SELECT doc_id, text FROM documents
         |UNION ALL SELECT doc_id + 1000000, text FROM documents)

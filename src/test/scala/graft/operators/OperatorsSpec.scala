@@ -417,6 +417,19 @@ class TextFunctionsSpec extends SparkFunSuite {
     assert(a == a2 && a != b)
   }
 
+  test("fingerprintPoly matches the reference fold and handles edges") {
+    // independent reference: fold codepoints of the normalized text
+    def ref(s: String): Long = {
+      val norm = s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      norm.foldLeft(0L)((acc, c) => (acc * 1000003L + c) % (1L << 41))
+    }
+    for (s <- Seq("Hello, World! 42", "alpha beta", "", "   ", "a", "123 abc"))
+      assert(one(TF.fingerprintPoly(col("t")), s) == ref(s), s"input: '$s'")
+    // order-sensitive (unlike a bag hash)
+    assert(one(TF.fingerprintPoly(col("t")), "alpha beta") !=
+      one(TF.fingerprintPoly(col("t")), "beta alpha"))
+  }
+
   test("simhash: identical texts equal, near texts close, far texts far") {
     val h1 = one(TF.simhash64(TF.wordShingles(col("t"), 3)),
       "the quick brown fox jumps over the lazy dog today").asInstanceOf[Long]
@@ -478,5 +491,89 @@ class MultimodalSpec extends SparkFunSuite {
     val again = Multimodal.extractFeatures(df, "doc_id").collect()
       .sortBy(_.doc_id)
     assert(rows.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
+  }
+}
+
+class RelevanceSpec extends SparkFunSuite {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"))
+      .toDF("doc_id", "text")
+  }
+
+  test("tfIdf: tf and df counted over normalized tokens, score = tf*(N/df)") {
+    val out = Relevance.tfIdfTopTerms(docs, "text", "doc_id", 3)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"),
+        r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("df"),
+        r.getAs[Double]("score")))
+    // doc 1: apple tf=2 df=1 -> 2*(2/1)=4; banana tf=1 df=2 -> 1*(2/2)=1
+    assert(out(0) == ((1L, 1, "apple", 2L, 1L, 4.0)))
+    assert(out(1) == ((1L, 2, "banana", 1L, 2L, 1.0)))
+    // doc 2: cherry tf=1 df=1 -> 2.0 beats banana -> 1.0
+    assert(out(2) == ((2L, 1, "cherry", 1L, 1L, 2.0)))
+    assert(out(3) == ((2L, 2, "banana", 1L, 2L, 1.0)))
+  }
+
+  test("bm25: rare terms outrank common at equal tf; higher tf ranks first") {
+    val out = Relevance.bm25TopTerms(docs, "text", "doc_id", 3)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"),
+        r.getAs[String]("term")))
+    assert(out(0)._3 == "apple")  // tf=2 AND rare
+    assert(out(2)._3 == "cherry") // rare beats shared banana
+  }
+}
+
+class ContaminationSpec extends SparkFunSuite {
+
+  test("ngramOverlap: identical doc fully contaminated, disjoint doc zero") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // identical -> 1.0
+      (2L, "alpha beta gamma something else entirely"), // partial
+      (3L, "one two three four five")) // disjoint -> 0.0
+      .toDF("doc_id", "text")
+    val out = Contamination.ngramOverlap(corpus, bench, "text", "doc_id", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_contaminated"), r.getAs[Double]("contamination")))
+    assert(out(0) == ((1L, 3L, 3L, 1.0)))
+    assert(out(1)._2 == 4L && out(1)._3 == 1L) // only "alpha beta gamma"
+    assert(out(2) == ((3L, 3L, 0L, 0.0)))
+  }
+}
+
+class PiiRedactionSpec extends SparkFunSuite {
+
+  private def one(c: org.apache.spark.sql.Column, s: String): Any = {
+    val sp = spark
+    import sp.implicits._
+    Seq(s).toDF("t").select(c).head().get(0)
+  }
+
+  test("redactPii scrubs emails, phones, IPv4s; counts match") {
+    val in = "mail bob.smith+x@corp.example.org call 555-123-4567 " +
+      "or 555.987.6543 host 192.168.1.200 done"
+    assert(one(TF.redactPii(col("t")), in) ==
+      "mail <EMAIL> call <PHONE> or <PHONE> host <IP> done")
+    assert(one(TF.emailCount(col("t")), in) == 1)
+    assert(one(TF.phoneCount(col("t")), in) == 2)
+    assert(one(TF.ipv4Count(col("t")), in) == 1)
+  }
+
+  test("redaction order: email host is never re-matched as phone/IP") {
+    // the host contains digit runs that would match Ipv4Re if the email
+    // were not replaced first
+    val in = "x user@10.1.2.3.example.com y"
+    assert(one(TF.redactPii(col("t")), in) == "x <EMAIL> y")
+    assert(one(TF.redactPii(col("t")), "clean text 42") == "clean text 42")
   }
 }
