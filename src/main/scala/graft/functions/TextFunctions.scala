@@ -130,10 +130,14 @@ object TextFunctions {
     * fully DuckDB-oracle-checkable. Native codegen'd kernel
     * ([[graft.plans.PolyFingerprint]]): one pass over the UTF8 bytes. */
   def fingerprintPoly(text: Column): Column =
+    fingerprintPolyRaw(normalize(text))
+
+  /** [[fingerprintPoly]] over ALREADY-normalized text (the kernel's input
+    * contract) — for callers that built the canonical string themselves. */
+  def fingerprintPolyRaw(normText: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.plans.PolyFingerprint(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
-          normalize(text))))
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(normText)))
 
   /** Exact Jaccard similarity of two shingle ARRAYS (treated as sets).
     * Generic (any element type), hash-set based. */

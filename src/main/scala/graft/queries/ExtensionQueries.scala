@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Contamination, Dedup, Multimodal, Relevance,
-  Sampling, Similarity}
+import graft.operators.{Chunking, Contamination, Dedup, Multimodal,
+  Relevance, Sampling, Similarity}
 
 /** Driver-checkable queries for the training-data pipeline operators:
   * dedup (exact + 4 near-dup families), similarity search (brute + IVF),
@@ -235,6 +235,21 @@ object ExtensionQueries {
     "text_bm25_top3" -> ((s, dir) =>
       Relevance.bm25TopTerms(t(s, dir, "documents"), "text", "doc_id", 3)
         .orderBy(col("doc_id"), col("rank"))),
+
+    // context-window chunking: 32-token windows every 24 tokens (25%
+    // overlap); row-local explode, chunk identity via portable fingerprint
+    // instead of shipping window text
+    "text_chunks_window" -> ((s, dir) =>
+      Chunking.tokenWindows(t(s, dir, "documents"), "text", "doc_id",
+          window = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // greedy in-order sequence packing into 256-token budgets across 8
+    // hash shards (the shard-parallel running sum — see Chunking scaladoc)
+    "corpus_pack_greedy" -> ((s, dir) =>
+      Chunking.packSequences(t(s, dir, "documents"), "text", "doc_id",
+          budget = 256, nShards = 8)
+        .orderBy(col("doc_id"))),
 
     // benchmark-contamination check: docs with doc_id%10==0 play the
     // "benchmark"; the rest are the training corpus. Broadcast benchmark
@@ -528,6 +543,32 @@ object ExtensionQueries {
          |    ORDER BY score DESC, term) AS rank FROM scored)
          |SELECT doc_id, rank, term, tf, df, dl, score FROM ranked
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_chunks_window" ->
+      s"""WITH tk AS ($NormToksSql),
+         |st AS (SELECT doc_id, toks,
+         |    unnest(range(0, len(toks), 24)) AS start_tok
+         |  FROM tk WHERE len(toks) > 0),
+         |ch AS (SELECT doc_id, start_tok // 24 AS chunk_id, start_tok,
+         |    array_to_string(toks[start_tok + 1:start_tok + 32], ' ') AS s,
+         |    len(toks[start_tok + 1:start_tok + 32]) AS n_toks
+         |  FROM st)
+         |SELECT doc_id, chunk_id, start_tok, n_toks,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, length(s) + 1),
+         |        i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+         |    (acc, x) -> (acc * 1000003 + x) % 2199023255552) AS chunk_fp
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    "corpus_pack_greedy" ->
+      s"""WITH tk AS ($NormToksSql),
+         |base AS (SELECT doc_id, doc_id % 8 AS shard,
+         |    CAST(len(toks) AS BIGINT) AS n_toks FROM tk),
+         |c AS (SELECT *, COALESCE(SUM(n_toks) OVER (PARTITION BY shard
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |    1 PRECEDING), 0) AS tb FROM base)
+         |SELECT doc_id, shard, n_toks, tb // 256 AS pack_id,
+         |  tb % 256 AS offset_in_pack
+         |FROM c ORDER BY doc_id""".stripMargin,
     // string-shingle recomputation of the hash-based overlap counts (the
     // counts are hash-independent — same trick as the dedup oracles)
     "contam_ngram_overlap" ->

@@ -577,3 +577,61 @@ class PiiRedactionSpec extends SparkFunSuite {
     assert(one(TF.redactPii(col("t")), "clean text 42") == "clean text 42")
   }
 }
+
+class ChunkingSpec extends SparkFunSuite {
+
+  test("tokenWindows: overlap, tail truncation, empty docs dropped") {
+    val s = spark
+    import s.implicits._
+    // 10 tokens, window 4, stride 3 -> starts 0,3,6,9
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (2L, ""),
+      (3L, "a b")) // shorter than one window
+      .toDF("doc_id", "text")
+    val out = Chunking.tokenWindows(docs, "text", "doc_id", 4, 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"),
+        r.getAs[Int]("start_tok"), r.getAs[Int]("n_toks")))
+    assert(out.toSeq == Seq(
+      (1L, 0, 0, 4), (1L, 1, 3, 4), (1L, 2, 6, 4), (1L, 3, 9, 1),
+      (3L, 0, 0, 2)))
+  }
+
+  test("tokenWindows: chunk fingerprints distinguish windows") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val fps = Chunking.tokenWindows(docs, "text", "doc_id", 3, 2)
+      .orderBy("chunk_id").collect().map(_.getAs[Long]("chunk_fp"))
+    assert(fps.distinct.length == fps.length)
+  }
+
+  test("packSequences: in-shard running sum, budget rollover, offsets") {
+    val s = spark
+    import s.implicits._
+    // one shard (nShards=1): docs of 3,4,5 tokens, budget 6:
+    // tb=0 -> pack 0 off 0; tb=3 -> pack 0 off 3; tb=7 -> pack 1 off 1
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a b c d"), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val out = Chunking.packSequences(docs, "text", "doc_id", 6, 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pack_id"),
+        r.getAs[Long]("offset_in_pack")))
+    assert(out.toSeq == Seq((0L, 0L, 0L), (1L, 0L, 3L), (2L, 1L, 1L)))
+  }
+
+  test("packSequences: shards pack independently") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 8L).map(i => (i, "a b c d")).toDF("doc_id", "text")
+    val out = Chunking.packSequences(docs, "text", "doc_id", 8, 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("pack_id")))
+    // each shard sees docs i and i+4 (4 tokens each): second doc starts
+    // at tb=4 -> pack 0 (budget 8 not yet passed)
+    assert(out.forall { case (id, shard, _) => shard == id % 4 })
+    assert(out.count(_._3 == 0L) == 8)
+  }
+}
