@@ -10,18 +10,26 @@ import graft.functions.{TextFunctions => TF}
   * BM25 salient-term extraction (no reference counterpart — extension
   * surface, SURVEY.md §8).
   *
-  * 100 TB design:
-  *   - the token explode is map-side only (no shuffle until the (doc, term)
-  *     aggregation), and partial aggregation halves the pair stream before
-  *     the exchange;
-  *   - document frequency is derived FROM the tf aggregate (one corpus
-  *     scan total, not two);
-  *   - the corpus-size scalar rides in as a broadcast 1-row join — no
-  *     driver-side `count()` action;
-  *   - the per-document top-k is a `row_number` window partitioned by
-  *     doc_id: each partition holds one document's vocabulary (bounded by
-  *     document length, not corpus size), so no skew beyond the longest
-  *     document.
+  * 100 TB design (shapes verified with PlanAudit):
+  *   - the token explode is map-side only, and the (doc, term) aggregation
+  *     partial-aggregates before its exchange;
+  *   - document frequency is a skew-immune `groupBy(term)` partial
+  *     aggregate (a window `count(*) over (partition by term)` would put
+  *     every (doc, "the") row in one partition) whose OUTPUT — one row per
+  *     vocabulary term — is small, so it joins back by BROADCAST: the big
+  *     tf stream is never shuffled by term at all;
+  *   - per-document length (BM25) is a window sum partitioned by doc_id —
+  *     partitions bounded by a single document's vocabulary — and the
+  *     top-k ranking window reuses the same doc_id partitioning, so the
+  *     two cost one exchange total;
+  *   - corpus scalars (doc count, total token count) come from a separate
+  *     column-pruned pass over the raw corpus (no explode, no shuffle,
+  *     1-row broadcast) instead of re-deriving the tf aggregate;
+  *   - the df branch does re-compute tf (Spark recomputes shared
+  *     subtrees); a production pipeline over 100 TB materializes
+  *     [[termFrequencies]] once — it is public exactly for that — but two
+  *     corpus passes with map-side reduction beat one pass plus a
+  *     term-keyed shuffle of every (doc, term) pair.
   *
   * Determinism/oracle portability: no logarithms. The classical
   * `ln(N/df)` idf is transcendental — engines may differ in the last ulp —
@@ -39,7 +47,7 @@ object Relevance {
     val tf = termFrequencies(docs, textCol, idCol)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(df, "term")
+    val scored = tf.join(broadcast(df), "term")
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double") *
@@ -56,12 +64,20 @@ object Relevance {
   def bm25TopTerms(docs: DataFrame, textCol: String, idCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val tf = termFrequencies(docs, textCol, idCol)
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    // corpus stats in ONE broadcast row: doc count and total token count
-    // (mean length stays a quotient of exact integers)
-    val n = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
-    val scored = tf.join(df, "term").join(dl, "doc_id")
+    // corpus scalars from a raw column-pruned scan — no tf re-derivation;
+    // n_docs counts documents that contribute tokens (= rows of the old
+    // dl aggregate), total_dl is the corpus token count
+    val nToks = size(TF.normTokens(col(textCol)))
+    val n = docs.agg(
+      count(when(nToks > 0, 1)).as("n_docs"),
+      sum(nToks.cast("long")).as("total_dl"))
+    // document length as a window over tf: doc-bounded partitions, and
+    // the ranking window below reuses this exact partitioning
+    val byDoc = Window.partitionBy("doc_id")
+    val scored = tf
+      .withColumn("dl", sum("tf").over(byDoc))
+      .join(broadcast(df), "term")
       .crossJoin(broadcast(n))
       .withColumn("idf",
         col("n_docs").cast("double") / col("df").cast("double"))
@@ -78,7 +94,8 @@ object Relevance {
   }
 
   /** (doc_id, term, tf) over normalized tokens — the single corpus scan
-    * every signal above derives from. */
+    * every signal above derives from. Materialize (persist or write) this
+    * once when running BOTH signals over a large corpus. */
   def termFrequencies(docs: DataFrame, textCol: String,
       idCol: String): DataFrame =
     docs

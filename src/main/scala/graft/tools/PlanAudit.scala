@@ -21,7 +21,9 @@ object PlanAudit {
       "q5_region_revenue", "q6_revenue_forecast", "q_orders_topk",
       "sim_topk_brute", "sim_topk_ivf", "dedup_minhash", "avro_roundtrip_agg",
       "q_asof_join", "q_range_join", "q_skew_salted_agg",
-      "sim_topk_int8", "text_repetition", "q_semi_join")
+      "sim_topk_int8", "text_repetition", "q_semi_join",
+      "text_tfidf_top3", "text_bm25_top3", "contam_ngram_overlap",
+      "text_chunks_window", "corpus_pack_greedy", "text_pii_redact")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       // Codegen stages are marked `*(id)` in the SIMPLE plan string, but
