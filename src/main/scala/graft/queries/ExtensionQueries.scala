@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Chunking, Contamination, Dedup, Multimodal,
-  Relevance, Sampling, Similarity}
+import graft.operators.{Chunking, Contamination, Dedup, InvertedIndex,
+  Multimodal, Relevance, Sampling, Similarity}
 
 /** Driver-checkable queries for the training-data pipeline operators:
   * dedup (exact + 4 near-dup families), similarity search (brute + IVF),
@@ -250,6 +250,18 @@ object ExtensionQueries {
       Chunking.packSequences(t(s, dir, "documents"), "text", "doc_id",
           budget = 256, nShards = 8)
         .orderBy(col("doc_id"))),
+
+    // written inverted index: postings partitioned by term-hash bucket,
+    // probe reads only the probe terms' buckets (PartitionFilters — the
+    // text twin of sim_topk_ivf_indexed's layout)
+    "text_index_lookup" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_term_index_" +
+        Integer.toHexString(dir.hashCode)
+      val index = InvertedIndex.build(t(s, dir, "documents"), "text",
+        "doc_id", path, nBuckets = 64)
+      InvertedIndex.lookup(s, index, Seq("spark", "join", "window"))
+        .orderBy(col("term"), col("doc_id"))
+    }),
 
     // benchmark-contamination check: docs with doc_id%10==0 play the
     // "benchmark"; the rest are the training corpus. Broadcast benchmark
@@ -543,6 +555,16 @@ object ExtensionQueries {
          |    ORDER BY score DESC, term) AS rank FROM scored)
          |SELECT doc_id, rank, term, tf, df, dl, score FROM ranked
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // bucket layout is engine-internal; the postings themselves are plain
+    // term frequencies
+    "text_index_lookup" ->
+      s"""WITH tk AS ($NormToksSql),
+         |tok AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+         |  GROUP BY doc_id, term)
+         |SELECT term, doc_id, tf FROM tf
+         |WHERE term IN ('spark', 'join', 'window')
+         |ORDER BY term, doc_id""".stripMargin,
     "text_chunks_window" ->
       s"""WITH tk AS ($NormToksSql),
          |st AS (SELECT doc_id, toks,

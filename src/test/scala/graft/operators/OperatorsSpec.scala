@@ -635,3 +635,29 @@ class ChunkingSpec extends SparkFunSuite {
     assert(out.count(_._3 == 0L) == 8)
   }
 }
+
+class InvertedIndexSpec extends SparkFunSuite {
+
+  test("lookup matches direct term frequencies and prunes to probe buckets") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spark joins fast spark scans"),
+      (2L, "window functions and spark"),
+      (3L, "unrelated words entirely"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tix").toString
+    val index = InvertedIndex.build(docs, "text", "doc_id", dir, nBuckets = 16)
+    val probe = InvertedIndex.lookup(spark, index, Seq("spark", "window"))
+    val got = probe.collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("tf"))).toSet
+    assert(got == Set(("spark", 1L, 2L), ("spark", 2L, 1L),
+      ("window", 2L, 1L)))
+    // plan proof: non-empty partition filter on `bucket`
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*bucket[^\]]*\]""".r
+        .findFirstIn(plan).isDefined,
+      s"expected partition-pruned scan, got:\n$plan")
+  }
+}
