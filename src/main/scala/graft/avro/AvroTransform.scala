@@ -118,6 +118,21 @@ object AvroTransform {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(c),
         schemaJson, expectedSchemaId, permissive))
 
+  /** [[fromAvroFixed]] with READER-SCHEMA EVOLUTION: bytes written with
+    * `writerSchemaJson` decode into the shape of `readerSchemaJson` via
+    * Avro schema resolution — added-with-default fields filled, dropped
+    * fields skipped, numeric promotions and alias renames applied. The
+    * consumer-upgrade path: readers move to a new schema before (or
+    * after) producers do. */
+  def fromAvroEvolved(writerSchemaJson: String, readerSchemaJson: String,
+      expectedSchemaId: Int = -1, permissive: Boolean = false)
+      (c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.AvroDecodeFixed(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c),
+        writerSchemaJson, expectedSchemaId, permissive,
+        Some(readerSchemaJson)))
+
   /** Typed ENCODE mirror of [[fromAvroFixed]] (the engine analogue of
     * `to_avro`): a struct column shaped like the schema → Avro binary body
     * (`graft.plans.AvroEncodeFixed`). Frame with

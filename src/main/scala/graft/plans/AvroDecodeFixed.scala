@@ -157,26 +157,36 @@ object AvroCatalyst {
   * `permissive=true` maps Avro DECODE failures to a null struct (the
   * envelope path forwards original bytes, but a typed column has nowhere
   * to put them — documented deviation). Null input → null (tombstones).
+  *
+  * READER-SCHEMA EVOLUTION: `readerSchemaJson`, when set, decodes with
+  * Avro schema resolution (writer bytes, reader shape): added fields fill
+  * their defaults, dropped fields are skipped, int→long / float→double
+  * promotions and alias renames apply — the standard consumer-upgrade
+  * path. The output Catalyst type follows the READER schema.
   */
 case class AvroDecodeFixed(
     child: Expression,
     schemaJson: String,
     expectedSchemaId: Int = -1,
-    permissive: Boolean = false) extends UnaryExpression {
+    permissive: Boolean = false,
+    readerSchemaJson: Option[String] = None) extends UnaryExpression {
 
   @transient private lazy val schema: Schema =
     new Schema.Parser().parse(schemaJson)
 
-  override def dataType: DataType = AvroCatalyst.toSparkType(schema)
+  @transient private lazy val readerSchema: Schema =
+    readerSchemaJson.map(new Schema.Parser().parse(_)).getOrElse(schema)
+
+  override def dataType: DataType = AvroCatalyst.toSparkType(readerSchema)
   override def nullable: Boolean = true
 
   @transient private lazy val conv: AnyRef => Any =
-    AvroCatalyst.converter(schema)
+    AvroCatalyst.converter(readerSchema)
 
   // GenericDatumReader is not thread-safe; BinaryDecoder is reusable per
   // thread — same executor-side state shape as AvroDecoderState.
   private final class ThreadState {
-    val reader = new GenericDatumReader[AnyRef](schema)
+    val reader = new GenericDatumReader[AnyRef](schema, readerSchema)
     var decoder: BinaryDecoder = _
   }
   @transient private lazy val local: ThreadLocal[ThreadState] =

@@ -20,6 +20,19 @@ object AvroQueries {
   private def cfg(topics: Map[String, Boolean]) =
     EngineConfig(Seq("stub://in-memory"), topics)
 
+  /** Evolved reader for [[AvroEventCorpus.EventSchemaJson]]: `props`
+    * dropped, `value` renamed to `amount` (alias resolution), `region`
+    * added with a default. */
+  private[queries] val EvolvedReaderSchemaJson: String =
+    """{"type":"record","name":"Event","namespace":"graft.events","fields":[
+      |{"name":"event_id","type":"long"},
+      |{"name":"user_id","type":"long"},
+      |{"name":"event_type","type":"string"},
+      |{"name":"amount","type":"double","aliases":["value"]},
+      |{"name":"ts_us","type":"long"},
+      |{"name":"region","type":"string","default":"unassigned"}]}"""
+      .stripMargin.replace("\n", "")
+
   /** Decode a framed corpus and expose envelope fields + parsed message. */
   private def decodedEvents(s: SparkSession, dir: String,
       tombstoneEvery: Int = 0, corruptEvery: Int = 0): DataFrame = {
@@ -122,6 +135,25 @@ object AvroQueries {
         .orderBy(col("event_id"))
     }),
 
+    // READER-SCHEMA EVOLUTION on the typed fast path: bytes written with
+    // the v1 writer schema decode into an evolved reader shape — `props`
+    // dropped, `value` renamed to `amount` via alias, `region` added with
+    // a default. The consumer-upgrade path, checked against the oracle's
+    // plain projection of the same semantics.
+    "avro_evolved_reader" -> ((s, dir) => {
+      val (_, id) = AvroEventCorpus.registry()
+      val framed = AvroEventCorpus.framedEvents(s, dir, id)
+      framed
+        .select(AvroTransform.fromAvroEvolved(
+          AvroEventCorpus.EventSchemaJson, EvolvedReaderSchemaJson,
+          expectedSchemaId = id)(col("value")).as("e"))
+        .select(col("e.event_id").as("event_id"),
+          col("e.amount").as("amount"),
+          col("e.region").as("region"),
+          col("e.ts_us").as("ts_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // #3/#11 key-side decode: fields inlined + originSchema injected.
     "avro_key_decode" -> ((s, dir) => {
       val (provider, id) = AvroEventCorpus.registry()
@@ -164,6 +196,9 @@ object AvroQueries {
         |FROM events ORDER BY event_id""".stripMargin,
     "avro_typed_fast" ->
       """SELECT event_id, user_id, event_type, value, props,
+        |epoch_us(ts) AS ts_us FROM events ORDER BY event_id""".stripMargin,
+    "avro_evolved_reader" ->
+      """SELECT event_id, value AS amount, 'unassigned' AS region,
         |epoch_us(ts) AS ts_us FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -181,3 +181,53 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 }
+
+class StreamingScrubSpec extends graft.SparkFunSuite {
+  import java.sql.Timestamp
+
+  test("stateless scrub+chunk pipeline runs unchanged under streaming: " +
+      "PII redacted, token windows emitted per micro-batch") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    // the same Column expressions used by the batch queries — stateless,
+    // so Structured Streaming accepts them with no watermark/state
+    val scrubbed = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.redactPii(col("text")).as("clean"),
+        graft.functions.TextFunctions.fingerprintPoly(col("text")).as("fp"))
+    val q = scrubbed.writeStream.format("memory").queryName("scrub_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "ping alice@example.com now"),
+        (2L, "server 10.0.0.1 up"))
+      q.processAllAvailable()
+      input.addData((3L, "call 555-123-4567 soon"))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT doc_id, clean FROM scrub_stream ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq(
+        (1L, "ping <EMAIL> now"),
+        (2L, "server <IP> up"),
+        (3L, "call <PHONE> soon")))
+    } finally q.stop()
+
+    // token-window chunking is a stateless explode — also streamable
+    val input2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val chunks = graft.operators.Chunking.tokenWindows(
+      input2.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      window = 3, stride = 2)
+    val q2 = chunks.writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      input2.addData((1L, "a b c d e"))
+      q2.processAllAvailable()
+      val n = s.sql("SELECT COUNT(*) FROM chunk_stream").head().getLong(0)
+      assert(n == 3) // starts 0, 2, 4
+    } finally q2.stop()
+  }
+}
