@@ -54,6 +54,24 @@ object Bench {
 
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // best warmup = the real queries at negligible scale: run the heavy
+    // representatives against the sf0.001 sibling (if present) so the
+    // EXACT first-in-sweep plans (fixture encode, decode, envelope
+    // projection, global sort, noop write, LSH kernels, topk agg) JIT
+    // before timing starts. TimeQuery measured the first decode query at
+    // ~9 s cold vs ~2.7 s warm — shape-identical warmup closes that gap.
+    val tiny = new java.io.File(
+      new java.io.File(sfDir).getParentFile, "sf0.001")
+    if (tiny.isDirectory) {
+      Seq("avro_envelope_ids", "avro_error_permissive", "dedup_minhash",
+          "sim_topk_brute", "q1_pricing_summary").foreach { n =>
+        try SparkEntry.queries(n)(spark, tiny.toString)
+          .write.format("noop").mode("overwrite").save()
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] warmup $n failed (continuing): $t")
+        }
+      }
+    }
     locally {
       import org.apache.spark.sql.functions.col
       val (provider, id) = graft.sources.AvroEventCorpus.registry()
