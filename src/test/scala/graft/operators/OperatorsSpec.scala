@@ -661,3 +661,57 @@ class InvertedIndexSpec extends SparkFunSuite {
       s"expected partition-pruned scan, got:\n$plan")
   }
 }
+
+class KernelPropertySpec extends SparkFunSuite {
+
+  test("property: PolyFingerprint kernel == independent fold on random " +
+      "strings (ScalaCheck, fixed seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    def ref(raw: String): Long = {
+      val norm = raw.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      norm.foldLeft(0L)((acc, c) => (acc * 1000003L + c) % (1L << 41))
+    }
+    // printable-ASCII inputs (incl. punctuation runs and whitespace);
+    // normalization reduces everything to the [a-z0-9 ] kernel alphabet
+    val gen = Gen.asciiPrintableStr
+    val inputs = (0 until 200).flatMap(k =>
+      gen.apply(Gen.Parameters.default, Seed(42L + k)))
+    val got = inputs.toDF("t")
+      .select(TF.fingerprintPoly(col("t")).as("fp"))
+      .collect().map(_.getLong(0))
+    inputs.zip(got).foreach { case (in, fp) =>
+      assert(fp == ref(in), s"mismatch for: '$in'")
+    }
+  }
+
+  test("property: redactPii leaves PII-free ASCII text unchanged and is " +
+      "idempotent on redacted output") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    // alphanumeric + space text can contain digit runs but no '@'/'.'
+    // separators, so no pattern can match
+    val word = Gen.alphaNumStr
+    val gen = Gen.listOfN(6, word).map(_.mkString(" "))
+    val inputs = (0 until 100).flatMap(k =>
+      gen.apply(Gen.Parameters.default, Seed(7L + k)))
+    val out = inputs.toDF("t")
+      .select(col("t"), TF.redactPii(col("t")).as("r"),
+        TF.redactPii(TF.redactPii(col("t"))).as("rr"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(1) == r.getString(0))
+      assert(r.getString(2) == r.getString(1))
+    }
+    // idempotence on text that DID contain PII: placeholders don't match
+    val pii = Seq("a bob@x.co b 555-123-4567 c 10.1.2.3 d").toDF("t")
+      .select(TF.redactPii(col("t")).as("r"),
+        TF.redactPii(TF.redactPii(col("t"))).as("rr"))
+      .head()
+    assert(pii.getString(0) == pii.getString(1))
+  }
+}
