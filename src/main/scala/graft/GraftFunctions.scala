@@ -44,9 +44,16 @@ object GraftFunctions {
         intArg(es(2), "seed").toLong), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine_sim",
       es => CosineSimilarity(es(0), es(1)), "built-in")
+    // graft_from_avro(bytes, writerSchema[, expectedId[, readerSchema]])
+    // — 4th arg enables reader-schema evolution (defaults/aliases/
+    // promotions via Avro schema resolution)
     reg.createOrReplaceTempFunction("graft_from_avro",
       es => AvroDecodeFixed(es(0), stringArg(es(1), "schemaJson"),
-        if (es.length > 2) intArg(es(2), "expectedSchemaId") else -1),
+        if (es.length > 2) intArg(es(2), "expectedSchemaId") else -1,
+        permissive = false,
+        readerSchemaJson =
+          if (es.length > 3) Some(stringArg(es(3), "readerSchemaJson"))
+          else None),
       "built-in")
     reg.createOrReplaceTempFunction("graft_to_avro",
       es => AvroEncodeFixed(es(0), stringArg(es(1), "schemaJson")),
@@ -68,7 +75,7 @@ object GraftFunctions {
       spark.experimental.extraOptimizations = cur :+ JaccardLengthPruning
   }
 
-  private def stringArg(e: Expression, name: String): String = e.eval() match {
+  private[graft] def stringArg(e: Expression, name: String): String = e.eval() match {
     case s: org.apache.spark.unsafe.types.UTF8String => s.toString
     case s: String => s
     case other => throw new IllegalArgumentException(

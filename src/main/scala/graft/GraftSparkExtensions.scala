@@ -67,6 +67,24 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       es => NearestCentroids(es(0), GraftFunctions.longArrayArg(es(1),
         "centIds"), GraftFunctions.vecArrayArg(es(2), "centVecs"),
         intArg(es(3), "take"))))
+    e.injectFunction((FunctionIdentifier("graft_from_avro"),
+      info("graft_from_avro",
+        "graft_from_avro(bytes, writerSchema[, expectedId[, readerSchema]])" +
+          " - typed fixed-schema decode; 4-arg form applies reader-schema" +
+          " evolution"),
+      es => AvroDecodeFixed(es(0), GraftFunctions.stringArg(es(1),
+        "schemaJson"),
+        if (es.length > 2) intArg(es(2), "expectedSchemaId") else -1,
+        permissive = false,
+        readerSchemaJson =
+          if (es.length > 3)
+            Some(GraftFunctions.stringArg(es(3), "readerSchemaJson"))
+          else None)))
+    e.injectFunction((FunctionIdentifier("graft_to_avro"),
+      info("graft_to_avro",
+        "graft_to_avro(struct, schema) - typed fixed-schema Avro encode"),
+      es => AvroEncodeFixed(es(0), GraftFunctions.stringArg(es(1),
+        "schemaJson"))))
     e.injectFunction((FunctionIdentifier("graft_poly_fingerprint"),
       info("graft_poly_fingerprint",
         "graft_poly_fingerprint(normText) - portable Karp-Rabin fingerprint"),

@@ -55,6 +55,27 @@ class GraftFunctionsSpec extends SparkFunSuite {
     assert(got == "a")
   }
 
+  test("graft_from_avro 4-arg form applies reader-schema evolution " +
+      "from SQL") {
+    val s = spark
+    GraftFunctions.register(s)
+    val writer = graft.avro.Fixtures.FullNameSchemaJson.replace("\"", "\\\"")
+    // reader: drop `last`, rename `first`→`fname` via alias, add
+    // `lang` with a default
+    val reader =
+      ("""{"type":"record","name":"FullName","namespace":"com.ing.eventbus""" +
+        """.connect.schema.converters","fields":[{"name":"fname","type":""" +
+        """"string","aliases":["first"]},{"name":"lang","type":"string",""" +
+        """"default":"en"}]}""").replace("\"", "\\\"")
+    val got = s.sql(
+      s"""SELECT e.fname, e.lang FROM (SELECT graft_from_avro(
+         |  concat(X'0000000001',
+         |    graft_to_avro(named_struct('first', 'ada', 'last', 'l'),
+         |      "$writer")),
+         |  "$writer", 1, "$reader") AS e)""".stripMargin).head
+    assert(got.getString(0) == "ada" && got.getString(1) == "en")
+  }
+
   test("graft_hyperplane_sig from SQL over array<float>") {
     val s = spark
     import s.implicits._
