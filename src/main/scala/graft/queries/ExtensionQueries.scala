@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFunctions => TF}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.operators.{Chunking, Contamination, Dedup, InvertedIndex,
   Multimodal, Relevance, Sampling, Similarity}
 
@@ -250,6 +250,21 @@ object ExtensionQueries {
       Chunking.packSequences(t(s, dir, "documents"), "text", "doc_id",
           budget = 256, nShards = 8)
         .orderBy(col("doc_id"))),
+
+    // embedding hygiene stats: L2 norm (left-to-right fold + IEEE sqrt —
+    // engine-portable like the cosine kernel), mean component, max |x| —
+    // the standard pre-ANN sanity signals, all row-local
+    "emb_norm_stats" -> ((s, dir) => {
+      val e = VF.asDouble(col("embedding"))
+      val sumc = aggregate(e, lit(0.0), (acc, x) => acc + x)
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          VF.norm2(col("embedding")).as("norm"),
+          (sumc / size(col("embedding")).cast("double")).as("mean_comp"),
+          array_max(transform(e, x => abs(x))).as("max_abs"))
+        .orderBy(col("vec_id"))
+    }),
 
     // written inverted index: postings partitioned by term-hash bucket,
     // probe reads only the probe terms' buckets (PartitionFilters — the
@@ -555,6 +570,18 @@ object ExtensionQueries {
          |    ORDER BY score DESC, term) AS rank FROM scored)
          |SELECT doc_id, rank, term, tf, df, dl, score FROM ranked
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // same fold order as the Spark HOFs (list_reduce is left-to-right,
+    // sqrt is correctly rounded in both engines)
+    "emb_norm_stats" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings)
+        |SELECT vec_id, len(v) AS dim,
+        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(v, x -> x * x)), (a, x) -> a + x)) AS norm,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), v), (a, x) -> a + x)
+        |    / CAST(len(v) AS DOUBLE) AS mean_comp,
+        |  list_max(list_transform(v, x -> abs(x))) AS max_abs
+        |FROM e ORDER BY vec_id""".stripMargin,
     // bucket layout is engine-internal; the postings themselves are plain
     // term frequencies
     "text_index_lookup" ->
