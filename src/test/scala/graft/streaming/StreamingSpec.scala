@@ -231,3 +231,38 @@ class StreamingScrubSpec extends graft.SparkFunSuite {
     } finally q2.stop()
   }
 }
+
+class StreamStaticContaminationSpec extends graft.SparkFunSuite {
+
+  test("stream-static join: streaming docs checked against a static " +
+      "benchmark shingle set (broadcast, no state)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = s.sqlContext
+    val TF = graft.functions.TextFunctions
+    // static side: the benchmark's distinct shingle hashes
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+      .select(explode(TF.wordShingleHashes(col("text"), 3)).as("h"))
+      .distinct()
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val streamShingles = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(TF.wordShingleHashes(col("text"), 3)).as("h"))
+    // stream-static inner join: per-batch broadcast lookup, stateless
+    val hits = streamShingles.join(broadcast(bench), "h")
+      .groupBy("doc_id").count()
+    val q = hits.writeStream.format("memory").queryName("contam_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData((1L, "alpha beta gamma delta epsilon"), // 3 shingles hit
+        (2L, "one two three four five"))                    // 0 hits
+      q.processAllAvailable()
+      val got = s.sql("SELECT doc_id, count FROM contam_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == Map(1L -> 3L))
+    } finally q.stop()
+  }
+}
