@@ -265,6 +265,39 @@ object AnalyticsQueries {
     }),
 
     // Event-time tumbling window (batch twin of the streaming agg).
+    // LEFT OUTER with real null semantics: segments keep customers with
+    // zero orders; COUNT(col) vs COUNT(DISTINCT CASE) pin the null rows
+    "q_left_join_nulls" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("c_custkey")).as("n_customers"),
+          count(col("o_orderkey")).as("n_orders"),
+          countDistinct(when(col("o_orderkey").isNull, col("c_custkey")))
+            .as("n_silent"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // FULL OUTER join of two sparse hourly aggregates (HAVING >= 3 makes
+    // the sides genuinely asymmetric at sf0.01: ~170 hours only on each
+    // side) — both null branches and the COALESCE fill are pinned
+    "q_full_outer_hours" -> ((s, dir) => {
+      val e = events(s, dir)
+      def hours(tpe: String) = e.filter(col("event_type") === tpe)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 3)
+      val a = hours("signup").alias("a")
+      val b = hours("error").alias("b")
+      a.join(b, col("a.h") === col("b.h"), "full")
+        .select(coalesce(col("a.h"), col("b.h")).as("h"),
+          coalesce(col("a.c"), lit(0L)).as("n_signup"),
+          coalesce(col("b.c"), lit(0L)).as("n_error"))
+        .orderBy(col("h"))
+    }),
+
     "q_events_hourly" -> ((s, dir) =>
       events(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -629,6 +662,24 @@ object AnalyticsQueries {
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |  AS trail_1h_events
         |FROM e ORDER BY event_id""".stripMargin,
+    "q_left_join_nulls" ->
+      """SELECT c_mktsegment,
+        |COUNT(DISTINCT c_custkey) AS n_customers,
+        |COUNT(o_orderkey) AS n_orders,
+        |COUNT(DISTINCT CASE WHEN o_orderkey IS NULL THEN c_custkey END)
+        |  AS n_silent
+        |FROM customer c LEFT JOIN orders o ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_full_outer_hours" ->
+      """WITH a AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c
+        |  FROM events WHERE event_type = 'signup'
+        |  GROUP BY 1 HAVING COUNT(*) >= 3),
+        |b AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c
+        |  FROM events WHERE event_type = 'error'
+        |  GROUP BY 1 HAVING COUNT(*) >= 3)
+        |SELECT COALESCE(a.h, b.h) AS h, COALESCE(a.c, 0) AS n_signup,
+        |COALESCE(b.c, 0) AS n_error
+        |FROM a FULL OUTER JOIN b ON a.h = b.h ORDER BY h""".stripMargin,
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |COUNT(*) AS cnt,
