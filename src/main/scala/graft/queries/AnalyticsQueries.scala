@@ -265,6 +265,25 @@ object AnalyticsQueries {
     }),
 
     // Event-time tumbling window (batch twin of the streaming agg).
+    // navigation window functions: LAG for inter-event gaps (NULL on each
+    // user's first event) + NTILE session quartiles, total-ordered by
+    // (ts, event_id) so both engines rank identically
+    "q_user_gaps" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("gap_us",
+          col("ts_us") - lag(col("ts_us"), 1).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts_us"), col("event_id"))))
+        .withColumn("quartile", ntile(4).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts_us"), col("event_id"))))
+        .select(col("user_id"), col("event_id"), col("gap_us"),
+          col("quartile"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // LEFT OUTER with real null semantics: segments keep customers with
     // zero orders; COUNT(col) vs COUNT(DISTINCT CASE) pin the null rows
     "q_left_join_nulls" -> ((s, dir) => {
@@ -662,6 +681,13 @@ object AnalyticsQueries {
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |  AS trail_1h_events
         |FROM e ORDER BY event_id""".stripMargin,
+    "q_user_gaps" ->
+      """SELECT user_id, event_id,
+        |epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |  ORDER BY epoch_us(ts), event_id) AS gap_us,
+        |ntile(4) OVER (PARTITION BY user_id
+        |  ORDER BY epoch_us(ts), event_id) AS quartile
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q_left_join_nulls" ->
       """SELECT c_mktsegment,
         |COUNT(DISTINCT c_custkey) AS n_customers,
