@@ -265,6 +265,21 @@ object AnalyticsQueries {
     }),
 
     // Event-time tumbling window (batch twin of the streaming agg).
+    // GROUPING SETS through the SQL-text surface (rollup/cube's general
+    // form); GROUPING() flags disambiguate the NULL group keys, and the
+    // ORDER BY pins NULLS FIRST explicitly (Spark defaults NULLS FIRST,
+    // DuckDB NULLS LAST — an unpinned sort would diverge)
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("gs_customer")
+      s.sql(
+        """SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
+          |GROUPING(c_mktsegment) AS g_seg, GROUPING(c_nationkey) AS g_nat
+          |FROM gs_customer
+          |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+          |ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST,
+          |  c_nationkey NULLS FIRST""".stripMargin)
+    }),
+
     // navigation window functions: LAG for inter-event gaps (NULL on each
     // user's first event) + NTILE session quartiles, total-ordered by
     // (ts, event_id) so both engines rank identically
@@ -681,6 +696,13 @@ object AnalyticsQueries {
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |  AS trail_1h_events
         |FROM e ORDER BY event_id""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
+        |GROUPING(c_mktsegment) AS g_seg, GROUPING(c_nationkey) AS g_nat
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST,
+        |  c_nationkey NULLS FIRST""".stripMargin,
     "q_user_gaps" ->
       """SELECT user_id, event_id,
         |epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
