@@ -278,18 +278,34 @@ object TextFunctions {
   val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
   val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
 
+  /** The three redaction stages, exposed individually so counts can be
+    * taken per stage (see [[redactPii]] for the order contract). */
+  def redactEmails(text: Column): Column =
+    regexp_replace(text, EmailRe, "<EMAIL>")
+  def redactPhones(text: Column): Column =
+    regexp_replace(text, PhoneRe, "<PHONE>")
+  def redactIps(text: Column): Column =
+    regexp_replace(text, Ipv4Re, "<IP>")
+
   /** Scrubbed text: emails → `<EMAIL>`, then phones → `<PHONE>`, then
     * IPv4s → `<IP>`. Application ORDER is part of the contract (an email's
     * host can never be re-matched as an IP because the whole email is
     * replaced first). */
   def redactPii(text: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(text, EmailRe, "<EMAIL>"),
-        PhoneRe, "<PHONE>"),
-      Ipv4Re, "<IP>")
+    redactIps(redactPhones(redactEmails(text)))
 
-  def emailCount(text: Column): Column = regexp_count(text, lit(EmailRe))
-  def phoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe))
-  def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Re))
+  /** Per-category counts as a struct `(n_email, n_phone, n_ip)`, each
+    * counted on the PREVIOUS stage's output — so every count equals the
+    * number of placeholders that stage actually inserted (counting all
+    * three on the raw text would let a phone-shaped email local part,
+    * e.g. `555-123-4567@x.org`, report n_phone=1 with zero `<PHONE>`
+    * in the redacted output). */
+  def piiCounts(text: Column): Column = {
+    val s1 = redactEmails(text)
+    val s2 = redactPhones(s1)
+    struct(
+      regexp_count(text, lit(EmailRe)).as("n_email"),
+      regexp_count(s1, lit(PhoneRe)).as("n_phone"),
+      regexp_count(s2, lit(Ipv4Re)).as("n_ip"))
+  }
 }

@@ -38,12 +38,15 @@ object Contamination {
     val benchShingles = bench
       .select(explode(TF.wordShingleHashes(col(textCol), k)).as("h"))
       .distinct()
-    val totals = corpusShingles.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"))
-    val hits = corpusShingles.join(broadcast(benchShingles), "h")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
-    totals.join(hits, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_contaminated"))
+      .withColumn("hit", lit(1))
+    // ONE corpus pass: broadcast left join marks benchmark hits in place
+    // (bench shingles are distinct, so the join never duplicates a row);
+    // count(*) vs count(hit) gives totals and hits from the same
+    // aggregation — one scan, one doc_id exchange.
+    corpusShingles.join(broadcast(benchShingles), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("hit")).as("n_contaminated"))
       .withColumn("contamination",
         col("n_contaminated").cast("double") /
           col("n_shingles").cast("double"))

@@ -45,22 +45,21 @@ object InvertedIndex {
   def lookup(spark: SparkSession, index: TermIndex,
       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
-    val probeBuckets = terms.distinct.map(bucketOf(spark, index, _))
+    val probeBuckets = bucketsOf(spark, index, terms.distinct)
     spark.read.parquet(index.path)
       .filter(col("bucket").isin(probeBuckets.distinct: _*))
       .filter(col("term").isin(terms: _*))
       .select(col("term"), col("doc_id"), col("tf"))
   }
 
-  /** The bucket a term lands in — evaluated through the SAME Catalyst
-    * `hash` expression the build used (a literal fold, no job). */
-  private def bucketOf(spark: SparkSession, index: TermIndex,
-      term: String): Int = {
+  /** Buckets for ALL probe terms in one local evaluation of the SAME
+    * Catalyst `hash` expression the build used (one LocalRelation plan,
+    * no per-term planning cycle, no cluster job). */
+  private def bucketsOf(spark: SparkSession, index: TermIndex,
+      terms: Seq[String]): Seq[Int] = {
     import spark.implicits._
-    // local relation + literal fold: Catalyst constant-folds this without
-    // touching the cluster
-    Seq(term).toDF("t")
+    terms.toDF("t")
       .select(pmod(hash(col("t")), lit(index.nBuckets)))
-      .head().getInt(0)
+      .collect().map(_.getInt(0)).toSeq
   }
 }

@@ -134,7 +134,8 @@ object ExtensionQueries {
     "sim_topk_ivf_indexed" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
-        Integer.toHexString(dir.hashCode)
+        Integer.toHexString(dir.hashCode) + "_" +
+        ProcessHandle.current().pid()
       val index = Similarity.buildIvfIndex(emb, path, nlist = 16)
       Similarity.ivfTopKIndexed(index, emb.filter(col("vec_id") < 10),
           k = 5, nprobe = 4)
@@ -217,9 +218,11 @@ object ExtensionQueries {
         .select(col("doc_id"), planted.as("s"))
         .select(col("doc_id"),
           TF.redactPii(col("s")).as("redacted"),
-          TF.emailCount(col("s")).as("n_email"),
-          TF.phoneCount(col("s")).as("n_phone"),
-          TF.ipv4Count(col("s")).as("n_ip"))
+          TF.piiCounts(col("s")).as("c"))
+        .select(col("doc_id"), col("redacted"),
+          col("c.n_email").as("n_email"),
+          col("c.n_phone").as("n_phone"),
+          col("c.n_ip").as("n_ip"))
         .orderBy(col("doc_id"))
     }),
 
@@ -270,8 +273,11 @@ object ExtensionQueries {
     // probe reads only the probe terms' buckets (PartitionFilters — the
     // text twin of sim_topk_ivf_indexed's layout)
     "text_index_lookup" -> ((s, dir) => {
+      // pid-scoped path: concurrent verify/bench processes on one box
+      // must not race each other's overwrite-and-read on a shared dir
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_term_index_" +
-        Integer.toHexString(dir.hashCode)
+        Integer.toHexString(dir.hashCode) + "_" +
+        ProcessHandle.current().pid()
       val index = InvertedIndex.build(t(s, dir, "documents"), "text",
         "doc_id", path, nBuckets = 64)
       InvertedIndex.lookup(s, index, Seq("spark", "join", "window"))
@@ -520,18 +526,25 @@ object ExtensionQueries {
         |    CAST(doc_id % 200 AS VARCHAR) || '.0.' ||
         |    CAST(doc_id % 250 AS VARCHAR) ELSE '' END AS s
         |  FROM documents)
+        |, st AS (SELECT doc_id, s,
+        |  regexp_replace(s,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |    'g') AS s1
+        |  FROM aug),
+        |st2 AS (SELECT doc_id, s, s1,
+        |  regexp_replace(s1, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>',
+        |    'g') AS s2
+        |  FROM st)
         |SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(s,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
-        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted,
+        |  regexp_replace(s2, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')
+        |    AS redacted,
         |  len(regexp_extract_all(s,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-        |  len(regexp_extract_all(s,
+        |  len(regexp_extract_all(s1,
         |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone,
-        |  len(regexp_extract_all(s,
+        |  len(regexp_extract_all(s2,
         |    '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip
-        |FROM aug ORDER BY doc_id""".stripMargin,
+        |FROM st2 ORDER BY doc_id""".stripMargin,
     "text_tfidf_top3" ->
       s"""WITH tk AS ($NormToksSql),
          |tok AS (SELECT doc_id, unnest(toks) AS term FROM tk),

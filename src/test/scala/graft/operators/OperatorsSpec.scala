@@ -564,9 +564,20 @@ class PiiRedactionSpec extends SparkFunSuite {
       "or 555.987.6543 host 192.168.1.200 done"
     assert(one(TF.redactPii(col("t")), in) ==
       "mail <EMAIL> call <PHONE> or <PHONE> host <IP> done")
-    assert(one(TF.emailCount(col("t")), in) == 1)
-    assert(one(TF.phoneCount(col("t")), in) == 2)
-    assert(one(TF.ipv4Count(col("t")), in) == 1)
+    val c = one(TF.piiCounts(col("t")), in)
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert((c.getInt(0), c.getInt(1), c.getInt(2)) == ((1, 2, 1)))
+  }
+
+  test("piiCounts counts per stage: a phone-shaped email local part is " +
+      "counted as email only") {
+    // the raw text matches BOTH EmailRe and PhoneRe; the redaction
+    // replaces it as an email, so n_phone must be 0, not 1
+    val in = "contact 555-123-4567@corp.example.org now"
+    assert(one(TF.redactPii(col("t")), in) == "contact <EMAIL> now")
+    val c = one(TF.piiCounts(col("t")), in)
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert((c.getInt(0), c.getInt(1), c.getInt(2)) == ((1, 0, 0)))
   }
 
   test("redaction order: email host is never re-matched as phone/IP") {
