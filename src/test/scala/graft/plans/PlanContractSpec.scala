@@ -82,3 +82,51 @@ class PlanContractSpec extends SparkFunSuite {
       s"expected partial+final aggregate:\n$plan")
   }
 }
+
+/** The scaladocs lean on AQE for runtime skew handling ("skewed
+  * identical-doc floods are bounded by AQE skew-join splitting") — this
+  * pins that the claim actually fires on this Spark build: a 90%-one-key
+  * sort-merge join comes back with `skew=true` partitions in the final
+  * adaptive plan. */
+class AqeSkewJoinSpec extends SparkFunSuite {
+
+  test("AQE splits the skewed SMJ partition (skew=true in final plan)") {
+    val s = spark
+    import s.implicits._
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> s.conf.getOption(k)).toMap
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    try {
+      // 90% of the left side lands on key 0 → one ~4 MB partition vs
+      // tiny siblings; the pad is row-DEPENDENT (a literal would be
+      // constant-folded out of the shuffle, leaving the skewed partition
+      // under the threshold)
+      val left = s.range(0, 20000)
+        .select(when($"id" < 18000, 0L).otherwise($"id").as("k"),
+          concat(lit("x" * 200), $"id").as("p"))
+      val right = s.range(0, 100).select($"id".as("k"), lit("r").as("q"))
+      val joined = left.join(right, "k")
+      // collect THIS DataFrame (count() would execute a separate query
+      // and leave joined's adaptive plan unfinalised); only k=0 matches
+      // the right side (right keys are 0..99; non-skewed left keys start
+      // at 18000)
+      assert(joined.collect().length == 18000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew split, got:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+}
