@@ -254,6 +254,26 @@ object ExtensionQueries {
           budget = 256, nShards = 8)
         .orderBy(col("doc_id"))),
 
+    // one-row corpus report card: the pre-training numbers a data team
+    // reads first. Exact integer sums, digest-based distinct (the
+    // dedup_exact_hash scale pattern: 32-byte digests shuffle, text does
+    // not), and exact percentiles over the integer token counts (both
+    // engines interpolate at p*(n-1) — portable on an integer grid)
+    "corpus_report" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("text"), size(TF.normTokens(col("text"))).as("n"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n").cast("long")).as("total_tokens"),
+          (sum(col("n").cast("long")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_tokens"),
+          countDistinct(sha2(col("text"), 256)).as("n_distinct"),
+          ((count(lit(1)) - countDistinct(sha2(col("text"), 256)))
+            .cast("double") / count(lit(1)).cast("double")).as("dup_rate"),
+          expr("percentile(n, 0.5)").as("p50_tokens"),
+          expr("percentile(n, 0.9)").as("p90_tokens"),
+          expr("percentile(n, 0.99)").as("p99_tokens"))),
+
     // embedding hygiene stats: L2 norm (left-to-right fold + IEEE sqrt —
     // engine-portable like the cosine kernel), mean component, max |x| —
     // the standard pre-ANN sanity signals, all row-local
@@ -583,6 +603,19 @@ object ExtensionQueries {
          |    ORDER BY score DESC, term) AS rank FROM scored)
          |SELECT doc_id, rank, term, tf, df, dl, score FROM ranked
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "corpus_report" ->
+      s"""WITH tk AS ($NormToksSql),
+         |d AS (SELECT text, len(toks) AS n FROM tk)
+         |SELECT COUNT(*) AS n_docs,
+         |  SUM(n) AS total_tokens,
+         |  CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
+         |  COUNT(DISTINCT sha256(text)) AS n_distinct,
+         |  CAST(COUNT(*) - COUNT(DISTINCT sha256(text)) AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE) AS dup_rate,
+         |  quantile_cont(n, 0.5) AS p50_tokens,
+         |  quantile_cont(n, 0.9) AS p90_tokens,
+         |  quantile_cont(n, 0.99) AS p99_tokens
+         |FROM d""".stripMargin,
     // same fold order as the Spark HOFs (list_reduce is left-to-right,
     // sqrt is correctly rounded in both engines)
     "emb_norm_stats" ->
