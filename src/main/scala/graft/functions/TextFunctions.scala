@@ -219,6 +219,54 @@ object TextFunctions {
     array_max(array(latin :+ zh: _*))
   }
 
+  // ---- single-pass native signals (the fast path for profile queries) ----
+
+  /** Every per-document profile signal in ONE native pass
+    * ([[graft.plans.TextSignals]]): struct(n_chars, n_raw_toks, n_punct,
+    * n_digits, n_norm_toks, n_distinct_toks, n_stop_hits, n_subwords,
+    * lang_id, lang_id_score, lang_ev, lang_ev_score). Exact-parity with
+    * the HOF formulations below (property-tested); ~10 interpreted lambda
+    * trees per row collapse into one scan. */
+  def textSignals(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.TextSignals(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
+  /** [[qualityScore]] recomposed from a [[textSignals]] struct — identical
+    * constants and op order, so identical doubles. */
+  def qualityScoreFromSignals(sig: Column): Column = {
+    val nChars = sig.getField("n_chars")
+    val nTokens = sig.getField("n_raw_toks")
+    val meanWordLen = safeRatio(nChars, nTokens)
+    val lenScore = when(nTokens >= 10 && nTokens <= 100000, lit(1.0))
+      .otherwise(lit(0.3))
+    val wordLenScore = when(meanWordLen >= 3 && meanWordLen <= 12, lit(1.0))
+      .otherwise(lit(0.4))
+    val punctScore =
+      when(safeRatio(sig.getField("n_punct"), nChars) <= 0.1, lit(1.0))
+        .otherwise(lit(0.5))
+    val digitScore =
+      when(safeRatio(sig.getField("n_digits"), nChars) <= 0.3, lit(1.0))
+        .otherwise(lit(0.5))
+    val stopScore = when(
+      safeRatio(sig.getField("n_stop_hits"), sig.getField("n_norm_toks"))
+        >= 0.05, lit(1.0)).otherwise(lit(0.6))
+    (lenScore * 0.25 + wordLenScore * 0.2 + punctScore * 0.2 +
+      digitScore * 0.15 + stopScore * 0.2)
+  }
+
+  /** "und" fallback applied to a [[textSignals]] lang field pair. */
+  def langOrUnd(lang: Column, score: Column): Column =
+    when(score > 0, lang).otherwise(lit("und"))
+
+  def stopwordRatioFromSignals(sig: Column): Column =
+    safeRatio(sig.getField("n_stop_hits"), sig.getField("n_norm_toks"))
+
+  def distinctRatioFromSignals(sig: Column): Column =
+    when(sig.getField("n_norm_toks") === 0, lit(0.0))
+      .otherwise(sig.getField("n_distinct_toks").cast("double") /
+        sig.getField("n_norm_toks").cast("double"))
+
   // ---- quality scoring ----
 
   def punctCount(text: Column): Column =

@@ -1,0 +1,231 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text-profile kernel: every per-document signal the
+  * profile/quality/lang-id queries need, computed in ONE scan of the
+  * string instead of ~10 interpreted HOF lambda trees per row (the same
+  * HOF-to-kernel promotion that took the LSH dedup family from ~30 s to
+  * sub-second — `graft.plans.HashKernels` scaladoc).
+  *
+  * EXACT-parity contract with the Column formulation in
+  * `graft.functions.TextFunctions` (the DuckDB oracles pin outputs
+  * bit-for-bit; `KernelPropertySpec` cross-checks on random inputs):
+  *   - lowercase via `UTF8String.toLowerCase` — the SAME routine Spark's
+  *     `lower()` uses (not `java.lang.String.toLowerCase`, which differs
+  *     on locale-special codepoints);
+  *   - normalized tokens = maximal ASCII `[a-z0-9]` runs of the lowered
+  *     text (the `[^a-z0-9]+ -> ' '` + trim + split composition);
+  *   - RAW token count replicates `split(trim(text), "\\s+")` with Java
+  *     regex `\s` = `[ \t\n\x0B\f\r]` and Spark's limit = -1 semantics:
+  *     `trim` strips 0x20 only, and a leading/trailing non-space
+  *     whitespace run contributes an empty piece;
+  *   - subwords replicate `split(trim(text),
+  *     "\\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])")` with
+  *     `ceil(len/4)` per piece (empty pieces contribute 0);
+  *   - counts are CODEPOINT counts (Spark `length`), not UTF-16 units;
+  *   - lang scores: distinct-marker hits (langId) and marker-token
+  *     occurrences (langEvidence) for de/en/es/fr; marker-CHARACTER
+  *     occurrences in the RAW text for zh; argmax tie-break = greatest
+  *     (score, lang) struct, i.e. lexicographically greatest language
+  *     among tied scores.
+  */
+object TextSignalsKernel {
+
+  val Langs: Array[String] = Array("de", "en", "es", "fr") // + zh below
+
+  private val markerSets: Array[java.util.HashSet[String]] = {
+    val m = graft.functions.TextFunctions.LangMarkers
+    Langs.map { l =>
+      val s = new java.util.HashSet[String]()
+      m(l).foreach(s.add)
+      s
+    }
+  }
+
+  private val enMarkers: java.util.HashSet[String] = markerSets(1)
+
+  private val zhMarkers: java.util.HashSet[Integer] = {
+    val s = new java.util.HashSet[Integer]()
+    graft.functions.TextFunctions.LangMarkers("zh")
+      .foreach(c => s.add(c.codePointAt(0)))
+    s
+  }
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
+  @inline private def isAsciiLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  @inline private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
+  def profile(text: UTF8String): GenericInternalRow = {
+    val raw = text.toString
+    val lowered = text.toLowerCase.toString
+
+    // ---- pass 1: raw-text counts (codepoints) ----
+    var nChars = 0
+    var punct = 0
+    var digits = 0
+    var zhHits = 0
+    var i = 0
+    while (i < raw.length) {
+      val cp = raw.codePointAt(i)
+      nChars += 1
+      if (cp == '.' || cp == ',' || cp == '!' || cp == '?' || cp == ';' ||
+        cp == ':') punct += 1
+      if (cp >= '0' && cp <= '9') digits += 1
+      if (zhMarkers.contains(cp)) zhHits += 1
+      i += Character.charCount(cp)
+    }
+
+    // ---- raw whitespace tokens: split(trim(text), "\s+") semantics ----
+    // trim strips 0x20 only; split keeps leading/trailing empty pieces
+    // produced by non-space whitespace runs (limit = -1)
+    var start = 0
+    var end = raw.length
+    while (start < end && raw.charAt(start) == ' ') start += 1
+    while (end > start && raw.charAt(end - 1) == ' ') end -= 1
+    var nRawToks = 0
+    if (end > start) {
+      var runs = 0
+      var inRun = false
+      var j = start
+      while (j < end) {
+        val ws = isWs(raw.charAt(j))
+        if (!ws && !inRun) { runs += 1; inRun = true }
+        else if (ws) inRun = false
+        j += 1
+      }
+      nRawToks = runs
+      if (isWs(raw.charAt(start))) nRawToks += 1   // leading empty piece
+      if (isWs(raw.charAt(end - 1))) nRawToks += 1 // trailing empty piece
+    }
+
+    // ---- subwords over the trimmed raw text: pieces split at \s+ and at
+    // ASCII letter<->digit boundaries; ceil(len/4) per piece ----
+    var subwords = 0
+    if (end > start) {
+      var pieceLen = 0
+      var j = start
+      var prev = 0.toChar
+      var havePrev = false
+      while (j < end) {
+        val cp = raw.codePointAt(j)
+        val c = raw.charAt(j)
+        if (isWs(c)) {
+          subwords += (pieceLen + 3) / 4
+          pieceLen = 0
+          havePrev = false
+        } else {
+          if (havePrev &&
+            ((isAsciiLetter(prev) && isDigit(c)) ||
+              (isDigit(prev) && isAsciiLetter(c)))) {
+            subwords += (pieceLen + 3) / 4
+            pieceLen = 0
+          }
+          pieceLen += 1 // codepoint count
+          prev = c
+          havePrev = true
+        }
+        j += Character.charCount(cp)
+      }
+      subwords += (pieceLen + 3) / 4
+    }
+
+    // ---- normalized tokens: maximal [a-z0-9] runs of the lowered text ----
+    var nNormToks = 0
+    var stopHits = 0
+    val latinOcc = new Array[Int](Langs.length)
+    val distinct = new java.util.HashSet[String]()
+    var k = 0
+    val ln = lowered.length
+    var tokStart = -1
+    while (k <= ln) {
+      val in = k < ln && {
+        val c = lowered.charAt(k)
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      }
+      if (in && tokStart < 0) tokStart = k
+      else if (!in && tokStart >= 0) {
+        val tok = lowered.substring(tokStart, k)
+        nNormToks += 1
+        distinct.add(tok)
+        if (enMarkers.contains(tok)) stopHits += 1
+        var li = 0
+        while (li < Langs.length) {
+          if (markerSets(li).contains(tok)) latinOcc(li) += 1
+          li += 1
+        }
+        tokStart = -1
+      }
+      k += 1
+    }
+
+    // distinct-marker hits per latin lang (langId variant)
+    val latinDistinct = new Array[Int](Langs.length)
+    val it = distinct.iterator()
+    while (it.hasNext) {
+      val tok = it.next()
+      var li = 0
+      while (li < Langs.length) {
+        if (markerSets(li).contains(tok)) latinDistinct(li) += 1
+        li += 1
+      }
+    }
+
+    // argmax by (score, lang), lexicographically greatest lang on ties —
+    // langs iterated in sorted order (de,en,es,fr,zh), >= keeps the later
+    def argmax(latin: Array[Int]): (String, Int) = {
+      var bestLang = Langs(0)
+      var bestScore = latin(0)
+      var li = 1
+      while (li < Langs.length) {
+        if (latin(li) >= bestScore) { bestScore = latin(li); bestLang = Langs(li) }
+        li += 1
+      }
+      if (zhHits >= bestScore) ("zh", zhHits) else (bestLang, bestScore)
+    }
+    val (idLang, idScore) = argmax(latinDistinct)
+    val (evLang, evScore) = argmax(latinOcc)
+
+    new GenericInternalRow(Array[Any](
+      nChars, nRawToks, punct, digits, nNormToks, distinct.size(),
+      stopHits, subwords,
+      UTF8String.fromString(idLang), idScore,
+      UTF8String.fromString(evLang), evScore))
+  }
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_raw_toks", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_digits", IntegerType, nullable = false),
+    StructField("n_norm_toks", IntegerType, nullable = false),
+    StructField("n_distinct_toks", IntegerType, nullable = false),
+    StructField("n_stop_hits", IntegerType, nullable = false),
+    StructField("n_subwords", IntegerType, nullable = false),
+    StructField("lang_id", StringType, nullable = false),
+    StructField("lang_id_score", IntegerType, nullable = false),
+    StructField("lang_ev", StringType, nullable = false),
+    StructField("lang_ev_score", IntegerType, nullable = false)))
+}
+
+/** `text_signals(text)` → struct of every per-document profile signal in
+  * one native pass (see [[TextSignalsKernel]]). */
+case class TextSignals(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TextSignalsKernel.schema
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(input: Any): Any =
+    TextSignalsKernel.profile(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextSignalsKernel.profile($c);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_text_signals"
+}

@@ -167,16 +167,17 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))),
 
     "text_profile" -> ((s, dir) =>
-      // tokens materialized ONCE (multi-referenced alias = projection
-      // barrier), then every token-based signal reads the array column
+      // ONE native pass per document (graft.plans.TextSignals) — the HOF
+      // formulation costs ~10 interpreted lambda trees per row; outputs
+      // are exact-parity (property-tested + this oracle)
       t(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          TF.normTokens(col("text")).as("toks"))
+        .select(col("doc_id"), TF.textSignals(col("text")).as("sig"))
         .select(col("doc_id"),
-          TF.langIdFromTokens(col("text"), col("toks")).as("lang_pred"),
-          TF.qualityScoreFromTokens(col("text"), col("toks")).as("quality"),
-          TF.subwordCount(col("text")).as("n_subwords"),
-          TF.stopwordRatioFromTokens(col("toks")).as("stopword_ratio"))
+          TF.langOrUnd(col("sig.lang_id"), col("sig.lang_id_score"))
+            .as("lang_pred"),
+          TF.qualityScoreFromSignals(col("sig")).as("quality"),
+          col("sig.n_subwords").as("n_subwords"),
+          TF.stopwordRatioFromSignals(col("sig")).as("stopword_ratio"))
         .orderBy(col("doc_id"))),
 
     // rows-only by design: the rolling fingerprint is built on Spark's
@@ -376,17 +377,14 @@ object ExtensionQueries {
     // and the marker density as a confidence proxy
     "text_langid" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          TF.normTokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("toks"),
-          TF.langEvidenceFromTokens(col("text"), col("toks")).as("ev"))
+        .select(col("doc_id"), TF.textSignals(col("text")).as("sig"))
         .select(col("doc_id"),
-          when(col("ev.score") > 0, col("ev.lang")).otherwise(lit("und"))
+          TF.langOrUnd(col("sig.lang_ev"), col("sig.lang_ev_score"))
             .as("lang_pred"),
-          col("ev.score").as("marker_hits"),
-          when(size(col("toks")) === 0, lit(0.0))
-            .otherwise(col("ev.score").cast("double") /
-              size(col("toks")).cast("double")).as("marker_ratio"))
+          col("sig.lang_ev_score").as("marker_hits"),
+          when(col("sig.n_norm_toks") === 0, lit(0.0))
+            .otherwise(col("sig.lang_ev_score").cast("double") /
+              col("sig.n_norm_toks").cast("double")).as("marker_ratio"))
         .orderBy(col("doc_id"))),
 
     // end-to-end keep/drop decision (C4/Gopher-style): quality score +
@@ -394,14 +392,12 @@ object ExtensionQueries {
     // the signals AND the boolean verdict are oracle-pinned for every doc
     "text_quality_filter" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          TF.normTokens(col("text")).as("toks"))
+        .select(col("doc_id"), TF.textSignals(col("text")).as("sig"))
         .select(col("doc_id"),
-          TF.langIdFromTokens(col("text"), col("toks")).as("lang_pred"),
-          TF.qualityScoreFromTokens(col("text"), col("toks")).as("quality"),
-          when(size(col("toks")) === 0, lit(0.0))
-            .otherwise(size(array_distinct(col("toks"))).cast("double") /
-              size(col("toks")).cast("double")).as("distinct_ratio"))
+          TF.langOrUnd(col("sig.lang_id"), col("sig.lang_id_score"))
+            .as("lang_pred"),
+          TF.qualityScoreFromSignals(col("sig")).as("quality"),
+          TF.distinctRatioFromSignals(col("sig")).as("distinct_ratio"))
         .withColumn("keep",
           col("quality") >= 0.95 && col("lang_pred") === "en" &&
             col("distinct_ratio") >= 0.5)

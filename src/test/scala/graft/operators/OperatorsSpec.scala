@@ -726,3 +726,64 @@ class KernelPropertySpec extends SparkFunSuite {
     assert(pii.getString(0) == pii.getString(1))
   }
 }
+
+class TextSignalsParitySpec extends SparkFunSuite {
+
+  test("property: TextSignals kernel == HOF formulation, field by field") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    val gen = Gen.asciiPrintableStr
+    val fixtures = Seq(
+      "", "   ", "the quick brown fox", "el perro y la casa de los gatos",
+      "我有一个想法，这是真的", "abc123def 45x", "a.b,c!d?e;f:g",
+      "the the le chien", "The AND of TO in IS that FOR with A",
+      "mixed 中文 and english the of and", "x" * 300,
+      "word " * 50)
+    val inputs = fixtures ++ (0 until 150).flatMap(k =>
+      gen.apply(Gen.Parameters.default, Seed(99L + k)))
+    val df = inputs.toDF("text")
+      .select(col("text"), TF.textSignals(col("text")).as("sig"),
+        TF.normTokens(col("text")).as("toks"))
+    val rows = df.select(
+        // kernel fields
+        col("sig.n_chars"), col("sig.n_raw_toks"), col("sig.n_punct"),
+        col("sig.n_digits"), col("sig.n_norm_toks"),
+        col("sig.n_distinct_toks"), col("sig.n_stop_hits"),
+        col("sig.n_subwords"),
+        TF.langOrUnd(col("sig.lang_id"), col("sig.lang_id_score"))
+          .as("k_lang"),
+        col("sig.lang_ev"), col("sig.lang_ev_score"),
+        // HOF references
+        length(col("text")).as("r_chars"),
+        TF.tokenCount(col("text")).as("r_raw_toks"),
+        TF.punctCount(col("text")).as("r_punct"),
+        TF.digitCount(col("text")).as("r_digits"),
+        size(col("toks")).as("r_norm_toks"),
+        size(array_distinct(col("toks"))).as("r_distinct"),
+        size(filter(col("toks"),
+          t => t.isin(TF.LangMarkers("en"): _*))).as("r_stop"),
+        TF.subwordCount(col("text")).as("r_subwords"),
+        TF.langIdFromTokens(col("text"), col("toks")).as("r_lang"),
+        TF.langEvidenceFromTokens(col("text"), col("toks")).as("r_ev"))
+      .collect()
+    rows.zip(inputs).foreach { case (r, in) =>
+      def g(n: String) = r.get(r.fieldIndex(n))
+      assert(g("n_chars") == g("r_chars"), s"n_chars: '$in'")
+      assert(g("n_raw_toks") == g("r_raw_toks"), s"raw_toks: '$in'")
+      assert(g("n_punct") == g("r_punct"), s"punct: '$in'")
+      assert(g("n_digits") == g("r_digits"), s"digits: '$in'")
+      assert(g("n_norm_toks") == g("r_norm_toks"), s"norm_toks: '$in'")
+      assert(g("n_distinct_toks") == g("r_distinct"), s"distinct: '$in'")
+      assert(g("n_stop_hits") == g("r_stop"), s"stop: '$in'")
+      assert(g("n_subwords") == g("r_subwords"), s"subwords: '$in'")
+      assert(g("k_lang") == g("r_lang"), s"lang_id: '$in'")
+      val ev = r.getAs[org.apache.spark.sql.Row]("r_ev")
+      assert(g("lang_ev_score") == ev.get(0), s"ev_score: '$in'")
+      // ev lang only comparable when some marker hit (HOF keeps its own
+      // argmax lang on zero scores; both pick the same by construction)
+      assert(g("lang_ev") == ev.get(1), s"ev_lang: '$in'")
+    }
+  }
+}
