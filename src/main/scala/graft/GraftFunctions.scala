@@ -65,6 +65,8 @@ object GraftFunctions {
       es => PolyFingerprint(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_text_signals",
       es => TextSignals(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_bigram_stats",
+      es => BigramStats(es(0)), "built-in")
     registerOptimizations(spark)
   }
 

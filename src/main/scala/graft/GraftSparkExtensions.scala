@@ -93,6 +93,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_text_signals",
         "graft_text_signals(text) - one-pass per-document profile struct"),
       es => TextSignals(es(0))))
+    e.injectFunction((FunctionIdentifier("graft_bigram_stats"),
+      info("graft_bigram_stats",
+        "graft_bigram_stats(text) - row-local bigram repetition stats"),
+      es => BigramStats(es(0))))
     e.injectOptimizerRule(_ => JaccardLengthPruning)
   }
 }

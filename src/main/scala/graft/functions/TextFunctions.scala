@@ -232,6 +232,15 @@ object TextFunctions {
       graft.plans.TextSignals(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 
+  /** Row-local bigram statistics struct(n_bigrams, top_n, n_distinct_bg)
+    * over the normalized token stream ([[graft.plans.BigramStats]]) — the
+    * explode+groupBy formulation shuffles a corpus-sized bigram stream for
+    * what is a per-document hash map. */
+  def bigramStats(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.BigramStats(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
   /** [[qualityScore]] recomposed from a [[textSignals]] struct — identical
     * constants and op order, so identical doubles. */
   def qualityScoreFromSignals(sig: Column): Column = {

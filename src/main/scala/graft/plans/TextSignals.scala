@@ -201,6 +201,45 @@ object TextSignalsKernel {
       UTF8String.fromString(evLang), evScore))
   }
 
+  /** Per-document bigram statistics over the normalized token stream:
+    * (total bigrams, max single-bigram count, distinct bigrams). Fewer
+    * than 2 tokens → all zeros (mirrors the Column formulation's
+    * empty-array guard). */
+  def bigramStats(text: UTF8String): GenericInternalRow = {
+    val lowered = text.toLowerCase.toString
+    // normalized tokens = maximal [a-z0-9] runs (same as profile())
+    val toks = new java.util.ArrayList[String]()
+    var k = 0
+    val ln = lowered.length
+    var tokStart = -1
+    while (k <= ln) {
+      val in = k < ln && {
+        val c = lowered.charAt(k)
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      }
+      if (in && tokStart < 0) tokStart = k
+      else if (!in && tokStart >= 0) {
+        toks.add(lowered.substring(tokStart, k))
+        tokStart = -1
+      }
+      k += 1
+    }
+    val n = toks.size()
+    if (n < 2)
+      return new GenericInternalRow(Array[Any](0, 0, 0))
+    val counts = new java.util.HashMap[String, Integer]()
+    var top = 0
+    var i = 0
+    while (i < n - 1) {
+      val bg = toks.get(i) + " " + toks.get(i + 1)
+      val c: Int = counts.merge(bg, Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+      if (c > top) top = c
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](n - 1, top, counts.size()))
+  }
+
   val schema: StructType = StructType(Seq(
     StructField("n_chars", IntegerType, nullable = false),
     StructField("n_raw_toks", IntegerType, nullable = false),
@@ -214,6 +253,27 @@ object TextSignalsKernel {
     StructField("lang_id_score", IntegerType, nullable = false),
     StructField("lang_ev", StringType, nullable = false),
     StructField("lang_ev_score", IntegerType, nullable = false)))
+}
+
+/** `bigram_stats(text)` → struct(n_bigrams, top_n, n_distinct_bg) over the
+  * normalized token stream, computed row-locally. The Column formulation
+  * (explode bigrams → two groupBys → join back) SHUFFLES a corpus-sized
+  * bigram stream to aggregate what is a per-document hash map — this
+  * kernel removes that exchange entirely (the repetition query becomes a
+  * pure scan). Same normalization contract as [[TextSignalsKernel]]. */
+case class BigramStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", IntegerType, nullable = false),
+    StructField("top_n", IntegerType, nullable = false),
+    StructField("n_distinct_bg", IntegerType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(input: Any): Any =
+    TextSignalsKernel.bigramStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextSignalsKernel.bigramStats($c);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_bigram_stats"
 }
 
 /** `text_signals(text)` → struct of every per-document profile signal in

@@ -346,29 +346,23 @@ object ExtensionQueries {
     // partition's repeats before the exchange) → per-doc agg; the join
     // back to per-doc token stats is co-partitioned on doc_id.
     "text_repetition" -> ((s, dir) => {
-      val toks = t(s, dir, "documents").select(col("doc_id"),
-        TF.normTokens(col("text")).as("toks"))
-      val tokStats = toks.select(col("doc_id"),
-        size(col("toks")).as("n_tokens"),
-        size(array_distinct(col("toks"))).as("n_distinct"))
-      val bigrams = toks.select(col("doc_id"),
-        explode(when(size(col("toks")) < 2, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), size(col("toks")) - 1),
-            i => concat_ws(" ", slice(col("toks"), i, lit(2)))))).as("bg"))
-      val bgStats = bigrams
-        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_n"),
-          count(lit(1)).as("n_distinct_bg"))
-      tokStats.join(bgStats, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-          when(col("n_tokens") === 0, lit(0.0))
-            .otherwise(col("n_distinct").cast("double") /
-              col("n_tokens").cast("double")).as("distinct_token_ratio"),
-          coalesce(col("top_n").cast("double") /
-            col("n_bigrams").cast("double"), lit(0.0)).as("top_bigram_frac"),
-          coalesce((col("n_bigrams") - col("n_distinct_bg")).cast("double") /
-            col("n_bigrams").cast("double"), lit(0.0)).as("dup_bigram_frac"))
+      // fully row-local after the round-3 BigramStats kernel: the old
+      // explode+groupBy shape shuffled a corpus-sized bigram stream for
+      // per-document statistics; now the query is a pure scan
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.textSignals(col("text")).as("sig"),
+          TF.bigramStats(col("text")).as("bg"))
+        .select(col("doc_id"),
+          col("sig.n_norm_toks").as("n_tokens"),
+          TF.distinctRatioFromSignals(col("sig"))
+            .as("distinct_token_ratio"),
+          when(col("bg.n_bigrams") === 0, lit(0.0))
+            .otherwise(col("bg.top_n").cast("double") /
+              col("bg.n_bigrams").cast("double")).as("top_bigram_frac"),
+          when(col("bg.n_bigrams") === 0, lit(0.0))
+            .otherwise((col("bg.n_bigrams") - col("bg.n_distinct_bg"))
+              .cast("double") / col("bg.n_bigrams").cast("double"))
+            .as("dup_bigram_frac"))
         .orderBy(col("doc_id"))
     }),
 

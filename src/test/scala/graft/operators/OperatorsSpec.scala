@@ -787,3 +787,37 @@ class TextSignalsParitySpec extends SparkFunSuite {
     }
   }
 }
+
+class BigramStatsParitySpec extends SparkFunSuite {
+
+  test("property: BigramStats kernel == explode+groupBy formulation") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    val fixtures = Seq("", "one", "a b", "a b a b a b", "x y z x y",
+      "the the the the", "w1 w2, w3! w1 w2")
+    val gen = Gen.listOfN(12,
+      Gen.oneOf("a", "b", "c", "ab", "b1", "xy")).map(_.mkString(" "))
+    val inputs = fixtures ++ (0 until 80).flatMap(k =>
+      gen.apply(Gen.Parameters.default, Seed(5L + k)))
+    val df = inputs.toDF("text")
+      .select(col("text"), TF.bigramStats(col("text")).as("k"),
+        TF.normTokens(col("text")).as("toks"))
+    // HOF reference: bigram list per row, aggregated in local Scala
+    val rows = df.select(col("k.n_bigrams"), col("k.top_n"),
+        col("k.n_distinct_bg"),
+        when(size(col("toks")) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", slice(col("toks"), i, lit(2))))).as("bgs"))
+      .collect()
+    rows.zip(inputs).foreach { case (r, in) =>
+      val bgs = r.getSeq[String](3)
+      val counts = bgs.groupBy(identity).view.mapValues(_.size)
+      assert(r.getInt(0) == bgs.size, s"n_bigrams: '$in'")
+      assert(r.getInt(1) == (if (bgs.isEmpty) 0 else counts.values.max),
+        s"top_n: '$in'")
+      assert(r.getInt(2) == counts.size, s"n_distinct_bg: '$in'")
+    }
+  }
+}
