@@ -255,6 +255,37 @@ object ExtensionQueries {
           budget = 256, nShards = 8)
         .orderBy(col("doc_id"))),
 
+    // source/sink breadth: the documents table written as JSON-lines and
+    // read back with an explicit schema must be the identity (escaping,
+    // unicode, null handling all round-trip); the oracle reads the
+    // ORIGINAL parquet, so any loss in the JSON hop fails the hash
+    "source_jsonl_roundtrip" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        ProcessHandle.current().pid()
+      t(s, dir, "documents").write.mode("overwrite").json(path)
+      s.read.schema("doc_id LONG, text STRING, lang STRING, " +
+          "source STRING, n_chars LONG").json(path)
+        .select(col("doc_id"), length(col("text")).as("text_len"),
+          sha2(col("text"), 256).as("text_sha"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // same contract through the CSV hop (quoting/escaping round-trip)
+    "source_csv_roundtrip" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        ProcessHandle.current().pid()
+      t(s, dir, "documents").write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true").csv(path)
+      s.read.schema("doc_id LONG, text STRING, lang STRING, " +
+          "source STRING, n_chars LONG")
+        .option("header", "true").csv(path)
+        .select(col("doc_id"), length(col("text")).as("text_len"),
+          sha2(col("text"), 256).as("text_sha"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // one-row corpus report card: the pre-training numbers a data team
     // reads first. Exact integer sums, digest-based distinct (the
     // dedup_exact_hash scale pattern: 32-byte digests shuffle, text does
@@ -593,6 +624,13 @@ object ExtensionQueries {
          |    ORDER BY score DESC, term) AS rank FROM scored)
          |SELECT doc_id, rank, term, tf, df, dl, score FROM ranked
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // both round-trip oracles read the ORIGINAL parquet — identity check
+    "source_jsonl_roundtrip" ->
+      """SELECT doc_id, length(text) AS text_len, sha256(text) AS text_sha,
+        |lang, source FROM documents ORDER BY doc_id""".stripMargin,
+    "source_csv_roundtrip" ->
+      """SELECT doc_id, length(text) AS text_len, sha256(text) AS text_sha,
+        |lang, source FROM documents ORDER BY doc_id""".stripMargin,
     "corpus_report" ->
       s"""WITH tk AS ($NormToksSql),
          |d AS (SELECT text, len(toks) AS n FROM tk)
