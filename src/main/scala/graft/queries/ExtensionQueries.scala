@@ -276,11 +276,17 @@ object ExtensionQueries {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
         Integer.toHexString(dir.hashCode) + "_" +
         ProcessHandle.current().pid()
+      // the CSV WRITER trims leading/trailing whitespace by default
+      // (ignore*WhiteSpace default true on write) — disable both, and read
+      // multiLine so quoted embedded newlines survive (SourceRoundTripSpec
+      // pins both failure modes on adversarial content)
       t(s, dir, "documents").write.mode("overwrite")
-        .option("header", "true").option("quoteAll", "true").csv(path)
+        .option("header", "true").option("quoteAll", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false").csv(path)
       s.read.schema("doc_id LONG, text STRING, lang STRING, " +
           "source STRING, n_chars LONG")
-        .option("header", "true").csv(path)
+        .option("header", "true").option("multiLine", "true").csv(path)
         .select(col("doc_id"), length(col("text")).as("text_len"),
           sha2(col("text"), 256).as("text_sha"), col("lang"), col("source"))
         .orderBy(col("doc_id"))

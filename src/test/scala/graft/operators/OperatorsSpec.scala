@@ -821,3 +821,45 @@ class BigramStatsParitySpec extends SparkFunSuite {
     }
   }
 }
+
+class SourceRoundTripSpec extends SparkFunSuite {
+
+  test("JSONL and CSV hops are lossless on adversarial content") {
+    val s = spark
+    import s.implicits._
+    val nasty = Seq(
+      (1L, "plain text"),
+      (2L, "comma, separated, values"),
+      (3L, "\"double quotes\" and 'single'"),
+      (4L, "line\nbreak and\ttab"),
+      (5L, "中文字符 mixed with ascii"),
+      (6L, "emoji 😀🎉 surrogates"),
+      (7L, "trailing spaces   "),
+      (8L, "back\\slash and {json: \"like\"}"))
+      .toDF("doc_id", "text")
+    def roundTrip(fmt: String): Seq[(Long, String)] = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_rt_$fmt").toString
+      val w = nasty.write.mode("overwrite")
+      val r = s.read.schema("doc_id LONG, text STRING")
+      val back = fmt match {
+        case "json" => w.json(dir); r.json(dir)
+        case "csv" =>
+          // multiLine: embedded newlines survive only when quoted AND the
+          // reader is told records can span lines; the WRITER trims
+          // leading/trailing whitespace by default (ignore*WhiteSpace
+          // default TRUE on write, false on read) — disable for losslessness
+          w.option("header", "true").option("quoteAll", "true")
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false").csv(dir)
+          r.option("header", "true").option("multiLine", "true").csv(dir)
+      }
+      back.orderBy("doc_id").collect()
+        .map(rr => (rr.getLong(0), rr.getString(1))).toSeq
+    }
+    val expected = nasty.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(roundTrip("json") == expected, "json hop lost content")
+    assert(roundTrip("csv") == expected, "csv hop lost content")
+  }
+}

@@ -130,3 +130,39 @@ class AqeSkewJoinSpec extends SparkFunSuite {
     }
   }
 }
+
+/** Runtime row-level filtering: Spark injects a Bloom filter built from a
+  * selective dim side into the fact scan — at 100 TB this prunes fact rows
+  * BEFORE the join shuffle. Pin that the optimizer feature fires on this
+  * build (thresholds lowered to test scale). */
+class BloomFilterJoinSpec extends SparkFunSuite {
+
+  test("runtime bloom filter injected on the fact side of a selective join") {
+    val s = spark
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> s.conf.getOption(k)).toMap
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+      "applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fact = s.read.parquet(s"$sfDir/lineitem.parquet")
+      val dim = s.read.parquet(s"$sfDir/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") ===
+          "1-URGENT")
+      val joined = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"expected a runtime bloom filter, got:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+}
