@@ -265,6 +265,32 @@ object AnalyticsQueries {
     }),
 
     // Event-time tumbling window (batch twin of the streaming agg).
+    // ordered-sequence (funnel) analysis: users whose first view is
+    // followed by a click, then a purchase — greedy first-occurrence
+    // matching (min ts per step AFTER the previous step), three
+    // filter-pushed passes over events joined per step
+    "q_funnel" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_us")).as("t_view"))
+      val s2 = e.filter(col("event_type") === "click").as("e")
+        .join(s1.as("s1"), col("e.user_id") === col("s1.user_id") &&
+          col("e.ts_us") > col("s1.t_view"))
+        .select(col("e.user_id").as("user_id"), col("e.ts_us"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("t_click"))
+      val s3 = e.filter(col("event_type") === "purchase").as("e")
+        .join(s2.as("s2"), col("e.user_id") === col("s2.user_id") &&
+          col("e.ts_us") > col("s2.t_click"))
+        .select(col("e.user_id").as("user_id"), col("e.ts_us"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("t_purchase"))
+      s1.join(s2, "user_id").join(s3, "user_id")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"))
+        .orderBy(col("user_id"))
+    }),
+
     // GROUPING SETS through the SQL-text surface (rollup/cube's general
     // form); GROUPING() flags disambiguate the NULL group keys, and the
     // ORDER BY pins NULLS FIRST explicitly (Spark defaults NULLS FIRST,
@@ -696,6 +722,20 @@ object AnalyticsQueries {
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |  AS trail_1h_events
         |FROM e ORDER BY event_id""".stripMargin,
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |    AND epoch_us(e.ts) > s1.t_view
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |    AND epoch_us(e.ts) > s2.t_click
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT user_id, t_view, t_click, t_purchase
+        |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q_grouping_sets" ->
       """SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
         |GROUPING(c_mktsegment) AS g_seg, GROUPING(c_nationkey) AS g_nat
