@@ -255,6 +255,34 @@ object ExtensionQueries {
           budget = 256, nShards = 8)
         .orderBy(col("doc_id"))),
 
+    // incremental processing: snapshot diff between two corpus versions
+    // (the crawl-to-crawl delta). "New" derives deterministically from
+    // the same parquet on BOTH engines: %13 ids dropped, %7 texts
+    // changed, twin ids added — digest full-outer join classifies each
+    // id; text never shuffles (sha256 digests only)
+    "corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+      val neu = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          sha2(when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" [rev2]"))).otherwise(col("text")),
+            256).as("sha"))
+        .unionAll(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            sha2(col("text"), 256).as("sha")))
+      old.as("o").join(neu.as("n"),
+          col("o.doc_id") === col("n.doc_id"), "full")
+        .select(
+          coalesce(col("o.doc_id"), col("n.doc_id")).as("doc_id"),
+          when(col("o.doc_id").isNull, lit("added"))
+            .when(col("n.doc_id").isNull, lit("removed"))
+            .when(col("o.sha") =!= col("n.sha"), lit("changed"))
+            .otherwise(lit("same")).as("change"))
+        .filter(col("change") =!= "same")
+        .orderBy(col("doc_id"))
+    }),
+
     // source/sink breadth: the documents table written as JSON-lines and
     // read back with an explicit schema must be the identity (escaping,
     // unicode, null handling all round-trip); the oracle reads the
@@ -630,6 +658,27 @@ object ExtensionQueries {
          |    ORDER BY score DESC, term) AS rank FROM scored)
          |SELECT doc_id, rank, term, tf, df, dl, score FROM ranked
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "corpus_diff" ->
+      """WITH old AS (SELECT doc_id, sha256(text) AS sha FROM documents),
+        |neu AS (
+        |  SELECT doc_id,
+        |    sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+        |      ELSE text END) AS sha
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, sha256(text) AS sha
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.sha <> n.sha THEN 'changed'
+        |       ELSE 'same' END AS change
+        |FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id
+        |WHERE (CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.sha <> n.sha THEN 'changed'
+        |       ELSE 'same' END) <> 'same'
+        |ORDER BY doc_id""".stripMargin,
     // both round-trip oracles read the ORIGINAL parquet — identity check
     "source_jsonl_roundtrip" ->
       """SELECT doc_id, length(text) AS text_len, sha256(text) AS text_sha,
