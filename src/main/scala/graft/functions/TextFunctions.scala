@@ -272,9 +272,7 @@ object TextFunctions {
     safeRatio(sig.getField("n_stop_hits"), sig.getField("n_norm_toks"))
 
   def distinctRatioFromSignals(sig: Column): Column =
-    when(sig.getField("n_norm_toks") === 0, lit(0.0))
-      .otherwise(sig.getField("n_distinct_toks").cast("double") /
-        sig.getField("n_norm_toks").cast("double"))
+    safeRatio(sig.getField("n_distinct_toks"), sig.getField("n_norm_toks"))
 
   // ---- quality scoring ----
 

@@ -138,33 +138,23 @@ object TextSignalsKernel {
       subwords += (pieceLen + 3) / 4
     }
 
-    // ---- normalized tokens: maximal [a-z0-9] runs of the lowered text ----
-    var nNormToks = 0
+    // ---- normalized tokens (shared tokenizer) ----
+    val toks = normTokensOf(lowered)
+    val nNormToks = toks.size()
     var stopHits = 0
     val latinOcc = new Array[Int](Langs.length)
     val distinct = new java.util.HashSet[String]()
-    var k = 0
-    val ln = lowered.length
-    var tokStart = -1
-    while (k <= ln) {
-      val in = k < ln && {
-        val c = lowered.charAt(k)
-        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+    var ti = 0
+    while (ti < nNormToks) {
+      val tok = toks.get(ti)
+      distinct.add(tok)
+      if (enMarkers.contains(tok)) stopHits += 1
+      var li = 0
+      while (li < Langs.length) {
+        if (markerSets(li).contains(tok)) latinOcc(li) += 1
+        li += 1
       }
-      if (in && tokStart < 0) tokStart = k
-      else if (!in && tokStart >= 0) {
-        val tok = lowered.substring(tokStart, k)
-        nNormToks += 1
-        distinct.add(tok)
-        if (enMarkers.contains(tok)) stopHits += 1
-        var li = 0
-        while (li < Langs.length) {
-          if (markerSets(li).contains(tok)) latinOcc(li) += 1
-          li += 1
-        }
-        tokStart = -1
-      }
-      k += 1
+      ti += 1
     }
 
     // distinct-marker hits per latin lang (langId variant)
@@ -201,13 +191,10 @@ object TextSignalsKernel {
       UTF8String.fromString(evLang), evScore))
   }
 
-  /** Per-document bigram statistics over the normalized token stream:
-    * (total bigrams, max single-bigram count, distinct bigrams). Fewer
-    * than 2 tokens → all zeros (mirrors the Column formulation's
-    * empty-array guard). */
-  def bigramStats(text: UTF8String): GenericInternalRow = {
-    val lowered = text.toLowerCase.toString
-    // normalized tokens = maximal [a-z0-9] runs (same as profile())
+  /** Normalized tokens = maximal ASCII [a-z0-9] runs of the LOWERED text
+    * — the one tokenizer both [[profile]] and [[bigramStats]] share (the
+    * exact `[^a-z0-9]+ -> ' '` + trim + split composition). */
+  private def normTokensOf(lowered: String): java.util.ArrayList[String] = {
     val toks = new java.util.ArrayList[String]()
     var k = 0
     val ln = lowered.length
@@ -224,6 +211,15 @@ object TextSignalsKernel {
       }
       k += 1
     }
+    toks
+  }
+
+  /** Per-document bigram statistics over the normalized token stream:
+    * (total bigrams, max single-bigram count, distinct bigrams). Fewer
+    * than 2 tokens → all zeros (mirrors the Column formulation's
+    * empty-array guard). */
+  def bigramStats(text: UTF8String): GenericInternalRow = {
+    val toks = normTokensOf(text.toLowerCase.toString)
     val n = toks.size()
     if (n < 2)
       return new GenericInternalRow(Array[Any](0, 0, 0))

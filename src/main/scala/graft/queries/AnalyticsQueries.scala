@@ -264,7 +264,6 @@ object AnalyticsQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
-    // Event-time tumbling window (batch twin of the streaming agg).
     // ordered-sequence (funnel) analysis: users whose first view is
     // followed by a click, then a purchase — greedy first-occurrence
     // matching (min ts per step AFTER the previous step), three
@@ -358,6 +357,7 @@ object AnalyticsQueries {
         .orderBy(col("h"))
     }),
 
+    // Event-time tumbling window (batch twin of the streaming agg).
     "q_events_hourly" -> ((s, dir) =>
       events(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))

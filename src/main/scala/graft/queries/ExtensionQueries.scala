@@ -304,17 +304,20 @@ object ExtensionQueries {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
         Integer.toHexString(dir.hashCode) + "_" +
         ProcessHandle.current().pid()
-      // the CSV WRITER trims leading/trailing whitespace by default
-      // (ignore*WhiteSpace default true on write) — disable both, and read
-      // multiLine so quoted embedded newlines survive (SourceRoundTripSpec
-      // pins both failure modes on adversarial content)
+      // lossless-CSV recipe (each default is lossy — SourceRoundTripSpec
+      // pins all three failure modes): ignore*WhiteSpace default TRUE on
+      // write (trims trailing spaces), embedded newlines need quoteAll +
+      // reader multiLine, and NULL vs '' collapse without an explicit
+      // nullValue sentinel
       t(s, dir, "documents").write.mode("overwrite")
         .option("header", "true").option("quoteAll", "true")
         .option("ignoreLeadingWhiteSpace", "false")
-        .option("ignoreTrailingWhiteSpace", "false").csv(path)
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("nullValue", "\\N").csv(path)
       s.read.schema("doc_id LONG, text STRING, lang STRING, " +
           "source STRING, n_chars LONG")
-        .option("header", "true").option("multiLine", "true").csv(path)
+        .option("header", "true").option("multiLine", "true")
+        .option("nullValue", "\\N").csv(path)
         .select(col("doc_id"), length(col("text")).as("text_len"),
           sha2(col("text"), 256).as("text_sha"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
@@ -421,13 +424,16 @@ object ExtensionQueries {
           col("sig.n_norm_toks").as("n_tokens"),
           TF.distinctRatioFromSignals(col("sig"))
             .as("distinct_token_ratio"),
-          when(col("bg.n_bigrams") === 0, lit(0.0))
+          // coalesce preserves the pre-kernel NULL-text contract (and the
+          // oracle's LEFT JOIN + COALESCE): fracs are 0.0, never NULL
+          coalesce(when(col("bg.n_bigrams") === 0, lit(0.0))
             .otherwise(col("bg.top_n").cast("double") /
-              col("bg.n_bigrams").cast("double")).as("top_bigram_frac"),
-          when(col("bg.n_bigrams") === 0, lit(0.0))
+              col("bg.n_bigrams").cast("double")), lit(0.0))
+            .as("top_bigram_frac"),
+          coalesce(when(col("bg.n_bigrams") === 0, lit(0.0))
             .otherwise((col("bg.n_bigrams") - col("bg.n_distinct_bg"))
-              .cast("double") / col("bg.n_bigrams").cast("double"))
-            .as("dup_bigram_frac"))
+              .cast("double") / col("bg.n_bigrams").cast("double")),
+            lit(0.0)).as("dup_bigram_frac"))
         .orderBy(col("doc_id"))
     }),
 

@@ -24,7 +24,7 @@ object PlanAudit {
       "sim_topk_int8", "text_repetition", "q_semi_join",
       "text_tfidf_top3", "text_bm25_top3", "contam_ngram_overlap",
       "text_chunks_window", "corpus_pack_greedy", "text_pii_redact",
-      "text_profile", "text_repetition")
+      "text_profile")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       // Codegen stages are marked `*(id)` in the SIMPLE plan string, but

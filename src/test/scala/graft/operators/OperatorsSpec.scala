@@ -828,14 +828,16 @@ class SourceRoundTripSpec extends SparkFunSuite {
     val s = spark
     import s.implicits._
     val nasty = Seq(
-      (1L, "plain text"),
-      (2L, "comma, separated, values"),
-      (3L, "\"double quotes\" and 'single'"),
-      (4L, "line\nbreak and\ttab"),
-      (5L, "中文字符 mixed with ascii"),
-      (6L, "emoji 😀🎉 surrogates"),
-      (7L, "trailing spaces   "),
-      (8L, "back\\slash and {json: \"like\"}"))
+      (1L, Some("plain text")),
+      (2L, Some("comma, separated, values")),
+      (3L, Some("\"double quotes\" and 'single'")),
+      (4L, Some("line\nbreak and\ttab")),
+      (5L, Some("中文字符 mixed with ascii")),
+      (6L, Some("emoji 😀🎉 surrogates")),
+      (7L, Some("trailing spaces   ")),
+      (8L, Some("back\\slash and {json: \"like\"}")),
+      (9L, None: Option[String]), // NULL vs "" must stay distinct
+      (10L, Some("")))
       .toDF("doc_id", "text")
     def roundTrip(fmt: String): Seq[(Long, String)] = {
       val dir = java.nio.file.Files
@@ -848,11 +850,14 @@ class SourceRoundTripSpec extends SparkFunSuite {
           // multiLine: embedded newlines survive only when quoted AND the
           // reader is told records can span lines; the WRITER trims
           // leading/trailing whitespace by default (ignore*WhiteSpace
-          // default TRUE on write, false on read) — disable for losslessness
+          // default TRUE on write, false on read); NULL and '' collapse
+          // to the same field without an explicit nullValue sentinel
           w.option("header", "true").option("quoteAll", "true")
             .option("ignoreLeadingWhiteSpace", "false")
-            .option("ignoreTrailingWhiteSpace", "false").csv(dir)
-          r.option("header", "true").option("multiLine", "true").csv(dir)
+            .option("ignoreTrailingWhiteSpace", "false")
+            .option("nullValue", "\\N").csv(dir)
+          r.option("header", "true").option("multiLine", "true")
+            .option("nullValue", "\\N").csv(dir)
       }
       back.orderBy("doc_id").collect()
         .map(rr => (rr.getLong(0), rr.getString(1))).toSeq
