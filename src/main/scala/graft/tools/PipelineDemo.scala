@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{Chunking, Contamination, Dedup}
+
+/** End-to-end training-data pipeline over one corpus — the "switch to
+  * this library" composition story in one runnable main:
+  *
+  *   scrub PII → near-dup dedup (minhash LSH + survivor selection) →
+  *   benchmark-contamination filter → quality filter → token-window
+  *   chunking → sequence packing → corpus report.
+  *
+  * Every stage is the same operator the driver-checked queries pin; this
+  * main only composes them. Run:
+  * `sbt "runMain graft.tools.PipelineDemo [sfDir]"`.
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n0 = docs.count()
+
+    // 1. PII scrub (row-local regexes)
+    val scrubbed = docs.select(col("doc_id"),
+      TF.redactPii(col("text")).as("text"))
+
+    // 2. near-dup dedup: LSH candidates → exact-Jaccard verify →
+    //    connected-component survivor selection
+    val pairs = Dedup.minhashNearDup(scrubbed, "text", "doc_id",
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    val survivors = Dedup.survivorsFromPairs(
+      scrubbed.select(col("doc_id").as("id")), pairs)
+      .filter(col("id") === col("survivor_id"))
+      .select(col("id").as("doc_id"))
+    val deduped = scrubbed.join(survivors, "doc_id")
+    val n1 = deduped.count()
+
+    // 3. benchmark-contamination filter (docs ending in 0 play the eval
+    //    set here; in production this is the real benchmark corpus)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val contam = Contamination.ngramOverlap(
+        deduped.filter(col("doc_id") % 10 =!= 0), bench,
+        "text", "doc_id", k = 3)
+      .filter(col("contamination") >= 0.5)
+      .select(col("doc_id"))
+    val clean = deduped.join(contam, Seq("doc_id"), "left_anti")
+    val n2 = clean.count()
+
+    // 4. quality filter via the one-pass signals kernel
+    val kept = clean
+      .select(col("doc_id"), col("text"),
+        TF.textSignals(col("text")).as("sig"))
+      .filter(TF.qualityScoreFromSignals(col("sig")) >= 0.9)
+      .select(col("doc_id"), col("text"))
+    val n3 = kept.count()
+
+    // 5. chunk to context windows, pack into fixed token budgets
+    val chunks = Chunking.tokenWindows(kept, "text", "doc_id",
+      window = 64, stride = 48)
+    val packs = Chunking.packSequences(kept, "text", "doc_id",
+      budget = 512, nShards = 8)
+    val nChunks = chunks.count()
+    val nPacks = packs.agg(countDistinct(col("shard"), col("pack_id")))
+      .head().getLong(0)
+
+    println(s"docs=$n0 afterDedup=$n1 afterContam=$n2 afterQuality=$n3 " +
+      s"chunks=$nChunks packs=$nPacks")
+    require(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 > 0 && nChunks > 0,
+      "pipeline stages must monotonically filter and keep data")
+    spark.stop()
+  }
+}
