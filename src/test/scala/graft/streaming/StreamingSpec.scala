@@ -266,3 +266,50 @@ class StreamStaticContaminationSpec extends graft.SparkFunSuite {
     } finally q.stop()
   }
 }
+
+class StreamingQualityMonitorSpec extends graft.SparkFunSuite {
+  import java.sql.Timestamp
+
+  test("watermarked windowed corpus-quality monitor over the signals " +
+      "kernel: per-window doc counts and mean quality, late docs dropped") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = s.sqlContext
+    val TF = graft.functions.TextFunctions
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Long, String)]
+    val agg = input.toDF().toDF("ts", "doc_id", "text")
+      .withColumn("sig", TF.textSignals(col("text")))
+      .withColumn("quality", TF.qualityScoreFromSignals(col("sig")))
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("quality")).as("mean_quality"),
+        sum(col("sig.n_norm_toks").cast("long")).as("n_tokens"))
+      .select(col("window.start").as("w"), col("n_docs"),
+        col("mean_quality"), col("n_tokens"))
+    val q = agg.writeStream.format("memory").queryName("quality_stream")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      val good = "the quick brown fox jumps over the lazy dog and then " +
+        "some more words to pass the length gate for quality scoring"
+      input.addData((t(1), 1L, good), (t(4), 2L, good))
+      q.processAllAvailable()
+      // advance the watermark past the first window, closing it
+      input.addData((t(40), 3L, good))
+      q.processAllAvailable()
+      // late arrival for the closed window -> dropped
+      input.addData((t(2), 4L, good))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 11:30:00"), 5L, good))
+      q.processAllAvailable()
+      val first = s.sql("SELECT n_docs, n_tokens FROM quality_stream " +
+          "WHERE w = timestamp'2024-01-01 10:00:00'").collect()
+      assert(first.length == 1)
+      assert(first(0).getLong(0) == 2, "late doc must not be counted")
+      assert(first(0).getLong(1) > 0)
+    } finally q.stop()
+  }
+}
