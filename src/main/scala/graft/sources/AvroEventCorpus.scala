@@ -82,12 +82,33 @@ object AvroEventCorpus {
     *                     truncated to 1 byte — decodes fail with EOF, which
     *                     PERMISSIVE mode must swallow (`:188-191`)
     */
+  // The framed corpus is the test INPUT, not the engine under test — but
+  // rebuilding it costs a full native encode of the events table, and the
+  // sweep's nine avro queries each re-derived it (fixture encode dominated
+  // their timings, hiding decode cost). Cache the persisted DataFrame per
+  // exact parameterization: a handful of configs × ~10 MB each, reused by
+  // every query/verify pass in the JVM.
+  private val framedCache =
+    new ConcurrentHashMap[(String, Int, String, Int, Int, Boolean), DataFrame]()
+
   def framedEvents(spark: SparkSession, sfDir: String,
       schemaId: Int,
       topicExpr: String = "'events'",
       tombstoneEvery: Int = 0,
       corruptEvery: Int = 0,
-      frameKey: Boolean = false): DataFrame = {
+      frameKey: Boolean = false): DataFrame =
+    framedCache.computeIfAbsent(
+      (sfDir, schemaId, topicExpr, tombstoneEvery, corruptEvery, frameKey),
+      _ => buildFramedEvents(spark, sfDir, schemaId, topicExpr,
+        tombstoneEvery, corruptEvery, frameKey)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+
+  private def buildFramedEvents(spark: SparkSession, sfDir: String,
+      schemaId: Int,
+      topicExpr: String,
+      tombstoneEvery: Int,
+      corruptEvery: Int,
+      frameKey: Boolean): DataFrame = {
     val events = graft.queries.Q.events(spark, sfDir)
     // native typed encode (graft.plans.AvroEncodeFixed) — byte-identical
     // to the GenericDatumWriter reference encode in [[encodeEventBody]]
