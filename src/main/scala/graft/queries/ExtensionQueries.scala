@@ -646,7 +646,8 @@ object ExtensionQueries {
          |tok AS (SELECT doc_id, unnest(toks) AS term FROM tk),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
          |  GROUP BY doc_id, term),
-         |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf
+         |  GROUP BY doc_id),
          |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
          |n AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
          |scored AS (SELECT doc_id, term, tf, df, dl,
@@ -696,7 +697,7 @@ object ExtensionQueries {
       s"""WITH tk AS ($NormToksSql),
          |d AS (SELECT text, len(toks) AS n FROM tk)
          |SELECT COUNT(*) AS n_docs,
-         |  SUM(n) AS total_tokens,
+         |  CAST(SUM(n) AS BIGINT) AS total_tokens,
          |  CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
          |  COUNT(DISTINCT sha256(text)) AS n_distinct,
          |  CAST(COUNT(*) - COUNT(DISTINCT sha256(text)) AS DOUBLE) /
@@ -750,8 +751,8 @@ object ExtensionQueries {
          |c AS (SELECT *, COALESCE(SUM(n_toks) OVER (PARTITION BY shard
          |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
          |    1 PRECEDING), 0) AS tb FROM base)
-         |SELECT doc_id, shard, n_toks, tb // 256 AS pack_id,
-         |  tb % 256 AS offset_in_pack
+         |SELECT doc_id, shard, n_toks, CAST(tb // 256 AS BIGINT) AS pack_id,
+         |  CAST(tb % 256 AS BIGINT) AS offset_in_pack
          |FROM c ORDER BY doc_id""".stripMargin,
     // string-shingle recomputation of the hash-based overlap counts (the
     // counts are hash-independent — same trick as the dedup oracles)

@@ -3,6 +3,14 @@
 run graft.Verify at a given SF (done separately via sbt), then compare each
 <out>/<name> parquet against the DuckDB result of <out>/oracle_sql.json.
 
+Comparison goes through pandas (`.df()`) on BOTH sides, like the driver's
+harness, so dtype-level mismatches are caught: e.g. DuckDB `SUM(BIGINT)`
+returns HUGEINT which pandas materializes as float64 ("3.0"), while the
+Spark parquet column is int64 ("3") — an uncast SUM in an oracle therefore
+hash-mismatches on the driver even when the values are numerically equal
+(this exact bug hit corpus_pack_greedy / corpus_report / text_bm25_top3 in
+round 3; a fetchall()-based compare masked it locally).
+
 Usage: python3 tools/check_oracles.py <sfDir> <verifyOutDir>
 
 Dev-only tool (driver-side python/duckdb); NOT part of the Scala library.
@@ -11,19 +19,33 @@ import json
 import sys
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 
 def norm(v):
-    if isinstance(v, float):
-        # exact compare is intended; repr keeps full precision
-        return repr(v)
+    # dtype-sensitive normalization: int64 3 -> "3", float64 3.0 -> "3.0"
+    if v is None:
+        return "NULL"
+    if isinstance(v, (np.floating, float)):
+        return "NULL" if np.isnan(v) else repr(float(v))
+    if isinstance(v, (np.integer, int)):
+        return repr(int(v))
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
     return str(v)
 
 
-def table_key(rows, cols):
+def table_key(df):
     # driver compares column-name-sorted values; row order normalized here
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm(r[i]) for i in idx) for r in rows)
+    df = df.reindex(sorted(df.columns), axis=1)
+    return sorted(tuple(norm(v) for v in row)
+                  for row in df.itertuples(index=False, name=None))
 
 
 def main():
@@ -40,29 +62,27 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
-            spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            spark_cols = [c.lower() for c in spark_rel.columns]
-            spark_rows = spark_rel.fetchall()
-            oracle_rel = con.sql(sql)
-            oracle_cols = [c.lower() for c in oracle_rel.columns]
-            oracle_rows = oracle_rel.fetchall()
+            spark_df = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            spark_df.columns = [c.lower() for c in spark_df.columns]
+            oracle_df = con.sql(sql).df()
+            oracle_df.columns = [c.lower() for c in oracle_df.columns]
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        if sorted(spark_cols) != sorted(oracle_cols):
-            print(f"FAIL {name}: columns {sorted(spark_cols)} != "
-                  f"{sorted(oracle_cols)}")
+        if sorted(spark_df.columns) != sorted(oracle_df.columns):
+            print(f"FAIL {name}: columns {sorted(spark_df.columns)} != "
+                  f"{sorted(oracle_df.columns)}")
             n_fail += 1
             continue
-        sk, ok = table_key(spark_rows, spark_cols), table_key(
-            oracle_rows, oracle_cols)
+        sk, ok = table_key(spark_df), table_key(oracle_df)
         if sk == ok:
-            print(f"PASS {name} ({len(spark_rows)} rows)")
+            print(f"PASS {name} ({len(sk)} rows)")
             n_pass += 1
         else:
             n_fail += 1
-            print(f"FAIL {name}: {len(spark_rows)} vs {len(oracle_rows)} rows")
+            print(f"FAIL {name}: {len(sk)} vs {len(ok)} rows")
             for i, (a, b) in enumerate(zip(sk, ok)):
                 if a != b:
                     print(f"  first diff at sorted-row {i}:")
