@@ -166,6 +166,68 @@ object Dedup {
     out
   }
 
+  /** Exact-substring duplication (the suffix-array-style dedup of
+    * "Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2022, re-expressed relationally): two documents are substring
+    * duplicates when they share a verbatim run of ≥ `k` normalized
+    * tokens. Every k-token window is fingerprinted ([[graft.plans.PolyFingerprint]]
+    * via [[Chunking.tokenWindows]] with stride 1), windows are grouped by
+    * fingerprint, and co-occurring documents are paired. Consecutive
+    * shared windows are merged into runs (gaps-and-islands on the
+    * position delta), so the output reports the LONGEST shared token run
+    * per pair — `longest_run_toks = max_consecutive_windows + k - 1`.
+    *
+    * 100 TB design:
+    *   - the window relation is (fingerprint, doc_id, position) — ~20
+    *     bytes per corpus TOKEN; document text itself never shuffles;
+    *   - `maxDf` is the boilerplate guard: a window occurring in more
+    *     than `maxDf` documents (licence headers, templates) is excluded
+    *     BEFORE the self-join, which caps per-fingerprint join fanout at
+    *     maxDf² and removes the classic hot-key quadratic blowup;
+    *   - run detection shuffles only the (a, b, diff, pos) hit rows —
+    *     proportional to actually-duplicated content, not the corpus.
+    *
+    * @return (doc_a, doc_b, n_shared, longest_run_toks), doc_a < doc_b:
+    *         distinct shared k-windows and the longest verbatim run.
+    */
+  def substringPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 12, maxDf: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 1 && maxDf >= 2)
+    val wins = Chunking.tokenWindows(df, textCol, idCol, window = k,
+        stride = 1)
+      .filter(col("n_toks") === k)
+      .select(col("chunk_fp"), col("doc_id"), col("start_tok"))
+    val guard = wins.groupBy(col("chunk_fp"))
+      .agg(countDistinct(col("doc_id")).as("dfc"))
+      .filter(col("dfc").between(2, maxDf))
+      .select(col("chunk_fp"))
+    val g = wins.join(guard, Seq("chunk_fp"))
+    val l = g.select(col("chunk_fp"), col("doc_id").as("a"),
+      col("start_tok").as("pa"))
+    val r = g.select(col("chunk_fp"), col("doc_id").as("b"),
+      col("start_tok").as("pb"))
+    val hits = l.join(r, Seq("chunk_fp")).filter(col("a") < col("b"))
+    val shared = hits.groupBy(col("a"), col("b"))
+      .agg(countDistinct(col("chunk_fp")).as("n_shared"))
+    // islands of consecutive positions at a constant a/b offset = runs
+    val runRows = hits
+      .select(col("a"), col("b"), (col("pa") - col("pb")).as("diff"),
+        col("pa"))
+      .distinct()
+    val w = Window.partitionBy(col("a"), col("b"), col("diff"))
+      .orderBy(col("pa"))
+    val longest = runRows
+      .withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy(col("a"), col("b"), col("diff"), col("isl"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("a"), col("b"))
+      .agg(max(col("run")).as("max_run"))
+    shared.join(longest, Seq("a", "b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("n_shared"),
+        (col("max_run") + lit(k.toLong - 1)).as("longest_run_toks"))
+  }
+
   /** Character-n-gram Jaccard dedup: exact n-gram-set Jaccard, with
     * MinHash-LSH candidate generation over the n-gram sets (a blocked
     * O(n²/blocks) variant was tried first and is quadratic-with-a-constant

@@ -57,6 +57,71 @@ object Sampling {
       hashSample(df, idCol, num, den, salt = i.toLong)
     }.reduce(_ unionAll _)
 
+  /** Temperature-flattened stratum rebalancing (the multilingual-corpus
+    * sampling rule of mBERT/XLM-R, temperature T = 2 i.e. exponent
+    * α = 1/2): stratum `s` with `n_s` rows is sampled at rate
+    * `min(1, target · (√n_s / Σ√n) / n_s)` — large strata are
+    * down-sampled toward the flattened distribution, small strata keep
+    * everything. α is fixed at 1/2 because `sqrt` is IEEE-exact and
+    * therefore reproducible across engines (general `pow` is
+    * transcendental — correctly-rounded results are not guaranteed, so
+    * cross-engine oracles would drift).
+    *
+    * Row selection is the same id-hash rule as [[hashSample]] —
+    * deterministic, partitioning-independent. The rate table is one tiny
+    * aggregate broadcast back onto the corpus: no corpus shuffle at all.
+    *
+    * @param targetRows corpus-size budget the flattened distribution is
+    *                   scaled to (rates cap at 1 — sampling never
+    *                   up-samples; pair with [[epochMix]] for >1 epochs)
+    * @return input rows that survive, with `n_stratum` and `rate` columns
+    */
+  def temperatureSample(df: DataFrame, strataCol: String, idCol: String,
+      targetRows: Long, den: Int = 10000, salt: Long = 0L): DataFrame = {
+    require(targetRows > 0 && den > 0)
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_stratum"))
+    val tot = counts
+      .agg(sum(sqrt(col("n_stratum").cast("double"))).as("sum_sqrt"))
+    val rates = counts.crossJoin(tot).select(col(strataCol),
+      col("n_stratum"),
+      least(lit(1.0), lit(targetRows.toDouble) *
+        (sqrt(col("n_stratum").cast("double")) / col("sum_sqrt")) /
+        col("n_stratum").cast("double")).as("rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(bucket(col(idCol), den, salt).cast("double") /
+        lit(den.toDouble) < col("rate"))
+  }
+
+  /** Deterministic global shuffle for training order: every row gets a
+    * `(shard, pos_in_shard)` coordinate and a collision-free interleaved
+    * `order_key` — a content-deterministic total order that is identical
+    * on 1 executor or 1000 (unlike `orderBy(rand())`, whose seed is
+    * partitioning-dependent).
+    *
+    * 100 TB design: the only shuffle is the per-shard sort — `nShards`
+    * independent `row_number` windows, each bounded by corpus/nShards
+    * (the id-hash shard function is uniform), never one global window.
+    * `order_key = (pos_in_shard − 1) · nShards + shard` interleaves
+    * shards round-robin: reading in `order_key` order cycles through
+    * shards, so any prefix of the training order is an unbiased sample —
+    * the property a curriculum loader actually needs. It is a total
+    * order, not a dense index (shard sizes differ slightly).
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, nShards: Int,
+      salt: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("sort_key"), col(idCol))
+    df.select(col(idCol),
+        bucket(col(idCol), nShards, salt).as("shard"),
+        bucket(col(idCol), 1000000007, salt + 1).as("sort_key"))
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+      .withColumn("order_key",
+        (col("pos_in_shard") - 1) * nShards + col("shard"))
+  }
+
   /** Epoch-weighted mixture ("2.5 epochs of wiki, 0.25 of web"): every row
     * is emitted `floor(w)` times, plus once more for a hash-chosen ~frac(w)
     * of rows, with a 0-based `copy` index for downstream sharding.

@@ -94,6 +94,16 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // exact-substring duplication (suffix-style dedup): pairs sharing a
+    // verbatim run of >= 12 normalized tokens, with the longest shared
+    // run length. Over the twin union every doc with >= 12 tokens pairs
+    // with its twin at longest_run = its full token count; any genuine
+    // cross-document verbatim runs surface identically.
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringPairs(docsUnion(s, dir), "text", "doc_id",
+          k = 12, maxDf = 8)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // ---- sampling / corpus mixing ----
     "sample_hash" -> ((s, dir) =>
       Sampling.hashSample(t(s, dir, "documents"), "doc_id", num = 3, den = 10)
@@ -113,6 +123,25 @@ object ExtensionQueries {
           weights = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25))
         .select(col("doc_id"), col("source"), col("copy"))
         .orderBy(col("doc_id"), col("copy"))),
+
+    // temperature-flattened language rebalancing (alpha = 1/2): the
+    // skewed lang marginal (en 218 ... fr 64 at sf0.01) is sampled
+    // toward the flattened distribution under a 250-row budget — en is
+    // cut hardest, small languages keep most rows
+    "sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureSample(t(s, dir, "documents"), "lang", "doc_id",
+          targetRows = 250)
+        .select(col("doc_id"), col("lang"), col("n_stratum"), col("rate"))
+        .orderBy(col("doc_id"))),
+
+    // deterministic training-order shuffle: 16-shard interleaved total
+    // order, identical at any cluster size (and in the oracle engine)
+    "corpus_shuffle" -> ((s, dir) =>
+      Sampling.deterministicShuffle(t(s, dir, "documents"), "doc_id",
+          nShards = 16)
+        .select(col("doc_id"), col("shard"), col("sort_key"),
+          col("pos_in_shard"), col("order_key"))
+        .orderBy(col("doc_id"))),
 
     // ---- similarity search ----
     "sim_topk_brute" -> ((s, dir) => {
@@ -829,6 +858,74 @@ object ExtensionQueries {
         |  FROM documents)
         |SELECT doc_id, source, unnest(range(0, copies)) AS copy
         |FROM w ORDER BY doc_id, copy""".stripMargin,
+    // same arithmetic as Sampling.temperatureSample: sqrt is IEEE-exact,
+    // every division double, identical association order on both sides
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_stratum FROM documents
+        |  GROUP BY lang),
+        |t AS (SELECT SUM(sqrt(CAST(n_stratum AS DOUBLE))) AS sum_sqrt
+        |  FROM c),
+        |r AS (SELECT lang, n_stratum,
+        |  least(CAST(1.0 AS DOUBLE), CAST(250 AS DOUBLE) *
+        |    (sqrt(CAST(n_stratum AS DOUBLE)) / sum_sqrt) /
+        |    CAST(n_stratum AS DOUBLE)) AS rate
+        |  FROM c CROSS JOIN t)
+        |SELECT d.doc_id, d.lang, r.n_stratum, r.rate
+        |FROM documents d JOIN r USING (lang)
+        |WHERE CAST(((d.doc_id + 0) * 2654435761) % 10000 AS DOUBLE) /
+        |  CAST(10000 AS DOUBLE) < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
+    "corpus_shuffle" ->
+      """WITH s AS (SELECT doc_id,
+        |  ((doc_id + 0) * 2654435761) % 16 AS shard,
+        |  ((doc_id + 1) * 2654435761) % 1000000007 AS sort_key
+        |  FROM documents),
+        |p AS (SELECT doc_id, shard, sort_key,
+        |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY sort_key, doc_id)
+        |    AS pos_in_shard
+        |  FROM s)
+        |SELECT doc_id, shard, sort_key, pos_in_shard,
+        |  (pos_in_shard - 1) * 16 + shard AS order_key
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // window strings stand in for the engine's window fingerprints (the
+    // poly fingerprint is injective on this corpus — pinned by spec);
+    // runs via gaps-and-islands on the position delta, like the engine
+    "dedup_substring" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM documents),
+        |tk AS (SELECT doc_id,
+        |  CASE WHEN norm = '' THEN []::VARCHAR[]
+        |       ELSE string_split(norm, ' ') END AS toks
+        |  FROM (SELECT doc_id,
+        |          trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+        |            AS norm
+        |        FROM u)),
+        |w AS (SELECT doc_id, i - 1 AS p,
+        |    array_to_string(toks[i:i+11], ' ') AS win
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(1, len(toks) - 10)) AS i
+        |        FROM tk)),
+        |guard AS (SELECT win FROM w GROUP BY win
+        |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 8),
+        |g AS (SELECT w.doc_id, w.p, w.win FROM w JOIN guard USING (win)),
+        |hits AS (SELECT l.win, l.doc_id AS a, l.p AS pa,
+        |    r.doc_id AS b, r.p AS pb
+        |  FROM g l JOIN g r USING (win) WHERE l.doc_id < r.doc_id),
+        |shared AS (SELECT a, b, COUNT(DISTINCT win) AS n_shared
+        |  FROM hits GROUP BY a, b),
+        |rr AS (SELECT DISTINCT a, b, pa - pb AS diff, pa FROM hits),
+        |isl AS (SELECT a, b, diff, pa,
+        |  pa - ROW_NUMBER() OVER (PARTITION BY a, b, diff ORDER BY pa)
+        |    AS grp FROM rr),
+        |runs AS (SELECT a, b, COUNT(*) AS run FROM isl
+        |  GROUP BY a, b, diff, grp),
+        |longest AS (SELECT a, b, MAX(run) AS max_run FROM runs
+        |  GROUP BY a, b)
+        |SELECT s.a AS doc_a, s.b AS doc_b, s.n_shared,
+        |  l.max_run + 11 AS longest_run_toks
+        |FROM shared s JOIN longest l ON s.a = l.a AND s.b = l.b
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsOracle(CharNgramsSql, 0.5),
     "dedup_simhash" ->
       """WITH u AS (SELECT doc_id, text FROM documents

@@ -66,6 +66,68 @@ class DedupSpec extends SparkFunSuite {
     assert(!pairs.exists { case (a, b) => b == 5L || a == 4L || b == 4L })
   }
 
+  test("substringPairs: shared k-token run found with exact run length; " +
+      "unrelated docs absent") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // shares the 6-token run "alpha..zeta" with doc 1, embedded mid-doc
+      (2L, "prefix words alpha beta gamma delta epsilon zeta suffix"),
+      (3L, "totally different content nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringPairs(d, "text", "doc_id", k = 4, maxDf = 8)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    // 6-token shared run = 3 overlapping 4-windows, all consecutive
+    assert(r.getAs[Long]("n_shared") == 3L)
+    assert(r.getAs[Long]("longest_run_toks") == 6L)
+  }
+
+  test("substringPairs: maxDf guard drops boilerplate windows; split runs " +
+      "report the longest island only") {
+    val s = spark
+    import s.implicits._
+    val boiler = "copyright header all rights reserved"
+    // the 5-token boilerplate appears in 4 docs -> df=4 > maxDf=3
+    val d = Seq(
+      (1L, s"$boiler unique one content"),
+      (2L, s"$boiler unique two content"),
+      (3L, s"$boiler unique three content"),
+      (4L, s"$boiler unique four content"),
+      // docs 5/6 share two SEPARATE 4-runs around a mismatch
+      (5L, "one two three four MID five six seven eight"),
+      (6L, "one two three four GAP five six seven eight"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringPairs(d, "text", "doc_id", k = 4, maxDf = 3)
+      .collect()
+    assert(out.length == 1, s"boilerplate pairs must be guarded out: " +
+      out.mkString(","))
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") == 5L && r.getAs[Long]("doc_b") == 6L)
+    // each side run is exactly one 4-window; two islands of size 1
+    assert(r.getAs[Long]("n_shared") == 2L)
+    assert(r.getAs[Long]("longest_run_toks") == 4L)
+  }
+
+  test("substringPairs oracle precondition: the poly window fingerprint is " +
+      "injective over the sf0.01 window population") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val docsW = Chunking.tokenWindows(docs, "text", "doc_id", 12, 1)
+      .filter(col("n_toks") === 12)
+    val fps = docsW.select(countDistinct(col("chunk_fp"))).head.getLong(0)
+    val strs = docsW
+      .join(docs.select(col("doc_id"), TF.normTokens(col("text")).as("tk")),
+        Seq("doc_id"))
+      .select(concat_ws(" ",
+        slice(col("tk"), col("start_tok") + 1, lit(12))).as("w"))
+      .select(countDistinct(col("w"))).head.getLong(0)
+    assert(fps == strs,
+      "fingerprint collisions would desync the window-string oracle")
+  }
+
   test("embedding near-dup finds identical vectors via hyperplane LSH") {
     val s = spark
     import s.implicits._
@@ -226,6 +288,62 @@ class SimilaritySpec extends SparkFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(bySource.getOrElse("src0", 0) == total("src0"), "rate 10/10 keeps all")
     assert(!bySource.contains("src1") && !bySource.contains("src2"))
+  }
+
+  test("temperatureSample: flattens the stratum marginal (large strata " +
+      "sampled harder), rates in (0,1], deterministic under repartition") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val out = Sampling.temperatureSample(docs, "lang", "doc_id",
+      targetRows = 250)
+    val rates = out.select("lang", "n_stratum", "rate").distinct().collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rates.values.forall { case (_, r) => r > 0.0 && r <= 1.0 })
+    // alpha = 1/2: the biggest stratum (en) must get the LOWEST rate
+    val enRate = rates("en")._2
+    assert(rates.forall { case (l, (_, r)) => l == "en" || r > enRate },
+      s"en must be cut hardest: $rates")
+    // rate formula: min(1, T * (sqrt(n)/sum_sqrt) / n)
+    val sumSqrt = rates.values.map(v => math.sqrt(v._1.toDouble)).sum
+    rates.foreach { case (_, (n, r)) =>
+      val expect = math.min(1.0,
+        250.0 * (math.sqrt(n.toDouble) / sumSqrt) / n.toDouble)
+      assert(r == expect, s"rate drift: $r vs $expect")
+    }
+    // deterministic + partitioning-independent membership
+    val a = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureSample(docs.repartition(7), "lang",
+      "doc_id", targetRows = 250).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("deterministicShuffle: total order, contiguous per-shard positions, " +
+      "round-robin interleave, partitioning-independent") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val out = Sampling.deterministicShuffle(docs, "doc_id", nShards = 16)
+      .collect()
+    assert(out.length == docs.count())
+    val keys = out.map(_.getAs[Long]("order_key"))
+    assert(keys.distinct.length == keys.length, "order_key must be unique")
+    // per-shard positions are 1..n_shard with no gaps
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      val pos = rows.map(_.getAs[Long]("pos_in_shard")).sorted
+      assert(pos.head == 1L && pos.last == pos.length.toLong)
+    }
+    // reading in order_key order cycles through shards round-robin:
+    // within any prefix, shard counts differ by at most 1 per cycle rank
+    val byKey = out.sortBy(_.getAs[Long]("order_key"))
+      .map(_.getAs[Long]("shard"))
+    val firstCycle = byKey.take(16).toSet
+    assert(firstCycle.size == 16, "first 16 keys must hit 16 distinct shards")
+    // identical assignment under a different input partitioning
+    val again = Sampling.deterministicShuffle(docs.repartition(5),
+        "doc_id", nShards = 16)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("order_key"))).toMap
+    val base = out.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("order_key"))).toMap
+    assert(again == base)
   }
 
   test("epochMix: whole copies for every row, fractional copies for the " +
