@@ -194,10 +194,17 @@ object Dedup {
       k: Int = 12, maxDf: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 1 && maxDf >= 2)
+    // materialized once: the window relation feeds the df-guard aggregate
+    // AND both sides of the self-join — without this the corpus is
+    // re-scanned/re-tokenized for every consumer (measured 22 parquet
+    // scans at sf0.1). ~20 bytes/token, executor-storage-backed; on a
+    // real cluster the same role is played by `checkpoint` or a written
+    // window table.
     val wins = Chunking.tokenWindows(df, textCol, idCol, window = k,
         stride = 1)
       .filter(col("n_toks") === k)
       .select(col("chunk_fp"), col("doc_id"), col("start_tok"))
+      .localCheckpoint()
     val guard = wins.groupBy(col("chunk_fp"))
       .agg(countDistinct(col("doc_id")).as("dfc"))
       .filter(col("dfc").between(2, maxDf))
@@ -207,7 +214,10 @@ object Dedup {
       col("start_tok").as("pa"))
     val r = g.select(col("chunk_fp"), col("doc_id").as("b"),
       col("start_tok").as("pb"))
+    // hit rows are proportional to duplicated content, not the corpus —
+    // cheap to pin, and consumed by two aggregations below
     val hits = l.join(r, Seq("chunk_fp")).filter(col("a") < col("b"))
+      .localCheckpoint()
     val shared = hits.groupBy(col("a"), col("b"))
       .agg(countDistinct(col("chunk_fp")).as("n_shared"))
     // islands of consecutive positions at a constant a/b offset = runs
