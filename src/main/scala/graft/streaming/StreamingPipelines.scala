@@ -8,6 +8,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 import graft.avro.{AvroTransform, SchemaProvider}
 import graft.config.EngineConfig
+import graft.functions.{TextFunctions => TF}
 
 /** Structured-Streaming wiring for the engine (SURVEY.md §7.1 M2).
   *
@@ -55,6 +56,55 @@ object StreamingPipelines {
       .withColumn("text_sha", sha2(col(textCol), 256))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("text_sha")
+
+  /** Streaming NEAR-duplicate pairs — the streaming twin of
+    * [[graft.operators.Dedup.minhashNearDup]]: the same row-local
+    * shingle → minhash → band-key projection, but candidate generation is
+    * a watermarked stream-stream SELF-join on the band key instead of a
+    * batch bucket join. The join condition is time-bounded in both
+    * directions by `horizon`, so Spark expires band-key state as the
+    * watermark advances — a document can only collide with documents that
+    * arrived within ± horizon of it, and state stays proportional to one
+    * horizon of traffic, never the stream history. Verification is exact
+    * Jaccard, computed inline from the shingle sets carried next to the
+    * band rows (the batch operator joins text back by id; mid-stream
+    * there is no corpus to join back to, so the shingle sets ride through
+    * the join state — the documented state-size tradeoff of streaming
+    * dedup). Pairs that collide in several bands are collapsed by a
+    * downstream `dropDuplicatesWithinWatermark` keyed on (a, b).
+    *
+    * Emits (a, b, ts_a, jaccard), a < b, jaccard ≥ threshold — append
+    * mode, results final once the watermark passes. */
+  def nearDupPairsStream(docs: DataFrame, textCol: String, idCol: String,
+      tsCol: String, horizon: String = "24 hours", shingleK: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8)
+      : DataFrame = {
+    val rows = numHashes / bands
+    val sigs = docs.select(col(idCol).as("id"), col(tsCol).as("ts"),
+      TF.wordShingleHashes(col(textCol), shingleK).as("shingles"))
+    val withSig = sigs.select(col("id"), col("ts"), col("shingles"),
+      TF.minhashSignature(col("shingles"), numHashes).as("sig"))
+    val bandRows = withSig
+      .select(col("id"), col("ts"), col("shingles"), col("sig"),
+        explode(TF.minhashBandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("bk"), col("id"), col("ts"), col("shingles"))
+    val l = bandRows
+      .select(col("bk"), col("id").as("a"), col("ts").as("ts_a"),
+        col("shingles").as("sh_a"))
+      .withWatermark("ts_a", horizon)
+    val r = bandRows
+      .select(col("bk").as("bk_r"), col("id").as("b"),
+        col("ts").as("ts_b"), col("shingles").as("sh_b"))
+      .withWatermark("ts_b", horizon)
+    l.join(r, expr(
+        s"""bk = bk_r AND a < b AND
+           |ts_b >= ts_a - INTERVAL $horizon AND
+           |ts_b <= ts_a + INTERVAL $horizon""".stripMargin))
+      .withColumn("jaccard", TF.jaccardSorted(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("ts_a"), col("jaccard"))
+      .dropDuplicatesWithinWatermark("a", "b")
+  }
 
   /** Stream-stream INTERVAL join — the streaming twin of
     * `operators.RangeJoin`: each trigger event joins to the follow events

@@ -82,6 +82,70 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup: LSH band self-join finds exact and near pairs " +
+      "within the horizon, matches the batch operator on the same corpus") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val out = StreamingPipelines.nearDupPairsStream(docs, "text", "doc_id",
+      "ts", horizon = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      val corpus = Seq(
+        (1L, t(1), "the quick brown fox jumps over the lazy dog again today"),
+        (2L, t(2), "the quick brown fox jumps over the lazy dog again today"),
+        (3L, t(3), "the quick brown fox leaps over the lazy dog again today"),
+        (4L, t(2), "completely different content about spark engines here"))
+      input.addData(corpus: _*)
+      q.processAllAvailable()
+      // advance the watermark far enough to finalize append-mode results
+      input.addData((99L, t(59), "watermark advancer row nothing shared"))
+      q.processAllAvailable()
+      val got = s.sql("SELECT a, b, jaccard FROM neardup_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e9) / 1e9)).toSet
+      val batch = graft.operators.Dedup.minhashNearDup(
+          corpus.toDF("doc_id", "ts", "text"), "text", "doc_id")
+        .collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+          math.rint(r.getAs[Double]("jaccard") * 1e9) / 1e9)).toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+      assert(!got.exists { case (a, b, _) => a == 4L || b == 4L })
+    } finally q.stop()
+  }
+
+  test("streaming near-dup: a twin arriving beyond the horizon is NOT " +
+      "paired (band state expired with the watermark)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val out = StreamingPipelines.nearDupPairsStream(docs, "text", "doc_id",
+      "ts", horizon = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("neardup_late")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      val text = "the quick brown fox jumps over the lazy dog again today"
+      input.addData((1L, t(0), text))
+      q.processAllAvailable()
+      // 40 min later: far past the 10-minute join bound relative to doc 1
+      input.addData((2L, t(40), text))
+      q.processAllAvailable()
+      input.addData((3L, t(55), "watermark advancer row nothing shared"))
+      q.processAllAvailable()
+      val got = s.sql("SELECT a, b FROM neardup_late").collect()
+      assert(got.isEmpty, s"out-of-horizon twin must not pair: " +
+        got.mkString(","))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: follows within the window matched, " +
       "outside-window and self pairs excluded") {
     val s = spark
