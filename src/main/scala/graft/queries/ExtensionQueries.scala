@@ -497,6 +497,17 @@ object ExtensionQueries {
             col("distinct_ratio") >= 0.5)
         .orderBy(col("doc_id"))),
 
+    // corpus vocabulary: top-20 terms by document frequency, ties
+    // broken by term — orderBy+limit compiles to TakeOrderedAndProject
+    // (per-partition partial top-k, only k×partitions rows exchanged;
+    // the vocabulary is never globally sorted)
+    "text_vocab_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TF.normTokens(col("text")))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term")).limit(20)),
+
     // ---- multimodal plumbing ----
     "mm_meta" -> ((s, dir) =>
       Multimodal.withBlob(t(s, dir, "documents"), "text")
@@ -926,6 +937,11 @@ object ExtensionQueries {
         |  l.max_run + 11 AS longest_run_toks
         |FROM shared s JOIN longest l ON s.a = l.a AND s.b = l.b
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "text_vocab_topk" ->
+      s"""WITH tk AS ($NormToksSql),
+         |d AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tk)
+         |SELECT term, COUNT(*) AS df FROM d
+         |GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsOracle(CharNgramsSql, 0.5),
     "dedup_simhash" ->
       """WITH u AS (SELECT doc_id, text FROM documents

@@ -4,14 +4,15 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Chunking, Contamination, Dedup}
+import graft.operators.{Chunking, Contamination, Dedup, Sampling}
 
 /** End-to-end training-data pipeline over one corpus — the "switch to
   * this library" composition story in one runnable main:
   *
   *   scrub PII → near-dup dedup (minhash LSH + survivor selection) →
-  *   benchmark-contamination filter → quality filter → token-window
-  *   chunking → sequence packing → corpus report.
+  *   exact-substring dedup → benchmark-contamination filter → quality
+  *   filter → temperature rebalancing → token-window chunking →
+  *   sequence packing → deterministic training order.
   *
   * Every stage is the same operator the driver-checked queries pin; this
   * main only composes them. Run:
@@ -41,7 +42,15 @@ object PipelineDemo {
       scrubbed.select(col("doc_id").as("id")), pairs)
       .filter(col("id") === col("survivor_id"))
       .select(col("id").as("doc_id"))
-    val deduped = scrubbed.join(survivors, "doc_id")
+    val nearDeduped = scrubbed.join(survivors, "doc_id")
+
+    // 2b. exact-substring dedup: drop the higher-id doc of any pair
+    //     sharing a verbatim >= 12-token run (catches partial-overlap
+    //     duplicates that whole-doc Jaccard misses)
+    val subDupes = Dedup.substringPairs(nearDeduped, "text", "doc_id",
+        k = 12, maxDf = 8)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val deduped = nearDeduped.join(subDupes, Seq("doc_id"), "left_anti")
     val n1 = deduped.count()
 
     // 3. benchmark-contamination filter (docs ending in 0 play the eval
@@ -63,18 +72,33 @@ object PipelineDemo {
       .select(col("doc_id"), col("text"))
     val n3 = kept.count()
 
-    // 5. chunk to context windows, pack into fixed token budgets
-    val chunks = Chunking.tokenWindows(kept, "text", "doc_id",
+    // 5. temperature-rebalance the source marginal under a row budget
+    //    (deterministic id-hash membership, rates broadcast)
+    val balanced = Sampling.temperatureSample(
+      kept.join(docs.select("doc_id", "source"), "doc_id"),
+      "source", "doc_id", targetRows = math.max(1L, n3 * 3 / 4))
+      .select(col("doc_id"), col("text"))
+    val n4 = balanced.count()
+
+    // 6. chunk to context windows, pack into fixed token budgets
+    val chunks = Chunking.tokenWindows(balanced, "text", "doc_id",
       window = 64, stride = 48)
-    val packs = Chunking.packSequences(kept, "text", "doc_id",
+    val packs = Chunking.packSequences(balanced, "text", "doc_id",
       budget = 512, nShards = 8)
     val nChunks = chunks.count()
     val nPacks = packs.agg(countDistinct(col("shard"), col("pack_id")))
       .head().getLong(0)
 
+    // 7. deterministic interleaved training order over the packed docs
+    val order = Sampling.deterministicShuffle(balanced, "doc_id",
+      nShards = 8)
+    val nOrdered = order.select(countDistinct(col("order_key")))
+      .head().getLong(0)
+
     println(s"docs=$n0 afterDedup=$n1 afterContam=$n2 afterQuality=$n3 " +
-      s"chunks=$nChunks packs=$nPacks")
-    require(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 > 0 && nChunks > 0,
+      s"afterBalance=$n4 chunks=$nChunks packs=$nPacks ordered=$nOrdered")
+    require(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 >= n4 && n4 > 0 &&
+      nChunks > 0 && nOrdered == n4,
       "pipeline stages must monotonically filter and keep data")
     spark.stop()
   }

@@ -68,6 +68,32 @@ class PlanContractSpec extends SparkFunSuite {
       s"quantized corpus must not shuffle:\n${df.queryExecution.executedPlan}")
   }
 
+  test("temperatureSample: rate table broadcasts back onto the corpus — " +
+      "the corpus itself is filtered in place, never hash-shuffled") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.operators.Sampling.temperatureSample(docs, "lang",
+      "doc_id", targetRows = 100)
+    assert(broadcasts(df) >= 1, "rates must broadcast")
+    // the only shuffles build the rate table: strata-count partial agg +
+    // the single-row sum — both carry stratum-sized data, not the corpus
+    assert(shuffles(df) <= 3,
+      s"corpus must not shuffle:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("deterministicShuffle: per-shard windows only — hash exchange on " +
+      "shard, never a SinglePartition global sort") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.operators.Sampling.deterministicShuffle(docs, "doc_id",
+      nShards = 8)
+    val plan = finalPlan(df)
+    assert(!"Exchange SinglePartition".r.findAllIn(plan).hasNext,
+      s"global single-partition exchange would serialize the sort:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly the shard exchange:\n$plan")
+  }
+
   test("dimStats calibration: partial aggregate — the exchange carries " +
       "dim-sized partials, and the plan has exactly one shuffle") {
     // posexplode + groupBy(pos): map-side combine collapses each partition
