@@ -816,6 +816,71 @@ class KernelPropertySpec extends SparkFunSuite {
     }
   }
 
+  test("property: substringPairs == brute-force reference (shared-window " +
+      "counts, longest runs, df-guard) on random tiny-vocab corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    val k = 3
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val docGen = for {
+      n <- Gen.choose(1, 18)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield toks.mkString(" ")
+    def brute(docs: Seq[(Long, String)], maxDf: Int)
+        : Map[(Long, Long), (Long, Long)] = {
+      val wins = docs.map { case (id, t) =>
+        id -> t.split(" ").toSeq.sliding(k).filter(_.length == k)
+          .map(_.mkString(" ")).toVector
+      }.toMap
+      val df = wins.toSeq.flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val ok = (w: String) => df(w) >= 2 && df(w) <= maxDf
+      val out = for {
+        Seq(a, b) <- docs.map(_._1).sorted.combinations(2).toSeq
+        hits = for {
+          (wa, pa) <- wins(a).zipWithIndex if ok(wa)
+          (wb, pb) <- wins(b).zipWithIndex if wa == wb
+        } yield (pa, pb)
+        if hits.nonEmpty
+      } yield {
+        val nShared = hits.map { case (pa, _) => wins(a)(pa) }.distinct.size
+        val maxRun = hits.groupBy { case (pa, pb) => pa - pb }.values.map {
+          g =>
+            val ps = g.map(_._1).distinct.sorted
+            ps.foldLeft((0, 0, Int.MinValue)) { case ((best, cur, prev), p) =>
+              val c = if (p == prev + 1) cur + 1 else 1
+              (math.max(best, c), c, p)
+            }._1
+        }.max
+        (a, b) -> (nShared.toLong, (maxRun + k - 1).toLong)
+      }
+      out.toMap
+    }
+    var nonEmpty = 0
+    (0 until 12).foreach { trial =>
+      val nDocs = 3 + trial % 4
+      val docs = (0 until nDocs).map { i =>
+        val t = docGen.apply(Gen.Parameters.default,
+          Seed(trial * 100L + i)).get
+        (i.toLong, t)
+      }
+      val maxDf = if (trial % 2 == 0) nDocs else 2
+      val got = Dedup.substringPairs(docs.toDF("doc_id", "text"),
+          "text", "doc_id", k = k, maxDf = maxDf)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+          (r.getAs[Long]("n_shared"), r.getAs[Long]("longest_run_toks")))
+        .toMap
+      assert(got == brute(docs, maxDf),
+        s"trial $trial maxDf=$maxDf docs=$docs")
+      if (got.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 3, s"differential test vacuous: only $nonEmpty " +
+      "trials produced pairs — widen the generator")
+  }
+
   test("property: redactPii leaves PII-free ASCII text unchanged and is " +
       "idempotent on redacted output") {
     import org.scalacheck.Gen
