@@ -193,31 +193,7 @@ object Dedup {
   def substringPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 12, maxDf: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(k > 1 && maxDf >= 2)
-    // materialized once: the window relation feeds the df-guard aggregate
-    // AND both sides of the self-join — without this the corpus is
-    // re-scanned/re-tokenized for every consumer (measured 22 parquet
-    // scans at sf0.1). ~20 bytes/token, executor-storage-backed; on a
-    // real cluster the same role is played by `checkpoint` or a written
-    // window table.
-    val wins = Chunking.tokenWindows(df, textCol, idCol, window = k,
-        stride = 1)
-      .filter(col("n_toks") === k)
-      .select(col("chunk_fp"), col("doc_id"), col("start_tok"))
-      .localCheckpoint()
-    val guard = wins.groupBy(col("chunk_fp"))
-      .agg(countDistinct(col("doc_id")).as("dfc"))
-      .filter(col("dfc").between(2, maxDf))
-      .select(col("chunk_fp"))
-    val g = wins.join(guard, Seq("chunk_fp"))
-    val l = g.select(col("chunk_fp"), col("doc_id").as("a"),
-      col("start_tok").as("pa"))
-    val r = g.select(col("chunk_fp"), col("doc_id").as("b"),
-      col("start_tok").as("pb"))
-    // hit rows are proportional to duplicated content, not the corpus —
-    // cheap to pin, and consumed by two aggregations below
-    val hits = l.join(r, Seq("chunk_fp")).filter(col("a") < col("b"))
-      .localCheckpoint()
+    val hits = substringHits(df, textCol, idCol, k, maxDf)
     val shared = hits.groupBy(col("a"), col("b"))
       .agg(countDistinct(col("chunk_fp")).as("n_shared"))
     // islands of consecutive positions at a constant a/b offset = runs
@@ -236,6 +212,73 @@ object Dedup {
     shared.join(longest, Seq("a", "b"))
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("n_shared"),
         (col("max_run") + lit(k.toLong - 1)).as("longest_run_toks"))
+  }
+
+  /** Shared candidate stage of the substring family: guarded k-window
+    * fingerprint matches as (chunk_fp, a, pa, b, pb), a < b.
+    *
+    * The window relation is materialized once — it feeds the df-guard
+    * aggregate AND both sides of the self-join; without pinning, the
+    * corpus is re-scanned/re-tokenized for every consumer (measured 22
+    * parquet scans in one sf0.1 plan). ~20 bytes/token, executor-storage
+    * backed; a real cluster would `checkpoint` or write the window table.
+    * Hit rows are proportional to duplicated content, not the corpus. */
+  private def substringHits(df: DataFrame, textCol: String, idCol: String,
+      k: Int, maxDf: Int): DataFrame = {
+    require(k > 1 && maxDf >= 2)
+    val wins = Chunking.tokenWindows(df, textCol, idCol, window = k,
+        stride = 1)
+      .filter(col("n_toks") === k)
+      .select(col("chunk_fp"), col("doc_id"), col("start_tok"))
+      .localCheckpoint()
+    val guard = wins.groupBy(col("chunk_fp"))
+      .agg(countDistinct(col("doc_id")).as("dfc"))
+      .filter(col("dfc").between(2, maxDf))
+      .select(col("chunk_fp"))
+    val g = wins.join(guard, Seq("chunk_fp"))
+    val l = g.select(col("chunk_fp"), col("doc_id").as("a"),
+      col("start_tok").as("pa"))
+    val r = g.select(col("chunk_fp"), col("doc_id").as("b"),
+      col("start_tok").as("pb"))
+    l.join(r, Seq("chunk_fp")).filter(col("a") < col("b"))
+      .localCheckpoint()
+  }
+
+  /** Substring SCRUB (the removal half of Lee et al. 2022): every
+    * duplicated k-token window is deleted from the HIGHER-id document of
+    * each matching pair — the lower id keeps its copy, so exactly one
+    * occurrence survives per matched pair and the rule is deterministic
+    * and order-free. Documents are rebuilt from their kept tokens.
+    *
+    * 100 TB design: the removal map (doc_id → window-start list) is
+    * proportional to duplicated content and joins back to the corpus by
+    * id (broadcast when small, one hash shuffle otherwise); the rebuild
+    * itself is a row-local higher-order filter over the token array —
+    * token positions are tested against the start intervals in place,
+    * no explode of per-token rows, no second corpus shuffle.
+    *
+    * @return (doc_id, n_toks, n_removed, clean_sha) for EVERY input row:
+    *         original token count, tokens deleted, sha256 of the
+    *         space-joined surviving tokens.
+    */
+  def substringScrub(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 12, maxDf: Int = 8): DataFrame = {
+    val hits = substringHits(df, textCol, idCol, k, maxDf)
+    val removals = hits.select(col("b").as("rm_id"), col("pb")).distinct()
+      .groupBy(col("rm_id"))
+      .agg(sort_array(collect_set(col("pb"))).as("rm_starts"))
+    val toks = df.select(col(idCol).as("doc_id"),
+      TF.normTokens(col(textCol)).as("toks"))
+    toks.join(removals, toks("doc_id") === removals("rm_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("rm_starts"), array().cast("array<int>")).as("rm"))
+      .select(col("doc_id"), col("toks"),
+        filter(col("toks"), (_, i) =>
+          !exists(col("rm"), s => i >= s && i < s + lit(k))).as("kept"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        (size(col("toks")) - size(col("kept"))).as("n_removed"),
+        sha2(concat_ws(" ", col("kept")), 256).as("clean_sha"))
   }
 
   /** Character-n-gram Jaccard dedup: exact n-gram-set Jaccard, with

@@ -104,6 +104,15 @@ object ExtensionQueries {
           k = 12, maxDf = 8)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // the removal half of substring dedup: duplicated >= 12-token runs
+    // deleted from the higher-id doc of each pair; docs rebuilt row-local
+    // from kept tokens. Twins (higher ids) scrub to empty; originals that
+    // are doc_b of a genuine pair lose just the shared span.
+    "dedup_substring_scrub" -> ((s, dir) =>
+      Dedup.substringScrub(docsUnion(s, dir), "text", "doc_id",
+          k = 12, maxDf = 8)
+        .orderBy(col("doc_id"))),
+
     // ---- sampling / corpus mixing ----
     "sample_hash" -> ((s, dir) =>
       Sampling.hashSample(t(s, dir, "documents"), "doc_id", num = 3, den = 10)
@@ -548,6 +557,34 @@ object ExtensionQueries {
       |        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
       |      FROM documents)""".stripMargin
 
+  /** Shared CTE chain of the substring-dedup family: twin union →
+    * normalized tokens → 12-token windows (0-based starts) → df-guard
+    * (window in 2..8 docs) → guarded window matches `hits(win, a, pa,
+    * b, pb)`, a < b. Mirrors `Dedup.substringHits` with the window
+    * STRING as the join key in place of the poly fingerprint. */
+  private val SubstringHitsSql =
+    """u AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text
+      |  FROM documents),
+      |tk AS (SELECT doc_id,
+      |  CASE WHEN norm = '' THEN []::VARCHAR[]
+      |       ELSE string_split(norm, ' ') END AS toks
+      |  FROM (SELECT doc_id,
+      |          trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+      |            AS norm
+      |        FROM u)),
+      |w AS (SELECT doc_id, i - 1 AS p,
+      |    array_to_string(toks[i:i+11], ' ') AS win
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(range(1, len(toks) - 10)) AS i
+      |        FROM tk)),
+      |guard AS (SELECT win FROM w GROUP BY win
+      |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 8),
+      |g AS (SELECT w.doc_id, w.p, w.win FROM w JOIN guard USING (win)),
+      |hits AS (SELECT l.win, l.doc_id AS a, l.p AS pa,
+      |    r.doc_id AS b, r.p AS pb
+      |  FROM g l JOIN g r USING (win) WHERE l.doc_id < r.doc_id)""".stripMargin
+
   /** Word-3-shingle sets (mirrors ShingleHashes byChar=false, k=3:
     * distinct shingles; < k tokens → one whole-doc shingle). */
   private val WordShinglesSql =
@@ -902,27 +939,7 @@ object ExtensionQueries {
     // poly fingerprint is injective on this corpus — pinned by spec);
     // runs via gaps-and-islands on the position delta, like the engine
     "dedup_substring" ->
-      """WITH u AS (SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text
-        |  FROM documents),
-        |tk AS (SELECT doc_id,
-        |  CASE WHEN norm = '' THEN []::VARCHAR[]
-        |       ELSE string_split(norm, ' ') END AS toks
-        |  FROM (SELECT doc_id,
-        |          trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
-        |            AS norm
-        |        FROM u)),
-        |w AS (SELECT doc_id, i - 1 AS p,
-        |    array_to_string(toks[i:i+11], ' ') AS win
-        |  FROM (SELECT doc_id, toks,
-        |          unnest(range(1, len(toks) - 10)) AS i
-        |        FROM tk)),
-        |guard AS (SELECT win FROM w GROUP BY win
-        |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 8),
-        |g AS (SELECT w.doc_id, w.p, w.win FROM w JOIN guard USING (win)),
-        |hits AS (SELECT l.win, l.doc_id AS a, l.p AS pa,
-        |    r.doc_id AS b, r.p AS pb
-        |  FROM g l JOIN g r USING (win) WHERE l.doc_id < r.doc_id),
+      s"""WITH $SubstringHitsSql,
         |shared AS (SELECT a, b, COUNT(DISTINCT win) AS n_shared
         |  FROM hits GROUP BY a, b),
         |rr AS (SELECT DISTINCT a, b, pa - pb AS diff, pa FROM hits),
@@ -937,6 +954,24 @@ object ExtensionQueries {
         |  l.max_run + 11 AS longest_run_toks
         |FROM shared s JOIN longest l ON s.a = l.a AND s.b = l.b
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // scrub: same hit CTEs; removal starts per doc_b, rebuild via an
+    // indexed list_filter (1-based i vs the engine's 0-based positions)
+    "dedup_substring_scrub" ->
+      s"""WITH $SubstringHitsSql,
+        |rm AS (SELECT b AS doc_id, pb FROM hits GROUP BY b, pb),
+        |rml AS (SELECT doc_id, list_sort(list(pb)) AS starts FROM rm
+        |  GROUP BY doc_id),
+        |kept AS (SELECT t.doc_id, t.toks,
+        |  CASE WHEN r.starts IS NULL THEN t.toks
+        |       ELSE list_filter(t.toks, (x, i) ->
+        |         len(list_filter(r.starts,
+        |           s -> i - 1 >= s AND i - 1 < s + 12)) = 0) END AS kt
+        |  FROM tk t LEFT JOIN rml r USING (doc_id))
+        |SELECT doc_id, len(toks) AS n_toks,
+        |  len(toks) - len(kt) AS n_removed,
+        |  -- array_to_string([]) is NULL in DuckDB, '' in Spark concat_ws
+        |  sha256(COALESCE(array_to_string(kt, ' '), '')) AS clean_sha
+        |FROM kept ORDER BY doc_id""".stripMargin,
     "text_vocab_topk" ->
       s"""WITH tk AS ($NormToksSql),
          |d AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tk)

@@ -112,6 +112,28 @@ class DedupSpec extends SparkFunSuite {
     assert(r.getAs[Long]("longest_run_toks") == 4L)
   }
 
+  test("substringScrub: shared span removed from the higher-id doc only; " +
+      "rebuilt text drops exactly the covered tokens") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "pre post alpha beta gamma delta epsilon zeta tail"),
+      (3L, "totally different content nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringScrub(d, "text", "doc_id", k = 4, maxDf = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_toks"), r.getAs[Int]("n_removed"),
+          r.getAs[String]("clean_sha"))).toMap
+    // doc 1 (lower id) keeps its copy; doc 3 untouched
+    assert(out(1L)._2 == 0 && out(3L)._2 == 0)
+    // doc 2: matched 4-windows start at 2,3,4 -> tokens 2..7 removed
+    assert(out(2L)._1 == 9 && out(2L)._2 == 6)
+    val expectSha = Seq("x").toDF("x")
+      .select(sha2(lit("pre post tail"), 256)).head.getString(0)
+    assert(out(2L)._3 == expectSha)
+  }
+
   test("substringPairs oracle precondition: the poly window fingerprint is " +
       "injective over the sf0.01 window population") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
