@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.{BpeTokenizer => Bpe, TextFunctions => TF,
+  VectorFunctions => VF}
 import graft.operators.{Chunking, Contamination, Dedup, InvertedIndex,
   Multimodal, Relevance, Sampling, Similarity}
 
@@ -506,6 +507,21 @@ object ExtensionQueries {
             col("distinct_ratio") >= 0.5)
         .orderBy(col("doc_id"))),
 
+    // BPE subword segmentation with a fixed rank-ordered merge table —
+    // row-local replace chains (codegen'd, zero shuffle); the oracle
+    // runs the SAME table through SQL replace, generated from one list
+    "text_bpe_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.normTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          length(concat_ws("", col("toks"))).as("n_chars"),
+          Bpe.subwordCount(col("toks")).as("n_subwords"))
+        .withColumn("compression",
+          when(col("n_chars") === 0, lit(0.0))
+            .otherwise(col("n_subwords").cast("double") /
+              col("n_chars").cast("double")))
+        .orderBy(col("doc_id"))),
+
     // corpus vocabulary: top-20 terms by document frequency, ties
     // broken by term — orderBy+limit compiles to TakeOrderedAndProject
     // (per-partition partial top-k, only k×partitions rows exchanged;
@@ -584,6 +600,14 @@ object ExtensionQueries {
       |hits AS (SELECT l.win, l.doc_id AS a, l.p AS pa,
       |    r.doc_id AS b, r.p AS pb
       |  FROM g l JOIN g r USING (win) WHERE l.doc_id < r.doc_id)""".stripMargin
+
+  /** SQL replace chain applying [[graft.functions.BpeTokenizer.Merges]]
+    * in rank order over the boundary-safe symbol string `s` — generated
+    * from the SAME Scala merge table the engine applies. */
+  private val BpeChainSql: String =
+    Bpe.Merges.foldLeft("s") { case (e, (from, to)) =>
+      s"replace($e, '${Bpe.encodePattern(from)}', ' $to;')"
+    }
 
   /** Word-3-shingle sets (mirrors ShingleHashes byChar=false, k=3:
     * distinct shingles; < k tokens → one whole-doc shingle). */
@@ -972,6 +996,28 @@ object ExtensionQueries {
         |  -- array_to_string([]) is NULL in DuckDB, '' in Spark concat_ws
         |  sha256(COALESCE(array_to_string(kt, ' '), '')) AS clean_sha
         |FROM kept ORDER BY doc_id""".stripMargin,
+    // replace chain generated from BpeTokenizer.Merges — one merge
+    // table, two engines; boundary-safe " sym;" encoding (see scaladoc)
+    "text_bpe_tokens" ->
+      s"""WITH tk AS ($NormToksSql),
+         |s0 AS (SELECT doc_id, toks,
+         |  COALESCE(array_to_string(list_transform(toks,
+         |    t -> regexp_replace(t, '(.)', ' \\1;', 'g')), ' /;'), '')
+         |    AS s
+         |  FROM tk),
+         |m AS (SELECT doc_id, toks, $BpeChainSql AS ms FROM s0)
+         |SELECT doc_id,
+         |  COALESCE(length(array_to_string(toks, '')), 0) AS n_chars,
+         |  CASE WHEN len(toks) = 0 THEN 0
+         |    ELSE length(ms) - length(replace(ms, ';', ''))
+         |      - (len(toks) - 1) END AS n_subwords,
+         |  CASE WHEN COALESCE(length(array_to_string(toks, '')), 0) = 0
+         |    THEN CAST(0 AS DOUBLE)
+         |    ELSE CAST(length(ms) - length(replace(ms, ';', ''))
+         |        - (len(toks) - 1) AS DOUBLE)
+         |      / CAST(length(array_to_string(toks, '')) AS DOUBLE)
+         |  END AS compression
+         |FROM m ORDER BY doc_id""".stripMargin,
     "text_vocab_topk" ->
       s"""WITH tk AS ($NormToksSql),
          |d AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tk)

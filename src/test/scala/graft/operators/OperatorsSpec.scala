@@ -583,6 +583,32 @@ class TextFunctionsSpec extends SparkFunSuite {
     assert(java.lang.Long.bitCount(h1 ^ h2) < java.lang.Long.bitCount(h1 ^ h3))
   }
 
+  test("BPE apply: rank-ordered merges, boundary-safe (no partial-symbol " +
+      "match), word-local (no merge across the token separator)") {
+    import graft.functions.{BpeTokenizer => Bpe}
+    val s = spark
+    import s.implicits._
+    def seg(text: String): Seq[String] =
+      Seq(text).toDF("t")
+        .select(Bpe.segments(TF.normTokens(col("t"))).as("s"))
+        .head.getSeq[String](0)
+    // "the": t h -> th, th e -> the (rank order chains)
+    assert(seg("the") == Seq("the"))
+    assert(seg("and") == Seq("and"))
+    // "scale": le fires before al/sc could; the leftover "a l" must NOT
+    // match inside the merged symbol "le" (boundary safety)
+    assert(seg("scale") == Seq("sc", "a", "le"))
+    // merges never cross words: "a l" as two tokens stays unmerged even
+    // though the "a l" rule exists
+    assert(seg("a l") == Seq("a", "l"))
+    // counts: segments minus separators, empty doc is 0
+    val counts = Seq(("the scale", 4), ("", 0)).toDF("t", "expect")
+      .select(Bpe.subwordCount(TF.normTokens(col("t"))).as("n"),
+        col("expect"))
+      .collect()
+    counts.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("qualityScore in [0,1]; junk scores lower than clean prose") {
     val clean = one(TF.qualityScore(col("t")),
       "the engine reads the table and computes the result for the user in time")
