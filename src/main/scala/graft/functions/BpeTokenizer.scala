@@ -25,10 +25,11 @@ import org.apache.spark.sql.functions._
   * `"a le"`, merging HALF of the symbol `le`. The `;` right-delimiter
   * kills prefix matches, the space left-delimiter kills suffix matches,
   * and adjacent pattern occurrences share no characters so one
-  * replace pass rewrites them all. Tokens are separated by the `/`
-  * symbol (` /;`); normalized tokens are `[a-z0-9]+` and merge pairs
-  * are alnum, so no rule can match across the separator — merges stay
-  * word-local, as BPE requires.
+  * replace pass rewrites them all. Tokens are separated by a bare
+  * ` / ` (no terminator — it is not a countable symbol); normalized
+  * tokens are `[a-z0-9]+` and merge pairs are alnum, so no rule can
+  * match across the separator — merges stay word-local, as BPE
+  * requires.
   */
 object BpeTokenizer {
 
@@ -47,10 +48,14 @@ object BpeTokenizer {
     pair.split(" ").map(s => s" $s;").mkString
 
   /** Token array → initial symbol string in boundary-safe encoding
-    * ("the cat" → `" t; h; e; /; c; a; t;"`). */
+    * ("the cat" → `" t; h; e; / c; a; t;"`): one codegen'd
+    * regexp_replace over the space/`/`-joined document — alnum chars
+    * become `" c;"` symbols, the bare ` / ` separator stays untouched
+    * (no merge pattern is non-alnum, so it can never match across it).
+    * A per-token `transform` lambda was 4x slower: Spark evaluates
+    * higher-order-function lambdas interpreted, off the codegen path. */
   def symbolize(toks: Column): Column =
-    concat_ws(" /;", transform(toks, t =>
-      regexp_replace(t, "(.)", " $1;")))
+    regexp_replace(concat_ws(" / ", toks), "([a-z0-9])", " $1;")
 
   /** Apply the merge table in rank order (one replace pass per rule). */
   def applyMerges(sym: Column): Column =
@@ -59,17 +64,26 @@ object BpeTokenizer {
     }
 
   /** Subword count of a document: `;`-terminated symbols remaining
-    * after all merges, minus the `size(toks) - 1` separator symbols. */
+    * after all merges, minus the `size(toks) - 1` separator symbols.
+    * The merged string is referenced exactly ONCE (`split` on the
+    * terminator) — a two-reference formulation (`length(ms) -
+    * length(replace(ms, ';', ''))`) duplicates the whole 20-deep merge
+    * chain in the expression tree, which doubles codegen size and
+    * evaluation cost (measured ~2x on the sf0.1 sweep). */
   def subwordCount(toks: Column): Column = {
     val merged = applyMerges(symbolize(toks))
-    val nSyms = length(merged) - length(replace(merged, lit(";"), lit("")))
+    // separators carry no ';', so the terminator count IS the subword
+    // count — no separator subtraction needed
     when(size(toks) === 0, lit(0))
-      .otherwise(nSyms - (size(toks) - 1))
+      .otherwise(size(split(merged, ";")) - 1)
   }
 
   /** Subword segments of a document in order (separators dropped). */
   def segments(toks: Column): Column =
     filter(
-      transform(split(applyMerges(symbolize(toks)), ";"), s => trim(s)),
-      s => s =!= "" && s =!= "/")
+      transform(
+        split(replace(applyMerges(symbolize(toks)), lit(" / "), lit("")),
+          ";"),
+        s => trim(s)),
+      s => s =!= "")
 }

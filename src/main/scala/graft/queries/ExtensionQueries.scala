@@ -1001,20 +1001,17 @@ object ExtensionQueries {
     "text_bpe_tokens" ->
       s"""WITH tk AS ($NormToksSql),
          |s0 AS (SELECT doc_id, toks,
-         |  COALESCE(array_to_string(list_transform(toks,
-         |    t -> regexp_replace(t, '(.)', ' \\1;', 'g')), ' /;'), '')
-         |    AS s
+         |  regexp_replace(COALESCE(array_to_string(toks, ' / '), ''),
+         |    '([a-z0-9])', ' \\1;', 'g') AS s
          |  FROM tk),
          |m AS (SELECT doc_id, toks, $BpeChainSql AS ms FROM s0)
          |SELECT doc_id,
          |  COALESCE(length(array_to_string(toks, '')), 0) AS n_chars,
          |  CASE WHEN len(toks) = 0 THEN 0
-         |    ELSE length(ms) - length(replace(ms, ';', ''))
-         |      - (len(toks) - 1) END AS n_subwords,
+         |    ELSE len(string_split(ms, ';')) - 1 END AS n_subwords,
          |  CASE WHEN COALESCE(length(array_to_string(toks, '')), 0) = 0
          |    THEN CAST(0 AS DOUBLE)
-         |    ELSE CAST(length(ms) - length(replace(ms, ';', ''))
-         |        - (len(toks) - 1) AS DOUBLE)
+         |    ELSE CAST(len(string_split(ms, ';')) - 1 AS DOUBLE)
          |      / CAST(length(array_to_string(toks, '')) AS DOUBLE)
          |  END AS compression
          |FROM m ORDER BY doc_id""".stripMargin,
