@@ -367,6 +367,24 @@ object ExtensionQueries {
     // dedup_exact_hash scale pattern: 32-byte digests shuffle, text does
     // not), and exact percentiles over the integer token counts (both
     // engines interpolate at p*(n-1) — portable on an integer grid)
+    // dataset-release shard manifest: per-shard row counts, token
+    // totals, and an ORDER-INDEPENDENT content checksum (sum of per-doc
+    // Karp-Rabin fingerprints, folded mod 2^31 per row so a shard of up
+    // to ~2^30 docs sums exactly in int64) — what ships next to the
+    // shard files so any engine can re-verify integrity without
+    // re-reading in a fixed order. One partial-agg shuffle on shard.
+    "corpus_manifest" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(Sampling.bucket(col("doc_id"), 8, 0L).as("shard"),
+          size(TF.normTokens(col("text"))).as("n"),
+          pmod(TF.fingerprintPoly(col("text")), lit(2147483648L))
+            .as("fp"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n").cast("long")).as("total_tokens"),
+          pmod(sum(col("fp")), lit(2199023255552L)).as("content_sum41"))
+        .orderBy(col("shard"))),
+
     "corpus_report" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("text"), size(TF.normTokens(col("text"))).as("n"))
@@ -794,6 +812,24 @@ object ExtensionQueries {
     "source_csv_roundtrip" ->
       """SELECT doc_id, length(text) AS text_len, sha256(text) AS text_sha,
         |lang, source FROM documents ORDER BY doc_id""".stripMargin,
+    "corpus_manifest" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+        |  FROM documents),
+        |f AS (SELECT ((doc_id + 0) * 2654435761) % 8 AS shard,
+        |  CASE WHEN s = '' THEN 0
+        |       ELSE len(string_split(s, ' ')) END AS n_toks,
+        |  (list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(s) + 1),
+        |        i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+        |    (acc, x) -> (acc * 1000003 + x) % 2199023255552))
+        |    % 2147483648 AS fp
+        |  FROM n)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(fp) % 2199023255552 AS BIGINT) AS content_sum41
+        |FROM f GROUP BY shard ORDER BY shard""".stripMargin,
     "corpus_report" ->
       s"""WITH tk AS ($NormToksSql),
          |d AS (SELECT text, len(toks) AS n FROM tk)

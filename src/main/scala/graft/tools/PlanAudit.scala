@@ -24,7 +24,9 @@ object PlanAudit {
       "sim_topk_int8", "text_repetition", "q_semi_join",
       "text_tfidf_top3", "text_bm25_top3", "contam_ngram_overlap",
       "text_chunks_window", "corpus_pack_greedy", "text_pii_redact",
-      "text_profile")
+      "text_profile", "dedup_substring", "dedup_substring_scrub",
+      "sample_temperature", "corpus_shuffle", "text_bpe_tokens",
+      "text_vocab_topk", "corpus_manifest")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       // Codegen stages are marked `*(id)` in the SIMPLE plan string, but
