@@ -63,6 +63,8 @@ object GraftFunctions {
         vecArrayArg(es(2), "centVecs"), intArg(es(3), "take")), "built-in")
     reg.createOrReplaceTempFunction("graft_poly_fingerprint",
       es => PolyFingerprint(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      es => NfcNormalize(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_text_signals",
       es => TextSignals(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_bigram_stats",

@@ -89,6 +89,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_poly_fingerprint",
         "graft_poly_fingerprint(normText) - portable Karp-Rabin fingerprint"),
       es => PolyFingerprint(es(0))))
+    e.injectFunction((FunctionIdentifier("graft_nfc"),
+      info("graft_nfc",
+        "graft_nfc(text) - Unicode NFC canonical composition"),
+      es => NfcNormalize(es(0))))
     e.injectFunction((FunctionIdentifier("graft_text_signals"),
       info("graft_text_signals",
         "graft_text_signals(text) - one-pass per-document profile struct"),

@@ -61,6 +61,23 @@ object TextFunctions {
         i => norm.substr(i, lit(n))))
   }
 
+  /** Unicode NFC canonical composition (native kernel
+    * [[graft.plans.NfcNormalize]] — Spark has no built-in). Composed and
+    * decomposed spellings of the same text (`é` vs `e`+U+0301) hash
+    * differently and so defeat exact dedup/shingling/fingerprints; run
+    * this FIRST in any pipeline that ingests uncurated web text. ASCII
+    * rows are returned untouched with zero allocation. */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.NfcNormalize(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
+  /** Canonical cleanup for ingested web text: NFC compose, then control
+    * chars / DEL / NBSP and all whitespace runs squashed to single spaces,
+    * trimmed. Everything after the NFC kernel is one codegen'd regex. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(nfc(text), "[\\s\\x00-\\x1F\\x7F\u00A0]+", " "))
+
   /** Hashed k-word shingle set (array<bigint>) — the scale front-end for
     * LSH dedup: one native pass, no shingle strings materialized
     * (`graft.plans.ShingleHashes`). */

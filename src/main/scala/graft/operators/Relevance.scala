@@ -93,6 +93,64 @@ object Relevance {
         col("df"), col("dl"), col("score"))
   }
 
+  /** Corpus-LM surprisal quality score (the CCNet-style recipe: score
+    * every document under a language model of the corpus itself; docs of
+    * mostly-rare tokens are outliers — OCR noise, boilerplate soup, wrong
+    * language — and land in the high-surprisal tail for filtering).
+    *
+    * Model: add-one-smoothed unigram LM over a top-`vocabSize` vocabulary
+    * (ties at the cut broken by token text — deterministic); every
+    * out-of-vocab token folds into a single OOV bucket whose count is the
+    * total OOV mass. Per token the engine scores the exact INVERSE
+    * probability in fixed-point integers,
+    * `ppm = (total + vocabSize + 1) * scale DIV (count + 1)`,
+    * and aggregates per document as sum and integer mean — log-based
+    * perplexity is transcendental (not bit-portable across engines), so
+    * the score is the mean inverse probability: the same outlier ranking,
+    * exact in int64 on any engine (integer DIV only; with the default
+    * `scale` = 1e6 it is exact up to ~2^42 corpus tokens — lower `scale`
+    * beyond that).
+    *
+    * 100 TB design: the token stream is never shuffled with its text —
+    * the count aggregate partial-combines to a vocabulary-sized exchange,
+    * the vocab cut is a `TakeOrderedAndProject`, scoring is a broadcast
+    * left join (vocab + 2 scalars ride to every task), and the per-doc
+    * aggregate partial-combines tokens of each doc inside their original
+    * partition (explode preserves row locality), so its exchange carries
+    * ~one row per document. Two corpus scans total (count pass + score
+    * pass); materialize the token stream once if both run repeatedly.
+    *
+    * @return (doc_id, n_toks, sum_ppm, mean_ppm), one row per input doc
+    *         (token-less docs score 0)
+    */
+  def unigramSurprisal(docs: DataFrame, textCol: String, idCol: String,
+      vocabSize: Int, scale: Long = 1000000L): DataFrame = {
+    require(vocabSize > 0 && scale > 0)
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(TF.normTokens(col(textCol))).as("t"))
+    val counts = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val vocab = counts.orderBy(col("c").desc, col("t")).limit(vocabSize)
+    val scalars = counts.agg(sum(col("c")).cast("long").as("total"))
+      .crossJoin(vocab.agg(sum(col("c")).cast("long").as("v_total")))
+      .select(col("total"), (col("total") - col("v_total")).as("c_oov"))
+    val perDoc = tok
+      .join(broadcast(vocab), Seq("t"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"),
+        expr(s"((total + ${vocabSize + 1L}) * ${scale}L)" +
+          " DIV (coalesce(c, c_oov) + 1)").as("ppm"))
+      .groupBy("doc_id")
+      .agg(sum(col("ppm")).cast("long").as("sum_ppm"),
+        count(lit(1)).cast("long").as("n_toks"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("sum_ppm"), lit(0L)).as("sum_ppm"))
+      .withColumn("mean_ppm",
+        when(col("n_toks") > 0, expr("sum_ppm DIV n_toks"))
+          .otherwise(lit(0L)))
+  }
+
   /** (doc_id, term, tf) over normalized tokens — the single corpus scan
     * every signal above derives from. Materialize (persist or write) this
     * once when running BOTH signals over a large corpus. */

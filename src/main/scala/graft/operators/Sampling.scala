@@ -122,6 +122,41 @@ object Sampling {
         (col("pos_in_shard") - 1) * nShards + col("shard"))
   }
 
+  /** Per-group cap ("keep at most `cap` documents per domain" — the
+    * standard web-corpus curation rule): rows are kept in deterministic
+    * id-hash order within their group, so the survivors are a reproducible
+    * pseudo-random subset, not the first `cap` by ingestion order.
+    *
+    * 100 TB design: per-group membership needs a per-group rank, but ONLY
+    * for groups that actually exceed the cap — group sizes come from a
+    * map-side-combined aggregate whose output is one row per group
+    * (domain-table-sized, broadcast back), undersized groups pass through
+    * with a pure row-local filter (no shuffle at all), and the ranking
+    * window's input is restricted to rows of OVERSIZED groups. For the
+    * web-corpus heavy tail (millions of tiny domains, a few huge ones)
+    * that keeps the window exchange proportional to the hot groups, and
+    * AQE's skew-join/window handling splits those. A production pipeline
+    * over 100 TB materializes the counts once per snapshot.
+    *
+    * @return surviving rows plus their group size `n_group`
+    */
+  def groupCap(df: DataFrame, groupCol: String, idCol: String, cap: Int,
+      salt: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap > 0)
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_group"))
+    val joined = df.join(broadcast(counts), Seq(groupCol))
+    val small = joined.filter(col("n_group") <= cap)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(bucket(col(idCol), 1000000007, salt), col(idCol))
+    val capped = joined.filter(col("n_group") > cap)
+      .withColumn("cap_rank", row_number().over(w))
+      .filter(col("cap_rank") <= cap)
+      .drop("cap_rank")
+    small.unionByName(capped)
+  }
+
   /** Epoch-weighted mixture ("2.5 epochs of wiki, 0.25 of web"): every row
     * is emitted `floor(w)` times, plus once more for a hash-chosen ~frac(w)
     * of rows, with a 0-based `copy` index for downstream sharding.

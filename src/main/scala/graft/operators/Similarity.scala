@@ -268,6 +268,46 @@ object Similarity {
       .withColumn("score", col("score").cast("long"))
   }
 
+  /** Two-stage prefix-dot rerank ("matryoshka" retrieval): stage 1 ranks
+    * the whole corpus per query by dot product over only the first
+    * `prefixDim` dimensions and keeps `k × overfetch` candidates (the same
+    * bounded-heap partial top-k as the exact path — map tasks reduce their
+    * partition before the tiny exchange); stage 2 re-scores ONLY those
+    * candidates with the exact full-dimension cosine and keeps the top k.
+    *
+    * The 100 TB story: the coarse pass arithmetic touches prefixDim/dim of
+    * each vector (on a real deployment the prefix is WRITTEN as its own
+    * column, so the scan is also column-pruned to prefixDim/dim of the
+    * bytes — embedding models trained matryoshka-style put most signal in
+    * the leading dimensions); the exact pass reads only `k × overfetch ×
+    * queries` rows via a broadcast candidate-id semi-join — the corpus is
+    * never shuffled in either stage. Recall is exact whenever the true
+    * top-k survive the coarse cut (overfetch is the knob; spec measures
+    * recall vs [[bruteForceTopK]] at the verification SF). */
+  def prefixRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      prefixDim: Int = 16, overfetch: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(prefixDim > 0 && overfetch >= 1)
+    def pre(v: Column): Column = slice(VF.asDouble(v), 1, prefixDim)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec")))
+    val coarse = corpus.select(col(idCol).as("neighbor_id"),
+        pre(col(vecCol)).as("c_pre"))
+      .join(broadcast(q.select(col("query_id"), pre(col("q_vec")).as("q_pre"))),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("coarse", VF.dot(col("q_pre"), col("c_pre")))
+    val cands = coarse.groupBy(col("query_id"))
+      .agg(topK(col("coarse"), col("neighbor_id"), k * overfetch).as("top"))
+      .select(col("query_id"), explode(col("top")).as("hit"))
+      .select(col("query_id"), col("hit.id").as("neighbor_id"))
+    val scored = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("c_vec"))
+      .join(broadcast(cands), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("cosine", VF.cosine(col("q_vec"), col("c_vec")))
+    finishTopK(scored, k)
+  }
+
   /** Shared tail: partial-agg top-k per query, explode to ranked rows. */
   private def finishTopK(scored: DataFrame, k: Int,
       scoreCol: String = "cosine"): DataFrame =

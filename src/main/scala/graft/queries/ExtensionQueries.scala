@@ -144,6 +144,14 @@ object ExtensionQueries {
         .select(col("doc_id"), col("lang"), col("n_stratum"), col("rate"))
         .orderBy(col("doc_id"))),
 
+    // per-group cap ("≤70 docs per language"): en/es/zh exceed the cap at
+    // sf0.01 and flow through the ranked-window branch; de/fr ride the
+    // no-shuffle passthrough branch — both arms of the operator verified
+    "sample_lang_cap" -> ((s, dir) =>
+      Sampling.groupCap(t(s, dir, "documents"), "lang", "doc_id", cap = 70)
+        .select(col("doc_id"), col("lang"), col("n_group"))
+        .orderBy(col("doc_id"))),
+
     // deterministic training-order shuffle: 16-shard interleaved total
     // order, identical at any cluster size (and in the oracle engine)
     "corpus_shuffle" -> ((s, dir) =>
@@ -157,6 +165,17 @@ object ExtensionQueries {
     "sim_topk_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
+    // two-stage matryoshka retrieval: coarse 32-dim prefix dot keeps
+    // k×overfetch candidates per query, exact full-dim cosine reranks.
+    // The oracle recomputes the SAME staged pipeline, so it pins the
+    // stage boundary exactly; recall vs brute force is spec-pinned
+    "sim_topk_prefix" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.prefixRerankTopK(emb, emb.filter(col("vec_id") < 10),
+          k = 5, prefixDim = 32, overfetch = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
@@ -217,6 +236,31 @@ object ExtensionQueries {
           TF.qualityScoreFromSignals(col("sig")).as("quality"),
           col("sig.n_subwords").as("n_subwords"),
           TF.stopwordRatioFromSignals(col("sig")).as("stopword_ratio"))
+        .orderBy(col("doc_id"))),
+
+    // corpus-LM surprisal quality score: add-1 unigram LM over the top-256
+    // vocabulary (OOV bucket), exact fixed-point inverse-probability mean
+    // — the CCNet-style "score docs under a corpus LM" outlier filter
+    "text_lm_surprisal" -> ((s, dir) =>
+      Relevance.unigramSurprisal(t(s, dir, "documents"), "text", "doc_id",
+          vocabSize = 256)
+        .orderBy(col("doc_id"))),
+
+    // Unicode canonicalization: the corpus is ASCII, so the query seeds
+    // deterministic non-NFC content (combining accents, NBSP, control
+    // chars) per doc_id residue — the oracle check is non-vacuous on
+    // every augmented row and an identity check on the rest
+    "text_normalize" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(" cafe\u0301 nai\u0308ve")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            lit("\u0007 bell\u00A0and\ttab ")).otherwise(lit("")))
+          .as("s"))
+        .select(col("doc_id"), TF.cleanText(col("s")).as("clean"),
+          length(col("s")).as("n_chars_raw"))
+        .withColumn("n_chars_clean", length(col("clean")))
         .orderBy(col("doc_id"))),
 
     // rows-only by design: the rolling fingerprint is built on Spark's
@@ -717,6 +761,52 @@ object ExtensionQueries {
         |    (acc, x) -> (acc * 1000003 + x) % 2199023255552) AS fingerprint,
         |  length(s) AS n_norm_chars
         |FROM n ORDER BY doc_id""".stripMargin,
+    // independent recomputation of the add-1 unigram surprisal chain:
+    // same vocab cut (count desc, token), same OOV fold, same integer
+    // fixed-point DIV arithmetic — exact on both engines
+    "text_lm_surprisal" ->
+      s"""WITH tk AS ($NormToksSql),
+         |tok AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+         |c AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+         |  GROUP BY t),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM c),
+         |v AS (SELECT t, c FROM c ORDER BY c DESC, t LIMIT 256),
+         |sc AS (SELECT total,
+         |    total - (SELECT CAST(SUM(c) AS BIGINT) FROM v) AS c_oov
+         |  FROM tot),
+         |w AS (SELECT doc_id,
+         |    ((sc.total + 257) * 1000000) // (COALESCE(v.c, sc.c_oov) + 1)
+         |      AS ppm
+         |  FROM tok LEFT JOIN v USING (t) CROSS JOIN sc),
+         |d AS (SELECT doc_id, CAST(SUM(ppm) AS BIGINT) AS sum_ppm,
+         |    CAST(COUNT(*) AS BIGINT) AS n_toks
+         |  FROM w GROUP BY doc_id)
+         |SELECT doc.doc_id,
+         |  COALESCE(d.n_toks, 0) AS n_toks,
+         |  COALESCE(d.sum_ppm, 0) AS sum_ppm,
+         |  CASE WHEN COALESCE(d.n_toks, 0) > 0
+         |    THEN d.sum_ppm // d.n_toks ELSE 0 END AS mean_ppm
+         |FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
+         |ORDER BY doc.doc_id""".stripMargin,
+    // same augmentation via chr() (769/776 = combining acute/diaeresis,
+    // 7 = BEL, 160 = NBSP, 9 = TAB); \xa0 in the RE2 class is the NBSP
+    // codepoint, matching Java's
+    "text_normalize" ->
+      """WITH aug AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+        |    ELSE '' END ||
+        |  CASE WHEN doc_id % 4 = 0
+        |    THEN chr(7) || ' bell' || chr(160) || 'and' || chr(9) || 'tab '
+        |    ELSE '' END AS s
+        |  FROM documents),
+        |cl AS (SELECT doc_id, s,
+        |  trim(regexp_replace(nfc_normalize(s),
+        |    '[\s\x00-\x1f\x7f\xa0]+', ' ', 'g')) AS clean
+        |  FROM aug)
+        |SELECT doc_id, clean, length(s) AS n_chars_raw,
+        |  length(clean) AS n_chars_clean
+        |FROM cl ORDER BY doc_id""".stripMargin,
     "text_pii_redact" ->
       """WITH aug AS (SELECT doc_id, text ||
         |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' ||
@@ -983,6 +1073,19 @@ object ExtensionQueries {
         |WHERE CAST(((d.doc_id + 0) * 2654435761) % 10000 AS DOUBLE) /
         |  CAST(10000 AS DOUBLE) < r.rate
         |ORDER BY d.doc_id""".stripMargin,
+    // same Knuth-hash rank rule: undersized groups pass whole, oversized
+    // groups keep the 70 hash-smallest rows
+    "sample_lang_cap" ->
+      """WITH n AS (SELECT lang, COUNT(*) AS n_group FROM documents
+        |  GROUP BY lang),
+        |r AS (SELECT d.doc_id, d.lang, n.n_group,
+        |  ROW_NUMBER() OVER (PARTITION BY d.lang
+        |    ORDER BY ((d.doc_id + 0) * 2654435761) % 1000000007, d.doc_id)
+        |    AS rk
+        |  FROM documents d JOIN n USING (lang))
+        |SELECT doc_id, lang, n_group FROM r
+        |WHERE n_group <= 70 OR rk <= 70
+        |ORDER BY doc_id""".stripMargin,
     "corpus_shuffle" ->
       """WITH s AS (SELECT doc_id,
         |  ((doc_id + 0) * 2654435761) % 16 AS shard,
@@ -1085,6 +1188,34 @@ object ExtensionQueries {
         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM s)
         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // staged SQL recomputation: 32-dim prefix inner product (DuckDB list
+    // slicing is 1-based-inclusive like Spark's slice; list_inner_product
+    // folds sequentially like aggregate()), rank cut at k*overfetch, then
+    // the exact-cosine rerank of the surviving candidate set
+    "sim_topk_prefix" ->
+      """WITH q AS (SELECT vec_id AS qid,
+        |    CAST(embedding AS DOUBLE[]) AS qv, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+        |    embedding AS ce
+        |  FROM embeddings),
+        |s1 AS (SELECT qid, vec_id AS neighbor_id,
+        |    list_inner_product(qv[1:32], cv[1:32]) AS coarse
+        |  FROM q, c WHERE vec_id <> qid),
+        |r1 AS (SELECT qid, neighbor_id, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY coarse DESC, neighbor_id) AS rk
+        |  FROM s1),
+        |cand AS (SELECT qid, neighbor_id FROM r1 WHERE rk <= 20),
+        |s2 AS (SELECT cand.qid AS query_id, cand.neighbor_id,
+        |    list_cosine_similarity(q.qe, c.ce) AS sim
+        |  FROM cand JOIN q ON q.qid = cand.qid
+        |  JOIN c ON c.vec_id = cand.neighbor_id),
+        |r2 AS (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s2)
+        |SELECT query_id, rank, neighbor_id FROM r2 WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     // full IVF pipeline in SQL: smallest-16-id centroids, L2-argmin cell
     // assignment (ties by centroid id), 4-probe routing, cosine rank.

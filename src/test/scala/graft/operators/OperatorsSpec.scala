@@ -285,6 +285,57 @@ class SimilaritySpec extends SparkFunSuite {
     }
   }
 
+  test("prefixRerankTopK: full-corpus overfetch reproduces brute force " +
+      "exactly; tight overfetch keeps high recall") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSeq
+    // overfetch covers the whole corpus -> stage 2 reranks everything ->
+    // must equal the exact scorer row for row
+    val full = Similarity.prefixRerankTopK(emb, queries, 5,
+        prefixDim = 16, overfetch = 100).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSeq
+    assert(full == brute)
+    // staged shape: half-dim prefix, 8x overfetch. These embeddings are
+    // isotropic (NOT matryoshka-trained), so the prefix carries only
+    // prefix/dim of the variance — measured recall 0.68 here is the
+    // FLOOR for this operator; embeddings trained with matryoshka loss
+    // concentrate signal in the leading dims and recall approaches 1
+    val staged = Similarity.prefixRerankTopK(emb, queries, 5,
+        prefixDim = 32, overfetch = 8).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val bruteSet = brute.map(t => (t._1, t._3)).toSet
+    val recall = (bruteSet & staged).size.toDouble / bruteSet.size
+    assert(recall >= 0.6, s"prefix-rerank recall $recall too low")
+  }
+
+  test("groupCap: oversized groups cut to exactly cap by hash order, " +
+      "undersized groups pass whole, partitioning-independent") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val out = Sampling.groupCap(docs, "lang", "doc_id", cap = 70)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    total.foreach { case (l, n) =>
+      assert(byLang(l) == math.min(n, 70L), s"$l: ${byLang(l)} of $n")
+    }
+    // survivors of an oversized group are the 70 hash-smallest rows
+    val en = docs.filter(col("lang") === "en").select("doc_id").collect()
+      .map(_.getLong(0))
+    val expectEn = en.sortBy(id => (Sampling.Knuth * id % 1000000007, id))
+      .take(70).toSet
+    val gotEn = out.filter(col("lang") === "en").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(gotEn == expectEn)
+    // deterministic under repartition
+    val again = Sampling.groupCap(docs.repartition(7), "lang", "doc_id", 70)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("hash sampling: deterministic, partitioning-independent, and rates " +
       "nest (membership at num=2 ⊆ membership at num=5)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -530,6 +581,40 @@ class TextFunctionsSpec extends SparkFunSuite {
     Seq(text).toDF("t").select(c.as("v")).head.get(0)
   }
 
+  test("nfc: composes decomposed sequences, idempotent, ASCII and " +
+      "already-composed text unchanged, null-safe") {
+    assert(one(TF.nfc(col("t")), "cafe\u0301") == "caf\u00E9")
+    assert(one(TF.nfc(col("t")), "nai\u0308ve") == "na\u00EFve")
+    assert(one(TF.nfc(col("t")), "caf\u00E9") == "caf\u00E9")
+    assert(one(TF.nfc(col("t")), "plain ascii 123") == "plain ascii 123")
+    assert(one(TF.nfc(col("t")), "") == "")
+    val s = spark
+    import s.implicits._
+    val withNull = Seq(Some("a"), None).toDF("t")
+      .select(TF.nfc(col("t")).as("v")).collect().map(_.get(0)).toSeq
+    assert(withNull == Seq("a", null))
+  }
+
+  test("cleanText: NFC + control/NBSP/whitespace squash + trim; exact " +
+      "dedup then merges encoding variants of the same text") {
+    assert(one(TF.cleanText(col("t")),
+      "  hi cafe\u0301\u0007 bell\u00A0and\ttab  ") ==
+      "hi caf\u00E9 bell and tab")
+    val s = spark
+    import s.implicits._
+    val variants = Seq(
+      (1L, "caf\u00E9 du monde"),          // composed
+      (2L, "cafe\u0301 du\u00A0monde"),    // decomposed + NBSP
+      (3L, "something else")).toDF("doc_id", "text")
+    val canon = variants.select(col("doc_id"),
+      TF.cleanText(col("text")).as("text"))
+    val groups = graft.operators.Dedup.exact(canon, Seq("text"), "doc_id")
+      .collect().map(r => r.getAs[Long]("survivor_id") ->
+        r.getAs[Long]("n_copies")).toMap
+    assert(groups == Map(1L -> 2L, 3L -> 1L),
+      "encoding variants must collapse after cleanText")
+  }
+
   test("tokenCount handles empties and runs of whitespace") {
     assert(one(TF.tokenCount(col("t")), "a  b\tc") == 3)
     assert(one(TF.tokenCount(col("t")), "") == 0)
@@ -692,6 +777,34 @@ class RelevanceSpec extends SparkFunSuite {
         r.getAs[String]("term")))
     assert(out(0)._3 == "apple")  // tf=2 AND rare
     assert(out(2)._3 == "cherry") // rare beats shared banana
+  }
+
+  test("unigramSurprisal: exact fixed-point arithmetic, OOV-heavy docs " +
+      "score higher, empty docs zero, partitioning-independent") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "the the the cat"), // in-vocab tokens
+      (2L, "zyx qwv"),         // all OOV under vocabSize=2
+      (3L, ""))                // token-less
+      .toDF("doc_id", "text")
+    // vocab cut at 2 (count desc, token): {the:3, cat:1}; total=6,
+    // c_oov=2; factor = (6+3)*1e6 = 9e6
+    // the -> 9e6 DIV 4 = 2_250_000; cat -> 9e6 DIV 2 = 4_500_000;
+    // OOV  -> 9e6 DIV 3 = 3_000_000
+    val out = Relevance.unigramSurprisal(d, "text", "doc_id", vocabSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_toks"),
+        r.getAs[Long]("sum_ppm"), r.getAs[Long]("mean_ppm")))
+    assert(out(0) == ((1L, 4L, 3L * 2250000L + 4500000L, 2812500L)))
+    assert(out(1) == ((2L, 2L, 6000000L, 3000000L)))
+    assert(out(2) == ((3L, 0L, 0L, 0L)))
+    // the rare-token doc is the outlier the filter is after
+    assert(out(1)._4 > out(0)._4)
+    val again = Relevance.unigramSurprisal(d.repartition(5), "text",
+      "doc_id", vocabSize = 2).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("mean_ppm"))).toSeq
+    assert(again == out.map(t => (t._1, t._4)).toSeq)
   }
 }
 

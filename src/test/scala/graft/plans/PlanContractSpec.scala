@@ -107,6 +107,50 @@ class PlanContractSpec extends SparkFunSuite {
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
       s"expected partial+final aggregate:\n$plan")
   }
+
+  test("prefixRerankTopK: corpus never shuffles — candidate ids and " +
+      "queries broadcast into both corpus scans, top-k partial-aggregates") {
+    val q = emb.filter(col("vec_id") < 5)
+    val df = Similarity.prefixRerankTopK(emb, q, k = 3, prefixDim = 16,
+      overfetch = 4)
+    assert(broadcasts(df) >= 3,
+      "prefix queries, candidate ids, and full queries must all broadcast")
+    // coarse top-k agg exchange + rerank top-k agg exchange + output sort
+    assert(shuffles(df) <= 3,
+      s"corpus must not shuffle in either stage:\n" +
+        df.queryExecution.executedPlan)
+  }
+
+  test("groupCap: group counts broadcast back; only rows of oversized " +
+      "groups reach the ranking window") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.operators.Sampling.groupCap(docs, "lang", "doc_id",
+      cap = 5)
+    // one BroadcastExchange + a ReusedExchange into the second branch
+    assert(broadcasts(df) >= 1, "counts must broadcast into both branches")
+    // two recomputed count partial-aggs (one per branch) + the window
+    // exchange over the oversized subset only
+    assert(shuffles(df) <= 3,
+      s"passthrough branch must not shuffle:\n" +
+        df.queryExecution.executedPlan)
+  }
+
+  test("unigramSurprisal: document text never shuffles — vocab and " +
+      "corpus scalars broadcast, per-doc aggregate partial-combines") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.operators.Relevance.unigramSurprisal(docs, "text",
+      "doc_id", vocabSize = 64)
+    assert(broadcasts(df) >= 2, "vocab + scalars must broadcast")
+    // text never shuffles BY CONSTRUCTION (the token stream drops it at
+    // the explode; the doc-id spine joins ids only). The bound pins the
+    // exchange inventory: token-count partial agg (×2: recomputed for
+    // vocab + scalars), two 1-row scalar gathers, per-doc partial agg,
+    // and the id join/sort — all token- or doc-ID-sized, none text-sized.
+    assert(shuffles(df) <= 8,
+      s"unexpected extra exchanges:\n${df.queryExecution.executedPlan}")
+  }
 }
 
 /** The scaladocs lean on AQE for runtime skew handling ("skewed
