@@ -31,10 +31,18 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g on the 128 GiB box: the 52-query sweep allocates ~100k short-lived
-  // envelope strings per decode query across 32 threads — an 8g heap shows
-  // multi-second GC stalls on a contended machine (BENCH_r02's 25 s
-  // avro_error_permissive outlier vs 1.8 s steady-state).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  "-Xms2g",
-)
+) ++ sys.env.get("SPARK_JVM_OPTS").map(_.split(" ").filter(_.nonEmpty).toSeq)
+  .getOrElse(Seq(
+    // Fixed-size heap with in-place eden reuse (ParallelGC): the round-4
+    // box faults FRESH anonymous pages at ~64 MB/s (hypervisor-level;
+    // warm pages run at normal GB/s). G1's region cycling touches new
+    // pages continuously on a large heap — measured 10-40x slowdowns on
+    // allocation-heavy queries (avro_key_decode 3.3 -> 46 s). ParallelGC
+    // reuses the same eden address range every cycle, so pages fault
+    // once and stay warm; a fixed Xms=Xmx prevents uncommit/re-fault.
+    // (Round-1-3 boxes had normal fault speed: 24g G1 was fine there —
+    // see BENCH_NOTES "Round-4 box" for the measurements.)
+    "-XX:+UseParallelGC",
+    s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "6g")}",
+    s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "6g")}",
+  ))

@@ -53,6 +53,28 @@ object Bench {
   }
 
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
+    // Touch every heap page once, HERE in the untimed warmup: on hosts
+    // with slow first-touch anonymous-page faults (round-4 box: ~64 MB/s
+    // vs 2.7 GB/s warm — BENCH_NOTES "Round-4 box"), untouched pages
+    // bill their fault cost to whichever query first allocates into
+    // them. JVM array zeroing touches every page of a new allocation, so
+    // one chunked pass over maxMemory (rolling live window so tenured
+    // regions fault too) warms the whole heap; pages stay resident
+    // because Xms=Xmx (no uncommit). Skippable via SPARK_GRAFT_NO_PRETOUCH.
+    if (!sys.env.contains("SPARK_GRAFT_NO_PRETOUCH")) {
+      val chunk = 1 << 26 // 64 MB
+      val target = Runtime.getRuntime.maxMemory
+      val window = ((target * 2 / 5) / chunk).toInt max 1
+      val hold = new scala.collection.mutable.Queue[Array[Byte]]
+      var allocated = 0L
+      while (allocated < target) {
+        hold.enqueue(new Array[Byte](chunk))
+        if (hold.size > window) hold.dequeue()
+        allocated += chunk
+      }
+      hold.clear()
+      System.err.println(s"[bench] heap pre-touch done (${target >> 20} MB)")
+    }
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     // best warmup = the real queries at negligible scale: run the heavy
     // representatives against the sf0.001 sibling (if present) so the
