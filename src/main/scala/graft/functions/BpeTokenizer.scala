@@ -86,4 +86,68 @@ object BpeTokenizer {
           ";"),
         s => trim(s)),
       s => s =!= "")
+
+  /** LEARN a merge table from the corpus — the training half of BPE
+    * (Sennrich et al. 2016 `learn_bpe`): repeatedly count adjacent
+    * symbol pairs over the word-frequency dictionary, merge the most
+    * frequent pair (ties broken by pair text — fully deterministic, no
+    * RNG), and repeat. Pair statistics count every adjacent occurrence
+    * (overlapping, like the reference implementation's
+    * `zip(word, word[1:])`); the merge APPLY is the same left-to-right
+    * non-overlapping `replace` pass as [[applyMerges]].
+    *
+    * 100 TB design: the corpus is scanned ONCE to build the word
+    * dictionary (token-count partial aggregate, vocabulary-sized
+    * exchange); every training iteration then runs over the DICTIONARY
+    * (pair stats partial-aggregate to a pair-vocabulary-sized exchange,
+    * argmax is a 1-row `TakeOrderedAndProject`, the merge rewrite is
+    * row-local) — the corpus is never rescanned, which is exactly how
+    * production BPE trainers stay tractable. The dictionary is
+    * `localCheckpoint`ed per iteration so the plan stays flat.
+    *
+    * @return (pair, merged, freq) in rank order, e.g.
+    *         `("t h", "th", 1234L)`; stops early if no pair remains
+    */
+  def trainMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int): Seq[(String, String, Long)] = {
+    require(nMerges > 0)
+    val out = Seq.newBuilder[(String, String, Long)]
+    var dict = docs
+      .select(explode(TextFunctions.normTokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("word"), "([a-z0-9])", " $1;").as("sym"),
+        col("freq"))
+      .localCheckpoint()
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      val syms = filter(transform(split(col("sym"), ";"), s => trim(s)),
+        s => s =!= "")
+      // sequence(1, 0) would step BACKWARD for 1-symbol words — guard
+      // with an explicit empty-array branch (same trap as epochMix)
+      val prs = when(size(syms) < 2, array().cast("array<string>"))
+        .otherwise(zip_with(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (a, b) => concat_ws(" ", a, b)))
+      val top = dict.select(col("freq"), explode(prs).as("pr"))
+        .groupBy(col("pr")).agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("pr")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pr = top(0).getString(0)
+        val merged = pr.replace(" ", "")
+        out += ((pr, merged, top(0).getLong(1)))
+        val old = dict
+        dict = dict.select(
+            replace(col("sym"), lit(encodePattern(pr)), lit(s" $merged;"))
+              .as("sym"), col("freq"))
+          .localCheckpoint()
+        old.unpersist()
+        i += 1
+      }
+    }
+    dict.unpersist()
+    out.result()
+  }
 }

@@ -281,6 +281,51 @@ object Dedup {
         sha2(concat_ws(" ", col("kept")), 256).as("clean_sha"))
   }
 
+  /** Line-level dedup (the RefinedWeb/CCNet line filter): lines whose
+    * exact text appears in MORE than `maxDf` distinct documents are
+    * boilerplate (nav chrome, cookie banners, copyright footers) and are
+    * removed from EVERY document; each doc is rebuilt from its kept lines
+    * in order.
+    *
+    * 100 TB design, mirroring the substring-dedup shape: the line stream
+    * that shuffles carries only `(line fingerprint, doc_id)` — ~16 bytes
+    * per line, text never moves; the df aggregate partial-combines; the
+    * hot-line table (df > maxDf) is boilerplate-vocabulary-sized; removal
+    * positions collapse to one kill-list row per affected doc; and the
+    * rebuild is a row-local indexed higher-order filter over the doc's own
+    * line array. The join key is the portable Karp-Rabin fingerprint, so
+    * the whole chain is oracle-checkable with the line STRING as the key
+    * (injectivity over the corpus line population is spec-pinned, like the
+    * substring-window oracle).
+    *
+    * @return (doc_id, n_lines, n_removed, clean_sha) — sha256 of the
+    *         rebuilt newline-joined text
+    */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+      maxDf: Int = 8): DataFrame = {
+    val lines = df.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .select(col("doc_id"), col("line_no"),
+        TF.fingerprintPolyRaw(col("line")).as("fp"))
+    val hot = lines.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+      .filter(col("line_df") > maxDf)
+    val removals = lines.join(hot, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("line_no"))).as("kill"))
+    df.select(col(idCol).as("doc_id"), split(col(textCol), "\n").as("ls"))
+      .join(removals, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ls"),
+        coalesce(col("kill"), array().cast("array<int>")).as("kill"))
+      .select(col("doc_id"), col("ls"),
+        filter(col("ls"), (_, i) => !array_contains(col("kill"), i))
+          .as("kept"))
+      .select(col("doc_id"),
+        size(col("ls")).as("n_lines"),
+        (size(col("ls")) - size(col("kept"))).as("n_removed"),
+        sha2(concat_ws("\n", col("kept")), 256).as("clean_sha"))
+  }
+
   /** Character-n-gram Jaccard dedup: exact n-gram-set Jaccard, with
     * MinHash-LSH candidate generation over the n-gram sets (a blocked
     * O(n²/blocks) variant was tried first and is quadratic-with-a-constant

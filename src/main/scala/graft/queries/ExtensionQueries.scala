@@ -114,6 +114,25 @@ object ExtensionQueries {
           k = 12, maxDf = 8)
         .orderBy(col("doc_id"))),
 
+    // line-level boilerplate dedup (RefinedWeb/CCNet line filter): the
+    // corpus has no newlines, so the query composes multi-line docs with
+    // seeded boilerplate (a newsletter line in every 3rd doc, a copyright
+    // footer in every 2nd — df far above maxDf=8) around the unique text
+    // and a per-doc ref line; the filter must strip exactly the seeded
+    // lines and rebuild the rest in order
+    "dedup_lines" -> ((s, dir) =>
+      Dedup.lineDedup(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat_ws("\n",
+            when(col("doc_id") % 3 === 0,
+              lit("subscribe to our newsletter today")),
+            col("text"),
+            when(col("doc_id") % 2 === 0,
+              lit("copyright 2026 example corp all rights reserved")),
+            concat(lit("doc ref "), col("doc_id"))).as("text")),
+        "text", "doc_id", maxDf = 8)
+        .orderBy(col("doc_id"))),
+
     // ---- sampling / corpus mixing ----
     "sample_hash" -> ((s, dir) =>
       Sampling.hashSample(t(s, dir, "documents"), "doc_id", num = 3, den = 10)
@@ -245,6 +264,20 @@ object ExtensionQueries {
       Relevance.unigramSurprisal(t(s, dir, "documents"), "text", "doc_id",
           vocabSize = 256)
         .orderBy(col("doc_id"))),
+
+    // BPE merge TRAINING on the corpus (the learning half; text_bpe_tokens
+    // applies a fixed table): 8 merges learned from the word-frequency
+    // dict, deterministic argmax (count desc, pair). The oracle re-runs
+    // the full training loop as 8 chained SQL stages
+    "text_bpe_train" -> ((s, dir) => {
+      val merges = Bpe.trainMerges(t(s, dir, "documents"), "text",
+        nMerges = 8)
+      import s.implicits._
+      merges.zipWithIndex.map { case ((pr, merged, c), i) =>
+        (i + 1, pr, merged, c) }
+        .toDF("rank", "pair", "merged", "freq")
+        .orderBy(col("rank"))
+    }),
 
     // Unicode canonicalization: the corpus is ASCII, so the query seeds
     // deterministic non-NFC content (combining accents, NBSP, control
@@ -663,6 +696,53 @@ object ExtensionQueries {
       |    r.doc_id AS b, r.p AS pb
       |  FROM g l JOIN g r USING (win) WHERE l.doc_id < r.doc_id)""".stripMargin
 
+  /** Generated SQL for the full BPE training loop (8 chained stages):
+    * stage i counts adjacent symbol pairs over the dictionary d(i-1)
+    * (overlapping-adjacent, like the engine and Sennrich's reference),
+    * picks the argmax into m(i) (count desc, pair), and rewrites the
+    * dictionary into d(i) with the same boundary-safe replace the engine
+    * applies. The learned pair reaches the replace via scalar
+    * subqueries. */
+  private val BpeTrainSql: String = {
+    val n = 8
+    def pairsOf(d: String) =
+      s"""SELECT pr, CAST(SUM(freq) AS BIGINT) AS c
+         |  FROM (SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |      i -> syms[i] || ' ' || syms[i + 1])) AS pr
+         |    FROM (SELECT freq, list_filter(list_transform(
+         |        string_split(sym, ';'), x -> trim(x)), x -> x <> '')
+         |        AS syms FROM $d))
+         |  GROUP BY pr""".stripMargin
+    // every d/m CTE is MATERIALIZED: the stages chain d8 -> d7 -> ... ->
+    // d0, and DuckDB inlines plain CTEs per reference — an un-hinted
+    // chain re-expands the whole prefix at every stage (exponential
+    // scans; actually fails with "too many open files" at 8 stages)
+    val stages = (1 to n).map { i =>
+      val prev = s"d${i - 1}"
+      s"""p$i AS (${pairsOf(prev)}),
+         |m$i AS MATERIALIZED (SELECT pr, c FROM p$i
+         |  ORDER BY c DESC, pr LIMIT 1),
+         |d$i AS MATERIALIZED (SELECT replace(sym,
+         |    ' ' || split_part((SELECT pr FROM m$i), ' ', 1) || '; ' ||
+         |    split_part((SELECT pr FROM m$i), ' ', 2) || ';',
+         |    ' ' || replace((SELECT pr FROM m$i), ' ', '') || ';') AS sym,
+         |    freq FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to n).map(i =>
+      s"SELECT $i AS rank, pr AS pair, replace(pr, ' ', '') AS merged," +
+        s" c AS freq FROM m$i").mkString("\n  UNION ALL ")
+    s"""WITH tk AS ($NormToksSql),
+       |wz AS (SELECT unnest(toks) AS word FROM tk),
+       |wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM wz GROUP BY word),
+       |d0 AS MATERIALIZED (SELECT
+       |    regexp_replace(word, '([a-z0-9])', ' \\1;', 'g') AS sym, freq
+       |  FROM wf),
+       |$stages
+       |$unions
+       |ORDER BY rank""".stripMargin
+  }
+
   /** SQL replace chain applying [[graft.functions.BpeTokenizer.Merges]]
     * in rank order over the boundary-safe symbol string `s` — generated
     * from the SAME Scala merge table the engine applies. */
@@ -761,6 +841,35 @@ object ExtensionQueries {
         |    (acc, x) -> (acc * 1000003 + x) % 2199023255552) AS fingerprint,
         |  length(s) AS n_norm_chars
         |FROM n ORDER BY doc_id""".stripMargin,
+    // line strings stand in for the engine's line fingerprints (poly
+    // fingerprint injectivity over the line population is spec-pinned);
+    // same augmentation, df-guard, and in-order rebuild
+    "dedup_lines" ->
+      """WITH aug AS (SELECT doc_id, concat_ws(chr(10),
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'subscribe to our newsletter today' END,
+        |    text,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN 'copyright 2026 example corp all rights reserved' END,
+        |    'doc ref ' || CAST(doc_id AS VARCHAR)) AS s
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(s, chr(10)) AS ls FROM aug),
+        |ln AS (SELECT doc_id, i, ls[i] AS line
+        |  FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i
+        |        FROM ls)),
+        |hot AS (SELECT line FROM ln GROUP BY line
+        |  HAVING COUNT(DISTINCT doc_id) > 8),
+        |kept AS (SELECT ln.doc_id, ln.i, ln.line
+        |  FROM ln LEFT JOIN hot USING (line) WHERE hot.line IS NULL),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY i) AS clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, len(b.ls) AS n_lines,
+        |  len(b.ls) - COALESCE(a.n_kept, 0) AS n_removed,
+        |  sha256(COALESCE(a.clean, '')) AS clean_sha
+        |FROM ls b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+    "text_bpe_train" -> BpeTrainSql,
     // independent recomputation of the add-1 unigram surprisal chain:
     // same vocab cut (count desc, token), same OOV fold, same integer
     // fixed-point DIV arithmetic — exact on both engines

@@ -134,6 +134,47 @@ class DedupSpec extends SparkFunSuite {
     assert(out(2L)._3 == expectSha)
   }
 
+  test("lineDedup: lines above the df guard removed from every doc, kept " +
+      "lines rebuilt in order; guard is strictly greater-than") {
+    val s = spark
+    import s.implicits._
+    val boiler = "all rights reserved"
+    val d = (1L to 10L).map { i =>
+      val tail = if (i <= 8) "semi common" else s"tail $i"
+      (i, s"$boiler\nunique line $i\n$tail")
+    }.toDF("doc_id", "text")
+    // boiler df=10 > maxDf=8 -> removed everywhere;
+    // "semi common" df=8 == maxDf -> KEPT (strictly-greater guard)
+    val out = Dedup.lineDedup(d, "text", "doc_id", maxDf = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_lines"), r.getAs[Int]("n_removed"),
+          r.getAs[String]("clean_sha"))).toMap
+    assert(out.values.forall(v => v._1 == 3 && v._2 == 1))
+    val expect1 = Seq("x").toDF("x")
+      .select(sha2(lit("unique line 1\nsemi common"), 256)).head.getString(0)
+    assert(out(1L)._3 == expect1)
+    val expect9 = Seq("x").toDF("x")
+      .select(sha2(lit("unique line 9\ntail 9"), 256)).head.getString(0)
+    assert(out(9L)._3 == expect9)
+  }
+
+  test("lineDedup oracle precondition: the poly line fingerprint is " +
+      "injective over the sf0.01 augmented line population") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val aug = docs.select(col("doc_id"), concat_ws("\n",
+      when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter today")),
+      col("text"),
+      when(col("doc_id") % 2 === 0,
+        lit("copyright 2026 example corp all rights reserved")),
+      concat(lit("doc ref "), col("doc_id"))).as("text"))
+    val lines = aug.select(explode(split(col("text"), "\n")).as("line"))
+    val nLines = lines.select(countDistinct(col("line"))).head.getLong(0)
+    val nFps = lines.select(countDistinct(
+      TF.fingerprintPolyRaw(col("line")))).head.getLong(0)
+    assert(nLines == nFps,
+      "fingerprint collisions would desync the line-string oracle")
+  }
+
   test("substringPairs oracle precondition: the poly window fingerprint is " +
       "injective over the sf0.01 window population") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
@@ -666,6 +707,49 @@ class TextFunctionsSpec extends SparkFunSuite {
       "completely unrelated words in this sentence structure").asInstanceOf[Long]
     assert(h1 == h1b)
     assert(java.lang.Long.bitCount(h1 ^ h2) < java.lang.Long.bitCount(h1 ^ h3))
+  }
+
+  test("trainMerges: differential vs an independent dict-BPE reference " +
+      "over sf0.001 (argmax ties by pair text, greedy reapply)") {
+    import graft.functions.{BpeTokenizer => Bpe}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Bpe.trainMerges(docs, "text", nMerges = 5)
+    // independent reference: classic dictionary BPE in plain Scala
+    import scala.collection.mutable
+    val d = mutable.Map[Vector[String], Long]()
+    docs.select(col("text")).collect().foreach { r =>
+      val norm = r.getString(0).toLowerCase
+        .replaceAll("[^a-z0-9]+", " ").trim
+      if (norm.nonEmpty) norm.split(" ").foreach { w =>
+        val k = w.map(_.toString).toVector
+        d(k) = d.getOrElse(k, 0L) + 1L
+      }
+    }
+    val expect = (1 to 5).flatMap { _ =>
+      val stats = mutable.Map[(String, String), Long]()
+      d.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => stats(p) = stats.getOrElse(p, 0L) + f)
+      }
+      if (stats.isEmpty) None
+      else {
+        val ((a, b), c) = stats.minBy { case ((x, y), n) => (-n, s"$x $y") }
+        val nd = mutable.Map[Vector[String], Long]()
+        d.foreach { case (syms, f) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          val k = out.result()
+          nd(k) = nd.getOrElse(k, 0L) + f
+        }
+        d.clear(); d ++= nd
+        Some((s"$a $b", a + b, c))
+      }
+    }
+    assert(got == expect, s"got $got\nexpect $expect")
   }
 
   test("BPE apply: rank-ordered merges, boundary-safe (no partial-symbol " +
