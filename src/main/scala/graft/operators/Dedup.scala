@@ -326,6 +326,33 @@ object Dedup {
         sha2(concat_ws("\n", col("kept")), 256).as("clean_sha"))
   }
 
+  /** WITHIN-document repeated-line scrub (the intra-doc half of the
+    * CCNet/RefinedWeb line filters — scraped pages repeat nav blocks and
+    * list fragments inside one document): every line keeps only its FIRST
+    * occurrence within its own document; later repeats are dropped and
+    * the doc is rebuilt in order.
+    *
+    * Fully row-local — a single indexed higher-order filter against the
+    * doc's own line array (`array_position` finds the first occurrence);
+    * no join, no aggregate, no shuffle of any kind, so it composes as a
+    * free pre-pass before the cross-document [[lineDedup]].
+    *
+    * @return (doc_id, n_lines, n_removed, clean_text, clean_sha) — the
+    *         rebuilt text rides along so the operator composes as a
+    *         pipeline pre-pass, not just a report
+    */
+  def intraLineDedup(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame =
+    df.select(col(idCol).as("doc_id"), split(col(textCol), "\n").as("ls"))
+      .select(col("doc_id"), col("ls"),
+        filter(col("ls"), (l, i) => array_position(col("ls"), l) === i + 1)
+          .as("kept"))
+      .select(col("doc_id"),
+        size(col("ls")).as("n_lines"),
+        (size(col("ls")) - size(col("kept"))).as("n_removed"),
+        concat_ws("\n", col("kept")).as("clean_text"))
+      .withColumn("clean_sha", sha2(col("clean_text"), 256))
+
   /** Character-n-gram Jaccard dedup: exact n-gram-set Jaccard, with
     * MinHash-LSH candidate generation over the n-gram sets (a blocked
     * O(n²/blocks) variant was tried first and is quadratic-with-a-constant

@@ -168,6 +168,22 @@ object Similarity {
     IvfIndex(path, centIds, centVecs, nlist)
   }
 
+  /** Incrementally absorb a new vector batch into a written IVF index:
+    * cells are assigned row-locally with the index's OWN centroid table
+    * (the cell rule is unchanged, so existing probes stay correct) and
+    * the batch is append-written into the cell partitions — no rewrite
+    * of existing files, no shuffle, one scan of the new batch. This is
+    * how the 100 TB index absorbs a daily embedding delta; re-train
+    * centroids ([[kmeansCentroids]]) + rebuild only when drift warrants. */
+  def appendToIvfIndex(index: IvfIndex, rows: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id"): IvfIndex = {
+    rows.select(col(idCol), col(vecCol),
+        element_at(VF.nearestCentroids(col(vecCol), index.centIds,
+          index.centVecs, 1), 1).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(index.path)
+    index
+  }
+
   /** Probe a written IVF index: the corpus scan is PARTITION-PRUNED to the
     * union of the queries' `nprobe` cells (`PartitionFilters: [cell IN …]`
     * in the plan) — on a 1000-executor cluster this reads `≈ nprobe/nlist`

@@ -133,6 +133,23 @@ object ExtensionQueries {
         "text", "doc_id", maxDf = 8)
         .orderBy(col("doc_id"))),
 
+    // intra-document repeated-line scrub: seeded repeats (the text line
+    // doubled in every 2nd doc, the ref line doubled in every 3rd) must
+    // collapse to their first occurrence; other docs pass unchanged
+    "dedup_lines_intra" -> ((s, dir) =>
+      Dedup.intraLineDedup(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat_ws("\n",
+            col("text"),
+            when(col("doc_id") % 2 === 0, col("text")),
+            concat(lit("ref "), col("doc_id")),
+            when(col("doc_id") % 3 === 0, concat(lit("ref "), col("doc_id"))))
+            .as("text")),
+        "text", "doc_id")
+        .select(col("doc_id"), col("n_lines"), col("n_removed"),
+          col("clean_sha"))
+        .orderBy(col("doc_id"))),
+
     // ---- sampling / corpus mixing ----
     "sample_hash" -> ((s, dir) =>
       Sampling.hashSample(t(s, dir, "documents"), "doc_id", num = 3, den = 10)
@@ -868,6 +885,31 @@ object ExtensionQueries {
         |  len(b.ls) - COALESCE(a.n_kept, 0) AS n_removed,
         |  sha256(COALESCE(a.clean, '')) AS clean_sha
         |FROM ls b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+    // first-occurrence filter via a (doc_id, line) row_number window;
+    // rebuild preserves position order
+    "dedup_lines_intra" ->
+      """WITH aug AS (SELECT doc_id, concat_ws(chr(10),
+        |    text,
+        |    CASE WHEN doc_id % 2 = 0 THEN text END,
+        |    'ref ' || CAST(doc_id AS VARCHAR),
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'ref ' || CAST(doc_id AS VARCHAR) END) AS s
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(s, chr(10)) AS ls FROM aug),
+        |ln AS (SELECT doc_id, i, ls[i] AS line
+        |  FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i
+        |        FROM ls)),
+        |k AS (SELECT doc_id, i, line, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id, line ORDER BY i) AS rn
+        |  FROM ln),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY i) AS clean
+        |  FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT b.doc_id, len(b.ls) AS n_lines,
+        |  len(b.ls) - a.n_kept AS n_removed,
+        |  sha256(a.clean) AS clean_sha
+        |FROM ls b JOIN agg a USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
     "text_bpe_train" -> BpeTrainSql,
     // independent recomputation of the add-1 unigram surprisal chain:

@@ -4,14 +4,15 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Chunking, Contamination, Dedup, Sampling}
+import graft.operators.{Chunking, Contamination, Dedup, Relevance, Sampling}
 
 /** End-to-end training-data pipeline over one corpus — the "switch to
   * this library" composition story in one runnable main:
   *
-  *   scrub PII → near-dup dedup (minhash LSH + survivor selection) →
-  *   exact-substring dedup → benchmark-contamination filter → quality
-  *   filter → temperature rebalancing → token-window chunking →
+  *   NFC canonicalize → intra-doc line scrub → scrub PII → near-dup
+  *   dedup (minhash LSH + survivor selection) → exact-substring dedup →
+  *   benchmark-contamination filter → quality + LM-surprisal filter →
+  *   per-source cap → temperature rebalancing → token-window chunking →
   *   sequence packing → deterministic training order.
   *
   * Every stage is the same operator the driver-checked queries pin; this
@@ -30,8 +31,16 @@ object PipelineDemo {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val n0 = docs.count()
 
+    // 0. ingest canonicalization (NFC + control/NBSP squash) and
+    //    intra-doc repeated-line scrub — both fully row-local, free
+    //    pre-passes before anything hashes text
+    val canon = Dedup.intraLineDedup(
+        docs.select(col("doc_id"), TF.cleanText(col("text")).as("text")),
+        "text", "doc_id")
+      .select(col("doc_id"), col("clean_text").as("text"))
+
     // 1. PII scrub (row-local regexes)
-    val scrubbed = docs.select(col("doc_id"),
+    val scrubbed = canon.select(col("doc_id"),
       TF.redactPii(col("text")).as("text"))
 
     // 2. near-dup dedup: LSH candidates → exact-Jaccard verify →
@@ -64,18 +73,31 @@ object PipelineDemo {
     val clean = deduped.join(contam, Seq("doc_id"), "left_anti")
     val n2 = clean.count()
 
-    // 4. quality filter via the one-pass signals kernel
-    val kept = clean
+    // 4. quality filter: one-pass signals kernel + corpus-LM surprisal
+    //    outlier cut (drop the docs whose mean inverse probability under
+    //    the corpus's own unigram LM is in the extreme tail)
+    val sigKept = clean
       .select(col("doc_id"), col("text"),
         TF.textSignals(col("text")).as("sig"))
       .filter(TF.qualityScoreFromSignals(col("sig")) >= 0.9)
       .select(col("doc_id"), col("text"))
+    val lmScores = Relevance.unigramSurprisal(sigKept, "text", "doc_id",
+      vocabSize = 256)
+    val lmCut = lmScores.agg(
+      percentile_approx(col("mean_ppm"), lit(0.98), lit(1000)))
+      .head.getLong(0)
+    val kept = sigKept.join(
+      lmScores.filter(col("mean_ppm") <= lmCut).select("doc_id"), "doc_id")
     val n3 = kept.count()
 
-    // 5. temperature-rebalance the source marginal under a row budget
-    //    (deterministic id-hash membership, rates broadcast)
-    val balanced = Sampling.temperatureSample(
+    // 5a. per-source cap (the "<= N docs per domain" curation rule),
+    //     then 5b. temperature-rebalance the source marginal under a
+    //     row budget (deterministic id-hash membership, rates broadcast)
+    val capped = Sampling.groupCap(
       kept.join(docs.select("doc_id", "source"), "doc_id"),
+      "source", "doc_id", cap = math.max(1, (n3 / 4).toInt))
+    val balanced = Sampling.temperatureSample(
+      capped.select(col("doc_id"), col("text"), col("source")),
       "source", "doc_id", targetRows = math.max(1L, n3 * 3 / 4))
       .select(col("doc_id"), col("text"))
     val n4 = balanced.count()

@@ -26,7 +26,9 @@ object PlanAudit {
       "text_chunks_window", "corpus_pack_greedy", "text_pii_redact",
       "text_profile", "dedup_substring", "dedup_substring_scrub",
       "sample_temperature", "corpus_shuffle", "text_bpe_tokens",
-      "text_vocab_topk", "corpus_manifest")
+      "text_vocab_topk", "corpus_manifest",
+      "sample_lang_cap", "sim_topk_prefix", "text_normalize",
+      "text_lm_surprisal", "dedup_lines", "dedup_lines_intra")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       // Codegen stages are marked `*(id)` in the SIMPLE plan string, but

@@ -158,6 +158,24 @@ class DedupSpec extends SparkFunSuite {
     assert(out(9L)._3 == expect9)
   }
 
+  test("intraLineDedup: later repeats collapse to the first occurrence, " +
+      "order preserved, distinct docs untouched") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a\nb\na\nc\nb"),
+      (2L, "x\ny")).toDF("doc_id", "text")
+    val out = Dedup.intraLineDedup(d, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_lines"), r.getAs[Int]("n_removed"),
+          r.getAs[String]("clean_sha"))).toMap
+    assert(out(1L)._1 == 5 && out(1L)._2 == 2)
+    val sha1 = Seq("x").toDF("x")
+      .select(sha2(lit("a\nb\nc"), 256)).head.getString(0)
+    assert(out(1L)._3 == sha1)
+    assert(out(2L)._1 == 2 && out(2L)._2 == 0)
+  }
+
   test("lineDedup oracle precondition: the poly line fingerprint is " +
       "injective over the sf0.01 augmented line population") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
@@ -280,6 +298,27 @@ class SimilaritySpec extends SparkFunSuite {
     val cellDirs = new java.io.File(dir).listFiles()
       .count(_.getName.startsWith("cell="))
     assert(cellDirs == 8, s"index should have one dir per cell, got $cellDirs")
+  }
+
+  test("appendToIvfIndex: an appended batch lands in the right cells — " +
+      "probes over the grown index equal inline IVF over the full corpus") {
+    val base = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    val index = Similarity.buildIvfIndex(base, dir, nlist = 8)
+    Similarity.appendToIvfIndex(index, delta)
+    val queries = emb.filter(col("vec_id") < 5)
+    val grown = Similarity.ivfTopKIndexed(index, queries, 5, nprobe = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSeq
+    val inline = Similarity.ivfTopKWithCentroids(emb, queries, 5,
+        index.centIds, index.centVecs, nprobe = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSeq
+    assert(grown == inline, "appended vectors must be probe-visible")
+    // and the delta really is reachable: some neighbor id >= 400 appears
+    // (the corpus is shuffled labels, so top-5 over 5 queries hits some)
+    assert(grown.exists(_._3 >= 400) == inline.exists(_._3 >= 400))
   }
 
   test("k-means refinement: deterministic, reduces within-cluster inertia, " +

@@ -108,6 +108,14 @@ class PlanContractSpec extends SparkFunSuite {
       s"expected partial+final aggregate:\n$plan")
   }
 
+  test("intraLineDedup: fully row-local — zero exchanges of any kind") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.operators.Dedup.intraLineDedup(docs, "text", "doc_id")
+    assert(shuffles(df) == 0 && broadcasts(df) == 0,
+      s"expected a pure projection:\n${df.queryExecution.executedPlan}")
+  }
+
   test("prefixRerankTopK: corpus never shuffles — candidate ids and " +
       "queries broadcast into both corpus scans, top-k partial-aggregates") {
     val q = emb.filter(col("vec_id") < 5)
