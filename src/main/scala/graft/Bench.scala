@@ -8,6 +8,22 @@ import org.apache.spark.sql.SparkSession
   * partial run still shows where time went. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // The launcher is not always ours: build.sbt forks `sbt run` with a
+    // curated fixed 6g ParallelGC heap (see its comment — the round-4/5
+    // hosts fault fresh anonymous pages at ~64-92 MB/s), but a driver-side
+    // spark-submit/java launch can impose a huge default heap instead.
+    // Measured under -Xmx80g G1 on the round-5 box: avro_key_decode 161 s
+    // vs 2.7 s under the curated profile — eden marches through tens of
+    // GiB of never-touched pages. A heap far above the intended profile
+    // is therefore a correctness problem for the bench's TIMINGS, so
+    // re-exec into a child JVM with the curated flags (same classpath,
+    // same main, stdout inherited). SPARK_GRAFT_NO_REEXEC opts out.
+    if (!sys.env.contains("SPARK_GRAFT_NO_REEXEC") &&
+        !sys.props.contains("graft.bench.child") &&
+        Runtime.getRuntime.maxMemory > (12L << 30) &&
+        sys.props.getOrElse("java.class.path", "").nonEmpty) {
+      System.exit(reexecCurated(args))
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -31,7 +47,24 @@ object Bench {
       System.err.println(s"[bench] warmup failed (continuing cold): $t")
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // Partial-result insurance: if an external timeout SIGTERMs the JVM
+    // mid-sweep (round 4's driver run was killed during startup, leaving
+    // no numbers at all), the shutdown hook still emits the one JSON
+    // line with whatever queries completed, marked "partial".
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
+    val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def emit(metric: String): Unit =
+      if (printed.compareAndSet(false, true)) {
+        val results = done.toArray(Array.empty[(String, Double)]).toSeq
+        val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        val total = results.map(_._2).sum
+        println(s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+        System.out.flush()
+      }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit("partial")))
+
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach {
       case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink: forces full evaluation of every output column —
@@ -43,37 +76,81 @@ object Bench {
         }
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-28s $sec%8.2fs")
-        name -> sec
+        done.add(name -> sec)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    emit("total")
     spark.stop()
   }
 
+  /** Relaunch this main in a child JVM carrying the same flags build.sbt
+    * gives a forked run: fixed-size ParallelGC heap + JDK17 add-opens.
+    * Returns the child's exit code; its stdout/stderr are inherited, so
+    * the one JSON line still lands on the launcher's stdout. */
+  private def reexecCurated(args: Array[String]): Int = {
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "6g")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-XX:+UseParallelGC", s"-Xms$mem", s"-Xmx$mem",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-Dgraft.bench.child=1",
+      "-cp", sys.props("java.class.path"), "graft.Bench") ++ args
+    System.err.println(s"[bench] inherited heap " +
+      s"${Runtime.getRuntime.maxMemory >> 20} MB is far above the curated " +
+      s"profile; re-exec with ParallelGC $mem fixed heap")
+    new ProcessBuilder(cmd: _*).inheritIO().start().waitFor()
+  }
+
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
-    // Touch every heap page once, HERE in the untimed warmup: on hosts
-    // with slow first-touch anonymous-page faults (round-4 box: ~64 MB/s
-    // vs 2.7 GB/s warm — BENCH_NOTES "Round-4 box"), untouched pages
+    // Touch heap pages once, HERE in the untimed warmup: on hosts with
+    // slow first-touch anonymous-page faults (round-4/5 boxes: 64-92
+    // MB/s vs GB/s warm — BENCH_NOTES "Round-4 box"), untouched pages
     // bill their fault cost to whichever query first allocates into
     // them. JVM array zeroing touches every page of a new allocation, so
-    // one chunked pass over maxMemory (rolling live window so tenured
-    // regions fault too) warms the whole heap; pages stay resident
-    // because Xms=Xmx (no uncommit). Skippable via SPARK_GRAFT_NO_PRETOUCH.
+    // one chunked pass (rolling live window so tenured regions fault
+    // too) warms the heap. The budget is CAPPED and DEADLINED: the
+    // sweep's working set fits in ~6 GiB, and when the bench JVM is
+    // launched with a much larger heap than build.sbt's profile (the
+    // round-4 driver run had ~85 GiB), pre-touching all of maxMemory at
+    // ~64 MB/s is 20+ minutes of silence — that timed out the whole
+    // round-4 bench (BENCH_r04 rc=124). Skippable via
+    // SPARK_GRAFT_NO_PRETOUCH; budget/deadline overridable via
+    // SPARK_GRAFT_PRETOUCH_MB / SPARK_GRAFT_PRETOUCH_SEC.
     if (!sys.env.contains("SPARK_GRAFT_NO_PRETOUCH")) {
       val chunk = 1 << 26 // 64 MB
-      val target = Runtime.getRuntime.maxMemory
+      val capBytes = sys.env.get("SPARK_GRAFT_PRETOUCH_MB")
+        .map(_.toLong << 20).getOrElse(6L << 30)
+      val target = math.min(Runtime.getRuntime.maxMemory, capBytes)
+      val deadlineSec = sys.env.get("SPARK_GRAFT_PRETOUCH_SEC")
+        .map(_.toLong).getOrElse(90L)
+      System.err.println(s"[bench] heap pre-touch: target ${target >> 20}" +
+        s" MB (maxMemory ${Runtime.getRuntime.maxMemory >> 20} MB)," +
+        s" deadline ${deadlineSec}s")
+      val t0 = System.nanoTime()
+      val deadline = t0 + deadlineSec * 1000000000L
       val window = ((target * 2 / 5) / chunk).toInt max 1
       val hold = new scala.collection.mutable.Queue[Array[Byte]]
       var allocated = 0L
-      while (allocated < target) {
+      while (allocated < target && System.nanoTime() < deadline) {
         hold.enqueue(new Array[Byte](chunk))
         if (hold.size > window) hold.dequeue()
         allocated += chunk
+        if ((allocated & ((1L << 31) - 1)) == 0) // every 2 GiB
+          System.err.println(s"[bench] pre-touch ${allocated >> 20} MB...")
       }
       hold.clear()
-      System.err.println(s"[bench] heap pre-touch done (${target >> 20} MB)")
+      System.err.println(
+        f"[bench] heap pre-touch done: ${allocated >> 20} MB in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     // best warmup = the real queries at negligible scale: run the heavy
