@@ -380,4 +380,73 @@ object TextFunctions {
       regexp_count(s1, lit(PhoneRe)).as("n_phone"),
       regexp_count(s2, lit(Ipv4Re)).as("n_ip"))
   }
+
+  // ---- URL decomposition (web-corpus provenance columns) ----
+  // parse_url is a codegen'd built-in; absent parts come back NULL —
+  // coalesced to '' here so downstream group-bys have one empty domain
+  // instead of a null-vs-'' split.
+
+  /** Host of a URL, '' when absent/unparseable. */
+  def urlHost(url: Column): Column =
+    coalesce(parse_url(url, lit("HOST")), lit(""))
+
+  /** Path of a URL ('' when absent). */
+  def urlPath(url: Column): Column =
+    coalesce(parse_url(url, lit("PATH")), lit(""))
+
+  /** Value of one query parameter ('' when absent). */
+  def urlQueryParam(url: Column, key: String): Column =
+    coalesce(parse_url(url, lit("QUERY"), lit(key)), lit(""))
+
+  /** Registered-domain HEURISTIC: the last two host labels
+    * (`a.b.c.example.com` → `example.com`). A production pipeline
+    * substitutes the public-suffix list here (`co.uk` etc. need it); the
+    * two-label rule keeps the operator dependency-free and portable. */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    when(size(labels) >= 2, concat_ws(".", slice(labels, -2, 2)))
+      .otherwise(host)
+  }
+
+  /** Number of non-empty path segments (`/a/b/` → 2). */
+  def pathDepth(path: Column): Column =
+    size(filter(split(path, "/"), s => s =!= ""))
+
+  // ---- hashed-feature linear scorer ----
+
+  /** Hashed-bag-of-words linear text scorer — the fastText-shaped
+    * model-based quality-filter PLUMBING (the DCLM/ FineWeb-style "score
+    * every document with a cheap linear classifier" stage): each
+    * normalized token hashes into one of `dim` feature buckets via the
+    * portable Karp-Rabin fingerprint, each bucket carries an integer
+    * weight in [0, 2000] derived from the Knuth multiplicative hash (a
+    * deterministic stand-in table — a real deployment broadcasts TRAINED
+    * weights; the dataflow is identical), and the document score is the
+    * exact fixed-point mean bucket weight,
+    * `score_ppk = (Σ weight × 1000) DIV n_tokens` (midpoint 1,000,000 =
+    * neutral). All arithmetic is non-negative int64 — floor and truncating
+    * division agree, so any SQL engine reproduces it bit-exactly.
+    *
+    * Row-local: one aggregate over the token array — no join, no shuffle,
+    * scoring rides the scan. Returns `(n_toks, w_sum, score_ppk)`. */
+  def hashedLinearScore(text: Column, dim: Int = 1024): Column = {
+    require(dim > 0)
+    val toks = normTokens(text)
+    // fp < 2^41, bucket < dim, bucket × Knuth < 2^42 — ANSI-safe
+    val wSum = aggregate(toks, lit(0L), (acc, t) =>
+      acc + pmod(pmod(fingerprintPolyRaw(t), lit(dim.toLong)) *
+        lit(2654435761L), lit(2001L)))
+    val n = size(toks).cast("long")
+    struct(
+      n.as("n_toks"),
+      wSum.as("w_sum"),
+      when(n > 0, intDivNonNeg(wSum * lit(1000L), n))
+        .otherwise(lit(0L)).as("score_ppk"))
+  }
+
+  /** Exact integer division for NON-NEGATIVE operands, as a Column:
+    * `(a - a mod b) / b` — the double division at the end is of an exact
+    * multiple, so it is exact for quotients up to 2^53. */
+  private def intDivNonNeg(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
 }

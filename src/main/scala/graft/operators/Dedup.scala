@@ -293,10 +293,15 @@ object Dedup {
     * hot-line table (df > maxDf) is boilerplate-vocabulary-sized; removal
     * positions collapse to one kill-list row per affected doc; and the
     * rebuild is a row-local indexed higher-order filter over the doc's own
-    * line array. The join key is the portable Karp-Rabin fingerprint, so
-    * the whole chain is oracle-checkable with the line STRING as the key
-    * (injectivity over the corpus line population is spec-pinned, like the
-    * substring-window oracle).
+    * line array. The join key is the PAIR (portable ~41-bit Karp-Rabin
+    * fingerprint, xxhash64) — the poly fingerprint alone reaches its
+    * birthday bound near ~1.5M distinct lines (√(2^41)·Θ(1)), far below
+    * corpus scale, and a collision would merge unrelated lines'
+    * doc-frequencies (possibly deleting an innocent line everywhere);
+    * pairing with an independent 64-bit hash pushes the bound past 10^15
+    * lines while the oracle stays checkable with the line STRING as key
+    * (injectivity of the pair over the corpus population is spec-pinned,
+    * like the substring-window oracle).
     *
     * @return (doc_id, n_lines, n_removed, clean_sha) — sha256 of the
     *         rebuilt newline-joined text
@@ -306,11 +311,12 @@ object Dedup {
     val lines = df.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
       .select(col("doc_id"), col("line_no"),
-        TF.fingerprintPolyRaw(col("line")).as("fp"))
-    val hot = lines.groupBy(col("fp"))
+        TF.fingerprintPolyRaw(col("line")).as("fp"),
+        xxhash64(col("line")).as("fp2"))
+    val hot = lines.groupBy(col("fp"), col("fp2"))
       .agg(countDistinct(col("doc_id")).as("line_df"))
       .filter(col("line_df") > maxDf)
-    val removals = lines.join(hot, Seq("fp"))
+    val removals = lines.join(hot, Seq("fp", "fp2"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("line_no"))).as("kill"))
     df.select(col(idCol).as("doc_id"), split(col(textCol), "\n").as("ls"))
@@ -364,6 +370,46 @@ object Dedup {
       df.select(col(idCol).as("id"),
         TF.charNgramHashes(col(textCol), n).as("shingles")),
       numHashes = 32, bands = 8, threshold = threshold)
+
+  /** SEMANTIC dedup (the SemDeDup recipe, Abbas et al. 2023): cluster the
+    * embedding space with k-means, then compare pairs only WITHIN each
+    * cluster and flag those above the cosine threshold — semantically
+    * redundant documents whose raw text may share nothing (translations,
+    * re-writes, boilerplate paraphrases) that token-level LSH can't see.
+    *
+    * The centroid table comes from the caller (train with
+    * [[Similarity.kmeansCentroids]]; production re-trains periodically) so
+    * clustering cost is paid once per corpus snapshot, not per dedup run.
+    *
+    * 100 TB design: cell assignment is the same row-local
+    * [[graft.plans.NearestCentroids]] projection as the IVF index — the
+    * corpus is never shuffled whole, only `(cell, id)` pairs feed the
+    * within-cell self-join (same candidate-ids-only discipline as the LSH
+    * families: vectors join back to the small pair list afterwards). The
+    * quadratic term is Σ cell_size² — bounded by training enough
+    * centroids that cells stay ~constant-sized (SemDeDup uses corpus_size
+    * / ~10^3 clusters; nlist is the knob), with AQE splitting any skewed
+    * cell. A cross-cluster near-pair is missed by construction — that is
+    * SemDeDup's documented approximation, traded for never comparing
+    * across cells. */
+  def semanticNearDup(df: DataFrame, vecCol: String, idCol: String,
+      centIds: Array[Long], centVecs: Array[Array[Double]],
+      threshold: Double): DataFrame = {
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      element_at(VF.nearestCentroids(col(vecCol), centIds, centVecs, 1), 1)
+        .as("cell"))
+    val ids = assigned.select(col("cell"), col("id"))
+    val pairs = ids.select(col("cell"), col("id").as("a"))
+      .join(ids.select(col("cell"), col("id").as("b")), Seq("cell"))
+      .filter(col("a") < col("b"))
+    val vecs = assigned.select(col("id"), col("v"))
+    pairs
+      .join(vecs.select(col("id").as("a"), col("v").as("v_a")), Seq("a"))
+      .join(vecs.select(col("id").as("b"), col("v").as("v_b")), Seq("b"))
+      .withColumn("cosine", VF.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cell"), col("cosine"))
+  }
 
   /** Embedding-cosine near-dup: random-hyperplane LSH buckets (multi-block
     * probing), exact cosine verification within buckets. */

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity.topK
+
+/** Generic per-group top-k (builder extension surface — "top N documents
+  * per domain/language by quality score" is the standard curation
+  * primitive for assembling a capped, quality-ranked corpus).
+  *
+  * 100 TB design: the ranking reuses the native bounded-heap
+  * [[graft.plans.TopKByScore]] PARTIAL aggregate — each map task reduces
+  * its partition to at most k candidates per group before the exchange,
+  * so the shuffle carries `k × partitions` rows per group instead of the
+  * group's full membership, and no per-group sort ever materializes. A
+  * window `row_number() over (partition by g order by score)` — the naive
+  * formulation — shuffles and SORTS every row of every group; for the
+  * web-corpus heavy tail (a few domains with 10^8 docs) that is exactly
+  * the skewed-sort this operator avoids: a hot group's heap work
+  * distributes across all map tasks holding its rows.
+  */
+object Ranking {
+
+  /** Top-k rows per group by `score` descending, ties by `id` ascending.
+    * Output: (group, rank, id, score) with rank 1..k per group.
+    *
+    * Like the similarity scorers, `score` is ranked as DOUBLE (the heap's
+    * element type); exact-integer scores survive unchanged up to 2^53. */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: Column,
+      idCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    df.select(col(groupCol), col(idCol).as("id"),
+        scoreCol.cast("double").as("score"))
+      .groupBy(col(groupCol))
+      .agg(topK(col("score"), col("id"), k).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("rank0", "hit")))
+      .select(col(groupCol), (col("rank0") + 1).as("rank"),
+        col("hit.id").as(idCol), col("hit.score").as("score"))
+  }
+}

@@ -100,8 +100,11 @@ object Relevance {
     *
     * Model: add-one-smoothed unigram LM over a top-`vocabSize` vocabulary
     * (ties at the cut broken by token text — deterministic); every
-    * out-of-vocab token folds into a single OOV bucket whose count is the
-    * total OOV mass. Per token the engine scores the exact INVERSE
+    * out-of-vocab token folds into a single OOV class whose per-token
+    * count is the total OOV mass DIVIDED by the number of OOV types (the
+    * standard class-based treatment: scoring each rare token with the
+    * whole bucket's mass would compress exactly the high-surprisal tail
+    * this filter targets). Per token the engine scores the exact INVERSE
     * probability in fixed-point integers,
     * `ppm = (total + vocabSize + 1) * scale DIV (count + 1)`,
     * and aggregates per document as sum and integer mean — log-based
@@ -130,9 +133,16 @@ object Relevance {
       explode(TF.normTokens(col(textCol))).as("t"))
     val counts = tok.groupBy("t").agg(count(lit(1)).as("c"))
     val vocab = counts.orderBy(col("c").desc, col("t")).limit(vocabSize)
-    val scalars = counts.agg(sum(col("c")).cast("long").as("total"))
-      .crossJoin(vocab.agg(sum(col("c")).cast("long").as("v_total")))
-      .select(col("total"), (col("total") - col("v_total")).as("c_oov"))
+    // c_oov = per-TYPE OOV count: bucket mass split across OOV types
+    // (integer DIV — exact); greatest(...,1) guards full-vocab corpora
+    val scalars = counts
+      .agg(sum(col("c")).cast("long").as("total"),
+        count(lit(1)).cast("long").as("n_types"))
+      .crossJoin(vocab.agg(sum(col("c")).cast("long").as("v_total"),
+        count(lit(1)).cast("long").as("v_types")))
+      .select(col("total"),
+        expr("(total - v_total) DIV greatest(n_types - v_types, 1L)")
+          .as("c_oov"))
     val perDoc = tok
       .join(broadcast(vocab), Seq("t"), "left")
       .crossJoin(broadcast(scalars))

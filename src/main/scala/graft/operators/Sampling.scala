@@ -48,6 +48,26 @@ object Sampling {
       coalesce(element_at(rateMap, col(strataCol)), lit(0)))
   }
 
+  /** Deterministic dataset-split labels ("train"/"val"/"test"): the id
+    * hash buckets into [0, den) and cumulative bucket ranges map to
+    * labels, so `parts = Seq(("train",8),("val",1),("test",1)), den=10`
+    * gives an exact 80/10/10 hash split. Row-local (a pure projection,
+    * no shuffle), partitioning-independent, and STABLE under corpus
+    * growth: a row's label depends only on its own id, so adding
+    * documents never migrates existing rows between splits — the property
+    * that keeps eval sets uncontaminated across corpus snapshots. */
+  def splitLabel(id: Column, parts: Seq[(String, Int)], den: Int,
+      salt: Long = 0L): Column = {
+    require(parts.nonEmpty && parts.forall(_._2 > 0) &&
+      parts.map(_._2).sum == den, "part sizes must sum to den")
+    val b = bucket(id, den, salt)
+    val cuts = parts.scanLeft(0)(_ + _._2).tail
+    parts.zip(cuts).tail.foldLeft(
+      when(b < cuts.head, parts.head._1)) { case (c, ((name, _), cut)) =>
+        c.when(b < cut, name)
+    }
+  }
+
   /** Weighted mix of corpora: per-source hash-sample then union. Each
     * source gets a distinct salt so co-numbered rows across sources are
     * not correlated. Schemas must align (caller selects common columns). */
@@ -83,12 +103,18 @@ object Sampling {
       .agg(count(lit(1)).as("n_stratum"))
     val tot = counts
       .agg(sum(sqrt(col("n_stratum").cast("double"))).as("sum_sqrt"))
-    val rates = counts.crossJoin(tot).select(col(strataCol),
+    val rates = counts.crossJoin(tot).select(
+      col(strataCol).as("__stratum_key"),
       col("n_stratum"),
       least(lit(1.0), lit(targetRows.toDouble) *
         (sqrt(col("n_stratum").cast("double")) / col("sum_sqrt")) /
         col("n_stratum").cast("double")).as("rate"))
-    df.join(broadcast(rates), Seq(strataCol))
+    // null-SAFE join: a NULL stratum is a real stratum (it got a count
+    // row from groupBy), not a row to silently drop — on web data the
+    // strata column (lang, source domain) is plausibly null
+    df.join(broadcast(rates),
+        col(strataCol) <=> col("__stratum_key"))
+      .drop("__stratum_key")
       .filter(bucket(col(idCol), den, salt).cast("double") /
         lit(den.toDouble) < col("rate"))
   }
@@ -138,6 +164,10 @@ object Sampling {
     * AQE's skew-join/window handling splits those. A production pipeline
     * over 100 TB materializes the counts once per snapshot.
     *
+    * A NULL group key is one capped group like any other (the count join
+    * and the ranking window are both null-safe) — null-domain web docs
+    * are capped, not silently dropped.
+    *
     * @return surviving rows plus their group size `n_group`
     */
   def groupCap(df: DataFrame, groupCol: String, idCol: String, cap: Int,
@@ -146,7 +176,9 @@ object Sampling {
     require(cap > 0)
     val counts = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_group"))
-    val joined = df.join(broadcast(counts), Seq(groupCol))
+      .withColumnRenamed(groupCol, "__group_key")
+    val joined = df.join(broadcast(counts),
+      col(groupCol) <=> col("__group_key")).drop("__group_key")
     val small = joined.filter(col("n_group") <= cap)
     val w = Window.partitionBy(col(groupCol))
       .orderBy(bucket(col(idCol), 1000000007, salt), col(idCol))

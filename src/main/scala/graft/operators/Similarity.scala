@@ -148,7 +148,11 @@ object Similarity {
     * build once (single corpus scan, no shuffle: cell id is a row-local
     * projection and `partitionBy` splits files per cell within each task),
     * then every query batch reads ONLY its probed cells via partition
-    * pruning. */
+    * pruning.
+    *
+    * The written schema is NORMALIZED to fixed names `(id, vec, cell)` —
+    * build and append calls may use any source column names without
+    * producing a mixed-schema index. */
   final case class IvfIndex(path: String, centIds: Array[Long],
       centVecs: Array[Array[Double]], nlist: Int)
 
@@ -161,10 +165,7 @@ object Similarity {
       .orderBy(col("cid")).limit(nlist).collect()
     val centIds = centRows.map(_.getLong(0))
     val centVecs = centRows.map(_.getSeq[Double](1).toArray)
-    corpus.select(col(idCol), col(vecCol),
-        element_at(VF.nearestCentroids(col(vecCol), centIds, centVecs, 1), 1)
-          .as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    writeCells(corpus, centIds, centVecs, vecCol, idCol, "overwrite", path)
     IvfIndex(path, centIds, centVecs, nlist)
   }
 
@@ -174,15 +175,29 @@ object Similarity {
     * the batch is append-written into the cell partitions — no rewrite
     * of existing files, no shuffle, one scan of the new batch. This is
     * how the 100 TB index absorbs a daily embedding delta; re-train
-    * centroids ([[kmeansCentroids]]) + rebuild only when drift warrants. */
+    * centroids ([[kmeansCentroids]]) + rebuild only when drift warrants.
+    *
+    * Column names are normalized to the index's fixed written schema, so
+    * the batch may use different source names than the build. Appends are
+    * BLIND (no id dedup): appending the same batch twice stores both
+    * copies — delta hygiene is the ingest pipeline's job (dedup by id
+    * before append, or rebuild). */
   def appendToIvfIndex(index: IvfIndex, rows: DataFrame,
       vecCol: String = "embedding", idCol: String = "vec_id"): IvfIndex = {
-    rows.select(col(idCol), col(vecCol),
-        element_at(VF.nearestCentroids(col(vecCol), index.centIds,
-          index.centVecs, 1), 1).as("cell"))
-      .write.mode("append").partitionBy("cell").parquet(index.path)
+    writeCells(rows, index.centIds, index.centVecs, vecCol, idCol,
+      "append", index.path)
     index
   }
+
+  /** Shared build/append writer — single place that defines the index's
+    * on-disk schema `(id, vec, cell)`. */
+  private def writeCells(rows: DataFrame, centIds: Array[Long],
+      centVecs: Array[Array[Double]], vecCol: String, idCol: String,
+      mode: String, path: String): Unit =
+    rows.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        element_at(VF.nearestCentroids(col(vecCol), centIds, centVecs, 1), 1)
+          .as("cell"))
+      .write.mode(mode).partitionBy("cell").parquet(path)
 
   /** Probe a written IVF index: the corpus scan is PARTITION-PRUNED to the
     * union of the queries' `nprobe` cells (`PartitionFilters: [cell IN …]`
@@ -190,7 +205,9 @@ object Similarity {
     * of the data instead of the full corpus. The probed cell set is
     * computed from the index's own centroid table (queries are small by
     * definition; no corpus access). Results are identical to [[ivfTopK]]
-    * with the same parameters (spec-pinned). */
+    * with the same parameters (spec-pinned). `vecCol`/`idCol` name the
+    * QUERY DataFrame's columns; the index side always reads the fixed
+    * written schema. */
   def ivfTopKIndexed(index: IvfIndex, queries: DataFrame, k: Int,
       nprobe: Int = 4, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
@@ -203,7 +220,7 @@ object Similarity {
       .collect().map(_.getLong(0)).sorted
     val corpus = spark.read.parquet(index.path)
       .filter(col("cell").isin(probeCells: _*))
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      .select(col("id").as("neighbor_id"), col("vec").as("c_vec"),
         col("cell"))
     val scored = corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{BpeTokenizer => Bpe, TextFunctions => TF,
   VectorFunctions => VF}
 import graft.operators.{Chunking, Contamination, Dedup, InvertedIndex,
-  Multimodal, Relevance, Sampling, Similarity}
+  Multimodal, Ranking, Relevance, Sampling, Similarity}
 
 /** Driver-checkable queries for the training-data pipeline operators:
   * dedup (exact + 4 near-dup families), similarity search (brute + IVF),
@@ -83,6 +83,20 @@ object ExtensionQueries {
           threshold = 0.95)
         .select(col("a"), col("b"))
         .orderBy(col("a"), col("b"))),
+
+    // SemDeDup semantic dedup: 1-iteration k-means clusters (trained on
+    // the union corpus), within-cell cosine >= 0.95 pairs. Twin pairs are
+    // identical vectors, so they share a cell and qualify; the emitted
+    // cell id pins the whole cluster-assignment chain, not just the pair
+    // set (cosine itself stays engine-side, like dedup_embedding)
+    "dedup_semantic" -> ((s, dir) => {
+      val u = embUnion(s, dir)
+      val (ids, vecs) = Similarity.kmeansCentroids(u, nlist = 16, iters = 1)
+      Dedup.semanticNearDup(u, "embedding", "vec_id", ids, vecs,
+          threshold = 0.95)
+        .select(col("a"), col("b"), col("cell"))
+        .orderBy(col("a"), col("b"))
+    }),
 
     // end-to-end dedup: minhash near-dup pairs → connected components →
     // every doc mapped to its cluster survivor (smallest id)
@@ -188,6 +202,25 @@ object ExtensionQueries {
         .select(col("doc_id"), col("lang"), col("n_group"))
         .orderBy(col("doc_id"))),
 
+    // deterministic 80/10/10 dataset split: exact cumulative hash ranges,
+    // row-local, stable under corpus growth (new docs never migrate
+    // existing rows between splits)
+    "sample_split" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Sampling.splitLabel(col("doc_id"),
+            Seq(("train", 8), ("val", 1), ("test", 1)), den = 10)
+            .as("split"))
+        .orderBy(col("doc_id"))),
+
+    // per-group top-k by score WITHOUT a per-group sort window: the
+    // bounded-heap partial aggregate reduces each map task to <= k rows
+    // per group before the exchange ("top 3 longest docs per language")
+    "rank_group_topk" -> ((s, dir) =>
+      Ranking.topKPerGroup(t(s, dir, "documents"), "lang",
+          col("n_chars"), "doc_id", k = 3)
+        .orderBy(col("lang"), col("rank"))),
+
     // deterministic training-order shuffle: 16-shard interleaved total
     // order, identical at any cluster size (and in the oracle engine)
     "corpus_shuffle" -> ((s, dir) =>
@@ -281,6 +314,37 @@ object ExtensionQueries {
       Relevance.unigramSurprisal(t(s, dir, "documents"), "text", "doc_id",
           vocabSize = 256)
         .orderBy(col("doc_id"))),
+
+    // hashed-feature linear quality scorer (the fastText-shaped model
+    // filter stage): portable token->bucket hashing, deterministic
+    // integer weight table, exact fixed-point mean — w_sum/score_ppk
+    // arithmetic is non-negative int64 on both engines
+    "text_quality_classifier" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.hashedLinearScore(col("text"), dim = 1024).as("sc"))
+        .select(col("doc_id"), col("sc.n_toks").as("n_toks"),
+          col("sc.w_sum").as("w_sum"), col("sc.score_ppk").as("score_ppk"),
+          (col("sc.score_ppk") >= 1000000L).as("keep"))
+        .orderBy(col("doc_id"))),
+
+    // URL decomposition over synthesized provenance URLs: host /
+    // registered domain / path depth / query param via the parse_url
+    // built-in; the oracle re-derives every part with regexes
+    "text_url_parse" -> ((s, dir) => {
+      val url = concat(lit("https://"), col("source"),
+        lit(".cdn.example.com/"), col("lang"), lit("/doc-"), col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("?ref=r"), col("doc_id") % 7)).otherwise(lit("")))
+      t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          TF.urlHost(col("url")).as("host"),
+          TF.registeredDomain(TF.urlHost(col("url"))).as("domain"),
+          TF.urlPath(col("url")).as("path"),
+          TF.pathDepth(TF.urlPath(col("url"))).as("path_depth"),
+          TF.urlQueryParam(col("url"), "ref").as("ref"))
+        .orderBy(col("doc_id"))
+    }),
 
     // BPE merge TRAINING on the corpus (the learning half; text_bpe_tokens
     // applies a fixed table): 8 merges learned from the word-frequency
@@ -913,8 +977,9 @@ object ExtensionQueries {
         |ORDER BY b.doc_id""".stripMargin,
     "text_bpe_train" -> BpeTrainSql,
     // independent recomputation of the add-1 unigram surprisal chain:
-    // same vocab cut (count desc, token), same OOV fold, same integer
-    // fixed-point DIV arithmetic — exact on both engines
+    // same vocab cut (count desc, token), same class-based OOV fold
+    // (bucket mass DIV oov type count), same integer fixed-point DIV
+    // arithmetic — exact on both engines
     "text_lm_surprisal" ->
       s"""WITH tk AS ($NormToksSql),
          |tok AS (SELECT doc_id, unnest(toks) AS t FROM tk),
@@ -923,7 +988,10 @@ object ExtensionQueries {
          |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM c),
          |v AS (SELECT t, c FROM c ORDER BY c DESC, t LIMIT 256),
          |sc AS (SELECT total,
-         |    total - (SELECT CAST(SUM(c) AS BIGINT) FROM v) AS c_oov
+         |    (total - (SELECT CAST(SUM(c) AS BIGINT) FROM v))
+         |      // greatest(
+         |        (SELECT CAST(COUNT(*) AS BIGINT) FROM c)
+         |        - (SELECT CAST(COUNT(*) AS BIGINT) FROM v), 1) AS c_oov
          |  FROM tot),
          |w AS (SELECT doc_id,
          |    ((sc.total + 257) * 1000000) // (COALESCE(v.c, sc.c_oov) + 1)
@@ -939,6 +1007,52 @@ object ExtensionQueries {
          |    THEN d.sum_ppm // d.n_toks ELSE 0 END AS mean_ppm
          |FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
          |ORDER BY doc.doc_id""".stripMargin,
+    // same hashed-feature chain: per-token Karp-Rabin fold -> bucket
+    // (fp % 1024) -> Knuth weight in [0, 2000] -> exact fixed-point mean;
+    // every intermediate is non-negative int64 so // == DIV
+    "text_quality_classifier" ->
+      s"""WITH tk AS ($NormToksSql),
+         |tok AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+         |fp AS (SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, length(t) + 1),
+         |      i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+         |    (acc, x) -> (acc * 1000003 + x) % 2199023255552) AS f
+         |  FROM tok),
+         |wt AS (SELECT doc_id, ((f % 1024) * 2654435761) % 2001 AS w
+         |  FROM fp),
+         |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         |  CAST(SUM(w) AS BIGINT) AS w_sum FROM wt GROUP BY doc_id),
+         |sc AS (SELECT doc.doc_id,
+         |    COALESCE(d.n_toks, 0) AS n_toks,
+         |    COALESCE(d.w_sum, 0) AS w_sum,
+         |    CASE WHEN COALESCE(d.n_toks, 0) > 0
+         |      THEN (d.w_sum * 1000) // d.n_toks ELSE 0 END AS score_ppk
+         |  FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id)
+         |SELECT doc_id, n_toks, w_sum, score_ppk,
+         |  score_ppk >= 1000000 AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    // same URL synthesis; parts re-derived with regexes instead of
+    // parse_url, registered domain = last two host labels
+    "text_url_parse" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://' || source || '.cdn.example.com/' || lang || '/doc-' ||
+        |  CAST(doc_id AS VARCHAR) ||
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN '?ref=r' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, url,
+        |  regexp_extract(url, '^https://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '^https://[^/?#]+(/[^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?ref=([^&#]*)', 1) AS ref
+        |  FROM u)
+        |SELECT doc_id, url, host,
+        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+        |  path,
+        |  len(list_filter(string_split(path, '/'), x -> x <> ''))
+        |    AS path_depth,
+        |  ref
+        |FROM p ORDER BY doc_id""".stripMargin,
     // same augmentation via chr() (769/776 = combining acute/diaeresis,
     // 7 = BEL, 160 = NBSP, 9 = TAB); \xa0 in the RE2 class is the NBSP
     // codepoint, matching Java's
@@ -1220,12 +1334,13 @@ object ExtensionQueries {
         |    CAST(n_stratum AS DOUBLE)) AS rate
         |  FROM c CROSS JOIN t)
         |SELECT d.doc_id, d.lang, r.n_stratum, r.rate
-        |FROM documents d JOIN r USING (lang)
+        |FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
         |WHERE CAST(((d.doc_id + 0) * 2654435761) % 10000 AS DOUBLE) /
         |  CAST(10000 AS DOUBLE) < r.rate
         |ORDER BY d.doc_id""".stripMargin,
     // same Knuth-hash rank rule: undersized groups pass whole, oversized
-    // groups keep the 70 hash-smallest rows
+    // groups keep the 70 hash-smallest rows; null-safe group join —
+    // a NULL group is capped, not dropped
     "sample_lang_cap" ->
       """WITH n AS (SELECT lang, COUNT(*) AS n_group FROM documents
         |  GROUP BY lang),
@@ -1233,10 +1348,25 @@ object ExtensionQueries {
         |  ROW_NUMBER() OVER (PARTITION BY d.lang
         |    ORDER BY ((d.doc_id + 0) * 2654435761) % 1000000007, d.doc_id)
         |    AS rk
-        |  FROM documents d JOIN n USING (lang))
+        |  FROM documents d JOIN n ON d.lang IS NOT DISTINCT FROM n.lang)
         |SELECT doc_id, lang, n_group FROM r
         |WHERE n_group <= 70 OR rk <= 70
         |ORDER BY doc_id""".stripMargin,
+    // same cumulative Knuth-hash ranges: <8 train, <9 val, else test
+    "sample_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN ((doc_id + 0) * 2654435761) % 10 < 8 THEN 'train'
+        |       WHEN ((doc_id + 0) * 2654435761) % 10 < 9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // same rank rule as the bounded-heap aggregate: score desc, id asc
+    "rank_group_topk" ->
+      """WITH r AS (SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS score,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents)
+        |SELECT lang, rank, doc_id, score FROM r WHERE rank <= 3
+        |ORDER BY lang, rank""".stripMargin,
     "corpus_shuffle" ->
       """WITH s AS (SELECT doc_id,
         |  ((doc_id + 0) * 2654435761) % 16 AS shard,
@@ -1329,6 +1459,43 @@ object ExtensionQueries {
         |  UNION ALL SELECT a + 1000000, b + 1000000 FROM qual
         |  UNION ALL SELECT vec_id, vec_id + 1000000 FROM embeddings
         |) ORDER BY a, b""".stripMargin,
+    // full SemDeDup recomputation: union corpus -> smallest-id init ->
+    // one exact-decimal Lloyd iteration (the ivf_kmeans_refine chain) ->
+    // argmin assignment -> within-cell pairs at cosine >= 0.95
+    "dedup_semantic" ->
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id,
+        |    CAST(embedding AS DOUBLE[]) AS cent_vec
+        |  FROM u ORDER BY vec_id LIMIT 16),
+        |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, embedding
+        |  FROM u),
+        |a1 AS (SELECT vec_id, embedding, cent_id AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY list_distance(v, cent_vec), cent_id) AS rn
+        |  FROM corp, cents),
+        |c1 AS (SELECT embedding, cell FROM a1 WHERE rn = 1),
+        |ex1 AS (SELECT cell, unnest(range(0, len(embedding))) AS pos,
+        |  unnest(embedding) AS x FROM c1),
+        |m1 AS (SELECT cell, pos,
+        |  CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1e10) AS BIGINT)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1e10 AS mean
+        |  FROM ex1 GROUP BY cell, pos),
+        |v1 AS (SELECT cell, list(mean ORDER BY pos) AS cv FROM m1
+        |  GROUP BY cell),
+        |cent1 AS (SELECT c.cent_id AS cell, COALESCE(v1.cv, c.cent_vec) AS cv
+        |  FROM cents c LEFT JOIN v1 ON v1.cell = c.cent_id),
+        |a2 AS (SELECT corp.vec_id, corp.embedding, cent1.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY corp.vec_id
+        |      ORDER BY list_distance(corp.v, cent1.cv), cent1.cell) AS rn
+        |  FROM corp, cent1),
+        |asg AS (SELECT vec_id, embedding, cell FROM a2 WHERE rn = 1)
+        |SELECT a.vec_id AS a, b.vec_id AS b, a.cell AS cell
+        |FROM asg a JOIN asg b
+        |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        |ORDER BY a, b""".stripMargin,
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv
         |  FROM embeddings WHERE vec_id < 10),

@@ -83,9 +83,11 @@ object PipelineDemo {
       .select(col("doc_id"), col("text"))
     val lmScores = Relevance.unigramSurprisal(sigKept, "text", "doc_id",
       vocabSize = 256)
-    val lmCut = lmScores.agg(
-      percentile_approx(col("mean_ppm"), lit(0.98), lit(1000)))
-      .head.getLong(0)
+    // percentile of ZERO rows is null — if the signals filter keeps
+    // nothing, degrade to a pass-through cut instead of an NPE
+    val lmCut = Option(lmScores.agg(
+        percentile_approx(col("mean_ppm"), lit(0.98), lit(1000)))
+        .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(Long.MaxValue)
     val kept = sigKept.join(
       lmScores.filter(col("mean_ppm") <= lmCut).select("doc_id"), "doc_id")
     val n3 = kept.count()

@@ -134,6 +134,49 @@ class DedupSpec extends SparkFunSuite {
     assert(out(2L)._3 == expectSha)
   }
 
+  test("semanticNearDup: within-cell cosine pairs found, cross-cell " +
+      "pairs skipped by construction, deterministic under repartition") {
+    val s = spark
+    import s.implicits._
+    // two well-separated clusters; ids 1/3 duplicate along e1, 2/4 along
+    // e2; 5 is a lone off-axis vector in cluster 2's cell
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val d = Seq(
+      (1L, v(1, 0, 0, 0)), (2L, v(0, 1, 0, 0)),
+      (3L, v(1, 0.01, 0, 0)), (4L, v(0, 1, 0.01, 0)),
+      (5L, v(0, 0.6, 0.8, 0)))
+      .toDF("vec_id", "embedding")
+    val (ids, vecs) = Similarity.kmeansCentroids(d, nlist = 2, iters = 0)
+    val out = Dedup.semanticNearDup(d, "embedding", "vec_id", ids, vecs,
+        threshold = 0.95)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("cell"))).toSet
+    // cells: centroid 1 = e1 (docs 1,3), centroid 2 = e2 (docs 2,4,5);
+    // 5's cosine to 2/4 is 0.6 — below threshold
+    assert(out == Set((1L, 3L, 1L), (2L, 4L, 2L)))
+    val again = Dedup.semanticNearDup(d.repartition(3), "embedding",
+        "vec_id", ids, vecs, threshold = 0.95)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("cell"))).toSet
+    assert(again == out)
+  }
+
+  test("semanticNearDup over the twin union: every twin pair collides in " +
+      "one cell and qualifies; no sub-threshold pair leaks") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val u = emb.unionAll(emb.withColumn("vec_id", col("vec_id") + 1000000L))
+    val (ids, vecs) = Similarity.kmeansCentroids(u, nlist = 8, iters = 1)
+    val pairs = Dedup.semanticNearDup(u, "embedding", "vec_id", ids, vecs,
+        threshold = 0.95)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val n = emb.count()
+    val twins = emb.select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    assert(twins.subsetOf(pairs.toSet),
+      "identical twin vectors must always be flagged")
+    assert(pairs.length >= n)
+  }
+
   test("lineDedup: lines above the df guard removed from every doc, kept " +
       "lines rebuilt in order; guard is strictly greater-than") {
     val s = spark
@@ -319,6 +362,17 @@ class SimilaritySpec extends SparkFunSuite {
     // and the delta really is reachable: some neighbor id >= 400 appears
     // (the corpus is shuffled labels, so top-5 over 5 queries hits some)
     assert(grown.exists(_._3 >= 400) == inline.exists(_._3 >= 400))
+    // appending under DIFFERENT source column names must not fork the
+    // on-disk schema — the writer normalizes to (id, vec, cell)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivf_mx").toString
+    val index2 = Similarity.buildIvfIndex(base, dir2, nlist = 8)
+    Similarity.appendToIvfIndex(index2,
+      delta.select(col("vec_id").as("row_id"), col("embedding").as("e")),
+      vecCol = "e", idCol = "row_id")
+    val mixed = Similarity.ivfTopKIndexed(index2, queries, 5, nprobe = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSeq
+    assert(mixed == inline, "renamed-column append must probe identically")
   }
 
   test("k-means refinement: deterministic, reduces within-cluster inertia, " +
@@ -414,6 +468,26 @@ class SimilaritySpec extends SparkFunSuite {
     val again = Sampling.groupCap(docs.repartition(7), "lang", "doc_id", 70)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("groupCap + temperatureSample: a NULL group key is one capped/" +
+      "rated group, not silently dropped") {
+    import spark.implicits._
+    // 10 null-group rows, 3 'a' rows — cap 5 must keep 5 nulls + 3 a's
+    val rows = (1L to 10L).map(id => (id, Option.empty[String])) ++
+      (11L to 13L).map(id => (id, Some("a")))
+    val df = rows.toDF("doc_id", "grp")
+    val capped = Sampling.groupCap(df, "grp", "doc_id", cap = 5)
+    assert(capped.filter(col("grp").isNull).count() == 5L)
+    assert(capped.filter(col("grp") === "a").count() == 3L)
+    assert(capped.filter(col("grp").isNull)
+      .select("n_group").head().getLong(0) == 10L)
+    // temperatureSample: null stratum gets a rate row too (targetRows
+    // large enough that every stratum keeps rate 1 → all rows survive)
+    val heated = Sampling.temperatureSample(df, "grp", "doc_id",
+      targetRows = 1000)
+    assert(heated.count() == 13L)
+    assert(heated.filter(col("grp").isNull).count() == 10L)
   }
 
   test("hash sampling: deterministic, partitioning-independent, and rates " +
@@ -912,15 +986,16 @@ class RelevanceSpec extends SparkFunSuite {
       (3L, ""))                // token-less
       .toDF("doc_id", "text")
     // vocab cut at 2 (count desc, token): {the:3, cat:1}; total=6,
-    // c_oov=2; factor = (6+3)*1e6 = 9e6
+    // OOV mass 2 over 2 OOV types (zyx, qwv) -> per-type c_oov = 1
+    // (class-based: bucket mass DIV type count); factor = (6+3)*1e6 = 9e6
     // the -> 9e6 DIV 4 = 2_250_000; cat -> 9e6 DIV 2 = 4_500_000;
-    // OOV  -> 9e6 DIV 3 = 3_000_000
+    // OOV  -> 9e6 DIV 2 = 4_500_000
     val out = Relevance.unigramSurprisal(d, "text", "doc_id", vocabSize = 2)
       .orderBy("doc_id").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_toks"),
         r.getAs[Long]("sum_ppm"), r.getAs[Long]("mean_ppm")))
     assert(out(0) == ((1L, 4L, 3L * 2250000L + 4500000L, 2812500L)))
-    assert(out(1) == ((2L, 2L, 6000000L, 3000000L)))
+    assert(out(1) == ((2L, 2L, 9000000L, 4500000L)))
     assert(out(2) == ((3L, 0L, 0L, 0L)))
     // the rare-token doc is the outlier the filter is after
     assert(out(1)._4 > out(0)._4)

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+import graft.functions.{TextFunctions => TF}
+
+class RankingSpec extends SparkFunSuite {
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("topKPerGroup: matches the window formulation (score desc, id asc " +
+      "ties), undersized groups emit their whole membership") {
+    val out = Ranking.topKPerGroup(docs, "lang", col("n_chars"), "doc_id", 3)
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score").desc, col("doc_id"))
+    val expect = docs
+      .select(col("lang"), col("doc_id"),
+        col("n_chars").cast("double").as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+    assert(out == expect)
+    // and every group emits min(3, group size) rows
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perGroup = out.groupBy(_._1).view.mapValues(_.size).toMap
+    sizes.foreach { case (g, n) =>
+      assert(perGroup(g) == math.min(n, 3L).toInt)
+    }
+  }
+
+  test("topKPerGroup plan: bounded-heap partial aggregate, no per-group " +
+      "sort window") {
+    val plan = Ranking.topKPerGroup(docs, "lang", col("n_chars"), "doc_id", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected partial top-k aggregate, got:\n$plan")
+    assert(!plan.contains("Window"),
+      s"per-group ranking must not plan a Window:\n$plan")
+  }
+
+  test("splitLabel: exact cumulative hash ranges, covering and disjoint, " +
+      "partitioning-independent") {
+    val parts = Seq(("train", 8), ("val", 1), ("test", 1))
+    val out = docs.select(col("doc_id"),
+        Sampling.splitLabel(col("doc_id"), parts, den = 10).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.values.toSet.subsetOf(Set("train", "val", "test")))
+    out.foreach { case (id, label) =>
+      val b = (id * 2654435761L) % 10
+      val expect = if (b < 8) "train" else if (b < 9) "val" else "test"
+      assert(label == expect, s"doc $id bucket $b")
+    }
+    val again = docs.repartition(7).select(col("doc_id"),
+        Sampling.splitLabel(col("doc_id"), parts, den = 10).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+  }
+
+  test("hashedLinearScore: exact fixed-point mean of deterministic bucket " +
+      "weights; empty text scores (0, 0, 0)") {
+    val s = spark
+    import s.implicits._
+    def weightOf(tok: String): Long = {
+      val fp = tok.getBytes("UTF-8").foldLeft(0L)((acc, b) =>
+        (acc * 1000003L + b) % (1L << 41))
+      ((fp % 1024L) * 2654435761L) % 2001L
+    }
+    val rows = Seq((1L, "alpha"), (2L, "alpha beta"), (3L, ""), (4L, "  "))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TF.hashedLinearScore(col("text"), 1024).as("sc"))
+      .select(col("doc_id"), col("sc.n_toks"), col("sc.w_sum"),
+        col("sc.score_ppk"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val wA = weightOf("alpha")
+    val wB = weightOf("beta")
+    assert(rows(1L) == ((1L, wA, wA * 1000L)))
+    assert(rows(2L) == ((2L, wA + wB, (wA + wB) * 1000L / 2L)))
+    assert(rows(3L) == ((0L, 0L, 0L)))
+    assert(rows(4L) == ((0L, 0L, 0L)))
+  }
+
+  test("url parts: host/domain/path/depth/query-param over full, bare, " +
+      "and single-label-host URLs") {
+    val s = spark
+    import s.implicits._
+    val out = Seq(
+      "https://a.cdn.example.com/en/doc-5?ref=r3",
+      "https://example.com/",
+      "http://localhost/x/y/z")
+      .toDF("url")
+      .select(
+        TF.urlHost(col("url")).as("host"),
+        TF.registeredDomain(TF.urlHost(col("url"))).as("domain"),
+        TF.urlPath(col("url")).as("path"),
+        TF.pathDepth(TF.urlPath(col("url"))).as("depth"),
+        TF.urlQueryParam(col("url"), "ref").as("ref"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getString(4)))
+    assert(out(0) == (("a.cdn.example.com", "example.com", "/en/doc-5",
+      2, "r3")))
+    assert(out(1) == (("example.com", "example.com", "/", 0, "")))
+    assert(out(2) == (("localhost", "localhost", "/x/y/z", 3, "")))
+  }
+}
