@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.Similarity.topK
+
+/** Mergeable sketches for corpus statistics (builder extension surface —
+  * the reference has no aggregations at all, SURVEY.md §2.2).
+  *
+  * The cardinality sketch here is KMV (k-minimum-values, Bar-Yossef et
+  * al. 2002): hash every element into [0, M), keep the k smallest
+  * DISTINCT hashes, estimate `distinct ≈ (k-1)·M / h_(k)`. KMV is chosen
+  * over HLL deliberately: Spark's `approx_count_distinct` (HLL++) is an
+  * engine-private binary sketch no oracle can recompute, while KMV over
+  * the engine's PORTABLE hash chain (Karp-Rabin fingerprint scrambled by
+  * the Knuth multiplier, all exact int64) is reproducible bit-for-bit in
+  * any SQL engine — the same determinism contract as the sampling and
+  * fingerprint families.
+  *
+  * 100 TB design: the hash projection is row-local; the distinct pass is
+  * a map-side-combined aggregate whose output is vocabulary-sized (hashes
+  * only — element text never shuffles); the k-min selection reuses the
+  * bounded-heap [[graft.plans.TopKByScore]] partial aggregate, so each
+  * map task ships ≤ k hashes per group. Sketches merge by construction
+  * (distinct ∪ distinct, then k smallest of the union) — the estimate for
+  * any union of shards is computable from per-shard sketches.
+  */
+object Sketches {
+
+  /** Hash space: [0, 2^41) — matches the poly fingerprint's modulus. */
+  val M: Long = 1L << 41
+
+  private val Knuth = 2654435761L
+
+  /** Scramble a poly fingerprint across [0, M) with the Knuth multiplier
+    * (a bijection mod 2^41 — odd multiplier): raw fingerprints of short
+    * tokens are numerically tiny, which would bias the k-min estimator.
+    * The multiply is decomposed (fp = hi·2^21 + lo) so every intermediate
+    * stays below 2^63 — ANSI-mode safe, and the identical split is
+    * expressible in any int64 SQL engine. */
+  def scramble(fp: Column): Column = {
+    val hi = shiftright(fp, 21)
+    val lo = fp.bitwiseAND(lit((1L << 21) - 1))
+    pmod(pmod(hi * lit(Knuth), lit(M)) * lit(1L << 21) + lo * lit(Knuth),
+      lit(M))
+  }
+
+  /** Per-group KMV distinct-count sketch over the normalized tokens of
+    * `textCol`. Output per group: `(group, n_hashes, kth_min,
+    * est_distinct)` — when a group has fewer than k distinct hashes the
+    * count is exact (the standard KMV small-set fallback) and `kth_min`
+    * is the largest kept hash. */
+  def kmvTokenDistinct(df: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 1)
+    val hashes = df
+      .select(col(groupCol),
+        explode(TF.normTokens(col(textCol))).as("t"))
+      .select(col(groupCol),
+        scramble(TF.fingerprintPolyRaw(col("t"))).as("h"))
+      .distinct()
+    // k smallest per group via the bounded-heap aggregate (score desc ⇒
+    // rank by -h; h < 2^41 is exact in double)
+    val kmin = hashes
+      .groupBy(col(groupCol))
+      .agg(topK((-col("h")).cast("double"), col("h"), k).as("top"))
+      .select(col(groupCol), explode(col("top.id")).as("h"))
+    kmin.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_hashes"), max(col("h")).as("kth_min"))
+      .select(col(groupCol), col("n_hashes"), col("kth_min"),
+        when(col("n_hashes") < k, col("n_hashes"))
+          .otherwise(intDivNonNeg(lit((k - 1).toLong * M), col("kth_min")))
+          .as("est_distinct"))
+  }
+
+  /** Exact integer division for non-negative operands (see
+    * TextFunctions' twin — exact for quotients up to 2^53). */
+  private def intDivNonNeg(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{BpeTokenizer => Bpe, TextFunctions => TF,
   VectorFunctions => VF}
 import graft.operators.{Chunking, Contamination, Dedup, InvertedIndex,
-  Multimodal, Ranking, Relevance, Sampling, Similarity}
+  Multimodal, Ranking, Relevance, Sampling, Similarity, Sketches}
 
 /** Driver-checkable queries for the training-data pipeline operators:
   * dedup (exact + 4 near-dup families), similarity search (brute + IVF),
@@ -220,6 +220,14 @@ object ExtensionQueries {
       Ranking.topKPerGroup(t(s, dir, "documents"), "lang",
           col("n_chars"), "doc_id", k = 3)
         .orderBy(col("lang"), col("rank"))),
+
+    // KMV distinct-count sketch (portable alternative to HLL — the hash
+    // chain is exact int64, so the oracle recomputes the ESTIMATE itself,
+    // not just a rows count): per-language distinct-token estimates
+    "sketch_kmv_distinct" -> ((s, dir) =>
+      Sketches.kmvTokenDistinct(t(s, dir, "documents"), "lang", "text",
+          k = 128)
+        .orderBy(col("lang"))),
 
     // deterministic training-order shuffle: 16-shard interleaved total
     // order, identical at any cluster size (and in the oracle engine)
@@ -1359,6 +1367,32 @@ object ExtensionQueries {
         |       WHEN ((doc_id + 0) * 2654435761) % 10 < 9 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // full KMV recomputation: per-token Karp-Rabin fold -> split-multiply
+    // Knuth scramble over [0, 2^41) (every intermediate < 2^63) ->
+    // distinct -> 128 smallest per group -> (k-1)*M // kth_min
+    "sketch_kmv_distinct" ->
+      s"""WITH tk AS ($NormToksSql),
+         |tok AS (SELECT d.lang, unnest(k.toks) AS t
+         |  FROM tk k JOIN documents d ON k.doc_id = d.doc_id),
+         |fp AS (SELECT lang,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, length(t) + 1),
+         |      i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+         |    (acc, x) -> (acc * 1000003 + x) % 2199023255552) AS f
+         |  FROM tok),
+         |h AS (SELECT DISTINCT lang,
+         |  (((f // 2097152) * 2654435761) % 2199023255552 * 2097152
+         |    + (f % 2097152) * 2654435761) % 2199023255552 AS h
+         |  FROM fp),
+         |r AS (SELECT lang, h,
+         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+         |km AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_hashes,
+         |  MAX(h) AS kth_min
+         |  FROM r WHERE rn <= 128 GROUP BY lang)
+         |SELECT lang, n_hashes, kth_min,
+         |  CASE WHEN n_hashes < 128 THEN n_hashes
+         |       ELSE (127 * 2199023255552) // kth_min END AS est_distinct
+         |FROM km ORDER BY lang""".stripMargin,
     // same rank rule as the bounded-heap aggregate: score desc, id asc
     "rank_group_topk" ->
       """WITH r AS (SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS score,

@@ -73,13 +73,19 @@ object PipelineDemo {
     val clean = deduped.join(contam, Seq("doc_id"), "left_anti")
     val n2 = clean.count()
 
-    // 4. quality filter: one-pass signals kernel + corpus-LM surprisal
-    //    outlier cut (drop the docs whose mean inverse probability under
-    //    the corpus's own unigram LM is in the extreme tail)
+    // 4. quality filter: one-pass signals kernel + hashed-feature linear
+    //    scorer (the model-based filter stage; stand-in weights keep the
+    //    demo self-contained) + corpus-LM surprisal outlier cut (drop the
+    //    docs whose mean inverse probability under the corpus's own
+    //    unigram LM is in the extreme tail)
     val sigKept = clean
       .select(col("doc_id"), col("text"),
-        TF.textSignals(col("text")).as("sig"))
-      .filter(TF.qualityScoreFromSignals(col("sig")) >= 0.9)
+        TF.textSignals(col("text")).as("sig"),
+        TF.hashedLinearScore(col("text")).as("lin"))
+      .filter(TF.qualityScoreFromSignals(col("sig")) >= 0.9 &&
+        // stand-in weights are hash-uniform, so the neutral midpoint
+        // passes ~half; a trained table plugs in here
+        col("lin.score_ppk") >= 900000L)
       .select(col("doc_id"), col("text"))
     val lmScores = Relevance.unigramSurprisal(sigKept, "text", "doc_id",
       vocabSize = 256)
@@ -119,10 +125,20 @@ object PipelineDemo {
     val nOrdered = order.select(countDistinct(col("order_key")))
       .head().getLong(0)
 
+    // 8. train/val/test split labels — exact cumulative hash ranges,
+    //    stable as the corpus grows round over round
+    val splits = balanced.select(col("doc_id"),
+        Sampling.splitLabel(col("doc_id"),
+          Seq(("train", 8), ("val", 1), ("test", 1)), den = 10).as("split"))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nSplit = splits.values.sum
+
     println(s"docs=$n0 afterDedup=$n1 afterContam=$n2 afterQuality=$n3 " +
-      s"afterBalance=$n4 chunks=$nChunks packs=$nPacks ordered=$nOrdered")
+      s"afterBalance=$n4 chunks=$nChunks packs=$nPacks ordered=$nOrdered " +
+      s"splits=$splits")
     require(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 >= n4 && n4 > 0 &&
-      nChunks > 0 && nOrdered == n4,
+      nChunks > 0 && nOrdered == n4 && nSplit == n4,
       "pipeline stages must monotonically filter and keep data")
     spark.stop()
   }

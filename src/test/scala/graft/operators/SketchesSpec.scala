@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+class SketchesSpec extends SparkFunSuite {
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("kmvTokenDistinct: estimate tracks the exact distinct count, " +
+      "small groups fall back to exact, partitioning-independent") {
+    val out = Sketches.kmvTokenDistinct(docs, "lang", "text", k = 128)
+      .collect()
+      .map(r => r.getAs[String]("lang") -> (r.getAs[Long]("n_hashes"),
+        r.getAs[Long]("kth_min"), r.getAs[Long]("est_distinct"))).toMap
+    val exact = docs
+      .select(col("lang"),
+        explode(graft.functions.TextFunctions.normTokens(col("text")))
+          .as("t"))
+      .groupBy("lang").agg(countDistinct(col("t")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (lang, d) =>
+      val (n, _, est) = out(lang)
+      if (d <= 128) {
+        // small-set fallback: the sketch IS the exact count (modulo hash
+        // collisions, absent at this scale)
+        assert(n == d && est == d, s"$lang: exact path $est vs $d")
+      } else {
+        assert(n == 128L)
+        val err = math.abs(est - d).toDouble / d
+        // KMV relative error ~ 1/sqrt(k-1) ≈ 0.089; allow 3 sigma
+        assert(err < 0.27, s"$lang: est $est vs exact $d (err $err)")
+      }
+    }
+    // deterministic under repartition (mergeable partial aggregates)
+    val again = Sketches.kmvTokenDistinct(docs.repartition(7), "lang",
+        "text", k = 128)
+      .collect()
+      .map(r => r.getAs[String]("lang") -> (r.getAs[Long]("n_hashes"),
+        r.getAs[Long]("kth_min"), r.getAs[Long]("est_distinct"))).toMap
+    assert(again == out)
+  }
+
+  test("scramble: bijective over sampled fingerprints and spreads tiny " +
+      "inputs away from zero") {
+    val s = spark
+    import s.implicits._
+    val fps = (0L until 4096L).map(i => i * 536870923L % Sketches.M)
+    val out = fps.toDF("fp")
+      .select(Sketches.scramble(col("fp")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(out.distinct.length == fps.length, "scramble must be injective")
+    assert(out.forall(h => h >= 0 && h < Sketches.M))
+    // the smallest raw fingerprints (single chars ~ 100) must not stay
+    // clustered at the bottom of the hash space
+    val tiny = Seq(97L, 98L, 99L, 48L, 57L).toDF("fp")
+      .select(Sketches.scramble(col("fp")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(tiny.forall(_ > Sketches.M / 1000))
+  }
+}
