@@ -130,8 +130,11 @@ object Bench {
       val capBytes = sys.env.get("SPARK_GRAFT_PRETOUCH_MB")
         .map(_.toLong << 20).getOrElse(6L << 30)
       val target = math.min(Runtime.getRuntime.maxMemory, capBytes)
+      // deadline clamped to [1s, 1h] and compared via subtraction — the
+      // overflow-safe nanoTime idiom (an absolute t0+d comparison goes
+      // negative for huge env values and would silently skip pre-touch)
       val deadlineSec = sys.env.get("SPARK_GRAFT_PRETOUCH_SEC")
-        .map(_.toLong).getOrElse(90L)
+        .map(_.toLong).getOrElse(90L).max(1L).min(3600L)
       System.err.println(s"[bench] heap pre-touch: target ${target >> 20}" +
         s" MB (maxMemory ${Runtime.getRuntime.maxMemory >> 20} MB)," +
         s" deadline ${deadlineSec}s")
@@ -140,7 +143,7 @@ object Bench {
       val window = ((target * 2 / 5) / chunk).toInt max 1
       val hold = new scala.collection.mutable.Queue[Array[Byte]]
       var allocated = 0L
-      while (allocated < target && System.nanoTime() < deadline) {
+      while (allocated < target && System.nanoTime() - deadline < 0) {
         hold.enqueue(new Array[Byte](chunk))
         if (hold.size > window) hold.dequeue()
         allocated += chunk

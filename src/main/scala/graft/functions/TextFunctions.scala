@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** 2^32 / golden ratio — THE multiplicative-hash constant every
+    * deterministic operator family shares (sampling buckets, sketch
+    * scrambles, stand-in classifier weights). Single definition: the
+    * DuckDB oracles hard-code the same literal, so a divergent copy
+    * would break exactly one family. [[graft.operators.Sampling.Knuth]]
+    * aliases it for the public sampling API. */
+  private[graft] val KnuthMultiplier: Long = 2654435761L
+
   /** Lowercase, strip non-alphanumerics to spaces, collapse whitespace. */
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
@@ -394,17 +402,24 @@ object TextFunctions {
   def urlPath(url: Column): Column =
     coalesce(parse_url(url, lit("PATH")), lit(""))
 
-  /** Value of one query parameter ('' when absent). */
+  /** Value of one query parameter ('' when absent). Spark's ParseUrl
+    * compiles the key into a regex unescaped, so the key is quoted here —
+    * `utm.source` must match the literal parameter, not `utmXsource`,
+    * and a key with unbalanced metacharacters must not throw. */
   def urlQueryParam(url: Column, key: String): Column =
-    coalesce(parse_url(url, lit("QUERY"), lit(key)), lit(""))
+    coalesce(
+      parse_url(url, lit("QUERY"), lit(java.util.regex.Pattern.quote(key))),
+      lit(""))
 
-  /** Registered-domain HEURISTIC: the last two host labels
-    * (`a.b.c.example.com` → `example.com`). A production pipeline
+  /** Registered-domain HEURISTIC: the last two NON-EMPTY host labels
+    * (`a.b.c.example.com` → `example.com`; trailing-dot FQDNs like
+    * `example.com.` normalize to `example.com`). A production pipeline
     * substitutes the public-suffix list here (`co.uk` etc. need it); the
     * two-label rule keeps the operator dependency-free and portable. */
   def registeredDomain(host: Column): Column = {
-    val labels = split(host, "\\.")
+    val labels = filter(split(host, "\\."), l => l =!= "")
     when(size(labels) >= 2, concat_ws(".", slice(labels, -2, 2)))
+      .when(size(labels) === 1, element_at(labels, 1))
       .otherwise(host)
   }
 
@@ -435,7 +450,7 @@ object TextFunctions {
     // fp < 2^41, bucket < dim, bucket × Knuth < 2^42 — ANSI-safe
     val wSum = aggregate(toks, lit(0L), (acc, t) =>
       acc + pmod(pmod(fingerprintPolyRaw(t), lit(dim.toLong)) *
-        lit(2654435761L), lit(2001L)))
+        lit(KnuthMultiplier), lit(2001L)))
     val n = size(toks).cast("long")
     struct(
       n.as("n_toks"),
@@ -446,7 +461,8 @@ object TextFunctions {
 
   /** Exact integer division for NON-NEGATIVE operands, as a Column:
     * `(a - a mod b) / b` — the double division at the end is of an exact
-    * multiple, so it is exact for quotients up to 2^53. */
-  private def intDivNonNeg(a: Column, b: Column): Column =
+    * multiple, so it is exact for quotients up to 2^53. Shared across
+    * the fixed-point operator families (scorer here, KMV sketch). */
+  private[graft] def intDivNonNeg(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
 }

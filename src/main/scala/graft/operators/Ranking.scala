@@ -26,12 +26,17 @@ object Ranking {
     * Output: (group, rank, id, score) with rank 1..k per group.
     *
     * Like the similarity scorers, `score` is ranked as DOUBLE (the heap's
-    * element type); exact-integer scores survive unchanged up to 2^53. */
+    * element type); exact-integer scores survive unchanged up to 2^53.
+    * Rows with a NULL score or id are EXCLUDED from the ranking (filtered
+    * eagerly here — the heap aggregate would skip them silently, and "top
+    * k by score" is undefined for a scoreless row; a window formulation
+    * would instead hand NULLs the trailing ranks). */
   def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: Column,
       idCol: String, k: Int): DataFrame = {
     require(k > 0)
     df.select(col(groupCol), col(idCol).as("id"),
         scoreCol.cast("double").as("score"))
+      .filter(col("score").isNotNull && col("id").isNotNull)
       .groupBy(col(groupCol))
       .agg(topK(col("score"), col("id"), k).as("top"))
       .select(col(groupCol), posexplode(col("top")).as(Seq("rank0", "hit")))

@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** 2^32 / golden ratio (Knuth's multiplicative constant). */
-  val Knuth: Long = 2654435761L
+  /** 2^32 / golden ratio (Knuth's multiplicative constant) — alias of
+    * the shared [[graft.functions.TextFunctions.KnuthMultiplier]]. */
+  val Knuth: Long = graft.functions.TextFunctions.KnuthMultiplier
 
   /** Row-local membership bucket in [0, den). */
   def bucket(id: Column, den: Int, salt: Long): Column =
@@ -55,7 +56,12 @@ object Sampling {
     * no shuffle), partitioning-independent, and STABLE under corpus
     * growth: a row's label depends only on its own id, so adding
     * documents never migrates existing rows between splits — the property
-    * that keeps eval sets uncontaminated across corpus snapshots. */
+    * that keeps eval sets uncontaminated across corpus snapshots.
+    *
+    * A NULL id lands in the LAST part: SQL `CASE` falls through every
+    * NULL comparison to the ELSE branch, so the explicit `otherwise`
+    * keeps the engine and any SQL recomputation byte-identical (and the
+    * last part is conventionally the one eval never trains on). */
   def splitLabel(id: Column, parts: Seq[(String, Int)], den: Int,
       salt: Long = 0L): Column = {
     require(parts.nonEmpty && parts.forall(_._2 > 0) &&
@@ -65,7 +71,7 @@ object Sampling {
     parts.zip(cuts).tail.foldLeft(
       when(b < cuts.head, parts.head._1)) { case (c, ((name, _), cut)) =>
         c.when(b < cut, name)
-    }
+    }.otherwise(parts.last._1)
   }
 
   /** Weighted mix of corpora: per-source hash-sample then union. Each

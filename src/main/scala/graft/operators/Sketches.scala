@@ -32,7 +32,7 @@ object Sketches {
   /** Hash space: [0, 2^41) — matches the poly fingerprint's modulus. */
   val M: Long = 1L << 41
 
-  private val Knuth = 2654435761L
+  private val Knuth = TF.KnuthMultiplier
 
   /** Scramble a poly fingerprint across [0, M) with the Knuth multiplier
     * (a bijection mod 2^41 — odd multiplier): raw fingerprints of short
@@ -62,21 +62,19 @@ object Sketches {
         scramble(TF.fingerprintPolyRaw(col("t"))).as("h"))
       .distinct()
     // k smallest per group via the bounded-heap aggregate (score desc ⇒
-    // rank by -h; h < 2^41 is exact in double)
-    val kmin = hashes
+    // rank by -h; h < 2^41 is exact in double). The returned array is
+    // sorted by score desc = h ASC, so the sketch statistics are a pure
+    // projection of it: no explode, no second aggregate.
+    hashes
       .groupBy(col(groupCol))
       .agg(topK((-col("h")).cast("double"), col("h"), k).as("top"))
-      .select(col(groupCol), explode(col("top.id")).as("h"))
-    kmin.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_hashes"), max(col("h")).as("kth_min"))
+      .select(col(groupCol),
+        size(col("top")).cast("long").as("n_hashes"),
+        element_at(col("top.id"), size(col("top"))).as("kth_min"))
       .select(col(groupCol), col("n_hashes"), col("kth_min"),
         when(col("n_hashes") < k, col("n_hashes"))
-          .otherwise(intDivNonNeg(lit((k - 1).toLong * M), col("kth_min")))
+          .otherwise(
+            TF.intDivNonNeg(lit((k - 1).toLong * M), col("kth_min")))
           .as("est_distinct"))
   }
-
-  /** Exact integer division for non-negative operands (see
-    * TextFunctions' twin — exact for quotients up to 2^53). */
-  private def intDivNonNeg(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
 }

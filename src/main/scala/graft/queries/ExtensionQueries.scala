@@ -1393,12 +1393,14 @@ object ExtensionQueries {
          |  CASE WHEN n_hashes < 128 THEN n_hashes
          |       ELSE (127 * 2199023255552) // kth_min END AS est_distinct
          |FROM km ORDER BY lang""".stripMargin,
-    // same rank rule as the bounded-heap aggregate: score desc, id asc
+    // same rank rule as the bounded-heap aggregate: score desc, id asc;
+    // NULL-score/id rows are excluded like the engine's eager filter
     "rank_group_topk" ->
       """WITH r AS (SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS score,
         |  ROW_NUMBER() OVER (PARTITION BY lang
         |    ORDER BY n_chars DESC, doc_id) AS rank
-        |  FROM documents)
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL)
         |SELECT lang, rank, doc_id, score FROM r WHERE rank <= 3
         |ORDER BY lang, rank""".stripMargin,
     "corpus_shuffle" ->

@@ -111,4 +111,36 @@ class RankingSpec extends SparkFunSuite {
     assert(out(1) == (("example.com", "example.com", "/", 0, "")))
     assert(out(2) == (("localhost", "localhost", "/x/y/z", 3, "")))
   }
+
+  test("url edge cases: trailing-dot FQDN hosts normalize, regex " +
+      "metacharacters in a query-param key match literally") {
+    val s = spark
+    import s.implicits._
+    val row = Seq("https://example.com./p?utm.source=news&utmXsource=bad")
+      .toDF("url")
+      .select(
+        TF.registeredDomain(TF.urlHost(col("url"))).as("domain"),
+        TF.urlQueryParam(col("url"), "utm.source").as("v"))
+      .head()
+    assert(row.getString(0) == "example.com")
+    assert(row.getString(1) == "news",
+      "a dotted key must not regex-match utmXsource")
+  }
+
+  test("topKPerGroup excludes NULL scores; splitLabel sends NULL ids to " +
+      "the last part (both pinned against their SQL twins)") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "g", Some(10L)), (2L, "g", Some(5L)),
+      (3L, "g", Option.empty[Long]))
+      .toDF("id", "g", "v")
+    val ranked = Ranking.topKPerGroup(d, "g", col("v"), "id", 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ranked == Set(1L, 2L), "NULL-score row must not be ranked")
+    val labels = Seq(Some(1L), Option.empty[Long]).toDF("id")
+      .select(Sampling.splitLabel(col("id"),
+        Seq(("train", 8), ("val", 1), ("test", 1)), 10).as("sp"))
+      .collect().map(_.getString(0))
+    assert(labels(1) == "test", "NULL id must land in the last part")
+  }
 }

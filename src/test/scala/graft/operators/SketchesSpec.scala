@@ -22,9 +22,10 @@ class SketchesSpec extends SparkFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (lang, d) =>
       val (n, _, est) = out(lang)
-      if (d <= 128) {
-        // small-set fallback: the sketch IS the exact count (modulo hash
-        // collisions, absent at this scale)
+      if (d < 128) {
+        // small-set fallback (STRICTLY below k: a group with exactly k
+        // hashes takes the estimator): the sketch IS the exact count
+        // (modulo hash collisions, absent at this scale)
         assert(n == d && est == d, s"$lang: exact path $est vs $d")
       } else {
         assert(n == 128L)
@@ -32,6 +33,18 @@ class SketchesSpec extends SparkFunSuite {
         // KMV relative error ~ 1/sqrt(k-1) ≈ 0.089; allow 3 sigma
         assert(err < 0.27, s"$lang: est $est vs exact $d (err $err)")
       }
+    }
+    // boundary: a group with EXACTLY k distinct hashes takes the
+    // estimator path, not the exact fallback
+    locally {
+      val s2 = spark
+      import s2.implicits._
+      val atK = (1 to 128).map(i => ("g", s"tok$i")).toDF("g", "text")
+      val row = Sketches.kmvTokenDistinct(atK, "g", "text", k = 128)
+        .head()
+      assert(row.getAs[Long]("n_hashes") == 128L)
+      assert(row.getAs[Long]("est_distinct") ==
+        127L * Sketches.M / row.getAs[Long]("kth_min"))
     }
     // deterministic under repartition (mergeable partial aggregates)
     val again = Sketches.kmvTokenDistinct(docs.repartition(7), "lang",
