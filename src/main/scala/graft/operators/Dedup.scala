@@ -38,6 +38,33 @@ object Dedup {
       .groupBy(col("text_sha"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
+  /** INCREMENTAL exact dedup — the daily-ingest shape: dedup a new DELTA
+    * batch against an already-curated corpus without rescanning or
+    * rewriting it. A delta doc survives iff its text digest appears
+    * nowhere in the existing corpus AND it is the smallest-id holder of
+    * its digest within the delta.
+    *
+    * 100 TB design: both sides reduce to 32-byte digests before anything
+    * shuffles (the corpus side in production is a MATERIALIZED digest
+    * index, written once per snapshot and appended per delta — pass that
+    * relation as `existing` projected to its digest column); the delta's
+    * within-batch dedup is one partial-aggregated groupBy, and the
+    * corpus probe is a left-anti join on the digest — broadcast when the
+    * delta is small relative to the corpus index, shuffle otherwise, and
+    * never the document text.
+    *
+    * @return surviving NEW delta rows as (text_sha, survivor_id, n_copies)
+    */
+  def incrementalNew(existing: DataFrame, delta: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val ex = existing.select(sha2(col(textCol), 256).as("text_sha"))
+      .distinct()
+    delta.select(sha2(col(textCol), 256).as("text_sha"), col(idCol))
+      .groupBy(col("text_sha"))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
+      .join(ex, Seq("text_sha"), "left_anti")
+  }
+
   /** Shared LSH-candidate + exact-Jaccard-verify pipeline over any
     * (id, shingles) view: native minhash signature → band keys →
     * bucket self-join → verify within candidates only. */

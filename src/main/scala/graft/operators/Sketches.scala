@@ -77,4 +77,40 @@ object Sketches {
             TF.intDivNonNeg(lit((k - 1).toLong * M), col("kth_min")))
           .as("est_distinct"))
   }
+
+  /** Pairwise word-shingle Jaccard between corpus GROUPS (sources, crawl
+    * snapshots, language slices) — "how much does crawl A overlap crawl
+    * B" is the first question a curation pipeline asks before mixing.
+    * Output per unordered group pair (g_a < g_b, zero-overlap pairs
+    * omitted): shingle-set sizes, intersection size, and Jaccard (one
+    * double quotient of exact integers — engine-portable).
+    *
+    * 100 TB design: documents collapse to DISTINCT `(group, shingleHash)`
+    * rows via a map-side-combined aggregate — the stream that shuffles is
+    * vocabulary×groups sized, text never moves. The pair join fans each
+    * shingle out to at most `groups²` rows (groups is small by
+    * definition), and set sizes broadcast back onto the (tiny) pair
+    * table. */
+  def groupShingleJaccard(df: DataFrame, groupCol: String, textCol: String,
+      shingleK: Int = 3): DataFrame = {
+    val sh = df.select(col(groupCol).as("g"),
+        explode(TF.wordShingleHashes(col(textCol), shingleK)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("g").as("g_a"), col("sh"))
+      .join(sh.select(col("g").as("g_b"), col("sh")), Seq("sh"))
+      .filter(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("g").as("g_a"), col("n").as("n_a"))),
+        Seq("g_a"))
+      .join(broadcast(sizes.select(col("g").as("g_b"), col("n").as("n_b"))),
+        Seq("g_b"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+  }
 }

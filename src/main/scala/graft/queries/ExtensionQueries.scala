@@ -84,6 +84,31 @@ object ExtensionQueries {
         .select(col("a"), col("b"))
         .orderBy(col("a"), col("b"))),
 
+    // incremental dedup (the daily-ingest shape): a delta where every
+    // even doc is a byte-identical re-crawl (dropped against the corpus
+    // index) and every odd doc is an update (survives); the delta also
+    // carries one within-batch duplicate pair per odd doc's twin
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val delta1 = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" updated"))).as("text"))
+      // second copy of the odd updates at higher ids: within-delta dups
+      val delta = delta1.unionAll(
+        delta1.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.incrementalNew(docs, delta, "text", "doc_id")
+        .orderBy(col("survivor_id"))
+    }),
+
+    // cross-source corpus overlap: pairwise word-3-shingle Jaccard
+    // between sources — the "how much does crawl A repeat crawl B"
+    // pre-mixing report. Sources share boilerplate-free synthetic text,
+    // so overlap comes from genuinely shared shingles
+    "corpus_source_sim" -> ((s, dir) =>
+      Sketches.groupShingleJaccard(t(s, dir, "documents"), "source",
+          "text", shingleK = 3)
+        .orderBy(col("g_a"), col("g_b"))),
+
     // SemDeDup semantic dedup: 1-iteration k-means clusters (trained on
     // the union corpus), within-cell cosine >= 0.95 pairs. Twin pairs are
     // identical vectors, so they share a cell and qualify; the emitted
@@ -261,6 +286,26 @@ object ExtensionQueries {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
           nlist = 16, nprobe = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
+    // recall@5 of IVF against exact brute force — the evaluation metric
+    // an ANN deployment watches when tuning nlist/nprobe, computed
+    // in-engine and recomputed exactly by the oracle
+    "sim_recall_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(emb, q, k = 5, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = brute.intersect(approx)
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) * 20).as("recall_pct"))
+        .orderBy(col("query_id"))
     }),
 
     // the 100 TB deployment shape: corpus WRITTEN partitioned by cell,
@@ -882,9 +927,16 @@ object ExtensionQueries {
        |) ORDER BY a, b""".stripMargin
 
   /** Full IVF pipeline in DuckDB SQL — shared by the inline and the
-    * written-index variants (identical semantics by construction). */
+    * written-index variants (identical semantics by construction), and
+    * spliced into the recall-metric oracle. */
   private val IvfOracleSql =
-    """WITH cents AS (
+    s"""WITH $IvfCtesSql
+      |SELECT query_id, rank, neighbor_id FROM ivfr WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** The IVF chain's CTE body (ends at ranked probe results `ivfr`). */
+  private lazy val IvfCtesSql =
+    """cents AS (
       |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_vec
       |  FROM embeddings ORDER BY vec_id LIMIT 16),
       |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, embedding
@@ -907,12 +959,35 @@ object ExtensionQueries {
       |    list_cosine_similarity(q_vec, c_vec) AS sim
       |  FROM probes JOIN cells USING (cell)
       |  WHERE neighbor_id <> query_id),
-      |r AS (SELECT query_id, neighbor_id,
+      |ivfr AS (SELECT query_id, neighbor_id,
       |  ROW_NUMBER() OVER (PARTITION BY query_id
       |    ORDER BY sim DESC, neighbor_id) AS rank
-      |  FROM scored)
-      |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
-      |ORDER BY query_id, rank""".stripMargin
+      |  FROM scored)""".stripMargin
+
+  /** Recall@5 of the IVF chain against exact brute force, both
+    * recomputed in SQL — pins the evaluation metric itself. */
+  private lazy val IvfRecallOracleSql =
+    s"""WITH $IvfCtesSql,
+      |ivf AS (SELECT query_id, neighbor_id FROM ivfr WHERE rank <= 5),
+      |bs AS (SELECT qid AS query_id, neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM (SELECT qid, vec_id AS neighbor_id,
+      |      list_cosine_similarity(qv, embedding) AS sim
+      |    FROM (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      |          WHERE vec_id < 10) q, embeddings
+      |    WHERE vec_id <> qid)),
+      |brute AS (SELECT query_id, neighbor_id FROM bs WHERE rank <= 5),
+      |h AS (SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |  FROM brute b JOIN ivf i
+      |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      |  GROUP BY b.query_id)
+      |SELECT q.vec_id AS query_id,
+      |  COALESCE(h.n_hits, 0) AS n_hits,
+      |  COALESCE(h.n_hits, 0) * 20 AS recall_pct
+      |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+      |LEFT JOIN h ON h.query_id = q.vec_id
+      |ORDER BY query_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // independent fold of the same Karp-Rabin chain over normalized-text
@@ -1495,6 +1570,52 @@ object ExtensionQueries {
         |  UNION ALL SELECT a + 1000000, b + 1000000 FROM qual
         |  UNION ALL SELECT vec_id, vec_id + 1000000 FROM embeddings
         |) ORDER BY a, b""".stripMargin,
+    // same delta synthesis; survivors = delta digests absent from the
+    // corpus, smallest delta id per digest
+    "dedup_incremental" ->
+      """WITH d1 AS (SELECT doc_id + 1000000 AS doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN text
+        |         ELSE text || ' updated' END AS text
+        |  FROM documents),
+        |delta AS (SELECT doc_id, text FROM d1
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM d1),
+        |g AS (SELECT sha256(text) AS text_sha,
+        |    MIN(doc_id) AS survivor_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_copies
+        |  FROM delta GROUP BY sha256(text))
+        |SELECT text_sha, survivor_id, n_copies FROM g
+        |WHERE NOT EXISTS (SELECT 1 FROM documents d
+        |                  WHERE sha256(d.text) = g.text_sha)
+        |ORDER BY survivor_id""".stripMargin,
+    // distinct (source, shingle-string) sets stand in for the engine's
+    // shingle hashes (injectivity spec-pinned, like the minhash family);
+    // jaccard = one double quotient of exact int64 set sizes
+    "corpus_source_sim" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |    CASE WHEN norm = '' THEN []::VARCHAR[]
+        |         ELSE string_split(norm, ' ') END AS toks
+        |  FROM (SELECT doc_id, source,
+        |          trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+        |            AS norm
+        |        FROM documents)),
+        |sg AS (SELECT source AS g,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 1),
+        |                i -> array_to_string(toks[i:i+2], ' ')) END AS s
+        |  FROM tk),
+        |sh AS (SELECT DISTINCT g, unnest(s) AS sh FROM sg),
+        |sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM sh
+        |  GROUP BY g),
+        |inter AS (SELECT a.g AS g_a, b.g AS g_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.g < b.g
+        |  GROUP BY a.g, b.g)
+        |SELECT i.g_a, i.g_b, sa.n AS n_a, sb.n AS n_b, i.n_inter,
+        |  CAST(i.n_inter AS DOUBLE) /
+        |    CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS jaccard
+        |FROM inter i JOIN sizes sa ON sa.g = i.g_a
+        |  JOIN sizes sb ON sb.g = i.g_b
+        |ORDER BY g_a, g_b""".stripMargin,
     // full SemDeDup recomputation: union corpus -> smallest-id init ->
     // one exact-decimal Lloyd iteration (the ivf_kmeans_refine chain) ->
     // argmin assignment -> within-cell pairs at cosine >= 0.95
@@ -1577,6 +1698,7 @@ object ExtensionQueries {
     // cell-partitioned corpus, so it shares the oracle.
     "sim_topk_ivf" -> IvfOracleSql,
     "sim_topk_ivf_indexed" -> IvfOracleSql,
+    "sim_recall_ivf" -> IvfRecallOracleSql,
     "ivf_kmeans_refine" ->
       """WITH cents AS (
         |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_vec

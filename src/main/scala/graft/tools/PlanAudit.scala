@@ -30,7 +30,8 @@ object PlanAudit {
       "sample_lang_cap", "sim_topk_prefix", "text_normalize",
       "text_lm_surprisal", "dedup_lines", "dedup_lines_intra",
       "dedup_semantic", "rank_group_topk", "sample_split",
-      "text_quality_classifier", "text_url_parse", "sketch_kmv_distinct")
+      "text_quality_classifier", "text_url_parse", "sketch_kmv_distinct",
+      "dedup_incremental", "corpus_source_sim", "sim_recall_ivf")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       // Codegen stages are marked `*(id)` in the SIMPLE plan string, but

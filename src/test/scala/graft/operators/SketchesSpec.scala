@@ -55,6 +55,59 @@ class SketchesSpec extends SparkFunSuite {
     assert(again == out)
   }
 
+  test("groupShingleJaccard: hand-checked overlap; zero-overlap pairs " +
+      "omitted; counts are distinct-set sizes") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "g1", "a b c d"),   // shingles: "a b c", "b c d"
+      (2L, "g2", "b c d e"),   // shingles: "b c d", "c d e"
+      (3L, "g2", "b c d e"),   // duplicate doc: must not double-count
+      (4L, "g3", "x y z"))     // disjoint
+      .toDF("doc_id", "g", "text")
+    val out = Sketches.groupShingleJaccard(d, "g", "text", shingleK = 3)
+      .collect()
+      .map(r => ((r.getAs[String]("g_a"), r.getAs[String]("g_b")),
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_inter"), r.getAs[Double]("jaccard")))).toMap
+    assert(out.keySet == Set(("g1", "g2")),
+      "zero-overlap pairs must be omitted")
+    assert(out(("g1", "g2")) == ((2L, 2L, 1L, 1.0 / 3.0)))
+  }
+
+  test("incrementalNew: corpus re-crawls dropped, within-delta dups " +
+      "collapse to the smallest id, updates survive") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "alpha"),          // re-crawl of corpus doc -> dropped
+      (11L, "gamma"),          // new -> survives
+      (12L, "gamma"),          // within-delta dup -> folds into 11
+      (13L, "beta"),           // re-crawl -> dropped
+      (14L, "delta"))          // new -> survives
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNew(corpus, delta, "text", "doc_id")
+      .collect()
+      .map(r => r.getAs[Long]("survivor_id") -> r.getAs[Long]("n_copies"))
+      .toMap
+    assert(out == Map(11L -> 2L, 14L -> 1L))
+  }
+
+  test("corpus_source_sim oracle precondition: word-3-shingle hashes are " +
+      "injective over the sf0.01 shingle population") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val sh = docs.select(explode(
+      graft.functions.TextFunctions.wordShingles(col("text"), 3)).as("s"))
+    val nStrings = sh.select(countDistinct(col("s"))).head.getLong(0)
+    val hs = docs.select(explode(
+      graft.functions.TextFunctions.wordShingleHashes(col("text"), 3))
+      .as("h"))
+    val nHashes = hs.select(countDistinct(col("h"))).head.getLong(0)
+    assert(nStrings == nHashes,
+      "hash collisions would desync the shingle-string oracle")
+  }
+
   test("scramble: bijective over sampled fingerprints and spreads tiny " +
       "inputs away from zero") {
     val s = spark
