@@ -85,22 +85,30 @@ object Sketches {
     * omitted): shingle-set sizes, intersection size, and Jaccard (one
     * double quotient of exact integers — engine-portable).
     *
-    * 100 TB design: documents collapse to DISTINCT `(group, shingleHash)`
-    * rows via a map-side-combined aggregate — the stream that shuffles is
-    * vocabulary×groups sized, text never moves. The pair join fans each
-    * shingle out to at most `groups²` rows (groups is small by
-    * definition), and set sizes broadcast back onto the (tiny) pair
-    * table. */
+    * 100 TB design: ONE exchange keyed by shingle hash — `collect_set`
+    * partial-aggregates map-side, so duplicate `(group, shingle)`
+    * observations die inside their partition and the shuffle carries one
+    * row per distinct shingle (text never moves). Group sets are at most
+    * `|groups|` long (groups are small by definition), so the pair
+    * expansion is a row-local explode of the aggregated relation — no
+    * vocabulary self-join — and set sizes fall out of the same relation
+    * without rescanning the corpus. */
   def groupShingleJaccard(df: DataFrame, groupCol: String, textCol: String,
       shingleK: Int = 3): DataFrame = {
-    val sh = df.select(col(groupCol).as("g"),
+    val byShingle = df.select(col(groupCol).as("g"),
         explode(TF.wordShingleHashes(col(textCol), shingleK)).as("sh"))
-      .distinct()
-    val sizes = sh.groupBy(col("g")).agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("g").as("g_a"), col("sh"))
-      .join(sh.select(col("g").as("g_b"), col("sh")), Seq("sh"))
-      .filter(col("g_a") < col("g_b"))
-      .groupBy(col("g_a"), col("g_b"))
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("g"))).as("gs"))
+    val sizes = byShingle.select(explode(col("gs")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+    // ordered pairs from the sorted group set: (gs[i], gs[j]) for i < j —
+    // sort_array makes g_a < g_b by construction
+    val inter = byShingle
+      .filter(size(col("gs")) >= 2)
+      .select(explode(flatten(transform(col("gs"), (a, i) =>
+        transform(slice(col("gs"), i + lit(2), size(col("gs"))),
+          b => struct(a.as("g_a"), b.as("g_b")))))).as("p"))
+      .groupBy(col("p.g_a").as("g_a"), col("p.g_b").as("g_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(broadcast(sizes.select(col("g").as("g_a"), col("n").as("n_a"))),
