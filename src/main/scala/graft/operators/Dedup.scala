@@ -46,24 +46,32 @@ object Dedup {
     *
     * 100 TB design: both sides reduce to 32-byte digests before anything
     * shuffles (the corpus side in production is a MATERIALIZED digest
-    * index, written once per snapshot and appended per delta — pass that
-    * relation as `existing` projected to its digest column); the delta's
-    * within-batch dedup is one partial-aggregated groupBy, and the
-    * corpus probe is a left-anti join on the digest — broadcast when the
-    * delta is small relative to the corpus index, shuffle otherwise, and
-    * never the document text.
+    * index, written once per snapshot and appended per delta — pass it
+    * straight to [[incrementalNewByDigest]]); the delta's within-batch
+    * dedup is one partial-aggregated groupBy, and the corpus probe is a
+    * left-anti join on the digest — broadcast when the delta is small
+    * relative to the corpus index, shuffle otherwise, and never the
+    * document text.
     *
     * @return surviving NEW delta rows as (text_sha, survivor_id, n_copies)
     */
   def incrementalNew(existing: DataFrame, delta: DataFrame,
-      textCol: String, idCol: String): DataFrame = {
-    val ex = existing.select(sha2(col(textCol), 256).as("text_sha"))
-      .distinct()
+      textCol: String, idCol: String): DataFrame =
+    incrementalNewByDigest(
+      existing.select(sha2(col(textCol), 256).as("text_sha")),
+      delta, textCol, idCol)
+
+  /** [[incrementalNew]] against an ALREADY-DIGESTED corpus index — a
+    * one-column `text_sha` relation (the materialized index a snapshot
+    * pipeline maintains; see [[graft.streaming.StreamingPipelines
+    * .ingestNewStream]] for the streaming loop that appends to it). */
+  def incrementalNewByDigest(existingDigests: DataFrame, delta: DataFrame,
+      textCol: String, idCol: String): DataFrame =
     delta.select(sha2(col(textCol), 256).as("text_sha"), col(idCol))
       .groupBy(col("text_sha"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
-      .join(ex, Seq("text_sha"), "left_anti")
-  }
+      .join(existingDigests.select(col("text_sha")).distinct(),
+        Seq("text_sha"), "left_anti")
 
   /** Shared LSH-candidate + exact-Jaccard-verify pipeline over any
     * (id, shingles) view: native minhash signature → band keys →

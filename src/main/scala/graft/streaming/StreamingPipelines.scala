@@ -106,6 +106,47 @@ object StreamingPipelines {
       .dropDuplicatesWithinWatermark("a", "b")
   }
 
+  /** Streaming INCREMENTAL INGEST — the streaming loop around
+    * [[graft.operators.Dedup.incrementalNewByDigest]], i.e. the daily
+    * delta-vs-corpus dedup run continuously: every micro-batch is deduped
+    * against a PERSISTENT parquet digest index, genuinely-new docs go to
+    * `sink`, and the batch's digests are appended to the index so later
+    * batches (and later runs — the index outlives the query) see them.
+    *
+    * State lives in the INDEX, not the state store: re-crawl suppression
+    * must span the whole corpus lifetime, which no watermark horizon can
+    * bound — contrast [[dedupExactStream]], whose in-store digest state
+    * expires with the watermark. foreachBatch gives the batch-exact
+    * anti-join semantics plus transactional pacing: survivors are
+    * materialized (localCheckpoint) BEFORE the index append, so the
+    * lazily-evaluated anti-join can never observe its own batch's
+    * digests.
+    *
+    * Exactly-once note: foreachBatch is at-least-once on retries; the
+    * digest append is idempotent at the DEDUP level (a re-appended digest
+    * only strengthens suppression) and `sink` receives the batchId for
+    * its own idempotent writes — the standard Spark recipe. */
+  def ingestNewStream(docs: DataFrame, textCol: String, idCol: String,
+      indexPath: String)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val index =
+          if (new java.io.File(indexPath).exists)
+            spark.read.parquet(indexPath)
+          else Seq.empty[String].toDF("text_sha")
+        val fresh = graft.operators.Dedup
+          .incrementalNewByDigest(index, batch, textCol, idCol)
+          .localCheckpoint()
+        sink(fresh, batchId)
+        fresh.select(col("text_sha"))
+          .write.mode("append").parquet(indexPath)
+      }
+      .start()
+
   /** Stream-stream INTERVAL join — the streaming twin of
     * `operators.RangeJoin`: each trigger event joins to the follow events
     * of the same user within `[trigger_ts, trigger_ts + window)`. Both

@@ -82,6 +82,40 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental ingest: re-crawls suppressed across " +
+      "micro-batches via the persistent digest index; within-batch dups " +
+      "collapse; the index outlives the query") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest")
+      .toString + "/digests"
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def run(batches: Seq[Seq[(Long, String)]]): Unit = {
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingPipelines.ingestNewStream(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id", dir) {
+        (fresh, _) =>
+          emitted ++= fresh.collect().map(r =>
+            r.getAs[Long]("survivor_id") -> r.getAs[Long]("n_copies"))
+      }
+      try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    run(Seq(
+      Seq(1L -> "alpha", 2L -> "beta"),
+      // beta is a re-crawl (suppressed by the index written by batch 1);
+      // gamma arrives twice in one batch (collapses to smallest id)
+      Seq(3L -> "beta", 4L -> "gamma", 5L -> "gamma")))
+    assert(emitted.toSet == Set(1L -> 1L, 2L -> 1L, 4L -> 2L))
+    // a SECOND query over the same index: everything known is suppressed,
+    // only the genuinely new doc lands
+    emitted.clear()
+    run(Seq(Seq(6L -> "alpha", 7L -> "delta")))
+    assert(emitted.toSet == Set(7L -> 1L),
+      "the digest index must outlive the streaming query")
+  }
+
   test("streaming near-dup: LSH band self-join finds exact and near pairs " +
       "within the horizon, matches the batch operator on the same corpus") {
     val s = spark
