@@ -46,3 +46,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
     s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "6g")}",
     s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "6g")}",
   ))
+
+// The bench/verify contract is "exactly one stdout JSON line"; sbt
+// otherwise appends "[success] Total time: ..." AFTER the forked
+// process output, so any consumer parsing the LAST line gets sbt
+// noise instead of the result (BENCH_r01-r04 all record parsed:null).
+Global / showSuccess := false
