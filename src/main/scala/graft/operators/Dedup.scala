@@ -64,14 +64,15 @@ object Dedup {
   /** [[incrementalNew]] against an ALREADY-DIGESTED corpus index — a
     * one-column `text_sha` relation (the materialized index a snapshot
     * pipeline maintains; see [[graft.streaming.StreamingPipelines
-    * .ingestNewStream]] for the streaming loop that appends to it). */
+    * .ingestNewStream]] for the streaming loop that appends to it).
+    * Within-delta dedup is exactly [[exactByHash]]; the index side needs
+    * no dedup — anti-join semantics ignore right-side duplicates, and a
+    * distinct would cost a corpus-index-sized exchange per call. */
   def incrementalNewByDigest(existingDigests: DataFrame, delta: DataFrame,
       textCol: String, idCol: String): DataFrame =
-    delta.select(sha2(col(textCol), 256).as("text_sha"), col(idCol))
-      .groupBy(col("text_sha"))
-      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
-      .join(existingDigests.select(col("text_sha")).distinct(),
-        Seq("text_sha"), "left_anti")
+    exactByHash(delta, textCol, idCol)
+      .join(existingDigests.select(col("text_sha")), Seq("text_sha"),
+        "left_anti")
 
   /** Shared LSH-candidate + exact-Jaccard-verify pipeline over any
     * (id, shingles) view: native minhash signature → band keys →

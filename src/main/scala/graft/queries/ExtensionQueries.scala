@@ -886,19 +886,24 @@ object ExtensionQueries {
     }
 
   /** Word-3-shingle sets (mirrors ShingleHashes byChar=false, k=3:
-    * distinct shingles; < k tokens → one whole-doc shingle). */
+    * distinct shingles; < k tokens → one whole-doc shingle; EMPTY text →
+    * empty set like the kernel — without the explicit branch,
+    * `array_to_string([], ' ')` is NULL in DuckDB and would add a
+    * phantom element). */
   private val WordShinglesSql =
     s"""SELECT doc_id,
-       |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |  CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+       |       WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
        |       ELSE list_distinct(list_transform(range(1, len(toks) - 1),
        |              i -> array_to_string(toks[i:i+2], ' '))) END AS s
        |FROM ($NormToksSql)""".stripMargin
 
   /** Char-5-gram sets of the normalized text (mirrors ShingleHashes
-    * byChar=true, n=5). */
+    * byChar=true, n=5; empty text → empty set like the kernel). */
   private val CharNgramsSql =
     """SELECT doc_id,
-      |  CASE WHEN length(norm) < 5 THEN [norm]
+      |  CASE WHEN length(norm) = 0 THEN []::VARCHAR[]
+      |       WHEN length(norm) < 5 THEN [norm]
       |       ELSE list_distinct(list_transform(range(1, length(norm) - 3),
       |              i -> norm[i:i+4])) END AS s
       |FROM (SELECT doc_id,
@@ -913,9 +918,11 @@ object ExtensionQueries {
     s"""WITH sh AS ($shinglesSql),
        |pj AS (
        |  SELECT a.doc_id AS a, b.doc_id AS b,
-       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-       |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |      AS j
+       |    CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) = 0
+       |         THEN CAST(1.0 AS DOUBLE)
+       |         ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+       |             AS DOUBLE) END AS j
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
        |qual AS (SELECT a, b, j FROM pj WHERE j >= $threshold)
        |SELECT a, b, j AS jaccard FROM (
@@ -964,20 +971,32 @@ object ExtensionQueries {
       |    ORDER BY sim DESC, neighbor_id) AS rank
       |  FROM scored)""".stripMargin
 
+  /** Brute-force cosine chain's CTE body (ends at ranked results
+    * `bruter`) — shared by the sim_topk_brute oracle and the recall
+    * metric, so the metric can never desync from the query it measures. */
+  private val BruteCtesSql =
+    """bq AS (SELECT vec_id AS qid, embedding AS qv
+      |  FROM embeddings WHERE vec_id < 10),
+      |bsc AS (SELECT qid, vec_id AS neighbor_id,
+      |  list_cosine_similarity(qv, embedding) AS sim
+      |  FROM bq, embeddings WHERE vec_id <> qid),
+      |bruter AS (SELECT qid AS query_id, neighbor_id,
+      |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id)
+      |    AS rank
+      |  FROM bsc)""".stripMargin
+
+  private lazy val BruteOracleSql =
+    s"""WITH $BruteCtesSql
+      |SELECT query_id, rank, neighbor_id FROM bruter WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Recall@5 of the IVF chain against exact brute force, both
     * recomputed in SQL — pins the evaluation metric itself. */
   private lazy val IvfRecallOracleSql =
     s"""WITH $IvfCtesSql,
+      |$BruteCtesSql,
       |ivf AS (SELECT query_id, neighbor_id FROM ivfr WHERE rank <= 5),
-      |bs AS (SELECT qid AS query_id, neighbor_id,
-      |    ROW_NUMBER() OVER (PARTITION BY qid
-      |      ORDER BY sim DESC, neighbor_id) AS rank
-      |  FROM (SELECT qid, vec_id AS neighbor_id,
-      |      list_cosine_similarity(qv, embedding) AS sim
-      |    FROM (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-      |          WHERE vec_id < 10) q, embeddings
-      |    WHERE vec_id <> qid)),
-      |brute AS (SELECT query_id, neighbor_id FROM bs WHERE rank <= 5),
+      |brute AS (SELECT query_id, neighbor_id FROM bruter WHERE rank <= 5),
       |h AS (SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
       |  FROM brute b JOIN ivf i
       |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
@@ -1589,20 +1608,13 @@ object ExtensionQueries {
         |ORDER BY survivor_id""".stripMargin,
     // distinct (source, shingle-string) sets stand in for the engine's
     // shingle hashes (injectivity spec-pinned, like the minhash family);
-    // jaccard = one double quotient of exact int64 set sizes
+    // jaccard = one double quotient of exact int64 set sizes. Shingle
+    // sets come from the SHARED WordShinglesSql chain (empty-doc-safe),
+    // joined back to documents for the source column
     "corpus_source_sim" ->
-      """WITH tk AS (SELECT doc_id, source,
-        |    CASE WHEN norm = '' THEN []::VARCHAR[]
-        |         ELSE string_split(norm, ' ') END AS toks
-        |  FROM (SELECT doc_id, source,
-        |          trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
-        |            AS norm
-        |        FROM documents)),
-        |sg AS (SELECT source AS g,
-        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_transform(range(1, len(toks) - 1),
-        |                i -> array_to_string(toks[i:i+2], ' ')) END AS s
-        |  FROM tk),
+      s"""WITH ws AS ($WordShinglesSql),
+        |sg AS (SELECT d.source AS g, ws.s
+        |  FROM ws JOIN documents d ON ws.doc_id = d.doc_id),
         |sh AS (SELECT DISTINCT g, unnest(s) AS sh FROM sg),
         |sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM sh
         |  GROUP BY g),
@@ -1653,17 +1665,7 @@ object ExtensionQueries {
         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
         |ORDER BY a, b""".stripMargin,
-    "sim_topk_brute" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qv
-        |  FROM embeddings WHERE vec_id < 10),
-        |s AS (SELECT qid, vec_id AS neighbor_id,
-        |  list_cosine_similarity(qv, embedding) AS sim
-        |  FROM q, embeddings WHERE vec_id <> qid),
-        |r AS (SELECT qid AS query_id, neighbor_id,
-        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM s)
-        |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "sim_topk_brute" -> BruteOracleSql,
     // staged SQL recomputation: 32-dim prefix inner product (DuckDB list
     // slicing is 1-based-inclusive like Spark's slice; list_inner_product
     // folds sequentially like aggregate()), rank cut at k*overfetch, then

@@ -125,18 +125,28 @@ object StreamingPipelines {
     * Exactly-once note: foreachBatch is at-least-once on retries; the
     * digest append is idempotent at the DEDUP level (a re-appended digest
     * only strengthens suppression) and `sink` receives the batchId for
-    * its own idempotent writes — the standard Spark recipe. */
+    * its own idempotent writes — the standard Spark recipe, which needs a
+    * DURABLE `checkpointLocation` for batchIds to stay stable across
+    * restarts (omitted → temp checkpoint, batchIds reset on restart; the
+    * INDEX-level suppression still holds either way). */
   def ingestNewStream(docs: DataFrame, textCol: String, idCol: String,
-      indexPath: String)(sink: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+      indexPath: String, checkpointLocation: Option[String] = None)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
+        // existence via the Hadoop FS of the path, NOT java.io.File —
+        // the production index lives on hdfs://-s3a:// URIs where a
+        // local-file check is always false and would silently disable
+        // every cross-batch suppression
+        val hPath = new org.apache.hadoop.fs.Path(indexPath)
+        val fs = hPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
         val index =
-          if (new java.io.File(indexPath).exists)
-            spark.read.parquet(indexPath)
+          if (fs.exists(hPath)) spark.read.parquet(indexPath)
           else Seq.empty[String].toDF("text_sha")
         val fresh = graft.operators.Dedup
           .incrementalNewByDigest(index, batch, textCol, idCol)
@@ -145,7 +155,9 @@ object StreamingPipelines {
         fresh.select(col("text_sha"))
           .write.mode("append").parquet(indexPath)
       }
-      .start()
+    checkpointLocation.foreach(p => writer.option("checkpointLocation", p))
+    writer.start()
+  }
 
   /** Stream-stream INTERVAL join — the streaming twin of
     * `operators.RangeJoin`: each trigger event joins to the follow events

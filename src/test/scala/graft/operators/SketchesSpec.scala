@@ -108,6 +108,23 @@ class SketchesSpec extends SparkFunSuite {
       "hash collisions would desync the shingle-string oracle")
   }
 
+  test("empty-doc shingle contract: the native kernels emit EMPTY sets " +
+      "for empty/punctuation-only text (the oracle SQL's explicit " +
+      "empty branch mirrors this)") {
+    val s = spark
+    import s.implicits._
+    val out = Seq("", "   ", "!!! ...", "real text with several words here")
+      .toDF("text")
+      .select(
+        size(graft.functions.TextFunctions
+          .wordShingleHashes(col("text"), 3)).as("nw"),
+        size(graft.functions.TextFunctions
+          .charNgramHashes(col("text"), 5)).as("nc"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(out(0) == ((0, 0)) && out(1) == ((0, 0)) && out(2) == ((0, 0)))
+    assert(out(3)._1 > 0 && out(3)._2 > 0)
+  }
+
   test("scramble: bijective over sampled fingerprints and spreads tiny " +
       "inputs away from zero") {
     val s = spark
