@@ -443,6 +443,41 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // FORWARD as-of: for each purchase, the next error event of the same
+    // user at-or-after it (events self-pair — orders live in a different
+    // synthetic era). Right side pre-aggregated to one row per (user, ts)
+    // to pin ties, like the backward query.
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val err = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("err_id"))
+      graft.operators.AsofJoin.asofJoin(pur, err,
+          key = "user_id", leftTime = "ts", rightTime = "ts",
+          payloadCols = Seq("err_id"), direction = "forward")
+        .select(col("event_id"), col("user_id"), col("err_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // NEAREST as-of: the error event closest in time to each purchase,
+    // ties to backward; distance compared in exact integer microseconds
+    // on both engines (unix_micros ↔ epoch_us)
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val err = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("err_id"))
+      graft.operators.AsofJoin.asofJoin(pur, err,
+          key = "user_id", leftTime = "ts", rightTime = "ts",
+          payloadCols = Seq("err_id"), direction = "nearest")
+        .select(col("event_id"), col("user_id"), col("err_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // Range join: events within 1 hour AFTER each purchase by the same
     // user (operators/RangeJoin — bucketed equi-join + exact filter, never
     // a nested-loop plan). Oracle is DuckDB's plain range-predicate join
@@ -789,6 +824,40 @@ object AnalyticsQueries {
         |FROM events e ASOF LEFT JOIN ord o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    // DuckDB ASOF with ts <= ts picks the smallest right time >= left —
+    // the forward direction
+    "q_asof_forward" ->
+      """WITH pur AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |err AS (SELECT user_id, ts, MAX(event_id) AS err_id FROM events
+        |  WHERE event_type = 'error' GROUP BY user_id, ts)
+        |SELECT p.event_id, p.user_id, e.err_id
+        |FROM pur p ASOF LEFT JOIN err e
+        |  ON p.user_id = e.user_id AND p.ts <= e.ts
+        |ORDER BY p.event_id""".stripMargin,
+    // both directions via two ASOF joins, closest by exact integer
+    // microseconds (epoch_us), ties to backward — mirrors the engine
+    "q_asof_nearest" ->
+      """WITH pur AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |err AS (SELECT user_id, ts, MAX(event_id) AS err_id FROM events
+        |  WHERE event_type = 'error' GROUP BY user_id, ts),
+        |f AS (SELECT p.event_id, e.err_id AS f_id, e.ts AS f_ts
+        |  FROM pur p ASOF LEFT JOIN err e
+        |    ON p.user_id = e.user_id AND p.ts <= e.ts),
+        |b AS (SELECT p.event_id, e.err_id AS b_id, e.ts AS b_ts
+        |  FROM pur p ASOF LEFT JOIN err e
+        |    ON p.user_id = e.user_id AND p.ts >= e.ts)
+        |SELECT p.event_id, p.user_id,
+        |  CASE WHEN f.f_id IS NULL THEN b.b_id
+        |       WHEN b.b_id IS NULL THEN f.f_id
+        |       WHEN epoch_us(f.f_ts) - epoch_us(p.ts) <
+        |            epoch_us(p.ts) - epoch_us(b.b_ts) THEN f.f_id
+        |       ELSE b.b_id END AS err_id
+        |FROM pur p
+        |LEFT JOIN f ON f.event_id = p.event_id
+        |LEFT JOIN b ON b.event_id = p.event_id
+        |ORDER BY p.event_id""".stripMargin,
     "q_range_join" ->
       """SELECT p.event_id AS purchase_id, e.event_id
         |FROM events e JOIN events p ON e.user_id = p.user_id

@@ -665,6 +665,46 @@ class AsofJoinSpec extends SparkFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2, plan)
   }
+
+  test("asof forward: earliest right row at-or-after, inclusive at equal " +
+      "time, null when nothing follows") {
+    val s = spark
+    import s.implicits._
+    val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 17L, "t3"),
+      (3L, 5L, "t4")).toDF("k", "t", "trade")
+    val quotes = Seq((1L, 10L, 100.0), (1L, 15L, 110.0), (2L, 15L, 200.0),
+      (2L, 16L, 210.0)).toDF("k", "qt", "price")
+    val got = AsofJoin.asofJoin(trades, quotes, "k", "t", "qt",
+        Seq("price"), direction = "forward")
+      .orderBy("k", "t").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("t"),
+        Option(r.getAs[java.lang.Double]("price")).map(_.toDouble)))
+    assert(got.toSeq == Seq(
+      (1L, 10L, Some(100.0)), // equal time: inclusive
+      (1L, 20L, None),        // nothing after 20 for key 1
+      (2L, 17L, None),        // 15/16 are in the past
+      (3L, 5L, None)))
+  }
+
+  test("asof nearest: closer side wins, exact tie goes backward") {
+    val s = spark
+    import s.implicits._
+    val trades = Seq((1L, 10L, "a"), (1L, 14L, "b"), (1L, 16L, "c"),
+      (1L, 15L, "tie"), (2L, 9L, "d")).toDF("k", "t", "trade")
+    val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 200.0), (2L, 30L, 300.0))
+      .toDF("k", "qt", "price")
+    val got = AsofJoin.asofJoin(trades, quotes, "k", "t", "qt",
+        Seq("price"), direction = "nearest")
+      .collect()
+      .map(r => r.getAs[String]("trade") ->
+        Option(r.getAs[java.lang.Double]("price")).map(_.toDouble)).toMap
+    assert(got == Map(
+      "a" -> Some(100.0),   // exact hit
+      "b" -> Some(100.0),   // 14: dist 4 back vs 6 fwd
+      "c" -> Some(200.0),   // 16: dist 6 back vs 4 fwd
+      "tie" -> Some(100.0), // 15: dist 5 both ways -> backward
+      "d" -> Some(300.0)))  // only a future quote exists
+  }
 }
 
 /** Mergeable-sketch coverage (SURVEY.md §2.2 lists HLL/sketches among the
