@@ -96,6 +96,11 @@ object Sampling {
     * Row selection is the same id-hash rule as [[hashSample]] —
     * deterministic, partitioning-independent. The rate table is one tiny
     * aggregate broadcast back onto the corpus: no corpus shuffle at all.
+    * `Σ√n` is summed as `round(√n·1e10)` int64 — a plain double SUM is
+    * summation-ORDER-dependent, so either engine's parallel aggregate
+    * could drift a last ulp between runs (observed once at sf0.01); the
+    * quantized sum is exact and order-free, the same trick the k-means
+    * trainer uses for its per-cell means.
     *
     * @param targetRows corpus-size budget the flattened distribution is
     *                   scaled to (rates cap at 1 — sampling never
@@ -108,7 +113,8 @@ object Sampling {
     val counts = df.groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_stratum"))
     val tot = counts
-      .agg(sum(sqrt(col("n_stratum").cast("double"))).as("sum_sqrt"))
+      .agg((sum(round(sqrt(col("n_stratum").cast("double")) * 1e10)
+          .cast("long")).cast("double") / 1e10).as("sum_sqrt"))
     val rates = counts.crossJoin(tot).select(
       col(strataCol).as("__stratum_key"),
       col("n_stratum"),

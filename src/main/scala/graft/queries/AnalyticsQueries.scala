@@ -268,6 +268,36 @@ object AnalyticsQueries {
     // followed by a click, then a purchase — greedy first-occurrence
     // matching (min ts per step AFTER the previous step), three
     // filter-pushed passes over events joined per step
+    // COHORT RETENTION: users bucketed by first-seen week, distinct
+    // active users per (cohort week, weeks-since) cell — the standard
+    // product-analytics matrix. Two map-side-combined aggregates + one
+    // broadcast of the (users-sized) cohort table; week arithmetic in
+    // exact integer days since epoch (date_trunc'd), no timezone drift
+    "q_cohort_retention" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+      val cohort = e.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      e.join(broadcast(cohort), Seq("user_id"))
+        .groupBy(col("cohort_wk"),
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("int")
+            .as("weeks_since"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy(col("cohort_wk"), col("weeks_since"))
+    }),
+
+    // fixed-width value histogram: bin = floor(value/25) clamped to
+    // [0, 19] — one row-local projection + one partial-aggregated
+    // groupBy; identical IEEE division/floor on both engines
+    "q_value_histogram" -> ((s, dir) =>
+      events(s, dir)
+        .select(least(floor(col("value") / 25.0), lit(19.0))
+          .cast("int").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bin"))),
+
     "q_funnel" -> ((s, dir) => {
       val e = events(s, dir)
         .select(col("user_id"), col("event_type"),
@@ -757,6 +787,21 @@ object AnalyticsQueries {
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |  AS trail_1h_events
         |FROM e ORDER BY event_id""".stripMargin,
+    // same Monday-based week truncation, exact integer day arithmetic
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e
+        |  GROUP BY user_id)
+        |SELECT c.cohort_wk,
+        |  CAST((e.wk - c.cohort_wk) // 7 AS INTEGER) AS weeks_since,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_value_histogram" ->
+      """SELECT CAST(LEAST(FLOOR(value / 25.0), 19.0) AS INTEGER) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t_view
         |  FROM events WHERE event_type = 'view' GROUP BY user_id),

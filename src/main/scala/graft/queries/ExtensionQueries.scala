@@ -1424,11 +1424,15 @@ object ExtensionQueries {
         |SELECT doc_id, source, unnest(range(0, copies)) AS copy
         |FROM w ORDER BY doc_id, copy""".stripMargin,
     // same arithmetic as Sampling.temperatureSample: sqrt is IEEE-exact,
-    // every division double, identical association order on both sides
+    // every division double, identical association order on both sides;
+    // sum_sqrt via the exact order-free quantized-int sum (a double SUM
+    // is summation-order-dependent under parallel aggregation)
     "sample_temperature" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_stratum FROM documents
         |  GROUP BY lang),
-        |t AS (SELECT SUM(sqrt(CAST(n_stratum AS DOUBLE))) AS sum_sqrt
+        |t AS (SELECT CAST(SUM(CAST(round(
+        |    sqrt(CAST(n_stratum AS DOUBLE)) * 1e10) AS BIGINT)) AS DOUBLE)
+        |    / 1e10 AS sum_sqrt
         |  FROM c),
         |r AS (SELECT lang, n_stratum,
         |  least(CAST(1.0 AS DOUBLE), CAST(250 AS DOUBLE) *

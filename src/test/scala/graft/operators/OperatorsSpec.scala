@@ -529,8 +529,10 @@ class SimilaritySpec extends SparkFunSuite {
     val enRate = rates("en")._2
     assert(rates.forall { case (l, (_, r)) => l == "en" || r > enRate },
       s"en must be cut hardest: $rates")
-    // rate formula: min(1, T * (sqrt(n)/sum_sqrt) / n)
-    val sumSqrt = rates.values.map(v => math.sqrt(v._1.toDouble)).sum
+    // rate formula: min(1, T * (sqrt(n)/sum_sqrt) / n), with sum_sqrt
+    // the exact order-free quantized-int sum the operator uses
+    val sumSqrt = rates.values
+      .map(v => math.round(math.sqrt(v._1.toDouble) * 1e10)).sum / 1e10
     rates.foreach { case (_, (n, r)) =>
       val expect = math.min(1.0,
         250.0 * (math.sqrt(n.toDouble) / sumSqrt) / n.toDouble)
