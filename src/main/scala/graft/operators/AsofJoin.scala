@@ -74,7 +74,10 @@ object AsofJoin {
       leftCols.map(col) ++
         Seq(lit(null).cast(payloadType).as("_payload"),
           col(leftTime).as("_t"), lit(1).as("_side")): _*)
-    val r = right.select(
+    // NULL-time right rows can never be an as-of match (merge_asof drops
+    // null keys) — unfiltered they sort nulls-first and the backward
+    // frame would pick one as the "most recent" row for early left rows
+    val r = right.filter(col(rightTime).isNotNull).select(
       leftCols.map(c => if (c == key) col(key)
         else lit(null).cast(leftTypes(c)).as(c)) ++
         Seq(struct((col(rightTime).as("_rt") +:
@@ -117,7 +120,13 @@ object AsofJoin {
               .otherwise(col("_bwd")))
           .drop("_bwd", "_fwd")
     }
+    // a left row with NULL time matches nothing in ANY direction: it
+    // sorts nulls-first, where the forward frame would otherwise cover
+    // every right row and hand it the earliest payload
     val joined = withPick.filter(col("_side") === 1)
+      .withColumn("_pick",
+        when(col("_t").isNull, lit(null).cast(payloadType))
+          .otherwise(col("_pick")))
     payloadCols
       .foldLeft(joined)((df, p) => df.withColumn(p, col(s"_pick.$p")))
       .drop("_payload", "_pick", "_t", "_side")

@@ -264,22 +264,20 @@ object AnalyticsQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
-    // ordered-sequence (funnel) analysis: users whose first view is
-    // followed by a click, then a purchase — greedy first-occurrence
-    // matching (min ts per step AFTER the previous step), three
-    // filter-pushed passes over events joined per step
     // COHORT RETENTION: users bucketed by first-seen week, distinct
     // active users per (cohort week, weeks-since) cell — the standard
-    // product-analytics matrix. Two map-side-combined aggregates + one
-    // broadcast of the (users-sized) cohort table; week arithmetic in
-    // exact integer days since epoch (date_trunc'd), no timezone drift
+    // product-analytics matrix. cohort_wk rides a whole-partition window
+    // min, so ONE user_id shuffle feeds both the cohort assignment and
+    // the per-cell distinct aggregate — no join against a users-sized
+    // cohort table (a broadcast of it would cap out at the 8 GB limit
+    // long before web scale); week arithmetic in exact integer days
     "q_cohort_retention" -> ((s, dir) => {
-      val e = events(s, dir)
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+      events(s, dir)
         .select(col("user_id"),
           date_trunc("week", col("ts")).cast("date").as("wk"))
-      val cohort = e.groupBy(col("user_id"))
-        .agg(min(col("wk")).as("cohort_wk"))
-      e.join(broadcast(cohort), Seq("user_id"))
+        .withColumn("cohort_wk", min(col("wk")).over(byUser))
         .groupBy(col("cohort_wk"),
           (datediff(col("wk"), col("cohort_wk")) / 7).cast("int")
             .as("weeks_since"))
@@ -288,16 +286,22 @@ object AnalyticsQueries {
     }),
 
     // fixed-width value histogram: bin = floor(value/25) clamped to
-    // [0, 19] — one row-local projection + one partial-aggregated
-    // groupBy; identical IEEE division/floor on both engines
+    // [0, 19] on BOTH ends (negative values land in bin 0) — one
+    // row-local projection + one partial-aggregated groupBy; identical
+    // IEEE division/floor on both engines
     "q_value_histogram" -> ((s, dir) =>
       events(s, dir)
-        .select(least(floor(col("value") / 25.0), lit(19.0))
+        .select(greatest(least(floor(col("value") / 25.0), lit(19.0)),
+            lit(0.0))
           .cast("int").as("bin"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("bin"))),
 
+    // ordered-sequence (funnel) analysis: users whose first view is
+    // followed by a click, then a purchase — greedy first-occurrence
+    // matching (min ts per step AFTER the previous step), three
+    // filter-pushed passes over events joined per step
     "q_funnel" -> ((s, dir) => {
       val e = events(s, dir)
         .select(col("user_id"), col("event_type"),
@@ -799,7 +803,8 @@ object AnalyticsQueries {
         |FROM e JOIN c ON e.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_value_histogram" ->
-      """SELECT CAST(LEAST(FLOOR(value / 25.0), 19.0) AS INTEGER) AS bin,
+      """SELECT CAST(GREATEST(LEAST(FLOOR(value / 25.0), 19.0), 0.0)
+        |    AS INTEGER) AS bin,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_funnel" ->

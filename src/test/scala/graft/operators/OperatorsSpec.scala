@@ -688,6 +688,26 @@ class AsofJoinSpec extends SparkFunSuite {
       (3L, 5L, None)))
   }
 
+  test("asof: NULL times never match in any direction — null-time left " +
+      "rows get null payloads, null-time right rows are dropped") {
+    val s = spark
+    import s.implicits._
+    val trades = Seq((1L, Option(10L), "a"), (1L, Option.empty[Long], "n"))
+      .toDF("k", "t", "trade")
+    val quotes = Seq((1L, Option.empty[Long], 999.0), (1L, Option(12L), 120.0))
+      .toDF("k", "qt", "price")
+    Seq("backward", "forward", "nearest").foreach { d =>
+      val got = AsofJoin.asofJoin(trades, quotes, "k", "t", "qt",
+          Seq("price"), direction = d)
+        .collect().map(r => r.getAs[String]("trade") ->
+          Option(r.getAs[java.lang.Double]("price")).map(_.toDouble)).toMap
+      assert(got("n").isEmpty, s"$d: null left time must not match")
+      val expectA = if (d == "backward") None else Some(120.0)
+      assert(got("a") == expectA,
+        s"$d: null right time must never be the match (got ${got("a")})")
+    }
+  }
+
   test("asof nearest: closer side wins, exact tie goes backward") {
     val s = spark
     import s.implicits._
