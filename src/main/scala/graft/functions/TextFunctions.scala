@@ -390,17 +390,19 @@ object TextFunctions {
   }
 
   // ---- URL decomposition (web-corpus provenance columns) ----
-  // parse_url is a codegen'd built-in; absent parts come back NULL —
-  // coalesced to '' here so downstream group-bys have one empty domain
-  // instead of a null-vs-'' split.
+  // try_parse_url, NOT parse_url: the plain variant THROWS on a
+  // malformed URL under ANSI mode, and web-corpus provenance columns are
+  // full of garbage — one bad row must yield '' for that row, not kill
+  // the job. Absent parts come back NULL — coalesced to '' here so
+  // downstream group-bys have one empty domain, not a null-vs-'' split.
 
   /** Host of a URL, '' when absent/unparseable. */
   def urlHost(url: Column): Column =
-    coalesce(parse_url(url, lit("HOST")), lit(""))
+    coalesce(try_parse_url(url, lit("HOST")), lit(""))
 
-  /** Path of a URL ('' when absent). */
+  /** Path of a URL ('' when absent/unparseable). */
   def urlPath(url: Column): Column =
-    coalesce(parse_url(url, lit("PATH")), lit(""))
+    coalesce(try_parse_url(url, lit("PATH")), lit(""))
 
   /** Value of one query parameter ('' when absent). Spark's ParseUrl
     * compiles the key into a regex unescaped, so the key is quoted here —
@@ -408,7 +410,8 @@ object TextFunctions {
     * and a key with unbalanced metacharacters must not throw. */
   def urlQueryParam(url: Column, key: String): Column =
     coalesce(
-      parse_url(url, lit("QUERY"), lit(java.util.regex.Pattern.quote(key))),
+      try_parse_url(url, lit("QUERY"),
+        lit(java.util.regex.Pattern.quote(key))),
       lit(""))
 
   /** Registered-domain HEURISTIC: the last two NON-EMPTY host labels

@@ -113,7 +113,8 @@ class RankingSpec extends SparkFunSuite {
   }
 
   test("url edge cases: trailing-dot FQDN hosts normalize, regex " +
-      "metacharacters in a query-param key match literally") {
+      "metacharacters in a query-param key match literally, malformed " +
+      "URLs yield '' instead of throwing") {
     val s = spark
     import s.implicits._
     val row = Seq("https://example.com./p?utm.source=news&utmXsource=bad")
@@ -125,6 +126,18 @@ class RankingSpec extends SparkFunSuite {
     assert(row.getString(0) == "example.com")
     assert(row.getString(1) == "news",
       "a dotted key must not regex-match utmXsource")
+    // dirty web data: plain text, spaces, junk — '' per part, no throw
+    // (parse_url would raise INVALID_URL under ANSI mode)
+    val junk = Seq("not a url at all", "http://bad host/ path?",
+        "ht!tp:::/x")
+      .toDF("url")
+      .select(TF.urlHost(col("url")).as("h"), TF.urlPath(col("url")).as("p"),
+        TF.urlQueryParam(col("url"), "ref").as("r"))
+      .collect()
+    junk.foreach { r =>
+      assert(r.getString(0) == "" && r.getString(2) == "",
+        s"malformed URL must decompose to '': $r")
+    }
   }
 
   test("topKPerGroup excludes NULL scores; splitLabel sends NULL ids to " +

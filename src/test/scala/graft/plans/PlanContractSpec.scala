@@ -159,6 +159,48 @@ class PlanContractSpec extends SparkFunSuite {
     assert(shuffles(df) <= 8,
       s"unexpected extra exchanges:\n${df.queryExecution.executedPlan}")
   }
+
+  test("semanticNearDup: cell assignment is the native row-local " +
+      "expression; no cross join anywhere") {
+    val (ids, vecs) = Similarity.kmeansCentroids(emb, nlist = 4, iters = 0)
+    val df = graft.operators.Dedup.semanticNearDup(emb, "embedding",
+      "vec_id", ids, vecs, threshold = 0.9)
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(df.queryExecution.analyzed.toString
+        .contains("graft_nearest_centroids"),
+      "assignment must be the native row-local expression")
+  }
+
+  test("splitLabel + hashedLinearScore + urlParts: pure row-local " +
+      "projections — zero exchanges beyond the scan") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = docs.select(
+      graft.operators.Sampling.splitLabel(col("doc_id"),
+        Seq(("train", 8), ("val", 1), ("test", 1)), 10).as("split"),
+      graft.functions.TextFunctions.hashedLinearScore(col("text"))
+        .as("sc"),
+      graft.functions.TextFunctions.urlHost(col("text")).as("h"))
+    assert(shuffles(df) == 0 && broadcasts(df) == 0,
+      s"row-local operators must not exchange:\n${finalPlan(df)}")
+  }
+
+  test("kmvTokenDistinct: bounded-heap k-min partial aggregate, no " +
+      "per-group sort window, hash-only exchanges") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.operators.Sketches.kmvTokenDistinct(docs, "lang",
+      "text", k = 32)
+    val plan = finalPlan(df)
+    assert(plan.contains("ObjectHashAggregate"),
+      s"k-min must be the bounded-heap partial aggregate:\n$plan")
+    assert(!plan.contains("Window"), "no per-group sort window")
+    // text reaches only the scan + hash projection; post-shuffle
+    // operators see (group, h) longs
+    assert(shuffles(df) <= 3, s"hash-only exchanges expected:\n$plan")
+  }
 }
 
 /** The scaladocs lean on AQE for runtime skew handling ("skewed
