@@ -583,6 +583,22 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ORC hop — the third columnar/text format of the source matrix
+    // (parquet is the native test fixture format; spark-avro's
+    // datasource jar is absent from this deployment, Avro coverage is
+    // the wire-format decode family). ORC is binary-lossless: no option
+    // gymnastics needed, unlike CSV
+    "source_orc_roundtrip" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        ProcessHandle.current().pid()
+      t(s, dir, "documents").write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .select(col("doc_id"), length(col("text")).as("text_len"),
+          sha2(col("text"), 256).as("text_sha"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // one-row corpus report card: the pre-training numbers a data team
     // reads first. Exact integer sums, digest-based distinct (the
     // dedup_exact_hash scale pattern: 32-byte digests shuffle, text does
@@ -1277,6 +1293,9 @@ object ExtensionQueries {
       """SELECT doc_id, length(text) AS text_len, sha256(text) AS text_sha,
         |lang, source FROM documents ORDER BY doc_id""".stripMargin,
     "source_csv_roundtrip" ->
+      """SELECT doc_id, length(text) AS text_len, sha256(text) AS text_sha,
+        |lang, source FROM documents ORDER BY doc_id""".stripMargin,
+    "source_orc_roundtrip" ->
       """SELECT doc_id, length(text) AS text_len, sha256(text) AS text_sha,
         |lang, source FROM documents ORDER BY doc_id""".stripMargin,
     "corpus_manifest" ->
