@@ -316,17 +316,24 @@ object ExtensionQueries {
     // the 100 TB deployment shape: corpus WRITTEN partitioned by cell,
     // probes read only their cells (PartitionFilters in the plan). Same
     // centroid rule + parameters as sim_topk_ivf ⇒ same oracle. The
-    // built index is memoized per (sfDir, JVM): build-once/probe-many is
-    // the operator's contract, so repeat invocations (bench warmup +
-    // timed run) measure the partition-pruned PROBE, not a rebuild.
+    // built index is memoized per (sfDir, JVM), so REPEAT invocations
+    // (Verify + TimeQuery reps, a warm driver session) pay only the
+    // partition-pruned probe; a single-shot bench run still includes the
+    // one-time build, which is the operator's amortized contract. The
+    // cache self-heals: a reaped /tmp index rebuilds instead of probing
+    // a missing path.
     "sim_topk_ivf_indexed" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val index = ivfIndexCache.computeIfAbsent(dir, { d =>
-        val path = s"${System.getProperty("java.io.tmpdir")}" +
-          s"/graft_ivf_index_${Integer.toHexString(d.hashCode)}_" +
-          ProcessHandle.current().pid()
-        Similarity.buildIvfIndex(t(s, d, "embeddings"), path, nlist = 16)
-      })
+      def build(d: String) = Similarity.buildIvfIndex(
+        t(s, d, "embeddings"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          ProcessHandle.current().pid(),
+        nlist = 16)
+      val cached = ivfIndexCache.computeIfAbsent(dir, build(_))
+      val index =
+        if (new java.io.File(cached.path).exists) cached
+        else ivfIndexCache.compute(dir, (d, _) => build(d))
       Similarity.ivfTopKIndexed(index, emb.filter(col("vec_id") < 10),
           k = 5, nprobe = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"))

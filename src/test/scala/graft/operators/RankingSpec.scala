@@ -135,8 +135,9 @@ class RankingSpec extends SparkFunSuite {
         TF.urlQueryParam(col("url"), "ref").as("r"))
       .collect()
     junk.foreach { r =>
-      assert(r.getString(0) == "" && r.getString(2) == "",
-        s"malformed URL must decompose to '': $r")
+      assert(r.getString(0) == "" && r.getString(1) == "" &&
+        r.getString(2) == "",
+        s"malformed URL must decompose to '' in every part: $r")
     }
   }
 
