@@ -548,6 +548,26 @@ object AnalyticsQueries {
             sum(col("v")).cast("double").as("total_value")))
         .orderBy(col("event_type"))),
 
+    // Salted JOIN twin of q_skew_salted_agg (operators/Skew.saltedJoin):
+    // the broadcast-inapplicable skew shape — fact rows carry a salt, the
+    // dimension replicates across every salt value, so one flooding key
+    // spreads over saltBuckets shuffle partitions. Results must equal the
+    // plain equi-join (the oracle IS the plain join + GROUP BY).
+    "q_skew_salted_join" -> ((s, dir) => {
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val dim = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.operators.Skew.saltedJoin(fact, dim, "suppkey",
+          saltBuckets = 16)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // Exact distributed percentiles. Scale note: Spark's percentile
     // aggregates a distinct-value→count histogram per group, so state is
     // bounded by the value DOMAIN (2-decimal quantized here), not row
@@ -919,6 +939,12 @@ object AnalyticsQueries {
       """SELECT event_type, COUNT(*) AS cnt,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_skew_salted_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type,
         |  CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,3)) AS DOUBLE)

@@ -105,6 +105,23 @@ object ExtensionQueries {
         .orderBy(col("survivor_id"))
     }),
 
+    // Bloom-filter incremental dedup: the corpus collapses to a one-row
+    // 2^20-bit filter over poly fingerprints (bounded shuffle, 128 KiB
+    // summary), broadcast into a row-local probe — the delta never
+    // shuffles. Same delta synthesis as dedup_incremental: even re-crawls
+    // must flag maybe_dup, odd updates must not (no false negatives by
+    // construction; the oracle recomputes the exact position-set
+    // membership, so even a false positive would match).
+    "dedup_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val delta = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" updated"))).as("text"))
+      Dedup.bloomMaybeDup(Dedup.bloomIndex(docs, "text"), delta,
+          "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // cross-source corpus overlap: pairwise word-3-shingle Jaccard
     // between sources — the "how much does crawl A repeat crawl B"
     // pre-mixing report. Sources share boilerplate-free synthetic text,
@@ -1646,6 +1663,46 @@ object ExtensionQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM documents d
         |                  WHERE sha256(d.text) = g.text_sha)
         |ORDER BY survivor_id""".stripMargin,
+    // full recompute of the Bloom probe: the SAME poly-fingerprint fold,
+    // Knuth double-hash chain (h1 + i·(h2|1) mod 2^20), and
+    // all-positions-present test — bit packing is equivalent to position-
+    // set membership, so the oracle needs no bitset. Same delta synthesis
+    // as dedup_incremental (minus the within-batch copy).
+    "dedup_bloom" ->
+      """WITH u AS (
+        |  SELECT 0 AS side, doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 1 AS side, doc_id + 1000000 AS doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN text
+        |         ELSE text || ' updated' END AS text
+        |  FROM documents),
+        |n AS (SELECT side, doc_id,
+        |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+        |  FROM u),
+        |f AS (SELECT side, doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(s) + 1),
+        |        i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+        |    (acc, x) -> (acc * 1000003 + x) % 2199023255552) AS fp
+        |  FROM n),
+        |h AS (SELECT side, doc_id,
+        |  ((fp // 2097152) * 2654435761 % 2199023255552 * 2097152
+        |    + (fp % 2097152) * 2654435761) % 2199023255552 AS h1,
+        |  ((((fp + 99991) % 2199023255552) // 2097152) * 2654435761
+        |      % 2199023255552 * 2097152
+        |    + (((fp + 99991) % 2199023255552) % 2097152) * 2654435761)
+        |    % 2199023255552 AS h2r
+        |  FROM f),
+        |hh AS (SELECT side, doc_id, h1,
+        |  CASE WHEN h2r % 2 = 0 THEN h2r + 1 ELSE h2r END AS h2 FROM h),
+        |cset AS (SELECT DISTINCT (h1 + i * h2) % 1048576 AS p
+        |  FROM hh, range(0, 4) t(i) WHERE side = 0),
+        |dpos AS (SELECT doc_id, i, (h1 + i * h2) % 1048576 AS p
+        |  FROM hh, range(0, 4) t(i) WHERE side = 1)
+        |SELECT d.doc_id, (COUNT(cset.p) = 4) AS maybe_dup
+        |FROM dpos d LEFT JOIN cset ON d.p = cset.p
+        |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
     // distinct (source, shingle-string) sets stand in for the engine's
     // shingle hashes (injectivity spec-pinned, like the minhash family);
     // jaccard = one double quotient of exact int64 set sizes. Shingle

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+class BloomDedupSpec extends SparkFunSuite {
+
+  private def corpusAndDelta = {
+    val s = spark
+    import s.implicits._
+    val corpus = (0 until 200)
+      .map(i => (i.toLong, s"document body number $i with shared words"))
+      .toDF("doc_id", "text")
+    // even ids: byte-identical re-crawls; odd ids: updated text
+    val delta = (0 until 200).map { i =>
+      val base = s"document body number $i with shared words"
+      (1000L + i, if (i % 2 == 0) base else base + " updated")
+    }.toDF("doc_id", "text")
+    (corpus, delta)
+  }
+
+  test("probe flags exactly the re-crawled texts (no false negatives; " +
+    "no false positives at 2^20 bits / 200 keys)") {
+    val (corpus, delta) = corpusAndDelta
+    val flags = Dedup.bloomMaybeDup(Dedup.bloomIndex(corpus, "text"),
+        delta, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags.size == 200)
+    flags.foreach { case (id, dup) =>
+      assert(dup == (id % 2 == 0),
+        s"doc $id: expected maybe_dup=${id % 2 == 0}, got $dup")
+    }
+  }
+
+  test("probe result is invariant to corpus partitioning (bit_or merge " +
+    "order cannot matter)") {
+    val (corpus, delta) = corpusAndDelta
+    val probe = delta.limit(50)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Dedup.bloomMaybeDup(Dedup.bloomIndex(c, "text"), probe, "text",
+          "doc_id")
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    val base = run(corpus)
+    assert(base == run(corpus.repartition(1)))
+    assert(base == run(corpus.repartition(17, col("text"))))
+  }
+
+  test("a tiny saturated filter still has no false negatives") {
+    val (corpus, delta) = corpusAndDelta
+    // 2^8 = 256 bits for 200 keys × 4 hashes: heavily saturated, so
+    // false positives abound — but every true duplicate must still flag
+    val flags = Dedup.bloomMaybeDup(
+        Dedup.bloomIndex(corpus, "text", log2Bits = 8), delta, "text",
+        "doc_id", log2Bits = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (0 until 200 by 2).foreach { i =>
+      assert(flags(1000L + i), s"re-crawl ${1000 + i} must flag")
+    }
+  }
+}

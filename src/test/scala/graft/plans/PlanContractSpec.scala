@@ -203,6 +203,21 @@ class PlanContractSpec extends SparkFunSuite {
     // operators see (group, h) longs
     assert(shuffles(df) <= 3, s"hash-only exchanges expected:\n$plan")
   }
+
+  test("bloomMaybeDup: delta never shuffles — index build pays the only " +
+      "two exchanges (word agg + one-row collapse), probe is broadcast + " +
+      "row-local forall") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val df = graft.operators.Dedup.bloomMaybeDup(
+      graft.operators.Dedup.bloomIndex(docs, "text"), docs, "text",
+      "doc_id")
+    assert(broadcasts(df) == 1, s"one-row bloom must broadcast:\n" +
+      finalPlan(df))
+    assert(shuffles(df) <= 2,
+      s"only the index-build aggregates may exchange:\n${finalPlan(df)}")
+  }
 }
 
 /** The scaladocs lean on AQE for runtime skew handling ("skewed
