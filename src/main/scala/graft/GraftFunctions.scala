@@ -27,6 +27,8 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_top_k",
       es => TopKByScore(es(0), es(1), intArg(es(2), "k")), "built-in")
+    reg.createOrReplaceTempFunction("graft_misra_gries",
+      es => MisraGriesSketch(es(0), intArg(es(1), "k")), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_sig",
       es => MinHashSignature(es(0), intArg(es(1), "numHashes")), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",

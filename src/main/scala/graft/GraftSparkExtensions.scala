@@ -36,6 +36,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_top_k",
         "graft_top_k(score, id, k) - bounded-heap partial top-k aggregate"),
       es => TopKByScore(es(0), es(1), intArg(es(2), "k"))))
+    e.injectFunction((FunctionIdentifier("graft_misra_gries"),
+      info("graft_misra_gries",
+        "graft_misra_gries(term, k) - mergeable frequent-items sketch"),
+      es => MisraGriesSketch(es(0), intArg(es(1), "k"))))
     e.injectFunction((FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig",
         "graft_minhash_sig(shingles, H) - H-entry minhash signature"),

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.functions.{TextFunctions => TF}
+import graft.plans.MisraGriesSketch
+
+/** Exact corpus-wide frequent terms without the full-vocabulary shuffle
+  * (builder extension surface — the reference has no aggregations,
+  * SURVEY.md §2.2).
+  *
+  * Two-pass exact heavy hitters:
+  *   1. DISCOVER: one [[graft.plans.MisraGriesSketch]] pass reduces every
+  *      partition to ≤ sketchK counters before the shuffle; the merged
+  *      sketch is guaranteed to contain every term with frequency
+  *      > n/(sketchK+1).
+  *   2. VERIFY: re-scan, hash-join tokens against the ≤ sketchK broadcast
+  *      candidates, and count exactly — the shuffle carries at most
+  *      `sketchK × partitions` partially-combined rows.
+  *
+  * With `sketchK ≥ phiDenom`, the emitted set is EXACTLY the terms with
+  * `count × phiDenom ≥ n` (support ≥ 1/phiDenom): pass 1 cannot miss one
+  * (n/phiDenom > n/(sketchK+1)) and pass 2's exact counts discard false
+  * candidates — so the result is deterministic under any partitioning or
+  * merge order, and a SQL oracle can recompute it from raw counts.
+  */
+object HeavyHitters {
+
+  /** `graft_misra_gries(term, k)` as a typed Column. */
+  def misraGries(term: Column, k: Int): Column =
+    ColumnBridge.column(
+      MisraGriesSketch(ColumnBridge.expression(term), k)
+        .toAggregateExpression())
+
+  /** Exact heavy hitters over the normalized tokens of `textCol`:
+    * `(term, cnt)` for every term with `cnt × phiDenom ≥ n` (n = total
+    * token occurrences). Requires `sketchK ≥ phiDenom` for the exactness
+    * guarantee. */
+  def heavyTokens(df: DataFrame, textCol: String, phiDenom: Int,
+      sketchK: Int): DataFrame = {
+    require(phiDenom > 1, "phiDenom must exceed 1")
+    require(sketchK >= phiDenom,
+      s"sketchK ($sketchK) must be >= phiDenom ($phiDenom) so that " +
+        "support n/phiDenom exceeds the sketch miss bound n/(sketchK+1)")
+    val toks = df.select(explode(TF.normTokens(col(textCol))).as("term"))
+    // n rides on every candidate row so the one-row sketch relation is
+    // referenced once — the discovery pass runs exactly one corpus scan
+    val cands = toks.agg(misraGries(col("term"), sketchK).as("mg"))
+      .select(explode(col("mg.candidates")).as("term"),
+        col("mg.n_tokens").as("n"))
+    toks.join(broadcast(cands), Seq("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"), max(col("n")).as("n"))
+      .filter(col("cnt") * lit(phiDenom.toLong) >= col("n"))
+      .select(col("term"), col("cnt"))
+  }
+}

@@ -812,6 +812,18 @@ object ExtensionQueries {
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("term")).limit(20)),
 
+    // exact heavy hitters WITHOUT the full-vocabulary shuffle: a
+    // Misra-Gries discovery pass (native mergeable sketch, ≤ 512
+    // counters per partition pre-shuffle) then an exact re-count of the
+    // broadcast candidates. Support 1/200 keeps the 30 template terms
+    // and excludes the rare 'dup' marker at every SF (non-vacuous both
+    // ways); the two-pass result is deterministic, so the oracle is the
+    // plain exact computation.
+    "text_heavy_hitters" -> ((s, dir) =>
+      graft.operators.HeavyHitters.heavyTokens(t(s, dir, "documents"),
+          "text", phiDenom = 200, sketchK = 512)
+        .orderBy(col("cnt").desc, col("term"))),
+
     // ---- multimodal plumbing ----
     "mm_meta" -> ((s, dir) =>
       Multimodal.withBlob(t(s, dir, "documents"), "text")
@@ -1627,6 +1639,17 @@ object ExtensionQueries {
          |d AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tk)
          |SELECT term, COUNT(*) AS df FROM d
          |GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin,
+    // the two-pass engine result equals the straightforward exact count
+    // (sketchK >= phiDenom guarantees discovery recall; the verify pass
+    // discards sketch false positives)
+    "text_heavy_hitters" ->
+      s"""WITH tk AS ($NormToksSql),
+         |t AS (SELECT unnest(toks) AS term FROM tk),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+         |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM t
+         |      GROUP BY term)
+         |SELECT term, cnt FROM c, tot WHERE cnt * 200 >= n
+         |ORDER BY cnt DESC, term""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsOracle(CharNgramsSql, 0.5),
     "dedup_simhash" ->
       """WITH u AS (SELECT doc_id, text FROM documents
