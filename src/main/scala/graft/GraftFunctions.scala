@@ -29,6 +29,8 @@ object GraftFunctions {
       es => TopKByScore(es(0), es(1), intArg(es(2), "k")), "built-in")
     reg.createOrReplaceTempFunction("graft_misra_gries",
       es => MisraGriesSketch(es(0), intArg(es(1), "k")), "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      es => BloomBitsetAgg(es(0), intArg(es(1), "log2Bits")), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_sig",
       es => MinHashSignature(es(0), intArg(es(1), "numHashes")), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",

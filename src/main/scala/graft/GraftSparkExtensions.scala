@@ -40,6 +40,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_misra_gries",
         "graft_misra_gries(term, k) - mergeable frequent-items sketch"),
       es => MisraGriesSketch(es(0), intArg(es(1), "k"))))
+    e.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg",
+        "graft_bloom_agg(positions, log2Bits) - dense Bloom bitset words"),
+      es => BloomBitsetAgg(es(0), intArg(es(1), "log2Bits"))))
     e.injectFunction((FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig",
         "graft_minhash_sig(shingles, H) - H-entry minhash signature"),

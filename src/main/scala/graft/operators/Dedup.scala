@@ -500,29 +500,35 @@ object Dedup {
     call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
 
   /** ONE-ROW Bloom index over the corpus's normalized-text fingerprints:
-    * `map<word, bits>` of the 64-bit words of a 2^log2Bits-bit filter
-    * (absent words are all-zero). The summary a daily-ingest pipeline
-    * materializes once per snapshot and ships to every probe.
+    * the DENSE 64-bit words of a 2^log2Bits-bit filter as `array<bigint>`
+    * (index w holds bits [64w, 64w+64)) — the summary a daily-ingest
+    * pipeline materializes once per snapshot and ships to every probe.
+    * Dense over sparse deliberately: probes index the array O(1), where a
+    * map-typed filter would linear-scan its entries per probe.
     *
-    * 100 TB design: the position explode is row-local; `bit_or`
-    * partial-aggregates map-side, so the shuffle carries AT MOST
-    * 2^log2Bits/64 word rows per map partition — bounded by the FILTER
-    * size, independent of corpus row count (vs. the digest index's
-    * corpus-sized relation). The final collapse to one row moves the same
-    * ≤ 2^log2Bits/64 words once. Default 2^20 bits = 128 KiB — a
+    * 100 TB design: the position derivation is row-local and the
+    * [[graft.plans.BloomBitsetAgg]] build partial-aggregates map-side, so
+    * the shuffle carries one fixed-size bitset per partition — bounded by
+    * the FILTER size, independent of corpus row count (vs. the digest
+    * index's corpus-sized relation). Default 2^20 bits = 128 KiB — a
     * broadcast-trivial summary with ~1e-11 false-positive rate per probe
     * at 500 corpus docs (and still < 1% up to ~1.8e5 docs at k=4; size
     * log2Bits to ~10 bits/key for production corpora). */
   def bloomIndex(corpus: DataFrame, textCol: String, log2Bits: Int = 20,
       numHashes: Int = 4): DataFrame = {
     require(log2Bits >= 6 && log2Bits <= 30, "log2Bits in [6, 30]")
-    corpus
-      .select(explode(bloomPositions(TF.fingerprintPoly(col(textCol)),
-        log2Bits, numHashes)).as("p"))
-      .select(shiftright(col("p"), 6).as("w"), bitOf(col("p")).as("b"))
-      .groupBy(col("w")).agg(bit_or(col("b")).as("bits"))
-      .agg(map_from_arrays(collect_list(col("w")),
-        collect_list(col("bits"))).as("bloom"))
+    // fingerprint in its OWN projection, referenced twice downstream:
+    // CollapseProject would otherwise inline the whole-document
+    // normalize+fold kernel into the position lambda and re-evaluate it
+    // per element (the minhashNearDup lesson — 8× the scan cost)
+    val positions = corpus
+      .select(TF.fingerprintPoly(col(textCol)).as("fp"))
+      .select(bloomPositions(col("fp"), log2Bits, numHashes).as("ps"))
+    positions.agg(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.BloomBitsetAgg(
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .expression(col("ps")),
+        log2Bits).toAggregateExpression()).as("bloom"))
   }
 
   /** Probe a DELTA batch against a [[bloomIndex]]: flags every delta row
@@ -540,9 +546,14 @@ object Dedup {
   def bloomMaybeDup(bloom: DataFrame, delta: DataFrame, textCol: String,
       idCol: String, log2Bits: Int = 20, numHashes: Int = 4): DataFrame =
     delta.crossJoin(broadcast(bloom))
+      // fp hoisted into its own projection (see bloomIndex): the position
+      // derivation references it twice, which blocks CollapseProject from
+      // re-inlining the document-sized kernel into the per-element lambda
+      .select(col(idCol), col("bloom"),
+        TF.fingerprintPoly(col(textCol)).as("fp"))
       .select(col(idCol),
-        forall(bloomPositions(TF.fingerprintPoly(col(textCol)), log2Bits,
-          numHashes),
-          p => coalesce(element_at(col("bloom"), shiftright(p, 6))
-            .bitwiseAND(bitOf(p)) =!= 0, lit(false))).as("maybe_dup"))
+        forall(bloomPositions(col("fp"), log2Bits, numHashes),
+          p => element_at(col("bloom"),
+              (shiftright(p, 6) + lit(1L)).cast("int"))
+            .bitwiseAND(bitOf(p)) =!= 0).as("maybe_dup"))
 }

@@ -204,8 +204,8 @@ class PlanContractSpec extends SparkFunSuite {
     assert(shuffles(df) <= 3, s"hash-only exchanges expected:\n$plan")
   }
 
-  test("bloomMaybeDup: delta never shuffles — index build pays the only " +
-      "two exchanges (word agg + one-row collapse), probe is broadcast + " +
+  test("bloomMaybeDup: delta never shuffles — the index build's bitset " +
+      "aggregate pays the single exchange, probe is broadcast + " +
       "row-local forall") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
@@ -213,10 +213,12 @@ class PlanContractSpec extends SparkFunSuite {
     val df = graft.operators.Dedup.bloomMaybeDup(
       graft.operators.Dedup.bloomIndex(docs, "text"), docs, "text",
       "doc_id")
-    assert(broadcasts(df) == 1, s"one-row bloom must broadcast:\n" +
-      finalPlan(df))
-    assert(shuffles(df) <= 2,
-      s"only the index-build aggregates may exchange:\n${finalPlan(df)}")
+    val plan = finalPlan(df)
+    assert(broadcasts(df) == 1, s"one-row bloom must broadcast:\n$plan")
+    assert(shuffles(df) == 1,
+      s"only the bitset aggregate may exchange:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"bitset build must partial-aggregate map-side:\n$plan")
   }
 }
 
