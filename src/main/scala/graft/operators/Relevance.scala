@@ -161,6 +161,72 @@ object Relevance {
           .otherwise(lit(0L)))
   }
 
+  /** Bigram corpus-LM surprisal — the CCNet-style step up from
+    * [[unigramSurprisal]]: score each document by the mean inverse
+    * add-one-smoothed conditional probability of its adjacent token
+    * pairs. Junk that unigram statistics cannot separate (right words,
+    * wrong order: keyword stuffing, shuffled boilerplate, template
+    * permutations) scores high here while fluent text stays low.
+    *
+    * Model, all exact int64 (same no-logarithm rationale as
+    * [[unigramSurprisal]]):
+    * `ppm(u,w) = (c1(u) + V) * scale DIV (c2'(u,w) + 1)` — the inverse of
+    * add-one `P(w|u) = (c2+1)/(c1+V)` — where `c1(u)` counts u as a
+    * bigram CONTEXT, `V` is the corpus token-type count, and `c2'` reads
+    * from a top-`tableSize` bigram table (count desc, then pair text —
+    * deterministic cut); pairs outside the table score as unseen
+    * (`c2' = 0`), which caps the model state a production run ships to
+    * executors exactly like a pruned KenLM table.
+    *
+    * 100 TB design: the pair stream is derived row-locally (posexplode
+    * over the token array — document text never shuffles); both count
+    * aggregates partial-combine to (bigram-)vocabulary-sized exchanges;
+    * the table cut is a `TakeOrderedAndProject`; scoring is two broadcast
+    * joins (context counts + top table) plus a 2-scalar cross join; the
+    * per-doc aggregate partial-combines in place, one output row per doc.
+    *
+    * @return (doc_id, n_bigrams, sum_ppm, mean_ppm), one row per input
+    *         doc (docs with < 2 tokens score 0)
+    */
+  def bigramSurprisal(docs: DataFrame, textCol: String, idCol: String,
+      tableSize: Int, scale: Long = 1000000L): DataFrame = {
+    require(tableSize > 0 && scale > 0)
+    val tokd = docs.select(col(idCol).as("doc_id"),
+      TF.normTokens(col(textCol)).as("ts"))
+    // (doc, u, w) for each adjacent pair: posexplode keeps the array in
+    // the output list, so the next-token lookup stays in the same
+    // projection (pos is 0-based; element_at is 1-based ⇒ pos+2 = next)
+    val bg = tokd
+      .select(col("doc_id"), col("ts"),
+        posexplode(expr("slice(ts, 1, greatest(size(ts) - 1, 0))")))
+      .select(col("doc_id"), col("col").as("u"),
+        element_at(col("ts"), col("pos") + 2).as("w"))
+    val c1 = bg.groupBy("u").agg(count(lit(1)).as("c1"))
+    val c2 = bg.groupBy("u", "w").agg(count(lit(1)).as("c2"))
+    val top = c2.orderBy(col("c2").desc, col("u"), col("w"))
+      .limit(tableSize)
+    val scalars = tokd
+      .select(explode(col("ts")).as("t"))
+      .agg(count_distinct(col("t")).cast("long").as("v"))
+    val perDoc = bg
+      .join(broadcast(c1), Seq("u"))
+      .join(broadcast(top), Seq("u", "w"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"),
+        expr(s"((c1 + v) * ${scale}L) DIV (coalesce(c2, 0L) + 1)")
+          .as("ppm"))
+      .groupBy("doc_id")
+      .agg(sum(col("ppm")).cast("long").as("sum_ppm"),
+        count(lit(1)).cast("long").as("n_bigrams"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_ppm"), lit(0L)).as("sum_ppm"))
+      .withColumn("mean_ppm",
+        when(col("n_bigrams") > 0, expr("sum_ppm DIV n_bigrams"))
+          .otherwise(lit(0L)))
+  }
+
   /** (doc_id, term, tf) over normalized tokens — the single corpus scan
     * every signal above derives from. Materialize (persist or write) this
     * once when running BOTH signals over a large corpus. */

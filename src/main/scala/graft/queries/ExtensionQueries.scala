@@ -402,6 +402,15 @@ object ExtensionQueries {
           vocabSize = 256)
         .orderBy(col("doc_id"))),
 
+    // bigram corpus-LM surprisal (word-order sensitivity the unigram
+    // model lacks): top-256 bigram table — genuinely pruning at every SF
+    // (the 31-type template vocabulary yields ~900 observed pairs), so
+    // the unseen-pair path is exercised; all arithmetic exact int64
+    "text_lm_bigram" -> ((s, dir) =>
+      Relevance.bigramSurprisal(t(s, dir, "documents"), "text", "doc_id",
+          tableSize = 256)
+        .orderBy(col("doc_id"))),
+
     // hashed-feature linear quality scorer (the fastText-shaped model
     // filter stage): portable token->bucket hashing, deterministic
     // integer weight table, exact fixed-point mean — w_sum/score_ppk
@@ -1169,6 +1178,38 @@ object ExtensionQueries {
          |  COALESCE(d.sum_ppm, 0) AS sum_ppm,
          |  CASE WHEN COALESCE(d.n_toks, 0) > 0
          |    THEN d.sum_ppm // d.n_toks ELSE 0 END AS mean_ppm
+         |FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
+         |ORDER BY doc.doc_id""".stripMargin,
+    // bigram twin: context counts c1, top-256 bigram table (count desc,
+    // pair text — the same deterministic cut), unseen pairs read c2 = 0;
+    // // == DIV on the all-non-negative intermediates
+    "text_lm_bigram" ->
+      s"""WITH tk AS ($NormToksSql),
+         |tok AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+         |types AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+         |  FROM tok),
+         |bx AS (SELECT doc_id, toks,
+         |    unnest(range(1, len(toks))) AS i FROM tk),
+         |bg AS (SELECT doc_id, toks[i] AS u, toks[i + 1] AS w FROM bx),
+         |c1 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg
+         |  GROUP BY u),
+         |c2 AS (SELECT u, w, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
+         |  GROUP BY u, w),
+         |top AS (SELECT u, w, c2 FROM c2 ORDER BY c2 DESC, u, w
+         |  LIMIT 256),
+         |ws AS (SELECT doc_id,
+         |    ((c1.c1 + types.v) * 1000000) // (COALESCE(top.c2, 0) + 1)
+         |      AS ppm
+         |  FROM bg JOIN c1 USING (u) LEFT JOIN top USING (u, w)
+         |  CROSS JOIN types),
+         |d AS (SELECT doc_id, CAST(SUM(ppm) AS BIGINT) AS sum_ppm,
+         |    CAST(COUNT(*) AS BIGINT) AS n_bigrams
+         |  FROM ws GROUP BY doc_id)
+         |SELECT doc.doc_id,
+         |  COALESCE(d.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(d.sum_ppm, 0) AS sum_ppm,
+         |  CASE WHEN COALESCE(d.n_bigrams, 0) > 0
+         |    THEN d.sum_ppm // d.n_bigrams ELSE 0 END AS mean_ppm
          |FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
          |ORDER BY doc.doc_id""".stripMargin,
     // same hashed-feature chain: per-token Karp-Rabin fold -> bucket

@@ -1066,6 +1066,38 @@ class RelevanceSpec extends SparkFunSuite {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("mean_ppm"))).toSeq
     assert(again == out.map(t => (t._1, t._4)).toSeq)
   }
+
+  test("bigramSurprisal: exact fixed-point arithmetic, out-of-table " +
+      "pairs score as unseen, sub-2-token docs zero, " +
+      "partitioning-independent") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a b a b a"), // pairs (a,b)x2 (b,a)x2 — all in the top table
+      (2L, "b b"),       // (b,b) falls outside tableSize=2 -> unseen
+      (3L, ""),          // token-less
+      (4L, "c"))         // single token: no bigram
+      .toDF("doc_id", "text")
+    // corpus pairs: (a,b):2 (b,a):2 (b,b):1; contexts c1: a->2, b->3;
+    // V = |{a,b,c}| = 3; table cut at 2 keeps (a,b),(b,a).
+    // ppm(a,b) = (2+3)*1e6 DIV 3 = 1_666_666
+    // ppm(b,a) = (3+3)*1e6 DIV 3 = 2_000_000
+    // ppm(b,b) = (3+3)*1e6 DIV 1 = 6_000_000 (unseen: c2' = 0)
+    val out = Relevance.bigramSurprisal(d, "text", "doc_id", tableSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("sum_ppm"), r.getAs[Long]("mean_ppm")))
+    assert(out(0) == ((1L, 4L, 2L * (1666666L + 2000000L), 1833333L)))
+    assert(out(1) == ((2L, 1L, 6000000L, 6000000L)))
+    assert(out(2) == ((3L, 0L, 0L, 0L)))
+    assert(out(3) == ((4L, 0L, 0L, 0L)))
+    // word-order outlier (the signal unigram stats cannot see)
+    assert(out(1)._4 > out(0)._4)
+    val again = Relevance.bigramSurprisal(d.repartition(5), "text",
+      "doc_id", tableSize = 2).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("mean_ppm"))).toSeq
+    assert(again == out.map(t => (t._1, t._4)).toSeq)
+  }
 }
 
 class ContaminationSpec extends SparkFunSuite {
