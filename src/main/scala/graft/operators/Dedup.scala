@@ -552,8 +552,13 @@ object Dedup {
       .select(col(idCol), col("bloom"),
         TF.fingerprintPoly(col(textCol)).as("fp"))
       .select(col(idCol),
-        forall(bloomPositions(col("fp"), log2Bits, numHashes),
-          p => element_at(col("bloom"),
-              (shiftright(p, 6) + lit(1L)).cast("int"))
-            .bitwiseAND(bitOf(p)) =!= 0).as("maybe_dup"))
+        // NULL text ⇒ NULL fingerprint ⇒ no positions to match: that is
+        // a guaranteed-new row, not an unknown — pin maybe_dup = false
+        // (matches the oracle's no-position-rows-match semantics)
+        coalesce(
+          forall(bloomPositions(col("fp"), log2Bits, numHashes),
+            p => element_at(col("bloom"),
+                (shiftright(p, 6) + lit(1L)).cast("int"))
+              .bitwiseAND(bitOf(p)) =!= 0),
+          lit(false)).as("maybe_dup"))
 }

@@ -31,7 +31,9 @@ object PlanAudit {
       "text_lm_surprisal", "dedup_lines", "dedup_lines_intra",
       "dedup_semantic", "rank_group_topk", "sample_split",
       "text_quality_classifier", "text_url_parse", "sketch_kmv_distinct",
-      "dedup_incremental", "corpus_source_sim", "sim_recall_ivf")
+      "dedup_incremental", "corpus_source_sim", "sim_recall_ivf",
+      "dedup_bloom", "text_heavy_hitters", "q_skew_salted_join",
+      "text_lm_bigram")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       // Codegen stages are marked `*(id)` in the SIMPLE plan string, but

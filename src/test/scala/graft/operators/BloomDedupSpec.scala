@@ -47,6 +47,20 @@ class BloomDedupSpec extends SparkFunSuite {
     assert(base == run(corpus.repartition(17, col("text"))))
   }
 
+  test("NULL-text delta rows are guaranteed-new (maybe_dup = false, " +
+    "not NULL)") {
+    val (corpus, _) = corpusAndDelta
+    val s = spark
+    import s.implicits._
+    val delta = Seq((9000L, null: String), (9001L, "document body " +
+      "number 0 with shared words")).toDF("doc_id", "text")
+    val flags = Dedup.bloomMaybeDup(Dedup.bloomIndex(corpus, "text"),
+        delta, "text", "doc_id")
+      .orderBy(col("doc_id")).collect()
+    assert(!flags(0).isNullAt(1) && !flags(0).getBoolean(1))
+    assert(flags(1).getBoolean(1))
+  }
+
   test("a tiny saturated filter still has no false negatives") {
     val (corpus, delta) = corpusAndDelta
     // 2^8 = 256 bits for 200 keys × 4 hashes: heavily saturated, so
