@@ -475,6 +475,80 @@ object Dedup {
       .select(col("a"), col("b"), col("cosine"))
   }
 
+  // ---- Incremental NEAR-dup: written LSH band index + delta probe ----
+
+  /** Handle to a written LSH near-dup index (see [[buildLshIndex]]):
+    * `path/bands` holds `(bk, id)` band-key rows, `path/shingles` holds
+    * `(id, shingles)` word-shingle sets for exact verification. The hash
+    * parameters ride along so probes derive IDENTICAL band keys. */
+  final case class LshIndex(path: String, shingleK: Int, numHashes: Int,
+      bands: Int)
+
+  /** Write the LSH near-dup index for a curated corpus — the near-dup
+    * twin of the digest index behind [[incrementalNewByDigest]]: build
+    * once per snapshot, probe every delta against it without touching
+    * corpus text again.
+    *
+    * Two datasets: the band-key relation (16 bytes/row × bands — the
+    * probe's join target) and the shingle-set sidecar (verification
+    * payload, read only for candidate ids). Signatures/band keys are
+    * row-local; both writes are shuffle-free corpus scans. */
+  def buildLshIndex(corpus: DataFrame, textCol: String, idCol: String,
+      path: String, shingleK: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): LshIndex = {
+    val rows = numHashes / bands
+    val sh = corpus.select(col(idCol).as("id"),
+      TF.wordShingleHashes(col(textCol), shingleK).as("shingles"))
+    // sig kept in the projection beside the explode — the minhashNearDup
+    // CollapseProject guard, same reason
+    sh.select(col("id"), col("shingles"),
+        TF.minhashSignature(col("shingles"), numHashes).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(TF.minhashBandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("bk"), col("id"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    sh.write.mode("overwrite").parquet(s"$path/shingles")
+    LshIndex(path, shingleK, numHashes, bands)
+  }
+
+  /** Probe a DELTA batch against a [[buildLshIndex]] written index:
+    * near-duplicate `(a = corpus id, b = delta id, jaccard)` pairs with
+    * exact-Jaccard verification, same semantics as [[minhashNearDup]]
+    * restricted to corpus×delta pairs.
+    *
+    * 100 TB design: the delta's band keys BROADCAST into the index scan
+    * (a small delta is the operator's contract — it is a daily ingest),
+    * so the corpus-sized band relation is scanned once and NEVER
+    * shuffled; only matching candidate rows survive into the distinct.
+    * Verification reads the shingle sidecar filtered by the broadcast
+    * candidate ids — again scan + broadcast join, no corpus shuffle.
+    * Corpus text is never touched at all. */
+  def lshProbeNearDup(index: LshIndex, delta: DataFrame, textCol: String,
+      idCol: String, threshold: Double = 0.8): DataFrame = {
+    val spark = delta.sparkSession
+    val rows = index.numHashes / index.bands
+    val dSh = delta.select(col(idCol).as("id"),
+      TF.wordShingleHashes(col(textCol), index.shingleK).as("shingles"))
+    val dBands = dSh.select(col("id"), col("shingles"),
+        TF.minhashSignature(col("shingles"), index.numHashes).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(TF.minhashBandKeys(col("sig"), index.bands, rows))
+          .as("bk"))
+      .select(col("bk"), col("id").as("b"))
+    val cands = spark.read.parquet(s"${index.path}/bands")
+      .join(broadcast(dBands), Seq("bk"))
+      .select(col("id").as("a"), col("b")).distinct()
+    val withA = spark.read.parquet(s"${index.path}/shingles")
+      .select(col("id").as("a"), col("shingles").as("sh_a"))
+      .join(broadcast(cands), Seq("a"))
+    withA
+      .join(broadcast(dSh.select(col("id").as("b"),
+        col("shingles").as("sh_b"))), Seq("b"))
+      .withColumn("jaccard", TF.jaccardSorted(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   // ---- Bloom-filter incremental dedup ----
 
   /** Odd offset for the second Bloom hash (Kirsch-Mitzenmacher double

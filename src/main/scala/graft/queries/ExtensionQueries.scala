@@ -38,6 +38,10 @@ object ExtensionQueries {
     new java.util.concurrent.ConcurrentHashMap[String,
       Similarity.IvfIndex]()
 
+  /** Built LSH near-dup index per sf dir (see dedup_incremental_near). */
+  private val lshIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Dedup.LshIndex]()
+
   /** documents ∪ documents-with-shifted-ids (adds exact twins). */
   private def docsUnion(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"),
@@ -103,6 +107,34 @@ object ExtensionQueries {
         delta1.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Dedup.incrementalNew(docs, delta, "text", "doc_id")
         .orderBy(col("survivor_id"))
+    }),
+
+    // Incremental NEAR-dup: the delta probes a WRITTEN LSH band index
+    // (the daily-ingest near-dup shape — corpus text never re-read, band
+    // relation never shuffled: delta band keys broadcast into the index
+    // scan). Identity delta at +1M ids: every doc must match its twin at
+    // jaccard 1.0, plus the corpus's own >= 0.8 near-pairs in both
+    // orientations. Same kernels/parameters as dedup_minhash, so the
+    // oracle is the full bipartite exact-Jaccard recompute. The built
+    // index is memoized per (sfDir, JVM) and self-heals a reaped /tmp
+    // path (same contract as sim_topk_ivf_indexed).
+    "dedup_incremental_near" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def build(d: String) = Dedup.buildLshIndex(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id",
+        s"${System.getProperty("java.io.tmpdir")}/graft_lsh_index_" +
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          ProcessHandle.current().pid())
+      val cached = lshIndexCache.computeIfAbsent(dir, build(_))
+      val index =
+        if (new java.io.File(s"${cached.path}/bands").exists) cached
+        else lshIndexCache.compute(dir, (d, _) => build(d))
+      val delta = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"))
+      Dedup.lshProbeNearDup(index, delta, "text", "doc_id",
+          threshold = 0.8)
+        .orderBy(col("a"), col("b"))
     }),
 
     // Bloom-filter incremental dedup: the corpus collapses to a one-row
@@ -1482,6 +1514,22 @@ object ExtensionQueries {
         |SELECT MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
         |FROM u GROUP BY text ORDER BY survivor_id""".stripMargin,
     "dedup_minhash" -> jaccardPairsOracle(WordShinglesSql, 0.8),
+    // bipartite recompute for the written-index probe: corpus doc a vs
+    // delta twin b = doc_id + 1M over the SAME shingle chain — identity
+    // pairs land at exactly 1.0 (shared empty-set convention), near
+    // pairs appear in both orientations
+    "dedup_incremental_near" ->
+      s"""WITH sh AS ($WordShinglesSql),
+         |pj AS (SELECT a.doc_id AS a, b.doc_id + 1000000 AS b,
+         |    CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+         |           = 0
+         |         THEN CAST(1.0 AS DOUBLE)
+         |         ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+         |             AS DOUBLE) END AS j
+         |  FROM sh a CROSS JOIN sh b)
+         |SELECT a, b, j AS jaccard FROM pj WHERE j >= 0.8
+         |ORDER BY a, b""".stripMargin,
     // same qualifying pairs as dedup_minhash, then the transitive closure
     // (recursive CTE) picks each component's min id
     "dedup_survivors" ->

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+class LshIndexSpec extends SparkFunSuite {
+
+  private def tmpPath(tag: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_lsh_spec_${tag}_" +
+      ProcessHandle.current().pid()
+
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    (0 until 120).map { i =>
+      val words = (0 until 30).map(j => s"w${(i * 7 + j * 3) % 40}")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("probe vs written index == batch minhashNearDup restricted to " +
+    "corpus-x-delta pairs (identical kernels, identical parameters)") {
+    val c = corpus
+    val s = spark
+    import s.implicits._
+    // delta: half identical re-crawls, half lightly edited
+    val delta = c.limit(60).select(($"doc_id" + 1000L).as("doc_id"),
+      when($"doc_id" % 2 === 0, $"text")
+        .otherwise(concat($"text", lit(" tail drift words"))).as("text"))
+    val index = Dedup.buildLshIndex(c, "text", "doc_id", tmpPath("parity"))
+    val probe = Dedup.lshProbeNearDup(index, delta, "text", "doc_id",
+        threshold = 0.6)
+      .orderBy($"a", $"b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = Dedup.minhashNearDup(c.unionByName(delta), "text",
+        "doc_id", threshold = 0.6)
+      .filter($"a" < 1000L && $"b" >= 1000L)
+      .orderBy($"a", $"b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(probe.nonEmpty, "fixture must produce near pairs")
+    assert(probe == batch)
+    // every identical re-crawl must hit its twin at exactly 1.0
+    (0 until 60 by 2).foreach { i =>
+      assert(probe.contains((i.toLong, 1000L + i, 1.0)),
+        s"identity pair ($i, ${1000 + i}) missing")
+    }
+  }
+
+  test("plan contract: index relations are scanned, never shuffled — " +
+    "delta band keys and candidates broadcast") {
+    val c = corpus
+    val s = spark
+    import s.implicits._
+    val delta = c.limit(10)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    val index = Dedup.buildLshIndex(c, "text", "doc_id", tmpPath("plan"))
+    val df = Dedup.lshProbeNearDup(index, delta, "text", "doc_id")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("BroadcastExchange".r.findAllIn(plan).length >= 3,
+      s"delta bands, candidates, and delta shingles must broadcast:\n" +
+        plan)
+    // the only shuffle is the candidate-pair distinct
+    val shuffles =
+      "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+        .findAllIn(plan).length
+    assert(shuffles <= 1, s"index side must not shuffle:\n$plan")
+  }
+}
