@@ -496,19 +496,41 @@ object Dedup {
   def buildLshIndex(corpus: DataFrame, textCol: String, idCol: String,
       path: String, shingleK: Int = 3, numHashes: Int = 64,
       bands: Int = 16): LshIndex = {
-    val rows = numHashes / bands
-    val sh = corpus.select(col(idCol).as("id"),
-      TF.wordShingleHashes(col(textCol), shingleK).as("shingles"))
+    val index = LshIndex(path, shingleK, numHashes, bands)
+    writeLshDatasets(corpus, textCol, idCol, index, "overwrite")
+    index
+  }
+
+  /** Append a delta's band keys and shingle sets to an existing index —
+    * the post-probe step of an ingest loop, so later deltas see this one.
+    * No dedup of re-appended ids (same convention as the IVF append):
+    * duplicate band rows only re-nominate candidates, which the probe's
+    * distinct collapses, but duplicate SIDECAR rows would duplicate
+    * verified pairs — callers with at-least-once retries must make the
+    * append conditional on the batch id (idempotent sink pattern). */
+  def appendToLshIndex(index: LshIndex, delta: DataFrame, textCol: String,
+      idCol: String): LshIndex = {
+    writeLshDatasets(delta, textCol, idCol, index, "append")
+    index
+  }
+
+  /** Shared writer — single place that defines the on-disk schemas
+    * `bands(bk, id)` and `shingles(id, shingles)`. */
+  private def writeLshDatasets(docs: DataFrame, textCol: String,
+      idCol: String, index: LshIndex, mode: String): Unit = {
+    val rows = index.numHashes / index.bands
+    val sh = docs.select(col(idCol).as("id"),
+      TF.wordShingleHashes(col(textCol), index.shingleK).as("shingles"))
     // sig kept in the projection beside the explode — the minhashNearDup
     // CollapseProject guard, same reason
     sh.select(col("id"), col("shingles"),
-        TF.minhashSignature(col("shingles"), numHashes).as("sig"))
+        TF.minhashSignature(col("shingles"), index.numHashes).as("sig"))
       .select(col("id"), col("sig"),
-        explode(TF.minhashBandKeys(col("sig"), bands, rows)).as("bk"))
+        explode(TF.minhashBandKeys(col("sig"), index.bands, rows))
+          .as("bk"))
       .select(col("bk"), col("id"))
-      .write.mode("overwrite").parquet(s"$path/bands")
-    sh.write.mode("overwrite").parquet(s"$path/shingles")
-    LshIndex(path, shingleK, numHashes, bands)
+      .write.mode(mode).parquet(s"${index.path}/bands")
+    sh.write.mode(mode).parquet(s"${index.path}/shingles")
   }
 
   /** Probe a DELTA batch against a [[buildLshIndex]] written index:

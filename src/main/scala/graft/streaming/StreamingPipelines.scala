@@ -159,6 +159,61 @@ object StreamingPipelines {
     writer.start()
   }
 
+  /** Streaming incremental NEAR-dup ingest — the near-dup twin of
+    * [[ingestNewStream]], looped around
+    * [[graft.operators.Dedup.lshProbeNearDup]]: every micro-batch probes
+    * the PERSISTENT written LSH band index for near-duplicate
+    * `(a = corpus id, b = batch id, jaccard)` pairs, hands them to
+    * `sink`, and appends its own band keys + shingle sets so later
+    * batches (and later runs) see them.
+    *
+    * Same state rationale as the digest loop: near-dup suppression must
+    * span the corpus lifetime, which no watermark horizon can bound —
+    * contrast [[nearDupPairsStream]], whose self-join state expires with
+    * the watermark. Within-batch near-dups are NOT emitted (the probe is
+    * batch-vs-index only); run the batch operator inside `sink` if batch
+    * internal pairs matter. Pairs are materialized (localCheckpoint)
+    * BEFORE the index append so the lazily-evaluated probe can never see
+    * its own batch. Exactly-once: foreachBatch is at-least-once on
+    * retries, and a re-appended batch duplicates sidecar rows (which
+    * duplicates its verified pairs downstream) — production sinks should
+    * gate the append on `batchId` durably (checkpointLocation) per the
+    * standard idempotent-foreachBatch recipe. */
+  def ingestNearDupStream(docs: DataFrame, textCol: String, idCol: String,
+      indexPath: String, threshold: Double = 0.8, shingleK: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      checkpointLocation: Option[String] = None)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val index = graft.operators.Dedup.LshIndex(indexPath, shingleK,
+          numHashes, bands)
+        val hPath = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
+        val fs = hPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val pairs =
+          if (fs.exists(hPath))
+            graft.operators.Dedup
+              .lshProbeNearDup(index, batch, textCol, idCol, threshold)
+              .localCheckpoint()
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("a", LongType),
+              StructField("b", LongType),
+              StructField("jaccard", DoubleType))))
+        sink(pairs, batchId)
+        graft.operators.Dedup.appendToLshIndex(index, batch, textCol,
+          idCol)
+        ()
+      }
+    checkpointLocation.foreach(p => writer.option("checkpointLocation", p))
+    writer.start()
+  }
+
   /** Stream-stream INTERVAL join — the streaming twin of
     * `operators.RangeJoin`: each trigger event joins to the follow events
     * of the same user within `[trigger_ts, trigger_ts + window)`. Both

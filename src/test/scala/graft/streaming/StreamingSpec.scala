@@ -116,6 +116,48 @@ class StreamingSpec extends SparkFunSuite {
       "the digest index must outlive the streaming query")
   }
 
+  test("streaming NEAR-dup ingest: batches probe the persistent LSH " +
+      "index, matches accumulate across batches, the index outlives the " +
+      "query") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_ing")
+      .toString + "/lsh"
+    val base = "the quick brown fox jumps over the lazy dog again today"
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    def run(batches: Seq[Seq[(Long, String)]]): Unit = {
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingPipelines.ingestNearDupStream(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id", dir,
+        threshold = 0.6) { (pairs, _) =>
+        emitted ++= pairs.collect().map(r =>
+          (r.getAs[Long]("a"), r.getAs[Long]("b"),
+            r.getAs[Double]("jaccard")))
+      }
+      try batches.foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    run(Seq(
+      // batch 1 seeds the index — nothing to probe against yet
+      Seq(1L -> base, 2L -> "completely different content about engines"),
+      // batch 2: re-crawl of 1 (jaccard 1.0) + one edited near-copy
+      Seq(3L -> base, 4L -> (base + " with tail drift"))))
+    assert(emitted.exists { case (a, b, j) => a == 1L && b == 3L && j == 1.0 },
+      s"re-crawl must match its source exactly: $emitted")
+    assert(emitted.exists { case (a, b, _) => a == 1L && b == 4L },
+      s"edited near-copy must match: $emitted")
+    assert(!emitted.exists { case (_, b, _) => b == 2L || b == 1L },
+      s"batch-1 docs must not probe (index was empty): $emitted")
+    // a SECOND query over the same index: batch-2 docs are now corpus
+    emitted.clear()
+    run(Seq(Seq(9L -> base)))
+    assert(emitted.map(p => (p._1, p._2)).toSet
+        .intersect(Set((1L, 9L), (3L, 9L))) == Set((1L, 9L), (3L, 9L)),
+      s"the LSH index must outlive the streaming query: $emitted")
+  }
+
   test("streaming near-dup: LSH band self-join finds exact and near pairs " +
       "within the horizon, matches the batch operator on the same corpus") {
     val s = spark
