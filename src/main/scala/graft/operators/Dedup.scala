@@ -77,19 +77,27 @@ object Dedup {
   /** Shared LSH-candidate + exact-Jaccard-verify pipeline over any
     * (id, shingles) view: native minhash signature → band keys →
     * bucket self-join → verify within candidates only. */
-  private def lshJaccardPairs(shingled: DataFrame, numHashes: Int,
-      bands: Int, threshold: Double): DataFrame = {
+  /** `(bk, id)` band-key rows from an (id, shingles) view — THE band
+    * derivation: the written index, the delta probe, and the batch
+    * self-join all call this, so their keys match by construction. */
+  private def bandRows(shingled: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     val rows = numHashes / bands
     val sigs = shingled.select(col("id"), col("shingles"),
       TF.minhashSignature(col("shingles"), numHashes).as("sig"))
     // keep `sig` in the output list next to the explode so CollapseProject
     // can't inline the signature kernel into the band-key lambda
-    val bandRows = sigs
+    sigs
       .select(col("id"), col("sig"),
         explode(TF.minhashBandKeys(col("sig"), bands, rows)).as("bk"))
-      .select(col("id"), col("bk"))
-    val l = bandRows.select(col("bk"), col("id").as("a"))
-    val r = bandRows.select(col("bk"), col("id").as("b"))
+      .select(col("bk"), col("id"))
+  }
+
+  private def lshJaccardPairs(shingled: DataFrame, numHashes: Int,
+      bands: Int, threshold: Double): DataFrame = {
+    val bnd = bandRows(shingled, numHashes, bands)
+    val l = bnd.select(col("bk"), col("id").as("a"))
+    val r = bnd.select(col("bk"), col("id").as("b"))
     val pairs = l.join(r, Seq("bk")).filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     // verify: join candidate ids back to shingle sets (small side = pairs)
@@ -515,20 +523,18 @@ object Dedup {
   }
 
   /** Shared writer — single place that defines the on-disk schemas
-    * `bands(bk, id)` and `shingles(id, shingles)`. */
+    * `bands(bk, id)` and `shingles(id, shingles)`. The shingle relation
+    * is materialized once (localCheckpoint) so the text kernel — the
+    * dominant cost — runs ONE corpus pass feeding both writes; a
+    * production 100 TB build that cannot hold the shingle relation in
+    * block storage writes the sidecar first and derives the band
+    * relation by re-reading it. */
   private def writeLshDatasets(docs: DataFrame, textCol: String,
       idCol: String, index: LshIndex, mode: String): Unit = {
-    val rows = index.numHashes / index.bands
     val sh = docs.select(col(idCol).as("id"),
       TF.wordShingleHashes(col(textCol), index.shingleK).as("shingles"))
-    // sig kept in the projection beside the explode — the minhashNearDup
-    // CollapseProject guard, same reason
-    sh.select(col("id"), col("shingles"),
-        TF.minhashSignature(col("shingles"), index.numHashes).as("sig"))
-      .select(col("id"), col("sig"),
-        explode(TF.minhashBandKeys(col("sig"), index.bands, rows))
-          .as("bk"))
-      .select(col("bk"), col("id"))
+      .localCheckpoint()
+    bandRows(sh, index.numHashes, index.bands)
       .write.mode(mode).parquet(s"${index.path}/bands")
     sh.write.mode(mode).parquet(s"${index.path}/shingles")
   }
@@ -548,14 +554,9 @@ object Dedup {
   def lshProbeNearDup(index: LshIndex, delta: DataFrame, textCol: String,
       idCol: String, threshold: Double = 0.8): DataFrame = {
     val spark = delta.sparkSession
-    val rows = index.numHashes / index.bands
     val dSh = delta.select(col(idCol).as("id"),
       TF.wordShingleHashes(col(textCol), index.shingleK).as("shingles"))
-    val dBands = dSh.select(col("id"), col("shingles"),
-        TF.minhashSignature(col("shingles"), index.numHashes).as("sig"))
-      .select(col("id"), col("sig"),
-        explode(TF.minhashBandKeys(col("sig"), index.bands, rows))
-          .as("bk"))
+    val dBands = bandRows(dSh, index.numHashes, index.bands)
       .select(col("bk"), col("id").as("b"))
     val cands = spark.read.parquet(s"${index.path}/bands")
       .join(broadcast(dBands), Seq("bk"))
@@ -640,7 +641,8 @@ object Dedup {
     * Bloom path trades exactness for a corpus-size-INDEPENDENT summary.
     * Pass the same log2Bits/numHashes as the index build. */
   def bloomMaybeDup(bloom: DataFrame, delta: DataFrame, textCol: String,
-      idCol: String, log2Bits: Int = 20, numHashes: Int = 4): DataFrame =
+      idCol: String, log2Bits: Int = 20, numHashes: Int = 4): DataFrame = {
+    val words = 1 << (log2Bits - 6)
     delta.crossJoin(broadcast(bloom))
       // fp hoisted into its own projection (see bloomIndex): the position
       // derivation references it twice, which blocks CollapseProject from
@@ -648,13 +650,21 @@ object Dedup {
       .select(col(idCol), col("bloom"),
         TF.fingerprintPoly(col(textCol)).as("fp"))
       .select(col(idCol),
-        // NULL text ⇒ NULL fingerprint ⇒ no positions to match: that is
-        // a guaranteed-new row, not an unknown — pin maybe_dup = false
-        // (matches the oracle's no-position-rows-match semantics)
-        coalesce(
-          forall(bloomPositions(col("fp"), log2Bits, numHashes),
-            p => element_at(col("bloom"),
-                (shiftright(p, 6) + lit(1L)).cast("int"))
-              .bitwiseAND(bitOf(p)) =!= 0),
-          lit(false)).as("maybe_dup"))
+        // a filter built with a different log2Bits would index past the
+        // array and silently report every row guaranteed-new — fail loud
+        when(size(col("bloom")) =!= lit(words),
+          raise_error(concat(lit("graft bloom probe: index has "),
+            size(col("bloom")),
+            lit(s" words but log2Bits=$log2Bits expects $words")))
+            .cast("boolean"))
+          // NULL text ⇒ NULL fingerprint ⇒ no positions to match: that
+          // is a guaranteed-new row, not an unknown — pin maybe_dup =
+          // false (matches the oracle's no-position-rows-match semantics)
+          .otherwise(coalesce(
+            forall(bloomPositions(col("fp"), log2Bits, numHashes),
+              p => element_at(col("bloom"),
+                  (shiftright(p, 6) + lit(1L)).cast("int"))
+                .bitwiseAND(bitOf(p)) =!= 0),
+            lit(false))).as("maybe_dup"))
+  }
 }

@@ -54,8 +54,9 @@ case class BloomBitsetAgg(
   require(log2Bits >= 6 && log2Bits <= 30,
     s"log2Bits must be in [6, 30], got $log2Bits")
 
-  override def inputTypes: Seq[DataType] =
-    Seq(ArrayType(LongType, containsNull = false))
+  // containsNull = true: positions derived from a nullable fingerprint
+  // carry nullable elements — update() skips them
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def children: Seq[Expression] = Seq(positionsExpr)
   override def nullable: Boolean = false
   override def dataType: DataType =
@@ -71,10 +72,15 @@ case class BloomBitsetAgg(
       var i = 0
       val n = a.numElements()
       while (i < n) {
-        val p = a.getLong(i)
-        require(p >= 0 && p < (1L << log2Bits),
-          s"bit position $p out of [0, 2^$log2Bits)")
-        buf.set(p)
+        // a NULL element (e.g. positions derived from a NULL fingerprint
+        // come through as [null,null,...], not a NULL array) contributes
+        // no bit — getLong would silently read it as position 0
+        if (!a.isNullAt(i)) {
+          val p = a.getLong(i)
+          require(p >= 0 && p < (1L << log2Bits),
+            s"bit position $p out of [0, 2^$log2Bits)")
+          buf.set(p)
+        }
         i += 1
       }
     }

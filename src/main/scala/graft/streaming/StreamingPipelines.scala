@@ -202,8 +202,12 @@ object StreamingPipelines {
               .localCheckpoint()
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(Seq(StructField("a", LongType),
-              StructField("b", LongType),
+            // id columns typed from the ACTUAL batch schema so the sink
+            // sees one consistent schema across the empty first batch
+            // and every later one
+            StructType(Seq(
+              StructField("a", batch.schema(idCol).dataType),
+              StructField("b", batch.schema(idCol).dataType),
               StructField("jaccard", DoubleType))))
         sink(pairs, batchId)
         graft.operators.Dedup.appendToLshIndex(index, batch, textCol,

@@ -61,6 +61,21 @@ class BloomDedupSpec extends SparkFunSuite {
     assert(flags(1).getBoolean(1))
   }
 
+  test("probing with a mismatched log2Bits fails loud instead of " +
+    "silently reporting guaranteed-new") {
+    val (corpus, delta) = corpusAndDelta
+    val bloom = Dedup.bloomIndex(corpus, "text", log2Bits = 8)
+    val ex = intercept[Exception] {
+      Dedup.bloomMaybeDup(bloom, delta.limit(1), "text", "doc_id",
+        log2Bits = 20).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("log2Bits")),
+      s"expected the size-mismatch error, got: ${messages(ex)}")
+  }
+
   test("a tiny saturated filter still has no false negatives") {
     val (corpus, delta) = corpusAndDelta
     // 2^8 = 256 bits for 200 keys × 4 hashes: heavily saturated, so
