@@ -37,6 +37,22 @@ object Sampling {
     df.filter(bucket(col(idCol), den, salt) < num)
   }
 
+  /** Per-ROW importance sampling: keep each row with probability
+    * `numCol/den`, where `numCol` is any engine-portable integer
+    * expression (a quality score, a token count) clamped into [0, den].
+    * The quality-weighted corpus downsample: junk gets a near-zero keep
+    * rate, good documents survive, and the decision is a deterministic
+    * pure filter — partitioning-independent, pushdown-friendly, exact
+    * rational arithmetic (no floats), reproducible in any int64 SQL
+    * engine. Same id-hash chain as [[hashSample]], so weights and plain
+    * rates can share a salt without correlation. */
+  def importanceSample(df: DataFrame, idCol: String, numCol: Column,
+      den: Int, salt: Long = 0L): DataFrame = {
+    require(den > 0)
+    df.filter(bucket(col(idCol), den, salt) <
+      least(greatest(numCol.cast("long"), lit(0L)), lit(den.toLong)))
+  }
+
   /** Per-stratum rates: `rates(strataValue) = numerator` out of `den`.
     * Strata absent from the map are dropped (rate 0). The rate table rides
     * in the plan as a literal map — row-local, no join. */

@@ -249,6 +249,15 @@ object ExtensionQueries {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // per-row importance sampling: keep probability proportional to doc
+    // length (clamped at 1500/2000) — the quality-weighted downsample;
+    // pure deterministic filter, exact rational arithmetic
+    "sample_importance" -> ((s, dir) =>
+      Sampling.importanceSample(t(s, dir, "documents"), "doc_id",
+          least(col("n_chars"), lit(1500)), den = 2000)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     "sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedSample(t(s, dir, "documents"), "source", "doc_id",
           rates = Map("src0" -> 8, "src1" -> 5, "src2" -> 2), den = 10)
@@ -1560,6 +1569,11 @@ object ExtensionQueries {
     "sample_hash" ->
       """SELECT doc_id FROM documents
         |WHERE ((doc_id + 0) * 2654435761) % 10 < 3
+        |ORDER BY doc_id""".stripMargin,
+    "sample_importance" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE ((doc_id + 0) * 2654435761) % 2000 <
+        |  least(greatest(CAST(least(n_chars, 1500) AS BIGINT), 0), 2000)
         |ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, source FROM documents

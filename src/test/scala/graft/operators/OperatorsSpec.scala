@@ -506,6 +506,35 @@ class SimilaritySpec extends SparkFunSuite {
     assert(salted != s2)
   }
 
+  test("importanceSample: keep rate follows the per-row weight, weight 0 " +
+      "drops, weight >= den keeps, clamped and partitioning-independent") {
+    val s = spark
+    import s.implicits._
+    // three weight classes: 0 (always dropped), den (always kept), den/2
+    val df = (0 until 3000).map { i =>
+      (i.toLong, (i % 3) match {
+        case 0 => 0; case 1 => 100; case 2 => 50
+      })
+    }.toDF("id", "w")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Sampling.importanceSample(d, "id", col("w"), den = 100)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val kept = ids(df)
+    assert(kept == ids(df.repartition(11)), "partitioning-independent")
+    assert((0 until 3000 by 3).forall(i => !kept.contains(i.toLong)),
+      "weight 0 must drop")
+    assert((1 until 3000 by 3).forall(i => kept.contains(i.toLong)),
+      "weight = den must keep")
+    val half = (2 until 3000 by 3).count(i => kept.contains(i.toLong))
+    assert(half > 350 && half < 650, s"~half expected, got $half of 1000")
+    // clamping: negative and oversized weights behave as 0 and den
+    val clamped = Sampling.importanceSample(
+        Seq((1L, -50), (2L, 900)).toDF("id", "w"), "id", col("w"),
+        den = 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(clamped == Set(2L))
+  }
+
   test("stratified sampling: per-stratum rates, absent strata dropped") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = Sampling.stratifiedSample(docs, "source", "doc_id",
