@@ -191,16 +191,9 @@ object Relevance {
   def bigramSurprisal(docs: DataFrame, textCol: String, idCol: String,
       tableSize: Int, scale: Long = 1000000L): DataFrame = {
     require(tableSize > 0 && scale > 0)
+    val bg = bigramStream(docs, textCol, idCol)
     val tokd = docs.select(col(idCol).as("doc_id"),
       TF.normTokens(col(textCol)).as("ts"))
-    // (doc, u, w) for each adjacent pair: posexplode keeps the array in
-    // the output list, so the next-token lookup stays in the same
-    // projection (pos is 0-based; element_at is 1-based ⇒ pos+2 = next)
-    val bg = tokd
-      .select(col("doc_id"), col("ts"),
-        posexplode(expr("slice(ts, 1, greatest(size(ts) - 1, 0))")))
-      .select(col("doc_id"), col("col").as("u"),
-        element_at(col("ts"), col("pos") + 2).as("w"))
     val c1 = bg.groupBy("u").agg(count(lit(1)).as("c1"))
     val c2 = bg.groupBy("u", "w").agg(count(lit(1)).as("c2"))
     val top = c2.orderBy(col("c2").desc, col("u"), col("w"))
@@ -225,6 +218,59 @@ object Relevance {
       .withColumn("mean_ppm",
         when(col("n_bigrams") > 0, expr("sum_ppm DIV n_bigrams"))
           .otherwise(lit(0L)))
+  }
+
+  /** `(doc_id, u, w)` adjacent-token-pair stream — shared by the bigram
+    * LM and collocation extraction. Row-local: posexplode keeps the
+    * token array in the output list, so the next-token lookup stays in
+    * the same projection (pos is 0-based; element_at is 1-based ⇒
+    * pos+2 = next). Docs with < 2 tokens contribute nothing. */
+  private def bigramStream(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        TF.normTokens(col(textCol)).as("ts"))
+      .select(col("doc_id"), col("ts"),
+        posexplode(expr("slice(ts, 1, greatest(size(ts) - 1, 0))")))
+      .select(col("doc_id"), col("col").as("u"),
+        element_at(col("ts"), col("pos") + 2).as("w"))
+
+  /** Top-k collocations (statistically-bound word pairs — "new york",
+    * "machine learning") by a RATIONAL pointwise-mutual-information
+    * score: `affinity = c2(u,w) · N · scale DIV (cu(u) · cw(w))`, the
+    * integer fixed-point form of `P(u,w)/(P(u)·P(w))` over the bigram
+    * stream (cu/cw are the first-/second-position marginals). Log-free
+    * deliberately: log-PMI is transcendental and not bit-portable, and
+    * the monotone transform preserves the ranking (same rationale as
+    * the TF-IDF family's rational idf). `minCount` prunes the rare-pair
+    * noise floor first, exactly as collocation extraction does in
+    * practice.
+    *
+    * Exactness bound: `c2 · N · scale` must stay below 2^63 — with the
+    * default 1e6 scale that holds to ~3M bigrams of any single pair
+    * (`c2 · N < 9.2e12`); shrink `scale` for larger corpora.
+    *
+    * 100 TB design: marginals and pair counts partial-combine to
+    * vocabulary-/pair-vocabulary-sized exchanges; marginals broadcast
+    * back; the cut is a TakeOrderedAndProject.
+    *
+    * @return (u, w, c2, affinity) top-k by (affinity desc, u, w)
+    */
+  def collocations(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, minCount: Long = 5L, scale: Long = 1000000L): DataFrame = {
+    require(k > 0 && minCount >= 1 && scale > 0)
+    val bg = bigramStream(docs, textCol, idCol)
+    val cu = bg.groupBy("u").agg(count(lit(1)).as("cu"))
+    val cw = bg.groupBy("w").agg(count(lit(1)).as("cw"))
+    val c2 = bg.groupBy("u", "w").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    val n = bg.agg(count(lit(1)).as("n_bigrams"))
+    c2.join(broadcast(cu), Seq("u"))
+      .join(broadcast(cw), Seq("w"))
+      .crossJoin(broadcast(n))
+      .select(col("u"), col("w"), col("c2"),
+        expr(s"(c2 * n_bigrams * ${scale}L) DIV (cu * cw)").as("affinity"))
+      .orderBy(col("affinity").desc, col("u"), col("w")).limit(k)
   }
 
   /** (doc_id, term, tf) over normalized tokens — the single corpus scan

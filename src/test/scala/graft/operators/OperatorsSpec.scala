@@ -1096,6 +1096,26 @@ class RelevanceSpec extends SparkFunSuite {
     assert(again == out.map(t => (t._1, t._4)).toSeq)
   }
 
+  test("collocations: exact rational PMI with hand-computed marginals, " +
+      "minCount prunes, deterministic ranking") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "x y x y x y"), // (x,y):3 (y,x):2
+      (2L, "p q"),         // (p,q):1 — below minCount=2
+      (3L, "x q p y"))     // (x,q) (q,p) (p,y)
+      .toDF("doc_id", "text")
+    // N=9; cu: x:4 y:2 p:2 q:1; cw: y:4 x:2 q:2 p:1
+    // affinity(x,y) = 3*9e6 DIV (4*4) = 1_687_500
+    // affinity(y,x) = 2*9e6 DIV (2*2) = 4_500_000
+    val out = Relevance.collocations(d, "text", "doc_id", k = 10,
+        minCount = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out == Seq(("y", "x", 2L, 4500000L),
+      ("x", "y", 3L, 1687500L)))
+  }
+
   test("bigramSurprisal: exact fixed-point arithmetic, out-of-table " +
       "pairs score as unseen, sub-2-token docs zero, " +
       "partitioning-independent") {
