@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Chunking, Contamination, Dedup, Relevance, Sampling}
+import graft.operators.{Chunking, Contamination, Dedup, HeavyHitters, Relevance, Sampling}
 
 /** End-to-end training-data pipeline over one corpus — the "switch to
   * this library" composition story in one runnable main:
@@ -134,12 +134,43 @@ object PipelineDemo {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val nSplit = splits.values.sum
 
+    // 9. daily-ingest epilogue: the curated corpus becomes tomorrow's
+    //    dedup baseline — a 128 KiB Bloom summary screens exact
+    //    re-crawls row-locally, and the written LSH band index catches
+    //    near-duplicate rewrites, neither ever re-reading corpus text
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_demo_ingest").toString
+    val bloom = Dedup.bloomIndex(balanced, "text")
+    val lsh = Dedup.buildLshIndex(balanced, "text", "doc_id",
+      s"$tmp/lsh")
+    val delta = balanced.limit(40)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" fresh tail"))).as("text"))
+    val screened = Dedup.bloomMaybeDup(bloom, delta, "text", "doc_id")
+    val nRecrawl = screened.filter(col("maybe_dup")).count()
+    val fresh = delta.join(
+      screened.filter(col("maybe_dup")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val nNearPairs = Dedup.lshProbeNearDup(lsh, fresh, "text", "doc_id",
+      threshold = 0.6).count()
+
+    // 10. corpus report: exact frequent terms without a vocabulary
+    //     shuffle, and the strongest collocations
+    val nHeavy = HeavyHitters.heavyTokens(balanced, "text",
+      phiDenom = 200, sketchK = 512).count()
+    val nColl = Relevance.collocations(balanced, "text", "doc_id",
+      k = 10, minCount = 2L).count()
+
     println(s"docs=$n0 afterDedup=$n1 afterContam=$n2 afterQuality=$n3 " +
       s"afterBalance=$n4 chunks=$nChunks packs=$nPacks ordered=$nOrdered " +
-      s"splits=$splits")
+      s"splits=$splits ingestRecrawls=$nRecrawl ingestNearPairs=" +
+      s"$nNearPairs heavyTerms=$nHeavy collocations=$nColl")
     require(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 >= n4 && n4 > 0 &&
       nChunks > 0 && nOrdered == n4 && nSplit == n4,
       "pipeline stages must monotonically filter and keep data")
+    require(nRecrawl > 0 && nNearPairs > 0 && nHeavy > 0 && nColl > 0,
+      "ingest screen and corpus report must be non-vacuous")
     spark.stop()
   }
 }
