@@ -534,9 +534,14 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"),
       TF.wordShingleHashes(col(textCol), index.shingleK).as("shingles"))
       .localCheckpoint()
+    // sidecar FIRST: probes and the streaming loop gate readiness on the
+    // bands relation, so bands-present must imply sidecar-present — a
+    // crash between the writes then re-appends the sidecar (benign
+    // duplicate rows, see appendToLshIndex) instead of leaving band rows
+    // whose candidates silently drop at the verification join
+    sh.write.mode(mode).parquet(s"${index.path}/shingles")
     bandRows(sh, index.numHashes, index.bands)
       .write.mode(mode).parquet(s"${index.path}/bands")
-    sh.write.mode(mode).parquet(s"${index.path}/shingles")
   }
 
   /** Probe a DELTA batch against a [[buildLshIndex]] written index:
@@ -554,8 +559,12 @@ object Dedup {
   def lshProbeNearDup(index: LshIndex, delta: DataFrame, textCol: String,
       idCol: String, threshold: Double = 0.8): DataFrame = {
     val spark = delta.sparkSession
+    // materialized once: dSh feeds both the band derivation and the
+    // verification join — without this the delta text kernel (and the
+    // delta source scan) would run twice per probe
     val dSh = delta.select(col(idCol).as("id"),
       TF.wordShingleHashes(col(textCol), index.shingleK).as("shingles"))
+      .localCheckpoint()
     val dBands = bandRows(dSh, index.numHashes, index.bands)
       .select(col("bk"), col("id").as("b"))
     val cands = spark.read.parquet(s"${index.path}/bands")
@@ -642,6 +651,7 @@ object Dedup {
     * Pass the same log2Bits/numHashes as the index build. */
   def bloomMaybeDup(bloom: DataFrame, delta: DataFrame, textCol: String,
       idCol: String, log2Bits: Int = 20, numHashes: Int = 4): DataFrame = {
+    require(log2Bits >= 6 && log2Bits <= 30, "log2Bits in [6, 30]")
     val words = 1 << (log2Bits - 6)
     delta.crossJoin(broadcast(bloom))
       // fp hoisted into its own projection (see bloomIndex): the position

@@ -44,8 +44,10 @@ object Sampling {
     * rate, good documents survive, and the decision is a deterministic
     * pure filter — partitioning-independent, pushdown-friendly, exact
     * rational arithmetic (no floats), reproducible in any int64 SQL
-    * engine. Same id-hash chain as [[hashSample]], so weights and plain
-    * rates can share a salt without correlation. */
+    * engine. Same id-hash chain as [[hashSample]] — the two DRAWS are
+    * therefore fully nested under a shared salt (same bucket value);
+    * pass distinct salts when an importance sample must be independent
+    * of a plain rate sample, as [[mixCorpora]] does per source. */
   def importanceSample(df: DataFrame, idCol: String, numCol: Column,
       den: Int, salt: Long = 0L): DataFrame = {
     require(den > 0)

@@ -143,10 +143,13 @@ object PipelineDemo {
     val bloom = Dedup.bloomIndex(balanced, "text")
     val lsh = Dedup.buildLshIndex(balanced, "text", "doc_id",
       s"$tmp/lsh")
-    val delta = balanced.limit(40)
+    // ordered limit + one materialization: an unordered limit can pick
+    // DIFFERENT rows per job, and delta feeds three separate actions
+    val delta = balanced.orderBy(col("doc_id")).limit(40)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         when(col("doc_id") % 2 === 0, col("text"))
           .otherwise(concat(col("text"), lit(" fresh tail"))).as("text"))
+      .localCheckpoint()
     val screened = Dedup.bloomMaybeDup(bloom, delta, "text", "doc_id")
     val nRecrawl = screened.filter(col("maybe_dup")).count()
     val fresh = delta.join(
