@@ -56,4 +56,29 @@ object HeavyHitters {
       .filter(col("cnt") * lit(phiDenom.toLong) >= col("n"))
       .select(col("term"), col("cnt"))
   }
+
+  /** [[heavyTokens]] PER GROUP (frequent terms per language / source /
+    * crawl): one sketch per group in a single grouped aggregate, then
+    * the exact re-count joins on (group, term). The guarantee holds
+    * group-wise — each group's support threshold n_g/phiDenom exceeds
+    * its own sketch bound n_g/(sketchK+1). Candidate volume is
+    * `|groups| × sketchK` — broadcast-sized for any realistic group
+    * count. */
+  def heavyTokensByGroup(df: DataFrame, groupCol: String, textCol: String,
+      phiDenom: Int, sketchK: Int): DataFrame = {
+    require(phiDenom > 1, "phiDenom must exceed 1")
+    require(sketchK >= phiDenom,
+      s"sketchK ($sketchK) must be >= phiDenom ($phiDenom)")
+    val toks = df.select(col(groupCol).as("g"),
+      explode(TF.normTokens(col(textCol))).as("term"))
+    val cands = toks.groupBy("g")
+      .agg(misraGries(col("term"), sketchK).as("mg"))
+      .select(col("g"), explode(col("mg.candidates")).as("term"),
+        col("mg.n_tokens").as("n"))
+    toks.join(broadcast(cands), Seq("g", "term"))
+      .groupBy(col("g"), col("term"))
+      .agg(count(lit(1)).as("cnt"), max(col("n")).as("n"))
+      .filter(col("cnt") * lit(phiDenom.toLong) >= col("n"))
+      .select(col("g"), col("term"), col("cnt"))
+  }
 }

@@ -344,6 +344,17 @@ object ExtensionQueries {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // FILTERED vector search (top-k among label-1 vectors only): the
+    // metadata predicate composes BELOW the scorer, so it pushes into
+    // the corpus scan — prune first, score the survivors, never
+    // post-filter a wider top-k (which can return < k rows)
+    "sim_topk_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("label") === 1),
+          emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
     "sim_topk_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
@@ -880,6 +891,14 @@ object ExtensionQueries {
       graft.operators.HeavyHitters.heavyTokens(t(s, dir, "documents"),
           "text", phiDenom = 200, sketchK = 512)
         .orderBy(col("cnt").desc, col("term"))),
+
+    // grouped variant: frequent terms PER LANGUAGE — one sketch per
+    // group in a single grouped aggregate, exact re-count on (g, term)
+    "text_heavy_hitters_lang" -> ((s, dir) =>
+      graft.operators.HeavyHitters.heavyTokensByGroup(
+          t(s, dir, "documents"), "lang", "text", phiDenom = 200,
+          sketchK = 512)
+        .orderBy(col("g"), col("cnt").desc, col("term"))),
 
     // ---- multimodal plumbing ----
     "mm_meta" -> ((s, dir) =>
@@ -1778,6 +1797,19 @@ object ExtensionQueries {
          |      GROUP BY term)
          |SELECT term, cnt FROM c, tot WHERE cnt * 200 >= n
          |ORDER BY cnt DESC, term""".stripMargin,
+    // per-group twin: group-wise totals and thresholds
+    "text_heavy_hitters_lang" ->
+      s"""WITH tk AS ($NormToksSql),
+         |t AS (SELECT d.lang AS g, u.term
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM tk) u
+         |  JOIN documents d USING (doc_id)),
+         |tot AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM t
+         |  GROUP BY g),
+         |c AS (SELECT g, term, CAST(COUNT(*) AS BIGINT) AS cnt FROM t
+         |  GROUP BY g, term)
+         |SELECT c.g, c.term, c.cnt FROM c JOIN tot USING (g)
+         |WHERE cnt * 200 >= n
+         |ORDER BY g, cnt DESC, term""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsOracle(CharNgramsSql, 0.5),
     "dedup_simhash" ->
       """WITH u AS (SELECT doc_id, text FROM documents
@@ -1914,6 +1946,19 @@ object ExtensionQueries {
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
         |ORDER BY a, b""".stripMargin,
     "sim_topk_brute" -> BruteOracleSql,
+    // same brute chain restricted to the label-1 corpus slice
+    "sim_topk_filtered" ->
+      """WITH bq AS (SELECT vec_id AS qid, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |bsc AS (SELECT qid, vec_id AS neighbor_id,
+        |  list_cosine_similarity(qv, embedding) AS sim
+        |  FROM bq, embeddings WHERE vec_id <> qid AND label = 1),
+        |bruter AS (SELECT qid AS query_id, neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM bsc)
+        |SELECT query_id, rank, neighbor_id FROM bruter WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // staged SQL recomputation: 32-dim prefix inner product (DuckDB list
     // slicing is 1-based-inclusive like Spark's slice; list_inner_product
     // folds sequentially like aggregate()), rank cut at k*overfetch, then

@@ -69,6 +69,29 @@ class HeavyHittersSpec extends SparkFunSuite {
     }
   }
 
+  test("heavyTokensByGroup == per-group exact count filter") {
+    val s = spark
+    import s.implicits._
+    val docs = zipfDocs.withColumn("g",
+      (col("doc_id") % 3).cast("string"))
+    val toks = docs.select($"g",
+      explode(graft.functions.TextFunctions.normTokens($"text"))
+        .as("term"))
+    val totals = toks.groupBy("g").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = toks.groupBy("g", "term")
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .filter { case (g, _, c) => c * 50 >= totals(g) }
+      .sortBy { case (g, t, c) => (g, -c, t) }.toSeq
+    assert(expected.nonEmpty)
+    val got = HeavyHitters.heavyTokensByGroup(docs, "g", "text",
+        phiDenom = 50, sketchK = 64)
+      .orderBy($"g", $"cnt".desc, $"term").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   test("graft_misra_gries is SQL-callable") {
     val s = spark
     import s.implicits._
