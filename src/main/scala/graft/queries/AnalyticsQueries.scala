@@ -548,6 +548,31 @@ object AnalyticsQueries {
             sum(col("v")).cast("double").as("total_value")))
         .orderBy(col("event_type"))),
 
+    // TPC-H Q2 flavor (no partsupp table in this schema, so lineitem
+    // prices stand in for supply cost): cheapest EUROPE supplier per
+    // part — argmin-per-group over a star join as ONE aggregation via
+    // min(struct(price, suppkey)) (lexicographic struct min = min price,
+    // tie -> min suppkey): no second join back, no window; dims
+    // broadcast, fact partial-aggregates.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val eurSupp = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          dec2(col("l_extendedprice")).as("price"))
+        .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(min(struct(col("price"), col("l_suppkey"))).as("best"))
+        .select(col("l_partkey"),
+          col("best.l_suppkey").as("best_supp"),
+          col("best.price").cast("double").as("min_price"))
+        .orderBy(col("l_partkey")).limit(100)
+    }),
+
     // Salted JOIN twin of q_skew_salted_agg (operators/Skew.saltedJoin):
     // the broadcast-inapplicable skew shape — fact rows carry a salt, the
     // dimension replicates across every salt value, so one flooding key
@@ -939,6 +964,24 @@ object AnalyticsQueries {
       """SELECT event_type, COUNT(*) AS cnt,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // min-then-tie-break recomputed as two grouped steps (the struct-min
+    // trick is Spark-side; the result is identical)
+    "q2_min_cost_supplier" ->
+      """WITH up AS (SELECT l_partkey, l_suppkey,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |    AND r_name = 'EUROPE'),
+        |m AS (SELECT l_partkey, MIN(price) AS min_price FROM up
+        |  GROUP BY l_partkey)
+        |SELECT up.l_partkey, MIN(up.l_suppkey) AS best_supp,
+        |  CAST(m.min_price AS DOUBLE) AS min_price
+        |FROM up JOIN m ON up.l_partkey = m.l_partkey
+        |  AND up.price = m.min_price
+        |GROUP BY up.l_partkey, m.min_price
+        |ORDER BY up.l_partkey LIMIT 100""".stripMargin,
     "q_skew_salted_join" ->
       """SELECT s_nationkey, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
