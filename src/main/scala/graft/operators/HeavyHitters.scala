@@ -37,45 +37,38 @@ object HeavyHitters {
   /** Exact heavy hitters over the normalized tokens of `textCol`:
     * `(term, cnt)` for every term with `cnt × phiDenom ≥ n` (n = total
     * token occurrences). Requires `sketchK ≥ phiDenom` for the exactness
-    * guarantee. */
+    * guarantee. Delegates to [[heavyTokensByGroup]] with one constant
+    * group so the two-pass pipeline exists exactly once. */
   def heavyTokens(df: DataFrame, textCol: String, phiDenom: Int,
-      sketchK: Int): DataFrame = {
-    require(phiDenom > 1, "phiDenom must exceed 1")
-    require(sketchK >= phiDenom,
-      s"sketchK ($sketchK) must be >= phiDenom ($phiDenom) so that " +
-        "support n/phiDenom exceeds the sketch miss bound n/(sketchK+1)")
-    val toks = df.select(explode(TF.normTokens(col(textCol))).as("term"))
-    // n rides on every candidate row so the one-row sketch relation is
-    // referenced once — the discovery pass runs exactly one corpus scan
-    val cands = toks.agg(misraGries(col("term"), sketchK).as("mg"))
-      .select(explode(col("mg.candidates")).as("term"),
-        col("mg.n_tokens").as("n"))
-    toks.join(broadcast(cands), Seq("term"))
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("cnt"), max(col("n")).as("n"))
-      .filter(col("cnt") * lit(phiDenom.toLong) >= col("n"))
+      sketchK: Int): DataFrame =
+    heavyTokensByGroup(df.withColumn("__hh_g", lit(0)), "__hh_g",
+        textCol, phiDenom, sketchK)
       .select(col("term"), col("cnt"))
-  }
 
   /** [[heavyTokens]] PER GROUP (frequent terms per language / source /
     * crawl): one sketch per group in a single grouped aggregate, then
-    * the exact re-count joins on (group, term). The guarantee holds
-    * group-wise — each group's support threshold n_g/phiDenom exceeds
-    * its own sketch bound n_g/(sketchK+1). Candidate volume is
-    * `|groups| × sketchK` — broadcast-sized for any realistic group
-    * count. */
+    * the exact re-count joins null-safely on (group, term) — a NULL
+    * group key is one ordinary group, not silently dropped. The
+    * guarantee holds group-wise — each group's support threshold
+    * n_g/phiDenom exceeds its own sketch bound n_g/(sketchK+1).
+    * Candidate volume is `|groups| × sketchK` — broadcast-sized for any
+    * realistic group count. */
   def heavyTokensByGroup(df: DataFrame, groupCol: String, textCol: String,
       phiDenom: Int, sketchK: Int): DataFrame = {
     require(phiDenom > 1, "phiDenom must exceed 1")
     require(sketchK >= phiDenom,
-      s"sketchK ($sketchK) must be >= phiDenom ($phiDenom)")
+      s"sketchK ($sketchK) must be >= phiDenom ($phiDenom) so that " +
+        "support n/phiDenom exceeds the sketch miss bound n/(sketchK+1)")
     val toks = df.select(col(groupCol).as("g"),
       explode(TF.normTokens(col(textCol))).as("term"))
+    // n rides on every candidate row so the sketch relation is
+    // referenced once — the discovery pass runs exactly one corpus scan
     val cands = toks.groupBy("g")
       .agg(misraGries(col("term"), sketchK).as("mg"))
-      .select(col("g"), explode(col("mg.candidates")).as("term"),
+      .select(col("g").as("cg"), explode(col("mg.candidates")).as("cterm"),
         col("mg.n_tokens").as("n"))
-    toks.join(broadcast(cands), Seq("g", "term"))
+    toks.join(broadcast(cands),
+        col("g") <=> col("cg") && col("term") === col("cterm"))
       .groupBy(col("g"), col("term"))
       .agg(count(lit(1)).as("cnt"), max(col("n")).as("n"))
       .filter(col("cnt") * lit(phiDenom.toLong) >= col("n"))

@@ -33,7 +33,9 @@ object PlanAudit {
       "text_quality_classifier", "text_url_parse", "sketch_kmv_distinct",
       "dedup_incremental", "corpus_source_sim", "sim_recall_ivf",
       "dedup_bloom", "text_heavy_hitters", "q_skew_salted_join",
-      "text_lm_bigram")
+      "text_lm_bigram", "dedup_incremental_near", "text_collocations",
+      "sample_importance", "text_heavy_hitters_lang", "sim_topk_filtered",
+      "q2_min_cost_supplier")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       // Codegen stages are marked `*(id)` in the SIMPLE plan string, but

@@ -92,6 +92,22 @@ class HeavyHittersSpec extends SparkFunSuite {
     assert(got == expected)
   }
 
+  test("heavyTokensByGroup treats a NULL group key as an ordinary " +
+    "group (null-safe re-count join)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (Some("en"), "alpha alpha alpha beta"),
+      (None: Option[String], "gamma gamma gamma delta"))
+      .toDF("g", "text")
+    val got = HeavyHitters.heavyTokensByGroup(docs, "g", "text",
+        phiDenom = 2, sketchK = 8)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1),
+        r.getLong(2))).toSet
+    assert(got == Set((Some("en"), "alpha", 3L), (None, "gamma", 3L)),
+      s"NULL group must survive: $got")
+  }
+
   test("graft_misra_gries is SQL-callable") {
     val s = spark
     import s.implicits._
