@@ -258,6 +258,36 @@ object StreamingPipelines {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("total_value"))
 
+  /** TRENDING TERMS: a watermarked tumbling-window Misra-Gries sketch
+    * over a document stream — the bounded-memory "what is frequent right
+    * now" analytics a crawl monitor runs. The mergeable sketch is
+    * exactly what an incremental streaming aggregate needs: each
+    * micro-batch folds into the window's stored buffer (the same
+    * serialize/merge path the batch aggregate uses map-side), so state
+    * per window is ≤ sketchK counters regardless of stream volume, and
+    * the watermark expires whole windows. Every term with in-window
+    * frequency > n/(sketchK+1) is guaranteed present (run the exact
+    * batch re-count over the emitted window if exact counts matter —
+    * [[graft.operators.HeavyHitters.heavyTokens]] on the window's
+    * documents).
+    *
+    * Input columns: (`ts` timestamp, `textCol`). Output per closed
+    * window: (window_start, n_tokens, candidates array<string>). */
+  def trendingTermsStream(docs: DataFrame, textCol: String,
+      window_ : String = "10 minutes", lateness: String = "10 minutes",
+      sketchK: Int = 64): DataFrame =
+    docs
+      .withWatermark("ts", lateness)
+      .select(col("ts"), explode(
+        graft.functions.TextFunctions.normTokens(col(textCol)))
+        .as("term"))
+      .groupBy(window(col("ts"), window_))
+      .agg(graft.operators.HeavyHitters.misraGries(col("term"), sketchK)
+        .as("mg"))
+      .select(col("window.start").as("window_start"),
+        col("mg.n_tokens").as("n_tokens"),
+        col("mg.candidates").as("candidates"))
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String,
       value: Double)
   final case class Session(user_id: Long, session_start: Timestamp,

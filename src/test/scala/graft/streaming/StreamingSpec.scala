@@ -116,6 +116,41 @@ class StreamingSpec extends SparkFunSuite {
       "the digest index must outlive the streaming query")
   }
 
+  test("trending terms: windowed Misra-Gries state folds across " +
+      "micro-batches; n exact, dominant terms guaranteed, windows close " +
+      "on watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val out = StreamingPipelines.trendingTermsStream(
+      input.toDF().toDF("ts", "text"), "text", window_ = "10 minutes",
+      lateness = "0 seconds", sketchK = 8)
+    val q = out.writeStream.format("memory").queryName("trending")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      // two batches into the SAME 10-min window — forces the stored
+      // sketch buffer to merge with the second batch's partial
+      input.addData((t(1), "spark spark spark rare1"),
+        (t(2), "spark flink"))
+      q.processAllAvailable()
+      input.addData((t(3), "spark spark beam"), (t(4), "spark flink"))
+      q.processAllAvailable()
+      // advance the watermark past the window to close it
+      input.addData((t(25), "closer"))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT window_start, n_tokens, candidates FROM trending")
+        .collect()
+      val w10 = rows.filter(_.getTimestamp(0) == t(0)).head
+      assert(w10.getLong(1) == 11L, s"11 tokens in the window: $w10")
+      val cands = w10.getSeq[String](2)
+      // spark: 7 of 11 > 11/9 — must survive any merge shape
+      assert(cands.contains("spark"), s"dominant term must survive: $w10")
+    } finally q.stop()
+  }
+
   test("streaming NEAR-dup ingest: batches probe the persistent LSH " +
       "index, matches accumulate across batches, the index outlives the " +
       "query") {
