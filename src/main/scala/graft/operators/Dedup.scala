@@ -534,6 +534,18 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"),
       TF.wordShingleHashes(col(textCol), index.shingleK).as("shingles"))
       .localCheckpoint()
+    // An overwrite REBUILD deletes the band relation up front: probes
+    // gate readiness on bands, so a crash mid-rebuild fails loud
+    // (bands missing) instead of silently mixing the new sidecar with
+    // stale v1 band keys. Rebuilders wanting zero downtime should build
+    // at a fresh path and swap the handle.
+    if (mode == "overwrite") {
+      val hPath = new org.apache.hadoop.fs.Path(s"${index.path}/bands")
+      val fs = hPath.getFileSystem(
+        docs.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(hPath, true)
+      ()
+    }
     // sidecar FIRST: probes and the streaming loop gate readiness on the
     // bands relation, so bands-present must imply sidecar-present — a
     // crash between the writes then re-appends the sidecar (benign
@@ -594,6 +606,8 @@ object Dedup {
     * and reproducible in any int64 SQL engine. */
   private def bloomPositions(fp: Column, log2Bits: Int,
       numHashes: Int): Column = {
+    // sequence(0, -1) would silently DESCEND, deriving garbage positions
+    require(numHashes > 0, "numHashes must be positive")
     val m = lit(1L << log2Bits)
     val h1 = Sketches.scramble(fp)
     val h2 = Sketches.scramble(pmod(fp + lit(BloomSalt), lit(Sketches.M)))
@@ -620,9 +634,19 @@ object Dedup {
     * broadcast-trivial summary with ~1e-11 false-positive rate per probe
     * at 500 corpus docs (and still < 1% up to ~1.8e5 docs at k=4; size
     * log2Bits to ~10 bits/key for production corpora). */
+  /** Handle to a built Bloom filter: the one-row `(bloom array<bigint>)`
+    * relation PLUS the hash parameters that built it — probes derive
+    * their positions from the handle, so build and probe cannot silently
+    * diverge (the same reason [[LshIndex]] carries its parameters: a
+    * numHashes mismatch is undetectable from the bitset alone and would
+    * produce false negatives). */
+  final case class BloomIndex(filter: DataFrame, log2Bits: Int,
+      numHashes: Int)
+
   def bloomIndex(corpus: DataFrame, textCol: String, log2Bits: Int = 20,
-      numHashes: Int = 4): DataFrame = {
+      numHashes: Int = 4): BloomIndex = {
     require(log2Bits >= 6 && log2Bits <= 30, "log2Bits in [6, 30]")
+    require(numHashes > 0, "numHashes must be positive")
     // fingerprint in its OWN projection, referenced twice downstream:
     // CollapseProject would otherwise inline the whole-document
     // normalize+fold kernel into the position lambda and re-evaluate it
@@ -630,11 +654,13 @@ object Dedup {
     val positions = corpus
       .select(TF.fingerprintPoly(col(textCol)).as("fp"))
       .select(bloomPositions(col("fp"), log2Bits, numHashes).as("ps"))
-    positions.agg(org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.plans.BloomBitsetAgg(
-        org.apache.spark.sql.graftbridge.ColumnBridge
-          .expression(col("ps")),
-        log2Bits).toAggregateExpression()).as("bloom"))
+    BloomIndex(
+      positions.agg(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.plans.BloomBitsetAgg(
+          org.apache.spark.sql.graftbridge.ColumnBridge
+            .expression(col("ps")),
+          log2Bits).toAggregateExpression()).as("bloom")),
+      log2Bits, numHashes)
   }
 
   /** Probe a DELTA batch against a [[bloomIndex]]: flags every delta row
@@ -648,12 +674,14 @@ object Dedup {
     * the plan is scan → project, embarrassingly parallel. Contrast
     * [[incrementalNewByDigest]], which pays a digest-index join; the
     * Bloom path trades exactness for a corpus-size-INDEPENDENT summary.
-    * Pass the same log2Bits/numHashes as the index build. */
-  def bloomMaybeDup(bloom: DataFrame, delta: DataFrame, textCol: String,
-      idCol: String, log2Bits: Int = 20, numHashes: Int = 4): DataFrame = {
-    require(log2Bits >= 6 && log2Bits <= 30, "log2Bits in [6, 30]")
+    * Hash parameters come from the handle — the runtime size guard below
+    * additionally catches a stale/mismatched filter relation. */
+  def bloomMaybeDup(index: BloomIndex, delta: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val log2Bits = index.log2Bits
+    val numHashes = index.numHashes
     val words = 1 << (log2Bits - 6)
-    delta.crossJoin(broadcast(bloom))
+    delta.crossJoin(broadcast(index.filter))
       // fp hoisted into its own projection (see bloomIndex): the position
       // derivation references it twice, which blocks CollapseProject from
       // re-inlining the document-sized kernel into the per-element lambda

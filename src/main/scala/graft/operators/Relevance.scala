@@ -178,12 +178,16 @@ object Relevance {
     * (`c2' = 0`), which caps the model state a production run ships to
     * executors exactly like a pruned KenLM table.
     *
-    * 100 TB design: the pair stream is derived row-locally (posexplode
-    * over the token array — document text never shuffles); both count
-    * aggregates partial-combine to (bigram-)vocabulary-sized exchanges;
-    * the table cut is a `TakeOrderedAndProject`; scoring is two broadcast
-    * joins (context counts + top table) plus a 2-scalar cross join; the
-    * per-doc aggregate partial-combines in place, one output row per doc.
+    * 100 TB design: the corpus is TOKENIZED EXACTLY ONCE — the token
+    * table is materialized (localCheckpoint; a PB-scale run writes it to
+    * storage instead) and every derivation reads the arrays: the pair
+    * stream is a row-local posexplode, the pair-count aggregate
+    * partial-combines to one bigram-vocabulary-sized relation, and
+    * CONTEXT counts derive from that small relation (`c1 = Σ_w c2`), not
+    * from another corpus pass. The table cut is a
+    * `TakeOrderedAndProject`; scoring is two broadcast joins plus a
+    * 2-scalar cross join; the per-doc aggregate partial-combines in
+    * place, one output row per doc.
     *
     * @return (doc_id, n_bigrams, sum_ppm, mean_ppm), one row per input
     *         doc (docs with < 2 tokens score 0)
@@ -191,11 +195,12 @@ object Relevance {
   def bigramSurprisal(docs: DataFrame, textCol: String, idCol: String,
       tableSize: Int, scale: Long = 1000000L): DataFrame = {
     require(tableSize > 0 && scale > 0)
-    val bg = bigramStream(docs, textCol, idCol)
     val tokd = docs.select(col(idCol).as("doc_id"),
-      TF.normTokens(col(textCol)).as("ts"))
-    val c1 = bg.groupBy("u").agg(count(lit(1)).as("c1"))
+      TF.normTokens(col(textCol)).as("ts")).localCheckpoint()
+    val bg = bigramStream(tokd)
     val c2 = bg.groupBy("u", "w").agg(count(lit(1)).as("c2"))
+      .localCheckpoint() // bigram-vocab-sized; referenced three times
+    val c1 = c2.groupBy("u").agg(sum(col("c2")).as("c1"))
     val top = c2.orderBy(col("c2").desc, col("u"), col("w"))
       .limit(tableSize)
     val scalars = tokd
@@ -220,16 +225,15 @@ object Relevance {
           .otherwise(lit(0L)))
   }
 
-  /** `(doc_id, u, w)` adjacent-token-pair stream — shared by the bigram
-    * LM and collocation extraction. Row-local: posexplode keeps the
-    * token array in the output list, so the next-token lookup stays in
-    * the same projection (pos is 0-based; element_at is 1-based ⇒
+  /** `(doc_id, u, w)` adjacent-token-pair stream over a MATERIALIZED
+    * `(doc_id, ts array<string>)` token table — shared by the bigram LM
+    * and collocation extraction, which tokenize once and derive
+    * everything from the arrays. Row-local: posexplode keeps the token
+    * array in the output list, so the next-token lookup stays in the
+    * same projection (pos is 0-based; element_at is 1-based ⇒
     * pos+2 = next). Docs with < 2 tokens contribute nothing. */
-  private def bigramStream(docs: DataFrame, textCol: String,
-      idCol: String): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"),
-        TF.normTokens(col(textCol)).as("ts"))
+  private def bigramStream(tokd: DataFrame): DataFrame =
+    tokd
       .select(col("doc_id"), col("ts"),
         posexplode(expr("slice(ts, 1, greatest(size(ts) - 1, 0))")))
       .select(col("doc_id"), col("col").as("u"),
@@ -250,8 +254,10 @@ object Relevance {
     * default 1e6 scale that holds to ~3M bigrams of any single pair
     * (`c2 · N < 9.2e12`); shrink `scale` for larger corpora.
     *
-    * 100 TB design: marginals and pair counts partial-combine to
-    * vocabulary-/pair-vocabulary-sized exchanges; marginals broadcast
+    * 100 TB design: ONE corpus tokenize (materialized token table), ONE
+    * pair-count aggregate — both marginals and the grand total derive
+    * from the small pair-count relation (`cu = Σ_w c2`, `cw = Σ_u c2`,
+    * `N = Σ c2`), never from another corpus pass; marginals broadcast
     * back; the cut is a TakeOrderedAndProject.
     *
     * @return (u, w, c2, affinity) top-k by (affinity desc, u, w)
@@ -259,13 +265,16 @@ object Relevance {
   def collocations(docs: DataFrame, textCol: String, idCol: String,
       k: Int, minCount: Long = 5L, scale: Long = 1000000L): DataFrame = {
     require(k > 0 && minCount >= 1 && scale > 0)
-    val bg = bigramStream(docs, textCol, idCol)
-    val cu = bg.groupBy("u").agg(count(lit(1)).as("cu"))
-    val cw = bg.groupBy("w").agg(count(lit(1)).as("cw"))
-    val c2 = bg.groupBy("u", "w").agg(count(lit(1)).as("c2"))
-      .filter(col("c2") >= minCount)
-    val n = bg.agg(count(lit(1)).as("n_bigrams"))
-    c2.join(broadcast(cu), Seq("u"))
+    val tokd = docs.select(col(idCol).as("doc_id"),
+      TF.normTokens(col(textCol)).as("ts")).localCheckpoint()
+    val c2 = bigramStream(tokd)
+      .groupBy("u", "w").agg(count(lit(1)).as("c2"))
+      .localCheckpoint() // bigram-vocab-sized; referenced four times
+    val cu = c2.groupBy("u").agg(sum(col("c2")).as("cu"))
+    val cw = c2.groupBy("w").agg(sum(col("c2")).as("cw"))
+    val n = c2.agg(sum(col("c2")).as("n_bigrams"))
+    c2.filter(col("c2") >= minCount)
+      .join(broadcast(cu), Seq("u"))
       .join(broadcast(cw), Seq("w"))
       .crossJoin(broadcast(n))
       .select(col("u"), col("w"), col("c2"),

@@ -1797,7 +1797,9 @@ object ExtensionQueries {
          |      GROUP BY term)
          |SELECT term, cnt FROM c, tot WHERE cnt * 200 >= n
          |ORDER BY cnt DESC, term""".stripMargin,
-    // per-group twin: group-wise totals and thresholds
+    // per-group twin: group-wise totals and thresholds; the totals join
+    // is null-safe (IS NOT DISTINCT FROM) to mirror the engine's
+    // NULL-group-is-an-ordinary-group contract
     "text_heavy_hitters_lang" ->
       s"""WITH tk AS ($NormToksSql),
          |t AS (SELECT d.lang AS g, u.term
@@ -1807,9 +1809,10 @@ object ExtensionQueries {
          |  GROUP BY g),
          |c AS (SELECT g, term, CAST(COUNT(*) AS BIGINT) AS cnt FROM t
          |  GROUP BY g, term)
-         |SELECT c.g, c.term, c.cnt FROM c JOIN tot USING (g)
+         |SELECT c.g AS g, c.term, c.cnt FROM c
+         |JOIN tot ON c.g IS NOT DISTINCT FROM tot.g
          |WHERE cnt * 200 >= n
-         |ORDER BY g, cnt DESC, term""".stripMargin,
+         |ORDER BY c.g, cnt DESC, term""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsOracle(CharNgramsSql, 0.5),
     "dedup_simhash" ->
       """WITH u AS (SELECT doc_id, text FROM documents

@@ -61,13 +61,18 @@ class BloomDedupSpec extends SparkFunSuite {
     assert(flags(1).getBoolean(1))
   }
 
-  test("probing with a mismatched log2Bits fails loud instead of " +
-    "silently reporting guaranteed-new") {
+  test("probing with a stale/mismatched filter relation fails loud " +
+    "instead of silently reporting guaranteed-new") {
     val (corpus, delta) = corpusAndDelta
-    val bloom = Dedup.bloomIndex(corpus, "text", log2Bits = 8)
+    // the handle API makes build/probe parameters agree by construction;
+    // simulate a corrupted handle (filter built at 2^8 bits, handle
+    // claiming 2^20) — the runtime size guard must trip
+    val built = Dedup.bloomIndex(corpus, "text", log2Bits = 8)
+    val stale = Dedup.BloomIndex(built.filter, log2Bits = 20,
+      numHashes = 4)
     val ex = intercept[Exception] {
-      Dedup.bloomMaybeDup(bloom, delta.limit(1), "text", "doc_id",
-        log2Bits = 20).collect()
+      Dedup.bloomMaybeDup(stale, delta.limit(1), "text", "doc_id")
+        .collect()
     }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil
@@ -82,7 +87,7 @@ class BloomDedupSpec extends SparkFunSuite {
     // false positives abound — but every true duplicate must still flag
     val flags = Dedup.bloomMaybeDup(
         Dedup.bloomIndex(corpus, "text", log2Bits = 8), delta, "text",
-        "doc_id", log2Bits = 8)
+        "doc_id")
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     (0 until 200 by 2).foreach { i =>
       assert(flags(1000L + i), s"re-crawl ${1000 + i} must flag")
