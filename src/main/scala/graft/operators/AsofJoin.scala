@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, NumericType, StructField, StructType, TimestampType}
 
 /** AS-OF (point-in-time) join — an operator family Spark lacks natively
   * (builder mandate: compose existing ops where semantics allow; this is
@@ -104,9 +104,28 @@ object AsofJoin {
         u.withColumn("_pick",
           first(col("_payload"), ignoreNulls = true).over(fwdW))
       case "nearest" =>
-        def micros(c: Column, isTs: Boolean): Column =
-          if (isTs) unix_micros(c) else c
-        val isTs = rightTypes(rightTime) == TimestampType
+        // Exact-integer distance per time type: timestamps → epoch
+        // microseconds, dates → epoch days, integral/decimal numerics →
+        // raw value. Anything else (TIMESTAMP_NTZ, strings, intervals)
+        // is REJECTED up front rather than falling through to raw column
+        // subtraction, which for date-date yields an interval and would
+        // silently break the documented exact-integer portability
+        // contract.
+        def axis(name: String, t: DataType): (String, Column => Column) =
+          t match {
+            case TimestampType => ("micros", unix_micros _)
+            case DateType => ("days",
+              c => datediff(c, lit(java.sql.Date.valueOf("1970-01-01"))))
+            case _: NumericType => ("raw", identity)
+            case other => throw new IllegalArgumentException(
+              s"asof nearest requires timestamp, date, or numeric time " +
+                s"columns; $name is $other")
+          }
+        val (lUnit, lAxis) = axis(leftTime, leftTypes(leftTime))
+        val (rUnit, rAxis) = axis(rightTime, rightTypes(rightTime))
+        require(lUnit == rUnit, s"asof nearest needs commensurable time " +
+          s"columns: $leftTime is $lUnit, $rightTime is $rUnit")
+        // `_t` carries the (union-coerced) left type, `_rt` the right's
         val b = last(col("_payload"), ignoreNulls = true).over(bwdW)
         val f = first(col("_payload"), ignoreNulls = true).over(fwdW)
         u.withColumn("_bwd", b).withColumn("_fwd", f)
@@ -114,8 +133,8 @@ object AsofJoin {
             when(col("_fwd").isNull, col("_bwd"))
               .when(col("_bwd").isNull, col("_fwd"))
               .when(
-                micros(col("_fwd._rt"), isTs) - micros(col("_t"), isTs) <
-                  micros(col("_t"), isTs) - micros(col("_bwd._rt"), isTs),
+                rAxis(col("_fwd._rt")) - lAxis(col("_t")) <
+                  lAxis(col("_t")) - rAxis(col("_bwd._rt")),
                 col("_fwd"))
               .otherwise(col("_bwd")))
           .drop("_bwd", "_fwd")

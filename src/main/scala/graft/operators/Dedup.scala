@@ -608,6 +608,10 @@ object Dedup {
       numHashes: Int): Column = {
     // sequence(0, -1) would silently DESCEND, deriving garbage positions
     require(numHashes > 0, "numHashes must be positive")
+    // h2 < 2^41 after Knuth scrambling, so i*h2 stays below 2^63 only
+    // for i < ~2^22; cap k at 64 (any real filter uses < 20 hashes)
+    // instead of overflowing under ANSI mode at absurd settings
+    require(numHashes <= 64, s"numHashes ($numHashes) must be <= 64")
     val m = lit(1L << log2Bits)
     val h1 = Sketches.scramble(fp)
     val h2 = Sketches.scramble(pmod(fp + lit(BloomSalt), lit(Sketches.M)))

@@ -40,10 +40,13 @@ object HeavyHitters {
     * guarantee. Delegates to [[heavyTokensByGroup]] with one constant
     * group so the two-pass pipeline exists exactly once. */
   def heavyTokens(df: DataFrame, textCol: String, phiDenom: Int,
-      sketchK: Int): DataFrame =
+      sketchK: Int): DataFrame = {
+    require(!df.columns.contains("__hh_g"),
+      "column name __hh_g is reserved by heavyTokens")
     heavyTokensByGroup(df.withColumn("__hh_g", lit(0)), "__hh_g",
         textCol, phiDenom, sketchK)
       .select(col("term"), col("cnt"))
+  }
 
   /** [[heavyTokens]] PER GROUP (frequent terms per language / source /
     * crawl): one sketch per group in a single grouped aggregate, then

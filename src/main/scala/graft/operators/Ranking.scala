@@ -30,17 +30,32 @@ object Ranking {
     * Rows with a NULL score or id are EXCLUDED from the ranking (filtered
     * eagerly here — the heap aggregate would skip them silently, and "top
     * k by score" is undefined for a scoreless row; a window formulation
-    * would instead hand NULLs the trailing ranks). */
+    * would instead hand NULLs the trailing ranks).
+    *
+    * Internal working columns use collision-proof `__rank_*` names (and are
+    * rejected as caller names) so a `groupCol`/`idCol` literally called
+    * "id", "score" or "rank" still resolves unambiguously. */
   def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: Column,
       idCol: String, k: Int): DataFrame = {
     require(k > 0)
-    df.select(col(groupCol), col(idCol).as("id"),
-        scoreCol.cast("double").as("score"))
-      .filter(col("score").isNotNull && col("id").isNotNull)
+    require(groupCol != idCol, s"groupCol and idCol must differ: $groupCol")
+    val internal = Seq("__rank_id", "__rank_score", "__rank_pos", "__rank_hit")
+    require(!internal.contains(groupCol) && !internal.contains(idCol),
+      s"column names $internal are reserved by topKPerGroup")
+    // output schema is (groupCol, rank, idCol, score): the two emitted
+    // names may not be taken by the caller's group/id columns, or the
+    // result would carry duplicate column names
+    require(!Seq("rank", "score").contains(groupCol) &&
+        !Seq("rank", "score").contains(idCol),
+      "groupCol/idCol may not be named rank or score (output columns)")
+    df.select(col(groupCol), col(idCol).as("__rank_id"),
+        scoreCol.cast("double").as("__rank_score"))
+      .filter(col("__rank_score").isNotNull && col("__rank_id").isNotNull)
       .groupBy(col(groupCol))
-      .agg(topK(col("score"), col("id"), k).as("top"))
-      .select(col(groupCol), posexplode(col("top")).as(Seq("rank0", "hit")))
-      .select(col(groupCol), (col("rank0") + 1).as("rank"),
-        col("hit.id").as(idCol), col("hit.score").as("score"))
+      .agg(topK(col("__rank_score"), col("__rank_id"), k).as("__rank_hit"))
+      .select(col(groupCol),
+        posexplode(col("__rank_hit")).as(Seq("__rank_pos", "__rank_hit")))
+      .select(col(groupCol), (col("__rank_pos") + 1).as("rank"),
+        col("__rank_hit.id").as(idCol), col("__rank_hit.score").as("score"))
   }
 }

@@ -93,4 +93,14 @@ class BloomDedupSpec extends SparkFunSuite {
       assert(flags(1000L + i), s"re-crawl ${1000 + i} must flag")
     }
   }
+  test("bloomIndex rejects numHashes beyond the int64-safe bound") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "a")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bloomIndex(corpus, "text", numHashes = 1 << 22)
+    }
+    assert(e.getMessage.contains("<= 64"))
+  }
+
 }

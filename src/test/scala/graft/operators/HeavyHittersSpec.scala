@@ -134,4 +134,14 @@ class HeavyHittersSpec extends SparkFunSuite {
     assert("BroadcastExchange".r.findAllIn(plan).length >= 1,
       s"candidates must broadcast:\n$plan")
   }
+  test("heavyTokens rejects an input that already carries __hh_g") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(("x", 1)).toDF("text", "__hh_g")
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.heavyTokens(d, "text", 2, 4)
+    }
+    assert(e.getMessage.contains("__hh_g"))
+  }
+
 }

@@ -1552,4 +1552,28 @@ class SourceRoundTripSpec extends SparkFunSuite {
     assert(roundTrip("json") == expected, "json hop lost content")
     assert(roundTrip("csv") == expected, "csv hop lost content")
   }
+  test("asof nearest: DateType time columns compare in exact epoch days; " +
+      "non-temporal non-numeric time columns are rejected up front") {
+    val s = spark
+    import s.implicits._
+    val d = java.sql.Date.valueOf(_: String)
+    val evts = Seq((1L, d("2024-01-10"), "a"), (1L, d("2024-01-16"), "b"))
+      .toDF("k", "t", "evt")
+    val dims = Seq((1L, d("2024-01-01"), "v1"), (1L, d("2024-01-20"), "v2"))
+      .toDF("k", "dt", "ver")
+    val got = AsofJoin.asofJoin(evts, dims, "k", "t", "dt", Seq("ver"),
+        direction = "nearest")
+      .collect().map(r => r.getAs[String]("evt") -> r.getAs[String]("ver"))
+      .toMap
+    // Jan 10: 9 days back vs 10 fwd -> v1; Jan 16: 15 back vs 4 fwd -> v2
+    assert(got == Map("a" -> "v1", "b" -> "v2"))
+    val strTimes = Seq((1L, "2024-01-10", "a")).toDF("k", "t", "evt")
+    val strDims = Seq((1L, "2024-01-01", "v1")).toDF("k", "dt", "ver")
+    val err = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(strTimes, strDims, "k", "t", "dt", Seq("ver"),
+        direction = "nearest")
+    }
+    assert(err.getMessage.contains("timestamp, date, or numeric"))
+  }
+
 }

@@ -157,4 +157,30 @@ class RankingSpec extends SparkFunSuite {
       .collect().map(_.getString(0))
     assert(labels(1) == "test", "NULL id must land in the last part")
   }
+  test("topKPerGroup survives a groupCol named id (the old internal-name " +
+      "collision) and rejects names that would duplicate output columns") {
+    val s = spark
+    import s.implicits._
+    // groupCol literally named "id" — the pre-fix internal alias
+    // `.as(\"id\")` made this ambiguous
+    val d = Seq(("g1", 1L, 3.0), ("g1", 2L, 9.0), ("g1", 3L, 5.0),
+      ("g2", 4L, 1.0)).toDF("id", "doc", "quality")
+    val got = Ranking.topKPerGroup(d, "id", col("quality"), "doc", 2)
+      .orderBy(col("id"), col("rank"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq(("g1", 1, 2L, 9.0), ("g1", 2, 3L, 5.0),
+      ("g2", 1, 4L, 1.0)))
+    val e = intercept[IllegalArgumentException] {
+      Ranking.topKPerGroup(d.withColumnRenamed("id", "rank"), "rank",
+        col("quality"), "doc", 2)
+    }
+    assert(e.getMessage.contains("rank or score"))
+    val e2 = intercept[IllegalArgumentException] {
+      Ranking.topKPerGroup(d.withColumnRenamed("id", "__rank_id"),
+        "__rank_id", col("quality"), "doc", 2)
+    }
+    assert(e2.getMessage.contains("reserved"))
+  }
+
 }
