@@ -17,9 +17,12 @@ import graft.operators.{Chunking, Contamination, Dedup, InvertedIndex,
   * exact twin, guaranteeing deterministic non-empty near-dup output while
   * genuine near-pairs (if any) are still surfaced.
   *
-  * Oracle strategy: every query here carries a full DuckDB oracle except
-  * `text_fingerprint` (engine-defined xxhash64 family — not expressible in
-  * portable SQL; rows-only + ScalaTest invariants). The LSH families are
+  * Oracle strategy: every query here carries a full DuckDB oracle.
+  * `text_fingerprint`'s raw xxhash64 family is engine-defined (not
+  * expressible in portable SQL), so its driver row checks the portable
+  * INJECTIVITY facts instead — count(distinct fp) per bucket vs the
+  * oracle's count(distinct normalized text) — with the raw values pinned
+  * by ScalaTest invariants. The LSH families are
   * oracle-checkable because their OUTPUT is hash-independent: the verify
   * stage emits exact word-shingle / char-n-gram Jaccard (recomputable over
   * raw text in SQL) or raw-text equality, and at verification SF the
@@ -532,14 +535,27 @@ object ExtensionQueries {
         .withColumn("n_chars_clean", length(col("clean")))
         .orderBy(col("doc_id"))),
 
-    // rows-only by design: the rolling fingerprint is built on Spark's
-    // xxhash64 (engine-defined hash family) — no portable-SQL equivalent
-    // exists, so this entry is pinned by ScalaTest invariants instead
+    // The xxhash64-based fingerprint itself is engine-defined (no
+    // portable-SQL recomputation exists), so the driver-checkable output
+    // is the INJECTIVITY CONTRACT users actually rely on: per doc_id
+    // bucket, `count(distinct fingerprint)` must equal `count(distinct
+    // normalized text)` — the oracle recomputes the right side and
+    // asserts the left equals it, so any fingerprint collision (or a
+    // broken fold) turns the row red. Raw per-doc fingerprint values
+    // stay pinned by ScalaTest (order sensitivity, determinism, ANSI
+    // range). Bucketing by doc_id % 16 keeps the check finer-grained
+    // than one global row without shipping unverifiable raw hashes.
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"),
-          TF.fingerprint64(col("text")).as("fingerprint"))
-        .orderBy(col("doc_id"))),
+        .select((col("doc_id") % 16).as("bucket"),
+          TF.fingerprint64(col("text")).as("fp"),
+          TF.normalize(col("text")).as("norm"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("fp")).as("n_fp_nonnull"),
+          countDistinct(col("fp")).as("n_distinct_fp"),
+          countDistinct(col("norm")).as("n_distinct_text"))
+        .orderBy(col("bucket"))),
 
     // the PORTABLE fingerprint twin: same base/modulus chain folded over
     // normalized-text codepoints — full DuckDB oracle (list_reduce fold)
@@ -1150,6 +1166,19 @@ object ExtensionQueries {
     // independent fold of the same Karp-Rabin chain over normalized-text
     // codepoints (list_reduce with an explicit 0 seed); ASCII-only by
     // construction so DuckDB codepoints == the kernel's UTF-8 bytes
+    // the injectivity contract: DuckDB's count(distinct normalized text)
+    // stands in for BOTH distinct counts — equality with the engine's
+    // count(distinct fp) asserts the xxhash64 fold is collision-free on
+    // this corpus (the property downstream dedup relies on)
+    "text_fingerprint" ->
+      """WITH n AS (SELECT doc_id % 16 AS bucket,
+        |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT bucket, COUNT(*) AS n_docs,
+        |  COUNT(norm) AS n_fp_nonnull,
+        |  COUNT(DISTINCT norm) AS n_distinct_fp,
+        |  COUNT(DISTINCT norm) AS n_distinct_text
+        |FROM n GROUP BY bucket ORDER BY bucket""".stripMargin,
     "text_fingerprint_poly" ->
       """WITH n AS (SELECT doc_id,
         |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
