@@ -37,17 +37,58 @@ import graft.functions.{TextFunctions => TF}
   * same rational core). Every score is then a quotient/product of exactly
   * representable integers in fixed parenthesization order — bit-identical
   * on any IEEE-754 engine.
+  *
+  * BOUNDED broadcasts: a web-scale corpus has a heavy-tailed term
+  * vocabulary in the billions — broadcasting "one row per term"
+  * unbounded would OOM the driver at the 100× design point. Every
+  * vocabulary-sized relation this file ships to executors is therefore
+  * capped: the TF-IDF/BM25 ranking vocabulary by (`minDf`, `maxVocab`)
+  * — the standard production prune (scikit's min_df/max_features;
+  * rare-term idf is noise anyway) — and the bigram LM's context table by
+  * `contextVocab` (the pruned-KenLM shape: out-of-table contexts score
+  * as unseen). Collocation marginals are exact by definition (PMI needs
+  * the full marginals), so they are NOT hint-broadcast: those joins run
+  * on the already-aggregated pair relation and AQE picks broadcast vs
+  * shuffle from the measured size.
   */
 object Relevance {
 
-  /** Top-k salient terms per document by tf·(N/df), ties broken by term
-    * text. Output: (doc_id, rank, term, tf, df, score). */
-  def tfIdfTopTerms(docs: DataFrame, textCol: String, idCol: String,
-      k: Int): DataFrame = {
-    val tf = termFrequencies(docs, textCol, idCol)
+  /** Default hard cap on broadcast vocabulary relations: ~2M terms ≈
+    * tens of MB serialized — comfortably broadcastable, far above any
+    * pruned production vocabulary. Callers pass 0 for the (unbounded,
+    * never-broadcast) exact variant. */
+  val DefaultMaxVocab: Int = 1 << 21
+
+  /** Document-frequency relation restricted to the bounded ranking
+    * vocabulary: terms with `df >= minDf`, then the top `maxVocab` by
+    * (df desc, term asc) — a deterministic TakeOrderedAndProject cut,
+    * mirrored verbatim in the driver oracles. */
+  private def prunedDf(tf: DataFrame, minDf: Long, maxVocab: Int): DataFrame = {
+    require(minDf >= 1, "minDf must be >= 1")
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    if (maxVocab > 0) df.orderBy(col("df").desc, col("term")).limit(maxVocab)
+    else df
+  }
+
+  /** Broadcast only when provably bounded (maxVocab > 0); otherwise let
+    * the planner shuffle-join — an unbounded vocabulary must never be a
+    * forced broadcast. */
+  private def joinVocab(big: DataFrame, vocab: DataFrame, key: String,
+      maxVocab: Int): DataFrame =
+    if (maxVocab > 0) big.join(broadcast(vocab), key)
+    else big.join(vocab, key)
+
+  /** Top-k salient terms per document by tf·(N/df), ties broken by term
+    * text. Terms outside the (`minDf`, `maxVocab`) vocabulary are not
+    * ranked. Output: (doc_id, rank, term, tf, df, score). */
+  def tfIdfTopTerms(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, minDf: Long = 1L,
+      maxVocab: Int = DefaultMaxVocab): DataFrame = {
+    val tf = termFrequencies(docs, textCol, idCol)
+    val df = prunedDf(tf, minDf, maxVocab)
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(df), "term")
+    val scored = joinVocab(tf, df, "term", maxVocab)
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double") *
@@ -60,11 +101,15 @@ object Relevance {
   /** BM25 top-k terms per document (k1/b standard defaults). Same rational
     * idf `N/df`; the length normalization uses the exact integer document
     * length and the corpus mean length as a quotient of exact integer sums.
-    * Output: (doc_id, rank, term, tf, df, dl, score). */
+    * Terms outside the (`minDf`, `maxVocab`) vocabulary are not ranked;
+    * `dl` still counts EVERY token of the document (length
+    * normalization is over the full text, computed before the vocabulary
+    * join). Output: (doc_id, rank, term, tf, df, dl, score). */
   def bm25TopTerms(docs: DataFrame, textCol: String, idCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75, minDf: Long = 1L,
+      maxVocab: Int = DefaultMaxVocab): DataFrame = {
     val tf = termFrequencies(docs, textCol, idCol)
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val df = prunedDf(tf, minDf, maxVocab)
     // corpus scalars from a raw column-pruned scan — no tf re-derivation;
     // n_docs counts documents that contribute tokens (= rows of the old
     // dl aggregate), total_dl is the corpus token count
@@ -75,9 +120,8 @@ object Relevance {
     // document length as a window over tf: doc-bounded partitions, and
     // the ranking window below reuses this exact partitioning
     val byDoc = Window.partitionBy("doc_id")
-    val scored = tf
-      .withColumn("dl", sum("tf").over(byDoc))
-      .join(broadcast(df), "term")
+    val scored = joinVocab(tf.withColumn("dl", sum("tf").over(byDoc)),
+        df, "term", maxVocab)
       .crossJoin(broadcast(n))
       .withColumn("idf",
         col("n_docs").cast("double") / col("df").cast("double"))
@@ -193,26 +237,34 @@ object Relevance {
     *         doc (docs with < 2 tokens score 0)
     */
   def bigramSurprisal(docs: DataFrame, textCol: String, idCol: String,
-      tableSize: Int, scale: Long = 1000000L): DataFrame = {
-    require(tableSize > 0 && scale > 0)
+      tableSize: Int, scale: Long = 1000000L,
+      contextVocab: Int = DefaultMaxVocab): DataFrame = {
+    require(tableSize > 0 && scale > 0 && contextVocab > 0)
     val tokd = docs.select(col(idCol).as("doc_id"),
       TF.normTokens(col(textCol)).as("ts")).localCheckpoint()
     val bg = bigramStream(tokd)
     val c2 = bg.groupBy("u", "w").agg(count(lit(1)).as("c2"))
       .localCheckpoint() // bigram-vocab-sized; referenced three times
+    // context table capped like the pair table (pruned-KenLM shape): the
+    // top `contextVocab` contexts by mass, deterministic tie on text.
+    // Out-of-table contexts score as UNSEEN (c1' = 0 → add-one P(w|u) =
+    // (c2'+1)/V) — the standard pruned-model treatment, and what makes
+    // the broadcast provably ≤ contextVocab rows instead of
+    // vocabulary-sized.
     val c1 = c2.groupBy("u").agg(sum(col("c2")).as("c1"))
+      .orderBy(col("c1").desc, col("u")).limit(contextVocab)
     val top = c2.orderBy(col("c2").desc, col("u"), col("w"))
       .limit(tableSize)
     val scalars = tokd
       .select(explode(col("ts")).as("t"))
       .agg(count_distinct(col("t")).cast("long").as("v"))
     val perDoc = bg
-      .join(broadcast(c1), Seq("u"))
+      .join(broadcast(c1), Seq("u"), "left")
       .join(broadcast(top), Seq("u", "w"), "left")
       .crossJoin(broadcast(scalars))
       .select(col("doc_id"),
-        expr(s"((c1 + v) * ${scale}L) DIV (coalesce(c2, 0L) + 1)")
-          .as("ppm"))
+        expr(s"((coalesce(c1, 0L) + v) * ${scale}L)" +
+          " DIV (coalesce(c2, 0L) + 1)").as("ppm"))
       .groupBy("doc_id")
       .agg(sum(col("ppm")).cast("long").as("sum_ppm"),
         count(lit(1)).cast("long").as("n_bigrams"))
@@ -273,9 +325,15 @@ object Relevance {
     val cu = c2.groupBy("u").agg(sum(col("c2")).as("cu"))
     val cw = c2.groupBy("w").agg(sum(col("c2")).as("cw"))
     val n = c2.agg(sum(col("c2")).as("n_bigrams"))
+    // PMI needs the EXACT marginals — no prune is sound — so these two
+    // joins carry no broadcast hint: both sides are the aggregated
+    // pair-count relation (never the corpus stream), and AQE picks
+    // broadcast vs shuffle from the measured post-aggregation size.
+    // At web scale a shuffled join of pair-vocab-sized relations is the
+    // correct plan; a forced vocabulary broadcast is an OOM.
     c2.filter(col("c2") >= minCount)
-      .join(broadcast(cu), Seq("u"))
-      .join(broadcast(cw), Seq("w"))
+      .join(cu, Seq("u"))
+      .join(cw, Seq("w"))
       .crossJoin(broadcast(n))
       .select(col("u"), col("w"), col("c2"),
         expr(s"(c2 * n_bigrams * ${scale}L) DIV (cu * cw)").as("affinity"))

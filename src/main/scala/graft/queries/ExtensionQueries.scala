@@ -608,6 +608,33 @@ object ExtensionQueries {
       Relevance.bm25TopTerms(t(s, dir, "documents"), "text", "doc_id", 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // the BOUNDED-vocabulary contract exercised: minDf=30 drops the one
+    // rare template term (df=25), maxVocab=24 then cuts the 30 survivors
+    // to 24 by (df desc, term) — both prunes BIND at every SF, the
+    // oracle mirrors the cut, and the broadcast the plan ships is
+    // provably <= maxVocab rows (the 100 TB safety argument made
+    // testable)
+    "text_tfidf_pruned" -> ((s, dir) =>
+      Relevance.tfIdfTopTerms(t(s, dir, "documents"), "text", "doc_id", 3,
+          minDf = 30L, maxVocab = 24)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // same bounded vocabulary for BM25; dl still counts every token of
+    // the document (length normalization is pre-prune by construction)
+    "text_bm25_pruned" -> ((s, dir) =>
+      Relevance.bm25TopTerms(t(s, dir, "documents"), "text", "doc_id", 3,
+          minDf = 30L, maxVocab = 24)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // bigram LM with a BINDING context-table cap (16 of the ~30 context
+    // types survive): out-of-table contexts score as unseen — the
+    // pruned-KenLM path the default-capped text_lm_bigram never
+    // exercises at template-vocabulary SF
+    "text_lm_bigram_pruned" -> ((s, dir) =>
+      Relevance.bigramSurprisal(t(s, dir, "documents"), "text", "doc_id",
+          tableSize = 256, contextVocab = 16)
+        .orderBy(col("doc_id"))),
+
     // context-window chunking: 32-token windows every 24 tokens (25%
     // overlap); row-local explode, chunk identity via portable fingerprint
     // instead of shipping window text
@@ -1458,6 +1485,88 @@ object ExtensionQueries {
          |    ORDER BY score DESC, term) AS rank FROM scored)
          |SELECT doc_id, rank, term, tf, df, dl, score FROM ranked
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // bounded-vocabulary twins: same pipelines with the (minDf, maxVocab)
+    // cut mirrored as a ROW_NUMBER window — deterministic on both engines
+    // (df desc, term asc)
+    "text_tfidf_pruned" ->
+      s"""WITH tk AS ($NormToksSql),
+         |tok AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+         |  GROUP BY doc_id, term),
+         |df0 AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |df AS (SELECT term, df FROM (SELECT term, df,
+         |    ROW_NUMBER() OVER (ORDER BY df DESC, term) AS r
+         |  FROM df0 WHERE df >= 30) WHERE r <= 24),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, term, tf, df,
+         |    CAST(tf AS DOUBLE) *
+         |      (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term) AS rank FROM scored)
+         |SELECT doc_id, rank, term, tf, df, score FROM ranked
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_bm25_pruned" ->
+      s"""WITH tk AS ($NormToksSql),
+         |tok AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+         |  GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf
+         |  GROUP BY doc_id),
+         |df0 AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |df AS (SELECT term, df FROM (SELECT term, df,
+         |    ROW_NUMBER() OVER (ORDER BY df DESC, term) AS r
+         |  FROM df0 WHERE df >= 30) WHERE r <= 24),
+         |n AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+         |scored AS (SELECT doc_id, term, tf, df, dl,
+         |    (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) *
+         |    ((CAST(tf AS DOUBLE) *
+         |        (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+         |      (CAST(tf AS DOUBLE) +
+         |        CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+         |          CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) *
+         |            (CAST(n_docs AS DOUBLE) /
+         |              CAST(total_dl AS DOUBLE)))))) AS score
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+         |  CROSS JOIN n),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term) AS rank FROM scored)
+         |SELECT doc_id, rank, term, tf, df, dl, score FROM ranked
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // capped context table: top-16 contexts by mass (ties on text);
+    // out-of-table contexts take c1 = 0 (unseen), exactly as the engine
+    "text_lm_bigram_pruned" ->
+      s"""WITH tk AS ($NormToksSql),
+         |tok AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+         |types AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+         |  FROM tok),
+         |bx AS (SELECT doc_id, toks,
+         |    unnest(range(1, len(toks))) AS i FROM tk),
+         |bg AS (SELECT doc_id, toks[i] AS u, toks[i + 1] AS w FROM bx),
+         |c1a AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg
+         |  GROUP BY u),
+         |c1 AS (SELECT u, c1 FROM (SELECT u, c1,
+         |    ROW_NUMBER() OVER (ORDER BY c1 DESC, u) AS r FROM c1a)
+         |  WHERE r <= 16),
+         |c2 AS (SELECT u, w, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
+         |  GROUP BY u, w),
+         |top AS (SELECT u, w, c2 FROM c2 ORDER BY c2 DESC, u, w
+         |  LIMIT 256),
+         |ws AS (SELECT doc_id,
+         |    ((COALESCE(c1.c1, 0) + types.v) * 1000000)
+         |      // (COALESCE(top.c2, 0) + 1) AS ppm
+         |  FROM bg LEFT JOIN c1 USING (u) LEFT JOIN top USING (u, w)
+         |  CROSS JOIN types),
+         |d AS (SELECT doc_id, CAST(SUM(ppm) AS BIGINT) AS sum_ppm,
+         |    CAST(COUNT(*) AS BIGINT) AS n_bigrams
+         |  FROM ws GROUP BY doc_id)
+         |SELECT doc.doc_id,
+         |  COALESCE(d.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(d.sum_ppm, 0) AS sum_ppm,
+         |  CASE WHEN COALESCE(d.n_bigrams, 0) > 0
+         |    THEN d.sum_ppm // d.n_bigrams ELSE 0 END AS mean_ppm
+         |FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
+         |ORDER BY doc.doc_id""".stripMargin,
     "corpus_diff" ->
       """WITH old AS (SELECT doc_id, sha256(text) AS sha FROM documents),
         |neu AS (

@@ -35,7 +35,8 @@ object PlanAudit {
       "dedup_bloom", "text_heavy_hitters", "q_skew_salted_join",
       "text_lm_bigram", "dedup_incremental_near", "text_collocations",
       "sample_importance", "text_heavy_hitters_lang", "sim_topk_filtered",
-      "q2_min_cost_supplier")
+      "q2_min_cost_supplier", "text_tfidf_pruned", "text_bm25_pruned",
+      "text_lm_bigram_pruned")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       // Codegen stages are marked `*(id)` in the SIMPLE plan string, but

@@ -756,6 +756,30 @@ class AsofJoinSpec extends SparkFunSuite {
       "tie" -> Some(100.0), // 15: dist 5 both ways -> backward
       "d" -> Some(300.0)))  // only a future quote exists
   }
+
+  test("asof nearest: DateType time columns compare in exact epoch days; " +
+      "non-temporal non-numeric time columns are rejected up front") {
+    val s = spark
+    import s.implicits._
+    val d = java.sql.Date.valueOf(_: String)
+    val evts = Seq((1L, d("2024-01-10"), "a"), (1L, d("2024-01-16"), "b"))
+      .toDF("k", "t", "evt")
+    val dims = Seq((1L, d("2024-01-01"), "v1"), (1L, d("2024-01-20"), "v2"))
+      .toDF("k", "dt", "ver")
+    val got = AsofJoin.asofJoin(evts, dims, "k", "t", "dt", Seq("ver"),
+        direction = "nearest")
+      .collect().map(r => r.getAs[String]("evt") -> r.getAs[String]("ver"))
+      .toMap
+    // Jan 10: 9 days back vs 10 fwd -> v1; Jan 16: 15 back vs 4 fwd -> v2
+    assert(got == Map("a" -> "v1", "b" -> "v2"))
+    val strTimes = Seq((1L, "2024-01-10", "a")).toDF("k", "t", "evt")
+    val strDims = Seq((1L, "2024-01-01", "v1")).toDF("k", "dt", "ver")
+    val err = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(strTimes, strDims, "k", "t", "dt", Seq("ver"),
+        direction = "nearest")
+    }
+    assert(err.getMessage.contains("timestamp, date, or numeric"))
+  }
 }
 
 /** Mergeable-sketch coverage (SURVEY.md §2.2 lists HLL/sketches among the
@@ -1146,6 +1170,45 @@ class RelevanceSpec extends SparkFunSuite {
       "doc_id", tableSize = 2).orderBy("doc_id").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("mean_ppm"))).toSeq
     assert(again == out.map(t => (t._1, t._4)).toSeq)
+  }
+
+  test("relevance vocabulary prunes: minDf/maxVocab bound the TF-IDF " +
+      "vocabulary; capped bigram context table scores OOV contexts as " +
+      "unseen") {
+    val s = spark
+    import s.implicits._
+    // df: a->3 docs, b->2, c->1; minDf=2 drops c, maxVocab=1 then keeps
+    // only a (df desc, term asc)
+    val docs = Seq((1L, "a b a"), (2L, "a c b"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val pruned = Relevance.tfIdfTopTerms(docs, "text", "doc_id", 3,
+        minDf = 2L, maxVocab = 1)
+      .select("term").distinct().collect().map(_.getString(0)).toSet
+    assert(pruned == Set("a"), s"maxVocab=1 must keep only 'a': $pruned")
+    val minOnly = Relevance.tfIdfTopTerms(docs, "text", "doc_id", 3,
+        minDf = 2L, maxVocab = 0)
+      .select("term").distinct().collect().map(_.getString(0)).toSet
+    assert(minOnly == Set("a", "b"), s"minDf=2 must drop 'c': $minOnly")
+    // bm25: dl still counts EVERY token even when the vocab is pruned
+    val bm = Relevance.bm25TopTerms(docs, "text", "doc_id", 3,
+        minDf = 1L, maxVocab = 1)
+      .filter(col("doc_id") === 2L).select("dl").collect()
+    assert(bm.nonEmpty && bm.forall(_.getLong(0) == 3L),
+      "document length must be pre-prune (3 tokens in doc 2)")
+    // bigram LM contextVocab: contexts c1: a->2, b->3 over
+    // "a b a b a"/"b b"; cap at 1 keeps only b; OOV context a scores
+    // with c1'=0: ppm(a,b) = (0+3)*1e6 DIV (2+1) = 1_000_000
+    val d = Seq((1L, "a b a b a"), (2L, "b b"), (4L, "c"))
+      .toDF("doc_id", "text")
+    val out = Relevance.bigramSurprisal(d, "text", "doc_id",
+        tableSize = 2, contextVocab = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("sum_ppm")))
+    // doc1: (a,b)x2 in-table ctx-OOV -> 1e6 each; (b,a)x2 in-table
+    // ctx b c1=3 -> (3+3)*1e6 DIV 3 = 2e6 each
+    assert(out(0) == ((1L, 2L * 1000000L + 2L * 2000000L)))
+    // doc2: (b,b) out-of-table pair, in-vocab ctx -> (3+3)*1e6 DIV 1
+    assert(out(1) == ((2L, 6000000L)))
   }
 }
 
@@ -1552,28 +1615,6 @@ class SourceRoundTripSpec extends SparkFunSuite {
     assert(roundTrip("json") == expected, "json hop lost content")
     assert(roundTrip("csv") == expected, "csv hop lost content")
   }
-  test("asof nearest: DateType time columns compare in exact epoch days; " +
-      "non-temporal non-numeric time columns are rejected up front") {
-    val s = spark
-    import s.implicits._
-    val d = java.sql.Date.valueOf(_: String)
-    val evts = Seq((1L, d("2024-01-10"), "a"), (1L, d("2024-01-16"), "b"))
-      .toDF("k", "t", "evt")
-    val dims = Seq((1L, d("2024-01-01"), "v1"), (1L, d("2024-01-20"), "v2"))
-      .toDF("k", "dt", "ver")
-    val got = AsofJoin.asofJoin(evts, dims, "k", "t", "dt", Seq("ver"),
-        direction = "nearest")
-      .collect().map(r => r.getAs[String]("evt") -> r.getAs[String]("ver"))
-      .toMap
-    // Jan 10: 9 days back vs 10 fwd -> v1; Jan 16: 15 back vs 4 fwd -> v2
-    assert(got == Map("a" -> "v1", "b" -> "v2"))
-    val strTimes = Seq((1L, "2024-01-10", "a")).toDF("k", "t", "evt")
-    val strDims = Seq((1L, "2024-01-01", "v1")).toDF("k", "dt", "ver")
-    val err = intercept[IllegalArgumentException] {
-      AsofJoin.asofJoin(strTimes, strDims, "k", "t", "dt", Seq("ver"),
-        direction = "nearest")
-    }
-    assert(err.getMessage.contains("timestamp, date, or numeric"))
-  }
+
 
 }
