@@ -78,6 +78,23 @@ object Bench {
         System.err.println(f"[bench] $name%-28s $sec%8.2fs")
         done.add(name -> sec)
     }
+    // Build/probe split for the written-index queries: the sweep above
+    // already built and memoized each on-disk index, so a second
+    // invocation times the steady-state PROBE alone (the daily-ingest
+    // number). The plain "<name>" entry stays build+probe — regressions
+    // in either half are now separately visible.
+    Seq("text_index_lookup", "sim_topk_ivf_indexed", "dedup_incremental_near")
+      .filter(SparkEntry.queries.contains).foreach { name =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] ${name}_probe FAILED: ${t.getMessage}")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] ${name + "_probe"}%-28s $sec%8.2fs")
+        done.add(s"${name}_probe" -> sec)
+      }
     emit("total")
     spark.stop()
   }

@@ -45,6 +45,11 @@ object ExtensionQueries {
   private val lshIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, Dedup.LshIndex]()
 
+  /** Built inverted term index per sf dir (see text_index_lookup). */
+  private val termIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      InvertedIndex.TermIndex]()
+
   /** documents ∪ documents-with-shifted-ids (adds exact twins). */
   private def docsUnion(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"),
@@ -792,12 +797,20 @@ object ExtensionQueries {
     // text twin of sim_topk_ivf_indexed's layout)
     "text_index_lookup" -> ((s, dir) => {
       // pid-scoped path: concurrent verify/bench processes on one box
-      // must not race each other's overwrite-and-read on a shared dir
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_term_index_" +
-        Integer.toHexString(dir.hashCode) + "_" +
-        ProcessHandle.current().pid()
-      val index = InvertedIndex.build(t(s, dir, "documents"), "text",
-        "doc_id", path, nBuckets = 64)
+      // must not race each other's overwrite-and-read on a shared dir.
+      // Memoized per (sfDir, JVM) with /tmp self-heal like the IVF/LSH
+      // indexes, so a repeat invocation times the PROBE alone (Bench's
+      // _probe pass relies on this).
+      def build(d: String) = InvertedIndex.build(
+        t(s, d, "documents"), "text", "doc_id",
+        s"${System.getProperty("java.io.tmpdir")}/graft_term_index_" +
+          Integer.toHexString(d.hashCode) + "_" +
+          ProcessHandle.current().pid(),
+        nBuckets = 64)
+      val cached = termIndexCache.computeIfAbsent(dir, build(_))
+      val index =
+        if (new java.io.File(cached.path).exists) cached
+        else termIndexCache.compute(dir, (d, _) => build(d))
       InvertedIndex.lookup(s, index, Seq("spark", "join", "window"))
         .orderBy(col("term"), col("doc_id"))
     }),
