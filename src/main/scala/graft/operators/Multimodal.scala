@@ -1,17 +1,21 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing (builder mandate).
   *
   * Media payloads are opaque `binary` columns + typed metadata, processed
-  * by batch-shaped per-partition extractors. The DECODE step itself is a
-  * deterministic STUB (this container ships no image/audio codecs — see the
-  * builder prompt); everything Spark-side is real: schema, null handling,
-  * partition-parallel batch iteration, feature vector shape, and the
-  * downstream joins/aggregations. Swapping [[FeatureExtractor.decodeStub]]
-  * for a JNI/codec call changes no plan shape.
+  * by batch-shaped per-partition extractors. CONTAINER-level work is real:
+  * magic-byte sniffing and actual PNG/GIF/JPEG header parsing
+  * ([[mediaDims]] — fixed-offset IHDR/LSD reads and a JPEG marker-segment
+  * walk, all portable byte arithmetic, no codec required). Only the
+  * pixel/sample DECODE step is a deterministic STUB (this container ships
+  * no image/audio codecs — see the builder prompt); everything Spark-side
+  * is real: schema, null handling, partition-parallel batch iteration,
+  * feature vector shape, and the downstream joins/aggregations. Swapping
+  * [[FeatureExtractor.decodeStub]] for a JNI/codec call changes no plan
+  * shape.
   */
 object Multimodal {
 
@@ -34,14 +38,102 @@ object Multimodal {
 
   /** Magic-byte media-kind dispatch, exactly as a decoder front-end would
     * route payloads to codecs (PNG signature starts 0x89 P N G; JPEG is
-    * 0xFFD8FF; RIFF containers carry WAV/AVI/WebP). */
+    * 0xFFD8FF; GIF87a/GIF89a; RIFF containers carry WAV/AVI/WebP). */
   def sniffKind(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(substring(blob, 1, 4) ===
       lit(Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47)), "png")
       .when(substring(blob, 1, 3) ===
         lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)), "jpeg")
+      .when(substring(blob, 1, 4) === lit("GIF8".getBytes), "gif")
       .when(substring(blob, 1, 4) === lit("RIFF".getBytes), "riff")
       .otherwise("bin")
+
+  // ---- Real media header parsing (portable byte arithmetic) ----
+  //
+  // These read actual container headers — no codec needed: image
+  // dimensions live in fixed-layout (PNG IHDR, GIF logical screen
+  // descriptor) or walkable (JPEG marker segments) header structures.
+  // Everything is built-in byte arithmetic (substr → hex → conv), so the
+  // expressions stay codegen'd and the driver oracle can pin the results.
+
+  /** Unsigned byte value at 1-based offset `i` (column offset). */
+  private def byteAt(blob: Column, i: Column): Column =
+    conv(hex(blob.substr(i, lit(1))), 16, 10).cast("long")
+
+  /** Big-endian unsigned 32-bit at a LITERAL 1-based offset. */
+  private def be32(blob: Column, off: Int): Column =
+    conv(hex(substring(blob, off, 4)), 16, 10).cast("long")
+
+  /** Big-endian unsigned 16-bit at a column 1-based offset. */
+  private def be16At(blob: Column, off: Column): Column =
+    byteAt(blob, off) * 256L + byteAt(blob, off + 1)
+
+  /** PNG: IHDR is mandated to be the first chunk — width/height are
+    * big-endian 32-bit at fixed offsets 17/21 (8 signature bytes + 4
+    * length + "IHDR"). */
+  def pngDims(blob: Column): Column =
+    when(octet_length(blob) >= 24 &&
+        substring(blob, 13, 4) === lit("IHDR".getBytes),
+      struct(be32(blob, 17).as("width"), be32(blob, 21).as("height")))
+
+  /** GIF: logical screen descriptor directly after the 6-byte version
+    * block — width/height are LITTLE-endian 16-bit at offsets 7/9. */
+  def gifDims(blob: Column): Column =
+    when(octet_length(blob) >= 10,
+      struct(
+        (byteAt(blob, lit(7L)) + byteAt(blob, lit(8L)) * 256L).as("width"),
+        (byteAt(blob, lit(9L)) + byteAt(blob, lit(10L)) * 256L)
+          .as("height")))
+
+  /** JPEG: dimensions live in the frame header (SOF0/SOF1/SOF2 baseline/
+    * extended/progressive), which sits at a VARIABLE offset behind
+    * arbitrary APPn/COM segments — so this is a real marker-segment walk,
+    * not a fixed read: from offset 3 (after FFD8), each step either
+    * recognizes an SOF marker (height BE16 at +5, width BE16 at +7) or
+    * jumps 2 + big-endian segment length. Bounded at `maxSegments`
+    * (production headers put SOF within the first few segments; a walk
+    * that deep on a valid file means metadata soup, and an unbounded
+    * fold cannot be expressed as a finite Catalyst expression anyway).
+    * Malformed input (marker byte != FF, truncated segment) parks the
+    * cursor past the payload and yields NULL. */
+  def jpegDims(blob: Column, maxSegments: Int = 16): Column = {
+    val len = octet_length(blob).cast("long")
+    val step: (Column, Column) => Column = (st, _) => {
+      val pos = st.getField("pos")
+      val h = st.getField("h")
+      val w = st.getField("w")
+      val truncated = pos + 8L > len
+      val marker = byteAt(blob, pos)
+      val tb = byteAt(blob, pos + 1)
+      val isSof = tb.isin(0xC0L, 0xC1L, 0xC2L)
+      val segLen = be16At(blob, pos + 2)
+      when(h >= 0L || truncated, st)
+        .when(marker =!= 0xFFL, // malformed: park past the end
+          struct((len + 9L).as("pos"), h.as("h"), w.as("w")))
+        .when(isSof,
+          struct(pos.as("pos"), be16At(blob, pos + 5).as("h"),
+            be16At(blob, pos + 7).as("w")))
+        .otherwise(
+          struct((pos + 2L + segLen).as("pos"), h.as("h"), w.as("w")))
+    }
+    val folded = aggregate(
+      sequence(lit(1), lit(maxSegments)),
+      struct(lit(3L).as("pos"), lit(-1L).as("h"), lit(-1L).as("w")),
+      step)
+    when(folded.getField("h") >= 0L,
+      struct(folded.getField("w").as("width"),
+        folded.getField("h").as("height")))
+  }
+
+  /** Dimensions for any sniffable still-image payload:
+    * `struct(width, height)`, NULL for non-image/opaque/malformed blobs.
+    * Dispatches on the same magic bytes as [[sniffKind]]. */
+  def mediaDims(blob: Column): Column = {
+    val kind = sniffKind(blob)
+    when(kind === "png", pngDims(blob))
+      .when(kind === "gif", gifDims(blob))
+      .when(kind === "jpeg", jpegDims(blob))
+  }
 
   final case class BlobRow(doc_id: Long, blob: Array[Byte])
   final case class FeatureRow(doc_id: Long, n_bytes: Int, mean_byte: Double,

@@ -962,6 +962,51 @@ object ExtensionQueries {
         .select(col("doc_id"), col("n_bytes"), col("content_sha"), col("kind"))
         .orderBy(col("doc_id"))),
 
+    // REAL header parse over planted media headers: each doc gets a
+    // synthetic PNG / GIF / JPEG payload whose dimensions derive from
+    // doc_id, with the JPEG SOF0 frame hidden behind VARIABLE-length
+    // APP0+COM segments (pad = doc_id % 7) so the marker walk must jump
+    // correctly, not read a fixed offset. The oracle pins the planted
+    // dimensions in closed form — any parser bug (endianness, offset,
+    // segment-length arithmetic) misses them. Row-local, codegen'd byte
+    // arithmetic; no shuffle.
+    "mm_dims" -> ((s, dir) => {
+      def be16(x: org.apache.spark.sql.Column) = unhex(lpad(hex(x), 4, "0"))
+      def be32(x: org.apache.spark.sql.Column) = unhex(lpad(hex(x), 8, "0"))
+      def le16(x: org.apache.spark.sql.Column) = unhex(concat(
+        lpad(hex(pmod(x, lit(256L))), 2, "0"),
+        lpad(hex((x / lit(256L)).cast("long")), 2, "0")))
+      val w = lit(16L) + col("doc_id") % 1000L
+      val h = lit(9L) + col("doc_id") % 500L
+      val pad = (col("doc_id") % 7L).cast("int")
+      val png = concat(
+        lit(Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a,
+          0x1a, 0x0a)),
+        be32(lit(13L)), lit("IHDR".getBytes), be32(w), be32(h),
+        lit(Array[Byte](8, 2, 0, 0, 0))) // bit depth, color, ...
+      val gif = concat(lit("GIF89a".getBytes), le16(w), le16(h),
+        lit(Array[Byte](0, 0, 0)))
+      val jpeg = concat(
+        lit(Array[Byte](0xff.toByte, 0xd8.toByte)),
+        lit(Array[Byte](0xff.toByte, 0xe0.toByte)), // APP0, variable pad
+        be16(pad.cast("long") + 4L), unhex(repeat(lit("00"), pad + 2)),
+        lit(Array[Byte](0xff.toByte, 0xfe.toByte)), // COM
+        be16(lit(4L)), lit(Array[Byte](0, 0)),
+        lit(Array[Byte](0xff.toByte, 0xc0.toByte)), // SOF0
+        be16(lit(11L)), lit(Array[Byte](8)), be16(h), be16(w),
+        lit(Array[Byte](1)))
+      val blob = when(col("doc_id") % 3 === 0, png)
+        .when(col("doc_id") % 3 === 1, gif)
+        .otherwise(jpeg)
+      t(s, dir, "documents")
+        .select(col("doc_id"), blob.as("blob"))
+        .select(col("doc_id"), Multimodal.sniffKind(col("blob")).as("kind"),
+          Multimodal.mediaDims(col("blob")).as("dims"))
+        .select(col("doc_id"), col("kind"),
+          col("dims.width").as("width"), col("dims.height").as("height"))
+        .orderBy(col("doc_id"))
+    }),
+
     "mm_features" -> ((s, dir) => {
       // feature vector flattened to per-dimension float columns: the
       // driver's pandas harness can hash scalars, and each dim gets its
@@ -2439,6 +2484,17 @@ object ExtensionQueries {
     "mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |sha256(text) AS content_sha, 'bin' AS kind
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the planted dimensions in closed form — the engine must RECOVER
+    // these by actually parsing the PNG/GIF/JPEG headers it built
+    // (variable-offset SOF walk included); any offset/endianness/length
+    // bug diverges from this row set
+    "mm_dims" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |    ELSE 'jpeg' END AS kind,
+        |  16 + doc_id % 1000 AS width,
+        |  9 + doc_id % 500 AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
     // byte histogram mod 8 over the utf-8 payload (documents are pure
     // ASCII at every SF — verified — so ascii(char) == byte value). LEFT

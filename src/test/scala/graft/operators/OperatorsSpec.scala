@@ -1055,6 +1055,54 @@ class MultimodalSpec extends SparkFunSuite {
       .sortBy(_.doc_id)
     assert(rows.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
+
+  test("media header parse: real PNG/GIF/JPEG byte layouts, including a " +
+      "JPEG SOF behind variable APPn segments; malformed input is NULL") {
+    val s = spark
+    import s.implicits._
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Int) = Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // a faithful 640x480 PNG header (signature + IHDR chunk)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a,
+      0x0a) ++ be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++
+      Array[Byte](8, 6, 0, 0, 0)
+    // GIF89a logical screen 320x200 (little-endian)
+    val gif = "GIF89a".getBytes ++ Array[Byte](0x40, 0x01, 0xc8.toByte, 0) ++
+      Array[Byte](0, 0, 0)
+    // JPEG with APP0 (JFIF, 16 bytes) + APP1 (EXIF-ish, 10 bytes) before
+    // a progressive SOF2 1024x768 — the walk must hop two segments and
+    // accept SOF2, not just SOF0
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      (Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++
+        new Array[Byte](14)) ++
+      (Array[Byte](0xff.toByte, 0xe1.toByte) ++ be16(10) ++
+        new Array[Byte](8)) ++
+      (Array[Byte](0xff.toByte, 0xc2.toByte) ++ be16(11) ++
+        Array[Byte](8) ++ be16(768) ++ be16(1024) ++ Array[Byte](3))
+    // malformed: JPEG magic but garbage where a marker should be
+    val broken = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0x00, 0x12, 0x34)
+    val truncatedPng = png.take(14)
+    val rows = Seq((1L, png), (2L, gif), (3L, jpeg), (4L, broken),
+      (5L, truncatedPng), (6L, "plain text".getBytes))
+      .toDF("id", "blob")
+      .select(col("id"), Multimodal.sniffKind(col("blob")).as("kind"),
+        Multimodal.mediaDims(col("blob")).as("d"))
+      .select(col("id"), col("kind"), col("d.width"), col("d.height"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(rows(0) == ((1L, "png", Some(640L), Some(480L))))
+    assert(rows(1) == ((2L, "gif", Some(320L), Some(200L))))
+    assert(rows(2) == ((3L, "jpeg", Some(1024L), Some(768L))))
+    assert(rows(3) == ((4L, "jpeg", None, None)),
+      "non-FF marker byte must yield NULL dims")
+    assert(rows(4) == ((5L, "png", None, None)),
+      "truncated IHDR must yield NULL dims")
+    assert(rows(5) == ((6L, "bin", None, None)))
+  }
 }
 
 class RelevanceSpec extends SparkFunSuite {
