@@ -415,6 +415,22 @@ object Dedup {
         TF.charNgramHashes(col(textCol), n).as("shingles")),
       numHashes = 32, bands = 8, threshold = threshold)
 
+  /** Diagnostic: the distinct LSH candidate pairs [[ngramJaccardNearDup]]
+    * would verify (same shingling and banding) — for scaling probes that
+    * need to attribute growth to candidate volume vs per-pair cost
+    * (tools/ScaleProbe). */
+  def ngramCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 5): DataFrame = {
+    val bnd = bandRows(
+      df.select(col(idCol).as("id"),
+        TF.charNgramHashes(col(textCol), n).as("shingles")),
+      numHashes = 32, bands = 8)
+    bnd.select(col("bk"), col("id").as("a"))
+      .join(bnd.select(col("bk"), col("id").as("b")), Seq("bk"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
   /** SEMANTIC dedup (the SemDeDup recipe, Abbas et al. 2023): cluster the
     * embedding space with k-means, then compare pairs only WITHIN each
     * cluster and flag those above the cosine threshold — semantically

@@ -1,0 +1,185 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probe: measures the GROWTH CURVE of the heavy-tail operators
+  * against synthetically replicated corpora — the evidence that turns
+  * "100 TB design" plan arguments into time-vs-rows numbers.
+  *
+  * Corpus construction (deterministic, id-remapped, content-perturbed):
+  * replica `i` of sf0.1's documents shifts ids by `i * 100_000_000`
+  * (clear of the +1M exact-twin shift the dedup queries add) and rewrites
+  * every third token to a replica-tagged variant — cross-replica Jaccard
+  * lands ~0.5, far below the 0.8/0.5 near-dup thresholds, so the
+  * DUPLICATE STRUCTURE stays linear in the factor (each doc keeps exactly
+  * its own in-query twin; replicas are corpus growth, not new dup pairs
+  * — replicating verbatim would grow candidate pairs quadratically and
+  * measure the corpus's dup rate, not the operator's scaling). Embedding
+  * replicas get hash-derived pseudo-random vectors for the same reason
+  * (cosine to the original ~0, each vector keeps only its in-query twin).
+  *
+  * Usage: `runMain graft.tools.ScaleProbe [baseSfDir] [factors] [reps]`
+  * (defaults: /root/testdata/sf0.1, "1,4,10", 2). Emits a markdown table
+  * of per-query median seconds per factor plus the rows scanned, for
+  * BENCH_NOTES.
+  */
+object ScaleProbe {
+
+  /** The heavy tails worth probing: LSH band joins, the substring window
+    * relation, index build, vocabulary joins, k-means + cell-local
+    * semantic dedup. */
+  val ProbeQueries: Seq[String] = Seq(
+    "dedup_minhash", "dedup_ngram_jaccard", "dedup_substring",
+    "dedup_semantic", "text_bm25_top3", "text_index_lookup",
+    "text_lm_bigram", "text_heavy_hitters")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val factors = args.lift(1).getOrElse("1,4,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outRoot = s"${System.getProperty("java.io.tmpdir")}/graft_scale_" +
+      ProcessHandle.current().pid()
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dirs = factors.map { f =>
+      val dir = s"$outRoot/x$f"
+      generate(spark, baseDir, dir, f)
+      f -> dir
+    }
+
+    // warm the JIT on the smallest factor before timing anything
+    ProbeQueries.foreach { q =>
+      graft.SparkEntry.queries(q)(spark, dirs.head._2)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    val results = for ((f, dir) <- dirs; q <- ProbeQueries) yield {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best = times.min
+      System.err.println(f"[scale] x$f%-3d $q%-24s $best%7.2f s" +
+        f" (${times.map(t => f"$t%.2f").mkString("/")})")
+      (q, f, best)
+    }
+
+    // the written-index BUILD, timed directly (the query path memoizes
+    // its index per dir, so the sweep above times the probe; the build's
+    // own growth — a full tokenize + aggregate + bucketed write — is a
+    // heavy tail in its own right)
+    val buildResults = dirs.map { case (f, dir) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val t0 = System.nanoTime()
+      graft.operators.InvertedIndex.build(docs, "text", "doc_id",
+        s"$outRoot/idx_build_x$f", nBuckets = 64)
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scale] x$f%-3d index_build(direct)       $sec%7.2f s")
+      ("text_index_build", f, sec)
+    }
+
+    val nDocs = dirs.map { case (f, dir) =>
+      f -> spark.read.parquet(s"$dir/documents.parquet").count()
+    }.toMap
+    println()
+    println("| query | " + factors.map(f =>
+      s"x$f (${nDocs(f)} docs)").mkString(" | ") + " | growth vs rows |")
+    println("|---|" + factors.map(_ => "---|").mkString + "---|")
+    (ProbeQueries :+ "text_index_build").foreach { q =>
+      val all = results ++ buildResults
+      val ts = factors.map(f => all.find(r => r._1 == q && r._2 == f)
+        .get._3)
+      val rowRatio = factors.last.toDouble / factors.head
+      val timeRatio = ts.last / ts.head
+      println(f"| $q | " + ts.map(t => f"$t%.2f s").mkString(" | ") +
+        f" | ${timeRatio}%.1fx time for ${rowRatio}%.0fx rows |")
+    }
+    // Supplementary probes at the LARGEST factor — the two tails that go
+    // superlinear with query-pinned parameters, re-measured with the
+    // parameters a production run would scale:
+    //
+    // 1. dedup_semantic pins nlist=16; SemDeDup's within-cell compare is
+    //    O(cell^2), so fixed nlist goes quadratic as cells fill. The
+    //    operator takes nlist — production sizes it ~ sqrt(N) to keep
+    //    cells bounded. Measure 16 vs a sqrt-scaled nlist.
+    val (bigF, bigDir) = dirs.last
+    locally {
+      val emb = spark.read.parquet(s"$bigDir/embeddings.parquet")
+      val u = emb.unionAll(emb.withColumn("vec_id",
+        col("vec_id") + 1000000L))
+      Seq(16, 64, 128).foreach { nlist =>
+        val t0 = System.nanoTime()
+        val (ids, vecs) = graft.operators.Similarity.kmeansCentroids(
+          u, nlist = nlist, iters = 1)
+        graft.operators.Dedup.semanticNearDup(u, "embedding", "vec_id",
+            ids, vecs, threshold = 0.95)
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[scale] x$bigF%-3d dedup_semantic nlist=$nlist%-4d $sec%7.2f s")
+      }
+    }
+    // 2. dedup_ngram_jaccard: candidate-pair volume per factor (is the
+    //    top-end growth candidate explosion or per-pair cost?)
+    dirs.foreach { case (f, dir) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val u = docs.unionAll(docs.withColumn("doc_id",
+        col("doc_id") + 1000000L))
+      val cands = graft.operators.Dedup.ngramCandidatePairs(u,
+        "text", "doc_id").count()
+      System.err.println(s"[scale] x$f ngram candidate pairs: $cands")
+    }
+    spark.stop()
+  }
+
+  /** Write the factor-`f` corpus (documents + embeddings) under `dir`
+    * unless it already exists from an earlier run of this JVM. */
+  private def generate(spark: SparkSession, baseDir: String, dir: String,
+      factor: Int): Unit = {
+    if (new java.io.File(s"$dir/documents.parquet").exists) return
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val docReps = (0 until factor).map { i =>
+      if (i == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(i * 100000000L)).as("doc_id"),
+        // every 3rd token (doc-phase-shifted) becomes a replica-tagged
+        // variant: cross-replica Jaccard ~ 0.5 — corpus growth without
+        // quadratic new dup pairs
+        concat_ws(" ", transform(split(col("text"), " "),
+          (t, p) => when((p + col("doc_id") % 7) % 3 === 0,
+            concat(t, lit(s"q$i"), pmod(col("doc_id"), lit(89L))))
+            .otherwise(t))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    docReps.reduce(_ unionAll _).repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val embReps = (0 until factor).map { i =>
+      if (i == 0) emb
+      else {
+        val vid = col("vec_id") + lit(i * 100000000L)
+        emb.select(vid.as("vec_id"),
+          // hash-derived pseudo-random components in [-1, 1): replicas
+          // are directionally unrelated to their source vector
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => ((pmod(xxhash64(vid * 31L + j * 1315423911L), lit(2000L))
+              - 1000L) / 1000.0).cast("float")).as("embedding"),
+          col("label"))
+      }
+    }
+    embReps.reduce(_ unionAll _).repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    System.err.println(s"[scale] generated x$factor corpus at $dir")
+  }
+}

@@ -8,25 +8,39 @@ import graft.config.EngineConfig
 import graft.sources.AvroEventCorpus
 import graft.streaming.StreamingPipelines
 
-/** Structured-Streaming decode throughput: an unbounded `rate` source is
-  * turned into Confluent-framed Avro rows (native encode — no UDF), pushed
-  * through the full streaming decode pipeline, and drained into a `noop`
-  * sink. Reports steady-state rows/sec from the query's own progress
+/** Structured-Streaming throughput benchmarks over an unbounded `rate`
+  * source.
+  *
+  * `decode` mode: rate rows become Confluent-framed Avro (native encode —
+  * no UDF) and run the full streaming decode pipeline into a `noop` sink.
+  * `neardup` mode: rate rows become synthetic documents (1-in-16 an exact
+  * re-crawl of an earlier doc) and run [[StreamingPipelines
+  * .ingestNearDupStream]] — every batch probes the persistent LSH index
+  * and appends itself, so the measured rate covers shingle/minhash
+  * kernels, band probe, and the index append write.
+  *
+  * Both report steady-state rows/sec from the query's own progress
   * metrics (first batch dropped — it pays JIT + state init).
   *
-  * Usage: `runMain graft.tools.StreamBench [rowsPerSec] [seconds]`
-  * (defaults 200000 rows/s offered, 20 s measured).
+  * Usage: `runMain graft.tools.StreamBench [mode] [rowsPerSec] [seconds]`
+  * (defaults: decode, 200000 rows/s offered, 20 s measured).
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
-    val offered = args.headOption.map(_.toInt).getOrElse(200000)
-    val seconds = args.lift(1).map(_.toInt).getOrElse(20)
+    val (mode, rest) =
+      if (args.headOption.exists(a => a == "decode" || a == "neardup"))
+        (args.head, args.drop(1))
+      else ("decode", args)
+    val offered = rest.headOption.map(_.toInt)
+      .getOrElse(if (mode == "neardup") 20000 else 200000)
+    val seconds = rest.lift(1).map(_.toInt).getOrElse(20)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
 
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (mode == "neardup") { runNearDup(spark, offered, seconds, cpus); return }
 
     val (provider, id) = AvroEventCorpus.registry()
     val cfg = EngineConfig(Seq("stub://in-memory"), Map("events" -> false))
@@ -78,5 +92,57 @@ object StreamBench {
     val rps = if (secs > 0) rows / secs else 0.0
     println(f"""{"metric":"stream_decode_rows_per_sec","value":$rps%.0f,""" +
       s""""offered_rps":$offered,"batches":${batches.size},"rows":$rows}""")
+  }
+
+  /** Near-dup ingest throughput: synthetic docs (24 template tokens drawn
+    * by value hash; every 16th row re-crawls an earlier doc verbatim so
+    * the probe genuinely matches) through the persistent-LSH foreachBatch
+    * ingest. */
+  private def runNearDup(spark: SparkSession, offered: Int, seconds: Int,
+      cpus: String): Unit = {
+    val words = Seq("spark", "join", "window", "batch", "scan", "merge",
+      "hash", "sort", "filter", "group", "order", "table", "column", "row",
+      "query", "stream")
+    val wordArr = array(words.map(lit): _*)
+    val docText = concat_ws(" ", transform(sequence(lit(0), lit(23)),
+      i => element_at(wordArr,
+        (pmod(xxhash64(col("doc_id") * 31L + i), lit(16L)) + 1)
+          .cast("int"))))
+    val docs = spark.readStream.format("rate")
+      .option("rowsPerSecond", offered.toString)
+      .option("numPartitions", cpus)
+      .load()
+      // 1 in 16 rows is an exact re-crawl of the doc 1000 ids earlier
+      .select(when(col("value") % 16 === 0, col("value") - 1000)
+        .otherwise(col("value")).as("doc_id"))
+      .select(col("doc_id"), docText.as("text"))
+    val indexPath = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_streambench_lsh_${System.nanoTime()}"
+    var pairCount = 0L
+    val q = StreamingPipelines.ingestNearDupStream(docs, "text", "doc_id",
+      indexPath, threshold = 0.8,
+      checkpointLocation = Some(s"${indexPath}_ckpt")) { (pairs, _) =>
+      pairCount += pairs.count()
+    }
+    Thread.sleep(seconds * 1000L)
+    val progress = q.recentProgress.toSeq
+    q.exception.foreach { e =>
+      System.err.println(s"[streambench] neardup FAILED: ${e.cause}")
+      e.printStackTrace()
+    }
+    System.err.println(s"[streambench] ${progress.size} progress entries; " +
+      progress.map(p => s"${p.numInputRows}r/" +
+        s"${p.durationMs.getOrDefault("triggerExecution", -1L)}ms")
+        .mkString(", "))
+    q.stop()
+    spark.stop()
+    val batches = progress.filter(_.numInputRows > 0).drop(1)
+    val rows = batches.map(_.numInputRows).sum
+    val secs = batches.map(p =>
+      p.durationMs.getOrDefault("triggerExecution", 0L).toDouble / 1000.0).sum
+    val rps = if (secs > 0) rows / secs else 0.0
+    println(f"""{"metric":"stream_neardup_rows_per_sec","value":$rps%.0f,""" +
+      s""""offered_rps":$offered,"batches":${batches.size},""" +
+      s""""rows":$rows,"pairs":$pairCount}""")
   }
 }

@@ -487,4 +487,65 @@ class StreamingQualityMonitorSpec extends graft.SparkFunSuite {
       assert(first(0).getLong(1) > 0)
     } finally q.stop()
   }
+
+  test("streaming near-dup ingest REPLAY over the sf0.01 corpus: three " +
+      "batches reproduce the hand-driven batch sequence, and the " +
+      "corpus-vs-delta slice equals the dedup_incremental_near output") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val corpus = s.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val delta = corpus.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("text"))
+    val h1 = delta.filter(col("doc_id") % 2 === 0).localCheckpoint()
+    val h2 = delta.filter(col("doc_id") % 2 =!= 0).localCheckpoint()
+
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        math.rint(r.getAs[Double]("jaccard") * 1e9) / 1e9)).toSet
+
+    // hand-driven batch sequence: seed corpus, probe+append h1, probe h2
+    val tmp = java.nio.file.Files.createTempDirectory("graft_replay")
+    val refPath = s"$tmp/ref_lsh"
+    val refIdx = graft.operators.Dedup.buildLshIndex(corpus, "text",
+      "doc_id", refPath)
+    val e1 = pairSet(graft.operators.Dedup.lshProbeNearDup(refIdx, h1,
+      "text", "doc_id", threshold = 0.8))
+    graft.operators.Dedup.appendToLshIndex(refIdx, h1, "text", "doc_id")
+    val e2 = pairSet(graft.operators.Dedup.lshProbeNearDup(refIdx, h2,
+      "text", "doc_id", threshold = 0.8))
+    val expected = e1 ++ e2
+
+    // the same three batches through the STREAMING wrapper
+    val streamPath = s"$tmp/stream_lsh"
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingPipelines.ingestNearDupStream(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id", streamPath,
+      threshold = 0.8) { (pairs, _) =>
+      emitted ++= pairs.collect().map(r =>
+        (r.getAs[Long]("a"), r.getAs[Long]("b"),
+          math.rint(r.getAs[Double]("jaccard") * 1e9) / 1e9))
+    }
+    try {
+      Seq(corpus, h1, h2).foreach { b =>
+        input.addData(b.collect().map(r =>
+          (r.getLong(0), r.getString(1))).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(emitted.toSet == expected,
+      s"streamed pair set must equal the hand-driven batch replay " +
+        s"(stream ${emitted.size} vs batch ${expected.size})")
+
+    // and the corpus-indexed slice IS the dedup_incremental_near output
+    val driverOut = pairSet(
+      graft.SparkEntry.queries("dedup_incremental_near")(s,
+        "/root/testdata/sf0.01"))
+    val corpusSlice = emitted.toSet.filter(_._1 < 1000000L)
+    assert(corpusSlice == driverOut,
+      s"corpus-vs-delta slice (${corpusSlice.size}) must equal the " +
+        s"driver query output (${driverOut.size})")
+  }
 }
