@@ -34,33 +34,46 @@ object ScaleProbe {
     "dedup_semantic", "text_bm25_top3", "text_index_lookup",
     "text_lm_bigram", "text_heavy_hitters")
 
+  /** Relational mode (`rel` as 4th arg): the as-of family, the argmin
+    * aggregate, the salted-join skew shape, and the bucketed range join,
+    * over replicated orders/lineitem/events (dims stay fixed — that IS
+    * the 100 TB shape: facts grow, dimensions don't). */
+  val RelProbeQueries: Seq[String] = Seq(
+    "q_asof_join", "q_asof_forward", "q_asof_nearest",
+    "q2_min_cost_supplier", "q_skew_salted_join", "q_skew_salted_agg",
+    "q_range_join")
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val factors = args.lift(1).getOrElse("1,4,10")
       .split(",").map(_.trim.toInt).toSeq
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val relMode = args.lift(3).contains("rel")
+    val probeQueries = if (relMode) RelProbeQueries else ProbeQueries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outRoot = s"${System.getProperty("java.io.tmpdir")}/graft_scale_" +
       ProcessHandle.current().pid()
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val dirs = factors.map { f =>
       val dir = s"$outRoot/x$f"
-      generate(spark, baseDir, dir, f)
+      if (relMode) generateRel(spark, baseDir, dir, f)
+      else generate(spark, baseDir, dir, f)
       f -> dir
     }
 
     // warm the JIT on the smallest factor before timing anything
-    ProbeQueries.foreach { q =>
+    probeQueries.foreach { q =>
       graft.SparkEntry.queries(q)(spark, dirs.head._2)
         .write.format("noop").mode("overwrite").save()
     }
 
-    val results = for ((f, dir) <- dirs; q <- ProbeQueries) yield {
+    val results = for ((f, dir) <- dirs; q <- probeQueries) yield {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(q)(spark, dir)
@@ -77,7 +90,7 @@ object ScaleProbe {
     // its index per dir, so the sweep above times the probe; the build's
     // own growth — a full tokenize + aggregate + bucketed write — is a
     // heavy tail in its own right)
-    val buildResults = dirs.map { case (f, dir) =>
+    val buildResults = if (relMode) Nil else dirs.map { case (f, dir) =>
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val t0 = System.nanoTime()
       graft.operators.InvertedIndex.build(docs, "text", "doc_id",
@@ -87,14 +100,18 @@ object ScaleProbe {
       ("text_index_build", f, sec)
     }
 
-    val nDocs = dirs.map { case (f, dir) =>
-      f -> spark.read.parquet(s"$dir/documents.parquet").count()
+    val factTable = if (relMode) "lineitem" else "documents"
+    val nRows = dirs.map { case (f, dir) =>
+      f -> spark.read.parquet(s"$dir/$factTable.parquet").count()
     }.toMap
     println()
     println("| query | " + factors.map(f =>
-      s"x$f (${nDocs(f)} docs)").mkString(" | ") + " | growth vs rows |")
+      s"x$f (${nRows(f)} $factTable)").mkString(" | ") +
+      " | growth vs rows |")
     println("|---|" + factors.map(_ => "---|").mkString + "---|")
-    (ProbeQueries :+ "text_index_build").foreach { q =>
+    val tableQueries =
+      if (relMode) probeQueries else probeQueries :+ "text_index_build"
+    tableQueries.foreach { q =>
       val all = results ++ buildResults
       val ts = factors.map(f => all.find(r => r._1 == q && r._2 == f)
         .get._3)
@@ -103,6 +120,7 @@ object ScaleProbe {
       println(f"| $q | " + ts.map(t => f"$t%.2f s").mkString(" | ") +
         f" | ${timeRatio}%.1fx time for ${rowRatio}%.0fx rows |")
     }
+    if (relMode) { spark.stop(); return }
     // Supplementary probes at the LARGEST factor — the two tails that go
     // superlinear with query-pinned parameters, re-measured with the
     // parameters a production run would scale:
@@ -140,6 +158,47 @@ object ScaleProbe {
       System.err.println(s"[scale] x$f ngram candidate pairs: $cands")
     }
     spark.stop()
+  }
+
+  /** Relational replication: facts (orders / lineitem / events) grow by
+    * `factor`, dimensions copy verbatim — the 100 TB shape. Order keys
+    * shift by i·10^9 with lineitem shifted in lockstep (join structure
+    * preserved); order DATES shift by i days so the as-of right side
+    * genuinely grows per (custkey, date) instead of collapsing in its
+    * pre-aggregate; event TIMES shift by i·30 days so range-join windows
+    * don't stack f deep (that would measure synthetic density, not
+    * growth). user/supp/part keys stay — per-key history grows linearly,
+    * which is exactly the skew the salted shapes must absorb. */
+  private def generateRel(spark: SparkSession, baseDir: String,
+      dir: String, factor: Int): Unit = {
+    if (new java.io.File(s"$dir/lineitem.parquet").exists) return
+    Seq("supplier", "nation", "region", "customer", "part").foreach { d =>
+      spark.read.parquet(s"$baseDir/$d.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$d.parquet")
+    }
+    val orders = spark.read.parquet(s"$baseDir/orders.parquet")
+    (0 until factor).map { i =>
+      if (i == 0) orders
+      else orders
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000000L))
+        .withColumn("o_orderdate", date_add(col("o_orderdate"), i))
+    }.reduce(_ unionAll _).repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    (0 until factor).map { i =>
+      if (i == 0) li
+      else li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L))
+    }.reduce(_ unionAll _).repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val ev = spark.read.parquet(s"$baseDir/events.parquet") // ts = int64 ns
+    (0 until factor).map { i =>
+      if (i == 0) ev
+      else ev
+        .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+        .withColumn("ts", col("ts") + lit(i * 2592000000000000L)) // +30d
+    }.reduce(_ unionAll _).repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    System.err.println(s"[scale] generated rel x$factor corpus at $dir")
   }
 
   /** Write the factor-`f` corpus (documents + embeddings) under `dir`
