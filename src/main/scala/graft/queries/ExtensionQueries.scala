@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.{BpeTokenizer => Bpe, TextFunctions => TF,
   VectorFunctions => VF}
 import graft.operators.{Chunking, Contamination, Dedup, InvertedIndex,
-  Multimodal, Ranking, Relevance, Sampling, Similarity, Sketches}
+  Multimodal, Ranking, Relevance, Retrieval, Sampling, Similarity,
+  Sketches}
 
 /** Driver-checkable queries for the training-data pipeline operators:
   * dedup (exact + 4 near-dup families), similarity search (brute + IVF),
@@ -850,6 +851,35 @@ object ExtensionQueries {
         .orderBy(col("cell"), col("pos"))
     }),
 
+    // lexical more-like-this: corpus ranked against each query doc by
+    // shared-term overlap in integer fixed point (query-vocab-bounded
+    // broadcast — see Retrieval scaladoc for the 100 TB shape)
+    "sim_mlt_lexical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Retrieval.moreLikeThis(docs, docs.filter(col("doc_id") < 10),
+          "text", "doc_id", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // hybrid retrieval: lexical top-20 ∪ cosine top-20 fused by integer
+    // RRF (standard K=60). doc_id ≡ vec_id across the documents/
+    // embeddings tables, so the two legs rank the same corpus; fusion
+    // cost is bounded by |queries|·Σk regardless of corpus size
+    "sim_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lex = Retrieval.moreLikeThis(docs,
+          docs.filter(col("doc_id") < 10), "text", "doc_id", k = 20)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val vec = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 10), k = 20)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, vec), k = 10)
+        .select(col("query_id"), col("rank"), col("id").as("doc_id"),
+          col("rrf_score"), col("n_legs"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Gopher-style repetition signals: type-token ratio + most-frequent-
     // bigram share + duplicated-bigram share. Scale shape: explode →
     // (doc_id, bigram) partial-agg (map-side combine collapses each
@@ -1223,6 +1253,32 @@ object ExtensionQueries {
       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id)
       |    AS rank
       |  FROM bsc)""".stripMargin
+
+  /** Lexical more-like-this chain (ends at ranked results `mltr`) —
+    * mirrors `Retrieval.moreLikeThis` over the `doc_id < 10` query set:
+    * shared-term integer fixed-point overlap `Σ qtf·tf·N·1e6 // df`
+    * (non-negative ⇒ `//` ≡ Spark DIV), ties by candidate id. Shared by
+    * the sim_mlt_lexical oracle and the hybrid-RRF fuse so the fusion
+    * can never desync from the leg it consumes. */
+  private lazy val MltCtesSql =
+    s"""tk AS ($NormToksSql),
+      |tok AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+      |mtf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      |  GROUP BY doc_id, term),
+      |mdf AS (SELECT term, COUNT(*) AS df FROM mtf GROUP BY term),
+      |mn AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |mqtf AS (SELECT doc_id AS query_id, term, tf AS qtf FROM mtf
+      |  WHERE doc_id < 10),
+      |mlt AS (SELECT q.query_id, t.doc_id,
+      |    CAST(SUM((q.qtf * t.tf * n_docs * 1000000) // d.df) AS BIGINT)
+      |      AS lex_score
+      |  FROM mqtf q JOIN mtf t ON t.term = q.term
+      |  JOIN mdf d ON d.term = q.term CROSS JOIN mn
+      |  WHERE t.doc_id <> q.query_id
+      |  GROUP BY q.query_id, t.doc_id),
+      |mltr AS (SELECT query_id, doc_id, lex_score,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY lex_score DESC, doc_id) AS rank FROM mlt)""".stripMargin
 
   private lazy val BruteOracleSql =
     s"""WITH $BruteCtesSql
@@ -2212,6 +2268,35 @@ object ExtensionQueries {
         |  CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1e10) AS BIGINT)) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) / 1e10 AS mean
         |FROM ex GROUP BY cell, pos ORDER BY cell, pos""".stripMargin,
+    // lexical more-like-this: integer fixed-point overlap score
+    // Σ qtf·tf·N·1e6 // df — `//` floors, Spark DIV truncates, identical
+    // on the all-non-negative operands; BIGINT sums are order-independent
+    "sim_mlt_lexical" ->
+      s"""WITH $MltCtesSql
+        |SELECT query_id, rank, doc_id, lex_score FROM mltr
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // hybrid RRF: lexical top-20 ∪ cosine top-20, fused score
+    // Σ 1e6 // (60 + rank) over the legs that surfaced the candidate
+    // (UNION ALL + GROUP BY ≡ the engine's leg-union fuse)
+    "sim_hybrid_rrf" ->
+      s"""WITH $MltCtesSql,
+        |$BruteCtesSql,
+        |lexr AS (SELECT query_id, doc_id AS id, rank FROM mltr
+        |  WHERE rank <= 20),
+        |vecr AS (SELECT query_id, neighbor_id AS id, rank FROM bruter
+        |  WHERE rank <= 20),
+        |uleg AS (SELECT query_id, id, 1000000 // (60 + rank) AS c
+        |    FROM lexr
+        |  UNION ALL SELECT query_id, id, 1000000 // (60 + rank) AS c
+        |    FROM vecr),
+        |fus AS (SELECT query_id, id, CAST(SUM(c) AS BIGINT) AS rrf_score,
+        |    CAST(COUNT(*) AS BIGINT) AS n_legs
+        |  FROM uleg GROUP BY query_id, id),
+        |fr AS (SELECT query_id, id, rrf_score, n_legs,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_score DESC, id) AS rank FROM fus)
+        |SELECT query_id, rank, id AS doc_id, rrf_score, n_legs FROM fr
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // mirrors Similarity.int8TopK: per-dim min/max calibration, affine
     // round-half-up quantization (identical IEEE double ops both engines),
     // exact integer dot product, ties by neighbor_id
