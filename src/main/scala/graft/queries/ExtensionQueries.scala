@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.{BpeTokenizer => Bpe, TextFunctions => TF,
   VectorFunctions => VF}
 import graft.operators.{Chunking, Contamination, Dedup, InvertedIndex,
-  Multimodal, Ranking, Relevance, Retrieval, Sampling, Similarity,
-  Sketches}
+  Multimodal, QualityRules, Ranking, Relevance, Retrieval, Sampling,
+  Similarity, Sketches}
 
 /** Driver-checkable queries for the training-data pipeline operators:
   * dedup (exact + 4 near-dup families), similarity search (brute + IVF),
@@ -940,6 +940,21 @@ object ExtensionQueries {
             col("distinct_ratio") >= 0.5)
         .orderBy(col("doc_id"))),
 
+    // Gopher structural rule battery: NAMED per-rule booleans with
+    // integer-exact (cross-multiplied) thresholds — the auditable
+    // counterpart to text_quality_filter's composite score
+    "text_gopher_rules" -> ((s, dir) =>
+      QualityRules.gopherRules(t(s, dir, "documents"), "text", "doc_id",
+          minWords = 20, maxWords = 5000)
+        .orderBy(col("doc_id"))),
+
+    // per-rule independent reject counts + full-battery survivors: the
+    // one-row audit report a curator reads before shipping a corpus cut
+    "text_gopher_summary" -> ((s, dir) =>
+      QualityRules.summary(QualityRules.gopherRules(
+        t(s, dir, "documents"), "text", "doc_id",
+        minWords = 20, maxWords = 5000))),
+
     // BPE subword segmentation with a fixed rank-ordered merge table —
     // row-local replace chains (codegen'd, zero shuffle); the oracle
     // runs the SAME table through SQL replace, generated from one list
@@ -1070,6 +1085,69 @@ object ExtensionQueries {
       |FROM (SELECT doc_id, text,
       |        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
       |      FROM documents)""".stripMargin
+
+  /** Shared CTE chain of the Gopher rule battery (text_gopher_rules /
+    * text_gopher_summary): raw whitespace words + newline lines + the
+    * normalized-token stream → per-rule counts → the named booleans.
+    * Mirrors `QualityRules.gopherRules` with cross-multiplied integer
+    * thresholds — no float compares anywhere. Ends with a `grules`
+    * relation: (doc_id, n_words, n_lines, r_*, keep). */
+  private val GopherCtesSql =
+    s"""gtk AS ($NormToksSql),
+       |gbase AS (
+       |  SELECT doc_id, text, toks,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |      ELSE string_split_regex(trim(text), '[ \t\n\r]+') END AS words,
+       |    string_split(text, chr(10)) AS lines
+       |  FROM gtk),
+       |gcnt AS (
+       |  SELECT doc_id,
+       |    len(words) AS n_words,
+       |    len(lines) AS n_lines,
+       |    COALESCE(list_sum(list_transform(words, w -> length(w))), 0)
+       |      AS n_chars,
+       |    len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+       |      AS n_alpha,
+       |    (length(text) - length(replace(text, '#', '')))
+       |      + (length(text) - length(replace(text, '…', '')))
+       |      + ((length(text) - length(replace(text, '...', ''))) // 3)
+       |      AS n_sym,
+       |    len(list_filter(lines,
+       |      l -> substr(ltrim(l), 1, 1) IN ('•', '-', '*'))) AS n_bullet,
+       |    len(list_filter(lines, l -> ends_with(rtrim(l), '…')
+       |      OR ends_with(rtrim(l), '...'))) AS n_ell_lines,
+       |    len(list_intersect(list_distinct(toks),
+       |      ['the','a','an','be','is','to','of','and','that','have',
+       |       'with'])) AS n_stop
+       |  FROM gbase),
+       |gbg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS b
+       |  FROM gtk WHERE len(toks) >= 2),
+       |gbc AS (SELECT doc_id, b, COUNT(*) AS c FROM gbg GROUP BY doc_id, b),
+       |gbs AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_n
+       |  FROM gbc GROUP BY doc_id),
+       |grules AS (
+       |  SELECT c.doc_id, c.n_words, c.n_lines,
+       |    (c.n_words >= 20 AND c.n_words <= 5000) AS r_words,
+       |    (c.n_words > 0 AND c.n_chars >= 3 * c.n_words
+       |      AND c.n_chars <= 10 * c.n_words) AS r_mean_len,
+       |    (10 * c.n_sym <= c.n_words) AS r_symbol,
+       |    (10 * c.n_bullet <= 9 * c.n_lines) AS r_bullet,
+       |    (10 * c.n_ell_lines <= 3 * c.n_lines) AS r_ellipsis,
+       |    (5 * c.n_alpha >= 4 * c.n_words) AS r_alpha,
+       |    (c.n_stop >= 2) AS r_stop,
+       |    (b.n_bigrams IS NULL OR 5 * b.top_n <= b.n_bigrams) AS r_rep,
+       |    ((c.n_words >= 20 AND c.n_words <= 5000)
+       |      AND (c.n_words > 0 AND c.n_chars >= 3 * c.n_words
+       |        AND c.n_chars <= 10 * c.n_words)
+       |      AND (10 * c.n_sym <= c.n_words)
+       |      AND (10 * c.n_bullet <= 9 * c.n_lines)
+       |      AND (10 * c.n_ell_lines <= 3 * c.n_lines)
+       |      AND (5 * c.n_alpha >= 4 * c.n_words)
+       |      AND (c.n_stop >= 2)
+       |      AND (b.n_bigrams IS NULL OR 5 * b.top_n <= b.n_bigrams))
+       |      AS keep
+       |  FROM gcnt c LEFT JOIN gbs b USING (doc_id))""".stripMargin
 
   /** Shared CTE chain of the substring-dedup family: twin union →
     * normalized tokens → 12-token windows (0-based starts) → df-guard
@@ -2566,6 +2644,32 @@ object ExtensionQueries {
          |    AND s.distinct_ratio >= 0.5) AS keep
          |FROM scored s JOIN lang_pick l ON s.doc_id = l.doc_id
          |ORDER BY s.doc_id""".stripMargin,
+    "text_gopher_rules" ->
+      s"""WITH $GopherCtesSql
+         |SELECT doc_id, n_words, n_lines, r_words, r_mean_len, r_symbol,
+         |  r_bullet, r_ellipsis, r_alpha, r_stop, r_rep, keep
+         |FROM grules ORDER BY doc_id""".stripMargin,
+    "text_gopher_summary" ->
+      s"""WITH $GopherCtesSql
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN r_words THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS rej_words,
+         |  CAST(SUM(CASE WHEN r_mean_len THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS rej_mean_len,
+         |  CAST(SUM(CASE WHEN r_symbol THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS rej_symbol,
+         |  CAST(SUM(CASE WHEN r_bullet THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS rej_bullet,
+         |  CAST(SUM(CASE WHEN r_ellipsis THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS rej_ellipsis,
+         |  CAST(SUM(CASE WHEN r_alpha THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS rej_alpha,
+         |  CAST(SUM(CASE WHEN r_stop THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS rej_stop,
+         |  CAST(SUM(CASE WHEN r_rep THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS rej_rep,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM grules""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |sha256(text) AS content_sha, 'bin' AS kind
