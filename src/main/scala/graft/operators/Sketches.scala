@@ -78,6 +78,47 @@ object Sketches {
           .as("est_distinct"))
   }
 
+  /** CountMin hash family: pairwise-independent rows
+    * `h_i(fp) = ((a_i·(fp mod P) + b_i) mod P) mod width` over the
+    * Mersenne prime P = 2^31−1. `fp mod P` < 2^31 and a_i < 2^31 keep
+    * every intermediate below 2^62 — ANSI-safe int64, recomputable in any
+    * SQL engine. */
+  private val CmsP = 2147483647L // 2^31 − 1
+  private val CmsA = Seq(1000003L, 999983L, 30011L, 65537L, 104729L,
+    2654435761L % 2147483647L, 48271L, 69621L)
+  private val CmsB = Seq(17L, 911L, 5041L, 65599L, 131071L, 8191L,
+    524287L, 6700417L)
+
+  /** Depth-length array of CountMin bucket positions for a poly
+    * fingerprint — the caller-side hash chain [[graft.plans.CountMinAgg]]
+    * aggregates over. */
+  def cmsPositions(fp: Column, depth: Int, width: Int): Column = {
+    require(depth >= 1 && depth <= CmsA.length,
+      s"depth must be in [1, ${CmsA.length}]")
+    val f = pmod(fp, lit(CmsP))
+    array((0 until depth).map(i =>
+      pmod(pmod(lit(CmsA(i)) * f + lit(CmsB(i)), lit(CmsP)),
+        lit(width.toLong))): _*)
+  }
+
+  /** The CountMin counter grid (depth×width row-major `array<bigint>`)
+    * over per-row position arrays — one partial-aggregated row. */
+  def cmsAgg(positions: Column, depth: Int, width: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.CountMinAgg(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(positions),
+        depth, width).toAggregateExpression())
+
+  /** CountMin point estimate: min over depth rows of the addressed
+    * counter — O(depth) dense-array indexing (element_at on an ARRAY is
+    * O(1); a map-typed sketch would linear-scan per probe). */
+  def cmsEstimate(counters: Column, positions: Column, depth: Int,
+      width: Int): Column =
+    least((0 until depth).map(i =>
+      element_at(counters,
+        (lit(i.toLong * width) + element_at(positions, i + 1) + 1L)
+          .cast("int"))): _*)
+
   /** Pairwise word-shingle Jaccard between corpus GROUPS (sources, crawl
     * snapshots, language slices) — "how much does crawl A overlap crawl
     * B" is the first question a curation pipeline asks before mixing.

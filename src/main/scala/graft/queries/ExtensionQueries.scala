@@ -326,6 +326,39 @@ object ExtensionQueries {
           k = 128)
         .orderBy(col("lang"))),
 
+    // CountMin sketch error audit: the mergeable counter grid (one
+    // partial-aggregated array row, the token stream never shuffles)
+    // probed at the exact top-20 tokens — overcount = est − exact is the
+    // sketch's measured error, ≥ 0 by construction. width=64 is chosen
+    // BELOW the corpus vocabulary so collisions genuinely occur and the
+    // min-over-depth estimate is exercised, not vacuous
+    "sketch_cms_err" -> ((s, dir) => {
+      val (depth, width) = (4, 64)
+      val toks = t(s, dir, "documents")
+        .select(explode(TF.normTokens(col("text"))).as("tok"))
+      // fingerprint in its own projection, referenced once per depth row
+      // downstream (CollapseProject guard — the minhash lesson)
+      val pos = toks
+        .select(col("tok"), TF.fingerprintPolyRaw(col("tok")).as("fp"))
+        .select(col("tok"),
+          Sketches.cmsPositions(col("fp"), depth, width).as("ps"))
+      val grid = pos.agg(
+        Sketches.cmsAgg(col("ps"), depth, width).as("cms"))
+      val top = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("tok")).limit(20)
+      top
+        .select(col("tok"), col("exact_count"),
+          Sketches.cmsPositions(TF.fingerprintPolyRaw(col("tok")),
+            depth, width).as("ps"))
+        .crossJoin(broadcast(grid))
+        .select(col("tok"), col("exact_count"),
+          Sketches.cmsEstimate(col("cms"), col("ps"), depth, width)
+            .as("cms_est"))
+        .withColumn("overcount", col("cms_est") - col("exact_count"))
+        .orderBy(col("exact_count").desc, col("tok"))
+    }),
+
     // deterministic training-order shuffle: 16-shard interleaved total
     // order, identical at any cluster size (and in the oracle engine)
     "corpus_shuffle" -> ((s, dir) =>
@@ -2033,6 +2066,34 @@ object ExtensionQueries {
          |  CASE WHEN n_hashes < 128 THEN n_hashes
          |       ELSE (127 * 2199023255552) // kth_min END AS est_distinct
          |FROM km ORDER BY lang""".stripMargin,
+    // recomputes the full CountMin grid from the raw token stream with
+    // the same pairwise hash rows — every probed (depth, bucket) cell
+    // holds at least the probe token's own count, so the inner join is
+    // total and MIN-over-depth equals the engine's least() probe
+    "sketch_cms_err" ->
+      s"""WITH tk AS ($NormToksSql),
+         |tok AS (SELECT unnest(toks) AS tok FROM tk),
+         |cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count
+         |  FROM tok GROUP BY tok),
+         |fp AS (SELECT tok, exact_count,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, length(tok) + 1),
+         |      i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+         |    (acc, x) -> (acc * 1000003 + x) % 2199023255552) AS f
+         |  FROM cnt),
+         |d(i, a, b) AS (VALUES (0, 1000003, 17), (1, 999983, 911),
+         |  (2, 30011, 5041), (3, 65537, 65599)),
+         |pos AS (SELECT tok, exact_count, i,
+         |  ((a * (f % 2147483647) + b) % 2147483647) % 64 AS p
+         |  FROM fp CROSS JOIN d),
+         |counters AS (SELECT i, p, CAST(SUM(exact_count) AS BIGINT) AS c
+         |  FROM pos GROUP BY i, p),
+         |est AS (SELECT pos.tok, pos.exact_count, MIN(c.c) AS cms_est
+         |  FROM pos JOIN counters c ON pos.i = c.i AND pos.p = c.p
+         |  GROUP BY pos.tok, pos.exact_count)
+         |SELECT tok, exact_count, cms_est,
+         |  cms_est - exact_count AS overcount
+         |FROM est ORDER BY exact_count DESC, tok LIMIT 20""".stripMargin,
     // same rank rule as the bounded-heap aggregate: score desc, id asc;
     // NULL-score/id rows are excluded like the engine's eager filter
     "rank_group_topk" ->

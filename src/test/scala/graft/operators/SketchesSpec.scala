@@ -142,4 +142,43 @@ class SketchesSpec extends SparkFunSuite {
       .collect().map(_.getLong(0))
     assert(tiny.forall(_ > Sketches.M / 1000))
   }
+
+  test("CountMin: estimates dominate exact counts, are exact absent " +
+      "collisions, and shard sketches merge by addition") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val (depth, width) = (4, 64)
+    def grid(df: org.apache.spark.sql.DataFrame): Array[Long] = df
+      .select(explode(TF.normTokens(col("text"))).as("tok"))
+      .select(TF.fingerprintPolyRaw(col("tok")).as("fp"))
+      .select(Sketches.cmsPositions(col("fp"), depth, width).as("ps"))
+      .agg(Sketches.cmsAgg(col("ps"), depth, width).as("cms"))
+      .head().getSeq[Long](0).toArray
+    val full = grid(docs)
+    assert(full.length == depth * width)
+    // grand total per depth row == total token occurrences
+    val nToks = docs.select(explode(TF.normTokens(col("text"))))
+      .count()
+    (0 until depth).foreach { i =>
+      assert(full.slice(i * width, (i + 1) * width).sum == nToks)
+    }
+    // merge law: sketch(A) + sketch(B) == sketch(A ∪ B), elementwise
+    val a = grid(docs.filter(col("doc_id") % 2 === 0))
+    val b = grid(docs.filter(col("doc_id") % 2 =!= 0))
+    assert(a.zip(b).map { case (x, y) => x + y }.sameElements(full))
+    // point estimates dominate exact counts; exact when no depth row
+    // collides (check via a tiny 3-token corpus where width >> vocab)
+    val tiny = Seq((1L, "alpha beta alpha"), (2L, "beta gamma alpha"))
+      .toDF("doc_id", "text")
+    val tinyGrid = grid(tiny)
+    val est = Seq("alpha", "beta", "gamma").toDF("tok")
+      .select(col("tok"),
+        Sketches.cmsPositions(TF.fingerprintPolyRaw(col("tok")),
+          depth, width).as("ps"))
+      .select(col("tok"), Sketches.cmsEstimate(
+        typedLit(tinyGrid.toSeq), col("ps"), depth, width).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("alpha") == 3L && est("beta") == 2L && est("gamma") == 1L)
+  }
 }
