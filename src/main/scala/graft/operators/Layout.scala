@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Space-filling-curve data layout (no reference counterpart — extension
+  * surface, SURVEY.md §8): Z-order (Morton) clustering so that parquet
+  * min/max file statistics prune MULTI-dimensional box predicates, plus
+  * the pruning audit that measures what a layout buys.
+  *
+  * Why this is a first-class 100 TB operator: at scale the dominant cost
+  * is the scan, and the scan is bounded by how many files survive
+  * min/max skipping. A corpus sorted by one key prunes only that key;
+  * Z-ordering interleaves the bits of two keys so files cover small
+  * RECTANGLES of the key space and a box predicate on either or both
+  * dimensions skips most files — the standard layout trick behind
+  * Delta/Iceberg `ZORDER BY`, here as plain portable int64 arithmetic.
+  *
+  * Production write shape: `df.repartitionByRange(n, zValue16(x, y))
+  * .sortWithinPartitions(...)` — range partitioning by z needs no global
+  * window. [[pruneAudit]] instead assigns file ids with one explicit
+  * `row_number` total order so the file assignment is DETERMINISTIC
+  * (range-partition boundaries are sampled, which no SQL oracle could
+  * reproduce); it is the bench-scale audit twin of that write, not the
+  * write itself.
+  */
+object Layout {
+
+  /** Spread the low 16 bits of `x` to the even bit positions of a
+    * 32-bit value (Morton interleave half) — the classic shift-mask
+    * chain; every intermediate stays below 2^32, ANSI-safe and
+    * expressible in any int64 SQL engine. Input must be in [0, 2^16). */
+  def spread16(x: Column): Column = {
+    val xl = x.cast("long")
+    val a = xl.bitwiseOR(shiftleft(xl, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val c = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Z-value of two 16-bit coordinates: x on even bits, y on odd. */
+  def zValue16(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** Min/max file-skipping audit for a layout: lay `df` out in files of
+    * `rowsPerFile` rows under the total order `orderCols`, compute each
+    * file's (x, y) min/max envelope, and evaluate the box predicate
+    * `x ∈ [x1, x2] ∧ y ∈ [y1, y2]` against the envelopes. Output (one
+    * row): `(n_files, files_hit, rows_scanned, rows_matched)` —
+    * `files_hit`/`rows_scanned` is what a parquet reader would actually
+    * open/read, `rows_matched` the true result size (layout-invariant,
+    * so comparing audits of two layouts is apples-to-apples). */
+  def pruneAudit(df: DataFrame, xCol: String, yCol: String,
+      orderCols: Seq[Column], rowsPerFile: Int,
+      x1: Long, x2: Long, y1: Long, y2: Long): DataFrame = {
+    require(rowsPerFile > 0, "rowsPerFile must be positive")
+    val x = col(xCol)
+    val y = col(yCol)
+    val hit = !(col("mxx") < x1 || col("mnx") > x2 ||
+      col("mxy") < y1 || col("mny") > y2)
+    df
+      .withColumn("__rn", row_number().over(Window.orderBy(orderCols: _*)))
+      .select(x.as("__x"), y.as("__y"),
+        TF.intDivNonNeg(col("__rn").cast("long") - 1L,
+          lit(rowsPerFile.toLong)).as("__file"))
+      .groupBy(col("__file"))
+      .agg(min(col("__x")).as("mnx"), max(col("__x")).as("mxx"),
+        min(col("__y")).as("mny"), max(col("__y")).as("mxy"),
+        count(lit(1)).as("cnt"),
+        sum(when(col("__x").between(x1, x2) &&
+          col("__y").between(y1, y2), 1L).otherwise(0L)).as("m"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(hit, 1L).otherwise(0L)).as("files_hit"),
+        sum(when(hit, col("cnt")).otherwise(0L)).as("rows_scanned"),
+        sum(col("m")).as("rows_matched"))
+  }
+}

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.{BpeTokenizer => Bpe, TextFunctions => TF,
   VectorFunctions => VF}
 import graft.operators.{Chunking, Contamination, Dedup, InvertedIndex,
-  Multimodal, QualityRules, Ranking, Relevance, Retrieval, Sampling,
-  Similarity, Sketches}
+  Layout, Multimodal, QualityRules, Ranking, Relevance, Retrieval,
+  Sampling, Similarity, Sketches}
 
 /** Driver-checkable queries for the training-data pipeline operators:
   * dedup (exact + 4 near-dup families), similarity search (brute + IVF),
@@ -357,6 +357,30 @@ object ExtensionQueries {
             .as("cms_est"))
         .withColumn("overcount", col("cms_est") - col("exact_count"))
         .orderBy(col("exact_count").desc, col("tok"))
+    }),
+
+    // Z-order layout audit: the same corpus laid out naturally (order
+    // key) vs Morton-clustered, same 4096-row files, same box predicate
+    // on (partkey, suppkey) — files_hit/rows_scanned is what min/max
+    // file skipping would actually open under each layout;
+    // rows_matched is layout-invariant (sanity anchor)
+    "layout_zorder_prune" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(pmod(col("l_partkey"), lit(65536)).as("x"),
+          pmod(col("l_suppkey"), lit(65536)).as("y"),
+          col("l_orderkey"), col("l_linenumber"))
+      val (x1, x2, y1, y2) = (256L, 511L, 32L, 47L)
+      val natural = Layout.pruneAudit(li, "x", "y",
+        Seq(col("l_orderkey"), col("l_linenumber")), 4096,
+        x1, x2, y1, y2).withColumn("layout", lit("natural"))
+      val zed = Layout.pruneAudit(
+        li.withColumn("z", Layout.zValue16(col("x"), col("y"))),
+        "x", "y", Seq(col("z"), col("l_orderkey"), col("l_linenumber")),
+        4096, x1, x2, y1, y2).withColumn("layout", lit("zorder"))
+      natural.unionAll(zed)
+        .select(col("layout"), col("n_files"), col("files_hit"),
+          col("rows_scanned"), col("rows_matched"))
+        .orderBy(col("layout"))
     }),
 
     // deterministic training-order shuffle: 16-shard interleaved total
@@ -2094,6 +2118,52 @@ object ExtensionQueries {
          |SELECT tok, exact_count, cms_est,
          |  cms_est - exact_count AS overcount
          |FROM est ORDER BY exact_count DESC, tok LIMIT 20""".stripMargin,
+    // same Morton shift-mask chain, same 4096-row file assignment from
+    // an identical total order, same box; the audit aggregates are
+    // pure integer min/max/count per file
+    "layout_zorder_prune" ->
+      """WITH li AS (SELECT l_partkey % 65536 AS x, l_suppkey % 65536 AS y,
+        |    l_orderkey, l_linenumber FROM lineitem),
+        |s1 AS (SELECT *, (x | (x << 8)) & 16711935 AS a_x,
+        |  (y | (y << 8)) & 16711935 AS a_y FROM li),
+        |s2 AS (SELECT *, (a_x | (a_x << 4)) & 252645135 AS b_x,
+        |  (a_y | (a_y << 4)) & 252645135 AS b_y FROM s1),
+        |s3 AS (SELECT *, (b_x | (b_x << 2)) & 858993459 AS c_x,
+        |  (b_y | (b_y << 2)) & 858993459 AS c_y FROM s2),
+        |s4 AS (SELECT *, ((c_x | (c_x << 1)) & 1431655765)
+        |  | ((((c_y | (c_y << 1)) & 1431655765)) << 1) AS z FROM s3),
+        |fn AS (SELECT x, y, (ROW_NUMBER() OVER (ORDER BY l_orderkey,
+        |    l_linenumber) - 1) // 4096 AS file_id FROM s4),
+        |fz AS (SELECT x, y, (ROW_NUMBER() OVER (ORDER BY z, l_orderkey,
+        |    l_linenumber) - 1) // 4096 AS file_id FROM s4),
+        |sn AS (SELECT file_id, MIN(x) AS mnx, MAX(x) AS mxx, MIN(y) AS mny,
+        |  MAX(y) AS mxy, COUNT(*) AS cnt,
+        |  SUM(CASE WHEN x BETWEEN 256 AND 511 AND y BETWEEN 32 AND 47
+        |    THEN 1 ELSE 0 END) AS m
+        |  FROM fn GROUP BY file_id),
+        |sz AS (SELECT file_id, MIN(x) AS mnx, MAX(x) AS mxx, MIN(y) AS mny,
+        |  MAX(y) AS mxy, COUNT(*) AS cnt,
+        |  SUM(CASE WHEN x BETWEEN 256 AND 511 AND y BETWEEN 32 AND 47
+        |    THEN 1 ELSE 0 END) AS m
+        |  FROM fz GROUP BY file_id),
+        |agg AS (
+        |  SELECT 'natural' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |    CAST(SUM(CASE WHEN NOT (mxx < 256 OR mnx > 511 OR mxy < 32
+        |      OR mny > 47) THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+        |    CAST(SUM(CASE WHEN NOT (mxx < 256 OR mnx > 511 OR mxy < 32
+        |      OR mny > 47) THEN cnt ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |    CAST(SUM(m) AS BIGINT) AS rows_matched
+        |  FROM sn
+        |  UNION ALL
+        |  SELECT 'zorder' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |    CAST(SUM(CASE WHEN NOT (mxx < 256 OR mnx > 511 OR mxy < 32
+        |      OR mny > 47) THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+        |    CAST(SUM(CASE WHEN NOT (mxx < 256 OR mnx > 511 OR mxy < 32
+        |      OR mny > 47) THEN cnt ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |    CAST(SUM(m) AS BIGINT) AS rows_matched
+        |  FROM sz)
+        |SELECT layout, n_files, files_hit, rows_scanned, rows_matched
+        |FROM agg ORDER BY layout""".stripMargin,
     // same rank rule as the bounded-heap aggregate: score desc, id asc;
     // NULL-score/id rows are excluded like the engine's eager filter
     "rank_group_topk" ->
