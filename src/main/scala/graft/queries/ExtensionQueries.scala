@@ -474,6 +474,27 @@ object ExtensionQueries {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // incremental ANN ingest: a delta batch append-written into the
+    // written IVF index's cell partitions (no rebuild, no corpus
+    // shuffle), then probed together with the base corpus. Rebuilt
+    // fresh each run (build overwrites, then one append) so repeated
+    // invocations never double-append; the delta's shifted ids surface
+    // in the top-k as exact-tie twins, proving probes read the appended
+    // partitions
+    "sim_ivf_append_probe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val delta = emb.withColumn("vec_id", col("vec_id") + 1000000L)
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_ivf_append_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          ProcessHandle.current().pid()
+      val index = Similarity.buildIvfIndex(emb, path, nlist = 16)
+      Similarity.appendToIvfIndex(index, delta)
+      Similarity.ivfTopKIndexed(index, emb.filter(col("vec_id") < 10),
+          k = 5, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
     // one Lloyd's iteration of the IVF centroid trainer: assignment is a
     // row-local projection; the per-(cell,dim) decimal means are order-
     // independent, so the trained centroids are exactly reproducible in SQL
@@ -2457,6 +2478,42 @@ object ExtensionQueries {
     // cell-partitioned corpus, so it shares the oracle.
     "sim_topk_ivf" -> IvfOracleSql,
     "sim_topk_ivf_indexed" -> IvfOracleSql,
+    // the IVF chain over base ∪ appended delta: centroids stay the
+    // BASE corpus's (append never moves cells), probes rank over the
+    // union — exact-tie twins resolve by neighbor_id on both engines
+    "sim_ivf_append_probe" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_vec
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, embedding
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]), embedding
+        |  FROM embeddings),
+        |assigned AS (
+        |  SELECT vec_id AS neighbor_id, embedding AS c_vec, cent_id AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY list_distance(v, cent_vec), cent_id) AS rn
+        |  FROM corp, cents),
+        |cells AS (SELECT neighbor_id, c_vec, cell FROM assigned WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, q_vec, cell FROM (
+        |    SELECT vec_id AS query_id, embedding AS q_vec, cent_id AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |        ORDER BY list_distance(v, cent_vec), cent_id) AS rn
+        |    FROM corp, cents WHERE vec_id < 10)
+        |  WHERE rn <= 4),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(q_vec, c_vec) AS sim
+        |  FROM probes JOIN cells USING (cell)
+        |  WHERE neighbor_id <> query_id),
+        |ivfr AS (SELECT query_id, neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id FROM ivfr WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "sim_recall_ivf" -> IvfRecallOracleSql,
     "ivf_kmeans_refine" ->
       """WITH cents AS (
