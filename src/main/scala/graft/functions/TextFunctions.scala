@@ -266,6 +266,15 @@ object TextFunctions {
       graft.plans.BigramStats(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 
+  /** Duplicate word-n-gram union coverage struct(n_tokens, covered) over
+    * the normalized token stream ([[graft.plans.DupNgramCoverage]]) —
+    * row-local; the relational formulation would shuffle the n-gram
+    * stream twice. */
+  def dupNgramCoverage(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.DupNgramCoverage(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), n))
+
   /** [[qualityScore]] recomposed from a [[textSignals]] struct — identical
     * constants and op order, so identical doubles. */
   def qualityScoreFromSignals(sig: Column): Column = {

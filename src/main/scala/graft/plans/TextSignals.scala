@@ -214,6 +214,49 @@ object TextSignalsKernel {
     toks
   }
 
+  /** Duplicate word-n-gram coverage (the Gopher repetition rule family
+    * for n ≥ 5): (n_tokens, token positions covered by at least one
+    * n-gram that occurs ≥ 2 times in the document). Overlapping
+    * duplicate spans count each position ONCE — the union-coverage
+    * semantics that make the fraction a calibrated repetition signal
+    * (a doc that is one long repeat → 1.0, isolated echo → small). */
+  def dupNgramCoverage(text: UTF8String, n: Int): GenericInternalRow = {
+    val toks = normTokensOf(text.toLowerCase.toString)
+    val nt = toks.size()
+    if (nt < n) return new GenericInternalRow(Array[Any](nt, 0))
+    val grams = new Array[String](nt - n + 1)
+    val counts = new java.util.HashMap[String, Integer]()
+    var i = 0
+    val sb = new java.lang.StringBuilder()
+    while (i <= nt - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.get(i + j))
+        j += 1
+      }
+      val g = sb.toString
+      grams(i) = g
+      counts.merge(g, Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+      i += 1
+    }
+    val covered = new Array[Boolean](nt)
+    i = 0
+    while (i <= nt - n) {
+      if (counts.get(grams(i)).intValue >= 2) {
+        var j = i
+        while (j < i + n) { covered(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    var c = 0
+    i = 0
+    while (i < nt) { if (covered(i)) c += 1; i += 1 }
+    new GenericInternalRow(Array[Any](nt, c))
+  }
+
   /** Per-document bigram statistics over the normalized token stream:
     * (total bigrams, max single-bigram count, distinct bigrams). Fewer
     * than 2 tokens → all zeros (mirrors the Column formulation's
@@ -270,6 +313,28 @@ case class BigramStats(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.plans.TextSignalsKernel.bigramStats($c);")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "graft_bigram_stats"
+}
+
+/** `dup_ngram_coverage(text, n)` → struct(n_tokens, covered): token
+  * positions covered by duplicated word-n-grams, computed row-locally
+  * with one per-document hash map — the Column formulation (posexplode
+  * n-grams → per-doc groupBy → join back → position explode → distinct)
+  * would shuffle a corpus-sized n-gram stream TWICE for what is a
+  * per-document property. Same tokenizer as [[TextSignalsKernel]]. */
+case class DupNgramCoverage(child: Expression, n: Int)
+  extends UnaryExpression {
+  require(n >= 2, s"n must be >= 2, got $n")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("covered", IntegerType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(input: Any): Any =
+    TextSignalsKernel.dupNgramCoverage(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextSignalsKernel.dupNgramCoverage($c, $n);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_dup_ngram_coverage"
 }
 
 /** `text_signals(text)` → struct of every per-document profile signal in

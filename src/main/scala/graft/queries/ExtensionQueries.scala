@@ -1018,6 +1018,29 @@ object ExtensionQueries {
             col("distinct_ratio") >= 0.5)
         .orderBy(col("doc_id"))),
 
+    // duplicate word-n-gram UNION coverage (the Gopher repetition rules
+    // for n ≥ 5): each doc is augmented with an echo of its first 12
+    // tokens so duplicate 5/10-grams deterministically exist, then the
+    // row-local kernel counts token positions covered by any n-gram
+    // occurring twice — overlapping spans count once
+    "text_dup_ngram_coverage" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", col("text"),
+            concat_ws(" ", slice(TF.normTokens(col("text")), 1, 12)))
+            .as("aug"))
+        .select(col("doc_id"),
+          TF.dupNgramCoverage(col("aug"), 5).as("c5"),
+          TF.dupNgramCoverage(col("aug"), 10).as("c10"))
+        .select(col("doc_id"),
+          col("c5.n_tokens").as("n_tokens"),
+          col("c5.covered").as("covered_5"),
+          col("c10.covered").as("covered_10"),
+          when(col("c5.n_tokens") === 0, lit(0.0))
+            .otherwise(col("c5.covered").cast("double") /
+              col("c5.n_tokens").cast("double")).as("dup5_frac"))
+        .orderBy(col("doc_id"))),
+
     // Gopher structural rule battery: NAMED per-rule booleans with
     // integer-exact (cross-multiplied) thresholds — the auditable
     // counterpart to text_quality_filter's composite score
@@ -2832,6 +2855,39 @@ object ExtensionQueries {
          |    AND s.distinct_ratio >= 0.5) AS keep
          |FROM scored s JOIN lang_pick l ON s.doc_id = l.doc_id
          |ORDER BY s.doc_id""".stripMargin,
+    // aug tokens == toks ++ toks[1:12] (the appended echo re-normalizes
+    // to its own tokens); dup occurrences expand to position ranges,
+    // DISTINCT collapses overlap — the kernel's union-coverage law
+    "text_dup_ngram_coverage" ->
+      s"""WITH tk AS ($NormToksSql),
+         |atk AS (SELECT doc_id, list_concat(toks, toks[1:12]) AS t FROM tk),
+         |g5 AS (SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS g
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+         |        FROM atk WHERE len(t) >= 5)),
+         |c5 AS (SELECT doc_id, g FROM g5 GROUP BY doc_id, g
+         |  HAVING COUNT(*) >= 2),
+         |cov5 AS (SELECT doc_id, COUNT(DISTINCT pos) AS covered
+         |  FROM (SELECT d.doc_id, unnest(range(d.i, d.i + 5)) AS pos
+         |        FROM g5 d JOIN c5 c ON d.doc_id = c.doc_id AND d.g = c.g)
+         |  GROUP BY doc_id),
+         |g10 AS (SELECT doc_id, i, array_to_string(t[i:i+9], ' ') AS g
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8)) AS i
+         |        FROM atk WHERE len(t) >= 10)),
+         |c10 AS (SELECT doc_id, g FROM g10 GROUP BY doc_id, g
+         |  HAVING COUNT(*) >= 2),
+         |cov10 AS (SELECT doc_id, COUNT(DISTINCT pos) AS covered
+         |  FROM (SELECT d.doc_id, unnest(range(d.i, d.i + 10)) AS pos
+         |        FROM g10 d JOIN c10 c ON d.doc_id = c.doc_id AND d.g = c.g)
+         |  GROUP BY doc_id)
+         |SELECT a.doc_id, len(a.t) AS n_tokens,
+         |  COALESCE(c5.covered, 0) AS covered_5,
+         |  COALESCE(c10.covered, 0) AS covered_10,
+         |  CASE WHEN len(a.t) = 0 THEN CAST(0 AS DOUBLE)
+         |    ELSE CAST(COALESCE(c5.covered, 0) AS DOUBLE)
+         |      / CAST(len(a.t) AS DOUBLE) END AS dup5_frac
+         |FROM atk a LEFT JOIN cov5 c5 ON a.doc_id = c5.doc_id
+         |LEFT JOIN cov10 c10 ON a.doc_id = c10.doc_id
+         |ORDER BY a.doc_id""".stripMargin,
     "text_gopher_rules" ->
       s"""WITH $GopherCtesSql
          |SELECT doc_id, n_words, n_lines, r_words, r_mean_len, r_symbol,

@@ -1618,6 +1618,57 @@ class BigramStatsParitySpec extends SparkFunSuite {
   }
 }
 
+class DupNgramCoverageParitySpec extends SparkFunSuite {
+
+  /** Scala reference of the union-coverage law over a token list. */
+  private def ref(toks: Seq[String], n: Int): (Int, Int) = {
+    if (toks.size < n) return (toks.size, 0)
+    val grams = toks.sliding(n).map(_.mkString(" ")).toIndexedSeq
+    val counts = grams.groupBy(identity).view.mapValues(_.size)
+    val covered = Array.fill(toks.size)(false)
+    grams.zipWithIndex.foreach { case (g, i) =>
+      if (counts(g) >= 2) (i until i + n).foreach(covered(_) = true)
+    }
+    (toks.size, covered.count(identity))
+  }
+
+  test("property: DupNgramCoverage kernel == sliding-window reference, " +
+      "overlapping duplicate spans count once") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    val fixtures = Seq("", "a b c d e", "a a a a a a a a",
+      "a b c a b c a b c", "x y z w v x y z w v",
+      "one two three four five one two three four five six",
+      "w1, w2! w3 w1 w2 w3 w1 w2 w3 w1 w2 w3")
+    val gen = Gen.listOfN(16, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))
+    val inputs = fixtures ++ (0 until 60).flatMap(k =>
+      gen.apply(Gen.Parameters.default, Seed(11L + k)))
+    Seq(2, 3, 5).foreach { n =>
+      val rows = inputs.toDF("text")
+        .select(TF.dupNgramCoverage(col("text"), n).as("k"),
+          TF.normTokens(col("text")).as("toks"))
+        .select(col("k.n_tokens"), col("k.covered"), col("toks"))
+        .collect()
+      rows.zip(inputs).foreach { case (r, in) =>
+        val (nt, cov) = ref(r.getSeq[String](2), n)
+        assert(r.getInt(0) == nt, s"n_tokens n=$n: '$in'")
+        assert(r.getInt(1) == cov, s"covered n=$n: '$in'")
+      }
+    }
+    // the all-repeat doc is fully covered; the echo-free doc not at all
+    val full = TextDf(s, "a a a a a a a a")
+      .select(TF.dupNgramCoverage(col("text"), 5).as("k")).head()
+    assert(full.getAs[org.apache.spark.sql.Row]("k").getInt(1) == 8)
+  }
+
+  private def TextDf(s: org.apache.spark.sql.SparkSession, t: String) = {
+    import s.implicits._
+    Seq(t).toDF("text")
+  }
+}
+
 class SourceRoundTripSpec extends SparkFunSuite {
 
   test("JSONL and CSV hops are lossless on adversarial content") {
