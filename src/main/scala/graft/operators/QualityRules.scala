@@ -54,11 +54,12 @@ object QualityRules {
     * (doc_id, n_words, n_lines, r_words, r_mean_len, r_symbol, r_bullet,
     * r_ellipsis, r_alpha, r_stop, r_rep, keep), one row per input row. */
   def gopherRules(docs: DataFrame, textCol: String, idCol: String,
-      minWords: Int, maxWords: Int): DataFrame = {
+      minWords: Int, maxWords: Int, carry: Seq[String] = Nil): DataFrame = {
     require(minWords >= 0 && maxWords >= minWords,
       "need 0 <= minWords <= maxWords")
     val text = col(textCol)
-    val prepared = docs.select(
+    val carryCols = carry.map(col)
+    val prepared = docs.select(carryCols ++ Seq(
       col(idCol).as("doc_id"), text.as("__text"),
       // raw whitespace words (punctuation kept — the symbol/alpha rules
       // inspect it); explicit class, not \s: Java \s includes \x0B,
@@ -67,8 +68,8 @@ object QualityRules {
         .otherwise(split(trim(text), "[ \t\n\r]+")).as("__words"),
       split(text, "\n").as("__lines"),
       TF.normTokens(text).as("__toks"),
-      TF.bigramStats(text).as("__bg"))
-    val counted = prepared.select(
+      TF.bigramStats(text).as("__bg")): _*)
+    val counted = prepared.select(carryCols ++ Seq(
       col("doc_id"),
       size(col("__words")).as("n_words"),
       size(col("__lines")).as("n_lines"),
@@ -87,8 +88,8 @@ object QualityRules {
       size(array_intersect(array_distinct(col("__toks")),
         array(Stopwords.map(lit): _*))).as("__n_stop"),
       col("__bg.n_bigrams").as("__n_bigrams"),
-      col("__bg.top_n").as("__top_bg"))
-    counted.select(
+      col("__bg.top_n").as("__top_bg")): _*)
+    counted.select(carryCols ++ Seq(
       col("doc_id"), col("n_words"), col("n_lines"),
       (col("n_words") >= minWords && col("n_words") <= maxWords)
         .as("r_words"),
@@ -106,24 +107,34 @@ object QualityRules {
         .as("r_alpha"),
       (col("__n_stop") >= 2).as("r_stop"),
       (lit(5L) * col("__top_bg") <= col("__n_bigrams") ||
-        col("__n_bigrams") === 0).as("r_rep"))
+        col("__n_bigrams") === 0).as("r_rep")): _*)
       .withColumn("keep",
         col("r_words") && col("r_mean_len") && col("r_symbol") &&
           col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
           col("r_stop") && col("r_rep"))
   }
 
-  /** One-row per-rule reject report over [[gopherRules]] output: how many
-    * documents each rule rejects (independently) and how many survive the
-    * full battery — the audit table a data curator reads first. */
-  def summary(rules: DataFrame): DataFrame = {
+  private def summaryAggs: Seq[Column] = {
     def rejected(rule: String): Column =
       sum(when(col(rule), 0L).otherwise(1L)).as(s"rej_${rule.stripPrefix("r_")}")
-    rules.agg(
-      count(lit(1)).as("n_docs"),
+    Seq(
       rejected("r_words"), rejected("r_mean_len"), rejected("r_symbol"),
       rejected("r_bullet"), rejected("r_ellipsis"), rejected("r_alpha"),
       rejected("r_stop"), rejected("r_rep"),
       sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
   }
+
+  /** One-row per-rule reject report over [[gopherRules]] output: how many
+    * documents each rule rejects (independently) and how many survive the
+    * full battery — the audit table a data curator reads first. */
+  def summary(rules: DataFrame): DataFrame =
+    rules.agg(count(lit(1)).as("n_docs"), summaryAggs: _*)
+
+  /** [[summary]] per group (source / crawl / language slice — pass the
+    * column through `gopherRules(carry = …)`). The eight booleans
+    * partial-aggregate map-side, so the exchange carries one row per
+    * group per partition regardless of corpus size. */
+  def summaryBy(rules: DataFrame, groupCol: String): DataFrame =
+    rules.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), summaryAggs: _*)
 }

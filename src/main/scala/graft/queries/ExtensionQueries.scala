@@ -1056,6 +1056,15 @@ object ExtensionQueries {
         t(s, dir, "documents"), "text", "doc_id",
         minWords = 20, maxWords = 5000))),
 
+    // the same audit sliced per source — which crawl is dragging the
+    // corpus down, before deciding per-source mixing weights
+    "text_gopher_by_source" -> ((s, dir) =>
+      QualityRules.summaryBy(
+        QualityRules.gopherRules(t(s, dir, "documents"), "text", "doc_id",
+          minWords = 20, maxWords = 5000, carry = Seq("source")),
+        "source")
+        .orderBy(col("source"))),
+
     // BPE subword segmentation with a fixed rank-ordered merge table —
     // row-local replace chains (codegen'd, zero shuffle); the oracle
     // runs the SAME table through SQL replace, generated from one list
@@ -2914,6 +2923,28 @@ object ExtensionQueries {
          |    AS rej_rep,
          |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM grules""".stripMargin,
+    "text_gopher_by_source" ->
+      s"""WITH $GopherCtesSql
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN r_words THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS rej_words,
+         |  CAST(SUM(CASE WHEN r_mean_len THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS rej_mean_len,
+         |  CAST(SUM(CASE WHEN r_symbol THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS rej_symbol,
+         |  CAST(SUM(CASE WHEN r_bullet THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS rej_bullet,
+         |  CAST(SUM(CASE WHEN r_ellipsis THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS rej_ellipsis,
+         |  CAST(SUM(CASE WHEN r_alpha THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS rej_alpha,
+         |  CAST(SUM(CASE WHEN r_stop THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS rej_stop,
+         |  CAST(SUM(CASE WHEN r_rep THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS rej_rep,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM grules g JOIN documents d ON g.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |sha256(text) AS content_sha, 'bin' AS kind

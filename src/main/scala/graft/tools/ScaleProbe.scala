@@ -48,8 +48,19 @@ object ScaleProbe {
     val factors = args.lift(1).getOrElse("1,4,10")
       .split(",").map(_.trim.toInt).toSeq
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
-    val relMode = args.lift(3).contains("rel")
-    val probeQueries = if (relMode) RelProbeQueries else ProbeQueries
+    // 4th arg: "rel" for the relational mode, "rel:<q1,q2>" for a custom
+    // list over the relational replicas, or a plain comma-separated list
+    // probed over the document replicas
+    val mode = args.lift(3)
+    val relMode = mode.exists(m => m == "rel" || m.startsWith("rel:"))
+    val probeQueries = mode match {
+      case Some("rel") => RelProbeQueries
+      case Some(m) if m.startsWith("rel:") =>
+        m.stripPrefix("rel:").split(",").map(_.trim).toSeq
+      case Some(m) => m.split(",").map(_.trim).toSeq
+      case None => ProbeQueries
+    }
+    val customList = !relMode && mode.nonEmpty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outRoot = s"${System.getProperty("java.io.tmpdir")}/graft_scale_" +
       ProcessHandle.current().pid()
@@ -90,7 +101,8 @@ object ScaleProbe {
     // its index per dir, so the sweep above times the probe; the build's
     // own growth — a full tokenize + aggregate + bucketed write — is a
     // heavy tail in its own right)
-    val buildResults = if (relMode) Nil else dirs.map { case (f, dir) =>
+    val buildResults = if (relMode || customList) Nil
+    else dirs.map { case (f, dir) =>
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val t0 = System.nanoTime()
       graft.operators.InvertedIndex.build(docs, "text", "doc_id",
@@ -110,7 +122,8 @@ object ScaleProbe {
       " | growth vs rows |")
     println("|---|" + factors.map(_ => "---|").mkString + "---|")
     val tableQueries =
-      if (relMode) probeQueries else probeQueries :+ "text_index_build"
+      if (relMode || customList) probeQueries
+      else probeQueries :+ "text_index_build"
     tableQueries.foreach { q =>
       val all = results ++ buildResults
       val ts = factors.map(f => all.find(r => r._1 == q && r._2 == f)
@@ -120,7 +133,7 @@ object ScaleProbe {
       println(f"| $q | " + ts.map(t => f"$t%.2f s").mkString(" | ") +
         f" | ${timeRatio}%.1fx time for ${rowRatio}%.0fx rows |")
     }
-    if (relMode) { spark.stop(); return }
+    if (relMode || customList) { spark.stop(); return }
     // Supplementary probes at the LARGEST factor — the two tails that go
     // superlinear with query-pinned parameters, re-measured with the
     // parameters a production run would scale:

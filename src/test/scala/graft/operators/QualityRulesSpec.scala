@@ -69,6 +69,21 @@ class QualityRulesSpec extends SparkFunSuite {
     assert(s.getAs[Long]("n_kept") === 1L)
   }
 
+  test("carry + summaryBy: per-group audit slices the same verdicts") {
+    val good = "the cat sat on a mat and that was good to see with time"
+    val df = Seq((1L, good, "web"), (2L, "to be", "web"),
+      (3L, good, "books"))
+      .toDF("doc_id", "text", "source")
+    val rules = QualityRules.gopherRules(df, "text", "doc_id",
+      minWords = 3, maxWords = 100, carry = Seq("source"))
+    assert(rules.columns.contains("source"))
+    val by = QualityRules.summaryBy(rules, "source")
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))).toMap
+    assert(by("web") === ((2L, 1L)))
+    assert(by("books") === ((1L, 1L)))
+  }
+
   test("battery is one row-local projection: no exchanges in the plan") {
     val plan = rulesFor(1L -> "the cat sat").queryExecution
       .executedPlan.toString
