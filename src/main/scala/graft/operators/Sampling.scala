@@ -247,4 +247,55 @@ object Sampling {
       explode(when(copies > 0, sequence(lit(0), copies - 1))
         .otherwise(array().cast("array<int>"))))
   }
+
+  /** Token-budget corpus cut: select documents in (score DESC, id-hash,
+    * id) order until the cumulative token count would exceed `budget` —
+    * "take the best `budget` tokens" — WITHOUT a global sort.
+    *
+    * Selection rule (prefix threshold on the monotone cumulative sum):
+    * a doc is selected iff tokens-before-it + its own tokens ≤ budget,
+    * under the total order above. Ties inside one score take a
+    * deterministic pseudo-random order (the Knuth id hash), so the cut
+    * is reproducible and not biased by ingestion order.
+    *
+    * 100 TB design: a naive formulation is one global window over the
+    * corpus — a serial sort. Instead: (1) per-score token totals
+    * aggregate map-side to a SCORE-DOMAIN-sized relation, (2) the
+    * cumulative-over-scores window runs on that tiny relation and is
+    * broadcast back, (3) scores fully under budget select with a pure
+    * row-local flag, and only the single BOUNDARY score group (the one
+    * straddling the budget line) pays a ranking window — its input is
+    * filtered to that group's rows first. Same shape as `groupCap`'s
+    * oversized-group restriction.
+    *
+    * Output: input row + `selected` boolean (every input row appears). */
+  def budgetCut(df: DataFrame, scoreCol: String, idCol: String,
+      tokCol: String, budget: Long, salt: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, "budget must be non-negative")
+    val per = df.groupBy(col(scoreCol).as("__s"))
+      .agg(sum(col(tokCol).cast("long")).as("__grp_toks"))
+    val cumW = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = per.withColumn("__cum_before",
+      coalesce(sum(col("__grp_toks")).over(cumW), lit(0L)))
+    val joined = df.join(broadcast(cum), col(scoreCol) === col("__s"))
+    val fully = col("__cum_before") + col("__grp_toks") <= budget
+    val boundary = !fully && col("__cum_before") < lit(budget)
+    val outCols = df.columns.map(col) :+ col("selected")
+    val rest = joined.filter(!boundary)
+      .withColumn("selected", fully)
+      .select(outCols: _*)
+    val bndW = Window.partitionBy(col("__s"))
+      .orderBy(bucket(col(idCol), 1000000007, salt), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bnd = joined.filter(boundary)
+      .withColumn("__rs_before",
+        coalesce(sum(col(tokCol).cast("long")).over(bndW), lit(0L)))
+      .withColumn("selected",
+        col("__cum_before") + col("__rs_before") +
+          col(tokCol).cast("long") <= budget)
+      .select(outCols: _*)
+    rest.unionAll(bnd)
+  }
 }
