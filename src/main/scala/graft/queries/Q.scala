@@ -24,15 +24,28 @@ object Q {
 
   /** The events table with `ts` normalized to TimestampType.
     *
-    * The driver's events parquet stores `ts` as TIMESTAMP(NANOS), which
-    * Spark 4 rejects by default; `nanosAsLong` (a runtime conf — safe to set
-    * on the driver's session) reads it as nanos-since-epoch, and we convert
-    * with integer division (`DIV`, not `/` — ~1.7e18 ns overflows double
-    * precision). */
+    * The driver's events parquet has carried `ts` as TIMESTAMP(NANOS) in
+    * some rounds and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others, so
+    * normalization is schema-driven rather than assuming one encoding:
+    *   - NANOS: `nanosAsLong` (a runtime conf — safe to set on the driver's
+    *     session) reads it as nanos-since-epoch LongType; convert with
+    *     integer division (`DIV`, not `/` — ~1.7e18 ns overflows double
+    *     precision).
+    *   - MICROS NTZ: Spark reads TIMESTAMP_NTZ; reinterpret the wall-clock
+    *     value as UTC instant via `to_utc_timestamp` (explicit zone — NOT a
+    *     bare cast, which would shift by the session/JVM timezone on a
+    *     driver session we don't configure).
+    *   - Already TimestampType: pass through. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", expr("to_utc_timestamp(ts, 'UTC')"))
+      case _ => df
+    }
   }
 
   /** Exact fixed-point view of a 2-decimal money/quantity double. */
