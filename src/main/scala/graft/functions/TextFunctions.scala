@@ -86,6 +86,26 @@ object TextFunctions {
   def cleanText(text: Column): Column =
     trim(regexp_replace(nfc(text), "[\\s\\x00-\\x1F\\x7F\u00A0]+", " "))
 
+  /** HTML/markup → text extraction: drop tags (every `<...>` span,
+    * including self-closing and attribute-bearing ones) to a space, decode
+    * the six entities that dominate real web text, collapse whitespace.
+    *
+    * Entity order is the standard double-decode guard: named entities
+    * first, `&amp;` LAST — so `&amp;lt;` decodes to the literal `&lt;` the
+    * author wrote, never to `<`. Row-local, all codegen'd built-ins (one
+    * regex + literal replaces) — the 100 TB cost is one streaming pass
+    * over the payload column. Script/style CONTENT is out of scope (a
+    * text-extraction pipeline drops those blocks before this operator;
+    * the synthetic corpus has none). */
+  def stripMarkup(html: Column): Column = {
+    val noTags = regexp_replace(html, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Hashed k-word shingle set (array<bigint>) — the scale front-end for
     * LSH dedup: one native pass, no shingle strings materialized
     * (`graft.plans.ShingleHashes`). */

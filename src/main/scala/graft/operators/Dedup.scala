@@ -38,6 +38,53 @@ object Dedup {
       .groupBy(col("text_sha"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup under aggressive text NORMALIZATION (lowercase, strip
+    * non-alphanumerics, collapse whitespace — [[TF.normalize]], the same
+    * alphabet every fingerprint/shingle family here uses): re-crawls that
+    * differ only in case, punctuation, or whitespace collapse onto one
+    * survivor, which raw [[exact]] would keep as distinct documents.
+    *
+    * Output per surviving group: smallest id, total copies, and
+    * `n_raw_variants` — how many DISTINCT raw texts the normalized key
+    * merged (1 ⇒ plain exact-dup group; >1 ⇒ formatting-level near-dups
+    * that only this operator catches).
+    *
+    * 100 TB design: identical shape to [[exactByHash]] — normalization is
+    * row-local, the shuffle carries a 32-byte digest of the NORMALIZED
+    * text per row (never the text), and both aggregates are map-side
+    * partial (count + min; the distinct-raw count shuffles one raw-digest
+    * per row within the same exchange). */
+  def normalizedExact(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    df.select(sha2(TF.normalize(col(textCol)), 256).as("norm_sha"),
+        sha2(col(textCol), 256).as("raw_sha"), col(idCol))
+      .groupBy(col("norm_sha"))
+      .agg(min(col(idCol)).as("survivor_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("raw_sha")).as("n_raw_variants"))
+
+  /** Cross-source duplicate LEAKAGE MATRIX: for every unordered pair of
+    * sources, how many distinct document texts they share — the release
+    * audit that tells you which crawls/datasets overlap before you mix
+    * them (and, symmetrically, where contamination between a train source
+    * and an eval source would come from).
+    *
+    * 100 TB design: the corpus reduces to DISTINCT (source, digest) pairs
+    * first (one digest-only partial-agg exchange — dedups the per-source
+    * re-crawls so the join fanout per digest is bounded by #sources, not
+    * by copy count); the self-join then shuffles only those digest pairs,
+    * and the final matrix is at most sources² rows. */
+  def crossSourceDupMatrix(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val sd = df.select(col(sourceCol).as("src"),
+        sha2(col(textCol), 256).as("text_sha"))
+      .distinct()
+    sd.join(sd.select(col("src").as("src_b"), col("text_sha")), "text_sha")
+      .filter(col("src") < col("src_b"))
+      .groupBy(col("src").as("source_a"), col("src_b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** INCREMENTAL exact dedup — the daily-ingest shape: dedup a new DELTA
     * batch against an already-curated corpus without rescanning or
     * rewriting it. A delta doc survives iff its text digest appears

@@ -119,6 +119,64 @@ object Sketches {
         (lit(i.toLong * width) + element_at(positions, i + 1) + 1L)
           .cast("int"))): _*)
 
+  /** Fixed-width HISTOGRAM quantile sketch + error audit: estimate the
+    * p-th percentiles of a non-negative integer column from `value DIV
+    * binWidth` bin counts, next to the exact interpolated percentile and
+    * the estimate's absolute error.
+    *
+    * The histogram is the 100 TB path: the corpus reduces to ≤
+    * `max/binWidth` `(bin, count)` rows in ONE map-side-combined exchange,
+    * sketches of shards merge by adding counts, and the quantile readout
+    * (smallest bin whose cumulative count reaches `ceil(p·n/100)` — exact
+    * int64 arithmetic, no floats) is a window over the tiny bin relation.
+    * The exact leg (`percentile`, which materializes per-partition value
+    * multisets) is the AUDIT — same role as the exact top-20 in the
+    * CountMin error audit — priced for bounded-domain columns like
+    * lengths, not for arbitrary 100 TB domains.
+    *
+    * Output per requested integer percent: `(p, est_lo, est_hi,
+    * exact_pct, abs_err)` where [est_lo, est_hi] is the winning bin's
+    * value range and abs_err = |bin midpoint − exact| (midpoint from
+    * int64, one IEEE subtract/abs — engine-portable). */
+  def histQuantiles(df: DataFrame, valueCol: String, binWidth: Long,
+      ps: Seq[Int]): DataFrame = {
+    require(binWidth >= 1, "binWidth must be >= 1")
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      "percentiles must be integers in [1, 100]")
+    val v = col(valueCol).cast("long")
+    val bins = df.select(TF.intDivNonNeg(v, lit(binWidth)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = bins.withColumn("cum", sum(col("n")).over(w))
+    val exact = df.agg(
+      count(lit(1)).as("n_total"),
+      array(ps.map(p =>
+        expr(s"percentile($valueCol, ${p / 100.0})")): _*).as("exacts"))
+    // percentiles are a literal handful: explode them against the 1-row
+    // exact relation, then each threshold probes the bin relation with a
+    // broadcast — no corpus rescans past the two aggregates above
+    val wanted = exact.select(col("n_total"),
+      posexplode(array(ps.map(p => lit(p)): _*)).as(Seq("i", "p")),
+      col("exacts"))
+      .select(col("p"),
+        TF.intDivNonNeg(col("p") * col("n_total") + 99L, lit(100L))
+          .as("thr"),
+        element_at(col("exacts"), col("i") + 1).as("exact_pct"))
+    cum.join(broadcast(wanted), col("cum") >= col("thr"))
+      .groupBy(col("p"), col("thr"), col("exact_pct"))
+      .agg(min(col("bin")).as("bin"))
+      .select(col("p"),
+        (col("bin") * binWidth).as("est_lo"),
+        (col("bin") * binWidth + (binWidth - 1)).as("est_hi"),
+        col("exact_pct"),
+        abs((col("bin") * binWidth).cast("double") +
+          (binWidth - 1).toDouble / 2.0 - col("exact_pct")).as("abs_err"))
+      .orderBy(col("p"))
+  }
+
   /** Pairwise word-shingle Jaccard between corpus GROUPS (sources, crawl
     * snapshots, language slices) — "how much does crawl A overlap crawl
     * B" is the first question a curation pipeline asks before mixing.

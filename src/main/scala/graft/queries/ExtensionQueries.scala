@@ -75,6 +75,20 @@ object ExtensionQueries {
         .select(col("survivor_id"), col("n_copies"))
         .orderBy(col("survivor_id"))),
 
+    // normalization-keyed exact dedup: the twin here is a FORMATTING
+    // variant (uppercased, extra whitespace/punctuation), invisible to
+    // raw exact dedup but collapsed by the normalized key —
+    // n_raw_variants = 2 on every group certifies the merge actually
+    // exercised the normalizer (corpus is ASCII, so upper() is portable)
+    "dedup_normalized" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val variant = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit(" "), upper(col("text")), lit(" !!")).as("text"))
+      Dedup.normalizedExact(d.unionAll(variant), "text", "doc_id")
+        .select(col("survivor_id"), col("n_copies"), col("n_raw_variants"))
+        .orderBy(col("survivor_id"))
+    }),
+
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDup(docsUnion(s, dir), "text", "doc_id",
           shingleK = 3, numHashes = 64, bands = 16, threshold = 0.8)
@@ -171,6 +185,22 @@ object ExtensionQueries {
       Sketches.groupShingleJaccard(t(s, dir, "documents"), "source",
           "text", shingleK = 3)
         .orderBy(col("g_a"), col("g_b"))),
+
+    // cross-source EXACT-duplicate leakage matrix: a simulated re-crawl
+    // re-ingests every other doc OF EACH source (sources are assigned
+    // round-robin by doc_id, so the alternation key is doc_id DIV 20 —
+    // plain doc_id % 2 would select only the even sources, in full) under
+    // a 're_'-prefixed source; the matrix reports distinct shared texts
+    // per source pair — the release audit run before mixing crawls (or
+    // before trusting a train/eval source split)
+    "corpus_dup_matrix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val recrawl = d
+        .filter(pmod(expr("doc_id DIV 20"), lit(2)) === 0)
+        .withColumn("source", concat(lit("re_"), col("source")))
+      Dedup.crossSourceDupMatrix(d.unionAll(recrawl), "text", "source")
+        .orderBy(col("source_a"), col("source_b"))
+    }),
 
     // SemDeDup semantic dedup: 1-iteration k-means clusters (trained on
     // the union corpus), within-cell cosine >= 0.95 pairs. Twin pairs are
@@ -325,6 +355,15 @@ object ExtensionQueries {
       Sketches.kmvTokenDistinct(t(s, dir, "documents"), "lang", "text",
           k = 128)
         .orderBy(col("lang"))),
+
+    // histogram quantile sketch error audit: p50/p90/p99 of n_chars from
+    // 64-wide bins (the mergeable fixed-size scale path) next to the
+    // exact interpolated percentile; binWidth=64 over a 48..~550 domain
+    // keeps the bin count small while leaving real quantization error to
+    // measure
+    "sketch_quantile_hist" -> ((s, dir) =>
+      Sketches.histQuantiles(t(s, dir, "documents"), "n_chars",
+        binWidth = 64, ps = Seq(50, 90, 99))),
 
     // CountMin sketch error audit: the mergeable counter grid (one
     // partial-aggregated array row, the token stream never shuffles)
@@ -618,6 +657,25 @@ object ExtensionQueries {
           length(col("s")).as("n_chars_raw"))
         .withColumn("n_chars_clean", length(col("clean")))
         .orderBy(col("doc_id"))),
+
+    // markup extraction: the corpus is plain text, so the query builds a
+    // deterministic HTML wrapping (tags + attribute, entity-escaped
+    // payload) per doc and strips it back — `roundtrip_ok` certifies
+    // tag-drop + entity-decode + whitespace-collapse recover exactly the
+    // whitespace-normalized source text on every row
+    "text_html_strip" -> ((s, dir) => {
+      val esc = replace(replace(col("text"), lit("&"), lit("&amp;")),
+        lit("<"), lit("&lt;"))
+      val html = concat(lit("<div class=\"doc\"><h1>"), col("source"),
+        lit("</h1><p>"), esc, lit("</p><br/></div>"))
+      val plain = trim(regexp_replace(
+        concat(col("source"), lit(" "), col("text")), "\\s+", " "))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.stripMarkup(html).as("clean"),
+          regexp_count(html, lit("<[^>]*>")).as("n_tags"),
+          (TF.stripMarkup(html) === plain).as("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    }),
 
     // The xxhash64-based fingerprint itself is engine-defined (no
     // portable-SQL recomputation exists), so the driver-checkable output
@@ -1720,6 +1778,27 @@ object ExtensionQueries {
         |SELECT doc_id, clean, length(s) AS n_chars_raw,
         |  length(clean) AS n_chars_clean
         |FROM cl ORDER BY doc_id""".stripMargin,
+    // same wrap construction, same strip chain: tags -> named entities ->
+    // &amp; LAST (double-decode guard) -> whitespace collapse
+    "text_html_strip" ->
+      """WITH h AS (SELECT doc_id, source, text,
+        |  '<div class="doc"><h1>' || source || '</h1><p>' ||
+        |    replace(replace(text, '&', '&amp;'), '<', '&lt;') ||
+        |    '</p><br/></div>' AS html
+        |  FROM documents),
+        |s AS (SELECT doc_id, source, text, html,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT doc_id, clean,
+        |  len(regexp_extract_all(html, '<[^>]*>')) AS n_tags,
+        |  clean = trim(regexp_replace(source || ' ' || text,
+        |    '\s+', ' ', 'g')) AS roundtrip_ok
+        |FROM s ORDER BY doc_id""".stripMargin,
     "text_pii_redact" ->
       """WITH aug AS (SELECT doc_id, text ||
         |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' ||
@@ -2001,6 +2080,24 @@ object ExtensionQueries {
         |UNION ALL SELECT doc_id + 1000000, text FROM documents)
         |SELECT MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
         |FROM u GROUP BY text ORDER BY survivor_id""".stripMargin,
+    "dedup_normalized" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |UNION ALL SELECT doc_id + 1000000, ' ' || upper(text) || ' !!'
+        |  FROM documents)
+        |SELECT MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies,
+        |  COUNT(DISTINCT sha256(text)) AS n_raw_variants
+        |FROM u
+        |GROUP BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+        |ORDER BY survivor_id""".stripMargin,
+    "corpus_dup_matrix" ->
+      """WITH u AS (SELECT source, text FROM documents
+        |UNION ALL SELECT 're_' || source, text FROM documents
+        |  WHERE (doc_id // 20) % 2 = 0),
+        |sd AS (SELECT DISTINCT source AS src, sha256(text) AS h FROM u)
+        |SELECT a.src AS source_a, b.src AS source_b,
+        |  COUNT(*) AS n_shared
+        |FROM sd a JOIN sd b ON a.h = b.h AND a.src < b.src
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_exact_hash" ->
       """WITH u AS (SELECT doc_id, text FROM documents
         |UNION ALL SELECT doc_id + 1000000, text FROM documents)
@@ -2143,6 +2240,27 @@ object ExtensionQueries {
          |  CASE WHEN n_hashes < 128 THEN n_hashes
          |       ELSE (127 * 2199023255552) // kth_min END AS est_distinct
          |FROM km ORDER BY lang""".stripMargin,
+    // histogram readout (exact int64 thresholds) + quantile_cont, which
+    // matches Spark's interpolated percentile() bit-for-bit (the
+    // corpus_report precedent)
+    "sketch_quantile_hist" ->
+      """WITH v AS (SELECT n_chars AS v FROM documents),
+        |bins AS (SELECT v // 64 AS bin, COUNT(*) AS n FROM v GROUP BY 1),
+        |cum AS (SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum FROM bins),
+        |tot AS (SELECT COUNT(*) AS nt FROM v),
+        |ex AS (SELECT quantile_cont(v, 0.50) AS e50,
+        |  quantile_cont(v, 0.90) AS e90,
+        |  quantile_cont(v, 0.99) AS e99 FROM v),
+        |ps AS (SELECT * FROM (VALUES (50), (90), (99)) t(p)),
+        |est AS (SELECT p, MIN(bin) AS bin
+        |  FROM ps, cum, tot WHERE cum >= (p * nt + 99) // 100 GROUP BY p)
+        |SELECT p, bin * 64 AS est_lo, bin * 64 + 63 AS est_hi,
+        |  CASE p WHEN 50 THEN e50 WHEN 90 THEN e90 ELSE e99 END
+        |    AS exact_pct,
+        |  abs(CAST(bin * 64 AS DOUBLE) + 31.5 -
+        |    CASE p WHEN 50 THEN e50 WHEN 90 THEN e90 ELSE e99 END)
+        |    AS abs_err
+        |FROM est, ex ORDER BY p""".stripMargin,
     // recomputes the full CountMin grid from the raw token stream with
     // the same pairwise hash rows — every probed (depth, bucket) cell
     // holds at least the probe token's own count, so the inner join is

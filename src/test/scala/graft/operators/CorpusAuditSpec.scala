@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.functions._
+
+/** Pins the corpus-audit batch: normalization-keyed dedup, the cross-source
+  * duplicate leakage matrix, histogram quantiles, and markup stripping. */
+class CorpusAuditSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("normalizedExact merges case/whitespace/punct variants that raw " +
+      "exact dedup keeps apart") {
+    val df = Seq(
+      (1L, "Hello, World!"),
+      (2L, "  hello   world  "),
+      (3L, "HELLO WORLD"),
+      (4L, "goodbye world")).toDF("doc_id", "text")
+    val norm = Dedup.normalizedExact(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(norm.toSet == Set((1L, 3L, 3L), (4L, 1L, 1L)),
+      "three formatting variants collapse to survivor 1 with 3 raw texts")
+    val raw = Dedup.exact(df, Seq("text"), "doc_id").count()
+    assert(raw == 4, "raw exact dedup sees four distinct texts")
+  }
+
+  test("crossSourceDupMatrix counts distinct shared texts per unordered " +
+      "pair, ignoring within-source copies") {
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "y"), // within-source dup of x
+      ("b", "x"), ("b", "z"),
+      ("c", "y"), ("c", "z"), ("c", "w")).toDF("source", "text")
+    val m = Dedup.crossSourceDupMatrix(df, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(m.toSet == Set(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L)))
+  }
+
+  test("histQuantiles: winning bin brackets the type-1 quantile and the " +
+      "audit error is bounded by the bin width") {
+    val df = (0 until 1000).map(_.toLong).toDF("v")
+    val rows = Sketches.histQuantiles(df, "v", binWidth = 64,
+      ps = Seq(50, 90, 99)).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(50, 90, 99))
+    for (r <- rows) {
+      val (p, lo, hi, exact, err) = (r.getInt(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4))
+      // type-1 quantile of 0..999 at integer percent p is ceil(p*10)-1
+      val t1 = p * 10 - 1
+      assert(lo <= t1 && t1 <= hi, s"p$p bin [$lo,$hi] misses $t1")
+      assert(err <= 64.0, s"p$p err $err exceeds bin width")
+      assert(math.abs(exact - (lo + 31.5)) === err)
+    }
+  }
+
+  test("histQuantiles is exact-adjacent when every value lands in a " +
+      "distinct bin") {
+    val df = Seq(0L, 100L, 200L, 300L).toDF("v")
+    val r = Sketches.histQuantiles(df, "v", binWidth = 100,
+      ps = Seq(50)).collect().head
+    assert(r.getLong(1) == 100L && r.getLong(2) == 199L)
+  }
+
+  test("stripMarkup drops tags, decodes entities, and guards against " +
+      "double-decode") {
+    val cases = Seq(
+      ("<p>plain</p>", "plain"),
+      ("<a href=\"x\">link</a> text", "link text"),
+      ("a&nbsp;b&amp;c", "a b&c"),
+      ("&amp;lt;not a tag&amp;gt;", "&lt;not a tag&gt;"),
+      ("x &lt;tag&gt; y", "x <tag> y"),
+      ("<br/><br/> spaced   out ", "spaced out"),
+      ("it&#39;s &quot;quoted&quot;", "it's \"quoted\""))
+    val got = cases.map(_._1).toDF("h")
+      .select(TF.stripMarkup(col("h"))).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+  }
+}
