@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{TextFunctions => TF}
+
 /** Multimodal (image/audio/video) column plumbing (builder mandate).
   *
   * Media payloads are opaque `binary` columns + typed metadata, processed
@@ -133,6 +135,76 @@ object Multimodal {
     when(kind === "png", pngDims(blob))
       .when(kind === "gif", gifDims(blob))
       .when(kind === "jpeg", jpegDims(blob))
+  }
+
+  /** Little-endian unsigned 16-bit at a column 1-based offset. */
+  private def le16At(blob: Column, off: Column): Column =
+    byteAt(blob, off) + byteAt(blob, off + 1) * 256L
+
+  /** Little-endian unsigned 32-bit at a column 1-based offset. */
+  private def le32At(blob: Column, off: Column): Column =
+    byteAt(blob, off) + byteAt(blob, off + 1) * 256L +
+      byteAt(blob, off + 2) * 65536L + byteAt(blob, off + 3) * 16777216L
+
+  /** WAV (RIFF/WAVE) audio metadata — a real CHUNK WALK, same discipline
+    * as the JPEG marker walk: from offset 13 (after `RIFF<size>WAVE`),
+    * each 8-byte chunk header is either the `fmt ` block (channels LE16
+    * at +10, sample rate LE32 at +12, block align LE16 at +20, bits LE16
+    * at +22) or the `data` chunk (payload size LE32 at +4), or is skipped
+    * by `8 + size + (size % 2)` — RIFF pads odd chunks to even offsets,
+    * and real encoders do emit LIST/INFO/fact chunks before either
+    * target. Bounded at `maxChunks`; non-RIFF/WAVE payloads and walks
+    * that never see both targets yield NULL.
+    *
+    * Output: `struct(channels, sample_rate, bits_per_sample, n_frames,
+    * duration_ms)` — frames = data size / block align, duration =
+    * data·1000 / byte rate, both exact int64 divisions. Row-local
+    * built-in byte arithmetic (substr → hex → conv), codegen-resident
+    * like the image parsers. */
+  def wavMeta(blob: Column, maxChunks: Int = 8): Column = {
+    val len = octet_length(blob).cast("long")
+    val step: (Column, Column) => Column = (st, _) => {
+      val pos = st.getField("pos")
+      val ch = st.getField("ch")
+      val sr = st.getField("sr")
+      val blk = st.getField("blk")
+      val bits = st.getField("bits")
+      val dsz = st.getField("dsz")
+      val done = ch >= 0L && dsz >= 0L
+      val id = substring(blob, pos.cast("int"), lit(4))
+      val size = le32At(blob, pos + 4)
+      val next = pos + 8L + size + pmod(size, lit(2L))
+      // an 8-byte chunk header occupies 1-based bytes pos..pos+7 — a
+      // trailing `data` header with no payload is valid and must parse
+      when(done || pos + 7L > len, st)
+        .when(id === lit("fmt ".getBytes) && ch < 0L,
+          struct(next.as("pos"), le16At(blob, pos + 10).as("ch"),
+            le32At(blob, pos + 12).as("sr"),
+            le16At(blob, pos + 20).as("blk"),
+            le16At(blob, pos + 22).as("bits"), dsz.as("dsz")))
+        .when(id === lit("data".getBytes) && dsz < 0L,
+          struct(next.as("pos"), ch.as("ch"), sr.as("sr"), blk.as("blk"),
+            bits.as("bits"), size.as("dsz")))
+        .otherwise(struct(next.as("pos"), ch.as("ch"), sr.as("sr"),
+          blk.as("blk"), bits.as("bits"), dsz.as("dsz")))
+    }
+    val folded = aggregate(
+      sequence(lit(1), lit(maxChunks)),
+      struct(lit(13L).as("pos"), lit(-1L).as("ch"), lit(-1L).as("sr"),
+        lit(-1L).as("blk"), lit(-1L).as("bits"), lit(-1L).as("dsz")),
+      step)
+    when(substring(blob, 1, 4) === lit("RIFF".getBytes) &&
+        substring(blob, 9, 4) === lit("WAVE".getBytes) &&
+        folded.getField("ch") >= 0L && folded.getField("dsz") >= 0L &&
+        folded.getField("blk") > 0L && folded.getField("sr") > 0L,
+      struct(folded.getField("ch").as("channels"),
+        folded.getField("sr").as("sample_rate"),
+        folded.getField("bits").as("bits_per_sample"),
+        TF.intDivNonNeg(folded.getField("dsz"), folded.getField("blk"))
+          .as("n_frames"),
+        TF.intDivNonNeg(folded.getField("dsz") * 1000L,
+            folded.getField("sr") * folded.getField("blk"))
+          .as("duration_ms")))
   }
 
   final case class BlobRow(doc_id: Long, blob: Array[Byte])

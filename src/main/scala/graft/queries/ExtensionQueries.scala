@@ -1220,6 +1220,50 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // WAV metadata: parameterized RIFF containers (every third doc gets a
+    // LIST chunk before fmt, every fifth a fact chunk after it — the walk
+    // is exercised, not a fixed-offset read) parsed back by the chunk
+    // walker; the oracle recomputes the parameters arithmetically
+    "mm_wav_meta" -> ((s, dir) => {
+      def le16(x: org.apache.spark.sql.Column) = unhex(concat(
+        lpad(hex(pmod(x, lit(256L))), 2, "0"),
+        lpad(hex(pmod((x / lit(256L)).cast("long"), lit(256L))), 2, "0")))
+      def le32(x: org.apache.spark.sql.Column) = unhex(concat(
+        lpad(hex(pmod(x, lit(256L))), 2, "0"),
+        lpad(hex(pmod((x / lit(256L)).cast("long"), lit(256L))), 2, "0"),
+        lpad(hex(pmod((x / lit(65536L)).cast("long"), lit(256L))), 2, "0"),
+        lpad(hex(pmod((x / lit(16777216L)).cast("long"), lit(256L))), 2,
+          "0")))
+      val ch = lit(1L) + col("doc_id") % 2L
+      val bits = lit(8L) + lit(8L) * (expr("doc_id DIV 2") % 2L)
+      val sr = lit(8000L) * (lit(1L) + col("doc_id") % 3L)
+      val blk = (ch * bits / 8L).cast("long")
+      val nf = lit(100L) + col("doc_id") % 900L
+      val dsz = nf * blk
+      val listSz = lit(2L) * (col("doc_id") % 5L)
+      val fmtChunk = concat(lit("fmt ".getBytes), le32(lit(16L)),
+        le16(lit(1L)), le16(ch), le32(sr), le32(sr * blk), le16(blk),
+        le16(bits))
+      val listChunk = when(col("doc_id") % 3 === 0,
+        concat(lit("LIST".getBytes), le32(listSz),
+          unhex(repeat(lit("00"), listSz.cast("int")))))
+        .otherwise(lit(Array.empty[Byte]))
+      val factChunk = when(col("doc_id") % 5 === 0,
+        concat(lit("fact".getBytes), le32(lit(4L)), le32(nf)))
+        .otherwise(lit(Array.empty[Byte]))
+      val blob = concat(lit("RIFF".getBytes), le32(lit(0L)),
+        lit("WAVE".getBytes), listChunk, fmtChunk, factChunk,
+        lit("data".getBytes), le32(dsz))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.wavMeta(blob).as("m"))
+        .select(col("doc_id"), col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.bits_per_sample").as("bits_per_sample"),
+          col("m.n_frames").as("n_frames"),
+          col("m.duration_ms").as("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
     "mm_features" -> ((s, dir) => {
       // feature vector flattened to per-dimension float columns: the
       // driver's pandas harness can hash scalars, and each dim gets its
@@ -3078,6 +3122,21 @@ object ExtensionQueries {
         |  16 + doc_id % 1000 AS width,
         |  9 + doc_id % 500 AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the WAV walk is certified the same way: the oracle recomputes the
+    // container's construction parameters; duration keeps the parser's
+    // exact dsz*1000 // (sr*blk) form
+    "mm_wav_meta" ->
+      """WITH p AS (SELECT doc_id,
+        |  1 + doc_id % 2 AS channels,
+        |  8 + 8 * ((doc_id // 2) % 2) AS bits_per_sample,
+        |  8000 * (1 + doc_id % 3) AS sample_rate,
+        |  100 + doc_id % 900 AS nf
+        |  FROM documents),
+        |q AS (SELECT *, channels * bits_per_sample // 8 AS blk FROM p)
+        |SELECT doc_id, channels, sample_rate, bits_per_sample,
+        |  nf AS n_frames,
+        |  (nf * blk * 1000) // (sample_rate * blk) AS duration_ms
+        |FROM q ORDER BY doc_id""".stripMargin,
     // byte histogram mod 8 over the utf-8 payload (documents are pure
     // ASCII at every SF — verified — so ascii(char) == byte value). LEFT
     // JOIN back to documents: the Scala extractor emits an all-zero row

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scaling probe: measures the GROWTH CURVE of the heavy-tail operators
@@ -203,12 +203,20 @@ object ScaleProbe {
       else li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L))
     }.reduce(_ unionAll _).repartition(32)
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    val ev = spark.read.parquet(s"$baseDir/events.parquet") // ts = int64 ns
+    // ts has been int64-nanos in some rounds and TIMESTAMP(_NTZ) in
+    // others (see graft.queries.Q.events) — shift by +30d per replica in
+    // whichever representation the file carries
+    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    def shiftTs(i: Int): Column = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        col("ts") + lit(i * 2592000000000000L)
+      case _ => col("ts") + expr(s"INTERVAL ${i * 30} DAYS")
+    }
     (0 until factor).map { i =>
       if (i == 0) ev
       else ev
         .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
-        .withColumn("ts", col("ts") + lit(i * 2592000000000000L)) // +30d
+        .withColumn("ts", shiftTs(i))
     }.reduce(_ unionAll _).repartition(32)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     System.err.println(s"[scale] generated rel x$factor corpus at $dir")

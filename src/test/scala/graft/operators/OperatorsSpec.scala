@@ -1103,6 +1103,49 @@ class MultimodalSpec extends SparkFunSuite {
       "truncated IHDR must yield NULL dims")
     assert(rows(5) == ((6L, "bin", None, None)))
   }
+
+  test("WAV chunk walk: fmt/data behind LIST and fact chunks, " +
+      "payload-less trailing data header, odd-size padding; non-WAVE " +
+      "RIFF and truncated fmt are NULL") {
+    val s = spark
+    import s.implicits._
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fmt(ch: Int, sr: Int, bits: Int) = {
+      val blk = ch * bits / 8
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(ch) ++ le32(sr) ++
+        le32(sr.toLong * blk) ++ le16(blk) ++ le16(bits)
+    }
+    // canonical mono 8kHz/16-bit, data with real payload bytes
+    val plain = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      fmt(1, 8000, 16) ++ "data".getBytes ++ le32(8000 * 2) ++
+      new Array[Byte](8) // payload may be truncated; size field rules
+    // LIST (odd size 3 → padded to 4) and fact chunks around fmt
+    val cluttered = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      ("LIST".getBytes ++ le32(3) ++ new Array[Byte](4)) ++
+      fmt(2, 44100, 16) ++
+      ("fact".getBytes ++ le32(4) ++ le32(1234)) ++
+      "data".getBytes ++ le32(44100L * 4 * 2) // 2 s stereo
+    val notWave = "RIFF".getBytes ++ le32(0) ++ "AVI ".getBytes ++
+      fmt(1, 8000, 8) ++ "data".getBytes ++ le32(100)
+    val truncated = ("RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      fmt(1, 8000, 8)).take(20)
+    val rows = Seq((1L, plain), (2L, cluttered), (3L, notWave),
+      (4L, truncated)).toDF("id", "blob")
+      .select(col("id"), Multimodal.wavMeta(col("blob")).as("m"))
+      .select(col("id"), col("m.channels"), col("m.sample_rate"),
+        col("m.bits_per_sample"), col("m.n_frames"), col("m.duration_ms"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), (1 to 5).map(i =>
+        Option(r.get(i)).map(_.asInstanceOf[Long]))))
+    assert(rows(0)._2 == Seq(Some(1L), Some(8000L), Some(16L),
+      Some(8000L), Some(1000L)), "1 s of mono 16-bit at 8 kHz")
+    assert(rows(1)._2 == Seq(Some(2L), Some(44100L), Some(16L),
+      Some(88200L), Some(2000L)), "2 s stereo behind LIST/fact clutter")
+    assert(rows(2)._2.forall(_.isEmpty), "RIFF/AVI is not WAVE")
+    assert(rows(3)._2.forall(_.isEmpty), "truncated fmt yields NULL")
+  }
 }
 
 class RelevanceSpec extends SparkFunSuite {
