@@ -52,6 +52,28 @@ object InvertedIndex {
       .select(col("term"), col("doc_id"), col("tf"))
   }
 
+  /** Conjunctive (AND) lookup: documents containing EVERY probe term,
+    * via posting-list intersection — the boolean-retrieval primitive on
+    * top of [[lookup]]'s pruned scan. Postings carry one row per
+    * (term, doc_id), so a doc matches iff its row count equals the
+    * number of distinct probe terms; `total_tf` (sum of the matched
+    * terms' frequencies) comes out of the same partial aggregate.
+    *
+    * 100 TB design: identical scan shape to [[lookup]] (partition-pruned
+    * to the probe buckets); the intersection is ONE doc_id-keyed
+    * partial-aggregated exchange over the probe terms' postings only —
+    * corpus-size-independent for selective terms, never a self-join per
+    * term pair. */
+  def lookupAll(spark: SparkSession, index: TermIndex,
+      terms: Seq[String]): DataFrame = {
+    val distinctTerms = terms.distinct
+    lookup(spark, index, distinctTerms)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("total_tf"))
+      .filter(col("n_terms") === distinctTerms.size)
+      .select(col("doc_id"), col("total_tf"))
+  }
+
   /** Buckets for ALL probe terms in one local evaluation of the SAME
     * Catalyst `hash` expression the build used (one LocalRelation plan,
     * no per-term planning cycle, no cluster job). */

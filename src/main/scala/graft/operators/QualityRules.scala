@@ -137,4 +137,28 @@ object QualityRules {
   def summaryBy(rules: DataFrame, groupCol: String): DataFrame =
     rules.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"), summaryAggs: _*)
+
+  /** The names of the eight rule columns [[gopherRules]] emits. */
+  val RuleCols: Seq[String] = Seq("r_words", "r_mean_len", "r_symbol",
+    "r_bullet", "r_ellipsis", "r_alpha", "r_stop", "r_rep")
+
+  /** Per-rule REJECT EXAMPLES: the k smallest-id documents each rule
+    * rejects — the eyeball report a curator reads next to [[summary]]'s
+    * counts before trusting a threshold (rules rejecting nothing emit no
+    * rows). Output: (rule, rank, doc_id), rank 1..k by ascending id.
+    *
+    * 100 TB design: the unpivot is a row-local explode (8 rows per doc,
+    * filtered to rejects immediately), and the per-rule cut reuses the
+    * bounded-heap [[Ranking.topKPerGroup]] partial aggregate — each map
+    * task ships ≤ k ids per rule, never a rule's full reject list, and
+    * ids up to 2^53 rank exactly in the heap's double score. */
+  def rejectExamples(rules: DataFrame, idCol: String,
+      k: Int = 3): DataFrame = {
+    val long = rules.select(col(idCol),
+        explode(map(RuleCols.flatMap(r => Seq(lit(r), col(r))): _*))
+          .as(Seq("rule", "pass")))
+      .filter(!col("pass"))
+    Ranking.topKPerGroup(long, "rule", -col(idCol), idCol, k)
+      .select(col("rule"), col("rank"), col(idCol))
+  }
 }

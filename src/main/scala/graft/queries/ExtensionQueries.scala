@@ -952,6 +952,24 @@ object ExtensionQueries {
         .orderBy(col("term"), col("doc_id"))
     }),
 
+    // conjunctive retrieval over the same written index: docs containing
+    // BOTH probe terms via posting intersection (one doc_id-keyed
+    // aggregate over the pruned postings — no per-term self-join)
+    "text_index_and" -> ((s, dir) => {
+      def build(d: String) = InvertedIndex.build(
+        t(s, d, "documents"), "text", "doc_id",
+        s"${System.getProperty("java.io.tmpdir")}/graft_term_index_" +
+          Integer.toHexString(d.hashCode) + "_" +
+          ProcessHandle.current().pid(),
+        nBuckets = 64)
+      val cached = termIndexCache.computeIfAbsent(dir, build(_))
+      val index =
+        if (new java.io.File(cached.path).exists) cached
+        else termIndexCache.compute(dir, (d, _) => build(d))
+      InvertedIndex.lookupAll(s, index, Seq("spark", "join"))
+        .orderBy(col("doc_id"))
+    }),
+
     // benchmark-contamination check: docs with doc_id%10==0 play the
     // "benchmark"; the rest are the training corpus. Broadcast benchmark
     // shingle set, hash-only shuffle (see Contamination scaladoc)
@@ -1106,6 +1124,16 @@ object ExtensionQueries {
       QualityRules.gopherRules(t(s, dir, "documents"), "text", "doc_id",
           minWords = 20, maxWords = 5000)
         .orderBy(col("doc_id"))),
+
+    // the eyeball report next to the counts: the 3 smallest-id documents
+    // each rule rejects (bounded-heap per-rule cut; rules with no rejects
+    // emit nothing)
+    "text_gopher_examples" -> ((s, dir) =>
+      QualityRules.rejectExamples(
+        QualityRules.gopherRules(t(s, dir, "documents"), "text", "doc_id",
+          minWords = 20, maxWords = 5000),
+        "doc_id", k = 3)
+        .orderBy(col("rule"), col("rank"))),
 
     // per-rule independent reject counts + full-battery survivors: the
     // one-row audit report a curator reads before shipping a corpus cut
@@ -2076,6 +2104,15 @@ object ExtensionQueries {
          |SELECT term, doc_id, tf FROM tf
          |WHERE term IN ('spark', 'join', 'window')
          |ORDER BY term, doc_id""".stripMargin,
+    "text_index_and" ->
+      s"""WITH tk AS ($NormToksSql),
+         |tok AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+         |  GROUP BY doc_id, term)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf FROM tf
+         |WHERE term IN ('spark', 'join')
+         |GROUP BY doc_id HAVING COUNT(*) = 2
+         |ORDER BY doc_id""".stripMargin,
     "text_chunks_window" ->
       s"""WITH tk AS ($NormToksSql),
          |st AS (SELECT doc_id, toks,
@@ -3064,6 +3101,22 @@ object ExtensionQueries {
          |SELECT doc_id, n_words, n_lines, r_words, r_mean_len, r_symbol,
          |  r_bullet, r_ellipsis, r_alpha, r_stop, r_rep, keep
          |FROM grules ORDER BY doc_id""".stripMargin,
+    "text_gopher_examples" ->
+      s"""WITH $GopherCtesSql,
+         |long AS (
+         |  SELECT doc_id, 'r_words' AS rule, r_words AS pass FROM grules
+         |  UNION ALL SELECT doc_id, 'r_mean_len', r_mean_len FROM grules
+         |  UNION ALL SELECT doc_id, 'r_symbol', r_symbol FROM grules
+         |  UNION ALL SELECT doc_id, 'r_bullet', r_bullet FROM grules
+         |  UNION ALL SELECT doc_id, 'r_ellipsis', r_ellipsis FROM grules
+         |  UNION ALL SELECT doc_id, 'r_alpha', r_alpha FROM grules
+         |  UNION ALL SELECT doc_id, 'r_stop', r_stop FROM grules
+         |  UNION ALL SELECT doc_id, 'r_rep', r_rep FROM grules),
+         |rej AS (SELECT rule, doc_id,
+         |  ROW_NUMBER() OVER (PARTITION BY rule ORDER BY doc_id) AS rank
+         |  FROM long WHERE NOT pass)
+         |SELECT rule, rank, doc_id FROM rej WHERE rank <= 3
+         |ORDER BY rule, rank""".stripMargin,
     "text_gopher_summary" ->
       s"""WITH $GopherCtesSql
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

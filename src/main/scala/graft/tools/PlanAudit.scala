@@ -37,7 +37,11 @@ object PlanAudit {
       "sample_importance", "text_heavy_hitters_lang", "sim_topk_filtered",
       "q2_min_cost_supplier", "text_tfidf_pruned", "text_bm25_pruned",
       "text_lm_bigram_pruned")
-    interesting.foreach { name =>
+    // optional 2nd arg: comma-separated query names to audit instead of
+    // the built-in list
+    val names = args.lift(1)
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(interesting)
+    names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       // Codegen stages are marked `*(id)` in the SIMPLE plan string, but
       // only once AQE has finalized each stage — execute first (collect, not

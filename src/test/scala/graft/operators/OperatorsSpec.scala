@@ -1445,6 +1445,26 @@ class InvertedIndexSpec extends SparkFunSuite {
         .findFirstIn(plan).isDefined,
       s"expected partition-pruned scan, got:\n$plan")
   }
+
+  test("lookupAll intersects posting lists: only docs with EVERY term, " +
+      "tf summed over the probe terms, duplicate probes collapsed") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spark fast spark scans"), // spark only
+      (2L, "window functions and spark joins"), // both
+      (3L, "joins joins everywhere"), // joins only
+      (4L, "spark joins spark joins")) // both, higher tf
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tixa").toString
+    val index = InvertedIndex.build(docs, "text", "doc_id", dir,
+      nBuckets = 16)
+    val got = InvertedIndex
+      .lookupAll(spark, index, Seq("spark", "joins", "spark"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 2L), (4L, 4L)),
+      "docs 2 and 4 carry both terms; total_tf sums both postings")
+  }
 }
 
 class KernelPropertySpec extends SparkFunSuite {

@@ -69,6 +69,29 @@ class QualityRulesSpec extends SparkFunSuite {
     assert(s.getAs[Long]("n_kept") === 1L)
   }
 
+  test("rejectExamples: k smallest-id rejects per rule, silent rules " +
+      "absent, truncation at k") {
+    val df = rulesFor(
+      5L -> "to be", // rejects r_words (and r_stop has 2? 'to','be' no)
+      2L -> "x y z", // no stopwords, no letters issue? -> r_stop reject
+      7L -> "a b",   // under minWords
+      9L -> "q r s") // no stopwords
+    val got = QualityRules.rejectExamples(df, "doc_id", k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val byRule = got.groupBy(_._1)
+    // r_words rejects ids 5 and 7 (both 2-word docs); k=2 keeps both in
+    // id order
+    assert(byRule("r_words").sortBy(_._2).map(x => (x._2, x._3)).toSeq ==
+      Seq((1, 5L), (2, 7L)))
+    // r_stop rejects 2, 7, 9 ("to be" carries two stopwords and passes)
+    // — truncated to the two smallest ids
+    assert(byRule("r_stop").sortBy(_._2).map(x => (x._2, x._3)).toSeq ==
+      Seq((1, 2L), (2, 7L)))
+    // rules nothing violates emit no rows at all
+    assert(!byRule.contains("r_alpha") && !byRule.contains("r_symbol"))
+  }
+
   test("carry + summaryBy: per-group audit slices the same verdicts") {
     val good = "the cat sat on a mat and that was good to see with time"
     val df = Seq((1L, good, "web"), (2L, "to be", "web"),
