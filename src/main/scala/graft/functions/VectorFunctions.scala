@@ -64,6 +64,41 @@ object VectorFunctions {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(v),
         centIds, centVecs, take))
 
+  /** Sign random projection (Achlioptas ±1 sketch): reduce an embedding
+    * to `outDim` components, each the ±1-signed sum of the input —
+    * the standard cheap dimensionality reduction in front of ANN /
+    * clustering at corpus scale (Johnson–Lindenstrauss with the dense
+    * ±1 matrix; inner products are preserved in expectation, so cosine
+    * rankings survive the projection).
+    *
+    * The sign matrix is ENGINE-PORTABLE, not an engine hash: sign(i,j) is
+    * bit 20 of `(seed + i·dim + j) · Knuth mod 2^41` (the [[graft
+    * .operators.Sketches.scramble]] chain; indexes stay below 2^21, so the
+    * split-multiply collapses to one multiplication any int64 SQL engine
+    * can replicate — unlike xxhash64-based [[hyperplaneSignature]], whose
+    * OUTPUT never leaves the engine). Row-local; fold order is the array
+    * order, so doubles are bit-stable for the oracle.
+    *
+    * Cost note: this is `outDim × dim` interpreted lambda evaluations per
+    * row — fine for the projection's one-off corpus pass; a native kernel
+    * (the [[cosine]] treatment) is the upgrade path if a profile ever
+    * shows it hot. */
+  def signProject(v: Column, outDim: Int, seed: Long = 0L): Column = {
+    require(outDim >= 1, "outDim must be positive")
+    val vd = asDouble(v)
+    val dim = size(vd).cast("long")
+    transform(sequence(lit(0L), lit(outDim - 1L)), i =>
+      aggregate(
+        zip_with(vd, sequence(lit(0L), dim - 1L), (x, j) => {
+          val k = lit(seed) + i * dim + j
+          val bit = pmod(
+            (pmod(k * lit(TextFunctions.KnuthMultiplier),
+              lit(1L << 41)) / lit(1L << 20)).cast("long"), lit(2L))
+          (lit(1L) - lit(2L) * bit).cast("double") * x
+        }),
+        lit(0.0), (acc, x) => acc + x))
+  }
+
   /** Split a packed signature into `blocks` block-keys for multi-probe
     * bucketing (pairs within Hamming distance `blocks-1` share ≥1 block). */
   def signatureBlocks(sig: Column, nBits: Int, blocks: Int): Column = {

@@ -917,6 +917,23 @@ object ExtensionQueries {
     // embedding hygiene stats: L2 norm (left-to-right fold + IEEE sqrt —
     // engine-portable like the cosine kernel), mean component, max |x| —
     // the standard pre-ANN sanity signals, all row-local
+    // sign-random-projection dimensionality reduction (64 -> 8) with the
+    // engine-portable ±1 matrix; the last column is the cosine between
+    // the doc's projection and vec 0's — the sanity signal that rankings
+    // survive the projection (cosine kernel shared with the ANN family)
+    "emb_project_rp" -> ((s, dir) => {
+      val proj = VF.signProject(col("embedding"), outDim = 8)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), proj.as("p"))
+      val q0 = e.filter(col("vec_id") === 0)
+        .select(col("p").as("q0"))
+      e.crossJoin(broadcast(q0))
+        .select(Seq(col("vec_id")) ++
+          (0 until 8).map(i => element_at(col("p"), i + 1).as(s"p$i")) :+
+          VF.cosine(col("p"), col("q0")).as("cos_q0"): _*)
+        .orderBy(col("vec_id"))
+    }),
+
     "emb_norm_stats" -> ((s, dir) => {
       val e = VF.asDouble(col("embedding"))
       val sumc = aggregate(e, lit(0.0), (acc, x) => acc + x)
@@ -1282,8 +1299,15 @@ object ExtensionQueries {
       val blob = concat(lit("RIFF".getBytes), le32(lit(0L)),
         lit("WAVE".getBytes), listChunk, fmtChunk, factChunk,
         lit("data".getBytes), le32(dsz))
+      // blob hoisted into its own projection before the walker: wavMeta
+      // references its input ~10 times per unrolled chunk step, and
+      // handing it the raw construction EXPRESSION would clone the
+      // whole per-byte concat at every reference (the 36 MiB-codegen /
+      // GC-overhead failure mode the scale probe caught; same hoist as
+      // mm_dims and the minhash kernels)
       t(s, dir, "documents")
-        .select(col("doc_id"), Multimodal.wavMeta(blob).as("m"))
+        .select(col("doc_id"), blob.as("blob"))
+        .select(col("doc_id"), Multimodal.wavMeta(col("blob")).as("m"))
         .select(col("doc_id"), col("m.channels").as("channels"),
           col("m.sample_rate").as("sample_rate"),
           col("m.bits_per_sample").as("bits_per_sample"),
@@ -2082,6 +2106,39 @@ object ExtensionQueries {
          |  quantile_cont(n, 0.9) AS p90_tokens,
          |  quantile_cont(n, 0.99) AS p99_tokens
          |FROM d""".stripMargin,
+    // full ±1-matrix recomputation: the sign chain is the Sketches
+    // scramble with indexes < 2^21 (one multiplication), and every fold
+    // (projection, dot, norms) is an independent left-to-right
+    // list_reduce — the same per-accumulator order as the Spark HOF and
+    // the interleaved native cosine kernel
+    "emb_project_rp" -> {
+      def p(i: Int): String =
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    list_transform(range(0, 64), j ->
+           |      CAST(1 - 2 * (((((${i} * 64 + j) * 2654435761)
+           |        % 2199023255552) // 1048576) % 2) AS DOUBLE)
+           |      * v[j + 1])), (a, x) -> a + x)""".stripMargin
+      val plist = (0 until 8).map(p).mkString("[", ",\n", "]")
+      val pcols = (0 until 8).map(i => s"p[${i + 1}] AS p$i").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |pr AS (SELECT vec_id, $plist AS p FROM e),
+         |q AS (SELECT p AS q0 FROM pr WHERE vec_id = 0),
+         |c AS (SELECT vec_id, p,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(0, 8), i -> p[i + 1] * q0[i + 1])),
+         |    (a, x) -> a + x) AS dt,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(p, x -> x * x)), (a, x) -> a + x) AS na,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(q0, x -> x * x)), (a, x) -> a + x) AS nb
+         |  FROM pr, q)
+         |SELECT vec_id, $pcols,
+         |  CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |       ELSE dt / (sqrt(na) * sqrt(nb)) END AS cos_q0
+         |FROM c ORDER BY vec_id""".stripMargin
+    },
+
     // same fold order as the Spark HOFs (list_reduce is left-to-right,
     // sqrt is correctly rounded in both engines)
     "emb_norm_stats" ->

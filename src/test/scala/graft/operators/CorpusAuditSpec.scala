@@ -60,6 +60,28 @@ class CorpusAuditSpec extends SparkFunSuite {
     assert(r.getLong(1) == 100L && r.getLong(2) == 199L)
   }
 
+  test("signProject: linear, deterministic, ±1-sum bounded, and sensitive " +
+      "to the seed") {
+    import graft.functions.{VectorFunctions => VF}
+    val rows = Seq(
+      (1L, Array(1.0f, 2.0f, -3.0f, 0.5f)),
+      (2L, Array(2.0f, 4.0f, -6.0f, 1.0f)), // 2 × row 1
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val p = rows.select(col("vec_id"),
+        VF.signProject(col("embedding"), outDim = 4).as("p"),
+        VF.signProject(col("embedding"), outDim = 4, seed = 7L).as("p7"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1),
+        r.getSeq[Double](2))).sortBy(_._1)
+    assert(p.forall(_._2.length == 4))
+    // linearity: proj(2v) == 2·proj(v) exactly (±1 sums of doubles)
+    assert(p(1)._2 == p(0)._2.map(_ * 2.0))
+    assert(p(2)._2.forall(_ == 0.0), "zero vector projects to zero")
+    // each component is a ±1-signed sum: |p_i| <= Σ|v_j|
+    assert(p(0)._2.forall(x => math.abs(x) <= 6.5 + 1e-12))
+    assert(p(0)._2 != p(0)._3, "seed changes the matrix")
+  }
+
   test("stripMarkup drops tags, decodes entities, and guards against " +
       "double-decode") {
     val cases = Seq(
