@@ -52,6 +52,68 @@ object InvertedIndex {
       .select(col("term"), col("doc_id"), col("tf"))
   }
 
+  /** POSITIONAL index: postings carry the sorted token positions of each
+    * (term, doc) — the layout phrase and proximity queries need. Same
+    * bucketing/pruning as [[build]]; the positions array adds one int per
+    * token occurrence to the posting payload (the standard ~2-4× positional
+    * index overhead), and `sort_array(collect_list(...))` partial-
+    * aggregates map-side like any agg, so the exchange still carries one
+    * row per (term, doc). */
+  def buildPositional(docs: DataFrame, textCol: String, idCol: String,
+      path: String, nBuckets: Int = 64): TermIndex = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextFunctions.normTokens(col(textCol)))
+          .as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    TermIndex(path, nBuckets)
+  }
+
+  /** Exact PHRASE query over a positional index: documents where the
+    * probe terms occur at consecutive token positions, with the match
+    * count. Classic positional-intersection: start from the first term's
+    * positions and keep those whose `+1, +2, …` successors appear in each
+    * following term's posting — expressed as array intersections, all
+    * row-local after one doc_id-keyed join of the probe terms' postings.
+    *
+    * 100 TB design: the scan prunes to the probe terms' buckets exactly
+    * like [[lookup]]; only those postings shuffle (keyed by doc_id), and
+    * the positional check never leaves the row. Repeated-term phrases
+    * ("the the") work — each step intersects against the SAME posting
+    * shifted, so self-adjacency is required, not assumed. */
+  def phraseQuery(spark: SparkSession, index: TermIndex,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least two terms")
+    val legs = phrase.zipWithIndex.map { case (term, i) =>
+      lookupPositional(spark, index, term)
+        .select(col("doc_id"), col("positions").as(s"__pos_$i"))
+    }
+    val joined = legs.reduce(_.join(_, "doc_id"))
+    // starts = positions p of term 0 with p+i ∈ positions(term i) ∀ i
+    val starts = (1 until phrase.size).foldLeft(col("__pos_0")) {
+      (acc, i) =>
+        filter(acc, p => array_contains(col(s"__pos_$i"), p + i))
+    }
+    joined
+      .select(col("doc_id"), size(starts).as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
+
+  /** Positions posting list for one term (pruned scan, see [[lookup]]). */
+  private def lookupPositional(spark: SparkSession, index: TermIndex,
+      term: String): DataFrame = {
+    val b = bucketsOf(spark, index, Seq(term))
+    spark.read.parquet(index.path)
+      .filter(col("bucket").isin(b: _*))
+      .filter(col("term") === term)
+      .select(col("doc_id"), col("positions"))
+  }
+
   /** Conjunctive (AND) lookup: documents containing EVERY probe term,
     * via posting-list intersection — the boolean-retrieval primitive on
     * top of [[lookup]]'s pruned scan. Postings carry one row per

@@ -51,6 +51,11 @@ object ExtensionQueries {
     new java.util.concurrent.ConcurrentHashMap[String,
       InvertedIndex.TermIndex]()
 
+  /** Built POSITIONAL term index per sf dir (see text_index_phrase). */
+  private val posIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      InvertedIndex.TermIndex]()
+
   /** documents ∪ documents-with-shifted-ids (adds exact twins). */
   private def docsUnion(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"),
@@ -984,6 +989,25 @@ object ExtensionQueries {
         if (new java.io.File(cached.path).exists) cached
         else termIndexCache.compute(dir, (d, _) => build(d))
       InvertedIndex.lookupAll(s, index, Seq("spark", "join"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact phrase query over a POSITIONAL index: "table hash" at
+    // consecutive token positions, with per-doc match counts — the
+    // positional-intersection classic, row-local after one doc_id join
+    // of the two pruned postings
+    "text_index_phrase" -> ((s, dir) => {
+      def build(d: String) = InvertedIndex.buildPositional(
+        t(s, d, "documents"), "text", "doc_id",
+        s"${System.getProperty("java.io.tmpdir")}/graft_pos_index_" +
+          Integer.toHexString(d.hashCode) + "_" +
+          ProcessHandle.current().pid(),
+        nBuckets = 64)
+      val cached = posIndexCache.computeIfAbsent(dir, build(_))
+      val index =
+        if (new java.io.File(cached.path).exists) cached
+        else posIndexCache.compute(dir, (d, _) => build(d))
+      InvertedIndex.phraseQuery(s, index, Seq("table", "hash"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2170,6 +2194,17 @@ object ExtensionQueries {
          |WHERE term IN ('spark', 'join')
          |GROUP BY doc_id HAVING COUNT(*) = 2
          |ORDER BY doc_id""".stripMargin,
+    // positional recomputation: 0-based token positions (matching the
+    // engine's posexplode), adjacency via a position-offset join
+    "text_index_phrase" ->
+      s"""WITH tk AS ($NormToksSql),
+         |pos AS (SELECT doc_id, i - 1 AS p, toks[i] AS term
+         |  FROM tk, unnest(range(1, len(toks) + 1)) t(i)),
+         |p0 AS (SELECT doc_id, p FROM pos WHERE term = 'table'),
+         |p1 AS (SELECT doc_id, p FROM pos WHERE term = 'hash')
+         |SELECT p0.doc_id AS doc_id, COUNT(*) AS n_matches
+         |FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id AND p1.p = p0.p + 1
+         |GROUP BY p0.doc_id ORDER BY doc_id""".stripMargin,
     "text_chunks_window" ->
       s"""WITH tk AS ($NormToksSql),
          |st AS (SELECT doc_id, toks,

@@ -1465,6 +1465,30 @@ class InvertedIndexSpec extends SparkFunSuite {
     assert(got == Set((2L, 2L), (4L, 4L)),
       "docs 2 and 4 carry both terms; total_tf sums both postings")
   }
+
+  test("phraseQuery: consecutive positions only, counted per doc; " +
+      "3-term and repeated-term phrases") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "big data big data systems"), // "big data" twice
+      (2L, "data big"),                  // reversed — no match
+      (3L, "big shiny data"),            // gap — no match
+      (4L, "echo echo echo"),            // "echo echo" twice (overlap)
+      (5L, "big data big data big"))     // "big data big" twice
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pix").toString
+    val index = InvertedIndex.buildPositional(docs, "text", "doc_id", dir,
+      nBuckets = 16)
+    def run(p: String*) = InvertedIndex.phraseQuery(spark, index, p)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(run("big", "data") == Map(1L -> 2, 5L -> 2))
+    assert(run("big", "data", "big") == Map(1L -> 1, 5L -> 2),
+      "3-term phrase; overlapping starts both count")
+    assert(run("echo", "echo") == Map(4L -> 2),
+      "repeated-term phrase needs true self-adjacency")
+    assert(run("data", "systems") == Map(1L -> 1))
+  }
 }
 
 class KernelPropertySpec extends SparkFunSuite {
