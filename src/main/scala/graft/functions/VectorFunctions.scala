@@ -79,11 +79,22 @@ object VectorFunctions {
     * OUTPUT never leaves the engine). Row-local; fold order is the array
     * order, so doubles are bit-stable for the oracle.
     *
-    * Cost note: this is `outDim × dim` interpreted lambda evaluations per
-    * row — fine for the projection's one-off corpus pass; a native kernel
-    * (the [[cosine]] treatment) is the upgrade path if a profile ever
-    * shows it hot. */
-  def signProject(v: Column, outDim: Int, seed: Long = 0L): Column = {
+    * Native single-pass kernel (`graft.plans.SignProject`, the [[cosine]]
+    * treatment) — the HOF formulation cost `outDim × dim` interpreted
+    * lambda evaluations per row and was the only near-linear entry in the
+    * round-6 scale probe; the kernel keeps its arithmetic operation for
+    * operation (spec-pinned parity, oracle-verified). */
+  def signProject(v: Column, outDim: Int, seed: Long = 0L): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.SignProject(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(v),
+        outDim, seed))
+
+  /** The HOF formulation [[signProject]]'s native kernel replaced —
+    * retained (package-private) as the parity reference the spec pins
+    * the kernel against, operation for operation. */
+  private[graft] def signProjectHof(v: Column, outDim: Int,
+      seed: Long = 0L): Column = {
     require(outDim >= 1, "outDim must be positive")
     val vd = asDouble(v)
     val dim = size(vd).cast("long")

@@ -82,3 +82,61 @@ case class NearestCentroids(child: Expression, centIds: Array[Long],
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "graft_nearest_centroids"
 }
+
+/** `sign_project(vec)` → array<double>: sign random projection to `outDim`
+  * components (see [[graft.functions.VectorFunctions.signProject]] for the
+  * semantics and the portable ±1 matrix contract). One native pass per row
+  * replacing the `outDim × dim` interpreted HOF lambda evaluations that
+  * made the HOF formulation the only near-linear entry in the round-6
+  * scale probe (BENCH_NOTES) — arithmetic is kept operation-for-operation
+  * identical (wrap-around multiply, pmod, truncating shift, `±1 · x`
+  * product, left-to-right accumulation), so results stay bit-identical to
+  * the HOF twin (pinned by spec) and to the DuckDB oracle. */
+case class SignProject(child: Expression, outDim: Int, seed: Long)
+    extends UnaryExpression {
+  require(outDim >= 1, "outDim must be positive")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val isDouble: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  private val Knuth = 2654435761L
+  private val M = 1L << 41
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val out = new Array[Double](outDim)
+    var i = 0
+    while (i < outDim) {
+      var acc = 0.0
+      var j = 0
+      val base = seed + i.toLong * dim
+      while (j < dim) {
+        val xv = if (isDouble) v.getDouble(j) else v.getFloat(j).toDouble
+        val scrambled = {
+          val raw = (base + j) * Knuth // wraps like the non-ANSI multiply
+          ((raw % M) + M) % M // pmod
+        }
+        val s = 1L - 2L * ((scrambled >> 20) % 2L)
+        acc += s.toDouble * xv
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("signProjectExpr", this,
+      classOf[SignProject].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$self.nullSafeEval($c);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_sign_project"
+}

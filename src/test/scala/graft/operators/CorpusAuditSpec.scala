@@ -82,6 +82,30 @@ class CorpusAuditSpec extends SparkFunSuite {
     assert(p(0)._2 != p(0)._3, "seed changes the matrix")
   }
 
+  test("signProject kernel is bit-identical to its HOF reference on the " +
+      "embeddings corpus and on adversarial values") {
+    import graft.functions.{VectorFunctions => VF}
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("embedding"))
+    val adversarial = Seq(
+      Array(0.0f, -0.0f, Float.MinPositiveValue, 1e30f),
+      Array.fill(64)(math.Pi.toFloat)).toDF("embedding")
+    for (df <- Seq(corpus, adversarial); seed <- Seq(0L, 7L)) {
+      val diff = df.select(
+          VF.signProject(col("embedding"), 8, seed).as("k"),
+          VF.signProjectHof(col("embedding"), 8, seed).as("h"))
+        .filter(not(col("k") <=> col("h")))
+      assert(diff.count() == 0, s"kernel/HOF divergence at seed $seed")
+    }
+    // the zero-dim edge is where the kernel IMPROVES on the HOF: an
+    // empty-sum projects to zeros, while the HOF's sequence(0, -1) +
+    // zip_with null-padding produced null components
+    val empty = Seq(Array.empty[Float]).toDF("embedding")
+      .select(VF.signProject(col("embedding"), 4).as("k"))
+      .collect().head.getSeq[Double](0)
+    assert(empty == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
   test("stripMarkup drops tags, decodes entities, and guards against " +
       "double-decode") {
     val cases = Seq(
