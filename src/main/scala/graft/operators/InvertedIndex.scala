@@ -104,6 +104,25 @@ object InvertedIndex {
       .filter(col("n_matches") > 0)
   }
 
+  /** PROXIMITY query over a positional index: documents where the two
+    * terms occur within `window` tokens of each other (unordered), with
+    * the count of first-term positions that have a partner — the "near
+    * each other" relaxation of [[phraseQuery]], same pruned-scan +
+    * one-doc_id-join + row-local-arrays shape. */
+  def proximityQuery(spark: SparkSession, index: TermIndex, termA: String,
+      termB: String, window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val a = lookupPositional(spark, index, termA)
+      .select(col("doc_id"), col("positions").as("__pos_a"))
+    val b = lookupPositional(spark, index, termB)
+      .select(col("doc_id"), col("positions").as("__pos_b"))
+    val near = filter(col("__pos_a"), p =>
+      exists(col("__pos_b"), q => abs(q - p) <= window))
+    a.join(b, "doc_id")
+      .select(col("doc_id"), size(near).as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
+
   /** Positions posting list for one term (pruned scan, see [[lookup]]). */
   private def lookupPositional(spark: SparkSession, index: TermIndex,
       term: String): DataFrame = {

@@ -1011,6 +1011,23 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // proximity relaxation over the same positional index: "scan" within
+    // 4 tokens of "filter", either order
+    "text_index_near" -> ((s, dir) => {
+      def build(d: String) = InvertedIndex.buildPositional(
+        t(s, d, "documents"), "text", "doc_id",
+        s"${System.getProperty("java.io.tmpdir")}/graft_pos_index_" +
+          Integer.toHexString(d.hashCode) + "_" +
+          ProcessHandle.current().pid(),
+        nBuckets = 64)
+      val cached = posIndexCache.computeIfAbsent(dir, build(_))
+      val index =
+        if (new java.io.File(cached.path).exists) cached
+        else posIndexCache.compute(dir, (d, _) => build(d))
+      InvertedIndex.proximityQuery(s, index, "scan", "filter", window = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // benchmark-contamination check: docs with doc_id%10==0 play the
     // "benchmark"; the rest are the training corpus. Broadcast benchmark
     // shingle set, hash-only shuffle (see Contamination scaladoc)
@@ -2205,6 +2222,18 @@ object ExtensionQueries {
          |SELECT p0.doc_id AS doc_id, COUNT(*) AS n_matches
          |FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id AND p1.p = p0.p + 1
          |GROUP BY p0.doc_id ORDER BY doc_id""".stripMargin,
+    // n_matches counts FIRST-term positions with >=1 partner (not pairs)
+    // — hence the EXISTS, mirroring the engine's filter/exists arrays
+    "text_index_near" ->
+      s"""WITH tk AS ($NormToksSql),
+         |pos AS (SELECT doc_id, i - 1 AS p, toks[i] AS term
+         |  FROM tk, unnest(range(1, len(toks) + 1)) t(i)),
+         |pa AS (SELECT doc_id, p FROM pos WHERE term = 'scan'),
+         |pb AS (SELECT doc_id, p FROM pos WHERE term = 'filter')
+         |SELECT pa.doc_id AS doc_id, COUNT(*) AS n_matches
+         |FROM pa WHERE EXISTS (SELECT 1 FROM pb
+         |  WHERE pb.doc_id = pa.doc_id AND abs(pb.p - pa.p) <= 4)
+         |GROUP BY pa.doc_id ORDER BY doc_id""".stripMargin,
     "text_chunks_window" ->
       s"""WITH tk AS ($NormToksSql),
          |st AS (SELECT doc_id, toks,

@@ -1488,6 +1488,14 @@ class InvertedIndexSpec extends SparkFunSuite {
     assert(run("echo", "echo") == Map(4L -> 2),
       "repeated-term phrase needs true self-adjacency")
     assert(run("data", "systems") == Map(1L -> 1))
+    // proximity relaxation on the same index: unordered, windowed
+    def near(a: String, b: String, w: Int) =
+      InvertedIndex.proximityQuery(spark, index, a, b, w)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(near("data", "big", 1) == Map(1L -> 2, 2L -> 1, 5L -> 2),
+      "reversed order matches within window 1")
+    assert(near("big", "systems", 2) == Map(1L -> 1),
+      "only big@2 is within 2 of systems@4; big@0 is not")
   }
 }
 
