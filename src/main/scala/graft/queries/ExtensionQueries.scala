@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{BpeTokenizer => Bpe, TextFunctions => TF,
   VectorFunctions => VF}
-import graft.operators.{Chunking, Contamination, Dedup, InvertedIndex,
+import graft.operators.{Cdc, Chunking, Contamination, Dedup, InvertedIndex,
   Layout, Multimodal, QualityRules, Ranking, Relevance, Retrieval,
   Sampling, Similarity, Sketches}
 
@@ -823,6 +823,54 @@ object ExtensionQueries {
             .otherwise(lit("same")).as("change"))
         .filter(col("change") =!= "same")
         .orderBy(col("doc_id"))
+    }),
+
+    // CDC upsert-merge: updates (every 5th doc), deletes (every 7th),
+    // inserts (every 11th, shifted ids), and a same-version RE-DELIVERY
+    // (every 13th) that must win its tie against the snapshot — one
+    // max_by partial aggregate, no window/sort over the corpus
+    "corpus_merge_cdc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def shape(d: org.apache.spark.sql.DataFrame, ver: Long,
+          dead: Boolean) = d.select(col("doc_id"), col("text"),
+        col("source"), lit(ver).as("version"), lit(dead).as("deleted"))
+      val snapshot = shape(docs, 1L, dead = false)
+      val delta =
+        shape(docs.filter(col("doc_id") % 5 === 0 &&
+            col("doc_id") % 7 =!= 0)
+          .withColumn("text", concat(col("text"), lit(" [v2]"))),
+          2L, dead = false)
+        .unionByName(shape(docs.filter(col("doc_id") % 7 === 0),
+          2L, dead = true))
+        .unionByName(shape(docs.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L),
+          1L, dead = false))
+        .unionByName(shape(docs.filter(col("doc_id") % 13 === 0 &&
+            col("doc_id") % 5 =!= 0 && col("doc_id") % 7 =!= 0)
+          .withColumn("text", concat(col("text"), lit(" [redelivered]"))),
+          1L, dead = false))
+      Cdc.mergeCdc(snapshot, delta, "doc_id", "version", "deleted")
+        .select(col("doc_id"), col("version"),
+          sha2(col("text"), 256).as("text_sha"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // forget-list scrub (right-to-be-forgotten): every 17th doc's digest
+    // lands on the forget list; the audit reports per-source survivor
+    // counts — digests ship to the anti-join, never the forgotten text
+    "corpus_forget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fl = docs.filter(col("doc_id") % 17 === 0)
+        .select(sha2(col("text"), 256).as("text_sha"))
+      val after = Cdc.forgetByDigest(docs, "text", fl)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_after"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_before"))
+        .join(after, Seq("source"), "left")
+        .select(col("source"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          (col("n_before") - coalesce(col("n_after"), lit(0L)))
+            .as("n_forgotten"))
+        .orderBy(col("source"))
     }),
 
     // source/sink breadth: the documents table written as JSON-lines and
@@ -2106,6 +2154,40 @@ object ExtensionQueries {
         |       WHEN o.sha <> n.sha THEN 'changed'
         |       ELSE 'same' END) <> 'same'
         |ORDER BY doc_id""".stripMargin,
+    // winner per key = greatest (version, origin) with origin favoring
+    // the delta — ROW_NUMBER here is the oracle's formulation; the
+    // engine's max_by aggregate must agree row for row
+    "corpus_merge_cdc" ->
+      """WITH allr AS (
+        |  SELECT doc_id, text, source, 1 AS version, FALSE AS deleted,
+        |    0 AS origin FROM documents
+        |  UNION ALL SELECT doc_id, text || ' [v2]', source, 2, FALSE, 1
+        |    FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0
+        |  UNION ALL SELECT doc_id, text, source, 2, TRUE, 1
+        |    FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id + 1000000, text, source, 1, FALSE, 1
+        |    FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL SELECT doc_id, text || ' [redelivered]', source, 1,
+        |    FALSE, 1 FROM documents
+        |    WHERE doc_id % 13 = 0 AND doc_id % 5 <> 0 AND doc_id % 7 <> 0),
+        |w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY version DESC, origin DESC) AS rn FROM allr)
+        |SELECT doc_id, CAST(version AS BIGINT) AS version,
+        |  sha256(text) AS text_sha, source
+        |FROM w WHERE rn = 1 AND NOT deleted ORDER BY doc_id""".stripMargin,
+    "corpus_forget" ->
+      """WITH fl AS (SELECT sha256(text) AS text_sha FROM documents
+        |  WHERE doc_id % 17 = 0),
+        |surv AS (SELECT * FROM documents d WHERE NOT EXISTS
+        |  (SELECT 1 FROM fl WHERE fl.text_sha = sha256(d.text))),
+        |b AS (SELECT source, COUNT(*) AS n_before FROM documents
+        |  GROUP BY source),
+        |a AS (SELECT source, COUNT(*) AS n_after FROM surv GROUP BY source)
+        |SELECT b.source AS source, n_before,
+        |  COALESCE(n_after, 0) AS n_after,
+        |  n_before - COALESCE(n_after, 0) AS n_forgotten
+        |FROM b LEFT JOIN a ON b.source = a.source
+        |ORDER BY source""".stripMargin,
     // both round-trip oracles read the ORIGINAL parquet — identity check
     "source_jsonl_roundtrip" ->
       """SELECT doc_id, length(text) AS text_len, sha256(text) AS text_sha,

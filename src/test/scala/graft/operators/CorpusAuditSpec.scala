@@ -106,6 +106,37 @@ class CorpusAuditSpec extends SparkFunSuite {
     assert(empty == Seq(0.0, 0.0, 0.0, 0.0))
   }
 
+  test("mergeCdc: updates win, deletes remove, inserts appear, " +
+      "same-version re-delivery beats the snapshot") {
+    val snap = Seq(
+      (1L, "one", 1L, false), (2L, "two", 1L, false),
+      (3L, "three", 1L, false), (4L, "four", 1L, false))
+      .toDF("doc_id", "text", "version", "deleted")
+    val delta = Seq(
+      (2L, "two-v2", 2L, false),   // update
+      (3L, "gone", 2L, true),      // delete
+      (5L, "five", 1L, false),     // insert
+      (4L, "four-redelivered", 1L, false)) // tie — delta must win
+      .toDF("doc_id", "text", "version", "deleted")
+    val got = Cdc.mergeCdc(snap, delta, "doc_id", "version", "deleted")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("version"))).toMap
+    assert(got == Map(
+      1L -> ("one", 1L), 2L -> ("two-v2", 2L),
+      4L -> ("four-redelivered", 1L), 5L -> ("five", 1L)))
+  }
+
+  test("forgetByDigest drops exactly the listed digests and keeps the " +
+      "schema") {
+    val docs = Seq((1L, "keep"), (2L, "drop"), (3L, "also keep"))
+      .toDF("doc_id", "text")
+    val fl = docs.filter(col("doc_id") === 2)
+      .select(sha2(col("text"), 256).as("text_sha"))
+    val out = Cdc.forgetByDigest(docs, "text", fl)
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("stripMarkup drops tags, decodes entities, and guards against " +
       "double-decode") {
     val cases = Seq(
