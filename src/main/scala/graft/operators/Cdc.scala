@@ -27,26 +27,38 @@ object Cdc {
     * keys whose winner is a delete marker.
     *
     * Both inputs must share a schema carrying `versionCol` (monotone
-    * per-key revision) and boolean `deletedCol`. The winner is the row
-    * with the greatest `(version, origin)` — origin breaks version ties
-    * in the DELTA's favor, so re-publishing a snapshot version in the
-    * delta deterministically wins (the standard CDC re-delivery case). */
+    * per-key revision; each key's `(version, origin)` pairs must be
+    * unique across the union) and boolean `deletedCol`. The winner is
+    * the row with the greatest `(version, origin)` — origin breaks
+    * version ties in the DELTA's favor, so re-publishing a snapshot
+    * version in the delta deterministically wins (the standard CDC
+    * re-delivery case).
+    *
+    * Implementation is the argmax-by-join shape, NOT `max_by(payload,
+    * struct(...))`: a struct-valued aggregation buffer forces
+    * SortAggregate — a per-partition sort of the whole corpus before the
+    * partial aggregate (verified in the plan). Here the ordering is
+    * packed into one int64 (`version·2 + origin` — order-preserving for
+    * any int version since origin < 2), so the winner pass is a
+    * codegen'd `max` HashAggregate, and the join back runs on the same
+    * doc-key hash partitioning its exchange just produced — no corpus
+    * sort anywhere. */
   def mergeCdc(snapshot: DataFrame, delta: DataFrame, keyCol: String,
       versionCol: String, deletedCol: String): DataFrame = {
     require(snapshot.columns.sorted.sameElements(delta.columns.sorted),
       "snapshot and delta must share a schema")
-    require(!snapshot.columns.contains("__cdc_origin"),
-      "__cdc_origin is reserved by mergeCdc")
-    val all = snapshot.withColumn("__cdc_origin", lit(0))
-      .unionByName(delta.withColumn("__cdc_origin", lit(1)))
-    val payloadCols = snapshot.columns.filterNot(_ == keyCol)
-    val winner = all
-      .groupBy(col(keyCol))
-      .agg(max_by(
-        struct(payloadCols.map(col): _*),
-        struct(col(versionCol), col("__cdc_origin"))).as("__cdc_w"))
-      .select(col(keyCol) +: payloadCols.map(c => col(s"__cdc_w.$c")): _*)
-    winner.filter(!col(deletedCol))
+    require(!snapshot.columns.exists(_.startsWith("__cdc_")),
+      "__cdc_* names are reserved by mergeCdc")
+    val all = snapshot.withColumn("__cdc_origin", lit(0L))
+      .unionByName(delta.withColumn("__cdc_origin", lit(1L)))
+      .withColumn("__cdc_ord",
+        col(versionCol).cast("long") * 2L + col("__cdc_origin"))
+    val top = all.groupBy(col(keyCol))
+      .agg(max(col("__cdc_ord")).as("__cdc_top"))
+    all.join(top, Seq(keyCol))
+      .filter(col("__cdc_ord") === col("__cdc_top"))
+      .filter(!col(deletedCol))
+      .drop("__cdc_origin", "__cdc_ord", "__cdc_top")
   }
 
   /** Forget-list scrub: drop every row whose `textCol` digest appears in
