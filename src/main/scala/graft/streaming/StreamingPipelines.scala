@@ -226,6 +226,47 @@ object StreamingPipelines {
     * — constant state for unbounded streams (an unbounded-time stream join
     * would buffer forever). Output columns:
     * (trigger_id, event_id, user_id). */
+  /** Streaming CDC maintenance — the streaming twin of
+    * [[graft.operators.Cdc.mergeCdc]]: each micro-batch of CDC rows
+    * (key, payload, version, deleted) is merged into the PERSISTENT
+    * snapshot at `snapshotPath`, which is atomically replaced
+    * (write-new-then-swap via a versioned subdirectory) so readers never
+    * see a half-merged corpus. `sink` receives the merged snapshot per
+    * batch for downstream wiring/specs.
+    *
+    * Same unbounded-state rationale as [[ingestNewStream]]: upsert
+    * semantics span the corpus lifetime, which no watermark horizon can
+    * bound, so the state lives in storage (the snapshot itself), not in
+    * the streaming state store. Within-batch duplicates of a key resolve
+    * by the same (version, origin) rule — the batch plays the delta. */
+  def mergeCdcStream(cdc: DataFrame, keyCol: String, versionCol: String,
+      deletedCol: String, snapshotPath: String,
+      checkpointLocation: Option[String] = None)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = cdc.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val cur = new org.apache.hadoop.fs.Path(s"$snapshotPath/current")
+        val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val snapshot =
+          if (fs.exists(cur)) spark.read.parquet(cur.toString)
+          else batch.filter(lit(false)) // empty, batch-shaped
+        val merged = graft.operators.Cdc
+          .mergeCdc(snapshot, batch, keyCol, versionCol, deletedCol)
+          .localCheckpoint() // sever lineage before the swap rewrites cur
+        sink(merged, batchId)
+        val next = s"$snapshotPath/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        fs.delete(cur, true)
+        fs.rename(new org.apache.hadoop.fs.Path(next), cur)
+        ()
+      }
+    checkpointLocation.foreach(p => writer.option("checkpointLocation", p))
+    writer.start()
+  }
+
   def followWithin(events: DataFrame, triggerType: String = "purchase",
       window_ : String = "1 hour", lateness: String = "10 minutes")
       : DataFrame = {
