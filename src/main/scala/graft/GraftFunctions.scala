@@ -73,6 +73,15 @@ object GraftFunctions {
       es => TextSignals(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_bigram_stats",
       es => BigramStats(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_dup_ngram_coverage",
+      es => DupNgramCoverage(es(0), intArg(es(1), "n")), "built-in")
+    reg.createOrReplaceTempFunction("graft_cms_agg",
+      es => CountMinAgg(es(0), intArg(es(1), "depth"),
+        intArg(es(2), "width")).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("graft_sign_project",
+      es => SignProject(es(0), intArg(es(1), "outDim"),
+        if (es.length > 2) intArg(es(2), "seed").toLong else 0L),
+      "built-in")
     registerOptimizations(spark)
   }
 

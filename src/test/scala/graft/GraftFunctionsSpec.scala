@@ -26,6 +26,25 @@ class GraftFunctionsSpec extends SparkFunSuite {
       assert(r.getSeq[Long](r.fieldIndex("mh")).length == 8)
       assert(r.getAs[Double]("jac") == 1.0)
     }
+
+    // round-6 kernels: dup-ngram coverage, CountMin grid, sign projection
+    val r6 = s.sql(
+      """SELECT
+        |  graft_dup_ngram_coverage(text, 2) AS cov,
+        |  graft_sign_project(array(CAST(1.0 AS FLOAT),
+        |    CAST(-2.0 AS FLOAT)), 4) AS sp,
+        |  graft_sign_project(array(CAST(1.0 AS FLOAT),
+        |    CAST(-2.0 AS FLOAT)), 4, 7) AS sp7
+        |FROM gf_t""".stripMargin).collect()
+    r6.foreach { r =>
+      assert(r.getSeq[Double](r.fieldIndex("sp")).length == 4)
+      assert(r.getSeq[Double](1) != r.getSeq[Double](2),
+        "seed argument must reach the kernel")
+    }
+    val cms = s.sql(
+      """SELECT graft_cms_agg(array(CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+        |  2, 8) AS grid FROM gf_t""".stripMargin).collect().head
+    assert(cms.getSeq[Long](0).length == 16, "depth x width grid")
   }
 
   test("graft_top_k coerces int scores/ids at analysis time " +
