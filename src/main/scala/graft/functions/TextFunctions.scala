@@ -96,7 +96,10 @@ object TextFunctions {
     * regex + literal replaces) — the 100 TB cost is one streaming pass
     * over the payload column. Script/style CONTENT is out of scope (a
     * text-extraction pipeline drops those blocks before this operator;
-    * the synthetic corpus has none). */
+    * the synthetic corpus has none), and like every regex-class scrubber
+    * a literal `>` inside a quoted attribute value ends the tag early —
+    * acceptable for corpus cleaning, not a substitute for an HTML
+    * parser. */
   def stripMarkup(html: Column): Column = {
     val noTags = regexp_replace(html, "<[^>]*>", " ")
     val decoded = Seq(
