@@ -4,16 +4,19 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Chunking, Contamination, Dedup, HeavyHitters, Relevance, Sampling}
+import graft.operators.{Cdc, Chunking, Contamination, Dedup,
+  HeavyHitters, QualityRules, Relevance, Sampling}
 
 /** End-to-end training-data pipeline over one corpus — the "switch to
   * this library" composition story in one runnable main:
   *
-  *   NFC canonicalize → intra-doc line scrub → scrub PII → near-dup
-  *   dedup (minhash LSH + survivor selection) → exact-substring dedup →
-  *   benchmark-contamination filter → quality + LM-surprisal filter →
-  *   per-source cap → temperature rebalancing → token-window chunking →
-  *   sequence packing → deterministic training order.
+  *   markup strip → NFC canonicalize → intra-doc line scrub → scrub
+  *   PII → normalized exact dedup → near-dup dedup (minhash LSH +
+  *   survivor selection) → exact-substring dedup →
+  *   benchmark-contamination filter → Gopher rules + quality +
+  *   LM-surprisal filter → per-source cap → temperature rebalancing →
+  *   token-window chunking → sequence packing → deterministic training
+  *   order → CDC/forget maintenance + incremental-ingest epilogue.
   *
   * Every stage is the same operator the driver-checked queries pin; this
   * main only composes them. Run:
@@ -35,7 +38,8 @@ object PipelineDemo {
     //    intra-doc repeated-line scrub — both fully row-local, free
     //    pre-passes before anything hashes text
     val canon = Dedup.intraLineDedup(
-        docs.select(col("doc_id"), TF.cleanText(col("text")).as("text")),
+        docs.select(col("doc_id"),
+          TF.cleanText(TF.stripMarkup(col("text"))).as("text")),
         "text", "doc_id")
       .select(col("doc_id"), col("clean_text").as("text"))
 
@@ -43,15 +47,21 @@ object PipelineDemo {
     val scrubbed = canon.select(col("doc_id"),
       TF.redactPii(col("text")).as("text"))
 
+    // 1b. normalized exact dedup pre-pass: a digest-only shuffle kills
+    //     formatting-level re-crawls before anything computes signatures
+    val normKeep = Dedup.normalizedExact(scrubbed, "text", "doc_id")
+      .select(col("survivor_id").as("doc_id"))
+    val normDeduped = scrubbed.join(normKeep, "doc_id")
+
     // 2. near-dup dedup: LSH candidates → exact-Jaccard verify →
     //    connected-component survivor selection
-    val pairs = Dedup.minhashNearDup(scrubbed, "text", "doc_id",
+    val pairs = Dedup.minhashNearDup(normDeduped, "text", "doc_id",
       shingleK = 3, numHashes = 64, bands = 16, threshold = 0.8)
     val survivors = Dedup.survivorsFromPairs(
-      scrubbed.select(col("doc_id").as("id")), pairs)
+      normDeduped.select(col("doc_id").as("id")), pairs)
       .filter(col("id") === col("survivor_id"))
       .select(col("id").as("doc_id"))
-    val nearDeduped = scrubbed.join(survivors, "doc_id")
+    val nearDeduped = normDeduped.join(survivors, "doc_id")
 
     // 2b. exact-substring dedup: drop the higher-id doc of any pair
     //     sharing a verbatim >= 12-token run (catches partial-overlap
@@ -70,7 +80,12 @@ object PipelineDemo {
         "text", "doc_id", k = 3)
       .filter(col("contamination") >= 0.5)
       .select(col("doc_id"))
+    // materialize once: every downstream stage joins `clean` against a
+    // function of ITSELF (gopher keep-list, quality scores, LM cut) —
+    // each such self-join would double the whole dedup lineage, which
+    // compounds exponentially per stage. localCheckpoint severs it.
     val clean = deduped.join(contam, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     val n2 = clean.count()
 
     // 4. quality filter: one-pass signals kernel + hashed-feature linear
@@ -78,7 +93,10 @@ object PipelineDemo {
     //    demo self-contained) + corpus-LM surprisal outlier cut (drop the
     //    docs whose mean inverse probability under the corpus's own
     //    unigram LM is in the extreme tail)
-    val sigKept = clean
+    val gopherKeep = QualityRules.gopherRules(clean, "text", "doc_id",
+        minWords = 5, maxWords = 5000)
+      .filter(col("keep")).select(col("doc_id"))
+    val sigKept = clean.join(gopherKeep, "doc_id")
       .select(col("doc_id"), col("text"),
         TF.textSignals(col("text")).as("sig"),
         TF.hashedLinearScore(col("text")).as("lin"))
@@ -158,6 +176,22 @@ object PipelineDemo {
     val nNearPairs = Dedup.lshProbeNearDup(lsh, fresh, "text", "doc_id",
       threshold = 0.6).count()
 
+    // 9b. corpus maintenance: merge the fresh delta in as a CDC batch
+    //     (version 2, delta wins), then honor a forget-list request —
+    //     the two mutation passes a served corpus takes between runs
+    val snap = balanced
+      .select(col("doc_id"), col("text"), lit(1L).as("version"),
+        lit(false).as("deleted"))
+    val cdcDelta = fresh
+      .select(col("doc_id"), col("text"), lit(2L).as("version"),
+        lit(false).as("deleted"))
+    val merged = Cdc.mergeCdc(snap, cdcDelta, "doc_id", "version",
+      "deleted")
+    val forgetList = merged.orderBy(col("doc_id")).limit(3)
+      .select(sha2(col("text"), 256).as("text_sha")).localCheckpoint()
+    val served = Cdc.forgetByDigest(merged, "text", forgetList)
+    val nServed = served.count()
+
     // 10. corpus report: exact frequent terms without a vocabulary
     //     shuffle, and the strongest collocations
     val nHeavy = HeavyHitters.heavyTokens(balanced, "text",
@@ -168,12 +202,15 @@ object PipelineDemo {
     println(s"docs=$n0 afterDedup=$n1 afterContam=$n2 afterQuality=$n3 " +
       s"afterBalance=$n4 chunks=$nChunks packs=$nPacks ordered=$nOrdered " +
       s"splits=$splits ingestRecrawls=$nRecrawl ingestNearPairs=" +
-      s"$nNearPairs heavyTerms=$nHeavy collocations=$nColl")
+      s"$nNearPairs served=$nServed heavyTerms=$nHeavy " +
+      s"collocations=$nColl")
     require(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 >= n4 && n4 > 0 &&
       nChunks > 0 && nOrdered == n4 && nSplit == n4,
       "pipeline stages must monotonically filter and keep data")
     require(nRecrawl > 0 && nNearPairs > 0 && nHeavy > 0 && nColl > 0,
       "ingest screen and corpus report must be non-vacuous")
+    require(nServed > n4 - 3 && nServed < n4 + delta.count(),
+      "CDC merge must add the fresh delta and the forget pass must cut")
     spark.stop()
   }
 }
