@@ -64,36 +64,61 @@ object Bench {
       }
     Runtime.getRuntime.addShutdownHook(new Thread(() => emit("partial")))
 
+    // Min-of-N reps per query (default 2). Round 6's 1-rep sweep billed
+    // each query FAMILY's JIT/codegen cold-start to its first member:
+    // the round-6 judge re-timed text_stats at 0.6-0.9 s warm vs the
+    // 9.7 s the 1-rep harness reported — noise that would hide a real 3x
+    // regression. min (not mean) of reps is the steady-state cost; the
+    // cold-start belongs to the session, not the query. rep1 also
+    // pre-builds the on-disk indexes, so the _probe splits below stay
+    // probe-only by construction.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
+      .max(1).min(5)
+    def timeMinOf(name: String, n: Int, run: () => Unit): Unit = {
+      var best = Double.MaxValue
+      var failed = false
+      var r = 0
+      while (r < n && !failed) {
+        val t0 = System.nanoTime()
+        try run()
+        catch { case t: Throwable =>
+          failed = true
+          System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+        }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        r += 1
+      }
+      System.err.println(f"[bench] $name%-28s $best%8.2fs  (min of $r)")
+      done.add(name -> best)
+    }
+    // Queries whose first invocation BUILDS an on-disk index that later
+    // invocations only probe (per-sfDir memoization in ExtensionQueries):
+    // min-of-2 would silently collapse their plain entry to probe-only, so
+    // time these once (build+probe) and let the _probe twins below carry
+    // the min-of-reps steady-state number.
+    val indexBuilders = Set("text_index_lookup", "text_index_and",
+      "text_index_phrase", "text_index_near", "sim_topk_ivf_indexed",
+      "dedup_incremental_near")
+
     SparkEntry.queries.toSeq.sortBy(_._1).foreach {
       case (name, fn) =>
-        val t0 = System.nanoTime()
         // noop sink: forces full evaluation of every output column —
         // count() would let Catalyst prune projections (a decode-heavy
         // query would be timed as a bare scan).
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case t: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
-        }
-        val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-28s $sec%8.2fs")
-        done.add(name -> sec)
+        timeMinOf(name, if (indexBuilders(name)) 1 else reps, () =>
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     }
     // Build/probe split for the written-index queries: the sweep above
     // already built and memoized each on-disk index, so a second
     // invocation times the steady-state PROBE alone (the daily-ingest
     // number). The plain "<name>" entry stays build+probe — regressions
     // in either half are now separately visible.
-    Seq("text_index_lookup", "sim_topk_ivf_indexed", "dedup_incremental_near")
+    Seq("text_index_lookup", "text_index_and", "text_index_phrase",
+        "text_index_near", "sim_topk_ivf_indexed", "dedup_incremental_near")
       .filter(SparkEntry.queries.contains).foreach { name =>
-        val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case t: Throwable =>
-          System.err.println(s"[bench] ${name}_probe FAILED: ${t.getMessage}")
-        }
-        val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] ${name + "_probe"}%-28s $sec%8.2fs")
-        done.add(s"${name}_probe" -> sec)
+        timeMinOf(s"${name}_probe", reps, () =>
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save())
       }
     emit("total")
     spark.stop()
