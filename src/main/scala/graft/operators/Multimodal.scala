@@ -211,6 +211,104 @@ object Multimodal {
   final case class FeatureRow(doc_id: Long, n_bytes: Int, mean_byte: Double,
       features: Array[Float])
 
+  /** One decoded audio channel's features (see [[extractAudioFeatures]]). */
+  final case class AudioFeatureRow(doc_id: Long, channel: Long,
+      n_frames: Long, peak_abs: Long, sum_sq: Long, zero_crossings: Long,
+      rms: Double)
+
+  /** REAL audio payload decode — this is the actual sample decode the
+    * round-6 feature path lacked (no codec library needed: PCM16 WAV is
+    * pure byte arithmetic). A JVM RIFF chunk walk (twin of the Catalyst
+    * [[wavMeta]] walker, same skip rule `8 + size + size%2`) locates the
+    * `fmt `/`data` chunks; PCM (format code 1), 16-bit payloads are then
+    * decoded frame-by-frame as little-endian SIGNED 16-bit samples and
+    * reduced per channel to:
+    *  - `peak_abs`  max |s| (|−32768| = 32768, hence long),
+    *  - `sum_sq`    exact Σ s² (≤ n·2³⁰, long-exact and double-exact
+    *                below 2⁵³ — the oracle's SUM matches bit-for-bit),
+    *  - `zero_crossings`  count of consecutive-frame sign flips, where
+    *                "negative" is s < 0 (0 counts as non-negative),
+    *  - `rms`       sqrt(sum_sq / n) in IEEE double — division and sqrt
+    *                are correctly rounded on both the JVM and the oracle,
+    *                so the doubles hash identically.
+    * Non-RIFF / non-PCM16 / truncated / zero-frame payloads decode to no
+    * rows (a real ingest would route those to a rejects side-channel). */
+  def decodeWavPcm16(bytes: Array[Byte])
+      : IndexedSeq[(Int, Long, Long, Long, Long, Double)] = {
+    if (bytes == null || bytes.length < 12) return Vector.empty
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String): Boolean =
+      i + 4 <= bytes.length && s.indices.forall(k => bytes(i + k) == s(k))
+    if (!tag(0, "RIFF") || !tag(8, "WAVE")) return Vector.empty
+    var pos = 12L
+    var fmtCode = -1; var channels = -1; var bits = -1
+    var dataOff = -1L; var dataSz = -1L
+    var guard = 0
+    while (pos + 8 <= bytes.length && (channels < 0 || dataOff < 0) &&
+        guard < 64) {
+      val p = pos.toInt
+      val size = le32(p + 4)
+      if (tag(p, "fmt ") && channels < 0 && p + 24 <= bytes.length) {
+        fmtCode = le16(p + 8); channels = le16(p + 10); bits = le16(p + 22)
+      } else if (tag(p, "data") && dataOff < 0) {
+        dataOff = pos + 8
+        dataSz = math.min(size, bytes.length - dataOff)
+      }
+      pos += 8L + size + (size % 2) // RIFF pads odd chunks to even offsets
+      guard += 1
+    }
+    if (fmtCode != 1 || bits != 16 || channels < 1 || dataOff < 0)
+      return Vector.empty
+    val bytesPerFrame = channels * 2
+    val n = (dataSz / bytesPerFrame).toInt
+    if (n == 0) return Vector.empty
+    val out = Vector.newBuilder[(Int, Long, Long, Long, Long, Double)]
+    var c = 0
+    while (c < channels) {
+      var peak = 0L; var sumSq = 0L; var zc = 0L
+      var prevNeg = false
+      var f = 0
+      while (f < n) {
+        val off = dataOff.toInt + f * bytesPerFrame + c * 2
+        val s = ((u8(off + 1) << 8) | u8(off)).toShort.toInt
+        val a = math.abs(s.toLong)
+        if (a > peak) peak = a
+        sumSq += s.toLong * s
+        val neg = s < 0
+        if (f > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+        f += 1
+      }
+      out += ((c, n.toLong, peak, sumSq, zc, math.sqrt(sumSq.toDouble / n)))
+      c += 1
+    }
+    out.result()
+  }
+
+  /** Per-partition batch AUDIO decode: one row per (payload, channel) with
+    * the [[decodeWavPcm16]] stats. Same batch discipline as
+    * [[extractFeatures]] (streaming iterator, per-partition init point),
+    * but the decode step is real — swapping in a compressed-codec library
+    * later only widens the format dispatch, the plan shape is final. */
+  def extractAudioFeatures(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[AudioFeatureRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
+      .as[BlobRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeWavPcm16(r.blob).iterator.map {
+            case (c, n, peak, sumSq, zc, rms) =>
+              AudioFeatureRow(r.doc_id, c.toLong, n, peak, sumSq, zc, rms)
+          }
+        }
+      }
+  }
+
   object FeatureExtractor {
     val FeatureDim = 8
 

@@ -307,6 +307,29 @@ class SimilaritySpec extends SparkFunSuite {
     assert(got == Seq((1L, 9L, 0.95), (1L, 11L, 0.95), (2L, 20L, 0.4)))
   }
 
+  test("resolveNlist: explicit values pass through; AutoNlist sizes " +
+      "≈ √N from the corpus with a floor clamp") {
+    val s = spark
+    import s.implicits._
+    val d100 = (1 to 100).map(i => (i.toLong, Array(1.0f, i.toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.resolveNlist(d100, 16) == 16)
+    assert(Similarity.resolveNlist(d100, Similarity.AutoNlist) == 10)
+    val d3 = (1 to 3).map(i => (i.toLong, Array(1.0f, i.toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.resolveNlist(d3, Similarity.AutoNlist) == 4)
+    // the auto default is live end-to-end: semanticNearDup's convenience
+    // overload trains √N centroids and matches the explicit-centroid path
+    val emb100 = emb.limit(100)
+    val auto = Dedup.semanticNearDup(emb100, "embedding", "vec_id",
+      threshold = 0.9, nlist = Similarity.AutoNlist, iters = 1)
+    val (ids, vecs) = Similarity.kmeansCentroids(emb100, 10, 1)
+    val explicit = Dedup.semanticNearDup(emb100, "embedding", "vec_id",
+      ids, vecs, threshold = 0.9)
+    assert(auto.collect().map(_.toString).sorted.toSeq ==
+      explicit.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("IVF recall vs brute force >= 0.5 at nprobe=4/nlist=8 (sf0.001)") {
     val queries = emb.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
@@ -980,6 +1003,33 @@ class TextFunctionsSpec extends SparkFunSuite {
     assert(got == expect, s"got $got\nexpect $expect")
   }
 
+  test("trainMerges job count is constant in nMerges (one corpus scan + " +
+      "one dict collect; the merge loop is driver-local)") {
+    import graft.functions.{BpeTokenizer => Bpe}
+    val sc = spark.sparkContext
+    // count jobs per run via job groups; the status store is fed
+    // asynchronously from the listener bus, so poll until stable
+    def jobsFor(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group)
+      try body finally sc.clearJobGroup()
+      var last = -1
+      var cur = sc.statusTracker.getJobIdsForGroup(group).length
+      var spins = 0
+      while (cur != last && spins < 50) {
+        last = cur; Thread.sleep(100)
+        cur = sc.statusTracker.getJobIdsForGroup(group).length
+        spins += 1
+      }
+      cur
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n2 = jobsFor("bpe-train-2")(Bpe.trainMerges(docs, "text", 2))
+    val n16 = jobsFor("bpe-train-16")(Bpe.trainMerges(docs, "text", 16))
+    assert(n2 == n16,
+      s"job count must not grow with nMerges: $n2 vs $n16")
+    assert(n16 <= 4, s"dict build should be a couple of jobs, got $n16")
+  }
+
   test("BPE apply: rank-ordered merges, boundary-safe (no partial-symbol " +
       "match), word-local (no merge across the token separator)") {
     import graft.functions.{BpeTokenizer => Bpe}
@@ -1145,6 +1195,45 @@ class MultimodalSpec extends SparkFunSuite {
       Some(88200L), Some(2000L)), "2 s stereo behind LIST/fact clutter")
     assert(rows(2)._2.forall(_.isEmpty), "RIFF/AVI is not WAVE")
     assert(rows(3)._2.forall(_.isEmpty), "truncated fmt yields NULL")
+  }
+
+  test("decodeWavPcm16: real PCM16 decode — sign/endianness/interleave, " +
+      "per-channel stats, size-field clamp, non-PCM16 rejected") {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fmt(ch: Int, bits: Int, code: Int = 1) = {
+      val blk = ch * bits / 8
+      "fmt ".getBytes ++ le32(16) ++ le16(code) ++ le16(ch) ++ le32(8000) ++
+        le32(8000L * blk) ++ le16(blk) ++ le16(bits)
+    }
+    def wav(ch: Int, samples: Seq[Int], bits: Int = 16, code: Int = 1,
+        declaredSz: Option[Long] = None) = {
+      val data = samples.flatMap(le16).toArray
+      "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++ fmt(ch, bits, code) ++
+        "data".getBytes ++ le32(declaredSz.getOrElse(data.length.toLong)) ++
+        data
+    }
+    // mono: extremes + sign flips. signs: + + - + -  => 3 crossings;
+    // peak = |-32768| = 32768; sum_sq hand-summed below
+    val mono = Multimodal.decodeWavPcm16(
+      wav(1, Seq(0, 1000, -1000, 32767, -32768)))
+    val expSq = 1000L * 1000 * 2 + 32767L * 32767 + 32768L * 32768
+    assert(mono == Vector((0, 5L, 32768L, expSq, 3L,
+      math.sqrt(expSq.toDouble / 5))))
+    // stereo interleave: frames (100,5) (-100,5) — ch0 flips once, ch1 never
+    val st = Multimodal.decodeWavPcm16(wav(2, Seq(100, 5, -100, 5)))
+    assert(st == Vector(
+      (0, 2L, 100L, 20000L, 1L, math.sqrt(10000.0)),
+      (1, 2L, 5L, 25L + 25L, 0L, math.sqrt(25.0))))
+    // declared data size beyond the payload clamps to the real bytes
+    val clamped = Multimodal.decodeWavPcm16(
+      wav(1, Seq(7, -7), declaredSz = Some(1 << 20)))
+    assert(clamped.map(t => (t._1, t._2)) == Vector((0, 2L)))
+    // 8-bit PCM and float (code 3) payloads are not this decoder's format
+    assert(Multimodal.decodeWavPcm16(wav(1, Seq(1, 2), bits = 8)).isEmpty)
+    assert(Multimodal.decodeWavPcm16(wav(1, Seq(1, 2), code = 3)).isEmpty)
+    assert(Multimodal.decodeWavPcm16("not riff at all".getBytes).isEmpty)
   }
 }
 
