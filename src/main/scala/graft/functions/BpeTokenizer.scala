@@ -96,14 +96,26 @@ object BpeTokenizer {
     * `zip(word, word[1:])`); the merge APPLY is the same left-to-right
     * non-overlapping `replace` pass as [[applyMerges]].
     *
-    * 100 TB design: the corpus is scanned ONCE to build the word
+    * 100 TB design: the corpus is scanned ONCE to build the word-type
     * dictionary (token-count partial aggregate, vocabulary-sized
-    * exchange); every training iteration then runs over the DICTIONARY
-    * (pair stats partial-aggregate to a pair-vocabulary-sized exchange,
-    * argmax is a 1-row `TakeOrderedAndProject`, the merge rewrite is
-    * row-local) — the corpus is never rescanned, which is exactly how
-    * production BPE trainers stay tractable. The dictionary is
-    * `localCheckpoint`ed per iteration so the plan stays flat.
+    * exchange) and the dictionary is collected ONCE — it is vocab-bounded
+    * by construction (word TYPES, not corpus tokens; a few MB even for a
+    * web-scale corpus, which is why the reference Sennrich trainer is a
+    * single-machine dict loop too). Every merge iteration then runs
+    * driver-local over the in-memory dict. The round-6 formulation kept
+    * the dict distributed and launched one `limit(1).collect()` job PER
+    * MERGE — correct, but a realistic 30k-merge vocab meant 30k
+    * sequential Spark jobs of pure scheduler overhead; the Spark job
+    * count is now constant in `nMerges` (pinned by a listener spec).
+    *
+    * The driver-local loop reproduces the distributed semantics
+    * operation-for-operation: same `" c;"` boundary-safe symbol
+    * encoding, same overlapping adjacent-pair counts weighted by word
+    * freq, same (count desc, pair text asc) deterministic tie-break, and
+    * the same left-to-right non-overlapping no-rescan literal `replace`
+    * for the merge rewrite (`java.lang.String.replace` and Spark's
+    * `replace` share that contract — it is the property the whole
+    * encoding relies on, see the class doc).
     *
     * @return (pair, merged, freq) in rank order, e.g.
     *         `("t h", "th", 1234L)`; stops early if no pair remains
@@ -111,43 +123,56 @@ object BpeTokenizer {
   def trainMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
       nMerges: Int): Seq[(String, String, Long)] = {
     require(nMerges > 0)
-    val out = Seq.newBuilder[(String, String, Long)]
-    var dict = docs
+    // the ONLY Spark work: corpus scan → word-type dict, collected once
+    val dict: Array[(String, Long)] = docs
       .select(explode(TextFunctions.normTokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(regexp_replace(col("word"), "([a-z0-9])", " $1;").as("sym"),
-        col("freq"))
-      .localCheckpoint()
+      .collect()
+      .map(r => (r.getString(0).flatMap(c => s" $c;"), r.getLong(1)))
+    val syms = dict.map(_._1).toBuffer // encoded symbol strings, mutated
+    val out = Seq.newBuilder[(String, String, Long)]
     var i = 0
     var exhausted = false
     while (i < nMerges && !exhausted) {
-      val syms = filter(transform(split(col("sym"), ";"), s => trim(s)),
-        s => s =!= "")
-      // sequence(1, 0) would step BACKWARD for 1-symbol words — guard
-      // with an explicit empty-array branch (same trap as epochMix)
-      val prs = when(size(syms) < 2, array().cast("array<string>"))
-        .otherwise(zip_with(
-          slice(syms, lit(1), size(syms) - 1),
-          slice(syms, lit(2), size(syms) - 1),
-          (a, b) => concat_ws(" ", a, b)))
-      val top = dict.select(col("freq"), explode(prs).as("pr"))
-        .groupBy(col("pr")).agg(sum(col("freq")).as("c"))
-        .orderBy(col("c").desc, col("pr")).limit(1).collect()
-      if (top.isEmpty) exhausted = true
+      // overlapping adjacent-pair counts over the dict, freq-weighted —
+      // split/trim/filter mirrors the distributed pair extraction
+      val counts = new java.util.HashMap[String, Long]()
+      var w = 0
+      while (w < syms.length) {
+        val parts = syms(w).split(";").map(_.trim).filter(_.nonEmpty)
+        val freq = dict(w)._2
+        var k = 0
+        while (k + 1 < parts.length) {
+          val pr = parts(k) + " " + parts(k + 1)
+          counts.merge(pr, freq, _ + _)
+          k += 1
+        }
+        w += 1
+      }
+      if (counts.isEmpty) exhausted = true
       else {
-        val pr = top(0).getString(0)
-        val merged = pr.replace(" ", "")
-        out += ((pr, merged, top(0).getLong(1)))
-        val old = dict
-        dict = dict.select(
-            replace(col("sym"), lit(encodePattern(pr)), lit(s" $merged;"))
-              .as("sym"), col("freq"))
-          .localCheckpoint()
-        old.unpersist()
+        // argmax with the distributed order's exact tie-break:
+        // count desc, then pair text asc (String.compareTo == Spark's
+        // UTF8String binary order on this ASCII alphabet)
+        var bestPr: String = null
+        var bestC = -1L
+        counts.forEach { (pr, c) =>
+          if (c > bestC || (c == bestC && pr.compareTo(bestPr) < 0)) {
+            bestPr = pr; bestC = c
+          }
+        }
+        val merged = bestPr.replace(" ", "")
+        out += ((bestPr, merged, bestC))
+        val pat = encodePattern(bestPr)
+        val rep = s" $merged;"
+        var j = 0
+        while (j < syms.length) {
+          syms(j) = syms(j).replace(pat, rep)
+          j += 1
+        }
         i += 1
       }
     }
-    dict.unpersist()
     out.result()
   }
 }
