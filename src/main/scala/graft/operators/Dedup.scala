@@ -499,6 +499,20 @@ object Dedup {
     * cell. A cross-cluster near-pair is missed by construction — that is
     * SemDeDup's documented approximation, traded for never comparing
     * across cells. */
+  /** Auto-sized convenience overload: trains centroids with
+    * [[Similarity.kmeansCentroids]] at the resolved nlist — by default
+    * [[Similarity.AutoNlist]], i.e. ≈ √N, the operating point that keeps
+    * the within-cell O(cell²) compare bounded as the corpus grows (the
+    * round-6 x20 probe measured fixed nlist=16 at 2.5× the √N cost at
+    * 100k docs). Pass an explicit nlist/centroid table for a pinned
+    * reproducible cell rule (the oracle queries do). */
+  def semanticNearDup(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, nlist: Int, iters: Int): DataFrame = {
+    val (ids, vecs) = Similarity.kmeansCentroids(df, nlist, iters, vecCol,
+      idCol)
+    semanticNearDup(df, vecCol, idCol, ids, vecs, threshold)
+  }
+
   def semanticNearDup(df: DataFrame, vecCol: String, idCol: String,
       centIds: Array[Long], centVecs: Array[Array[Double]],
       threshold: Double): DataFrame = {

@@ -19,6 +19,24 @@ import graft.plans.TopKByScore
   */
 object Similarity {
 
+  /** Sentinel `nlist` value: size the cell count from the corpus at
+    * build time. See [[resolveNlist]]. */
+  val AutoNlist: Int = -1
+
+  /** Resolve an `nlist` argument: explicit values pass through;
+    * [[AutoNlist]] becomes round(√N), clamped to [4, 65536], from a
+    * metadata-cheap `count()` (for a parquet corpus that's row-group
+    * stats, not a data scan; callers with a known row count can just
+    * pass √N themselves). √N is the classical IVF operating point —
+    * per-query probe work is O(nlist + nprobe·N/nlist), minimized at
+    * nlist ≈ √N — and it bounds SemDeDup's O(cell²) within-cell compare.
+    * The round-6 x20 probe measured the cost of NOT tracking N: fixed
+    * nlist=16 at 100k docs ran 5.67 s vs 2.30 s at the √N-sized point. */
+  def resolveNlist(corpus: DataFrame, nlist: Int): Int =
+    if (nlist != AutoNlist) nlist
+    else math.max(4L, math.min(65536L,
+      math.round(math.sqrt(corpus.count().toDouble)))).toInt
+
   /** Native bounded-heap top-k aggregate (score desc, id asc). */
   def topK(score: Column, id: Column, k: Int): Column =
     ColumnBridge.column(TopKByScore(
@@ -53,13 +71,13 @@ object Similarity {
     * making every query a partition-pruned scan (see
     * [[graft.tools.PlanAudit]] for the demonstrated plan shapes). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4,
+      nlist: Int = AutoNlist, nprobe: Int = 4,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     // index build: nlist rows cross the driver — an IVF index's centroid
     // set is small by construction, like a broadcast dimension
     val centRows = corpus
       .select(col(idCol).cast("long").as("cid"), VF.asDouble(col(vecCol)).as("cv"))
-      .orderBy(col("cid")).limit(nlist).collect()
+      .orderBy(col("cid")).limit(resolveNlist(corpus, nlist)).collect()
     val centIds = centRows.map(_.getLong(0))
     val centVecs = centRows.map(_.getSeq[Double](1).toArray)
     ivfTopKWithCentroids(corpus, queries, k, centIds, centVecs, nprobe,
@@ -129,12 +147,13 @@ object Similarity {
     * "periodic k-means job" the index docs reference): smallest-id init,
     * `iters` Lloyd's iterations, each one corpus scan + a tiny aggregate.
     * Returns (stable cell labels, trained centroid vectors). */
-  def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int,
+  def kmeansCentroids(corpus: DataFrame, nlist: Int = AutoNlist,
+      iters: Int = 1,
       vecCol: String = "embedding", idCol: String = "vec_id")
       : (Array[Long], Array[Array[Double]]) = {
     val centRows = corpus
       .select(col(idCol).cast("long").as("cid"), VF.asDouble(col(vecCol)).as("cv"))
-      .orderBy(col("cid")).limit(nlist).collect()
+      .orderBy(col("cid")).limit(resolveNlist(corpus, nlist)).collect()
     val centIds = centRows.map(_.getLong(0))
     var vecs = centRows.map(_.getSeq[Double](1).toArray)
     (0 until iters).foreach { _ =>
@@ -158,15 +177,16 @@ object Similarity {
 
   /** Build + write the cell-partitioned corpus (centroid rule identical to
     * [[ivfTopK]]: the `nlist` smallest-id vectors). */
-  def buildIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16,
+  def buildIvfIndex(corpus: DataFrame, path: String, nlist: Int = AutoNlist,
       vecCol: String = "embedding", idCol: String = "vec_id"): IvfIndex = {
+    val n = resolveNlist(corpus, nlist)
     val centRows = corpus
       .select(col(idCol).cast("long").as("cid"), VF.asDouble(col(vecCol)).as("cv"))
-      .orderBy(col("cid")).limit(nlist).collect()
+      .orderBy(col("cid")).limit(n).collect()
     val centIds = centRows.map(_.getLong(0))
     val centVecs = centRows.map(_.getSeq[Double](1).toArray)
     writeCells(corpus, centIds, centVecs, vecCol, idCol, "overwrite", path)
-    IvfIndex(path, centIds, centVecs, nlist)
+    IvfIndex(path, centIds, centVecs, n)
   }
 
   /** Incrementally absorb a new vector batch into a written IVF index:
