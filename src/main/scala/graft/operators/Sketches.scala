@@ -177,6 +177,61 @@ object Sketches {
       .orderBy(col("p"))
   }
 
+  /** Rank-adaptive histogram quantiles for UNKNOWN value ranges — the
+    * round-6 gap: [[histQuantiles]] needs a user-supplied `binWidth`,
+    * which a heavy-tailed or unfamiliar column doesn't offer. Two-pass
+    * instead: pass 1 calibrates `(min, max, count)` in one scan (one row
+    * to the driver — broadcast-dim-shaped, like the int8 quantizer's
+    * calibration); pass 2 bins `(value − min) DIV binWidth` with
+    * `binWidth = ceil(range / nBins)` — exactly TWO corpus scans, both
+    * map-side-combined to ≤ nBins `(bin, count)` rows, no exact-percentile
+    * audit leg (that's the fixed-width variant's job; at a true 100 TB
+    * scale the audit is the expensive leg). Because `n` is known after
+    * pass 1, the rank thresholds `ceil(p·n/100)` are LITERALS in pass 2's
+    * plan — the readout join needs no second aggregate over the corpus.
+    *
+    * Negative values are fine (bins are offset from min); estimates are
+    * the winning bin's exact int64 value range `[est_lo, est_hi]`. Empty
+    * input returns an empty frame with the output schema. */
+  def histQuantilesAuto(df: DataFrame, valueCol: String, nBins: Int,
+      ps: Seq[Int]): DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      "percentiles must be integers in [1, 100]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("long")
+    // pass 1: calibrate — min/max/count, one row
+    val cal = df.agg(min(v).as("lo"), max(v).as("hi"),
+      count(lit(1)).as("n")).collect()(0)
+    if (cal.isNullAt(0))
+      return Seq.empty[(Int, Long, Long)].toDF("p", "est_lo", "est_hi")
+    val lo = cal.getLong(0)
+    val hi = cal.getLong(1)
+    val n = cal.getLong(2)
+    // floor((hi−lo)/nBins)+1 == ceil((hi−lo+1)/nBins) exactly (hi ≥ lo),
+    // so at most nBins bins and always ≥ 1
+    val binWidth = (hi - lo) / nBins + 1
+    // pass 2: bin counts; thresholds are literals (n is driver-known)
+    val bins = df.select(TF.intDivNonNeg(v - lit(lo), lit(binWidth))
+        .as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = bins.withColumn("cum", sum(col("n")).over(w))
+    val wanted = ps.map(p => (p, (p.toLong * n + 99L) / 100L))
+      .toDF("p", "thr")
+    cum.join(broadcast(wanted), col("cum") >= col("thr"))
+      .groupBy(col("p"), col("thr"))
+      .agg(min(col("bin")).as("bin"))
+      .select(col("p"),
+        (lit(lo) + col("bin") * binWidth).as("est_lo"),
+        (lit(lo) + col("bin") * binWidth + (binWidth - 1)).as("est_hi"))
+      .orderBy(col("p"))
+  }
+
   /** Pairwise word-shingle Jaccard between corpus GROUPS (sources, crawl
     * snapshots, language slices) — "how much does crawl A overlap crawl
     * B" is the first question a curation pipeline asks before mixing.

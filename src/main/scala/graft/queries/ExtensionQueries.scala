@@ -370,6 +370,12 @@ object ExtensionQueries {
       Sketches.histQuantiles(t(s, dir, "documents"), "n_chars",
         binWidth = 64, ps = Seq(50, 90, 99))),
 
+    // rank-adaptive twin: no user binWidth — pass 1 calibrates min/max/n,
+    // pass 2 bins at ceil(range/32); exactly two corpus scans
+    "sketch_quantile_auto" -> ((s, dir) =>
+      Sketches.histQuantilesAuto(t(s, dir, "documents"), "n_chars",
+        nBins = 32, ps = Seq(50, 90, 99))),
+
     // CountMin sketch error audit: the mergeable counter grid (one
     // partial-aggregated array row, the token stream never shuffles)
     // probed at the exact top-20 tokens — overcount = est − exact is the
@@ -2593,6 +2599,22 @@ object ExtensionQueries {
         |    CASE p WHEN 50 THEN e50 WHEN 90 THEN e90 ELSE e99 END)
         |    AS abs_err
         |FROM est, ex ORDER BY p""".stripMargin,
+    // rank-adaptive twin: same integer readout but the bin width itself is
+    // derived (floor(range/32)+1 == ceil((range+1)/32)) — the oracle
+    // re-derives calibration, width, bins, and thresholds from scratch
+    "sketch_quantile_auto" ->
+      """WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents),
+        |cal AS (SELECT MIN(v) AS lo, MAX(v) AS hi,
+        |  CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        |bw AS (SELECT lo, n, (hi - lo) // 32 + 1 AS w FROM cal),
+        |bins AS (SELECT (v - lo) // w AS bin, COUNT(*) AS cnt
+        |  FROM v, bw GROUP BY 1),
+        |cum AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM bins),
+        |ps AS (SELECT * FROM (VALUES (50), (90), (99)) t(p)),
+        |est AS (SELECT p, MIN(bin) AS bin FROM ps, cum, bw
+        |  WHERE cum >= (p * n + 99) // 100 GROUP BY p)
+        |SELECT p, lo + bin * w AS est_lo, lo + bin * w + (w - 1) AS est_hi
+        |FROM est, bw ORDER BY p""".stripMargin,
     // recomputes the full CountMin grid from the raw token stream with
     // the same pairwise hash rows — every probed (depth, bucket) cell
     // holds at least the probe token's own count, so the inner join is

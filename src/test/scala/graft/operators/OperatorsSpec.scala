@@ -833,6 +833,32 @@ class SketchSpec extends SparkFunSuite {
       assert(math.abs(est - exact).toDouble / exact < 0.05,
         s"$name estimate $est vs exact $exact")
   }
+
+  test("histQuantilesAuto: derived bin width, negative values, empty " +
+      "input, and a single corpus scan in the readout plan") {
+    val s = spark
+    import s.implicits._
+    // values −10..49 (n=60, range 60 → width floor(59/16)+1 = 4 at
+    // nBins=16, bins offset from min): p=50 → thr=30 → value 19 lives in
+    // bin (19−(−10))/4 = 7 → est range [−10+28, −10+31] = [18, 21]
+    val d = (-10L to 49L).toDF("v")
+    val out = Sketches.histQuantilesAuto(d, "v", nBins = 16,
+      ps = Seq(50, 100)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((50, 18L, 21L), (100, 46L, 49L)))
+    // empty input → empty frame, schema intact
+    val empty = Sketches.histQuantilesAuto(d.filter(col("v") > 100L), "v",
+      nBins = 16, ps = Seq(50))
+    assert(empty.collect().isEmpty &&
+      empty.columns.toSeq == Seq("p", "est_lo", "est_hi"))
+    // two-scan contract: pass 1 (calibrate) ran eagerly; the returned
+    // frame's plan holds exactly ONE scan of the input — its only other
+    // leaf is the literal (p, thr) threshold relation
+    val plan = Sketches.histQuantilesAuto(d, "v", nBins = 16, ps = Seq(50))
+      .queryExecution.optimizedPlan
+    assert(plan.collectLeaves().length == 2,
+      s"expected corpus scan + literal thresholds, got:\n$plan")
+  }
 }
 
 class RangeJoinSpec extends SparkFunSuite {
