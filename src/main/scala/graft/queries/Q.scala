@@ -32,9 +32,15 @@ object Q {
     *     integer division (`DIV`, not `/` — ~1.7e18 ns overflows double
     *     precision).
     *   - MICROS NTZ: Spark reads TIMESTAMP_NTZ; reinterpret the wall-clock
-    *     value as UTC instant via `to_utc_timestamp` (explicit zone — NOT a
-    *     bare cast, which would shift by the session/JVM timezone on a
-    *     driver session we don't configure).
+    *     value as a UTC instant. A bare cast goes through the SESSION
+    *     timezone (wall → instant in that zone), and so does
+    *     `to_utc_timestamp(ntz, 'UTC')` — the implicit NTZ→TIMESTAMP cast
+    *     happens first and the UTC shift is then a no-op (round-6 advice,
+    *     verified on 4.1.2: the result differed by the zone offset under a
+    *     non-UTC session tz). The tz-independent form undoes the cast's
+    *     session shift explicitly: `from_utc_timestamp(cast(ts as
+    *     timestamp), <session tz>)` adds back offset(session) and lands on
+    *     wall-as-UTC regardless of what the session tz is.
     *   - Already TimestampType: pass through. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -43,7 +49,9 @@ object Q {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts", expr("to_utc_timestamp(ts, 'UTC')"))
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        df.withColumn("ts",
+          expr(s"from_utc_timestamp(cast(ts as timestamp), '$tz')"))
       case _ => df
     }
   }
