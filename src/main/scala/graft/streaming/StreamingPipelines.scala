@@ -226,19 +226,67 @@ object StreamingPipelines {
     * — constant state for unbounded streams (an unbounded-time stream join
     * would buffer forever). Output columns:
     * (trigger_id, event_id, user_id). */
+  /** Resolve the live CDC snapshot directory under `snapshotPath`:
+    * follow the `_latest` pointer file if it names an existing `v*` dir,
+    * else (pointer missing or dangling — i.e. a crash between version
+    * write and pointer flip) fall back to the NEWEST `v*` dir, else None
+    * (fresh snapshot). This is the reader half of the crash-safe publish
+    * protocol in [[mergeCdcStream]]. */
+  def resolveCdcSnapshot(spark: org.apache.spark.sql.SparkSession,
+      snapshotPath: String): Option[org.apache.hadoop.fs.Path] = {
+    val base = new org.apache.hadoop.fs.Path(snapshotPath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(base, "_latest")
+    val fromPtr =
+      if (!fs.exists(ptr)) None
+      else {
+        val in = fs.open(ptr)
+        val name =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        Some(new org.apache.hadoop.fs.Path(base, name)).filter(fs.exists)
+      }
+    fromPtr.orElse {
+      if (!fs.exists(base)) None
+      else fs.listStatus(base).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+        .sortBy(_.getPath.getName.drop(1).toLong)
+        .lastOption.map(_.getPath)
+    }
+  }
+
   /** Streaming CDC maintenance — the streaming twin of
     * [[graft.operators.Cdc.mergeCdc]]: each micro-batch of CDC rows
     * (key, payload, version, deleted) is merged into the PERSISTENT
-    * snapshot at `snapshotPath`, which is atomically replaced
-    * (write-new-then-swap via a versioned subdirectory) so readers never
-    * see a half-merged corpus. `sink` receives the merged snapshot per
+    * snapshot at `snapshotPath`. `sink` receives the merged snapshot per
     * batch for downstream wiring/specs.
+    *
+    * Crash-safe publish (round-6 advice: the old delete-then-rename of
+    * the data dir left a window with NO snapshot, and a crash inside it
+    * silently restarted the corpus from empty): versions are IMMUTABLE
+    * dirs `v<batchId>`; a batch writes its version fully, then flips the
+    * tiny `_latest` pointer file via write-tmp + atomic
+    * `FileContext.rename(OVERWRITE)`. Readers ([[resolveCdcSnapshot]])
+    * follow the pointer, falling back to the newest `v*` dir if the
+    * pointer write itself was the casualty — every crash point leaves a
+    * complete, discoverable snapshot. Superseded versions older than the
+    * previous one are pruned after the flip (keep 2: in-flight readers
+    * that resolved just before the flip are still scanning the previous
+    * version; a production deployment would widen retention to its read
+    * SLA).
     *
     * Same unbounded-state rationale as [[ingestNewStream]]: upsert
     * semantics span the corpus lifetime, which no watermark horizon can
     * bound, so the state lives in storage (the snapshot itself), not in
-    * the streaming state store. Within-batch duplicates of a key resolve
-    * by the same (version, origin) rule — the batch plays the delta. */
+    * the streaming state store. At-least-once delivery makes duplicate
+    * (key, version) rows WITHIN a batch normal, so the batch is
+    * deduplicated on (key, version) before the merge — otherwise both
+    * copies tie on the packed ordering and the snapshot silently keeps
+    * duplicate keys (round-6 advice). Duplicates with DIFFERING payloads
+    * for the same (key, version) violate the CDC contract
+    * ([[graft.operators.Cdc.mergeCdc]] requires unique pairs); the dedup
+    * keeps one of them arbitrarily rather than corrupting the snapshot
+    * with both. */
   def mergeCdcStream(cdc: DataFrame, keyCol: String, versionCol: String,
       deletedCol: String, snapshotPath: String,
       checkpointLocation: Option[String] = None)
@@ -248,19 +296,33 @@ object StreamingPipelines {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val cur = new org.apache.hadoop.fs.Path(s"$snapshotPath/current")
-        val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val snapshot =
-          if (fs.exists(cur)) spark.read.parquet(cur.toString)
-          else batch.filter(lit(false)) // empty, batch-shaped
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val base = new org.apache.hadoop.fs.Path(snapshotPath)
+        val fs = base.getFileSystem(hconf)
+        val snapshot = resolveCdcSnapshot(spark, snapshotPath)
+          .map(p => spark.read.parquet(p.toString))
+          .getOrElse(batch.filter(lit(false))) // empty, batch-shaped
+        val delta = batch.dropDuplicates(Seq(keyCol, versionCol))
         val merged = graft.operators.Cdc
-          .mergeCdc(snapshot, batch, keyCol, versionCol, deletedCol)
-          .localCheckpoint() // sever lineage before the swap rewrites cur
+          .mergeCdc(snapshot, delta, keyCol, versionCol, deletedCol)
+          .localCheckpoint() // sever lineage before versions get pruned
         sink(merged, batchId)
-        val next = s"$snapshotPath/v$batchId"
-        merged.write.mode("overwrite").parquet(next)
-        fs.delete(cur, true)
-        fs.rename(new org.apache.hadoop.fs.Path(next), cur)
+        val nextName = s"v$batchId"
+        merged.write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(base, nextName).toString)
+        // publish: tmp pointer + atomic overwrite rename
+        val tmp = new org.apache.hadoop.fs.Path(base, "_latest.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(nextName.getBytes("UTF-8")) finally out.close()
+        org.apache.hadoop.fs.FileContext.getFileContext(base.toUri, hconf)
+          .rename(tmp, new org.apache.hadoop.fs.Path(base, "_latest"),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        // prune all but the 2 newest versions
+        fs.listStatus(base).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+          .sortBy(_.getPath.getName.drop(1).toLong)
+          .dropRight(2)
+          .foreach(s => fs.delete(s.getPath, true))
         ()
       }
     checkpointLocation.foreach(p => writer.option("checkpointLocation", p))

@@ -151,6 +151,51 @@ class StreamingSpec extends SparkFunSuite {
       "the snapshot must outlive the streaming query")
   }
 
+  test("CDC snapshot publish is crash-safe: intra-batch duplicate " +
+      "(key, version) delivery collapses to one row; a lost _latest " +
+      "pointer recovers to the newest version, never an empty corpus") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdcc")
+      .toString + "/snap"
+    var rows: Seq[(Long, String, Long)] = Nil
+    def run(batches: Seq[Seq[(Long, String, Long, Boolean)]]): Unit = {
+      val input = MemoryStream[(Long, String, Long, Boolean)]
+      val q = StreamingPipelines.mergeCdcStream(
+        input.toDF().toDF("doc_id", "text", "version", "deleted"),
+        "doc_id", "version", "deleted", dir) { (merged, _) =>
+        rows = merged.collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[String]("text"), r.getAs[Long]("version"))).toSeq
+      }
+      try batches.foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    // at-least-once re-delivery of (1, v1) inside one batch: the old
+    // tie-pass-through kept BOTH copies in the snapshot
+    run(Seq(Seq((1L, "one", 1L, false), (1L, "one", 1L, false),
+      (2L, "two", 1L, false))))
+    assert(rows.sorted == Seq((1L, "one", 1L), (2L, "two", 1L)),
+      s"duplicate delivery must collapse, got $rows")
+    // crash simulation: the pointer flip is the last step — kill the
+    // pointer as if the JVM died right before it; recovery must find the
+    // newest v* dir, not restart the corpus from empty
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base, "_latest"), false)
+    assert(StreamingPipelines.resolveCdcSnapshot(s, dir).isDefined,
+      "pointerless state must resolve to the newest version dir")
+    run(Seq(Seq((3L, "three", 1L, false))))
+    assert(rows.sorted == Seq((1L, "one", 1L), (2L, "two", 1L),
+      (3L, "three", 1L)),
+      s"recovery lost the pre-crash corpus, got $rows")
+    // retention: current + previous version dirs remain, older pruned
+    val vs = fs.listStatus(base).map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).sorted.toSeq
+    assert(vs.size <= 2, s"version pruning must keep at most 2, got $vs")
+  }
+
   test("trending terms: windowed Misra-Gries state folds across " +
       "micro-batches; n exact, dominant terms guaranteed, windows close " +
       "on watermark") {
