@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -96,7 +97,29 @@ case class SignProject(child: Expression, outDim: Int, seed: Long)
     extends UnaryExpression {
   require(outDim >= 1, "outDim must be positive")
 
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // exposed as SQL `graft_sign_project`, so arbitrary user input reaches
+  // this expression: reject non-float/double arrays at ANALYSIS time
+  // (round-6 advice — execution-time ClassCastException otherwise)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double>, got " +
+          other.catalogString)
+    }
+
+  /** Null ELEMENT semantics match the HOF parity twin
+    * ([[graft.functions.VectorFunctions.signProject]]): every output
+    * component sums over all input elements, so one null element nulls
+    * every component — the kernel returns an all-null array of `outDim`
+    * entries, exactly what `aggregate(...)` over a null element yields.
+    * (The previous kernel silently treated null elements as 0.0 — a
+    * divergence outside the tested non-null domain; round-6 advice.) */
+  override def dataType: DataType = ArrayType(DoubleType,
+    containsNull = child.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true // unresolved input; checkInputDataTypes rejects later
+    })
   override def nullable: Boolean = child.nullable
 
   @transient private lazy val isDouble: Boolean =
@@ -108,6 +131,10 @@ case class SignProject(child: Expression, outDim: Int, seed: Long)
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val dim = v.numElements()
+    var nullAt = 0
+    while (nullAt < dim && !v.isNullAt(nullAt)) nullAt += 1
+    if (nullAt < dim) // null element → all components null (HOF parity)
+      return new GenericArrayData(new Array[Any](outDim))
     val out = new Array[Double](outDim)
     var i = 0
     while (i < outDim) {
