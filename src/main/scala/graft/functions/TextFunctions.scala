@@ -86,9 +86,18 @@ object TextFunctions {
   def cleanText(text: Column): Column =
     trim(regexp_replace(nfc(text), "[\\s\\x00-\\x1F\\x7F\u00A0]+", " "))
 
-  /** HTML/markup → text extraction: drop tags (every `<...>` span,
-    * including self-closing and attribute-bearing ones) to a space, decode
+  /** HTML/markup → text extraction: drop tag spans to a space, decode
     * the six entities that dominate real web text, collapse whitespace.
+    *
+    * The tag pattern is BOUNDED — `<[A-Za-z/!][^>]{0,256}>` — not the
+    * naive `<[^>]*>`: real tags start with a letter, `/`, or `!`, and the
+    * 256-char body cap limits what a STRAY literal `<` in plain text can
+    * swallow (round-6 advice: the unbounded class matches newlines, so
+    * `if a<b and c>d` — or a lone `<` with a `>` pages later — deleted
+    * real content wholesale; now `a<b` only risks a span when a `>`
+    * follows within 256 chars AND the next char is tag-shaped). Gate the
+    * call on [[looksLikeMarkup]] when the corpus mixes HTML and plain
+    * text — non-markup docs shouldn't pay the false-positive risk at all.
     *
     * Entity order is the standard double-decode guard: named entities
     * first, `&amp;` LAST — so `&amp;lt;` decodes to the literal `&lt;` the
@@ -100,14 +109,25 @@ object TextFunctions {
     * a literal `>` inside a quoted attribute value ends the tag early —
     * acceptable for corpus cleaning, not a substitute for an HTML
     * parser. */
+  val TagPattern = "<[A-Za-z/!][^>]{0,256}>"
+
   def stripMarkup(html: Column): Column = {
-    val noTags = regexp_replace(html, "<[^>]*>", " ")
+    val noTags = regexp_replace(html, TagPattern, " ")
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
+
+  /** Cheap markup heuristic for gating [[stripMarkup]] over mixed
+    * corpora: a doc "looks like markup" when it contains at least one
+    * tag-shaped span OR an HTML entity. Plain text with stray `<`
+    * comparisons ("a<b") almost never forms `<letter…>` spans, so gating
+    * on this keeps the scrubber away from docs it could only damage. */
+  def looksLikeMarkup(text: Column): Column =
+    regexp_count(text, lit(TagPattern)) > 0 ||
+      regexp_count(text, lit("&(lt|gt|quot|amp|nbsp|#39);")) > 0
 
   /** Hashed k-word shingle set (array<bigint>) — the scale front-end for
     * LSH dedup: one native pass, no shingle strings materialized

@@ -683,7 +683,7 @@ object ExtensionQueries {
         concat(col("source"), lit(" "), col("text")), "\\s+", " "))
       t(s, dir, "documents")
         .select(col("doc_id"), TF.stripMarkup(html).as("clean"),
-          regexp_count(html, lit("<[^>]*>")).as("n_tags"),
+          regexp_count(html, lit(TF.TagPattern)).as("n_tags"),
           (TF.stripMarkup(html) === plain).as("roundtrip_ok"))
         .orderBy(col("doc_id"))
     }),
@@ -2028,13 +2028,14 @@ object ExtensionQueries {
         |s AS (SELECT doc_id, source, text, html,
         |  trim(regexp_replace(
         |    replace(replace(replace(replace(replace(replace(
-        |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |      regexp_replace(html, '<[A-Za-z/!][^>]{0,256}>', ' ', 'g'),
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS clean
         |  FROM h)
         |SELECT doc_id, clean,
-        |  len(regexp_extract_all(html, '<[^>]*>')) AS n_tags,
+        |  len(regexp_extract_all(html, '<[A-Za-z/!][^>]{0,256}>'))
+        |    AS n_tags,
         |  clean = trim(regexp_replace(source || ' ' || text,
         |    '\s+', ' ', 'g')) AS roundtrip_ok
         |FROM s ORDER BY doc_id""".stripMargin,

@@ -36,10 +36,15 @@ object PipelineDemo {
 
     // 0. ingest canonicalization (NFC + control/NBSP squash) and
     //    intra-doc repeated-line scrub — both fully row-local, free
-    //    pre-passes before anything hashes text
+    //    pre-passes before anything hashes text. Markup stripping is
+    //    GATED on the markup heuristic (round-6 advice): a plain-text
+    //    doc with a stray '<' has nothing to gain from the tag regex and
+    //    real content to lose
     val canon = Dedup.intraLineDedup(
         docs.select(col("doc_id"),
-          TF.cleanText(TF.stripMarkup(col("text"))).as("text")),
+          TF.cleanText(when(TF.looksLikeMarkup(col("text")),
+            TF.stripMarkup(col("text"))).otherwise(col("text")))
+            .as("text")),
         "text", "doc_id")
       .select(col("doc_id"), col("clean_text").as("text"))
 

@@ -19,20 +19,36 @@ import graft.streaming.StreamingPipelines
   * and appends itself, so the measured rate covers shingle/minhash
   * kernels, band probe, and the index append write.
   *
-  * Both report steady-state rows/sec from the query's own progress
+  * `cdc` mode (round 7): rate rows become CDC upserts/deletes over a
+  * bounded key space (heavy update churn) through
+  * [[StreamingPipelines.mergeCdcStream]] — each batch merges into, and
+  * crash-safely republishes, the persistent parquet snapshot, so the
+  * measured rate prices the argmax merge + snapshot rewrite, the real
+  * cost center of streaming CDC.
+  * `trending` mode (round 7): rate rows become synthetic docs through
+  * [[StreamingPipelines.trendingTermsStream]] (10 s tumbling windows,
+  * zero lateness so windows close during the run) — prices tokenize +
+  * the Misra-Gries sketch fold + windowed stateful aggregation.
+  *
+  * All report steady-state rows/sec from the query's own progress
   * metrics (first batch dropped — it pays JIT + state init).
   *
   * Usage: `runMain graft.tools.StreamBench [mode] [rowsPerSec] [seconds]`
   * (defaults: decode, 200000 rows/s offered, 20 s measured).
   */
 object StreamBench {
+  private val Modes = Set("decode", "neardup", "cdc", "trending")
+
   def main(args: Array[String]): Unit = {
     val (mode, rest) =
-      if (args.headOption.exists(a => a == "decode" || a == "neardup"))
-        (args.head, args.drop(1))
+      if (args.headOption.exists(Modes)) (args.head, args.drop(1))
       else ("decode", args)
-    val offered = rest.headOption.map(_.toInt)
-      .getOrElse(if (mode == "neardup") 20000 else 200000)
+    val offered = rest.headOption.map(_.toInt).getOrElse(mode match {
+      case "neardup" => 20000
+      case "cdc" => 50000
+      case "trending" => 100000
+      case _ => 200000
+    })
     val seconds = rest.lift(1).map(_.toInt).getOrElse(20)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
 
@@ -41,6 +57,8 @@ object StreamBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (mode == "neardup") { runNearDup(spark, offered, seconds, cpus); return }
+    if (mode == "cdc") { runCdc(spark, offered, seconds, cpus); return }
+    if (mode == "trending") { runTrending(spark, offered, seconds, cpus); return }
 
     val (provider, id) = AvroEventCorpus.registry()
     val cfg = EngineConfig(Seq("stub://in-memory"), Map("events" -> false))
@@ -144,5 +162,83 @@ object StreamBench {
     println(f"""{"metric":"stream_neardup_rows_per_sec","value":$rps%.0f,""" +
       s""""offered_rps":$offered,"batches":${batches.size},""" +
       s""""rows":$rows,"pairs":$pairCount}""")
+  }
+
+  /** Sleep out the run, dump per-batch progress to stderr, and emit the
+    * one steady-state JSON line (first non-empty batch dropped). */
+  private def finish(metric: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      spark: SparkSession, offered: Int, seconds: Int,
+      extra: String = ""): Unit = {
+    Thread.sleep(seconds * 1000L)
+    val progress = q.recentProgress.toSeq
+    q.exception.foreach { e =>
+      System.err.println(s"[streambench] $metric FAILED: ${e.cause}")
+      e.printStackTrace()
+    }
+    System.err.println(s"[streambench] ${progress.size} progress entries; " +
+      progress.map(p => s"${p.numInputRows}r/" +
+        s"${p.durationMs.getOrDefault("triggerExecution", -1L)}ms")
+        .mkString(", "))
+    q.stop()
+    spark.stop()
+    val batches = progress.filter(_.numInputRows > 0).drop(1)
+    val rows = batches.map(_.numInputRows).sum
+    val secs = batches.map(p =>
+      p.durationMs.getOrDefault("triggerExecution", 0L).toDouble / 1000.0).sum
+    val rps = if (secs > 0) rows / secs else 0.0
+    println(f"""{"metric":"$metric%s","value":$rps%.0f,""" +
+      s""""offered_rps":$offered,"batches":${batches.size},""" +
+      s""""rows":$rows$extra}""")
+  }
+
+  /** CDC churn throughput: updates/deletes over a bounded key space so
+    * the snapshot stays ~keySpace rows while every batch rewrites it. */
+  private def runCdc(spark: SparkSession, offered: Int, seconds: Int,
+      cpus: String): Unit = {
+    val keySpace = 100000L
+    val cdc = spark.readStream.format("rate")
+      .option("rowsPerSecond", offered.toString)
+      .option("numPartitions", cpus)
+      .load()
+      .select((col("value") % keySpace).as("doc_id"),
+        concat(lit("payload "), (col("value") % 997).cast("string"))
+          .as("text"),
+        col("value").as("version"),
+        (col("value") % 50 === 0).as("deleted"))
+    val snapPath = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_streambench_cdc_${System.nanoTime()}"
+    val q = StreamingPipelines.mergeCdcStream(cdc, "doc_id", "version",
+      "deleted", snapPath,
+      checkpointLocation = Some(s"${snapPath}_ckpt")) { (_, _) => () }
+    finish("stream_cdc_rows_per_sec", q, spark, offered, seconds)
+  }
+
+  /** Trending-terms throughput: synthetic 24-token docs into the windowed
+    * Misra-Gries aggregate; 10 s windows + zero lateness close windows
+    * inside the measured run so the append sink actually emits. */
+  private def runTrending(spark: SparkSession, offered: Int, seconds: Int,
+      cpus: String): Unit = {
+    val words = Seq("spark", "join", "window", "batch", "scan", "merge",
+      "hash", "sort", "filter", "group", "order", "table", "column", "row",
+      "query", "stream")
+    val wordArr = array(words.map(lit): _*)
+    val docText = concat_ws(" ", transform(sequence(lit(0), lit(23)),
+      i => element_at(wordArr,
+        (pmod(xxhash64(col("value") * 31L + i), lit(16L)) + 1)
+          .cast("int"))))
+    val docs = spark.readStream.format("rate")
+      .option("rowsPerSecond", offered.toString)
+      .option("numPartitions", cpus)
+      .load()
+      .select(col("timestamp").as("ts"), docText.as("text"))
+    val out = StreamingPipelines.trendingTermsStream(docs, "text",
+      window_ = "10 seconds", lateness = "0 seconds", sketchK = 64)
+    val q = out.writeStream.format("noop")
+      .option("checkpointLocation",
+        s"${System.getProperty("java.io.tmpdir")}/graft_streambench_tr_" +
+          System.nanoTime())
+      .outputMode("append").start()
+    finish("stream_trending_rows_per_sec", q, spark, offered, seconds)
   }
 }

@@ -104,6 +104,24 @@ class CorpusAuditSpec extends SparkFunSuite {
       .select(VF.signProject(col("embedding"), 4).as("k"))
       .collect().head.getSeq[Double](0)
     assert(empty == Seq(0.0, 0.0, 0.0, 0.0))
+    // null ELEMENTS (round-6 advice): every component sums all elements,
+    // so one null element nulls every component — kernel matches the HOF
+    // (the old kernel silently summed nulls as 0.0)
+    val withNull = Seq(Seq[Option[Float]](Some(1.0f), None, Some(2.0f)))
+      .toDF("embedding")
+    val k = withNull.select(VF.signProject(col("embedding"), 3).as("k"))
+      .collect().head.getSeq[Any](0)
+    val h = withNull.select(VF.signProjectHof(col("embedding"), 3).as("h"))
+      .collect().head.getSeq[Any](0)
+    assert(k == Seq(null, null, null) && k == h,
+      s"null-element semantics must match the HOF: kernel=$k hof=$h")
+    // non-array / non-float input is an ANALYSIS-time failure, not a
+    // runtime ClassCastException (graft_sign_project is SQL-exposed)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("oops").toDF("embedding")
+        .select(VF.signProject(col("embedding"), 2)).collect()
+    }
+    assert(err.getMessage.contains("graft_sign_project"))
   }
 
   test("mergeCdc: updates win, deletes remove, inserts appear, " +
@@ -146,9 +164,29 @@ class CorpusAuditSpec extends SparkFunSuite {
       ("&amp;lt;not a tag&amp;gt;", "&lt;not a tag&gt;"),
       ("x &lt;tag&gt; y", "x <tag> y"),
       ("<br/><br/> spaced   out ", "spaced out"),
-      ("it&#39;s &quot;quoted&quot;", "it's \"quoted\""))
+      ("it&#39;s &quot;quoted&quot;", "it's \"quoted\""),
+      // bounded tag pattern (round-6 advice): a stray literal '<' in
+      // plain text is NOT a tag start unless followed by letter,/,! —
+      // "a<b and c>d" survives intact (the old unbounded class deleted
+      // "b and c")
+      ("if a<5 and c>d then", "if a<5 and c>d then"),
+      ("price < 10 > 5", "price < 10 > 5"))
     val got = cases.map(_._1).toDF("h")
       .select(TF.stripMarkup(col("h"))).as[String].collect()
     assert(got.toSeq == cases.map(_._2))
+    // tag-shaped stray ("a<b and c>") still strips — that residual hazard
+    // is why PipelineDemo gates on looksLikeMarkup; the 256-char body cap
+    // bounds the damage a lone '<' can do across a long document
+    val strayTagShaped = Seq("a<b and c>d").toDF("h")
+      .select(TF.stripMarkup(col("h"))).as[String].collect().head
+    assert(strayTagShaped == "a d")
+    val longSpan = "x< " + ("y" * 400) + " >z" // '<' never closes within 256
+    assert(Seq(longSpan).toDF("h")
+      .select(TF.stripMarkup(col("h"))).as[String].collect().head
+      .startsWith("x< yyy"))
+    // the gate: tags or entities → markup; plain text with '<' → not
+    val gates = Seq("<p>x</p>", "a &amp; b", "if a<5 and c>d", "plain")
+      .toDF("t").select(TF.looksLikeMarkup(col("t"))).as[Boolean].collect()
+    assert(gates.toSeq == Seq(true, true, false, false))
   }
 }
