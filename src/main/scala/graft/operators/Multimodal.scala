@@ -40,7 +40,8 @@ object Multimodal {
 
   /** Magic-byte media-kind dispatch, exactly as a decoder front-end would
     * route payloads to codecs (PNG signature starts 0x89 P N G; JPEG is
-    * 0xFFD8FF; GIF87a/GIF89a; RIFF containers carry WAV/AVI/WebP). */
+    * 0xFFD8FF; GIF87a/GIF89a; RIFF containers carry WAV/AVI/WebP; BMP is
+    * the 2-byte `BM` — last in the chain since it is the weakest magic). */
   def sniffKind(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(substring(blob, 1, 4) ===
       lit(Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47)), "png")
@@ -48,6 +49,7 @@ object Multimodal {
         lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)), "jpeg")
       .when(substring(blob, 1, 4) === lit("GIF8".getBytes), "gif")
       .when(substring(blob, 1, 4) === lit("RIFF".getBytes), "riff")
+      .when(substring(blob, 1, 2) === lit("BM".getBytes), "bmp")
       .otherwise("bin")
 
   // ---- Real media header parsing (portable byte arithmetic) ----
@@ -286,6 +288,85 @@ object Multimodal {
       c += 1
     }
     out.result()
+  }
+
+  /** One decoded BMP image's features (see [[extractImageFeatures]]):
+    * exact per-channel sums, position-weighted checksums (weight = x + y·w
+    * over TOP-DOWN image coordinates — order-sensitive, so a bottom-up or
+    * stride mistake cannot hide inside an order-independent sum), and
+    * per-channel means as IEEE-double single divisions. */
+  final case class ImageFeatureRow(doc_id: Long, width: Long, height: Long,
+      n_px: Long, sum_b: Long, sum_g: Long, sum_r: Long,
+      wsum_b: Long, wsum_g: Long, wsum_r: Long,
+      mean_b: Double, mean_g: Double, mean_r: Double)
+
+  /** REAL image payload decode — the raster twin of [[decodeWavPcm16]]
+    * (round 7; no codec library needed: uncompressed 24-bit BMP is pure
+    * byte arithmetic, and it carries the two layout quirks that make a
+    * "real" decoder real: rows are padded to 4-byte STRIDE boundaries,
+    * and rows are stored BOTTOM-UP for positive heights). Parses the
+    * BITMAPFILEHEADER (pixel-array offset at bytes 10..13 LE32) +
+    * BITMAPINFOHEADER (width/height signed LE32 at 18/22, planes=1,
+    * bpp=24 LE16 at 28, compression=0/BI_RGB LE32 at 30), then walks
+    * pixels in TOP-DOWN image order, mapping (x, y) to file offset
+    * `dataOff + (h−1−y)·stride + 3x` and reading B, G, R channel bytes
+    * (BMP stores BGR). Truncated pixel arrays, other bpp/compression,
+    * and top-down (negative-height) bitmaps decode to None — the
+    * fixture corpus is positive-height; a production dispatch adds the
+    * negative-height branch, not a new plan shape. */
+  def decodeBmp24(bytes: Array[Byte]): Option[ImageFeatureRow] = {
+    if (bytes == null || bytes.length < 54) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOff = le32(10)
+    val w = le32(18).toInt // signed in spec; sane fixtures are small +ve
+    val h = le32(22).toInt
+    val bpp = le16(28)
+    val compression = le32(30)
+    if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
+    val stride = ((3 * w + 3) / 4) * 4
+    if (dataOff + h.toLong * stride > bytes.length) return None
+    val sums = new Array[Long](3)
+    val wsums = new Array[Long](3)
+    var y = 0
+    while (y < h) {
+      val rowOff = dataOff.toInt + (h - 1 - y) * stride // bottom-up rows
+      var x = 0
+      while (x < w) {
+        val p = rowOff + 3 * x
+        val weight = (x + y.toLong * w)
+        var c = 0
+        while (c < 3) {
+          val v = u8(p + c).toLong
+          sums(c) += v
+          wsums(c) += weight * v
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    Some(ImageFeatureRow(0L, w.toLong, h.toLong, n,
+      sums(0), sums(1), sums(2), wsums(0), wsums(1), wsums(2),
+      sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n))
+  }
+
+  /** Per-partition batch IMAGE decode: one row per decodable 24-bit BMP
+    * payload. Same batch discipline as [[extractAudioFeatures]]. */
+  def extractImageFeatures(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[ImageFeatureRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
+      .as[BlobRow]
+      .mapPartitions { rows =>
+        rows.flatMap(r =>
+          decodeBmp24(r.blob).map(_.copy(doc_id = r.doc_id)).iterator)
+      }
   }
 
   /** Per-partition batch AUDIO decode: one row per (payload, channel) with

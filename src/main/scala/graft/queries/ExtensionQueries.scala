@@ -1479,6 +1479,47 @@ object ExtensionQueries {
           "doc_id")
         .toDF()
         .orderBy(col("doc_id"), col("channel"))
+    }),
+
+    // REAL image decode (raster twin of mm_audio_features): 24-bit BMPs
+    // whose PIXEL-ARRAY FILE BYTES are the primitive — b(j) closed form
+    // over every byte INCLUDING the row-padding bytes, so a decoder that
+    // ignores the 4-byte stride reads shifted values and diverges; the
+    // position-weighted checksums are computed over top-down image
+    // coordinates, so the bottom-up row order can't hide in an
+    // order-independent sum. Width varies 3..8 (stride padding 0..3
+    // bytes), height 2..5.
+    "mm_bmp_features" -> ((s, dir) => {
+      def le16b(x: org.apache.spark.sql.Column) = unhex(concat(
+        lpad(hex(pmod(x, lit(256L))), 2, "0"),
+        lpad(hex(pmod((x / lit(256L)).cast("long"), lit(256L))), 2, "0")))
+      def le32b(x: org.apache.spark.sql.Column) = unhex(concat(
+        lpad(hex(pmod(x, lit(256L))), 2, "0"),
+        lpad(hex(pmod((x / lit(256L)).cast("long"), lit(256L))), 2, "0"),
+        lpad(hex(pmod((x / lit(65536L)).cast("long"), lit(256L))), 2, "0"),
+        lpad(hex(pmod((x / lit(16777216L)).cast("long"), lit(256L))), 2,
+          "0")))
+      val w = lit(3L) + col("doc_id") % 6L
+      val h = lit(2L) + col("doc_id") % 4L
+      val stride = ((w * 3L + 3L) / 4L).cast("long") * 4L
+      val imgSz = h * stride
+      val pixels = unhex(array_join(
+        transform(sequence(lit(0L), imgSz - 1L),
+          j => lpad(hex(pmod(col("doc_id") * 11L + j * 17L, lit(256L))),
+            2, "0")),
+        ""))
+      val blob = concat(
+        lit("BM".getBytes), le32b(lit(54L) + imgSz), le32b(lit(0L)),
+        le32b(lit(54L)), // pixel-array offset
+        le32b(lit(40L)), le32b(w), le32b(h), le16b(lit(1L)),
+        le16b(lit(24L)), le32b(lit(0L)), le32b(imgSz),
+        le32b(lit(0L)), le32b(lit(0L)), le32b(lit(0L)), le32b(lit(0L)),
+        pixels)
+      Multimodal.extractImageFeatures(
+          t(s, dir, "documents").select(col("doc_id"), blob.as("blob")),
+          "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3434,9 +3475,18 @@ object ExtensionQueries {
          |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM grules g JOIN documents d ON g.doc_id = d.doc_id
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // kind replicates the magic dispatch over the ASCII corpus: PNG/JPEG
+    // magics carry non-ASCII lead bytes so they can never fire on text;
+    // GIF8/RIFF/BM CAN occur as ordinary text prefixes and must dispatch
+    // — the oracle is non-vacuous wherever the corpus happens to start a
+    // doc with one of them
     "mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-        |sha256(text) AS content_sha, 'bin' AS kind
+        |sha256(text) AS content_sha,
+        |CASE WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'
+        |     WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'
+        |     WHEN substr(text, 1, 2) = 'BM' THEN 'bmp'
+        |     ELSE 'bin' END AS kind
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the planted dimensions in closed form — the engine must RECOVER
     // these by actually parsing the PNG/GIF/JPEG headers it built
@@ -3537,6 +3587,36 @@ object ExtensionQueries {
         |  SQRT(CAST(SUM(CAST(s AS BIGINT) * s) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE)) AS rms
         |FROM lagged GROUP BY doc_id, channel
-        |ORDER BY doc_id, channel""".stripMargin
+        |ORDER BY doc_id, channel""".stripMargin,
+    // the pixel-array bytes are the shared primitive; the oracle maps
+    // image coordinates (x, y, channel) to their FILE offsets itself —
+    // (h-1-y)·stride + 3x + c — so the engine's bottom-up row walk and
+    // stride-padding skip must both be right for any column to match
+    "mm_bmp_features" ->
+      """WITH p AS (SELECT doc_id, 3 + doc_id % 6 AS w,
+        |    2 + doc_id % 4 AS h FROM documents),
+        |q AS (SELECT doc_id, w, h, ((3*w + 3) // 4) * 4 AS stride FROM p),
+        |px AS (SELECT doc_id, w, h, stride,
+        |    unnest(range(0, w * h * 3)) AS i FROM q),
+        |v AS (SELECT doc_id, w, h,
+        |    i % 3 AS c, (i // 3) % w AS x, i // (3 * w) AS y,
+        |    (doc_id*11
+        |      + ((h - 1 - i // (3*w)) * stride + 3 * ((i // 3) % w)
+        |         + i % 3) * 17) % 256 AS val,
+        |    ((i // 3) % w) + (i // (3 * w)) * w AS wt
+        |  FROM px)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(SUM(val) FILTER (c = 0) AS BIGINT) AS sum_b,
+        |  CAST(SUM(val) FILTER (c = 1) AS BIGINT) AS sum_g,
+        |  CAST(SUM(val) FILTER (c = 2) AS BIGINT) AS sum_r,
+        |  CAST(SUM(wt * val) FILTER (c = 0) AS BIGINT) AS wsum_b,
+        |  CAST(SUM(wt * val) FILTER (c = 1) AS BIGINT) AS wsum_g,
+        |  CAST(SUM(wt * val) FILTER (c = 2) AS BIGINT) AS wsum_r,
+        |  CAST(SUM(val) FILTER (c = 0) AS DOUBLE) / (w * h) AS mean_b,
+        |  CAST(SUM(val) FILTER (c = 1) AS DOUBLE) / (w * h) AS mean_g,
+        |  CAST(SUM(val) FILTER (c = 2) AS DOUBLE) / (w * h) AS mean_r
+        |FROM v GROUP BY doc_id, w, h
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -1261,6 +1261,36 @@ class MultimodalSpec extends SparkFunSuite {
     assert(Multimodal.decodeWavPcm16(wav(1, Seq(1, 2), code = 3)).isEmpty)
     assert(Multimodal.decodeWavPcm16("not riff at all".getBytes).isEmpty)
   }
+
+  test("decodeBmp24: real pixel decode — bottom-up rows, stride padding, " +
+      "BGR order, position-weighted checksums; truncated/foreign rejected") {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // 2x2 @ 24bpp: 3w=6 → stride 8 (2 pad bytes per row). Image rows are
+    // stored BOTTOM-UP: file row 0 = image row y=1.
+    // image pixels as (B,G,R): y=0: (1,2,3) (4,5,6); y=1: (7,8,9) (10,11,12)
+    val fileRowY1 = Array[Byte](7, 8, 9, 10, 11, 12, 99, 99) // pad ≠ 0
+    val fileRowY0 = Array[Byte](1, 2, 3, 4, 5, 6, 98, 98)
+    val bmp = "BM".getBytes ++ le32(54 + 16) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(16) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      fileRowY1 ++ fileRowY0
+    val r = Multimodal.decodeBmp24(bmp).get
+    assert((r.width, r.height, r.n_px) == ((2L, 2L, 4L)))
+    assert((r.sum_b, r.sum_g, r.sum_r) == ((1L + 4 + 7 + 10, 2L + 5 + 8 + 11,
+      3L + 6 + 9 + 12)))
+    // weights over TOP-DOWN coords: (x=0,y=0)→0 (1,0)→1 (0,1)→2 (1,1)→3;
+    // a decoder that forgot bottom-up would weight 7..12 with 0,1
+    assert(r.wsum_b == 0L * 1 + 1 * 4 + 2 * 7 + 3 * 10)
+    assert(r.wsum_r == 0L * 3 + 1 * 6 + 2 * 9 + 3 * 12)
+    assert(r.mean_g == (2.0 + 5 + 8 + 11) / 4)
+    // truncated pixel array / non-BMP / unsupported depth are rejected
+    assert(Multimodal.decodeBmp24(bmp.dropRight(3)).isEmpty)
+    assert(Multimodal.decodeBmp24("plain".getBytes).isEmpty)
+    val bmp8 = bmp.clone(); bmp8(28) = 8 // bpp byte
+    assert(Multimodal.decodeBmp24(bmp8).isEmpty)
+  }
 }
 
 class RelevanceSpec extends SparkFunSuite {
