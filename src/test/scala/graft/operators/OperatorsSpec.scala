@@ -1669,6 +1669,91 @@ class KernelPropertySpec extends SparkFunSuite {
     }
   }
 
+  test("property: decodeWavPcm16 == sample-level reference on random " +
+      "PCM (channels 1-3, random clutter chunks, odd-size padding)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val caseGen = for {
+      ch <- Gen.choose(1, 3)
+      nf <- Gen.choose(0, 100)
+      samples <- Gen.listOfN(nf * ch, Gen.choose(-32768, 32767))
+      clutterSz <- Gen.choose(0, 9) // odd sizes exercise RIFF padding
+      clutterBytes <- Gen.listOfN(clutterSz, Gen.choose(0, 255))
+    } yield (ch, nf, samples.toVector, clutterBytes.map(_.toByte).toArray)
+    val cases = (0 until 60).flatMap(k =>
+      caseGen.apply(Gen.Parameters.default, Seed(1000L + k)))
+    cases.foreach { case (ch, nf, samples, clutter) =>
+      val blk = ch * 2
+      val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(ch) ++
+        le32(8000) ++ le32(8000L * blk) ++ le16(blk) ++ le16(16)
+      val clutterChunk = "LIST".getBytes ++ le32(clutter.length) ++
+        clutter ++ (if (clutter.length % 2 == 1) Array(0.toByte)
+          else Array.empty[Byte])
+      val data = "data".getBytes ++ le32(nf.toLong * blk) ++
+        samples.flatMap(le16(_)).toArray
+      val bytes = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+        clutterChunk ++ fmt ++ data
+      val got = Multimodal.decodeWavPcm16(bytes)
+      if (nf == 0) assert(got.isEmpty)
+      else {
+        // independent reference: per-channel stats straight off the
+        // sample VALUES (never touches the byte encoding)
+        val exp = (0 until ch).map { c =>
+          val cs = (0 until nf).map(f => samples(f * ch + c))
+          val sumSq = cs.map(s => s.toLong * s).sum
+          val zc = cs.sliding(2).count(p =>
+            p.length == 2 && (p(0) < 0) != (p(1) < 0))
+          (c, nf.toLong, cs.map(s => math.abs(s.toLong)).max, sumSq,
+            zc.toLong, math.sqrt(sumSq.toDouble / nf))
+        }
+        assert(got == exp, s"ch=$ch nf=$nf")
+      }
+    }
+  }
+
+  test("property: decodeBmp24 == pixel-level reference on random images " +
+      "(stride padding carries junk, bottom-up row order)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val caseGen = for {
+      w <- Gen.choose(1, 9)
+      h <- Gen.choose(1, 6)
+      px <- Gen.listOfN(w * h * 3, Gen.choose(0, 255)) // image-order BGR
+      pad <- Gen.choose(0, 255)
+    } yield (w, h, px.toVector, pad.toByte)
+    val cases = (0 until 60).flatMap(k =>
+      caseGen.apply(Gen.Parameters.default, Seed(2000L + k)))
+    cases.foreach { case (w, h, px, pad) =>
+      val stride = ((3 * w + 3) / 4) * 4
+      val rows = (0 until h).reverse.flatMap { y => // bottom-up on disk
+        val row = (0 until w).flatMap(x =>
+          (0 until 3).map(c => px((y * w + x) * 3 + c).toByte))
+        row ++ Seq.fill(stride - 3 * w)(pad) // junk padding
+      }.toArray
+      val bytes = "BM".getBytes ++ le32(54L + h * stride) ++ le32(0) ++
+        le32(54) ++ le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++
+        le16(24) ++ le32(0) ++ le32(h.toLong * stride) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ rows
+      val got = Multimodal.decodeBmp24(bytes).get
+      def ref(c: Int) = (for (y <- 0 until h; x <- 0 until w)
+        yield px((y * w + x) * 3 + c).toLong).sum
+      def wref(c: Int) = (for (y <- 0 until h; x <- 0 until w)
+        yield (x + y.toLong * w) * px((y * w + x) * 3 + c)).sum
+      val n = w.toLong * h
+      assert((got.width, got.height, got.n_px) == ((w.toLong, h.toLong, n)))
+      assert((got.sum_b, got.sum_g, got.sum_r) == ((ref(0), ref(1), ref(2))))
+      assert((got.wsum_b, got.wsum_g, got.wsum_r) ==
+        ((wref(0), wref(1), wref(2))), s"w=$w h=$h")
+      assert(got.mean_b == ref(0).toDouble / n)
+    }
+  }
+
   test("property: substringPairs == brute-force reference (shared-window " +
       "counts, longest runs, df-guard) on random tiny-vocab corpora") {
     import org.scalacheck.Gen
