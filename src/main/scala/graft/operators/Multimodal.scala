@@ -235,16 +235,17 @@ object Multimodal {
     *                so the doubles hash identically.
     * Non-RIFF / non-PCM16 / truncated / zero-frame payloads decode to no
     * rows (a real ingest would route those to a rejects side-channel). */
-  def decodeWavPcm16(bytes: Array[Byte])
-      : IndexedSeq[(Int, Long, Long, Long, Long, Double)] = {
-    if (bytes == null || bytes.length < 12) return Vector.empty
+  /** Shared front half of the PCM16 decoders: RIFF walk to `fmt `/`data`,
+    * format gate, frame count. Returns (channels, dataOff, nFrames). */
+  private def locatePcm16(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes == null || bytes.length < 12) return None
     def u8(i: Int): Int = bytes(i) & 0xff
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
       (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
     def tag(i: Int, s: String): Boolean =
       i + 4 <= bytes.length && s.indices.forall(k => bytes(i + k) == s(k))
-    if (!tag(0, "RIFF") || !tag(8, "WAVE")) return Vector.empty
+    if (!tag(0, "RIFF") || !tag(8, "WAVE")) return None
     var pos = 12L
     var fmtCode = -1; var channels = -1; var bits = -1
     var dataOff = -1L; var dataSz = -1L
@@ -262,11 +263,21 @@ object Multimodal {
       pos += 8L + size + (size % 2) // RIFF pads odd chunks to even offsets
       guard += 1
     }
-    if (fmtCode != 1 || bits != 16 || channels < 1 || dataOff < 0)
-      return Vector.empty
+    if (fmtCode != 1 || bits != 16 || channels < 1 || dataOff < 0) None
+    else {
+      val n = (dataSz / (channels * 2)).toInt
+      if (n == 0) None else Some((channels, dataOff.toInt, n))
+    }
+  }
+
+  def decodeWavPcm16(bytes: Array[Byte])
+      : IndexedSeq[(Int, Long, Long, Long, Long, Double)] = {
+    val (channels, dataOff, n) = locatePcm16(bytes) match {
+      case None => return Vector.empty
+      case Some(t) => t
+    }
+    def u8(i: Int): Int = bytes(i) & 0xff
     val bytesPerFrame = channels * 2
-    val n = (dataSz / bytesPerFrame).toInt
-    if (n == 0) return Vector.empty
     val out = Vector.newBuilder[(Int, Long, Long, Long, Long, Double)]
     var c = 0
     while (c < channels) {
@@ -288,6 +299,76 @@ object Multimodal {
       c += 1
     }
     out.result()
+  }
+
+  /** One decoded audio WINDOW's features (see [[extractAudioWindows]]). */
+  final case class AudioWindowRow(doc_id: Long, channel: Long,
+      window_idx: Long, n_frames: Long, peak_abs: Long, sum_sq: Long,
+      rms: Double)
+
+  /** Windowed audio features over real PCM16 decode — the time-series
+    * feature shape a speech/audio training pipeline extracts (frame
+    * windows → per-window energy), not just whole-clip stats: per
+    * channel, frames are cut into fixed `windowFrames` windows (the last
+    * window may be partial; its true frame count is emitted) and each
+    * reduces to peak |s|, exact Σ s², and RMS. Same single-pass byte
+    * decode as [[decodeWavPcm16]]; one output row per (channel, window).
+    * Row-local — a 100 TB audio corpus fans out to window rows with no
+    * shuffle, and downstream windowed aggregations group on
+    * (doc, channel, window) keys that are already data-parallel. */
+  def decodeWavPcm16Windows(bytes: Array[Byte], windowFrames: Int)
+      : IndexedSeq[(Int, Long, Long, Long, Long, Double)] = {
+    require(windowFrames >= 1, "windowFrames must be >= 1")
+    val (channels, dataOff, n) = locatePcm16(bytes) match {
+      case None => return Vector.empty
+      case Some(t) => t
+    }
+    def u8(i: Int): Int = bytes(i) & 0xff
+    val bytesPerFrame = channels * 2
+    val out = Vector.newBuilder[(Int, Long, Long, Long, Long, Double)]
+    var c = 0
+    while (c < channels) {
+      var w = 0
+      while (w.toLong * windowFrames < n) {
+        val f0 = w * windowFrames
+        val f1 = math.min(f0 + windowFrames, n)
+        var peak = 0L; var sumSq = 0L
+        var f = f0
+        while (f < f1) {
+          val off = dataOff + f * bytesPerFrame + c * 2
+          val s = ((u8(off + 1) << 8) | u8(off)).toShort.toInt
+          val a = math.abs(s.toLong)
+          if (a > peak) peak = a
+          sumSq += s.toLong * s
+          f += 1
+        }
+        val wn = f1 - f0
+        out += ((c, w.toLong, wn.toLong, peak, sumSq,
+          math.sqrt(sumSq.toDouble / wn)))
+        w += 1
+      }
+      c += 1
+    }
+    out.result()
+  }
+
+  /** Per-partition batch windowed-audio decode (see
+    * [[decodeWavPcm16Windows]]). */
+  def extractAudioWindows(df: DataFrame, idCol: String,
+      blobCol: String = "blob", windowFrames: Int = 25)
+      : Dataset[AudioWindowRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
+      .as[BlobRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeWavPcm16Windows(r.blob, windowFrames).iterator.map {
+            case (c, w, wn, peak, sumSq, rms) =>
+              AudioWindowRow(r.doc_id, c.toLong, w, wn, peak, sumSq, rms)
+          }
+        }
+      }
   }
 
   /** One decoded BMP image's features (see [[extractImageFeatures]]):
@@ -314,7 +395,9 @@ object Multimodal {
     * and top-down (negative-height) bitmaps decode to None — the
     * fixture corpus is positive-height; a production dispatch adds the
     * negative-height branch, not a new plan shape. */
-  def decodeBmp24(bytes: Array[Byte]): Option[ImageFeatureRow] = {
+  /** Shared front half of the BMP decoders: header parse + format gate.
+    * Returns (width, height, dataOff, stride). */
+  private def locateBmp24(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (bytes == null || bytes.length < 54) return None
     def u8(i: Int): Int = bytes(i) & 0xff
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
@@ -329,6 +412,15 @@ object Multimodal {
     if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
     val stride = ((3 * w + 3) / 4) * 4
     if (dataOff + h.toLong * stride > bytes.length) return None
+    Some((w, h, dataOff.toInt, stride))
+  }
+
+  def decodeBmp24(bytes: Array[Byte]): Option[ImageFeatureRow] = {
+    val (w, h, dataOff, stride) = locateBmp24(bytes) match {
+      case None => return None
+      case Some(t) => t
+    }
+    def u8(i: Int): Int = bytes(i) & 0xff
     val sums = new Array[Long](3)
     val wsums = new Array[Long](3)
     var y = 0
@@ -366,6 +458,75 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap(r =>
           decodeBmp24(r.blob).map(_.copy(doc_id = r.doc_id)).iterator)
+      }
+  }
+
+  /** One decoded image PATCH's features (see [[extractImagePatches]]). */
+  final case class ImagePatchRow(doc_id: Long, patch_x: Long, patch_y: Long,
+      n_px: Long, sum_b: Long, sum_g: Long, sum_r: Long,
+      mean_b: Double, mean_g: Double, mean_r: Double)
+
+  /** Patch extraction over real BMP pixel decode — the ViT-style access
+    * pattern (image → grid of fixed patches → per-patch features). The
+    * grid is `ceil(w/patch) × ceil(h/patch)` in TOP-DOWN image
+    * coordinates; edge patches are PARTIAL and report their true pixel
+    * count (a training pipeline then crops/pads by policy — emitting the
+    * honest partial is the decoder's job). One output row per patch,
+    * exploded row-locally like [[sampleChunks]] — no shuffle; a 100 TB
+    * image corpus becomes a patch relation in one scan. */
+  def decodeBmp24Patches(bytes: Array[Byte], patch: Int)
+      : IndexedSeq[(Int, Int, Long, Array[Long])] = {
+    require(patch >= 1, "patch must be >= 1")
+    val (w, h, dataOff, stride) = locateBmp24(bytes) match {
+      case None => return Vector.empty
+      case Some(t) => t
+    }
+    def u8(i: Int): Int = bytes(i) & 0xff
+    val out = Vector.newBuilder[(Int, Int, Long, Array[Long])]
+    var py = 0
+    while (py * patch < h) {
+      var px = 0
+      while (px * patch < w) {
+        val x1 = math.min(px * patch + patch, w)
+        val y1 = math.min(py * patch + patch, h)
+        val sums = new Array[Long](3)
+        var y = py * patch
+        while (y < y1) {
+          val rowOff = dataOff + (h - 1 - y) * stride // bottom-up rows
+          var x = px * patch
+          while (x < x1) {
+            val p = rowOff + 3 * x
+            sums(0) += u8(p); sums(1) += u8(p + 1); sums(2) += u8(p + 2)
+            x += 1
+          }
+          y += 1
+        }
+        val n = (x1 - px * patch).toLong * (y1 - py * patch)
+        out += ((px, py, n, sums))
+        px += 1
+      }
+      py += 1
+    }
+    out.result()
+  }
+
+  /** Per-partition batch patch extraction (see [[decodeBmp24Patches]]). */
+  def extractImagePatches(df: DataFrame, idCol: String,
+      blobCol: String = "blob", patch: Int = 2): Dataset[ImagePatchRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
+      .as[BlobRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeBmp24Patches(r.blob, patch).iterator.map {
+            case (px, py, n, sums) =>
+              ImagePatchRow(r.doc_id, px.toLong, py.toLong, n,
+                sums(0), sums(1), sums(2),
+                sums(0).toDouble / n, sums(1).toDouble / n,
+                sums(2).toDouble / n)
+          }
+        }
       }
   }
 

@@ -68,6 +68,69 @@ object ExtensionQueries {
     e.unionAll(e.withColumn("vec_id", col("vec_id") + 1000000L))
   }
 
+  private def le16b(x: org.apache.spark.sql.Column) = unhex(concat(
+    lpad(hex(pmod(x, lit(256L))), 2, "0"),
+    lpad(hex(pmod((x / lit(256L)).cast("long"), lit(256L))), 2, "0")))
+
+  private def le32b(x: org.apache.spark.sql.Column) = unhex(concat(
+    lpad(hex(pmod(x, lit(256L))), 2, "0"),
+    lpad(hex(pmod((x / lit(256L)).cast("long"), lit(256L))), 2, "0"),
+    lpad(hex(pmod((x / lit(65536L)).cast("long"), lit(256L))), 2, "0"),
+    lpad(hex(pmod((x / lit(16777216L)).cast("long"), lit(256L))), 2, "0")))
+
+  /** PCM16 WAV fixture shared by mm_audio_features / mm_audio_windows:
+    * data BYTES are the primitive — b(j) = (doc_id·37 + j·101) % 256 —
+    * channels 1..2, 50..249 frames, a LIST clutter chunk on every third
+    * doc. The oracles recombine byte pairs into two's-complement samples
+    * independently (see mm_audio_features). */
+  private def wavPcmFixture(s: SparkSession, dir: String): DataFrame = {
+    val ch = lit(1L) + col("doc_id") % 2L
+    val nf = lit(50L) + col("doc_id") % 200L
+    val blk = ch * 2L // 16-bit PCM
+    val sr = lit(16000L)
+    val dsz = nf * blk
+    val pcm = unhex(array_join(
+      transform(sequence(lit(0L), dsz - 1L),
+        j => lpad(hex(pmod(col("doc_id") * 37L + j * 101L, lit(256L))),
+          2, "0")),
+      ""))
+    val listChunk = when(col("doc_id") % 3 === 0,
+      concat(lit("LIST".getBytes), le32b(lit(6L)),
+        unhex(repeat(lit("00"), 6))))
+      .otherwise(lit(Array.empty[Byte]))
+    val blob = concat(lit("RIFF".getBytes), le32b(lit(0L)),
+      lit("WAVE".getBytes), listChunk,
+      lit("fmt ".getBytes), le32b(lit(16L)), le16b(lit(1L)), le16b(ch),
+      le32b(sr), le32b(sr * blk), le16b(blk), le16b(lit(16L)),
+      lit("data".getBytes), le32b(dsz), pcm)
+    // blob hoisted into its own projection (mm_wav_meta discipline)
+    t(s, dir, "documents").select(col("doc_id"), blob.as("blob"))
+  }
+
+  /** 24-bit BMP fixture shared by mm_bmp_features / mm_bmp_patches:
+    * pixel-array FILE bytes (padding included) are the primitive —
+    * b(j) = (doc_id·11 + j·17) % 256 — width 3..8 (stride padding 0..3),
+    * height 2..5. */
+  private def bmpFixture(s: SparkSession, dir: String): DataFrame = {
+    val w = lit(3L) + col("doc_id") % 6L
+    val h = lit(2L) + col("doc_id") % 4L
+    val stride = ((w * 3L + 3L) / 4L).cast("long") * 4L
+    val imgSz = h * stride
+    val pixels = unhex(array_join(
+      transform(sequence(lit(0L), imgSz - 1L),
+        j => lpad(hex(pmod(col("doc_id") * 11L + j * 17L, lit(256L))),
+          2, "0")),
+      ""))
+    val blob = concat(
+      lit("BM".getBytes), le32b(lit(54L) + imgSz), le32b(lit(0L)),
+      le32b(lit(54L)), // pixel-array offset
+      le32b(lit(40L)), le32b(w), le32b(h), le16b(lit(1L)),
+      le16b(lit(24L)), le32b(lit(0L)), le32b(imgSz),
+      le32b(lit(0L)), le32b(lit(0L)), le32b(lit(0L)), le32b(lit(0L)),
+      pixels)
+    t(s, dir, "documents").select(col("doc_id"), blob.as("blob"))
+  }
+
   val all: Map[String, QueryFn] = Map(
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) =>
@@ -1443,43 +1506,20 @@ object ExtensionQueries {
     // samples and aggregates. There is no sample-level encoder whose bugs
     // could cancel against the decoder: an endianness, sign, interleave,
     // or chunk-offset mistake on the Spark side diverges from the oracle.
-    "mm_audio_features" -> ((s, dir) => {
-      def le16b(x: org.apache.spark.sql.Column) = unhex(concat(
-        lpad(hex(pmod(x, lit(256L))), 2, "0"),
-        lpad(hex(pmod((x / lit(256L)).cast("long"), lit(256L))), 2, "0")))
-      def le32b(x: org.apache.spark.sql.Column) = unhex(concat(
-        lpad(hex(pmod(x, lit(256L))), 2, "0"),
-        lpad(hex(pmod((x / lit(256L)).cast("long"), lit(256L))), 2, "0"),
-        lpad(hex(pmod((x / lit(65536L)).cast("long"), lit(256L))), 2, "0"),
-        lpad(hex(pmod((x / lit(16777216L)).cast("long"), lit(256L))), 2,
-          "0")))
-      val ch = lit(1L) + col("doc_id") % 2L
-      val nf = lit(50L) + col("doc_id") % 200L
-      val blk = ch * 2L // 16-bit PCM
-      val sr = lit(16000L)
-      val dsz = nf * blk
-      val pcm = unhex(array_join(
-        transform(sequence(lit(0L), dsz - 1L),
-          j => lpad(hex(pmod(col("doc_id") * 37L + j * 101L, lit(256L))),
-            2, "0")),
-        ""))
-      val listChunk = when(col("doc_id") % 3 === 0,
-        concat(lit("LIST".getBytes), le32b(lit(6L)),
-          unhex(repeat(lit("00"), 6))))
-        .otherwise(lit(Array.empty[Byte]))
-      val blob = concat(lit("RIFF".getBytes), le32b(lit(0L)),
-        lit("WAVE".getBytes), listChunk,
-        lit("fmt ".getBytes), le32b(lit(16L)), le16b(lit(1L)), le16b(ch),
-        le32b(sr), le32b(sr * blk), le16b(blk), le16b(lit(16L)),
-        lit("data".getBytes), le32b(dsz), pcm)
-      // blob hoisted into its own projection (same discipline as
-      // mm_wav_meta) before the decode step consumes it
-      Multimodal.extractAudioFeatures(
-          t(s, dir, "documents").select(col("doc_id"), blob.as("blob")),
-          "doc_id")
+    "mm_audio_features" -> ((s, dir) =>
+      Multimodal.extractAudioFeatures(wavPcmFixture(s, dir), "doc_id")
         .toDF()
-        .orderBy(col("doc_id"), col("channel"))
-    }),
+        .orderBy(col("doc_id"), col("channel"))),
+
+    // windowed audio features (25-frame windows; last window partial):
+    // the per-window oracle groups the SAME independently-recombined
+    // samples by frame DIV 25 — window boundary or partial-window
+    // mistakes diverge
+    "mm_audio_windows" -> ((s, dir) =>
+      Multimodal.extractAudioWindows(wavPcmFixture(s, dir), "doc_id",
+          windowFrames = 25)
+        .toDF()
+        .orderBy(col("doc_id"), col("channel"), col("window_idx"))),
 
     // REAL image decode (raster twin of mm_audio_features): 24-bit BMPs
     // whose PIXEL-ARRAY FILE BYTES are the primitive — b(j) closed form
@@ -1489,38 +1529,20 @@ object ExtensionQueries {
     // coordinates, so the bottom-up row order can't hide in an
     // order-independent sum. Width varies 3..8 (stride padding 0..3
     // bytes), height 2..5.
-    "mm_bmp_features" -> ((s, dir) => {
-      def le16b(x: org.apache.spark.sql.Column) = unhex(concat(
-        lpad(hex(pmod(x, lit(256L))), 2, "0"),
-        lpad(hex(pmod((x / lit(256L)).cast("long"), lit(256L))), 2, "0")))
-      def le32b(x: org.apache.spark.sql.Column) = unhex(concat(
-        lpad(hex(pmod(x, lit(256L))), 2, "0"),
-        lpad(hex(pmod((x / lit(256L)).cast("long"), lit(256L))), 2, "0"),
-        lpad(hex(pmod((x / lit(65536L)).cast("long"), lit(256L))), 2, "0"),
-        lpad(hex(pmod((x / lit(16777216L)).cast("long"), lit(256L))), 2,
-          "0")))
-      val w = lit(3L) + col("doc_id") % 6L
-      val h = lit(2L) + col("doc_id") % 4L
-      val stride = ((w * 3L + 3L) / 4L).cast("long") * 4L
-      val imgSz = h * stride
-      val pixels = unhex(array_join(
-        transform(sequence(lit(0L), imgSz - 1L),
-          j => lpad(hex(pmod(col("doc_id") * 11L + j * 17L, lit(256L))),
-            2, "0")),
-        ""))
-      val blob = concat(
-        lit("BM".getBytes), le32b(lit(54L) + imgSz), le32b(lit(0L)),
-        le32b(lit(54L)), // pixel-array offset
-        le32b(lit(40L)), le32b(w), le32b(h), le16b(lit(1L)),
-        le16b(lit(24L)), le32b(lit(0L)), le32b(imgSz),
-        le32b(lit(0L)), le32b(lit(0L)), le32b(lit(0L)), le32b(lit(0L)),
-        pixels)
-      Multimodal.extractImageFeatures(
-          t(s, dir, "documents").select(col("doc_id"), blob.as("blob")),
-          "doc_id")
+    "mm_bmp_features" -> ((s, dir) =>
+      Multimodal.extractImageFeatures(bmpFixture(s, dir), "doc_id")
         .toDF()
-        .orderBy(col("doc_id"))
-    })
+        .orderBy(col("doc_id"))),
+
+    // ViT-style patch grid (2x2 patches; right/bottom edge patches
+    // partial with honest n_px): the oracle buckets the SAME
+    // coordinate-mapped pixels by (x DIV 2, y DIV 2) — grid or edge
+    // mistakes diverge
+    "mm_bmp_patches" -> ((s, dir) =>
+      Multimodal.extractImagePatches(bmpFixture(s, dir), "doc_id",
+          patch = 2)
+        .toDF()
+        .orderBy(col("doc_id"), col("patch_y"), col("patch_x")))
   )
 
   /** Shared SQL fragment: normalized tokens of `documents.text`
@@ -3588,6 +3610,26 @@ object ExtensionQueries {
         |    / CAST(COUNT(*) AS DOUBLE)) AS rms
         |FROM lagged GROUP BY doc_id, channel
         |ORDER BY doc_id, channel""".stripMargin,
+    // same recombined samples bucketed by frame DIV 25: window boundary
+    // and partial-last-window arithmetic both pinned
+    "mm_audio_windows" ->
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+        |    50 + doc_id % 200 AS nf FROM documents),
+        |ix AS (SELECT doc_id, ch, unnest(range(0, ch * nf)) AS i FROM p),
+        |samp AS (SELECT doc_id, i % ch AS channel,
+        |    (i // ch) // 25 AS window_idx,
+        |    ((doc_id*37 + (2*i)*101) % 256
+        |      + 256 * ((doc_id*37 + (2*i+1)*101) % 256)
+        |      + 32768) % 65536 - 32768 AS s
+        |  FROM ix)
+        |SELECT doc_id, channel, window_idx,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+        |  CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq,
+        |  SQRT(CAST(SUM(CAST(s AS BIGINT) * s) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE)) AS rms
+        |FROM samp GROUP BY doc_id, channel, window_idx
+        |ORDER BY doc_id, channel, window_idx""".stripMargin,
     // the pixel-array bytes are the shared primitive; the oracle maps
     // image coordinates (x, y, channel) to their FILE offsets itself —
     // (h-1-y)·stride + 3x + c — so the engine's bottom-up row walk and
@@ -3617,6 +3659,34 @@ object ExtensionQueries {
         |  CAST(SUM(val) FILTER (c = 1) AS DOUBLE) / (w * h) AS mean_g,
         |  CAST(SUM(val) FILTER (c = 2) AS DOUBLE) / (w * h) AS mean_r
         |FROM v GROUP BY doc_id, w, h
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // same coordinate-mapped pixels bucketed by (x DIV 2, y DIV 2):
+    // grid arithmetic and honest partial edge patches both pinned
+    "mm_bmp_patches" ->
+      """WITH p AS (SELECT doc_id, 3 + doc_id % 6 AS w,
+        |    2 + doc_id % 4 AS h FROM documents),
+        |q AS (SELECT doc_id, w, h, ((3*w + 3) // 4) * 4 AS stride FROM p),
+        |px AS (SELECT doc_id, w, h, stride,
+        |    unnest(range(0, w * h * 3)) AS i FROM q),
+        |v AS (SELECT doc_id,
+        |    ((i // 3) % w) // 2 AS patch_x, (i // (3 * w)) // 2 AS patch_y,
+        |    i % 3 AS c,
+        |    (doc_id*11
+        |      + ((h - 1 - i // (3*w)) * stride + 3 * ((i // 3) % w)
+        |         + i % 3) * 17) % 256 AS val
+        |  FROM px)
+        |SELECT doc_id, patch_x, patch_y,
+        |  CAST(COUNT(*) // 3 AS BIGINT) AS n_px,
+        |  CAST(SUM(val) FILTER (c = 0) AS BIGINT) AS sum_b,
+        |  CAST(SUM(val) FILTER (c = 1) AS BIGINT) AS sum_g,
+        |  CAST(SUM(val) FILTER (c = 2) AS BIGINT) AS sum_r,
+        |  CAST(SUM(val) FILTER (c = 0) AS DOUBLE) / (COUNT(*) // 3)
+        |    AS mean_b,
+        |  CAST(SUM(val) FILTER (c = 1) AS DOUBLE) / (COUNT(*) // 3)
+        |    AS mean_g,
+        |  CAST(SUM(val) FILTER (c = 2) AS DOUBLE) / (COUNT(*) // 3)
+        |    AS mean_r
+        |FROM v GROUP BY doc_id, patch_x, patch_y
+        |ORDER BY doc_id, patch_y, patch_x""".stripMargin
   )
 }

@@ -1290,6 +1290,38 @@ class MultimodalSpec extends SparkFunSuite {
     assert(Multimodal.decodeBmp24("plain".getBytes).isEmpty)
     val bmp8 = bmp.clone(); bmp8(28) = 8 // bpp byte
     assert(Multimodal.decodeBmp24(bmp8).isEmpty)
+    // patch grid over the same 2x2 fixture at patch=1: each pixel is its
+    // own patch, means equal values, grid is top-down
+    val patches = Multimodal.decodeBmp24Patches(bmp, patch = 1)
+    assert(patches.map(p => (p._1, p._2, p._3)) ==
+      Vector((0, 0, 1L), (1, 0, 1L), (0, 1, 1L), (1, 1, 1L)))
+    assert(patches.map(_._4.toSeq) == Vector(Seq(1L, 2, 3), Seq(4L, 5, 6),
+      Seq(7L, 8, 9), Seq(10L, 11, 12)))
+    // patch=2 folds the whole image into one patch == whole-image sums
+    val one = Multimodal.decodeBmp24Patches(bmp, patch = 2)
+    assert(one.size == 1 && one.head._3 == 4L &&
+      one.head._4.toSeq == Seq(r.sum_b, r.sum_g, r.sum_r))
+  }
+
+  test("decodeWavPcm16Windows: window cut, partial last window, " +
+      "windows concatenate to the whole-clip stats") {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val samples = Seq(100, -200, 300, -400, 500, -600, 700) // 7 frames mono
+    val data = samples.flatMap(le16).toArray
+    val wav = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      ("fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+        le32(16000) ++ le16(2) ++ le16(16)) ++
+      "data".getBytes ++ le32(data.length) ++ data
+    val w = Multimodal.decodeWavPcm16Windows(wav, windowFrames = 3)
+    // windows: [100,-200,300] [-400,500,-600] [700] (partial, n=1)
+    assert(w.map(t => (t._2, t._3, t._4)) ==
+      Vector((0L, 3L, 300L), (1L, 3L, 600L), (2L, 1L, 700L)))
+    // per-window sum_sq concatenates to the whole-clip sum_sq
+    val whole = Multimodal.decodeWavPcm16(wav).head
+    assert(w.map(_._5).sum == whole._4)
+    assert(w.head._6 == math.sqrt((100.0*100 + 200*200 + 300*300) / 3))
   }
 }
 
