@@ -554,9 +554,16 @@ object Multimodal {
   object FeatureExtractor {
     val FeatureDim = 8
 
-    /** STUB decode/feature-extract for one payload. Deterministic byte
-      * statistics stand in for a real `decode → resize → embed` kernel;
-      * the (batch-in, batch-out) shape is what a codec integration keeps. */
+    /** Content-agnostic BYTE-LEVEL featurizer: mean byte value + an
+      * 8-bucket byte histogram. Through round 6 this was the stand-in for
+      * payload decode; since round 7 the real decoders exist
+      * ([[decodeWavPcm16]], [[decodeBmp24]] and their window/patch
+      * variants) and this op keeps its own honest job — format-agnostic
+      * content statistics (entropy-ish fingerprinting, corruption drift
+      * monitoring) that apply to payloads no codec claims. Compressed
+      * formats (JPEG/PNG/MP3) still need a codec library this container
+      * doesn't ship; their integration point is a new branch in the same
+      * (batch-in, batch-out) extractors. */
     def decodeStub(bytes: Array[Byte]): (Double, Array[Float]) = {
       if (bytes.isEmpty) return (0.0, new Array[Float](FeatureDim))
       var sum = 0L
@@ -575,6 +582,62 @@ object Multimodal {
       }
       (sum.toDouble / bytes.length, feats)
     }
+  }
+
+  /** One payload's decode-dispatch verdict (see [[extractDecodeAudit]]). */
+  final case class DecodeAuditRow(doc_id: Long, kind: String, ok: Boolean,
+      reason: String)
+
+  /** JVM twin of the [[sniffKind]] magic dispatch (same order, same
+    * prefixes) for the batch decoders' front end. */
+  private def sniffKindJvm(b: Array[Byte]): String =
+    if (b == null || b.length < 2) "bin"
+    else if (b.length >= 4 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff &&
+      (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) "jpeg"
+    else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8') "gif"
+    else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F') "riff"
+    else if (b(0) == 'B' && b(1) == 'M') "bmp"
+    else "bin"
+
+  /** PERMISSIVE decode audit — the reference's error-swallow discipline
+    * (its PERMISSIVE mode forwards undecodable records and counts them;
+    * SURVEY §2.1 #14) applied to the multimodal family: every payload
+    * gets a verdict row instead of silently vanishing from the feature
+    * relations. `(kind, ok, reason)` per payload: RIFF/BMP payloads are
+    * probed with the real decoder front halves; PNG/GIF/JPEG are
+    * header-only here (`no_codec` — the honest container boundary);
+    * unknown magics are `unknown_format`. A production ingest routes
+    * `ok = false` rows to a rejects sink and alerts on reason-rate
+    * drift. */
+  def auditPayload(bytes: Array[Byte]): (String, Boolean, String) =
+    sniffKindJvm(bytes) match {
+      case "riff" =>
+        if (locatePcm16(bytes).isDefined) ("riff", true, "ok")
+        else ("riff", false, "undecodable_pcm16")
+      case "bmp" =>
+        if (locateBmp24(bytes).isDefined) ("bmp", true, "ok")
+        else ("bmp", false, "undecodable_bmp24")
+      case k @ ("png" | "gif" | "jpeg") => (k, false, "no_codec")
+      case k => (k, false, "unknown_format")
+    }
+
+  /** Per-partition batch decode audit (see [[auditPayload]]). */
+  def extractDecodeAudit(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[DecodeAuditRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
+      .as[BlobRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (kind, ok, reason) = auditPayload(r.blob)
+          DecodeAuditRow(r.doc_id, kind, ok, reason)
+        }
+      }
   }
 
   final case class ChunkRow(doc_id: Long, chunk_index: Int, offset: Int,

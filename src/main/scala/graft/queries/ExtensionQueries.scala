@@ -1542,7 +1542,29 @@ object ExtensionQueries {
       Multimodal.extractImagePatches(bmpFixture(s, dir), "doc_id",
           patch = 2)
         .toDF()
-        .orderBy(col("doc_id"), col("patch_y"), col("patch_x")))
+        .orderBy(col("doc_id"), col("patch_y"), col("patch_x"))),
+
+    // PERMISSIVE decode audit over a deliberately mixed + partly broken
+    // corpus: thirds get WAV / BMP / raw text payloads, and every 15th
+    // doc's media payload is TRUNCATED mid-header — the verdict relation
+    // (kind, ok, reason) must route each correctly, never drop a row
+    "mm_decode_audit" -> ((s, dir) => {
+      val wav = wavPcmFixture(s, dir).withColumnRenamed("blob", "wav")
+      val bmp = bmpFixture(s, dir).withColumnRenamed("blob", "bmp")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .join(wav, "doc_id").join(bmp, "doc_id")
+      val blob = when(col("doc_id") % 3 === 0,
+          when(col("doc_id") % 15 === 0, substring(col("wav"), 1, 20))
+            .otherwise(col("wav")))
+        .when(col("doc_id") % 3 === 1,
+          when(col("doc_id") % 15 === 1, substring(col("bmp"), 1, 40))
+            .otherwise(col("bmp")))
+        .otherwise(encode(col("text"), "utf-8"))
+      Multimodal.extractDecodeAudit(
+          docs.select(col("doc_id"), blob.as("blob")), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** Shared SQL fragment: normalized tokens of `documents.text`
@@ -3687,6 +3709,32 @@ object ExtensionQueries {
         |  CAST(SUM(val) FILTER (c = 2) AS DOUBLE) / (COUNT(*) // 3)
         |    AS mean_r
         |FROM v GROUP BY doc_id, patch_x, patch_y
-        |ORDER BY doc_id, patch_y, patch_x""".stripMargin
+        |ORDER BY doc_id, patch_y, patch_x""".stripMargin,
+    // planted-construction verdicts: the media thirds carry real headers
+    // (truncations at known residues), the text third can only dispatch
+    // by its OWN leading bytes — ASCII text can never satisfy the binary
+    // format gates (bpp/fmt-code fields need NUL bytes), so its media
+    // lookalikes always land in the undecodable reasons
+    "mm_decode_audit" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'riff'
+        |       WHEN doc_id % 3 = 1 THEN 'bmp'
+        |       WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'
+        |       WHEN substr(text, 1, 2) = 'BM' THEN 'bmp'
+        |       WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'
+        |       ELSE 'bin' END AS kind,
+        |  (doc_id % 3 = 0 AND doc_id % 15 != 0)
+        |    OR (doc_id % 3 = 1 AND doc_id % 15 != 1) AS ok,
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |         CASE WHEN doc_id % 15 = 0 THEN 'undecodable_pcm16'
+        |              ELSE 'ok' END
+        |       WHEN doc_id % 3 = 1 THEN
+        |         CASE WHEN doc_id % 15 = 1 THEN 'undecodable_bmp24'
+        |              ELSE 'ok' END
+        |       WHEN substr(text, 1, 4) = 'RIFF' THEN 'undecodable_pcm16'
+        |       WHEN substr(text, 1, 2) = 'BM' THEN 'undecodable_bmp24'
+        |       WHEN substr(text, 1, 4) = 'GIF8' THEN 'no_codec'
+        |       ELSE 'unknown_format' END AS reason
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

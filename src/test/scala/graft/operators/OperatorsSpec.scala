@@ -1303,6 +1303,36 @@ class MultimodalSpec extends SparkFunSuite {
       one.head._4.toSeq == Seq(r.sum_b, r.sum_g, r.sum_r))
   }
 
+  test("auditPayload: PERMISSIVE verdict routing — ok media, truncated " +
+      "media, codec-less headers, lookalike text, unknown bytes") {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val wav = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      ("fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+        le32(16000) ++ le16(2) ++ le16(16)) ++
+      "data".getBytes ++ le32(4) ++ le16(5) ++ le16(-5)
+    assert(Multimodal.auditPayload(wav) == (("riff", true, "ok")))
+    assert(Multimodal.auditPayload(wav.take(20)) ==
+      (("riff", false, "undecodable_pcm16")))
+    val bmp = "BM".getBytes ++ le32(54 + 4) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(1) ++ le32(1) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(4) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      Array[Byte](1, 2, 3, 0)
+    assert(Multimodal.auditPayload(bmp) == (("bmp", true, "ok")))
+    assert(Multimodal.auditPayload(bmp.take(40)) ==
+      (("bmp", false, "undecodable_bmp24")))
+    assert(Multimodal.auditPayload("GIF89a rest".getBytes) ==
+      (("gif", false, "no_codec")))
+    // ASCII lookalikes can never satisfy the binary gates (NUL bytes)
+    assert(Multimodal.auditPayload("RIFFxxxxWAVEfmt etc".getBytes) ==
+      (("riff", false, "undecodable_pcm16")))
+    assert(Multimodal.auditPayload("BMW is a carmaker and so on, text"
+      .getBytes ++ new Array[Byte](60))._3 == "undecodable_bmp24")
+    assert(Multimodal.auditPayload("plain".getBytes) ==
+      (("bin", false, "unknown_format")))
+  }
+
   test("decodeWavPcm16Windows: window cut, partial last window, " +
       "windows concatenate to the whole-clip stats") {
     def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
