@@ -209,6 +209,42 @@ object Multimodal {
           .as("duration_ms")))
   }
 
+  /** FLAC STREAMINFO metadata — the BIT-PACKED cousin of [[wavMeta]]'s
+    * byte-aligned chunk walk: `fLaC` magic, then the STREAMINFO block
+    * (spec-mandated FIRST, so its payload sits at fixed offset 9
+    * 1-based) whose tail packs sample rate (20 bits), channels−1 (3),
+    * bits-per-sample−1 (5) and total samples (36) across byte
+    * boundaries — the parse is shifts/masks over [[byteAt]] reads, all
+    * codegen'd built-ins. Output `struct(channels, sample_rate,
+    * bits_per_sample, total_samples, duration_ms)`; non-FLAC /
+    * truncated / non-STREAMINFO-first payloads yield NULL. Decoding
+    * FLAC AUDIO needs a real codec (it is compressed) — this is the
+    * honest header boundary, with [[auditPayload]]-style routing left
+    * to the dispatch layer. */
+  def flacMeta(blob: Column): Column = {
+    // STREAMINFO payload is 1-based 9..42; the packed 64-bit tail lives
+    // in bytes 19..26 (1-based): sr[20] ch[3] bps[5] total[36]
+    def b(i: Int): Column = byteAt(blob, lit(i.toLong))
+    val sr = b(19) * 4096L + b(20) * 16L +
+      TF.intDivNonNeg(b(21), lit(16L))
+    val ch = pmod(TF.intDivNonNeg(b(21), lit(2L)), lit(8L)) + 1L
+    val bps = pmod(b(21), lit(2L)) * 16L +
+      TF.intDivNonNeg(b(22), lit(16L)) + 1L
+    val total = pmod(b(22), lit(16L)) * 4294967296L +
+      b(23) * 16777216L + b(24) * 65536L + b(25) * 256L + b(26)
+    when(octet_length(blob) >= 26 &&
+        substring(blob, 1, 4) === lit("fLaC".getBytes) &&
+        // block header: last-flag bit is don't-care, type bits must be 0
+        // (STREAMINFO), declared length 34
+        pmod(byteAt(blob, lit(5L)), lit(128L)) === 0L &&
+        byteAt(blob, lit(6L)) === 0L && byteAt(blob, lit(7L)) === 0L &&
+        byteAt(blob, lit(8L)) === 34L &&
+        sr > 0L,
+      struct(ch.as("channels"), sr.as("sample_rate"),
+        bps.as("bits_per_sample"), total.as("total_samples"),
+        TF.intDivNonNeg(total * 1000L, sr).as("duration_ms")))
+  }
+
   final case class BlobRow(doc_id: Long, blob: Array[Byte])
   final case class FeatureRow(doc_id: Long, n_bytes: Int, mean_byte: Double,
       features: Array[Float])

@@ -1544,6 +1544,45 @@ object ExtensionQueries {
         .toDF()
         .orderBy(col("doc_id"), col("patch_y"), col("patch_x"))),
 
+    // FLAC STREAMINFO: planted bit-packed fields (sample rate split
+    // 8+8+4 across three bytes, channels/bps sharing a byte, a 36-bit
+    // total straddling a nibble) recovered by the shifts-and-masks
+    // parser; the alternating last-metadata-block flag exercises the
+    // don't-care bit. Oracle recomputes the construction parameters.
+    "mm_flac_meta" -> ((s, dir) => {
+      def u8h(x: org.apache.spark.sql.Column) =
+        lpad(hex(pmod(x, lit(256L))), 2, "0")
+      val sr = lit(8000L) * (lit(1L) + col("doc_id") % 5L)
+      val ch = lit(1L) + col("doc_id") % 2L
+      val bps = lit(8L) + lit(4L) * (col("doc_id") % 3L)
+      val total = lit(1000L) + col("doc_id") % 9000L
+      val packed = concat(
+        u8h((sr / 4096L).cast("long")),
+        u8h((sr / 16L).cast("long")),
+        u8h(pmod(sr, lit(16L)) * 16L + (ch - 1L) * 2L +
+          ((bps - 1L) / 16L).cast("long")),
+        u8h(pmod(bps - 1L, lit(16L)) * 16L +
+          (total / 4294967296L).cast("long")),
+        u8h((total / 16777216L).cast("long")),
+        u8h((total / 65536L).cast("long")),
+        u8h((total / 256L).cast("long")),
+        u8h(total))
+      val blob = concat(lit("fLaC".getBytes),
+        unhex(concat(u8h(lit(128L) * (col("doc_id") % 2L)), lit("000022"))),
+        unhex(repeat(lit("00"), 10)), // block/frame size fields
+        unhex(packed),
+        unhex(repeat(lit("00"), 16))) // md5
+      t(s, dir, "documents")
+        .select(col("doc_id"), blob.as("blob"))
+        .select(col("doc_id"), Multimodal.flacMeta(col("blob")).as("m"))
+        .select(col("doc_id"), col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.bits_per_sample").as("bits_per_sample"),
+          col("m.total_samples").as("total_samples"),
+          col("m.duration_ms").as("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PERMISSIVE decode audit over a deliberately mixed + partly broken
     // corpus: thirds get WAV / BMP / raw text payloads, and every 15th
     // doc's media payload is TRUNCATED mid-header — the verdict relation
@@ -3710,6 +3749,18 @@ object ExtensionQueries {
         |    AS mean_r
         |FROM v GROUP BY doc_id, patch_x, patch_y
         |ORDER BY doc_id, patch_y, patch_x""".stripMargin,
+    // the bit-packed STREAMINFO fields pinned in closed form: a shift,
+    // mask, or straddle mistake in the parser misses every row
+    "mm_flac_meta" ->
+      """SELECT doc_id,
+        |  1 + doc_id % 2 AS channels,
+        |  8000 * (1 + doc_id % 5) AS sample_rate,
+        |  8 + 4 * (doc_id % 3) AS bits_per_sample,
+        |  1000 + doc_id % 9000 AS total_samples,
+        |  ((1000 + doc_id % 9000) * 1000) // (8000 * (1 + doc_id % 5))
+        |    AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // planted-construction verdicts: the media thirds carry real headers
     // (truncations at known residues), the text third can only dispatch
     // by its OWN leading bytes — ASCII text can never satisfy the binary

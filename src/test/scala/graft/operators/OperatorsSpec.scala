@@ -1303,6 +1303,38 @@ class MultimodalSpec extends SparkFunSuite {
       one.head._4.toSeq == Seq(r.sum_b, r.sum_g, r.sum_r))
   }
 
+  test("flacMeta: bit-packed STREAMINFO — CD-audio hand-packed bytes, " +
+      "last-flag don't-care; non-STREAMINFO-first/truncated/foreign NULL") {
+    val s = spark
+    import s.implicits._
+    // 44.1 kHz stereo 16-bit, 88200 total samples (2 s), hand-packed:
+    // sr 0x0AC44 → 0A C4 4x; ch-1=1 → 001₂<<1; bps-1=15 → bit4=0, low
+    // nibble F0; total 0x000015888
+    val packed = Array[Byte](0x0A, 0xC4.toByte, 0x42, 0xF0.toByte,
+      0x00, 0x01, 0x58, 0x88.toByte)
+    def flac(flagType: Int) = "fLaC".getBytes ++
+      Array[Byte](flagType.toByte, 0, 0, 34) ++ new Array[Byte](10) ++
+      packed ++ new Array[Byte](16)
+    val rows = Seq((1L, flac(0)), (2L, flac(0x80)), // last-flag set: same
+        (3L, flac(0x04)), // VORBIS_COMMENT first: not STREAMINFO
+        (4L, flac(0).take(20)), (5L, "not flac at all!".getBytes))
+      .toDF("id", "blob")
+      .select(col("id"), Multimodal.flacMeta(col("blob")).as("m"))
+      .select(col("id"), col("m.channels"), col("m.sample_rate"),
+        col("m.bits_per_sample"), col("m.total_samples"),
+        col("m.duration_ms"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), (1 to 5).map(i =>
+        Option(r.get(i)).map(_.asInstanceOf[Long]))))
+    val cd = Seq(Some(2L), Some(44100L), Some(16L), Some(88200L),
+      Some(2000L))
+    assert(rows(0)._2 == cd, "CD audio STREAMINFO")
+    assert(rows(1)._2 == cd, "last-metadata-block flag is a don't-care")
+    assert(rows(2)._2.forall(_.isEmpty), "first block must be STREAMINFO")
+    assert(rows(3)._2.forall(_.isEmpty), "truncated")
+    assert(rows(4)._2.forall(_.isEmpty), "foreign bytes")
+  }
+
   test("auditPayload: PERMISSIVE verdict routing — ok media, truncated " +
       "media, codec-less headers, lookalike text, unknown bytes") {
     def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
