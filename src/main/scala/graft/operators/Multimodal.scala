@@ -49,6 +49,7 @@ object Multimodal {
         lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)), "jpeg")
       .when(substring(blob, 1, 4) === lit("GIF8".getBytes), "gif")
       .when(substring(blob, 1, 4) === lit("RIFF".getBytes), "riff")
+      .when(substring(blob, 1, 4) === lit("fLaC".getBytes), "flac")
       .when(substring(blob, 1, 2) === lit("BM".getBytes), "bmp")
       .otherwise("bin")
 
@@ -636,6 +637,8 @@ object Multimodal {
       b(3) == '8') "gif"
     else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == 'F') "riff"
+    else if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+      b(3) == 'C') "flac"
     else if (b(0) == 'B' && b(1) == 'M') "bmp"
     else "bin"
 
@@ -657,7 +660,7 @@ object Multimodal {
       case "bmp" =>
         if (locateBmp24(bytes).isDefined) ("bmp", true, "ok")
         else ("bmp", false, "undecodable_bmp24")
-      case k @ ("png" | "gif" | "jpeg") => (k, false, "no_codec")
+      case k @ ("png" | "gif" | "jpeg" | "flac") => (k, false, "no_codec")
       case k => (k, false, "unknown_format")
     }
 

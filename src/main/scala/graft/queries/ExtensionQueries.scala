@@ -3568,6 +3568,7 @@ object ExtensionQueries {
         |sha256(text) AS content_sha,
         |CASE WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'
         |     WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'
+        |     WHEN substr(text, 1, 4) = 'fLaC' THEN 'flac'
         |     WHEN substr(text, 1, 2) = 'BM' THEN 'bmp'
         |     ELSE 'bin' END AS kind
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -3771,6 +3772,7 @@ object ExtensionQueries {
         |  CASE WHEN doc_id % 3 = 0 THEN 'riff'
         |       WHEN doc_id % 3 = 1 THEN 'bmp'
         |       WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'
+        |       WHEN substr(text, 1, 4) = 'fLaC' THEN 'flac'
         |       WHEN substr(text, 1, 2) = 'BM' THEN 'bmp'
         |       WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'
         |       ELSE 'bin' END AS kind,
@@ -3783,6 +3785,7 @@ object ExtensionQueries {
         |         CASE WHEN doc_id % 15 = 1 THEN 'undecodable_bmp24'
         |              ELSE 'ok' END
         |       WHEN substr(text, 1, 4) = 'RIFF' THEN 'undecodable_pcm16'
+        |       WHEN substr(text, 1, 4) = 'fLaC' THEN 'no_codec'
         |       WHEN substr(text, 1, 2) = 'BM' THEN 'undecodable_bmp24'
         |       WHEN substr(text, 1, 4) = 'GIF8' THEN 'no_codec'
         |       ELSE 'unknown_format' END AS reason

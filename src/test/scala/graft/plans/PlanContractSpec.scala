@@ -116,6 +116,26 @@ class PlanContractSpec extends SparkFunSuite {
       s"expected a pure projection:\n${df.queryExecution.executedPlan}")
   }
 
+  test("multimodal decoders: decode, windows, patches, and the audit are " +
+      "all zero-exchange — a 100 TB media corpus fans out in one scan") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val blobs = graft.operators.Multimodal.withBlob(docs, "text")
+    for ((name, df) <- Seq[(String, DataFrame)](
+        "audio" -> graft.operators.Multimodal
+          .extractAudioFeatures(blobs, "doc_id").toDF(),
+        "windows" -> graft.operators.Multimodal
+          .extractAudioWindows(blobs, "doc_id").toDF(),
+        "image" -> graft.operators.Multimodal
+          .extractImageFeatures(blobs, "doc_id").toDF(),
+        "patches" -> graft.operators.Multimodal
+          .extractImagePatches(blobs, "doc_id").toDF(),
+        "audit" -> graft.operators.Multimodal
+          .extractDecodeAudit(blobs, "doc_id").toDF()))
+      assert(shuffles(df) == 0 && broadcasts(df) == 0,
+        s"$name must be row-local:\n${df.queryExecution.executedPlan}")
+  }
+
   test("prefixRerankTopK: corpus never shuffles — candidate ids and " +
       "queries broadcast into both corpus scans, top-k partial-aggregates") {
     val q = emb.filter(col("vec_id") < 5)
