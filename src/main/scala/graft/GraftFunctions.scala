@@ -82,8 +82,28 @@ object GraftFunctions {
       es => SignProject(es(0), intArg(es(1), "outDim"),
         if (es.length > 2) intArg(es(2), "seed").toLong else 0L),
       "built-in")
+    // media header parsers: Column-composition kernels (pure built-ins)
+    // exposed to SQL by expanding the composition over the argument
+    reg.createOrReplaceTempFunction("graft_sniff_kind",
+      es => colExpr(graft.operators.Multimodal.sniffKind(bridged(es(0)))),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_media_dims",
+      es => colExpr(graft.operators.Multimodal.mediaDims(bridged(es(0)))),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_wav_meta",
+      es => colExpr(graft.operators.Multimodal.wavMeta(bridged(es(0)))),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_flac_meta",
+      es => colExpr(graft.operators.Multimodal.flacMeta(bridged(es(0)))),
+      "built-in")
     registerOptimizations(spark)
   }
+
+  private[graft] def bridged(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+
+  private[graft] def colExpr(c: org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.graftbridge.ColumnBridge.resolvedExpression(c)
 
   /** Runtime twin of [[GraftSparkExtensions]]'s `injectOptimizerRule` for
     * sessions built without extensions (the extensions conf is fixed at

@@ -109,6 +109,26 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_bigram_stats",
         "graft_bigram_stats(text) - row-local bigram repetition stats"),
       es => BigramStats(es(0))))
+    e.injectFunction((FunctionIdentifier("graft_sniff_kind"),
+      info("graft_sniff_kind",
+        "graft_sniff_kind(blob) - magic-byte media-kind dispatch"),
+      es => GraftFunctions.colExpr(
+        graft.operators.Multimodal.sniffKind(GraftFunctions.bridged(es(0))))))
+    e.injectFunction((FunctionIdentifier("graft_media_dims"),
+      info("graft_media_dims",
+        "graft_media_dims(blob) - (width, height) from PNG/GIF/JPEG headers"),
+      es => GraftFunctions.colExpr(
+        graft.operators.Multimodal.mediaDims(GraftFunctions.bridged(es(0))))))
+    e.injectFunction((FunctionIdentifier("graft_wav_meta"),
+      info("graft_wav_meta",
+        "graft_wav_meta(blob) - WAV/RIFF audio metadata struct"),
+      es => GraftFunctions.colExpr(
+        graft.operators.Multimodal.wavMeta(GraftFunctions.bridged(es(0))))))
+    e.injectFunction((FunctionIdentifier("graft_flac_meta"),
+      info("graft_flac_meta",
+        "graft_flac_meta(blob) - FLAC STREAMINFO metadata struct"),
+      es => GraftFunctions.colExpr(
+        graft.operators.Multimodal.flacMeta(GraftFunctions.bridged(es(0))))))
     e.injectOptimizerRule(_ => JaccardLengthPruning)
   }
 }

@@ -21,4 +21,14 @@ object ColumnBridge {
   /** Unwrap a public Column to its Catalyst expression. */
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Eagerly convert a COMPOSED Column (built with `functions.*`) into a
+    * self-contained Catalyst expression tree. [[expression]] wraps the
+    * column's node lazily (fine inside DataFrame context, where the
+    * session's converter visits it during analysis); a FunctionRegistry
+    * builder's result leaves that context, so the lazy wrapper would
+    * surface as an unconvertible `columnnodeexpression()` of VOID type.
+    * This walks the node tree through the canonical converter instead. */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

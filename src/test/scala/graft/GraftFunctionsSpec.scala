@@ -45,6 +45,20 @@ class GraftFunctionsSpec extends SparkFunSuite {
       """SELECT graft_cms_agg(array(CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
         |  2, 8) AS grid FROM gf_t""".stripMargin).collect().head
     assert(cms.getSeq[Long](0).length == 16, "depth x width grid")
+
+    // round-7 media header parsers (Column compositions expanded into the
+    // SQL expression tree): sniff a GIF and read its dimensions
+    val media = s.sql(
+      """SELECT
+        |  graft_sniff_kind(encode('GIF89a', 'utf-8')) AS kind,
+        |  graft_media_dims(concat(encode('GIF89a', 'utf-8'),
+        |    unhex('40010A00000000'))).width AS w,
+        |  graft_wav_meta(encode('nope', 'utf-8')) AS not_wav,
+        |  graft_flac_meta(encode('nope', 'utf-8')) AS not_flac
+        |FROM gf_t LIMIT 1""".stripMargin).collect().head
+    assert(media.getString(0) == "gif")
+    assert(media.getLong(1) == 320L)
+    assert(media.isNullAt(2) && media.isNullAt(3))
   }
 
   test("graft_top_k coerces int scores/ids at analysis time " +
