@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
 import graft.operators.{Cdc, Chunking, Contamination, Dedup,
-  HeavyHitters, QualityRules, Relevance, Sampling}
+  HeavyHitters, Multimodal, QualityRules, Relevance, Sampling}
 
 /** End-to-end training-data pipeline over one corpus — the "switch to
   * this library" composition story in one runnable main:
@@ -204,11 +204,47 @@ object PipelineDemo {
     val nColl = Relevance.collocations(balanced, "text", "doc_id",
       k = 10, minCount = 2L).count()
 
+    // 11. multimodal sidecar (round 7): the curated docs' media payloads
+    //     run the PERMISSIVE decode audit, decodable audio fans out to
+    //     per-window energy features — all row-local, one scan. Payloads
+    //     here are synthetic WAVs (every third doc truncated, exercising
+    //     the reject path); real payloads swap in at `withBlobMeta`.
+    def le32c(x: org.apache.spark.sql.Column) = unhex(concat(
+      lpad(hex(pmod(x, lit(256L))), 2, "0"),
+      lpad(hex(pmod((x / lit(256L)).cast("long"), lit(256L))), 2, "0"),
+      lpad(hex(pmod((x / lit(65536L)).cast("long"), lit(256L))), 2, "0"),
+      lpad(hex(pmod((x / lit(16777216L)).cast("long"), lit(256L))), 2,
+        "0")))
+    def le16c(x: org.apache.spark.sql.Column) = unhex(concat(
+      lpad(hex(pmod(x, lit(256L))), 2, "0"),
+      lpad(hex(pmod((x / lit(256L)).cast("long"), lit(256L))), 2, "0")))
+    val nf = lit(40L) + col("doc_id") % 60L
+    val wavBlob = concat(lit("RIFF".getBytes), le32c(lit(0L)),
+      lit("WAVE".getBytes), lit("fmt ".getBytes), le32c(lit(16L)),
+      le16c(lit(1L)), le16c(lit(1L)), le32c(lit(16000L)),
+      le32c(lit(32000L)), le16c(lit(2L)), le16c(lit(16L)),
+      lit("data".getBytes), le32c(nf * 2L),
+      unhex(array_join(transform(sequence(lit(0L), nf * 2L - 1L),
+        j => lpad(hex(pmod(col("doc_id") * 7L + j * 31L, lit(256L))),
+          2, "0")), "")))
+    val media = balanced.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, substring(wavBlob, 1, 16))
+        .otherwise(wavBlob).as("blob")).localCheckpoint()
+    val audit = Multimodal.extractDecodeAudit(media, "doc_id").toDF()
+      .localCheckpoint()
+    val nMediaOk = audit.filter(col("ok")).count()
+    val nMediaRej = audit.filter(!col("ok")).count()
+    val decodable = media.join(
+      audit.filter(col("ok")).select("doc_id"), "doc_id")
+    val nAudioWin = Multimodal.extractAudioWindows(decodable, "doc_id",
+      windowFrames = 25).toDF().count()
+
     println(s"docs=$n0 afterDedup=$n1 afterContam=$n2 afterQuality=$n3 " +
       s"afterBalance=$n4 chunks=$nChunks packs=$nPacks ordered=$nOrdered " +
       s"splits=$splits ingestRecrawls=$nRecrawl ingestNearPairs=" +
       s"$nNearPairs served=$nServed heavyTerms=$nHeavy " +
-      s"collocations=$nColl")
+      s"collocations=$nColl mediaOk=$nMediaOk mediaRejected=$nMediaRej " +
+      s"audioWindows=$nAudioWin")
     require(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 >= n4 && n4 > 0 &&
       nChunks > 0 && nOrdered == n4 && nSplit == n4,
       "pipeline stages must monotonically filter and keep data")
@@ -216,6 +252,9 @@ object PipelineDemo {
       "ingest screen and corpus report must be non-vacuous")
     require(nServed > n4 - 3 && nServed < n4 + delta.count(),
       "CDC merge must add the fresh delta and the forget pass must cut")
+    require(nMediaOk + nMediaRej == n4 && nMediaOk > 0 && nMediaRej > 0 &&
+      nAudioWin >= nMediaOk,
+      "decode audit must cover every payload and route both verdicts")
     spark.stop()
   }
 }
