@@ -147,7 +147,10 @@ object ScaleProbe {
       val emb = spark.read.parquet(s"$bigDir/embeddings.parquet")
       val u = emb.unionAll(emb.withColumn("vec_id",
         col("vec_id") + 1000000L))
-      Seq(16, 64, 128).foreach { nlist =>
+      // AutoNlist last: shows the round-7 √N default landing at (or past)
+      // the hand-tuned operating point without a user-supplied nlist
+      Seq(16, 64, 128, graft.operators.Similarity.AutoNlist)
+        .foreach { nlist =>
         val t0 = System.nanoTime()
         val (ids, vecs) = graft.operators.Similarity.kmeansCentroids(
           u, nlist = nlist, iters = 1)
@@ -155,8 +158,10 @@ object ScaleProbe {
             ids, vecs, threshold = 0.95)
           .write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
+        val label = if (nlist == graft.operators.Similarity.AutoNlist)
+          s"auto(${ids.length})" else nlist.toString
         System.err.println(
-          f"[scale] x$bigF%-3d dedup_semantic nlist=$nlist%-4d $sec%7.2f s")
+          f"[scale] x$bigF%-3d dedup_semantic nlist=$label%-9s $sec%7.2f s")
       }
     }
     // 2. dedup_ngram_jaccard: candidate-pair volume per factor (is the
