@@ -1848,6 +1848,47 @@ class KernelPropertySpec extends SparkFunSuite {
     }
   }
 
+  test("property: flacMeta recovers random bit-packed STREAMINFO fields " +
+      "(independent MSB-first bit writer, full field ranges)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    val caseGen = for {
+      sr <- Gen.choose(1, (1 << 20) - 1) // 20-bit, parser requires > 0
+      ch <- Gen.choose(1, 8) // 3-bit field stores ch-1
+      bps <- Gen.choose(1, 32) // 5-bit field stores bps-1
+      total <- Gen.chooseNum(0L, (1L << 36) - 1)
+      flag <- Gen.oneOf(0, 0x80)
+    } yield (sr, ch, bps, total, flag)
+    val cases = (0 until 120).flatMap(k =>
+      caseGen.apply(Gen.Parameters.default, Seed(3000L + k)))
+    // independent encoder: write the 64-bit tail MSB-first as one bit
+    // stream (no per-byte layout knowledge shared with the parser)
+    def pack(sr: Int, ch: Int, bps: Int, total: Long): Array[Byte] = {
+      var acc = BigInt(sr)
+      acc = (acc << 3) | (ch - 1)
+      acc = (acc << 5) | (bps - 1)
+      acc = (acc << 36) | total
+      (7 to 0 by -1).map(i => ((acc >> (i * 8)) & 0xff).toByte).toArray
+    }
+    val rows = cases.zipWithIndex.map { case ((sr, ch, bps, total, flag), i) =>
+      (i.toLong, "fLaC".getBytes ++ Array[Byte](flag.toByte, 0, 0, 34) ++
+        new Array[Byte](10) ++ pack(sr, ch, bps, total) ++
+        new Array[Byte](16))
+    }
+    val got = rows.toDF("id", "blob")
+      .select(col("id"), Multimodal.flacMeta(col("blob")).as("m"))
+      .orderBy("id").collect()
+      .map(r => Option(r.getStruct(1)).map(m =>
+        (m.getLong(1).toInt, m.getLong(0).toInt, m.getLong(2).toInt,
+          m.getLong(3))))
+    cases.zip(got).foreach { case ((sr, ch, bps, total, _), g) =>
+      assert(g.contains((sr, ch, bps, total)),
+        s"sr=$sr ch=$ch bps=$bps total=$total got $g")
+    }
+  }
+
   test("property: substringPairs == brute-force reference (shared-window " +
       "counts, longest runs, df-guard) on random tiny-vocab corpora") {
     import org.scalacheck.Gen
