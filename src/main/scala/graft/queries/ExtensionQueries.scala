@@ -78,12 +78,12 @@ object ExtensionQueries {
     lpad(hex(pmod((x / lit(65536L)).cast("long"), lit(256L))), 2, "0"),
     lpad(hex(pmod((x / lit(16777216L)).cast("long"), lit(256L))), 2, "0")))
 
-  /** PCM16 WAV fixture shared by mm_audio_features / mm_audio_windows:
-    * data BYTES are the primitive — b(j) = (doc_id·37 + j·101) % 256 —
-    * channels 1..2, 50..249 frames, a LIST clutter chunk on every third
-    * doc. The oracles recombine byte pairs into two's-complement samples
-    * independently (see mm_audio_features). */
-  private def wavPcmFixture(s: SparkSession, dir: String): DataFrame = {
+  /** PCM16 WAV fixture shared by mm_audio_features / mm_audio_windows /
+    * mm_decode_audit: data BYTES are the primitive — b(j) = (doc_id·37 +
+    * j·101) % 256 — channels 1..2, 50..249 frames, a LIST clutter chunk
+    * on every third doc. The oracles recombine byte pairs into
+    * two's-complement samples independently (see mm_audio_features). */
+  private def wavPcmBlob: org.apache.spark.sql.Column = {
     val ch = lit(1L) + col("doc_id") % 2L
     val nf = lit(50L) + col("doc_id") % 200L
     val blk = ch * 2L // 16-bit PCM
@@ -98,20 +98,22 @@ object ExtensionQueries {
       concat(lit("LIST".getBytes), le32b(lit(6L)),
         unhex(repeat(lit("00"), 6))))
       .otherwise(lit(Array.empty[Byte]))
-    val blob = concat(lit("RIFF".getBytes), le32b(lit(0L)),
+    concat(lit("RIFF".getBytes), le32b(lit(0L)),
       lit("WAVE".getBytes), listChunk,
       lit("fmt ".getBytes), le32b(lit(16L)), le16b(lit(1L)), le16b(ch),
       le32b(sr), le32b(sr * blk), le16b(blk), le16b(lit(16L)),
       lit("data".getBytes), le32b(dsz), pcm)
-    // blob hoisted into its own projection (mm_wav_meta discipline)
-    t(s, dir, "documents").select(col("doc_id"), blob.as("blob"))
   }
 
-  /** 24-bit BMP fixture shared by mm_bmp_features / mm_bmp_patches:
-    * pixel-array FILE bytes (padding included) are the primitive —
-    * b(j) = (doc_id·11 + j·17) % 256 — width 3..8 (stride padding 0..3),
-    * height 2..5. */
-  private def bmpFixture(s: SparkSession, dir: String): DataFrame = {
+  private def wavPcmFixture(s: SparkSession, dir: String): DataFrame =
+    // blob hoisted into its own projection (mm_wav_meta discipline)
+    t(s, dir, "documents").select(col("doc_id"), wavPcmBlob.as("blob"))
+
+  /** 24-bit BMP fixture shared by mm_bmp_features / mm_bmp_patches /
+    * mm_decode_audit: pixel-array FILE bytes (padding included) are the
+    * primitive — b(j) = (doc_id·11 + j·17) % 256 — width 3..8 (stride
+    * padding 0..3), height 2..5. */
+  private def bmpBlob: org.apache.spark.sql.Column = {
     val w = lit(3L) + col("doc_id") % 6L
     val h = lit(2L) + col("doc_id") % 4L
     val stride = ((w * 3L + 3L) / 4L).cast("long") * 4L
@@ -121,15 +123,17 @@ object ExtensionQueries {
         j => lpad(hex(pmod(col("doc_id") * 11L + j * 17L, lit(256L))),
           2, "0")),
       ""))
-    val blob = concat(
+    concat(
       lit("BM".getBytes), le32b(lit(54L) + imgSz), le32b(lit(0L)),
       le32b(lit(54L)), // pixel-array offset
       le32b(lit(40L)), le32b(w), le32b(h), le16b(lit(1L)),
       le16b(lit(24L)), le32b(lit(0L)), le32b(imgSz),
       le32b(lit(0L)), le32b(lit(0L)), le32b(lit(0L)), le32b(lit(0L)),
       pixels)
-    t(s, dir, "documents").select(col("doc_id"), blob.as("blob"))
   }
+
+  private def bmpFixture(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), bmpBlob.as("blob"))
 
   val all: Map[String, QueryFn] = Map(
     // ---- dedup ----
@@ -1588,19 +1592,24 @@ object ExtensionQueries {
     // doc's media payload is TRUNCATED mid-header — the verdict relation
     // (kind, ok, reason) must route each correctly, never drop a row
     "mm_decode_audit" -> ((s, dir) => {
-      val wav = wavPcmFixture(s, dir).withColumnRenamed("blob", "wav")
-      val bmp = bmpFixture(s, dir).withColumnRenamed("blob", "bmp")
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .join(wav, "doc_id").join(bmp, "doc_id")
+      // one projection, no joins: CaseWhen evaluates lazily per row, so
+      // each doc constructs ONLY its own branch's fixture (each fixture
+      // expression referenced exactly once — no cloning). The truncation
+      // residues (15|doc → 3|doc, 15|doc−1 → 3|doc−1) stay inside their
+      // branch's kind.
+      // conditional-length substr keeps each fixture expression at ONE
+      // reference (a second reference would clone the whole construct)
+      val keepAll = lit(1 << 30)
       val blob = when(col("doc_id") % 3 === 0,
-          when(col("doc_id") % 15 === 0, substring(col("wav"), 1, 20))
-            .otherwise(col("wav")))
+          wavPcmBlob.substr(lit(1),
+            when(col("doc_id") % 15 === 0, lit(20)).otherwise(keepAll)))
         .when(col("doc_id") % 3 === 1,
-          when(col("doc_id") % 15 === 1, substring(col("bmp"), 1, 40))
-            .otherwise(col("bmp")))
+          bmpBlob.substr(lit(1),
+            when(col("doc_id") % 15 === 1, lit(40)).otherwise(keepAll)))
         .otherwise(encode(col("text"), "utf-8"))
       Multimodal.extractDecodeAudit(
-          docs.select(col("doc_id"), blob.as("blob")), "doc_id")
+          t(s, dir, "documents").select(col("doc_id"), col("text"))
+            .select(col("doc_id"), blob.as("blob")), "doc_id")
         .toDF()
         .orderBy(col("doc_id"))
     })
