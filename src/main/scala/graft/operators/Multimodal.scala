@@ -272,9 +272,11 @@ object Multimodal {
     *                so the doubles hash identically.
     * Non-RIFF / non-PCM16 / truncated / zero-frame payloads decode to no
     * rows (a real ingest would route those to a rejects side-channel). */
-  /** Shared front half of the PCM16 decoders: RIFF walk to `fmt `/`data`,
-    * format gate, frame count. Returns (channels, dataOff, nFrames). */
-  private def locatePcm16(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+  /** Shared front half of the PCM decoders: RIFF walk to `fmt `/`data`,
+    * format gate (integer PCM, 8 or 16 bit), frame count. Returns
+    * (channels, bits, dataOff, nFrames). */
+  private def locatePcm(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Int)] = {
     if (bytes == null || bytes.length < 12) return None
     def u8(i: Int): Int = bytes(i) & 0xff
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
@@ -300,12 +302,17 @@ object Multimodal {
       pos += 8L + size + (size % 2) // RIFF pads odd chunks to even offsets
       guard += 1
     }
-    if (fmtCode != 1 || bits != 16 || channels < 1 || dataOff < 0) None
+    if (fmtCode != 1 || (bits != 16 && bits != 8) || channels < 1 ||
+        dataOff < 0) None
     else {
-      val n = (dataSz / (channels * 2)).toInt
-      if (n == 0) None else Some((channels, dataOff.toInt, n))
+      val n = (dataSz / (channels * (bits / 8))).toInt
+      if (n == 0) None else Some((channels, bits, dataOff.toInt, n))
     }
   }
+
+  /** 16-bit gate over [[locatePcm]] (the original decoder front). */
+  private def locatePcm16(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+    locatePcm(bytes).collect { case (ch, 16, off, n) => (ch, off, n) }
 
   def decodeWavPcm16(bytes: Array[Byte])
       : IndexedSeq[(Int, Long, Long, Long, Long, Double)] = {
@@ -387,6 +394,64 @@ object Multimodal {
       c += 1
     }
     out.result()
+  }
+
+  /** 8-bit PCM decode — the OFFSET-BINARY variant of [[decodeWavPcm16]]
+    * (round 7): 8-bit WAV samples are UNSIGNED bytes centered at 128
+    * (u8 − 128 ∈ [−128, 127]), a genuinely different sign convention
+    * from 16-bit two's complement — exactly the dispatch a real decoder
+    * front-end must get right per format branch. Same per-channel
+    * peak/Σs²/zero-crossing/RMS reduction over the centered values. */
+  def decodeWavPcm8(bytes: Array[Byte])
+      : IndexedSeq[(Int, Long, Long, Long, Long, Double)] = {
+    val (channels, dataOff, n) = locatePcm(bytes) match {
+      case Some((ch, 8, off, nn)) => (ch, off, nn)
+      case _ => return Vector.empty
+    }
+    def u8(i: Int): Int = bytes(i) & 0xff
+    val out = Vector.newBuilder[(Int, Long, Long, Long, Long, Double)]
+    var c = 0
+    while (c < channels) {
+      var peak = 0L; var sumSq = 0L; var zc = 0L
+      var prevNeg = false
+      var f = 0
+      while (f < n) {
+        val s = u8(dataOff + f * channels + c) - 128 // offset-binary
+        val a = math.abs(s.toLong)
+        if (a > peak) peak = a
+        sumSq += s.toLong * s
+        val neg = s < 0
+        if (f > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+        f += 1
+      }
+      out += ((c, n.toLong, peak, sumSq, zc, math.sqrt(sumSq.toDouble / n)))
+      c += 1
+    }
+    out.result()
+  }
+
+  /** Bit-depth-dispatching batch audio decode: one row per (payload,
+    * channel) for 8- AND 16-bit integer PCM — the production front-end
+    * shape ([[decodeWavPcm16]]/[[decodeWavPcm8]] per format branch). */
+  def extractAudioFeaturesAnyDepth(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[AudioFeatureRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
+      .as[BlobRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val decoded = locatePcm(r.blob) match {
+            case Some((_, 8, _, _)) => decodeWavPcm8(r.blob)
+            case _ => decodeWavPcm16(r.blob)
+          }
+          decoded.iterator.map {
+            case (c, n, peak, sumSq, zc, rms) =>
+              AudioFeatureRow(r.doc_id, c.toLong, n, peak, sumSq, zc, rms)
+          }
+        }
+      }
   }
 
   /** Per-partition batch windowed-audio decode (see
@@ -655,8 +720,8 @@ object Multimodal {
   def auditPayload(bytes: Array[Byte]): (String, Boolean, String) =
     sniffKindJvm(bytes) match {
       case "riff" =>
-        if (locatePcm16(bytes).isDefined) ("riff", true, "ok")
-        else ("riff", false, "undecodable_pcm16")
+        if (locatePcm(bytes).isDefined) ("riff", true, "ok")
+        else ("riff", false, "undecodable_pcm")
       case "bmp" =>
         if (locateBmp24(bytes).isDefined) ("bmp", true, "ok")
         else ("bmp", false, "undecodable_bmp24")

@@ -1515,6 +1515,34 @@ object ExtensionQueries {
         .toDF()
         .orderBy(col("doc_id"), col("channel"))),
 
+    // 8-bit PCM twin through the bit-depth-dispatching extractor: the
+    // samples are OFFSET-BINARY (u8 − 128), a different sign convention
+    // from 16-bit two's complement — the oracle centers the same byte
+    // formula itself, so mixing up the conventions (or routing an 8-bit
+    // payload down the 16-bit branch) diverges on every row
+    "mm_audio_features8" -> ((s, dir) => {
+      val ch = lit(1L) + col("doc_id") % 2L
+      val nf = lit(50L) + col("doc_id") % 200L
+      val blk = ch // 8-bit PCM: one byte per channel-sample
+      val sr = lit(16000L)
+      val dsz = nf * blk
+      val pcm = unhex(array_join(
+        transform(sequence(lit(0L), dsz - 1L),
+          j => lpad(hex(pmod(col("doc_id") * 37L + j * 101L, lit(256L))),
+            2, "0")),
+        ""))
+      val blob = concat(lit("RIFF".getBytes), le32b(lit(0L)),
+        lit("WAVE".getBytes),
+        lit("fmt ".getBytes), le32b(lit(16L)), le16b(lit(1L)), le16b(ch),
+        le32b(sr), le32b(sr * blk), le16b(blk), le16b(lit(8L)),
+        lit("data".getBytes), le32b(dsz), pcm)
+      Multimodal.extractAudioFeaturesAnyDepth(
+          t(s, dir, "documents").select(col("doc_id"), blob.as("blob")),
+          "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"), col("channel"))
+    }),
+
     // windowed audio features (25-frame windows; last window partial):
     // the per-window oracle groups the SAME independently-recombined
     // samples by frame DIV 25 — window boundary or partial-window
@@ -3681,6 +3709,28 @@ object ExtensionQueries {
         |    / CAST(COUNT(*) AS DOUBLE)) AS rms
         |FROM lagged GROUP BY doc_id, channel
         |ORDER BY doc_id, channel""".stripMargin,
+    // offset-binary centering recomputed independently: s = b(i) − 128
+    "mm_audio_features8" ->
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+        |    50 + doc_id % 200 AS nf FROM documents),
+        |ix AS (SELECT doc_id, ch, unnest(range(0, ch * nf)) AS i FROM p),
+        |samp AS (SELECT doc_id, i % ch AS channel, i // ch AS frame,
+        |    (doc_id*37 + i*101) % 256 - 128 AS s
+        |  FROM ix),
+        |lagged AS (SELECT doc_id, channel, s,
+        |    LAG(s) OVER (PARTITION BY doc_id, channel ORDER BY frame)
+        |      AS prev
+        |  FROM samp)
+        |SELECT doc_id, channel, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+        |  CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq,
+        |  CAST(COUNT(*) FILTER (prev IS NOT NULL
+        |    AND (s < 0) != (prev < 0)) AS BIGINT) AS zero_crossings,
+        |  SQRT(CAST(SUM(CAST(s AS BIGINT) * s) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE)) AS rms
+        |FROM lagged GROUP BY doc_id, channel
+        |ORDER BY doc_id, channel""".stripMargin,
+
     // same recombined samples bucketed by frame DIV 25: window boundary
     // and partial-last-window arithmetic both pinned
     "mm_audio_windows" ->
@@ -3788,12 +3838,12 @@ object ExtensionQueries {
         |  (doc_id % 3 = 0 AND doc_id % 15 != 0)
         |    OR (doc_id % 3 = 1 AND doc_id % 15 != 1) AS ok,
         |  CASE WHEN doc_id % 3 = 0 THEN
-        |         CASE WHEN doc_id % 15 = 0 THEN 'undecodable_pcm16'
+        |         CASE WHEN doc_id % 15 = 0 THEN 'undecodable_pcm'
         |              ELSE 'ok' END
         |       WHEN doc_id % 3 = 1 THEN
         |         CASE WHEN doc_id % 15 = 1 THEN 'undecodable_bmp24'
         |              ELSE 'ok' END
-        |       WHEN substr(text, 1, 4) = 'RIFF' THEN 'undecodable_pcm16'
+        |       WHEN substr(text, 1, 4) = 'RIFF' THEN 'undecodable_pcm'
         |       WHEN substr(text, 1, 4) = 'fLaC' THEN 'no_codec'
         |       WHEN substr(text, 1, 2) = 'BM' THEN 'undecodable_bmp24'
         |       WHEN substr(text, 1, 4) = 'GIF8' THEN 'no_codec'

@@ -1256,10 +1256,22 @@ class MultimodalSpec extends SparkFunSuite {
     val clamped = Multimodal.decodeWavPcm16(
       wav(1, Seq(7, -7), declaredSz = Some(1 << 20)))
     assert(clamped.map(t => (t._1, t._2)) == Vector((0, 2L)))
-    // 8-bit PCM and float (code 3) payloads are not this decoder's format
+    // 8-bit PCM and float (code 3) payloads are not THIS decoder's format
     assert(Multimodal.decodeWavPcm16(wav(1, Seq(1, 2), bits = 8)).isEmpty)
     assert(Multimodal.decodeWavPcm16(wav(1, Seq(1, 2), code = 3)).isEmpty)
     assert(Multimodal.decodeWavPcm16("not riff at all".getBytes).isEmpty)
+    // the 8-bit decoder: OFFSET-BINARY samples (u8 − 128). bytes
+    // 128, 228, 28 center to 0, +100, −100: peak 100, one sign flip
+    // (0 counts non-negative), Σs² = 20000
+    val fmt8 = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8)
+    val wav8 = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++ fmt8 ++
+      "data".getBytes ++ le32(3) ++
+      Array(128.toByte, 228.toByte, 28.toByte)
+    assert(Multimodal.decodeWavPcm8(wav8) == Vector(
+      (0, 3L, 100L, 20000L, 1L, math.sqrt(20000.0 / 3))))
+    assert(Multimodal.decodeWavPcm8(wav(1, Seq(1, 2))).isEmpty,
+      "16-bit payloads must not route down the 8-bit branch")
   }
 
   test("decodeBmp24: real pixel decode — bottom-up rows, stride padding, " +
@@ -1346,7 +1358,7 @@ class MultimodalSpec extends SparkFunSuite {
       "data".getBytes ++ le32(4) ++ le16(5) ++ le16(-5)
     assert(Multimodal.auditPayload(wav) == (("riff", true, "ok")))
     assert(Multimodal.auditPayload(wav.take(20)) ==
-      (("riff", false, "undecodable_pcm16")))
+      (("riff", false, "undecodable_pcm")))
     val bmp = "BM".getBytes ++ le32(54 + 4) ++ le32(0) ++ le32(54) ++
       le32(40) ++ le32(1) ++ le32(1) ++ le16(1) ++ le16(24) ++ le32(0) ++
       le32(4) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
@@ -1358,7 +1370,7 @@ class MultimodalSpec extends SparkFunSuite {
       (("gif", false, "no_codec")))
     // ASCII lookalikes can never satisfy the binary gates (NUL bytes)
     assert(Multimodal.auditPayload("RIFFxxxxWAVEfmt etc".getBytes) ==
-      (("riff", false, "undecodable_pcm16")))
+      (("riff", false, "undecodable_pcm")))
     assert(Multimodal.auditPayload("BMW is a carmaker and so on, text"
       .getBytes ++ new Array[Byte](60))._3 == "undecodable_bmp24")
     assert(Multimodal.auditPayload("plain".getBytes) ==
