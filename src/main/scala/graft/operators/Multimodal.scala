@@ -512,9 +512,14 @@ object Multimodal {
     val bpp = le16(28)
     val compression = le32(30)
     if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
-    val stride = ((3 * w + 3) / 4) * 4
-    if (dataOff + h.toLong * stride > bytes.length) return None
-    Some((w, h, dataOff.toInt, stride))
+    // stride arithmetic in LONG: an adversarial 2^30-ish width overflows
+    // a 32-bit 3·w to a NEGATIVE stride that slips past the length gate
+    // and crashes the pixel walk (caught by the round-7 fuzz spec). The
+    // gate below then also proves stride and every offset fit in Int.
+    val stride = ((3L * w + 3L) / 4L) * 4L
+    if (dataOff < 0 || dataOff + h.toLong * stride > bytes.length)
+      return None
+    Some((w, h, dataOff.toInt, stride.toInt))
   }
 
   def decodeBmp24(bytes: Array[Byte]): Option[ImageFeatureRow] = {

@@ -1901,6 +1901,60 @@ class KernelPropertySpec extends SparkFunSuite {
     }
   }
 
+  test("fuzz: every media decoder is TOTAL on adversarial bytes — random " +
+      "garbage, bit-flipped valid files, and overflow-crafted headers") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val validWav = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      ("fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(8000) ++
+        le32(32000) ++ le16(4) ++ le16(16)) ++
+      "data".getBytes ++ le32(8) ++ new Array[Byte](8)
+    val validBmp = "BM".getBytes ++ le32(70) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(16) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      new Array[Byte](16)
+    // crafted overflow: width 2^30 makes 32-bit 3·w negative — the
+    // pre-fix stride slipped past the length gate and crashed the walk
+    val overflowBmp = "BM".getBytes ++ le32(70) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(1L << 30) ++ le32(1) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(16) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      new Array[Byte](64)
+    val mutGen = for {
+      base <- Gen.oneOf(Seq(validWav, validBmp))
+      nFlips <- Gen.choose(1, 6)
+      flips <- Gen.listOfN(nFlips,
+        Gen.zip(Gen.choose(0, base.length - 1), Gen.choose(0, 255)))
+    } yield {
+      val b = base.clone()
+      flips.foreach { case (i, v) => b(i) = v.toByte }
+      b
+    }
+    val randGen = for {
+      n <- Gen.choose(0, 200)
+      bs <- Gen.listOfN(n, Gen.choose(0, 255))
+    } yield bs.map(_.toByte).toArray
+    val inputs = Seq(overflowBmp, Array.empty[Byte]) ++
+      (0 until 150).flatMap(k =>
+        mutGen.apply(Gen.Parameters.default, Seed(4000L + k))) ++
+      (0 until 100).flatMap(k =>
+        randGen.apply(Gen.Parameters.default, Seed(5000L + k)))
+    inputs.foreach { bytes =>
+      // must never throw — undecodable payloads route to empty/None,
+      // which is what the PERMISSIVE audit depends on
+      Multimodal.decodeWavPcm16(bytes)
+      Multimodal.decodeWavPcm8(bytes)
+      Multimodal.decodeWavPcm16Windows(bytes, 25)
+      Multimodal.decodeBmp24(bytes)
+      Multimodal.decodeBmp24Patches(bytes, 2)
+      Multimodal.auditPayload(bytes)
+    }
+    assert(Multimodal.decodeBmp24(overflowBmp).isEmpty,
+      "overflow-width BMP must reject, not crash")
+  }
+
   test("property: substringPairs == brute-force reference (shared-window " +
       "counts, longest runs, df-guard) on random tiny-vocab corpora") {
     import org.scalacheck.Gen
