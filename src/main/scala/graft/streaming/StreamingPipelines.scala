@@ -43,6 +43,19 @@ object StreamingPipelines {
     df.withColumn("event",
       AvroTransform.fromAvroFixed(schemaJson, expectedSchemaId)(col(valueCol)))
 
+  /** Streaming media triage — the streaming twin of
+    * [[graft.operators.Multimodal.extractDecodeAudit]] (round 7): every
+    * payload in a media-blob stream gets a (kind, ok, reason) verdict
+    * row. STATELESS (the audit is row-local `mapPartitions`), so it
+    * lifts to streaming unchanged and composes with any sink split —
+    * route `ok` to the decode fan-out, rejects to the quarantine topic,
+    * and alert on reason-rate drift. This is the media ingest front
+    * door a 100 TB multimodal pipeline runs continuously. */
+  def mediaAuditStream(blobs: DataFrame, idCol: String,
+      blobCol: String = "blob"): DataFrame =
+    graft.operators.Multimodal.extractDecodeAudit(blobs, idCol, blobCol)
+      .toDF()
+
   /** Streaming exact dedup on content digest with BOUNDED state:
     * `dropDuplicatesWithinWatermark` keeps a digest key only until the
     * watermark passes it, so state size tracks the dedup horizon (e.g.

@@ -13,6 +13,41 @@ import graft.avro.{Fixtures, WireFormat}
   * source, memory sink (SURVEY.md §5 — replaces a live broker). */
 class StreamingSpec extends SparkFunSuite {
 
+  test("streaming media triage: per-payload verdicts stream through " +
+      "append mode; valid WAV routes ok, garbage routes to reasons") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val wav = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      ("fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+        le32(16000) ++ le16(2) ++ le16(16)) ++
+      "data".getBytes ++ le32(4) ++ le16(1) ++ le16(2)
+    val input = MemoryStream[(Long, Array[Byte])]
+    val out = StreamingPipelines.mediaAuditStream(
+      input.toDF().toDF("doc_id", "blob"), "doc_id")
+    val q = out.writeStream.format("memory").queryName("media_triage")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, wav), (2L, "plain text".getBytes(UTF_8)))
+      q.processAllAvailable()
+      input.addData((3L, wav.take(20)), (4L, "GIF89a...".getBytes(UTF_8)))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT doc_id, kind, ok, reason FROM media_triage ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getBoolean(2), r.getString(3))).toSeq
+      assert(rows == Seq(
+        (1L, "riff", true, "ok"),
+        (2L, "bin", false, "unknown_format"),
+        (3L, "riff", false, "undecodable_pcm"),
+        (4L, "gif", false, "no_codec")),
+        s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming decode: golden envelope via MemoryStream (M2 wiring)") {
     val s = spark
     import s.implicits._
