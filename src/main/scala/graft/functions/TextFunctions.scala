@@ -129,6 +129,14 @@ object TextFunctions {
     regexp_count(text, lit(TagPattern)) > 0 ||
       regexp_count(text, lit("&(lt|gt|quot|amp|nbsp|#39);")) > 0
 
+  /** Sentence segmentation (round 7): split on terminal-punctuation runs
+    * `[.!?]+`, trim, drop empties — the boundary rule chunkers and
+    * readability signals share. Deliberately regex-class simple (no
+    * abbreviation lexicon) and therefore engine-portable: the oracle
+    * replicates the same split/trim/filter in SQL. Row-local. */
+  def sentences(text: Column): Column =
+    filter(transform(split(text, "[.!?]+"), s => trim(s)), s => s =!= "")
+
   /** Hashed k-word shingle set (array<bigint>) — the scale front-end for
     * LSH dedup: one native pass, no shingle strings materialized
     * (`graft.plans.ShingleHashes`). */

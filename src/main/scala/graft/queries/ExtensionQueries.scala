@@ -1576,6 +1576,25 @@ object ExtensionQueries {
         .toDF()
         .orderBy(col("doc_id"), col("patch_y"), col("patch_x"))),
 
+    // sentence segmentation stats: boundary rule [.!?]+, per-doc count /
+    // longest / exact char totals, avg as one double division. The
+    // sentence array is hoisted once (HOF-reuse discipline); zero-
+    // sentence docs report zeros, not nulls
+    "text_sentences" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.sentences(col("text")).as("sents"))
+        .select(col("doc_id"),
+          size(col("sents")).cast("long").as("n_sentences"),
+          coalesce(array_max(transform(col("sents"),
+            s_ => length(s_).cast("long"))), lit(0L)).as("max_chars"),
+          coalesce(aggregate(col("sents"), lit(0L),
+            (acc, s_) => acc + length(s_)), lit(0L)).as("total_chars"))
+        .withColumn("avg_chars",
+          when(col("n_sentences") === 0L, lit(0.0))
+            .otherwise(col("total_chars").cast("double") /
+              col("n_sentences").cast("double")))
+        .orderBy(col("doc_id"))),
+
     // FLAC STREAMINFO: planted bit-packed fields (sample rate split
     // 8+8+4 across three bytes, channels/bps sharing a byte, a 36-bit
     // total straddling a nibble) recovered by the shifts-and-masks
@@ -3809,6 +3828,27 @@ object ExtensionQueries {
         |    AS mean_r
         |FROM v GROUP BY doc_id, patch_x, patch_y
         |ORDER BY doc_id, patch_y, patch_x""".stripMargin,
+    // identical split/trim/filter replicated in SQL ([.!?]+ means the
+    // same thing to Java regex and RE2); char totals are exact ints,
+    // avg is one correctly-rounded division on both engines
+    "text_sentences" ->
+      """WITH sp AS (SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+        |      x -> x != '') AS sents
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(sents) AS BIGINT) AS n_sentences,
+        |  CAST(COALESCE(list_max(list_transform(sents, x -> length(x))),
+        |    0) AS BIGINT) AS max_chars,
+        |  CAST(COALESCE(list_sum(list_transform(sents, x -> length(x))),
+        |    0) AS BIGINT) AS total_chars,
+        |  CASE WHEN len(sents) = 0 THEN 0.0
+        |       ELSE CAST(COALESCE(list_sum(list_transform(sents,
+        |         x -> length(x))), 0) AS DOUBLE) / len(sents) END
+        |    AS avg_chars
+        |FROM sp ORDER BY doc_id""".stripMargin,
+
     // the bit-packed STREAMINFO fields pinned in closed form: a shift,
     // mask, or straddle mistake in the parser misses every row
     "mm_flac_meta" ->
