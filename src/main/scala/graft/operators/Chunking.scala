@@ -71,4 +71,37 @@ object Chunking {
         expr(s"tokens_before DIV $budget").as("pack_id"),
         pmod(col("tokens_before"), lit(budget.toLong)).as("offset_in_pack"))
   }
+
+  /** SENTENCE-aligned chunking (round 7) — the RAG/pretraining chunk
+    * shape: a document's sentences ([[TF.sentences]]) assemble into
+    * chunks of ~`budgetChars`, never splitting inside a sentence. The
+    * assignment rule is the same budget-quantized prefix sum as
+    * [[packSequences]] (`chunk = chars_before DIV budget` within the
+    * doc): exact integer arithmetic, order-deterministic, portable — a
+    * greedy reset rule would need a per-doc fold that SQL engines don't
+    * share. Chunks can overshoot the budget by at most one sentence,
+    * the documented greedy-chunker tradeoff.
+    *
+    * Scale shape: one row-local sentence explode + ONE window keyed by
+    * doc (the exchange carries (doc_id, sentence-length) rows, never
+    * text twice) + a map-side-combinable regroup. Output one row per
+    * chunk: (doc_id, chunk_id, n_sentences, chunk_chars, first_sentence,
+    * offset sentences carried for the re-assembly join). */
+  def sentenceChunks(docs: DataFrame, textCol: String, idCol: String,
+      budgetChars: Int): DataFrame = {
+    require(budgetChars > 0, "budgetChars must be positive")
+    val w = Window.partitionBy("doc_id").orderBy("sent_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TF.sentences(col(textCol))).as(Seq("sent_idx", "sent")))
+      .withColumn("n_chars", length(col("sent")).cast("long"))
+      .withColumn("chars_before", coalesce(sum("n_chars").over(w), lit(0L)))
+      .withColumn("chunk_id",
+        expr(s"chars_before DIV $budgetChars"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(col("n_chars")).as("chunk_chars"),
+        min(col("sent_idx")).cast("long").as("first_sent_idx"))
+  }
 }

@@ -1576,6 +1576,14 @@ object ExtensionQueries {
         .toDF()
         .orderBy(col("doc_id"), col("patch_y"), col("patch_x"))),
 
+    // sentence-aligned chunks at a 200-char budget: chunk assignment is
+    // the budget-quantized prefix sum over sentence lengths — the
+    // oracle recomputes the identical window arithmetic
+    "text_chunks_sentences" -> ((s, dir) =>
+      Chunking.sentenceChunks(t(s, dir, "documents"), "text", "doc_id",
+          budgetChars = 200)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // sentence segmentation stats: boundary rule [.!?]+, per-doc count /
     // longest / exact char totals, avg as one double division. The
     // sentence array is hoisted once (HOF-reuse discipline); zero-
@@ -3828,6 +3836,31 @@ object ExtensionQueries {
         |    AS mean_r
         |FROM v GROUP BY doc_id, patch_x, patch_y
         |ORDER BY doc_id, patch_y, patch_x""".stripMargin,
+    // identical sentence split + window prefix sum + DIV 200 regrouped
+    "text_chunks_sentences" ->
+      """WITH sp AS (SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+        |      x -> x != '') AS sents
+        |  FROM documents),
+        |ex AS (SELECT doc_id,
+        |    unnest(sents) AS sent,
+        |    generate_subscripts(sents, 1) - 1 AS sent_idx
+        |  FROM sp),
+        |cum AS (SELECT doc_id, sent_idx,
+        |    CAST(length(sent) AS BIGINT) AS n_chars,
+        |    COALESCE(SUM(CAST(length(sent) AS BIGINT)) OVER (
+        |      PARTITION BY doc_id ORDER BY sent_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chars_before
+        |  FROM ex)
+        |SELECT doc_id, CAST(chars_before // 200 AS BIGINT) AS chunk_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sentences,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chunk_chars,
+        |  CAST(MIN(sent_idx) AS BIGINT) AS first_sent_idx
+        |FROM cum GROUP BY doc_id, chars_before // 200
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
     // identical split/trim/filter replicated in SQL ([.!?]+ means the
     // same thing to Java regex and RE2); char totals are exact ints,
     // avg is one correctly-rounded division on both engines
