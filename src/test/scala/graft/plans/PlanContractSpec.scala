@@ -116,6 +116,19 @@ class PlanContractSpec extends SparkFunSuite {
       s"expected a pure projection:\n${df.queryExecution.executedPlan}")
   }
 
+  test("sentenceChunks: one doc-keyed hash exchange, no global sort or " +
+      "single-partition funnel") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.operators.Chunking.sentenceChunks(docs, "text",
+      "doc_id", budgetChars = 200)
+    val plan = finalPlan(df)
+    assert(!"Exchange SinglePartition".r.findAllIn(plan).hasNext,
+      s"no global funnel allowed:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"exactly the doc-keyed window exchange:\n$plan")
+  }
+
   test("multimodal decoders: decode, windows, patches, and the audit are " +
       "all zero-exchange — a 100 TB media corpus fans out in one scan") {
     val docs = spark.read
