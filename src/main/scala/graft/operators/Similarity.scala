@@ -361,6 +361,58 @@ object Similarity {
     finishTopK(scored, k)
   }
 
+  /** Per-dimension sign bit (1 where x ≥ 0) — the 1-bit "binary
+    * quantization" code modern vector stores ship (32× smaller than
+    * float32). Int-typed per element here for oracle portability; the
+    * production column packs 64 dims per long (a pure layout change —
+    * the candidate/rerank plan below is unchanged). */
+  def signBits(v: Column): Column =
+    transform(VF.asDouble(v), x => (x >= 0d).cast("int"))
+
+  /** Hamming distance between two sign-bit codes. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x =!= y).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Two-stage BINARY-quantized retrieval (round 7) — the 1-bit cousin
+    * of [[int8TopK]]/[[prefixRerankTopK]]: stage 1 ranks the corpus per
+    * query by NEGATIVE Hamming distance over sign-bit codes and keeps
+    * `k × overfetch` candidates (bounded-heap partial top-k, ties by id
+    * — Hamming is coarse-grained so ties are normal and must break
+    * deterministically); stage 2 re-scores only those candidates with
+    * exact full-precision cosine via a broadcast candidate semi-join.
+    *
+    * The 100 TB story: the coarse scan reads 1 bit/dim (written packed,
+    * 32× less IO than float32) with XOR+popcount arithmetic, and the
+    * corpus is never shuffled in either stage — only `k × overfetch ×
+    * queries` candidate ids and their vectors move. Recall vs the exact
+    * scorer is the overfetch knob, measured by [[recallAt]] in the
+    * driver suite like the IVF path. */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      overfetch: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(overfetch >= 1)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec")))
+    val coarse = corpus.select(col(idCol).as("neighbor_id"),
+        signBits(col(vecCol)).as("c_bits"))
+      .join(broadcast(q.select(col("query_id"),
+        signBits(col("q_vec")).as("q_bits"))),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("coarse",
+        -hamming(col("q_bits"), col("c_bits")).cast("double"))
+    val cands = coarse.groupBy(col("query_id"))
+      .agg(topK(col("coarse"), col("neighbor_id"), k * overfetch).as("top"))
+      .select(col("query_id"), explode(col("top")).as("hit"))
+      .select(col("query_id"), col("hit.id").as("neighbor_id"))
+    val scored = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("c_vec"))
+      .join(broadcast(cands), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("cosine", VF.cosine(col("q_vec"), col("c_vec")))
+    finishTopK(scored, k)
+  }
+
   /** Shared tail: partial-agg top-k per query, explode to ranked rows. */
   private def finishTopK(scored: DataFrame, k: Int,
       scoreCol: String = "cosine"): DataFrame =

@@ -520,6 +520,16 @@ object ExtensionQueries {
     // k×overfetch candidates per query, exact full-dim cosine reranks.
     // The oracle recomputes the SAME staged pipeline, so it pins the
     // stage boundary exactly; recall vs brute force is spec-pinned
+    // 1-bit binary-quantization retrieval: sign-bit Hamming coarse pass
+    // (k·overfetch, ties by id — Hamming is coarse so ties are the norm)
+    // then exact-cosine rerank of the candidates only
+    "sim_topk_binary" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.binaryTopK(emb, emb.filter(col("vec_id") < 10),
+          k = 5, overfetch = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
     "sim_topk_prefix" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.prefixRerankTopK(emb, emb.filter(col("vec_id") < 10),
@@ -3141,6 +3151,35 @@ object ExtensionQueries {
     // slicing is 1-based-inclusive like Spark's slice; list_inner_product
     // folds sequentially like aggregate()), rank cut at k*overfetch, then
     // the exact-cosine rerank of the surviving candidate set
+    // sign-bit Hamming recomputed per pair by index comparison; the
+    // two-stage cut replicates the (coarse, id) and (cosine, id)
+    // deterministic orderings exactly
+    "sim_topk_binary" ->
+      """WITH q AS (SELECT vec_id AS qid,
+        |    CAST(embedding AS DOUBLE[]) AS qv, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+        |    embedding AS ce
+        |  FROM embeddings),
+        |s1 AS (SELECT qid, vec_id AS neighbor_id,
+        |    len(list_filter(range(1, len(qv) + 1),
+        |      i -> (qv[i] >= 0) != (cv[i] >= 0))) AS ham
+        |  FROM q, c WHERE vec_id <> qid),
+        |r1 AS (SELECT qid, neighbor_id, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY ham ASC, neighbor_id) AS rk
+        |  FROM s1),
+        |cand AS (SELECT qid, neighbor_id FROM r1 WHERE rk <= 20),
+        |s2 AS (SELECT cand.qid AS query_id, cand.neighbor_id,
+        |    list_cosine_similarity(q.qe, c.ce) AS sim
+        |  FROM cand JOIN q ON q.qid = cand.qid
+        |  JOIN c ON c.vec_id = cand.neighbor_id),
+        |r2 AS (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s2)
+        |SELECT query_id, rank, neighbor_id FROM r2 WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
     "sim_topk_prefix" ->
       """WITH q AS (SELECT vec_id AS qid,
         |    CAST(embedding AS DOUBLE[]) AS qv, embedding AS qe

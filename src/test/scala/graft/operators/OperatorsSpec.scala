@@ -341,6 +341,39 @@ class SimilaritySpec extends SparkFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("binaryTopK: sign-bit Hamming coarse + exact rerank — recall vs " +
+      "brute force, deterministic tie-breaks, 1-bit codes") {
+    val s = spark
+    import s.implicits._
+    // kernel sanity: sign bits and Hamming on hand values (0 is
+    // non-negative; distance counts sign disagreements only)
+    val hb = Seq((Array(1.0f, -1.0f, 0.0f, 2.0f),
+        Array(-1.0f, -2.0f, 1.0f, 3.0f)))
+      .toDF("a", "b")
+      .select(Similarity.hamming(Similarity.signBits(col("a")),
+        Similarity.signBits(col("b"))).as("h"))
+      .head.getLong(0)
+    assert(hb == 1L, "signs: [+,-,+,+] vs [-,-,+,+] differ in dim 1 only")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val bin = Similarity.binaryTopK(emb, queries, 5, overfetch = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute & bin).size.toDouble / brute.size
+    assert(recall >= 0.5, s"binary-quantized recall $recall too low")
+    // determinism across partitionings
+    val again = Similarity.binaryTopK(emb.repartition(7), queries, 5,
+      overfetch = 8).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val first = Similarity.binaryTopK(emb, queries, 5, overfetch = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(again == first, "results must be partitioning-independent")
+  }
+
   test("written IVF index: identical results to inline IVF, and the probe " +
       "scan is partition-pruned to the probed cells") {
     val queries = emb.filter(col("vec_id") < 5)
