@@ -558,6 +558,26 @@ object ExtensionQueries {
     // recall@5 of IVF against exact brute force — the evaluation metric
     // an ANN deployment watches when tuning nlist/nprobe, computed
     // in-engine and recomputed exactly by the oracle
+    // recall audit for the binary-quantized path — same shape as
+    // sim_recall_ivf: per-query overlap of binaryTopK's top-5 with the
+    // exact brute-force top-5
+    "sim_recall_binary" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.binaryTopK(emb, q, k = 5, overfetch = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = brute.intersect(approx)
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) * 20).as("recall_pct"))
+        .orderBy(col("query_id"))
+    }),
+
     "sim_recall_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
@@ -3247,6 +3267,44 @@ object ExtensionQueries {
         |SELECT query_id, rank, neighbor_id FROM ivfr WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     "sim_recall_ivf" -> IvfRecallOracleSql,
+    // binary recall: the sim_topk_binary two-stage chain joined against
+    // the shared brute-force CTE, same hit-count arithmetic
+    "sim_recall_binary" ->
+      s"""WITH hq AS (SELECT vec_id AS qid,
+        |    CAST(embedding AS DOUBLE[]) AS qv, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 10),
+        |hc AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+        |    embedding AS ce
+        |  FROM embeddings),
+        |hs1 AS (SELECT qid, vec_id AS neighbor_id,
+        |    len(list_filter(range(1, len(qv) + 1),
+        |      i -> (qv[i] >= 0) != (cv[i] >= 0))) AS ham
+        |  FROM hq, hc WHERE vec_id <> qid),
+        |hr1 AS (SELECT qid, neighbor_id, ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY ham ASC, neighbor_id) AS rk
+        |  FROM hs1),
+        |hcand AS (SELECT qid, neighbor_id FROM hr1 WHERE rk <= 20),
+        |hs2 AS (SELECT hcand.qid AS query_id, hcand.neighbor_id,
+        |    list_cosine_similarity(hq.qe, hc.ce) AS sim
+        |  FROM hcand JOIN hq ON hq.qid = hcand.qid
+        |  JOIN hc ON hc.vec_id = hcand.neighbor_id),
+        |hr2 AS (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM hs2),
+        |$BruteCtesSql,
+        |bin AS (SELECT query_id, neighbor_id FROM hr2 WHERE rank <= 5),
+        |brute AS (SELECT query_id, neighbor_id FROM bruter WHERE rank <= 5),
+        |h AS (SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |  FROM brute b JOIN bin i
+        |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+        |  GROUP BY b.query_id)
+        |SELECT q.vec_id AS query_id,
+        |  COALESCE(h.n_hits, 0) AS n_hits,
+        |  COALESCE(h.n_hits, 0) * 20 AS recall_pct
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+        |LEFT JOIN h ON h.query_id = q.vec_id
+        |ORDER BY query_id""".stripMargin,
     "ivf_kmeans_refine" ->
       """WITH cents AS (
         |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_vec
