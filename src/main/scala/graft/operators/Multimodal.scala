@@ -492,14 +492,15 @@ object Multimodal {
     * BITMAPINFOHEADER (width/height signed LE32 at 18/22, planes=1,
     * bpp=24 LE16 at 28, compression=0/BI_RGB LE32 at 30), then walks
     * pixels in TOP-DOWN image order, mapping (x, y) to file offset
-    * `dataOff + (h−1−y)·stride + 3x` and reading B, G, R channel bytes
-    * (BMP stores BGR). Truncated pixel arrays, other bpp/compression,
-    * and top-down (negative-height) bitmaps decode to None — the
-    * fixture corpus is positive-height; a production dispatch adds the
-    * negative-height branch, not a new plan shape. */
+    * `dataOff + (h−1−y)·stride + 3x` for bottom-up storage (positive
+    * height) or `dataOff + y·stride + 3x` for top-down (NEGATIVE height
+    * — both storage orders of the signed-height spec are handled), and
+    * reading B, G, R channel bytes (BMP stores BGR). Truncated pixel
+    * arrays and other bpp/compression decode to None. */
   /** Shared front half of the BMP decoders: header parse + format gate.
-    * Returns (width, height, dataOff, stride). */
-  private def locateBmp24(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    * Returns (width, |height|, dataOff, stride, topDown). */
+  private def locateBmp24(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Int, Boolean)] = {
     if (bytes == null || bytes.length < 54) return None
     def u8(i: Int): Int = bytes(i) & 0xff
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
@@ -507,11 +508,15 @@ object Multimodal {
       (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
     if (bytes(0) != 'B' || bytes(1) != 'M') return None
     val dataOff = le32(10)
-    val w = le32(18).toInt // signed in spec; sane fixtures are small +ve
-    val h = le32(22).toInt
+    val w = le32(18).toInt // signed in spec
+    // height is SIGNED: negative means top-down row order (no flip);
+    // normalize to |h| here and expose the order flag via [[bmpTopDown]]
+    val hRaw = le32(22).toInt
+    val h = math.abs(hRaw)
     val bpp = le16(28)
     val compression = le32(30)
-    if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
+    if (w <= 0 || hRaw == 0 || hRaw == Int.MinValue || bpp != 24 ||
+      compression != 0) return None
     // stride arithmetic in LONG: an adversarial 2^30-ish width overflows
     // a 32-bit 3·w to a NEGATIVE stride that slips past the length gate
     // and crashes the pixel walk (caught by the round-7 fuzz spec). The
@@ -519,11 +524,11 @@ object Multimodal {
     val stride = ((3L * w + 3L) / 4L) * 4L
     if (dataOff < 0 || dataOff + h.toLong * stride > bytes.length)
       return None
-    Some((w, h, dataOff.toInt, stride.toInt))
+    Some((w, h, dataOff.toInt, stride.toInt, hRaw < 0))
   }
 
   def decodeBmp24(bytes: Array[Byte]): Option[ImageFeatureRow] = {
-    val (w, h, dataOff, stride) = locateBmp24(bytes) match {
+    val (w, h, dataOff, stride, topDown) = locateBmp24(bytes) match {
       case None => return None
       case Some(t) => t
     }
@@ -532,7 +537,9 @@ object Multimodal {
     val wsums = new Array[Long](3)
     var y = 0
     while (y < h) {
-      val rowOff = dataOff.toInt + (h - 1 - y) * stride // bottom-up rows
+      // bottom-up unless the (negative-height) top-down flag is set
+      val rowOff = dataOff.toInt +
+        (if (topDown) y else h - 1 - y) * stride
       var x = 0
       while (x < w) {
         val p = rowOff + 3 * x
@@ -584,7 +591,7 @@ object Multimodal {
   def decodeBmp24Patches(bytes: Array[Byte], patch: Int)
       : IndexedSeq[(Int, Int, Long, Array[Long])] = {
     require(patch >= 1, "patch must be >= 1")
-    val (w, h, dataOff, stride) = locateBmp24(bytes) match {
+    val (w, h, dataOff, stride, topDown) = locateBmp24(bytes) match {
       case None => return Vector.empty
       case Some(t) => t
     }
@@ -599,7 +606,8 @@ object Multimodal {
         val sums = new Array[Long](3)
         var y = py * patch
         while (y < y1) {
-          val rowOff = dataOff + (h - 1 - y) * stride // bottom-up rows
+          val rowOff = dataOff +
+            (if (topDown) y else h - 1 - y) * stride
           var x = px * patch
           while (x < x1) {
             val p = rowOff + 3 * x

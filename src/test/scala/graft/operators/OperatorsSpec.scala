@@ -1346,6 +1346,17 @@ class MultimodalSpec extends SparkFunSuite {
     val one = Multimodal.decodeBmp24Patches(bmp, patch = 2)
     assert(one.size == 1 && one.head._3 == 4L &&
       one.head._4.toSeq == Seq(r.sum_b, r.sum_g, r.sum_r))
+    // NEGATIVE height = top-down storage: same pixels written in image
+    // order must decode identically to the bottom-up twin (same sums AND
+    // same position-weighted checksums)
+    val bmpTd = "BM".getBytes ++ le32(54 + 16) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(-2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(16) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      fileRowY0 ++ fileRowY1 // image order, not flipped
+    val rTd = Multimodal.decodeBmp24(bmpTd).get
+    assert((rTd.height, rTd.wsum_b, rTd.wsum_g, rTd.wsum_r) ==
+      ((2L, r.wsum_b, r.wsum_g, r.wsum_r)),
+      "top-down decode must match the bottom-up twin")
   }
 
   test("flacMeta: bit-packed STREAMINFO — CD-audio hand-packed bytes, " +
