@@ -75,21 +75,28 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
       .max(1).min(5)
     def timeMinOf(name: String, n: Int, run: () => Unit): Unit = {
+      // min over SUCCESSFUL reps only — a rep that fails fast (e.g. a
+      // memoized index left broken) must not report its tiny elapsed
+      // time as the query's steady-state cost. A query with no
+      // successful rep records the failing attempt's elapsed, marked on
+      // stderr, matching the old single-rep behavior.
       var best = Double.MaxValue
-      var failed = false
+      var failedElapsed = -1.0
       var r = 0
-      while (r < n && !failed) {
+      while (r < n && failedElapsed < 0) {
         val t0 = System.nanoTime()
-        try run()
-        catch { case t: Throwable =>
-          failed = true
+        try {
+          run()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        } catch { case t: Throwable =>
+          failedElapsed = (System.nanoTime() - t0) / 1e9
           System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
         }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
         r += 1
       }
-      System.err.println(f"[bench] $name%-28s $best%8.2fs  (min of $r)")
-      done.add(name -> best)
+      val v = if (best < Double.MaxValue) best else failedElapsed
+      System.err.println(f"[bench] $name%-28s $v%8.2fs  (min of $r)")
+      done.add(name -> v)
     }
     // Queries whose first invocation BUILDS an on-disk index that later
     // invocations only probe (per-sfDir memoization in ExtensionQueries):
