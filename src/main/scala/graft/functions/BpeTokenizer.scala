@@ -98,15 +98,21 @@ object BpeTokenizer {
     *
     * 100 TB design: the corpus is scanned ONCE to build the word-type
     * dictionary (token-count partial aggregate, vocabulary-sized
-    * exchange) and the dictionary is collected ONCE — it is vocab-bounded
-    * by construction (word TYPES, not corpus tokens; a few MB even for a
-    * web-scale corpus, which is why the reference Sennrich trainer is a
-    * single-machine dict loop too). Every merge iteration then runs
-    * driver-local over the in-memory dict. The round-6 formulation kept
-    * the dict distributed and launched one `limit(1).collect()` job PER
-    * MERGE — correct, but a realistic 30k-merge vocab meant 30k
-    * sequential Spark jobs of pure scheduler overhead; the Spark job
-    * count is now constant in `nMerges` (pinned by a listener spec).
+    * exchange) and the dictionary is collected ONCE. Word TYPES are far
+    * smaller than corpus tokens but NOT driver-bounded on heavy-tailed
+    * web text (typos/numbers/hashes push distinct types into the
+    * hundreds of millions) — `minFreq` is the standard Sennrich
+    * mitigation: pruning singleton types before the collect typically
+    * cuts the dict by an order of magnitude while leaving merge
+    * statistics essentially unchanged (a pair occurring in freq-1 types
+    * only can never win early merges on real corpora). Default 1 keeps
+    * small-corpus results byte-identical to round 6; set ≥ 2 at real
+    * scale. Every merge iteration then runs driver-local over the
+    * in-memory dict. The round-6 formulation kept the dict distributed
+    * and launched one `limit(1).collect()` job PER MERGE — correct, but
+    * a realistic 30k-merge vocab meant 30k sequential Spark jobs of
+    * pure scheduler overhead; the Spark job count is now constant in
+    * `nMerges` (pinned by a listener spec).
     *
     * The driver-local loop reproduces the distributed semantics
     * operation-for-operation: same `" c;"` boundary-safe symbol
@@ -121,12 +127,16 @@ object BpeTokenizer {
     *         `("t h", "th", 1234L)`; stops early if no pair remains
     */
   def trainMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
-      nMerges: Int): Seq[(String, String, Long)] = {
+      nMerges: Int, minFreq: Long = 1L): Seq[(String, String, Long)] = {
     require(nMerges > 0)
+    require(minFreq >= 1, "minFreq must be >= 1")
     // the ONLY Spark work: corpus scan → word-type dict, collected once
+    // (pruned to freq >= minFreq BEFORE the collect — the driver-side
+    // size knob for heavy-tailed corpora, see the scale note above)
     val dict: Array[(String, Long)] = docs
       .select(explode(TextFunctions.normTokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
       .collect()
       .map(r => (r.getString(0).flatMap(c => s" $c;"), r.getLong(1)))
     val syms = dict.map(_._1).toBuffer // encoded symbol strings, mutated
