@@ -209,6 +209,12 @@ object Sketches {
     val lo = cal.getLong(0)
     val hi = cal.getLong(1)
     val n = cal.getLong(2)
+    // a range wider than Long.MaxValue (hi ≥ 0 > lo with hi−lo wrapping)
+    // would silently alias every downstream subtraction — fail loudly
+    // rather than emit garbage quantiles (review finding, round 7)
+    require(hi - lo >= 0,
+      s"histQuantilesAuto: value range [$lo, $hi] exceeds Long — " +
+        "pre-scale the column or bin the two sign halves separately")
     // floor((hi−lo)/nBins)+1 == ceil((hi−lo+1)/nBins) exactly (hi ≥ lo),
     // so at most nBins bins and always ≥ 1
     val binWidth = (hi - lo) / nBins + 1
