@@ -314,14 +314,16 @@ object Multimodal {
   private def locatePcm16(bytes: Array[Byte]): Option[(Int, Int, Int)] =
     locatePcm(bytes).collect { case (ch, 16, off, n) => (ch, off, n) }
 
-  def decodeWavPcm16(bytes: Array[Byte])
+  /** Shared per-channel reduce over an already-LOCATED PCM payload —
+    * sample extraction dispatches on bit depth (16-bit little-endian
+    * two's complement vs 8-bit offset-binary u8−128); the RIFF walk runs
+    * exactly once per payload regardless of entry point. */
+  private def reducePcm(bytes: Array[Byte], channels: Int, bits: Int,
+      dataOff: Int, n: Int)
       : IndexedSeq[(Int, Long, Long, Long, Long, Double)] = {
-    val (channels, dataOff, n) = locatePcm16(bytes) match {
-      case None => return Vector.empty
-      case Some(t) => t
-    }
     def u8(i: Int): Int = bytes(i) & 0xff
-    val bytesPerFrame = channels * 2
+    val bytesPerSample = bits / 8
+    val bytesPerFrame = channels * bytesPerSample
     val out = Vector.newBuilder[(Int, Long, Long, Long, Long, Double)]
     var c = 0
     while (c < channels) {
@@ -329,8 +331,10 @@ object Multimodal {
       var prevNeg = false
       var f = 0
       while (f < n) {
-        val off = dataOff.toInt + f * bytesPerFrame + c * 2
-        val s = ((u8(off + 1) << 8) | u8(off)).toShort.toInt
+        val off = dataOff + f * bytesPerFrame + c * bytesPerSample
+        val s =
+          if (bits == 16) ((u8(off + 1) << 8) | u8(off)).toShort.toInt
+          else u8(off) - 128
         val a = math.abs(s.toLong)
         if (a > peak) peak = a
         sumSq += s.toLong * s
@@ -344,6 +348,14 @@ object Multimodal {
     }
     out.result()
   }
+
+  def decodeWavPcm16(bytes: Array[Byte])
+      : IndexedSeq[(Int, Long, Long, Long, Long, Double)] =
+    locatePcm16(bytes) match {
+      case None => Vector.empty
+      case Some((channels, dataOff, n)) =>
+        reducePcm(bytes, channels, 16, dataOff, n)
+    }
 
   /** One decoded audio WINDOW's features (see [[extractAudioWindows]]). */
   final case class AudioWindowRow(doc_id: Long, channel: Long,
@@ -403,33 +415,12 @@ object Multimodal {
     * front-end must get right per format branch. Same per-channel
     * peak/Σs²/zero-crossing/RMS reduction over the centered values. */
   def decodeWavPcm8(bytes: Array[Byte])
-      : IndexedSeq[(Int, Long, Long, Long, Long, Double)] = {
-    val (channels, dataOff, n) = locatePcm(bytes) match {
-      case Some((ch, 8, off, nn)) => (ch, off, nn)
-      case _ => return Vector.empty
+      : IndexedSeq[(Int, Long, Long, Long, Long, Double)] =
+    locatePcm(bytes) match {
+      case Some((channels, 8, dataOff, n)) =>
+        reducePcm(bytes, channels, 8, dataOff, n)
+      case _ => Vector.empty
     }
-    def u8(i: Int): Int = bytes(i) & 0xff
-    val out = Vector.newBuilder[(Int, Long, Long, Long, Long, Double)]
-    var c = 0
-    while (c < channels) {
-      var peak = 0L; var sumSq = 0L; var zc = 0L
-      var prevNeg = false
-      var f = 0
-      while (f < n) {
-        val s = u8(dataOff + f * channels + c) - 128 // offset-binary
-        val a = math.abs(s.toLong)
-        if (a > peak) peak = a
-        sumSq += s.toLong * s
-        val neg = s < 0
-        if (f > 0 && neg != prevNeg) zc += 1
-        prevNeg = neg
-        f += 1
-      }
-      out += ((c, n.toLong, peak, sumSq, zc, math.sqrt(sumSq.toDouble / n)))
-      c += 1
-    }
-    out.result()
-  }
 
   /** Bit-depth-dispatching batch audio decode: one row per (payload,
     * channel) for 8- AND 16-bit integer PCM — the production front-end
@@ -442,9 +433,12 @@ object Multimodal {
       .as[BlobRow]
       .mapPartitions { rows =>
         rows.flatMap { r =>
+          // ONE RIFF walk per payload: dispatch and decode share the
+          // located (channels, bits, dataOff, n) tuple
           val decoded = locatePcm(r.blob) match {
-            case Some((_, 8, _, _)) => decodeWavPcm8(r.blob)
-            case _ => decodeWavPcm16(r.blob)
+            case Some((channels, bits, dataOff, n)) =>
+              reducePcm(r.blob, channels, bits, dataOff, n)
+            case None => Vector.empty
           }
           decoded.iterator.map {
             case (c, n, peak, sumSq, zc, rms) =>
