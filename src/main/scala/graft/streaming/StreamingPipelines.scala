@@ -242,13 +242,19 @@ object StreamingPipelines {
   /** Resolve the live CDC snapshot directory under `snapshotPath`:
     * follow the `_latest` pointer file if it names an existing `v*` dir,
     * else (pointer missing or dangling — i.e. a crash between version
-    * write and pointer flip) fall back to the NEWEST `v*` dir, else None
-    * (fresh snapshot). This is the reader half of the crash-safe publish
-    * protocol in [[mergeCdcStream]]. */
+    * write and pointer flip) fall back to the NEWEST COMPLETE `v*` dir
+    * (one carrying Spark's `_SUCCESS` commit marker — a version that
+    * crashed mid-write must read as absent, not as a partial corpus),
+    * else the pre-round-7 `current/` layout (so upgrading an existing
+    * deployment keeps its corpus instead of silently restarting from
+    * empty), else None (fresh snapshot). This is the reader half of the
+    * crash-safe publish protocol in [[mergeCdcStream]]. */
   def resolveCdcSnapshot(spark: org.apache.spark.sql.SparkSession,
       snapshotPath: String): Option[org.apache.hadoop.fs.Path] = {
     val base = new org.apache.hadoop.fs.Path(snapshotPath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def complete(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
     val ptr = new org.apache.hadoop.fs.Path(base, "_latest")
     val fromPtr =
       if (!fs.exists(ptr)) None
@@ -257,14 +263,20 @@ object StreamingPipelines {
         val name =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
           finally in.close()
-        Some(new org.apache.hadoop.fs.Path(base, name)).filter(fs.exists)
+        Some(new org.apache.hadoop.fs.Path(base, name))
+          .filter(p => fs.exists(p) && complete(p))
       }
     fromPtr.orElse {
       if (!fs.exists(base)) None
       else fs.listStatus(base).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+        .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+") &&
+          complete(s.getPath))
         .sortBy(_.getPath.getName.drop(1).toLong)
         .lastOption.map(_.getPath)
+        .orElse {
+          val legacy = new org.apache.hadoop.fs.Path(base, "current")
+          Some(legacy).filter(fs.exists)
+        }
     }
   }
 
@@ -321,8 +333,20 @@ object StreamingPipelines {
           .localCheckpoint() // sever lineage before versions get pruned
         sink(merged, batchId)
         val nextName = s"v$batchId"
-        merged.write.mode("overwrite")
-          .parquet(new org.apache.hadoop.fs.Path(base, nextName).toString)
+        val nextPath = new org.apache.hadoop.fs.Path(base, nextName)
+        val nextDone =
+          new org.apache.hadoop.fs.Path(nextPath, "_SUCCESS")
+        // Replay discipline (a checkpointed restart re-runs the last
+        // batchId): a COMPLETE v<batchId> is the deterministic product
+        // of this very merge — never rewrite it, or the overwrite's
+        // delete phase reopens the no-snapshot window on the dir
+        // `_latest` may already name. An INCOMPLETE leftover (crash
+        // mid-write; resolve() never returns it) is cleared and
+        // rewritten.
+        if (!fs.exists(nextDone)) {
+          if (fs.exists(nextPath)) fs.delete(nextPath, true)
+          merged.write.mode("overwrite").parquet(nextPath.toString)
+        }
         // publish: tmp pointer + atomic overwrite rename
         val tmp = new org.apache.hadoop.fs.Path(base, "_latest.tmp")
         val out = fs.create(tmp, true)
@@ -330,12 +354,14 @@ object StreamingPipelines {
         org.apache.hadoop.fs.FileContext.getFileContext(base.toUri, hconf)
           .rename(tmp, new org.apache.hadoop.fs.Path(base, "_latest"),
             org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        // prune all but the 2 newest versions
+        // prune all but the 2 newest versions; a migrated pre-round-7
+        // `current/` dir is superseded once the first pointer lands
         fs.listStatus(base).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
           .sortBy(_.getPath.getName.drop(1).toLong)
           .dropRight(2)
           .foreach(s => fs.delete(s.getPath, true))
+        fs.delete(new org.apache.hadoop.fs.Path(base, "current"), true)
         ()
       }
     checkpointLocation.foreach(p => writer.option("checkpointLocation", p))

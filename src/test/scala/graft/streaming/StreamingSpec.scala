@@ -229,6 +229,41 @@ class StreamingSpec extends SparkFunSuite {
     val vs = fs.listStatus(base).map(_.getPath.getName)
       .filter(_.matches("v\\d+")).sorted.toSeq
     assert(vs.size <= 2, s"version pruning must keep at most 2, got $vs")
+    // an INCOMPLETE newer version (crash mid-write: no _SUCCESS) must be
+    // invisible to resolution — a partial corpus must never read as live
+    val junk = new org.apache.hadoop.fs.Path(base, "v999")
+    fs.mkdirs(junk)
+    val resolved = StreamingPipelines.resolveCdcSnapshot(s, dir).get
+    assert(resolved.getName != "v999",
+      s"resolution must skip the uncommitted version, got $resolved")
+    fs.delete(junk, true)
+    // pre-round-7 layout migration: a snapshot dir holding only
+    // `current/` must seed the merge, not silently restart from empty
+    val dirOld = java.nio.file.Files.createTempDirectory("graft_cdcm")
+      .toString + "/snap"
+    Seq((10L, "ten", 1L, false)).toDF("doc_id", "text", "version",
+        "deleted")
+      .write.parquet(s"$dirOld/current")
+    rows = Nil
+    def runOld(batches: Seq[Seq[(Long, String, Long, Boolean)]]): Unit = {
+      val input = MemoryStream[(Long, String, Long, Boolean)]
+      val q = StreamingPipelines.mergeCdcStream(
+        input.toDF().toDF("doc_id", "text", "version", "deleted"),
+        "doc_id", "version", "deleted", dirOld) { (merged, _) =>
+        rows = merged.collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[String]("text"), r.getAs[Long]("version"))).toSeq
+      }
+      try batches.foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    runOld(Seq(Seq((11L, "eleven", 1L, false))))
+    assert(rows.sorted == Seq((10L, "ten", 1L), (11L, "eleven", 1L)),
+      s"legacy current/ corpus must survive the upgrade, got $rows")
+    val fsOld = new org.apache.hadoop.fs.Path(dirOld)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fsOld.exists(new org.apache.hadoop.fs.Path(dirOld, "current")),
+      "the migrated legacy dir is superseded after the first publish")
   }
 
   test("trending terms: windowed Misra-Gries state folds across " +
