@@ -37,10 +37,19 @@ object Q {
     *     `to_utc_timestamp(ntz, 'UTC')` — the implicit NTZ→TIMESTAMP cast
     *     happens first and the UTC shift is then a no-op (round-6 advice,
     *     verified on 4.1.2: the result differed by the zone offset under a
-    *     non-UTC session tz). The tz-independent form undoes the cast's
-    *     session shift explicitly: `from_utc_timestamp(cast(ts as
-    *     timestamp), <session tz>)` adds back offset(session) and lands on
-    *     wall-as-UTC regardless of what the session tz is.
+    *     non-UTC session tz). Even the cast-then-shift-back form
+    *     (`from_utc_timestamp(cast(...), sessionTz)`) breaks around DST
+    *     transitions — the cast resolves the wall time with one offset
+    *     and the shift-back applies the offset at the derived instant
+    *     (round-7 review). And `timestampdiff(…, NTZ, NTZ)` is NOT the
+    *     fix: measured on 4.1.2, it resolves its NTZ args through the
+    *     session zone too (off by 1h for the spring-forward skipped
+    *     hour; pinned by TzSemanticsSpec). The only arithmetic verified
+    *     zone-free end-to-end is FIELD DECOMPOSITION — date / hour /
+    *     minute / second extraction on NTZ is pure wall reading, so
+    *     `unix_date(date)·86400e6 + (h·3600 + m·60)·1e6 + sec·1e6`
+    *     reconstructs the exact wall micros and `timestamp_micros` of it
+    *     IS wall-as-UTC, under every session timezone incl. DST gaps.
     *   - Already TimestampType: pass through. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -49,9 +58,11 @@ object Q {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        val tz = s.conf.get("spark.sql.session.timeZone")
-        df.withColumn("ts",
-          expr(s"from_utc_timestamp(cast(ts as timestamp), '$tz')"))
+        df.withColumn("ts", expr(
+          "timestamp_micros(unix_date(cast(ts as date)) * 86400000000L" +
+            " + (date_part('HOUR', ts) * 3600" +
+            " + date_part('MINUTE', ts) * 60) * 1000000L" +
+            " + cast(date_part('SECOND', ts) * 1000000 as long))"))
       case _ => df
     }
   }
