@@ -105,7 +105,7 @@ object Bench {
     // the min-of-reps steady-state number.
     val indexBuilders = Set("text_index_lookup", "text_index_and",
       "text_index_phrase", "text_index_near", "sim_topk_ivf_indexed",
-      "dedup_incremental_near")
+      "dedup_incremental_near", "layout_bucket_join", "corpus_compact")
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach {
       case (name, fn) =>
@@ -121,7 +121,8 @@ object Bench {
     // number). The plain "<name>" entry stays build+probe — regressions
     // in either half are now separately visible.
     Seq("text_index_lookup", "text_index_and", "text_index_phrase",
-        "text_index_near", "sim_topk_ivf_indexed", "dedup_incremental_near")
+        "text_index_near", "sim_topk_ivf_indexed", "dedup_incremental_near",
+        "layout_bucket_join", "corpus_compact")
       .filter(SparkEntry.queries.contains).foreach { name =>
         timeMinOf(s"${name}_probe", reps, () =>
           SparkEntry.queries(name)(spark, sfDir)

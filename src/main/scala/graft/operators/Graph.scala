@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Link-graph analytics for corpus curation (builder extension surface —
+  * the reference has no joins or aggregations at all, SURVEY.md §2.2).
+  *
+  * Authority scoring over a link/transition graph is a standard quality
+  * signal for web-scale training corpora: Common-Crawl-style harvesters
+  * weight sources by domain PageRank, and session-transition graphs rank
+  * hub pages. Both reduce to the same two-stage shape implemented here:
+  * a corpus-scale EDGE EXTRACTION (the only pass that touches the raw
+  * log) followed by iterations over the aggregated edge relation, whose
+  * size is bounded by distinct (src, dst) pairs — node², not corpus rows.
+  */
+object Graph {
+
+  /** Per-actor transition edges: order each actor's rows by `order`,
+    * pair every row with its successor, and aggregate to weighted edges
+    * `(src, dst, w)`.
+    *
+    * Scale shape: ONE shuffle keyed by actor (the `lead` window), then a
+    * map-side-combined count — the 100 TB event log reduces to the
+    * node²-bounded edge relation in a single pass. Actor history skew is
+    * the usual window caveat; a hot actor's history lands in one task,
+    * which is inherent to ordered sessionization (same contract as the
+    * funnel/session queries). */
+  def transitionEdges(df: DataFrame, actor: Column, node: Column,
+      order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col("__actor")).orderBy(order: _*)
+    df.select(Seq(actor.as("__actor"), node.as("src")) ++ order: _*)
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Deterministic fixed-point PageRank over a weighted edge relation
+    * `(src, dst, w)`: damping `dampNum/dampDen` (default 17/20 = 0.85),
+    * `iters` Jacobi iterations from a uniform start, all arithmetic
+    * exact int64 over `scale` rank units —
+    * `pr'(v) = (scale·(den−num)) ÷ (den·N) + (num · Σ_{u→v} (pr(u)·w ÷ W_u)) ÷ num_den`
+    * with floor division at every step, so the result is bit-identical
+    * across engines, partitionings and aggregation orders (each division
+    * leaks < 1 unit of mass — PageRank is consumed as a RANKING signal,
+    * not a probability). Dangling nodes keep only the teleport term (the
+    * classic sink-drop variant — deterministic, and their outflow is by
+    * definition unobserved in a transition log).
+    *
+    * Overflow contract: `max(pr)·max(w) < 2^63`; since Σpr ≤ scale this
+    * holds whenever `scale · max_edge_weight < 9.2e18` — at the default
+    * 1e12 scale that allows edge weights to ~9e6. For graphs with hotter
+    * edges pass a smaller `scale` (rank precision degrades gracefully:
+    * it only quantizes the teleport/contribution units).
+    *
+    * Scale shape: `N` is one count over the (aggregated, node-bounded)
+    * node set; each iteration is a join of the tiny rank relation
+    * against the edge relation + a map-side-combined sum — kilobytes of
+    * exchange per iteration regardless of original corpus size. */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+      dampNum: Long = 17L, dampDen: Long = 20L,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 0 && dampDen > dampNum && dampNum > 0)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val e = edges.join(outW, "src")
+    val teleport = (scale * (dampDen - dampNum)) / (dampDen * n)
+    var pr = nodes.select(col("node"), lit(scale / n).as("pr"))
+    (0 until iters).foreach { _ =>
+      val contrib = e
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          TF.intDivNonNeg(col("pr") * col("w"), col("wout")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("cs"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            TF.intDivNonNeg(lit(dampNum) * coalesce(col("cs"), lit(0L)),
+              lit(dampDen))).as("pr"))
+    }
+    pr.orderBy(col("node"))
+  }
+}

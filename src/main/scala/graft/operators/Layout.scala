@@ -53,6 +53,70 @@ object Layout {
     * `files_hit`/`rows_scanned` is what a parquet reader would actually
     * open/read, `rows_matched` the true result size (layout-invariant,
     * so comparing audits of two layouts is apples-to-apples). */
+  /** Register `df` as a bucketed + sorted EXTERNAL parquet table: data
+    * at `path`, metadata in the session catalog. Bucketing is the other
+    * half of the layout story next to [[zValue16]]: a fact table WRITTEN
+    * bucketed (and sorted) by its join key joins against a co-bucketed
+    * table with ZERO exchanges and zero sorts — on a 1000-executor
+    * cluster that converts every fact⋈fact query from "re-shuffle both
+    * 100 TB inputs" into "stream co-located bucket pairs". The price is
+    * paid once at write time (the bucket spill/sort) and amortized over
+    * every subsequent join on that key — the same build-once/probe-many
+    * contract as the written IVF/LSH/term indexes.
+    *
+    * The write repartitions by the SAME hash the bucketizer uses
+    * (`repartition(buckets, key)` and bucket assignment are both
+    * Murmur3 mod buckets), so each task holds exactly one bucket and
+    * writes exactly ONE file — without it, every task writes a file
+    * per bucket it touches (tasks × buckets small files at scale), and
+    * a multi-file bucket makes the scan drop its sort order, forcing
+    * the join to re-Sort both sides (caught by the plan-contract spec:
+    * exchange-free but not sort-free).
+    *
+    * `DROP TABLE IF EXISTS` first: external tables keep their data dirs
+    * across catalog drops, and `saveAsTable(Overwrite)` on an existing
+    * entry validates against the OLD metadata. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      buckets: Int, key: String): String = {
+    require(buckets > 0)
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+    table
+  }
+
+  /** Small-file compaction: rewrite a fragmented parquet directory into
+    * `ceil(totalBytes / targetBytes)` files. The maintenance half of
+    * layout hygiene — streaming ingest and per-executor writes leave
+    * thousands of KB-scale files whose per-file open/footer/seek cost
+    * dominates a 100 TB scan (and whose row groups are too small for
+    * min/max skipping to bite).
+    *
+    * Scale shape: when the file count SHRINKS (the only useful case)
+    * the rewrite is `coalesce`, NOT `repartition` — no shuffle, each
+    * output task concatenates a stripe of input files; at deployment
+    * scale this runs per partition-directory so one directory's rewrite
+    * is one task wave. Returns (filesBefore, filesAfter) as measured on
+    * the filesystem. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0)
+    import org.apache.hadoop.fs.Path
+    val in = new Path(inPath)
+    val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts(p: Path) = fs.listStatus(p)
+      .filter(_.getPath.getName.startsWith("part-"))
+    val before = parts(in)
+    val total = before.map(_.getLen).sum
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inPath)
+    (if (n < before.length) df.coalesce(n) else df)
+      .write.mode("overwrite").parquet(outPath)
+    (before.length, parts(new Path(outPath)).length)
+  }
+
   def pruneAudit(df: DataFrame, xCol: String, yCol: String,
       orderCols: Seq[Column], rowsPerFile: Int,
       x1: Long, x2: Long, y1: Long, y2: Long): DataFrame = {

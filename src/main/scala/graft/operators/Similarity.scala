@@ -413,6 +413,104 @@ object Similarity {
     finishTopK(scored, k)
   }
 
+  /** Per-subspace product-quantization codebooks: the `ksub` smallest-id
+    * corpus vectors sliced into `m` contiguous subvectors (the same
+    * deterministic no-RNG init rule as [[ivfTopK]]'s centroids; a real
+    * deployment would Lloyd-refine each subspace codebook with
+    * [[refineCentroids]] over the sliced corpus — the assignment/score
+    * plans below are unchanged by better codebooks). Returns
+    * `books(mi)(code)` = the `sub = dim/m`-dimensional codeword. */
+  def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id")
+      : Array[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 1)
+    val rows = corpus
+      .select(col(idCol).cast("long").as("cid"),
+        VF.asDouble(col(vecCol)).as("cv"))
+      .orderBy(col("cid")).limit(ksub).collect()
+    require(rows.length == ksub,
+      s"corpus has only ${rows.length} rows for ksub=$ksub codewords")
+    val full = rows.map(_.getSeq[Double](1).toArray)
+    val dim = full.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m)(mi =>
+      full.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub)))
+  }
+
+  /** Two-stage PRODUCT-QUANTIZED retrieval (Jégou et al., PAMI 2011) —
+    * the multi-byte member of the quantized family ([[int8TopK]] = 1
+    * byte/dim, [[binaryTopK]] = 1 bit/dim, PQ = `m` bytes/VECTOR):
+    * stage 1 assigns every corpus vector `m` one-byte codes (nearest
+    * sub-codeword per contiguous subspace — a row-local projection
+    * against the literal codebooks, the corpus is never shuffled),
+    * ranks per query by the asymmetric-distance (ADC) dot product
+    * `Σ_mi 〈q_mi, codebook_mi[code_mi]〉` computed over the
+    * reconstruction, and keeps `k × overfetch` candidates with the
+    * bounded-heap partial top-k; stage 2 re-scores only those
+    * candidates with exact full-precision cosine via a broadcast
+    * candidate semi-join.
+    *
+    * Portability: the ADC ranking is computed in exact int64 over
+    * 1e-5-quantized components (query and codeword components are
+    * `round(x·1e5)` — the identical IEEE double product in any engine,
+    * half-away-from-zero both sides), so the candidate cut is
+    * bit-deterministic across engines and partitionings; terms are
+    * ≤ 64·(2·1e5)² ≈ 2.6e12 — exact in int64 AND in the aggregate's
+    * double score. Storing quantized codebooks is also the production
+    * layout (a PQ codebook IS a lossy code — 1e-5 is far below its
+    * own quantization error).
+    *
+    * The 100 TB story: the corpus scan for the coarse pass reads `m`
+    * bytes per vector once codes are written (64× less IO than float32
+    * at dim 64 / m 4), score arithmetic is `m` table lookups + adds per
+    * row with the `m × ksub × dim/m` codebook resident in cache, and —
+    * like every scorer in this family — only `k × overfetch × queries`
+    * candidate ids move; recall vs exact is the `overfetch`/`ksub` knob,
+    * audited by `sim_recall_pq` in the driver suite. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 4, ksub: Int = 16, overfetch: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(overfetch >= 1)
+    val books = pqCodebooks(corpus, m, ksub, vecCol, idCol)
+    val sub = books(0)(0).length
+    val codeIds = Array.tabulate(ksub)(_.toLong)
+    // nearest sub-codeword by L2, ties to the smallest code — the same
+    // row-local NearestCentroids kernel as IVF, on the sliced subvector
+    def codeCol(v: Column, mi: Int): Column =
+      element_at(VF.nearestCentroids(
+        slice(VF.asDouble(v), mi * sub + 1, sub), codeIds, books(mi), 1), 1)
+    def qint(c: Column): Column =
+      transform(c, x => round(x * 1e5).cast("long"))
+    // quantized ADC reconstruction: codeword lookup per subspace, rounded
+    // IN-PLAN so both engines round the identical doubles
+    def reconQ(v: Column): Column =
+      flatten(array((0 until m).map { mi =>
+        qint(element_at(typedLit(books(mi).map(_.toSeq).toSeq),
+          codeCol(v, mi).cast("int") + 1))
+      }: _*))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"),
+      qint(VF.asDouble(col(vecCol))).as("q_q")))
+    val coarse = corpus.select(col(idCol).as("neighbor_id"),
+        reconQ(col(vecCol)).as("r_q"))
+      .join(broadcast(q.select(col("query_id"), col("q_q"))),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("coarse",
+        aggregate(zip_with(col("q_q"), col("r_q"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).cast("double"))
+    val cands = coarse.groupBy(col("query_id"))
+      .agg(topK(col("coarse"), col("neighbor_id"), k * overfetch).as("top"))
+      .select(col("query_id"), explode(col("top")).as("hit"))
+      .select(col("query_id"), col("hit.id").as("neighbor_id"))
+    val scored = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("c_vec"))
+      .join(broadcast(cands), Seq("neighbor_id"))
+      .join(q.select(col("query_id"), col("q_vec")), Seq("query_id"))
+      .withColumn("cosine", VF.cosine(col("q_vec"), col("c_vec")))
+    finishTopK(scored, k)
+  }
+
   /** Shared tail: partial-agg top-k per query, explode to ranked rows. */
   private def finishTopK(scored: DataFrame, k: Int,
       scoreCol: String = "cosine"): DataFrame =

@@ -56,6 +56,15 @@ object ExtensionQueries {
     new java.util.concurrent.ConcurrentHashMap[String,
       InvertedIndex.TermIndex]()
 
+  /** Bucketed (lineitem, orders) catalog tables per sf dir (see
+    * layout_bucket_join). */
+  private val bucketTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Compacted documents directory per sf dir (see corpus_compact). */
+  private val compactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** documents ∪ documents-with-shifted-ids (adds exact twins). */
   private def docsUnion(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"),
@@ -537,6 +546,18 @@ object ExtensionQueries {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // product-quantized retrieval (m=4 subspaces × ksub=16 codewords =
+    // 4 bytes/vector): integer-exact ADC coarse pass keeps k·overfetch
+    // candidates, exact-cosine rerank; the oracle recomputes the
+    // codebooks, per-subspace L2 assignment, the 1e-5 fixed-point ADC
+    // and both deterministic stage cuts
+    "sim_topk_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+          k = 5, m = 4, ksub = 16, overfetch = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
     // FILTERED vector search (top-k among label-1 vectors only): the
     // metadata predicate composes BELOW the scorer, so it pushes into
     // the corpus scan — prune first, score the survivors, never
@@ -567,6 +588,26 @@ object ExtensionQueries {
       val brute = Similarity.bruteForceTopK(emb, q, k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val approx = Similarity.binaryTopK(emb, q, k = 5, overfetch = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = brute.intersect(approx)
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) * 20).as("recall_pct"))
+        .orderBy(col("query_id"))
+    }),
+
+    // recall audit for the product-quantized path — per-query overlap of
+    // pqTopK's top-5 with the exact brute-force top-5
+    "sim_recall_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.pqTopK(emb, q, k = 5, m = 4, ksub = 16,
+          overfetch = 4)
         .select(col("query_id"), col("neighbor_id"))
       val hits = brute.intersect(approx)
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
@@ -1697,6 +1738,101 @@ object ExtensionQueries {
             .select(col("doc_id"), blob.as("blob")), "doc_id")
         .toDF()
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- link-graph analytics (round 8) ----
+    // per-user event-transition graph: one window pass over the log,
+    // aggregated to the node²-bounded weighted edge relation
+    "graph_transitions" -> ((s, dir) =>
+      graft.operators.Graph.transitionEdges(events(s, dir),
+          actor = col("user_id"),
+          node = get_json_object(col("props"), "$.k").cast("long"),
+          order = Seq(col("ts"), col("event_id")))
+        .orderBy(col("src"), col("dst"))),
+
+    // deterministic integer fixed-point PageRank over that graph — the
+    // domain/hub-authority quality signal of web-corpus curation; the
+    // oracle unrolls the same 5 Jacobi iterations in exact int64 SQL
+    "graph_pagerank" -> ((s, dir) =>
+      graft.operators.Graph.pageRank(
+        graft.operators.Graph.transitionEdges(events(s, dir),
+          actor = col("user_id"),
+          node = get_json_object(col("props"), "$.k").cast("long"),
+          order = Seq(col("ts"), col("event_id"))),
+        iters = 5)),
+
+    // ---- physical layout (round 8) ----
+    // co-bucketed fact⋈fact join: both tables WRITTEN bucketed+sorted by
+    // order key (memoized per sfDir), joined with a merge hint — the
+    // plan-contract spec pins ZERO exchanges and zero sorts on either
+    // join input; the oracle checks the join itself. The values can't
+    // tell a bucketed join from a plain one (that's the point — layout
+    // must never change results), so correctness + plan contract
+    // together are the operator's evidence.
+    "layout_bucket_join" -> ((s, dir) => {
+      def build(d: String): (String, String) = {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          ProcessHandle.current().pid()
+        val base =
+          s"${System.getProperty("java.io.tmpdir")}/graft_bucket_$tag"
+        (Layout.writeBucketed(t(s, d, "lineitem"), s"graft_li_b_$tag",
+            s"$base/lineitem", buckets = 8, key = "l_orderkey"),
+          Layout.writeBucketed(t(s, d, "orders"), s"graft_ord_b_$tag",
+            s"$base/orders", buckets = 8, key = "o_orderkey"))
+      }
+      val cached = bucketTableCache.computeIfAbsent(dir, build(_))
+      val (lt, ot) =
+        if (s.catalog.tableExists(cached._1) &&
+            s.catalog.tableExists(cached._2)) cached
+        else bucketTableCache.compute(dir, (d, _) => build(d))
+      // one file per bucket (writeBucketed aligns write tasks to
+      // buckets), so the scan may report its sortBy order and the merge
+      // join skips BOTH sorts — gated behind this conf since Spark 3.0
+      // (runtime-settable; only bucketed scans read it)
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+        "true")
+      s.table(lt).hint("merge")
+        .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // small-file compaction round trip: documents fragmented into 40
+    // KB-scale files (the streaming-ingest pathology), compacted via
+    // shuffle-free coalesce to ~64 KiB targets; the oracle recomputes
+    // the per-source counts/token totals/content checksum from the
+    // ORIGINAL table — compaction must be a content identity. File
+    // counts (the thing compaction changes) are spec-pinned.
+    "corpus_compact" -> ((s, dir) => {
+      def build(d: String): String = {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          ProcessHandle.current().pid()
+        val base =
+          s"${System.getProperty("java.io.tmpdir")}/graft_compact_$tag"
+        t(s, d, "documents").repartition(40)
+          .write.mode("overwrite").parquet(s"$base/small")
+        Layout.compact(s, s"$base/small", s"$base/compacted",
+          targetBytes = 64L << 10)
+        s"$base/compacted"
+      }
+      val cached = compactCache.computeIfAbsent(dir, build(_))
+      val path =
+        if (new java.io.File(cached).exists) cached
+        else compactCache.compute(dir, (d, _) => build(d))
+      s.read.parquet(path)
+        .select(col("source"),
+          size(TF.normTokens(col("text"))).as("n"),
+          pmod(TF.fingerprintPoly(col("text")), lit(2147483648L))
+            .as("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n").cast("long")).as("total_tokens"),
+          pmod(sum(col("fp")), lit(2199023255552L)).as("content_sum41"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1942,6 +2078,49 @@ object ExtensionQueries {
       |  ROW_NUMBER() OVER (PARTITION BY query_id
       |    ORDER BY sim DESC, neighbor_id) AS rank
       |  FROM scored)""".stripMargin
+
+  /** Product-quantization chain's CTE body (ends at ranked rerank `pr2`)
+    * — codebooks are the 16 smallest-id vectors sliced into 4 contiguous
+    * 16-dim subspaces; assignment is per-subspace L2 argmin (ties by
+    * code); the ADC coarse rank is the exact 1e-5 fixed-point integer
+    * dot of the query against the codeword reconstruction (identical
+    * `round(x·1e5)` arithmetic to the Spark plan); both stage cuts
+    * break ties by neighbor id. Shared by sim_topk_pq and its recall
+    * audit. */
+  private val PqCtesSql =
+    """pc AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    embedding AS e
+      |  FROM embeddings),
+      |pcb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cpos,
+      |    v AS cv
+      |  FROM pc ORDER BY vec_id LIMIT 16),
+      |psub AS (SELECT CAST(mi AS BIGINT) AS mi FROM range(0, 4) t(mi)),
+      |pasg AS (SELECT c.vec_id, s.mi, b.cpos,
+      |    ROW_NUMBER() OVER (PARTITION BY c.vec_id, s.mi
+      |      ORDER BY list_distance(c.v[s.mi*16+1 : s.mi*16+16],
+      |        b.cv[s.mi*16+1 : s.mi*16+16]), b.cpos) AS rn
+      |  FROM pc c CROSS JOIN psub s CROSS JOIN pcb b),
+      |pcodes AS (SELECT vec_id, mi, cpos FROM pasg WHERE rn = 1),
+      |pq AS (SELECT vec_id AS qid, v AS qv, e AS qe FROM pc
+      |  WHERE vec_id < 10),
+      |padc AS (SELECT q.qid, cd.vec_id AS neighbor_id,
+      |    SUM(list_sum(list_transform(range(1, 17),
+      |      j -> CAST(round(q.qv[cd.mi*16+j] * 100000) AS BIGINT) *
+      |           CAST(round(b.cv[cd.mi*16+j] * 100000) AS BIGINT)))) AS sc
+      |  FROM pq q JOIN pcodes cd ON cd.vec_id <> q.qid
+      |  JOIN pcb b ON b.cpos = cd.cpos
+      |  GROUP BY q.qid, cd.vec_id),
+      |pr1 AS (SELECT qid, neighbor_id, ROW_NUMBER() OVER (PARTITION BY qid
+      |    ORDER BY sc DESC, neighbor_id) AS rk FROM padc),
+      |pcand AS (SELECT qid, neighbor_id FROM pr1 WHERE rk <= 20),
+      |ps2 AS (SELECT pcand.qid AS query_id, pcand.neighbor_id,
+      |    list_cosine_similarity(q.qe, c.e) AS sim
+      |  FROM pcand JOIN pq q ON q.qid = pcand.qid
+      |  JOIN pc c ON c.vec_id = pcand.neighbor_id),
+      |pr2 AS (SELECT query_id, neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM ps2)""".stripMargin
 
   /** Brute-force cosine chain's CTE body (ends at ranked results
     * `bruter`) — shared by the sim_topk_brute oracle and the recall
@@ -3224,6 +3403,27 @@ object ExtensionQueries {
         |  FROM s2)
         |SELECT query_id, rank, neighbor_id FROM r2 WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // product-quantization: codebook build + per-subspace assignment +
+    // integer ADC + two-stage cut, all recomputed in SQL (PqCtesSql)
+    "sim_topk_pq" ->
+      s"""WITH $PqCtesSql
+        |SELECT query_id, rank, neighbor_id FROM pr2 WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "sim_recall_pq" ->
+      s"""WITH $PqCtesSql,
+        |$BruteCtesSql,
+        |pqs AS (SELECT query_id, neighbor_id FROM pr2 WHERE rank <= 5),
+        |pbrute AS (SELECT query_id, neighbor_id FROM bruter
+        |  WHERE rank <= 5),
+        |ph AS (SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |  FROM pbrute b JOIN pqs i
+        |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+        |  GROUP BY b.query_id)
+        |SELECT q.qid AS query_id,
+        |  COALESCE(ph.n_hits, 0) AS n_hits,
+        |  COALESCE(ph.n_hits, 0) * 20 AS recall_pct
+        |FROM pq q LEFT JOIN ph ON ph.query_id = q.qid
+        |ORDER BY query_id""".stripMargin,
     // full IVF pipeline in SQL: smallest-16-id centroids, L2-argmin cell
     // assignment (ties by centroid id), 4-probe routing, cosine rank.
     // The indexed variant is the SAME computation over a written
@@ -4018,6 +4218,99 @@ object ExtensionQueries {
         |       WHEN substr(text, 1, 2) = 'BM' THEN 'undecodable_bmp24'
         |       WHEN substr(text, 1, 4) = 'GIF8' THEN 'no_codec'
         |       ELSE 'unknown_format' END AS reason
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the transition-graph edge relation: same LEAD-over-(ts, event_id)
+    // sessionization, weighted by transition count
+    "graph_transitions" ->
+      s"""WITH $GraphCtesSql
+        |SELECT src, dst, w FROM gedges ORDER BY src, dst""".stripMargin,
+
+    // 5 unrolled Jacobi iterations of the exact int64 PageRank — floor
+    // division at every step mirrors the engine's intDivNonNeg chain
+    "graph_pagerank" -> PageRankOracleSql,
+
+    // layout must never change values: the bucketed-table join must
+    // equal the plain SQL join (the zero-exchange plan is spec-pinned)
+    "layout_bucket_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // compaction is a content identity: the oracle recomputes the
+    // per-source manifest from the ORIGINAL documents table — any row
+    // lost/duplicated/mangled by the fragment→compact round trip breaks
+    // the count, token total, or the order-independent checksum
+    "corpus_compact" ->
+      """WITH n AS (SELECT source,
+        |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+        |  FROM documents),
+        |f AS (SELECT source,
+        |  CASE WHEN s = '' THEN 0
+        |       ELSE len(string_split(s, ' ')) END AS n_toks,
+        |  (list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(s) + 1),
+        |        i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+        |    (acc, x) -> (acc * 1000003 + x) % 2199023255552))
+        |    % 2147483648 AS fp
+        |  FROM n)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(fp) % 2199023255552 AS BIGINT) AS content_sum41
+        |FROM f GROUP BY source ORDER BY source""".stripMargin
   )
+
+  /** Transition-graph CTE chain (ends at weighted edges `gedges`) —
+    * node = the `k` property of the event payload (regex-parsed: the
+    * props format is fixed `{"k": N}`; NULLIF guards a non-match to
+    * NULL like Spark's get_json_object), edges = per-user consecutive
+    * pairs under (ts, event_id) order. Shared by graph_transitions and
+    * the PageRank oracle. */
+  private lazy val GraphCtesSql =
+    """gev AS (SELECT user_id, event_id, ts,
+      |    CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '')
+      |      AS BIGINT) AS node
+      |  FROM events),
+      |gseq AS (SELECT user_id, node,
+      |    LEAD(node) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS nxt
+      |  FROM gev),
+      |gedges AS (SELECT node AS src, nxt AS dst,
+      |    CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM gseq WHERE nxt IS NOT NULL GROUP BY src, dst)""".stripMargin
+
+  /** graph_pagerank oracle: the shared edge chain + graph normalization
+    * (node set, out-weights) + `Iters` unrolled iterations of
+    * `pr'(v) = (S·3)//(20·N) + (17·Σ (pr(u)·w)//W_u)//20` at S = 1e12 —
+    * every quantity CAST back to BIGINT so DuckDB's HUGEINT sums don't
+    * float-ify the driver compare. */
+  private lazy val PageRankOracleSql = {
+    val iters = 5
+    val iterCtes = (1 to iters).map { k =>
+      s"""gpr$k AS (SELECT nn.node,
+         |    CAST((1000000000000 * 3) // (20 * gn.n) +
+         |      (17 * COALESCE(c.cs, 0)) // 20 AS BIGINT) AS pr
+         |  FROM gnodes nn CROSS JOIN gn
+         |  LEFT JOIN (SELECT e.dst AS node,
+         |      CAST(SUM((p.pr * e.w) // e.wout) AS BIGINT) AS cs
+         |    FROM ge e JOIN gpr${k - 1} p ON p.node = e.src
+         |    GROUP BY e.dst) c ON c.node = nn.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $GraphCtesSql,
+       |gnodes AS (SELECT src AS node FROM gedges
+       |  UNION SELECT dst FROM gedges),
+       |gn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM gnodes),
+       |gow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM gedges
+       |  GROUP BY src),
+       |ge AS (SELECT g.src, g.dst, g.w, o.wout FROM gedges g
+       |  JOIN gow o USING (src)),
+       |gpr0 AS (SELECT node, CAST(1000000000000 // gn.n AS BIGINT) AS pr
+       |  FROM gnodes CROSS JOIN gn),
+       |$iterCtes
+       |SELECT node, pr FROM gpr$iters ORDER BY node""".stripMargin
+  }
 }

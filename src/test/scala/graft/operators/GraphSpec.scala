@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+/** Transition-edge extraction + deterministic fixed-point PageRank. */
+class GraphSpec extends SparkFunSuite {
+
+  private val S = 1000000000000L
+
+  private def edgesOf(rows: Seq[(String, Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    // (actor, seq, node): order by seq within actor
+    Graph.transitionEdges(rows.toDF("actor", "seq", "node"),
+      actor = col("actor"), node = col("node"), order = Seq(col("seq")))
+  }
+
+  test("transitionEdges pairs consecutive rows per actor and weights") {
+    val e = edgesOf(Seq(
+        ("u1", 1L, 10L), ("u1", 2L, 20L), ("u1", 3L, 10L),
+        ("u2", 1L, 20L), ("u2", 2L, 30L),
+        ("u3", 1L, 10L), ("u3", 2L, 20L))) // repeats (10,20)
+      .orderBy("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(e.toSeq == Seq((10L, 20L, 2L), (20L, 10L, 1L), (20L, 30L, 1L)))
+  }
+
+  test("single-row actors contribute no edges") {
+    val e = edgesOf(Seq(("u1", 1L, 10L), ("u2", 1L, 20L)))
+    assert(e.count() == 0)
+  }
+
+  test("pageRank on a symmetric 2-cycle stays at the uniform fixed point") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val pr = Graph.pageRank(edges, iters = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // N=2: pr0 = S/2; teleport = 3S/40; contrib = pr; 17·(S/2)/20 + 3S/40
+    // = S/2 exactly — the uniform vector is the integer fixed point
+    assert(pr == Map(1L -> S / 2, 2L -> S / 2))
+  }
+
+  test("pageRank hand-computed on a dangling 2-node chain") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val teleport = (S * 3) / 40
+    val pr1 = Graph.pageRank(edges, iters = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pr1 == Map(
+      1L -> teleport,
+      2L -> (teleport + 17L * (S / 2) / 20)))
+    val pr2 = Graph.pageRank(edges, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pr2 == Map(
+      1L -> teleport,
+      2L -> (teleport + 17L * teleport / 20)))
+  }
+
+  test("pageRank is invariant under edge repartitioning") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 60).map { _ =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(8).toLong, (rnd.nextInt(5) + 1).toLong)
+    }.toDF("src", "dst", "w")
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val a = Graph.pageRank(edges, iters = 3).collect().toSeq
+    val b = Graph.pageRank(edges.repartition(13), iters = 3).collect().toSeq
+    assert(a == b)
+  }
+}

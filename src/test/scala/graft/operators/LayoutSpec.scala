@@ -63,4 +63,72 @@ class LayoutSpec extends SparkFunSuite {
       s"zorder must scan fewer rows: ${zed.getAs[Long]("rows_scanned")}" +
         s" vs ${natural.getAs[Long]("rows_scanned")}")
   }
+
+  test("co-bucketed join plan has zero exchanges and zero sorts") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_bucket_spec").toString
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    Layout.writeBucketed(li, "spec_li_b", s"$tmp/li", 4, "l_orderkey")
+    Layout.writeBucketed(ord, "spec_ord_b", s"$tmp/ord", 4, "o_orderkey")
+    // one file per bucket (writeBucketed aligns tasks to buckets), so
+    // the scan can report its sortBy order — behind this conf since 3.0
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+      "true")
+    try {
+      val j = spark.table("spec_li_b").hint("merge")
+        .join(spark.table("spec_ord_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("o_orderpriority"))
+      val n = j.count()
+      assert(n == li.count(), "inner join on the FK keeps every lineitem")
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      // the whole point of co-bucketing: NO exchange and NO sort on
+      // either side — both inputs stream their co-located, pre-sorted
+      // bucket files straight into the merge
+      assert(!plan.contains("Exchange"), plan.take(2000))
+      assert(!"\\bSort\\b".r.findFirstIn(plan.replace("SortMergeJoin", "SMJ"))
+        .isDefined, plan.take(2000))
+      // contrast: the same join over plain parquet shuffles both sides
+      val plain = li.hint("merge")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("o_orderpriority"))
+      plain.collect()
+      val plainPlan = plain.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plainPlan).size >= 2, plainPlan.take(2000))
+    } finally {
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.sql("DROP TABLE IF EXISTS spec_li_b")
+      spark.sql("DROP TABLE IF EXISTS spec_ord_b")
+    }
+  }
+
+  test("compact shrinks the file count and preserves every row") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_compact_spec").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.repartition(20).write.parquet(s"$tmp/small")
+    val (before, after) =
+      Layout.compact(spark, s"$tmp/small", s"$tmp/out", 64L << 10)
+    assert(before == 20)
+    assert(after < before, s"$after files after vs $before before")
+    // content identity: same multiset of (doc_id, text)
+    val a = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val b = spark.read.parquet(s"$tmp/out").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("compact with a huge target lands exactly one file") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_compact_one").toString
+    spark.read.parquet(s"$sfDir/documents.parquet").repartition(7)
+      .write.parquet(s"$tmp/small")
+    val (_, after) =
+      Layout.compact(spark, s"$tmp/small", s"$tmp/out", 1L << 40)
+    assert(after == 1)
+  }
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+/** Product-quantized retrieval (pqCodebooks / pqTopK). */
+class PqSimSpec extends SparkFunSuite {
+
+  // two tight clusters + two loners; dim 4 splits into 2×2 subspaces
+  private def vecs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, Array(0.0f, 10.0f, 5.0f, 1.0f)),
+      (1L, Array(0.1f, 9.9f, 5.1f, 1.1f)),   // near-twin of 0
+      (2L, Array(10.0f, 0.0f, 0.0f, 8.0f)),
+      (3L, Array(9.8f, 0.3f, 0.2f, 8.1f)),   // near-twin of 2
+      (4L, Array(-5.0f, -5.0f, 3.0f, -2.0f)),
+      (5L, Array(2.0f, 2.0f, -7.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("pqCodebooks slices the ksub smallest-id vectors per subspace") {
+    val books = Similarity.pqCodebooks(vecs, m = 2, ksub = 3)
+    assert(books.length == 2)
+    assert(books.forall(_.length == 3))
+    assert(books.forall(_.forall(_.length == 2)))
+    // subspace 0 of vec 1 = (0.1, 9.9); subspace 1 of vec 2 = (0.0, 8.0)
+    assert(books(0)(1).map(x => math.round(x * 10) / 10.0).toSeq ==
+      Seq(0.1, 9.9))
+    assert(books(1)(2).toSeq == Seq(0.0, 8.0))
+  }
+
+  test("pqCodebooks rejects a dim not divisible by m") {
+    intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(vecs, m = 3, ksub = 2)
+    }
+  }
+
+  test("pqTopK ranks the near-twin first on clustered data") {
+    // ksub = corpus size → every cluster rep is a codeword
+    val hits = Similarity.pqTopK(vecs, vecs.filter(col("vec_id") === 0),
+        k = 2, m = 2, ksub = 6, overfetch = 2)
+      .collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(hits.head == (1, 1L))
+  }
+
+  test("pqTopK with full codebook + full overfetch equals brute force") {
+    // ksub = N makes every vector its own codeword (self-distance 0), so
+    // the ADC ranking is the 1e-5-quantized exact dot; overfetch wide
+    // enough to pass all candidates → the rerank IS the brute ranking
+    val q = vecs.filter(col("vec_id") < 2)
+    val pq = Similarity.pqTopK(vecs, q, k = 3, m = 2, ksub = 6,
+        overfetch = 5)
+      .select("query_id", "rank", "neighbor_id").collect().toSeq
+    val brute = Similarity.bruteForceTopK(vecs, q, k = 3)
+      .select("query_id", "rank", "neighbor_id").collect().toSeq
+    assert(pq == brute)
+  }
+
+  test("pqTopK is invariant under corpus repartitioning") {
+    val q = vecs.filter(col("vec_id") === 0)
+    val a = Similarity.pqTopK(vecs, q, k = 3, m = 2, ksub = 4)
+      .select("query_id", "rank", "neighbor_id").collect().toSeq
+    val b = Similarity.pqTopK(vecs.repartition(7), q, k = 3, m = 2,
+        ksub = 4)
+      .select("query_id", "rank", "neighbor_id").collect().toSeq
+    assert(a == b)
+  }
+}
