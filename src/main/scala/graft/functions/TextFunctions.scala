@@ -449,6 +449,48 @@ object TextFunctions {
       regexp_count(s2, lit(Ipv4Re)).as("n_ip"))
   }
 
+  /** Candidate payment-card spans (round 8): digit runs of 13–19 with
+    * optional single space/dash separators between digits, boundary-
+    * anchored so a 20+-digit run is NOT a candidate (every 13–19-length
+    * window inside it ends at a digit, failing the trailing `\b` — the
+    * same no-match under backtracking java.util.regex and RE2). Returns
+    * the NORMALIZED digit strings (separators stripped). Length is
+    * re-checked after normalization: the {12,18}+1 repetition counts
+    * digit-separator PAIRS, so the regex alone admits runs the span gate
+    * would; the filter is the single source of truth. */
+  val CardRe = "\\b(?:\\d[ -]?){12,18}\\d\\b"
+
+  def cardCandidates(text: Column): Column =
+    filter(
+      transform(regexp_extract_all(text, lit(CardRe), lit(0)),
+        m => regexp_replace(m, "[ -]", "")),
+      d => length(d) >= 13 && length(d) <= 19)
+
+  /** Luhn checksum validity of a digit string — the payment-card check
+    * digit rule: from the RIGHT, double every second digit, subtract 9
+    * when the double exceeds 9, sum everything, valid iff sum % 10 == 0.
+    * Pure int arithmetic over `ascii(char) - 48`, bit-identical in any
+    * engine. The classic curation combo is [[cardCandidates]] → keep
+    * only Luhn-valid spans: the check digit kills ~90% of random digit
+    * runs, which is the difference between "redact card numbers" and
+    * "redact every long number" (ids, timestamps, ISBNs).
+    *
+    * `digits` is referenced once per character position — pass a plain
+    * column (hoist computed expressions into an alias first). */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val sum = aggregate(
+      transform(sequence(lit(1), n), i => {
+        val d = ascii(digits.substr(i, lit(1))) - lit(48)
+        val doubled = d * 2
+        when(pmod(n - i, lit(2)) === 1,
+          when(doubled > 9, doubled - 9).otherwise(doubled))
+          .otherwise(d)
+      }),
+      lit(0), (acc, x) => acc + x)
+    pmod(sum, lit(10)) === 0
+  }
+
   // ---- URL decomposition (web-corpus provenance columns) ----
   // try_parse_url, NOT parse_url: the plain variant THROWS on a
   // malformed URL under ANSI mode, and web-corpus provenance columns are

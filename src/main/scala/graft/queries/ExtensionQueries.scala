@@ -1801,6 +1801,58 @@ object ExtensionQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Luhn-validated card detection: plant 16-digit dash-grouped spans
+    // (deterministic digits — validity falls out of the check digit, so
+    // ~10% of planted cards are Luhn-valid "leaks") and 12-digit decoys
+    // below the length gate; report every candidate with its validity.
+    // The oracle recomputes candidates + the full Luhn sum in SQL.
+    "text_pii_luhn" -> ((s, dir) => {
+      val cd = concat(lit("4"),
+        lpad(pmod(col("doc_id") * 7919L, lit(100000L)).cast("string"),
+          5, "0"),
+        lpad(pmod(col("doc_id") * 104729L, lit(100000L)).cast("string"),
+          5, "0"),
+        lpad(pmod(col("doc_id") * 1299709L, lit(100000L)).cast("string"),
+          5, "0"))
+      val planted = concat(col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" card "),
+          substring(col("cd"), 1, 4), lit("-"),
+          substring(col("cd"), 5, 4), lit("-"),
+          substring(col("cd"), 9, 4), lit("-"),
+          substring(col("cd"), 13, 4))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 1, concat(lit(" ref "),
+          lpad(pmod(col("doc_id") * 65537L, lit(1000000L)).cast("string"),
+            6, "0"),
+          lpad(pmod(col("doc_id") * 97L, lit(1000000L)).cast("string"),
+            6, "0"))).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), cd.as("cd"))
+        .select(col("doc_id"), planted.as("s"))
+        .select(col("doc_id"),
+          explode(TF.cardCandidates(col("s"))).as("card"))
+        .select(col("doc_id"), col("card"),
+          TF.luhnValid(col("card")).as("luhn_valid"),
+          length(col("card")).as("n_digits"))
+        .orderBy(col("doc_id"), col("card"))
+    }),
+
+    // embedding-space benchmark contamination: corpus ∪ twins probed by
+    // the broadcast bench set (vec_id < 10 originals); a corpus vector
+    // cosine-matching a bench vector it isn't (by id) is a leaked copy —
+    // the twin construction plants exactly one per bench item
+    "contam_embedding" -> ((s, dir) => {
+      val bench = broadcast(t(s, dir, "embeddings")
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("bid"), col("embedding").as("bv")))
+      embUnion(s, dir)
+        .select(col("vec_id"), col("embedding").as("v"))
+        .join(bench, col("vec_id") =!= col("bid"))
+        .filter(VF.cosine(col("v"), col("bv")) >= 0.95)
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_bench_hits"))
+        .orderBy(col("vec_id"))
+    }),
+
     // small-file compaction round trip: documents fragmented into 40
     // KB-scale files (the streaming-ingest pathology), compacted via
     // shuffle-free coalesce to ~64 KiB targets; the oracle recomputes
@@ -4239,6 +4291,55 @@ object ExtensionQueries {
         |    AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // candidates re-extracted with the same boundary-anchored pattern,
+    // Luhn recomputed digit-by-digit from the right
+    "text_pii_luhn" ->
+      """WITH aug AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' card ' ||
+        |    substr(cd, 1, 4) || '-' || substr(cd, 5, 4) || '-' ||
+        |    substr(cd, 9, 4) || '-' || substr(cd, 13, 4) ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 1 THEN ' ref ' ||
+        |    lpad(CAST((doc_id * 65537) % 1000000 AS VARCHAR), 6, '0') ||
+        |    lpad(CAST((doc_id * 97) % 1000000 AS VARCHAR), 6, '0')
+        |    ELSE '' END AS s
+        |  FROM (SELECT doc_id, text,
+        |    '4' ||
+        |    lpad(CAST((doc_id * 7919) % 100000 AS VARCHAR), 5, '0') ||
+        |    lpad(CAST((doc_id * 104729) % 100000 AS VARCHAR), 5, '0') ||
+        |    lpad(CAST((doc_id * 1299709) % 100000 AS VARCHAR), 5, '0')
+        |      AS cd
+        |    FROM documents)),
+        |cand AS (SELECT doc_id,
+        |    regexp_replace(unnest(
+        |      regexp_extract_all(s, '\b(?:\d[ -]?){12,18}\d\b')),
+        |      '[ -]', '', 'g') AS card
+        |  FROM aug),
+        |ok AS (SELECT doc_id, card FROM cand
+        |  WHERE length(card) BETWEEN 13 AND 19)
+        |SELECT doc_id, card,
+        |  (list_sum(list_transform(range(1, length(card) + 1),
+        |    i -> CASE WHEN (length(card) - i) % 2 = 1 THEN
+        |        CASE WHEN (ascii(substr(card, i, 1)) - 48) * 2 > 9
+        |             THEN (ascii(substr(card, i, 1)) - 48) * 2 - 9
+        |             ELSE (ascii(substr(card, i, 1)) - 48) * 2 END
+        |      ELSE ascii(substr(card, i, 1)) - 48 END)) % 10 = 0)
+        |    AS luhn_valid,
+        |  length(card) AS n_digits
+        |FROM ok ORDER BY doc_id, card""".stripMargin,
+
+    // one leaked twin per bench vector at cosine 1.0, nearest genuine
+    // non-copy far below the 0.95 cut (documented family margin)
+    "contam_embedding" ->
+      """WITH corp AS (SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings),
+        |b AS (SELECT vec_id AS bid, embedding AS bv FROM embeddings
+        |  WHERE vec_id < 10)
+        |SELECT c.vec_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits
+        |FROM corp c JOIN b ON c.vec_id <> b.bid
+        |WHERE list_cosine_similarity(c.embedding, b.bv) >= 0.95
+        |GROUP BY c.vec_id ORDER BY c.vec_id""".stripMargin,
 
     // compaction is a content identity: the oracle recomputes the
     // per-source manifest from the ORIGINAL documents table — any row
