@@ -1761,6 +1761,25 @@ object ExtensionQueries {
           order = Seq(col("ts"), col("event_id"))),
         iters = 5)),
 
+    // per-node degree/weight profile — the graph health check that
+    // precedes authority scoring
+    "graph_degrees" -> ((s, dir) =>
+      graft.operators.Graph.degreeStats(
+        graft.operators.Graph.transitionEdges(events(s, dir),
+          actor = col("user_id"),
+          node = get_json_object(col("props"), "$.k").cast("long"),
+          order = Seq(col("ts"), col("event_id"))))),
+
+    // personalized PageRank from trusted seeds {0,1,2,3} — authority
+    // relative to a vetted set, the seed-and-harvest curation shape
+    "graph_pagerank_seeded" -> ((s, dir) =>
+      graft.operators.Graph.personalizedPageRank(
+        graft.operators.Graph.transitionEdges(events(s, dir),
+          actor = col("user_id"),
+          node = get_json_object(col("props"), "$.k").cast("long"),
+          order = Seq(col("ts"), col("event_id"))),
+        seeds = Seq(0L, 1L, 2L, 3L), iters = 5)),
+
     // ---- physical layout (round 8) ----
     // co-bucketed fact⋈fact join: both tables WRITTEN bucketed+sorted by
     // order key (memoized per sfDir), joined with a merge hint — the
@@ -4281,6 +4300,22 @@ object ExtensionQueries {
     // 5 unrolled Jacobi iterations of the exact int64 PageRank — floor
     // division at every step mirrors the engine's intDivNonNeg chain
     "graph_pagerank" -> PageRankOracleSql,
+    "graph_pagerank_seeded" -> pageRankOracle(Some(Seq(0L, 1L, 2L, 3L))),
+
+    // full-outer degree/weight profile over the same edge chain
+    "graph_degrees" ->
+      s"""WITH $GraphCtesSql,
+        |dout AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_deg,
+        |  CAST(SUM(w) AS BIGINT) AS out_w FROM gedges GROUP BY src),
+        |din AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS in_deg,
+        |  CAST(SUM(w) AS BIGINT) AS in_w FROM gedges GROUP BY dst)
+        |SELECT COALESCE(dout.node, din.node) AS node,
+        |  COALESCE(out_deg, 0) AS out_deg,
+        |  COALESCE(in_deg, 0) AS in_deg,
+        |  COALESCE(out_w, 0) AS out_w,
+        |  COALESCE(in_w, 0) AS in_w
+        |FROM dout FULL JOIN din ON dout.node = din.node
+        |ORDER BY node""".stripMargin,
 
     // layout must never change values: the bucketed-table join must
     // equal the plain SQL join (the zero-exchange plan is spec-pinned)
@@ -4384,16 +4419,31 @@ object ExtensionQueries {
       |    CAST(COUNT(*) AS BIGINT) AS w
       |  FROM gseq WHERE nxt IS NOT NULL GROUP BY src, dst)""".stripMargin
 
-  /** graph_pagerank oracle: the shared edge chain + graph normalization
-    * (node set, out-weights) + `Iters` unrolled iterations of
-    * `pr'(v) = (S·3)//(20·N) + (17·Σ (pr(u)·w)//W_u)//20` at S = 1e12 —
+  /** graph_pagerank oracle builder: the shared edge chain + graph
+    * normalization (node set, out-weights) + `iters` unrolled iterations
+    * of `pr'(v) = teleport(v) + (17·Σ (pr(u)·w)//W_u)//20` at S = 1e12 —
     * every quantity CAST back to BIGINT so DuckDB's HUGEINT sums don't
-    * float-ify the driver compare. */
-  private lazy val PageRankOracleSql = {
+    * float-ify the driver compare. `seeds = None` is classic PageRank
+    * (uniform teleport over N); `Some(ids)` is the personalized variant
+    * (teleport mass only at the seed ids, uniform start over seeds). */
+  private def pageRankOracle(seeds: Option[Seq[Long]]): String = {
     val iters = 5
+    val (tele, pr0) = seeds match {
+      case None =>
+        ("(1000000000000 * 3) // (20 * gn.n)",
+          "CAST(1000000000000 // gn.n AS BIGINT)")
+      case Some(ids) =>
+        val in = ids.mkString(", ")
+        val k = ids.distinct.length
+        (s"CASE WHEN nn.node IN ($in) " +
+           s"THEN (1000000000000 * 3) // (20 * $k) ELSE 0 END",
+          s"CASE WHEN node IN ($in) " +
+            s"THEN CAST(1000000000000 // $k AS BIGINT) " +
+            "ELSE CAST(0 AS BIGINT) END")
+    }
     val iterCtes = (1 to iters).map { k =>
       s"""gpr$k AS (SELECT nn.node,
-         |    CAST((1000000000000 * 3) // (20 * gn.n) +
+         |    CAST($tele +
          |      (17 * COALESCE(c.cs, 0)) // 20 AS BIGINT) AS pr
          |  FROM gnodes nn CROSS JOIN gn
          |  LEFT JOIN (SELECT e.dst AS node,
@@ -4409,9 +4459,11 @@ object ExtensionQueries {
        |  GROUP BY src),
        |ge AS (SELECT g.src, g.dst, g.w, o.wout FROM gedges g
        |  JOIN gow o USING (src)),
-       |gpr0 AS (SELECT node, CAST(1000000000000 // gn.n AS BIGINT) AS pr
+       |gpr0 AS (SELECT node, $pr0 AS pr
        |  FROM gnodes CROSS JOIN gn),
        |$iterCtes
        |SELECT node, pr FROM gpr$iters ORDER BY node""".stripMargin
   }
+
+  private lazy val PageRankOracleSql = pageRankOracle(None)
 }

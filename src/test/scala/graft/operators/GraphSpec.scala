@@ -60,6 +60,39 @@ class GraphSpec extends SparkFunSuite {
       2L -> (teleport + 17L * teleport / 20)))
   }
 
+  test("degreeStats full-outer profile on a hand-checked graph") {
+    val s = spark
+    import s.implicits._
+    // 1→2 (w3), 1→3 (w1), 2→3 (w2): node 1 pure source, 3 pure sink
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L))
+      .toDF("src", "dst", "w")
+    val got = Graph.degreeStats(edges).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      1L -> ((2L, 0L, 4L, 0L)),
+      2L -> ((1L, 1L, 2L, 3L)),
+      3L -> ((0L, 2L, 0L, 3L))))
+  }
+
+  test("personalized PageRank: teleport mass stays relative to the seed") {
+    val s = spark
+    import s.implicits._
+    // seed 1 feeds 2; node 3 is disconnected from the seed (self-loop
+    // keeps it in the node set) and must decay to zero mass
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val pr = Graph.personalizedPageRank(edges, seeds = Seq(1L), iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pr(3L) == 0L, "unreachable node holds no personalized mass")
+    assert(pr(1L) > 0L && pr(2L) > 0L)
+    // absent seed still counts in |seeds|: halving the start/teleport
+    val half = Graph.personalizedPageRank(edges, seeds = Seq(1L, 99L),
+        iters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(half(1L) == 1000000000000L / 2)
+  }
+
   test("pageRank is invariant under edge repartitioning") {
     val s = spark
     import s.implicits._
