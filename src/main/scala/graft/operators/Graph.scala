@@ -84,12 +84,20 @@ object Graph {
       dampNum: Long = 17L, dampDen: Long = 20L,
       scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 0 && dampDen > dampNum && dampNum > 0)
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+    // materialize the aggregated graph ONCE before iterating: the edge
+    // relation usually hides a corpus-scale extraction (a window over
+    // the raw log), and a lazy plan would re-run it every iteration —
+    // measured 5x the extraction cost at iters=5. Iterating over the
+    // checkpointed node²-bounded relation is the GraphX-shaped contract.
+    val e0 = edges.select(col("src"), col("dst"), col("w"))
+      .localCheckpoint()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "empty graph")
-    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    val e = edges.join(outW, "src")
+    val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val e = e0.join(outW, "src")
     val teleport = (scale * (dampDen - dampNum)) / (dampDen * n)
     var pr = nodes.select(col("node"), lit(scale / n).as("pr"))
     (0 until iters).foreach { _ =>
@@ -124,10 +132,14 @@ object Graph {
     require(iters >= 0 && dampDen > dampNum && dampNum > 0)
     val seedSet = seeds.distinct
     val k = seedSet.length.toLong
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    val e = edges.join(outW, "src")
+    // same materialize-once contract as [[pageRank]]
+    val e0 = edges.select(col("src"), col("dst"), col("w"))
+      .localCheckpoint()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val e = e0.join(outW, "src")
     val isSeed = col("node").isin(seedSet: _*)
     val teleport = (scale * (dampDen - dampNum)) / (dampDen * k)
     var pr = nodes.select(col("node"),

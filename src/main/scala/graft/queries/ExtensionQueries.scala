@@ -65,6 +65,11 @@ object ExtensionQueries {
   private val compactCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Two-version parquet corpus per sf dir (see
+    * source_schema_evolution). */
+  private val evolutionCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
   /** documents ∪ documents-with-shifted-ids (adds exact twins). */
   private def docsUnion(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"),
@@ -1870,6 +1875,42 @@ object ExtensionQueries {
         .groupBy(col("vec_id"))
         .agg(count(lit(1)).as("n_bench_hits"))
         .orderBy(col("vec_id"))
+    }),
+
+    // schema evolution across corpus generations: even docs written at
+    // schema v1 (no quality column), odd docs at v2 (adds quality);
+    // mergeSchema read reconciles both generations into one relation
+    // with v1 rows NULL in the evolved column — the standard data-lake
+    // contract a 100 TB corpus accumulated over years depends on. The
+    // oracle recomputes the per-source profile from the original table.
+    "source_schema_evolution" -> ((s, dir) => {
+      def build(d: String): (String, String) = {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          ProcessHandle.current().pid()
+        val base =
+          s"${System.getProperty("java.io.tmpdir")}/graft_evolve_$tag"
+        val docs = t(s, d, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"), col("source"))
+          .write.mode("overwrite").parquet(s"$base/v1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text"), col("source"),
+            col("n_chars").as("quality"))
+          .write.mode("overwrite").parquet(s"$base/v2")
+        (s"$base/v1", s"$base/v2")
+      }
+      val cached = evolutionCache.computeIfAbsent(dir, build(_))
+      val (v1, v2) =
+        if (new java.io.File(cached._1).exists &&
+            new java.io.File(cached._2).exists) cached
+        else evolutionCache.compute(dir, (d, _) => build(d))
+      s.read.option("mergeSchema", "true").parquet(v1, v2)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("quality").isNotNull, 1L).otherwise(0L))
+            .as("n_evolved"),
+          coalesce(sum(col("quality")), lit(0L)).as("total_quality"))
+        .orderBy(col("source"))
     }),
 
     // small-file compaction round trip: documents fragmented into 40
@@ -4375,6 +4416,16 @@ object ExtensionQueries {
         |FROM corp c JOIN b ON c.vec_id <> b.bid
         |WHERE list_cosine_similarity(c.embedding, b.bv) >= 0.95
         |GROUP BY c.vec_id ORDER BY c.vec_id""".stripMargin,
+
+    // v1 rows are NULL in the evolved column by construction — the
+    // per-source profile is recomputable from the original table alone
+    "source_schema_evolution" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_evolved,
+        |  CAST(COALESCE(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END), 0)
+        |    AS BIGINT) AS total_quality
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // compaction is a content identity: the oracle recomputes the
     // per-source manifest from the ORIGINAL documents table — any row
