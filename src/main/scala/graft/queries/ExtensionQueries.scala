@@ -1148,6 +1148,45 @@ object ExtensionQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // corpus-relative corrupted-embedding detection: every 50th vector
+    // zeroed (dead row), every 70th tripled (exploded scale); a vector
+    // is flagged when its norm is DEGENERATE (zero — invalid a priori;
+    // the variance test alone would MASK them, the exploded outliers
+    // inflate σ ~9x past the zeros' deviation) or its squared-norm
+    // deviates from the corpus mean by > 4 corpus std-devs. The
+    // statistic is EXACT: norm² quantizes to int64 via the same
+    // left-to-right fold in both engines, and the z-test is
+    // cross-multiplied in decimal/HUGEINT —
+    // (x·n − S)² > 16·(n·Q − S²) — no float mean/variance anywhere.
+    // Scale shape: one calibration scan reducing to a 3-number broadcast
+    // (like the int8 quantizer), one flagging scan; zero corpus shuffle.
+    "emb_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val v0 = VF.asDouble(col("embedding"))
+      val corrupted = when(col("vec_id") % 50 === 0,
+          transform(v0, _ => lit(0.0)))
+        .when(col("vec_id") % 70 === 0, transform(v0, x => x * 3.0))
+        .otherwise(v0)
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), corrupted.as("v"))
+        .select(col("vec_id"),
+          round(aggregate(col("v"), lit(0.0), (a, x) => a + x * x) * 1e6)
+            .cast("long").as("norm2q"))
+      val dec = DecimalType(38, 0)
+      val st = base.agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("norm2q")).cast(dec).as("s"),
+        sum(col("norm2q").cast(dec) * col("norm2q").cast(dec)).as("qq"))
+      val x = col("norm2q").cast(dec)
+      val d = x * col("n") - col("s")
+      base.crossJoin(broadcast(st))
+        .filter(col("norm2q") === 0L ||
+          d * d >
+          lit(16).cast(dec) * (col("n") * col("qq") - col("s") * col("s")))
+        .select(col("vec_id"), col("norm2q"))
+        .orderBy(col("vec_id"))
+    }),
+
     // written inverted index: postings partitioned by term-hash bucket,
     // probe reads only the probe terms' buckets (PartitionFilters — the
     // text twin of sim_topk_ivf_indexed's layout)
@@ -2838,6 +2877,34 @@ object ExtensionQueries {
         |    / CAST(len(v) AS DOUBLE) AS mean_comp,
         |  list_max(list_transform(v, x -> abs(x))) AS max_abs
         |FROM e ORDER BY vec_id""".stripMargin,
+    // identical left-to-right norm² fold, identical int64 quantization,
+    // HUGEINT cross-multiplied z-test — bit-exact flag parity
+    "emb_outliers" ->
+      """WITH e AS (SELECT vec_id,
+        |    CASE WHEN vec_id % 50 = 0 THEN
+        |           list_transform(CAST(embedding AS DOUBLE[]),
+        |             x -> CAST(0 AS DOUBLE))
+        |         WHEN vec_id % 70 = 0 THEN
+        |           list_transform(CAST(embedding AS DOUBLE[]),
+        |             x -> x * 3.0)
+        |         ELSE CAST(embedding AS DOUBLE[]) END AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id,
+        |    CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(v, x -> x * x)), (a, x) -> a + x) * 1000000)
+        |      AS BIGINT) AS norm2q
+        |  FROM e),
+        |st AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(norm2q) AS HUGEINT) AS s,
+        |    SUM(CAST(norm2q AS HUGEINT) * CAST(norm2q AS HUGEINT)) AS qq
+        |  FROM q)
+        |SELECT vec_id, norm2q FROM q CROSS JOIN st
+        |WHERE norm2q = 0
+        |   OR (CAST(norm2q AS HUGEINT) * n - s) *
+        |      (CAST(norm2q AS HUGEINT) * n - s)
+        |      > 16 * (n * qq - s * s)
+        |ORDER BY vec_id""".stripMargin,
+
     // bucket layout is engine-internal; the postings themselves are plain
     // term frequencies
     "text_index_lookup" ->

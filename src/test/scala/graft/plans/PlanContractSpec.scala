@@ -253,6 +253,19 @@ class PlanContractSpec extends SparkFunSuite {
     assert(plan.contains("ObjectHashAggregate"),
       s"bitset build must partial-aggregate map-side:\n$plan")
   }
+
+  test("pqTopK: code assignment + ADC are row-local — corpus never " +
+      "shuffles; only the candidate/rerank top-k aggs exchange") {
+    val q = emb.filter(col("vec_id") < 5)
+    val df = Similarity.pqTopK(emb, q, k = 3, m = 4, ksub = 8,
+      overfetch = 2)
+    assert(broadcasts(df) >= 2,
+      "queries + candidate set must broadcast")
+    // coarse top-k agg + rerank top-k agg + deterministic orderBy — the
+    // corpus rows themselves never hash-exchange
+    assert(shuffles(df) <= 3,
+      s"corpus must not shuffle:\n${df.queryExecution.executedPlan}")
+  }
 }
 
 /** The scaladocs lean on AQE for runtime skew handling ("skewed
