@@ -1161,29 +1161,16 @@ object ExtensionQueries {
     // Scale shape: one calibration scan reducing to a 3-number broadcast
     // (like the int8 quantizer), one flagging scan; zero corpus shuffle.
     "emb_outliers" -> ((s, dir) => {
-      import org.apache.spark.sql.types.DecimalType
       val v0 = VF.asDouble(col("embedding"))
       val corrupted = when(col("vec_id") % 50 === 0,
           transform(v0, _ => lit(0.0)))
         .when(col("vec_id") % 70 === 0, transform(v0, x => x * 3.0))
         .otherwise(v0)
-      val base = t(s, dir, "embeddings")
-        .select(col("vec_id"), corrupted.as("v"))
-        .select(col("vec_id"),
-          round(aggregate(col("v"), lit(0.0), (a, x) => a + x * x) * 1e6)
-            .cast("long").as("norm2q"))
-      val dec = DecimalType(38, 0)
-      val st = base.agg(
-        count(lit(1)).cast(dec).as("n"),
-        sum(col("norm2q")).cast(dec).as("s"),
-        sum(col("norm2q").cast(dec) * col("norm2q").cast(dec)).as("qq"))
-      val x = col("norm2q").cast(dec)
-      val d = x * col("n") - col("s")
-      base.crossJoin(broadcast(st))
-        .filter(col("norm2q") === 0L ||
-          d * d >
-          lit(16).cast(dec) * (col("n") * col("qq") - col("s") * col("s")))
-        .select(col("vec_id"), col("norm2q"))
+      graft.operators.Embeddings.outliers(
+          t(s, dir, "embeddings")
+            .select(col("vec_id"), corrupted.as("v")),
+          "v", "vec_id", sigmaK = 4)
+        .select(col("id").as("vec_id"), col("norm2q"))
         .orderBy(col("vec_id"))
     }),
 

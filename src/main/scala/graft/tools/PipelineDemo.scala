@@ -239,12 +239,42 @@ object PipelineDemo {
     val nAudioWin = Multimodal.extractAudioWindows(decodable, "doc_id",
       windowFrames = 25).toDF().count()
 
+    // 12. embedding sidecar (round 8): hygiene-scrub the vector corpus
+    //     (zero-norm / exploded-scale outliers out) BEFORE any ANN math,
+    //     then product-quantized retrieval over the survivors — the
+    //     RAG/near-dup retrieval stage at 64x less scan IO than float32
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val bad = graft.operators.Embeddings.outliers(emb, "embedding",
+      "vec_id").select(col("id").as("vec_id")).localCheckpoint()
+    val cleanEmb = emb.join(bad, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    val nEmb = emb.count(); val nEmbBad = bad.count()
+    val nPqHits = graft.operators.Similarity.pqTopK(cleanEmb,
+      cleanEmb.filter(col("vec_id") < 3), k = 5, m = 4, ksub = 8,
+      overfetch = 4).count()
+
+    // 13. source-authority sidecar (round 8): the event log's transition
+    //     graph, PageRank'd with exact int64 arithmetic — the domain-
+    //     authority weight a web-scale curation run folds into its
+    //     per-source mixing decisions
+    val ranks = graft.operators.Graph.pageRank(
+      graft.operators.Graph.transitionEdges(
+        graft.queries.Q.events(spark, sfDir),
+        actor = col("user_id"),
+        node = get_json_object(col("props"), "$.k").cast("long"),
+        order = Seq(col("ts"), col("event_id"))),
+      iters = 3)
+    val nNodes = ranks.count()
+    val topAuth = ranks.orderBy(col("pr").desc, col("node")).limit(1)
+      .collect().head.getLong(0)
+
     println(s"docs=$n0 afterDedup=$n1 afterContam=$n2 afterQuality=$n3 " +
       s"afterBalance=$n4 chunks=$nChunks packs=$nPacks ordered=$nOrdered " +
       s"splits=$splits ingestRecrawls=$nRecrawl ingestNearPairs=" +
       s"$nNearPairs served=$nServed heavyTerms=$nHeavy " +
       s"collocations=$nColl mediaOk=$nMediaOk mediaRejected=$nMediaRej " +
-      s"audioWindows=$nAudioWin")
+      s"audioWindows=$nAudioWin embeddings=$nEmb embOutliers=$nEmbBad " +
+      s"pqHits=$nPqHits graphNodes=$nNodes topAuthority=$topAuth")
     require(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 >= n4 && n4 > 0 &&
       nChunks > 0 && nOrdered == n4 && nSplit == n4,
       "pipeline stages must monotonically filter and keep data")
@@ -255,6 +285,9 @@ object PipelineDemo {
     require(nMediaOk + nMediaRej == n4 && nMediaOk > 0 && nMediaRej > 0 &&
       nAudioWin >= nMediaOk,
       "decode audit must cover every payload and route both verdicts")
+    require(nEmb - nEmbBad > 0 && nPqHits == 3 * 5 && nNodes > 0,
+      "embedding scrub must keep vectors, PQ must fill k per query, " +
+        "and the transition graph must be non-empty")
     spark.stop()
   }
 }
