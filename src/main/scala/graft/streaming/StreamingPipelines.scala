@@ -487,4 +487,59 @@ object StreamingPipelines {
           }
       }
   }
+
+  final case class NodeEvent(user_id: Long, ts: Timestamp, event_id: Long,
+      node: Long)
+  final case class TransitionEdge(src: Long, dst: Long)
+  final case class LastNode(ts: Long, eventId: Long, node: Long)
+
+  /** Streaming twin of [[graft.operators.Graph.transitionEdges]] (round
+    * 8): per-actor O(1) state holds only the LAST node seen; every
+    * arriving event emits one edge from it — the live-graph maintenance
+    * shape (feed the emitted edges to a streaming count or a foreachBatch
+    * edge store, then run [[graft.operators.Graph.pageRank]] on the
+    * aggregated relation periodically).
+    *
+    * Ordering contract: rows are sorted by (ts, event_id) WITHIN a
+    * micro-batch; ACROSS batches the stream must deliver each actor's
+    * events in event-time order (the Kafka per-key ordering guarantee a
+    * transition log replays with). Under that contract the emitted edge
+    * multiset equals the batch operator's — spec-pinned over a 2-batch
+    * MemoryStream replay. State expires `horizonMs` past each actor's
+    * last event (event-time timeout: deterministic, replayable), so
+    * state size tracks ACTIVE actors; an actor returning after the
+    * horizon starts a fresh chain (its cross-horizon transition is
+    * unobserved — the honest reading of an expired session). */
+  def transitionEdgesStream(events: Dataset[NodeEvent],
+      horizonMs: Long = 24L * 3600 * 1000): Dataset[TransitionEdge] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastNode, TransitionEdge](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[NodeEvent], state: GroupState[LastNode]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq
+              .sortBy(e => (e.ts.getTime, e.event_id))
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              val out =
+                scala.collection.mutable.ListBuffer.empty[TransitionEdge]
+              var last = state.getOption
+              sorted.foreach { e =>
+                last.foreach(l => out += TransitionEdge(l.node, e.node))
+                last = Some(LastNode(e.ts.getTime, e.event_id, e.node))
+              }
+              val l = last.get
+              state.update(l)
+              state.setTimeoutTimestamp(l.ts + horizonMs)
+              out.iterator
+            }
+          }
+      }
+  }
 }

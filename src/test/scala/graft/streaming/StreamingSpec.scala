@@ -698,4 +698,39 @@ class StreamingQualityMonitorSpec extends graft.SparkFunSuite {
       s"corpus-vs-delta slice (${corpusSlice.size}) must equal the " +
         s"driver query output (${driverOut.size})")
   }
+
+  test("streaming transition edges: 2-batch ordered replay emits the " +
+      "batch operator's edge multiset; last-node state spans batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import StreamingPipelines.{NodeEvent, TransitionEdge}
+    def ev(u: Long, t: Long, id: Long, n: Long) =
+      NodeEvent(u, new Timestamp(t), id, n)
+    // batch 1: u1 walks 10→20, u2 emits 30; batch 2 (later event time):
+    // u1 continues 20→10 (the cross-batch edge needs carried state),
+    // u2 30→40, u3 starts fresh
+    val b1 = Seq(ev(1, 1000, 1, 10), ev(1, 2000, 2, 20), ev(2, 1500, 3, 30))
+    val b2 = Seq(ev(1, 9000, 4, 10), ev(2, 8000, 5, 40), ev(3, 8500, 6, 50))
+    val input = MemoryStream[NodeEvent]
+    val q = StreamingPipelines.transitionEdgesStream(input.toDS())
+      .writeStream.format("memory").queryName("edges_out")
+      .outputMode("append").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = s.table("edges_out").as[TransitionEdge].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val batch = graft.operators.Graph.transitionEdges(
+        (b1 ++ b2).toDF("user_id", "ts", "event_id", "node"),
+        actor = col("user_id"), node = col("node"),
+        order = Seq(col("ts"), col("event_id")))
+      .collect()
+      .map(r => TransitionEdge(r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed(TransitionEdge(20, 10)) == 1L,
+      "the cross-batch edge proves state carried over")
+  }
 }
