@@ -30,6 +30,10 @@ import graft.streaming.StreamingPipelines
   * zero lateness so windows close during the run) — prices tokenize +
   * the Misra-Gries sketch fold + windowed stateful aggregation.
   *
+  * `edges` mode (round 8): rate rows become per-actor node events through
+  * [[StreamingPipelines.transitionEdgesStream]] — prices the keyed
+  * last-node state exchange + edge emission of live-graph maintenance.
+  *
   * All report steady-state rows/sec from the query's own progress
   * metrics (first batch dropped — it pays JIT + state init).
   *
@@ -37,7 +41,7 @@ import graft.streaming.StreamingPipelines
   * (defaults: decode, 200000 rows/s offered, 20 s measured).
   */
 object StreamBench {
-  private val Modes = Set("decode", "neardup", "cdc", "trending")
+  private val Modes = Set("decode", "neardup", "cdc", "trending", "edges")
 
   def main(args: Array[String]): Unit = {
     val (mode, rest) =
@@ -47,6 +51,7 @@ object StreamBench {
       case "neardup" => 20000
       case "cdc" => 50000
       case "trending" => 100000
+      case "edges" => 100000
       case _ => 200000
     })
     val seconds = rest.lift(1).map(_.toInt).getOrElse(20)
@@ -59,6 +64,7 @@ object StreamBench {
     if (mode == "neardup") { runNearDup(spark, offered, seconds, cpus); return }
     if (mode == "cdc") { runCdc(spark, offered, seconds, cpus); return }
     if (mode == "trending") { runTrending(spark, offered, seconds, cpus); return }
+    if (mode == "edges") { runEdges(spark, offered, seconds, cpus); return }
 
     val (provider, id) = AvroEventCorpus.registry()
     val cfg = EngineConfig(Seq("stub://in-memory"), Map("events" -> false))
@@ -240,5 +246,30 @@ object StreamBench {
           System.nanoTime())
       .outputMode("append").start()
     finish("stream_trending_rows_per_sec", q, spark, offered, seconds)
+  }
+
+  /** Transition-edge throughput (round 8): rate rows become node events
+    * over a 1000-actor × 100-node space and run
+    * [[StreamingPipelines.transitionEdgesStream]] — prices the per-actor
+    * keyed state exchange + flatMapGroupsWithState edge emission, the
+    * live-graph maintenance cost center. */
+  private def runEdges(spark: SparkSession, offered: Int, seconds: Int,
+      cpus: String): Unit = {
+    import spark.implicits._
+    val events = spark.readStream.format("rate")
+      .option("rowsPerSecond", offered.toString)
+      .option("numPartitions", cpus)
+      .load()
+      .select(pmod(col("value"), lit(1000L)).as("user_id"),
+        col("timestamp").as("ts"), col("value").as("event_id"),
+        pmod(xxhash64(col("value")), lit(100L)).as("node"))
+      .as[StreamingPipelines.NodeEvent]
+    val out = StreamingPipelines.transitionEdgesStream(events)
+    val q = out.writeStream.format("noop")
+      .option("checkpointLocation",
+        s"${System.getProperty("java.io.tmpdir")}/graft_streambench_ed_" +
+          System.nanoTime())
+      .outputMode("append").start()
+    finish("stream_edges_rows_per_sec", q, spark, offered, seconds)
   }
 }
