@@ -106,7 +106,7 @@ object Bench {
     val indexBuilders = Set("text_index_lookup", "text_index_and",
       "text_index_phrase", "text_index_near", "sim_topk_ivf_indexed",
       "dedup_incremental_near", "layout_bucket_join", "corpus_compact",
-      "source_schema_evolution")
+      "source_schema_evolution", "corpus_export_range")
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach {
       case (name, fn) =>
@@ -123,7 +123,8 @@ object Bench {
     // in either half are now separately visible.
     Seq("text_index_lookup", "text_index_and", "text_index_phrase",
         "text_index_near", "sim_topk_ivf_indexed", "dedup_incremental_near",
-        "layout_bucket_join", "corpus_compact", "source_schema_evolution")
+        "layout_bucket_join", "corpus_compact", "source_schema_evolution",
+        "corpus_export_range")
       .filter(SparkEntry.queries.contains).foreach { name =>
         timeMinOf(s"${name}_probe", reps, () =>
           SparkEntry.queries(name)(spark, sfDir)

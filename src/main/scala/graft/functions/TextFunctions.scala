@@ -457,7 +457,11 @@ object TextFunctions {
     * the NORMALIZED digit strings (separators stripped). Length is
     * re-checked after normalization: the {12,18}+1 repetition counts
     * digit-separator PAIRS, so the regex alone admits runs the span gate
-    * would; the filter is the single source of truth. */
+    * would; the filter is the single source of truth. Known edge: a
+    * separator-GROUPED span longer than 19 digits can still yield a
+    * 13–19-digit prefix candidate whose match ends at a separator (a
+    * digit→separator transition is a word boundary) — only unbroken
+    * 20+-digit runs are categorically excluded. */
   val CardRe = "\\b(?:\\d[ -]?){12,18}\\d\\b"
 
   def cardCandidates(text: Column): Column =

@@ -39,9 +39,11 @@ object Embeddings {
     val dec = DecimalType(38, 0)
     val base = df.select(col(idCol).as("id"),
       norm2Quantized(col(vecCol)).as("norm2q"))
+    // cast BEFORE summing: Σ norm2q overflows int64 once n·norm2q
+    // crosses 2^63 (~1e12 rows at unit norms) — decimal sums don't
     val st = base.agg(
       count(lit(1)).cast(dec).as("n"),
-      sum(col("norm2q")).cast(dec).as("s"),
+      sum(col("norm2q").cast(dec)).as("s"),
       sum(col("norm2q").cast(dec) * col("norm2q").cast(dec)).as("qq"))
     val x = col("norm2q").cast(dec)
     val d = x * col("n") - col("s")

@@ -45,6 +45,49 @@ object Layout {
   def zValue16(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
+  /** EXACT integer quantile boundaries of `valueCol` — the deterministic
+    * replacement for `repartitionByRange`'s SAMPLED boundaries (which no
+    * oracle, and no two runs, reproduce bit-identically). For each
+    * percent p: the smallest value whose cumulative count reaches
+    * `ceil(p·n/100)`. One map-side-combined value-histogram aggregate
+    * (bounded by the value domain, not the corpus) + a window over that
+    * tiny relation; three longs come back to the driver. */
+  def rangeBoundaries(df: DataFrame, valueCol: String,
+      percents: Seq[Int]): Seq[Long] = {
+    require(percents.nonEmpty && percents.forall(p => p > 0 && p < 100))
+    val hist = df.select(col(valueCol).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(hist.nonEmpty, "empty input")
+    val n = hist.map(_._2).sum
+    val cum = hist.scanLeft((0L, 0L)) { case ((_, acc), (v, c)) =>
+      (v, acc + c)
+    }.drop(1)
+    percents.map { p =>
+      val need = (p.toLong * n + 99) / 100
+      cum.find(_._2 >= need).map(_._1).getOrElse(cum.last._1)
+    }
+  }
+
+  /** Deterministic RANGE-partitioned export: assign each row the count
+    * of `boundaries` strictly below its value (a row-local projection
+    * against the literal boundary list) and write `partitionBy` that
+    * label. Downstream range predicates on `valueCol` then prune whole
+    * partition directories — the write-side complement of
+    * [[pruneAudit]]'s file-skipping story, with boundaries every engine
+    * can recompute (vs `repartitionByRange`'s run-dependent sampling).
+    * Returns the partition label column rule so callers can re-derive
+    * the pruning predicate. */
+  def writeRangePartitioned(df: DataFrame, path: String, valueCol: String,
+      boundaries: Seq[Long]): Unit = {
+    require(boundaries == boundaries.sorted, "boundaries must ascend")
+    val part = boundaries
+      .map(b => when(col(valueCol).cast("long") > b, 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.withColumn("part", part)
+      .write.mode("overwrite").partitionBy("part").parquet(path)
+  }
+
   /** Min/max file-skipping audit for a layout: lay `df` out in files of
     * `rowsPerFile` rows under the total order `orderCols`, compute each
     * file's (x, y) min/max envelope, and evaluate the box predicate

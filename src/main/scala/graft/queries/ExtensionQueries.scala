@@ -70,6 +70,11 @@ object ExtensionQueries {
   private val evolutionCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
+  /** Range-partitioned documents export per sf dir (see
+    * corpus_export_range). */
+  private val rangeExportCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** documents ∪ documents-with-shifted-ids (adds exact twins). */
   private def docsUnion(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"),
@@ -1901,6 +1906,39 @@ object ExtensionQueries {
         .groupBy(col("vec_id"))
         .agg(count(lit(1)).as("n_bench_hits"))
         .orderBy(col("vec_id"))
+    }),
+
+    // deterministic range-partitioned export: exact p25/p50/p75 length
+    // boundaries (count-threshold rule, no sampling) assign each doc a
+    // partition label row-locally; the written layout makes downstream
+    // range predicates on length prune whole directories. The report —
+    // per-partition counts + actual min/max — is read back from the
+    // EXPORTED corpus, and the oracle recomputes boundaries, labels and
+    // profile from the original table: any off-by-one in the threshold
+    // rule or a row landing in the wrong partition breaks the match.
+    "corpus_export_range" -> ((s, dir) => {
+      def build(d: String): String = {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          ProcessHandle.current().pid()
+        val out =
+          s"${System.getProperty("java.io.tmpdir")}/graft_range_$tag"
+        val docs = t(s, d, "documents")
+        val bs = Layout.rangeBoundaries(docs, "n_chars", Seq(25, 50, 75))
+        Layout.writeRangePartitioned(docs, out, "n_chars", bs)
+        out
+      }
+      val cached = rangeExportCache.computeIfAbsent(dir, build(_))
+      val path =
+        if (new java.io.File(cached).exists) cached
+        else rangeExportCache.compute(dir, (d, _) => build(d))
+      s.read.parquet(path)
+        .groupBy(col("part"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .select(col("part").cast("long").as("part"), col("n_docs"),
+          col("min_chars"), col("max_chars"))
+        .orderBy(col("part"))
     }),
 
     // schema evolution across corpus generations: even docs written at
@@ -4470,6 +4508,30 @@ object ExtensionQueries {
         |FROM corp c JOIN b ON c.vec_id <> b.bid
         |WHERE list_cosine_similarity(c.embedding, b.bv) >= 0.95
         |GROUP BY c.vec_id ORDER BY c.vec_id""".stripMargin,
+
+    // boundaries = smallest value whose cumulative count reaches
+    // ceil(p·n/100); part = # boundaries strictly below n_chars
+    "corpus_export_range" ->
+      """WITH h AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents
+        |  GROUP BY v),
+        |cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cc FROM h),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |b AS (SELECT
+        |  (SELECT MIN(v) FROM cum CROSS JOIN nn
+        |     WHERE cc >= (25 * n + 99) // 100) AS b1,
+        |  (SELECT MIN(v) FROM cum CROSS JOIN nn
+        |     WHERE cc >= (50 * n + 99) // 100) AS b2,
+        |  (SELECT MIN(v) FROM cum CROSS JOIN nn
+        |     WHERE cc >= (75 * n + 99) // 100) AS b3),
+        |lab AS (SELECT n_chars,
+        |    CAST(CASE WHEN n_chars > b1 THEN 1 ELSE 0 END +
+        |         CASE WHEN n_chars > b2 THEN 1 ELSE 0 END +
+        |         CASE WHEN n_chars > b3 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS part
+        |  FROM documents CROSS JOIN b)
+        |SELECT part, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM lab GROUP BY part ORDER BY part""".stripMargin,
 
     // v1 rows are NULL in the evolved column by construction — the
     // per-source profile is recomputable from the original table alone

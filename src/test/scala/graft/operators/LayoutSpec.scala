@@ -122,6 +122,44 @@ class LayoutSpec extends SparkFunSuite {
     assert(a == b)
   }
 
+  test("rangeBoundaries: exact count-threshold rule on a hand histogram") {
+    // values 1..10 once each: ceil(p·10/100) → p25 needs cc≥3 → v=3,
+    // p50 → v=5, p75 → v=8
+    val df = (1L to 10L).toDF("v")
+    assert(Layout.rangeBoundaries(df, "v", Seq(25, 50, 75)) ==
+      Seq(3L, 5L, 8L))
+    // heavy tie: 9×5 then one 100 — every boundary collapses onto 5
+    val tied = (Seq.fill(9)(5L) :+ 100L).toDF("v")
+    assert(Layout.rangeBoundaries(tied, "v", Seq(25, 50, 75)) ==
+      Seq(5L, 5L, 5L))
+  }
+
+  test("writeRangePartitioned: labels partition the value range; " +
+      "partition dirs prune a range predicate") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_range_spec").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bs = Layout.rangeBoundaries(docs, "n_chars", Seq(25, 50, 75))
+    Layout.writeRangePartitioned(docs, tmp, "n_chars", bs)
+    val back = spark.read.parquet(tmp)
+    assert(back.count() == docs.count())
+    // per-partition max < next partition's min (ranges are disjoint)
+    val prof = back.groupBy("part")
+      .agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
+      .orderBy("part").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    prof.sliding(2).foreach {
+      case Array((_, mxA), (mnB, _)) => assert(mxA < mnB)
+      case _ =>
+    }
+    // a range predicate below b1 reads only partition 0 (plan shows
+    // PartitionFilters pruning on the label derived from the predicate)
+    val pruned = back.filter(col("part") === 0 && col("n_chars") <= bs.head)
+    assert(pruned.count() ==
+      docs.filter(col("n_chars") <= bs.head).count(),
+      "partition 0 must contain exactly the rows at or below b1")
+  }
+
   test("compact with a huge target lands exactly one file") {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_compact_one").toString
