@@ -72,6 +72,58 @@ object Chunking {
         pmod(col("tokens_before"), lit(budget.toLong)).as("offset_in_pack"))
   }
 
+  /** FIXED-LENGTH sequence packing (round 8) — the ".bin shard" export
+    * shape of an LM pipeline: documents concatenate in doc-id order into
+    * one global token stream, cut every `seqLen` tokens. Unlike
+    * [[packSequences]] (which bins whole docs), a document here SPLITS
+    * across cuts — standard LM packing, where attention masks own the
+    * boundary. Output: one row per emitted sequence
+    * `(seq_id, n_docs, n_tokens)` — n_docs = documents contributing,
+    * n_tokens = seqLen everywhere except the final partial sequence.
+    *
+    * The global prefix sum is TWO-PHASE, never single-partition: ids
+    * range-shard on exact [[Layout.rangeBoundaries]] quantiles
+    * (contiguous AND row-balanced by construction), per-shard windows
+    * compute local sums, and each shard's start offset is the sum of
+    * earlier shard totals — an nShards-row collect broadcast back as a
+    * literal array. At 100 TB that is one bounded histogram pass + one
+    * shard-keyed window, no `Window.orderBy` over the world. */
+  def fixedPack(docs: DataFrame, textCol: String, idCol: String,
+      seqLen: Int, nShards: Int = 8): DataFrame = {
+    require(seqLen > 0 && nShards >= 1 && nShards <= 64)
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      size(TF.normTokens(col(textCol))).cast("long").as("n"))
+    val percents = (1 until nShards).map(i => i * 100 / nShards)
+      .filter(p => p > 0 && p < 100).distinct
+    val bs =
+      if (percents.isEmpty) Seq.empty[Long]
+      else Layout.rangeBoundaries(base, "id", percents)
+    val shardCol =
+      if (bs.isEmpty) lit(0)
+      else bs.map(b => when(col("id") > b, 1).otherwise(0)).reduce(_ + _)
+    val sharded = base.withColumn("shard", shardCol)
+    val totals = sharded.groupBy(col("shard")).agg(sum(col("n")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offs = (0 to bs.length)
+      .scanLeft(0L)((acc, sh) => acc + totals.getOrElse(sh, 0L))
+      .dropRight(1)
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+    val L = seqLen.toLong
+    sharded
+      .withColumn("end", sum(col("n")).over(w) +
+        element_at(typedLit(offs), col("shard") + 1))
+      .withColumn("start", col("end") - col("n"))
+      .filter(col("n") > 0)
+      .select(col("start"), col("end"),
+        explode(sequence(TF.intDivNonNeg(col("start"), lit(L)),
+          TF.intDivNonNeg(col("end") - 1, lit(L)))).as("seq_id"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("end"), (col("seq_id") + 1) * L) -
+          greatest(col("start"), col("seq_id") * L)).as("n_tokens"))
+      .orderBy(col("seq_id"))
+  }
+
   /** SENTENCE-aligned chunking (round 7) — the RAG/pretraining chunk
     * shape: a document's sentences ([[TF.sentences]]) assemble into
     * chunks of ~`budgetChars`, never splitting inside a sentence. The

@@ -1908,6 +1908,14 @@ object ExtensionQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // fixed-length LM sequence packing: docs concatenate in id order
+    // into a global token stream cut every 512 tokens, docs SPLIT
+    // across cuts; two-phase sharded prefix sum in the engine, plain
+    // global window in the oracle — identical arithmetic
+    "corpus_pack_fixed" -> ((s, dir) =>
+      Chunking.fixedPack(t(s, dir, "documents"), "text", "doc_id",
+        seqLen = 512, nShards = 8)),
+
     // deterministic range-partitioned export: exact p25/p50/p75 length
     // boundaries (count-threshold rule, no sampling) assign each doc a
     // partition label row-locally; the written layout makes downstream
@@ -4508,6 +4516,25 @@ object ExtensionQueries {
         |FROM corp c JOIN b ON c.vec_id <> b.bid
         |WHERE list_cosine_similarity(c.embedding, b.bv) >= 0.95
         |GROUP BY c.vec_id ORDER BY c.vec_id""".stripMargin,
+
+    // the token stream positions recomputed with a plain global window
+    // cumsum; per-sequence token contribution = clipped span overlap
+    "corpus_pack_fixed" ->
+      s"""WITH tk AS ($NormToksSql),
+        |pbase AS (SELECT doc_id AS id, CAST(len(toks) AS BIGINT) AS n
+        |  FROM tk),
+        |pcum AS (SELECT id, n,
+        |    CAST(SUM(n) OVER (ORDER BY id) AS BIGINT) AS e
+        |  FROM pbase),
+        |pspans AS (SELECT id, n, e - n AS s, e FROM pcum WHERE n > 0),
+        |psq AS (SELECT id, s, e,
+        |    CAST(unnest(range(s // 512, (e - 1) // 512 + 1)) AS BIGINT)
+        |      AS seq_id
+        |  FROM pspans)
+        |SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(LEAST(e, (seq_id + 1) * 512) -
+        |           GREATEST(s, seq_id * 512)) AS BIGINT) AS n_tokens
+        |FROM psq GROUP BY seq_id ORDER BY seq_id""".stripMargin,
 
     // boundaries = smallest value whose cumulative count reaches
     // ceil(p·n/100); part = # boundaries strictly below n_chars
