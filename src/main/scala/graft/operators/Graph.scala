@@ -84,22 +84,38 @@ object Graph {
       dampNum: Long = 17L, dampDen: Long = 20L,
       scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 0 && dampDen > dampNum && dampNum > 0)
-    // materialize the aggregated graph ONCE before iterating: the edge
-    // relation usually hides a corpus-scale extraction (a window over
-    // the raw log), and a lazy plan would re-run it every iteration —
-    // measured 5x the extraction cost at iters=5. Iterating over the
-    // checkpointed node²-bounded relation is the GraphX-shaped contract.
+    val (e0, nodes) = materializeGraph(edges)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val teleport = (scale * (dampDen - dampNum)) / (dampDen * n)
+    iterate(e0, nodes, lit(teleport), lit(scale / n), iters,
+      dampNum, dampDen)
+  }
+
+  /** Materialize the aggregated graph ONCE before iterating: the edge
+    * relation usually hides a corpus-scale extraction (a window over the
+    * raw log), and a lazy plan would re-run it every iteration —
+    * measured 5x the extraction cost at iters=5. Iterating over the
+    * checkpointed node²-bounded relation is the GraphX-shaped contract. */
+  private def materializeGraph(edges: DataFrame)
+      : (DataFrame, DataFrame) = {
     val e0 = edges.select(col("src"), col("dst"), col("w"))
       .localCheckpoint()
     val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
-    val n = nodes.count()
-    require(n > 0, "empty graph")
+    (e0, nodes)
+  }
+
+  /** The shared Jacobi loop: `pr'(v) = teleport(v) +
+    * (num·Σ (pr(u)·w ÷ W_u)) ÷ den` — `teleportCol`/`pr0` may reference
+    * `node`, which is how the personalized variant scopes its mass. */
+  private def iterate(e0: DataFrame, nodes: DataFrame,
+      teleportCol: Column, pr0: Column, iters: Int,
+      dampNum: Long, dampDen: Long): DataFrame = {
     val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     val e = e0.join(outW, "src")
-    val teleport = (scale * (dampDen - dampNum)) / (dampDen * n)
-    var pr = nodes.select(col("node"), lit(scale / n).as("pr"))
+    var pr = nodes.select(col("node"), pr0.as("pr"))
     (0 until iters).foreach { _ =>
       val contrib = e
         .join(pr.withColumnRenamed("node", "src"), "src")
@@ -108,7 +124,7 @@ object Graph {
         .groupBy(col("node")).agg(sum(col("c")).as("cs"))
       pr = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(teleport) +
+          (teleportCol +
             TF.intDivNonNeg(lit(dampNum) * coalesce(col("cs"), lit(0L)),
               lit(dampDen))).as("pr"))
     }
@@ -132,30 +148,12 @@ object Graph {
     require(iters >= 0 && dampDen > dampNum && dampNum > 0)
     val seedSet = seeds.distinct
     val k = seedSet.length.toLong
-    // same materialize-once contract as [[pageRank]]
-    val e0 = edges.select(col("src"), col("dst"), col("w"))
-      .localCheckpoint()
-    val nodes = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
-    val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    val e = e0.join(outW, "src")
+    val (e0, nodes) = materializeGraph(edges)
     val isSeed = col("node").isin(seedSet: _*)
     val teleport = (scale * (dampDen - dampNum)) / (dampDen * k)
-    var pr = nodes.select(col("node"),
-      when(isSeed, lit(scale / k)).otherwise(lit(0L)).as("pr"))
-    (0 until iters).foreach { _ =>
-      val contrib = e
-        .join(pr.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"),
-          TF.intDivNonNeg(col("pr") * col("w"), col("wout")).as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("cs"))
-      pr = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (when(isSeed, lit(teleport)).otherwise(lit(0L)) +
-            TF.intDivNonNeg(lit(dampNum) * coalesce(col("cs"), lit(0L)),
-              lit(dampDen))).as("pr"))
-    }
-    pr.orderBy(col("node"))
+    iterate(e0, nodes,
+      when(isSeed, lit(teleport)).otherwise(lit(0L)),
+      when(isSeed, lit(scale / k)).otherwise(lit(0L)),
+      iters, dampNum, dampDen)
   }
 }
