@@ -58,6 +58,23 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Weakly-connected components of an edge relation — the community
+    * structure of a link graph (run on the STRONG-edge subgraph, e.g.
+    * `w ≥ k`, to find genuinely cohesive clusters; the full graph of a
+    * busy log is usually one giant component). Delegates to the shared
+    * min-label propagation kernel [[Dedup.survivorsFromPairs]] — the
+    * near-dup cluster machinery IS a component finder, same converged
+    * fixed point, same per-iteration edge-join cost. Output:
+    * `(node, component)`, component = smallest reachable node id;
+    * isolated nodes (no qualifying edge) are not in the node set. */
+  def components(edges: DataFrame): DataFrame = {
+    val ids = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    Dedup.survivorsFromPairs(ids,
+        edges.select(col("src").as("a"), col("dst").as("b")))
+      .select(col("id").as("node"), col("survivor_id").as("component"))
+  }
+
   /** Deterministic fixed-point PageRank over a weighted edge relation
     * `(src, dst, w)`: damping `dampNum/dampDen` (default 17/20 = 0.85),
     * `iters` Jacobi iterations from a uniform start, all arithmetic

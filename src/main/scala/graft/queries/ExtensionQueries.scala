@@ -1816,6 +1816,19 @@ object ExtensionQueries {
           order = Seq(col("ts"), col("event_id"))),
         seeds = Seq(0L, 1L, 2L, 3L), iters = 5)),
 
+    // weakly-connected components of the STRONG transition subgraph
+    // (w ≥ 5 — recurring transitions only): the community structure an
+    // authority-weighted curation run clusters sources by; min-label
+    // propagation, same kernel as the near-dup survivor selection
+    "graph_components" -> ((s, dir) =>
+      graft.operators.Graph.components(
+        graft.operators.Graph.transitionEdges(events(s, dir),
+          actor = col("user_id"),
+          node = get_json_object(col("props"), "$.k").cast("long"),
+          order = Seq(col("ts"), col("event_id")))
+          .filter(col("w") >= 5))
+        .orderBy(col("node"))),
+
     // ---- physical layout (round 8) ----
     // co-bucketed fact⋈fact join: both tables WRITTEN bucketed+sorted by
     // order key (memoized per sfDir), joined with a merge hint — the
@@ -4457,6 +4470,20 @@ object ExtensionQueries {
         |  COALESCE(in_w, 0) AS in_w
         |FROM dout FULL JOIN din ON dout.node = din.node
         |ORDER BY node""".stripMargin,
+
+    // min-label fixed point over the w≥5 subgraph as a recursive CTE
+    "graph_components" ->
+      s"""WITH RECURSIVE $GraphCtesSql,
+        |gstrong AS (SELECT src, dst FROM gedges WHERE w >= 5),
+        |gsn AS (SELECT src AS node FROM gstrong
+        |  UNION SELECT dst FROM gstrong),
+        |gund AS (SELECT src AS x, dst AS y FROM gstrong
+        |  UNION ALL SELECT dst, src FROM gstrong),
+        |greach AS (SELECT node AS id, node AS l FROM gsn
+        |  UNION
+        |  SELECT e.x AS id, r.l FROM gund e JOIN greach r ON r.id = e.y)
+        |SELECT id AS node, MIN(l) AS component FROM greach
+        |GROUP BY id ORDER BY node""".stripMargin,
 
     // layout must never change values: the bucketed-table join must
     // equal the plain SQL join (the zero-exchange plan is spec-pinned)
