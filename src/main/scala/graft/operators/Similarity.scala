@@ -468,11 +468,45 @@ object Similarity {
     * like every scorer in this family — only `k × overfetch × queries`
     * candidate ids move; recall vs exact is the `overfetch`/`ksub` knob,
     * audited by `sim_recall_pq` in the driver suite. */
+  /** Lloyd-refined PQ codebooks: [[pqCodebooks]] init, then `iters`
+    * [[refineCentroids]] passes PER SUBSPACE over the sliced corpus —
+    * the exact-fixed-point k-means trainer reused m times. Each pass is
+    * one corpus scan per subspace with a ≤ ksub×(dim/m)-row exchange;
+    * emptied codewords keep their previous vector (trainer contract). */
+  def pqCodebooksTrained(corpus: DataFrame, m: Int, ksub: Int,
+      iters: Int = 1, vecCol: String = "embedding",
+      idCol: String = "vec_id"): Array[Array[Array[Double]]] = {
+    require(iters >= 0)
+    val init = pqCodebooks(corpus, m, ksub, vecCol, idCol)
+    val sub = init(0)(0).length
+    val codeIds = Array.tabulate(ksub)(_.toLong)
+    Array.tabulate(m) { mi =>
+      val sliced = corpus.select(
+        slice(VF.asDouble(col(vecCol)), mi * sub + 1, sub).as("v"))
+      var vecs = init(mi)
+      (0 until iters).foreach { _ =>
+        vecs = refineCentroids(sliced, codeIds, vecs, "v")
+      }
+      vecs
+    }
+  }
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 4, ksub: Int = 16, overfetch: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    pqTopKWithCodebooks(corpus, queries, k,
+      pqCodebooks(corpus, m, ksub, vecCol, idCol), overfetch,
+      vecCol, idCol)
+
+  /** [[pqTopK]] with an EXPLICIT codebook table (e.g. one trained by
+    * [[pqCodebooksTrained]]) — the assignment/ADC/rerank plans are
+    * identical; only the codeword literals differ. */
+  def pqTopKWithCodebooks(corpus: DataFrame, queries: DataFrame, k: Int,
+      books: Array[Array[Array[Double]]], overfetch: Int = 4,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     require(overfetch >= 1)
-    val books = pqCodebooks(corpus, m, ksub, vecCol, idCol)
+    val m = books.length
+    val ksub = books(0).length
     val sub = books(0)(0).length
     val codeIds = Array.tabulate(ksub)(_.toLong)
     // nearest sub-codeword by L2, ties to the smallest code — the same

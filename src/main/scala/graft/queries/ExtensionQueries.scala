@@ -609,6 +609,41 @@ object ExtensionQueries {
         .orderBy(col("query_id"))
     }),
 
+    // PQ with TRAINED codebooks: one Lloyd refinement per subspace
+    // (the exact-fixed-point k-means trainer reused m times), then the
+    // identical assignment/ADC/rerank chain; the oracle recomputes the
+    // per-subspace training — quantized means, empty-cell carryover —
+    // and the full retrieval over the refined codewords
+    "sim_topk_pq_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopKWithCodebooks(emb, emb.filter(col("vec_id") < 10),
+          k = 5,
+          Similarity.pqCodebooksTrained(emb, m = 4, ksub = 16, iters = 1),
+          overfetch = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
+    // recall audit for the trained-codebook path — the trained-vs-init
+    // delta is the published evidence that training buys recall
+    "sim_recall_pq_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.pqTopKWithCodebooks(emb, q, k = 5,
+          Similarity.pqCodebooksTrained(emb, m = 4, ksub = 16, iters = 1),
+          overfetch = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = brute.intersect(approx)
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) * 20).as("recall_pct"))
+        .orderBy(col("query_id"))
+    }),
+
     // recall audit for the product-quantized path — per-query overlap of
     // pqTopK's top-5 with the exact brute-force top-5
     "sim_recall_pq" -> ((s, dir) => {
@@ -2319,6 +2354,71 @@ object ExtensionQueries {
       |      ORDER BY sim DESC, neighbor_id) AS rank
       |  FROM ps2)""".stripMargin
 
+  /** TRAINED-codebook PQ chain (ends at ranked rerank `tr2`): the
+    * init-codebook assignment feeds per-(subspace, codeword, position)
+    * QUANTIZED means (`sum(round(x·1e10)) / count / 1e10` — the
+    * refineCentroids fixed-point formula, ivf_kmeans_refine precedent),
+    * emptied codewords keep their init vector, refined codewords
+    * reassemble into LISTS so assignment and ADC reuse the exact
+    * list-sequential arithmetic of the untrained chain. */
+  private lazy val PqTrainedCtesSql =
+    """tc AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    embedding AS e
+      |  FROM embeddings),
+      |tcb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cpos,
+      |    v AS cv
+      |  FROM tc ORDER BY vec_id LIMIT 16),
+      |tsub AS (SELECT CAST(mi AS BIGINT) AS mi FROM range(0, 4) t(mi)),
+      |tpos AS (SELECT CAST(pos AS BIGINT) AS pos FROM range(0, 16) t(pos)),
+      |tasg0 AS (SELECT c.vec_id, s.mi, b.cpos,
+      |    ROW_NUMBER() OVER (PARTITION BY c.vec_id, s.mi
+      |      ORDER BY list_distance(c.v[s.mi*16+1 : s.mi*16+16],
+      |        b.cv[s.mi*16+1 : s.mi*16+16]), b.cpos) AS rn
+      |  FROM tc c CROSS JOIN tsub s CROSS JOIN tcb b),
+      |tcell0 AS (SELECT vec_id, mi, cpos FROM tasg0 WHERE rn = 1),
+      |tmean AS (SELECT g.mi, g.cpos, p.pos,
+      |    CAST(SUM(CAST(round(c.v[g.mi*16 + p.pos + 1] * 1e10)
+      |      AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e10
+      |      AS mean
+      |  FROM tcell0 g JOIN tc c ON c.vec_id = g.vec_id
+      |  CROSS JOIN tpos p
+      |  GROUP BY g.mi, g.cpos, p.pos),
+      |tinit AS (SELECT s.mi, b.cpos, p.pos,
+      |    b.cv[s.mi*16 + p.pos + 1] AS comp
+      |  FROM tcb b CROSS JOIN tsub s CROSS JOIN tpos p),
+      |trf AS (SELECT i.mi, i.cpos,
+      |    list(COALESCE(m.mean, i.comp) ORDER BY i.pos) AS cvec
+      |  FROM tinit i LEFT JOIN tmean m
+      |    ON m.mi = i.mi AND m.cpos = i.cpos AND m.pos = i.pos
+      |  GROUP BY i.mi, i.cpos),
+      |tasg AS (SELECT c.vec_id, f.mi, f.cpos,
+      |    ROW_NUMBER() OVER (PARTITION BY c.vec_id, f.mi
+      |      ORDER BY list_distance(c.v[f.mi*16+1 : f.mi*16+16], f.cvec),
+      |        f.cpos) AS rn
+      |  FROM tc c JOIN trf f ON TRUE),
+      |tcodes AS (SELECT vec_id, mi, cpos FROM tasg WHERE rn = 1),
+      |tq AS (SELECT vec_id AS qid, v AS qv, e AS qe FROM tc
+      |  WHERE vec_id < 10),
+      |tadc AS (SELECT q.qid, cd.vec_id AS neighbor_id,
+      |    SUM(list_sum(list_transform(range(1, 17),
+      |      j -> CAST(round(q.qv[cd.mi*16+j] * 100000) AS BIGINT) *
+      |           CAST(round(f.cvec[j] * 100000) AS BIGINT)))) AS sc
+      |  FROM tq q JOIN tcodes cd ON cd.vec_id <> q.qid
+      |  JOIN trf f ON f.mi = cd.mi AND f.cpos = cd.cpos
+      |  GROUP BY q.qid, cd.vec_id),
+      |tr1 AS (SELECT qid, neighbor_id, ROW_NUMBER() OVER (
+      |    PARTITION BY qid ORDER BY sc DESC, neighbor_id) AS rk
+      |  FROM tadc),
+      |tcand AS (SELECT qid, neighbor_id FROM tr1 WHERE rk <= 20),
+      |ts2 AS (SELECT tcand.qid AS query_id, tcand.neighbor_id,
+      |    list_cosine_similarity(q.qe, c.e) AS sim
+      |  FROM tcand JOIN tq q ON q.qid = tcand.qid
+      |  JOIN tc c ON c.vec_id = tcand.neighbor_id),
+      |tr2 AS (SELECT query_id, neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM ts2)""".stripMargin
+
   /** Brute-force cosine chain's CTE body (ends at ranked results
     * `bruter`) — shared by the sim_topk_brute oracle and the recall
     * metric, so the metric can never desync from the query it measures. */
@@ -3648,6 +3748,26 @@ object ExtensionQueries {
         |  COALESCE(ph.n_hits, 0) AS n_hits,
         |  COALESCE(ph.n_hits, 0) * 20 AS recall_pct
         |FROM pq q LEFT JOIN ph ON ph.query_id = q.qid
+        |ORDER BY query_id""".stripMargin,
+    // trained PQ: the whole per-subspace Lloyd pass + retrieval in SQL
+    "sim_topk_pq_trained" ->
+      s"""WITH $PqTrainedCtesSql
+        |SELECT query_id, rank, neighbor_id FROM tr2 WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "sim_recall_pq_trained" ->
+      s"""WITH $PqTrainedCtesSql,
+        |$BruteCtesSql,
+        |tqs AS (SELECT query_id, neighbor_id FROM tr2 WHERE rank <= 5),
+        |tbrute AS (SELECT query_id, neighbor_id FROM bruter
+        |  WHERE rank <= 5),
+        |th AS (SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |  FROM tbrute b JOIN tqs i
+        |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+        |  GROUP BY b.query_id)
+        |SELECT q.qid AS query_id,
+        |  COALESCE(th.n_hits, 0) AS n_hits,
+        |  COALESCE(th.n_hits, 0) * 20 AS recall_pct
+        |FROM tq q LEFT JOIN th ON th.query_id = q.qid
         |ORDER BY query_id""".stripMargin,
     // full IVF pipeline in SQL: smallest-16-id centroids, L2-argmin cell
     // assignment (ties by centroid id), 4-probe routing, cosine rank.

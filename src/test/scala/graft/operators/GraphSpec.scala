@@ -93,6 +93,18 @@ class GraphSpec extends SparkFunSuite {
     assert(half(1L) == 1000000000000L / 2)
   }
 
+  test("components: two chains and a self-loop resolve to min labels") {
+    val s = spark
+    import s.implicits._
+    // 1-2-3 chained, 7-8 chained, 9 self-loop
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (8L, 7L, 1L),
+      (9L, 9L, 1L)).toDF("src", "dst", "w")
+    val got = Graph.components(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L,
+      9L -> 9L))
+  }
+
   test("pageRank is invariant under edge repartitioning") {
     val s = spark
     import s.implicits._

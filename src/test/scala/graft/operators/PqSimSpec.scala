@@ -60,6 +60,33 @@ class PqSimSpec extends SparkFunSuite {
     assert(pq == brute)
   }
 
+  test("pqCodebooksTrained: one Lloyd pass moves codewords to member " +
+      "means; zero iterations returns the init codebooks") {
+    val init = Similarity.pqCodebooks(vecs, m = 2, ksub = 2)
+    val zero = Similarity.pqCodebooksTrained(vecs, m = 2, ksub = 2,
+      iters = 0)
+    assert(zero.map(_.map(_.toSeq).toSeq).toSeq ==
+      init.map(_.map(_.toSeq).toSeq).toSeq)
+    val trained = Similarity.pqCodebooksTrained(vecs, m = 2, ksub = 2,
+      iters = 1)
+    assert(trained.length == 2 && trained.forall(_.length == 2))
+    // codeword 0 of subspace 0 absorbs the cluster around (0,10): its
+    // refined first component is the mean of its members, not the init
+    assert(trained.map(_.map(_.toSeq).toSeq).toSeq !=
+      init.map(_.map(_.toSeq).toSeq).toSeq,
+      "training must move at least one codeword")
+  }
+
+  test("pqTopKWithCodebooks with trained books still ranks the twin first") {
+    val books = Similarity.pqCodebooksTrained(vecs, m = 2, ksub = 4,
+      iters = 1)
+    val hits = Similarity.pqTopKWithCodebooks(vecs,
+        vecs.filter(col("vec_id") === 0), k = 2, books, overfetch = 3)
+      .collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(hits.head == (1, 1L))
+  }
+
   test("pqTopK is invariant under corpus repartitioning") {
     val q = vecs.filter(col("vec_id") === 0)
     val a = Similarity.pqTopK(vecs, q, k = 3, m = 2, ksub = 4)
