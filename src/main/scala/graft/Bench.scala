@@ -59,8 +59,26 @@ object Bench {
         val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
         val total = results.map(_._2).sum
-        println(s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+        val line =
+          s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+        println(line)
         System.out.flush()
+        // Also persist the full results object to a repo file: the
+        // driver's stdout capture keeps only a tail of the (long) JSON
+        // line, so per-query numbers were otherwise unrecoverable from
+        // BENCH_r*.json — the committed file is the machine-readable
+        // record a later round can diff.
+        val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON",
+          "bench/sweep_latest.json")
+        try {
+          val p = java.nio.file.Paths.get(out)
+          if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p,
+            (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          System.err.println(s"[bench] full results written to $out")
+        } catch { case t: Throwable =>
+          System.err.println(s"[bench] could not write $out: $t")
+        }
       }
     Runtime.getRuntime.addShutdownHook(new Thread(() => emit("partial")))
 

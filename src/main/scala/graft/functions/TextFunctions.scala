@@ -569,9 +569,14 @@ object TextFunctions {
   }
 
   /** Exact integer division for NON-NEGATIVE operands, as a Column:
-    * `(a - a mod b) / b` — the double division at the end is of an exact
-    * multiple, so it is exact for quotients up to 2^53. Shared across
-    * the fixed-point operator families (scorer here, KMV sketch). */
+    * Spark's integral division (`div`, Catalyst `IntegralDivide`) — pure
+    * int64 arithmetic, exact over the FULL long range. (The previous
+    * `(a - a mod b) / b` shape routed through a double division, exact
+    * only for numerators < 2^53 — which silently shrank pageRank's
+    * documented `max(pr)·max(w) < 2^63` overflow contract.) For
+    * non-negative operands truncating and floor division agree, so this
+    * matches the oracles' `//` exactly. Shared across the fixed-point
+    * operator families (scorer here, KMV sketch, pageRank). */
   private[graft] def intDivNonNeg(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+    call_function("div", a.cast("long"), b.cast("long"))
 }

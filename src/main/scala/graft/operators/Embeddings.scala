@@ -17,6 +17,18 @@ import graft.functions.{VectorFunctions => VF}
   * decimal — `(x·n − S)² > k²·(n·Q − S²)` — so the flag is bit-identical
   * across engines and partitionings; no float mean/variance exists.
   *
+  * Precision bound: every decimal intermediate is ≤ `(n · max(norm2q))²`
+  * (both `d²` and `n·Q` are dominated by it), and Spark caps decimal
+  * precision at 38 digits — so exactness requires
+  * `n · max(norm2q) < 10^19`. Unit-norm embeddings (norm2q ≈ 10^6) stay
+  * exact to ~10^13 rows; grossly unnormalized corpora need a norm
+  * pre-scale or a smaller quantization constant. OUTSIDE the bound the
+  * engines diverge at the margin: Spark's overflowing product is NULL
+  * under non-ANSI mode (the row silently fails the z-test; the zero-norm
+  * disjunct still fires), while an int128 oracle errors or keeps going —
+  * the documented edge of the exactness contract, not a silent wrong
+  * answer inside it.
+  *
   * Scale shape: one calibration scan reducing to a 3-number broadcast
   * (count, Σ, Σ² — the int8 quantizer's shape), one flagging scan; the
   * corpus never shuffles.

@@ -49,24 +49,74 @@ object Layout {
     * replacement for `repartitionByRange`'s SAMPLED boundaries (which no
     * oracle, and no two runs, reproduce bit-identically). For each
     * percent p: the smallest value whose cumulative count reaches
-    * `ceil(p·n/100)`. One map-side-combined value-histogram aggregate
-    * (bounded by the value domain, not the corpus) + a window over that
-    * tiny relation; three longs come back to the driver. */
+    * `ceil(p·n/100)`.
+    *
+    * Scale shape — the value domain may be CORPUS-SIZED (fixedPack feeds
+    * unique doc ids, one histogram row per document), so the cumulative
+    * count is computed distributed, never on the driver:
+    *   1. one map-side-combined value-histogram aggregate;
+    *   2. the histogram range-shards on `v` (the SAMPLED shard cuts only
+    *      set task balance — the arithmetic below is exact wherever the
+    *      cuts land) and is pinned with `localCheckpoint` so both passes
+    *      see the same shard assignment;
+    *   3. per-shard totals → driver (≤ [[boundaryShards]] longs), prefix
+    *      offsets broadcast back as a literal map;
+    *   4. cumulative count = shard-local running sum + shard offset (a
+    *      window KEYED by shard — no global-order window anywhere);
+    *   5. one global aggregate row: per percent, `min(v)` where the
+    *      cumulative count reaches the threshold.
+    * Driver traffic is `shards + 1` rows total, runtime-enforced by
+    * [[collectSmall]] regardless of corpus size. */
   def rangeBoundaries(df: DataFrame, valueCol: String,
       percents: Seq[Int]): Seq[Long] = {
     require(percents.nonEmpty && percents.forall(p => p > 0 && p < 100))
+    val shards = boundaryShards(df)
     val hist = df.select(col(valueCol).cast("long").as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    require(hist.nonEmpty, "empty input")
-    val n = hist.map(_._2).sum
-    val cum = hist.scanLeft((0L, 0L)) { case ((_, acc), (v, c)) =>
-      (v, acc + c)
-    }.drop(1)
-    percents.map { p =>
-      val need = (p.toLong * n + 99) / 100
-      cum.find(_._2 >= need).map(_._1).getOrElse(cum.last._1)
-    }
+      .repartitionByRange(shards, col("v"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    try {
+      val totals = collectSmall(
+        hist.groupBy(col("pid")).agg(sum(col("c")).as("t")), shards)
+        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      require(totals.nonEmpty, "empty input")
+      val n = totals.map(_._2).sum
+      val offs = totals.map(_._1)
+        .zip(totals.map(_._2).scanLeft(0L)(_ + _)).toMap
+      val w = Window.partitionBy(col("pid")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cc",
+        sum(col("c")).over(w) + element_at(typedLit(offs), col("pid")))
+      val needs = percents.map(p => (p.toLong * n + 99) / 100)
+      // needs ≤ ceil(99n/100) ≤ n = cc at max v, so each min() is always
+      // populated; max(v) is a belt-and-braces fallback only
+      val aggCols = needs.zipWithIndex.map { case (need, i) =>
+        min(when(col("cc") >= need, col("v"))).as(s"b$i")
+      } :+ max(col("v")).as("vmax")
+      val row = collectSmall(cum.agg(aggCols.head, aggCols.tail: _*), 1).head
+      val vmax = row.getLong(needs.length)
+      needs.indices.map(i => if (row.isNullAt(i)) vmax else row.getLong(i))
+    } finally { hist.unpersist(); () }
+  }
+
+  /** Shard count for the boundary prefix sum: the session's shuffle
+    * parallelism (floored at 1) — per-shard histogram slices then match
+    * the sizing of every other shuffle in the job. */
+  private def boundaryShards(df: DataFrame): Int =
+    math.max(1,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
+  /** Collect with a RUNTIME cardinality guard: the caller asserts the
+    * relation is driver-small (shard totals, a single aggregate row) and
+    * the guard makes an accidental corpus-sized collect fail loudly
+    * instead of OOMing the driver at scale. */
+  private def collectSmall(df: DataFrame,
+      cap: Int): Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"driver-collect guard: expected <= $cap rows, got more")
+    rows
   }
 
   /** Deterministic RANGE-partitioned export: assign each row the count

@@ -1890,12 +1890,18 @@ object ExtensionQueries {
         else bucketTableCache.compute(dir, (d, _) => build(d))
       // one file per bucket (writeBucketed aligns write tasks to
       // buckets), so the scan may report its sortBy order and the merge
-      // join skips BOTH sorts — gated behind this conf since Spark 3.0
-      // (runtime-settable; only bucketed scans read it)
-      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+      // join skips BOTH sorts — gated behind this conf since Spark 3.0.
+      // The flag is scoped to an ISOLATED child session (same
+      // SparkContext + shared catalog, own SQLConf): the physical plan
+      // is only built when the caller executes the returned DataFrame,
+      // so a set-then-restore on the shared session would either leak
+      // the legacy flag into every later query or silently lose the
+      // sort-free plan — the child session does neither.
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
         "true")
-      s.table(lt).hint("merge")
-        .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+      iso.table(lt).hint("merge")
+        .join(iso.table(ot), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity")

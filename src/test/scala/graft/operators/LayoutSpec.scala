@@ -134,6 +134,33 @@ class LayoutSpec extends SparkFunSuite {
       Seq(5L, 5L, 5L))
   }
 
+  test("rangeBoundaries on a corpus-sized UNIQUE-id domain stays exact " +
+      "(the fixedPack shape: one histogram row per document)") {
+    // every value distinct ⇒ the histogram is as large as the input —
+    // the case whose full-histogram driver collect was the round-8
+    // scale finding; the rewrite collects only shard totals + 1 agg row
+    // (runtime-enforced by the collectSmall guard on every collect)
+    val n = 10000
+    val df = (0L until n.toLong).toDF("v").repartition(13)
+    val ps = Seq(10, 25, 50, 75, 90)
+    val got = Layout.rangeBoundaries(df, "v", ps)
+    // reference: values 0..n-1 once each ⇒ cc(v) = v+1 ⇒ boundary(p) =
+    // ceil(p·n/100) − 1
+    val want = ps.map(p => (p.toLong * n + 99) / 100 - 1)
+    assert(got == want)
+    // non-contiguous, duplicated, shuffled domain vs a driver reference
+    val vals = (0 until 5000).map(i => (i.toLong * 7919L) % 100000L)
+    val ref = {
+      val sorted = vals.sorted
+      ps.map { p =>
+        val need = ((p.toLong * vals.length + 99) / 100).toInt
+        sorted(need - 1)
+      }
+    }
+    assert(Layout.rangeBoundaries(vals.toDF("v").repartition(7), "v", ps)
+      == ref)
+  }
+
   test("writeRangePartitioned: labels partition the value range; " +
       "partition dirs prune a range predicate") {
     val tmp = java.nio.file.Files
