@@ -227,7 +227,14 @@ object Dedup {
     * @return (id, survivor_id) for EVERY id in the universe
     */
   def survivorsFromPairs(ids: DataFrame, pairs: DataFrame,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50): DataFrame =
+    survivorsFromPairsCounted(ids, pairs, maxIters)._1
+
+  /** [[survivorsFromPairs]] plus the number of propagation iterations it
+    * ran — the observable the convergence specs pin (min-label needs
+    * ~diameter rounds; the star kernel ~log n). */
+  private[graft] def survivorsFromPairsCounted(ids: DataFrame,
+      pairs: DataFrame, maxIters: Int = 50): (DataFrame, Int) = {
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .unionAll(pairs.select(col("b").as("x"), col("a").as("y")))
       .localCheckpoint() // materialize once; reused every iteration
@@ -254,7 +261,88 @@ object Dedup {
     }
     val out = labels.select(col("id"), col("label").as("survivor_id"))
     edges.unpersist()
-    out
+    (out, iter)
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014): the
+    * SAME output contract as [[survivorsFromPairs]] — `(id, survivor_id
+    * = smallest id in the component)` for every id in the universe —
+    * but converging in O(log n) alternating rounds instead of
+    * O(component DIAMETER) label-propagation hops.
+    *
+    * When each kernel wins: near-dup clusters are small and dense by
+    * construction (LSH + verify), so min-label converges in 2-3 rounds
+    * and stays the dedup default; a web-scale LINK graph is chain/tree-
+    * shaped with diameter in the hundreds, where min-label's one-hop-
+    * per-round propagation is ~500 Spark rounds and this kernel is ~10
+    * ([[graft.operators.Graph.components]] routes here — the
+    * convergence spec pins both round counts on the same chain graph).
+    *
+    * Round shape (all relational, edge-relation-bounded, never corpus
+    * rows):
+    *   - large-star: every node u connects its STRICTLY-LARGER
+    *     neighbors to `m = min(Γ(u) ∪ {u})`;
+    *   - small-star: every node u with smaller neighbors connects them
+    *     AND ITSELF to the min of that set.
+    * Edges stay canonical `(x < y)`, deduped, self-loop-free; the fixed
+    * point is a union of stars centered at each component's minimum.
+    * Per round: two groupBy+join passes and a set-equality check, every
+    * shuffle carrying id PAIRS only; `localCheckpoint` + unpersist per
+    * round exactly like the min-label kernel (lineage must not grow). */
+  def survivorsFromPairsStar(ids: DataFrame, pairs: DataFrame,
+      maxIters: Int = 50): DataFrame =
+    survivorsFromPairsStarCounted(ids, pairs, maxIters)._1
+
+  /** [[survivorsFromPairsStar]] plus the LS+SS round count it ran. */
+  private[graft] def survivorsFromPairsStarCounted(ids: DataFrame,
+      pairs: DataFrame, maxIters: Int = 50): (DataFrame, Int) = {
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("x"),
+        greatest(col("x"), col("y")).as("y"))
+      .distinct()
+    // one star operation; `large` picks which neighbor side re-attaches
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val adj = e.select(col("x").as("u"), col("y").as("v"))
+        .unionAll(e.select(col("y").as("u"), col("x").as("v")))
+      if (large) {
+        // m ranges over ALL neighbors ∪ self; larger neighbors attach
+        val mins = adj.groupBy(col("u")).agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("mn"), col("u")).as("m"))
+        canon(adj.join(mins, "u").filter(col("v") > col("u"))
+          .select(col("v").as("x"), col("m").as("y")))
+      } else {
+        // m ranges over the SMALLER neighbors ∪ self; they and u attach
+        val small = adj.filter(col("v") < col("u"))
+        val mins = small.groupBy(col("u")).agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("mn"), col("u")).as("m"))
+        canon(small.join(mins, "u")
+          .select(col("v").as("x"), col("m").as("y"))
+          .unionAll(mins.select(col("u").as("x"), col("m").as("y"))))
+      }
+    }
+    var e = canon(pairs.select(col("a").as("x"), col("b").as("y")))
+      .localCheckpoint()
+    var rounds = 0
+    var converged = e.isEmpty
+    while (!converged && rounds < maxIters) {
+      val mid = star(e, large = true).localCheckpoint()
+      val next = star(mid, large = false).localCheckpoint()
+      mid.unpersist()
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e.unpersist()
+      e = next
+      rounds += 1
+    }
+    // fixed point = stars centered at component minima: every canonical
+    // edge (x, y) reads "y's survivor is x"; centers and singletons
+    // survive as themselves
+    val lab = e.select(col("y").as("id"), col("x").as("survivor_id"))
+    val out = ids.join(lab, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("survivor_id"), col("id")).as("survivor_id"))
+    (out, rounds)
   }
 
   /** Exact-substring duplication (the suffix-array-style dedup of

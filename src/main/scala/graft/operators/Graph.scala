@@ -61,16 +61,18 @@ object Graph {
   /** Weakly-connected components of an edge relation — the community
     * structure of a link graph (run on the STRONG-edge subgraph, e.g.
     * `w ≥ k`, to find genuinely cohesive clusters; the full graph of a
-    * busy log is usually one giant component). Delegates to the shared
-    * min-label propagation kernel [[Dedup.survivorsFromPairs]] — the
-    * near-dup cluster machinery IS a component finder, same converged
-    * fixed point, same per-iteration edge-join cost. Output:
-    * `(node, component)`, component = smallest reachable node id;
-    * isolated nodes (no qualifying edge) are not in the node set. */
+    * busy log is usually one giant component). Delegates to the
+    * large-star/small-star kernel [[Dedup.survivorsFromPairsStar]]:
+    * identical output contract to the min-label kernel (smallest
+    * reachable id — the kernel-equality spec pins it), but O(log n)
+    * rounds instead of O(diameter) — a chain/tree-shaped web graph with
+    * diameter in the hundreds converges in ~10 Spark rounds, not ~500.
+    * Output: `(node, component)`, component = smallest reachable node
+    * id; isolated nodes (no qualifying edge) are not in the node set. */
   def components(edges: DataFrame): DataFrame = {
     val ids = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
-    Dedup.survivorsFromPairs(ids,
+    Dedup.survivorsFromPairsStar(ids,
         edges.select(col("src").as("a"), col("dst").as("b")))
       .select(col("id").as("node"), col("survivor_id").as("component"))
   }

@@ -105,6 +105,24 @@ class GraphSpec extends SparkFunSuite {
       9L -> 9L))
   }
 
+  test("components: star and min-label kernels agree on the real " +
+      "transition graph (the graph_components oracle input)") {
+    val edges = Graph.transitionEdges(
+      graft.queries.Q.events(spark, sfDir),
+      actor = col("user_id"),
+      node = get_json_object(col("props"), "$.k").cast("long"),
+      order = Seq(col("ts"), col("event_id")))
+      .filter(col("w") >= 2)
+    val viaStar = Graph.components(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ids = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val viaMinLabel = Dedup.survivorsFromPairs(ids,
+        edges.select(col("src").as("a"), col("dst").as("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaStar == viaMinLabel && viaStar.nonEmpty)
+  }
+
   test("pageRank is invariant under edge repartitioning") {
     val s = spark
     import s.implicits._

@@ -700,6 +700,53 @@ class SimilaritySpec extends SparkFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
       6L -> 5L))
   }
+
+  test("survivorsFromPairsStar matches min-label on a random graph " +
+      "(same output contract, different kernel)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 120L
+    val ids = (0L until n).toDF("id")
+    val pairs = (0 until 150).map { _ =>
+      (rnd.nextLong().abs % n, rnd.nextLong().abs % n)
+    }.toDF("a", "b")
+    val minLabel = Dedup.survivorsFromPairs(ids, pairs, maxIters = 200)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.survivorsFromPairsStar(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == minLabel)
+  }
+
+  test("star kernel converges in O(log n) rounds on a chain where " +
+      "min-label needs the full diameter") {
+    val s = spark
+    import s.implicits._
+    // 64-node chain 0-1-…-63: min-label moves the min ONE hop per
+    // round, so the far end needs ~diameter rounds; the alternating
+    // large-star/small-star contraction halves path lengths per round
+    val chainIds = (0L until 64L).toDF("id")
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val (mlOut, mlRounds) =
+      Dedup.survivorsFromPairsCounted(chainIds, chain, maxIters = 200)
+    val (stOut, stRounds) =
+      Dedup.survivorsFromPairsStarCounted(chainIds, chain)
+    assert(mlOut.collect().forall(_.getLong(1) == 0L))
+    assert(stOut.collect().forall(_.getLong(1) == 0L))
+    assert(mlRounds >= 40, s"min-label took only $mlRounds rounds")
+    assert(stRounds <= 10, s"star kernel took $stRounds rounds")
+  }
+
+  test("star kernel: 1000-node chain collapses to node 0 in ≤ 12 rounds") {
+    val s = spark
+    import s.implicits._
+    val ids = (0L until 1000L).toDF("id")
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("a", "b")
+    val (out, rounds) = Dedup.survivorsFromPairsStarCounted(ids, chain)
+    assert(rounds <= 12, s"took $rounds rounds")
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 1000 && got.forall(_._2 == 0L))
+  }
 }
 
 class AsofJoinSpec extends SparkFunSuite {
