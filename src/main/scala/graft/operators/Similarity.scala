@@ -545,6 +545,115 @@ object Similarity {
     finishTopK(scored, k)
   }
 
+  /** IVF-PQ composition (Jégou et al., PAMI 2011 §IV — the standard
+    * Faiss `IVFx,PQy` index): coarse IVF cells + product-quantized
+    * RESIDUALS. Residual encoding is the whole point of the
+    * composition: within a cell the residual `v − centroid(cell)` has
+    * far smaller magnitude and a centered distribution, so the same
+    * m×ksub codebook budget spends its resolution on the part of the
+    * vector the coarse quantizer didn't already explain — measurably
+    * higher recall than PQ over raw vectors at identical code size
+    * (`sim_recall_ivfpq` vs `sim_recall_pq*` is the published audit).
+    *
+    * Stage shape: queries probe their `nprobe` nearest cells; ONLY rows
+    * in probed cells are scored (the IVF pruning), by the exact-int64
+    * ADC decomposition `〈q, centroid(cell)〉 + 〈q, recon(residual
+    * codes)〉` over 1e-5-quantized components (the centroid term is
+    * computed once per (query, probed cell), the residual term is `m`
+    * codeword lookups per row — identical arithmetic rules to
+    * [[pqTopKWithCodebooks]], so the candidate cut stays
+    * bit-deterministic across engines and partitionings); top
+    * `k × overfetch` candidates rerank by exact full-precision cosine.
+    *
+    * The 100 TB story: cell assignment, residual computation and code
+    * assignment are all row-local projections against literal
+    * centroid/codebook tables (collects are nlist- and ksub-bounded) —
+    * the corpus never shuffles; written down this is `m` bytes + one
+    * cell id per vector, scanned partition-pruned to `nprobe/nlist` of
+    * the data (the [[IvfIndex]] layout) with only candidate ids moving.
+    *
+    * Determinism rules inherited from the family: centroids = the
+    * `nlist` smallest-id vectors; residual codebooks = the residuals of
+    * the `ksub` smallest-id vectors sliced into `m` subspaces (the
+    * [[pqCodebooks]] init rule applied to the residual relation); all
+    * quantization is `round(x·1e5)` IN-PLAN so both engines round the
+    * identical IEEE doubles; every cut breaks ties by id. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = AutoNlist, nprobe: Int = 4, m: Int = 4, ksub: Int = 16,
+      overfetch: Int = 4, iters: Int = 1, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(nprobe >= 1 && overfetch >= 1 && iters >= 0)
+    val centRows = corpus
+      .select(col(idCol).cast("long").as("cid"),
+        VF.asDouble(col(vecCol)).as("cv"))
+      .orderBy(col("cid")).limit(resolveNlist(corpus, nlist)).collect()
+    val centIds = centRows.map(_.getLong(0))
+    val centVecs = centRows.map(_.getSeq[Double](1).toArray)
+    val centMap = centIds.zip(centVecs.map(_.toSeq)).toMap
+    def cellOf(v: Column): Column =
+      element_at(VF.nearestCentroids(v, centIds, centVecs, 1), 1)
+    def centVecOf(cell: Column): Column =
+      element_at(typedLit(centMap), cell)
+    // residual relation: cell + (v − centroid(cell)), both row-local
+    val resid = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("c_vec"), cellOf(col(vecCol)).as("cell"))
+      .withColumn("r_vec",
+        zip_with(VF.asDouble(col("c_vec")), centVecOf(col("cell")),
+          (x, c) => x - c))
+    // PQ codebooks over RESIDUALS — smallest-id init + `iters` Lloyd
+    // passes per subspace. Training is LOAD-BEARING here, not a tweak:
+    // the centroid term of the ADC is exact, so ranking quality within
+    // a probed cell rides ENTIRELY on how well codewords reconstruct
+    // residuals — untrained (smallest-id) codewords reconstruct an
+    // unclustered residual cloud as pure noise and the composition
+    // measures BELOW raw PQ (46% vs 48% recall@5 at sf0.01); one Lloyd
+    // pass moves codewords to residual means and the audit flips to
+    // the published lift (see sim_recall_ivfpq vs sim_recall_pq*).
+    val books =
+      if (iters == 0) pqCodebooks(resid, m, ksub, "r_vec", "neighbor_id")
+      else pqCodebooksTrained(resid, m, ksub, iters, "r_vec", "neighbor_id")
+    val sub = books(0)(0).length
+    val codeIds = Array.tabulate(ksub)(_.toLong)
+    def codeCol(r: Column, mi: Int): Column =
+      element_at(VF.nearestCentroids(
+        slice(r, mi * sub + 1, sub), codeIds, books(mi), 1), 1)
+    def qint(c: Column): Column =
+      transform(c, x => round(x * 1e5).cast("long"))
+    def reconQ(r: Column): Column =
+      flatten(array((0 until m).map { mi =>
+        qint(element_at(typedLit(books(mi).map(_.toSeq).toSeq),
+          codeCol(r, mi).cast("int") + 1))
+      }: _*))
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val coded = resid.select(col("neighbor_id"), col("cell"),
+      reconQ(col("r_vec")).as("r_q"))
+    val probes = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("q_vec"),
+        qint(VF.asDouble(col(vecCol))).as("q_q"),
+        explode(VF.nearestCentroids(col(vecCol), centIds, centVecs,
+          nprobe)).as("cell"))
+      // centroid half of the ADC dot: once per (query, probed cell)
+      .withColumn("cent_dot",
+        idot(col("q_q"), qint(centVecOf(col("cell")))))
+    val coarse = coded.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("coarse",
+        (col("cent_dot") + idot(col("q_q"), col("r_q"))).cast("double"))
+    val cands = coarse.groupBy(col("query_id"))
+      .agg(topK(col("coarse"), col("neighbor_id"), k * overfetch).as("top"))
+      .select(col("query_id"), explode(col("top")).as("hit"))
+      .select(col("query_id"), col("hit.id").as("neighbor_id"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("c_vec"))
+      .join(broadcast(cands), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("cosine", VF.cosine(col("q_vec"), col("c_vec")))
+    finishTopK(scored, k)
+  }
+
   /** Shared tail: partial-agg top-k per query, explode to ranked rows. */
   private def finishTopK(scored: DataFrame, k: Int,
       scoreCol: String = "cosine"): DataFrame =

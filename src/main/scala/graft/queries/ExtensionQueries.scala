@@ -644,6 +644,44 @@ object ExtensionQueries {
         .orderBy(col("query_id"))
     }),
 
+    // IVF-PQ composition (round 9): coarse cells + product-quantized
+    // RESIDUALS with one Lloyd pass per subspace — the standard Faiss
+    // IVFx,PQy shape; same cell rule as sim_topk_ivf, same subspace/
+    // quantization/training rules as sim_topk_pq_trained, ADC =
+    // exact-int64 ⟨q,centroid⟩ + ⟨q,residual recon⟩. The oracle
+    // recomputes the entire composition including training
+    // (IvfPqCtesSql). Measured recall@5 at sf0.01: 68% vs 60% trained
+    // raw-PQ / 48% untrained at the identical m×ksub code budget —
+    // residual encoding is what the composition buys (IvfPqProbe)
+    "sim_topk_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          nlist = 16, nprobe = 4, m = 4, ksub = 16, overfetch = 4,
+          iters = 1)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
+    // recall audit for the IVF-PQ path — the published evidence that
+    // residual encoding buys recall over raw-vector PQ at the same
+    // m×ksub code budget (compare against sim_recall_pq/_trained)
+    "sim_recall_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfPqTopK(emb, q, k = 5, nlist = 16,
+          nprobe = 4, m = 4, ksub = 16, overfetch = 4, iters = 1)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = brute.intersect(approx)
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) * 20).as("recall_pct"))
+        .orderBy(col("query_id"))
+    }),
+
     // recall audit for the product-quantized path — per-query overlap of
     // pqTopK's top-5 with the exact brute-force top-5
     "sim_recall_pq" -> ((s, dir) => {
@@ -2425,6 +2463,100 @@ object ExtensionQueries {
       |      ORDER BY sim DESC, neighbor_id) AS rank
       |  FROM ts2)""".stripMargin
 
+  /** IVF-PQ chain's CTE body (ends at ranked rerank `vr2`) — the full
+    * Faiss-style composition recomputed in SQL: smallest-16-id coarse
+    * centroids, L2-argmin cell assignment (ties by centroid id),
+    * per-vector RESIDUAL `v − centroid(cell)`, residual PQ codebooks
+    * (residuals of the 16 smallest-id vectors, sliced into 4 contiguous
+    * 16-dim subspaces) refined by ONE Lloyd pass per subspace (the
+    * PqTrainedCtesSql pattern over residuals: quantized means,
+    * empty-codeword carryover — training is load-bearing for the
+    * composition, see `Similarity.ivfPqTopK`), per-subspace L2 code
+    * assignment (ties by code), 4-probe routing, exact-int64 ADC
+    * `〈q,cent〉 + 〈q,recon〉` over `round(x·1e5)` components,
+    * k·overfetch cut, exact-cosine rerank — every cut tie-broken by id,
+    * mirroring `Similarity.ivfPqTopK` term for term. NOTE lazy val:
+    * interpolated by the oracles map. */
+  private lazy val IvfPqCtesSql =
+    """vpc AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    embedding AS e
+      |  FROM embeddings),
+      |vcents AS (SELECT vec_id AS cent_id,
+      |    CAST(embedding AS DOUBLE[]) AS cent_vec
+      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |vasg AS (SELECT c.vec_id, c.v, c.e, t.cent_id AS cell, t.cent_vec,
+      |    ROW_NUMBER() OVER (PARTITION BY c.vec_id
+      |      ORDER BY list_distance(c.v, t.cent_vec), t.cent_id) AS rn
+      |  FROM vpc c, vcents t),
+      |vres AS (SELECT vec_id, v, e, cell,
+      |    list_transform(range(1, len(v) + 1), j -> v[j] - cent_vec[j])
+      |      AS r
+      |  FROM vasg WHERE rn = 1),
+      |vcb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cpos,
+      |    r AS cv
+      |  FROM vres ORDER BY vec_id LIMIT 16),
+      |vsub AS (SELECT CAST(mi AS BIGINT) AS mi FROM range(0, 4) t(mi)),
+      |vpos AS (SELECT CAST(pos AS BIGINT) AS pos FROM range(0, 16) t(pos)),
+      |vasg0 AS (SELECT c.vec_id, s.mi, b.cpos,
+      |    ROW_NUMBER() OVER (PARTITION BY c.vec_id, s.mi
+      |      ORDER BY list_distance(c.r[s.mi*16+1 : s.mi*16+16],
+      |        b.cv[s.mi*16+1 : s.mi*16+16]), b.cpos) AS rn
+      |  FROM vres c CROSS JOIN vsub s CROSS JOIN vcb b),
+      |vcell0 AS (SELECT vec_id, mi, cpos FROM vasg0 WHERE rn = 1),
+      |vmean AS (SELECT g.mi, g.cpos, p.pos,
+      |    CAST(SUM(CAST(round(c.r[g.mi*16 + p.pos + 1] * 1e10)
+      |      AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e10
+      |      AS mean
+      |  FROM vcell0 g JOIN vres c ON c.vec_id = g.vec_id
+      |  CROSS JOIN vpos p
+      |  GROUP BY g.mi, g.cpos, p.pos),
+      |vinit AS (SELECT s.mi, b.cpos, p.pos,
+      |    b.cv[s.mi*16 + p.pos + 1] AS comp
+      |  FROM vcb b CROSS JOIN vsub s CROSS JOIN vpos p),
+      |vrf AS (SELECT i.mi, i.cpos,
+      |    list(COALESCE(m.mean, i.comp) ORDER BY i.pos) AS cvec
+      |  FROM vinit i LEFT JOIN vmean m
+      |    ON m.mi = i.mi AND m.cpos = i.cpos AND m.pos = i.pos
+      |  GROUP BY i.mi, i.cpos),
+      |vpasg AS (SELECT c.vec_id, f.mi, f.cpos,
+      |    ROW_NUMBER() OVER (PARTITION BY c.vec_id, f.mi
+      |      ORDER BY list_distance(c.r[f.mi*16+1 : f.mi*16+16], f.cvec),
+      |        f.cpos) AS rn
+      |  FROM vres c JOIN vrf f ON TRUE),
+      |vcodes AS (SELECT vec_id, mi, cpos FROM vpasg WHERE rn = 1),
+      |vqasg AS (SELECT c.vec_id AS qid, c.v AS qv, c.e AS qe,
+      |    t.cent_id AS cell, t.cent_vec,
+      |    ROW_NUMBER() OVER (PARTITION BY c.vec_id
+      |      ORDER BY list_distance(c.v, t.cent_vec), t.cent_id) AS rn
+      |  FROM vpc c, vcents t WHERE c.vec_id < 10),
+      |vprobes AS (SELECT qid, qv, cell,
+      |    list_sum(list_transform(range(1, len(qv) + 1),
+      |      j -> CAST(round(qv[j] * 100000) AS BIGINT) *
+      |           CAST(round(cent_vec[j] * 100000) AS BIGINT))) AS cent_dot
+      |  FROM vqasg WHERE rn <= 4),
+      |vadc AS (SELECT p.qid, r.vec_id AS neighbor_id,
+      |    p.cent_dot + SUM(list_sum(list_transform(range(1, 17),
+      |      j -> CAST(round(p.qv[cd.mi*16+j] * 100000) AS BIGINT) *
+      |           CAST(round(f.cvec[j] * 100000) AS BIGINT)))) AS sc
+      |  FROM vprobes p
+      |  JOIN vres r ON r.cell = p.cell AND r.vec_id <> p.qid
+      |  JOIN vcodes cd ON cd.vec_id = r.vec_id
+      |  JOIN vrf f ON f.mi = cd.mi AND f.cpos = cd.cpos
+      |  GROUP BY p.qid, r.vec_id, p.cent_dot),
+      |vr1 AS (SELECT qid, neighbor_id, ROW_NUMBER() OVER (
+      |    PARTITION BY qid ORDER BY sc DESC, neighbor_id) AS rk
+      |  FROM vadc),
+      |vcand AS (SELECT qid, neighbor_id FROM vr1 WHERE rk <= 20),
+      |vq AS (SELECT vec_id AS qid, e AS qe FROM vpc WHERE vec_id < 10),
+      |vs2 AS (SELECT vcand.qid AS query_id, vcand.neighbor_id,
+      |    list_cosine_similarity(q.qe, c.e) AS sim
+      |  FROM vcand JOIN vq q ON q.qid = vcand.qid
+      |  JOIN vpc c ON c.vec_id = vcand.neighbor_id),
+      |vr2 AS (SELECT query_id, neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM vs2)""".stripMargin
+
   /** Brute-force cosine chain's CTE body (ends at ranked results
     * `bruter`) — shared by the sim_topk_brute oracle and the recall
     * metric, so the metric can never desync from the query it measures. */
@@ -3774,6 +3906,27 @@ object ExtensionQueries {
         |  COALESCE(th.n_hits, 0) AS n_hits,
         |  COALESCE(th.n_hits, 0) * 20 AS recall_pct
         |FROM tq q LEFT JOIN th ON th.query_id = q.qid
+        |ORDER BY query_id""".stripMargin,
+    // the full IVF-PQ composition in SQL (IvfPqCtesSql): residual PQ
+    // over coarse cells, probed ADC, two deterministic cuts
+    "sim_topk_ivfpq" ->
+      s"""WITH $IvfPqCtesSql
+        |SELECT query_id, rank, neighbor_id FROM vr2 WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "sim_recall_ivfpq" ->
+      s"""WITH $IvfPqCtesSql,
+        |$BruteCtesSql,
+        |vqs AS (SELECT query_id, neighbor_id FROM vr2 WHERE rank <= 5),
+        |vbrute AS (SELECT query_id, neighbor_id FROM bruter
+        |  WHERE rank <= 5),
+        |vh AS (SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |  FROM vbrute b JOIN vqs i
+        |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+        |  GROUP BY b.query_id)
+        |SELECT q.qid AS query_id,
+        |  COALESCE(vh.n_hits, 0) AS n_hits,
+        |  COALESCE(vh.n_hits, 0) * 20 AS recall_pct
+        |FROM vq q LEFT JOIN vh ON vh.query_id = q.qid
         |ORDER BY query_id""".stripMargin,
     // full IVF pipeline in SQL: smallest-16-id centroids, L2-argmin cell
     // assignment (ties by centroid id), 4-probe routing, cosine rank.

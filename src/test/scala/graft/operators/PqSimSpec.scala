@@ -96,4 +96,40 @@ class PqSimSpec extends SparkFunSuite {
       .select("query_id", "rank", "neighbor_id").collect().toSeq
     assert(a == b)
   }
+
+  test("ivfPqTopK ranks the near-twin first on clustered data") {
+    // nprobe = nlist probes every cell, so IVF pruning drops nothing on
+    // this tiny corpus; the twin must survive the residual-ADC cut
+    val hits = Similarity.ivfPqTopK(vecs,
+        vecs.filter(col("vec_id") === 0), k = 2, nlist = 4, nprobe = 4,
+        m = 2, ksub = 6, overfetch = 2, iters = 1)
+      .collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(hits.head == (1, 1L))
+  }
+
+  test("ivfPqTopK with all cells probed + full codebook + full " +
+      "overfetch equals brute force") {
+    // every vector its own residual codeword (self-distance 0), all
+    // cells probed, overfetch past the corpus → the rerank IS brute
+    val q = vecs.filter(col("vec_id") < 2)
+    val ivfpq = Similarity.ivfPqTopK(vecs, q, k = 3, nlist = 4,
+        nprobe = 4, m = 2, ksub = 6, overfetch = 5, iters = 0)
+      .select("query_id", "rank", "neighbor_id").collect().toSeq
+    val brute = Similarity.bruteForceTopK(vecs, q, k = 3)
+      .select("query_id", "rank", "neighbor_id").collect().toSeq
+    assert(ivfpq == brute)
+  }
+
+  test("ivfPqTopK is invariant under corpus repartitioning " +
+      "(trained residual codebooks included)") {
+    val q = vecs.filter(col("vec_id") === 0)
+    val a = Similarity.ivfPqTopK(vecs, q, k = 3, nlist = 4, nprobe = 2,
+        m = 2, ksub = 4, iters = 1)
+      .select("query_id", "rank", "neighbor_id").collect().toSeq
+    val b = Similarity.ivfPqTopK(vecs.repartition(7), q, k = 3,
+        nlist = 4, nprobe = 2, m = 2, ksub = 4, iters = 1)
+      .select("query_id", "rank", "neighbor_id").collect().toSeq
+    assert(a == b)
+  }
 }
