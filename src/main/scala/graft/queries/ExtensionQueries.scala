@@ -154,6 +154,79 @@ object ExtensionQueries {
   private def bmpFixture(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), bmpBlob.as("blob"))
 
+  /** Big-endian byte renderers (PNG is network byte order). */
+  private def be32b(x: org.apache.spark.sql.Column) =
+    unhex(lpad(hex(x.cast("long")), 8, "0"))
+
+  /** PNG fixture shared by mm_png_features / mm_decode_audit — the
+    * byte-primitive pattern WITHOUT a deflate implementation in the
+    * plan: the IDAT zlib stream uses a STORED (uncompressed) deflate
+    * block, legal zlib that `java.util.zip.Inflater` consumes like any
+    * other, so every byte the decoder sees is closed-form. The raw
+    * pixel stream is the primitive — p(j) = (doc_id·13 + j·23) % 256,
+    * top-down RGB — which the oracle recomputes DIRECTLY (it never does
+    * filter math). Scanlines alternate filter None / Sub, both built
+    * in-plan ((p(j) − p(j−3)) mod 256 for Sub), so the engine's
+    * un-filtering must invert an INDEPENDENT SQL-expression encoding —
+    * and the zlib adler32 (which Inflater verifies) is an in-plan
+    * (s1, s2) fold over the scanline bytes. Chunk CRCs are zeros (the
+    * decoder's documented non-goal). Width 3..6, height 2..4.
+    * Average/Up/Paeth filters can't be built in closed form (non-linear
+    * recursions) — those unfilter paths are pinned by the two-sided
+    * ImageIO cross-check in MultimodalSpec instead. */
+  private def pngScan: org.apache.spark.sql.Column = {
+    val w = lit(3L) + col("doc_id") % 4L
+    val h = lit(2L) + col("doc_id") % 3L
+    val rowBytes = w * 3L
+    def p(j: org.apache.spark.sql.Column) =
+      pmod(col("doc_id") * 13L + j * 23L, lit(256L))
+    transform(sequence(lit(0L), h * (rowBytes + 1L) - 1L), idx => {
+      val y = TF.intDivNonNeg(idx, rowBytes + 1L)
+      val r = pmod(idx, rowBytes + 1L)
+      val k = r - 1L
+      val j = y * rowBytes + k
+      when(r === 0L, pmod(y, lit(2L))) // filter byte: None / Sub
+        .when(pmod(y, lit(2L)) === 0L || k < 3L, p(j))
+        .otherwise(pmod(p(j) - p(j - 3L), lit(256L)))
+    })
+  }
+
+  /** Assemble the PNG container around a pre-aliased scanline-value
+    * array (hoisted so the adler fold and the byte render share ONE
+    * evaluation — the mm_wav_meta discipline). */
+  private def pngAssemble(scan: org.apache.spark.sql.Column,
+      w: org.apache.spark.sql.Column,
+      h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dataLen = size(scan).cast("long")
+    val data = unhex(array_join(
+      transform(scan, v => lpad(hex(v), 2, "0")), ""))
+    val ad = aggregate(scan,
+      struct(lit(1L).as("s1"), lit(0L).as("s2")),
+      (acc, b) => struct(
+        pmod(acc.getField("s1") + b, lit(65521L)).as("s1"),
+        pmod(acc.getField("s2") + acc.getField("s1") + b,
+          lit(65521L)).as("s2")))
+    val adler = ad.getField("s2") * 65536L + ad.getField("s1")
+    val crc0 = unhex(lit("00000000"))
+    concat(
+      unhex(lit("89504e470d0a1a0a")), // signature
+      be32b(lit(13L)), lit("IHDR".getBytes), be32b(w), be32b(h),
+      unhex(lit("0802000000")), crc0, // depth 8, RGB, no interlace
+      be32b(dataLen + 11L), lit("IDAT".getBytes),
+      unhex(lit("7801")), // zlib header, no preset dictionary
+      unhex(lit("01")), le16b(dataLen), le16b(lit(65535L) - dataLen),
+      data, be32b(adler), crc0,
+      be32b(lit(0L)), lit("IEND".getBytes), crc0)
+  }
+
+  private def pngFixture(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), pngScan.as("scan"),
+        (lit(3L) + col("doc_id") % 4L).as("w"),
+        (lit(2L) + col("doc_id") % 3L).as("h"))
+      .select(col("doc_id"),
+        pngAssemble(col("scan"), col("w"), col("h")).as("blob"))
+
   val all: Map[String, QueryFn] = Map(
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) =>
@@ -1746,6 +1819,23 @@ object ExtensionQueries {
         .toDF()
         .orderBy(col("doc_id"))),
 
+    // REAL compressed-image decode (round 9): PNGs whose IDAT inflates
+    // through java.util.zip.Inflater and un-filters scanline by
+    // scanline. The stored-deflate fixture keeps the raw PIXEL stream
+    // closed-form (see pngScan), so this gets a FULL value oracle —
+    // the oracle recomputes the feature sums from p(j) directly and
+    // never touches filter math, while the engine must parse chunks,
+    // inflate, verify adler32 and invert the None/Sub filters to
+    // reach the same numbers
+    "mm_png_features" -> ((s, dir) =>
+      Multimodal.extractPngFeatures(pngFixture(s, dir), "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+          col("sum_r"), col("sum_g"), col("sum_b"),
+          col("wsum_r"), col("wsum_g"), col("wsum_b"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy(col("doc_id"))),
+
     // ViT-style patch grid (2x2 patches; right/bottom edge patches
     // partial with honest n_px): the oracle buckets the SAME
     // coordinate-mapped pixels by (x DIV 2, y DIV 2) — grid or edge
@@ -1823,15 +1913,18 @@ object ExtensionQueries {
     }),
 
     // PERMISSIVE decode audit over a deliberately mixed + partly broken
-    // corpus: thirds get WAV / BMP / raw text payloads, and every 15th
-    // doc's media payload is TRUNCATED mid-header — the verdict relation
-    // (kind, ok, reason) must route each correctly, never drop a row
+    // corpus: thirds get WAV / BMP / (PNG ∪ raw text) payloads, and
+    // every 15th doc's media payload is TRUNCATED mid-header — the
+    // verdict relation (kind, ok, reason) must route each correctly,
+    // never drop a row. PNG joined the real-decode branches in round 9:
+    // doc%6==2 carries the stored-deflate fixture (truncated mid-IHDR
+    // when doc%30==2 → undecodable_png).
     "mm_decode_audit" -> ((s, dir) => {
       // one projection, no joins: CaseWhen evaluates lazily per row, so
       // each doc constructs ONLY its own branch's fixture (each fixture
       // expression referenced exactly once — no cloning). The truncation
-      // residues (15|doc → 3|doc, 15|doc−1 → 3|doc−1) stay inside their
-      // branch's kind.
+      // residues (15|doc → 3|doc, 15|doc−1 → 3|doc−1, 30|doc−2 →
+      // 6|doc−2) stay inside their branch's kind.
       // conditional-length substr keeps each fixture expression at ONE
       // reference (a second reference would clone the whole construct)
       val keepAll = lit(1 << 30)
@@ -1841,6 +1934,10 @@ object ExtensionQueries {
         .when(col("doc_id") % 3 === 1,
           bmpBlob.substr(lit(1),
             when(col("doc_id") % 15 === 1, lit(40)).otherwise(keepAll)))
+        .when(col("doc_id") % 6 === 2,
+          pngAssemble(pngScan, lit(3L) + col("doc_id") % 4L,
+            lit(2L) + col("doc_id") % 3L).substr(lit(1),
+            when(col("doc_id") % 30 === 2, lit(30)).otherwise(keepAll)))
         .otherwise(encode(col("text"), "utf-8"))
       Multimodal.extractDecodeAudit(
           t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -4704,18 +4801,23 @@ object ExtensionQueries {
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'riff'
         |       WHEN doc_id % 3 = 1 THEN 'bmp'
+        |       WHEN doc_id % 6 = 2 THEN 'png'
         |       WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'
         |       WHEN substr(text, 1, 4) = 'fLaC' THEN 'flac'
         |       WHEN substr(text, 1, 2) = 'BM' THEN 'bmp'
         |       WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'
         |       ELSE 'bin' END AS kind,
         |  (doc_id % 3 = 0 AND doc_id % 15 != 0)
-        |    OR (doc_id % 3 = 1 AND doc_id % 15 != 1) AS ok,
+        |    OR (doc_id % 3 = 1 AND doc_id % 15 != 1)
+        |    OR (doc_id % 6 = 2 AND doc_id % 30 != 2) AS ok,
         |  CASE WHEN doc_id % 3 = 0 THEN
         |         CASE WHEN doc_id % 15 = 0 THEN 'undecodable_pcm'
         |              ELSE 'ok' END
         |       WHEN doc_id % 3 = 1 THEN
         |         CASE WHEN doc_id % 15 = 1 THEN 'undecodable_bmp24'
+        |              ELSE 'ok' END
+        |       WHEN doc_id % 6 = 2 THEN
+        |         CASE WHEN doc_id % 30 = 2 THEN 'undecodable_png'
         |              ELSE 'ok' END
         |       WHEN substr(text, 1, 4) = 'RIFF' THEN 'undecodable_pcm'
         |       WHEN substr(text, 1, 4) = 'fLaC' THEN 'no_codec'
@@ -4723,6 +4825,41 @@ object ExtensionQueries {
         |       WHEN substr(text, 1, 4) = 'GIF8' THEN 'no_codec'
         |       ELSE 'unknown_format' END AS reason
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // PNG features recomputed from the closed-form PIXEL primitive
+    // alone — no filter math here: the oracle derives (x, y, c) from
+    // the stream index and sums, while the engine has to inflate and
+    // un-filter its way back to these very bytes
+    "mm_png_features" ->
+      """WITH gw AS (SELECT doc_id, 3 + doc_id % 4 AS w,
+        |    2 + doc_id % 3 AS h
+        |  FROM documents),
+        |gj AS (SELECT doc_id, w, h,
+        |    CAST(unnest(range(0, 3 * w * h)) AS BIGINT) AS j
+        |  FROM gw),
+        |gp AS (SELECT doc_id, w, h, j % 3 AS c, (j // 3) % w AS x,
+        |    j // (3 * w) AS y, (doc_id * 13 + j * 23) % 256 AS v
+        |  FROM gj)
+        |SELECT doc_id,
+        |  CAST(MAX(w) AS BIGINT) AS width,
+        |  CAST(MAX(h) AS BIGINT) AS height,
+        |  CAST(MAX(w) * MAX(h) AS BIGINT) AS n_px,
+        |  CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+        |  CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        |  CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+        |  CAST(SUM(CASE WHEN c = 0 THEN (x + y * w) * v ELSE 0 END)
+        |    AS BIGINT) AS wsum_r,
+        |  CAST(SUM(CASE WHEN c = 1 THEN (x + y * w) * v ELSE 0 END)
+        |    AS BIGINT) AS wsum_g,
+        |  CAST(SUM(CASE WHEN c = 2 THEN (x + y * w) * v ELSE 0 END)
+        |    AS BIGINT) AS wsum_b,
+        |  CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS DOUBLE) /
+        |    CAST(MAX(w) * MAX(h) AS DOUBLE) AS mean_r,
+        |  CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS DOUBLE) /
+        |    CAST(MAX(w) * MAX(h) AS DOUBLE) AS mean_g,
+        |  CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS DOUBLE) /
+        |    CAST(MAX(w) * MAX(h) AS DOUBLE) AS mean_b
+        |FROM gp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the transition-graph edge relation: same LEAD-over-(ts, event_id)
     // sessionization, weighted by transition count

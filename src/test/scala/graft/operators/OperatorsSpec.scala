@@ -1186,6 +1186,158 @@ class TextFunctionsSpec extends SparkFunSuite {
 
 class MultimodalSpec extends SparkFunSuite {
 
+  // ---- PNG decode cross-checks (round 9) ----
+  // Two-sided independence: (1) the JDK's OWN PNG encoder (ImageIO,
+  // adaptive real-world filters) feeds OUR decoder; (2) our forced-
+  // filter test encoder feeds BOTH our decoder and ImageIO's decoder.
+  // Each side is validated by code we didn't write, so symmetric
+  // filter/un-filter bugs cannot cancel.
+
+  private def pngPix(x: Int, y: Int, c: Int): Int =
+    ((x * 31 + y * 17 + c * 7) * 13 + 5) % 256
+
+  /** Test-side PNG encoder with a FORCED filter type on every scanline
+    * (8-bit RGB, real Deflater, real chunk CRCs so ImageIO accepts it). */
+  private def pngEncode(w: Int, h: Int, filter: Int): Array[Byte] = {
+    val ch = 3
+    val recon = Array.tabulate(h, w * ch)((y, i) => pngPix(i / ch, y, i % ch))
+    val raw = new Array[Byte](h * (1 + w * ch))
+    for (y <- 0 until h) {
+      raw(y * (1 + w * ch)) = filter.toByte
+      for (i <- 0 until w * ch) {
+        val a = if (i >= ch) recon(y)(i - ch) else 0
+        val b = if (y > 0) recon(y - 1)(i) else 0
+        val cc = if (i >= ch && y > 0) recon(y - 1)(i - ch) else 0
+        val pred = filter match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 =>
+            val p = a + b - cc
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - b)
+            val pc = math.abs(p - cc)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc
+        }
+        raw(y * (1 + w * ch) + 1 + i) = ((recon(y)(i) - pred) & 0xff).toByte
+      }
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw)
+    d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    def chunk(t: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(t.getBytes).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t.getBytes)
+      crc.update(data)
+      bb.putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte).array()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  test("decodePngPixels inverts every forced filter type, and ImageIO " +
+      "agrees our test PNGs are valid (two-sided cross-check)") {
+    System.setProperty("java.awt.headless", "true")
+    val (w, h) = (7, 5)
+    (0 to 4).foreach { f =>
+      val bytes = pngEncode(w, h, f)
+      val (dw, dh, ch, px) = Multimodal.decodePngPixels(bytes)
+        .getOrElse(fail(s"filter $f undecodable"))
+      assert((dw, dh, ch) == (w, h, 3), s"filter $f dims")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert((px((y * w + x) * 3 + c) & 0xff) == pngPix(x, y, c),
+          s"filter $f pixel ($x,$y,$c)")
+      // the JDK's decoder must read the same pixels — proves the test
+      // encoder is real PNG, so the round-trip above isn't self-serving
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) == pngPix(x, y, 0), s"filter $f r")
+        assert(((rgb >> 8) & 0xff) == pngPix(x, y, 1), s"filter $f g")
+        assert((rgb & 0xff) == pngPix(x, y, 2), s"filter $f b")
+      }
+    }
+  }
+
+  test("decodePngFeatures on a JDK-ImageIO-encoded PNG matches direct " +
+      "pixel sums (real third-party encoder, adaptive filters)") {
+    System.setProperty("java.awt.headless", "true")
+    val (w, h) = (40, 25)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (pngPix(x, y, 0) << 16) | (pngPix(x, y, 1) << 8) |
+        pngPix(x, y, 2))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val row = Multimodal.decodePngFeatures(bos.toByteArray)
+      .getOrElse(fail("ImageIO png undecodable"))
+    assert(row.width == w && row.height == h && row.n_px == w.toLong * h)
+    val want = Array.tabulate(3)(c =>
+      (for (y <- 0 until h; x <- 0 until w) yield pngPix(x, y, c).toLong).sum)
+    val wantW = Array.tabulate(3)(c =>
+      (for (y <- 0 until h; x <- 0 until w)
+        yield (x + y.toLong * w) * pngPix(x, y, c)).sum)
+    assert((row.sum_r, row.sum_g, row.sum_b) == (want(0), want(1), want(2)))
+    assert((row.wsum_r, row.wsum_g, row.wsum_b) ==
+      (wantW(0), wantW(1), wantW(2)))
+  }
+
+  test("decodePngPixels: grayscale and RGBA color types; permissive " +
+      "rejection of truncated, corrupted and oversized payloads") {
+    System.setProperty("java.awt.headless", "true")
+    // grayscale (color type 0): one channel, features replicate r=g=b
+    val gray = new java.awt.image.BufferedImage(6, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 4; x <- 0 until 6) {
+      val v = pngPix(x, y, 0)
+      gray.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val gbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gray, "png", gbos)
+    val g = Multimodal.decodePngFeatures(gbos.toByteArray).get
+    assert(g.channels == 1 && g.sum_r == g.sum_g && g.sum_g == g.sum_b)
+    // RGBA (color type 6): alpha carried in the raster, ignored in sums
+    val argb = new java.awt.image.BufferedImage(5, 3,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 3; x <- 0 until 5)
+      argb.setRGB(x, y, (200 << 24) | (pngPix(x, y, 0) << 16) |
+        (pngPix(x, y, 1) << 8) | pngPix(x, y, 2))
+    val abos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(argb, "png", abos)
+    val a = Multimodal.decodePngFeatures(abos.toByteArray).get
+    assert(a.channels == 4 &&
+      a.sum_r == (for (y <- 0 until 3; x <- 0 until 5)
+        yield pngPix(x, y, 0).toLong).sum)
+    // permissive rejections — None, never a throw
+    val good = pngEncode(7, 5, 4)
+    assert(Multimodal.decodePngPixels(good.take(30)).isEmpty, "truncated")
+    assert(Multimodal.decodePngPixels(null).isEmpty, "null")
+    assert(Multimodal.decodePngPixels("not a png".getBytes).isEmpty)
+    // layout from the tail: IEND chunk = 12 bytes, IDAT CRC = 4, so the
+    // zlib adler32 (the LAST 4 bytes of IDAT data) ends at length-17
+    val badAdler = good.clone()
+    badAdler(badAdler.length - 17) =
+      (badAdler(badAdler.length - 17) ^ 0x7f).toByte
+    assert(Multimodal.decodePngPixels(badAdler).isEmpty, "corrupt adler")
+    // header-declared raster above the gate → rejected before allocation
+    val big = good.clone()
+    big(16) = 0x7f.toByte // width byte 0 → w ≈ 2^30
+    assert(Multimodal.decodePngPixels(big).isEmpty, "oversized")
+  }
+
   test("withBlob: byte metadata is exact; kind sniffs magic bytes") {
     val s = spark
     import s.implicits._
