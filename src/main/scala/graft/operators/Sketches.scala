@@ -281,4 +281,49 @@ object Sketches {
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
           .as("jaccard"))
   }
+
+  /** Mergeable bounded bin-count histogram as ONE native aggregate —
+    * `map<bin, count>`, `bin = floorDiv(value, binWidth)` (identical to
+    * [[histQuantiles]]'s binning for the non-negative contract). The
+    * single-aggregate shape is what a watermarked streaming window can
+    * hold as state (the batch chain's cascaded aggregate + window can't
+    * run in append mode); `maxBins` fails loudly instead of silently
+    * truncating. See [[graft.plans.BinHistogram]]. */
+  def binHistogram(value: Column, binWidth: Long,
+      maxBins: Int = 65536): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.BinHistogram(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          value.cast("long")),
+        binWidth, maxBins).toAggregateExpression())
+
+  /** Row-local quantile extraction from a [[binHistogram]] map — the
+    * same count-threshold rule as [[histQuantiles]] (smallest bin whose
+    * cumulative count reaches `ceil(p·n/100)`, exact int64), evaluated
+    * as a fold over the ≤ maxBins sorted entries so it composes with
+    * streaming output rows. Returns
+    * `array<struct<p:int, est_lo:bigint, est_hi:bigint>>` in `ps` order. */
+  def quantilesFromHistogram(hist: Column, binWidth: Long,
+      ps: Seq[Int]): Column = {
+    require(binWidth >= 1 && ps.nonEmpty &&
+      ps.forall(p => p >= 1 && p <= 100))
+    val entries = array_sort(map_entries(hist)) // ascending bin
+    val n = aggregate(map_values(hist), lit(0L), (a, x) => a + x)
+    val none = Long.MinValue
+    array(ps.map { p =>
+      val thr = TF.intDivNonNeg(lit(p.toLong) * n + 99L, lit(100L))
+      val bin = aggregate(entries,
+        struct(lit(0L).as("cum"), lit(none).as("bin")),
+        (acc, e) => struct(
+          (acc.getField("cum") + e.getField("value")).as("cum"),
+          when(acc.getField("bin") =!= none, acc.getField("bin"))
+            .when(acc.getField("cum") + e.getField("value") >= thr,
+              e.getField("key"))
+            .otherwise(lit(none)).as("bin")))
+        .getField("bin")
+      struct(lit(p).as("p"),
+        (bin * binWidth).as("est_lo"),
+        (bin * binWidth + (binWidth - 1)).as("est_hi"))
+    }: _*)
+  }
 }

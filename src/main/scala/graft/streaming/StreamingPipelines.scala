@@ -321,9 +321,6 @@ object StreamingPipelines {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val hconf = spark.sparkContext.hadoopConfiguration
-        val base = new org.apache.hadoop.fs.Path(snapshotPath)
-        val fs = base.getFileSystem(hconf)
         val snapshot = resolveCdcSnapshot(spark, snapshotPath)
           .map(p => spark.read.parquet(p.toString))
           .getOrElse(batch.filter(lit(false))) // empty, batch-shaped
@@ -332,40 +329,54 @@ object StreamingPipelines {
           .mergeCdc(snapshot, delta, keyCol, versionCol, deletedCol)
           .localCheckpoint() // sever lineage before versions get pruned
         sink(merged, batchId)
-        val nextName = s"v$batchId"
-        val nextPath = new org.apache.hadoop.fs.Path(base, nextName)
-        val nextDone =
-          new org.apache.hadoop.fs.Path(nextPath, "_SUCCESS")
-        // Replay discipline (a checkpointed restart re-runs the last
-        // batchId): a COMPLETE v<batchId> is the deterministic product
-        // of this very merge — never rewrite it, or the overwrite's
-        // delete phase reopens the no-snapshot window on the dir
-        // `_latest` may already name. An INCOMPLETE leftover (crash
-        // mid-write; resolve() never returns it) is cleared and
-        // rewritten.
-        if (!fs.exists(nextDone)) {
-          if (fs.exists(nextPath)) fs.delete(nextPath, true)
-          merged.write.mode("overwrite").parquet(nextPath.toString)
-        }
-        // publish: tmp pointer + atomic overwrite rename
-        val tmp = new org.apache.hadoop.fs.Path(base, "_latest.tmp")
-        val out = fs.create(tmp, true)
-        try out.write(nextName.getBytes("UTF-8")) finally out.close()
-        org.apache.hadoop.fs.FileContext.getFileContext(base.toUri, hconf)
-          .rename(tmp, new org.apache.hadoop.fs.Path(base, "_latest"),
-            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        // prune all but the 2 newest versions; a migrated pre-round-7
-        // `current/` dir is superseded once the first pointer lands
-        fs.listStatus(base).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
-          .sortBy(_.getPath.getName.drop(1).toLong)
-          .dropRight(2)
-          .foreach(s => fs.delete(s.getPath, true))
-        fs.delete(new org.apache.hadoop.fs.Path(base, "current"), true)
-        ()
+        publishVersionedSnapshot(spark, snapshotPath, batchId, merged)
       }
     checkpointLocation.foreach(p => writer.option("checkpointLocation", p))
     writer.start()
+  }
+
+  /** Crash-safe versioned snapshot publish — the write half of
+    * [[resolveCdcSnapshot]], shared by [[mergeCdcStream]] and
+    * [[maintainEdgesStream]]: write the IMMUTABLE `v<batchId>` dir, flip
+    * the tiny `_latest` pointer via write-tmp + atomic
+    * `FileContext.rename(OVERWRITE)`, prune all but the 2 newest
+    * versions (+ any legacy `current/` dir).
+    *
+    * Replay discipline (a checkpointed restart re-runs the last
+    * batchId): a COMPLETE `v<batchId>` is the deterministic product of
+    * the batch that wrote it — never rewrite it, or the overwrite's
+    * delete phase reopens the no-snapshot window on the dir `_latest`
+    * may already name. An INCOMPLETE leftover (crash mid-write;
+    * resolve() never returns it) is cleared and rewritten. */
+  private[streaming] def publishVersionedSnapshot(
+      spark: org.apache.spark.sql.SparkSession, snapshotPath: String,
+      batchId: Long, df: DataFrame): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(snapshotPath)
+    val fs = base.getFileSystem(hconf)
+    val nextName = s"v$batchId"
+    val nextPath = new org.apache.hadoop.fs.Path(base, nextName)
+    val nextDone = new org.apache.hadoop.fs.Path(nextPath, "_SUCCESS")
+    if (!fs.exists(nextDone)) {
+      if (fs.exists(nextPath)) fs.delete(nextPath, true)
+      df.write.mode("overwrite").parquet(nextPath.toString)
+    }
+    // publish: tmp pointer + atomic overwrite rename
+    val tmp = new org.apache.hadoop.fs.Path(base, "_latest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(nextName.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(base.toUri, hconf)
+      .rename(tmp, new org.apache.hadoop.fs.Path(base, "_latest"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // prune all but the 2 newest versions; a migrated pre-round-7
+    // `current/` dir is superseded once the first pointer lands
+    fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .sortBy(_.getPath.getName.drop(1).toLong)
+      .dropRight(2)
+      .foreach(s => fs.delete(s.getPath, true))
+    fs.delete(new org.apache.hadoop.fs.Path(base, "current"), true)
+    ()
   }
 
   def followWithin(events: DataFrame, triggerType: String = "purchase",
@@ -542,4 +553,92 @@ object StreamingPipelines {
           }
       }
   }
+
+  /** Streaming PAGERANK MAINTENANCE (round 9) — the live-graph loop the
+    * [[transitionEdgesStream]] docs promise: per-event edges fold into a
+    * PERSISTENT aggregated edge relation `(src, dst, w)` at `edgePath`,
+    * and [[pageRankFromSnapshot]] is the periodic re-rank over it.
+    *
+    * Scale shape: the corpus-scale work (ordering each actor's events)
+    * already happened in the O(1)-state stateful operator upstream; each
+    * micro-batch merge is `union + re-aggregate` of the node²-bounded
+    * edge relation — the same bounded-relation contract as the batch
+    * [[graft.operators.Graph.pageRank]] iteration. Snapshots publish
+    * with the same crash-safe versioned protocol as the CDC corpus
+    * (immutable `v<batchId>` dirs + atomic `_latest` flip +
+    * `_SUCCESS`-gated recovery), so a reader — including the re-rank —
+    * always sees a complete edge relation at every crash point.
+    *
+    * Exactly-once: on a replayed batchId the merge recomputes, but
+    * [[publishVersionedSnapshot]] never rewrites a COMPLETE
+    * `v<batchId>`, so the PUBLISHED snapshot is exactly-once even when
+    * `sink` observes an at-least-once duplicate (same caveat as the CDC
+    * loop; durable `checkpointLocation` keeps batchIds stable). */
+  def maintainEdgesStream(events: Dataset[NodeEvent], edgePath: String,
+      horizonMs: Long = 24L * 3600 * 1000,
+      checkpointLocation: Option[String] = None)
+      (sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = transitionEdgesStream(events, horizonMs).toDF()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val current = resolveCdcSnapshot(spark, edgePath)
+          .map(p => spark.read.parquet(p.toString))
+          .getOrElse(Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w"))
+        val delta = batch.groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).as("w"))
+        val merged = current.unionByName(delta)
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+          .localCheckpoint() // sever lineage before versions get pruned
+        sink(merged, batchId)
+        publishVersionedSnapshot(spark, edgePath, batchId, merged)
+      }
+    checkpointLocation.foreach(p => writer.option("checkpointLocation", p))
+    writer.start()
+  }
+
+  /** Periodic re-rank over the maintained edge snapshot: resolve the
+    * live version ([[resolveCdcSnapshot]] — same pointer protocol) and
+    * run the deterministic fixed-point PageRank on it. None = no
+    * snapshot published yet. */
+  def pageRankFromSnapshot(spark: org.apache.spark.sql.SparkSession,
+      edgePath: String, iters: Int = 5): Option[DataFrame] =
+    resolveCdcSnapshot(spark, edgePath).map(p =>
+      graft.operators.Graph.pageRank(spark.read.parquet(p.toString),
+        iters))
+
+  /** WATERMARKED STREAMING QUANTILES (round 9) — the histogram-quantile
+    * sketch as a windowed streaming aggregate next to
+    * [[trendingTermsStream]]: per tumbling window, ONE mergeable
+    * [[graft.operators.Sketches.binHistogram]] aggregate (each
+    * micro-batch folds into the window's stored ≤ maxBins counters —
+    * the batch sketch's cascaded aggregate + window chain cannot run in
+    * append mode), then the same count-threshold quantile rule
+    * extracted row-locally from the emitted histogram
+    * ([[graft.operators.Sketches.quantilesFromHistogram]] — batch-twin
+    * parity is spec-pinned against [[graft.operators.Sketches.histQuantiles]]).
+    * State per window is ≤ maxBins longs regardless of stream volume;
+    * the watermark expires whole windows.
+    *
+    * Input columns: (`ts` timestamp, `valueCol` integral). Output per
+    * closed window and requested percent:
+    * (window_start, n_values, p, est_lo, est_hi). */
+  def windowedQuantilesStream(docs: DataFrame, valueCol: String,
+      window_ : String = "10 minutes", lateness: String = "10 minutes",
+      binWidth: Long = 100L, ps: Seq[Int] = Seq(25, 50, 75, 90),
+      maxBins: Int = 65536): DataFrame =
+    docs
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_))
+      .agg(graft.operators.Sketches
+        .binHistogram(col(valueCol), binWidth, maxBins).as("hist"))
+      .select(col("window.start").as("window_start"),
+        aggregate(map_values(col("hist")), lit(0L), (a, x) => a + x)
+          .as("n_values"),
+        explode(graft.operators.Sketches
+          .quantilesFromHistogram(col("hist"), binWidth, ps)).as("q"))
+      .select(col("window_start"), col("n_values"), col("q.p").as("p"),
+        col("q.est_lo").as("est_lo"), col("q.est_hi").as("est_hi"))
 }

@@ -41,7 +41,8 @@ import graft.streaming.StreamingPipelines
   * (defaults: decode, 200000 rows/s offered, 20 s measured).
   */
 object StreamBench {
-  private val Modes = Set("decode", "neardup", "cdc", "trending", "edges")
+  private val Modes = Set("decode", "neardup", "cdc", "trending", "edges",
+    "maintain", "quantiles")
 
   def main(args: Array[String]): Unit = {
     val (mode, rest) =
@@ -52,6 +53,8 @@ object StreamBench {
       case "cdc" => 50000
       case "trending" => 100000
       case "edges" => 100000
+      case "maintain" => 50000
+      case "quantiles" => 200000
       case _ => 200000
     })
     val seconds = rest.lift(1).map(_.toInt).getOrElse(20)
@@ -65,6 +68,8 @@ object StreamBench {
     if (mode == "cdc") { runCdc(spark, offered, seconds, cpus); return }
     if (mode == "trending") { runTrending(spark, offered, seconds, cpus); return }
     if (mode == "edges") { runEdges(spark, offered, seconds, cpus); return }
+    if (mode == "maintain") { runMaintain(spark, offered, seconds, cpus); return }
+    if (mode == "quantiles") { runQuantiles(spark, offered, seconds, cpus); return }
 
     val (provider, id) = AvroEventCorpus.registry()
     val cfg = EngineConfig(Seq("stub://in-memory"), Map("events" -> false))
@@ -271,5 +276,52 @@ object StreamBench {
           System.nanoTime())
       .outputMode("append").start()
     finish("stream_edges_rows_per_sec", q, spark, offered, seconds)
+  }
+
+  /** PageRank-maintenance throughput (round 9): the runEdges event
+    * stream through [[StreamingPipelines.maintainEdgesStream]] — prices
+    * the keyed edge emission PLUS the per-batch merge into, and
+    * crash-safe republish of, the persistent aggregated edge relation
+    * (the real cost center of live-graph maintenance; the relation
+    * stays ≤ 1000 actors × 100² node pairs by construction). */
+  private def runMaintain(spark: SparkSession, offered: Int, seconds: Int,
+      cpus: String): Unit = {
+    import spark.implicits._
+    val events = spark.readStream.format("rate")
+      .option("rowsPerSecond", offered.toString)
+      .option("numPartitions", cpus)
+      .load()
+      .select(pmod(col("value"), lit(1000L)).as("user_id"),
+        col("timestamp").as("ts"), col("value").as("event_id"),
+        pmod(xxhash64(col("value")), lit(100L)).as("node"))
+      .as[StreamingPipelines.NodeEvent]
+    val edgePath = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_streambench_maint_${System.nanoTime()}"
+    val q = StreamingPipelines.maintainEdgesStream(events, edgePath,
+      checkpointLocation = Some(s"${edgePath}_ckpt"))()
+    finish("stream_maintain_rows_per_sec", q, spark, offered, seconds)
+  }
+
+  /** Windowed-quantiles throughput (round 9): rate rows' values into
+    * [[StreamingPipelines.windowedQuantilesStream]] (10 s windows, zero
+    * lateness so windows close inside the run) — prices the mergeable
+    * bin-histogram fold + windowed stateful aggregation + row-local
+    * quantile extraction. */
+  private def runQuantiles(spark: SparkSession, offered: Int, seconds: Int,
+      cpus: String): Unit = {
+    val vals = spark.readStream.format("rate")
+      .option("rowsPerSecond", offered.toString)
+      .option("numPartitions", cpus)
+      .load()
+      .select(col("timestamp").as("ts"),
+        pmod(xxhash64(col("value")), lit(10000L)).as("v"))
+    val out = StreamingPipelines.windowedQuantilesStream(vals, "v",
+      window_ = "10 seconds", lateness = "0 seconds", binWidth = 100L)
+    val q = out.writeStream.format("noop")
+      .option("checkpointLocation",
+        s"${System.getProperty("java.io.tmpdir")}/graft_streambench_qt_" +
+          System.nanoTime())
+      .outputMode("append").start()
+    finish("stream_quantiles_rows_per_sec", q, spark, offered, seconds)
   }
 }

@@ -181,4 +181,41 @@ class SketchesSpec extends SparkFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est("alpha") == 3L && est("beta") == 2L && est("gamma") == 1L)
   }
+
+  test("binHistogram + quantilesFromHistogram reproduce the batch " +
+      "histQuantiles estimates; invariant under repartitioning") {
+    val s = spark
+    import s.implicits._
+    val vals = Seq(5L, 7L, 17L, 23L, 31L, 42L, 64L, 88L, 99L, 100L, 3L)
+    val df = vals.toDF("v").repartition(5)
+    val ps = Seq(10, 25, 50, 75, 90)
+    val got = df
+      .agg(Sketches.binHistogram(col("v"), 10L).as("hist"))
+      .select(explode(
+        Sketches.quantilesFromHistogram(col("hist"), 10L, ps)).as("q"))
+      .select(col("q.p"), col("q.est_lo"), col("q.est_hi"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val want = Sketches.histQuantiles(df, "v", 10L, ps)
+      .collect()
+      .map(r => (r.getAs[Int]("p"), r.getAs[Long]("est_lo"),
+        r.getAs[Long]("est_hi")))
+      .sortBy(_._1).toSeq
+    assert(got == want)
+  }
+
+  test("binHistogram fails loudly past maxBins instead of silently " +
+      "truncating the tail") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 100L).toDF("v")
+    val thrown = intercept[Exception] {
+      df.agg(Sketches.binHistogram(col("v"), 1L, maxBins = 8)).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(thrown).exists(_.getMessage != null) &&
+      causes(thrown).exists(t => t.getMessage != null &&
+        t.getMessage.contains("maxBins")), thrown.toString)
+  }
 }

@@ -733,4 +733,90 @@ class StreamingQualityMonitorSpec extends graft.SparkFunSuite {
     assert(streamed(TransitionEdge(20, 10)) == 1L,
       "the cross-batch edge proves state carried over")
   }
+
+  test("streaming PageRank maintenance: the versioned edge snapshot " +
+      "equals the batch operator's aggregated relation after every " +
+      "batch, and the re-rank matches batch pageRank bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import StreamingPipelines.NodeEvent
+    def ev(u: Long, t: Long, id: Long, n: Long) =
+      NodeEvent(u, new Timestamp(t), id, n)
+    val b1 = Seq(ev(1, 1000, 1, 10), ev(1, 2000, 2, 20),
+      ev(2, 1500, 3, 30))
+    val b2 = Seq(ev(1, 9000, 4, 10), ev(2, 8000, 5, 40),
+      ev(3, 8500, 6, 50), ev(1, 9500, 7, 20))
+    val edgePath = java.nio.file.Files
+      .createTempDirectory("graft_edges_snap").toString
+    val input = MemoryStream[NodeEvent]
+    val q = StreamingPipelines.maintainEdgesStream(input.toDS(), edgePath)()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"),
+        r.getAs[Long]("w"))).toSet
+    val batchEdges = graft.operators.Graph.transitionEdges(
+      (b1 ++ b2).toDF("user_id", "ts", "event_id", "node"),
+      actor = col("user_id"), node = col("node"),
+      order = Seq(col("ts"), col("event_id")))
+    val maintained = StreamingPipelines.resolveCdcSnapshot(s, edgePath)
+      .map(p => s.read.parquet(p.toString))
+      .getOrElse(fail("no published edge snapshot"))
+    assert(edgeSet(maintained) == edgeSet(batchEdges),
+      "maintained edge relation must equal the batch extraction")
+    // periodic re-rank over the maintained snapshot == batch pageRank
+    val streamedPr = StreamingPipelines
+      .pageRankFromSnapshot(s, edgePath, iters = 3)
+      .getOrElse(fail("no snapshot to rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batchPr = graft.operators.Graph.pageRank(batchEdges, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamedPr == batchPr)
+  }
+
+  test("watermarked streaming quantiles: histogram state folds across " +
+      "micro-batches; closed-window estimates equal the batch sketch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val out = StreamingPipelines.windowedQuantilesStream(
+      input.toDF().toDF("ts", "v"), "v", window_ = "10 minutes",
+      lateness = "0 seconds", binWidth = 10L, ps = Seq(25, 50, 90))
+    val q = out.writeStream.format("memory").queryName("stream_q")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      val vals1 = Seq(5L, 17L, 23L, 42L, 99L)
+      val vals2 = Seq(7L, 31L, 64L, 88L)
+      // two batches into the SAME window — forces the stored histogram
+      // buffer to merge with the second batch's partial
+      input.addData(vals1.map(v => (t(1), v)): _*)
+      q.processAllAvailable()
+      input.addData(vals2.map(v => (t(4), v)): _*)
+      q.processAllAvailable()
+      input.addData((t(25), 1L)) // advance the watermark, close window
+      q.processAllAvailable()
+      val got = s.sql("SELECT p, est_lo, est_hi, n_values FROM stream_q " +
+          "WHERE window_start = timestamp'2024-01-01 10:00:00'")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      assert(got.forall(_._4 == 9L), s"window count must be exact: " +
+        got.mkString(","))
+      val batch = graft.operators.Sketches.histQuantiles(
+          (vals1 ++ vals2).toDF("v"), "v", binWidth = 10L,
+          ps = Seq(25, 50, 90))
+        .collect()
+        .map(r => (r.getAs[Int]("p"), r.getAs[Long]("est_lo"),
+          r.getAs[Long]("est_hi")))
+        .sortBy(_._1)
+      assert(got.map(g => (g._1, g._2, g._3)).toSeq == batch.toSeq,
+        s"streaming estimates must equal the batch sketch: " +
+          s"got=${got.toSeq} batch=${batch.toSeq}")
+    } finally q.stop()
+  }
 }
