@@ -693,11 +693,44 @@ object Multimodal {
     }
   }
 
-  /** One decoded PNG's features (see [[extractPngFeatures]]). */
-  final case class PngFeatureRow(doc_id: Long, width: Long, height: Long,
+  /** One decoded raster image's features (PNG via
+    * [[extractPngFeatures]], GIF via [[extractGifFeatures]]). */
+  final case class RasterFeatureRow(doc_id: Long, width: Long, height: Long,
       channels: Long, n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long,
       wsum_r: Long, wsum_g: Long, wsum_b: Long,
       mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Shared per-channel feature reduction over a decoded top-down
+    * raster: sums, position-weighted checksums (top-down coordinates —
+    * row-order mistakes can't hide in an order-independent sum, the
+    * [[decodeBmp24]] discipline) and means. 1-channel rasters replicate
+    * into r=g=b; 4-channel (RGBA) ignores alpha in the features. */
+  private def rasterFeatures(w: Int, h: Int, ch: Int,
+      px: Array[Byte]): RasterFeatureRow = {
+    val sums = new Array[Long](3)
+    val wsums = new Array[Long](3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = (y * w + x) * ch
+        val weight = x + y.toLong * w
+        var c = 0
+        while (c < 3) {
+          val v = (px(base + (if (ch == 1) 0 else c)) & 0xff).toLong
+          sums(c) += v
+          wsums(c) += weight * v
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    RasterFeatureRow(0L, w.toLong, h.toLong, ch.toLong, n,
+      sums(0), sums(1), sums(2), wsums(0), wsums(1), wsums(2),
+      sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
+  }
 
   /** REAL PNG pixel decode — no codec library needed: zlib inflate is
     * `java.util.zip.Inflater` (in the JVM since 1.1) and scanline
@@ -825,43 +858,16 @@ object Multimodal {
     Some((wi, hi, ch, out))
   }
 
-  /** Per-channel feature reduction over a decoded PNG raster: sums,
-    * position-weighted checksums (top-down coordinates — row-order
-    * mistakes can't hide in an order-independent sum, the
-    * [[decodeBmp24]] discipline) and means. Grayscale replicates its one
-    * channel into r=g=b; RGBA ignores alpha in the features (the raster
-    * from [[decodePngPixels]] still carries it). */
-  def decodePngFeatures(bytes: Array[Byte]): Option[PngFeatureRow] =
+  /** PNG features via [[rasterFeatures]] over [[decodePngPixels]]. */
+  def decodePngFeatures(bytes: Array[Byte]): Option[RasterFeatureRow] =
     decodePngPixels(bytes).map { case (w, h, ch, px) =>
-      val sums = new Array[Long](3)
-      val wsums = new Array[Long](3)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val base = (y * w + x) * ch
-          val weight = x + y.toLong * w
-          var c = 0
-          while (c < 3) {
-            val v = (px(base + (if (ch == 1) 0 else c)) & 0xff).toLong
-            sums(c) += v
-            wsums(c) += weight * v
-            c += 1
-          }
-          x += 1
-        }
-        y += 1
-      }
-      val n = w.toLong * h
-      PngFeatureRow(0L, w.toLong, h.toLong, ch.toLong, n,
-        sums(0), sums(1), sums(2), wsums(0), wsums(1), wsums(2),
-        sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
+      rasterFeatures(w, h, ch, px)
     }
 
   /** Per-partition batch PNG decode: one row per decodable payload —
     * same batch discipline as [[extractImageFeatures]]. */
   def extractPngFeatures(df: DataFrame, idCol: String,
-      blobCol: String = "blob"): Dataset[PngFeatureRow] = {
+      blobCol: String = "blob"): Dataset[RasterFeatureRow] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
@@ -869,6 +875,242 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap(r =>
           decodePngFeatures(r.blob).map(_.copy(doc_id = r.doc_id)).iterator)
+      }
+  }
+
+  /** REAL GIF pixel decode — like [[decodePngPixels]], no codec library
+    * needed: GIF's only compression is LZW (GIF87a Appendix C /
+    * GIF89a §22), which is ~60 lines of table-building byte arithmetic;
+    * JPEG/MP3 remain the honest `no_codec` boundary. Supported: the
+    * FIRST image of a GIF87a/GIF89a stream, interlaced or not (the
+    * 8/8/4/2 four-pass row reordering — the JDK's own writer interlaces
+    * by default), rendered through its local-else-global color table
+    * into a top-down RGB raster. Sub-rect frames composite onto the
+    * logical screen filled with the background color. Extension blocks
+    * are skipped (an animation decodes as frame 1). Anything else —
+    * truncation, a code past the table, a missing color table, an
+    * over-`maxPixels` screen — returns None (the PERMISSIVE contract).
+    *
+    * LZW specifics kept faithful: variable code width starting at
+    * minCodeSize+1, LSB-first bit packing across sub-block boundaries,
+    * CLEAR resets table and width, the KwKwK self-reference case, width
+    * growth capped at 12 bits (table full → only literals/CLEAR/EOI
+    * legal until a CLEAR). */
+  def decodeGifPixels(bytes: Array[Byte], maxPixels: Long = 1L << 24)
+      : Option[(Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.length < 14) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    val magic = new String(bytes, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val sw = le16(6)
+    val sh = le16(8)
+    if (sw <= 0 || sh <= 0 || sw.toLong * sh > maxPixels) return None
+    val packed = u8(10)
+    val bgIndex = u8(11)
+    var off = 13
+    val global: Option[Array[Byte]] =
+      if ((packed & 0x80) != 0) {
+        val n = 3 * (1 << ((packed & 0x07) + 1))
+        if (off + n > bytes.length) return None
+        val t = java.util.Arrays.copyOfRange(bytes, off, off + n)
+        off += n
+        Some(t)
+      } else None
+    // walk blocks to the first image descriptor
+    while (off < bytes.length && u8(off) == 0x21) { // extension
+      off += 2 // introducer + label
+      while (off < bytes.length && u8(off) != 0) {
+        off += 1 + u8(off)
+      }
+      if (off >= bytes.length) return None
+      off += 1 // sub-block terminator
+    }
+    if (off >= bytes.length || u8(off) != 0x2c) return None
+    if (off + 10 > bytes.length) return None
+    val ix = le16(off + 1)
+    val iy = le16(off + 3)
+    val iw = le16(off + 5)
+    val ih = le16(off + 7)
+    val ipacked = u8(off + 9)
+    off += 10
+    // interlace (bit 6) is a pure ROW REORDERING — four passes at
+    // strides 8/8/4/2 (GIF89a §20); the JDK's own writer interlaces by
+    // default, so this path is exercised by the ImageIO cross-check
+    val interlaced = (ipacked & 0x40) != 0
+    if (iw <= 0 || ih <= 0 || ix + iw > sw || iy + ih > sh) return None
+    val palette: Array[Byte] =
+      if ((ipacked & 0x80) != 0) {
+        val n = 3 * (1 << ((ipacked & 0x07) + 1))
+        if (off + n > bytes.length) return None
+        val t = java.util.Arrays.copyOfRange(bytes, off, off + n)
+        off += n
+        t
+      } else global.getOrElse(return None)
+    val nColors = palette.length / 3
+    if (off >= bytes.length) return None
+    val mcs = u8(off)
+    off += 1
+    if (mcs < 2 || mcs > 8) return None // GIF roots are palette indices
+    // concatenate the LZW sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    var term = false
+    while (!term && off < bytes.length) {
+      val len = u8(off)
+      off += 1
+      if (len == 0) term = true
+      else {
+        if (off + len > bytes.length) return None
+        data.write(bytes, off, len)
+        off += len
+      }
+    }
+    if (!term) return None
+    // LZW decode to pixel indices
+    val idx = lzwDecode(data.toByteArray, mcs, iw * ih)
+      .getOrElse(return None)
+    // composite onto the logical screen, background-filled from the
+    // GLOBAL table (the background index is defined against it; absent
+    // or out of range → black, the conventional fallback)
+    val out = new Array[Byte](sw * sh * 3)
+    global.foreach { g =>
+      if (bgIndex < g.length / 3) {
+        var p = 0
+        while (p < sw * sh) {
+          out(p * 3) = g(bgIndex * 3)
+          out(p * 3 + 1) = g(bgIndex * 3 + 1)
+          out(p * 3 + 2) = g(bgIndex * 3 + 2)
+          p += 1
+        }
+      }
+    }
+    val rowMap: Int => Int =
+      if (!interlaced) identity
+      else {
+        val order = new Array[Int](ih)
+        var r = 0
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+             y <- start until ih by step) {
+          order(r) = y; r += 1
+        }
+        order(_)
+      }
+    var j = 0
+    while (j < iw * ih) {
+      val ci = idx(j) & 0xff
+      if (ci >= nColors) return None
+      val x = ix + j % iw
+      val y = iy + rowMap(j / iw)
+      val p = (y * sw + x) * 3
+      out(p) = palette(ci * 3)
+      out(p + 1) = palette(ci * 3 + 1)
+      out(p + 2) = palette(ci * 3 + 2)
+      j += 1
+    }
+    Some((sw, sh, out))
+  }
+
+  /** GIF-flavor LZW decode of `n` pixel indices: variable-width codes
+    * LSB-first, CLEAR/EOI, 12-bit cap. None on any malformation —
+    * truncated stream, code beyond the table, EOI before `n` indices. */
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int,
+      n: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    // dictionary as (prefix code, appended byte); entries < clear are
+    // roots. Expansion walks prefixes — depth bounded by entry count.
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var tableSize = eoi + 1
+    var width = minCodeSize + 1
+    val out = new Array[Byte](n)
+    var produced = 0
+    var bitPos = 0
+    val totalBits = data.length * 8
+    var prev = -1
+    def readCode(): Int = {
+      if (bitPos + width > totalBits) return -1
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val b = bitPos + i
+        if ((data(b >> 3) >> (b & 7) & 1) != 0) v |= 1 << i
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    def expand(code: Int): Boolean = {
+      // write entry `code`'s byte string into out (suffix chain walks
+      // backwards, so fill right-to-left)
+      var len = 0
+      var c = code
+      while (c >= clear) { len += 1; c = prefix(c) }
+      len += 1
+      if (produced + len > n) return false
+      var w = produced + len - 1
+      c = code
+      while (c >= clear) { out(w) = suffix(c); w -= 1; c = prefix(c) }
+      out(w) = c.toByte
+      produced += len
+      true
+    }
+    def firstByte(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    while (produced < n) {
+      val code = readCode()
+      if (code < 0 || code == eoi) return None // underflow
+      if (code == clear) {
+        tableSize = eoi + 1
+        width = minCodeSize + 1
+        prev = -1
+      } else if (prev < 0) {
+        if (code >= clear) return None // first code must be a root
+        out(produced) = code.toByte
+        produced += 1
+        prev = code
+      } else if (code < tableSize) {
+        if (!expand(code)) return None
+        if (tableSize < 4096) {
+          prefix(tableSize) = prev
+          suffix(tableSize) = firstByte(code).toByte
+          tableSize += 1
+          if (tableSize == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      } else if (code == tableSize && tableSize < 4096) {
+        // KwKwK: new entry = prev + firstByte(prev)
+        val fb = firstByte(prev)
+        prefix(tableSize) = prev
+        suffix(tableSize) = fb.toByte
+        tableSize += 1
+        if (!expand(tableSize - 1)) return None
+        if (tableSize == (1 << width) && width < 12) width += 1
+        prev = tableSize - 1
+      } else return None // code beyond the table
+    }
+    Some(out)
+  }
+
+  /** GIF features via [[rasterFeatures]] over [[decodeGifPixels]]. */
+  def decodeGifFeatures(bytes: Array[Byte]): Option[RasterFeatureRow] =
+    decodeGifPixels(bytes).map { case (w, h, px) =>
+      rasterFeatures(w, h, 3, px)
+    }
+
+  /** Per-partition batch GIF decode: one row per decodable payload. */
+  def extractGifFeatures(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[RasterFeatureRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
+      .as[BlobRow]
+      .mapPartitions { rows =>
+        rows.flatMap(r =>
+          decodeGifFeatures(r.blob).map(_.copy(doc_id = r.doc_id)).iterator)
       }
   }
 
@@ -897,13 +1139,14 @@ object Multimodal {
     * (its PERMISSIVE mode forwards undecodable records and counts them;
     * SURVEY §2.1 #14) applied to the multimodal family: every payload
     * gets a verdict row instead of silently vanishing from the feature
-    * relations. `(kind, ok, reason)` per payload: RIFF/BMP/PNG payloads
-    * are probed with the real decoders ([[locatePcm]], [[locateBmp24]],
-    * [[decodePngPixels]] — PNG gained its real branch in round 9);
-    * GIF/JPEG stay header-only (`no_codec` — those genuinely need a
-    * codec library the container doesn't ship); unknown magics are
-    * `unknown_format`. A production ingest routes `ok = false` rows to
-    * a rejects sink and alerts on reason-rate drift. */
+    * relations. `(kind, ok, reason)` per payload: RIFF/BMP/PNG/GIF
+    * payloads are probed with the real decoders ([[locatePcm]],
+    * [[locateBmp24]], [[decodePngPixels]], [[decodeGifPixels]] — PNG and
+    * GIF gained their real branches in round 9); JPEG/MP3 stay
+    * header-only (`no_codec` — those genuinely need a codec library the
+    * container doesn't ship); unknown magics are `unknown_format`. A
+    * production ingest routes `ok = false` rows to a rejects sink and
+    * alerts on reason-rate drift. */
   def auditPayload(bytes: Array[Byte]): (String, Boolean, String) =
     sniffKindJvm(bytes) match {
       case "riff" =>
@@ -915,7 +1158,10 @@ object Multimodal {
       case "png" =>
         if (decodePngPixels(bytes).isDefined) ("png", true, "ok")
         else ("png", false, "undecodable_png")
-      case k @ ("gif" | "jpeg" | "flac") => (k, false, "no_codec")
+      case "gif" =>
+        if (decodeGifPixels(bytes).isDefined) ("gif", true, "ok")
+        else ("gif", false, "undecodable_gif")
+      case k @ ("jpeg" | "flac") => (k, false, "no_codec")
       case k => (k, false, "unknown_format")
     }
 

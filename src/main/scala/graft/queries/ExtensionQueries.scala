@@ -227,6 +227,52 @@ object ExtensionQueries {
       .select(col("doc_id"),
         pngAssemble(col("scan"), col("w"), col("h")).as("blob"))
 
+  /** GIF fixture shared by mm_gif_features and the specs — the
+    * byte-primitive pattern WITHOUT an LZW compressor in the plan: with
+    * minCodeSize = 7 every code is exactly one byte (width 8), and a
+    * CLEAR before every pixel keeps the table at its initial size so
+    * the width NEVER grows — the LZW stream is literally
+    * `[0x80, idx(0), 0x80, idx(1), …, 0x81]`, closed-form in-plan. The
+    * engine's decoder is the fully general one (variable widths,
+    * dictionary growth, KwKwK — exercised by the two-sided ImageIO
+    * cross-check in MultimodalSpec, whose writer emits real compressed
+    * LZW); the oracle recomputes features straight from
+    * `palette[idx(j)]`: idx(j) = (doc_id·13 + j·23) % 128 over a
+    * 128-color global table with bytes (doc_id·7 + k·11) % 256. Width
+    * 3..6, height 2..4, full-screen first frame, GIF89a. */
+  private[graft] def gifBlob: org.apache.spark.sql.Column = {
+    val w = lit(3L) + col("doc_id") % 4L
+    val h = lit(2L) + col("doc_id") % 3L
+    val npx = w * h
+    def u8h(x: org.apache.spark.sql.Column) =
+      lpad(hex(pmod(x, lit(256L))), 2, "0")
+    val palette = unhex(array_join(
+      transform(sequence(lit(0L), lit(383L)),
+        k => u8h(col("doc_id") * 7L + k * 11L)), ""))
+    def idx(j: org.apache.spark.sql.Column) =
+      pmod(col("doc_id") * 13L + j * 23L, lit(128L))
+    // [clear, idx(0), clear, idx(1), …, EOI] — 2·npx+1 bytes, one
+    // sub-block (≤ 49 at these sizes)
+    val lzw = unhex(array_join(
+      transform(sequence(lit(0L), npx * 2L),
+        i => when(i === npx * 2L, lit("81"))
+          .when(pmod(i, lit(2L)) === 0L, lit("80"))
+          .otherwise(u8h(idx(TF.intDivNonNeg(i - 1L, lit(2L)))))), ""))
+    concat(
+      lit("GIF89a".getBytes),
+      le16b(w), le16b(h),
+      unhex(lit("f60000")), // global table, 128 entries; bg 0; aspect 0
+      palette,
+      unhex(lit("2c")), le16b(lit(0L)), le16b(lit(0L)),
+      le16b(w), le16b(h), unhex(lit("00")), // full frame, no local table
+      unhex(lit("07")), // LZW min code size
+      unhex(u8h(npx * 2L + 1L)), lzw, unhex(lit("00")), // one sub-block
+      unhex(lit("3b"))) // trailer
+  }
+
+  private[graft] def gifFixture(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), gifBlob.as("blob"))
+
   val all: Map[String, QueryFn] = Map(
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) =>
@@ -1829,6 +1875,22 @@ object ExtensionQueries {
     // reach the same numbers
     "mm_png_features" -> ((s, dir) =>
       Multimodal.extractPngFeatures(pngFixture(s, dir), "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+          col("sum_r"), col("sum_g"), col("sum_b"),
+          col("wsum_r"), col("wsum_g"), col("wsum_b"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy(col("doc_id"))),
+
+    // REAL GIF decode (round 9): the general LZW decoder (variable
+    // widths, dictionary, KwKwK) driven through the always-clear
+    // stored-code fixture, so the oracle recomputes features straight
+    // from palette[idx(j)] without an LZW implementation — while the
+    // engine must parse blocks, bit-unpack codes and walk the table to
+    // reach the same numbers (ImageIO cross-checks pin the compressed
+    // path the fixture can't express)
+    "mm_gif_features" -> ((s, dir) =>
+      Multimodal.extractGifFeatures(gifFixture(s, dir), "doc_id")
         .toDF()
         .select(col("doc_id"), col("width"), col("height"), col("n_px"),
           col("sum_r"), col("sum_g"), col("sum_b"),
@@ -4822,9 +4884,50 @@ object ExtensionQueries {
         |       WHEN substr(text, 1, 4) = 'RIFF' THEN 'undecodable_pcm'
         |       WHEN substr(text, 1, 4) = 'fLaC' THEN 'no_codec'
         |       WHEN substr(text, 1, 2) = 'BM' THEN 'undecodable_bmp24'
-        |       WHEN substr(text, 1, 4) = 'GIF8' THEN 'no_codec'
+        |       WHEN substr(text, 1, 4) = 'GIF8' THEN 'undecodable_gif'
         |       ELSE 'unknown_format' END AS reason
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // GIF features recomputed from palette[idx(j)] in closed form — no
+    // LZW here: the oracle derives the palette lookup directly, the
+    // engine must bit-unpack and table-walk its way back to the same
+    // bytes
+    "mm_gif_features" ->
+      """WITH hw AS (SELECT doc_id, 3 + doc_id % 4 AS w,
+        |    2 + doc_id % 3 AS h
+        |  FROM documents),
+        |hj AS (SELECT doc_id, w, h,
+        |    CAST(unnest(range(0, w * h)) AS BIGINT) AS j
+        |  FROM hw),
+        |hi AS (SELECT doc_id, w, h, j % w AS x, j // w AS y,
+        |    (doc_id * 13 + j * 23) % 128 AS idx
+        |  FROM hj),
+        |hc AS (SELECT doc_id, w, h, x, y,
+        |    CAST(unnest(range(0, 3)) AS BIGINT) AS c, idx
+        |  FROM hi),
+        |hv AS (SELECT doc_id, w, h, x, y, c,
+        |    (doc_id * 7 + (idx * 3 + c) * 11) % 256 AS v
+        |  FROM hc)
+        |SELECT doc_id,
+        |  CAST(MAX(w) AS BIGINT) AS width,
+        |  CAST(MAX(h) AS BIGINT) AS height,
+        |  CAST(MAX(w) * MAX(h) AS BIGINT) AS n_px,
+        |  CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+        |  CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        |  CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+        |  CAST(SUM(CASE WHEN c = 0 THEN (x + y * w) * v ELSE 0 END)
+        |    AS BIGINT) AS wsum_r,
+        |  CAST(SUM(CASE WHEN c = 1 THEN (x + y * w) * v ELSE 0 END)
+        |    AS BIGINT) AS wsum_g,
+        |  CAST(SUM(CASE WHEN c = 2 THEN (x + y * w) * v ELSE 0 END)
+        |    AS BIGINT) AS wsum_b,
+        |  CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS DOUBLE) /
+        |    CAST(MAX(w) * MAX(h) AS DOUBLE) AS mean_r,
+        |  CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS DOUBLE) /
+        |    CAST(MAX(w) * MAX(h) AS DOUBLE) AS mean_g,
+        |  CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS DOUBLE) /
+        |    CAST(MAX(w) * MAX(h) AS DOUBLE) AS mean_b
+        |FROM hv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // PNG features recomputed from the closed-form PIXEL primitive
     // alone — no filter math here: the oracle derives (x, y, c) from

@@ -1338,6 +1338,101 @@ class MultimodalSpec extends SparkFunSuite {
     assert(Multimodal.decodePngPixels(big).isEmpty, "oversized")
   }
 
+  test("decodeGifPixels on a JDK-ImageIO-encoded GIF matches getRGB " +
+      "(real compressed LZW: variable widths, dictionary growth)") {
+    System.setProperty("java.awt.headless", "true")
+    val (w, h) = (23, 17)
+    val n = 64
+    val (rs, gs, bs) = (new Array[Byte](n), new Array[Byte](n),
+      new Array[Byte](n))
+    for (i <- 0 until n) {
+      rs(i) = ((i * 4) % 256).toByte
+      gs(i) = ((i * 7) % 256).toByte
+      bs(i) = ((i * 11) % 256).toByte
+    }
+    val icm = new java.awt.image.IndexColorModel(8, n, rs, gs, bs)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 3 + y * 5 + x * y) % n)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val (dw, dh, px) = Multimodal.decodeGifPixels(bos.toByteArray)
+      .getOrElse(fail("ImageIO gif undecodable"))
+    assert((dw, dh) == (w, h))
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val p = (y * w + x) * 3
+      assert((px(p) & 0xff) == ((rgb >> 16) & 0xff), s"r($x,$y)")
+      assert((px(p + 1) & 0xff) == ((rgb >> 8) & 0xff), s"g($x,$y)")
+      assert((px(p + 2) & 0xff) == (rgb & 0xff), s"b($x,$y)")
+    }
+  }
+
+  test("the in-plan GIF fixture is real GIF: ImageIO and our decoder " +
+      "both recover the closed-form palette[idx] pixels") {
+    System.setProperty("java.awt.headless", "true")
+    val s = spark
+    import s.implicits._
+    val blobs = (0L until 6L).toDF("doc_id")
+      .select(col("doc_id"), graft.queries.ExtensionQueries.gifBlob
+        .as("blob"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("blob"))
+    blobs.foreach { case (d, bytes) =>
+      val w = (3 + d % 4).toInt
+      val h = (2 + d % 3).toInt
+      def pal(k: Long): Int = ((d * 7 + k * 11) % 256).toInt
+      def want(x: Int, y: Int, c: Int): Int = {
+        val idx = (d * 13 + (y * w + x).toLong * 23) % 128
+        pal(idx * 3 + c)
+      }
+      val (dw, dh, px) = Multimodal.decodeGifPixels(bytes)
+        .getOrElse(fail(s"doc $d: fixture undecodable by our decoder"))
+      assert((dw, dh) == (w, h), s"doc $d dims")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"doc $d: fixture unreadable by ImageIO")
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (y * w + x) * 3
+        val rgb = img.getRGB(x, y)
+        for (c <- 0 until 3) {
+          assert((px(p + c) & 0xff) == want(x, y, c),
+            s"doc $d ours ($x,$y,$c)")
+        }
+        assert(((rgb >> 16) & 0xff) == want(x, y, 0), s"doc $d iio r")
+        assert(((rgb >> 8) & 0xff) == want(x, y, 1), s"doc $d iio g")
+        assert((rgb & 0xff) == want(x, y, 2), s"doc $d iio b")
+      }
+    }
+  }
+
+  test("decodeGifPixels: permissive rejection of truncated, " +
+      "table-less and out-of-range payloads") {
+    System.setProperty("java.awt.headless", "true")
+    val s = spark
+    import s.implicits._
+    val good = (0L until 1L).toDF("doc_id")
+      .select(graft.queries.ExtensionQueries.gifBlob.as("blob"))
+      .head().getAs[Array[Byte]]("blob")
+    assert(Multimodal.decodeGifPixels(good).isDefined)
+    assert(Multimodal.decodeGifPixels(good.take(30)).isEmpty, "truncated")
+    assert(Multimodal.decodeGifPixels(null).isEmpty, "null")
+    assert(Multimodal.decodeGifPixels("GIF8 not really".getBytes).isEmpty)
+    // clear the global-color-table flag: the image has no local table,
+    // so there is nothing to render through (and the 384 palette bytes
+    // misparse as blocks) — must reject, never guess a palette
+    val noTable = good.clone()
+    noTable(10) = (noTable(10) & 0x7f).toByte
+    assert(Multimodal.decodeGifPixels(noTable).isEmpty, "no color table")
+    // corrupt the first pixel code to 254 — after a CLEAR the next code
+    // must be a root (< 128); 254 is past the 130-entry table
+    // (layout: 13 header + 384 palette + 10 descriptor + mcs + len +
+    // clear puts idx(0) at offset 410)
+    val bad = good.clone()
+    bad(13 + 384 + 10 + 3) = 0xfe.toByte
+    assert(Multimodal.decodeGifPixels(bad).isEmpty, "code past table")
+  }
+
   test("withBlob: byte metadata is exact; kind sniffs magic bytes") {
     val s = spark
     import s.implicits._
@@ -1609,8 +1704,10 @@ class MultimodalSpec extends SparkFunSuite {
     assert(Multimodal.auditPayload(bmp) == (("bmp", true, "ok")))
     assert(Multimodal.auditPayload(bmp.take(40)) ==
       (("bmp", false, "undecodable_bmp24")))
+    // since round 9 the gif branch probes the REAL decoder — a text
+    // lookalike fails the decode, it no longer reports no_codec
     assert(Multimodal.auditPayload("GIF89a rest".getBytes) ==
-      (("gif", false, "no_codec")))
+      (("gif", false, "undecodable_gif")))
     // ASCII lookalikes can never satisfy the binary gates (NUL bytes)
     assert(Multimodal.auditPayload("RIFFxxxxWAVEfmt etc".getBytes) ==
       (("riff", false, "undecodable_pcm")))
