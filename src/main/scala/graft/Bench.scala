@@ -123,8 +123,9 @@ object Bench {
     // the min-of-reps steady-state number.
     val indexBuilders = Set("text_index_lookup", "text_index_and",
       "text_index_phrase", "text_index_near", "sim_topk_ivf_indexed",
-      "dedup_incremental_near", "layout_bucket_join", "corpus_compact",
-      "source_schema_evolution", "corpus_export_range")
+      "sim_topk_ivfpq_indexed", "dedup_incremental_near",
+      "layout_bucket_join", "corpus_compact", "source_schema_evolution",
+      "corpus_export_range")
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach {
       case (name, fn) =>
@@ -140,9 +141,9 @@ object Bench {
     // number). The plain "<name>" entry stays build+probe — regressions
     // in either half are now separately visible.
     Seq("text_index_lookup", "text_index_and", "text_index_phrase",
-        "text_index_near", "sim_topk_ivf_indexed", "dedup_incremental_near",
-        "layout_bucket_join", "corpus_compact", "source_schema_evolution",
-        "corpus_export_range")
+        "text_index_near", "sim_topk_ivf_indexed", "sim_topk_ivfpq_indexed",
+        "dedup_incremental_near", "layout_bucket_join", "corpus_compact",
+        "source_schema_evolution", "corpus_export_range")
       .filter(SparkEntry.queries.contains).foreach { name =>
         timeMinOf(s"${name}_probe", reps, () =>
           SparkEntry.queries(name)(spark, sfDir)

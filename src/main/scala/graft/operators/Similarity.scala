@@ -654,6 +654,104 @@ object Similarity {
     finishTopK(scored, k)
   }
 
+  /** A written IVF-PQ index: the [[IvfIndex]] cell-partitioned layout
+    * plus the per-vector PQ RESIDUAL CODES stored alongside (`m` ints —
+    * written as bytes-worth of information per vector; the full vector
+    * column stays for the exact rerank, which a deployment may also
+    * externalize). Build once: one corpus scan computes cell, residual
+    * and codes row-locally and writes partitioned by cell; every probe
+    * is a partition-pruned scan that reads CODES for the ADC and
+    * touches full vectors only for the k·overfetch rerank candidates. */
+  final case class IvfPqIndex(path: String, centIds: Array[Long],
+      centVecs: Array[Array[Double]], books: Array[Array[Array[Double]]])
+
+  /** Build + write the cell-partitioned coded corpus (centroid and
+    * codebook rules identical to [[ivfPqTopK]] with the same params). */
+  def buildIvfPqIndex(corpus: DataFrame, path: String,
+      nlist: Int = AutoNlist, m: Int = 4, ksub: Int = 16, iters: Int = 1,
+      vecCol: String = "embedding", idCol: String = "vec_id")
+      : IvfPqIndex = {
+    val centRows = corpus
+      .select(col(idCol).cast("long").as("cid"),
+        VF.asDouble(col(vecCol)).as("cv"))
+      .orderBy(col("cid")).limit(resolveNlist(corpus, nlist)).collect()
+    val centIds = centRows.map(_.getLong(0))
+    val centVecs = centRows.map(_.getSeq[Double](1).toArray)
+    val centMap = centIds.zip(centVecs.map(_.toSeq)).toMap
+    val resid = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        element_at(VF.nearestCentroids(col(vecCol), centIds, centVecs, 1),
+          1).as("cell"))
+      .withColumn("r_vec",
+        zip_with(VF.asDouble(col("vec")),
+          element_at(typedLit(centMap), col("cell")), (x, c) => x - c))
+    val books =
+      if (iters == 0) pqCodebooks(resid, m, ksub, "r_vec", "id")
+      else pqCodebooksTrained(resid, m, ksub, iters, "r_vec", "id")
+    val sub = books(0)(0).length
+    val codeIds = Array.tabulate(ksub)(_.toLong)
+    val codes = array((0 until m).map { mi =>
+      element_at(VF.nearestCentroids(
+        slice(col("r_vec"), mi * sub + 1, sub), codeIds, books(mi), 1), 1)
+        .cast("int")
+    }: _*)
+    resid.select(col("id"), col("vec"), col("cell"), codes.as("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    IvfPqIndex(path, centIds, centVecs, books)
+  }
+
+  /** Probe a written IVF-PQ index: partition-pruned scan of the
+    * queries' `nprobe` cells, ADC over the STORED residual codes
+    * (`⟨q,centroid⟩ + ⟨q,codeword recon⟩`, same exact-int64 arithmetic
+    * as [[ivfPqTopK]] — results are identical with the same parameters,
+    * spec-pinned), exact-cosine rerank of k·overfetch candidates. At
+    * deployment scale the coarse pass reads `m` small ints + a cell id
+    * per vector from `nprobe/nlist` of the data — the full 100 TB
+    * IVF-PQ serving shape. */
+  def ivfPqTopKIndexed(index: IvfPqIndex, queries: DataFrame, k: Int,
+      nprobe: Int = 4, overfetch: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(nprobe >= 1 && overfetch >= 1)
+    val spark = queries.sparkSession
+    val m = index.books.length
+    val centMap = index.centIds.zip(index.centVecs.map(_.toSeq)).toMap
+    def qint(c: Column): Column =
+      transform(c, x => round(x * 1e5).cast("long"))
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val probes = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("q_vec"),
+        qint(VF.asDouble(col(vecCol))).as("q_q"),
+        explode(VF.nearestCentroids(col(vecCol), index.centIds,
+          index.centVecs, nprobe)).as("cell"))
+      .withColumn("cent_dot",
+        idot(col("q_q"), qint(element_at(typedLit(centMap), col("cell")))))
+    val probeCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val coded = spark.read.parquet(index.path)
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col("id").as("neighbor_id"), col("cell"),
+        flatten(array((0 until m).map { mi =>
+          qint(element_at(typedLit(index.books(mi).map(_.toSeq).toSeq),
+            element_at(col("codes"), mi + 1) + 1))
+        }: _*)).as("r_q"))
+    val coarse = coded.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("coarse",
+        (col("cent_dot") + idot(col("q_q"), col("r_q"))).cast("double"))
+    val cands = coarse.groupBy(col("query_id"))
+      .agg(topK(col("coarse"), col("neighbor_id"), k * overfetch).as("top"))
+      .select(col("query_id"), explode(col("top")).as("hit"))
+      .select(col("query_id"), col("hit.id").as("neighbor_id"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec")))
+    val scored = spark.read.parquet(index.path)
+      .select(col("id").as("neighbor_id"), col("vec").as("c_vec"))
+      .join(broadcast(cands), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("cosine", VF.cosine(col("q_vec"), col("c_vec")))
+    finishTopK(scored, k)
+  }
+
   /** Shared tail: partial-agg top-k per query, explode to ranked rows. */
   private def finishTopK(scored: DataFrame, k: Int,
       scoreCol: String = "cosine"): DataFrame =

