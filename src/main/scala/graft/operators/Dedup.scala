@@ -335,6 +335,16 @@ object Dedup {
       e = next
       rounds += 1
     }
+    // A non-converged exit would SILENTLY break the contract: a
+    // mid-contraction edge set can hold two edges (x1,y),(x2,y) for one
+    // y, so the label join below would emit duplicate id rows with
+    // non-minimal survivors (min-label degrades gracefully; this kernel
+    // does not). Convergence is O(log n) rounds, so reaching maxIters
+    // means a pathological input or too small a cap — fail loudly.
+    require(converged,
+      s"large-star/small-star did not converge within $maxIters rounds" +
+        " — raise maxIters (convergence is O(log n) rounds; hitting the" +
+        " cap on a real graph indicates a malformed edge relation)")
     // fixed point = stars centered at component minima: every canonical
     // edge (x, y) reads "y's survivor is x"; centers and singletons
     // survive as themselves

@@ -321,9 +321,11 @@ object Sketches {
               e.getField("key"))
             .otherwise(lit(none)).as("bin")))
         .getField("bin")
+      // an EMPTY histogram (every input value null) leaves the sentinel
+      // in place — emit NULL bounds, never the sentinel arithmetic
       struct(lit(p).as("p"),
-        (bin * binWidth).as("est_lo"),
-        (bin * binWidth + (binWidth - 1)).as("est_hi"))
+        when(bin =!= none, bin * binWidth).as("est_lo"),
+        when(bin =!= none, bin * binWidth + (binWidth - 1)).as("est_hi"))
     }: _*)
   }
 }

@@ -37,6 +37,15 @@ final class BinHistBuffer(val binWidth: Long, val maxBins: Int) {
   }
 
   def mergeFrom(other: BinHistBuffer): Unit = {
+    // restored streaming state carries its ORIGINAL binWidth: merging
+    // buffers built under different widths would silently mix
+    // incompatible bin keys (e.g. a checkpointed query restarted with a
+    // changed binWidth) — exactly the wrong-with-no-signal mode the
+    // maxBins guard exists to prevent
+    require(binWidth == other.binWidth,
+      s"bin-histogram merge across binWidths ($binWidth vs " +
+        s"${other.binWidth}) — restart streaming state from scratch " +
+        "when changing binWidth")
     other.counts.foreach { case (b, c) =>
       counts.update(b, counts.getOrElse(b, 0L) + c)
     }

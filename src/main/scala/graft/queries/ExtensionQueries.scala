@@ -2019,6 +2019,11 @@ object ExtensionQueries {
       // conditional-length substr keeps each fixture expression at ONE
       // reference (a second reference would clone the whole construct)
       val keepAll = lit(1 << 30)
+      // png scan hoisted CONDITIONALLY behind its own alias (null for
+      // non-png rows — CaseWhen laziness keeps the cost off them):
+      // pngAssemble references its scan three times (render, length,
+      // adler fold), and the alias shares ONE evaluation — the same
+      // discipline pngFixture applies (review finding, round 9)
       val blob = when(col("doc_id") % 3 === 0,
           wavPcmBlob.substr(lit(1),
             when(col("doc_id") % 15 === 0, lit(20)).otherwise(keepAll)))
@@ -2026,12 +2031,13 @@ object ExtensionQueries {
           bmpBlob.substr(lit(1),
             when(col("doc_id") % 15 === 1, lit(40)).otherwise(keepAll)))
         .when(col("doc_id") % 6 === 2,
-          pngAssemble(pngScan, lit(3L) + col("doc_id") % 4L,
+          pngAssemble(col("__png_scan"), lit(3L) + col("doc_id") % 4L,
             lit(2L) + col("doc_id") % 3L).substr(lit(1),
             when(col("doc_id") % 30 === 2, lit(30)).otherwise(keepAll)))
         .otherwise(encode(col("text"), "utf-8"))
       Multimodal.extractDecodeAudit(
-          t(s, dir, "documents").select(col("doc_id"), col("text"))
+          t(s, dir, "documents").select(col("doc_id"), col("text"),
+              when(col("doc_id") % 6 === 2, pngScan).as("__png_scan"))
             .select(col("doc_id"), blob.as("blob")), "doc_id")
         .toDF()
         .orderBy(col("doc_id"))

@@ -737,6 +737,18 @@ class SimilaritySpec extends SparkFunSuite {
     assert(stRounds <= 10, s"star kernel took $stRounds rounds")
   }
 
+  test("star kernel fails loudly when maxIters is exhausted before the " +
+      "fixed point (a silent exit would emit duplicate/wrong labels)") {
+    val s = spark
+    import s.implicits._
+    val ids = (0L until 32L).toDF("id")
+    val chain = (0L until 31L).map(i => (i, i + 1)).toDF("a", "b")
+    val thrown = intercept[IllegalArgumentException] {
+      Dedup.survivorsFromPairsStar(ids, chain, maxIters = 1).collect()
+    }
+    assert(thrown.getMessage.contains("did not converge"))
+  }
+
   test("star kernel: 1000-node chain collapses to node 0 in ≤ 12 rounds") {
     val s = spark
     import s.implicits._

@@ -204,6 +204,20 @@ class SketchesSpec extends SparkFunSuite {
     assert(got == want)
   }
 
+  test("quantilesFromHistogram over an EMPTY histogram (all-null input) " +
+      "yields NULL bounds, never sentinel arithmetic") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[Option[Long]](None, None).toDF("v")
+    val row = df
+      .agg(Sketches.binHistogram(col("v"), 10L).as("hist"))
+      .select(explode(
+        Sketches.quantilesFromHistogram(col("hist"), 10L, Seq(50))).as("q"))
+      .select(col("q.p"), col("q.est_lo"), col("q.est_hi"))
+      .head()
+    assert(row.getInt(0) == 50 && row.isNullAt(1) && row.isNullAt(2))
+  }
+
   test("binHistogram fails loudly past maxBins instead of silently " +
       "truncating the tail") {
     val s = spark
