@@ -35,6 +35,96 @@ import graft.functions.{VectorFunctions => VF}
   */
 object Embeddings {
 
+  /** DOMINANT PRINCIPAL DIRECTION of the embedding corpus by
+    * deterministic fixed-point power iteration — the "all-but-the-top"
+    * hygiene primitive (Mu & Viswanath, ICLR 2018): embedding corpora
+    * concentrate mass on one dominant direction (frequency artifacts),
+    * and removing it measurably improves similarity search; the first
+    * step is computing that direction AT CORPUS SCALE, deterministically
+    * enough to diff across runs/engines.
+    *
+    * Exactness contract (the PageRank discipline applied to linear
+    * algebra): components quantize in-plan to `round(x·1e6)` int64; the
+    * per-dimension mean is a truncated integer `sign(S)·(|S| div n)`;
+    * every matvec term is exact int64 (`|c| ≤ ~4e6`, `|v| ≤ 1e6`, dim ≤
+    * 2^12 ⇒ `t = Σ c·v < 2^63`); the second matvec rescales `t` by a
+    * sign-symmetric `div 1e6` and sums in DECIMAL(38,0) (order-free —
+    * exact to n·|t'·c| < 1e38, i.e. ~1e23 rows at unit-norm
+    * embeddings); normalization and the sign fix run on the collected
+    * dim-length vector in exact BigInt arithmetic. Result: bit-identical
+    * across partitionings, cluster sizes AND engines — the DuckDB oracle
+    * replays the identical quantized iterations.
+    *
+    * Determinism choices: start vector all-1e6; after each iteration
+    * `v' = sign(u)·((|u|·1e6) div max|u|)` (truncation — floor-division
+    * semantics differ between engines on negatives, truncation doesn't);
+    * the eigenvector's global sign is fixed by making the
+    * largest-magnitude component positive (ties: smallest position).
+    *
+    * Scale shape: per iteration ONE corpus scan — `t` is a row-local
+    * dot against the dim-length literal `v`, and the `(pos, Σ t'·c)`
+    * aggregate map-side-combines to ≤ dim rows before the exchange;
+    * driver traffic is dim longs per iteration (like the centroid
+    * collects). The corpus never shuffles.
+    *
+    * @return (pos, component) — dim rows, component on the 1e6 scale */
+  def dominantDirection(df: DataFrame, vecCol: String,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1)
+    val spark = df.sparkSession
+    val dec = DecimalType(38, 0)
+    val q = df.select(transform(VF.asDouble(col(vecCol)),
+      x => round(x * 1e6).cast("long")).as("qv"))
+    val sums = q.select(posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum(col("x").cast(dec)).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0),
+        r.getDecimal(1).toBigInteger, r.getLong(2)))
+      .sortBy(_._1)
+    require(sums.nonEmpty, "empty corpus")
+    val dim = sums.length
+    require(dim <= (1 << 12), s"dim $dim past the int64 matvec bound")
+    // truncated integer mean — sign-symmetric division, both engines
+    val mean: Array[Long] = sums.map { case (_, s, n) =>
+      val neg = s.signum < 0
+      val m = s.abs.divide(java.math.BigInteger.valueOf(n)).longValueExact()
+      if (neg) -m else m
+    }
+    def centered: Column = zip_with(col("qv"),
+      typedLit(mean.toSeq), (x, m) => x - m)
+    var v: Array[Long] = Array.fill(dim)(1000000L)
+    (0 until iters).foreach { _ =>
+      val t = aggregate(zip_with(centered, typedLit(v.toSeq),
+        (c, w) => c * w), lit(0L), (acc, x) => acc + x)
+      // sign-symmetric rescale keeps the second matvec's terms exact
+      val tScaled = signum(t).cast("long") *
+        graft.functions.TextFunctions.intDivNonNeg(abs(t), lit(1000000L))
+      val u = q.select(tScaled.as("t"),
+          posexplode(centered).as(Seq("pos", "c")))
+        .groupBy(col("pos"))
+        .agg(sum((col("t") * col("c")).cast(dec)).as("u"))
+        .collect().map(r => r.getInt(0) -> r.getDecimal(1).toBigInteger)
+        .sortBy(_._1).map(_._2)
+      require(u.length == dim, "dimension mismatch mid-iteration")
+      val maxAbs = u.map(_.abs).max
+      require(maxAbs.signum > 0,
+        "power iteration collapsed to zero — degenerate corpus " +
+          "(all vectors equal the mean)")
+      val scaled = u.map { x =>
+        val neg = x.signum < 0
+        val s = x.abs.multiply(java.math.BigInteger.valueOf(1000000L))
+          .divide(maxAbs).longValueExact()
+        if (neg) -s else s
+      }
+      // global sign fix: largest-|component| (ties: smallest pos) > 0
+      val lead = scaled.indices.minBy(i => (-math.abs(scaled(i)), i))
+      v = if (scaled(lead) < 0) scaled.map(-_) else scaled
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (c, p) => (p, c) }.toSeq
+      .toDF("pos", "component")
+  }
+
   /** Int64-quantized squared norm (µ-units): `round(Σ x² · 1e6)`. */
   def norm2Quantized(v: Column): Column =
     round(aggregate(VF.asDouble(v), lit(0.0), (a, x) => a + x * x) * 1e6)

@@ -1400,6 +1400,17 @@ object ExtensionQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // dominant principal direction by deterministic fixed-point power
+    // iteration (round 9) — the all-but-the-top hygiene primitive:
+    // quantized components, truncated-integer centering, exact int64
+    // matvec + decimal(38) second-stage sums, BigInt normalization,
+    // sign fixed by the leading component. The oracle replays BOTH
+    // iterations in HUGEINT with identical truncation rules.
+    "emb_dominant_dir" -> ((s, dir) =>
+      graft.operators.Embeddings.dominantDirection(
+          t(s, dir, "embeddings"), "embedding", iters = 2)
+        .orderBy(col("pos"))),
+
     // written inverted index: postings partitioned by term-hash bucket,
     // probe reads only the probe terms' buckets (PartitionFilters — the
     // text twin of sim_topk_ivf_indexed's layout)
@@ -3360,6 +3371,62 @@ object ExtensionQueries {
         |    / CAST(len(v) AS DOUBLE) AS mean_comp,
         |  list_max(list_transform(v, x -> abs(x))) AS max_abs
         |FROM e ORDER BY vec_id""".stripMargin,
+    // both power iterations replayed in HUGEINT: same quantization,
+    // truncated-integer mean, sign-symmetric divisions (never bare //
+    // on negatives — floor-vs-truncate differs across engines), 1e6
+    // renormalization against max|u|, leading-component sign fix
+    "emb_dominant_dir" ->
+      """WITH deq AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |dpos AS (SELECT CAST(p AS BIGINT) AS pos FROM range(0, 64) t(p)),
+        |dex AS (SELECT vec_id, pos, qv[pos + 1] AS x
+        |  FROM deq CROSS JOIN dpos),
+        |dms AS (SELECT pos, SUM(CAST(x AS HUGEINT)) AS s,
+        |    CAST(COUNT(*) AS HUGEINT) AS n
+        |  FROM dex GROUP BY pos),
+        |dmn AS (SELECT pos, CASE WHEN s < 0 THEN -((-s) // n)
+        |    ELSE s // n END AS m
+        |  FROM dms),
+        |dcx AS (SELECT e.vec_id, e.pos, e.x - dmn.m AS c
+        |  FROM dex e JOIN dmn ON dmn.pos = e.pos),
+        |dt1 AS (SELECT vec_id, SUM(CAST(c AS HUGEINT) * 1000000) AS t
+        |  FROM dcx GROUP BY vec_id),
+        |dts1 AS (SELECT vec_id, CASE WHEN t < 0 THEN -((-t) // 1000000)
+        |    ELSE t // 1000000 END AS ts
+        |  FROM dt1),
+        |du1 AS (SELECT pos, SUM(CAST(ts AS HUGEINT) * c) AS u
+        |  FROM dts1 JOIN dcx USING (vec_id) GROUP BY pos),
+        |dm1 AS (SELECT MAX(ABS(u)) AS mx FROM du1),
+        |dv1 AS (SELECT pos, CASE WHEN u < 0
+        |      THEN -(((-u) * 1000000) // mx)
+        |      ELSE (u * 1000000) // mx END AS vs
+        |  FROM du1 CROSS JOIN dm1),
+        |dl1 AS (SELECT vs AS lv FROM dv1
+        |  ORDER BY ABS(vs) DESC, pos LIMIT 1),
+        |dw1 AS (SELECT pos, CASE WHEN (SELECT lv FROM dl1) < 0
+        |    THEN -vs ELSE vs END AS v
+        |  FROM dv1),
+        |dt2 AS (SELECT c.vec_id, SUM(CAST(c.c AS HUGEINT) * w.v) AS t
+        |  FROM dcx c JOIN dw1 w ON w.pos = c.pos GROUP BY c.vec_id),
+        |dts2 AS (SELECT vec_id, CASE WHEN t < 0 THEN -((-t) // 1000000)
+        |    ELSE t // 1000000 END AS ts
+        |  FROM dt2),
+        |du2 AS (SELECT pos, SUM(CAST(ts AS HUGEINT) * c) AS u
+        |  FROM dts2 JOIN dcx USING (vec_id) GROUP BY pos),
+        |dm2 AS (SELECT MAX(ABS(u)) AS mx FROM du2),
+        |dv2 AS (SELECT pos, CASE WHEN u < 0
+        |      THEN -(((-u) * 1000000) // mx)
+        |      ELSE (u * 1000000) // mx END AS vs
+        |  FROM du2 CROSS JOIN dm2),
+        |dl2 AS (SELECT vs AS lv FROM dv2
+        |  ORDER BY ABS(vs) DESC, pos LIMIT 1)
+        |SELECT CAST(pos AS INT) AS pos,
+        |  CAST(CASE WHEN (SELECT lv FROM dl2) < 0 THEN -vs ELSE vs END
+        |    AS BIGINT) AS component
+        |FROM dv2 ORDER BY pos""".stripMargin,
+
     // identical left-to-right norm² fold, identical int64 quantization,
     // HUGEINT cross-multiplied z-test — bit-exact flag parity
     "emb_outliers" ->

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+/** Deterministic power-iteration dominant direction. */
+class EmbeddingsSpec extends SparkFunSuite {
+
+  test("dominantDirection recovers a planted dominant axis (cosine " +
+      "> 0.99) and fixes the global sign to a positive leading component") {
+    val s = spark
+    import s.implicits._
+    // planted direction d ∝ (3, -1, 2, 0.5); coefficients swamp the
+    // deterministic pseudo-noise, so the top eigenvector ≈ d
+    val d = Array(3.0, -1.0, 2.0, 0.5)
+    val rows = (0 until 400).map { i =>
+      val a = (i % 21) - 10.0 // coefficients in [-10, 10]
+      val v = d.indices.map(p =>
+        (a * d(p) + 0.01 * (((i * 31 + p * 17) % 7) - 3)).toFloat).toArray
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Embeddings.dominantDirection(df, "embedding", iters = 3)
+      .orderBy("pos").collect().map(_.getLong(1).toDouble)
+    val dot = got.zip(d).map { case (a, b) => a * b }.sum
+    val cos = math.abs(dot) /
+      (math.sqrt(got.map(x => x * x).sum) * math.sqrt(d.map(x => x * x).sum))
+    assert(cos > 0.99, s"cosine to planted axis was $cos")
+    // sign rule: the largest-|component| entry is positive
+    val lead = got.indices.minBy(i => (-math.abs(got(i)), i))
+    assert(got(lead) > 0)
+  }
+
+  test("dominantDirection is bit-identical under corpus repartitioning") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val a = Embeddings.dominantDirection(emb, "embedding")
+      .orderBy("pos").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val b = Embeddings.dominantDirection(emb.repartition(13), "embedding")
+      .orderBy("pos").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(a == b)
+    assert(a.length == 64 && a.exists(_._2 != 0L))
+  }
+
+  test("dominantDirection fails loudly on a degenerate corpus " +
+      "(every vector equals the mean)") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 8).map(i =>
+      (i.toLong, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val thrown = intercept[IllegalArgumentException] {
+      Embeddings.dominantDirection(df, "embedding").collect()
+    }
+    assert(thrown.getMessage.contains("collapsed to zero"))
+  }
+}

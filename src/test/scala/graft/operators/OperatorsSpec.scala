@@ -1445,6 +1445,55 @@ class MultimodalSpec extends SparkFunSuite {
     assert(Multimodal.decodeGifPixels(bad).isEmpty, "code past table")
   }
 
+  test("image decoder fuzz: seeded byte mutations and truncations of " +
+      "valid PNG/GIF payloads NEVER throw — decode or None, nothing else") {
+    System.setProperty("java.awt.headless", "true")
+    val s = spark
+    import s.implicits._
+    val gifGood = (0L until 1L).toDF("doc_id")
+      .select(graft.queries.ExtensionQueries.gifBlob.as("blob"))
+      .head().getAs[Array[Byte]]("blob")
+    val pngGood = pngEncode(7, 5, 4)
+    val rnd = new scala.util.Random(1234)
+    def fuzzOne(base: Array[Byte], decode: Array[Byte] => Option[Any],
+        tag: String): Unit = {
+      (0 until 400).foreach { i =>
+        val b = base.clone()
+        rnd.nextInt(3) match {
+          case 0 => // flip 1-4 random bytes
+            (0 to rnd.nextInt(4)).foreach { _ =>
+              b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+            }
+            try decode(b)
+            catch { case t: Throwable =>
+              fail(s"$tag mutation $i threw ${t.getClass}: ${t.getMessage}")
+            }
+          case 1 => // truncate anywhere
+            val cut = b.take(rnd.nextInt(b.length))
+            try decode(cut)
+            catch { case t: Throwable =>
+              fail(s"$tag truncation $i threw ${t.getClass}")
+            }
+          case 2 => // flip bytes in the compressed/coded region only
+            val start = b.length / 2
+            (0 to rnd.nextInt(6)).foreach { _ =>
+              b(start + rnd.nextInt(b.length - start)) =
+                rnd.nextInt(256).toByte
+            }
+            try decode(b)
+            catch { case t: Throwable =>
+              fail(s"$tag payload-mutation $i threw ${t.getClass}")
+            }
+        }
+      }
+    }
+    fuzzOne(gifGood, Multimodal.decodeGifPixels(_), "gif")
+    fuzzOne(pngGood, Multimodal.decodePngPixels(_), "png")
+    // and the audit front door stays total over the same mutations
+    fuzzOne(gifGood, b => Some(Multimodal.auditPayload(b)), "audit-gif")
+    fuzzOne(pngGood, b => Some(Multimodal.auditPayload(b)), "audit-png")
+  }
+
   test("withBlob: byte metadata is exact; kind sniffs magic bytes") {
     val s = spark
     import s.implicits._
