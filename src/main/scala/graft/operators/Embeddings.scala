@@ -125,6 +125,58 @@ object Embeddings {
       .toDF("pos", "component")
   }
 
+  /** ALL-BUT-THE-TOP removal audit (the second half of
+    * [[dominantDirection]]): project every vector onto the dominant
+    * direction and report the per-vector effect —
+    * `(id, coeff_q, norm2q_before, norm2q_after)` where `coeff_q` is the
+    * 1e6-scaled projection coefficient and the norms are the quantized
+    * squared norms before/after removing the projection. The audit form
+    * (stats, not corrected arrays) is deliberate: it pins the projection
+    * arithmetic numerically for the oracle without shipping dim-wide
+    * arrays per row, and it is what a curation dashboard actually plots
+    * (how much mass the top component holds per vector / corpus-wide).
+    *
+    * Exact fixed-point chain (every step sign-symmetric TRUNCATED
+    * division, identical in any int64 engine):
+    *   t      = Σ_p qv_p·d_p            (int64-exact: ≤ dim·4e6·1e6)
+    *   coeff  = t ÷ (D ÷ 1e6)           (≈ (t/D)·1e6, D = Σ d_p²)
+    *   adj_p  = (coeff·d_p) ÷ 1e6       (≈ coeff·d on the 1e6 scale)
+    *   after  = Σ_p (qv_p − adj_p)²     (decimal(38) — row-local fold)
+    * The chain is row-local against the literal direction — no join, no
+    * shuffle beyond the final orderBy; the 100 TB corpus is one scan. */
+  def removeDominant(df: DataFrame, vecCol: String, idCol: String,
+      direction: Array[Long]): DataFrame = {
+    require(direction.nonEmpty, "empty direction")
+    val bigD = direction.map(d => BigInt(d) * BigInt(d)).sum
+    require(bigD > 0 && bigD <= BigInt(Long.MaxValue),
+      "direction norm out of the int64 contract (components are " +
+        "1e6-scaled by dominantDirection)")
+    val dDiv = (bigD / 1000000).toLong max 1L
+    val dec = DecimalType(38, 0)
+    def truncDiv(a: Column, b: Column): Column =
+      signum(a).cast("long") *
+        graft.functions.TextFunctions.intDivNonNeg(abs(a), b)
+    val qv = transform(VF.asDouble(col(vecCol)),
+      x => round(x * 1e6).cast("long"))
+    val base = df.select(col(idCol).as("id"), qv.as("qv"))
+    val t = aggregate(zip_with(col("qv"), typedLit(direction.toSeq),
+      (x, d) => x * d), lit(0L), (acc, x) => acc + x)
+    val withCoeff = base.select(col("id"), col("qv"),
+      truncDiv(t, lit(dDiv)).as("coeff_q"))
+    val adj = zip_with(col("qv"), typedLit(direction.toSeq),
+      (x, d) => x - truncDiv(col("coeff_q") * d, lit(1000000L)))
+    // decimal fold + final long cast: a contract-violating giant norm
+    // surfaces as NULL (visible) instead of wrapped int64 garbage
+    withCoeff.select(col("id"), col("coeff_q"),
+        aggregate(col("qv"), lit(java.math.BigDecimal.ZERO).cast(dec),
+          (acc, x) => acc + (x.cast(dec) * x.cast(dec)))
+          .cast("long").as("norm2q_before"),
+        aggregate(adj, lit(java.math.BigDecimal.ZERO).cast(dec),
+          (acc, x) => acc + (x.cast(dec) * x.cast(dec)))
+          .cast("long").as("norm2q_after"))
+      .orderBy(col("id"))
+  }
+
   /** Int64-quantized squared norm (µ-units): `round(Σ x² · 1e6)`. */
   def norm2Quantized(v: Column): Column =
     round(aggregate(VF.asDouble(v), lit(0.0), (a, x) => a + x * x) * 1e6)

@@ -1411,6 +1411,21 @@ object ExtensionQueries {
           t(s, dir, "embeddings"), "embedding", iters = 2)
         .orderBy(col("pos"))),
 
+    // the removal audit: project out the dominant direction row-locally
+    // against the trained literal, report coefficient + before/after
+    // quantized norms — the full all-but-the-top pipeline cost (two
+    // training scans + one audit scan)
+    "emb_deproject" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val d = graft.operators.Embeddings.dominantDirection(
+          emb, "embedding", iters = 2)
+        .orderBy(col("pos")).collect().map(_.getLong(1))
+      graft.operators.Embeddings.removeDominant(emb, "embedding",
+          "vec_id", d)
+        .select(col("id").as("vec_id"), col("coeff_q"),
+          col("norm2q_before"), col("norm2q_after"))
+    }),
+
     // written inverted index: postings partitioned by term-hash bucket,
     // probe reads only the probe terms' buckets (PartitionFilters — the
     // text twin of sim_topk_ivf_indexed's layout)
@@ -2762,6 +2777,64 @@ object ExtensionQueries {
       |      ORDER BY sim DESC, neighbor_id) AS rank
       |  FROM vs2)""".stripMargin
 
+  /** Dominant-direction power-iteration chain (ends at `ddir`
+    * (pos, v) — the sign-fixed 1e6-scaled direction after TWO
+    * iterations; `dex` (vec_id, pos, x) stays visible for the
+    * deprojection audit). Every division is sign-symmetric TRUNCATION
+    * (never bare `//` on a negative — floor-vs-truncate differs across
+    * engines); HUGEINT everywhere a sum crosses int64. Mirrors
+    * `Embeddings.dominantDirection` step for step. */
+  private lazy val DominantDirCtesSql =
+    """deq AS (SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |dpos AS (SELECT CAST(p AS BIGINT) AS pos FROM range(0, 64) t(p)),
+      |dex AS (SELECT vec_id, pos, qv[pos + 1] AS x
+      |  FROM deq CROSS JOIN dpos),
+      |dms AS (SELECT pos, SUM(CAST(x AS HUGEINT)) AS s,
+      |    CAST(COUNT(*) AS HUGEINT) AS n
+      |  FROM dex GROUP BY pos),
+      |dmn AS (SELECT pos, CASE WHEN s < 0 THEN -((-s) // n)
+      |    ELSE s // n END AS m
+      |  FROM dms),
+      |dcx AS (SELECT e.vec_id, e.pos, e.x - dmn.m AS c
+      |  FROM dex e JOIN dmn ON dmn.pos = e.pos),
+      |dt1 AS (SELECT vec_id, SUM(CAST(c AS HUGEINT) * 1000000) AS t
+      |  FROM dcx GROUP BY vec_id),
+      |dts1 AS (SELECT vec_id, CASE WHEN t < 0 THEN -((-t) // 1000000)
+      |    ELSE t // 1000000 END AS ts
+      |  FROM dt1),
+      |du1 AS (SELECT pos, SUM(CAST(ts AS HUGEINT) * c) AS u
+      |  FROM dts1 JOIN dcx USING (vec_id) GROUP BY pos),
+      |dm1 AS (SELECT MAX(ABS(u)) AS mx FROM du1),
+      |dv1 AS (SELECT pos, CASE WHEN u < 0
+      |      THEN -(((-u) * 1000000) // mx)
+      |      ELSE (u * 1000000) // mx END AS vs
+      |  FROM du1 CROSS JOIN dm1),
+      |dl1 AS (SELECT vs AS lv FROM dv1
+      |  ORDER BY ABS(vs) DESC, pos LIMIT 1),
+      |dw1 AS (SELECT pos, CASE WHEN (SELECT lv FROM dl1) < 0
+      |    THEN -vs ELSE vs END AS v
+      |  FROM dv1),
+      |dt2 AS (SELECT c.vec_id, SUM(CAST(c.c AS HUGEINT) * w.v) AS t
+      |  FROM dcx c JOIN dw1 w ON w.pos = c.pos GROUP BY c.vec_id),
+      |dts2 AS (SELECT vec_id, CASE WHEN t < 0 THEN -((-t) // 1000000)
+      |    ELSE t // 1000000 END AS ts
+      |  FROM dt2),
+      |du2 AS (SELECT pos, SUM(CAST(ts AS HUGEINT) * c) AS u
+      |  FROM dts2 JOIN dcx USING (vec_id) GROUP BY pos),
+      |dm2 AS (SELECT MAX(ABS(u)) AS mx FROM du2),
+      |dv2 AS (SELECT pos, CASE WHEN u < 0
+      |      THEN -(((-u) * 1000000) // mx)
+      |      ELSE (u * 1000000) // mx END AS vs
+      |  FROM du2 CROSS JOIN dm2),
+      |dl2 AS (SELECT vs AS lv FROM dv2
+      |  ORDER BY ABS(vs) DESC, pos LIMIT 1),
+      |ddir AS (SELECT pos,
+      |    CASE WHEN (SELECT lv FROM dl2) < 0 THEN -vs ELSE vs END AS v
+      |  FROM dv2)""".stripMargin
+
   private lazy val IvfPqOracleSql =
     s"""WITH $IvfPqCtesSql
       |SELECT query_id, rank, neighbor_id FROM vr2 WHERE rank <= 5
@@ -3376,56 +3449,37 @@ object ExtensionQueries {
     // on negatives — floor-vs-truncate differs across engines), 1e6
     // renormalization against max|u|, leading-component sign fix
     "emb_dominant_dir" ->
-      """WITH deq AS (SELECT vec_id,
-        |    list_transform(CAST(embedding AS DOUBLE[]),
-        |      x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
-        |  FROM embeddings),
-        |dpos AS (SELECT CAST(p AS BIGINT) AS pos FROM range(0, 64) t(p)),
-        |dex AS (SELECT vec_id, pos, qv[pos + 1] AS x
-        |  FROM deq CROSS JOIN dpos),
-        |dms AS (SELECT pos, SUM(CAST(x AS HUGEINT)) AS s,
-        |    CAST(COUNT(*) AS HUGEINT) AS n
-        |  FROM dex GROUP BY pos),
-        |dmn AS (SELECT pos, CASE WHEN s < 0 THEN -((-s) // n)
-        |    ELSE s // n END AS m
-        |  FROM dms),
-        |dcx AS (SELECT e.vec_id, e.pos, e.x - dmn.m AS c
-        |  FROM dex e JOIN dmn ON dmn.pos = e.pos),
-        |dt1 AS (SELECT vec_id, SUM(CAST(c AS HUGEINT) * 1000000) AS t
-        |  FROM dcx GROUP BY vec_id),
-        |dts1 AS (SELECT vec_id, CASE WHEN t < 0 THEN -((-t) // 1000000)
-        |    ELSE t // 1000000 END AS ts
-        |  FROM dt1),
-        |du1 AS (SELECT pos, SUM(CAST(ts AS HUGEINT) * c) AS u
-        |  FROM dts1 JOIN dcx USING (vec_id) GROUP BY pos),
-        |dm1 AS (SELECT MAX(ABS(u)) AS mx FROM du1),
-        |dv1 AS (SELECT pos, CASE WHEN u < 0
-        |      THEN -(((-u) * 1000000) // mx)
-        |      ELSE (u * 1000000) // mx END AS vs
-        |  FROM du1 CROSS JOIN dm1),
-        |dl1 AS (SELECT vs AS lv FROM dv1
-        |  ORDER BY ABS(vs) DESC, pos LIMIT 1),
-        |dw1 AS (SELECT pos, CASE WHEN (SELECT lv FROM dl1) < 0
-        |    THEN -vs ELSE vs END AS v
-        |  FROM dv1),
-        |dt2 AS (SELECT c.vec_id, SUM(CAST(c.c AS HUGEINT) * w.v) AS t
-        |  FROM dcx c JOIN dw1 w ON w.pos = c.pos GROUP BY c.vec_id),
-        |dts2 AS (SELECT vec_id, CASE WHEN t < 0 THEN -((-t) // 1000000)
-        |    ELSE t // 1000000 END AS ts
-        |  FROM dt2),
-        |du2 AS (SELECT pos, SUM(CAST(ts AS HUGEINT) * c) AS u
-        |  FROM dts2 JOIN dcx USING (vec_id) GROUP BY pos),
-        |dm2 AS (SELECT MAX(ABS(u)) AS mx FROM du2),
-        |dv2 AS (SELECT pos, CASE WHEN u < 0
-        |      THEN -(((-u) * 1000000) // mx)
-        |      ELSE (u * 1000000) // mx END AS vs
-        |  FROM du2 CROSS JOIN dm2),
-        |dl2 AS (SELECT vs AS lv FROM dv2
-        |  ORDER BY ABS(vs) DESC, pos LIMIT 1)
-        |SELECT CAST(pos AS INT) AS pos,
-        |  CAST(CASE WHEN (SELECT lv FROM dl2) < 0 THEN -vs ELSE vs END
-        |    AS BIGINT) AS component
-        |FROM dv2 ORDER BY pos""".stripMargin,
+      s"""WITH $DominantDirCtesSql
+        |SELECT CAST(pos AS INT) AS pos, CAST(v AS BIGINT) AS component
+        |FROM ddir ORDER BY pos""".stripMargin,
+
+    // the removal audit over the SAME direction chain: projection
+    // coefficient + before/after quantized norms, all sign-symmetric
+    // truncated divisions — pins the deprojection arithmetic without
+    // shipping dim-wide arrays
+    "emb_deproject" ->
+      s"""WITH $DominantDirCtesSql,
+        |pdD AS (SELECT GREATEST(SUM(v * v) // 1000000, 1) AS dd
+        |  FROM ddir),
+        |pt AS (SELECT e.vec_id,
+        |    SUM(CAST(e.x AS HUGEINT) * w.v) AS t
+        |  FROM dex e JOIN ddir w ON w.pos = e.pos GROUP BY e.vec_id),
+        |pc AS (SELECT vec_id, CASE WHEN t < 0 THEN -((-t) // dd)
+        |    ELSE t // dd END AS coeff
+        |  FROM pt CROSS JOIN pdD),
+        |pa AS (SELECT e.vec_id, e.x,
+        |    e.x - (CASE WHEN c.coeff * w.v < 0
+        |      THEN -((-(c.coeff * w.v)) // 1000000)
+        |      ELSE (c.coeff * w.v) // 1000000 END) AS a
+        |  FROM dex e JOIN ddir w ON w.pos = e.pos
+        |  JOIN pc c ON c.vec_id = e.vec_id)
+        |SELECT p.vec_id, CAST(c.coeff AS BIGINT) AS coeff_q,
+        |  CAST(SUM(CAST(p.x AS HUGEINT) * p.x) AS BIGINT)
+        |    AS norm2q_before,
+        |  CAST(SUM(CAST(p.a AS HUGEINT) * p.a) AS BIGINT)
+        |    AS norm2q_after
+        |FROM pa p JOIN pc c ON c.vec_id = p.vec_id
+        |GROUP BY p.vec_id, c.coeff ORDER BY p.vec_id""".stripMargin,
 
     // identical left-to-right norm² fold, identical int64 quantization,
     // HUGEINT cross-multiplied z-test — bit-exact flag parity

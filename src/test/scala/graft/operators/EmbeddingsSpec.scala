@@ -42,6 +42,42 @@ class EmbeddingsSpec extends SparkFunSuite {
     assert(a.length == 64 && a.exists(_._2 != 0L))
   }
 
+  test("removeDominant strips most of the planted-axis mass and never " +
+      "increases a vector's norm beyond the truncation quantum") {
+    val s = spark
+    import s.implicits._
+    val d = Array(3.0, -1.0, 2.0, 0.5)
+    val rows = (0 until 400).map { i =>
+      val a = (i % 21) - 10.0
+      val v = d.indices.map(p =>
+        (a * d(p) + 0.01 * (((i * 31 + p * 17) % 7) - 3)).toFloat).toArray
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val dir = Embeddings.dominantDirection(df, "embedding", iters = 3)
+      .orderBy("pos").collect().map(_.getLong(1))
+    val out = Embeddings.removeDominant(df, "embedding", "vec_id", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    assert(out.length == 400)
+    // corpus-wide: the dominant axis holds almost all the mass here
+    val before = out.map(_._3).sum.toDouble
+    val after = out.map(_._4).sum.toDouble
+    assert(after < before * 0.01,
+      s"planted-axis corpus should deflate: $after vs $before")
+    // per-vector: projection removal cannot grow the norm past the
+    // truncation quantum (coeff/adj truncate by ≤ 1 unit per component)
+    out.foreach { case (id, _, b, a) =>
+      assert(a <= b + d.length * 4L, s"vec $id grew: $a vs $b")
+    }
+    // exact invariance under repartition
+    val again = Embeddings.removeDominant(df.repartition(7), "embedding",
+        "vec_id", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("dominantDirection fails loudly on a degenerate corpus " +
       "(every vector equals the mean)") {
     val s = spark
