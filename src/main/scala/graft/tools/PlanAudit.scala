@@ -58,7 +58,8 @@ object PlanAudit {
           || l.contains("SortMergeJoin") || l.contains("HashAggregate")
           || l.contains("TakeOrderedAndProject")
           || l.contains("WholeStageCodegen") || l.contains("Exchange")
-          || l.contains("ObjectHashAggregate"))
+          || l.contains("ObjectHashAggregate")
+          || l.contains("PartitionFilters"))
         .take(40).mkString("\n"))
       val nCodegen = """\*\(\d+\)""".r.findAllIn(simple).toSet.size
       val nExchange = "Exchange".r.findAllIn(simple).length
