@@ -90,6 +90,47 @@ object Chunking {
     * shard-keyed window, no `Window.orderBy` over the world. */
   def fixedPack(docs: DataFrame, textCol: String, idCol: String,
       seqLen: Int, nShards: Int = 8): DataFrame = {
+    val L = seqLen.toLong
+    fixedPackSpanBase(docs, textCol, idCol, seqLen, nShards)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("end"), (col("seq_id") + 1) * L) -
+          greatest(col("start"), col("seq_id") * L)).as("n_tokens"))
+      .orderBy(col("seq_id"))
+  }
+
+  /** Per-(sequence, document) SPAN export (round 9) — the loader-facing
+    * half of [[fixedPack]]: where fixedPack reports per-sequence totals,
+    * this emits the index an LM data loader actually consumes — for
+    * every sequence, which documents contribute which token ranges:
+    * `(seq_id, doc_id, start_in_seq, doc_off, n_toks)` with
+    * `start_in_seq` the position inside the seqLen window, `doc_off`
+    * the token offset inside the document, and spans of one sequence
+    * tiling `[0, seqLen)` in doc-id order (the attention-mask /
+    * boundary-loss bookkeeping falls out of this relation directly).
+    *
+    * Same scale shape as fixedPack — the identical two-phase sharded
+    * prefix sum, then a row-local explode; the span arithmetic is pure
+    * integer projection on the exploded rows. */
+  def fixedPackSpans(docs: DataFrame, textCol: String, idCol: String,
+      seqLen: Int, nShards: Int = 8): DataFrame = {
+    val L = seqLen.toLong
+    fixedPackSpanBase(docs, textCol, idCol, seqLen, nShards)
+      .select(col("seq_id"), col("id").as("doc_id"),
+        (greatest(col("start"), col("seq_id") * L) - col("seq_id") * L)
+          .as("start_in_seq"),
+        (greatest(col("start"), col("seq_id") * L) - col("start"))
+          .as("doc_off"),
+        (least(col("end"), (col("seq_id") + 1) * L) -
+          greatest(col("start"), col("seq_id") * L)).as("n_toks"))
+      .orderBy(col("seq_id"), col("doc_id"))
+  }
+
+  /** Shared middle of the fixed-pack family: global token offsets via
+    * the sharded prefix sum, exploded to one row per (doc, sequence it
+    * touches). */
+  private def fixedPackSpanBase(docs: DataFrame, textCol: String,
+      idCol: String, seqLen: Int, nShards: Int): DataFrame = {
     require(seqLen > 0 && nShards >= 1 && nShards <= 64)
     val base = docs.select(col(idCol).cast("long").as("id"),
       size(TF.normTokens(col(textCol))).cast("long").as("n"))
@@ -114,14 +155,9 @@ object Chunking {
         element_at(typedLit(offs), col("shard") + 1))
       .withColumn("start", col("end") - col("n"))
       .filter(col("n") > 0)
-      .select(col("start"), col("end"),
+      .select(col("id"), col("start"), col("end"),
         explode(sequence(TF.intDivNonNeg(col("start"), lit(L)),
           TF.intDivNonNeg(col("end") - 1, lit(L)))).as("seq_id"))
-      .groupBy(col("seq_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(least(col("end"), (col("seq_id") + 1) * L) -
-          greatest(col("start"), col("seq_id") * L)).as("n_tokens"))
-      .orderBy(col("seq_id"))
   }
 
   /** SENTENCE-aligned chunking (round 7) — the RAG/pretraining chunk

@@ -2228,6 +2228,14 @@ object ExtensionQueries {
       Chunking.fixedPack(t(s, dir, "documents"), "text", "doc_id",
         seqLen = 512, nShards = 8)),
 
+    // the loader-facing span index of the same packing (round 9): one
+    // row per (sequence, contributing document) with in-sequence and
+    // in-document offsets — spans tile [0, seqLen) in doc-id order; the
+    // oracle recomputes the identical global-offset arithmetic
+    "corpus_pack_spans" -> ((s, dir) =>
+      Chunking.fixedPackSpans(t(s, dir, "documents"), "text", "doc_id",
+        seqLen = 512, nShards = 8)),
+
     // deterministic range-partitioned export: exact p25/p50/p75 length
     // boundaries (count-threshold rule, no sampling) assign each doc a
     // partition label row-locally; the written layout makes downstream
@@ -5242,6 +5250,28 @@ object ExtensionQueries {
         |  CAST(SUM(LEAST(e, (seq_id + 1) * 512) -
         |           GREATEST(s, seq_id * 512)) AS BIGINT) AS n_tokens
         |FROM psq GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
+    // the same global-offset chain, emitted per (sequence, document)
+    // with in-sequence and in-document offsets
+    "corpus_pack_spans" ->
+      s"""WITH tk AS ($NormToksSql),
+        |sbase AS (SELECT doc_id AS id, CAST(len(toks) AS BIGINT) AS n
+        |  FROM tk),
+        |scum AS (SELECT id, n,
+        |    CAST(SUM(n) OVER (ORDER BY id) AS BIGINT) AS e
+        |  FROM sbase),
+        |sspans AS (SELECT id, n, e - n AS s, e FROM scum WHERE n > 0),
+        |ssq AS (SELECT id, s, e,
+        |    CAST(unnest(range(s // 512, (e - 1) // 512 + 1)) AS BIGINT)
+        |      AS seq_id
+        |  FROM sspans)
+        |SELECT seq_id, id AS doc_id,
+        |  CAST(GREATEST(s, seq_id * 512) - seq_id * 512 AS BIGINT)
+        |    AS start_in_seq,
+        |  CAST(GREATEST(s, seq_id * 512) - s AS BIGINT) AS doc_off,
+        |  CAST(LEAST(e, (seq_id + 1) * 512) -
+        |       GREATEST(s, seq_id * 512) AS BIGINT) AS n_toks
+        |FROM ssq ORDER BY seq_id, doc_id""".stripMargin,
 
     // boundaries = smallest value whose cumulative count reaches
     // ceil(p·n/100); part = # boundaries strictly below n_chars

@@ -41,6 +41,40 @@ class FixedPackSpec extends SparkFunSuite {
     assert(a == b)
   }
 
+  test("spans: tile every full sequence exactly, agree with fixedPack " +
+      "totals, and carry consistent in-document offsets") {
+    val docs = docsOf(Seq(5, 9, 3, 14, 2, 7, 1))
+    val L = 8
+    val spans = Chunking.fixedPackSpans(docs, "text", "doc_id", seqLen = L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val packs = Chunking.fixedPack(docs, "text", "doc_id", seqLen = L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // per-sequence: span token counts sum to fixedPack's n_tokens, span
+    // count to n_docs; spans tile [0, fill) contiguously in doc order
+    spans.groupBy(_._1).foreach { case (seq, ss) =>
+      val (nDocs, nToks) = packs(seq)
+      assert(ss.length == nDocs && ss.map(_._5).sum == nToks, s"seq $seq")
+      val sorted = ss.sortBy(_._2)
+      var cursor = 0L
+      sorted.foreach { case (_, _, startInSeq, _, n) =>
+        assert(startInSeq == cursor, s"seq $seq gap at $cursor")
+        cursor += n
+      }
+    }
+    // per-document: doc_off starts at 0 and advances by the span sizes
+    spans.groupBy(_._2).foreach { case (doc, ss) =>
+      val sorted = ss.sortBy(_._1)
+      var off = 0L
+      sorted.foreach { case (_, _, _, docOff, n) =>
+        assert(docOff == off, s"doc $doc offset")
+        off += n
+      }
+    }
+  }
+
   test("token conservation: sequence fills sum to the corpus total") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val out = Chunking.fixedPack(docs, "text", "doc_id", seqLen = 512)
