@@ -699,6 +699,39 @@ object Similarity {
     IvfPqIndex(path, centIds, centVecs, books)
   }
 
+  /** Incrementally absorb a new vector batch into a written IVF-PQ
+    * index — the PQ twin of [[appendToIvfIndex]]: cells AND codes are
+    * assigned row-locally with the index's OWN centroid table and
+    * residual codebooks (both rules unchanged, so existing probes stay
+    * correct and mix transparently with the appended rows), then
+    * append-written into the cell partitions. No rewrite, no shuffle,
+    * one scan of the batch; re-train ([[buildIvfPqIndex]]) only when
+    * drift warrants. Appends are BLIND (no id dedup) — delta hygiene is
+    * the ingest pipeline's job, same contract as the IVF index. */
+  def appendToIvfPqIndex(index: IvfPqIndex, rows: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id")
+      : IvfPqIndex = {
+    val m = index.books.length
+    val sub = index.books(0)(0).length
+    val ksub = index.books(0).length
+    val codeIds = Array.tabulate(ksub)(_.toLong)
+    val centMap = index.centIds.zip(index.centVecs.map(_.toSeq)).toMap
+    val resid = rows.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        element_at(VF.nearestCentroids(col(vecCol), index.centIds,
+          index.centVecs, 1), 1).as("cell"))
+      .withColumn("r_vec",
+        zip_with(VF.asDouble(col("vec")),
+          element_at(typedLit(centMap), col("cell")), (x, c) => x - c))
+    val codes = array((0 until m).map { mi =>
+      element_at(VF.nearestCentroids(
+        slice(col("r_vec"), mi * sub + 1, sub), codeIds,
+        index.books(mi), 1), 1).cast("int")
+    }: _*)
+    resid.select(col("id"), col("vec"), col("cell"), codes.as("codes"))
+      .write.mode("append").partitionBy("cell").parquet(index.path)
+    index
+  }
+
   /** Probe a written IVF-PQ index: partition-pruned scan of the
     * queries' `nprobe` cells, ADC over the STORED residual codes
     * (`⟨q,centroid⟩ + ⟨q,codeword recon⟩`, same exact-int64 arithmetic

@@ -16,7 +16,10 @@ import graft.operators.{Cdc, Chunking, Contamination, Dedup,
   *   benchmark-contamination filter → Gopher rules + quality +
   *   LM-surprisal filter → per-source cap → temperature rebalancing →
   *   token-window chunking → sequence packing → deterministic training
-  *   order → CDC/forget maintenance + incremental-ingest epilogue.
+  *   order → CDC/forget maintenance + incremental-ingest epilogue,
+  *   with media-audit, embedding-hygiene (outliers +
+  *   dominant-direction deprojection audit), written-IVF-PQ serving
+  *   and transition-graph authority sidecars.
   *
   * Every stage is the same operator the driver-checked queries pin; this
   * main only composes them. Run:
@@ -253,6 +256,25 @@ object PipelineDemo {
       cleanEmb.filter(col("vec_id") < 3), k = 5, m = 4, ksub = 8,
       overfetch = 4).count()
 
+    // 12b. all-but-the-top + served ANN index (round 9): deflate the
+    //      dominant direction out of the scrubbed vectors' audit, then
+    //      build the written IVF-PQ index once and probe it — the
+    //      serving shape a RAG deployment actually runs (codes + cell
+    //      pruning on disk, full vectors only for reranks)
+    val dir9 = graft.operators.Embeddings.dominantDirection(
+      cleanEmb, "embedding", iters = 2)
+      .orderBy("pos").collect().map(_.getLong(1))
+    val deproj = graft.operators.Embeddings.removeDominant(
+      cleanEmb, "embedding", "vec_id", dir9).localCheckpoint()
+    val massKept = deproj.agg(sum(col("norm2q_after")).cast("double") /
+      sum(col("norm2q_before")).cast("double")).head().getDouble(0)
+    val ivfpq = graft.operators.Similarity.buildIvfPqIndex(cleanEmb,
+      s"${System.getProperty("java.io.tmpdir")}/graft_demo_ivfpq_" +
+        ProcessHandle.current().pid(),
+      nlist = 8, m = 4, ksub = 8, iters = 1)
+    val nIdxHits = graft.operators.Similarity.ivfPqTopKIndexed(ivfpq,
+      cleanEmb.filter(col("vec_id") < 3), k = 5, nprobe = 3).count()
+
     // 13. source-authority sidecar (round 8): the event log's transition
     //     graph, PageRank'd with exact int64 arithmetic — the domain-
     //     authority weight a web-scale curation run folds into its
@@ -274,7 +296,8 @@ object PipelineDemo {
       s"$nNearPairs served=$nServed heavyTerms=$nHeavy " +
       s"collocations=$nColl mediaOk=$nMediaOk mediaRejected=$nMediaRej " +
       s"audioWindows=$nAudioWin embeddings=$nEmb embOutliers=$nEmbBad " +
-      s"pqHits=$nPqHits graphNodes=$nNodes topAuthority=$topAuth")
+      s"pqHits=$nPqHits graphNodes=$nNodes topAuthority=$topAuth " +
+      f"topDirMassKept=$massKept%.3f ivfpqIndexHits=$nIdxHits")
     require(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 >= n4 && n4 > 0 &&
       nChunks > 0 && nOrdered == n4 && nSplit == n4,
       "pipeline stages must monotonically filter and keep data")
@@ -288,6 +311,9 @@ object PipelineDemo {
     require(nEmb - nEmbBad > 0 && nPqHits == 3 * 5 && nNodes > 0,
       "embedding scrub must keep vectors, PQ must fill k per query, " +
         "and the transition graph must be non-empty")
+    require(massKept > 0.0 && massKept <= 1.001 && nIdxHits == 3 * 5,
+      "deprojection must keep a sane mass fraction and the written " +
+        "IVF-PQ index must fill k per query")
     spark.stop()
   }
 }

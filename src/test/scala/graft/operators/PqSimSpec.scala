@@ -142,6 +142,45 @@ class PqSimSpec extends SparkFunSuite {
     assert(probes <= 4, "sanity: probe cells bounded by nlist")
   }
 
+  test("appendToIvfPqIndex: probes over the appended index equal the " +
+      "inline composition over the union with BASE-trained books") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_append").toString
+    val index = Similarity.buildIvfPqIndex(vecs, s"$tmp/idx",
+      nlist = 4, m = 2, ksub = 4, iters = 1)
+    // delta: shifted-id near-twins of vectors 0 and 2
+    val delta = Seq(
+      (100L, Array(0.05f, 10.05f, 5.05f, 1.05f)),
+      (102L, Array(9.9f, 0.1f, 0.1f, 8.05f)))
+      .toDF("vec_id", "embedding")
+    Similarity.appendToIvfPqIndex(index, delta)
+    val q = vecs.filter(col("vec_id") === 0)
+    val got = Similarity.ivfPqTopKIndexed(index, q, k = 3, nprobe = 4,
+        overfetch = 4)
+      .select("query_id", "rank", "neighbor_id").collect().toSeq
+    // reference: inline chain over the union, with the centroid AND
+    // codebook rules pinned to the BASE corpus (append never retrains)
+    val union = vecs.unionByName(delta)
+    val resid = union.select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+    val want = {
+      // rebuild an index over the union REUSING base books via a fresh
+      // path — equivalent to assigning the union with base rules
+      val idx2 = Similarity.IvfPqIndex(s"$tmp/idx2", index.centIds,
+        index.centVecs, index.books)
+      Similarity.appendToIvfPqIndex(idx2, union)
+      Similarity.ivfPqTopKIndexed(idx2, q, k = 3, nprobe = 4,
+          overfetch = 4)
+        .select("query_id", "rank", "neighbor_id").collect().toSeq
+    }
+    assert(got == want)
+    assert(resid.count() == union.count()) // sanity on the fixtures
+    // the appended twin of vector 0 must now rank first for query 0
+    assert(got.head.getLong(2) == 100L, s"got $got")
+  }
+
   test("ivfPqTopK is invariant under corpus repartitioning " +
       "(trained residual codebooks included)") {
     val q = vecs.filter(col("vec_id") === 0)
