@@ -777,7 +777,12 @@ object Similarity {
       .select(col("query_id"), col("hit.id").as("neighbor_id"))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("q_vec")))
+    // Every rerank candidate is by construction in a probed cell, so the
+    // cell filter is semantics-preserving — and it partition-prunes the
+    // heavy `vec` read to nprobe/nlist of the index instead of scanning
+    // the full corpus's vector column (the whole point of the layout).
     val scored = spark.read.parquet(index.path)
+      .filter(col("cell").isin(probeCells: _*))
       .select(col("id").as("neighbor_id"), col("vec").as("c_vec"))
       .join(broadcast(cands), Seq("neighbor_id"))
       .join(q, Seq("query_id"))

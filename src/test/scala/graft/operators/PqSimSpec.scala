@@ -128,8 +128,9 @@ class PqSimSpec extends SparkFunSuite {
     val q = vecs.filter(col("vec_id") < 2)
     val index = Similarity.buildIvfPqIndex(vecs, s"$tmp/idx",
       nlist = 4, m = 2, ksub = 4, iters = 1)
-    val indexed = Similarity.ivfPqTopKIndexed(index, q, k = 3,
+    val indexedDf = Similarity.ivfPqTopKIndexed(index, q, k = 3,
         nprobe = 2, overfetch = 2)
+    val indexed = indexedDf
       .select("query_id", "rank", "neighbor_id").collect().toSeq
     val inline = Similarity.ivfPqTopK(vecs, q, k = 3, nlist = 4,
         nprobe = 2, m = 2, ksub = 4, overfetch = 2, iters = 1)
@@ -140,6 +141,17 @@ class PqSimSpec extends SparkFunSuite {
       .nearestCentroids(col("embedding"), index.centIds, index.centVecs,
         2))).distinct().count()
     assert(probes <= 4, "sanity: probe cells bounded by nlist")
+    // plan proof: BOTH index scans — the codes-only ADC coarse pass AND
+    // the full-vector rerank — carry a NON-EMPTY partition filter on
+    // `cell` (an unpruned scan still prints `PartitionFilters: []`, so
+    // require every printed filter to be non-empty and on `cell`)
+    val plan = indexedDf.queryExecution.executedPlan.toString
+    val filters =
+      """PartitionFilters: \[[^\]]*\]""".r.findAllIn(plan).toList
+    assert(filters.size >= 2,
+      s"expected >= 2 partitioned index scans in the probe plan:\n$plan")
+    assert(filters.forall(f => f.contains("cell") && !f.contains("[]")),
+      s"every index scan must be pruned on cell, got $filters\n$plan")
   }
 
   test("appendToIvfPqIndex: probes over the appended index equal the " +
