@@ -905,7 +905,11 @@ object Multimodal {
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     val sw = le16(6)
     val sh = le16(8)
-    if (sw <= 0 || sh <= 0 || sw.toLong * sh > maxPixels) return None
+    // Second conjunct mirrors decodePngPixels' stride guard: the RGB
+    // buffer and (y*sw+x)*3 indexing use Int arithmetic, so a
+    // caller-raised maxPixels must not admit sw*sh*3 > Int.MaxValue.
+    if (sw <= 0 || sh <= 0 || sw.toLong * sh > maxPixels ||
+        sw.toLong * sh * 3 > Int.MaxValue) return None
     val packed = u8(10)
     val bgIndex = u8(11)
     var off = 13

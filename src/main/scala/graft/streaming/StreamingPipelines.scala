@@ -239,16 +239,18 @@ object StreamingPipelines {
     * — constant state for unbounded streams (an unbounded-time stream join
     * would buffer forever). Output columns:
     * (trigger_id, event_id, user_id). */
-  /** Resolve the live CDC snapshot directory under `snapshotPath`:
-    * follow the `_latest` pointer file if it names an existing `v*` dir,
-    * else (pointer missing or dangling — i.e. a crash between version
-    * write and pointer flip) fall back to the NEWEST COMPLETE `v*` dir
-    * (one carrying Spark's `_SUCCESS` commit marker — a version that
-    * crashed mid-write must read as absent, not as a partial corpus),
-    * else the pre-round-7 `current/` layout (so upgrading an existing
-    * deployment keeps its corpus instead of silently restarting from
-    * empty), else None (fresh snapshot). This is the reader half of the
-    * crash-safe publish protocol in [[mergeCdcStream]]. */
+  /** Resolve a LEGACY (pre-round-10, monolithic) snapshot directory
+    * under `snapshotPath`: follow the `_latest` pointer file if it names
+    * an existing `v*` dir, else (pointer missing or dangling — i.e. a
+    * crash between version write and pointer flip) fall back to the
+    * NEWEST COMPLETE `v*` dir (one carrying Spark's `_SUCCESS` commit
+    * marker — a version that crashed mid-write must read as absent, not
+    * as a partial corpus), else the pre-round-7 `current/` layout, else
+    * None. Since round 10 the live protocol is the incremental
+    * [[BucketedSnapshotStore]]; this resolver remains as its MIGRATION
+    * fallback, so upgrading an existing deployment folds its old corpus
+    * into the bucketed store instead of silently restarting from
+    * empty. */
   def resolveCdcSnapshot(spark: org.apache.spark.sql.SparkSession,
       snapshotPath: String): Option[org.apache.hadoop.fs.Path] = {
     val base = new org.apache.hadoop.fs.Path(snapshotPath)
@@ -283,22 +285,24 @@ object StreamingPipelines {
   /** Streaming CDC maintenance — the streaming twin of
     * [[graft.operators.Cdc.mergeCdc]]: each micro-batch of CDC rows
     * (key, payload, version, deleted) is merged into the PERSISTENT
-    * snapshot at `snapshotPath`. `sink` receives the merged snapshot per
-    * batch for downstream wiring/specs.
+    * snapshot at `snapshotPath`.
     *
-    * Crash-safe publish (round-6 advice: the old delete-then-rename of
-    * the data dir left a window with NO snapshot, and a crash inside it
-    * silently restarted the corpus from empty): versions are IMMUTABLE
-    * dirs `v<batchId>`; a batch writes its version fully, then flips the
-    * tiny `_latest` pointer file via write-tmp + atomic
-    * `FileContext.rename(OVERWRITE)`. Readers ([[resolveCdcSnapshot]])
-    * follow the pointer, falling back to the newest `v*` dir if the
-    * pointer write itself was the casualty — every crash point leaves a
-    * complete, discoverable snapshot. Superseded versions older than the
-    * previous one are pruned after the flip (keep 2: in-flight readers
-    * that resolved just before the flip are still scanning the previous
-    * version; a production deployment would widen retention to its read
-    * SLA).
+    * Publish is INCREMENTAL (round-10: the round-9 protocol rewrote the
+    * full snapshot every micro-batch — O(state) write amplification a
+    * 100 TB corpus cannot afford): the snapshot lives in a
+    * [[BucketedSnapshotStore]] hash-bucketed on the key column, and each
+    * batch merges `mergeCdc` ONLY over the buckets its delta touches —
+    * bytes written per trigger ∝ delta, not state. The store keeps the
+    * round-6 crash-safety story (immutable versioned artifacts, atomic
+    * pointer flip, complete-state recovery at every crash point) and adds
+    * a (queryId, batchId) transaction token, so a checkpointed replay
+    * publishes exactly once.
+    *
+    * `sink` receives the PUBLISHED snapshot (a lazy frame over the live
+    * bucket leaves) per batch — on a replayed batch it therefore observes
+    * the same exactly-once state a reader would, not a recomputed merge
+    * (round-9 advice: the recomputed merge could double-apply a replayed
+    * delta in non-idempotent consumers).
     *
     * Same unbounded-state rationale as [[ingestNewStream]]: upsert
     * semantics span the corpus lifetime, which no watermark horizon can
@@ -314,69 +318,24 @@ object StreamingPipelines {
     * with both. */
   def mergeCdcStream(cdc: DataFrame, keyCol: String, versionCol: String,
       deletedCol: String, snapshotPath: String,
-      checkpointLocation: Option[String] = None)
+      checkpointLocation: Option[String] = None, nBuckets: Int = 64)
       (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = cdc.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val snapshot = resolveCdcSnapshot(spark, snapshotPath)
-          .map(p => spark.read.parquet(p.toString))
-          .getOrElse(batch.filter(lit(false))) // empty, batch-shaped
         val delta = batch.dropDuplicates(Seq(keyCol, versionCol))
-        val merged = graft.operators.Cdc
-          .mergeCdc(snapshot, delta, keyCol, versionCol, deletedCol)
-          .localCheckpoint() // sever lineage before versions get pruned
-        sink(merged, batchId)
-        publishVersionedSnapshot(spark, snapshotPath, batchId, merged)
+        BucketedSnapshotStore.publish(spark, snapshotPath, batchId,
+            delta, Seq(keyCol), nBuckets) { (current, d) =>
+          graft.operators.Cdc
+            .mergeCdc(current, d, keyCol, versionCol, deletedCol)
+        }
+        sink(BucketedSnapshotStore.read(spark, snapshotPath)
+          .getOrElse(batch.filter(lit(false))), batchId)
       }
     checkpointLocation.foreach(p => writer.option("checkpointLocation", p))
     writer.start()
-  }
-
-  /** Crash-safe versioned snapshot publish — the write half of
-    * [[resolveCdcSnapshot]], shared by [[mergeCdcStream]] and
-    * [[maintainEdgesStream]]: write the IMMUTABLE `v<batchId>` dir, flip
-    * the tiny `_latest` pointer via write-tmp + atomic
-    * `FileContext.rename(OVERWRITE)`, prune all but the 2 newest
-    * versions (+ any legacy `current/` dir).
-    *
-    * Replay discipline (a checkpointed restart re-runs the last
-    * batchId): a COMPLETE `v<batchId>` is the deterministic product of
-    * the batch that wrote it — never rewrite it, or the overwrite's
-    * delete phase reopens the no-snapshot window on the dir `_latest`
-    * may already name. An INCOMPLETE leftover (crash mid-write;
-    * resolve() never returns it) is cleared and rewritten. */
-  private[streaming] def publishVersionedSnapshot(
-      spark: org.apache.spark.sql.SparkSession, snapshotPath: String,
-      batchId: Long, df: DataFrame): Unit = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val base = new org.apache.hadoop.fs.Path(snapshotPath)
-    val fs = base.getFileSystem(hconf)
-    val nextName = s"v$batchId"
-    val nextPath = new org.apache.hadoop.fs.Path(base, nextName)
-    val nextDone = new org.apache.hadoop.fs.Path(nextPath, "_SUCCESS")
-    if (!fs.exists(nextDone)) {
-      if (fs.exists(nextPath)) fs.delete(nextPath, true)
-      df.write.mode("overwrite").parquet(nextPath.toString)
-    }
-    // publish: tmp pointer + atomic overwrite rename
-    val tmp = new org.apache.hadoop.fs.Path(base, "_latest.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(nextName.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(base.toUri, hconf)
-      .rename(tmp, new org.apache.hadoop.fs.Path(base, "_latest"),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // prune all but the 2 newest versions; a migrated pre-round-7
-    // `current/` dir is superseded once the first pointer lands
-    fs.listStatus(base).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
-      .sortBy(_.getPath.getName.drop(1).toLong)
-      .dropRight(2)
-      .foreach(s => fs.delete(s.getPath, true))
-    fs.delete(new org.apache.hadoop.fs.Path(base, "current"), true)
-    ()
   }
 
   def followWithin(events: DataFrame, triggerType: String = "purchase",
@@ -561,53 +520,53 @@ object StreamingPipelines {
     *
     * Scale shape: the corpus-scale work (ordering each actor's events)
     * already happened in the O(1)-state stateful operator upstream; each
-    * micro-batch merge is `union + re-aggregate` of the node²-bounded
-    * edge relation — the same bounded-relation contract as the batch
-    * [[graft.operators.Graph.pageRank]] iteration. Snapshots publish
-    * with the same crash-safe versioned protocol as the CDC corpus
-    * (immutable `v<batchId>` dirs + atomic `_latest` flip +
-    * `_SUCCESS`-gated recovery), so a reader — including the re-rank —
-    * always sees a complete edge relation at every crash point.
+    * micro-batch merge is `union + re-aggregate` over ONLY the buckets
+    * the batch's edges touch — since round 10 the relation lives in a
+    * [[BucketedSnapshotStore]] keyed on (src, dst), so bytes written per
+    * trigger ∝ delta, not the full (node²-bounded) relation. Same
+    * crash-safety as the CDC corpus: immutable versioned artifacts,
+    * atomic `_latest` flip, complete-state recovery at every crash
+    * point, and a (queryId, batchId) transaction token making the
+    * publish exactly-once across checkpointed replays. The re-aggregate
+    * merge is bucket-local-correct because an edge's weight rows never
+    * leave the bucket of its (src, dst) hash.
     *
-    * Exactly-once: on a replayed batchId the merge recomputes, but
-    * [[publishVersionedSnapshot]] never rewrites a COMPLETE
-    * `v<batchId>`, so the PUBLISHED snapshot is exactly-once even when
-    * `sink` observes an at-least-once duplicate (same caveat as the CDC
-    * loop; durable `checkpointLocation` keeps batchIds stable). */
+    * `sink` observes the PUBLISHED snapshot per batch — exactly-once
+    * edge weights even on a replayed batch (round-9 advice: the old
+    * recomputed merge handed a replayed delta's weights to the sink
+    * twice, and weight summation is not idempotent). */
   def maintainEdgesStream(events: Dataset[NodeEvent], edgePath: String,
       horizonMs: Long = 24L * 3600 * 1000,
-      checkpointLocation: Option[String] = None)
+      checkpointLocation: Option[String] = None, nBuckets: Int = 64)
       (sink: (DataFrame, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = transitionEdgesStream(events, horizonMs).toDF()
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        import spark.implicits._
-        val current = resolveCdcSnapshot(spark, edgePath)
-          .map(p => spark.read.parquet(p.toString))
-          .getOrElse(Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w"))
         val delta = batch.groupBy(col("src"), col("dst"))
           .agg(count(lit(1)).as("w"))
-        val merged = current.unionByName(delta)
-          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-          .localCheckpoint() // sever lineage before versions get pruned
-        sink(merged, batchId)
-        publishVersionedSnapshot(spark, edgePath, batchId, merged)
+        BucketedSnapshotStore.publish(spark, edgePath, batchId, delta,
+            Seq("src", "dst"), nBuckets) { (current, d) =>
+          current.unionByName(d)
+            .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+        }
+        sink(BucketedSnapshotStore.read(spark, edgePath)
+          .getOrElse(delta.filter(lit(false))), batchId)
       }
     checkpointLocation.foreach(p => writer.option("checkpointLocation", p))
     writer.start()
   }
 
-  /** Periodic re-rank over the maintained edge snapshot: resolve the
-    * live version ([[resolveCdcSnapshot]] — same pointer protocol) and
-    * run the deterministic fixed-point PageRank on it. None = no
-    * snapshot published yet. */
+  /** Periodic re-rank over the maintained edge snapshot: read the live
+    * bucketed state ([[BucketedSnapshotStore.read]] — manifest + pointer
+    * protocol, legacy-layout fallback included) and run the
+    * deterministic fixed-point PageRank on it. None = no snapshot
+    * published yet (or an empty relation). */
   def pageRankFromSnapshot(spark: org.apache.spark.sql.SparkSession,
       edgePath: String, iters: Int = 5): Option[DataFrame] =
-    resolveCdcSnapshot(spark, edgePath).map(p =>
-      graft.operators.Graph.pageRank(spark.read.parquet(p.toString),
-        iters))
+    BucketedSnapshotStore.read(spark, edgePath)
+      .map(graft.operators.Graph.pageRank(_, iters))
 
   /** WATERMARKED STREAMING QUANTILES (round 9) — the histogram-quantile
     * sketch as a windowed streaming aggregate next to

@@ -215,28 +215,31 @@ class StreamingSpec extends SparkFunSuite {
     assert(rows.sorted == Seq((1L, "one", 1L), (2L, "two", 1L)),
       s"duplicate delivery must collapse, got $rows")
     // crash simulation: the pointer flip is the last step — kill the
-    // pointer as if the JVM died right before it; recovery must find the
-    // newest v* dir, not restart the corpus from empty
+    // pointer as if the JVM died right before it; recovery must fall
+    // back to the newest manifest file, not restart the corpus from empty
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base, "_latest"), false)
-    assert(StreamingPipelines.resolveCdcSnapshot(s, dir).isDefined,
-      "pointerless state must resolve to the newest version dir")
+    assert(BucketedSnapshotStore.resolveManifest(s, dir).isDefined,
+      "pointerless state must resolve to the newest manifest")
     run(Seq(Seq((3L, "three", 1L, false))))
     assert(rows.sorted == Seq((1L, "one", 1L), (2L, "two", 1L),
       (3L, "three", 1L)),
       s"recovery lost the pre-crash corpus, got $rows")
-    // retention: current + previous version dirs remain, older pruned
-    val vs = fs.listStatus(base).map(_.getPath.getName)
-      .filter(_.matches("v\\d+")).sorted.toSeq
-    assert(vs.size <= 2, s"version pruning must keep at most 2, got $vs")
-    // an INCOMPLETE newer version (crash mid-write: no _SUCCESS) must be
-    // invisible to resolution — a partial corpus must never read as live
+    // retention: current + previous manifests remain, older pruned
+    val ms = fs.listStatus(new org.apache.hadoop.fs.Path(base, "manifests"))
+      .map(_.getPath.getName).filter(_.matches("m\\d+")).sorted.toSeq
+    assert(ms.size <= 2, s"manifest pruning must keep at most 2, got $ms")
+    // an UNCOMMITTED version dir (crash mid-write: no manifest ever
+    // referenced it) must be invisible — resolution is manifest-driven,
+    // so a partial write can never read as live state
     val junk = new org.apache.hadoop.fs.Path(base, "v999")
     fs.mkdirs(junk)
-    val resolved = StreamingPipelines.resolveCdcSnapshot(s, dir).get
-    assert(resolved.getName != "v999",
-      s"resolution must skip the uncommitted version, got $resolved")
+    assert(!BucketedSnapshotStore.resolveManifest(s, dir).get.buckets
+      .valuesIterator.contains(999L),
+      "no manifest may reference the uncommitted version")
+    assert(BucketedSnapshotStore.read(s, dir).get.count() == 3,
+      "the uncommitted version must not change the live state")
     fs.delete(junk, true)
     // pre-round-7 layout migration: a snapshot dir holding only
     // `current/` must seed the merge, not silently restart from empty
@@ -265,6 +268,90 @@ class StreamingSpec extends SparkFunSuite {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     assert(!fsOld.exists(new org.apache.hadoop.fs.Path(dirOld, "current")),
       "the migrated legacy dir is superseded after the first publish")
+  }
+
+  test("incremental snapshot publish: a small delta rewrites only its " +
+      "touched buckets — bytes written per batch scale with the delta, " +
+      "not the state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdci")
+      .toString + "/snap"
+    def run(batches: Seq[Seq[(Long, String, Long, Boolean)]]): Unit = {
+      val input = MemoryStream[(Long, String, Long, Boolean)]
+      val q = StreamingPipelines.mergeCdcStream(
+        input.toDF().toDF("doc_id", "text", "version", "deleted"),
+        "doc_id", "version", "deleted", dir, nBuckets = 16) { (_, _) => () }
+      try batches.foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    // batch 1: 200 keys spread over all 16 buckets
+    run(Seq((1L to 200L).map(k => (k, s"doc $k", 1L, false))))
+    val m1 = BucketedSnapshotStore.resolveManifest(s, dir).get
+    assert(m1.nBuckets == 16 && m1.buckets.size == 16,
+      s"200 hashed keys must populate all 16 buckets, got $m1")
+    // batch 2: one update + one delete — a 2-key delta
+    run(Seq(Seq((7L, "doc 7 v2", 2L, false), (8L, "gone", 2L, true))))
+    val m2 = BucketedSnapshotStore.resolveManifest(s, dir).get
+    val touchedExpected = Seq(7L, 8L).toDF("doc_id")
+      .select(BucketedSnapshotStore.bucketExpr(Seq("doc_id"), 16))
+      .collect().map(_.getInt(0)).toSet
+    // THE write-amplification pin: exactly the delta's buckets repointed
+    // to the new version; every other bucket still reads batch-1 files
+    val repointed = m2.buckets.filter(_._2 > m1.seq).keySet
+    assert(repointed == touchedExpected,
+      s"expected only buckets $touchedExpected rewritten, got $m2")
+    assert((m2.buckets -- touchedExpected) ==
+      (m1.buckets -- touchedExpected),
+      "untouched buckets must keep their previous version pointers")
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val v2Leaves = fs.listStatus(
+        new org.apache.hadoop.fs.Path(base, s"v${m2.seq}"))
+      .map(_.getPath.getName).filter(_.startsWith("__bucket="))
+      .map(_.stripPrefix("__bucket=").toInt).toSet
+    assert(v2Leaves == touchedExpected,
+      s"batch 2's version dir must hold ONLY the touched buckets, " +
+        s"got $v2Leaves")
+    // and the incrementally-assembled state is the full correct corpus
+    val state = BucketedSnapshotStore.read(s, dir).get.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("version"))).toMap
+    assert(state.size == 199, s"200 docs - 1 delete, got ${state.size}")
+    assert(state(7L) == ("doc 7 v2", 2L) && !state.contains(8L) &&
+      state(100L) == ("doc 100", 1L))
+  }
+
+  test("bucketed publish is exactly-once per (queryId, batchId): a " +
+      "replayed batch re-flips the pointer but never re-applies its " +
+      "non-idempotent delta") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapx")
+      .toString + "/store"
+    def pub(batchId: Long): Unit =
+      BucketedSnapshotStore.publish(s, dir, batchId,
+          Seq((1L, 5L)).toDF("k", "n"), Seq("k"), nBuckets = 8) {
+        (cur, d) => cur.unionByName(d).groupBy(col("k"))
+          .agg(sum(col("n")).as("n"))
+      }
+    def total: Long = BucketedSnapshotStore.read(s, dir).get
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    pub(0L)
+    assert(total == 5L)
+    pub(0L) // replay of the same (queryId, batchId): additive merge must NOT double-count
+    assert(total == 5L, "a replayed batch must not re-apply its delta")
+    // crash-after-publish replay with a lost pointer: the guard restores it
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base, "_latest"), false)
+    pub(0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(base, "_latest")) &&
+      total == 5L, "replay must restore the pointer without re-applying")
+    pub(1L) // a genuinely new batch with the same payload applies
+    assert(total == 10L)
   }
 
   test("trending terms: windowed Misra-Gries state folds across " +
@@ -763,8 +850,7 @@ class StreamingQualityMonitorSpec extends graft.SparkFunSuite {
       (b1 ++ b2).toDF("user_id", "ts", "event_id", "node"),
       actor = col("user_id"), node = col("node"),
       order = Seq(col("ts"), col("event_id")))
-    val maintained = StreamingPipelines.resolveCdcSnapshot(s, edgePath)
-      .map(p => s.read.parquet(p.toString))
+    val maintained = BucketedSnapshotStore.read(s, edgePath)
       .getOrElse(fail("no published edge snapshot"))
     assert(edgeSet(maintained) == edgeSet(batchEdges),
       "maintained edge relation must equal the batch extraction")
