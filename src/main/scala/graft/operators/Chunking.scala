@@ -82,14 +82,17 @@ object Chunking {
     * n_tokens = seqLen everywhere except the final partial sequence.
     *
     * The global prefix sum is TWO-PHASE, never single-partition: ids
-    * range-shard on exact [[Layout.rangeBoundaries]] quantiles
+    * range-shard on exact [[Layout.equiCountBoundaries]] quantiles
     * (contiguous AND row-balanced by construction), per-shard windows
     * compute local sums, and each shard's start offset is the sum of
     * earlier shard totals — an nShards-row collect broadcast back as a
     * literal array. At 100 TB that is one bounded histogram pass + one
-    * shard-keyed window, no `Window.orderBy` over the world. */
+    * shard-keyed window, no `Window.orderBy` over the world.
+    * `nShards <= 0` (the default) auto-sizes to the session's shuffle
+    * parallelism; any explicit value up to 4096 gives the same result
+    * (sharding is parallelization, not semantics). */
   def fixedPack(docs: DataFrame, textCol: String, idCol: String,
-      seqLen: Int, nShards: Int = 8): DataFrame = {
+      seqLen: Int, nShards: Int = 0): DataFrame = {
     val L = seqLen.toLong
     fixedPackSpanBase(docs, textCol, idCol, seqLen, nShards)
       .groupBy(col("seq_id"))
@@ -113,7 +116,7 @@ object Chunking {
     * prefix sum, then a row-local explode; the span arithmetic is pure
     * integer projection on the exploded rows. */
   def fixedPackSpans(docs: DataFrame, textCol: String, idCol: String,
-      seqLen: Int, nShards: Int = 8): DataFrame = {
+      seqLen: Int, nShards: Int = 0): DataFrame = {
     val L = seqLen.toLong
     fixedPackSpanBase(docs, textCol, idCol, seqLen, nShards)
       .select(col("seq_id"), col("id").as("doc_id"),
@@ -130,18 +133,32 @@ object Chunking {
     * the sharded prefix sum, exploded to one row per (doc, sequence it
     * touches). */
   private def fixedPackSpanBase(docs: DataFrame, textCol: String,
-      idCol: String, seqLen: Int, nShards: Int): DataFrame = {
-    require(seqLen > 0 && nShards >= 1 && nShards <= 64)
+      idCol: String, seqLen: Int, nShards0: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    // nShards ≤ 0 = auto: track the session's shuffle parallelism (the
+    // same rule Layout.rangeBoundaries uses for its own shard count), so
+    // the prefix-sum window stage widens with the cluster instead of the
+    // pre-round-10 hard 64-way ceiling. The output is shard-INVARIANT
+    // (sharding only parallelizes the one global doc-id-ordered stream),
+    // so auto-sizing never changes results — pinned by FixedPackSpec.
+    val nShards = if (nShards0 > 0) nShards0 else math.max(1, docs
+      .sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    require(nShards <= 4096, s"nShards must be <= 4096, got $nShards")
     val base = docs.select(col(idCol).cast("long").as("id"),
       size(TF.normTokens(col(textCol))).cast("long").as("n"))
-    val percents = (1 until nShards).map(i => i * 100 / nShards)
-      .filter(p => p > 0 && p < 100).distinct
     val bs =
-      if (percents.isEmpty) Seq.empty[Long]
-      else Layout.rangeBoundaries(base, "id", percents)
+      if (nShards == 1) Seq.empty[Long]
+      else Layout.equiCountBoundaries(base, "id", nShards)
+    // shard = count of boundaries strictly below id. The when-chain is
+    // whole-stage-codegen'd but its expression TREE grows with the
+    // boundary count (deep reduce + one method split per ~branch), so
+    // past 128 boundaries switch to one constant-size filter-HOF node —
+    // interpreted lambda, same O(|bs|) per-row arithmetic, no tree blowup.
     val shardCol =
       if (bs.isEmpty) lit(0)
-      else bs.map(b => when(col("id") > b, 1).otherwise(0)).reduce(_ + _)
+      else if (bs.length <= 128)
+        bs.map(b => when(col("id") > b, 1).otherwise(0)).reduce(_ + _)
+      else size(filter(typedLit(bs), b => col("id") > b))
     val sharded = base.withColumn("shard", shardCol)
     val totals = sharded.groupBy(col("shard")).agg(sum(col("n")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

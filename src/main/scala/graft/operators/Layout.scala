@@ -70,6 +70,30 @@ object Layout {
   def rangeBoundaries(df: DataFrame, valueCol: String,
       percents: Seq[Int]): Seq[Long] = {
     require(percents.nonEmpty && percents.forall(p => p > 0 && p < 100))
+    // ceil(p·n/100): p ≤ 99, so p·n stays far inside int64 at any corpus
+    boundariesAtThresholds(df, valueCol,
+      n => percents.map(p => (p.toLong * n + 99) / 100))
+  }
+
+  /** EXACT equi-count shard boundaries: the `k`-way generalization of
+    * [[rangeBoundaries]] that integer percents cannot express past ~100
+    * shards (`i*100/k` collapses to duplicate percents and ceilings out
+    * near 100). For shard i ∈ [1, k): the smallest value whose cumulative
+    * count reaches `ceil(i·n/k)` — so splitting on `value > b_i` yields k
+    * contiguous, row-balanced shards. Returns ≤ k-1 DISTINCT ascending
+    * boundaries (fewer when n < k or the value domain is too tied to
+    * separate shards). Same distributed two-pass shape and driver-traffic
+    * guarantee as [[rangeBoundaries]]; `k` is capped at 4096 because each
+    * threshold is one aggregate column in the final one-row collect. */
+  def equiCountBoundaries(df: DataFrame, valueCol: String,
+      k: Int): Seq[Long] = {
+    require(k >= 2 && k <= 4096, s"shard count must be in [2, 4096], got $k")
+    boundariesAtThresholds(df, valueCol,
+      n => (1L until k.toLong).map(i => (i * n + k - 1) / k)).distinct
+  }
+
+  private def boundariesAtThresholds(df: DataFrame, valueCol: String,
+      thresholds: Long => Seq[Long]): Seq[Long] = {
     val shards = boundaryShards(df)
     val hist = df.select(col(valueCol).cast("long").as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
@@ -88,7 +112,7 @@ object Layout {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = hist.withColumn("cc",
         sum(col("c")).over(w) + element_at(typedLit(offs), col("pid")))
-      val needs = percents.map(p => (p.toLong * n + 99) / 100)
+      val needs = thresholds(n)
       // needs ≤ ceil(99n/100) ≤ n = cc at max v, so each min() is always
       // populated; max(v) is a belt-and-braces fallback only
       val aggCols = needs.zipWithIndex.map { case (need, i) =>

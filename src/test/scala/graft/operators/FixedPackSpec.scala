@@ -41,6 +41,26 @@ class FixedPackSpec extends SparkFunSuite {
     assert(a == b)
   }
 
+  test("shard count scales past the old 64 ceiling: nShards=256 (the " +
+      "filter-HOF shard path) matches nShards=1 and the auto default") {
+    // 300 docs ⇒ ~255 distinct equi-count boundaries ⇒ the >128-boundary
+    // HOF shard assignment is the code path under test
+    val docs = docsOf((0 until 300).map(i => (i * 7919) % 23))
+    val one = Chunking.fixedPack(docs, "text", "doc_id", seqLen = 16,
+      nShards = 1).collect().toSeq
+    val auto = Chunking.fixedPack(docs.repartition(7), "text", "doc_id",
+      seqLen = 16).collect().toSeq
+    val wide = Chunking.fixedPack(docs.repartition(3), "text", "doc_id",
+      seqLen = 16, nShards = 256).collect().toSeq
+    assert(auto == one && wide == one,
+      "packing must be invariant to shard count")
+    val spansWide = Chunking.fixedPackSpans(docs, "text", "doc_id",
+      seqLen = 16, nShards = 256).collect().toSeq
+    val spansOne = Chunking.fixedPackSpans(docs, "text", "doc_id",
+      seqLen = 16, nShards = 1).collect().toSeq
+    assert(spansWide == spansOne)
+  }
+
   test("spans: tile every full sequence exactly, agree with fixedPack " +
       "totals, and carry consistent in-document offsets") {
     val docs = docsOf(Seq(5, 9, 3, 14, 2, 7, 1))

@@ -134,6 +134,24 @@ class LayoutSpec extends SparkFunSuite {
       Seq(5L, 5L, 5L))
   }
 
+  test("equiCountBoundaries: exact k-way thresholds, duplicate collapse " +
+      "past the integer-percent ceiling") {
+    // values 1..10 once each, k=4: ceil(i·10/4) → needs 3,5,8 → the same
+    // cuts p25/50/75 give — the percent API is the k≤100 special case
+    val df = (1L to 10L).toDF("v")
+    assert(Layout.equiCountBoundaries(df, "v", 4) == Seq(3L, 5L, 8L))
+    // k=256 over 10 distinct values: integer percents could never express
+    // these cuts (i·100/256 collapses); the count rule yields each value
+    // once after dedup — ≤ k-1 DISTINCT ascending boundaries
+    assert(Layout.equiCountBoundaries(df, "v", 256) == (1L to 10L))
+    // row-balance on a unique-id domain: k=32 over 0..9999 ⇒ boundary i
+    // at ceil(i·n/32) − 1
+    val n = 10000
+    val ids = (0L until n.toLong).toDF("v").repartition(11)
+    assert(Layout.equiCountBoundaries(ids, "v", 32) ==
+      (1 until 32).map(i => (i.toLong * n + 31) / 32 - 1))
+  }
+
   test("rangeBoundaries on a corpus-sized UNIQUE-id domain stays exact " +
       "(the fixedPack shape: one histogram row per document)") {
     // every value distinct ⇒ the histogram is as large as the input —
