@@ -23,11 +23,15 @@ import graft.functions.{VectorFunctions => VF}
   * `n · max(norm2q) < 10^19`. Unit-norm embeddings (norm2q ≈ 10^6) stay
   * exact to ~10^13 rows; grossly unnormalized corpora need a norm
   * pre-scale or a smaller quantization constant. OUTSIDE the bound the
-  * engines diverge at the margin: Spark's overflowing product is NULL
-  * under non-ANSI mode (the row silently fails the z-test; the zero-norm
-  * disjunct still fires), while an int128 oracle errors or keeps going —
-  * the documented edge of the exactness contract, not a silent wrong
-  * answer inside it.
+  * contract is FAIL-LOUD: under Spark 4's default ANSI mode
+  * (`spark.sql.ansi.enabled=true`, which this library does not override)
+  * a decimal overflow throws `ARITHMETIC_OVERFLOW` rather than silently
+  * mis-flagging rows; an int128 oracle likewise errors or keeps going.
+  * (Only a session explicitly switched to legacy non-ANSI mode would see
+  * the overflowing product as NULL — there the row silently fails the
+  * z-test while the zero-norm disjunct still fires.) Either way the edge
+  * of the exactness contract is an error or a documented miss, never a
+  * silent wrong answer inside the bound.
   *
   * Scale shape: one calibration scan reducing to a 3-number broadcast
   * (count, Σ, Σ² — the int8 quantizer's shape), one flagging scan; the
@@ -70,11 +74,24 @@ object Embeddings {
     * @return (pos, component) — dim rows, component on the 1e6 scale */
   def dominantDirection(df: DataFrame, vecCol: String,
       iters: Int = 2): DataFrame = {
-    require(iters >= 1)
     val spark = df.sparkSession
+    val v = dominantDirectionQuantized(
+      df.select(transform(VF.asDouble(col(vecCol)),
+        x => round(x * 1e6).cast("long")).as("qv")), iters)
+    import spark.implicits._
+    v.zipWithIndex.map { case (c, p) => (p, c) }.toSeq
+      .toDF("pos", "component")
+  }
+
+  /** The power-iteration core of [[dominantDirection]] over an
+    * ALREADY-QUANTIZED corpus (`qv`: array<long> on the 1e6 scale) —
+    * split out so [[topDirections]] can retrain on DEFLATED quantized
+    * vectors without a double round-trip. Returns the 1e6-scaled,
+    * sign-fixed direction as a driver array (dim longs). */
+  private def dominantDirectionQuantized(q: DataFrame,
+      iters: Int): Array[Long] = {
+    require(iters >= 1)
     val dec = DecimalType(38, 0)
-    val q = df.select(transform(VF.asDouble(col(vecCol)),
-      x => round(x * 1e6).cast("long")).as("qv"))
     val sums = q.select(posexplode(col("qv")).as(Seq("pos", "x")))
       .groupBy(col("pos"))
       .agg(sum(col("x").cast(dec)).as("s"), count(lit(1)).as("n"))
@@ -120,9 +137,71 @@ object Embeddings {
       val lead = scaled.indices.minBy(i => (-math.abs(scaled(i)), i))
       v = if (scaled(lead) < 0) scaled.map(-_) else scaled
     }
+    v
+  }
+
+  /** TOP-K PRINCIPAL DIRECTIONS by DEFLATION — the full
+    * "all-but-the-top" prescription (Mu & Viswanath, ICLR 2018, remove
+    * the top D directions, not just one): train the dominant direction,
+    * project it out of every vector ([[removeDominant]]'s exact
+    * truncated-division arithmetic, applied to the raw quantized
+    * vectors), retrain on the deflated corpus, repeat k times. Because
+    * each deflation zeroes (to truncation) every vector's component
+    * along the removed direction, successive directions come out
+    * near-orthogonal — pinned by spec on a planted-two-axis corpus.
+    *
+    * Exactness: the deflated vectors stay on the int64 1e6 scale
+    * (`qv' = qv − (coeff·d) ÷ 1e6` — the same contract bounds as
+    * [[removeDominant]]), so every level replays the identical
+    * fixed-point chain and the whole k-level pipeline is bit-identical
+    * across engines; the DuckDB oracle replays ALL levels in HUGEINT.
+    *
+    * Scale shape: level j costs exactly one [[dominantDirection]]
+    * training (1 + iters corpus scans, dim-long driver traffic) plus a
+    * row-local deflation projection folded into the NEXT level's first
+    * scan; each level's deflated corpus is `localCheckpoint`ed so level
+    * j+1 scans materialized arrays instead of re-running the whole
+    * deflation lineage per iteration. The corpus never shuffles.
+    *
+    * @return (k, pos, component) — k·dim rows, k 1-based in extraction
+    *         order, components on the 1e6 scale */
+  def topDirections(df: DataFrame, vecCol: String, k: Int,
+      iters: Int = 2): DataFrame = {
+    require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
+    val spark = df.sparkSession
+    var q = df.select(transform(VF.asDouble(col(vecCol)),
+      x => round(x * 1e6).cast("long")).as("qv")).localCheckpoint()
+    val dirs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    try {
+      (1 to k).foreach { level =>
+        val d = dominantDirectionQuantized(q, iters)
+        dirs += d
+        if (level < k) {
+          val bigD = d.map(x => BigInt(x) * BigInt(x)).sum
+          require(bigD > 0 && bigD <= BigInt(Long.MaxValue),
+            "direction norm out of the int64 contract")
+          val dDiv = (bigD / 1000000).toLong max 1L
+          def truncDiv(a: Column, b: Column): Column =
+            signum(a).cast("long") *
+              graft.functions.TextFunctions.intDivNonNeg(abs(a), b)
+          val t = aggregate(zip_with(col("qv"), typedLit(d.toSeq),
+            (x, w) => x * w), lit(0L), (acc, x) => acc + x)
+          val deflated = q.select(col("qv"),
+              truncDiv(t, lit(dDiv)).as("coeff"))
+            .select(zip_with(col("qv"), typedLit(d.toSeq),
+              (x, w) => x - truncDiv(col("coeff") * w, lit(1000000L)))
+              .as("qv"))
+          val prev = q
+          q = deflated.localCheckpoint()
+          prev.unpersist()
+          ()
+        }
+      }
+    } finally { q.unpersist(); () }
     import spark.implicits._
-    v.zipWithIndex.map { case (c, p) => (p, c) }.toSeq
-      .toDF("pos", "component")
+    dirs.toSeq.zipWithIndex.flatMap { case (d, i) =>
+      d.zipWithIndex.map { case (c, p) => (i + 1, p, c) }
+    }.toDF("k", "pos", "component")
   }
 
   /** ALL-BUT-THE-TOP removal audit (the second half of
@@ -165,8 +244,10 @@ object Embeddings {
       truncDiv(t, lit(dDiv)).as("coeff_q"))
     val adj = zip_with(col("qv"), typedLit(direction.toSeq),
       (x, d) => x - truncDiv(col("coeff_q") * d, lit(1000000L)))
-    // decimal fold + final long cast: a contract-violating giant norm
-    // surfaces as NULL (visible) instead of wrapped int64 garbage
+    // decimal fold + final long cast: under Spark 4's default ANSI mode
+    // a contract-violating giant norm throws (CAST_OVERFLOW /
+    // ARITHMETIC_OVERFLOW) instead of wrapping to int64 garbage; a
+    // legacy non-ANSI session would see NULL — fail-loud either way
     withCoeff.select(col("id"), col("coeff_q"),
         aggregate(col("qv"), lit(java.math.BigDecimal.ZERO).cast(dec),
           (acc, x) => acc + (x.cast(dec) * x.cast(dec)))

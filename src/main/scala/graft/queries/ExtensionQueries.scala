@@ -1426,6 +1426,15 @@ object ExtensionQueries {
           col("norm2q_before"), col("norm2q_after"))
     }),
 
+    // top-k principal directions by deflation (round 10) — the full
+    // all-but-the-top prescription: train, project out, retrain on the
+    // deflated corpus. The oracle replays BOTH levels (each two power
+    // iterations + the truncated-division deflation) in HUGEINT.
+    "emb_top_dirs" -> ((s, dir) =>
+      graft.operators.Embeddings.topDirections(
+          t(s, dir, "embeddings"), "embedding", k = 2, iters = 2)
+        .orderBy(col("k"), col("pos"))),
+
     // written inverted index: postings partitioned by term-hash bucket,
     // probe reads only the probe terms' buckets (PartitionFilters — the
     // text twin of sim_topk_ivf_indexed's layout)
@@ -2226,7 +2235,7 @@ object ExtensionQueries {
     // global window in the oracle — identical arithmetic
     "corpus_pack_fixed" -> ((s, dir) =>
       Chunking.fixedPack(t(s, dir, "documents"), "text", "doc_id",
-        seqLen = 512, nShards = 8)),
+        seqLen = 512)),
 
     // the loader-facing span index of the same packing (round 9): one
     // row per (sequence, contributing document) with in-sequence and
@@ -2234,7 +2243,7 @@ object ExtensionQueries {
     // oracle recomputes the identical global-offset arithmetic
     "corpus_pack_spans" -> ((s, dir) =>
       Chunking.fixedPackSpans(t(s, dir, "documents"), "text", "doc_id",
-        seqLen = 512, nShards = 8)),
+        seqLen = 512)),
 
     // deterministic range-partitioned export: exact p25/p50/p75 length
     // boundaries (count-threshold rule, no sampling) assign each doc a
@@ -2792,56 +2801,91 @@ object ExtensionQueries {
     * (never bare `//` on a negative — floor-vs-truncate differs across
     * engines); HUGEINT everywhere a sum crosses int64. Mirrors
     * `Embeddings.dominantDirection` step for step. */
+  /** TWO-iteration power-iteration chain over an (vec_id, pos, x) CTE,
+    * all CTE names prefixed `pfx` and ending at `${pfx}dir` (pos, v) —
+    * parameterized so emb_top_dirs can replay the SAME chain per
+    * deflation level. Arithmetic identical to the round-9 inline form:
+    * sign-symmetric truncation everywhere, HUGEINT past int64.
+    *
+    * Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    * reference, and STACKING two of these chains (each referencing its
+    * predecessors several times) re-evaluates the upstream chain
+    * multiplicatively — the un-hinted two-level emb_top_dirs oracle ran
+    * >25 min where the materialized form takes 0.1 s. Results are
+    * identical; measured on DuckDB 1.0.0. */
+  private def dirChainSql(pfx: String, inCte: String): String =
+    s"""${pfx}ms AS MATERIALIZED (SELECT pos, SUM(CAST(x AS HUGEINT)) AS s,
+      |    CAST(COUNT(*) AS HUGEINT) AS n
+      |  FROM $inCte GROUP BY pos),
+      |${pfx}mn AS MATERIALIZED (SELECT pos, CASE WHEN s < 0 THEN -((-s) // n)
+      |    ELSE s // n END AS m
+      |  FROM ${pfx}ms),
+      |${pfx}cx AS MATERIALIZED (SELECT e.vec_id, e.pos, e.x - mn.m AS c
+      |  FROM $inCte e JOIN ${pfx}mn mn ON mn.pos = e.pos),
+      |${pfx}t1 AS MATERIALIZED (SELECT vec_id, SUM(CAST(c AS HUGEINT) * 1000000) AS t
+      |  FROM ${pfx}cx GROUP BY vec_id),
+      |${pfx}ts1 AS MATERIALIZED (SELECT vec_id, CASE WHEN t < 0 THEN -((-t) // 1000000)
+      |    ELSE t // 1000000 END AS ts
+      |  FROM ${pfx}t1),
+      |${pfx}u1 AS MATERIALIZED (SELECT pos, SUM(CAST(ts AS HUGEINT) * c) AS u
+      |  FROM ${pfx}ts1 JOIN ${pfx}cx USING (vec_id) GROUP BY pos),
+      |${pfx}m1 AS MATERIALIZED (SELECT MAX(ABS(u)) AS mx FROM ${pfx}u1),
+      |${pfx}v1 AS MATERIALIZED (SELECT pos, CASE WHEN u < 0
+      |      THEN -(((-u) * 1000000) // mx)
+      |      ELSE (u * 1000000) // mx END AS vs
+      |  FROM ${pfx}u1 CROSS JOIN ${pfx}m1),
+      |${pfx}l1 AS MATERIALIZED (SELECT vs AS lv FROM ${pfx}v1
+      |  ORDER BY ABS(vs) DESC, pos LIMIT 1),
+      |${pfx}w1 AS MATERIALIZED (SELECT pos, CASE WHEN (SELECT lv FROM ${pfx}l1) < 0
+      |    THEN -vs ELSE vs END AS v
+      |  FROM ${pfx}v1),
+      |${pfx}t2 AS MATERIALIZED (SELECT c.vec_id, SUM(CAST(c.c AS HUGEINT) * w.v) AS t
+      |  FROM ${pfx}cx c JOIN ${pfx}w1 w ON w.pos = c.pos
+      |  GROUP BY c.vec_id),
+      |${pfx}ts2 AS MATERIALIZED (SELECT vec_id, CASE WHEN t < 0 THEN -((-t) // 1000000)
+      |    ELSE t // 1000000 END AS ts
+      |  FROM ${pfx}t2),
+      |${pfx}u2 AS MATERIALIZED (SELECT pos, SUM(CAST(ts AS HUGEINT) * c) AS u
+      |  FROM ${pfx}ts2 JOIN ${pfx}cx USING (vec_id) GROUP BY pos),
+      |${pfx}m2 AS MATERIALIZED (SELECT MAX(ABS(u)) AS mx FROM ${pfx}u2),
+      |${pfx}v2 AS MATERIALIZED (SELECT pos, CASE WHEN u < 0
+      |      THEN -(((-u) * 1000000) // mx)
+      |      ELSE (u * 1000000) // mx END AS vs
+      |  FROM ${pfx}u2 CROSS JOIN ${pfx}m2),
+      |${pfx}l2 AS MATERIALIZED (SELECT vs AS lv FROM ${pfx}v2
+      |  ORDER BY ABS(vs) DESC, pos LIMIT 1),
+      |${pfx}dir AS MATERIALIZED (SELECT pos,
+      |    CASE WHEN (SELECT lv FROM ${pfx}l2) < 0 THEN -vs ELSE vs END AS v
+      |  FROM ${pfx}v2)""".stripMargin
+
+  /** Deflation of `$inEx` (vec_id, pos, x) by direction `$dirCte`
+    * (pos, v) → `${pfx}ex` with the projection removed —
+    * removeDominant's exact truncated-division arithmetic. */
+  private def deflateChainSql(pfx: String, inEx: String,
+      dirCte: String): String =
+    s"""${pfx}dd AS MATERIALIZED (SELECT GREATEST(SUM(v * v) // 1000000, 1) AS dd
+      |  FROM $dirCte),
+      |${pfx}t AS MATERIALIZED (SELECT e.vec_id, SUM(CAST(e.x AS HUGEINT) * w.v) AS t
+      |  FROM $inEx e JOIN $dirCte w ON w.pos = e.pos GROUP BY e.vec_id),
+      |${pfx}c AS MATERIALIZED (SELECT vec_id, CASE WHEN t < 0 THEN -((-t) // dd)
+      |    ELSE t // dd END AS coeff
+      |  FROM ${pfx}t CROSS JOIN ${pfx}dd),
+      |${pfx}ex AS MATERIALIZED (SELECT e.vec_id, e.pos,
+      |    e.x - (CASE WHEN c.coeff * w.v < 0
+      |      THEN -((-(c.coeff * w.v)) // 1000000)
+      |      ELSE (c.coeff * w.v) // 1000000 END) AS x
+      |  FROM $inEx e JOIN $dirCte w ON w.pos = e.pos
+      |  JOIN ${pfx}c c ON c.vec_id = e.vec_id)""".stripMargin
+
   private lazy val DominantDirCtesSql =
-    """deq AS (SELECT vec_id,
+    s"""deq AS MATERIALIZED (SELECT vec_id,
       |    list_transform(CAST(embedding AS DOUBLE[]),
       |      x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
       |  FROM embeddings),
-      |dpos AS (SELECT CAST(p AS BIGINT) AS pos FROM range(0, 64) t(p)),
-      |dex AS (SELECT vec_id, pos, qv[pos + 1] AS x
+      |dpos AS MATERIALIZED (SELECT CAST(p AS BIGINT) AS pos FROM range(0, 64) t(p)),
+      |dex AS MATERIALIZED (SELECT vec_id, pos, qv[pos + 1] AS x
       |  FROM deq CROSS JOIN dpos),
-      |dms AS (SELECT pos, SUM(CAST(x AS HUGEINT)) AS s,
-      |    CAST(COUNT(*) AS HUGEINT) AS n
-      |  FROM dex GROUP BY pos),
-      |dmn AS (SELECT pos, CASE WHEN s < 0 THEN -((-s) // n)
-      |    ELSE s // n END AS m
-      |  FROM dms),
-      |dcx AS (SELECT e.vec_id, e.pos, e.x - dmn.m AS c
-      |  FROM dex e JOIN dmn ON dmn.pos = e.pos),
-      |dt1 AS (SELECT vec_id, SUM(CAST(c AS HUGEINT) * 1000000) AS t
-      |  FROM dcx GROUP BY vec_id),
-      |dts1 AS (SELECT vec_id, CASE WHEN t < 0 THEN -((-t) // 1000000)
-      |    ELSE t // 1000000 END AS ts
-      |  FROM dt1),
-      |du1 AS (SELECT pos, SUM(CAST(ts AS HUGEINT) * c) AS u
-      |  FROM dts1 JOIN dcx USING (vec_id) GROUP BY pos),
-      |dm1 AS (SELECT MAX(ABS(u)) AS mx FROM du1),
-      |dv1 AS (SELECT pos, CASE WHEN u < 0
-      |      THEN -(((-u) * 1000000) // mx)
-      |      ELSE (u * 1000000) // mx END AS vs
-      |  FROM du1 CROSS JOIN dm1),
-      |dl1 AS (SELECT vs AS lv FROM dv1
-      |  ORDER BY ABS(vs) DESC, pos LIMIT 1),
-      |dw1 AS (SELECT pos, CASE WHEN (SELECT lv FROM dl1) < 0
-      |    THEN -vs ELSE vs END AS v
-      |  FROM dv1),
-      |dt2 AS (SELECT c.vec_id, SUM(CAST(c.c AS HUGEINT) * w.v) AS t
-      |  FROM dcx c JOIN dw1 w ON w.pos = c.pos GROUP BY c.vec_id),
-      |dts2 AS (SELECT vec_id, CASE WHEN t < 0 THEN -((-t) // 1000000)
-      |    ELSE t // 1000000 END AS ts
-      |  FROM dt2),
-      |du2 AS (SELECT pos, SUM(CAST(ts AS HUGEINT) * c) AS u
-      |  FROM dts2 JOIN dcx USING (vec_id) GROUP BY pos),
-      |dm2 AS (SELECT MAX(ABS(u)) AS mx FROM du2),
-      |dv2 AS (SELECT pos, CASE WHEN u < 0
-      |      THEN -(((-u) * 1000000) // mx)
-      |      ELSE (u * 1000000) // mx END AS vs
-      |  FROM du2 CROSS JOIN dm2),
-      |dl2 AS (SELECT vs AS lv FROM dv2
-      |  ORDER BY ABS(vs) DESC, pos LIMIT 1),
-      |ddir AS (SELECT pos,
-      |    CASE WHEN (SELECT lv FROM dl2) < 0 THEN -vs ELSE vs END AS v
-      |  FROM dv2)""".stripMargin
+      |${dirChainSql("d", "dex")}""".stripMargin
 
   private lazy val IvfPqOracleSql =
     s"""WITH $IvfPqCtesSql
@@ -3488,6 +3532,20 @@ object ExtensionQueries {
         |    AS norm2q_after
         |FROM pa p JOIN pc c ON c.vec_id = p.vec_id
         |GROUP BY p.vec_id, c.coeff ORDER BY p.vec_id""".stripMargin,
+
+    // both deflation levels replayed end-to-end: level-1 chain (ddir),
+    // exact truncated-division deflation of the raw quantized vectors,
+    // level-2 chain (gdir) over the deflated corpus — all in HUGEINT
+    "emb_top_dirs" ->
+      s"""WITH $DominantDirCtesSql,
+        |${deflateChainSql("x1", "dex", "ddir")},
+        |${dirChainSql("g", "x1ex")}
+        |SELECT CAST(1 AS INT) AS k, CAST(pos AS INT) AS pos,
+        |  CAST(v AS BIGINT) AS component FROM ddir
+        |UNION ALL
+        |SELECT CAST(2 AS INT) AS k, CAST(pos AS INT) AS pos,
+        |  CAST(v AS BIGINT) AS component FROM gdir
+        |ORDER BY k, pos""".stripMargin,
 
     // identical left-to-right norm² fold, identical int64 quantization,
     // HUGEINT cross-multiplied z-test — bit-exact flag parity

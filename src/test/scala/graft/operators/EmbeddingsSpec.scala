@@ -78,6 +78,52 @@ class EmbeddingsSpec extends SparkFunSuite {
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("topDirections: recovers both planted axes in variance order, " +
+      "near-orthogonal, and k=1 equals dominantDirection") {
+    val s = spark
+    import s.implicits._
+    // two orthogonal planted axes, axis A with ~3x the coefficient
+    // spread of axis B, plus deterministic pseudo-noise
+    val da = Array(3.0, -1.0, 2.0, 0.5)
+    val db = Array(1.0, 3.0, 0.0, 0.0) // ⟨da, db⟩ = 0
+    val rows = (0 until 600).map { i =>
+      val a = ((i % 21) - 10.0) * 3.0
+      val b = ((i * 7 % 17) - 8.0)
+      val v = da.indices.map(p =>
+        (a * da(p) + b * db(p) +
+          0.01 * (((i * 31 + p * 17) % 7) - 3)).toFloat).toArray
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Embeddings.topDirections(df, "embedding", k = 2, iters = 3)
+      .orderBy("k", "pos").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(got.length == 8)
+    val d1 = got.filter(_._1 == 1).sortBy(_._2).map(_._3.toDouble)
+    val d2 = got.filter(_._1 == 2).sortBy(_._2).map(_._3.toDouble)
+    def cosTo(v: Array[Double], axis: Array[Double]): Double = {
+      val dot = v.zip(axis).map { case (x, y) => x * y }.sum
+      math.abs(dot) / (math.sqrt(v.map(x => x * x).sum) *
+        math.sqrt(axis.map(x => x * x).sum))
+    }
+    assert(cosTo(d1, da) > 0.99, s"level 1 missed axis A: ${cosTo(d1, da)}")
+    assert(cosTo(d2, db) > 0.99, s"level 2 missed axis B: ${cosTo(d2, db)}")
+    // successive directions near-orthogonal (deflation zeroes d1-mass)
+    assert(cosTo(d1, d2) < 0.05, s"directions not orthogonal: ${cosTo(d1, d2)}")
+    // k=1 is exactly dominantDirection
+    val k1 = Embeddings.topDirections(df, "embedding", k = 1, iters = 3)
+      .orderBy("pos").collect().map(_.getLong(2)).toSeq
+    val dom = Embeddings.dominantDirection(df, "embedding", iters = 3)
+      .orderBy("pos").collect().map(_.getLong(1)).toSeq
+    assert(k1 == dom)
+    // bit-identical under repartitioning (the whole chain is exact)
+    val again = Embeddings.topDirections(df.repartition(11), "embedding",
+        k = 2, iters = 3)
+      .orderBy("k", "pos").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("dominantDirection fails loudly on a degenerate corpus " +
       "(every vector equals the mean)") {
     val s = spark
