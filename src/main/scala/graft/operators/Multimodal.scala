@@ -881,7 +881,8 @@ object Multimodal {
   /** REAL GIF pixel decode — like [[decodePngPixels]], no codec library
     * needed: GIF's only compression is LZW (GIF87a Appendix C /
     * GIF89a §22), which is ~60 lines of table-building byte arithmetic;
-    * JPEG/MP3 remain the honest `no_codec` boundary. Supported: the
+    * MP3 remains the honest `no_codec` boundary (JPEG gained its real
+    * decoder in round 10 — [[decodeJpegPixels]]). Supported: the
     * FIRST image of a GIF87a/GIF89a stream, interlaced or not (the
     * 8/8/4/2 four-pass row reordering — the JDK's own writer interlaces
     * by default), rendered through its local-else-global color table
@@ -1118,6 +1119,465 @@ object Multimodal {
       }
   }
 
+  /** Entropy-coded-segment bit reader: MSB-first bits with JPEG byte
+    * stuffing (a 0xFF data byte is followed by 0x00 in the stream; any
+    * other 0xFF-pair is a real marker and ends bit supply). `readBit`
+    * returns -1 when the stream cannot supply (truncation or marker) —
+    * every consumer aborts the decode on it, never throws. */
+  private final class JpegBitReader(bytes: Array[Byte], start: Int) {
+    var pos: Int = start
+    private var acc = 0
+    private var nbits = 0
+    def readBit(): Int = {
+      if (nbits == 0) {
+        if (pos >= bytes.length) return -1
+        var b = bytes(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          if (pos >= bytes.length) return -1
+          if ((bytes(pos) & 0xff) == 0x00) pos += 1 // stuffed data 0xFF
+          else { pos -= 1; return -1 }              // real marker
+        }
+        acc = b; nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    /** n additional bits as an unsigned int, Int.MinValue on starve. */
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        val b = readBit(); if (b < 0) return Int.MinValue
+        v = (v << 1) | b; i += 1
+      }
+      v
+    }
+    /** Byte-align and consume the expected RSTn marker (n cycles 0-7).
+      * An unconsumed stuffed pad byte (an all-ones pad that landed on
+      * 0xFF is written FF 00) is skipped first. */
+    def expectRst(n: Int): Boolean = {
+      nbits = 0
+      if (pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff &&
+        (bytes(pos + 1) & 0xff) == 0x00) pos += 2
+      if (pos + 1 >= bytes.length) return false
+      if ((bytes(pos) & 0xff) != 0xff ||
+        (bytes(pos + 1) & 0xff) != 0xd0 + n) return false
+      pos += 2
+      true
+    }
+    /** Byte-align (discarding pad bits) for the post-scan EOI check;
+      * same stuffed-pad-byte skip as [[expectRst]]. */
+    def align(): Unit = {
+      nbits = 0
+      if (pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff &&
+        (bytes(pos + 1) & 0xff) == 0x00) pos += 2
+    }
+  }
+
+  /** Canonical JPEG Huffman table (ITU T.81 Annex C code assignment,
+    * F.16 decode): `counts(l)` codes of length l (1-16), symbols in
+    * code order. */
+  private final class JpegHuffTable(counts: Array[Int],
+      symbols: Array[Int]) {
+    private val minCode = new Array[Int](17)
+    private val maxCode = Array.fill(17)(-1)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l)
+        if (counts(l) > 0) maxCode(l) = code - 1
+        k += counts(l)
+        code <<= 1
+        l += 1
+      }
+    }
+    /** Next symbol, or -1 on starve / 16-bit overrun (malformed). */
+    def decode(br: JpegBitReader): Int = {
+      var code = 0; var l = 0
+      while (l < 16) {
+        val b = br.readBit(); if (b < 0) return -1
+        code = (code << 1) | b
+        l += 1
+        if (code <= maxCode(l)) return symbols(valPtr(l) + code - minCode(l))
+      }
+      -1
+    }
+  }
+
+  /** Zigzag position → natural (row-major) coefficient index (T.81
+    * Figure A.6). */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** IDCT basis: cosTab(x*8+u) = C(u)/2 · cos((2x+1)uπ/16). Two
+    * separable passes each carry one 1/2·C factor — together the T.81
+    * A.3.3 1/4·C(u)C(v) normalization. */
+  private val JpegCosTab: Array[Double] = Array.tabulate(64) { i =>
+    val x = i / 8; val u = i % 8
+    val c = if (u == 0) math.sqrt(0.5) else 1.0
+    0.5 * c * math.cos((2 * x + 1) * u * math.Pi / 16)
+  }
+
+  /** T.81 F.12 EXTEND: map `v` (t additional bits) to its signed
+    * coefficient value. */
+  private def jpegExtend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** Dequantized-coefficient 8×8 inverse DCT + level shift, clamped to
+    * a byte. The DC term is split out and scaled by an EXACT 0.125 (a
+    * power of two), so a DC-ONLY block decodes to precisely
+    * `clamp(round(dc·q/8) + 128)` — the closed-form contract the
+    * mm_jpeg_features oracle replays in integers; the AC part runs the
+    * separable double-precision basis (exactly zero when all ACs are).
+    * `coef` is natural order; output row-major into `out` at
+    * (ox, oy) with `stride`, cropping at (limW, limH). */
+  private def jpegIdctBlock(coef: Array[Int], out: Array[Byte],
+      ox: Int, oy: Int, stride: Int, limW: Int, limH: Int): Unit = {
+    val dc = coef(0) * 0.125
+    val tmp = new Array[Double](64)
+    // vertical pass: tmp(r, hf) = Σ_vf cos(r,vf)·F(vf,hf) — natural
+    // order is F(vf·8 + hf); the DC term is skipped (handled exactly)
+    var hf = 0
+    while (hf < 8) {
+      var r = 0
+      while (r < 8) {
+        var s = 0.0
+        var vf = 0
+        while (vf < 8) {
+          val f = coef(vf * 8 + hf)
+          if (f != 0 && (vf | hf) != 0) s += JpegCosTab(r * 8 + vf) * f
+          vf += 1
+        }
+        tmp(r * 8 + hf) = s
+        r += 1
+      }
+      hf += 1
+    }
+    // horizontal pass: f(r, c) = Σ_hf cos(c,hf)·tmp(r,hf)
+    var y = 0
+    while (y < 8 && oy + y < limH) {
+      var x = 0
+      while (x < 8 && ox + x < limW) {
+        var s = 0.0
+        var k = 0
+        while (k < 8) {
+          val t = tmp(y * 8 + k)
+          if (t != 0.0) s += JpegCosTab(x * 8 + k) * t
+          k += 1
+        }
+        val p = math.round(dc + s).toInt + 128
+        out((oy + y) * stride + ox + x) =
+          (if (p < 0) 0 else if (p > 255) 255 else p).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** REAL baseline JPEG pixel decode — the last big no-codec-library
+    * frontier after PNG ([[decodePngPixels]]) and GIF
+    * ([[decodeGifPixels]]): sequential DCT JPEG (ITU T.81 / JFIF) is
+    * canonical Huffman + differential DC + zigzag RLE dequantization +
+    * 8×8 IDCT + YCbCr→RGB — pure JVM arithmetic. Supported: SOF0
+    * (baseline sequential), 8-bit precision, 1 component (grayscale) or
+    * 3 components (YCbCr, any h/v sampling factors 1-4 — chroma
+    * upsampling is sample replication), byte stuffing, restart markers
+    * (DRI/RSTn with predictor reset), multi-table DQT/DHT segments.
+    * Progressive (SOF2), arithmetic coding (SOF9+/DAC), 12-bit, 16-bit
+    * quant tables, DNL, and 4-component CMYK → None — the PERMISSIVE
+    * contract of the other real decoders.
+    *
+    * Numerics: the IDCT's DC term is exact ([[jpegIdctBlock]] — a
+    * DC-only block is `clamp(round(dc·q/8) + 128)` in closed form, the
+    * mm_jpeg_features full-value-oracle hook); general blocks use the
+    * double-precision basis (well inside the T.81 Annex A accuracy
+    * bound — the ImageIO cross-check spec pins ±1 against the JDK's
+    * libjpeg on grayscale). Color conversion is the JFIF/BT.601
+    * full-range formula with round-half-up.
+    *
+    * Same anti-bomb discipline as PNG/GIF: the SOF-declared raster is
+    * gated by `maxPixels` AND an Int-stride guard BEFORE any
+    * allocation; every allocation is bounded by the declared geometry.
+    *
+    * @return (width, height, channels ∈ {1, 3}, top-down raster of
+    *         w·h·channels bytes) or None for anything undecodable. */
+  def decodeJpegPixels(bytes: Array[Byte], maxPixels: Long = 1L << 24)
+      : Option[(Int, Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.length < 4) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (u8(0) != 0xff || u8(1) != 0xd8) return None
+    val quant = new Array[Array[Int]](4)    // id → 64 entries, ZIGZAG order
+    val dcTab = new Array[JpegHuffTable](4)
+    val acTab = new Array[JpegHuffTable](4)
+    var dri = 0
+    // per-component SOF data: id, h, v, quant-table id
+    var compId: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var compQ: Array[Int] = null
+    var width = 0
+    var height = 0
+    var pos = 2
+    var sosAt = -1
+    var compDc: Array[Int] = null           // scan: DC table per comp
+    var compAc: Array[Int] = null
+    while (sosAt < 0) {
+      if (pos + 1 >= bytes.length) return None
+      if (u8(pos) != 0xff) return None
+      while (pos + 1 < bytes.length && u8(pos + 1) == 0xff) pos += 1 // fill
+      if (pos + 1 >= bytes.length) return None
+      val marker = u8(pos + 1)
+      pos += 2
+      marker match {
+        case 0x01 => // TEM — standalone
+        case m if m >= 0xd0 && m <= 0xd7 => // stray RST — standalone
+        case 0xd8 | 0xd9 => return None // SOI inside / EOI before scan
+        case _ =>
+          if (pos + 1 >= bytes.length) return None
+          val len = be16(pos)
+          if (len < 2 || pos + len > bytes.length) return None
+          val end = pos + len
+          var p = pos + 2
+          marker match {
+            case 0xc0 => // SOF0 — baseline sequential
+              if (compId != null) return None // second frame header
+              if (p + 5 >= end || u8(p) != 8) return None // 8-bit only
+              height = be16(p + 1); width = be16(p + 3)
+              val nc = u8(p + 5)
+              if (width <= 0 || height <= 0 || (nc != 1 && nc != 3))
+                return None
+              if (width.toLong * height > maxPixels ||
+                width.toLong * height * 3 > Int.MaxValue) return None
+              if (p + 6 + nc * 3 > end) return None
+              compId = new Array[Int](nc); compH = new Array[Int](nc)
+              compV = new Array[Int](nc); compQ = new Array[Int](nc)
+              var i = 0
+              while (i < nc) {
+                compId(i) = u8(p + 6 + i * 3)
+                val hv = u8(p + 7 + i * 3)
+                compH(i) = hv >> 4; compV(i) = hv & 15
+                compQ(i) = u8(p + 8 + i * 3)
+                if (compH(i) < 1 || compH(i) > 4 || compV(i) < 1 ||
+                  compV(i) > 4 || compQ(i) > 3) return None
+                i += 1
+              }
+            case m if (m >= 0xc1 && m <= 0xcf) && m != 0xc4 && m != 0xc8 =>
+              return None // progressive/arithmetic/hierarchical/lossless
+            case 0xc8 | 0xcc => return None // JPG reserved / DAC
+            case 0xc4 => // DHT — possibly several tables
+              while (p < end) {
+                if (p + 17 > end) return None
+                val tc = u8(p) >> 4; val th = u8(p) & 15
+                if (tc > 1 || th > 3) return None
+                val counts = new Array[Int](17)
+                var tot = 0
+                var l = 1
+                while (l <= 16) {
+                  counts(l) = u8(p + l); tot += counts(l); l += 1
+                }
+                if (tot == 0 || tot > 256 || p + 17 + tot > end) return None
+                val syms = new Array[Int](tot)
+                var k = 0
+                while (k < tot) { syms(k) = u8(p + 17 + k); k += 1 }
+                val t = new JpegHuffTable(counts, syms)
+                if (tc == 0) dcTab(th) = t else acTab(th) = t
+                p += 17 + tot
+              }
+            case 0xdb => // DQT — possibly several tables
+              while (p < end) {
+                val pq = u8(p) >> 4; val tq = u8(p) & 15
+                if (pq != 0 || tq > 3 || p + 65 > end) return None // 8-bit
+                val q = new Array[Int](64)
+                var k = 0
+                while (k < 64) { q(k) = u8(p + 1 + k); k += 1 }
+                quant(tq) = q
+                p += 65
+              }
+            case 0xdd => // DRI
+              if (len != 4) return None
+              dri = be16(p)
+            case 0xda => // SOS
+              if (compId == null) return None
+              if (p >= end) return None
+              val ns = u8(p)
+              if (ns != compId.length || p + 1 + ns * 2 + 3 > end)
+                return None
+              compDc = new Array[Int](ns); compAc = new Array[Int](ns)
+              var i = 0
+              while (i < ns) {
+                val cs = u8(p + 1 + i * 2)
+                val ci = compId.indexOf(cs)
+                if (ci != i) return None // interleaved in SOF order only
+                compDc(i) = u8(p + 2 + i * 2) >> 4
+                compAc(i) = u8(p + 2 + i * 2) & 15
+                if (compDc(i) > 3 || compAc(i) > 3) return None
+                i += 1
+              }
+              // spectral selection 0-63, no successive approximation
+              val ss = u8(p + 1 + ns * 2)
+              val se = u8(p + 2 + ns * 2)
+              val ahl = u8(p + 3 + ns * 2)
+              if (ss != 0 || se != 63 || ahl != 0) return None
+              sosAt = end
+            case 0xdc => return None // DNL — unsupported
+            case _ => // APPn / COM / other tabled segment: skip
+          }
+          if (sosAt < 0) pos = end
+      }
+    }
+    val nc = compId.length
+    var hmax = 1; var vmax = 1
+    var i = 0
+    while (i < nc) {
+      if (compH(i) > hmax) hmax = compH(i)
+      if (compV(i) > vmax) vmax = compV(i)
+      i += 1
+    }
+    if (nc == 1 && (compH(0) != 1 || compV(0) != 1)) return None
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    // component planes sized to the full MCU grid (≤ raster·factor ≤
+    // maxPixels·4·64/64 per plane — bounded by the SOF gate above)
+    val planeW = new Array[Int](nc)
+    val planeH = new Array[Int](nc)
+    val planes = new Array[Array[Byte]](nc)
+    i = 0
+    while (i < nc) {
+      planeW(i) = mcusX * compH(i) * 8
+      planeH(i) = mcusY * compV(i) * 8
+      if (planeW(i).toLong * planeH(i) > Int.MaxValue) return None
+      if (quant(compQ(i)) == null || dcTab(compDc(i)) == null ||
+        acTab(compAc(i)) == null) return None
+      planes(i) = new Array[Byte](planeW(i) * planeH(i))
+      i += 1
+    }
+    val br = new JpegBitReader(bytes, sosAt)
+    val dcPred = new Array[Int](nc)
+    val coef = new Array[Int](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    var rstIdx = 0
+    while (mcu < nMcus) {
+      if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+        if (!br.expectRst(rstIdx)) return None
+        rstIdx = (rstIdx + 1) % 8
+        java.util.Arrays.fill(dcPred, 0)
+      }
+      val my = mcu / mcusX
+      val mx = mcu % mcusX
+      var c = 0
+      while (c < nc) {
+        val q = quant(compQ(c))
+        var by = 0
+        while (by < compV(c)) {
+          var bx = 0
+          while (bx < compH(c)) {
+            java.util.Arrays.fill(coef, 0)
+            val t = dcTab(compDc(c)).decode(br)
+            if (t < 0 || t > 11) return None
+            val dv = br.receive(t)
+            if (dv == Int.MinValue) return None
+            dcPred(c) += jpegExtend(dv, t)
+            coef(0) = dcPred(c) * q(0)
+            var k = 1
+            var eob = false
+            while (!eob && k < 64) {
+              val rs = acTab(compAc(c)).decode(br)
+              if (rs < 0) return None
+              val r = rs >> 4; val s = rs & 15
+              if (s == 0) {
+                if (r == 15) k += 16 else eob = true // ZRL / EOB
+              } else {
+                k += r
+                if (k > 63 || s > 10) return None
+                val av = br.receive(s)
+                if (av == Int.MinValue) return None
+                coef(JpegZigzag(k)) = jpegExtend(av, s) * q(k)
+                k += 1
+              }
+            }
+            jpegIdctBlock(coef, planes(c),
+              (mx * compH(c) + bx) * 8, (my * compV(c) + by) * 8,
+              planeW(c), planeW(c), planeH(c))
+            bx += 1
+          }
+          by += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    // strict tail: pad bits, optional fill FFs, then EOI
+    br.align()
+    var tp = br.pos
+    if (tp + 1 >= bytes.length) return None
+    while (tp + 2 < bytes.length && u8(tp) == 0xff && u8(tp + 1) == 0xff)
+      tp += 1
+    if (u8(tp) != 0xff || u8(tp + 1) != 0xd9) return None
+    if (nc == 1) {
+      // crop the plane to the declared raster
+      val out = new Array[Byte](width * height)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(planes(0), y * planeW(0), out, y * width, width)
+        y += 1
+      }
+      Some((width, height, 1, out))
+    } else {
+      val out = new Array[Byte](width * height * 3)
+      val yP = planes(0); val cbP = planes(1); val crP = planes(2)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          def samp(ci: Int, p: Array[Byte]): Int =
+            p((y * compV(ci) / vmax) * planeW(ci) +
+              (x * compH(ci) / hmax)) & 0xff
+          val yy = samp(0, yP).toDouble
+          val cb = samp(1, cbP) - 128.0
+          val cr = samp(2, crP) - 128.0
+          def clamp(d: Double): Byte = {
+            val v = math.round(d).toInt
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          }
+          val base = (y * width + x) * 3
+          out(base) = clamp(yy + 1.402 * cr)
+          out(base + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+          out(base + 2) = clamp(yy + 1.772 * cb)
+          x += 1
+        }
+        y += 1
+      }
+      Some((width, height, 3, out))
+    }
+  }
+
+  /** JPEG features via [[rasterFeatures]] over [[decodeJpegPixels]]. */
+  def decodeJpegFeatures(bytes: Array[Byte]): Option[RasterFeatureRow] =
+    decodeJpegPixels(bytes).map { case (w, h, ch, px) =>
+      rasterFeatures(w, h, ch, px)
+    }
+
+  /** Per-partition batch JPEG decode: one row per decodable payload. */
+  def extractJpegFeatures(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[RasterFeatureRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
+      .as[BlobRow]
+      .mapPartitions { rows =>
+        rows.flatMap(r =>
+          decodeJpegFeatures(r.blob).map(_.copy(doc_id = r.doc_id)).iterator)
+      }
+  }
+
   /** One payload's decode-dispatch verdict (see [[extractDecodeAudit]]). */
   final case class DecodeAuditRow(doc_id: Long, kind: String, ok: Boolean,
       reason: String)
@@ -1143,11 +1603,12 @@ object Multimodal {
     * (its PERMISSIVE mode forwards undecodable records and counts them;
     * SURVEY §2.1 #14) applied to the multimodal family: every payload
     * gets a verdict row instead of silently vanishing from the feature
-    * relations. `(kind, ok, reason)` per payload: RIFF/BMP/PNG/GIF
+    * relations. `(kind, ok, reason)` per payload: RIFF/BMP/PNG/GIF/JPEG
     * payloads are probed with the real decoders ([[locatePcm]],
-    * [[locateBmp24]], [[decodePngPixels]], [[decodeGifPixels]] — PNG and
-    * GIF gained their real branches in round 9); JPEG/MP3 stay
-    * header-only (`no_codec` — those genuinely need a codec library the
+    * [[locateBmp24]], [[decodePngPixels]], [[decodeGifPixels]],
+    * [[decodeJpegPixels]] — PNG and GIF gained their real branches in
+    * round 9, baseline JPEG in round 10); FLAC/MP3 stay header-only
+    * (`no_codec` — sample decode genuinely needs a codec library the
     * container doesn't ship); unknown magics are `unknown_format`. A
     * production ingest routes `ok = false` rows to a rejects sink and
     * alerts on reason-rate drift. */
@@ -1165,7 +1626,10 @@ object Multimodal {
       case "gif" =>
         if (decodeGifPixels(bytes).isDefined) ("gif", true, "ok")
         else ("gif", false, "undecodable_gif")
-      case k @ ("jpeg" | "flac") => (k, false, "no_codec")
+      case "jpeg" =>
+        if (decodeJpegPixels(bytes).isDefined) ("jpeg", true, "ok")
+        else ("jpeg", false, "undecodable_jpeg")
+      case "flac" => ("flac", false, "no_codec")
       case k => (k, false, "unknown_format")
     }
 

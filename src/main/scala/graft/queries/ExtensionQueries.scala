@@ -163,6 +163,9 @@ object ExtensionQueries {
   private def be32b(x: org.apache.spark.sql.Column) =
     unhex(lpad(hex(x.cast("long")), 8, "0"))
 
+  private def be16b(x: org.apache.spark.sql.Column) =
+    unhex(lpad(hex(x.cast("long")), 4, "0"))
+
   /** PNG fixture shared by mm_png_features / mm_decode_audit — the
     * byte-primitive pattern WITHOUT a deflate implementation in the
     * plan: the IDAT zlib stream uses a STORED (uncompressed) deflate
@@ -277,6 +280,54 @@ object ExtensionQueries {
 
   private[graft] def gifFixture(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), gifBlob.as("blob"))
+
+  /** Baseline-JPEG fixture shared by mm_jpeg_features / mm_decode_audit
+    * — the byte-primitive pattern applied to a DCT codec WITHOUT a DCT
+    * in the plan: every 8×8 block is DC-ONLY, where the decoder's IDCT
+    * is EXACT by construction (`clamp(round(dc·q/8) + 128)` — see
+    * [[graft.operators.Multimodal.decodeJpegPixels]]'s numerics
+    * contract), so the oracle replays the whole pipeline in integers.
+    * The entropy stream is closed-form because the Huffman tables are
+    * chosen to make every block EXACTLY ONE BYTE: the DC table's only
+    * symbol (category 6) gets the 1-bit canonical code `0`, the AC
+    * table's only symbol (EOB) gets `0`, and every DC diff has
+    * magnitude 32..63 (category 6 by construction) — one block =
+    * `0 | 6 diff bits | 0`. Positive diff m encodes as m·2; negative
+    * −m as (63−m)·2 (T.81 F.12 EXTEND inverted); no byte can be 0xFF,
+    * so no stuffing arises. The engine still runs the fully general
+    * path — canonical DHT/DQT parsing, differential DC, EXTEND,
+    * dequantization, IDCT, clamp — and the general-AC/chroma paths are
+    * pinned by the two-sided ImageIO cross-checks in MultimodalSpec
+    * (whose writer emits real multi-coefficient scans). Geometry:
+    * 1..3 × 1..2 blocks (W = 8·bw, H = 8·bh), quant table all-17 (odd,
+    * so dc·17/8 exercises true rounding), DC walk alternates +m/−m to
+    * exercise negative diffs and the high clamp. */
+  private[graft] def jpegBlob: org.apache.spark.sql.Column = {
+    val bw = lit(1L) + col("doc_id") % 3L
+    val bh = lit(1L) + col("doc_id") % 2L
+    val nb = bw * bh
+    def u8h(x: org.apache.spark.sql.Column) =
+      lpad(hex(pmod(x, lit(256L))), 2, "0")
+    def mag(k: org.apache.spark.sql.Column) =
+      lit(32L) + pmod(col("doc_id") * 7L + k * 11L, lit(32L))
+    val entropy = unhex(array_join(
+      transform(sequence(lit(0L), nb - 1L),
+        k => u8h(when(pmod(k, lit(2L)) === 0L, mag(k) * 2L)
+          .otherwise((lit(63L) - mag(k)) * 2L))), ""))
+    concat(
+      unhex(lit("ffd8")), // SOI
+      unhex(lit("ffdb0043" + "00" + "11" * 64)), // DQT 0: all 17
+      unhex(lit("ffc0000b08")), be16b(bh * 8L), be16b(bw * 8L),
+      unhex(lit("01011100")), // SOF0: 1 comp, 1x1, quant 0
+      unhex(lit("ffc40014" + "00" + "01" + "00" * 15 + "06")), // DC: {6}
+      unhex(lit("ffc40014" + "10" + "01" + "00" * 15 + "00")), // AC: {EOB}
+      unhex(lit("ffda0008010100003f00")), // SOS
+      entropy,
+      unhex(lit("ffd9"))) // EOI
+  }
+
+  private[graft] def jpegFixture(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), jpegBlob.as("blob"))
 
   val all: Map[String, QueryFn] = Map(
     // ---- dedup ----
@@ -1946,6 +1997,21 @@ object ExtensionQueries {
           col("mean_r"), col("mean_g"), col("mean_b"))
         .orderBy(col("doc_id"))),
 
+    // REAL baseline JPEG decode (round 10): the full general pipeline —
+    // canonical Huffman, differential DC + EXTEND, dequant, IDCT —
+    // driven through the DC-only one-byte-per-block fixture, whose
+    // decode is closed-form integer arithmetic (the IDCT's DC path is
+    // exact by construction); the general-AC and chroma paths are
+    // pinned by the ImageIO cross-checks in MultimodalSpec
+    "mm_jpeg_features" -> ((s, dir) =>
+      Multimodal.extractJpegFeatures(jpegFixture(s, dir), "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+          col("sum_r"), col("sum_g"), col("sum_b"),
+          col("wsum_r"), col("wsum_g"), col("wsum_b"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy(col("doc_id"))),
+
     // REAL GIF decode (round 9): the general LZW decoder (variable
     // widths, dictionary, KwKwK) driven through the always-clear
     // stored-code fixture, so the oracle recomputes features straight
@@ -2069,6 +2135,9 @@ object ExtensionQueries {
           pngAssemble(col("__png_scan"), lit(3L) + col("doc_id") % 4L,
             lit(2L) + col("doc_id") % 3L).substr(lit(1),
             when(col("doc_id") % 30 === 2, lit(30)).otherwise(keepAll)))
+        .when(col("doc_id") % 6 === 5,
+          jpegBlob.substr(lit(1),
+            when(col("doc_id") % 30 === 5, lit(20)).otherwise(keepAll)))
         .otherwise(encode(col("text"), "utf-8"))
       Multimodal.extractDecodeAudit(
           t(s, dir, "documents").select(col("doc_id"), col("text"),
@@ -5091,6 +5160,7 @@ object ExtensionQueries {
         |  CASE WHEN doc_id % 3 = 0 THEN 'riff'
         |       WHEN doc_id % 3 = 1 THEN 'bmp'
         |       WHEN doc_id % 6 = 2 THEN 'png'
+        |       WHEN doc_id % 6 = 5 THEN 'jpeg'
         |       WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'
         |       WHEN substr(text, 1, 4) = 'fLaC' THEN 'flac'
         |       WHEN substr(text, 1, 2) = 'BM' THEN 'bmp'
@@ -5098,7 +5168,8 @@ object ExtensionQueries {
         |       ELSE 'bin' END AS kind,
         |  (doc_id % 3 = 0 AND doc_id % 15 != 0)
         |    OR (doc_id % 3 = 1 AND doc_id % 15 != 1)
-        |    OR (doc_id % 6 = 2 AND doc_id % 30 != 2) AS ok,
+        |    OR (doc_id % 6 = 2 AND doc_id % 30 != 2)
+        |    OR (doc_id % 6 = 5 AND doc_id % 30 != 5) AS ok,
         |  CASE WHEN doc_id % 3 = 0 THEN
         |         CASE WHEN doc_id % 15 = 0 THEN 'undecodable_pcm'
         |              ELSE 'ok' END
@@ -5107,6 +5178,9 @@ object ExtensionQueries {
         |              ELSE 'ok' END
         |       WHEN doc_id % 6 = 2 THEN
         |         CASE WHEN doc_id % 30 = 2 THEN 'undecodable_png'
+        |              ELSE 'ok' END
+        |       WHEN doc_id % 6 = 5 THEN
+        |         CASE WHEN doc_id % 30 = 5 THEN 'undecodable_jpeg'
         |              ELSE 'ok' END
         |       WHEN substr(text, 1, 4) = 'RIFF' THEN 'undecodable_pcm'
         |       WHEN substr(text, 1, 4) = 'fLaC' THEN 'no_codec'
@@ -5190,6 +5264,51 @@ object ExtensionQueries {
         |  CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS DOUBLE) /
         |    CAST(MAX(w) * MAX(h) AS DOUBLE) AS mean_b
         |FROM gp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // DC-only JPEG replayed entirely in integers: signed DC walk via a
+    // window cumsum (HUGEINT — windowed SUM(BIGINT) widens), pixel =
+    // clamp((dc·17 + 1028) // 8) — the +1028 offset keeps the numerator
+    // positive so // is floor (= the decoder's round-half-up at +128),
+    // every pixel of block k = (by·bw + bx) is that one value, and the
+    // per-block weight mass has the closed form 8·(64·bx + 28) +
+    // 8·W·(64·by + 28)
+    "mm_jpeg_features" ->
+      """WITH jw AS (SELECT doc_id, 1 + doc_id % 3 AS bw,
+        |    1 + doc_id % 2 AS bh
+        |  FROM documents),
+        |jk AS (SELECT doc_id, bw, bh,
+        |    CAST(unnest(range(0, bw * bh)) AS BIGINT) AS k
+        |  FROM jw),
+        |jm AS (SELECT doc_id, bw, bh, k,
+        |    CASE WHEN k % 2 = 0 THEN 32 + (doc_id * 7 + k * 11) % 32
+        |         ELSE -(32 + (doc_id * 7 + k * 11) % 32) END AS sd
+        |  FROM jk),
+        |jd AS (SELECT doc_id, bw, bh, k,
+        |    SUM(sd) OVER (PARTITION BY doc_id ORDER BY k) AS dc
+        |  FROM jm),
+        |jv AS (SELECT doc_id, bw, bh, k,
+        |    LEAST(255, GREATEST(0, (dc * 17 + 1028) // 8)) AS v
+        |  FROM jd)
+        |SELECT doc_id,
+        |  CAST(bw * 8 AS BIGINT) AS width,
+        |  CAST(bh * 8 AS BIGINT) AS height,
+        |  CAST(bw * bh * 64 AS BIGINT) AS n_px,
+        |  CAST(SUM(64 * v) AS BIGINT) AS sum_r,
+        |  CAST(SUM(64 * v) AS BIGINT) AS sum_g,
+        |  CAST(SUM(64 * v) AS BIGINT) AS sum_b,
+        |  CAST(SUM(v * (8 * (64 * (k % bw) + 28)
+        |    + 8 * bw * 8 * (64 * (k // bw) + 28))) AS BIGINT) AS wsum_r,
+        |  CAST(SUM(v * (8 * (64 * (k % bw) + 28)
+        |    + 8 * bw * 8 * (64 * (k // bw) + 28))) AS BIGINT) AS wsum_g,
+        |  CAST(SUM(v * (8 * (64 * (k % bw) + 28)
+        |    + 8 * bw * 8 * (64 * (k // bw) + 28))) AS BIGINT) AS wsum_b,
+        |  CAST(SUM(64 * v) AS DOUBLE) / CAST(bw * bh * 64 AS DOUBLE)
+        |    AS mean_r,
+        |  CAST(SUM(64 * v) AS DOUBLE) / CAST(bw * bh * 64 AS DOUBLE)
+        |    AS mean_g,
+        |  CAST(SUM(64 * v) AS DOUBLE) / CAST(bw * bh * 64 AS DOUBLE)
+        |    AS mean_b
+        |FROM jv GROUP BY doc_id, bw, bh ORDER BY doc_id""".stripMargin,
 
     // the transition-graph edge relation: same LEAD-over-(ts, event_id)
     // sessionization, weighted by transition count

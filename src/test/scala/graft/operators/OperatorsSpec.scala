@@ -1489,9 +1489,191 @@ class MultimodalSpec extends SparkFunSuite {
     }
     fuzzOne(gifGood, Multimodal.decodeGifPixels(_), "gif")
     fuzzOne(pngGood, Multimodal.decodePngPixels(_), "png")
+    val jpegGood = jpegFixtureBytes(3L)
+    fuzzOne(jpegGood, Multimodal.decodeJpegPixels(_), "jpeg")
     // and the audit front door stays total over the same mutations
     fuzzOne(gifGood, b => Some(Multimodal.auditPayload(b)), "audit-gif")
     fuzzOne(pngGood, b => Some(Multimodal.auditPayload(b)), "audit-png")
+    fuzzOne(jpegGood, b => Some(Multimodal.auditPayload(b)), "audit-jpeg")
+  }
+
+  /** One doc's in-plan DC-only JPEG fixture rendered to bytes. */
+  private def jpegFixtureBytes(docId: Long): Array[Byte] = {
+    val s = spark
+    import s.implicits._
+    Seq(docId).toDF("doc_id")
+      .select(graft.queries.ExtensionQueries.jpegBlob.as("blob"))
+      .head().getAs[Array[Byte]]("blob")
+  }
+
+  private def jpegEncode(img: java.awt.image.BufferedImage,
+      quality: Float): Array[Byte] = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); w.dispose()
+    bos.toByteArray
+  }
+
+  test("decodeJpegPixels vs the JDK's libjpeg on grayscale: every pixel " +
+      "within ±1 (the T.81 IDCT accuracy envelope) at two qualities") {
+    System.setProperty("java.awt.headless", "true")
+    for (qual <- Seq(0.95f, 0.5f)) {
+      val w = 37; val h = 23 // non-multiple-of-8: exercises edge cropping
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, (x * 7 + y * 11 + (x * y) % 31) % 256)
+      val bytes = jpegEncode(img, qual)
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val (dw, dh, ch, px) = Multimodal.decodeJpegPixels(bytes)
+        .getOrElse(fail(s"q=$qual: JDK-encoded JPEG undecodable"))
+      assert((dw, dh, ch) == (w, h, 1))
+      for (y <- 0 until h; x <- 0 until w) {
+        val mine = px(y * w + x) & 0xff
+        val theirs = ref.getRaster.getSample(x, y, 0)
+        assert(math.abs(mine - theirs) <= 1,
+          s"q=$qual ($x,$y): ours $mine vs libjpeg $theirs")
+      }
+    }
+  }
+
+  test("decodeJpegPixels vs the JDK's libjpeg on color: constant-chroma " +
+      "within ±1; a chroma gradient within the subsampling envelope") {
+    System.setProperty("java.awt.headless", "true")
+    val w = 41; val h = 29
+    def encodeRgb(mk: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, mk(x, y))
+      jpegEncode(img, 0.97f)
+    }
+    def diffs(bytes: Array[Byte]): (Int, Double) = {
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val (dw, dh, ch, px) = Multimodal.decodeJpegPixels(bytes)
+        .getOrElse(fail("JDK-encoded color JPEG undecodable"))
+      assert((dw, dh, ch) == (w, h, 3))
+      var maxd = 0; var sumd = 0L
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val mine = px((y * w + x) * 3 + c) & 0xff
+        val theirs = (ref.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+        val d = math.abs(mine - theirs)
+        maxd = math.max(maxd, d); sumd += d
+      }
+      (maxd, sumd.toDouble / (w * h * 3))
+    }
+    // gray ramp in RGB: Cb = Cr = 128 everywhere, so the chroma
+    // upsampling method cannot matter — pure IDCT + color-convert ±1
+    val (cmax, _) = diffs(encodeRgb((x, y) =>
+      { val v = (x * 5 + y * 9) % 256; (v << 16) | (v << 8) | v }))
+    assert(cmax <= 1, s"constant-chroma max |diff| $cmax")
+    // chroma gradients: our replication vs libjpeg's fancy upsampling
+    // differ only inside the subsampled-chroma interpolation envelope
+    val (gmax, gmean) = diffs(encodeRgb((x, y) =>
+      (((x * 6) % 256) << 16) | (((y * 6) % 256) << 8) | ((x + y) * 3) % 256))
+    assert(gmax <= 16 && gmean <= 2.0,
+      s"chroma-gradient diffs max=$gmax mean=$gmean")
+  }
+
+  test("the in-plan JPEG fixture is real JPEG: ImageIO reads it, and " +
+      "both decoders recover the closed-form DC-only pixel values") {
+    System.setProperty("java.awt.headless", "true")
+    (0L until 6L).foreach { d =>
+      val bytes = jpegFixtureBytes(d)
+      val bw = (1 + d % 3).toInt; val bh = (1 + d % 2).toInt
+      // replay the fixture's signed DC walk
+      val dcs = new Array[Long](bw * bh)
+      var dc = 0L
+      for (k <- 0 until bw * bh) {
+        val m = 32 + (d * 7 + k * 11) % 32
+        dc += (if (k % 2 == 0) m else -m)
+        dcs(k) = dc
+      }
+      def want(x: Int, y: Int): Int = {
+        val k = (y / 8) * bw + (x / 8)
+        val v = (dcs(k) * 17 + 1028) / 8
+        math.min(255L, math.max(0L, v)).toInt
+      }
+      val (dw, dh, ch, px) = Multimodal.decodeJpegPixels(bytes)
+        .getOrElse(fail(s"doc $d: fixture undecodable by our decoder"))
+      assert((dw, dh, ch) == (bw * 8, bh * 8, 1), s"doc $d geometry")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"doc $d: fixture unreadable by ImageIO")
+      for (y <- 0 until dh; x <- 0 until dw) {
+        assert((px(y * dw + x) & 0xff) == want(x, y), s"doc $d ours ($x,$y)")
+        assert(img.getRaster.getSample(x, y, 0) == want(x, y),
+          s"doc $d iio ($x,$y)")
+      }
+    }
+  }
+
+  test("restart markers: a DRI/RSTn stream with per-interval predictor " +
+      "resets decodes identically to its differential no-restart twin") {
+    def hdr(withDri: Boolean): Array[Byte] = {
+      val b = new scala.collection.mutable.ArrayBuffer[Byte]()
+      def hex(s: String): Unit =
+        b ++= s.grouped(2).map(Integer.parseInt(_, 16).toByte)
+      hex("ffd8")
+      hex("ffdb0043" + "00" + "11" * 64)
+      if (withDri) hex("ffdd0004" + "0002") // restart every 2 MCUs
+      hex("ffc0000b08" + "0010" + "0018" + "01011100") // 24x16 → 3x2 blocks
+      hex("ffc40014" + "00" + "01" + "00" * 15 + "06")
+      hex("ffc40014" + "10" + "01" + "00" * 15 + "00")
+      hex("ffda0008010100003f00")
+      b.toArray
+    }
+    def byteOf(diff: Int): Byte = // category-6 one-byte block encoding
+      (if (diff > 0) diff * 2 else (63 + diff) * 2).toByte
+    // dc sequence 40, 5, 40, 5, 40, 5 (six blocks)
+    val restarts = hdr(withDri = true) ++ Array[Byte](
+      byteOf(40), byteOf(-35), 0xff.toByte, 0xd0.toByte, // RST0
+      byteOf(40), byteOf(-35), 0xff.toByte, 0xd1.toByte, // RST1
+      byteOf(40), byteOf(-35),
+      0xff.toByte, 0xd9.toByte)
+    val plain = hdr(withDri = false) ++ Array[Byte](
+      byteOf(40), byteOf(-35), byteOf(35), byteOf(-35), byteOf(35),
+      byteOf(-35), 0xff.toByte, 0xd9.toByte)
+    val a = Multimodal.decodeJpegPixels(restarts)
+      .getOrElse(fail("restart stream undecodable"))
+    val b = Multimodal.decodeJpegPixels(plain)
+      .getOrElse(fail("plain stream undecodable"))
+    assert((a._1, a._2, a._3) == (24, 16, 1) && (b._1, b._2) == (24, 16))
+    assert(a._4.toSeq == b._4.toSeq,
+      "restart and differential twins must decode identically")
+    // flat-block closed form: dc 40 → (40·17+1028)/8 = 213, dc 5 → 139
+    assert((a._4(0) & 0xff) == 213 && (a._4(8) & 0xff) == 139)
+    // a WRONG restart index must reject (T.81: RSTn cycles mod 8)
+    val badRst = restarts.clone()
+    badRst(hdr(withDri = true).length + 3) = 0xd5.toByte
+    assert(Multimodal.decodeJpegPixels(badRst).isEmpty, "bad RST index")
+  }
+
+  test("decodeJpegPixels: permissive rejection of progressive, 16-bit " +
+      "quant, truncated and corrupted payloads") {
+    val good = jpegFixtureBytes(1L)
+    assert(Multimodal.decodeJpegPixels(good).isDefined)
+    assert(Multimodal.decodeJpegPixels(null).isEmpty, "null")
+    assert(Multimodal.decodeJpegPixels("not a jpeg".getBytes).isEmpty)
+    assert(Multimodal.decodeJpegPixels(good.take(20)).isEmpty, "truncated")
+    // SOF0 → SOF2 (progressive): marker byte right after the DQT segment
+    val prog = good.clone()
+    assert((prog(71) & 0xff) == 0xff && (prog(72) & 0xff) == 0xc0)
+    prog(72) = 0xc2.toByte
+    assert(Multimodal.decodeJpegPixels(prog).isEmpty, "progressive")
+    // 16-bit quant table (Pq = 1)
+    val deep = good.clone()
+    deep(6) = 0x10.toByte
+    assert(Multimodal.decodeJpegPixels(deep).isEmpty, "16-bit DQT")
+    // missing EOI: strict tail check must reject
+    assert(Multimodal.decodeJpegPixels(good.dropRight(2)).isEmpty, "no EOI")
   }
 
   test("withBlob: byte metadata is exact; kind sniffs magic bytes") {
