@@ -231,6 +231,65 @@ object StreamingPipelines {
     writer.start()
   }
 
+  /** Streaming IVF-PQ INGEST — the ANN-serving loop around
+    * [[graft.operators.Similarity.appendToIvfPqIndex]], mirroring
+    * [[ingestNearDupStream]]'s probe-then-append discipline: every
+    * micro-batch of vectors is FIRST probed against the persistent
+    * written IVF-PQ index (`(query_id, rank, neighbor_id, cosine)` top-k
+    * rows to `sink` — the "alert on similar existing items before
+    * admitting" ingest shape), then absorbed: cells and residual codes
+    * assigned row-locally with the index's OWN frozen centroids and
+    * codebooks, append-written into the cell partitions. Later batches
+    * (and later runs — the index outlives the query) probe against
+    * everything admitted before them; results are spec-pinned identical
+    * to the batch build→append→probe composition (`sim_ivf_append_probe`
+    * twin). Probe results materialize (localCheckpoint) BEFORE the
+    * append, so a batch can never match itself.
+    *
+    * Index state spans the corpus lifetime (no watermark horizon can
+    * bound ANN membership) — the [[ingestNewStream]] rationale. Appends
+    * are blind (the index contract): route the batch through
+    * [[ingestNewStream]] first when re-delivery hygiene matters, and
+    * re-train ([[graft.operators.Similarity.buildIvfPqIndex]]) when
+    * centroid drift warrants. At deployment scale each trigger reads
+    * `nprobe/nlist` of the CODES column for the coarse pass and appends
+    * one batch of coded rows — no rewrite, no corpus shuffle. */
+  def ingestIvfPqStream(vectors: DataFrame,
+      index: graft.operators.Similarity.IvfPqIndex, k: Int = 5,
+      nprobe: Int = 4, overfetch: Int = 4, vecCol: String = "embedding",
+      idCol: String = "vec_id", checkpointLocation: Option[String] = None)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val writer = vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (batch.isEmpty) {
+          // schema-stable empty result for the sink (same discipline as
+          // ingestNearDupStream's first-batch frame)
+          sink(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(
+              StructField("query_id", batch.schema(idCol).dataType),
+              StructField("rank", IntegerType, nullable = false),
+              StructField("neighbor_id", batch.schema(idCol).dataType),
+              StructField("cosine", DoubleType)))), batchId)
+        } else {
+          val hits = graft.operators.Similarity
+            .ivfPqTopKIndexed(index, batch, k, nprobe, overfetch,
+              vecCol, idCol)
+            .localCheckpoint()
+          sink(hits, batchId)
+          graft.operators.Similarity
+            .appendToIvfPqIndex(index, batch, vecCol, idCol)
+        }
+        ()
+      }
+    checkpointLocation.foreach(p => writer.option("checkpointLocation", p))
+    writer.start()
+  }
+
   /** Stream-stream INTERVAL join — the streaming twin of
     * `operators.RangeJoin`: each trigger event joins to the follow events
     * of the same user within `[trigger_ts, trigger_ts + window)`. Both

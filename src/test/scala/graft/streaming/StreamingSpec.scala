@@ -354,6 +354,63 @@ class StreamingSpec extends SparkFunSuite {
     assert(total == 10L)
   }
 
+  test("streaming IVF-PQ ingest: per-batch probes equal the batch " +
+      "build->append->probe composition; a batch never matches itself") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def vec(id: Long): Array[Float] = {
+      // 3 well-separated clusters + per-id jitter, dim 8
+      val c = (id % 3).toInt
+      Array.tabulate(8)(p =>
+        (if (p % 3 == c) 1.0f else 0.05f) + 0.01f * ((id * 7 + p) % 5))
+    }
+    def frame(ids: Seq[Long]) = ids.map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val base = frame(0L until 24L)
+    val b1 = (24L until 32L).toSeq
+    val b2 = (32L until 40L).toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfpq_s")
+      .toString
+    // streaming run
+    val sIdx = graft.operators.Similarity.buildIvfPqIndex(base,
+      s"$root/stream", nlist = 4, m = 4, ksub = 8)
+    val got = scala.collection.mutable.Map.empty[Long, Seq[(Long, Int, Long)]]
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingPipelines.ingestIvfPqStream(
+        input.toDF().toDF("vec_id", "embedding"), sIdx, k = 3) {
+      (hits, batchId) =>
+        got(batchId) = hits.collect().map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).toSeq
+    }
+    try {
+      input.addData(b1.map(i => i -> vec(i)): _*); q.processAllAvailable()
+      input.addData(b2.map(i => i -> vec(i)): _*); q.processAllAvailable()
+    } finally q.stop()
+    // batch composition twin: base index, append b1, probe b2
+    val bIdx = graft.operators.Similarity.buildIvfPqIndex(base,
+      s"$root/batch", nlist = 4, m = 4, ksub = 8)
+    val batch1Probe = graft.operators.Similarity
+      .ivfPqTopKIndexed(bIdx, frame(b1), k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).toSeq
+    graft.operators.Similarity.appendToIvfPqIndex(bIdx, frame(b1))
+    val batch2Probe = graft.operators.Similarity
+      .ivfPqTopKIndexed(bIdx, frame(b2), k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).toSeq
+    assert(got(0L).sorted == batch1Probe.sorted,
+      "batch 0 probe must equal the batch composition over the base index")
+    assert(got(1L).sorted == batch2Probe.sorted,
+      "batch 1 probe must equal the batch composition over base+b1")
+    // probe-before-append: no batch-0 query may surface a batch-0 id
+    assert(!got(0L).exists { case (_, _, n) => b1.contains(n) },
+      "a batch must never match itself")
+    // and b2 CAN see b1 (the append landed): some neighbor from b1
+    assert(got(1L).exists { case (_, _, n) => b1.contains(n) },
+      "later batches must see earlier admitted vectors")
+  }
+
   test("trending terms: windowed Misra-Gries state folds across " +
       "micro-batches; n exact, dominant terms guaranteed, windows close " +
       "on watermark") {
