@@ -864,19 +864,56 @@ object Multimodal {
       rasterFeatures(w, h, ch, px)
     }
 
-  /** Per-partition batch PNG decode: one row per decodable payload —
-    * same batch discipline as [[extractImageFeatures]]. */
-  def extractPngFeatures(df: DataFrame, idCol: String,
-      blobCol: String = "blob"): Dataset[RasterFeatureRow] = {
+  /** The raster decoders as NATIVE Catalyst expressions (round 10 —
+    * the [[graft.plans.TextSignalsKernel]] pattern): `blob → features
+    * struct` in one whole-stage-codegen'd projection; NULL = not
+    * decodable. The round-9 `mapPartitions` formulation paid a
+    * Dataset-encoder boundary (DeserializeToObject → MapPartitions →
+    * SerializeFromObject) per decoder — these stay inside Tungsten. */
+  def pngFeaturesCol(blob: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.PngFeatures(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(blob)))
+
+  def gifFeaturesCol(blob: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.GifFeatures(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(blob)))
+
+  def jpegFeaturesCol(blob: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.JpegFeatures(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(blob)))
+
+  def mediaAuditCol(blob: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.MediaAudit(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(blob)))
+
+  /** Shared tail of the raster extractors: id + struct → typed rows,
+    * undecodable payloads filtered in-stage. The struct goes through
+    * `explode(array(…))` — a Generate output is an optimizer barrier,
+    * so the decodability filter CANNOT be alias-substituted and pushed
+    * back down into a second kernel evaluation (a bare
+    * `select(f).filter(isNotNull(f))` decodes every blob TWICE: once in
+    * the pushed-down predicate, once in the projection — measured, and
+    * pinned by the eval-count spec). One decode per row. */
+  private def rasterExtract(df: DataFrame, idCol: String, blobCol: String,
+      features: Column => Column): Dataset[RasterFeatureRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
-      .as[BlobRow]
-      .mapPartitions { rows =>
-        rows.flatMap(r =>
-          decodePngFeatures(r.blob).map(_.copy(doc_id = r.doc_id)).iterator)
-      }
+    df.select(col(idCol).cast("long").as("doc_id"),
+        explode(array(features(col(blobCol)))).as("f"))
+      .filter(col("f").isNotNull)
+      .select(col("doc_id"), col("f.*"))
+      .as[RasterFeatureRow]
   }
+
+  /** Batch PNG decode: one row per decodable payload — a native
+    * expression projection since round 10 (plan-shape spec-pinned). */
+  def extractPngFeatures(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[RasterFeatureRow] =
+    rasterExtract(df, idCol, blobCol, pngFeaturesCol)
 
   /** REAL GIF pixel decode — like [[decodePngPixels]], no codec library
     * needed: GIF's only compression is LZW (GIF87a Appendix C /
@@ -1106,18 +1143,11 @@ object Multimodal {
       rasterFeatures(w, h, 3, px)
     }
 
-  /** Per-partition batch GIF decode: one row per decodable payload. */
+  /** Batch GIF decode: one row per decodable payload — a native
+    * expression projection since round 10. */
   def extractGifFeatures(df: DataFrame, idCol: String,
-      blobCol: String = "blob"): Dataset[RasterFeatureRow] = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
-      .as[BlobRow]
-      .mapPartitions { rows =>
-        rows.flatMap(r =>
-          decodeGifFeatures(r.blob).map(_.copy(doc_id = r.doc_id)).iterator)
-      }
-  }
+      blobCol: String = "blob"): Dataset[RasterFeatureRow] =
+    rasterExtract(df, idCol, blobCol, gifFeaturesCol)
 
   /** Entropy-coded-segment bit reader: MSB-first bits with JPEG byte
     * stuffing (a 0xFF data byte is followed by 0x00 in the stream; any
@@ -1565,18 +1595,11 @@ object Multimodal {
       rasterFeatures(w, h, ch, px)
     }
 
-  /** Per-partition batch JPEG decode: one row per decodable payload. */
+  /** Batch JPEG decode: one row per decodable payload — a native
+    * expression projection since round 10. */
   def extractJpegFeatures(df: DataFrame, idCol: String,
-      blobCol: String = "blob"): Dataset[RasterFeatureRow] = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
-      .as[BlobRow]
-      .mapPartitions { rows =>
-        rows.flatMap(r =>
-          decodeJpegFeatures(r.blob).map(_.copy(doc_id = r.doc_id)).iterator)
-      }
-  }
+      blobCol: String = "blob"): Dataset[RasterFeatureRow] =
+    rasterExtract(df, idCol, blobCol, jpegFeaturesCol)
 
   /** One payload's decode-dispatch verdict (see [[extractDecodeAudit]]). */
   final case class DecodeAuditRow(doc_id: Long, kind: String, ok: Boolean,
@@ -1633,19 +1656,19 @@ object Multimodal {
       case k => (k, false, "unknown_format")
     }
 
-  /** Per-partition batch decode audit (see [[auditPayload]]). */
+  /** Batch decode audit (see [[auditPayload]]) — a native expression
+    * projection since round 10. One row per payload, always: a NULL
+    * blob coalesces to empty bytes (→ `unknown_format`), preserving the
+    * every-payload-gets-a-verdict contract. */
   def extractDecodeAudit(df: DataFrame, idCol: String,
       blobCol: String = "blob"): Dataset[DecodeAuditRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
-      .as[BlobRow]
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val (kind, ok, reason) = auditPayload(r.blob)
-          DecodeAuditRow(r.doc_id, kind, ok, reason)
-        }
-      }
+    df.select(col(idCol).cast("long").as("doc_id"),
+        mediaAuditCol(coalesce(col(blobCol),
+          lit(Array.emptyByteArray))).as("v"))
+      .select(col("doc_id"), col("v.*"))
+      .as[DecodeAuditRow]
   }
 
   final case class ChunkRow(doc_id: Long, chunk_index: Int, offset: Int,

@@ -1676,6 +1676,41 @@ class MultimodalSpec extends SparkFunSuite {
     assert(Multimodal.decodeJpegPixels(good.dropRight(2)).isEmpty, "no EOI")
   }
 
+  test("raster extractors are native expression projections: the plan " +
+      "shows the kernel expression and NO Dataset-encoder boundary") {
+    val s = spark
+    import s.implicits._
+    // blob derived from the range id: non-foldable, so the expression
+    // must appear in the physical plan (a literal blob would be
+    // constant-folded away — itself proof the kernel runs in-plan)
+    val df = s.range(3).select(col("id").as("doc_id"),
+      unhex(lpad(hex(col("id")), 6, "0")).as("blob"))
+    for ((name, plan) <- Seq(
+      "graft_png_features" ->
+        Multimodal.extractPngFeatures(df, "doc_id"),
+      "graft_gif_features" ->
+        Multimodal.extractGifFeatures(df, "doc_id"),
+      "graft_jpeg_features" ->
+        Multimodal.extractJpegFeatures(df, "doc_id"),
+      "graft_media_audit" ->
+        Multimodal.extractDecodeAudit(df, "doc_id"))) {
+      val p = plan.queryExecution.executedPlan.toString
+      assert(p.contains(name), s"$name missing from plan:\n$p")
+      assert(!p.contains("MapPartitions") &&
+        !p.contains("DeserializeToObject"),
+        s"$name still pays the mapPartitions encoder boundary:\n$p")
+      // ONE decode per row: the pushed-down isnotnull predicate must
+      // not re-inline the kernel (the Generate barrier in rasterExtract
+      // — without it the blob decodes twice, measured ~2x wall time)
+      val evals = name.r.findAllIn(
+        plan.queryExecution.optimizedPlan.toString).length
+      assert(evals == 1, s"$name evaluated $evals times in the plan")
+    }
+    // and the struct-NULL filter drops undecodable payloads in-stage
+    assert(Multimodal.extractPngFeatures(df, "doc_id").count() == 0)
+    assert(Multimodal.extractDecodeAudit(df, "doc_id").count() == 3)
+  }
+
   test("withBlob: byte metadata is exact; kind sniffs magic bytes") {
     val s = spark
     import s.implicits._
