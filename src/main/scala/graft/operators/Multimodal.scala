@@ -467,6 +467,425 @@ object Multimodal {
       }
   }
 
+  /** MSB-first bit reader over a byte array — the FLAC bitstream shape
+    * (frames and subframes are bit-packed; only frame boundaries are
+    * byte-aligned). Every read returns a sentinel on starvation
+    * (`Long.MinValue` / -1) and consumers abort the decode — the same
+    * never-throw contract as [[JpegBitReader]]. */
+  private final class FlacBitReader(bytes: Array[Byte]) {
+    var pos: Int = 0      // next byte
+    private var bit = 0   // bits consumed in bytes(pos)
+    def bitPosition: Long = pos.toLong * 8 + bit
+    def atEnd: Boolean = pos >= bytes.length
+    def readBit(): Int = {
+      if (pos >= bytes.length) return -1
+      val v = (bytes(pos) >> (7 - bit)) & 1
+      bit += 1
+      if (bit == 8) { bit = 0; pos += 1 }
+      v
+    }
+    /** n ≤ 63 bits, unsigned. Long.MinValue on starve. */
+    def readBits(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) {
+        val b = readBit(); if (b < 0) return Long.MinValue
+        v = (v << 1) | b; i += 1
+      }
+      v
+    }
+    /** n ≤ 32 bits, two's-complement signed. Long.MinValue on starve. */
+    def readSigned(n: Int): Long = {
+      if (n == 0) return 0L
+      val u = readBits(n)
+      if (u == Long.MinValue) return Long.MinValue
+      (u << (64 - n)) >> (64 - n)
+    }
+    /** Zero-run unary (count 0s until the terminating 1). -1 on starve;
+      * capped so adversarial all-zero tails cannot spin. */
+    def readUnary(cap: Int = 1 << 20): Int = {
+      var q = 0
+      while (q <= cap) {
+        val b = readBit(); if (b < 0) return -1
+        if (b == 1) return q
+        q += 1
+      }
+      -1
+    }
+    def align(): Unit = if (bit != 0) { bit = 0; pos += 1 }
+  }
+
+  /** FIXED-prediction coefficient rows, order 0-4 (the binomial
+    * differences the FLAC format defines). */
+  private val FlacFixedCoefs: Array[Array[Long]] = Array(
+    Array(), Array(1L), Array(2L, -1L), Array(3L, -3L, 1L),
+    Array(4L, -6L, 4L, -1L))
+
+  /** REAL FLAC sample decode (round 10) — the compressed-audio twin of
+    * [[decodeWavPcm16]], closing the audit's `flac → no_codec` gap: a
+    * FLAC stream is rice-coded linear prediction, which is pure int64
+    * arithmetic — no codec library needed. Supported: every subframe
+    * type of the format (CONSTANT, VERBATIM, FIXED orders 0-4, LPC
+    * orders 1-32), both rice residual methods (4- and 5-bit params)
+    * including escaped raw partitions, all partition orders, wasted
+    * bits, every channel assignment (independent 1-8, left/side,
+    * right/side, mid/side — side channels carry the +1 sample-size
+    * bit), streaminfo-coded and inline block size / sample size, and
+    * multi-frame streams. Bits-per-sample 8/12/16/20/24.
+    *
+    * Deliberate scope: header CRC-8 and frame CRC-16 are parsed but not
+    * VERIFIED (the [[decodePngPixels]] chunk-CRC rationale — transport
+    * integrity belongs to the container/parquet layer; the in-plan
+    * fixture still writes CORRECT CRCs so the emitted stream is legal
+    * FLAC end-to-end), and decode is strict about structure: reserved
+    * codes, bad sync, subframe overruns or a sample total that
+    * disagrees with STREAMINFO all return None (PERMISSIVE).
+    *
+    * @return (channels, bitsPerSample, per-channel sample arrays) —
+    *         interleaved-order channels, each `totalSamples` longs. */
+  def decodeFlacPcm(bytes: Array[Byte], maxSamples: Long = 1L << 24)
+      : Option[(Int, Int, Array[Array[Long]])] = {
+    if (bytes == null || bytes.length < 42) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    if (bytes(0) != 'f' || bytes(1) != 'L' || bytes(2) != 'a' ||
+      bytes(3) != 'C') return None
+    // STREAMINFO must be first (format requirement)
+    if ((u8(4) & 0x7f) != 0 || u8(5) != 0 || u8(6) != 0 || u8(7) != 34)
+      return None
+    val siSr = (u8(18) << 12) | (u8(19) << 4) | (u8(20) >> 4)
+    val siCh = ((u8(20) >> 1) & 7) + 1
+    val siBps = (((u8(20) & 1) << 4) | (u8(21) >> 4)) + 1
+    val siTotal = ((u8(21) & 0xf).toLong << 32) | (u8(22).toLong << 24) |
+      (u8(23).toLong << 16) | (u8(24).toLong << 8) | u8(25).toLong
+    if (siSr <= 0 || siTotal <= 0 || siTotal > maxSamples) return None
+    if (siBps != 8 && siBps != 12 && siBps != 16 && siBps != 20 &&
+      siBps != 24) return None
+    if (siTotal * siCh * 8 > Int.MaxValue) return None
+    // walk metadata blocks to the first frame
+    var pos = 4
+    var last = false
+    while (!last) {
+      if (pos + 4 > bytes.length) return None
+      last = (u8(pos) & 0x80) != 0
+      val len = (u8(pos + 1) << 16) | (u8(pos + 2) << 8) | u8(pos + 3)
+      pos += 4 + len
+      if (pos > bytes.length) return None
+    }
+    val out = Array.fill(siCh)(new Array[Long](siTotal.toInt))
+    var done = 0L
+    val br = new FlacBitReader(bytes)
+    br.pos = pos
+    while (done < siTotal) {
+      // ---- frame header (byte-aligned) ----
+      if (br.readBits(14) != 0x3ffe) return None // sync
+      if (br.readBit() != 0) return None          // reserved
+      if (br.readBit() < 0) return None           // blocking strategy
+      val bsCode = br.readBits(4).toInt
+      val srCode = br.readBits(4).toInt
+      val chAsgn = br.readBits(4).toInt
+      val ssCode = br.readBits(3).toInt
+      if (br.readBit() != 0) return None          // reserved
+      if (bsCode < 0 || srCode == 15 || chAsgn > 10) return None
+      // coded frame/sample number: UTF-8-style, 1-7 bytes
+      val lead = br.readBits(8).toInt
+      if (lead < 0) return None
+      var follow =
+        if (lead < 0x80) 0
+        else if (lead >= 0xc0 && lead < 0xe0) 1
+        else if (lead < 0xf0) 2 else if (lead < 0xf8) 3
+        else if (lead < 0xfc) 4 else if (lead < 0xfe) 5
+        else if (lead == 0xfe) 6 else -1
+      if (follow < 0) return None
+      while (follow > 0) {
+        val c = br.readBits(8).toInt
+        if (c < 0x80 || c >= 0xc0) return None
+        follow -= 1
+      }
+      val blockSize: Int = bsCode match {
+        case 0 => return None // reserved
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case 6 => val v = br.readBits(8); if (v < 0) return None
+          v.toInt + 1
+        case 7 => val v = br.readBits(16); if (v < 0) return None
+          v.toInt + 1
+        case c => 256 << (c - 8)
+      }
+      // inline sample-rate fields are informational — parse and drop
+      srCode match {
+        case 12 => if (br.readBits(8) < 0) return None
+        case 13 | 14 => if (br.readBits(16) < 0) return None
+        case _ =>
+      }
+      val bps: Int = ssCode match {
+        case 0 => siBps
+        case 1 => 8
+        case 2 => 12
+        case 4 => 16
+        case 5 => 20
+        case 6 => 24
+        case _ => return None // reserved
+      }
+      if (bps != siBps) return None // must agree with STREAMINFO
+      if (br.readBits(8) < 0) return None // header CRC-8 (not verified)
+      val nCh = if (chAsgn < 8) chAsgn + 1 else 2
+      if (nCh != siCh) return None
+      if (done + blockSize > siTotal) return None
+      // ---- subframes ----
+      val chans = Array.ofDim[Long](nCh, blockSize)
+      var c = 0
+      var bad = false
+      while (c < nCh && !bad) {
+        // side channel carries one extra bit of sample width
+        val sbps = bps + (chAsgn match {
+          case 8 if c == 1 => 1
+          case 9 if c == 0 => 1
+          case 10 if c == 1 => 1
+          case _ => 0
+        })
+        bad = !decodeSubframe(br, chans(c), blockSize, sbps)
+        c += 1
+      }
+      if (bad) return None
+      br.align()
+      if (br.readBits(16) < 0) return None // frame CRC-16 (not verified)
+      // ---- inter-channel reconstruction ----
+      chAsgn match {
+        case 8 => // left/side → right = left − side
+          var i = 0
+          while (i < blockSize) {
+            chans(1)(i) = chans(0)(i) - chans(1)(i); i += 1 }
+        case 9 => // right/side → left = right + side
+          var i = 0
+          while (i < blockSize) {
+            chans(0)(i) = chans(1)(i) + chans(0)(i); i += 1 }
+        case 10 => // mid/side
+          var i = 0
+          while (i < blockSize) {
+            val s = chans(1)(i)
+            val m = (chans(0)(i) << 1) | (s & 1L)
+            chans(0)(i) = (m + s) >> 1
+            chans(1)(i) = (m - s) >> 1
+            i += 1
+          }
+        case _ =>
+      }
+      var ch2 = 0
+      while (ch2 < nCh) {
+        System.arraycopy(chans(ch2), 0, out(ch2), done.toInt, blockSize)
+        ch2 += 1
+      }
+      done += blockSize
+    }
+    Some((siCh, siBps, out))
+  }
+
+  /** One subframe into `dst` (blockSize samples at `bps` bits). False =
+    * malformed / starved. */
+  private def decodeSubframe(br: FlacBitReader, dst: Array[Long],
+      blockSize: Int, bps: Int): Boolean = {
+    if (br.readBit() != 0) return false // padding bit
+    val tpe = br.readBits(6).toInt
+    if (tpe < 0) return false
+    var wasted = 0
+    val wflag = br.readBit()
+    if (wflag < 0) return false
+    if (wflag == 1) {
+      val k = br.readUnary(64)
+      if (k < 0) return false
+      wasted = k + 1
+    }
+    val ebps = bps - wasted
+    if (ebps <= 0 || ebps > 32) return false
+    val ok: Boolean =
+      if (tpe == 0) { // CONSTANT
+        val v = br.readSigned(ebps)
+        if (v == Long.MinValue) false
+        else { java.util.Arrays.fill(dst, v); true }
+      } else if (tpe == 1) { // VERBATIM
+        var i = 0; var good = true
+        while (i < blockSize && good) {
+          val v = br.readSigned(ebps)
+          if (v == Long.MinValue) good = false else { dst(i) = v; i += 1 }
+        }
+        good
+      } else if (tpe >= 8 && tpe <= 12) { // FIXED order 0-4
+        val order = tpe - 8
+        decodePredicted(br, dst, blockSize, ebps, order,
+          FlacFixedCoefs(order), 0)
+      } else if (tpe >= 32) { // LPC order 1-32
+        val order = tpe - 31
+        var good = true
+        // qlp precision and shift come AFTER the warmup samples — the
+        // format's field order, unlike FIXED where warmup leads straight
+        // into residuals
+        val warm = new Array[Long](order)
+        var i = 0
+        while (i < order && good) {
+          val v = br.readSigned(ebps)
+          if (v == Long.MinValue) good = false else { warm(i) = v; i += 1 }
+        }
+        if (!good) false
+        else {
+          val precM1 = br.readBits(4).toInt
+          if (precM1 < 0 || precM1 == 15) false
+          else {
+            val prec = precM1 + 1
+            val shift = br.readSigned(5)
+            if (shift == Long.MinValue || shift < 0) false
+            else {
+              val coefs = new Array[Long](order)
+              var j = 0
+              var g2 = true
+              while (j < order && g2) {
+                val cv = br.readSigned(prec)
+                if (cv == Long.MinValue) g2 = false
+                else { coefs(j) = cv; j += 1 }
+              }
+              if (!g2) false
+              else {
+                System.arraycopy(warm, 0, dst, 0, order)
+                decodeResidualInto(br, dst, blockSize, order) &&
+                  reconstructLpc(dst, blockSize, order, coefs, shift.toInt)
+              }
+            }
+          }
+        }
+      } else false // reserved type codes
+    if (!ok) return false
+    if (wasted > 0) {
+      var i = 0
+      while (i < blockSize) { dst(i) <<= wasted; i += 1 }
+    }
+    true
+  }
+
+  /** FIXED-prediction subframe body: warmup + residuals + integer
+    * reconstruction (shift 0). */
+  private def decodePredicted(br: FlacBitReader, dst: Array[Long],
+      blockSize: Int, ebps: Int, order: Int, coefs: Array[Long],
+      shift: Int): Boolean = {
+    var i = 0
+    while (i < order) {
+      val v = br.readSigned(ebps)
+      if (v == Long.MinValue) return false
+      dst(i) = v; i += 1
+    }
+    decodeResidualInto(br, dst, blockSize, order) &&
+      reconstructLpc(dst, blockSize, order, coefs, shift)
+  }
+
+  /** Rice-coded residual partitions into dst(order until blockSize). */
+  private def decodeResidualInto(br: FlacBitReader, dst: Array[Long],
+      blockSize: Int, order: Int): Boolean = {
+    val method = br.readBits(2).toInt
+    if (method != 0 && method != 1) return false
+    val pbits = if (method == 0) 4 else 5
+    val escape = (1 << pbits) - 1
+    val po = br.readBits(4).toInt
+    if (po < 0) return false
+    val nParts = 1 << po
+    if (blockSize % nParts != 0) return false
+    val partLen = blockSize >> po
+    if (partLen <= 0) return false
+    var p = 0
+    var idx = order
+    while (p < nParts) {
+      val n = if (p == 0) partLen - order else partLen
+      if (n < 0) return false
+      val param = br.readBits(pbits).toInt
+      if (param < 0) return false
+      if (param == escape) {
+        val raw = br.readBits(5).toInt
+        if (raw < 0) return false
+        var i = 0
+        while (i < n) {
+          val v = if (raw == 0) 0L else br.readSigned(raw)
+          if (v == Long.MinValue) return false
+          dst(idx) = v; idx += 1; i += 1
+        }
+      } else {
+        var i = 0
+        while (i < n) {
+          val q = br.readUnary()
+          if (q < 0) return false
+          val rem = br.readBits(param)
+          if (rem == Long.MinValue) return false
+          val u = (q.toLong << param) | rem
+          dst(idx) = (u >>> 1) ^ -(u & 1L) // zigzag → signed
+          idx += 1; i += 1
+        }
+      }
+      p += 1
+    }
+    true
+  }
+
+  /** In-place LPC/FIXED reconstruction: dst holds warmup in [0, order)
+    * and residuals in [order, blockSize). */
+  private def reconstructLpc(dst: Array[Long], blockSize: Int, order: Int,
+      coefs: Array[Long], shift: Int): Boolean = {
+    var i = order
+    while (i < blockSize) {
+      var acc = 0L
+      var j = 0
+      while (j < order) { acc += coefs(j) * dst(i - 1 - j); j += 1 }
+      dst(i) += (acc >> shift)
+      i += 1
+    }
+    true
+  }
+
+  /** Per-channel feature reduction over decoded FLAC samples — the same
+    * peak/Σs²/zero-crossing/RMS profile as [[decodeWavPcm16]], so FLAC
+    * and WAV payloads land in one relation downstream. */
+  def decodeFlacSamples(bytes: Array[Byte])
+      : IndexedSeq[(Int, Long, Long, Long, Long, Double)] =
+    decodeFlacPcm(bytes) match {
+      case None => Vector.empty
+      case Some((channels, _, chans)) =>
+        val out = Vector.newBuilder[(Int, Long, Long, Long, Long, Double)]
+        var c = 0
+        while (c < channels) {
+          val s = chans(c)
+          val n = s.length
+          var peak = 0L; var sumSq = 0L; var zc = 0L
+          var prevNeg = false
+          var i = 0
+          while (i < n) {
+            val v = s(i)
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            sumSq += v * v
+            val neg = v < 0
+            if (i > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+            i += 1
+          }
+          out += ((c, n.toLong, peak, sumSq, zc,
+            math.sqrt(sumSq.toDouble / n)))
+          c += 1
+        }
+        out.result()
+    }
+
+  /** Batch FLAC decode: one row per (payload, channel) — the
+    * compressed-audio twin of [[extractAudioFeaturesAnyDepth]]. */
+  def extractFlacFeatures(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[AudioFeatureRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
+      .as[BlobRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeFlacSamples(r.blob).iterator.map {
+            case (c, n, peak, sumSq, zc, rms) =>
+              AudioFeatureRow(r.doc_id, c.toLong, n, peak, sumSq, zc, rms)
+          }
+        }
+      }
+  }
+
   /** One decoded BMP image's features (see [[extractImageFeatures]]):
     * exact per-channel sums, position-weighted checksums (weight = x + y·w
     * over TOP-DOWN image coordinates — order-sensitive, so a bottom-up or
@@ -1626,13 +2045,13 @@ object Multimodal {
     * (its PERMISSIVE mode forwards undecodable records and counts them;
     * SURVEY §2.1 #14) applied to the multimodal family: every payload
     * gets a verdict row instead of silently vanishing from the feature
-    * relations. `(kind, ok, reason)` per payload: RIFF/BMP/PNG/GIF/JPEG
-    * payloads are probed with the real decoders ([[locatePcm]],
+    * relations. `(kind, ok, reason)` per payload: RIFF/BMP/PNG/GIF/JPEG/
+    * FLAC payloads are probed with the real decoders ([[locatePcm]],
     * [[locateBmp24]], [[decodePngPixels]], [[decodeGifPixels]],
-    * [[decodeJpegPixels]] — PNG and GIF gained their real branches in
-    * round 9, baseline JPEG in round 10); FLAC/MP3 stay header-only
-    * (`no_codec` — sample decode genuinely needs a codec library the
-    * container doesn't ship); unknown magics are `unknown_format`. A
+    * [[decodeJpegPixels]], [[decodeFlacPcm]] — PNG and GIF gained their
+    * real branches in round 9, baseline JPEG and FLAC in round 10);
+    * only MP3 remains header-only (a perceptual codec genuinely needing
+    * a codec library); unknown magics are `unknown_format`. A
     * production ingest routes `ok = false` rows to a rejects sink and
     * alerts on reason-rate drift. */
   def auditPayload(bytes: Array[Byte]): (String, Boolean, String) =
@@ -1652,7 +2071,9 @@ object Multimodal {
       case "jpeg" =>
         if (decodeJpegPixels(bytes).isDefined) ("jpeg", true, "ok")
         else ("jpeg", false, "undecodable_jpeg")
-      case "flac" => ("flac", false, "no_codec")
+      case "flac" =>
+        if (decodeFlacPcm(bytes).isDefined) ("flac", true, "ok")
+        else ("flac", false, "undecodable_flac")
       case k => (k, false, "unknown_format")
     }
 

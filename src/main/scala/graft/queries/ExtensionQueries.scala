@@ -329,6 +329,99 @@ object ExtensionQueries {
   private[graft] def jpegFixture(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), jpegBlob.as("blob"))
 
+  /** Standard MSB-first CRC byte table, computed at plan-build time. */
+  private def crcTable(width: Int, poly: Long): Seq[Long] = {
+    val top = 1L << (width - 1)
+    val mask = (1L << width) - 1
+    (0 until 256).map { b =>
+      var c = b.toLong << (width - 8)
+      (0 until 8).foreach { _ =>
+        c = if ((c & top) != 0) ((c << 1) ^ poly) & mask
+        else (c << 1) & mask
+      }
+      c
+    }
+  }
+
+  /** MSB-first CRC fold over an array of byte VALUES — `width` 8 or 16
+    * (in-plan, like the PNG fixture's adler32 fold). Used to stamp
+    * CORRECT CRC-8/CRC-16 into the FLAC fixture so the emitted stream
+    * is legal FLAC end-to-end; the spec cross-checks against an
+    * independent table-free bitwise implementation.
+    *
+    * TABLE-DRIVEN on purpose: the naive form — 8 chained
+    * `when(c >= top, …)` rounds inside the aggregate lambda — re-reads
+    * `c` three times per round, TRIPLING the lambda's expression tree
+    * every round (3^8 ≈ 6.5k interpreted nodes PER BYTE; measured 55 s
+    * for the sf0.001 fixture sweep vs sub-second with the 256-entry
+    * literal-array lookup, which is O(1) `element_at`). */
+  private def crcFold(vals: org.apache.spark.sql.Column, width: Int,
+      poly: Long): org.apache.spark.sql.Column = {
+    val table = typedLit(crcTable(width, poly))
+    if (width == 8)
+      aggregate(vals, lit(0L), (acc, b) =>
+        element_at(table, acc.bitwiseXOR(b).cast("int") + 1))
+    else
+      aggregate(vals, lit(0L), (acc, b) =>
+        pmod(acc * 256L, lit(1L << width)).bitwiseXOR(
+          element_at(table,
+            TF.intDivNonNeg(acc, lit(256L)).bitwiseXOR(b).cast("int") + 1)))
+  }
+
+  /** FLAC fixture, part 1: the whole FRAME as an array of byte values —
+    * hoisted behind one alias because the CRC-16 fold and the byte
+    * render both consume it (the mm_wav_meta discipline). Mono, 16-bit,
+    * ONE VERBATIM frame of `nf = 50 + doc_id % 200` samples: with
+    * bps 16 the verbatim samples are byte-aligned, so the sample bytes
+    * ARE the file bytes — the same b(j) = (doc_id·37 + j·101) % 256
+    * primitive as the WAV fixture, just big-endian pairs. Frame header:
+    * sync FFF8, blockSize code 7 (explicit 16-bit n−1), sample rate
+    * from STREAMINFO, channel asgn 0, sample size code 4 (16-bit),
+    * frame number 0, then a CORRECT in-plan CRC-8; subframe header
+    * 0x02 (VERBATIM, no wasted bits). The decoder exercises the fully
+    * general path (metadata walk, header field decode, subframe
+    * dispatch, sample extraction); the compressed paths — rice
+    * partitions, FIXED/LPC prediction, stereo decorrelation, wasted
+    * bits — are pinned by the spec-side encoder round-trips in
+    * MultimodalSpec (no FLAC reader ships in the JVM to cross-check
+    * against, so the fixture's legality is pinned by the independent
+    * table-driven CRC reimplementation there instead). */
+  private[graft] def flacFrameVals: org.apache.spark.sql.Column = {
+    val nf = lit(50L) + col("doc_id") % 200L
+    def b(j: org.apache.spark.sql.Column) =
+      pmod(col("doc_id") * 37L + j * 101L, lit(256L))
+    val hdr = array(lit(255L), lit(248L), lit(0x70L), lit(0x08L),
+      lit(0L), TF.intDivNonNeg(nf - 1L, lit(256L)),
+      pmod(nf - 1L, lit(256L)))
+    concat(hdr, array(crcFold(hdr, 8, 0x07L)), array(lit(2L)),
+      transform(sequence(lit(0L), nf * 2L - 1L), b(_)))
+  }
+
+  /** FLAC fixture, part 2: fLaC magic + STREAMINFO (sr 16000, 1
+    * channel, 16 bps, `nf` total samples, min = max blocksize = nf,
+    * zero MD5 — unknown, per spec) + the frame bytes + its CRC-16. */
+  private[graft] def flacBlob(
+      frameVals: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nf = lit(50L) + col("doc_id") % 200L
+    def u8h(x: org.apache.spark.sql.Column) =
+      lpad(hex(pmod(x, lit(256L))), 2, "0")
+    concat(
+      lit("fLaC".getBytes),
+      unhex(lit("80000022")), // last metadata block, type 0, length 34
+      be16b(nf), be16b(nf),   // min/max block size
+      unhex(lit("000000000000")), // min/max frame size unknown
+      unhex(lit("03E800F0")), // sr 16000 | ch 1 | bps 16 | total hi 0
+      be32b(nf),              // total samples (low 32)
+      unhex(lit("00" * 16)),  // MD5 unknown
+      unhex(array_join(transform(frameVals, u8h(_)), "")),
+      be16b(crcFold(frameVals, 16, 0x8005L)))
+  }
+
+  private[graft] def flacFixture(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), flacFrameVals.as("__fv"))
+      .select(col("doc_id"), flacBlob(col("__fv")).as("blob"))
+
   val all: Map[String, QueryFn] = Map(
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) =>
@@ -1926,6 +2019,17 @@ object ExtensionQueries {
     // or chunk-offset mistake on the Spark side diverges from the oracle.
     "mm_audio_features" -> ((s, dir) =>
       Multimodal.extractAudioFeatures(wavPcmFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"), col("channel"))),
+
+    // REAL FLAC sample decode (round 10): metadata walk, frame header
+    // bit fields, subframe dispatch, sample extraction, CRC layout —
+    // through the byte-aligned VERBATIM fixture whose sample bytes are
+    // the same closed-form primitive as the WAV fixture (big-endian
+    // pairs); rice/FIXED/LPC/stereo paths are pinned by encoder
+    // round-trip specs (no JVM FLAC reader exists to cross-check)
+    "mm_flac_samples" -> ((s, dir) =>
+      Multimodal.extractFlacFeatures(flacFixture(s, dir), "doc_id")
         .toDF()
         .orderBy(col("doc_id"), col("channel"))),
 
@@ -4992,6 +5096,33 @@ object ExtensionQueries {
         |    / CAST(COUNT(*) AS DOUBLE)) AS rms
         |FROM lagged GROUP BY doc_id, channel
         |ORDER BY doc_id, channel""".stripMargin,
+    // FLAC verbatim samples recombined from the SAME byte primitive as
+    // the WAV oracle, but BIG-endian pairs (FLAC is a big-endian
+    // bitstream) — a byte-order mistake in either decoder diverges on
+    // every sample; mono, so one channel-0 row per doc
+    "mm_flac_samples" ->
+      """WITH p AS (SELECT doc_id, 50 + doc_id % 200 AS nf
+        |  FROM documents),
+        |ix AS (SELECT doc_id, unnest(range(0, nf)) AS f FROM p),
+        |samp AS (SELECT doc_id, f,
+        |    (256 * ((doc_id*37 + (2*f)*101) % 256)
+        |      + (doc_id*37 + (2*f+1)*101) % 256
+        |      + 32768) % 65536 - 32768 AS s
+        |  FROM ix),
+        |lagged AS (SELECT doc_id, s,
+        |    LAG(s) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+        |  FROM samp)
+        |SELECT doc_id, CAST(0 AS BIGINT) AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+        |  CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq,
+        |  CAST(COUNT(*) FILTER (prev IS NOT NULL
+        |    AND (s < 0) != (prev < 0)) AS BIGINT) AS zero_crossings,
+        |  SQRT(CAST(SUM(CAST(s AS BIGINT) * s) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE)) AS rms
+        |FROM lagged GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     // offset-binary centering recomputed independently: s = b(i) − 128
     "mm_audio_features8" ->
       """WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
@@ -5183,7 +5314,7 @@ object ExtensionQueries {
         |         CASE WHEN doc_id % 30 = 5 THEN 'undecodable_jpeg'
         |              ELSE 'ok' END
         |       WHEN substr(text, 1, 4) = 'RIFF' THEN 'undecodable_pcm'
-        |       WHEN substr(text, 1, 4) = 'fLaC' THEN 'no_codec'
+        |       WHEN substr(text, 1, 4) = 'fLaC' THEN 'undecodable_flac'
         |       WHEN substr(text, 1, 2) = 'BM' THEN 'undecodable_bmp24'
         |       WHEN substr(text, 1, 4) = 'GIF8' THEN 'undecodable_gif'
         |       ELSE 'unknown_format' END AS reason

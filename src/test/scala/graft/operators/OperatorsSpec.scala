@@ -1491,10 +1491,15 @@ class MultimodalSpec extends SparkFunSuite {
     fuzzOne(pngGood, Multimodal.decodePngPixels(_), "png")
     val jpegGood = jpegFixtureBytes(3L)
     fuzzOne(jpegGood, Multimodal.decodeJpegPixels(_), "jpeg")
+    val flacGood = encodeFlac(
+      Seq(Array.tabulate(40)(i => (900 * math.sin(i * 0.3)).toLong)),
+      16, 0, Seq(Fixed(2, 1, 5)))
+    fuzzOne(flacGood, b => Multimodal.decodeFlacPcm(b), "flac")
     // and the audit front door stays total over the same mutations
     fuzzOne(gifGood, b => Some(Multimodal.auditPayload(b)), "audit-gif")
     fuzzOne(pngGood, b => Some(Multimodal.auditPayload(b)), "audit-png")
     fuzzOne(jpegGood, b => Some(Multimodal.auditPayload(b)), "audit-jpeg")
+    fuzzOne(flacGood, b => Some(Multimodal.auditPayload(b)), "audit-flac")
   }
 
   /** One doc's in-plan DC-only JPEG fixture rendered to bytes. */
@@ -1709,6 +1714,293 @@ class MultimodalSpec extends SparkFunSuite {
     // and the struct-NULL filter drops undecodable payloads in-stage
     assert(Multimodal.extractPngFeatures(df, "doc_id").count() == 0)
     assert(Multimodal.extractDecodeAudit(df, "doc_id").count() == 3)
+  }
+
+  // ---- FLAC (round 10) ----
+
+  /** MSB-first bit writer for the spec-side FLAC encoder. */
+  private final class BitWriter {
+    private val buf = new scala.collection.mutable.ArrayBuffer[Byte]()
+    private var cur = 0
+    private var nb = 0
+    def putBit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); nb += 1
+      if (nb == 8) { buf += cur.toByte; cur = 0; nb = 0 }
+    }
+    def putBits(v: Long, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => putBit(((v >> i) & 1).toInt))
+    def putUnary(q: Int): Unit = { (0 until q).foreach(_ => putBit(0)); putBit(1) }
+    def align(): Unit = while (nb != 0) putBit(0)
+    def bytes: Array[Byte] = { require(nb == 0); buf.toArray }
+  }
+
+  private def crc8Ref(bs: Seq[Int]): Int = {
+    var c = 0
+    bs.foreach { b =>
+      c ^= b
+      (0 until 8).foreach { _ =>
+        c = if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xff else (c << 1) & 0xff }
+    }
+    c
+  }
+
+  private def crc16Ref(bs: Seq[Int]): Int = {
+    var c = 0
+    bs.foreach { b =>
+      c ^= b << 8
+      (0 until 8).foreach { _ =>
+        c = if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xffff
+        else (c << 1) & 0xffff }
+    }
+    c
+  }
+
+  /** Spec-side FLAC encoder: one frame over `chans` (equal lengths),
+    * with a per-channel subframe plan. Residuals/prediction computed in
+    * the ENCODE direction (s → r), so a decoder that doesn't exactly
+    * invert the bit packing, rice coding, prediction or decorrelation
+    * fails the round-trip. */
+  private sealed trait SubPlan
+  private case object Verbatim extends SubPlan
+  private case object Constant extends SubPlan
+  private case class Fixed(order: Int, po: Int, param: Int) extends SubPlan
+  private case class Lpc(coefs: Seq[Long], shift: Int, prec: Int,
+    param: Int) extends SubPlan
+  private case class Escape(rawBps: Int) extends SubPlan // order-0 raw
+
+  private def encodeFlac(chans: Seq[Array[Long]], bps: Int, chAsgn: Int,
+      plans: Seq[SubPlan], wasted: Int = 0): Array[Byte] = {
+    val n = chans.head.length
+    val nCh = if (chAsgn < 8) chAsgn + 1 else 2
+    require(chans.length == nCh && plans.length == nCh)
+    // channel pre-transform for stereo modes (what the encoder stores)
+    val stored: Seq[Array[Long]] = chAsgn match {
+      case 8 => Seq(chans(0),
+        Array.tabulate(n)(i => chans(0)(i) - chans(1)(i)))
+      case 9 => Seq(Array.tabulate(n)(i => chans(0)(i) - chans(1)(i)),
+        chans(1))
+      case 10 => Seq(
+        Array.tabulate(n)(i => (chans(0)(i) + chans(1)(i)) >> 1),
+        Array.tabulate(n)(i => chans(0)(i) - chans(1)(i)))
+      case _ => chans
+    }
+    val w = new BitWriter
+    // fLaC + STREAMINFO
+    "fLaC".foreach(c => w.putBits(c.toLong, 8))
+    w.putBits(0x80, 8); w.putBits(34, 24)
+    w.putBits(n.toLong, 16); w.putBits(n.toLong, 16) // min/max block
+    w.putBits(0, 24); w.putBits(0, 24)               // frame sizes
+    w.putBits(16000, 20)
+    w.putBits(nCh.toLong - 1, 3)
+    w.putBits(bps.toLong - 1, 5)
+    w.putBits(n.toLong, 36)
+    (0 until 16).foreach(_ => w.putBits(0, 8))
+    // frame header
+    val hw = new BitWriter
+    hw.putBits(0x3ffe, 14); hw.putBit(0); hw.putBit(0)
+    hw.putBits(7, 4)  // explicit 16-bit block size
+    hw.putBits(0, 4)  // sample rate from streaminfo
+    hw.putBits(chAsgn.toLong, 4)
+    hw.putBits(bps match { case 8 => 1; case 12 => 2; case 16 => 4
+      case 20 => 5; case 24 => 6 }, 3)
+    hw.putBit(0)
+    hw.putBits(0, 8)                 // frame number 0 (utf8 1-byte)
+    hw.putBits(n.toLong - 1, 16)
+    val hdrBytes = hw.bytes
+    hdrBytes.foreach(b => w.putBits(b & 0xffL, 8))
+    w.putBits(crc8Ref(hdrBytes.map(_ & 0xff)).toLong, 8)
+    // subframes — track the frame bytes for CRC-16 via a parallel writer
+    stored.zip(plans).zipWithIndex.foreach { case ((s0, plan), ci) =>
+      val sbps0 = bps + (chAsgn match {
+        case 8 if ci == 1 => 1
+        case 9 if ci == 0 => 1
+        case 10 if ci == 1 => 1
+        case _ => 0
+      })
+      // wasted bits: the stored subframe codes s >> wasted at a reduced
+      // sample size, and flags the count
+      val s = if (wasted > 0) s0.map(_ >> wasted) else s0
+      val sbps = sbps0 - wasted
+      w.putBit(0)
+      plan match {
+        case Constant =>
+          w.putBits(0, 6); putWaste(w, wasted)
+          w.putBits(s(0) & ((1L << sbps) - 1), sbps)
+        case Verbatim =>
+          w.putBits(1, 6); putWaste(w, wasted)
+          s.foreach(v => w.putBits(v & ((1L << sbps) - 1), sbps))
+        case Escape(raw) =>
+          // FIXED order 0, partition order 0, escaped raw residuals
+          w.putBits(8, 6); putWaste(w, wasted)
+          w.putBits(0, 2); w.putBits(0, 4); w.putBits(0xf, 4)
+          w.putBits(raw.toLong, 5)
+          s.foreach(v => w.putBits(v & ((1L << raw) - 1), raw))
+        case Fixed(order, po, param) =>
+          w.putBits(8L + order, 6); putWaste(w, wasted)
+          (0 until order).foreach(i =>
+            w.putBits(s(i) & ((1L << sbps) - 1), sbps))
+          val coefs = Seq(Seq[Long](), Seq(1L), Seq(2L, -1L),
+            Seq(3L, -3L, 1L), Seq(4L, -6L, 4L, -1L))(order)
+          val resid = (order until n).map(i =>
+            s(i) - coefs.zipWithIndex.map { case (c, j) =>
+              c * s(i - 1 - j) }.sum)
+          writeResiduals(w, resid, n, order, po, param)
+        case Lpc(coefs, shift, prec, param) =>
+          val order = coefs.length
+          w.putBits(32L + order - 1, 6); putWaste(w, wasted)
+          (0 until order).foreach(i =>
+            w.putBits(s(i) & ((1L << sbps) - 1), sbps))
+          w.putBits(prec.toLong - 1, 4)
+          w.putBits(shift.toLong, 5)
+          coefs.foreach(c => w.putBits(c & ((1L << prec) - 1), prec))
+          val resid = (order until n).map(i =>
+            s(i) - (coefs.zipWithIndex.map { case (c, j) =>
+              c * s(i - 1 - j) }.sum >> shift))
+          writeResiduals(w, resid, n, order, 0, param)
+      }
+    }
+    w.align()
+    val soFar = w.bytes
+    val frame = soFar.drop(4 + 4 + 34) // after magic + header + STREAMINFO
+    val full = new BitWriter
+    soFar.foreach(b => full.putBits(b & 0xffL, 8))
+    full.putBits(crc16Ref(frame.map(_ & 0xff)).toLong, 16)
+    full.bytes
+  }
+
+  private def putWaste(w: BitWriter, wasted: Int): Unit =
+    if (wasted == 0) w.putBit(0)
+    else { w.putBit(1); w.putUnary(wasted - 1) }
+
+  private def writeResiduals(w: BitWriter, resid: Seq[Long], n: Int,
+      order: Int, po: Int, param: Int): Unit = {
+    w.putBits(0, 2) // 4-bit rice method
+    w.putBits(po.toLong, 4)
+    val partLen = n >> po
+    var idx = 0
+    (0 until (1 << po)).foreach { p =>
+      val cnt = if (p == 0) partLen - order else partLen
+      w.putBits(param.toLong, 4)
+      (0 until cnt).foreach { _ =>
+        val v = resid(idx); idx += 1
+        val u = (v << 1) ^ (v >> 63) // zigzag
+        w.putUnary((u >>> param).toInt)
+        w.putBits(u & ((1L << param) - 1), param)
+      }
+    }
+  }
+
+  test("FLAC fixture: legal stream (independent CRC-8/16 agree), " +
+      "decodeFlacPcm inverts it to the closed-form samples, flacMeta " +
+      "parses the same header") {
+    val s = spark
+    import s.implicits._
+    val blobs = (0L until 5L).toDF("doc_id")
+      .select(col("doc_id"),
+        graft.queries.ExtensionQueries.flacFrameVals.as("__fv"))
+      .select(col("doc_id"),
+        graft.queries.ExtensionQueries.flacBlob(col("__fv")).as("blob"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("blob"))
+    blobs.foreach { case (d, bytes) =>
+      val n = (50 + d % 200).toInt
+      // independent CRC check over the frame region: fLaC(4) + hdr(4) +
+      // STREAMINFO(34) = 42 bytes of metadata; frame is the rest minus
+      // the trailing CRC-16
+      val frame = bytes.slice(42, bytes.length - 2).map(_ & 0xff).toSeq
+      val hdr = frame.take(7)
+      assert(frame(7) == crc8Ref(hdr), s"doc $d header CRC-8")
+      val c16 = ((bytes(bytes.length - 2) & 0xff) << 8) |
+        (bytes.last & 0xff)
+      assert(c16 == crc16Ref(frame), s"doc $d frame CRC-16")
+      // decode inverts to the byte-primitive samples
+      val (ch, bps, chans) = Multimodal.decodeFlacPcm(bytes)
+        .getOrElse(fail(s"doc $d: fixture undecodable"))
+      assert(ch == 1 && bps == 16 && chans(0).length == n)
+      (0 until n).foreach { f =>
+        val hi = (d * 37 + (2 * f) * 101) % 256
+        val lo = (d * 37 + (2 * f + 1) * 101) % 256
+        val want = (((hi * 256 + lo) + 32768) % 65536) - 32768
+        assert(chans(0)(f) == want, s"doc $d sample $f")
+      }
+      // the Catalyst header parser agrees with the sample decoder
+      val meta = Seq((d, bytes)).toDF("doc_id", "blob")
+        .select(Multimodal.flacMeta(col("blob")).as("m"))
+        .head().getStruct(0)
+      assert(meta.getAs[Long]("channels") == 1 &&
+        meta.getAs[Long]("sample_rate") == 16000 &&
+        meta.getAs[Long]("bits_per_sample") == 16 &&
+        meta.getAs[Long]("total_samples") == n)
+    }
+  }
+
+  test("FLAC encoder round-trips: CONSTANT, FIXED orders with rice " +
+      "partitions, LPC with shift, escaped raw partitions, wasted bits " +
+      "— decode must exactly invert each") {
+    def sig(i: Int): Long = // smooth-ish signal, fits 16 bits
+      (2000 * math.sin(i * 0.1)).toLong + (i % 7) - 3
+    val n = 64
+    val mono = Array.tabulate(n)(sig)
+    def rt(plan: SubPlan, data: Array[Long] = mono, bps: Int = 16,
+        wasted: Int = 0): Unit = {
+      val d = if (wasted > 0) data.map(_ << wasted) else data
+      val bytes = encodeFlac(Seq(d), bps, 0, Seq(plan), wasted)
+      val (ch, obps, out) = Multimodal.decodeFlacPcm(bytes)
+        .getOrElse(fail(s"$plan undecodable"))
+      assert(ch == 1 && obps == bps)
+      assert(out(0).toSeq == d.toSeq, s"$plan samples diverge")
+    }
+    rt(Verbatim)
+    rt(Constant, Array.fill(n)(-1234L))
+    rt(Fixed(0, 0, 6))
+    rt(Fixed(1, 0, 5))
+    rt(Fixed(2, 1, 5)) // two rice partitions
+    rt(Fixed(3, 2, 6)) // four partitions
+    rt(Fixed(4, 0, 7))
+    rt(Lpc(Seq(3L, -2L), shift = 1, prec = 6, param = 6))
+    rt(Lpc(Seq(2L, -3L, 2L, -1L), shift = 2, prec = 5, param = 7))
+    rt(Escape(16), Array.tabulate(n)(i => sig(i) & 0x7fff))
+    rt(Fixed(2, 0, 5), wasted = 3) // wasted-bits shift restored
+    rt(Verbatim, bps = 8, data = Array.tabulate(n)(i => (sig(i) % 100)))
+    rt(Fixed(2, 0, 4), bps = 24,
+      data = Array.tabulate(n)(i => sig(i) * 100))
+  }
+
+  test("FLAC stereo decorrelation: left/side, right/side, mid/side " +
+      "all reconstruct the original channels (side carries the +1 bit)") {
+    val n = 48
+    val left = Array.tabulate(n)(i => (1500 * math.sin(i * 0.2)).toLong)
+    val right = Array.tabulate(n)(i => (1300 * math.cos(i * 0.15)).toLong)
+    for (asgn <- Seq(8, 9, 10)) {
+      val bytes = encodeFlac(Seq(left, right), 16, asgn,
+        Seq(Fixed(2, 0, 6), Fixed(2, 0, 6)))
+      val (ch, _, out) = Multimodal.decodeFlacPcm(bytes)
+        .getOrElse(fail(s"asgn $asgn undecodable"))
+      assert(ch == 2)
+      assert(out(0).toSeq == left.toSeq, s"asgn $asgn left")
+      assert(out(1).toSeq == right.toSeq, s"asgn $asgn right")
+    }
+    // independent 2-channel assignment too (asgn 1)
+    val bytes = encodeFlac(Seq(left, right), 16, 1,
+      Seq(Verbatim, Fixed(1, 0, 6)))
+    val (_, _, out) = Multimodal.decodeFlacPcm(bytes).getOrElse(fail())
+    assert(out(0).toSeq == left.toSeq && out(1).toSeq == right.toSeq)
+  }
+
+  test("decodeFlacPcm: permissive rejection of truncated, bad-sync, " +
+      "reserved-code and total-mismatch payloads") {
+    val good = encodeFlac(Seq(Array.tabulate(32)(i => i.toLong * 3)),
+      16, 0, Seq(Verbatim))
+    assert(Multimodal.decodeFlacPcm(good).isDefined)
+    assert(Multimodal.decodeFlacPcm(null).isEmpty)
+    assert(Multimodal.decodeFlacPcm("fLaC but not".getBytes).isEmpty)
+    assert(Multimodal.decodeFlacPcm(good.take(50)).isEmpty, "truncated")
+    val badSync = good.clone()
+    badSync(42) = 0x00 // frame sync byte
+    assert(Multimodal.decodeFlacPcm(badSync).isEmpty, "bad sync")
+    val shortTotal = good.clone()
+    shortTotal(25) = (shortTotal(25) + 1).toByte // STREAMINFO total += 1
+    assert(Multimodal.decodeFlacPcm(shortTotal).isEmpty,
+      "sample total must match STREAMINFO")
   }
 
   test("withBlob: byte metadata is exact; kind sniffs magic bytes") {
