@@ -1124,7 +1124,7 @@ object Multimodal {
     * row-order mistakes can't hide in an order-independent sum, the
     * [[decodeBmp24]] discipline) and means. 1-channel rasters replicate
     * into r=g=b; 4-channel (RGBA) ignores alpha in the features. */
-  private def rasterFeatures(w: Int, h: Int, ch: Int,
+  private[graft] def rasterFeatures(w: Int, h: Int, ch: Int,
       px: Array[Byte]): RasterFeatureRow = {
     val sums = new Array[Long](3)
     val wsums = new Array[Long](3)
@@ -2019,6 +2019,109 @@ object Multimodal {
   def extractJpegFeatures(df: DataFrame, idCol: String,
       blobCol: String = "blob"): Dataset[RasterFeatureRow] =
     rasterExtract(df, idCol, blobCol, jpegFeaturesCol)
+
+  /** 24-bit BMP as a top-down RGB raster — [[decodePngPixels]]'s return
+    * shape, so BMP rides the same [[rasterFeatures]] reduction as the
+    * other image formats (the file stores BGR bottom-up; both flips
+    * happen here). */
+  def decodeBmpPixels(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Array[Byte])] =
+    locateBmp24(bytes).map { case (w, h, dataOff, stride, topDown) =>
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val rowOff = dataOff + (if (topDown) y else h - 1 - y) * stride
+        var x = 0
+        while (x < w) {
+          val p = rowOff + 3 * x
+          val q = (y * w + x) * 3
+          out(q) = bytes(p + 2) // file is BGR
+          out(q + 1) = bytes(p + 1)
+          out(q + 2) = bytes(p)
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, 3, out)
+    }
+
+  /** ONE FRONT DOOR for a mixed-format image corpus (round 10): sniff
+    * the magic, decode with the right real decoder, reduce through the
+    * shared [[rasterFeatures]] profile. A production 100 TB corpus is
+    * never single-format — this is the dispatch the per-format
+    * extractors compose into, with the format surfaced as a column so
+    * downstream can slice by it. */
+  def decodeAnyRaster(bytes: Array[Byte])
+      : Option[(String, RasterFeatureRow)] =
+    sniffKindJvm(bytes) match {
+      case "png" => decodePngFeatures(bytes).map(("png", _))
+      case "gif" => decodeGifFeatures(bytes).map(("gif", _))
+      case "jpeg" => decodeJpegFeatures(bytes).map(("jpeg", _))
+      case "bmp" => decodeBmpPixels(bytes).map { case (w, h, ch, px) =>
+        ("bmp", rasterFeatures(w, h, ch, px)) }
+      case _ => None
+    }
+
+  /** [[RasterFeatureRow]] plus the sniffed format. */
+  final case class AnyRasterRow(doc_id: Long, kind: String, width: Long,
+      height: Long, channels: Long, n_px: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      wsum_r: Long, wsum_g: Long, wsum_b: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  def anyRasterCol(blob: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.AnyRasterFeatures(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(blob)))
+
+  /** Batch mixed-format image decode — the same native-expression +
+    * Generate-barrier shape as [[rasterExtract]], one decode per row. */
+  def extractAnyImageFeatures(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[AnyRasterRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"),
+        explode(array(anyRasterCol(col(blobCol)))).as("f"))
+      .filter(col("f").isNotNull)
+      .select(col("doc_id"), col("f.*"))
+      .as[AnyRasterRow]
+  }
+
+  /** [[AudioFeatureRow]] plus the sniffed container/codec. */
+  final case class AnyAudioRow(doc_id: Long, kind: String, channel: Long,
+      n_frames: Long, peak_abs: Long, sum_sq: Long, zero_crossings: Long,
+      rms: Double)
+
+  /** The audio front door: integer-PCM WAV (8/16-bit) or FLAC, one
+    * per-channel profile relation out. */
+  def decodeAnyAudio(bytes: Array[Byte])
+      : Option[(String, IndexedSeq[(Int, Long, Long, Long, Long, Double)])] =
+    sniffKindJvm(bytes) match {
+      case "riff" => locatePcm(bytes).map { case (ch, bits, off, n) =>
+        ("riff", reducePcm(bytes, ch, bits, off, n)) }
+      case "flac" =>
+        val rows = decodeFlacSamples(bytes)
+        if (rows.isEmpty) None else Some(("flac", rows))
+      case _ => None
+    }
+
+  /** Batch mixed-format audio decode: one row per (payload, channel). */
+  def extractAnyAudioFeatures(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[AnyAudioRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
+      .as[BlobRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeAnyAudio(r.blob).iterator.flatMap { case (kind, chans) =>
+            chans.iterator.map { case (c, n, peak, sumSq, zc, rms) =>
+              AnyAudioRow(r.doc_id, kind, c.toLong, n, peak, sumSq, zc, rms)
+            }
+          }
+        }
+      }
+  }
 
   /** One payload's decode-dispatch verdict (see [[extractDecodeAudit]]). */
   final case class DecodeAuditRow(doc_id: Long, kind: String, ok: Boolean,

@@ -45,6 +45,12 @@ object MediaDecodeKernel {
     StructField("ok", BooleanType, nullable = false),
     StructField("reason", StringType, nullable = false)))
 
+  /** [[rasterSchema]] with the sniffed format ahead of it — the
+    * mixed-corpus front door's struct. */
+  val anyRasterSchema: StructType = StructType(
+    StructField("kind", StringType, nullable = false) +:
+      rasterSchema.fields.toSeq)
+
   private def fromRaster(r: Multimodal.RasterFeatureRow): InternalRow =
     InternalRow(r.width, r.height, r.channels, r.n_px,
       r.sum_r, r.sum_g, r.sum_b, r.wsum_r, r.wsum_g, r.wsum_b,
@@ -64,6 +70,15 @@ object MediaDecodeKernel {
     InternalRow(UTF8String.fromString(kind), ok,
       UTF8String.fromString(reason))
   }
+
+  def anyRaster(blob: Array[Byte]): InternalRow =
+    Multimodal.decodeAnyRaster(blob) match {
+      case Some((kind, r)) =>
+        InternalRow(UTF8String.fromString(kind), r.width, r.height,
+          r.channels, r.n_px, r.sum_r, r.sum_g, r.sum_b,
+          r.wsum_r, r.wsum_g, r.wsum_b, r.mean_r, r.mean_g, r.mean_b)
+      case None => null
+    }
 }
 
 /** Shared shape of the four media expressions: binary child, struct
@@ -114,6 +129,20 @@ case class JpegFeatures(child: Expression) extends MediaDecodeExpression {
     MediaDecodeKernel.jpeg(b)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "graft_jpeg_features"
+}
+
+/** `any_raster_features(blob)` → (kind, raster features) for whichever
+  * image format the magic bytes announce; NULL for non-image or
+  * undecodable payloads — the mixed-corpus dispatch as one expression. */
+case class AnyRasterFeatures(child: Expression)
+  extends MediaDecodeExpression {
+  override def dataType: DataType = MediaDecodeKernel.anyRasterSchema
+  override def nullable: Boolean = true
+  override protected def kernelMethod: String = "anyRaster"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaDecodeKernel.anyRaster(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_any_raster_features"
 }
 
 /** `media_audit(blob)` → (kind, ok, reason) verdict struct — total

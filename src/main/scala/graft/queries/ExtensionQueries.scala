@@ -107,7 +107,7 @@ object ExtensionQueries {
     * j·101) % 256 — channels 1..2, 50..249 frames, a LIST clutter chunk
     * on every third doc. The oracles recombine byte pairs into
     * two's-complement samples independently (see mm_audio_features). */
-  private def wavPcmBlob: org.apache.spark.sql.Column = {
+  private[graft] def wavPcmBlob: org.apache.spark.sql.Column = {
     val ch = lit(1L) + col("doc_id") % 2L
     val nf = lit(50L) + col("doc_id") % 200L
     val blk = ch * 2L // 16-bit PCM
@@ -137,7 +137,7 @@ object ExtensionQueries {
     * mm_decode_audit: pixel-array FILE bytes (padding included) are the
     * primitive — b(j) = (doc_id·11 + j·17) % 256 — width 3..8 (stride
     * padding 0..3), height 2..5. */
-  private def bmpBlob: org.apache.spark.sql.Column = {
+  private[graft] def bmpBlob: org.apache.spark.sql.Column = {
     val w = lit(3L) + col("doc_id") % 6L
     val h = lit(2L) + col("doc_id") % 4L
     val stride = ((w * 3L + 3L) / 4L).cast("long") * 4L
@@ -182,7 +182,7 @@ object ExtensionQueries {
     * Average/Up/Paeth filters can't be built in closed form (non-linear
     * recursions) — those unfilter paths are pinned by the two-sided
     * ImageIO cross-check in MultimodalSpec instead. */
-  private def pngScan: org.apache.spark.sql.Column = {
+  private[graft] def pngScan: org.apache.spark.sql.Column = {
     val w = lit(3L) + col("doc_id") % 4L
     val h = lit(2L) + col("doc_id") % 3L
     val rowBytes = w * 3L
@@ -202,7 +202,7 @@ object ExtensionQueries {
   /** Assemble the PNG container around a pre-aliased scanline-value
     * array (hoisted so the adler fold and the byte render share ONE
     * evaluation — the mm_wav_meta discipline). */
-  private def pngAssemble(scan: org.apache.spark.sql.Column,
+  private[graft] def pngAssemble(scan: org.apache.spark.sql.Column,
       w: org.apache.spark.sql.Column,
       h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val dataLen = size(scan).cast("long")
@@ -2021,6 +2021,39 @@ object ExtensionQueries {
       Multimodal.extractAudioFeatures(wavPcmFixture(s, dir), "doc_id")
         .toDF()
         .orderBy(col("doc_id"), col("channel"))),
+
+    // ONE FRONT DOOR over a MIXED image corpus (round 10): docs route
+    // by residue to BMP/PNG/GIF/JPEG fixtures and the single
+    // any_raster_features expression sniffs + decodes + profiles each —
+    // the oracle recomputes all four closed forms with the format
+    // column attached (production corpora are never single-format)
+    "mm_image_any" -> ((s, dir) => {
+      val blob = when(col("doc_id") % 4 === 0, bmpBlob)
+        .when(col("doc_id") % 4 === 1,
+          pngAssemble(col("__png_scan"), lit(3L) + col("doc_id") % 4L,
+            lit(2L) + col("doc_id") % 3L))
+        .when(col("doc_id") % 4 === 2, gifBlob)
+        .otherwise(jpegBlob)
+      Multimodal.extractAnyImageFeatures(
+          t(s, dir, "documents").select(col("doc_id"),
+              when(col("doc_id") % 4 === 1, pngScan).as("__png_scan"))
+            .select(col("doc_id"), blob.as("blob")), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
+    // the audio front door: odd docs are (stereo-capable) PCM WAV, even
+    // docs FLAC — one per-channel profile relation out, kind attached
+    "mm_audio_any" -> ((s, dir) => {
+      Multimodal.extractAnyAudioFeatures(
+          t(s, dir, "documents").select(col("doc_id"),
+              when(col("doc_id") % 2 === 0, flacFrameVals).as("__fv"))
+            .select(col("doc_id"),
+              when(col("doc_id") % 2 === 1, wavPcmBlob)
+                .otherwise(flacBlob(col("__fv"))).as("blob")), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"), col("channel"))
+    }),
 
     // REAL FLAC sample decode (round 10): metadata walk, frame header
     // bit fields, subframe dispatch, sample extraction, CRC layout —
@@ -5096,6 +5129,165 @@ object ExtensionQueries {
         |    / CAST(COUNT(*) AS DOUBLE)) AS rms
         |FROM lagged GROUP BY doc_id, channel
         |ORDER BY doc_id, channel""".stripMargin,
+    // all four per-format closed forms recomputed with the format
+    // column attached — BMP's file-BGR channels remapped to the RGB
+    // raster convention, JPEG's grayscale replicated into r=g=b
+    "mm_image_any" ->
+      """WITH ab AS (SELECT doc_id, 3 + doc_id % 6 AS w,
+        |    2 + doc_id % 4 AS h, ((3*(3 + doc_id % 6) + 3) // 4) * 4
+        |      AS stride
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |abx AS (SELECT doc_id, w, h,
+        |    unnest(range(0, w * h * 3)) AS i, stride FROM ab),
+        |abv AS (SELECT doc_id, w, h, i % 3 AS c, (i // 3) % w AS x,
+        |    i // (3 * w) AS y,
+        |    (doc_id*11 + ((h - 1 - i // (3*w)) * stride
+        |      + 3 * ((i // 3) % w) + i % 3) * 17) % 256 AS v
+        |  FROM abx),
+        |bmp AS (SELECT doc_id, 'bmp' AS kind,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels, CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(SUM(v) FILTER (c = 2) AS BIGINT) AS sum_r,
+        |  CAST(SUM(v) FILTER (c = 1) AS BIGINT) AS sum_g,
+        |  CAST(SUM(v) FILTER (c = 0) AS BIGINT) AS sum_b,
+        |  CAST(SUM((x + y * w) * v) FILTER (c = 2) AS BIGINT) AS wsum_r,
+        |  CAST(SUM((x + y * w) * v) FILTER (c = 1) AS BIGINT) AS wsum_g,
+        |  CAST(SUM((x + y * w) * v) FILTER (c = 0) AS BIGINT) AS wsum_b,
+        |  CAST(SUM(v) FILTER (c = 2) AS DOUBLE) / (w * h) AS mean_r,
+        |  CAST(SUM(v) FILTER (c = 1) AS DOUBLE) / (w * h) AS mean_g,
+        |  CAST(SUM(v) FILTER (c = 0) AS DOUBLE) / (w * h) AS mean_b
+        |  FROM abv GROUP BY doc_id, w, h),
+        |ap AS (SELECT doc_id, 3 + doc_id % 4 AS w, 2 + doc_id % 3 AS h
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |apx AS (SELECT doc_id, w, h,
+        |    CAST(unnest(range(0, 3 * w * h)) AS BIGINT) AS j FROM ap),
+        |apv AS (SELECT doc_id, w, h, j % 3 AS c, (j // 3) % w AS x,
+        |    j // (3 * w) AS y, (doc_id * 13 + j * 23) % 256 AS v
+        |  FROM apx),
+        |png AS (SELECT doc_id, 'png' AS kind,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels, CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(SUM(v) FILTER (c = 0) AS BIGINT) AS sum_r,
+        |  CAST(SUM(v) FILTER (c = 1) AS BIGINT) AS sum_g,
+        |  CAST(SUM(v) FILTER (c = 2) AS BIGINT) AS sum_b,
+        |  CAST(SUM((x + y * w) * v) FILTER (c = 0) AS BIGINT) AS wsum_r,
+        |  CAST(SUM((x + y * w) * v) FILTER (c = 1) AS BIGINT) AS wsum_g,
+        |  CAST(SUM((x + y * w) * v) FILTER (c = 2) AS BIGINT) AS wsum_b,
+        |  CAST(SUM(v) FILTER (c = 0) AS DOUBLE) / (w * h) AS mean_r,
+        |  CAST(SUM(v) FILTER (c = 1) AS DOUBLE) / (w * h) AS mean_g,
+        |  CAST(SUM(v) FILTER (c = 2) AS DOUBLE) / (w * h) AS mean_b
+        |  FROM apv GROUP BY doc_id, w, h),
+        |ag AS (SELECT doc_id, 3 + doc_id % 4 AS w, 2 + doc_id % 3 AS h
+        |  FROM documents WHERE doc_id % 4 = 2),
+        |agx AS (SELECT doc_id, w, h,
+        |    CAST(unnest(range(0, w * h)) AS BIGINT) AS j FROM ag),
+        |agi AS (SELECT doc_id, w, h, j % w AS x, j // w AS y,
+        |    (doc_id * 13 + j * 23) % 128 AS idx FROM agx),
+        |agc AS (SELECT doc_id, w, h, x, y,
+        |    CAST(unnest(range(0, 3)) AS BIGINT) AS c, idx FROM agi),
+        |agv AS (SELECT doc_id, w, h, x, y, c,
+        |    (doc_id * 7 + (idx * 3 + c) * 11) % 256 AS v FROM agc),
+        |gif AS (SELECT doc_id, 'gif' AS kind,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels, CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+        |  CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        |  CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+        |  CAST(SUM(CASE WHEN c = 0 THEN (x + y * w) * v ELSE 0 END)
+        |    AS BIGINT) AS wsum_r,
+        |  CAST(SUM(CASE WHEN c = 1 THEN (x + y * w) * v ELSE 0 END)
+        |    AS BIGINT) AS wsum_g,
+        |  CAST(SUM(CASE WHEN c = 2 THEN (x + y * w) * v ELSE 0 END)
+        |    AS BIGINT) AS wsum_b,
+        |  CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS DOUBLE)
+        |    / (w * h) AS mean_r,
+        |  CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS DOUBLE)
+        |    / (w * h) AS mean_g,
+        |  CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS DOUBLE)
+        |    / (w * h) AS mean_b
+        |  FROM agv GROUP BY doc_id, w, h),
+        |aj AS (SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+        |  FROM documents WHERE doc_id % 4 = 3),
+        |ajk AS (SELECT doc_id, bw, bh,
+        |    CAST(unnest(range(0, bw * bh)) AS BIGINT) AS k FROM aj),
+        |ajm AS (SELECT doc_id, bw, bh, k,
+        |    CASE WHEN k % 2 = 0 THEN 32 + (doc_id * 7 + k * 11) % 32
+        |         ELSE -(32 + (doc_id * 7 + k * 11) % 32) END AS sd
+        |  FROM ajk),
+        |ajd AS (SELECT doc_id, bw, bh, k,
+        |    SUM(sd) OVER (PARTITION BY doc_id ORDER BY k) AS dc FROM ajm),
+        |ajv AS (SELECT doc_id, bw, bh, k,
+        |    LEAST(255, GREATEST(0, (dc * 17 + 1028) // 8)) AS v FROM ajd),
+        |jpg AS (SELECT doc_id, 'jpeg' AS kind,
+        |  CAST(bw * 8 AS BIGINT) AS width, CAST(bh * 8 AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(bw * bh * 64 AS BIGINT) AS n_px,
+        |  CAST(SUM(64 * v) AS BIGINT) AS sum_r,
+        |  CAST(SUM(64 * v) AS BIGINT) AS sum_g,
+        |  CAST(SUM(64 * v) AS BIGINT) AS sum_b,
+        |  CAST(SUM(v * (8 * (64 * (k % bw) + 28)
+        |    + 8 * bw * 8 * (64 * (k // bw) + 28))) AS BIGINT) AS wsum_r,
+        |  CAST(SUM(v * (8 * (64 * (k % bw) + 28)
+        |    + 8 * bw * 8 * (64 * (k // bw) + 28))) AS BIGINT) AS wsum_g,
+        |  CAST(SUM(v * (8 * (64 * (k % bw) + 28)
+        |    + 8 * bw * 8 * (64 * (k // bw) + 28))) AS BIGINT) AS wsum_b,
+        |  CAST(SUM(64 * v) AS DOUBLE) / (bw * bh * 64) AS mean_r,
+        |  CAST(SUM(64 * v) AS DOUBLE) / (bw * bh * 64) AS mean_g,
+        |  CAST(SUM(64 * v) AS DOUBLE) / (bw * bh * 64) AS mean_b
+        |  FROM ajv GROUP BY doc_id, bw, bh)
+        |SELECT * FROM bmp UNION ALL SELECT * FROM png
+        |UNION ALL SELECT * FROM gif UNION ALL SELECT * FROM jpg
+        |ORDER BY doc_id""".stripMargin,
+
+    // WAV branch (odd docs — stereo) + FLAC branch (even docs — mono),
+    // each the same per-channel profile as its single-format oracle
+    "mm_audio_any" ->
+      """WITH wp AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+        |    50 + doc_id % 200 AS nf FROM documents WHERE doc_id % 2 = 1),
+        |wix AS (SELECT doc_id, ch, unnest(range(0, ch * nf)) AS i
+        |  FROM wp),
+        |wsamp AS (SELECT doc_id, i % ch AS channel, i // ch AS frame,
+        |    ((doc_id*37 + (2*i)*101) % 256
+        |      + 256 * ((doc_id*37 + (2*i+1)*101) % 256)
+        |      + 32768) % 65536 - 32768 AS s
+        |  FROM wix),
+        |wlag AS (SELECT doc_id, channel, s,
+        |    LAG(s) OVER (PARTITION BY doc_id, channel ORDER BY frame)
+        |      AS prev
+        |  FROM wsamp),
+        |wav AS (SELECT doc_id, 'riff' AS kind, channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+        |  CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq,
+        |  CAST(COUNT(*) FILTER (prev IS NOT NULL
+        |    AND (s < 0) != (prev < 0)) AS BIGINT) AS zero_crossings,
+        |  SQRT(CAST(SUM(CAST(s AS BIGINT) * s) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE)) AS rms
+        |  FROM wlag GROUP BY doc_id, channel),
+        |fp AS (SELECT doc_id, 50 + doc_id % 200 AS nf FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |fix AS (SELECT doc_id, unnest(range(0, nf)) AS f FROM fp),
+        |fsamp AS (SELECT doc_id, f,
+        |    (256 * ((doc_id*37 + (2*f)*101) % 256)
+        |      + (doc_id*37 + (2*f+1)*101) % 256
+        |      + 32768) % 65536 - 32768 AS s
+        |  FROM fix),
+        |flag2 AS (SELECT doc_id, s,
+        |    LAG(s) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+        |  FROM fsamp),
+        |flac AS (SELECT doc_id, 'flac' AS kind,
+        |  CAST(0 AS BIGINT) AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+        |  CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq,
+        |  CAST(COUNT(*) FILTER (prev IS NOT NULL
+        |    AND (s < 0) != (prev < 0)) AS BIGINT) AS zero_crossings,
+        |  SQRT(CAST(SUM(CAST(s AS BIGINT) * s) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE)) AS rms
+        |  FROM flag2 GROUP BY doc_id)
+        |SELECT * FROM wav UNION ALL SELECT * FROM flac
+        |ORDER BY doc_id, channel""".stripMargin,
+
     // FLAC verbatim samples recombined from the SAME byte primitive as
     // the WAV oracle, but BIG-endian pairs (FLAC is a big-endian
     // bitstream) — a byte-order mistake in either decoder diverges on

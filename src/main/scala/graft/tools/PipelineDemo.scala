@@ -275,6 +275,32 @@ object PipelineDemo {
     val nIdxHits = graft.operators.Similarity.ivfPqTopKIndexed(ivfpq,
       cleanEmb.filter(col("vec_id") < 3), k = 5, nprobe = 3).count()
 
+    // 12c. round-10 sidecars: the MIXED-format image front door (one
+    //      expression sniffs + decodes BMP/PNG/GIF/JPEG payloads and
+    //      profiles them with the format attached) and the full
+    //      all-but-the-top prescription (top-2 deflated directions,
+    //      near-orthogonal by construction)
+    val EQ = graft.queries.ExtensionQueries
+    val mixed = balanced.select(col("doc_id"),
+        when(col("doc_id") % 4 === 1, EQ.pngScan).as("__scan"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, EQ.bmpBlob)
+          .when(col("doc_id") % 4 === 1, EQ.pngAssemble(col("__scan"),
+            lit(3L) + col("doc_id") % 4L, lit(2L) + col("doc_id") % 3L))
+          .when(col("doc_id") % 4 === 2, EQ.gifBlob)
+          .otherwise(EQ.jpegBlob).as("blob"))
+    val imgKinds = Multimodal.extractAnyImageFeatures(mixed, "doc_id")
+      .toDF().groupBy(col("kind")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dirs2 = graft.operators.Embeddings.topDirections(cleanEmb,
+        "embedding", k = 2, iters = 2).collect()
+    def dirOf(k: Int): Array[Double] = dirs2.filter(_.getInt(0) == k)
+      .sortBy(_.getInt(1)).map(_.getLong(2).toDouble)
+    val (td1, td2) = (dirOf(1), dirOf(2))
+    val dirCos = math.abs(td1.zip(td2).map { case (a, b) => a * b }.sum) /
+      (math.sqrt(td1.map(x => x * x).sum) *
+        math.sqrt(td2.map(x => x * x).sum))
+
     // 13. source-authority sidecar (round 8): the event log's transition
     //     graph, PageRank'd with exact int64 arithmetic — the domain-
     //     authority weight a web-scale curation run folds into its
@@ -297,7 +323,9 @@ object PipelineDemo {
       s"collocations=$nColl mediaOk=$nMediaOk mediaRejected=$nMediaRej " +
       s"audioWindows=$nAudioWin embeddings=$nEmb embOutliers=$nEmbBad " +
       s"pqHits=$nPqHits graphNodes=$nNodes topAuthority=$topAuth " +
-      f"topDirMassKept=$massKept%.3f ivfpqIndexHits=$nIdxHits")
+      f"topDirMassKept=$massKept%.3f ivfpqIndexHits=$nIdxHits " +
+      s"imageKinds=${imgKinds.toSeq.sorted.mkString(",")} " +
+      f"topDirsCos=$dirCos%.4f")
     require(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 >= n4 && n4 > 0 &&
       nChunks > 0 && nOrdered == n4 && nSplit == n4,
       "pipeline stages must monotonically filter and keep data")
@@ -314,6 +342,11 @@ object PipelineDemo {
     require(massKept > 0.0 && massKept <= 1.001 && nIdxHits == 3 * 5,
       "deprojection must keep a sane mass fraction and the written " +
         "IVF-PQ index must fill k per query")
+    require(Set("bmp", "png", "gif", "jpeg").subsetOf(imgKinds.keySet) &&
+      imgKinds.values.sum == n4 && dirCos < 0.1,
+      "the mixed-image front door must decode every payload of all four " +
+        "formats, and successive deflated directions must be " +
+        "near-orthogonal")
     spark.stop()
   }
 }

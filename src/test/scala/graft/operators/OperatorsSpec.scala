@@ -1698,7 +1698,9 @@ class MultimodalSpec extends SparkFunSuite {
       "graft_jpeg_features" ->
         Multimodal.extractJpegFeatures(df, "doc_id"),
       "graft_media_audit" ->
-        Multimodal.extractDecodeAudit(df, "doc_id"))) {
+        Multimodal.extractDecodeAudit(df, "doc_id"),
+      "graft_any_raster_features" ->
+        Multimodal.extractAnyImageFeatures(df, "doc_id"))) {
       val p = plan.queryExecution.executedPlan.toString
       assert(p.contains(name), s"$name missing from plan:\n$p")
       assert(!p.contains("MapPartitions") &&
@@ -2001,6 +2003,58 @@ class MultimodalSpec extends SparkFunSuite {
     shortTotal(25) = (shortTotal(25) + 1).toByte // STREAMINFO total += 1
     assert(Multimodal.decodeFlacPcm(shortTotal).isEmpty,
       "sample total must match STREAMINFO")
+  }
+
+  test("mixed-corpus front doors: decodeAnyRaster / decodeAnyAudio " +
+      "dispatch by magic and agree exactly with the per-format decoders") {
+    val s = spark
+    import s.implicits._
+    // one payload of each image kind via the in-plan fixtures
+    val imgs = (0L until 8L).toDF("doc_id")
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 1,
+          graft.queries.ExtensionQueries.pngScan).as("__scan"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          graft.queries.ExtensionQueries.bmpBlob)
+        .when(col("doc_id") % 4 === 1,
+          graft.queries.ExtensionQueries.pngAssemble(col("__scan"),
+          lit(3L) + col("doc_id") % 4L, lit(2L) + col("doc_id") % 3L))
+        .when(col("doc_id") % 4 === 2,
+          graft.queries.ExtensionQueries.gifBlob)
+        .otherwise(graft.queries.ExtensionQueries.jpegBlob).as("blob"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("blob"))
+    imgs.foreach { case (d, bytes) =>
+      val (kind, row) = Multimodal.decodeAnyRaster(bytes)
+        .getOrElse(fail(s"doc $d undecodable by the front door"))
+      val wantKind = (d % 4) match {
+        case 0 => "bmp"; case 1 => "png"; case 2 => "gif"; case _ => "jpeg"
+      }
+      assert(kind == wantKind, s"doc $d kind")
+      val direct = kind match {
+        case "png" => Multimodal.decodePngFeatures(bytes).get
+        case "gif" => Multimodal.decodeGifFeatures(bytes).get
+        case "jpeg" => Multimodal.decodeJpegFeatures(bytes).get
+        case "bmp" =>
+          val (w, h, ch, px) = Multimodal.decodeBmpPixels(bytes).get
+          // BMP via the shared raster reduction (RGB, top-down)
+          Multimodal.rasterFeatures(w, h, ch, px)
+      }
+      assert(row == direct, s"doc $d features diverge from direct decode")
+    }
+    // audio: WAV and FLAC payloads through one door
+    val flacBytes = encodeFlac(
+      Seq(Array.tabulate(32)(i => (700 * math.sin(i * 0.2)).toLong)),
+      16, 0, Seq(Fixed(2, 0, 5)))
+    val (fk, frows) = Multimodal.decodeAnyAudio(flacBytes).get
+    assert(fk == "flac" && frows == Multimodal.decodeFlacSamples(flacBytes))
+    val wavBytes = (1L until 2L).toDF("doc_id")
+      .select(graft.queries.ExtensionQueries.wavPcmBlob.as("blob"))
+      .head().getAs[Array[Byte]]("blob")
+    val (wk, wrows) = Multimodal.decodeAnyAudio(wavBytes).get
+    assert(wk == "riff" && wrows == Multimodal.decodeWavPcm16(wavBytes))
+    assert(Multimodal.decodeAnyAudio("neither".getBytes).isEmpty)
+    assert(Multimodal.decodeAnyRaster("neither".getBytes).isEmpty)
   }
 
   test("withBlob: byte metadata is exact; kind sniffs magic bytes") {
