@@ -141,9 +141,15 @@ object Chunking {
     // pre-round-10 hard 64-way ceiling. The output is shard-INVARIANT
     // (sharding only parallelizes the one global doc-id-ordered stream),
     // so auto-sizing never changes results — pinned by FixedPackSpec.
-    val nShards = if (nShards0 > 0) nShards0 else math.max(1, docs
-      .sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    require(nShards <= 4096, s"nShards must be <= 4096, got $nShards")
+    // the auto path CLAMPS to the 4096 cap (a 8192-partition session
+    // must not make the default call throw); only an explicit
+    // out-of-range request fails loudly
+    val nShards =
+      if (nShards0 > 0) {
+        require(nShards0 <= 4096, s"nShards must be <= 4096, got $nShards0")
+        nShards0
+      } else math.min(4096, math.max(1, docs.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "32").toInt))
     val base = docs.select(col(idCol).cast("long").as("id"),
       size(TF.normTokens(col(textCol))).cast("long").as("n"))
     val bs =

@@ -579,15 +579,24 @@ object Multimodal {
       if (br.readBits(14) != 0x3ffe) return None // sync
       if (br.readBit() != 0) return None          // reserved
       if (br.readBit() < 0) return None           // blocking strategy
-      val bsCode = br.readBits(4).toInt
-      val srCode = br.readBits(4).toInt
-      val chAsgn = br.readBits(4).toInt
-      val ssCode = br.readBits(3).toInt
+      // starvation checks on the LONG values (a starved readBits is
+      // Long.MinValue, whose .toInt is 0 — compare before narrowing)
+      val bsCodeL = br.readBits(4)
+      val srCodeL = br.readBits(4)
+      val chAsgnL = br.readBits(4)
+      val ssCodeL = br.readBits(3)
+      if (bsCodeL < 0 || srCodeL < 0 || chAsgnL < 0 || ssCodeL < 0)
+        return None
       if (br.readBit() != 0) return None          // reserved
-      if (bsCode < 0 || srCode == 15 || chAsgn > 10) return None
+      val bsCode = bsCodeL.toInt
+      val srCode = srCodeL.toInt
+      val chAsgn = chAsgnL.toInt
+      val ssCode = ssCodeL.toInt
+      if (srCode == 15 || chAsgn > 10) return None
       // coded frame/sample number: UTF-8-style, 1-7 bytes
-      val lead = br.readBits(8).toInt
-      if (lead < 0) return None
+      val leadL = br.readBits(8)
+      if (leadL < 0) return None
+      val lead = leadL.toInt
       var follow =
         if (lead < 0x80) 0
         else if (lead >= 0xc0 && lead < 0xe0) 1
@@ -596,8 +605,8 @@ object Multimodal {
         else if (lead == 0xfe) 6 else -1
       if (follow < 0) return None
       while (follow > 0) {
-        val c = br.readBits(8).toInt
-        if (c < 0x80 || c >= 0xc0) return None
+        val c = br.readBits(8)
+        if (c < 0x80 || c >= 0xc0) return None // starved MinValue < 0x80
         follow -= 1
       }
       val blockSize: Int = bsCode match {
@@ -684,8 +693,9 @@ object Multimodal {
   private def decodeSubframe(br: FlacBitReader, dst: Array[Long],
       blockSize: Int, bps: Int): Boolean = {
     if (br.readBit() != 0) return false // padding bit
-    val tpe = br.readBits(6).toInt
-    if (tpe < 0) return false
+    val tpeL = br.readBits(6)
+    if (tpeL < 0) return false
+    val tpe = tpeL.toInt
     var wasted = 0
     val wflag = br.readBit()
     if (wflag < 0) return false
@@ -726,8 +736,9 @@ object Multimodal {
         }
         if (!good) false
         else {
-          val precM1 = br.readBits(4).toInt
-          if (precM1 < 0 || precM1 == 15) false
+          val precM1L = br.readBits(4)
+          val precM1 = precM1L.toInt
+          if (precM1L < 0 || precM1 == 15) false
           else {
             val prec = precM1 + 1
             val shift = br.readSigned(5)
@@ -777,12 +788,13 @@ object Multimodal {
   /** Rice-coded residual partitions into dst(order until blockSize). */
   private def decodeResidualInto(br: FlacBitReader, dst: Array[Long],
       blockSize: Int, order: Int): Boolean = {
-    val method = br.readBits(2).toInt
+    val method = br.readBits(2) // starved MinValue fails the gate below
     if (method != 0 && method != 1) return false
     val pbits = if (method == 0) 4 else 5
     val escape = (1 << pbits) - 1
-    val po = br.readBits(4).toInt
-    if (po < 0) return false
+    val poL = br.readBits(4)
+    if (poL < 0) return false
+    val po = poL.toInt
     val nParts = 1 << po
     if (blockSize % nParts != 0) return false
     val partLen = blockSize >> po
@@ -792,11 +804,13 @@ object Multimodal {
     while (p < nParts) {
       val n = if (p == 0) partLen - order else partLen
       if (n < 0) return false
-      val param = br.readBits(pbits).toInt
-      if (param < 0) return false
+      val paramL = br.readBits(pbits)
+      if (paramL < 0) return false
+      val param = paramL.toInt
       if (param == escape) {
-        val raw = br.readBits(5).toInt
-        if (raw < 0) return false
+        val rawL = br.readBits(5)
+        if (rawL < 0) return false
+        val raw = rawL.toInt
         var i = 0
         while (i < n) {
           val v = if (raw == 0) 0L else br.readSigned(raw)
@@ -1317,15 +1331,18 @@ object Multimodal {
     * `select(f).filter(isNotNull(f))` decodes every blob TWICE: once in
     * the pushed-down predicate, once in the projection — measured, and
     * pinned by the eval-count spec). One decode per row. */
-  private def rasterExtract(df: DataFrame, idCol: String, blobCol: String,
-      features: Column => Column): Dataset[RasterFeatureRow] = {
-    val spark = df.sparkSession
-    import spark.implicits._
+  private def barrierExtract(df: DataFrame, idCol: String,
+      blobCol: String, features: Column => Column): DataFrame =
     df.select(col(idCol).cast("long").as("doc_id"),
         explode(array(features(col(blobCol)))).as("f"))
       .filter(col("f").isNotNull)
       .select(col("doc_id"), col("f.*"))
-      .as[RasterFeatureRow]
+
+  private def rasterExtract(df: DataFrame, idCol: String, blobCol: String,
+      features: Column => Column): Dataset[RasterFeatureRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    barrierExtract(df, idCol, blobCol, features).as[RasterFeatureRow]
   }
 
   /** Batch PNG decode: one row per decodable payload — a native
@@ -2074,17 +2091,13 @@ object Multimodal {
       graft.plans.AnyRasterFeatures(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(blob)))
 
-  /** Batch mixed-format image decode — the same native-expression +
-    * Generate-barrier shape as [[rasterExtract]], one decode per row. */
+  /** Batch mixed-format image decode — the shared native-expression +
+    * Generate-barrier body, one decode per row. */
   def extractAnyImageFeatures(df: DataFrame, idCol: String,
       blobCol: String = "blob"): Dataset[AnyRasterRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"),
-        explode(array(anyRasterCol(col(blobCol)))).as("f"))
-      .filter(col("f").isNotNull)
-      .select(col("doc_id"), col("f.*"))
-      .as[AnyRasterRow]
+    barrierExtract(df, idCol, blobCol, anyRasterCol).as[AnyRasterRow]
   }
 
   /** [[AudioFeatureRow]] plus the sniffed container/codec. */

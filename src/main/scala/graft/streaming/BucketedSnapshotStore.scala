@@ -144,13 +144,35 @@ object BucketedSnapshotStore {
     * `path`: [[StreamingPipelines.resolveCdcSnapshot]]'s rules, minus any
     * version dir that is really a bucketed-layout orphan (a crash between
     * a bootstrap data write and its manifest leaves `__bucket=` children
-    * under a root `_SUCCESS` — they must not read as a legacy corpus). */
+    * under a root `_SUCCESS` — they must not read as a legacy corpus).
+    * When the NEWEST complete dir is such an orphan, resolution FALLS
+    * BACK to the newest complete non-bucketed dir (a crash during the
+    * migration publish must re-migrate the legacy corpus, not lose it by
+    * treating the orphan as "no legacy state"), then to the pre-round-7
+    * `current/` layout. */
   private def resolveLegacy(spark: SparkSession, path: String)
-      : Option[Path] =
-    StreamingPipelines.resolveCdcSnapshot(spark, path).filter { p =>
-      val fs = fsOf(spark, p)
-      !fs.listStatus(p).exists(_.getPath.getName.startsWith("__bucket="))
+      : Option[Path] = {
+    val base = new Path(path)
+    val fs = fsOf(spark, base)
+    def isBucketed(p: Path): Boolean =
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("__bucket="))
+    StreamingPipelines.resolveCdcSnapshot(spark, path).flatMap { p =>
+      if (!isBucketed(p)) Some(p)
+      else {
+        // newest candidate is a bucketed orphan: scan the remaining
+        // complete v-dirs newest-first for a real monolithic corpus
+        val older = fs.listStatus(base).toSeq.map(_.getPath)
+          .filter(_.getName.matches("v\\d+"))
+          .filter(v => fs.exists(new Path(v, "_SUCCESS")))
+          .sortBy(-_.getName.drop(1).toLong)
+          .find(v => v != p && !isBucketed(v))
+        older.orElse {
+          val cur = new Path(base, "current")
+          if (fs.exists(cur)) Some(cur) else None
+        }
+      }
     }
+  }
 
   /** The live snapshot as a DataFrame — the union of every bucket's
     * newest leaf (or the legacy monolithic dir pre-migration). None when
@@ -175,17 +197,23 @@ object BucketedSnapshotStore {
     * additive re-aggregation) satisfy this by construction because a
     * key's rows never leave its bucket. */
   def publish(spark: SparkSession, path: String, batchId: Long,
-      delta0: DataFrame, keyCols: Seq[String], nBuckets: Int = 64)(
+      delta0: DataFrame, keyCols: Seq[String], nBuckets: Int = 64,
+      publisherId: String = "")(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     require(!delta0.columns.contains("__bucket"),
       "__bucket is reserved by BucketedSnapshotStore")
     val base = new Path(path)
     val fs = fsOf(spark, base)
+    // transaction identity: the streaming queryId when running inside a
+    // micro-batch, else the caller-supplied publisherId. An ANONYMOUS
+    // publish (both absent) gets NO replay guard — two unrelated ad-hoc
+    // jobs that happen to reuse a batchId must both apply, not have the
+    // second silently dropped as a "replay" of the first.
     val queryId = Option(spark.sparkContext.getLocalProperty(QueryIdKey))
-      .getOrElse("")
+      .getOrElse(publisherId)
     val cur = resolveManifest(spark, path)
-    if (cur.exists(m => m.lastQueryId == queryId &&
+    if (queryId.nonEmpty && cur.exists(m => m.lastQueryId == queryId &&
         m.lastBatchId == batchId)) {
       // exactly-once replay guard: this (queryId, batchId) already
       // published; at most the pointer flip was lost — restore it
@@ -233,6 +261,15 @@ object BucketedSnapshotStore {
       .filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("__bucket="))
       .map(_.getPath.getName.stripPrefix("__bucket=").toInt).toSet
+    // contract enforcement, loud: a merge that rewrites key columns can
+    // emit rows hashing OUTSIDE the touched buckets — committing that
+    // would repoint an untouched bucket to a version holding only the
+    // merge's rows and silently drop its history two prunes later. The
+    // one-time migration (cur == None) legitimately writes every bucket.
+    if (cur.isDefined)
+      require(leafBuckets.subsetOf(touched.toSet),
+        s"merge emitted rows outside the delta's buckets " +
+          s"(${leafBuckets -- touched}): merges must preserve key columns")
     val newBuckets: Map[Int, Long] = cur match {
       case Some(m) => (m.buckets -- touched) ++
         leafBuckets.iterator.map(_ -> seq)

@@ -361,7 +361,14 @@ object StreamingPipelines {
     * bucket leaves) per batch — on a replayed batch it therefore observes
     * the same exactly-once state a reader would, not a recomputed merge
     * (round-9 advice: the recomputed merge could double-apply a replayed
-    * delta in non-idempotent consumers).
+    * delta in non-idempotent consumers). Sink contract: CONSUME WITHIN
+    * THE BATCH (the standard foreachBatch discipline) — the frame reads
+    * concrete leaf files, and retention keeps only the 2 newest
+    * manifests' leaves, so a frame retained and materialized ≥ 2 batches
+    * later can hit pruned paths. (The round-9 protocol eagerly
+    * localCheckpoint'ed the full merge, which an O(delta) publish must
+    * not do — materializing O(state) per trigger is exactly the cost
+    * this store removes.)
     *
     * Same unbounded-state rationale as [[ingestNewStream]]: upsert
     * semantics span the corpus lifetime, which no watermark horizon can
@@ -593,7 +600,9 @@ object StreamingPipelines {
     * `sink` observes the PUBLISHED snapshot per batch — exactly-once
     * edge weights even on a replayed batch (round-9 advice: the old
     * recomputed merge handed a replayed delta's weights to the sink
-    * twice, and weight summation is not idempotent). */
+    * twice, and weight summation is not idempotent). Same sink contract
+    * as [[mergeCdcStream]]: consume within the batch — leaves referenced
+    * by neither of the 2 newest manifests are pruned. */
   def maintainEdgesStream(events: Dataset[NodeEvent], edgePath: String,
       horizonMs: Long = 24L * 3600 * 1000,
       checkpointLocation: Option[String] = None, nBuckets: Int = 64)

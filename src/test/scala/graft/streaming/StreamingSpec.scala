@@ -324,16 +324,17 @@ class StreamingSpec extends SparkFunSuite {
       state(100L) == ("doc 100", 1L))
   }
 
-  test("bucketed publish is exactly-once per (queryId, batchId): a " +
+  test("bucketed publish is exactly-once per (publisher, batchId): a " +
       "replayed batch re-flips the pointer but never re-applies its " +
-      "non-idempotent delta") {
+      "non-idempotent delta; ANONYMOUS publishes get no replay guard") {
     val s = spark
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_snapx")
       .toString + "/store"
-    def pub(batchId: Long): Unit =
+    def pub(batchId: Long, who: String = "job-a"): Unit =
       BucketedSnapshotStore.publish(s, dir, batchId,
-          Seq((1L, 5L)).toDF("k", "n"), Seq("k"), nBuckets = 8) {
+          Seq((1L, 5L)).toDF("k", "n"), Seq("k"), nBuckets = 8,
+          publisherId = who) {
         (cur, d) => cur.unionByName(d).groupBy(col("k"))
           .agg(sum(col("n")).as("n"))
       }
@@ -341,7 +342,7 @@ class StreamingSpec extends SparkFunSuite {
       .agg(sum(col("n"))).collect().head.getLong(0)
     pub(0L)
     assert(total == 5L)
-    pub(0L) // replay of the same (queryId, batchId): additive merge must NOT double-count
+    pub(0L) // replay of the same (publisher, batchId): must NOT double-count
     assert(total == 5L, "a replayed batch must not re-apply its delta")
     // crash-after-publish replay with a lost pointer: the guard restores it
     val base = new org.apache.hadoop.fs.Path(dir)
@@ -352,6 +353,49 @@ class StreamingSpec extends SparkFunSuite {
       total == 5L, "replay must restore the pointer without re-applying")
     pub(1L) // a genuinely new batch with the same payload applies
     assert(total == 10L)
+    // a DIFFERENT publisher reusing batchId 1 is NOT a replay
+    pub(1L, who = "job-b")
+    assert(total == 15L, "distinct publishers must both apply")
+    // anonymous publishes (no streaming queryId, no publisherId) carry
+    // no identity — every one applies; review finding: two unrelated
+    // ad-hoc jobs reusing a batchId must not silently drop the second
+    pub(2L, who = "")
+    pub(2L, who = "")
+    assert(total == 25L, "anonymous publishes must all apply")
+  }
+
+  test("crashed migration replay: a bucketed ORPHAN v-dir (complete " +
+      "data, no manifest) must not shadow the legacy monolithic corpus") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapo")
+      .toString + "/store"
+    // round-9 layout: complete monolithic v5 + pointer
+    Seq((1L, "one"), (2L, "two")).toDF("k", "v")
+      .write.parquet(s"$dir/v5")
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // crash simulation: a bucketed migration publish wrote its data dir
+    // (newer, complete, __bucket= leaves) but DIED before the manifest
+    Seq((3L, "three")).toDF("k", "v")
+      .withColumn("__bucket",
+        BucketedSnapshotStore.bucketExpr(Seq("k"), 8))
+      .write.partitionBy("__bucket").parquet(s"$dir/v6")
+    // read() must still surface the LEGACY corpus, not treat the orphan
+    // as the newest version (data loss) or as "no legacy state" (empty)
+    val rows = BucketedSnapshotStore.read(s, dir)
+      .getOrElse(fail("legacy corpus lost behind the orphan"))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(rows == Set(1L, 2L),
+      s"expected the v5 legacy corpus, got $rows")
+    // and the replayed migration publish folds the legacy corpus
+    BucketedSnapshotStore.publish(s, dir, 0L,
+        Seq((3L, "three")).toDF("k", "v"), Seq("k"), nBuckets = 8,
+        publisherId = "migrator") { (cur, d) => cur.unionByName(d) }
+    val after = BucketedSnapshotStore.read(s, dir).get
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(after == Set(1L, 2L, 3L),
+      s"migration must fold legacy + delta, got $after")
   }
 
   test("streaming IVF-PQ ingest: per-batch probes equal the batch " +
