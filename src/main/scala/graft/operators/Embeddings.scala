@@ -258,6 +258,60 @@ object Embeddings {
       .orderBy(col("id"))
   }
 
+  /** ALL-BUT-THE-TOP-k REMOVAL audit — [[removeDominant]] generalized
+    * to the full prescription: project out each of the k trained
+    * directions IN SEQUENCE (direction j's coefficient is computed
+    * against the vector ALREADY deflated by directions 1..j-1 — the
+    * same order [[topDirections]] trains them, so training and removal
+    * compose exactly), reporting every per-level coefficient plus the
+    * before/after quantized norms:
+    * `(id, coeff_q1..coeff_qk, norm2q_before, norm2q_after)`.
+    *
+    * Same exact fixed-point chain as [[removeDominant]] at every level
+    * (sign-symmetric truncated divisions, int64 1e6 scale), row-local
+    * against the literal directions — no join, no shuffle; each level
+    * is one staged projection so the deflated array is aliased once,
+    * never re-inlined. The DuckDB oracle replays training AND all k
+    * removals in HUGEINT. */
+  def removeDirections(df: DataFrame, vecCol: String, idCol: String,
+      directions: Seq[Array[Long]]): DataFrame = {
+    require(directions.nonEmpty && directions.size <= 16,
+      "need 1..16 directions")
+    val dec = DecimalType(38, 0)
+    def truncDiv(a: Column, b: Column): Column =
+      signum(a).cast("long") *
+        graft.functions.TextFunctions.intDivNonNeg(abs(a), b)
+    def norm2(c: Column): Column =
+      aggregate(c, lit(java.math.BigDecimal.ZERO).cast(dec),
+        (acc, x) => acc + (x.cast(dec) * x.cast(dec))).cast("long")
+    var cur = df.select(col(idCol).as("id"),
+        transform(VF.asDouble(col(vecCol)),
+          x => round(x * 1e6).cast("long")).as("qv"))
+      .select(col("id"), col("qv"), norm2(col("qv")).as("norm2q_before"))
+    directions.zipWithIndex.foreach { case (d, i) =>
+      val bigD = d.map(x => BigInt(x) * BigInt(x)).sum
+      require(bigD > 0 && bigD <= BigInt(Long.MaxValue),
+        "direction norm out of the int64 contract")
+      val dDiv = (bigD / 1000000).toLong max 1L
+      val cname = s"coeff_q${i + 1}"
+      val t = aggregate(zip_with(col("qv"), typedLit(d.toSeq),
+        (x, w) => x * w), lit(0L), (acc, x) => acc + x)
+      // two staged projections per level (the removeDominant shape):
+      // the coefficient aliases the CURRENT qv once, the deflate then
+      // references that alias — never re-inlining the running array
+      cur = cur.select(cur.columns.map(col).toSeq :+
+        truncDiv(t, lit(dDiv)).as(cname): _*)
+      cur = cur.select(cur.columns.filterNot(_ == "qv").map(col).toSeq :+
+        zip_with(col("qv"), typedLit(d.toSeq),
+          (x, w) => x - truncDiv(col(cname) * w, lit(1000000L)))
+          .as("qv"): _*)
+    }
+    cur.select((col("id") +:
+        directions.indices.map(i => col(s"coeff_q${i + 1}"))) ++
+        Seq(col("norm2q_before"), norm2(col("qv")).as("norm2q_after")): _*)
+      .orderBy(col("id"))
+  }
+
   /** Int64-quantized squared norm (µ-units): `round(Σ x² · 1e6)`. */
   def norm2Quantized(v: Column): Column =
     round(aggregate(VF.asDouble(v), lit(0.0), (a, x) => a + x * x) * 1e6)

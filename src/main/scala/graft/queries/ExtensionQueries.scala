@@ -1579,6 +1579,22 @@ object ExtensionQueries {
           t(s, dir, "embeddings"), "embedding", k = 2, iters = 2)
         .orderBy(col("k"), col("pos"))),
 
+    // the COMPLETE all-but-the-top pipeline (round 10): train the top-2
+    // directions, then remove BOTH from every vector in training order —
+    // per-level coefficients + before/after norms; the oracle replays
+    // training AND both sequential removals end-to-end in HUGEINT
+    "emb_deproject_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val byK = graft.operators.Embeddings.topDirections(
+          emb, "embedding", k = 2, iters = 2)
+        .collect().groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_.getInt(1)).map(_.getLong(2)))
+      graft.operators.Embeddings.removeDirections(emb, "embedding",
+          "vec_id", byK)
+        .select(col("id").as("vec_id"), col("coeff_q1"), col("coeff_q2"),
+          col("norm2q_before"), col("norm2q_after"))
+    }),
+
     // written inverted index: postings partitioned by term-hash bucket,
     // probe reads only the probe terms' buckets (PartitionFilters — the
     // text twin of sim_topk_ivf_indexed's layout)
@@ -3738,6 +3754,29 @@ object ExtensionQueries {
         |    AS norm2q_after
         |FROM pa p JOIN pc c ON c.vec_id = p.vec_id
         |GROUP BY p.vec_id, c.coeff ORDER BY p.vec_id""".stripMargin,
+
+    // training + BOTH sequential removals replayed end-to-end: level-1
+    // chain → deflate → level-2 chain → second deflate; norms from the
+    // raw (dex) and doubly-deflated (x2ex) relations
+    "emb_deproject_topk" ->
+      s"""WITH $DominantDirCtesSql,
+        |${deflateChainSql("x1", "dex", "ddir")},
+        |${dirChainSql("g", "x1ex")},
+        |${deflateChainSql("x2", "x1ex", "gdir")},
+        |qnb AS MATERIALIZED (SELECT vec_id,
+        |    SUM(CAST(x AS HUGEINT) * x) AS n2
+        |  FROM dex GROUP BY vec_id),
+        |qna AS MATERIALIZED (SELECT vec_id,
+        |    SUM(CAST(x AS HUGEINT) * x) AS n2
+        |  FROM x2ex GROUP BY vec_id)
+        |SELECT b.vec_id,
+        |  CAST(c1.coeff AS BIGINT) AS coeff_q1,
+        |  CAST(c2.coeff AS BIGINT) AS coeff_q2,
+        |  CAST(b.n2 AS BIGINT) AS norm2q_before,
+        |  CAST(a.n2 AS BIGINT) AS norm2q_after
+        |FROM qnb b JOIN x1c c1 USING (vec_id)
+        |JOIN x2c c2 USING (vec_id) JOIN qna a USING (vec_id)
+        |ORDER BY b.vec_id""".stripMargin,
 
     // both deflation levels replayed end-to-end: level-1 chain (ddir),
     // exact truncated-division deflation of the raw quantized vectors,

@@ -124,6 +124,51 @@ class EmbeddingsSpec extends SparkFunSuite {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("removeDirections: removing both planted axes strips essentially " +
+      "all mass; k=1 equals removeDominant; repartition-invariant") {
+    val s = spark
+    import s.implicits._
+    val da = Array(3.0, -1.0, 2.0, 0.5)
+    val db = Array(1.0, 3.0, 0.0, 0.0)
+    val rows = (0 until 600).map { i =>
+      val a = ((i % 21) - 10.0) * 3.0
+      val b = ((i * 7 % 17) - 8.0)
+      val v = da.indices.map(p =>
+        (a * da(p) + b * db(p) +
+          0.01 * (((i * 31 + p * 17) % 7) - 3)).toFloat).toArray
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val byK = Embeddings.topDirections(df, "embedding", k = 2, iters = 3)
+      .collect().groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getLong(2)))
+    val out = Embeddings.removeDirections(df, "embedding", "vec_id", byK)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length == 600)
+    val before = out.map(_._4).sum.toDouble
+    val after = out.map(_._5).sum.toDouble
+    assert(after < before * 0.001,
+      s"both planted axes removed should leave only noise: $after " +
+        s"vs $before")
+    // k=1 degenerates to removeDominant exactly
+    val one = Embeddings.removeDirections(df, "embedding", "vec_id",
+        byK.take(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    val dom = Embeddings.removeDominant(df, "embedding", "vec_id",
+        byK.head)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    assert(one == dom)
+    // exact invariance under repartition
+    val again = Embeddings.removeDirections(df.repartition(7),
+        "embedding", "vec_id", byK)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("dominantDirection fails loudly on a degenerate corpus " +
       "(every vector equals the mean)") {
     val s = spark
