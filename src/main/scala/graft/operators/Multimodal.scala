@@ -882,6 +882,63 @@ object Multimodal {
         out.result()
     }
 
+  /** Windowed per-channel reduction over decoded FLAC samples — the
+    * compressed-audio twin of [[decodeWavPcm16Windows]] (same window
+    * cut, same partial-last-window semantics), so FLAC clips fan out to
+    * the identical per-window energy relation WAV clips do. */
+  def decodeFlacWindows(bytes: Array[Byte], windowFrames: Int)
+      : IndexedSeq[(Int, Long, Long, Long, Long, Double)] = {
+    require(windowFrames >= 1, "windowFrames must be >= 1")
+    decodeFlacPcm(bytes) match {
+      case None => Vector.empty
+      case Some((channels, _, chans)) =>
+        val out = Vector.newBuilder[(Int, Long, Long, Long, Long, Double)]
+        var c = 0
+        while (c < channels) {
+          val s = chans(c)
+          val n = s.length
+          var w = 0
+          while (w.toLong * windowFrames < n) {
+            val f0 = w * windowFrames
+            val f1 = math.min(f0 + windowFrames, n)
+            var peak = 0L; var sumSq = 0L
+            var f = f0
+            while (f < f1) {
+              val v = s(f)
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              sumSq += v * v
+              f += 1
+            }
+            val wn = f1 - f0
+            out += ((c, w.toLong, wn.toLong, peak, sumSq,
+              math.sqrt(sumSq.toDouble / wn)))
+            w += 1
+          }
+          c += 1
+        }
+        out.result()
+    }
+  }
+
+  /** Batch windowed FLAC decode (see [[decodeFlacWindows]]). */
+  def extractFlacWindows(df: DataFrame, idCol: String,
+      blobCol: String = "blob", windowFrames: Int = 25)
+      : Dataset[AudioWindowRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
+      .as[BlobRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeFlacWindows(r.blob, windowFrames).iterator.map {
+            case (c, w, wn, peak, sumSq, rms) =>
+              AudioWindowRow(r.doc_id, c.toLong, w, wn, peak, sumSq, rms)
+          }
+        }
+      }
+  }
+
   /** Batch FLAC decode: one row per (payload, channel) — the
     * compressed-audio twin of [[extractAudioFeaturesAnyDepth]]. */
   def extractFlacFeatures(df: DataFrame, idCol: String,

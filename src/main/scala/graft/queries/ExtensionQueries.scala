@@ -2071,6 +2071,15 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("channel"))
     }),
 
+    // windowed FLAC energy features — the compressed-audio twin of
+    // mm_audio_windows (identical window cut + partial-last-window
+    // rule), over the same verbatim fixture
+    "mm_flac_windows" -> ((s, dir) =>
+      Multimodal.extractFlacWindows(flacFixture(s, dir), "doc_id",
+          windowFrames = 25)
+        .toDF()
+        .orderBy(col("doc_id"), col("channel"), col("window_idx"))),
+
     // REAL FLAC sample decode (round 10): metadata walk, frame header
     // bit fields, subframe dispatch, sample extraction, CRC layout —
     // through the byte-aligned VERBATIM fixture whose sample bytes are
@@ -5326,6 +5335,26 @@ object ExtensionQueries {
         |  FROM flag2 GROUP BY doc_id)
         |SELECT * FROM wav UNION ALL SELECT * FROM flac
         |ORDER BY doc_id, channel""".stripMargin,
+
+    // the windowed cut over the same BE-pair primitive: window_idx =
+    // frame DIV 25, per-window peak/energy/rms, partial tail honest
+    "mm_flac_windows" ->
+      """WITH p AS (SELECT doc_id, 50 + doc_id % 200 AS nf
+        |  FROM documents),
+        |ix AS (SELECT doc_id, unnest(range(0, nf)) AS f FROM p),
+        |samp AS (SELECT doc_id, f // 25 AS window_idx,
+        |    (256 * ((doc_id*37 + (2*f)*101) % 256)
+        |      + (doc_id*37 + (2*f+1)*101) % 256
+        |      + 32768) % 65536 - 32768 AS s
+        |  FROM ix)
+        |SELECT doc_id, CAST(0 AS BIGINT) AS channel, window_idx,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+        |  CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq,
+        |  SQRT(CAST(SUM(CAST(s AS BIGINT) * s) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE)) AS rms
+        |FROM samp GROUP BY doc_id, window_idx
+        |ORDER BY doc_id, window_idx""".stripMargin,
 
     // FLAC verbatim samples recombined from the SAME byte primitive as
     // the WAV oracle, but BIG-endian pairs (FLAC is a big-endian

@@ -1988,6 +1988,25 @@ class MultimodalSpec extends SparkFunSuite {
     assert(out(0).toSeq == left.toSeq && out(1).toSeq == right.toSeq)
   }
 
+  test("decodeFlacWindows: window cut and partial tail match the WAV " +
+      "windows rule; windows concatenate to the whole-clip profile") {
+    val data = Array.tabulate(67)(i => (1100 * math.sin(i * 0.17)).toLong)
+    val bytes = encodeFlac(Seq(data), 16, 0, Seq(Fixed(2, 0, 6)))
+    val wins = Multimodal.decodeFlacWindows(bytes, windowFrames = 25)
+    assert(wins.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(wins.map(_._3).toSeq == Seq(25L, 25L, 17L), "partial tail")
+    val whole = Multimodal.decodeFlacSamples(bytes).head
+    assert(wins.map(_._5).sum == whole._4, "window energies must sum")
+    assert(wins.map(_._4).max == whole._3, "window peaks must envelope")
+    // per-window values against the raw samples
+    wins.foreach { case (_, w, wn, peak, sumSq, rms) =>
+      val seg = data.slice((w * 25).toInt, (w * 25).toInt + wn.toInt)
+      assert(peak == seg.map(math.abs).max && sumSq ==
+        seg.map(v => v * v).sum, s"window $w")
+      assert(rms == math.sqrt(sumSq.toDouble / wn))
+    }
+  }
+
   test("decodeFlacPcm: permissive rejection of truncated, bad-sync, " +
       "reserved-code and total-mismatch payloads") {
     val good = encodeFlac(Seq(Array.tabulate(32)(i => i.toLong * 3)),
