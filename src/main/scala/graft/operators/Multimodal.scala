@@ -2193,6 +2193,121 @@ object Multimodal {
       }
   }
 
+  /** Parsed MP4/ISO-BMFF container metadata (see [[mp4MetaJvm]]). */
+  final case class Mp4MetaRow(doc_id: Long, n_tracks: Long, n_video: Long,
+      n_audio: Long, timescale: Long, duration_ms: Long, width: Long,
+      height: Long)
+
+  /** REAL MP4 (ISO-BMFF) metadata walk (round 10) — the VIDEO leg of
+    * the multimodal surface: an MP4 is a tree of length-prefixed
+    * big-endian boxes, so the movie header (`moov/mvhd` — timescale +
+    * duration), track fan-out (`trak`), per-track handler types
+    * (`mdia/hdlr` — `vide`/`soun`) and the presentation geometry
+    * (`tkhd` 16.16 fixed-point width/height of the first video track)
+    * are pure byte arithmetic — the [[wavMeta]]/[[flacMeta]] discipline
+    * applied to the container a video corpus actually ships. SAMPLE
+    * decode (H.264 et al.) genuinely needs a codec library and stays
+    * out of scope — container metadata is what a curation pipeline
+    * filters on (duration buckets, resolution gates, track sanity)
+    * before any expensive frame work ([[sampleChunks]] is the
+    * frame-access pattern next door). Both mvhd/tkhd versions 0 (32-bit
+    * times) and 1 (64-bit) parse; malformed or truncated trees → None
+    * (PERMISSIVE, never throws). */
+  def mp4MetaJvm(bytes: Array[Byte]): Option[Mp4MetaRow] = {
+    if (bytes == null || bytes.length < 16) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def typ(i: Int): String = new String(bytes, i + 4, 4, "ISO-8859-1")
+    // the brand gate: first box must be ftyp (the sniffable magic)
+    if (be32(0) < 16 || typ(0) != "ftyp") return None
+    // walk the children of [start, end) yielding (type, payloadStart,
+    // payloadEnd); size 1 = 64-bit largesize, size 0 = to-end-of-parent
+    def children(start: Int, end: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var p = start
+        private var dead = false
+        def hasNext: Boolean = !dead && p + 8 <= end
+        def next(): (String, Int, Int) = {
+          val sz = be32(p)
+          val t = typ(p)
+          val (hdr, bsz): (Int, Long) =
+            if (sz == 1L && p + 16 <= end) (16, be64(p + 8))
+            else if (sz == 0L) (8, (end - p).toLong)
+            else (8, sz)
+          if (bsz < hdr || p + bsz > end) { dead = true; (t, -1, -1) }
+          else {
+            val r = (t, p + hdr, (p + bsz).toInt)
+            p = (p + bsz).toInt
+            r
+          }
+        }
+      }
+    val moov = children(0, bytes.length)
+      .collectFirst { case ("moov", s, e) if s >= 0 => (s, e) }
+      .getOrElse(return None)
+    var timescale = -1L
+    var duration = -1L
+    var nTracks = 0L; var nVideo = 0L; var nAudio = 0L
+    var width = 0L; var height = 0L
+    children(moov._1, moov._2).foreach {
+      case ("mvhd", s, e) if s >= 0 =>
+        val v = u8(s)
+        if (v == 1 && s + 28 <= e) {
+          timescale = be32(s + 20); duration = be64(s + 24)
+        } else if (v == 0 && s + 20 <= e) {
+          timescale = be32(s + 12); duration = be32(s + 16)
+        } else return None
+      case ("trak", s, e) if s >= 0 =>
+        nTracks += 1
+        var isVideo = false; var isAudio = false
+        var tw = 0L; var th = 0L
+        children(s, e).foreach {
+          case ("tkhd", ts, te) if ts >= 0 =>
+            // width/height are the LAST 8 payload bytes (16.16 fixed)
+            if (te - ts >= 8) {
+              tw = be32(te - 8) >> 16
+              th = be32(te - 4) >> 16
+            }
+          case ("mdia", ms, me) if ms >= 0 =>
+            children(ms, me).foreach {
+              case ("hdlr", hs, he) if hs >= 0 && hs + 12 <= he =>
+                typ(hs + 4) match { // handler_type at payload offset 8
+                  case "vide" => isVideo = true
+                  case "soun" => isAudio = true
+                  case _ =>
+                }
+              case _ =>
+            }
+          case _ =>
+        }
+        if (isVideo) {
+          nVideo += 1
+          if (width == 0L) { width = tw; height = th }
+        }
+        if (isAudio) nAudio += 1
+      case (_, s, _) if s < 0 => return None // malformed child
+      case _ =>
+    }
+    if (timescale <= 0 || duration < 0 || nTracks == 0) return None
+    Some(Mp4MetaRow(0L, nTracks, nVideo, nAudio, timescale,
+      duration * 1000L / timescale, width, height))
+  }
+
+  /** Batch MP4 metadata extraction: one row per parseable container. */
+  def extractMp4Meta(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[Mp4MetaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
+      .as[BlobRow]
+      .mapPartitions { rows =>
+        rows.flatMap(r =>
+          mp4MetaJvm(r.blob).map(_.copy(doc_id = r.doc_id)).iterator)
+      }
+  }
+
   /** One payload's decode-dispatch verdict (see [[extractDecodeAudit]]). */
   final case class DecodeAuditRow(doc_id: Long, kind: String, ok: Boolean,
       reason: String)

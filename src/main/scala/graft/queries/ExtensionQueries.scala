@@ -417,6 +417,49 @@ object ExtensionQueries {
       be16b(crcFold(frameVals, 16, 0x8005L)))
   }
 
+  /** MP4 (ISO-BMFF) fixture — the byte-primitive pattern for a BOX TREE:
+    * every box is length-prefixed big-endian, so the whole container is
+    * closed-form; only mvhd's duration and tkhd's 16.16 width/height
+    * vary per doc (timescale 1000 ⇒ duration_ms = duration). One video
+    * trak always; odd docs add an audio trak (constant bytes). The
+    * engine must walk ftyp → moov → {mvhd, trak → {tkhd, mdia → hdlr}}
+    * to recover what the oracle recomputes from the formulas. */
+  private[graft] def mp4Blob: org.apache.spark.sql.Column = {
+    def beHex(v: Long, n: Int): String = (0 until n)
+      .map(i => f"${(v >> (8 * (n - 1 - i))) & 0xff}%02x").mkString
+    def asciiHex(t: String): String =
+      t.getBytes("ISO-8859-1").map(b => f"$b%02x").mkString
+    // constant box skeleton hex (sizes hand-summed: hdlr 33, mdia 41,
+    // tkhd 92 (v0: 76-byte prefix + w + h), trak 141, mvhd 108)
+    def hdlr(t: String) = beHex(33, 4) + asciiHex("hdlr") + "00" * 8 +
+      asciiHex(t) + "00" * 13
+    def mdia(t: String) = beHex(41, 4) + asciiHex("mdia") + hdlr(t)
+    val trakAudio = beHex(141, 4) + asciiHex("trak") +
+      beHex(92, 4) + asciiHex("tkhd") + "00" * 84 + mdia("soun")
+    val dur = lit(5000L) + (col("doc_id") % 1000L) * 37L
+    val w = lit(320L) + (col("doc_id") % 16L) * 8L
+    val h = lit(240L) + (col("doc_id") % 9L) * 8L
+    val mvhd = concat(
+      unhex(lit(beHex(108, 4) + asciiHex("mvhd") + "00" * 12)),
+      be32b(lit(1000L)), be32b(dur), unhex(lit("00" * 80)))
+    val trakVideo = concat(
+      unhex(lit(beHex(141, 4) + asciiHex("trak") +
+        beHex(92, 4) + asciiHex("tkhd") + "00" * 76)),
+      be32b(w * 65536L), be32b(h * 65536L),
+      unhex(lit(mdia("vide"))))
+    val moovSize = when(col("doc_id") % 2 === 1, lit(398L))
+      .otherwise(lit(257L)) // 8 + 108 + 141·(1|2)
+    concat(
+      unhex(lit(beHex(16, 4) + asciiHex("ftyp") + asciiHex("isom") +
+        "00000000")),
+      be32b(moovSize), lit("moov".getBytes), mvhd, trakVideo,
+      when(col("doc_id") % 2 === 1, unhex(lit(trakAudio)))
+        .otherwise(lit(Array.empty[Byte])))
+  }
+
+  private[graft] def mp4Fixture(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), mp4Blob.as("blob"))
+
   private[graft] def flacFixture(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), flacFrameVals.as("__fv"))
@@ -2070,6 +2113,15 @@ object ExtensionQueries {
         .toDF()
         .orderBy(col("doc_id"), col("channel"))
     }),
+
+    // REAL MP4 container metadata (round 10) — the VIDEO leg: box-tree
+    // walk (ftyp → moov → mvhd/trak → tkhd/mdia → hdlr) recovering
+    // timescale, duration, track fan-out and the 16.16 presentation
+    // geometry; the oracle recomputes the closed-form fixture params
+    "mm_video_meta" -> ((s, dir) =>
+      Multimodal.extractMp4Meta(mp4Fixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"))),
 
     // windowed FLAC energy features — the compressed-audio twin of
     // mm_audio_windows (identical window cut + partial-last-window
@@ -5335,6 +5387,20 @@ object ExtensionQueries {
         |  FROM flag2 GROUP BY doc_id)
         |SELECT * FROM wav UNION ALL SELECT * FROM flac
         |ORDER BY doc_id, channel""".stripMargin,
+
+    // the fixture's parameters recomputed directly — duration_ms =
+    // duration (timescale 1000), geometry from the doc_id formulas,
+    // audio track on odd docs only
+    "mm_video_meta" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS n_tracks,
+        |  CAST(1 AS BIGINT) AS n_video,
+        |  CAST(doc_id % 2 AS BIGINT) AS n_audio,
+        |  CAST(1000 AS BIGINT) AS timescale,
+        |  CAST(5000 + (doc_id % 1000) * 37 AS BIGINT) AS duration_ms,
+        |  CAST(320 + (doc_id % 16) * 8 AS BIGINT) AS width,
+        |  CAST(240 + (doc_id % 9) * 8 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the windowed cut over the same BE-pair primitive: window_idx =
     // frame DIV 25, per-window peak/energy/rms, partial tail honest

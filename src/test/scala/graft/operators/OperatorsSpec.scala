@@ -2076,6 +2076,80 @@ class MultimodalSpec extends SparkFunSuite {
     assert(Multimodal.decodeAnyRaster("neither".getBytes).isEmpty)
   }
 
+  test("mp4MetaJvm: box-tree walk recovers the fixture's closed-form " +
+      "params; v1 64-bit headers, largesize and size-0 boxes parse; " +
+      "malformed trees are None") {
+    val s = spark
+    import s.implicits._
+    // fixture round-trip for a few docs
+    (0L until 4L).toDF("doc_id")
+      .select(col("doc_id"),
+        graft.queries.ExtensionQueries.mp4Blob.as("blob"))
+      .collect().foreach { r =>
+        val d = r.getLong(0)
+        val m = Multimodal.mp4MetaJvm(r.getAs[Array[Byte]]("blob"))
+          .getOrElse(fail(s"doc $d: fixture unparseable"))
+        assert(m.n_tracks == 1 + d % 2 && m.n_video == 1 &&
+          m.n_audio == d % 2 && m.timescale == 1000 &&
+          m.duration_ms == 5000 + (d % 1000) * 37 &&
+          m.width == 320 + (d % 16) * 8 && m.height == 240 + (d % 9) * 8,
+          s"doc $d: $m")
+      }
+    // hand-built: v1 mvhd (64-bit times), moov with size 0 (to-EOF),
+    // and a largesize (size=1) trak wrapper
+    val bb = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def be32(v: Long): Unit =
+      (3 to 0 by -1).foreach(i => bb += ((v >> (8 * i)) & 0xff).toByte)
+    def be64(v: Long): Unit =
+      (7 to 0 by -1).foreach(i => bb += ((v >> (8 * i)) & 0xff).toByte)
+    def ascii(t: String): Unit = bb ++= t.getBytes("ISO-8859-1")
+    be32(16); ascii("ftyp"); ascii("isom"); be32(0)
+    be32(0); ascii("moov") // size 0: runs to end of file
+    // mvhd v1: vf(01 000000) ctime(8) mtime(8) timescale(4) dur(8) + 80
+    be32(8 + 4 + 8 + 8 + 4 + 8 + 80); ascii("mvhd")
+    bb += 1; bb += 0; bb += 0; bb += 0
+    be64(0); be64(0); be32(600); be64(1234567L)
+    (0 until 80).foreach(_ => bb += 0)
+    // trak via LARGESIZE header (size = 1, then 64-bit 16 + body)
+    val trakBody = {
+      val t = new scala.collection.mutable.ArrayBuffer[Byte]()
+      def tbe32(v: Long): Unit =
+        (3 to 0 by -1).foreach(i => t += ((v >> (8 * i)) & 0xff).toByte)
+      tbe32(92); t ++= "tkhd".getBytes
+      (0 until 76).foreach(_ => t += 0)
+      tbe32(640L << 16); tbe32(360L << 16)
+      tbe32(41); t ++= "mdia".getBytes
+      tbe32(33); t ++= "hdlr".getBytes
+      (0 until 8).foreach(_ => t += 0)
+      t ++= "vide".getBytes
+      (0 until 13).foreach(_ => t += 0)
+      t.toArray
+    }
+    be32(1); ascii("trak"); be64(16L + trakBody.length); bb ++= trakBody
+    val m = Multimodal.mp4MetaJvm(bb.toArray)
+      .getOrElse(fail("v1/largesize/size-0 stream unparseable"))
+    assert(m.timescale == 600 && m.duration_ms == 1234567L * 1000 / 600 &&
+      m.n_tracks == 1 && m.n_video == 1 && m.width == 640 &&
+      m.height == 360, s"$m")
+    // rejections: no ftyp, truncation, no moov, zero tracks
+    assert(Multimodal.mp4MetaJvm(null).isEmpty)
+    assert(Multimodal.mp4MetaJvm("not an mp4 at all".getBytes).isEmpty)
+    assert(Multimodal.mp4MetaJvm(bb.toArray.take(40)).isEmpty, "truncated")
+    val noMoov = bb.toArray.take(16)
+    assert(Multimodal.mp4MetaJvm(noMoov).isEmpty, "ftyp alone")
+    // fuzz: mutations/truncations never throw
+    val good = bb.toArray
+    val rnd = new scala.util.Random(77)
+    (0 until 400).foreach { i =>
+      val b = good.clone()
+      if (i % 2 == 0) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      val cut = if (i % 2 == 1) b.take(rnd.nextInt(b.length)) else b
+      try Multimodal.mp4MetaJvm(cut)
+      catch { case t: Throwable =>
+        fail(s"mp4 fuzz $i threw ${t.getClass}") }
+    }
+  }
+
   test("withBlob: byte metadata is exact; kind sniffs magic bytes") {
     val s = spark
     import s.implicits._
