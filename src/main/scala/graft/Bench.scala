@@ -51,6 +51,8 @@ object Bench {
     // mid-sweep (round 4's driver run was killed during startup, leaving
     // no numbers at all), the shutdown hook still emits the one JSON
     // line with whatever queries completed, marked "partial".
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
+      .max(1).min(5)
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
     val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
     def emit(metric: String): Unit =
@@ -59,26 +61,47 @@ object Bench {
         val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
         val total = results.map(_._2).sum
-        val line =
+        val fullLine =
           s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-        println(line)
-        System.out.flush()
-        // Also persist the full results object to a repo file: the
-        // driver's stdout capture keeps only a tail of the (long) JSON
-        // line, so per-query numbers were otherwise unrecoverable from
-        // BENCH_r*.json — the committed file is the machine-readable
-        // record a later round can diff.
+        // Persist the FULL per-query results to a repo file FIRST (and
+        // its stderr notice before the stdout line): the driver keeps
+        // only the last ~2000 chars of output, so a 200-query map can
+        // never ride the printed line — every BENCH_r*.json through
+        // round 10 carried `parsed: null` because the line's head was
+        // cut off. The committed file is the machine-readable record.
         val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON",
           "bench/sweep_latest.json")
         try {
           val p = java.nio.file.Paths.get(out)
           if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
           java.nio.file.Files.write(p,
-            (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
           System.err.println(s"[bench] full results written to $out")
         } catch { case t: Throwable =>
           System.err.println(s"[bench] could not write $out: $t")
         }
+        // The ONE stdout line, sized to survive the tail capture: the
+        // exact total over ALL queries, plus the slowest queries that
+        // fit ~1500 chars (3-decimal values — regression detection
+        // reads these; the full map is in the committed file named by
+        // "full"). protocol self-documents min-of-N.
+        val slow = results.sortBy(-_._2)
+        val sb = new StringBuilder
+        var kept = 0
+        // ≤ ~1200 chars of map + ~350 wrapper keeps the whole line,
+        // plus sbt's stdout footer, inside the driver's 2000-char tail
+        for ((k, v) <- slow if sb.length < 1200) {
+          if (kept > 0) sb.append(',')
+          sb.append('"').append(k).append("\":")
+            .append(f"$v%.3f")
+          kept += 1
+        }
+        val line = s"""{"metric":"$metric","value":$total,"unit":"sec",""" +
+          s""""queries":{${sb.result()}},"n_queries":${results.size},""" +
+          s""""protocol":"min-of-$reps per query; slowest $kept of """ +
+          s"""${results.size} inline","full":"$out","sf":"$sfDir"}"""
+        println(line)
+        System.out.flush()
       }
     Runtime.getRuntime.addShutdownHook(new Thread(() => emit("partial")))
 
@@ -90,8 +113,6 @@ object Bench {
     // cold-start belongs to the session, not the query. rep1 also
     // pre-builds the on-disk indexes, so the _probe splits below stay
     // probe-only by construction.
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
-      .max(1).min(5)
     def timeMinOf(name: String, n: Int, run: () => Unit): Unit = {
       // min over SUCCESSFUL reps only — a rep that fails fast (e.g. a
       // memoized index left broken) must not report its tiny elapsed

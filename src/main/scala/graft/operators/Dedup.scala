@@ -690,7 +690,9 @@ object Dedup {
     * duplicate band rows only re-nominate candidates, which the probe's
     * distinct collapses, but duplicate SIDECAR rows would duplicate
     * verified pairs — callers with at-least-once retries must make the
-    * append conditional on the batch id (idempotent sink pattern). */
+    * append conditional on the batch id (idempotent sink pattern —
+    * [[graft.streaming.StreamingPipelines.ingestNearDupStream]] does,
+    * via the index's [[graft.streaming.IngestLedger]] high-water mark). */
   def appendToLshIndex(index: LshIndex, delta: DataFrame, textCol: String,
       idCol: String): LshIndex = {
     writeLshDatasets(delta, textCol, idCol, index, "append")

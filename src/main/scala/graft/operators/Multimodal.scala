@@ -422,50 +422,52 @@ object Multimodal {
       case _ => Vector.empty
     }
 
-  /** Bit-depth-dispatching batch audio decode: one row per (payload,
-    * channel) for 8- AND 16-bit integer PCM — the production front-end
-    * shape ([[decodeWavPcm16]]/[[decodeWavPcm8]] per format branch). */
+  /** Bit-depth-dispatching audio decode: ONE RIFF walk per payload —
+    * dispatch and decode share the located (channels, bits, dataOff, n)
+    * tuple — covering 8- AND 16-bit integer PCM (the production
+    * front-end shape, [[decodeWavPcm16]]/[[decodeWavPcm8]] per branch). */
+  def decodeWavPcmAnyDepth(bytes: Array[Byte])
+      : IndexedSeq[(Int, Long, Long, Long, Long, Double)] =
+    locatePcm(bytes) match {
+      case Some((channels, bits, dataOff, n)) =>
+        reducePcm(bytes, channels, bits, dataOff, n)
+      case None => Vector.empty
+    }
+
+  /** Batch bit-depth-dispatching audio decode: one row per (payload,
+    * channel) — a native array-expression projection since round 11
+    * (`explode(wav_features(blob))`, no Dataset-encoder boundary). */
   def extractAudioFeaturesAnyDepth(df: DataFrame, idCol: String,
       blobCol: String = "blob"): Dataset[AudioFeatureRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
-      .as[BlobRow]
-      .mapPartitions { rows =>
-        rows.flatMap { r =>
-          // ONE RIFF walk per payload: dispatch and decode share the
-          // located (channels, bits, dataOff, n) tuple
-          val decoded = locatePcm(r.blob) match {
-            case Some((channels, bits, dataOff, n)) =>
-              reducePcm(r.blob, channels, bits, dataOff, n)
-            case None => Vector.empty
-          }
-          decoded.iterator.map {
-            case (c, n, peak, sumSq, zc, rms) =>
-              AudioFeatureRow(r.doc_id, c.toLong, n, peak, sumSq, zc, rms)
-          }
-        }
-      }
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.wavAnyDepthCol).as[AudioFeatureRow]
   }
 
-  /** Per-partition batch windowed-audio decode (see
-    * [[decodeWavPcm16Windows]]). */
+  /** Batch windowed-audio decode (see [[decodeWavPcm16Windows]]) — a
+    * native array-expression projection since round 11. */
   def extractAudioWindows(df: DataFrame, idCol: String,
       blobCol: String = "blob", windowFrames: Int = 25)
       : Dataset[AudioWindowRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
-      .as[BlobRow]
-      .mapPartitions { rows =>
-        rows.flatMap { r =>
-          decodeWavPcm16Windows(r.blob, windowFrames).iterator.map {
-            case (c, w, wn, peak, sumSq, rms) =>
-              AudioWindowRow(r.doc_id, c.toLong, w, wn, peak, sumSq, rms)
-          }
-        }
-      }
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.wavWindowsCol(_, windowFrames))
+      .as[AudioWindowRow]
   }
+
+  /** Shared tail of the array-kernel extractors (round 11): id +
+    * `explode(array-of-structs kernel)` → one output row per element.
+    * `explode` IS the Generate barrier of [[barrierExtract]] — the
+    * kernel runs once per input row, undecodable payloads yield an
+    * EMPTY array and vanish without a filter, and the whole projection
+    * stays inside Tungsten (no Dataset-encoder boundary). */
+  private def explodeExtract(df: DataFrame, idCol: String,
+      blobCol: String, features: Column => Column): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+        explode(features(col(blobCol))).as("f"))
+      .select(col("doc_id"), col("f.*"))
 
   /** MSB-first bit reader over a byte array — the FLAC bitstream shape
     * (frames and subframes are bit-packed; only frame boundaries are
@@ -560,6 +562,12 @@ object Multimodal {
     if (siBps != 8 && siBps != 12 && siBps != 16 && siBps != 20 &&
       siBps != 24) return None
     if (siTotal * siCh * 8 > Int.MaxValue) return None
+    // Anti-bomb: the allocation below is siCh × siTotal longs, sized
+    // purely from the 38-byte STREAMINFO header. FLAC cannot code a
+    // sample in under ~1 bit, so a payload claiming more samples than
+    // 8× its byte length is lying — reject before allocating (the
+    // maxPixels discipline of the image decoders applied to audio).
+    if (siTotal > bytes.length.toLong * 8L) return None
     // walk metadata blocks to the first frame
     var pos = 4
     var last = false
@@ -921,40 +929,27 @@ object Multimodal {
     }
   }
 
-  /** Batch windowed FLAC decode (see [[decodeFlacWindows]]). */
+  /** Batch windowed FLAC decode (see [[decodeFlacWindows]]) — a native
+    * array-expression projection since round 11. */
   def extractFlacWindows(df: DataFrame, idCol: String,
       blobCol: String = "blob", windowFrames: Int = 25)
       : Dataset[AudioWindowRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
-      .as[BlobRow]
-      .mapPartitions { rows =>
-        rows.flatMap { r =>
-          decodeFlacWindows(r.blob, windowFrames).iterator.map {
-            case (c, w, wn, peak, sumSq, rms) =>
-              AudioWindowRow(r.doc_id, c.toLong, w, wn, peak, sumSq, rms)
-          }
-        }
-      }
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.flacWindowsCol(_, windowFrames))
+      .as[AudioWindowRow]
   }
 
   /** Batch FLAC decode: one row per (payload, channel) — the
-    * compressed-audio twin of [[extractAudioFeaturesAnyDepth]]. */
+    * compressed-audio twin of [[extractAudioFeaturesAnyDepth]], a
+    * native array-expression projection since round 11. */
   def extractFlacFeatures(df: DataFrame, idCol: String,
       blobCol: String = "blob"): Dataset[AudioFeatureRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
-      .as[BlobRow]
-      .mapPartitions { rows =>
-        rows.flatMap { r =>
-          decodeFlacSamples(r.blob).iterator.map {
-            case (c, n, peak, sumSq, zc, rms) =>
-              AudioFeatureRow(r.doc_id, c.toLong, n, peak, sumSq, zc, rms)
-          }
-        }
-      }
+    explodeExtract(df, idCol, blobCol, graft.plans.MediaExprs.flacCol)
+      .as[AudioFeatureRow]
   }
 
   /** One decoded BMP image's features (see [[extractImageFeatures]]):
@@ -1045,18 +1040,15 @@ object Multimodal {
       sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n))
   }
 
-  /** Per-partition batch IMAGE decode: one row per decodable 24-bit BMP
-    * payload. Same batch discipline as [[extractAudioFeatures]]. */
+  /** Batch IMAGE decode: one row per decodable 24-bit BMP payload — a
+    * native expression projection since round 11 (the struct shape of
+    * [[extractPngFeatures]], BGR channel order). */
   def extractImageFeatures(df: DataFrame, idCol: String,
       blobCol: String = "blob"): Dataset[ImageFeatureRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
-      .as[BlobRow]
-      .mapPartitions { rows =>
-        rows.flatMap(r =>
-          decodeBmp24(r.blob).map(_.copy(doc_id = r.doc_id)).iterator)
-      }
+    barrierExtract(df, idCol, blobCol, graft.plans.MediaExprs.bmpCol)
+      .as[ImageFeatureRow]
   }
 
   /** One decoded image PATCH's features (see [[extractImagePatches]]). */
@@ -1109,45 +1101,26 @@ object Multimodal {
     out.result()
   }
 
-  /** Per-partition batch patch extraction (see [[decodeBmp24Patches]]). */
+  /** Batch patch extraction (see [[decodeBmp24Patches]]) — a native
+    * array-expression projection since round 11. */
   def extractImagePatches(df: DataFrame, idCol: String,
       blobCol: String = "blob", patch: Int = 2): Dataset[ImagePatchRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
-      .as[BlobRow]
-      .mapPartitions { rows =>
-        rows.flatMap { r =>
-          decodeBmp24Patches(r.blob, patch).iterator.map {
-            case (px, py, n, sums) =>
-              ImagePatchRow(r.doc_id, px.toLong, py.toLong, n,
-                sums(0), sums(1), sums(2),
-                sums(0).toDouble / n, sums(1).toDouble / n,
-                sums(2).toDouble / n)
-          }
-        }
-      }
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.bmpPatchesCol(_, patch)).as[ImagePatchRow]
   }
 
-  /** Per-partition batch AUDIO decode: one row per (payload, channel) with
-    * the [[decodeWavPcm16]] stats. Same batch discipline as
-    * [[extractFeatures]] (streaming iterator, per-partition init point),
-    * but the decode step is real — swapping in a compressed-codec library
-    * later only widens the format dispatch, the plan shape is final. */
+  /** Batch AUDIO decode: one row per (payload, channel) with the
+    * [[decodeWavPcm16]] stats — a native array-expression projection
+    * since round 11 (swapping in a compressed-codec library later only
+    * widens the format dispatch, the plan shape is final). */
   def extractAudioFeatures(df: DataFrame, idCol: String,
       blobCol: String = "blob"): Dataset[AudioFeatureRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
-      .as[BlobRow]
-      .mapPartitions { rows =>
-        rows.flatMap { r =>
-          decodeWavPcm16(r.blob).iterator.map {
-            case (c, n, peak, sumSq, zc, rms) =>
-              AudioFeatureRow(r.doc_id, c.toLong, n, peak, sumSq, zc, rms)
-          }
-        }
-      }
+    explodeExtract(df, idCol, blobCol, graft.plans.MediaExprs.wav16Col)
+      .as[AudioFeatureRow]
   }
 
   object FeatureExtractor {
@@ -2175,22 +2148,14 @@ object Multimodal {
       case _ => None
     }
 
-  /** Batch mixed-format audio decode: one row per (payload, channel). */
+  /** Batch mixed-format audio decode: one row per (payload, channel) —
+    * a native array-expression projection since round 11. */
   def extractAnyAudioFeatures(df: DataFrame, idCol: String,
       blobCol: String = "blob"): Dataset[AnyAudioRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
-      .as[BlobRow]
-      .mapPartitions { rows =>
-        rows.flatMap { r =>
-          decodeAnyAudio(r.blob).iterator.flatMap { case (kind, chans) =>
-            chans.iterator.map { case (c, n, peak, sumSq, zc, rms) =>
-              AnyAudioRow(r.doc_id, kind, c.toLong, n, peak, sumSq, zc, rms)
-            }
-          }
-        }
-      }
+    explodeExtract(df, idCol, blobCol, graft.plans.MediaExprs.anyAudioCol)
+      .as[AnyAudioRow]
   }
 
   /** Parsed MP4/ISO-BMFF container metadata (see [[mp4MetaJvm]]). */
@@ -2254,7 +2219,10 @@ object Multimodal {
     children(moov._1, moov._2).foreach {
       case ("mvhd", s, e) if s >= 0 =>
         val v = u8(s)
-        if (v == 1 && s + 28 <= e) {
+        // version-1 duration is 8 bytes at s+24 — the full read ends at
+        // s+32, so that is the bound (s+28 would let a truncated box
+        // throw past the array, breaking the never-throws contract)
+        if (v == 1 && s + 32 <= e) {
           timescale = be32(s + 20); duration = be64(s + 24)
         } else if (v == 0 && s + 20 <= e) {
           timescale = be32(s + 12); duration = be32(s + 16)
@@ -2295,17 +2263,14 @@ object Multimodal {
       duration * 1000L / timescale, width, height))
   }
 
-  /** Batch MP4 metadata extraction: one row per parseable container. */
+  /** Batch MP4 metadata extraction: one row per parseable container —
+    * a native expression projection since round 11. */
   def extractMp4Meta(df: DataFrame, idCol: String,
       blobCol: String = "blob"): Dataset[Mp4MetaRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
-      .as[BlobRow]
-      .mapPartitions { rows =>
-        rows.flatMap(r =>
-          mp4MetaJvm(r.blob).map(_.copy(doc_id = r.doc_id)).iterator)
-      }
+    barrierExtract(df, idCol, blobCol, graft.plans.MediaExprs.mp4MetaCol)
+      .as[Mp4MetaRow]
   }
 
   /** One payload's decode-dispatch verdict (see [[extractDecodeAudit]]). */

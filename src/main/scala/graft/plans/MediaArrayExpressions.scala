@@ -1,0 +1,295 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.Multimodal
+
+/** The audio/container decoders as NATIVE Catalyst expressions
+  * (round 11) — the raster pattern of [[MediaDecodeExpressions.scala]]
+  * extended to multi-row outputs: a kernel returns an ARRAY of structs
+  * (one per channel / window / patch), the extractor explodes it, and
+  * the whole `blob → rows` fan-out happens inside one codegen'd
+  * projection + Generate instead of the round-10 `mapPartitions`
+  * formulation whose Dataset-encoder boundary (DeserializeToObject →
+  * MapPartitions → SerializeFromObject) serialized every row out of
+  * Tungsten and back. Undecodable payloads yield an EMPTY array —
+  * explode then emits no rows, which is exactly the old flatMap
+  * semantics, with no filter and no second kernel evaluation.
+  *
+  * The decode kernels themselves are unchanged row-local JVM byte
+  * arithmetic; only the plan boundary moved. */
+object MediaArrayKernel {
+
+  /** [[Multimodal.AudioFeatureRow]] minus doc_id. */
+  val audioSchema: StructType = StructType(Seq(
+    StructField("channel", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("peak_abs", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("zero_crossings", LongType, nullable = false),
+    StructField("rms", DoubleType, nullable = false)))
+
+  /** [[Multimodal.AudioWindowRow]] minus doc_id. */
+  val windowSchema: StructType = StructType(Seq(
+    StructField("channel", LongType, nullable = false),
+    StructField("window_idx", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("peak_abs", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("rms", DoubleType, nullable = false)))
+
+  /** [[Multimodal.AnyAudioRow]] minus doc_id — the mixed front door. */
+  val anyAudioSchema: StructType = StructType(
+    StructField("kind", StringType, nullable = false) +:
+      audioSchema.fields.toSeq)
+
+  /** [[Multimodal.ImageFeatureRow]] minus doc_id (BMP channel order —
+    * B, G, R — distinct from the PNG/GIF/JPEG rasterSchema). */
+  val bmpSchema: StructType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_px", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("wsum_b", LongType, nullable = false),
+    StructField("wsum_g", LongType, nullable = false),
+    StructField("wsum_r", LongType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false)))
+
+  /** [[Multimodal.ImagePatchRow]] minus doc_id. */
+  val patchSchema: StructType = StructType(Seq(
+    StructField("patch_x", LongType, nullable = false),
+    StructField("patch_y", LongType, nullable = false),
+    StructField("n_px", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false)))
+
+  /** [[Multimodal.Mp4MetaRow]] minus doc_id. */
+  val mp4Schema: StructType = StructType(Seq(
+    StructField("n_tracks", LongType, nullable = false),
+    StructField("n_video", LongType, nullable = false),
+    StructField("n_audio", LongType, nullable = false),
+    StructField("timescale", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false)))
+
+  private def audioRows(
+      rows: IndexedSeq[(Int, Long, Long, Long, Long, Double)]): ArrayData =
+    new GenericArrayData(rows.map { case (c, n, peak, sumSq, zc, rms) =>
+      InternalRow(c.toLong, n, peak, sumSq, zc, rms)
+    }.toArray[Any])
+
+  def wavAnyDepth(b: Array[Byte]): ArrayData =
+    audioRows(Multimodal.decodeWavPcmAnyDepth(b))
+
+  def wav16(b: Array[Byte]): ArrayData =
+    audioRows(Multimodal.decodeWavPcm16(b))
+
+  def flac(b: Array[Byte]): ArrayData =
+    audioRows(Multimodal.decodeFlacSamples(b))
+
+  def anyAudio(b: Array[Byte]): ArrayData =
+    Multimodal.decodeAnyAudio(b) match {
+      case Some((kind, rows)) =>
+        val k = UTF8String.fromString(kind)
+        new GenericArrayData(rows.map {
+          case (c, n, peak, sumSq, zc, rms) =>
+            InternalRow(k, c.toLong, n, peak, sumSq, zc, rms)
+        }.toArray[Any])
+      case None => new GenericArrayData(Array.empty[Any])
+    }
+
+  private def windowRows(
+      rows: IndexedSeq[(Int, Long, Long, Long, Long, Double)]): ArrayData =
+    new GenericArrayData(rows.map { case (c, w, wn, peak, sumSq, rms) =>
+      InternalRow(c.toLong, w, wn, peak, sumSq, rms)
+    }.toArray[Any])
+
+  def wavWindows(b: Array[Byte], windowFrames: Int): ArrayData =
+    windowRows(Multimodal.decodeWavPcm16Windows(b, windowFrames))
+
+  def flacWindows(b: Array[Byte], windowFrames: Int): ArrayData =
+    windowRows(Multimodal.decodeFlacWindows(b, windowFrames))
+
+  def bmp(b: Array[Byte]): InternalRow =
+    Multimodal.decodeBmp24(b) match {
+      case Some(r) => InternalRow(r.width, r.height, r.n_px,
+        r.sum_b, r.sum_g, r.sum_r, r.wsum_b, r.wsum_g, r.wsum_r,
+        r.mean_b, r.mean_g, r.mean_r)
+      case None => null
+    }
+
+  def bmpPatches(b: Array[Byte], patch: Int): ArrayData =
+    new GenericArrayData(Multimodal.decodeBmp24Patches(b, patch).map {
+      case (px, py, n, sums) =>
+        InternalRow(px.toLong, py.toLong, n, sums(0), sums(1), sums(2),
+          sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
+    }.toArray[Any])
+
+  def mp4Meta(b: Array[Byte]): InternalRow =
+    Multimodal.mp4MetaJvm(b) match {
+      case Some(m) => InternalRow(m.n_tracks, m.n_video, m.n_audio,
+        m.timescale, m.duration_ms, m.width, m.height)
+      case None => null
+    }
+}
+
+/** Array-kernel shape: kernel is a method on [[MediaArrayKernel]],
+  * result is array-of-structs (empty = undecodable, never null for a
+  * non-null blob → nullable tracks the child, and the fixed codegen
+  * template skips the isNull assignment when non-nullable). */
+sealed abstract class MediaArrayExpression extends MediaDecodeExpression {
+  protected def structSchema: StructType
+  override def dataType: DataType =
+    ArrayType(structSchema, containsNull = false)
+  override def nullable: Boolean = child.nullable
+}
+
+/** `wav_features(blob)` → per-channel PCM stats, 8- and 16-bit. */
+case class WavFeatures(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.audioSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.wavAnyDepth($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.wavAnyDepth(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_wav_features"
+}
+
+/** `wav16_features(blob)` → per-channel PCM stats, 16-bit only. */
+case class Wav16Features(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.audioSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.wav16($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.wav16(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_wav16_features"
+}
+
+/** `flac_features(blob)` → per-channel decoded-sample stats. */
+case class FlacFeatures(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.audioSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.flac($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.flac(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_flac_features"
+}
+
+/** `any_audio_features(blob)` → (kind, per-channel stats) for WAV or
+  * FLAC — the mixed-corpus audio front door as one expression. */
+case class AnyAudioFeatures(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.anyAudioSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.anyAudio($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.anyAudio(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_any_audio_features"
+}
+
+/** `wav_windows(blob, windowFrames)` → per-(channel, window) energy. */
+case class WavWindows(child: Expression, windowFrames: Int)
+  extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.windowSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.wavWindows($c, $windowFrames)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.wavWindows(b, windowFrames)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_wav_windows"
+}
+
+/** `flac_windows(blob, windowFrames)` → per-(channel, window) energy. */
+case class FlacWindows(child: Expression, windowFrames: Int)
+  extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.windowSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.flacWindows($c, $windowFrames)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.flacWindows(b, windowFrames)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_flac_windows"
+}
+
+/** `bmp_features(blob)` → whole-image BGR profile struct, NULL if not
+  * a decodable 24-bit BMP. */
+case class BmpFeatures(child: Expression) extends MediaDecodeExpression {
+  override def dataType: DataType = MediaArrayKernel.bmpSchema
+  override def nullable: Boolean = true
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.bmp($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.bmp(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_bmp_features"
+}
+
+/** `bmp_patches(blob, patch)` → ViT-style fixed-grid patch profiles. */
+case class BmpPatches(child: Expression, patch: Int)
+  extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.patchSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.bmpPatches($c, $patch)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.bmpPatches(b, patch)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_bmp_patches"
+}
+
+/** `mp4_meta(blob)` → ISO-BMFF container metadata struct, NULL if not
+  * a parseable MP4. */
+case class Mp4Meta(child: Expression) extends MediaDecodeExpression {
+  override def dataType: DataType = MediaArrayKernel.mp4Schema
+  override def nullable: Boolean = true
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.mp4Meta($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.mp4Meta(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_mp4_meta"
+}
+
+/** Column constructors for the round-11 media expressions — the
+  * [[Multimodal.pngFeaturesCol]] convention, collected here so the
+  * operators module reads declaratively. */
+object MediaExprs {
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  def wavAnyDepthCol(blob: Column): Column = c(WavFeatures(e(blob)))
+  def wav16Col(blob: Column): Column = c(Wav16Features(e(blob)))
+  def flacCol(blob: Column): Column = c(FlacFeatures(e(blob)))
+  def anyAudioCol(blob: Column): Column = c(AnyAudioFeatures(e(blob)))
+  def wavWindowsCol(blob: Column, windowFrames: Int): Column =
+    c(WavWindows(e(blob), windowFrames))
+  def flacWindowsCol(blob: Column, windowFrames: Int): Column =
+    c(FlacWindows(e(blob), windowFrames))
+  def bmpCol(blob: Column): Column = c(BmpFeatures(e(blob)))
+  def bmpPatchesCol(blob: Column, patch: Int): Column =
+    c(BmpPatches(e(blob), patch))
+  def mp4MetaCol(blob: Column): Column = c(Mp4Meta(e(blob)))
+}

@@ -81,11 +81,14 @@ object MediaDecodeKernel {
     }
 }
 
-/** Shared shape of the four media expressions: binary child, struct
-  * result, kernel dispatched by [[kernelMethod]] (a static call so
-  * [[doGenCode]] stays a one-liner inside the caller's codegen stage). */
-sealed abstract class MediaDecodeExpression extends UnaryExpression {
-  protected def kernelMethod: String
+/** Shared shape of the media expressions: binary child, struct or
+  * array-of-struct result, kernel dispatched by [[kernelCall]] (a
+  * static call so [[doGenCode]] stays a one-liner inside the caller's
+  * codegen stage). Extended by the audio/container family in
+  * [[MediaArrayExpressions.scala]] (round 11). */
+abstract class MediaDecodeExpression extends UnaryExpression {
+  /** The generated-Java call over the child's value variable `c`. */
+  protected def kernelCall(c: String): String
   override def nullSafeEval(input: Any): Any = input match {
     case b: Array[Byte] => evalKernel(b)
     case _ => null
@@ -93,13 +96,28 @@ sealed abstract class MediaDecodeExpression extends UnaryExpression {
   protected def evalKernel(b: Array[Byte]): Any
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.plans.MediaDecodeKernel.$kernelMethod($c);
-      ${ev.isNull} = ${ev.value} == null;""")
+    nullSafeCodeGen(ctx, ev, c => {
+      // When the expression is non-nullable (e.g. MediaAudit over a
+      // coalesced blob — the audit kernel is total) `ev.isNull` is the
+      // literal "false", not an lvalue; assigning it generates invalid
+      // Java and Janino silently falls back to interpreted eval.
+      val setNull =
+        if (nullable) s"\n      ${ev.isNull} = ${ev.value} == null;" else ""
+      s"""
+      ${ev.value} = ${kernelCall(c)};$setNull"""
+    })
+}
+
+/** The original raster/audit shape: kernel is a one-arg method on
+  * [[MediaDecodeKernel]]. */
+sealed abstract class MediaStructExpression extends MediaDecodeExpression {
+  protected def kernelMethod: String
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaDecodeKernel.$kernelMethod($c)"
 }
 
 /** `png_features(blob)` → raster feature struct, NULL if undecodable. */
-case class PngFeatures(child: Expression) extends MediaDecodeExpression {
+case class PngFeatures(child: Expression) extends MediaStructExpression {
   override def dataType: DataType = MediaDecodeKernel.rasterSchema
   override def nullable: Boolean = true
   override protected def kernelMethod: String = "png"
@@ -110,7 +128,7 @@ case class PngFeatures(child: Expression) extends MediaDecodeExpression {
 }
 
 /** `gif_features(blob)` → raster feature struct, NULL if undecodable. */
-case class GifFeatures(child: Expression) extends MediaDecodeExpression {
+case class GifFeatures(child: Expression) extends MediaStructExpression {
   override def dataType: DataType = MediaDecodeKernel.rasterSchema
   override def nullable: Boolean = true
   override protected def kernelMethod: String = "gif"
@@ -121,7 +139,7 @@ case class GifFeatures(child: Expression) extends MediaDecodeExpression {
 }
 
 /** `jpeg_features(blob)` → raster feature struct, NULL if undecodable. */
-case class JpegFeatures(child: Expression) extends MediaDecodeExpression {
+case class JpegFeatures(child: Expression) extends MediaStructExpression {
   override def dataType: DataType = MediaDecodeKernel.rasterSchema
   override def nullable: Boolean = true
   override protected def kernelMethod: String = "jpeg"
@@ -135,7 +153,7 @@ case class JpegFeatures(child: Expression) extends MediaDecodeExpression {
   * image format the magic bytes announce; NULL for non-image or
   * undecodable payloads — the mixed-corpus dispatch as one expression. */
 case class AnyRasterFeatures(child: Expression)
-  extends MediaDecodeExpression {
+  extends MediaStructExpression {
   override def dataType: DataType = MediaDecodeKernel.anyRasterSchema
   override def nullable: Boolean = true
   override protected def kernelMethod: String = "anyRaster"
@@ -147,7 +165,7 @@ case class AnyRasterFeatures(child: Expression)
 
 /** `media_audit(blob)` → (kind, ok, reason) verdict struct — total
   * (never NULL for a non-null blob): every payload gets a verdict. */
-case class MediaAudit(child: Expression) extends MediaDecodeExpression {
+case class MediaAudit(child: Expression) extends MediaStructExpression {
   override def dataType: DataType = MediaDecodeKernel.auditSchema
   override def nullable: Boolean = child.nullable
   override protected def kernelMethod: String = "audit"

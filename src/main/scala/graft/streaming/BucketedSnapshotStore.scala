@@ -63,7 +63,7 @@ object BucketedSnapshotStore {
   /** Streaming-internal local property carrying the stable query id
     * (set by Spark's StreamExecution on the micro-batch thread; stable
     * across checkpointed restarts, fresh per new checkpoint). */
-  private val QueryIdKey = "sql.streaming.queryId"
+  private[streaming] val QueryIdKey = "sql.streaming.queryId"
 
   /** A parsed live manifest: `seq` is the version-dir number its batch
     * wrote; `buckets` maps bucket id → the seq of the version dir holding
@@ -91,7 +91,7 @@ object BucketedSnapshotStore {
         k.tail.forall(_.isDigit) => k.tail.toInt -> v.toLong })
   }
 
-  private def readSmallFile(fs: FileSystem, p: Path): String = {
+  private[streaming] def readSmallFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
@@ -100,7 +100,7 @@ object BucketedSnapshotStore {
   /** Write-tmp + atomic overwrite rename — the file exists only complete
     * (HDFS/local rename is atomic; object stores need their own
     * conditional-put, same caveat as every pointer protocol here). */
-  private def atomicWrite(spark: SparkSession, target: Path,
+  private[streaming] def atomicWrite(spark: SparkSession, target: Path,
       content: String): Unit = {
     val fs = fsOf(spark, target)
     val tmp = new Path(target.getParent, s".${target.getName}.tmp")
@@ -323,7 +323,10 @@ object BucketedSnapshotStore {
         if (!live && (leaves.nonEmpty || manifests.size >= 2))
           fs.delete(s.getPath, true)
       }
-    fs.delete(new Path(base, "current"), true)
+    // the legacy pre-round-7 `current/` dir gets the same one-generation
+    // grace as legacy v-dirs: a reader that resolved it just before the
+    // migration publish may still be scanning it
+    if (manifests.size >= 2) fs.delete(new Path(base, "current"), true)
     ()
   }
 }

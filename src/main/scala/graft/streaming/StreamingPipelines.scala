@@ -46,8 +46,9 @@ object StreamingPipelines {
   /** Streaming media triage — the streaming twin of
     * [[graft.operators.Multimodal.extractDecodeAudit]] (round 7): every
     * payload in a media-blob stream gets a (kind, ok, reason) verdict
-    * row. STATELESS (the audit is row-local `mapPartitions`), so it
-    * lifts to streaming unchanged and composes with any sink split —
+    * row. STATELESS (the audit is a row-local codegen'd Catalyst
+    * expression, [[graft.plans.MediaAudit]]), so it lifts to streaming
+    * unchanged and composes with any sink split —
     * route `ok` to the decode fan-out, rejects to the quarantine topic,
     * and alert on reason-rate drift. This is the media ingest front
     * door a 100 TB multimodal pipeline runs continuously. */
@@ -187,48 +188,67 @@ object StreamingPipelines {
     * batch-vs-index only); run the batch operator inside `sink` if batch
     * internal pairs matter. Pairs are materialized (localCheckpoint)
     * BEFORE the index append so the lazily-evaluated probe can never see
-    * its own batch. Exactly-once: foreachBatch is at-least-once on
-    * retries, and a re-appended batch duplicates sidecar rows (which
-    * duplicates its verified pairs downstream) — production sinks should
-    * gate the append on `batchId` durably (checkpointLocation) per the
-    * standard idempotent-foreachBatch recipe. */
+    * its own batch.
+    *
+    * Exactly-once: foreachBatch is at-least-once on retries, so the
+    * whole batch body is guarded by the index's [[IngestLedger]]
+    * (queryId, batchId) high-water mark — the idempotent pattern
+    * [[graft.operators.Dedup.appendToLshIndex]]'s contract prescribes. A
+    * replayed batch whose append already committed no-ops entirely:
+    * re-probing would now see the batch's OWN rows in the index
+    * (self-pairs the first run never emitted), and `sink` already ran
+    * (it is sequenced strictly before the append). Needs a DURABLE
+    * `checkpointLocation` for batchIds to stay stable across restarts. */
   def ingestNearDupStream(docs: DataFrame, textCol: String, idCol: String,
       indexPath: String, threshold: Double = 0.8, shingleK: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
       checkpointLocation: Option[String] = None)
       (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.types._
     val writer = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val index = graft.operators.Dedup.LshIndex(indexPath, shingleK,
-          numHashes, bands)
-        val hPath = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
-        val fs = hPath.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        val pairs =
-          if (fs.exists(hPath))
-            graft.operators.Dedup
-              .lshProbeNearDup(index, batch, textCol, idCol, threshold)
-              .localCheckpoint()
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            // id columns typed from the ACTUAL batch schema so the sink
-            // sees one consistent schema across the empty first batch
-            // and every later one
-            StructType(Seq(
-              StructField("a", batch.schema(idCol).dataType),
-              StructField("b", batch.schema(idCol).dataType),
-              StructField("jaccard", DoubleType))))
-        sink(pairs, batchId)
-        graft.operators.Dedup.appendToLshIndex(index, batch, textCol,
-          idCol)
-        ()
+        nearDupIngestBatch(batch, batchId,
+          IngestLedger.currentQueryId(batch.sparkSession),
+          indexPath, textCol, idCol, threshold, shingleK, numHashes,
+          bands)(sink)
       }
     checkpointLocation.foreach(p => writer.option("checkpointLocation", p))
     writer.start()
+  }
+
+  /** One micro-batch of [[ingestNearDupStream]] — public so the
+    * replay-idempotence spec can apply the SAME (queryId, batchId) twice
+    * and pin byte-identical index contents and probe results. */
+  def nearDupIngestBatch(batch: DataFrame, batchId: Long, queryId: String,
+      indexPath: String, textCol: String, idCol: String,
+      threshold: Double, shingleK: Int, numHashes: Int, bands: Int)
+      (sink: (DataFrame, Long) => Unit): Unit = {
+    import org.apache.spark.sql.types._
+    val spark = batch.sparkSession
+    if (IngestLedger.alreadyApplied(spark, indexPath, queryId, batchId))
+      return // replay of a fully-applied batch: sink ran, index absorbed
+    val index = graft.operators.Dedup.LshIndex(indexPath, shingleK,
+      numHashes, bands)
+    val hPath = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pairs =
+      if (fs.exists(hPath))
+        graft.operators.Dedup
+          .lshProbeNearDup(index, batch, textCol, idCol, threshold)
+          .localCheckpoint()
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        // id columns typed from the ACTUAL batch schema so the sink
+        // sees one consistent schema across the empty first batch
+        // and every later one
+        StructType(Seq(
+          StructField("a", batch.schema(idCol).dataType),
+          StructField("b", batch.schema(idCol).dataType),
+          StructField("jaccard", DoubleType))))
+    sink(pairs, batchId)
+    graft.operators.Dedup.appendToLshIndex(index, batch, textCol, idCol)
+    IngestLedger.record(spark, indexPath, queryId, batchId)
   }
 
   /** Streaming IVF-PQ INGEST — the ANN-serving loop around
@@ -247,11 +267,14 @@ object StreamingPipelines {
     * append, so a batch can never match itself.
     *
     * Index state spans the corpus lifetime (no watermark horizon can
-    * bound ANN membership) — the [[ingestNewStream]] rationale. Appends
-    * are blind (the index contract): route the batch through
-    * [[ingestNewStream]] first when re-delivery hygiene matters, and
-    * re-train ([[graft.operators.Similarity.buildIvfPqIndex]]) when
-    * centroid drift warrants. At deployment scale each trigger reads
+    * bound ANN membership) — the [[ingestNewStream]] rationale. Replays
+    * are guarded by the index's [[IngestLedger]] (queryId, batchId)
+    * high-water mark (the [[nearDupIngestBatch]] discipline): a replayed
+    * fully-applied batch no-ops instead of appending its vectors a
+    * second time (a duplicated vector could otherwise occupy two of the
+    * k slots in every later top-k). Re-train
+    * ([[graft.operators.Similarity.buildIvfPqIndex]]) when centroid
+    * drift warrants. At deployment scale each trigger reads
     * `nprobe/nlist` of the CODES column for the coarse pass and appends
     * one batch of coded rows — no rewrite, no corpus shuffle. */
   def ingestIvfPqStream(vectors: DataFrame,
@@ -260,34 +283,51 @@ object StreamingPipelines {
       idCol: String = "vec_id", checkpointLocation: Option[String] = None)
       (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.types._
     val writer = vectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        if (batch.isEmpty) {
-          // schema-stable empty result for the sink (same discipline as
-          // ingestNearDupStream's first-batch frame)
-          sink(spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(Seq(
-              StructField("query_id", batch.schema(idCol).dataType),
-              StructField("rank", IntegerType, nullable = false),
-              StructField("neighbor_id", batch.schema(idCol).dataType),
-              StructField("cosine", DoubleType)))), batchId)
-        } else {
-          val hits = graft.operators.Similarity
-            .ivfPqTopKIndexed(index, batch, k, nprobe, overfetch,
-              vecCol, idCol)
-            .localCheckpoint()
-          sink(hits, batchId)
-          graft.operators.Similarity
-            .appendToIvfPqIndex(index, batch, vecCol, idCol)
-        }
-        ()
+        ivfPqIngestBatch(batch, batchId,
+          IngestLedger.currentQueryId(batch.sparkSession),
+          index, k, nprobe, overfetch, vecCol, idCol)(sink)
       }
     checkpointLocation.foreach(p => writer.option("checkpointLocation", p))
     writer.start()
+  }
+
+  /** One micro-batch of [[ingestIvfPqStream]] — public so the
+    * replay-idempotence spec can apply the SAME (queryId, batchId) twice
+    * and pin byte-identical index contents and probe results. */
+  def ivfPqIngestBatch(batch: DataFrame, batchId: Long, queryId: String,
+      index: graft.operators.Similarity.IvfPqIndex, k: Int, nprobe: Int,
+      overfetch: Int, vecCol: String, idCol: String)
+      (sink: (DataFrame, Long) => Unit): Unit = {
+    import org.apache.spark.sql.types._
+    val spark = batch.sparkSession
+    if (IngestLedger.alreadyApplied(spark, index.path, queryId, batchId))
+      return // replay of a fully-applied batch: sink ran, index absorbed
+    if (batch.isEmpty) {
+      // schema-stable empty result for the sink (same discipline as
+      // ingestNearDupStream's first-batch frame)
+      sink(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("query_id", batch.schema(idCol).dataType),
+          StructField("rank", IntegerType, nullable = false),
+          StructField("neighbor_id", batch.schema(idCol).dataType),
+          StructField("cosine", DoubleType)))), batchId)
+      // an empty batch mutates nothing — but still advance the mark so
+      // its replay (possible when the trigger committed no data) no-ops
+      IngestLedger.record(spark, index.path, queryId, batchId)
+    } else {
+      val hits = graft.operators.Similarity
+        .ivfPqTopKIndexed(index, batch, k, nprobe, overfetch,
+          vecCol, idCol)
+        .localCheckpoint()
+      sink(hits, batchId)
+      graft.operators.Similarity
+        .appendToIvfPqIndex(index, batch, vecCol, idCol)
+      IngestLedger.record(spark, index.path, queryId, batchId)
+    }
   }
 
   /** Stream-stream INTERVAL join — the streaming twin of

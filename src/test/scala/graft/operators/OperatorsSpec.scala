@@ -1718,6 +1718,48 @@ class MultimodalSpec extends SparkFunSuite {
     assert(Multimodal.extractDecodeAudit(df, "doc_id").count() == 3)
   }
 
+  test("audio/container extractors are native expression projections " +
+      "(round 11): explode of an array kernel, no Dataset-encoder " +
+      "boundary, one kernel eval per row") {
+    val s = spark
+    import s.implicits._
+    val df = s.range(3).select(col("id").as("doc_id"),
+      unhex(lpad(hex(col("id")), 6, "0")).as("blob"))
+    for ((name, plan) <- Seq(
+      "graft_wav_features" ->
+        Multimodal.extractAudioFeaturesAnyDepth(df, "doc_id").toDF(),
+      "graft_wav16_features" ->
+        Multimodal.extractAudioFeatures(df, "doc_id").toDF(),
+      "graft_wav_windows" ->
+        Multimodal.extractAudioWindows(df, "doc_id").toDF(),
+      "graft_flac_features" ->
+        Multimodal.extractFlacFeatures(df, "doc_id").toDF(),
+      "graft_flac_windows" ->
+        Multimodal.extractFlacWindows(df, "doc_id").toDF(),
+      "graft_any_audio_features" ->
+        Multimodal.extractAnyAudioFeatures(df, "doc_id").toDF(),
+      "graft_bmp_features" ->
+        Multimodal.extractImageFeatures(df, "doc_id").toDF(),
+      "graft_bmp_patches" ->
+        Multimodal.extractImagePatches(df, "doc_id").toDF(),
+      "graft_mp4_meta" ->
+        Multimodal.extractMp4Meta(df, "doc_id").toDF())) {
+      val p = plan.queryExecution.executedPlan.toString
+      assert(p.contains(name), s"$name missing from plan:\n$p")
+      assert(!p.contains("MapPartitions") &&
+        !p.contains("DeserializeToObject"),
+        s"$name still pays the mapPartitions encoder boundary:\n$p")
+      val evals = name.r.findAllIn(
+        plan.queryExecution.optimizedPlan.toString).length
+      assert(evals == 1, s"$name evaluated $evals times in the plan")
+    }
+    // undecodable payloads vanish via the empty array — flatMap
+    // semantics with no filter and no rows
+    assert(Multimodal.extractAudioFeaturesAnyDepth(df, "doc_id")
+      .count() == 0)
+    assert(Multimodal.extractMp4Meta(df, "doc_id").count() == 0)
+  }
+
   // ---- FLAC (round 10) ----
 
   /** MSB-first bit writer for the spec-side FLAC encoder. */
@@ -2148,6 +2190,40 @@ class MultimodalSpec extends SparkFunSuite {
       catch { case t: Throwable =>
         fail(s"mp4 fuzz $i threw ${t.getClass}") }
     }
+  }
+
+  test("decoder hardening: truncated v1 mvhd as the last box is None " +
+      "(not AIOOBE); a FLAC header claiming more samples than the " +
+      "payload could code is rejected before allocating") {
+    // mvhd v1 whose box ends exactly at the buffer: payload 28 bytes,
+    // but the 64-bit duration read spans s+24..s+31 — the off-by-4
+    // bound let this read past the array
+    val bb = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def be32(v: Long): Unit =
+      (3 to 0 by -1).foreach(i => bb += ((v >> (8 * i)) & 0xff).toByte)
+    def be64(v: Long): Unit =
+      (7 to 0 by -1).foreach(i => bb += ((v >> (8 * i)) & 0xff).toByte)
+    bb ++= Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes; be32(0)
+    be32(8 + 36); bb ++= "moov".getBytes
+    be32(36); bb ++= "mvhd".getBytes
+    bb += 1; bb += 0; bb += 0; bb += 0 // version 1 + flags
+    be64(0); be64(0); be32(600) // ctime, mtime, timescale — then EOF
+    assert(Multimodal.mp4MetaJvm(bb.toArray).isEmpty,
+      "truncated v1 mvhd must be None, never throw")
+    // FLAC memory bomb: a 42-byte stream whose STREAMINFO claims 2^24
+    // samples x 8 channels (a 1 GB long allocation) — FLAC cannot code
+    // a sample in under ~1 bit, so the claim must be rejected up front
+    val fb = new scala.collection.mutable.ArrayBuffer[Byte]()
+    fb ++= "fLaC".getBytes
+    fb ++= Array[Byte](0x80.toByte, 0, 0, 34) // last block, STREAMINFO
+    fb ++= Array[Byte](0x10, 0, 0x10, 0) // min/max blocksize 4096
+    fb ++= Array[Byte](0, 0, 0, 0, 0, 0) // min/max frame size
+    fb ++= Array[Byte](0x0a, 0xc4.toByte, 0x4e, 0xf0.toByte) // 44.1k/8ch/16b
+    fb ++= Array[Byte](0x01, 0, 0, 0) // total samples = 2^24
+    (0 until 16).foreach(_ => fb += 0) // md5
+    assert(fb.length == 42)
+    assert(Multimodal.decodeFlacPcm(fb.toArray).isEmpty,
+      "adversarial STREAMINFO must be rejected before allocation")
   }
 
   test("withBlob: byte metadata is exact; kind sniffs magic bytes") {

@@ -1,0 +1,96 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+import graft.operators.Multimodal
+
+/** Pins that every media expression COMPILES — evaluated under
+  * `spark.sql.codegen.factoryMode=CODEGEN_ONLY` with whole-stage
+  * fallback disabled, so generated-code that Janino rejects fails the
+  * suite instead of silently falling back to interpreted eval (the
+  * round-10 MediaAudit defect: the shared template assigned
+  * `ev.isNull` on a NON-nullable expression — a coalesced child makes
+  * `isNull` the literal "false", not an lvalue — and every audit plan
+  * quietly ran interpreted, 2× slower, under a green suite). */
+class MediaCodegenSpec extends SparkFunSuite {
+
+  private def withCodegenOnly[T](body: => T): T = {
+    val s = spark
+    val prevFactory = s.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = s.conf.getOption("spark.sql.codegen.fallback")
+    s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    try body
+    finally {
+      prevFactory.fold(s.conf.unset("spark.sql.codegen.factoryMode"))(
+        v => s.conf.set("spark.sql.codegen.factoryMode", v))
+      prevFallback.fold(s.conf.unset("spark.sql.codegen.fallback"))(
+        v => s.conf.set("spark.sql.codegen.fallback", v))
+    }
+  }
+
+  // non-foldable blobs (derived from range ids) so constant folding
+  // cannot evaluate the kernels at plan time and dodge codegen
+  private def blobs = spark.range(4).select(col("id").as("doc_id"),
+    unhex(lpad(hex(col("id")), 6, "0")).as("blob"))
+
+  test("every media expression codegens under CODEGEN_ONLY, nullable " +
+      "child") {
+    withCodegenOnly {
+      val fns: Seq[(String, org.apache.spark.sql.Column => org.apache
+          .spark.sql.Column)] = Seq(
+        "png" -> Multimodal.pngFeaturesCol,
+        "gif" -> Multimodal.gifFeaturesCol,
+        "jpeg" -> Multimodal.jpegFeaturesCol,
+        "audit" -> Multimodal.mediaAuditCol,
+        "any_raster" -> Multimodal.anyRasterCol)
+      for ((name, f) <- fns) {
+        // junk blobs: rasters NULL, audit gives a verdict — the point
+        // is the collect not throwing under CODEGEN_ONLY
+        val got = blobs.select(f(col("blob")).as("v")).collect()
+        assert(got.length == 4, name)
+      }
+    }
+  }
+
+  test("media expressions codegen with a NON-nullable child (the " +
+      "coalesced-blob production shape that broke MediaAudit)") {
+    withCodegenOnly {
+      // coalesce(blob, empty) is non-nullable → MediaAudit declares
+      // nullable=false → ev.isNull is the literal "false"; the round-10
+      // template emitted `false = …;` here and Janino refused
+      val audited = blobs.select(Multimodal.mediaAuditCol(
+        coalesce(col("blob"), lit(Array.emptyByteArray))).as("v"))
+        .select(col("v.kind"), col("v.ok"), col("v.reason"))
+        .collect()
+      assert(audited.length == 4)
+      assert(audited.forall(r => !r.getBoolean(1) &&
+        r.getString(2) == "unknown_format"))
+      // and the production caller end-to-end (extractDecodeAudit is
+      // exactly this shape)
+      assert(Multimodal.extractDecodeAudit(blobs, "doc_id")
+        .collect().length == 4)
+      // rasters under the same non-nullable child: they stay nullable
+      // (undecodable → NULL) and must also compile
+      val n = blobs.select(Multimodal.pngFeaturesCol(
+        coalesce(col("blob"), lit(Array.emptyByteArray))).as("v"))
+        .filter(col("v").isNull).count()
+      assert(n == 4)
+    }
+  }
+
+  test("audit results are identical between codegen and interpreted " +
+      "eval on a real mixed corpus") {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .limit(64).select(col("doc_id"),
+        sha2(col("text"), 256).cast("binary").as("blob"))
+    val expected = Multimodal.extractDecodeAudit(df, "doc_id")
+      .collect().map(r => (r.doc_id, r.kind, r.ok, r.reason)).sortBy(_._1)
+    val got = withCodegenOnly {
+      Multimodal.extractDecodeAudit(df, "doc_id")
+        .collect().map(r => (r.doc_id, r.kind, r.ok, r.reason)).sortBy(_._1)
+    }
+    assert(got.toSeq == expected.toSeq)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.SparkFunSuite
+
+/** Replay idempotence of the streaming index-ingest loops — the
+  * (queryId, batchId) high-water mark ([[IngestLedger]]) that makes a
+  * foreachBatch retry of an already-applied batch a no-op: the same
+  * batch applied twice must leave byte-identical index contents and
+  * probe results (the at-least-once caveat
+  * `Dedup.appendToLshIndex`'s contract warned about, closed). */
+class IngestLedgerSpec extends SparkFunSuite {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("near-dup ingest: replaying an applied (queryId, batchId) " +
+      "no-ops — index contents and later probes are identical") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_ledger_nd") + "/lsh"
+    val base = "the quick brown fox jumps over the lazy dog again today"
+    def apply(batchId: Long, queryId: String,
+        rows: Seq[(Long, String)]): Int = {
+      var sinkCalls = 0
+      StreamingPipelines.nearDupIngestBatch(
+        rows.toDF("doc_id", "text"), batchId, queryId, dir,
+        "text", "doc_id", 0.6, 3, 64, 16) { (_, _) => sinkCalls += 1 }
+      sinkCalls
+    }
+    assert(apply(0L, "q1", Seq(1L -> base, 2L -> "other engine text")) == 1)
+    def indexState(): (Seq[String], Seq[String]) = (
+      s.read.parquet(s"$dir/bands").collect()
+        .map(_.toString).toSeq.sorted,
+      s.read.parquet(s"$dir/shingles").collect()
+        .map(_.toString).toSeq.sorted)
+    val before = indexState()
+    // the replay: same (queryId, batchId) → sink NOT re-run, no append
+    assert(apply(0L, "q1", Seq(1L -> base, 2L -> "other engine text")) == 0,
+      "a replayed batch must not re-run the sink")
+    assert(indexState() == before,
+      "a replayed batch must leave the index byte-identical")
+    // an OLDER batchId of the same query is also a replay (monotonic ids)
+    assert(apply(0L, "q1", Seq(1L -> base)) == 0)
+    // probe results over the twice-applied index match the once-applied
+    // index: exactly one (1 -> 9) pair, not two
+    val probe = graft.operators.Dedup.lshProbeNearDup(
+      graft.operators.Dedup.LshIndex(dir, 3, 64, 16),
+      Seq(9L -> base).toDF("doc_id", "text"), "text", "doc_id", 0.6)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(probe.toSeq == Seq((1L, 9L)),
+      s"duplicated sidecar rows would duplicate pairs: ${probe.toSeq}")
+    // a FRESH query reusing batchId 0 is NOT a replay and must apply
+    assert(apply(0L, "q2", Seq(5L -> "novel content here")) == 1)
+    assert(indexState() != before, "a fresh query's batch must append")
+    // an ANONYMOUS caller (no queryId) gets no guard: both apply
+    val c1 = apply(99L, "", Seq(6L -> "more novel content"))
+    val n1 = s.read.parquet(s"$dir/shingles").count()
+    val c2 = apply(99L, "", Seq(7L -> "even more novel content"))
+    assert(c1 == 1 && c2 == 1 &&
+      s.read.parquet(s"$dir/shingles").count() == n1 + 1)
+  }
+
+  test("IVF-PQ ingest: replaying an applied (queryId, batchId) no-ops " +
+      "— no duplicate vectors, top-k slots stay correct") {
+    val s = spark
+    import s.implicits._
+    def vec(id: Long): Array[Float] = {
+      val c = (id % 3).toInt
+      Array.tabulate(8)(p =>
+        (if (p % 3 == c) 1.0f else 0.05f) + 0.01f * ((id * 7 + p) % 5))
+    }
+    def frame(ids: Seq[Long]) = ids.map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val root = tmp("graft_ledger_pq")
+    val idx = graft.operators.Similarity.buildIvfPqIndex(
+      frame(0L until 24L), s"$root/ivfpq", nlist = 4, m = 4, ksub = 8)
+    var sinkCalls = 0
+    def apply(batchId: Long, queryId: String, ids: Seq[Long]): Unit =
+      StreamingPipelines.ivfPqIngestBatch(frame(ids), batchId, queryId,
+        idx, 3, 4, 4, "embedding", "vec_id") { (_, _) => sinkCalls += 1 }
+    apply(0L, "q1", 24L until 32L)
+    assert(sinkCalls == 1)
+    val rows1 = s.read.parquet(idx.path).collect()
+      .map(_.toString).toSeq.sorted
+    apply(0L, "q1", 24L until 32L) // the replay
+    assert(sinkCalls == 1, "a replayed batch must not re-run the sink")
+    val rows2 = s.read.parquet(idx.path).collect()
+      .map(_.toString).toSeq.sorted
+    assert(rows2 == rows1,
+      "a replayed batch must leave the index byte-identical")
+    // a duplicated vector would occupy two of the k=3 slots: probe a
+    // batch-1 vector's neighborhood and require 3 DISTINCT neighbors
+    val topk = graft.operators.Similarity.ivfPqTopKIndexed(
+      idx, frame(Seq(100L)), k = 3)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(topk.distinct.length == 3,
+      s"duplicate appended vectors crowd the top-k: $topk")
+    // empty batch: mark still advances, so ITS replay no-ops too
+    apply(1L, "q1", Seq.empty)
+    assert(sinkCalls == 2, "empty batch still reaches the sink once")
+    apply(1L, "q1", Seq.empty)
+    assert(sinkCalls == 2, "empty-batch replay must no-op")
+  }
+}

@@ -266,8 +266,15 @@ class StreamingSpec extends SparkFunSuite {
       s"legacy current/ corpus must survive the upgrade, got $rows")
     val fsOld = new org.apache.hadoop.fs.Path(dirOld)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // same grace rule as legacy v-dirs: a reader that resolved current/
+    // just before the migration publish may still be scanning it
+    assert(fsOld.exists(new org.apache.hadoop.fs.Path(dirOld, "current")),
+      "legacy current/ gets one manifest generation of grace")
+    runOld(Seq(Seq((12L, "twelve", 1L, false))))
+    assert(rows.sorted == Seq((10L, "ten", 1L), (11L, "eleven", 1L),
+      (12L, "twelve", 1L)), s"post-grace merge must keep all rows: $rows")
     assert(!fsOld.exists(new org.apache.hadoop.fs.Path(dirOld, "current")),
-      "the migrated legacy dir is superseded after the first publish")
+      "the migrated legacy dir is superseded after the second publish")
   }
 
   test("incremental snapshot publish: a small delta rewrites only its " +
