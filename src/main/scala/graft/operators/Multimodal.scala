@@ -2273,6 +2273,163 @@ object Multimodal {
       .as[Mp4MetaRow]
   }
 
+  /** Sample-table profile of an MP4's first video track (see
+    * [[mp4TracksJvm]]): frame count, byte volume, media timebase, exact
+    * duration, bitrate and keyframe count — the curation filters that
+    * come after [[Mp4MetaRow]]'s duration/geometry gates. */
+  final case class Mp4TracksRow(doc_id: Long, n_frames: Long,
+      total_bytes: Long, media_timescale: Long, media_duration: Long,
+      duration_ms: Long, bitrate_bps: Long, n_chunks: Long, n_sync: Long)
+
+  /** REAL MP4 sample-table walk (round 11) — [[mp4MetaJvm]] extended
+    * past the movie header into the first VIDEO track's
+    * `mdia → {mdhd, minf → stbl → {stts, stsz, stco/co64, stss}}`:
+    *  - `n_frames`        stsz sample count,
+    *  - `total_bytes`     Σ sample sizes (uniform via the stsz
+    *                      sample_size field, or the explicit table),
+    *  - `media_timescale` mdhd units/second (v0 and v1 both parse),
+    *  - `media_duration`  Σ count·delta over the stts run-length table
+    *                      (the EXACT presentation length in media units
+    *                      — mdhd.duration is advisory and often stale),
+    *  - `duration_ms`     media_duration · 1000 / media_timescale,
+    *  - `bitrate_bps`     total_bytes · 8 · media_timescale /
+    *                      media_duration (exact int64 via a 128-bit
+    *                      intermediate),
+    *  - `n_chunks`        stco (32-bit) or co64 (64-bit) entry count,
+    *  - `n_sync`          stss entry count; an ABSENT stss means every
+    *                      sample is a sync sample (ISO 14496-12 §8.6.2)
+    *                      → n_frames, so keyframe density is n_sync /
+    *                      n_frames either way.
+    * Sample DATA stays untouched — this reads the index tables a
+    * curation pipeline filters on (frame count sanity, bitrate bands,
+    * keyframe density for seek-ability) before any codec work.
+    * Malformed, truncated, or table-less trees → None (PERMISSIVE,
+    * never throws); every table's declared entry count is bounds-checked
+    * against its box before any read. */
+  def mp4TracksJvm(bytes: Array[Byte]): Option[Mp4TracksRow] = {
+    if (bytes == null || bytes.length < 16) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)
+    def typ(i: Int): String = new String(bytes, i + 4, 4, "ISO-8859-1")
+    if (be32(0) < 16 || typ(0) != "ftyp") return None
+    def children(start: Int, end: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var p = start
+        private var dead = false
+        def hasNext: Boolean = !dead && p + 8 <= end
+        def next(): (String, Int, Int) = {
+          val sz = be32(p)
+          val t = typ(p)
+          val (hdr, bsz): (Int, Long) =
+            if (sz == 1L && p + 16 <= end)
+              (16, (be32(p + 8) << 32) | be32(p + 12))
+            else if (sz == 0L) (8, (end - p).toLong)
+            else (8, sz)
+          if (bsz < hdr || p + bsz > end) { dead = true; (t, -1, -1) }
+          else {
+            val r = (t, p + hdr, (p + bsz).toInt)
+            p = (p + bsz).toInt
+            r
+          }
+        }
+      }
+    val moov = children(0, bytes.length)
+      .collectFirst { case ("moov", s, e) if s >= 0 => (s, e) }
+      .getOrElse(return None)
+    // first video trak: hdlr says vide AND a complete stbl exists
+    children(moov._1, moov._2).foreach {
+      case ("trak", ts, te) if ts >= 0 =>
+        var isVideo = false
+        var mdhdTs = -1L; var stbl: Option[(Int, Int)] = None
+        children(ts, te).foreach {
+          case ("mdia", ms, me) if ms >= 0 =>
+            children(ms, me).foreach {
+              case ("mdhd", hs, he) if hs >= 0 =>
+                val v = u8(hs)
+                if (v == 1 && hs + 24 <= he) mdhdTs = be32(hs + 20)
+                else if (v == 0 && hs + 16 <= he) mdhdTs = be32(hs + 12)
+              case ("hdlr", hs, he) if hs >= 0 && hs + 12 <= he =>
+                if (typ(hs + 4) == "vide") isVideo = true
+              case ("minf", fs, fe) if fs >= 0 =>
+                children(fs, fe).foreach {
+                  case ("stbl", ss, se) if ss >= 0 =>
+                    stbl = Some((ss, se))
+                  case _ =>
+                }
+              case _ =>
+            }
+          case _ =>
+        }
+        if (isVideo && mdhdTs > 0 && stbl.isDefined) {
+          val (ss, se) = stbl.get
+          var nFrames = -1L; var totalBytes = -1L
+          var mediaDur = -1L; var nChunks = -1L; var nSync = -1L
+          children(ss, se).foreach {
+            case ("stts", s, e) if s >= 0 =>
+              val cnt = be32(s + 4)
+              if (s + 8 + 8 * cnt <= e) {
+                var d = 0L; var i = 0
+                while (i < cnt) {
+                  d += be32(s + 8 + 8 * i) * be32(s + 12 + 8 * i)
+                  i += 1
+                }
+                mediaDur = d
+              }
+            case ("stsz", s, e) if s >= 0 && s + 12 <= e =>
+              val uniform = be32(s + 4)
+              val cnt = be32(s + 8)
+              if (uniform != 0L) {
+                // uniform-size fast path: no table follows
+                if (cnt <= Long.MaxValue / uniform) {
+                  nFrames = cnt; totalBytes = uniform * cnt
+                }
+              } else if (s + 12 + 4 * cnt <= e) {
+                var t = 0L; var i = 0
+                while (i < cnt) { t += be32(s + 12 + 4 * i); i += 1 }
+                nFrames = cnt; totalBytes = t
+              }
+            case ("stco", s, e) if s >= 0 && s + 8 <= e =>
+              val cnt = be32(s + 4)
+              if (s + 8 + 4 * cnt <= e) nChunks = cnt
+            case ("co64", s, e) if s >= 0 && s + 8 <= e =>
+              val cnt = be32(s + 4)
+              if (s + 8 + 8 * cnt <= e) nChunks = cnt
+            case ("stss", s, e) if s >= 0 && s + 8 <= e =>
+              val cnt = be32(s + 4)
+              if (s + 8 + 4 * cnt <= e) nSync = cnt
+            case _ =>
+          }
+          if (nFrames > 0 && totalBytes >= 0 && mediaDur > 0 &&
+              nChunks >= 0) {
+            // exact int64 bitrate via a 128-bit intermediate: the
+            // three factors are each ≤ 2^32-ish but their product is
+            // not — BigInt once per payload, not per sample
+            val bps = (BigInt(totalBytes) * 8 * mdhdTs) / mediaDur
+            if (bps.isValidLong)
+              return Some(Mp4TracksRow(0L, nFrames, totalBytes, mdhdTs,
+                mediaDur, mediaDur * 1000L / mdhdTs, bps.toLong, nChunks,
+                if (nSync >= 0) nSync else nFrames))
+          }
+          return None // first video track's tables are broken: reject
+        }
+      case (_, s, _) if s < 0 => return None
+      case _ =>
+    }
+    None
+  }
+
+  /** Batch sample-table extraction: one row per container whose first
+    * video track carries complete tables — a native expression
+    * projection like [[extractMp4Meta]]. */
+  def extractMp4Tracks(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[Mp4TracksRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    barrierExtract(df, idCol, blobCol, graft.plans.MediaExprs.mp4TracksCol)
+      .as[Mp4TracksRow]
+  }
+
   /** One payload's decode-dispatch verdict (see [[extractDecodeAudit]]). */
   final case class DecodeAuditRow(doc_id: Long, kind: String, ok: Boolean,
       reason: String)

@@ -87,6 +87,17 @@ object MediaArrayKernel {
     StructField("width", LongType, nullable = false),
     StructField("height", LongType, nullable = false)))
 
+  /** [[Multimodal.Mp4TracksRow]] minus doc_id. */
+  val mp4TracksSchema: StructType = StructType(Seq(
+    StructField("n_frames", LongType, nullable = false),
+    StructField("total_bytes", LongType, nullable = false),
+    StructField("media_timescale", LongType, nullable = false),
+    StructField("media_duration", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("bitrate_bps", LongType, nullable = false),
+    StructField("n_chunks", LongType, nullable = false),
+    StructField("n_sync", LongType, nullable = false)))
+
   private def audioRows(
       rows: IndexedSeq[(Int, Long, Long, Long, Long, Double)]): ArrayData =
     new GenericArrayData(rows.map { case (c, n, peak, sumSq, zc, rms) =>
@@ -144,6 +155,14 @@ object MediaArrayKernel {
     Multimodal.mp4MetaJvm(b) match {
       case Some(m) => InternalRow(m.n_tracks, m.n_video, m.n_audio,
         m.timescale, m.duration_ms, m.width, m.height)
+      case None => null
+    }
+
+  def mp4Tracks(b: Array[Byte]): InternalRow =
+    Multimodal.mp4TracksJvm(b) match {
+      case Some(m) => InternalRow(m.n_frames, m.total_bytes,
+        m.media_timescale, m.media_duration, m.duration_ms,
+        m.bitrate_bps, m.n_chunks, m.n_sync)
       case None => null
     }
 }
@@ -273,6 +292,19 @@ case class Mp4Meta(child: Expression) extends MediaDecodeExpression {
   override def prettyName: String = "graft_mp4_meta"
 }
 
+/** `mp4_tracks(blob)` → first-video-track sample-table profile struct,
+  * NULL if not a parseable MP4 with complete tables. */
+case class Mp4Tracks(child: Expression) extends MediaDecodeExpression {
+  override def dataType: DataType = MediaArrayKernel.mp4TracksSchema
+  override def nullable: Boolean = true
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.mp4Tracks($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.mp4Tracks(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_mp4_tracks"
+}
+
 /** Column constructors for the round-11 media expressions — the
   * [[Multimodal.pngFeaturesCol]] convention, collected here so the
   * operators module reads declaratively. */
@@ -292,4 +324,5 @@ object MediaExprs {
   def bmpPatchesCol(blob: Column, patch: Int): Column =
     c(BmpPatches(e(blob), patch))
   def mp4MetaCol(blob: Column): Column = c(Mp4Meta(e(blob)))
+  def mp4TracksCol(blob: Column): Column = c(Mp4Tracks(e(blob)))
 }

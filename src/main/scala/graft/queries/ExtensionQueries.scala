@@ -419,41 +419,95 @@ object ExtensionQueries {
 
   /** MP4 (ISO-BMFF) fixture — the byte-primitive pattern for a BOX TREE:
     * every box is length-prefixed big-endian, so the whole container is
-    * closed-form; only mvhd's duration and tkhd's 16.16 width/height
-    * vary per doc (timescale 1000 ⇒ duration_ms = duration). One video
-    * trak always; odd docs add an audio trak (constant bytes). The
-    * engine must walk ftyp → moov → {mvhd, trak → {tkhd, mdia → hdlr}}
-    * to recover what the oracle recomputes from the formulas. */
+    * closed-form; mvhd's duration and tkhd's 16.16 width/height vary
+    * per doc (timescale 1000 ⇒ duration_ms = duration). One video trak
+    * always; odd docs add an audio trak (constant bytes). Round 11 gives
+    * the video trak a REAL sample-table spine
+    * (mdia → {mdhd, minf → stbl → {stts, stsz, stco[, stss]}}) with
+    * closed-form tables: n = 24 + d%8 frames of size 80 + d%32 + (i%2)
+    * bytes, one stts run of delta = 100 + d%50 at media timescale
+    * 90000, 1 + d%3 chunks, and (odd docs only) every-8th-sample sync
+    * points — absent stss on even docs exercises the all-sync default.
+    * The engine walks the tree to recover what the oracle recomputes
+    * from the formulas. */
   private[graft] def mp4Blob: org.apache.spark.sql.Column = {
     def beHex(v: Long, n: Int): String = (0 until n)
       .map(i => f"${(v >> (8 * (n - 1 - i))) & 0xff}%02x").mkString
     def asciiHex(t: String): String =
       t.getBytes("ISO-8859-1").map(b => f"$b%02x").mkString
-    // constant box skeleton hex (sizes hand-summed: hdlr 33, mdia 41,
-    // tkhd 92 (v0: 76-byte prefix + w + h), trak 141, mvhd 108)
+    // constant box skeleton hex (sizes hand-summed: hdlr 33, bare mdia
+    // 41, tkhd 92 (v0: 76-byte prefix + w + h), bare trak 141, mvhd 108)
     def hdlr(t: String) = beHex(33, 4) + asciiHex("hdlr") + "00" * 8 +
       asciiHex(t) + "00" * 13
-    def mdia(t: String) = beHex(41, 4) + asciiHex("mdia") + hdlr(t)
+    // the audio trak keeps the bare table-less mdia: the sample-table
+    // walker profiles the first VIDEO track only
+    def mdiaBare(t: String) = beHex(41, 4) + asciiHex("mdia") + hdlr(t)
     val trakAudio = beHex(141, 4) + asciiHex("trak") +
-      beHex(92, 4) + asciiHex("tkhd") + "00" * 84 + mdia("soun")
-    val dur = lit(5000L) + (col("doc_id") % 1000L) * 37L
-    val w = lit(320L) + (col("doc_id") % 16L) * 8L
-    val h = lit(240L) + (col("doc_id") % 9L) * 8L
+      beHex(92, 4) + asciiHex("tkhd") + "00" * 84 + mdiaBare("soun")
+    val d = col("doc_id")
+    val dur = lit(5000L) + (d % 1000L) * 37L
+    val w = lit(320L) + (d % 16L) * 8L
+    val h = lit(240L) + (d % 9L) * 8L
     val mvhd = concat(
       unhex(lit(beHex(108, 4) + asciiHex("mvhd") + "00" * 12)),
       be32b(lit(1000L)), be32b(dur), unhex(lit("00" * 80)))
+    // ---- sample-table closed forms (round 11) ----
+    val n = lit(24L) + d % 8L
+    val s0 = lit(80L) + d % 32L
+    val delta = lit(100L) + d % 50L
+    val nc = lit(1L) + d % 3L
+    val ns = expr("(31 + doc_id % 8) DIV 8") // ceil(n/8), n = 24 + d%8
+    val hasStss = d % 2L === 1L
+    // mdhd v0 (32 B): timescale 90000; duration mirrors the stts sum
+    val mdhd = concat(
+      unhex(lit(beHex(32, 4) + asciiHex("mdhd") + "00" * 12)),
+      be32b(lit(90000L)), be32b(n * delta), unhex(lit("00" * 4)))
+    // stts (24 B): ONE run of n samples, delta ticks each
+    val stts = concat(
+      unhex(lit(beHex(24, 4) + asciiHex("stts") + "00" * 4)),
+      be32b(lit(1L)), be32b(n), be32b(delta))
+    // stsz (20 + 4n B): explicit table, sizes s0 + (i % 2)
+    val stsz = concat(
+      be32b(lit(20L) + n * 4L), lit("stsz".getBytes),
+      unhex(lit("00" * 8)), // vf + sample_size 0 (table follows)
+      be32b(n),
+      unhex(array_join(transform(sequence(lit(0L), n - 1L),
+        i => lpad(hex(s0 + pmod(i, lit(2L))), 8, "0")), "")))
+    // stco (16 + 4nc B): nc chunk offsets at 4096·(i+1)
+    val stco = concat(
+      be32b(lit(16L) + nc * 4L), lit("stco".getBytes),
+      unhex(lit("00" * 4)), be32b(nc),
+      unhex(array_join(transform(sequence(lit(1L), nc),
+        i => lpad(hex(i * 4096L), 8, "0")), "")))
+    // stss (16 + 4·ns B, odd docs): 1-based sync samples 1, 9, 17, …
+    val stss = concat(
+      be32b(lit(16L) + ns * 4L), lit("stss".getBytes),
+      unhex(lit("00" * 4)), be32b(ns),
+      unhex(array_join(transform(sequence(lit(0L), ns - 1L),
+        i => lpad(hex(i * 8L + 1L), 8, "0")), "")))
+    val stblSize = lit(8L + 24L) + (lit(20L) + n * 4L) +
+      (lit(16L) + nc * 4L) +
+      when(hasStss, lit(16L) + ns * 4L).otherwise(lit(0L))
+    val stbl = concat(be32b(stblSize), lit("stbl".getBytes),
+      stts, stsz, stco,
+      when(hasStss, stss).otherwise(lit(Array.empty[Byte])))
+    val minf = concat(be32b(stblSize + 8L), lit("minf".getBytes), stbl)
+    val mdiaVSize = lit(8L + 32L + 33L + 8L) + stblSize
+    val mdiaV = concat(be32b(mdiaVSize), lit("mdia".getBytes), mdhd,
+      unhex(lit(hdlr("vide"))), minf)
+    val trakVSize = mdiaVSize + lit(8L + 92L)
     val trakVideo = concat(
-      unhex(lit(beHex(141, 4) + asciiHex("trak") +
-        beHex(92, 4) + asciiHex("tkhd") + "00" * 76)),
+      be32b(trakVSize), lit("trak".getBytes),
+      unhex(lit(beHex(92, 4) + asciiHex("tkhd") + "00" * 76)),
       be32b(w * 65536L), be32b(h * 65536L),
-      unhex(lit(mdia("vide"))))
-    val moovSize = when(col("doc_id") % 2 === 1, lit(398L))
-      .otherwise(lit(257L)) // 8 + 108 + 141·(1|2)
+      mdiaV)
+    val moovSize = lit(8L + 108L) + trakVSize +
+      when(d % 2 === 1, lit(141L)).otherwise(lit(0L))
     concat(
       unhex(lit(beHex(16, 4) + asciiHex("ftyp") + asciiHex("isom") +
         "00000000")),
       be32b(moovSize), lit("moov".getBytes), mvhd, trakVideo,
-      when(col("doc_id") % 2 === 1, unhex(lit(trakAudio)))
+      when(d % 2 === 1, unhex(lit(trakAudio)))
         .otherwise(lit(Array.empty[Byte])))
   }
 
@@ -2120,6 +2174,15 @@ object ExtensionQueries {
     // geometry; the oracle recomputes the closed-form fixture params
     "mm_video_meta" -> ((s, dir) =>
       Multimodal.extractMp4Meta(mp4Fixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"))),
+
+    // MP4 sample tables (round 11) — the stbl walk past the movie
+    // header: frame count + byte volume from stsz, exact duration from
+    // the stts run-length sum, int64-exact bitrate, chunk count, sync
+    // density (absent stss on even docs = every sample is sync)
+    "mm_video_tracks" -> ((s, dir) =>
+      Multimodal.extractMp4Tracks(mp4Fixture(s, dir), "doc_id")
         .toDF()
         .orderBy(col("doc_id"))),
 
@@ -5401,6 +5464,29 @@ object ExtensionQueries {
         |  CAST(320 + (doc_id % 16) * 8 AS BIGINT) AS width,
         |  CAST(240 + (doc_id % 9) * 8 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the sample-table closed forms recomputed: total bytes is the
+    // n·s0 + ⌊n/2⌋ sum of the alternating stsz table; duration and
+    // bitrate are the same all-BIGINT integer divisions the walker does
+    "mm_video_tracks" ->
+      """WITH p AS (SELECT doc_id,
+        |    24 + doc_id % 8 AS n,
+        |    80 + doc_id % 32 AS s0,
+        |    100 + doc_id % 50 AS delta,
+        |    1 + doc_id % 3 AS nc
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(n * s0 + n // 2 AS BIGINT) AS total_bytes,
+        |  CAST(90000 AS BIGINT) AS media_timescale,
+        |  CAST(n * delta AS BIGINT) AS media_duration,
+        |  CAST(n * delta * 1000 // 90000 AS BIGINT) AS duration_ms,
+        |  CAST((n * s0 + n // 2) * 8 * 90000 // (n * delta) AS BIGINT)
+        |    AS bitrate_bps,
+        |  CAST(nc AS BIGINT) AS n_chunks,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN (n + 7) // 8 ELSE n END
+        |    AS BIGINT) AS n_sync
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // the windowed cut over the same BE-pair primitive: window_idx =
     // frame DIV 25, per-window peak/energy/rms, partial tail honest

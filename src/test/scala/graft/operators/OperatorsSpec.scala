@@ -1743,7 +1743,9 @@ class MultimodalSpec extends SparkFunSuite {
       "graft_bmp_patches" ->
         Multimodal.extractImagePatches(df, "doc_id").toDF(),
       "graft_mp4_meta" ->
-        Multimodal.extractMp4Meta(df, "doc_id").toDF())) {
+        Multimodal.extractMp4Meta(df, "doc_id").toDF(),
+      "graft_mp4_tracks" ->
+        Multimodal.extractMp4Tracks(df, "doc_id").toDF())) {
       val p = plan.queryExecution.executedPlan.toString
       assert(p.contains(name), s"$name missing from plan:\n$p")
       assert(!p.contains("MapPartitions") &&
@@ -2189,6 +2191,83 @@ class MultimodalSpec extends SparkFunSuite {
       try Multimodal.mp4MetaJvm(cut)
       catch { case t: Throwable =>
         fail(s"mp4 fuzz $i threw ${t.getClass}") }
+    }
+  }
+
+  test("mp4TracksJvm: stbl walk recovers the fixture's closed-form " +
+      "sample tables; co64, uniform stsz and absent stss parse; " +
+      "malformed tables are None") {
+    val s = spark
+    import s.implicits._
+    // fixture round-trip: stsz sum, stts duration, bitrate, sync rules
+    (0L until 6L).toDF("doc_id")
+      .select(col("doc_id"),
+        graft.queries.ExtensionQueries.mp4Blob.as("blob"))
+      .collect().foreach { r =>
+        val d = r.getLong(0)
+        val m = Multimodal.mp4TracksJvm(r.getAs[Array[Byte]]("blob"))
+          .getOrElse(fail(s"doc $d: fixture unparseable"))
+        val n = 24 + d % 8; val s0 = 80 + d % 32
+        val delta = 100 + d % 50
+        val total = n * s0 + n / 2
+        assert(m.n_frames == n && m.total_bytes == total &&
+          m.media_timescale == 90000 && m.media_duration == n * delta &&
+          m.duration_ms == n * delta * 1000 / 90000 &&
+          m.bitrate_bps == total * 8 * 90000 / (n * delta) &&
+          m.n_chunks == 1 + d % 3 &&
+          m.n_sync == (if (d % 2 == 1) (n + 7) / 8 else n),
+          s"doc $d: $m")
+      }
+    // hand-built: uniform stsz (sample_size field, no table) + co64
+    val bb = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def be32(v: Long): Unit =
+      (3 to 0 by -1).foreach(i => bb += ((v >> (8 * i)) & 0xff).toByte)
+    def be64(v: Long): Unit =
+      (7 to 0 by -1).foreach(i => bb += ((v >> (8 * i)) & 0xff).toByte)
+    def ascii(t: String): Unit = bb ++= t.getBytes("ISO-8859-1")
+    def vf(): Unit = be32(0)
+    be32(16); ascii("ftypisom"); be32(0)
+    val stblSz = 8 + 24 + 20 + 24 // stts + uniform stsz + co64(1 entry)
+    val mdiaSz = 8 + 32 + 33 + 8 + stblSz
+    be32(8 + 108 + 8 + mdiaSz); ascii("moov")
+    be32(108); ascii("mvhd"); vf(); be32(0); be32(0); be32(1000)
+    be32(7000); (0 until 80).foreach(_ => bb += 0)
+    be32(8 + mdiaSz); ascii("trak")
+    be32(mdiaSz); ascii("mdia")
+    be32(32); ascii("mdhd"); vf(); be32(0); be32(0); be32(30000)
+    be32(0); be32(0) // duration advisory + lang
+    be32(33); ascii("hdlr"); vf(); be32(0); ascii("vide")
+    (0 until 13).foreach(_ => bb += 0)
+    be32(8 + stblSz); ascii("minf")
+    be32(stblSz); ascii("stbl")
+    be32(24); ascii("stts"); vf(); be32(1); be32(300); be32(1001)
+    be32(20); ascii("stsz"); vf(); be32(4096); be32(300) // uniform
+    be32(24); ascii("co64"); vf(); be32(1); be64(1L << 33)
+    val m = Multimodal.mp4TracksJvm(bb.toArray)
+      .getOrElse(fail("uniform-stsz/co64 stream unparseable"))
+    assert(m.n_frames == 300 && m.total_bytes == 300L * 4096 &&
+      m.media_timescale == 30000 && m.media_duration == 300L * 1001 &&
+      m.n_chunks == 1 && m.n_sync == 300, s"$m") // no stss: all sync
+    assert(m.bitrate_bps ==
+      (BigInt(300L * 4096) * 8 * 30000 / (300L * 1001)).toLong)
+    // a declared table entry count overrunning its box must reject,
+    // not read past: inflate the stts run count (tag + vf → count at
+    // tag offset + 8)
+    val good = bb.toArray
+    val idx = good.sliding(4).indexWhere(_.sameElements("stts".getBytes))
+    val broken = good.clone()
+    broken(idx + 8) = 0x7f
+    assert(Multimodal.mp4TracksJvm(broken).isEmpty,
+      "an overrunning stts table must reject the track")
+    // fuzz: mutations/truncations never throw
+    val rnd = new scala.util.Random(99)
+    (0 until 400).foreach { i =>
+      val b = good.clone()
+      if (i % 2 == 0) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      val cut = if (i % 2 == 1) b.take(rnd.nextInt(b.length)) else b
+      try Multimodal.mp4TracksJvm(cut)
+      catch { case t: Throwable =>
+        fail(s"mp4 tracks fuzz $i threw ${t.getClass}") }
     }
   }
 
