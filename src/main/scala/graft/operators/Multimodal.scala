@@ -41,7 +41,10 @@ object Multimodal {
   /** Magic-byte media-kind dispatch, exactly as a decoder front-end would
     * route payloads to codecs (PNG signature starts 0x89 P N G; JPEG is
     * 0xFFD8FF; GIF87a/GIF89a; RIFF containers carry WAV/AVI/WebP; BMP is
-    * the 2-byte `BM` — last in the chain since it is the weakest magic). */
+    * the 2-byte `BM` — near-last since it is a weak magic; MP4 is the
+    * `ftyp` box type at offset 4; MP3 is recognized by its ID3v2 tag —
+    * the bare MPEG frame sync (0xFFEx) is too weak a magic to dispatch
+    * on, [[mp3MetaJvm]] still accepts untagged streams when routed). */
   def sniffKind(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(substring(blob, 1, 4) ===
       lit(Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47)), "png")
@@ -51,6 +54,8 @@ object Multimodal {
       .when(substring(blob, 1, 4) === lit("RIFF".getBytes), "riff")
       .when(substring(blob, 1, 4) === lit("fLaC".getBytes), "flac")
       .when(substring(blob, 1, 2) === lit("BM".getBytes), "bmp")
+      .when(substring(blob, 5, 4) === lit("ftyp".getBytes), "mp4")
+      .when(substring(blob, 1, 3) === lit("ID3".getBytes), "mp3")
       .otherwise("bin")
 
   // ---- Real media header parsing (portable byte arithmetic) ----
@@ -2430,6 +2435,119 @@ object Multimodal {
       .as[Mp4TracksRow]
   }
 
+  /** Parsed MPEG-audio frame-header metadata (see [[mp3MetaJvm]]):
+    * `version_x10` is the MPEG version ×10 (10/20/25 — 2.5 needs the
+    * fraction), layer 1-3, and the exact sample/byte accounting the
+    * header walk yields. */
+  final case class Mp3MetaRow(doc_id: Long, version_x10: Long, layer: Long,
+      sample_rate: Long, channels: Long, n_frames: Long, n_samples: Long,
+      duration_ms: Long, bitrate_bps: Long, frame_bytes: Long)
+
+  // MPEG audio header tables (ISO 11172-3 / 13818-3): bitrates in kbps
+  // by [version group][layer][index-1]; sample rates by version.
+  private val Mp3KbpsV1 = Array(
+    Array(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    Array(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))
+  private val Mp3KbpsV2 = Array(
+    Array(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+  private val Mp3SampleRates = Map(
+    10 -> Array(44100, 48000, 32000),
+    20 -> Array(22050, 24000, 16000),
+    25 -> Array(11025, 12000, 8000))
+
+  /** REAL MP3 (MPEG audio) frame-header walk (round 11) — the last
+    * `unknown_format` audit branch closed at the honest-metadata level
+    * ([[mp4MetaJvm]]'s discipline): sample DECODE genuinely needs a
+    * perceptual codec library, but the stream's frame grid is pure
+    * header arithmetic. Walks an optional ID3v2 tag (syncsafe size,
+    * footer flag honored), then back-to-back MPEG frames — each 4-byte
+    * header gives version/layer/bitrate/samplerate, frame length by the
+    * ISO formula (Layer I slots ×4; Layer II/III 144·b/sr, 72·b/sr for
+    * MPEG2/2.5 Layer III) — to an optional 128-byte ID3v1 trailer.
+    * Per-frame bitrates are summed exactly, so VBR streams report their
+    * true mean bitrate (`frame_bytes·8·sr / n_samples`, 128-bit exact).
+    * Consistency is enforced (version/layer/samplerate/channels fixed
+    * across frames); free-format (index 0), reserved fields, truncated
+    * frames, or trailing garbage → None (PERMISSIVE, never throws). */
+  def mp3MetaJvm(bytes: Array[Byte]): Option[Mp3MetaRow] = {
+    if (bytes == null || bytes.length < 4) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    var pos = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      var sz = 0
+      var i = 0
+      while (i < 4) {
+        val b = u8(6 + i)
+        if (b >= 0x80) return None // syncsafe bytes are 7-bit
+        sz = (sz << 7) | b
+        i += 1
+      }
+      pos = 10 + sz + (if ((u8(5) & 0x10) != 0) 10 else 0)
+      if (pos > bytes.length) return None
+    }
+    var ver = -1L; var layer = -1L; var sr = -1; var ch = -1L
+    var nFrames = 0L; var nSamples = 0L; var frameBytes = 0L
+    var done = false
+    while (pos < bytes.length && !done) {
+      if (bytes.length - pos == 128 && bytes(pos) == 'T' &&
+          bytes(pos + 1) == 'A' && bytes(pos + 2) == 'G') {
+        done = true // ID3v1 trailer ends the stream
+      } else {
+        if (pos + 4 > bytes.length) return None
+        if (u8(pos) != 0xff || (u8(pos + 1) & 0xe0) != 0xe0) return None
+        val vBits = (u8(pos + 1) >> 3) & 3 // 0=2.5, 1=reserved, 2=2, 3=1
+        val lBits = (u8(pos + 1) >> 1) & 3 // 1=III, 2=II, 3=I
+        if (vBits == 1 || lBits == 0) return None
+        val v10 = if (vBits == 3) 10 else if (vBits == 2) 20 else 25
+        val ly = 4 - lBits
+        val bIdx = (u8(pos + 2) >> 4) & 15
+        val sIdx = (u8(pos + 2) >> 2) & 3
+        // free-format (0) needs sync scanning; 15 is forbidden
+        if (bIdx == 0 || bIdx == 15 || sIdx == 3) return None
+        val pad = (u8(pos + 2) >> 1) & 1
+        val c = if ((u8(pos + 3) >> 6) == 3) 1L else 2L
+        val kbps = (if (vBits == 3) Mp3KbpsV1 else Mp3KbpsV2)(ly - 1)(bIdx - 1)
+        val srate = Mp3SampleRates(v10)(sIdx)
+        val b = kbps * 1000
+        val flen = ly match {
+          case 1 => (12 * b / srate + pad) * 4
+          case 2 => 144 * b / srate + pad
+          case _ => (if (vBits == 3) 144 else 72) * b / srate + pad
+        }
+        val spf = ly match {
+          case 1 => 384
+          case 2 => 1152
+          case _ => if (vBits == 3) 1152 else 576
+        }
+        if (flen < 4 || pos + flen > bytes.length) return None
+        if (nFrames == 0L) { ver = v10; layer = ly; sr = srate; ch = c }
+        else if (ver != v10 || layer != ly || sr != srate || ch != c)
+          return None
+        nFrames += 1; nSamples += spf; frameBytes += flen
+        pos += flen
+      }
+    }
+    if (nFrames == 0L) return None
+    val bps = (BigInt(frameBytes) * 8 * sr) / nSamples
+    if (!bps.isValidLong) return None
+    Some(Mp3MetaRow(0L, ver, layer, sr.toLong, ch, nFrames, nSamples,
+      nSamples * 1000L / sr, bps.toLong, frameBytes))
+  }
+
+  /** Batch MP3 metadata extraction: one row per parseable stream — a
+    * native expression projection like [[extractMp4Meta]]. */
+  def extractMp3Meta(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[Mp3MetaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    barrierExtract(df, idCol, blobCol, graft.plans.MediaExprs.mp3MetaCol)
+      .as[Mp3MetaRow]
+  }
+
   /** One payload's decode-dispatch verdict (see [[extractDecodeAudit]]). */
   final case class DecodeAuditRow(doc_id: Long, kind: String, ok: Boolean,
       reason: String)
@@ -2449,6 +2567,10 @@ object Multimodal {
     else if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
       b(3) == 'C') "flac"
     else if (b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 8 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+      b(7) == 'p') "mp4"
+    else if (b.length >= 3 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+      "mp3"
     else "bin"
 
   /** PERMISSIVE decode audit — the reference's error-swallow discipline
@@ -2484,6 +2606,16 @@ object Multimodal {
       case "flac" =>
         if (decodeFlacPcm(bytes).isDefined) ("flac", true, "ok")
         else ("flac", false, "undecodable_flac")
+      // container/codec metadata verdicts (round 11): MP4 sample data
+      // and MP3 audio genuinely need codec libraries, but the container
+      // walks are real — ok_metadata says "routable and well-formed at
+      // the metadata level", the honest boundary short of sample decode
+      case "mp4" =>
+        if (mp4MetaJvm(bytes).isDefined) ("mp4", true, "ok_metadata")
+        else ("mp4", false, "undecodable_mp4")
+      case "mp3" =>
+        if (mp3MetaJvm(bytes).isDefined) ("mp3", true, "ok_metadata")
+        else ("mp3", false, "undecodable_mp3")
       case k => (k, false, "unknown_format")
     }
 

@@ -87,6 +87,18 @@ object MediaArrayKernel {
     StructField("width", LongType, nullable = false),
     StructField("height", LongType, nullable = false)))
 
+  /** [[Multimodal.Mp3MetaRow]] minus doc_id. */
+  val mp3Schema: StructType = StructType(Seq(
+    StructField("version_x10", LongType, nullable = false),
+    StructField("layer", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("bitrate_bps", LongType, nullable = false),
+    StructField("frame_bytes", LongType, nullable = false)))
+
   /** [[Multimodal.Mp4TracksRow]] minus doc_id. */
   val mp4TracksSchema: StructType = StructType(Seq(
     StructField("n_frames", LongType, nullable = false),
@@ -163,6 +175,14 @@ object MediaArrayKernel {
       case Some(m) => InternalRow(m.n_frames, m.total_bytes,
         m.media_timescale, m.media_duration, m.duration_ms,
         m.bitrate_bps, m.n_chunks, m.n_sync)
+      case None => null
+    }
+
+  def mp3Meta(b: Array[Byte]): InternalRow =
+    Multimodal.mp3MetaJvm(b) match {
+      case Some(m) => InternalRow(m.version_x10, m.layer, m.sample_rate,
+        m.channels, m.n_frames, m.n_samples, m.duration_ms,
+        m.bitrate_bps, m.frame_bytes)
       case None => null
     }
 }
@@ -305,6 +325,19 @@ case class Mp4Tracks(child: Expression) extends MediaDecodeExpression {
   override def prettyName: String = "graft_mp4_tracks"
 }
 
+/** `mp3_meta(blob)` → MPEG-audio frame-grid metadata struct, NULL if
+  * not a parseable (optionally ID3-tagged) MPEG audio stream. */
+case class Mp3Meta(child: Expression) extends MediaDecodeExpression {
+  override def dataType: DataType = MediaArrayKernel.mp3Schema
+  override def nullable: Boolean = true
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.mp3Meta($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.mp3Meta(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_mp3_meta"
+}
+
 /** Column constructors for the round-11 media expressions — the
   * [[Multimodal.pngFeaturesCol]] convention, collected here so the
   * operators module reads declaratively. */
@@ -325,4 +358,5 @@ object MediaExprs {
     c(BmpPatches(e(blob), patch))
   def mp4MetaCol(blob: Column): Column = c(Mp4Meta(e(blob)))
   def mp4TracksCol(blob: Column): Column = c(Mp4Tracks(e(blob)))
+  def mp3MetaCol(blob: Column): Column = c(Mp3Meta(e(blob)))
 }

@@ -514,6 +514,40 @@ object ExtensionQueries {
   private[graft] def mp4Fixture(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), mp4Blob.as("blob"))
 
+  /** MP3 fixture — a VBR MPEG1 Layer III mono stream in closed form:
+    * ID3v2 tag of 6 + d%5 body bytes, then 20 + d%10 back-to-back
+    * frames whose per-frame bitrate index cycles 1 + (d+f)%14. Sample
+    * rate 48000 makes every Layer III frame length exact (144·b/48000 =
+    * 3·kbps — no padding ambiguity), so the whole stream is pure
+    * doc_id arithmetic; the oracle re-sums the per-frame lengths. */
+  private[graft] def mp3Blob: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val nf = lit(20L) + d % 10L
+    val tagSz = d % 5L + 6L
+    val kbpsTable = org.apache.spark.sql.functions.typedlit(
+      Array(32L, 40L, 48L, 56L, 64L, 80L, 96L, 112L, 128L, 160L, 192L,
+        224L, 256L, 320L))
+    // max payload = 3·320 − 4 bytes of zeros, sliced per frame
+    val zeros = lit("0" * ((3 * 320 - 4) * 2))
+    val frames = transform(sequence(lit(0L), nf - 1L), f => {
+      val bi = (d + f) % 14L + 1L
+      val flen = element_at(kbpsTable, bi.cast("int")) * 3L
+      concat(
+        lit("fffb"), // sync + MPEG1 + Layer III + no CRC
+        lpad(hex(bi * 16L + 4L), 2, "0"), // bitrate idx + sr idx 1 (48k)
+        lit("c0"), // mono
+        zeros.substr(lit(1), (flen - 4L) * 2L))
+    })
+    concat(
+      lit("ID3".getBytes), unhex(lit("0300" + "00" + "000000")),
+      unhex(lpad(hex(tagSz), 2, "0")),
+      unhex(lit("0" * (2 * 10)).substr(lit(1), tagSz * 2L)),
+      unhex(array_join(frames, "")))
+  }
+
+  private[graft] def mp3Fixture(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), mp3Blob.as("blob"))
+
   private[graft] def flacFixture(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), flacFrameVals.as("__fv"))
@@ -2183,6 +2217,14 @@ object ExtensionQueries {
     // density (absent stss on even docs = every sample is sync)
     "mm_video_tracks" -> ((s, dir) =>
       Multimodal.extractMp4Tracks(mp4Fixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"))),
+
+    // MP3 frame-header walk (round 11) — the last unknown_format audit
+    // branch at the honest-metadata level: ID3v2 skip, per-frame
+    // version/layer/bitrate/samplerate tables, exact VBR mean bitrate
+    "mm_mp3_meta" -> ((s, dir) =>
+      Multimodal.extractMp3Meta(mp3Fixture(s, dir), "doc_id")
         .toDF()
         .orderBy(col("doc_id"))),
 
@@ -5190,6 +5232,8 @@ object ExtensionQueries {
         |     WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'
         |     WHEN substr(text, 1, 4) = 'fLaC' THEN 'flac'
         |     WHEN substr(text, 1, 2) = 'BM' THEN 'bmp'
+        |     WHEN substr(hex(encode(text)), 9, 8) = '66747970' THEN 'mp4'
+        |     WHEN substr(text, 1, 3) = 'ID3' THEN 'mp3'
         |     ELSE 'bin' END AS kind
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the planted dimensions in closed form — the engine must RECOVER
@@ -5465,6 +5509,35 @@ object ExtensionQueries {
         |  CAST(240 + (doc_id % 9) * 8 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the VBR frame grid recomputed: per-frame lengths are 3·kbps at
+    // 48 kHz Layer III, summed over the cycling bitrate index; the
+    // mean bitrate is the same all-integer division the walker does
+    "mm_mp3_meta" ->
+      """WITH p AS (SELECT doc_id, 20 + doc_id % 10 AS n FROM documents),
+        |fr AS (SELECT doc_id, n, unnest(range(0, n)) AS f FROM p),
+        |fl AS (SELECT doc_id, n,
+        |    3 * (CASE (doc_id + f) % 14
+        |      WHEN 0 THEN 32 WHEN 1 THEN 40 WHEN 2 THEN 48
+        |      WHEN 3 THEN 56 WHEN 4 THEN 64 WHEN 5 THEN 80
+        |      WHEN 6 THEN 96 WHEN 7 THEN 112 WHEN 8 THEN 128
+        |      WHEN 9 THEN 160 WHEN 10 THEN 192 WHEN 11 THEN 224
+        |      WHEN 12 THEN 256 ELSE 320 END) AS flen
+        |  FROM fr),
+        |agg AS (SELECT doc_id, MAX(n) AS n,
+        |    CAST(SUM(flen) AS BIGINT) AS fb
+        |  FROM fl GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(10 AS BIGINT) AS version_x10,
+        |  CAST(3 AS BIGINT) AS layer,
+        |  CAST(48000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(1152 * n AS BIGINT) AS n_samples,
+        |  CAST(24 * n AS BIGINT) AS duration_ms,
+        |  CAST(fb * 8 * 48000 // (1152 * n) AS BIGINT) AS bitrate_bps,
+        |  fb AS frame_bytes
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
     // the sample-table closed forms recomputed: total bytes is the
     // n·s0 + ⌊n/2⌋ sum of the alternating stsz table; duration and
     // bitrate are the same all-BIGINT integer divisions the walker does
@@ -5708,6 +5781,8 @@ object ExtensionQueries {
         |       WHEN substr(text, 1, 4) = 'fLaC' THEN 'flac'
         |       WHEN substr(text, 1, 2) = 'BM' THEN 'bmp'
         |       WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'
+        |       WHEN substr(hex(encode(text)), 9, 8) = '66747970' THEN 'mp4'
+        |       WHEN substr(text, 1, 3) = 'ID3' THEN 'mp3'
         |       ELSE 'bin' END AS kind,
         |  (doc_id % 3 = 0 AND doc_id % 15 != 0)
         |    OR (doc_id % 3 = 1 AND doc_id % 15 != 1)
@@ -5729,6 +5804,9 @@ object ExtensionQueries {
         |       WHEN substr(text, 1, 4) = 'fLaC' THEN 'undecodable_flac'
         |       WHEN substr(text, 1, 2) = 'BM' THEN 'undecodable_bmp24'
         |       WHEN substr(text, 1, 4) = 'GIF8' THEN 'undecodable_gif'
+        |       WHEN substr(hex(encode(text)), 9, 8) = '66747970'
+        |         THEN 'undecodable_mp4'
+        |       WHEN substr(text, 1, 3) = 'ID3' THEN 'undecodable_mp3'
         |       ELSE 'unknown_format' END AS reason
         |FROM documents ORDER BY doc_id""".stripMargin,
 

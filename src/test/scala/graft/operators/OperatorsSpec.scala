@@ -1745,7 +1745,9 @@ class MultimodalSpec extends SparkFunSuite {
       "graft_mp4_meta" ->
         Multimodal.extractMp4Meta(df, "doc_id").toDF(),
       "graft_mp4_tracks" ->
-        Multimodal.extractMp4Tracks(df, "doc_id").toDF())) {
+        Multimodal.extractMp4Tracks(df, "doc_id").toDF(),
+      "graft_mp3_meta" ->
+        Multimodal.extractMp3Meta(df, "doc_id").toDF())) {
       val p = plan.queryExecution.executedPlan.toString
       assert(p.contains(name), s"$name missing from plan:\n$p")
       assert(!p.contains("MapPartitions") &&
@@ -2268,6 +2270,79 @@ class MultimodalSpec extends SparkFunSuite {
       try Multimodal.mp4TracksJvm(cut)
       catch { case t: Throwable =>
         fail(s"mp4 tracks fuzz $i threw ${t.getClass}") }
+    }
+  }
+
+  test("mp3MetaJvm: frame-grid walk recovers the VBR fixture's closed " +
+      "forms; ID3v2 skip, ID3v1 trailer, every version/layer formula; " +
+      "malformed streams are None") {
+    val s = spark
+    import s.implicits._
+    val kbps = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320)
+    (0L until 6L).toDF("doc_id")
+      .select(col("doc_id"),
+        graft.queries.ExtensionQueries.mp3Blob.as("blob"))
+      .collect().foreach { r =>
+        val d = r.getLong(0)
+        val m = Multimodal.mp3MetaJvm(r.getAs[Array[Byte]]("blob"))
+          .getOrElse(fail(s"doc $d: fixture unparseable"))
+        val n = (20 + d % 10).toInt
+        val fb = (0 until n).map(f => 3L * kbps(((d + f) % 14).toInt)).sum
+        assert(m.version_x10 == 10 && m.layer == 3 &&
+          m.sample_rate == 48000 && m.channels == 1 &&
+          m.n_frames == n && m.n_samples == 1152L * n &&
+          m.duration_ms == 24L * n && m.frame_bytes == fb &&
+          m.bitrate_bps == fb * 8 * 48000 / (1152L * n), s"doc $d: $m")
+      }
+    // hand-built: MPEG2.5 Layer III stereo (576 samples/frame, the
+    // 72·b/sr branch) + an ID3v1 trailer
+    val bb = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def frame25(): Unit = {
+      // sr idx 2 = 8000 Hz, bitrate idx 1 = 8 kbps → flen = 72 exactly
+      bb += 0xff.toByte; bb += 0xe3.toByte; bb += 0x18.toByte; bb += 0
+      (0 until 68).foreach(_ => bb += 0)
+    }
+    frame25(); frame25()
+    bb ++= "TAG".getBytes; (0 until 125).foreach(_ => bb += 0)
+    val m25 = Multimodal.mp3MetaJvm(bb.toArray)
+      .getOrElse(fail("MPEG2.5 stream unparseable"))
+    assert(m25.version_x10 == 25 && m25.layer == 3 &&
+      m25.sample_rate == 8000 && m25.channels == 2 &&
+      m25.n_frames == 2 && m25.n_samples == 1152 &&
+      m25.frame_bytes == 144 &&
+      m25.bitrate_bps == 144L * 8 * 8000 / 1152, s"$m25")
+    // Layer I slot arithmetic: MPEG1, 32 kbps @ 32 kHz → (12·b/sr)·4 = 48
+    val l1 = new scala.collection.mutable.ArrayBuffer[Byte]()
+    l1 += 0xff.toByte; l1 += 0xff.toByte; l1 += 0x18.toByte
+    l1 += 0xc0.toByte
+    (0 until 44).foreach(_ => l1 += 0)
+    val mL1 = Multimodal.mp3MetaJvm(l1.toArray)
+      .getOrElse(fail("Layer I stream unparseable"))
+    assert(mL1.layer == 1 && mL1.n_samples == 384 && mL1.frame_bytes == 48,
+      s"$mL1")
+    // rejects: free-format, reserved version, truncation, junk tail,
+    // mid-stream parameter change
+    val free = l1.toArray.clone(); free(2) = 0x08 // bitrate idx 0
+    assert(Multimodal.mp3MetaJvm(free).isEmpty, "free-format")
+    val resv = l1.toArray.clone(); resv(1) = 0xef.toByte // version 01
+    assert(Multimodal.mp3MetaJvm(resv).isEmpty, "reserved version")
+    assert(Multimodal.mp3MetaJvm(l1.toArray.take(40)).isEmpty, "truncated")
+    assert(Multimodal.mp3MetaJvm(l1.toArray ++ Array[Byte](1, 2, 3))
+      .isEmpty, "trailing garbage")
+    val mixed = bb.toArray.take(144).clone() // two 2.5 frames, no TAG
+    mixed(72 + 3) = 0xc0.toByte // frame 2 flips stereo → mono
+    assert(Multimodal.mp3MetaJvm(mixed).isEmpty, "inconsistent channels")
+    // fuzz: mutations/truncations never throw
+    val good = bb.toArray
+    val rnd = new scala.util.Random(123)
+    (0 until 400).foreach { i =>
+      val b = good.clone()
+      if (i % 2 == 0) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      val cut = if (i % 2 == 1) b.take(rnd.nextInt(b.length)) else b
+      try Multimodal.mp3MetaJvm(cut)
+      catch { case t: Throwable =>
+        fail(s"mp3 fuzz $i threw ${t.getClass}") }
     }
   }
 
