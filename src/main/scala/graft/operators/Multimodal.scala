@@ -1869,8 +1869,11 @@ object Multimodal {
                   compV(i) > 4 || compQ(i) > 3) return None
                 i += 1
               }
+            case 0xc2 => // SOF2 — progressive DCT (round 11)
+              if (compId != null) return None // second frame header
+              return decodeJpegProgressive(bytes, maxPixels)
             case m if (m >= 0xc1 && m <= 0xcf) && m != 0xc4 && m != 0xc8 =>
-              return None // progressive/arithmetic/hierarchical/lossless
+              return None // extended/arithmetic/hierarchical/lossless
             case 0xc8 | 0xcc => return None // JPG reserved / DAC
             case 0xc4 => // DHT — possibly several tables
               while (p < end) {
@@ -2022,6 +2025,18 @@ object Multimodal {
     while (tp + 2 < bytes.length && u8(tp) == 0xff && u8(tp + 1) == 0xff)
       tp += 1
     if (u8(tp) != 0xff || u8(tp + 1) != 0xd9) return None
+    Some(jpegAssemble(width, height, nc, planes, planeW, compH, compV,
+      hmax, vmax))
+  }
+
+  /** Shared output tail of the sequential and progressive decoders:
+    * crop the (MCU-padded) component planes to the declared raster —
+    * grayscale directly, color through the JFIF/BT.601 full-range
+    * matrix with replication chroma upsampling and round-half-up. */
+  private def jpegAssemble(width: Int, height: Int, nc: Int,
+      planes: Array[Array[Byte]], planeW: Array[Int], compH: Array[Int],
+      compV: Array[Int], hmax: Int, vmax: Int)
+      : (Int, Int, Int, Array[Byte]) = {
     if (nc == 1) {
       // crop the plane to the declared raster
       val out = new Array[Byte](width * height)
@@ -2030,7 +2045,7 @@ object Multimodal {
         System.arraycopy(planes(0), y * planeW(0), out, y * width, width)
         y += 1
       }
-      Some((width, height, 1, out))
+      (width, height, 1, out)
     } else {
       val out = new Array[Byte](width * height * 3)
       val yP = planes(0); val cbP = planes(1); val crP = planes(2)
@@ -2056,8 +2071,422 @@ object Multimodal {
         }
         y += 1
       }
-      Some((width, height, 3, out))
+      (width, height, 3, out)
     }
+  }
+
+  /** REAL progressive JPEG decode (round 11) — spectral selection +
+    * successive approximation (ITU T.81 Annex G) over the sequential
+    * machinery ([[JpegHuffTable]], [[jpegExtend]], [[jpegIdctBlock]],
+    * [[jpegAssemble]]): coefficients accumulate in a per-component
+    * zigzag-order store across scans — DC first/refinement (point
+    * transform `<< Al`, then one appended bit per pass), AC first
+    * (per-band runs with EOBRUN block skips), AC refinement (the
+    * G.1.2.3 correction-bit walk: ±1·2^Al placements between
+    * zero-history runs, one bit per already-nonzero coefficient) — and
+    * one dequantize + IDCT pass runs after EOI. Interleaved multi-
+    * component DC scans use the MCU grid; single-component scans use
+    * the component's own ceil(dim/8) block grid (T.81 A.2.2 — edge
+    * MCU-padding blocks are NOT coded there). DRI/RSTn reset both DC
+    * predictors and the EOB run. Arithmetic coding (SOF10), 12-bit,
+    * and scans violating the Annex G progression constraints → None.
+    * Memory: the coefficient store is 4 bytes per padded sample per
+    * component — bounded by the same SOF `maxPixels` gate as the
+    * output raster (the price of multi-pass reconstruction; sequential
+    * streams never allocate it). */
+  private def decodeJpegProgressive(bytes: Array[Byte], maxPixels: Long)
+      : Option[(Int, Int, Int, Array[Byte])] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    val quant = new Array[Array[Int]](4)
+    val dcTab = new Array[JpegHuffTable](4)
+    val acTab = new Array[JpegHuffTable](4)
+    var dri = 0
+    var compId: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var compQ: Array[Int] = null
+    var width = 0; var height = 0
+    var hmax = 1; var vmax = 1
+    var mcusX = 0; var mcusY = 0
+    var blocksW: Array[Int] = null // MCU-padded grid, blocks
+    var blocksH: Array[Int] = null
+    var compBW: Array[Int] = null  // non-interleaved grid, blocks
+    var compBH: Array[Int] = null
+    var coefs: Array[Array[Int]] = null // zigzag order per block
+    var dcPred: Array[Int] = null
+    var nScans = 0
+    var pos = 2
+    var done = false
+    while (!done) {
+      if (pos + 1 >= bytes.length) return None
+      if (u8(pos) != 0xff) return None
+      while (pos + 1 < bytes.length && u8(pos + 1) == 0xff) pos += 1
+      if (pos + 1 >= bytes.length) return None
+      val marker = u8(pos + 1)
+      pos += 2
+      marker match {
+        case 0x01 => // TEM
+        case m if m >= 0xd0 && m <= 0xd7 => // stray RST
+        case 0xd8 => return None // SOI inside the stream
+        case 0xd9 => // EOI — legal once at least one scan landed
+          if (nScans == 0) return None
+          done = true
+        case _ =>
+          if (pos + 1 >= bytes.length) return None
+          val len = be16(pos)
+          if (len < 2 || pos + len > bytes.length) return None
+          val end = pos + len
+          var p = pos + 2
+          marker match {
+            case 0xc2 => // SOF2
+              if (compId != null) return None
+              if (p + 5 >= end || u8(p) != 8) return None
+              height = be16(p + 1); width = be16(p + 3)
+              val nc = u8(p + 5)
+              if (width <= 0 || height <= 0 || (nc != 1 && nc != 3))
+                return None
+              if (width.toLong * height > maxPixels ||
+                width.toLong * height * 3 > Int.MaxValue) return None
+              if (p + 6 + nc * 3 > end) return None
+              compId = new Array[Int](nc); compH = new Array[Int](nc)
+              compV = new Array[Int](nc); compQ = new Array[Int](nc)
+              var i = 0
+              while (i < nc) {
+                compId(i) = u8(p + 6 + i * 3)
+                val hv = u8(p + 7 + i * 3)
+                compH(i) = hv >> 4; compV(i) = hv & 15
+                compQ(i) = u8(p + 8 + i * 3)
+                if (compH(i) < 1 || compH(i) > 4 || compV(i) < 1 ||
+                  compV(i) > 4 || compQ(i) > 3) return None
+                i += 1
+              }
+              if (nc == 1 && (compH(0) != 1 || compV(0) != 1)) return None
+              i = 0
+              while (i < nc) {
+                if (compH(i) > hmax) hmax = compH(i)
+                if (compV(i) > vmax) vmax = compV(i)
+                i += 1
+              }
+              mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+              mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+              blocksW = new Array[Int](nc); blocksH = new Array[Int](nc)
+              compBW = new Array[Int](nc); compBH = new Array[Int](nc)
+              coefs = new Array[Array[Int]](nc)
+              i = 0
+              while (i < nc) {
+                blocksW(i) = mcusX * compH(i)
+                blocksH(i) = mcusY * compV(i)
+                // 64 ints per block = padded samples; same Int gate as
+                // the baseline planes (coef store ≤ 4 bytes/sample)
+                if (blocksW(i).toLong * blocksH(i) * 64 > Int.MaxValue)
+                  return None
+                compBW(i) = ((width * compH(i) + hmax - 1) / hmax + 7) / 8
+                compBH(i) = ((height * compV(i) + vmax - 1) / vmax + 7) / 8
+                coefs(i) = new Array[Int](blocksW(i) * blocksH(i) * 64)
+                i += 1
+              }
+              dcPred = new Array[Int](nc)
+              pos = end
+            case m if (m >= 0xc0 && m <= 0xcf) && m != 0xc2 &&
+                m != 0xc4 && m != 0xc8 =>
+              return None // a second/other frame type
+            case 0xc8 | 0xcc => return None
+            case 0xc4 => // DHT
+              while (p < end) {
+                if (p + 17 > end) return None
+                val tc = u8(p) >> 4; val th = u8(p) & 15
+                if (tc > 1 || th > 3) return None
+                val counts = new Array[Int](17)
+                var tot = 0
+                var l = 1
+                while (l <= 16) {
+                  counts(l) = u8(p + l); tot += counts(l); l += 1
+                }
+                if (tot == 0 || tot > 256 || p + 17 + tot > end) return None
+                val syms = new Array[Int](tot)
+                var k = 0
+                while (k < tot) { syms(k) = u8(p + 17 + k); k += 1 }
+                val t = new JpegHuffTable(counts, syms)
+                if (tc == 0) dcTab(th) = t else acTab(th) = t
+                p += 17 + tot
+              }
+              pos = end
+            case 0xdb => // DQT
+              while (p < end) {
+                val pq = u8(p) >> 4; val tq = u8(p) & 15
+                if (pq != 0 || tq > 3 || p + 65 > end) return None
+                val q = new Array[Int](64)
+                var k = 0
+                while (k < 64) { q(k) = u8(p + 1 + k); k += 1 }
+                quant(tq) = q
+                p += 65
+              }
+              pos = end
+            case 0xdd => // DRI
+              if (len != 4) return None
+              dri = be16(p)
+              pos = end
+            case 0xdc => return None // DNL
+            case 0xda => // SOS — one progressive scan
+              if (compId == null) return None
+              val nc = compId.length
+              if (p >= end) return None
+              val ns = u8(p)
+              if (ns < 1 || ns > nc || p + 1 + ns * 2 + 3 > end)
+                return None
+              val sComp = new Array[Int](ns)
+              val sDc = new Array[Int](ns)
+              val sAc = new Array[Int](ns)
+              var i = 0
+              var prev = -1
+              while (i < ns) {
+                val ci = compId.indexOf(u8(p + 1 + i * 2))
+                if (ci <= prev) return None // SOF order, no repeats
+                prev = ci
+                sComp(i) = ci
+                sDc(i) = u8(p + 2 + i * 2) >> 4
+                sAc(i) = u8(p + 2 + i * 2) & 15
+                if (sDc(i) > 3 || sAc(i) > 3) return None
+                i += 1
+              }
+              val ss = u8(p + 1 + ns * 2)
+              val se = u8(p + 2 + ns * 2)
+              val ahl = u8(p + 3 + ns * 2)
+              val ah = ahl >> 4; val al = ahl & 15
+              if (ah > 13 || al > 13) return None
+              if (ah != 0 && al != ah - 1) return None // G.1.1.1.2
+              val isDc = ss == 0
+              if (isDc && se != 0) return None // DC band is {0} alone
+              if (!isDc && (ns != 1 || se < ss || se > 63)) return None
+              if (isDc && ah == 0) {
+                i = 0
+                while (i < ns) {
+                  if (dcTab(sDc(i)) == null) return None
+                  i += 1
+                }
+              }
+              if (!isDc && acTab(sAc(0)) == null) return None
+              val br = new JpegBitReader(bytes, end)
+              var eobrun = 0
+              // one block of the scan; (c, base) give the coef slot
+              def dcFirst(c: Int, base: Int): Boolean = {
+                val t = dcTab(sDc(sComp.indexOf(c))).decode(br)
+                if (t < 0 || t > 11) return false
+                val dv = br.receive(t)
+                if (dv == Int.MinValue) return false
+                dcPred(c) += jpegExtend(dv, t)
+                coefs(c)(base) = dcPred(c) << al
+                true
+              }
+              def dcRefine(c: Int, base: Int): Boolean = {
+                val b = br.readBit()
+                if (b < 0) return false
+                if (b == 1) coefs(c)(base) |= (1 << al)
+                true
+              }
+              def acFirst(c: Int, base: Int): Boolean = {
+                if (eobrun > 0) { eobrun -= 1; return true }
+                val cf = coefs(c)
+                var k = ss
+                while (k <= se) {
+                  val rs = acTab(sAc(0)).decode(br)
+                  if (rs < 0) return false
+                  val r = rs >> 4; val s = rs & 15
+                  if (s == 0) {
+                    if (r == 15) k += 16 // ZRL
+                    else {
+                      eobrun = (1 << r) - 1
+                      if (r > 0) {
+                        val e = br.receive(r)
+                        if (e == Int.MinValue) return false
+                        eobrun += e
+                      }
+                      return true // EOB ends this block
+                    }
+                  } else {
+                    k += r
+                    if (k > se || s > 10) return false
+                    val av = br.receive(s)
+                    if (av == Int.MinValue) return false
+                    cf(base + k) = jpegExtend(av, s) << al
+                    k += 1
+                  }
+                }
+                true
+              }
+              def acRefine(c: Int, base: Int): Boolean = {
+                val cf = coefs(c)
+                val p1 = 1 << al
+                val m1 = -1 << al
+                // correction bit for an already-nonzero coefficient
+                def correct(k: Int): Boolean = {
+                  val b = br.readBit()
+                  if (b < 0) return false
+                  if (b == 1 && (cf(base + k) & p1) == 0)
+                    cf(base + k) += (if (cf(base + k) >= 0) p1 else m1)
+                  true
+                }
+                var k = ss
+                if (eobrun == 0) {
+                  var atEob = false
+                  while (!atEob && k <= se) {
+                    val rs = acTab(sAc(0)).decode(br)
+                    if (rs < 0) return false
+                    val r = rs >> 4; val s = rs & 15
+                    var newval = 0
+                    if (s == 0) {
+                      if (r < 15) {
+                        // NOT pre-decremented (unlike acFirst): the
+                        // current block still consumes its remaining
+                        // correction bits in the eobrun>0 tail below,
+                        // which then decrements for it
+                        eobrun = 1 << r
+                        if (r > 0) {
+                          val e = br.receive(r)
+                          if (e == Int.MinValue) return false
+                          eobrun += e
+                        }
+                        atEob = true
+                      } // r == 15 (ZRL): skip 16 zero-history slots below
+                    } else {
+                      if (s != 1) return false // refinement codes ±1 only
+                      val sb = br.readBit()
+                      if (sb < 0) return false
+                      newval = if (sb == 1) p1 else m1
+                    }
+                    if (!atEob) {
+                      // advance past r zero-HISTORY slots (a correction
+                      // bit rides every nonzero slot on the way), then
+                      // stop at the next zero slot: newval lands there
+                      // (ZRL lands nothing — its 16th zero slot is just
+                      // consumed by the trailing k += 1)
+                      var skip = r
+                      var stopped = false
+                      while (!stopped && k <= se) {
+                        if (cf(base + k) != 0) {
+                          if (!correct(k)) return false
+                          k += 1
+                        } else if (skip == 0) {
+                          stopped = true
+                        } else { skip -= 1; k += 1 }
+                      }
+                      if (newval != 0) {
+                        if (!stopped) return false // overran the band
+                        cf(base + k) = newval
+                      }
+                      k += 1
+                    }
+                  }
+                }
+                if (eobrun > 0) {
+                  while (k <= se) {
+                    if (cf(base + k) != 0 && !correct(k)) return false
+                    k += 1
+                  }
+                  eobrun -= 1
+                }
+                true
+              }
+              def block(c: Int, bx: Int, by: Int): Boolean = {
+                val base = (by * blocksW(c) + bx) * 64
+                if (isDc) {
+                  if (ah == 0) dcFirst(c, base) else dcRefine(c, base)
+                } else {
+                  if (ah == 0) acFirst(c, base) else acRefine(c, base)
+                }
+              }
+              var rstIdx = 0
+              var unit = 0 // MCU (interleaved) / block (single-comp)
+              def restartGate(): Boolean = {
+                if (dri > 0 && unit > 0 && unit % dri == 0) {
+                  if (!br.expectRst(rstIdx)) return false
+                  rstIdx = (rstIdx + 1) % 8
+                  java.util.Arrays.fill(dcPred, 0)
+                  eobrun = 0
+                }
+                true
+              }
+              if (ns > 1) { // interleaved (DC) scan over the MCU grid
+                val nMcus = mcusX * mcusY
+                while (unit < nMcus) {
+                  if (!restartGate()) return None
+                  val my = unit / mcusX; val mx = unit % mcusX
+                  i = 0
+                  while (i < ns) {
+                    val c = sComp(i)
+                    var by = 0
+                    while (by < compV(c)) {
+                      var bx = 0
+                      while (bx < compH(c)) {
+                        if (!block(c, mx * compH(c) + bx,
+                          my * compV(c) + by)) return None
+                        bx += 1
+                      }
+                      by += 1
+                    }
+                    i += 1
+                  }
+                  unit += 1
+                }
+              } else { // single-component scan over ITS block grid
+                val c = sComp(0)
+                val nBlocks = compBW(c) * compBH(c)
+                while (unit < nBlocks) {
+                  if (!restartGate()) return None
+                  if (!block(c, unit % compBW(c), unit / compBW(c)))
+                    return None
+                  unit += 1
+                }
+              }
+              br.align()
+              pos = br.pos
+              nScans += 1
+            case _ => // APPn / COM: skip
+              pos = end
+          }
+      }
+    }
+    // reconstruction: dequantize + IDCT every padded block
+    val nc = compId.length
+    val planeW = new Array[Int](nc)
+    val planeH = new Array[Int](nc)
+    val planes = new Array[Array[Byte]](nc)
+    var c = 0
+    while (c < nc) {
+      if (quant(compQ(c)) == null) return None
+      planeW(c) = blocksW(c) * 8
+      planeH(c) = blocksH(c) * 8
+      planes(c) = new Array[Byte](planeW(c) * planeH(c))
+      c += 1
+    }
+    val nat = new Array[Int](64)
+    c = 0
+    while (c < nc) {
+      val q = quant(compQ(c))
+      val cf = coefs(c)
+      var by = 0
+      while (by < blocksH(c)) {
+        var bx = 0
+        while (bx < blocksW(c)) {
+          val base = (by * blocksW(c) + bx) * 64
+          java.util.Arrays.fill(nat, 0)
+          var k = 0
+          while (k < 64) {
+            val v = cf(base + k)
+            if (v != 0) nat(JpegZigzag(k)) = v * q(k)
+            k += 1
+          }
+          jpegIdctBlock(nat, planes(c), bx * 8, by * 8, planeW(c),
+            planeW(c), planeH(c))
+          bx += 1
+        }
+        by += 1
+      }
+      c += 1
+    }
+    Some(jpegAssemble(width, height, nc, planes, planeW, compH, compV,
+      hmax, vmax))
   }
 
   /** JPEG features via [[rasterFeatures]] over [[decodeJpegPixels]]. */

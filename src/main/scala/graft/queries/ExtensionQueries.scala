@@ -329,6 +329,57 @@ object ExtensionQueries {
   private[graft] def jpegFixture(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), jpegBlob.as("blob"))
 
+  /** PROGRESSIVE-JPEG fixture (round 11) — [[jpegBlob]]'s DC-only
+    * byte-primitive rebuilt as a three-scan SOF2 stream exercising
+    * spectral selection AND successive approximation in closed form:
+    *  1. DC first scan (Al=1) codes the same ±category-6 differential
+    *     walk, but of v = dc>>1; the DC table's single symbol sits at
+    *     code length 2 (`00`), so a block is exactly one byte
+    *     `00 ++ 6 diff bits` — positive diff m is the byte m, negative
+    *     −m is 63−m, never 0xFF.
+    *  2. DC refinement scan (Ah=1, Al=0) appends the low bit of each
+    *     block's dc — nb ≤ 6 raw bits packed MSB-first into one byte.
+    *  3. AC first scan (ss=1..63) is one EOB per block — the 1-bit
+    *     code `0` from the {EOB} table, nb bits in one zero byte.
+    * Reconstruction: dc = (v << 1) | bit, pixel = the same exact
+    * `clamp(round(dc·17/8) + 128)` contract, so the oracle replays the
+    * whole progressive pipeline in integers. */
+  private[graft] def jpegProgBlob: org.apache.spark.sql.Column = {
+    val bw = lit(1L) + col("doc_id") % 3L
+    val bh = lit(1L) + col("doc_id") % 2L
+    val nb = bw * bh
+    def u8h(x: org.apache.spark.sql.Column) =
+      lpad(hex(pmod(x, lit(256L))), 2, "0")
+    def mag(k: org.apache.spark.sql.Column) =
+      lit(32L) + pmod(col("doc_id") * 7L + k * 11L, lit(32L))
+    val dcScan = unhex(array_join(
+      transform(sequence(lit(0L), nb - 1L),
+        k => u8h(when(pmod(k, lit(2L)) === 0L, mag(k))
+          .otherwise(lit(63L) - mag(k)))), ""))
+    val pow2 = typedlit(Array(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L))
+    val refByte = unhex(u8h(aggregate(sequence(lit(0L), nb - 1L),
+      lit(0L), (acc, k) => acc + pmod(col("doc_id") + k, lit(2L)) *
+        element_at(pow2, (k + 1L).cast("int")))))
+    concat(
+      unhex(lit("ffd8")), // SOI
+      unhex(lit("ffdb0043" + "00" + "11" * 64)), // DQT 0: all 17
+      unhex(lit("ffc2000b08")), be16b(bh * 8L), be16b(bw * 8L),
+      unhex(lit("01011100")), // SOF2: 1 comp, 1x1, quant 0
+      unhex(lit("ffc40014" + "00" + "0001" + "00" * 14 + "06")), // DC {6}@len2
+      unhex(lit("ffc40014" + "10" + "01" + "00" * 15 + "00")), // AC {EOB}@len1
+      unhex(lit("ffda000801010000" + "0001")), // SOS: DC first, Al=1
+      dcScan,
+      unhex(lit("ffda000801010000" + "0010")), // SOS: DC refine, Ah=1
+      refByte,
+      unhex(lit("ffda000801010001" + "3f00")), // SOS: AC 1..63 first
+      unhex(lit("00")), // nb ≤ 6 one-bit EOBs
+      unhex(lit("ffd9"))) // EOI
+  }
+
+  private[graft] def jpegProgFixture(s: SparkSession, dir: String)
+      : DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), jpegProgBlob.as("blob"))
+
   /** Standard MSB-first CRC byte table, computed at plan-build time. */
   private def crcTable(width: Int, poly: Long): Seq[Long] = {
     val top = 1L << (width - 1)
@@ -2218,6 +2269,19 @@ object ExtensionQueries {
     "mm_video_tracks" -> ((s, dir) =>
       Multimodal.extractMp4Tracks(mp4Fixture(s, dir), "doc_id")
         .toDF()
+        .orderBy(col("doc_id"))),
+
+    // PROGRESSIVE JPEG (round 11) — the same whole-image profile over
+    // the three-scan SOF2 fixture: spectral selection + successive
+    // approximation reconstruct dc = (v << 1) | refinement-bit, and
+    // the oracle replays that in integers
+    "mm_jpeg_progressive" -> ((s, dir) =>
+      Multimodal.extractJpegFeatures(jpegProgFixture(s, dir), "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+          col("sum_r"), col("sum_g"), col("sum_b"),
+          col("wsum_r"), col("wsum_g"), col("wsum_b"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
         .orderBy(col("doc_id"))),
 
     // MP3 frame-header walk (round 11) — the last unknown_format audit
@@ -5906,6 +5970,48 @@ object ExtensionQueries {
         |  FROM jk),
         |jd AS (SELECT doc_id, bw, bh, k,
         |    SUM(sd) OVER (PARTITION BY doc_id ORDER BY k) AS dc
+        |  FROM jm),
+        |jv AS (SELECT doc_id, bw, bh, k,
+        |    LEAST(255, GREATEST(0, (dc * 17 + 1028) // 8)) AS v
+        |  FROM jd)
+        |SELECT doc_id,
+        |  CAST(bw * 8 AS BIGINT) AS width,
+        |  CAST(bh * 8 AS BIGINT) AS height,
+        |  CAST(bw * bh * 64 AS BIGINT) AS n_px,
+        |  CAST(SUM(64 * v) AS BIGINT) AS sum_r,
+        |  CAST(SUM(64 * v) AS BIGINT) AS sum_g,
+        |  CAST(SUM(64 * v) AS BIGINT) AS sum_b,
+        |  CAST(SUM(v * (8 * (64 * (k % bw) + 28)
+        |    + 8 * bw * 8 * (64 * (k // bw) + 28))) AS BIGINT) AS wsum_r,
+        |  CAST(SUM(v * (8 * (64 * (k % bw) + 28)
+        |    + 8 * bw * 8 * (64 * (k // bw) + 28))) AS BIGINT) AS wsum_g,
+        |  CAST(SUM(v * (8 * (64 * (k % bw) + 28)
+        |    + 8 * bw * 8 * (64 * (k // bw) + 28))) AS BIGINT) AS wsum_b,
+        |  CAST(SUM(64 * v) AS DOUBLE) / CAST(bw * bh * 64 AS DOUBLE)
+        |    AS mean_r,
+        |  CAST(SUM(64 * v) AS DOUBLE) / CAST(bw * bh * 64 AS DOUBLE)
+        |    AS mean_g,
+        |  CAST(SUM(64 * v) AS DOUBLE) / CAST(bw * bh * 64 AS DOUBLE)
+        |    AS mean_b
+        |FROM jv GROUP BY doc_id, bw, bh ORDER BY doc_id""".stripMargin,
+
+    // the progressive twin: same ±category-6 walk but at the v = dc>>1
+    // level, reconstructed dc = 2v + ((doc_id + k) % 2) — the DC
+    // refinement bit — then the identical exact pixel/weight algebra
+    "mm_jpeg_progressive" ->
+      """WITH jw AS (SELECT doc_id, 1 + doc_id % 3 AS bw,
+        |    1 + doc_id % 2 AS bh
+        |  FROM documents),
+        |jk AS (SELECT doc_id, bw, bh,
+        |    CAST(unnest(range(0, bw * bh)) AS BIGINT) AS k
+        |  FROM jw),
+        |jm AS (SELECT doc_id, bw, bh, k,
+        |    CASE WHEN k % 2 = 0 THEN 32 + (doc_id * 7 + k * 11) % 32
+        |         ELSE -(32 + (doc_id * 7 + k * 11) % 32) END AS sd
+        |  FROM jk),
+        |jd AS (SELECT doc_id, bw, bh, k,
+        |    2 * SUM(sd) OVER (PARTITION BY doc_id ORDER BY k)
+        |      + (doc_id + k) % 2 AS dc
         |  FROM jm),
         |jv AS (SELECT doc_id, bw, bh, k,
         |    LEAST(255, GREATEST(0, (dc * 17 + 1028) // 8)) AS v

@@ -1620,6 +1620,142 @@ class MultimodalSpec extends SparkFunSuite {
     }
   }
 
+  /** One doc's in-plan progressive (SOF2) fixture rendered to bytes. */
+  private def jpegProgFixtureBytes(docId: Long): Array[Byte] = {
+    val s = spark
+    import s.implicits._
+    Seq(docId).toDF("doc_id")
+      .select(graft.queries.ExtensionQueries.jpegProgBlob.as("blob"))
+      .head().getAs[Array[Byte]]("blob")
+  }
+
+  test("progressive JPEG fixture: the three-scan SOF2 stream (DC first " +
+      "Al=1, DC refinement, AC EOBs) reconstructs dc = (v<<1)|bit in " +
+      "closed form; ImageIO agrees pixel-exactly") {
+    System.setProperty("java.awt.headless", "true")
+    (0L until 6L).foreach { d =>
+      val bytes = jpegProgFixtureBytes(d)
+      // really progressive: a SOF2 marker is in the stream
+      assert(bytes.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2), s"doc $d SOF2")
+      val bw = (1 + d % 3).toInt; val bh = (1 + d % 2).toInt
+      val dcs = new Array[Long](bw * bh)
+      var v = 0L
+      for (k <- 0 until bw * bh) {
+        val m = 32 + (d * 7 + k * 11) % 32
+        v += (if (k % 2 == 0) m else -m)
+        dcs(k) = 2 * v + (d + k) % 2 // first scan << 1, refinement bit
+      }
+      def want(x: Int, y: Int): Int = {
+        val k = (y / 8) * bw + (x / 8)
+        val p = Math.floorDiv(dcs(k) * 17 + 1028, 8L)
+        math.min(255L, math.max(0L, p)).toInt
+      }
+      val (dw, dh, ch, px) = Multimodal.decodeJpegPixels(bytes)
+        .getOrElse(fail(s"doc $d: progressive fixture undecodable"))
+      assert((dw, dh, ch) == (bw * 8, bh * 8, 1), s"doc $d geometry")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"doc $d: fixture unreadable by ImageIO")
+      for (y <- 0 until dh; x <- 0 until dw) {
+        assert((px(y * dw + x) & 0xff) == want(x, y), s"doc $d ours ($x,$y)")
+        assert(img.getRaster.getSample(x, y, 0) == want(x, y),
+          s"doc $d iio ($x,$y)")
+      }
+    }
+  }
+
+  private def jpegEncodeProgressive(img: java.awt.image.BufferedImage,
+      quality: Float): Array[Byte] = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); w.dispose()
+    bos.toByteArray
+  }
+
+  test("decodeJpegPixels vs the JDK's libjpeg on PROGRESSIVE streams: " +
+      "the full simple-progression script (spectral bands, successive " +
+      "approximation, AC refinement scans) within the same envelopes") {
+    System.setProperty("java.awt.headless", "true")
+    val w = 37; val h = 23
+    for (qual <- Seq(0.95f, 0.5f)) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, (x * 7 + y * 11 + (x * y) % 31) % 256)
+      val bytes = jpegEncodeProgressive(img, qual)
+      assert(bytes.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+        "JDK writer did not emit SOF2")
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val (dw, dh, ch, px) = Multimodal.decodeJpegPixels(bytes)
+        .getOrElse(fail(s"q=$qual: JDK progressive JPEG undecodable"))
+      assert((dw, dh, ch) == (w, h, 1))
+      for (y <- 0 until h; x <- 0 until w) {
+        val mine = px(y * w + x) & 0xff
+        val theirs = ref.getRaster.getSample(x, y, 0)
+        assert(math.abs(mine - theirs) <= 1,
+          s"q=$qual ($x,$y): ours $mine vs libjpeg $theirs")
+      }
+    }
+    // color: constant-chroma ±1; chroma gradient within the
+    // subsampling envelope (same bounds as the sequential spec)
+    def encodeRgb(mk: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, mk(x, y))
+      jpegEncodeProgressive(img, 0.97f)
+    }
+    def diffs(bytes: Array[Byte]): (Int, Double) = {
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val (dw, dh, ch, px) = Multimodal.decodeJpegPixels(bytes)
+        .getOrElse(fail("JDK progressive color JPEG undecodable"))
+      assert((dw, dh, ch) == (w, h, 3))
+      var maxd = 0; var sumd = 0L
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val mine = px((y * w + x) * 3 + c) & 0xff
+        val theirs = (ref.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+        val d = math.abs(mine - theirs)
+        maxd = math.max(maxd, d); sumd += d
+      }
+      (maxd, sumd.toDouble / (w * h * 3))
+    }
+    val (cmax, _) = diffs(encodeRgb((x, y) =>
+      { val v = (x * 5 + y * 9) % 256; (v << 16) | (v << 8) | v }))
+    assert(cmax <= 1, s"constant-chroma max |diff| $cmax")
+    val (gmax, gmean) = diffs(encodeRgb((x, y) =>
+      (((x * 6) % 256) << 16) | (((y * 6) % 256) << 8) | ((x + y) * 3) % 256))
+    assert(gmax <= 16 && gmean <= 2.0,
+      s"chroma-gradient diffs max=$gmax mean=$gmean")
+    // fuzz: mutations and truncations of a real progressive stream
+    // never throw — the same PERMISSIVE contract as every decoder
+    val good = jpegEncodeProgressive({
+      val g = new java.awt.image.BufferedImage(24, 16,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 16; x <- 0 until 24)
+        g.getRaster.setSample(x, y, 0, (x * 9 + y * 5) % 256)
+      g
+    }, 0.8f)
+    val rnd = new scala.util.Random(321)
+    (0 until 400).foreach { i =>
+      val b = good.clone()
+      if (i % 2 == 0) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      val cut = if (i % 2 == 1) b.take(rnd.nextInt(b.length)) else b
+      try Multimodal.decodeJpegPixels(cut)
+      catch { case t: Throwable =>
+        fail(s"progressive fuzz $i threw ${t.getClass}") }
+    }
+  }
+
   test("restart markers: a DRI/RSTn stream with per-interval predictor " +
       "resets decodes identically to its differential no-restart twin") {
     def hdr(withDri: Boolean): Array[Byte] = {
@@ -1668,11 +1804,14 @@ class MultimodalSpec extends SparkFunSuite {
     assert(Multimodal.decodeJpegPixels(null).isEmpty, "null")
     assert(Multimodal.decodeJpegPixels("not a jpeg".getBytes).isEmpty)
     assert(Multimodal.decodeJpegPixels(good.take(20)).isEmpty, "truncated")
-    // SOF0 → SOF2 (progressive): marker byte right after the DQT segment
+    // SOF0 → SOF2 with a baseline-shaped scan (ss=0, se=63): malformed
+    // PROGRESSIVE (a DC scan's band is {0} alone) — the SOF2 path
+    // exists since round 11, so this now rejects on scan validation
     val prog = good.clone()
     assert((prog(71) & 0xff) == 0xff && (prog(72) & 0xff) == 0xc0)
     prog(72) = 0xc2.toByte
-    assert(Multimodal.decodeJpegPixels(prog).isEmpty, "progressive")
+    assert(Multimodal.decodeJpegPixels(prog).isEmpty,
+      "SOF2 + baseline-shaped scan")
     // 16-bit quant table (Pq = 1)
     val deep = good.clone()
     deep(6) = 0x10.toByte
