@@ -1389,8 +1389,9 @@ object Multimodal {
   /** REAL GIF pixel decode — like [[decodePngPixels]], no codec library
     * needed: GIF's only compression is LZW (GIF87a Appendix C /
     * GIF89a §22), which is ~60 lines of table-building byte arithmetic;
-    * MP3 remains the honest `no_codec` boundary (JPEG gained its real
-    * decoder in round 10 — [[decodeJpegPixels]]). Supported: the
+    * perceptual-codec SAMPLE decode (MP3 audio, MP4 video tracks)
+    * remains the honest library boundary — both get real metadata
+    * walks instead ([[mp3MetaJvm]], [[mp4TracksJvm]]). Supported: the
     * FIRST image of a GIF87a/GIF89a stream, interlaced or not (the
     * 8/8/4/2 four-pass row reordering — the JDK's own writer interlaces
     * by default), rendered through its local-else-global color table
@@ -1790,8 +1791,9 @@ object Multimodal {
     * 3 components (YCbCr, any h/v sampling factors 1-4 — chroma
     * upsampling is sample replication), byte stuffing, restart markers
     * (DRI/RSTn with predictor reset), multi-table DQT/DHT segments.
-    * Progressive (SOF2), arithmetic coding (SOF9+/DAC), 12-bit, 16-bit
-    * quant tables, DNL, and 4-component CMYK → None — the PERMISSIVE
+    * Progressive (SOF2) dispatches to [[decodeJpegProgressive]]
+    * (round 11); arithmetic coding (SOF9+/DAC), 12-bit, 16-bit quant
+    * tables, DNL, and 4-component CMYK → None — the PERMISSIVE
     * contract of the other real decoders.
     *
     * Numerics: the IDCT's DC term is exact ([[jpegIdctBlock]] — a
@@ -3010,9 +3012,11 @@ object Multimodal {
     * FLAC payloads are probed with the real decoders ([[locatePcm]],
     * [[locateBmp24]], [[decodePngPixels]], [[decodeGifPixels]],
     * [[decodeJpegPixels]], [[decodeFlacPcm]] — PNG and GIF gained their
-    * real branches in round 9, baseline JPEG and FLAC in round 10);
-    * only MP3 remains header-only (a perceptual codec genuinely needing
-    * a codec library); unknown magics are `unknown_format`. A
+    * real branches in round 9, baseline JPEG and FLAC in round 10,
+    * progressive JPEG in round 11); MP4 and MP3 carry metadata-level
+    * verdicts ([[mp4MetaJvm]]/[[mp3MetaJvm]] — `ok_metadata` means
+    * routable and well-formed short of perceptual-codec sample decode);
+    * unknown magics are `unknown_format`. A
     * production ingest routes `ok = false` rows to a rejects sink and
     * alerts on reason-rate drift. */
   def auditPayload(bytes: Array[Byte]): (String, Boolean, String) =
@@ -3069,28 +3073,34 @@ object Multimodal {
   /** Frame/segment sampling over an opaque media blob: deterministically
     * sample `nChunks` fixed-size chunks at evenly spaced offsets (the
     * video-frame-sampling access pattern — decode only the sampled
-    * offsets, never the whole payload). One output row per sampled chunk,
-    * exploded row-locally: no shuffle, columnar-friendly downstream. */
+    * offsets, never the whole payload). One output row per sampled
+    * chunk. PURE BUILT-INS since round 11 — the offset arithmetic is
+    * `sequence`/`transform`/`substr` Column algebra exploded in-plan
+    * (whole-stage codegen'd, no custom kernel, no Dataset-encoder
+    * boundary); null/empty blobs yield NULL and explode drops them —
+    * the old flatMap semantics exactly. Integer division via
+    * `floor(a/b)`: every numerator that reaches it is non-negative
+    * (a negative stride numerator is clamped to 1 first), where floor
+    * equals the JVM's truncating division. */
   def sampleChunks(df: DataFrame, idCol: String, blobCol: String = "blob",
       chunkSize: Int = 64, nChunks: Int = 4): Dataset[ChunkRow] = {
     val spark = df.sparkSession
     import spark.implicits._
+    val len = octet_length(col("blob"))
+    val n = least(lit(nChunks),
+      greatest(lit(1), floor(len / chunkSize).cast("int")))
+    val stride = greatest(lit(1),
+      floor((len - chunkSize) / greatest(lit(1), n - 1)).cast("int"))
+    val chunks = transform(sequence(lit(0), n - 1), i => {
+      val off = least(i * stride, greatest(lit(0), len - 1))
+      struct(i.as("chunk_index"), off.as("offset"),
+        col("blob").substr(off + 1, lit(chunkSize)).as("chunk"))
+    })
     df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
-      .as[BlobRow]
-      .flatMap { r =>
-        val bytes = if (r.blob == null) Array.emptyByteArray else r.blob
-        if (bytes.isEmpty) Iterator.empty
-        else {
-          val n = math.min(nChunks, math.max(1, bytes.length / chunkSize))
-          val stride = math.max(1, (bytes.length - chunkSize) / math.max(1, n - 1))
-          (0 until n).iterator.map { i =>
-            val off = math.min(i * stride, math.max(0, bytes.length - 1))
-            val end = math.min(off + chunkSize, bytes.length)
-            ChunkRow(r.doc_id, i, off,
-              java.util.Arrays.copyOfRange(bytes, off, end))
-          }
-        }
-      }
+      .select(col("doc_id"),
+        explode(when(len > 0, chunks)).as("f"))
+      .select(col("doc_id"), col("f.*"))
+      .as[ChunkRow]
   }
 
   /** Per-partition batch feature extraction: one extractor instance per

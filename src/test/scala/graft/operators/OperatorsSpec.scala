@@ -1756,6 +1756,51 @@ class MultimodalSpec extends SparkFunSuite {
     }
   }
 
+  test("progressive restart markers: DRI/RSTn inside all three scan " +
+      "kinds (DC first, DC refine, AC first) with predictor + EOB-run " +
+      "resets decodes identically to the no-restart twin") {
+    def stream(withDri: Boolean): Array[Byte] = {
+      val b = new scala.collection.mutable.ArrayBuffer[Byte]()
+      def hex(s: String): Unit =
+        b ++= s.grouped(2).map(Integer.parseInt(_, 16).toByte)
+      hex("ffd8")
+      hex("ffdb0043" + "00" + "11" * 64)
+      if (withDri) hex("ffdd0004" + "0002") // restart every 2 blocks
+      hex("ffc2000b08" + "0010" + "0018" + "01011100") // 24x16: 3x2 blocks
+      hex("ffc40014" + "00" + "0001" + "00" * 14 + "06") // DC {6} @ len 2
+      hex("ffc40014" + "10" + "01" + "00" * 15 + "00") // AC {EOB} @ len 1
+      // scan 1: DC first, Al=1 — v walk 40,5,40,5,40,5
+      hex("ffda000801010000" + "0001")
+      if (withDri) hex("281c" + "ffd0" + "281c" + "ffd1" + "281c")
+      else hex("281c" + "231c" + "231c") // differential twin (+35 = 0x23)
+      // scan 2: DC refine, Ah=1 — bits 1,0,1,0,1,0
+      hex("ffda000801010000" + "0010")
+      if (withDri) hex("80" + "ffd0" + "80" + "ffd1" + "80")
+      else hex("a8")
+      // scan 3: AC first 1..63 — one EOB bit per block
+      hex("ffda000801010001" + "3f00")
+      if (withDri) hex("00" + "ffd0" + "00" + "ffd1" + "00")
+      else hex("00")
+      hex("ffd9")
+      b.toArray
+    }
+    val a = Multimodal.decodeJpegPixels(stream(withDri = true))
+      .getOrElse(fail("restarted progressive stream undecodable"))
+    val c = Multimodal.decodeJpegPixels(stream(withDri = false))
+      .getOrElse(fail("plain progressive stream undecodable"))
+    assert((a._1, a._2, a._3) == (24, 16, 1) && (c._1, c._2) == (24, 16))
+    assert(a._4.toSeq == c._4.toSeq,
+      "restarted and differential twins must decode identically")
+    // closed form: d = 2v+bit → 81 → clamp 255; 10 → 149
+    assert((a._4(0) & 0xff) == 255 && (a._4(8) & 0xff) == 149)
+    // a wrong restart index must reject (RSTn cycles mod 8)
+    val bad = stream(withDri = true)
+    val i = bad.sliding(2).indexWhere(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd0)
+    bad(i + 1) = 0xd4.toByte
+    assert(Multimodal.decodeJpegPixels(bad).isEmpty, "bad RST index")
+  }
+
   test("restart markers: a DRI/RSTn stream with per-interval predictor " +
       "resets decodes identically to its differential no-restart twin") {
     def hdr(withDri: Boolean): Array[Byte] = {

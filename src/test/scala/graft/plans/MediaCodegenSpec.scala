@@ -36,7 +36,8 @@ class MediaCodegenSpec extends SparkFunSuite {
     unhex(lpad(hex(col("id")), 6, "0")).as("blob"))
 
   test("every media expression codegens under CODEGEN_ONLY, nullable " +
-      "child") {
+      "child — the round-10 struct family AND the round-11 " +
+      "array-kernel family") {
     withCodegenOnly {
       val fns: Seq[(String, org.apache.spark.sql.Column => org.apache
           .spark.sql.Column)] = Seq(
@@ -44,12 +45,28 @@ class MediaCodegenSpec extends SparkFunSuite {
         "gif" -> Multimodal.gifFeaturesCol,
         "jpeg" -> Multimodal.jpegFeaturesCol,
         "audit" -> Multimodal.mediaAuditCol,
-        "any_raster" -> Multimodal.anyRasterCol)
+        "any_raster" -> Multimodal.anyRasterCol,
+        "wav_any" -> graft.plans.MediaExprs.wavAnyDepthCol,
+        "wav16" -> graft.plans.MediaExprs.wav16Col,
+        "flac" -> graft.plans.MediaExprs.flacCol,
+        "any_audio" -> graft.plans.MediaExprs.anyAudioCol,
+        "wav_windows" -> (graft.plans.MediaExprs.wavWindowsCol(_, 25)),
+        "flac_windows" -> (graft.plans.MediaExprs.flacWindowsCol(_, 25)),
+        "bmp" -> graft.plans.MediaExprs.bmpCol,
+        "bmp_patches" -> (graft.plans.MediaExprs.bmpPatchesCol(_, 2)),
+        "mp4_meta" -> graft.plans.MediaExprs.mp4MetaCol,
+        "mp4_tracks" -> graft.plans.MediaExprs.mp4TracksCol,
+        "mp3_meta" -> graft.plans.MediaExprs.mp3MetaCol)
       for ((name, f) <- fns) {
-        // junk blobs: rasters NULL, audit gives a verdict — the point
-        // is the collect not throwing under CODEGEN_ONLY
+        // junk blobs: structs NULL / arrays empty, audit gives a
+        // verdict — the point is the collect not throwing under
+        // CODEGEN_ONLY (and with a NON-nullable coalesced child, the
+        // shape that broke MediaAudit in round 10)
         val got = blobs.select(f(col("blob")).as("v")).collect()
         assert(got.length == 4, name)
+        val got2 = blobs.select(f(coalesce(col("blob"),
+          lit(Array.emptyByteArray))).as("v")).collect()
+        assert(got2.length == 4, s"$name (non-nullable child)")
       }
     }
   }
