@@ -699,6 +699,16 @@ object Dedup {
     index
   }
 
+  /** Stage an append's datasets under `root` MIRRORING the index layout
+    * (`root/bands`, `root/shingles`) without touching the live index —
+    * the write half of the streaming loop's exactly-once staged commit
+    * ([[graft.streaming.IngestLedger.exactlyOnceAppend]] publishes the
+    * staged files by per-file rename after its manifest commit point). */
+  def stageLshAppend(index: LshIndex, delta: DataFrame, textCol: String,
+      idCol: String, root: String): Unit =
+    writeLshDatasets(delta, textCol, idCol, index.copy(path = root),
+      "append")
+
   /** Shared writer — single place that defines the on-disk schemas
     * `bands(bk, id)` and `shingles(id, shingles)`. The shingle relation
     * is materialized once (localCheckpoint) so the text kernel — the

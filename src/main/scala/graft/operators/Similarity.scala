@@ -711,6 +711,25 @@ object Similarity {
   def appendToIvfPqIndex(index: IvfPqIndex, rows: DataFrame,
       vecCol: String = "embedding", idCol: String = "vec_id")
       : IvfPqIndex = {
+    ivfPqCodedRows(index, rows, vecCol, idCol)
+      .write.mode("append").partitionBy("cell").parquet(index.path)
+    index
+  }
+
+  /** Stage an append's coded rows under `root` mirroring the live
+    * cell-partitioned layout — the write half of the streaming loop's
+    * exactly-once staged commit (see
+    * [[graft.streaming.IngestLedger.exactlyOnceAppend]]). */
+  def stageIvfPqAppend(index: IvfPqIndex, rows: DataFrame,
+      vecCol: String, idCol: String, root: String): Unit =
+    ivfPqCodedRows(index, rows, vecCol, idCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(root)
+
+  /** Shared coding step of the IVF-PQ appends: cells and residual
+    * codes assigned row-locally with the index's OWN frozen centroids
+    * and codebooks. */
+  private def ivfPqCodedRows(index: IvfPqIndex, rows: DataFrame,
+      vecCol: String, idCol: String): DataFrame = {
     val m = index.books.length
     val sub = index.books(0)(0).length
     val ksub = index.books(0).length
@@ -728,8 +747,6 @@ object Similarity {
         index.books(mi), 1), 1).cast("int")
     }: _*)
     resid.select(col("id"), col("vec"), col("cell"), codes.as("codes"))
-      .write.mode("append").partitionBy("cell").parquet(index.path)
-    index
   }
 
   /** Probe a written IVF-PQ index: partition-pruned scan of the

@@ -23,14 +23,34 @@ import org.apache.spark.sql.SparkSession
   * unrelated ad-hoc jobs that happen to reuse a batchId must both
   * apply (the [[BucketedSnapshotStore.publish]] rule).
   *
-  * Residual window: the append itself and the mark are two writes, so a
-  * crash BETWEEN them still re-appends on replay — the window is one
-  * token write wide (vs. the whole batch for a blind append). Closing
-  * it entirely needs an atomically-published layout; that is what
-  * [[BucketedSnapshotStore]] is for. */
+  * The mark alone leaves one residual window (a crash between the
+  * append and the mark re-appends on replay), so the appends
+  * themselves go through [[exactlyOnceAppend]] — a staged-commit
+  * protocol that closes it completely:
+  *
+  *  1. STAGE: the batch's files are written under
+  *     `<indexRoot>/_ingest_staging/<token>/` mirroring the index
+  *     layout (a leading-underscore dir — parquet readers of the live
+  *     index never list it). Re-runnable: staging is overwritten.
+  *  2. MANIFEST: the staged file list is written atomically
+  *     (write-tmp + rename). A manifest EXISTS only complete — it is
+  *     the commit point: before it, a replay re-runs everything
+  *     against an untouched index; after it, a replay only finishes.
+  *  3. MOVE: each staged file renames to
+  *     `<indexRoot>/<relDir>/<token>_<name>` — per-file idempotent
+  *     (dest exists → drop the src), so a crashed move RESUMES.
+  *  4. MARK + cleanup: the high-water mark is written, then staging
+  *     and manifest are deleted.
+  *
+  * [[resumePending]] at batch entry handles a crash after the
+  * manifest: the probe and sink of that incarnation already ran (they
+  * precede staging), so the batch body must NOT re-run them — it
+  * completes the moves and marks. A crash before the manifest left
+  * the index untouched, so the full re-run is correct. */
 object IngestLedger {
 
   private val MarkFile = "_ingest_hwm"
+  private val StagingDir = "_ingest_staging"
 
   /** The stable streaming query id when called inside a micro-batch
     * (set by StreamExecution on the micro-batch thread), else "". */
@@ -64,5 +84,113 @@ object IngestLedger {
     BucketedSnapshotStore.atomicWrite(spark,
       new Path(new Path(indexPath), MarkFile),
       s"lastQueryId=$queryId\nlastBatchId=$batchId\n")
+  }
+
+  /** Filesystem-safe transaction token. The queryId is a UUID and the
+    * batchId a long — both path-safe; sanitize defensively anyway. */
+  private[streaming] def tokenOf(queryId: String, batchId: Long): String =
+    queryId.replaceAll("[^A-Za-z0-9-]", "_") + "_b" + batchId
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private[streaming] def stagingRoot(indexRoot: Path, token: String): Path =
+    new Path(new Path(indexRoot, StagingDir), token)
+
+  private[streaming] def manifestPath(indexRoot: Path, token: String): Path =
+    new Path(new Path(indexRoot, StagingDir), s"$token.manifest")
+
+  /** Data files under `root`, as /-relative paths — `_SUCCESS` and
+    * other underscore/dot-prefixed bookkeeping excluded. */
+  private[streaming] def listDataFiles(spark: SparkSession, root: Path)
+      : Seq[String] = {
+    val fs = fsOf(spark, root)
+    def walk(p: Path, rel: String): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        val r = if (rel.isEmpty) name else s"$rel/$name"
+        if (name.startsWith("_") || name.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath, r)
+        else Seq(r)
+      }
+    if (!fs.exists(root)) Nil else walk(root, "")
+  }
+
+  /** Move every manifest-listed staged file into the live index —
+    * per-file idempotent so a crashed move resumes: dest already
+    * present → the staged src (if any) is just dropped. */
+  private[streaming] def completeMoves(spark: SparkSession,
+      indexRoot: Path, token: String, files: Seq[String]): Unit = {
+    val fs = fsOf(spark, indexRoot)
+    val sRoot = stagingRoot(indexRoot, token)
+    files.foreach { rel =>
+      val src = new Path(sRoot, rel)
+      val i = rel.lastIndexOf('/')
+      val (dir, name) =
+        if (i < 0) (indexRoot, rel)
+        else (new Path(indexRoot, rel.substring(0, i)), rel.substring(i + 1))
+      val dest = new Path(dir, s"${token}_$name")
+      if (fs.exists(dest)) {
+        if (fs.exists(src)) fs.delete(src, false)
+      } else {
+        fs.mkdirs(dir)
+        if (!fs.rename(src, dest))
+          throw new java.io.IOException(s"ingest move failed: $src → $dest")
+      }
+      ()
+    }
+  }
+
+  private[streaming] def cleanup(spark: SparkSession, indexRoot: Path,
+      token: String): Unit = {
+    val fs = fsOf(spark, indexRoot)
+    fs.delete(stagingRoot(indexRoot, token), true)
+    fs.delete(manifestPath(indexRoot, token), false)
+    ()
+  }
+
+  /** Stage-manifest-move-mark: `stage` writes the batch's files under
+    * the given staging root MIRRORING the live index layout; the
+    * protocol then publishes them exactly-once (see the object doc).
+    * Anonymous callers (empty queryId) append without a transaction —
+    * the staged files move under a batch-only token, with no replay
+    * identity to guard (the [[BucketedSnapshotStore.publish]] rule). */
+  def exactlyOnceAppend(spark: SparkSession, indexPath: String,
+      queryId: String, batchId: Long)(stage: String => Unit): Unit = {
+    val root = new Path(indexPath)
+    // an anonymous caller has no replay identity: its token carries a
+    // nanotime disambiguator so two unrelated jobs reusing a batchId
+    // both apply and never collide on staged file names
+    val token =
+      if (queryId.isEmpty) s"anon_b${batchId}_${System.nanoTime()}"
+      else tokenOf(queryId, batchId)
+    val sr = stagingRoot(root, token)
+    fsOf(spark, root).delete(sr, true) // staging is re-runnable
+    stage(sr.toString)
+    val files = listDataFiles(spark, sr)
+    BucketedSnapshotStore.atomicWrite(spark, manifestPath(root, token),
+      files.mkString("\n")) // the commit point
+    completeMoves(spark, root, token, files)
+    record(spark, indexPath, queryId, batchId)
+    cleanup(spark, root, token)
+  }
+
+  /** True iff this (queryId, batchId) crashed AFTER its manifest (its
+    * probe and sink already ran): the moves and mark are completed
+    * here, and the caller must skip the rest of the batch body. */
+  def resumePending(spark: SparkSession, indexPath: String,
+      queryId: String, batchId: Long): Boolean = {
+    if (queryId.isEmpty) return false
+    val root = new Path(indexPath)
+    val token = tokenOf(queryId, batchId)
+    val mp = manifestPath(root, token)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(mp)) return false
+    val files = BucketedSnapshotStore.readSmallFile(fs, mp)
+      .linesIterator.filter(_.nonEmpty).toSeq
+    completeMoves(spark, root, token, files)
+    record(spark, indexPath, queryId, batchId)
+    cleanup(spark, root, token)
+    true
   }
 }

@@ -193,12 +193,16 @@ object StreamingPipelines {
     * Exactly-once: foreachBatch is at-least-once on retries, so the
     * whole batch body is guarded by the index's [[IngestLedger]]
     * (queryId, batchId) high-water mark — the idempotent pattern
-    * [[graft.operators.Dedup.appendToLshIndex]]'s contract prescribes. A
-    * replayed batch whose append already committed no-ops entirely:
-    * re-probing would now see the batch's OWN rows in the index
-    * (self-pairs the first run never emitted), and `sink` already ran
-    * (it is sequenced strictly before the append). Needs a DURABLE
-    * `checkpointLocation` for batchIds to stay stable across restarts. */
+    * [[graft.operators.Dedup.appendToLshIndex]]'s contract prescribes —
+    * and the append itself is a STAGED COMMIT
+    * ([[IngestLedger.exactlyOnceAppend]]: stage → manifest → resumable
+    * per-file moves → mark), so even a crash inside the append cannot
+    * double-apply. A replayed batch whose append already committed
+    * no-ops entirely: re-probing would now see the batch's OWN rows in
+    * the index (self-pairs the first run never emitted), and `sink`
+    * already ran (it is sequenced strictly before the append). Needs a
+    * DURABLE `checkpointLocation` for batchIds to stay stable across
+    * restarts. */
   def ingestNearDupStream(docs: DataFrame, textCol: String, idCol: String,
       indexPath: String, threshold: Double = 0.8, shingleK: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
@@ -228,6 +232,9 @@ object StreamingPipelines {
     val spark = batch.sparkSession
     if (IngestLedger.alreadyApplied(spark, indexPath, queryId, batchId))
       return // replay of a fully-applied batch: sink ran, index absorbed
+    if (IngestLedger.resumePending(spark, indexPath, queryId, batchId))
+      return // crashed between manifest and mark: probe + sink already
+             // ran (they precede staging) — only the moves were owed
     val index = graft.operators.Dedup.LshIndex(indexPath, shingleK,
       numHashes, bands)
     val hPath = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
@@ -247,8 +254,10 @@ object StreamingPipelines {
           StructField("b", batch.schema(idCol).dataType),
           StructField("jaccard", DoubleType))))
     sink(pairs, batchId)
-    graft.operators.Dedup.appendToLshIndex(index, batch, textCol, idCol)
-    IngestLedger.record(spark, indexPath, queryId, batchId)
+    IngestLedger.exactlyOnceAppend(spark, indexPath, queryId, batchId) {
+      root => graft.operators.Dedup.stageLshAppend(index, batch, textCol,
+        idCol, root)
+    }
   }
 
   /** Streaming IVF-PQ INGEST — the ANN-serving loop around
@@ -305,6 +314,8 @@ object StreamingPipelines {
     val spark = batch.sparkSession
     if (IngestLedger.alreadyApplied(spark, index.path, queryId, batchId))
       return // replay of a fully-applied batch: sink ran, index absorbed
+    if (IngestLedger.resumePending(spark, index.path, queryId, batchId))
+      return // crashed between manifest and mark: finish-only
     if (batch.isEmpty) {
       // schema-stable empty result for the sink (same discipline as
       // ingestNearDupStream's first-batch frame)
@@ -324,9 +335,10 @@ object StreamingPipelines {
           vecCol, idCol)
         .localCheckpoint()
       sink(hits, batchId)
-      graft.operators.Similarity
-        .appendToIvfPqIndex(index, batch, vecCol, idCol)
-      IngestLedger.record(spark, index.path, queryId, batchId)
+      IngestLedger.exactlyOnceAppend(spark, index.path, queryId, batchId) {
+        root => graft.operators.Similarity.stageIvfPqAppend(index, batch,
+          vecCol, idCol, root)
+      }
     }
   }
 

@@ -60,6 +60,76 @@ class IngestLedgerSpec extends SparkFunSuite {
       s.read.parquet(s"$dir/shingles").count() == n1 + 1)
   }
 
+  test("staged-commit appends: a crash at ANY point either fully " +
+      "re-runs (pre-manifest) or only finishes (post-manifest, even " +
+      "mid-move) — the index is never double-applied") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again today"
+    def newIndex(dir: String, rows: Seq[(Long, String)]): Unit =
+      StreamingPipelines.nearDupIngestBatch(rows.toDF("doc_id", "text"),
+        0L, "qc", dir, "text", "doc_id", 0.6, 3, 64, 16) { (_, _) => () }
+    def indexRows(dir: String): Seq[String] =
+      (s.read.parquet(s"$dir/bands").collect().map(_.toString).sorted ++
+        s.read.parquet(s"$dir/shingles").collect().map(_.toString).sorted)
+        .toSeq
+    val seed = Seq(1L -> base, 2L -> "other engine text")
+    val b1 = Seq(11L -> (base + " with tail drift"))
+    // reference: the same two batches applied cleanly
+    val ref = tmp("graft_crash_ref") + "/lsh"
+    newIndex(ref, seed)
+    var refSink = 0
+    StreamingPipelines.nearDupIngestBatch(b1.toDF("doc_id", "text"), 1L,
+      "qc", ref, "text", "doc_id", 0.6, 3, 64, 16) { (_, _) => refSink += 1 }
+    assert(refSink == 1)
+    // crash point A: staged but NO manifest — replay must fully re-run
+    val dirA = tmp("graft_crash_a") + "/lsh"
+    newIndex(dirA, seed)
+    val rootA = new org.apache.hadoop.fs.Path(dirA)
+    val tokA = IngestLedger.tokenOf("qc", 1L)
+    val idxA = graft.operators.Dedup.LshIndex(dirA, 3, 64, 16)
+    graft.operators.Dedup.stageLshAppend(idxA, b1.toDF("doc_id", "text"),
+      "text", "doc_id", IngestLedger.stagingRoot(rootA, tokA).toString)
+    var sinkA = 0
+    StreamingPipelines.nearDupIngestBatch(b1.toDF("doc_id", "text"), 1L,
+      "qc", dirA, "text", "doc_id", 0.6, 3, 64, 16) { (_, _) => sinkA += 1 }
+    assert(sinkA == 1, "pre-manifest crash: the batch body re-runs")
+    assert(indexRows(dirA) == indexRows(ref),
+      "pre-manifest crash: exactly one application")
+    // crash point B: manifest written, moves PARTIALLY done — replay
+    // must finish WITHOUT re-running probe/sink or re-staging
+    val dirB = tmp("graft_crash_b") + "/lsh"
+    newIndex(dirB, seed)
+    val rootB = new org.apache.hadoop.fs.Path(dirB)
+    val tokB = IngestLedger.tokenOf("qc", 1L)
+    val idxB = graft.operators.Dedup.LshIndex(dirB, 3, 64, 16)
+    graft.operators.Dedup.stageLshAppend(idxB, b1.toDF("doc_id", "text"),
+      "text", "doc_id", IngestLedger.stagingRoot(rootB, tokB).toString)
+    val filesB = IngestLedger.listDataFiles(s,
+      IngestLedger.stagingRoot(rootB, tokB))
+    assert(filesB.nonEmpty)
+    BucketedSnapshotStore.atomicWrite(s,
+      IngestLedger.manifestPath(rootB, tokB), filesB.mkString("\n"))
+    IngestLedger.completeMoves(s, rootB, tokB, filesB.take(1)) // mid-move
+    var sinkB = 0
+    StreamingPipelines.nearDupIngestBatch(b1.toDF("doc_id", "text"), 1L,
+      "qc", dirB, "text", "doc_id", 0.6, 3, 64, 16) { (_, _) => sinkB += 1 }
+    assert(sinkB == 0,
+      "post-manifest crash: probe/sink already ran — finish-only")
+    assert(indexRows(dirB) == indexRows(ref),
+      "post-manifest crash: exactly one application")
+    assert(IngestLedger.alreadyApplied(s, dirB, "qc", 1L),
+      "the finish path must advance the mark")
+    val fsB = rootB.getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fsB.exists(IngestLedger.manifestPath(rootB, tokB)) &&
+      !fsB.exists(IngestLedger.stagingRoot(rootB, tokB)),
+      "the finish path must clean up staging")
+    // and a FURTHER replay of the finished batch is a plain no-op
+    StreamingPipelines.nearDupIngestBatch(b1.toDF("doc_id", "text"), 1L,
+      "qc", dirB, "text", "doc_id", 0.6, 3, 64, 16) { (_, _) => sinkB += 1 }
+    assert(sinkB == 0 && indexRows(dirB) == indexRows(ref))
+  }
+
   test("IVF-PQ ingest: replaying an applied (queryId, batchId) no-ops " +
       "— no duplicate vectors, top-k slots stay correct") {
     val s = spark

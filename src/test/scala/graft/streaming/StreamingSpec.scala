@@ -49,6 +49,48 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("round-11 metadata extractors lift to streaming unchanged: MP4 " +
+      "sample tables and MP3 frame-grid metadata over a MemoryStream " +
+      "equal their batch twins (stateless expression projections)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // render fixture blobs in batch, then replay them through a stream
+    def blobs(c: org.apache.spark.sql.Column): Seq[(Long, Array[Byte])] =
+      (0L until 4L).toDF("doc_id").select(col("doc_id"), c.as("blob"))
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("blob")))
+        .toSeq
+    val mp4 = blobs(graft.queries.ExtensionQueries.mp4Blob)
+    val mp3 = blobs(graft.queries.ExtensionQueries.mp3Blob)
+    def run(data: Seq[(Long, Array[Byte])],
+        f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        name: String): Seq[String] = {
+      val input = MemoryStream[(Long, Array[Byte])]
+      val q = f(input.toDF().toDF("doc_id", "blob"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(data: _*); q.processAllAvailable()
+      } finally q.stop()
+      s.sql(s"SELECT * FROM $name ORDER BY doc_id")
+        .collect().map(_.toString).toSeq
+    }
+    val gotTracks = run(mp4,
+      df => graft.operators.Multimodal.extractMp4Tracks(df, "doc_id")
+        .toDF(), "mp4_tracks_stream")
+    val wantTracks = graft.operators.Multimodal
+      .extractMp4Tracks(mp4.toDF("doc_id", "blob"), "doc_id")
+      .toDF().orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(gotTracks == wantTracks, "mp4 tracks: stream != batch")
+    val gotMp3 = run(mp3,
+      df => graft.operators.Multimodal.extractMp3Meta(df, "doc_id")
+        .toDF(), "mp3_meta_stream")
+    val wantMp3 = graft.operators.Multimodal
+      .extractMp3Meta(mp3.toDF("doc_id", "blob"), "doc_id")
+      .toDF().orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(gotMp3 == wantMp3, "mp3 meta: stream != batch")
+  }
+
   test("streaming decode: golden envelope via MemoryStream (M2 wiring)") {
     val s = spark
     import s.implicits._
