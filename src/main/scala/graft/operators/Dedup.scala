@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
@@ -708,6 +708,30 @@ object Dedup {
       idCol: String, root: String): Unit =
     writeLshDatasets(delta, textCol, idCol, index.copy(path = root),
       "append")
+
+  /** Compact a written LSH index into a FRESH path — the maintenance
+    * half of the ingest loop: every micro-batch appends one file per
+    * relation, so a long-running index accumulates thousands of small
+    * files and probes pay per-file open/footer cost. Compaction
+    * rewrites both relations with bounded file counts and returns the
+    * new handle; build-at-fresh-path + handle swap is the documented
+    * zero-downtime pattern (readers of the old path are never
+    * disturbed — delete it when they drain). Sidecar first, same
+    * bands-present ⇒ sidecar-present crash ordering as the writers.
+    * Probe results over the compacted index are spec-pinned identical
+    * (and oracle-pinned — `dedup_compacted_probe` reuses the
+    * uncompacted probe's full value oracle). */
+  def compactLshIndex(spark: SparkSession, index: LshIndex,
+      newPath: String, filesPerRelation: Int = 4): LshIndex = {
+    require(filesPerRelation >= 1, "filesPerRelation must be >= 1")
+    spark.read.parquet(s"${index.path}/shingles")
+      .repartition(filesPerRelation)
+      .write.mode("overwrite").parquet(s"$newPath/shingles")
+    spark.read.parquet(s"${index.path}/bands")
+      .repartition(filesPerRelation)
+      .write.mode("overwrite").parquet(s"$newPath/bands")
+    index.copy(path = newPath)
+  }
 
   /** Shared writer — single place that defines the on-disk schemas
     * `bands(bk, id)` and `shingles(id, shingles)`. The shingle relation

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -724,6 +724,24 @@ object Similarity {
       vecCol: String, idCol: String, root: String): Unit =
     ivfPqCodedRows(index, rows, vecCol, idCol)
       .write.mode("overwrite").partitionBy("cell").parquet(root)
+
+  /** Compact a written IVF-PQ index into a FRESH path — the
+    * maintenance half of the streaming ingest loop: every micro-batch
+    * appends one file per touched cell, so a long-running index
+    * accumulates small files and the partition-pruned probes pay
+    * per-file open cost inside their cells. `repartition(nlist, cell)`
+    * lands every cell's rows in exactly one shuffle partition, so the
+    * rewrite leaves ONE file per cell; centroids and codebooks ride
+    * the handle unchanged, making compacted probes bit-identical
+    * (oracle-pinned — `sim_topk_compacted` reuses the uncompacted
+    * probe's oracle). Handle-swap at a fresh path = zero downtime. */
+  def compactIvfPqIndex(spark: SparkSession, index: IvfPqIndex,
+      newPath: String): IvfPqIndex = {
+    spark.read.parquet(index.path)
+      .repartition(index.centIds.length, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(newPath)
+    index.copy(path = newPath)
+  }
 
   /** Shared coding step of the IVF-PQ appends: cells and residual
     * codes assigned row-locally with the index's OWN frozen centroids

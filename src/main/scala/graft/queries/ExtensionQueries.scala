@@ -80,6 +80,43 @@ object ExtensionQueries {
   private val rangeExportCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** COMPACTED twins of the written indexes per sf dir (see
+    * dedup_compacted_probe / sim_topk_compacted). */
+  private val compactedLshCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Dedup.LshIndex]()
+  private val compactedIvfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Similarity.IvfPqIndex]()
+
+  private def tmpArtifact(prefix: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      ProcessHandle.current().pid()
+
+  /** The memoized written LSH index for `dir` (self-healing a reaped
+    * /tmp path) — shared by dedup_incremental_near and the compaction
+    * probe. */
+  private def lshIndexFor(s: SparkSession, dir: String): Dedup.LshIndex = {
+    def build(d: String) = Dedup.buildLshIndex(
+      t(s, d, "documents").select(col("doc_id"), col("text")),
+      "text", "doc_id", tmpArtifact("graft_lsh_index", d))
+    val cached = lshIndexCache.computeIfAbsent(dir, build(_))
+    if (new java.io.File(s"${cached.path}/bands").exists) cached
+    else lshIndexCache.compute(dir, (d, _) => build(d))
+  }
+
+  /** The memoized written IVF-PQ index for `dir` (self-healing) —
+    * shared by sim_topk_ivfpq_indexed and the compaction probe. */
+  private def ivfPqIndexFor(s: SparkSession, dir: String)
+      : Similarity.IvfPqIndex = {
+    def build(d: String) = Similarity.buildIvfPqIndex(
+      t(s, d, "embeddings"), tmpArtifact("graft_ivfpq_index", d),
+      nlist = 16, m = 4, ksub = 16, iters = 1)
+    val cached = ivfPqIndexCache.computeIfAbsent(dir, build(_))
+    if (new java.io.File(cached.path).exists) cached
+    else ivfPqIndexCache.compute(dir, (d, _) => build(d))
+  }
+
   /** documents ∪ documents-with-shifted-ids (adds exact twins). */
   private def docsUnion(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"),
@@ -684,16 +721,27 @@ object ExtensionQueries {
     // path (same contract as sim_topk_ivf_indexed).
     "dedup_incremental_near" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      def build(d: String) = Dedup.buildLshIndex(
-        t(s, d, "documents").select(col("doc_id"), col("text")),
-        "text", "doc_id",
-        s"${System.getProperty("java.io.tmpdir")}/graft_lsh_index_" +
-          d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-          ProcessHandle.current().pid())
-      val cached = lshIndexCache.computeIfAbsent(dir, build(_))
+      val index = lshIndexFor(s, dir)
+      val delta = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"))
+      Dedup.lshProbeNearDup(index, delta, "text", "doc_id",
+          threshold = 0.8)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // INDEX MAINTENANCE (round 11): the same probe over a COMPACTED
+    // rewrite of the written LSH index (bounded file counts at a fresh
+    // path, handle swap) — results must be identical, so it reuses the
+    // uncompacted probe's full value oracle; the spec additionally pins
+    // the file-count reduction
+    "dedup_compacted_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def build(d: String) = Dedup.compactLshIndex(s, lshIndexFor(s, d),
+        tmpArtifact("graft_lsh_compact", d), filesPerRelation = 1)
+      val cached = compactedLshCache.computeIfAbsent(dir, build(_))
       val index =
         if (new java.io.File(s"${cached.path}/bands").exists) cached
-        else lshIndexCache.compute(dir, (d, _) => build(d))
+        else compactedLshCache.compute(dir, (d, _) => build(d))
       val delta = docs.select((col("doc_id") + 1000000L).as("doc_id"),
         col("text"))
       Dedup.lshProbeNearDup(index, delta, "text", "doc_id",
@@ -1120,16 +1168,24 @@ object ExtensionQueries {
     // /tmp self-heal, so repeat invocations time the pruned probe
     "sim_topk_ivfpq_indexed" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      def build(d: String) = Similarity.buildIvfPqIndex(
-        t(s, d, "embeddings"),
-        s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
-          d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-          ProcessHandle.current().pid(),
-        nlist = 16, m = 4, ksub = 16, iters = 1)
-      val cached = ivfPqIndexCache.computeIfAbsent(dir, build(_))
+      val index = ivfPqIndexFor(s, dir)
+      Similarity.ivfPqTopKIndexed(index, emb.filter(col("vec_id") < 10),
+          k = 5, nprobe = 4, overfetch = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
+    // INDEX MAINTENANCE (round 11): the same partition-pruned probe
+    // over a COMPACTED rewrite of the written IVF-PQ index (one file
+    // per cell at a fresh path, frozen centroids/codebooks ride the
+    // handle) — bit-identical results, same oracle
+    "sim_topk_compacted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      def build(d: String) = Similarity.compactIvfPqIndex(s,
+        ivfPqIndexFor(s, d), tmpArtifact("graft_ivfpq_compact", d))
+      val cached = compactedIvfPqCache.computeIfAbsent(dir, build(_))
       val index =
         if (new java.io.File(cached.path).exists) cached
-        else ivfPqIndexCache.compute(dir, (d, _) => build(d))
+        else compactedIvfPqCache.compute(dir, (d, _) => build(d))
       Similarity.ivfPqTopKIndexed(index, emb.filter(col("vec_id") < 10),
           k = 5, nprobe = 4, overfetch = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
@@ -3407,6 +3463,24 @@ object ExtensionQueries {
       |LEFT JOIN h ON h.query_id = q.vec_id
       |ORDER BY query_id""".stripMargin
 
+  /** Bipartite recompute for the written-index probes: corpus doc a vs
+    * delta twin b = doc_id + 1M over the SAME shingle chain — identity
+    * pairs land at exactly 1.0 (shared empty-set convention), near
+    * pairs appear in both orientations. Shared by the uncompacted AND
+    * compacted probe keys: compaction must be invisible to results. */
+  private lazy val LshProbeOracleSql =
+    s"""WITH sh AS ($WordShinglesSql),
+       |pj AS (SELECT a.doc_id AS a, b.doc_id + 1000000 AS b,
+       |    CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+       |           = 0
+       |         THEN CAST(1.0 AS DOUBLE)
+       |         ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+       |             AS DOUBLE) END AS j
+       |  FROM sh a CROSS JOIN sh b)
+       |SELECT a, b, j AS jaccard FROM pj WHERE j >= 0.8
+       |ORDER BY a, b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // independent fold of the same Karp-Rabin chain over normalized-text
     // codepoints (list_reduce with an explicit 0 seed); ASCII-only by
@@ -4168,18 +4242,11 @@ object ExtensionQueries {
     // delta twin b = doc_id + 1M over the SAME shingle chain — identity
     // pairs land at exactly 1.0 (shared empty-set convention), near
     // pairs appear in both orientations
-    "dedup_incremental_near" ->
-      s"""WITH sh AS ($WordShinglesSql),
-         |pj AS (SELECT a.doc_id AS a, b.doc_id + 1000000 AS b,
-         |    CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-         |           = 0
-         |         THEN CAST(1.0 AS DOUBLE)
-         |         ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-         |           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-         |             AS DOUBLE) END AS j
-         |  FROM sh a CROSS JOIN sh b)
-         |SELECT a, b, j AS jaccard FROM pj WHERE j >= 0.8
-         |ORDER BY a, b""".stripMargin,
+    "dedup_incremental_near" -> LshProbeOracleSql,
+    // compaction must be invisible to results: the compacted-index
+    // probe answers to the SAME full value oracle
+    "dedup_compacted_probe" -> LshProbeOracleSql,
+    "sim_topk_compacted" -> IvfPqOracleSql,
     // same qualifying pairs as dedup_minhash, then the transitive closure
     // (recursive CTE) picks each component's min id
     "dedup_survivors" ->

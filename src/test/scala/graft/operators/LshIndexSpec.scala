@@ -47,6 +47,37 @@ class LshIndexSpec extends SparkFunSuite {
     }
   }
 
+  test("compactLshIndex: a many-append index collapses to bounded file " +
+    "counts at a fresh path with byte-identical probe results") {
+    val c = corpus
+    val s = spark
+    import s.implicits._
+    val index = Dedup.buildLshIndex(c.limit(40), "text", "doc_id",
+      tmpPath("compact_src"))
+    // simulate a long-running ingest: many small appends
+    (40 until 120 by 10).foreach { lo =>
+      Dedup.appendToLshIndex(index,
+        c.filter($"doc_id" >= lo && $"doc_id" < lo + 10), "text", "doc_id")
+    }
+    def files(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files(s"${index.path}/bands") > 4,
+      "the append loop must have fragmented the index")
+    val compacted = Dedup.compactLshIndex(s, index,
+      tmpPath("compact_dst"), filesPerRelation = 1)
+    assert(files(s"${compacted.path}/bands") == 1 &&
+      files(s"${compacted.path}/shingles") == 1)
+    val delta = c.limit(60).select(($"doc_id" + 1000L).as("doc_id"),
+      when($"doc_id" % 2 === 0, $"text")
+        .otherwise(concat($"text", lit(" tail drift words"))).as("text"))
+    def probe(i: Dedup.LshIndex) =
+      Dedup.lshProbeNearDup(i, delta, "text", "doc_id", threshold = 0.6)
+        .orderBy($"a", $"b").collect().map(_.toString).toSeq
+    val got = probe(compacted)
+    assert(got.nonEmpty && got == probe(index),
+      "compaction must be invisible to probe results")
+  }
+
   test("plan contract: index relations are scanned, never shuffled — " +
     "delta band keys and candidates broadcast") {
     val c = corpus

@@ -154,6 +154,39 @@ class PqSimSpec extends SparkFunSuite {
       s"every index scan must be pruned on cell, got $filters\n$plan")
   }
 
+  test("compactIvfPqIndex: a many-append index collapses to one file " +
+      "per cell at a fresh path with bit-identical probe results") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_compact").toString
+    val index = Similarity.buildIvfPqIndex(vecs, s"$tmp/idx",
+      nlist = 4, m = 2, ksub = 4, iters = 1)
+    // simulate the streaming ingest: several small appends
+    (0 until 5).foreach { i =>
+      Similarity.appendToIvfPqIndex(index, Seq(
+        (200L + i, Array(0.05f + i * 0.01f, 10.05f, 5.05f, 1.05f)))
+        .toDF("vec_id", "embedding"))
+    }
+    def cellFiles(root: String): Seq[Int] =
+      new java.io.File(root).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(cellFiles(index.path).exists(_ > 1),
+      "the append loop must have fragmented at least one cell")
+    val compacted = Similarity.compactIvfPqIndex(s, index,
+      s"$tmp/compacted")
+    assert(cellFiles(compacted.path).forall(_ == 1),
+      "compaction must leave exactly one file per cell")
+    val q = vecs.filter(col("vec_id") < 2)
+    def probe(i: Similarity.IvfPqIndex) =
+      Similarity.ivfPqTopKIndexed(i, q, k = 3, nprobe = 4, overfetch = 4)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .collect().map(_.toString).toSeq
+    assert(probe(compacted) == probe(index),
+      "compaction must be invisible to probe results")
+  }
+
   test("appendToIvfPqIndex: probes over the appended index equal the " +
       "inline composition over the union with BASE-trained books") {
     val s = spark
