@@ -2866,6 +2866,178 @@ object Multimodal {
       .as[Mp4TracksRow]
   }
 
+  /** One sync sample's byte-range plan (see [[mp4SyncRangesJvm]]):
+    * 1-based sample and chunk indexes, absolute file offset, size. */
+  final case class Mp4SyncRangeRow(doc_id: Long, sample_idx: Long,
+      chunk_idx: Long, offset: Long, size: Long)
+
+  /** KEYFRAME BYTE-RANGE PLAN (round 11) — the frame-access pattern a
+    * video-sampling pipeline runs at scale: instead of decoding, read
+    * the first video track's full sample-table quartet
+    * (stsc sample→chunk runs, stco/co64 chunk offsets, stsz sizes,
+    * stss sync list — absent stss = every sample) and emit the EXACT
+    * `(sample, chunk, file offset, size)` of every sync sample: the
+    * byte ranges a ranged GET fetches to materialize keyframes without
+    * touching the rest of the payload (a 100 TB corpus plans its frame
+    * reads as one row-local projection, then fetches only keyframe
+    * bytes). Offsets follow ISO 14496-12: samples are contiguous
+    * within a chunk in sample order; an stsc run covers chunks
+    * [first_chunk_k, first_chunk_k+1); the LAST chunk's true count is
+    * governed by the total sample count. Uniform-or-table stsz both
+    * parse; declared counts are bounds-checked; anything malformed —
+    * including more samples than the chunk plan can hold — yields no
+    * rows, and sync ids past the sample count are ignored (stss is a
+    * hint table). PERMISSIVE, never throws. */
+  def mp4SyncRangesJvm(bytes: Array[Byte], maxSamples: Long = 1L << 22)
+      : IndexedSeq[Mp4SyncRangeRow] = {
+    if (bytes == null || bytes.length < 16) return Vector.empty
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def typ(i: Int): String = new String(bytes, i + 4, 4, "ISO-8859-1")
+    if (be32(0) < 16 || typ(0) != "ftyp") return Vector.empty
+    def children(start: Int, end: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var p = start
+        private var dead = false
+        def hasNext: Boolean = !dead && p + 8 <= end
+        def next(): (String, Int, Int) = {
+          val sz = be32(p)
+          val t = typ(p)
+          val (hdr, bsz): (Int, Long) =
+            if (sz == 1L && p + 16 <= end) (16, be64(p + 8))
+            else if (sz == 0L) (8, (end - p).toLong)
+            else (8, sz)
+          if (bsz < hdr || p + bsz > end) { dead = true; (t, -1, -1) }
+          else {
+            val r = (t, p + hdr, (p + bsz).toInt)
+            p = (p + bsz).toInt
+            r
+          }
+        }
+      }
+    val moov = children(0, bytes.length)
+      .collectFirst { case ("moov", s, e) if s >= 0 => (s, e) }
+      .getOrElse(return Vector.empty)
+    var stbl: Option[(Int, Int)] = None
+    children(moov._1, moov._2).foreach {
+      case ("trak", ts, te) if ts >= 0 && stbl.isEmpty =>
+        var isVideo = false
+        var tkStbl: Option[(Int, Int)] = None
+        children(ts, te).foreach {
+          case ("mdia", ms, me) if ms >= 0 =>
+            children(ms, me).foreach {
+              case ("hdlr", hs, he) if hs >= 0 && hs + 12 <= he =>
+                if (typ(hs + 4) == "vide") isVideo = true
+              case ("minf", fs, fe) if fs >= 0 =>
+                children(fs, fe).foreach {
+                  case ("stbl", ss, se) if ss >= 0 =>
+                    tkStbl = Some((ss, se))
+                  case _ =>
+                }
+              case _ =>
+            }
+          case _ =>
+        }
+        if (isVideo) stbl = tkStbl
+      case (_, s, _) if s < 0 => return Vector.empty
+      case _ =>
+    }
+    val (ss0, se0) = stbl.getOrElse(return Vector.empty)
+    // table slots: (payload start, entry count) per box
+    var stszAt = -1; var stszUniform = -1L; var nSamples = -1L
+    var stscAt = -1; var stscCnt = -1L
+    var stcoAt = -1; var stcoCnt = -1L; var co64 = false
+    var stssAt = -1; var stssCnt = -1L
+    children(ss0, se0).foreach {
+      case ("stsz", s, e) if s >= 0 && s + 12 <= e =>
+        val uniform = be32(s + 4)
+        val cnt = be32(s + 8)
+        if (uniform != 0L) { stszAt = s; stszUniform = uniform
+          nSamples = cnt }
+        else if (s + 12 + 4 * cnt <= e) { stszAt = s; nSamples = cnt }
+      case ("stsc", s, e) if s >= 0 && s + 8 <= e =>
+        val cnt = be32(s + 4)
+        if (s + 8 + 12 * cnt <= e) { stscAt = s; stscCnt = cnt }
+      case ("stco", s, e) if s >= 0 && s + 8 <= e =>
+        val cnt = be32(s + 4)
+        if (s + 8 + 4 * cnt <= e) { stcoAt = s; stcoCnt = cnt }
+      case ("co64", s, e) if s >= 0 && s + 8 <= e =>
+        val cnt = be32(s + 4)
+        if (s + 8 + 8 * cnt <= e) { stcoAt = s; stcoCnt = cnt
+          co64 = true }
+      case ("stss", s, e) if s >= 0 && s + 8 <= e =>
+        val cnt = be32(s + 4)
+        if (s + 8 + 4 * cnt <= e) { stssAt = s; stssCnt = cnt }
+      case _ =>
+    }
+    if (stszAt < 0 || stscAt < 0 || stcoAt < 0 || stscCnt < 1 ||
+      stcoCnt < 1 || nSamples < 1 || nSamples > maxSamples)
+      return Vector.empty
+    def sizeOf(i: Long): Long = // 0-based sample index
+      if (stszUniform > 0) stszUniform
+      else be32(stszAt + 12 + 4 * i.toInt)
+    def chunkOffset(c: Long): Long = // 0-based chunk index
+      if (co64) be64(stcoAt + 8 + 8 * c.toInt)
+      else be32(stcoAt + 8 + 4 * c.toInt)
+    // sync set: absent stss = every sample is sync
+    val syncAll = stssAt < 0
+    val sync = if (syncAll) null
+      else {
+        val set = new java.util.HashSet[Long]()
+        var i = 0
+        while (i < stssCnt) {
+          set.add(be32(stssAt + 8 + 4 * i)); i += 1
+        }
+        set
+      }
+    // walk samples in order through the stsc chunk plan
+    val out = Vector.newBuilder[Mp4SyncRangeRow]
+    var entry = 0          // stsc entry index
+    var chunk = be32(stscAt + 8) - 1 // current chunk, 0-based
+    if (chunk != 0) return Vector.empty // first run must start at chunk 1
+    var spc = be32(stscAt + 12) // entry 0's samples_per_chunk
+    if (spc < 1) return Vector.empty
+    var nextFirst = // first chunk (0-based) of the NEXT stsc run
+      if (stscCnt > 1) be32(stscAt + 8 + 12) - 1 else Long.MaxValue
+    var inChunk = 0L       // samples consumed in the current chunk
+    var off = chunkOffset(0)
+    var i = 0L             // 0-based sample index
+    while (i < nSamples) {
+      if (inChunk == spc) { // advance to the next chunk
+        chunk += 1
+        if (chunk >= stcoCnt) return Vector.empty // more samples than plan
+        if (chunk >= nextFirst) {
+          entry += 1
+          spc = be32(stscAt + 8 + 12 * entry + 4)
+          if (spc < 1) return Vector.empty
+          nextFirst = if (entry + 1 < stscCnt)
+            be32(stscAt + 8 + 12 * (entry + 1)) - 1 else Long.MaxValue
+        }
+        inChunk = 0L
+        off = chunkOffset(chunk)
+      }
+      val sz = sizeOf(i)
+      if (syncAll || sync.contains(i + 1)) // stss ids are 1-based
+        out += Mp4SyncRangeRow(0L, i + 1, chunk + 1, off, sz)
+      off += sz
+      inChunk += 1
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Batch keyframe byte-range planning: one row per (payload, sync
+    * sample) — a native array-expression projection. */
+  def extractMp4SyncRanges(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[Mp4SyncRangeRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.mp4SyncRangesCol).as[Mp4SyncRangeRow]
+  }
+
   /** Parsed MPEG-audio frame-header metadata (see [[mp3MetaJvm]]):
     * `version_x10` is the MPEG version ×10 (10/20/25 — 2.5 needs the
     * fraction), layer 1-3, and the exact sample/byte accounting the

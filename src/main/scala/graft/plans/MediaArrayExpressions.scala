@@ -87,6 +87,13 @@ object MediaArrayKernel {
     StructField("width", LongType, nullable = false),
     StructField("height", LongType, nullable = false)))
 
+  /** [[Multimodal.Mp4SyncRangeRow]] minus doc_id. */
+  val mp4SyncSchema: StructType = StructType(Seq(
+    StructField("sample_idx", LongType, nullable = false),
+    StructField("chunk_idx", LongType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("size", LongType, nullable = false)))
+
   /** [[Multimodal.Mp3MetaRow]] minus doc_id. */
   val mp3Schema: StructType = StructType(Seq(
     StructField("version_x10", LongType, nullable = false),
@@ -177,6 +184,11 @@ object MediaArrayKernel {
         m.bitrate_bps, m.n_chunks, m.n_sync)
       case None => null
     }
+
+  def mp4SyncRanges(b: Array[Byte]): ArrayData =
+    new GenericArrayData(Multimodal.mp4SyncRangesJvm(b).map { r =>
+      InternalRow(r.sample_idx, r.chunk_idx, r.offset, r.size)
+    }.toArray[Any])
 
   def mp3Meta(b: Array[Byte]): InternalRow =
     Multimodal.mp3MetaJvm(b) match {
@@ -325,6 +337,20 @@ case class Mp4Tracks(child: Expression) extends MediaDecodeExpression {
   override def prettyName: String = "graft_mp4_tracks"
 }
 
+/** `mp4_sync_ranges(blob)` → per-sync-sample (sample, chunk, offset,
+  * size) byte-range plan; empty for anything but a parseable MP4 with
+  * the full sample-table quartet. */
+case class Mp4SyncRanges(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.mp4SyncSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.mp4SyncRanges($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.mp4SyncRanges(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_mp4_sync_ranges"
+}
+
 /** `mp3_meta(blob)` → MPEG-audio frame-grid metadata struct, NULL if
   * not a parseable (optionally ID3-tagged) MPEG audio stream. */
 case class Mp3Meta(child: Expression) extends MediaDecodeExpression {
@@ -359,4 +385,5 @@ object MediaExprs {
   def mp4MetaCol(blob: Column): Column = c(Mp4Meta(e(blob)))
   def mp4TracksCol(blob: Column): Column = c(Mp4Tracks(e(blob)))
   def mp3MetaCol(blob: Column): Column = c(Mp3Meta(e(blob)))
+  def mp4SyncRangesCol(blob: Column): Column = c(Mp4SyncRanges(e(blob)))
 }

@@ -554,6 +554,13 @@ object ExtensionQueries {
     val stts = concat(
       unhex(lit(beHex(24, 4) + asciiHex("stts") + "00" * 4)),
       be32b(lit(1L)), be32b(n), be32b(delta))
+    // stsc (28 B): ONE run — every chunk holds spc = ceil(n/nc) samples
+    // (the last chunk's true count is governed by n, per ISO 14496-12)
+    val spc = expr(
+      "((24 + doc_id % 8) + (doc_id % 3)) DIV (1 + doc_id % 3)")
+    val stsc = concat(
+      unhex(lit(beHex(28, 4) + asciiHex("stsc") + "00" * 4)),
+      be32b(lit(1L)), be32b(lit(1L)), be32b(spc), be32b(lit(1L)))
     // stsz (20 + 4n B): explicit table, sizes s0 + (i % 2)
     val stsz = concat(
       be32b(lit(20L) + n * 4L), lit("stsz".getBytes),
@@ -573,11 +580,11 @@ object ExtensionQueries {
       unhex(lit("00" * 4)), be32b(ns),
       unhex(array_join(transform(sequence(lit(0L), ns - 1L),
         i => lpad(hex(i * 8L + 1L), 8, "0")), "")))
-    val stblSize = lit(8L + 24L) + (lit(20L) + n * 4L) +
+    val stblSize = lit(8L + 24L + 28L) + (lit(20L) + n * 4L) +
       (lit(16L) + nc * 4L) +
       when(hasStss, lit(16L) + ns * 4L).otherwise(lit(0L))
     val stbl = concat(be32b(stblSize), lit("stbl".getBytes),
-      stts, stsz, stco,
+      stts, stsc, stsz, stco,
       when(hasStss, stss).otherwise(lit(Array.empty[Byte])))
     val minf = concat(be32b(stblSize + 8L), lit("minf".getBytes), stbl)
     val mdiaVSize = lit(8L + 32L + 33L + 8L) + stblSize
@@ -2326,6 +2333,15 @@ object ExtensionQueries {
       Multimodal.extractMp4Tracks(mp4Fixture(s, dir), "doc_id")
         .toDF()
         .orderBy(col("doc_id"))),
+
+    // KEYFRAME BYTE-RANGE PLAN (round 11) — the stsc/stco/stsz/stss
+    // walk emits the exact (sample, chunk, offset, size) of every sync
+    // sample: the ranged-GET plan that fetches keyframes without
+    // decoding; even docs have no stss (all-sync), odd docs every 8th
+    "mm_video_sync_ranges" -> ((s, dir) =>
+      Multimodal.extractMp4SyncRanges(mp4Fixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"), col("sample_idx"))),
 
     // PROGRESSIVE JPEG (round 11) — the same whole-image profile over
     // the three-scan SOF2 fixture: spectral selection + successive
@@ -5639,6 +5655,27 @@ object ExtensionQueries {
         |  CAST(320 + (doc_id % 16) * 8 AS BIGINT) AS width,
         |  CAST(240 + (doc_id % 9) * 8 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the chunk plan replayed in closed form: sample i (0-based) sits
+    // in chunk c = i // spc at offset 4096(c+1) + within-chunk prefix
+    // sum of the alternating sizes ((i - c·spc)·s0 + odd count via
+    // floor-halves); sync filter mirrors the fixture's stss rule
+    "mm_video_sync_ranges" ->
+      """WITH p AS (SELECT doc_id,
+        |    24 + doc_id % 8 AS n,
+        |    80 + doc_id % 32 AS s0,
+        |    (24 + doc_id % 8 + doc_id % 3) // (1 + doc_id % 3) AS spc
+        |  FROM documents),
+        |ix AS (SELECT doc_id, s0, spc, unnest(range(0, n)) AS i FROM p),
+        |r AS (SELECT doc_id, i, i // spc AS c, s0, spc FROM ix
+        |  WHERE doc_id % 2 = 0 OR i % 8 = 0)
+        |SELECT doc_id,
+        |  CAST(i + 1 AS BIGINT) AS sample_idx,
+        |  CAST(c + 1 AS BIGINT) AS chunk_idx,
+        |  CAST(4096 * (c + 1) + (i - c * spc) * s0
+        |    + (i // 2 - (c * spc) // 2) AS BIGINT) AS offset,
+        |  CAST(s0 + i % 2 AS BIGINT) AS size
+        |FROM r ORDER BY doc_id, sample_idx""".stripMargin,
 
     // the VBR frame grid recomputed: per-frame lengths are 3·kbps at
     // 48 kHz Layer III, summed over the cycling bitrate index; the

@@ -1931,7 +1931,9 @@ class MultimodalSpec extends SparkFunSuite {
       "graft_mp4_tracks" ->
         Multimodal.extractMp4Tracks(df, "doc_id").toDF(),
       "graft_mp3_meta" ->
-        Multimodal.extractMp3Meta(df, "doc_id").toDF())) {
+        Multimodal.extractMp3Meta(df, "doc_id").toDF(),
+      "graft_mp4_sync_ranges" ->
+        Multimodal.extractMp4SyncRanges(df, "doc_id").toDF())) {
       val p = plan.queryExecution.executedPlan.toString
       assert(p.contains(name), s"$name missing from plan:\n$p")
       assert(!p.contains("MapPartitions") &&
@@ -2454,6 +2456,81 @@ class MultimodalSpec extends SparkFunSuite {
       try Multimodal.mp4TracksJvm(cut)
       catch { case t: Throwable =>
         fail(s"mp4 tracks fuzz $i threw ${t.getClass}") }
+    }
+  }
+
+  test("mp4SyncRangesJvm: the chunk plan yields exact byte ranges — " +
+      "fixture closed forms, multi-run stsc, partial last chunk, " +
+      "absent-stss all-sync; malformed plans yield no rows") {
+    val s = spark
+    import s.implicits._
+    (0L until 6L).toDF("doc_id")
+      .select(col("doc_id"),
+        graft.queries.ExtensionQueries.mp4Blob.as("blob"))
+      .collect().foreach { r =>
+        val d = r.getLong(0)
+        val got = Multimodal.mp4SyncRangesJvm(r.getAs[Array[Byte]]("blob"))
+        val n = (24 + d % 8).toInt; val nc = (1 + d % 3).toInt
+        val s0 = 80 + d % 32
+        val spc = (n + nc - 1) / nc
+        val want = (0 until n)
+          .filter(i => d % 2 == 0 || i % 8 == 0)
+          .map { i =>
+            val c = i / spc
+            val off = 4096L * (c + 1) + (i - c * spc) * s0 +
+              (i / 2 - (c * spc) / 2)
+            (i + 1L, c + 1L, off, s0 + i % 2)
+          }
+        assert(got.map(x => (x.sample_idx, x.chunk_idx, x.offset,
+          x.size)) == want, s"doc $d")
+      }
+    // hand-built: TWO stsc runs (2 then 4 samples/chunk), co64 offsets,
+    // uniform stsz, no stss (all sync) — 8 samples over 3 chunks
+    val bb = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def be32(v: Long): Unit =
+      (3 to 0 by -1).foreach(i => bb += ((v >> (8 * i)) & 0xff).toByte)
+    def be64(v: Long): Unit =
+      (7 to 0 by -1).foreach(i => bb += ((v >> (8 * i)) & 0xff).toByte)
+    def ascii(t: String): Unit = bb ++= t.getBytes("ISO-8859-1")
+    be32(16); ascii("ftypisom"); be32(0)
+    val stblSz = 8 + 20 + (16 + 24) + (16 + 24) // stsz + stsc(2) + co64(3)
+    val mdiaSz = 8 + 33 + 8 + stblSz
+    be32(8 + 8 + mdiaSz); ascii("moov")
+    be32(8 + mdiaSz); ascii("trak")
+    be32(mdiaSz); ascii("mdia")
+    be32(33); ascii("hdlr"); be32(0); be32(0); ascii("vide")
+    (0 until 13).foreach(_ => bb += 0)
+    be32(8 + stblSz); ascii("minf")
+    be32(stblSz); ascii("stbl")
+    be32(20); ascii("stsz"); be32(0); be32(100); be32(8) // uniform 100
+    be32(16 + 24); ascii("stsc"); be32(0); be32(2)
+    be32(1); be32(2); be32(1) // chunks 1-2: 2 samples each
+    be32(3); be32(4); be32(1) // chunk 3+: 4 samples
+    be32(16 + 24); ascii("co64"); be32(0); be32(3)
+    be64(1L << 33); be64((1L << 33) + 5000); be64((1L << 33) + 9000)
+    val got = Multimodal.mp4SyncRangesJvm(bb.toArray)
+    val base = 1L << 33
+    assert(got.map(x => (x.sample_idx, x.chunk_idx, x.offset)) == Seq(
+      (1L, 1L, base), (2L, 1L, base + 100),
+      (3L, 2L, base + 5000), (4L, 2L, base + 5100),
+      (5L, 3L, base + 9000), (6L, 3L, base + 9100),
+      (7L, 3L, base + 9200), (8L, 3L, base + 9300)), s"$got")
+    assert(got.forall(_.size == 100))
+    // more samples than the chunk plan can hold must reject: claim 9
+    val over = bb.toArray.clone()
+    val szIdx = over.sliding(4).indexWhere(_.sameElements("stsz".getBytes))
+    over(szIdx + 15) = 9 // count 8 → 9 (last byte of count field)
+    assert(Multimodal.mp4SyncRangesJvm(over).isEmpty, "overrunning plan")
+    // fuzz: never throws
+    val good = bb.toArray
+    val rnd = new scala.util.Random(55)
+    (0 until 400).foreach { i =>
+      val b = good.clone()
+      if (i % 2 == 0) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      val cut = if (i % 2 == 1) b.take(rnd.nextInt(b.length)) else b
+      try Multimodal.mp4SyncRangesJvm(cut)
+      catch { case t: Throwable =>
+        fail(s"sync-ranges fuzz $i threw ${t.getClass}") }
     }
   }
 

@@ -56,6 +56,7 @@ class MediaCodegenSpec extends SparkFunSuite {
         "bmp_patches" -> (graft.plans.MediaExprs.bmpPatchesCol(_, 2)),
         "mp4_meta" -> graft.plans.MediaExprs.mp4MetaCol,
         "mp4_tracks" -> graft.plans.MediaExprs.mp4TracksCol,
+        "mp4_sync_ranges" -> graft.plans.MediaExprs.mp4SyncRangesCol,
         "mp3_meta" -> graft.plans.MediaExprs.mp3MetaCol)
       for ((name, f) <- fns) {
         // junk blobs: structs NULL / arrays empty, audit gives a
