@@ -804,6 +804,102 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  // ---- Bucketed LSH index: partition-pruned probes (round 11) ----
+
+  /** Handle to a BUCKETED written LSH index (see
+    * [[buildLshIndexBucketed]]): like [[LshIndex]], but both relations
+    * are hash-partitioned on disk — bands by band key, the shingle
+    * sidecar by doc id — so probes become PARTITION-PRUNED scans
+    * instead of full-relation scans. */
+  final case class LshIndexBucketed(path: String, shingleK: Int,
+      numHashes: Int, bands: Int, nBuckets: Int)
+
+  /** [[buildLshIndex]]'s scale successor for snapshot indexes — the
+    * term-index discipline ([[InvertedIndex.build]]) applied to the
+    * near-dup path: band rows are written `partitionBy` a
+    * `pmod(hash(bk), nBuckets)` bucket (repartitioned BY bucket first,
+    * so each bucket is one file, not one file per task), and the
+    * shingle sidecar likewise by `hash(id)`. A probe then reads only
+    * |distinct probe band-key buckets| of the band relation and
+    * |distinct candidate-id buckets| of the sidecar (PartitionFilters,
+    * plan-spec-pinned) — at 100 TB a small daily delta touches a few
+    * buckets of a corpus-sized index instead of scanning all of it.
+    * Build-once/probe-many: appends would fragment the bucket files —
+    * re-bucket via a fresh build (or keep the flat [[LshIndex]] +
+    * [[compactLshIndex]] pair for streaming ingest). */
+  def buildLshIndexBucketed(corpus: DataFrame, textCol: String,
+      idCol: String, path: String, shingleK: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, nBuckets: Int = 64): LshIndexBucketed = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val sh = corpus.select(col(idCol).as("id"),
+      TF.wordShingleHashes(col(textCol), shingleK).as("shingles"))
+      .localCheckpoint()
+    // sidecar first — same bands-present ⇒ sidecar-present crash
+    // ordering as the flat writer
+    sh.withColumn("bucket", pmod(hash(col("id")), lit(nBuckets)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/shingles")
+    bandRows(sh, numHashes, bands)
+      .withColumn("bucket", pmod(hash(col("bk")), lit(nBuckets)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/bands")
+    LshIndexBucketed(path, shingleK, numHashes, bands, nBuckets)
+  }
+
+  /** [[lshProbeNearDup]] over a bucketed index: identical semantics
+    * and arithmetic (oracle-pinned — `dedup_bucketed_probe` answers to
+    * the same full value oracle), but both index scans carry partition
+    * filters. The two bucket lists cross the driver as ≤ nBuckets ints
+    * each — index bookkeeping, not data. */
+  def lshProbeNearDupBucketed(index: LshIndexBucketed, delta: DataFrame,
+      textCol: String, idCol: String, threshold: Double = 0.8)
+      : DataFrame = {
+    val spark = delta.sparkSession
+    def emptyPairs: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          delta.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("b",
+          delta.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("jaccard",
+          org.apache.spark.sql.types.DoubleType))))
+    val dSh = delta.select(col(idCol).as("id"),
+      TF.wordShingleHashes(col(textCol), index.shingleK).as("shingles"))
+      .localCheckpoint()
+    // materialized: feeds the bucket collection AND the candidate join
+    val dBands = bandRows(dSh, index.numHashes, index.bands)
+      .select(col("bk"), col("id").as("b"))
+      .localCheckpoint()
+    val probeBuckets = dBands
+      .select(pmod(hash(col("bk")), lit(index.nBuckets)).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (probeBuckets.isEmpty) return emptyPairs
+    // cands stays UN-materialized so the final plan carries BOTH pruned
+    // index scans (spec-pinned); the bucket collection below runs the
+    // (already pruned) candidate job once ahead of it — bookkeeping
+    // proportional to the delta, not the corpus
+    def cands = spark.read.parquet(s"${index.path}/bands")
+      .filter(col("bucket").isin(probeBuckets: _*))
+      .join(broadcast(dBands), Seq("bk"))
+      .select(col("id").as("a"), col("b")).distinct()
+    val candBuckets = cands
+      .select(pmod(hash(col("a")), lit(index.nBuckets)).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (candBuckets.isEmpty) return emptyPairs
+    spark.read.parquet(s"${index.path}/shingles")
+      .filter(col("bucket").isin(candBuckets: _*))
+      .select(col("id").as("a"), col("shingles").as("sh_a"))
+      .join(broadcast(cands), Seq("a"))
+      .join(broadcast(dSh.select(col("id").as("b"),
+        col("shingles").as("sh_b"))), Seq("b"))
+      .withColumn("jaccard", TF.jaccardSorted(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   // ---- Bloom-filter incremental dedup ----
 
   /** Odd offset for the second Bloom hash (Kirsch-Mitzenmacher double

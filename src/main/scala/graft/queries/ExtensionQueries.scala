@@ -84,6 +84,11 @@ object ExtensionQueries {
     * dedup_compacted_probe / sim_topk_compacted). */
   private val compactedLshCache =
     new java.util.concurrent.ConcurrentHashMap[String, Dedup.LshIndex]()
+
+  /** BUCKETED LSH index per sf dir (see dedup_bucketed_probe). */
+  private val bucketedLshCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Dedup.LshIndexBucketed]()
   private val compactedIvfPqCache =
     new java.util.concurrent.ConcurrentHashMap[String,
       Similarity.IvfPqIndex]()
@@ -732,6 +737,27 @@ object ExtensionQueries {
       val delta = docs.select((col("doc_id") + 1000000L).as("doc_id"),
         col("text"))
       Dedup.lshProbeNearDup(index, delta, "text", "doc_id",
+          threshold = 0.8)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // PARTITION-PRUNED probe (round 11): the same probe over the
+    // BUCKETED index (bands hash-partitioned by band key, sidecar by
+    // doc id — the term-index discipline), identical results by the
+    // same full value oracle; the plan spec pins non-empty
+    // PartitionFilters on BOTH index scans
+    "dedup_bucketed_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def build(d: String) = Dedup.buildLshIndexBucketed(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id", tmpArtifact("graft_lsh_bucketed", d))
+      val cached = bucketedLshCache.computeIfAbsent(dir, build(_))
+      val index =
+        if (new java.io.File(s"${cached.path}/bands").exists) cached
+        else bucketedLshCache.compute(dir, (d, _) => build(d))
+      val delta = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"))
+      Dedup.lshProbeNearDupBucketed(index, delta, "text", "doc_id",
           threshold = 0.8)
         .orderBy(col("a"), col("b"))
     }),
@@ -4259,9 +4285,10 @@ object ExtensionQueries {
     // pairs land at exactly 1.0 (shared empty-set convention), near
     // pairs appear in both orientations
     "dedup_incremental_near" -> LshProbeOracleSql,
-    // compaction must be invisible to results: the compacted-index
-    // probe answers to the SAME full value oracle
+    // compaction and bucketing must be invisible to results: both
+    // probe variants answer to the SAME full value oracle
     "dedup_compacted_probe" -> LshProbeOracleSql,
+    "dedup_bucketed_probe" -> LshProbeOracleSql,
     "sim_topk_compacted" -> IvfPqOracleSql,
     // same qualifying pairs as dedup_minhash, then the transitive closure
     // (recursive CTE) picks each component's min id

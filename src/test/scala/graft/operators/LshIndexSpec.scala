@@ -78,6 +78,43 @@ class LshIndexSpec extends SparkFunSuite {
       "compaction must be invisible to probe results")
   }
 
+  test("bucketed LSH index: probe results equal the flat index's; a " +
+    "small delta's scans are PARTITION-PRUNED on both relations") {
+    val c = corpus
+    val s = spark
+    import s.implicits._
+    val flat = Dedup.buildLshIndex(c, "text", "doc_id",
+      tmpPath("bkt_flat"))
+    val bucketed = Dedup.buildLshIndexBucketed(c, "text", "doc_id",
+      tmpPath("bkt_part"), nBuckets = 64)
+    val delta = c.limit(60).select(($"doc_id" + 1000L).as("doc_id"),
+      when($"doc_id" % 2 === 0, $"text")
+        .otherwise(concat($"text", lit(" tail drift words"))).as("text"))
+    val got = Dedup.lshProbeNearDupBucketed(bucketed, delta, "text",
+        "doc_id", threshold = 0.6)
+      .orderBy($"a", $"b").collect().map(_.toString).toSeq
+    val want = Dedup.lshProbeNearDup(flat, delta, "text", "doc_id",
+        threshold = 0.6)
+      .orderBy($"a", $"b").collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want,
+      "bucketing must be invisible to probe results")
+    // plan contract over a SMALL delta: both index scans carry a
+    // NON-EMPTY partition filter on `bucket` (the PqSimSpec discipline)
+    val tiny = c.limit(2).select(($"doc_id" + 5000L).as("doc_id"), $"text")
+    val probeDf = Dedup.lshProbeNearDupBucketed(bucketed, tiny, "text",
+      "doc_id", threshold = 0.6)
+    val plan = probeDf.queryExecution.executedPlan.toString
+    val filters =
+      """PartitionFilters: \[[^\]]*\]""".r.findAllIn(plan).toList
+    assert(filters.size >= 2,
+      s"expected BOTH pruned index scans in the probe plan:\n$plan")
+    assert(filters.forall(f => f.contains("bucket") && !f.contains("[]")),
+      s"every index scan must be pruned on bucket, got $filters\n$plan")
+    // and an empty delta yields an empty, correctly-typed frame
+    assert(Dedup.lshProbeNearDupBucketed(bucketed,
+      c.filter(lit(false)), "text", "doc_id").count() == 0)
+  }
+
   test("plan contract: index relations are scanned, never shuffled — " +
     "delta band keys and candidates broadcast") {
     val c = corpus
