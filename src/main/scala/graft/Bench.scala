@@ -145,7 +145,8 @@ object Bench {
     val indexBuilders = Set("text_index_lookup", "text_index_and",
       "text_index_phrase", "text_index_near", "sim_topk_ivf_indexed",
       "sim_topk_ivfpq_indexed", "dedup_incremental_near",
-      "dedup_compacted_probe", "dedup_bucketed_probe", "sim_topk_compacted",
+      "dedup_compacted_probe", "dedup_bucketed_probe",
+      "dedup_incremental_bucketed", "sim_topk_compacted",
       "layout_bucket_join", "corpus_compact", "source_schema_evolution",
       "corpus_export_range")
 

@@ -900,6 +900,52 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  // ---- Bucketed digest index: partition-pruned exact-dedup probe ----
+
+  /** Handle to a written, hash-bucketed corpus digest index (see
+    * [[buildDigestIndexBucketed]]). */
+  final case class DigestIndexBucketed(path: String, nBuckets: Int)
+
+  /** The materialized digest index behind [[incrementalNewByDigest]],
+    * hash-bucketed on disk (`pmod(hash(text_sha), nBuckets)`) so the
+    * daily-ingest anti-join becomes a PARTITION-PRUNED scan: a delta's
+    * digests map to ≤ nBuckets buckets and the probe reads only those —
+    * at 100 TB the corpus digest index is itself corpus-scaled (32
+    * bytes/doc), and scanning all of it per delta is the hidden cost
+    * the flat layout pays. Build once per snapshot; appends re-bucket
+    * via a fresh build (the bucketed-LSH rule). */
+  def buildDigestIndexBucketed(corpus: DataFrame, textCol: String,
+      path: String, nBuckets: Int = 256): DigestIndexBucketed = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    corpus.select(sha2(col(textCol), 256).as("text_sha"))
+      .withColumn("bucket", pmod(hash(col("text_sha")), lit(nBuckets)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    DigestIndexBucketed(path, nBuckets)
+  }
+
+  /** [[incrementalNew]] against a [[buildDigestIndexBucketed]] written
+    * index: identical semantics and output (oracle-pinned — the
+    * bucketed probe answers to the same full value oracle), but the
+    * index scan carries a partition filter on the delta's digest
+    * buckets (≤ nBuckets ints of driver bookkeeping). */
+  def incrementalNewBucketed(index: DigestIndexBucketed, delta: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val spark = delta.sparkSession
+    // materialized: feeds the bucket collection AND the anti-join
+    val grouped = exactByHash(delta, textCol, idCol).localCheckpoint()
+    val buckets = grouped
+      .select(pmod(hash(col("text_sha")), lit(index.nBuckets))
+        .as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (buckets.isEmpty) return grouped // empty delta: empty survivors
+    grouped.join(
+      spark.read.parquet(index.path)
+        .filter(col("bucket").isin(buckets: _*))
+        .select(col("text_sha")),
+      Seq("text_sha"), "left_anti")
+  }
+
   // ---- Bloom-filter incremental dedup ----
 
   /** Odd offset for the second Bloom hash (Kirsch-Mitzenmacher double

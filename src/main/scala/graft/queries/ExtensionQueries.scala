@@ -89,6 +89,11 @@ object ExtensionQueries {
   private val bucketedLshCache =
     new java.util.concurrent.ConcurrentHashMap[String,
       Dedup.LshIndexBucketed]()
+
+  /** BUCKETED digest index per sf dir (see dedup_incremental_bucketed). */
+  private val digestIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Dedup.DigestIndexBucketed]()
   private val compactedIvfPqCache =
     new java.util.concurrent.ConcurrentHashMap[String,
       Similarity.IvfPqIndex]()
@@ -719,6 +724,28 @@ object ExtensionQueries {
       val delta = delta1.unionAll(
         delta1.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Dedup.incrementalNew(docs, delta, "text", "doc_id")
+        .orderBy(col("survivor_id"))
+    }),
+
+    // PARTITION-PRUNED daily ingest (round 11): the same incremental
+    // exact dedup against a WRITTEN hash-bucketed digest index — the
+    // anti-join scans only the delta's digest buckets instead of the
+    // corpus-scaled index; identical output by the same oracle
+    "dedup_incremental_bucketed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def build(d: String) = Dedup.buildDigestIndexBucketed(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "text", tmpArtifact("graft_digest_index", d))
+      val cached = digestIndexCache.computeIfAbsent(dir, build(_))
+      val index =
+        if (new java.io.File(cached.path).exists) cached
+        else digestIndexCache.compute(dir, (d, _) => build(d))
+      val delta1 = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" updated"))).as("text"))
+      val delta = delta1.unionAll(
+        delta1.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.incrementalNewBucketed(index, delta, "text", "doc_id")
         .orderBy(col("survivor_id"))
     }),
 
@@ -3523,6 +3550,25 @@ object ExtensionQueries {
        |SELECT a, b, j AS jaccard FROM pj WHERE j >= 0.8
        |ORDER BY a, b""".stripMargin
 
+  /** Incremental exact-dedup recompute (delta group-by + corpus
+    * NOT EXISTS) — shared by the in-memory and bucketed-index probes:
+    * the index layout must be invisible to results. */
+  private lazy val IncrementalNewOracleSql =
+    """WITH d1 AS (SELECT doc_id + 1000000 AS doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN text
+      |         ELSE text || ' updated' END AS text
+      |  FROM documents),
+      |delta AS (SELECT doc_id, text FROM d1
+      |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM d1),
+      |g AS (SELECT sha256(text) AS text_sha,
+      |    MIN(doc_id) AS survivor_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_copies
+      |  FROM delta GROUP BY sha256(text))
+      |SELECT text_sha, survivor_id, n_copies FROM g
+      |WHERE NOT EXISTS (SELECT 1 FROM documents d
+      |                  WHERE sha256(d.text) = g.text_sha)
+      |ORDER BY survivor_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // independent fold of the same Karp-Rabin chain over normalized-text
     // codepoints (list_reduce with an explicit 0 seed); ASCII-only by
@@ -4652,21 +4698,9 @@ object ExtensionQueries {
         |) ORDER BY a, b""".stripMargin,
     // same delta synthesis; survivors = delta digests absent from the
     // corpus, smallest delta id per digest
-    "dedup_incremental" ->
-      """WITH d1 AS (SELECT doc_id + 1000000 AS doc_id,
-        |    CASE WHEN doc_id % 2 = 0 THEN text
-        |         ELSE text || ' updated' END AS text
-        |  FROM documents),
-        |delta AS (SELECT doc_id, text FROM d1
-        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM d1),
-        |g AS (SELECT sha256(text) AS text_sha,
-        |    MIN(doc_id) AS survivor_id,
-        |    CAST(COUNT(*) AS BIGINT) AS n_copies
-        |  FROM delta GROUP BY sha256(text))
-        |SELECT text_sha, survivor_id, n_copies FROM g
-        |WHERE NOT EXISTS (SELECT 1 FROM documents d
-        |                  WHERE sha256(d.text) = g.text_sha)
-        |ORDER BY survivor_id""".stripMargin,
+    "dedup_incremental" -> IncrementalNewOracleSql,
+    // the bucketed-index probe must be invisible to results
+    "dedup_incremental_bucketed" -> IncrementalNewOracleSql,
     // full recompute of the Bloom probe: the SAME poly-fingerprint fold,
     // Knuth double-hash chain (h1 + i·(h2|1) mod 2^20), and
     // all-positions-present test — bit packing is equivalent to position-

@@ -35,6 +35,49 @@ class DedupSpec extends SparkFunSuite {
     assert(byText.toSeq == byHash.toSeq)
   }
 
+  test("bucketed digest index: incremental probe equals incrementalNew " +
+      "and the anti-join scan is partition-pruned to the delta's " +
+      "digest buckets") {
+    val s = spark
+    import s.implicits._
+    val corpus = (0L until 200L)
+      .map(i => (i, s"document body number $i with content"))
+      .toDF("doc_id", "text")
+    val index = Dedup.buildDigestIndexBucketed(corpus, "text",
+      s"${System.getProperty("java.io.tmpdir")}/graft_digest_spec_" +
+        ProcessHandle.current().pid(), nBuckets = 64)
+    // delta: 3 re-crawls (suppressed) + 2 novel docs + 1 within-delta dup
+    val delta = Seq(
+      (1000L, "document body number 7 with content"),
+      (1001L, "document body number 8 with content"),
+      (1002L, "document body number 9 with content"),
+      (1003L, "genuinely new content alpha"),
+      (1004L, "genuinely new content beta"),
+      (1005L, "genuinely new content alpha")).toDF("doc_id", "text")
+    val gotDf = Dedup.incrementalNewBucketed(index, delta, "text",
+      "doc_id")
+    val got = gotDf.orderBy("survivor_id").collect()
+      .map(r => (r.getAs[Long]("survivor_id"), r.getAs[Long]("n_copies")))
+      .toSeq
+    val want = Dedup.incrementalNew(corpus, delta, "text", "doc_id")
+      .orderBy("survivor_id").collect()
+      .map(r => (r.getAs[Long]("survivor_id"), r.getAs[Long]("n_copies")))
+      .toSeq
+    assert(got == Seq((1003L, 2L), (1004L, 1L)) && got == want)
+    // the index scan in the anti-join is pruned: non-empty
+    // PartitionFilters on bucket, and a 6-digest delta touches ≤ 6 of
+    // the 64 buckets
+    val plan = gotDf.queryExecution.executedPlan.toString
+    val filters =
+      """PartitionFilters: \[[^\]]*\]""".r.findAllIn(plan).toList
+    assert(filters.nonEmpty &&
+      filters.forall(f => f.contains("bucket") && !f.contains("[]")),
+      s"anti-join index scan must be bucket-pruned, got $filters\n$plan")
+    // empty delta: empty result, no crash on the isin guard
+    assert(Dedup.incrementalNewBucketed(index,
+      delta.filter(lit(false)), "text", "doc_id").count() == 0)
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashNearDup(docs, "text", "doc_id",
       threshold = 0.5).collect()
