@@ -165,7 +165,9 @@ object Bench {
     // in either half are now separately visible.
     Seq("text_index_lookup", "text_index_and", "text_index_phrase",
         "text_index_near", "sim_topk_ivf_indexed", "sim_topk_ivfpq_indexed",
-        "dedup_incremental_near", "layout_bucket_join", "corpus_compact",
+        "dedup_incremental_near", "dedup_bucketed_probe",
+        "dedup_incremental_bucketed", "dedup_compacted_probe",
+        "sim_topk_compacted", "layout_bucket_join", "corpus_compact",
         "source_schema_evolution", "corpus_export_range")
       .filter(SparkEntry.queries.contains).foreach { name =>
         timeMinOf(s"${name}_probe", reps, () =>

@@ -629,20 +629,17 @@ object ExtensionQueries {
     val d = col("doc_id")
     val nf = lit(20L) + d % 10L
     val tagSz = d % 5L + 6L
-    val kbpsTable = org.apache.spark.sql.functions.typedlit(
-      Array(32L, 40L, 48L, 56L, 64L, 80L, 96L, 112L, 128L, 160L, 192L,
-        224L, 256L, 320L))
-    // max payload = 3·320 − 4 bytes of zeros, sliced per frame
-    val zeros = lit("0" * ((3 * 320 - 4) * 2))
-    val frames = transform(sequence(lit(0L), nf - 1L), f => {
-      val bi = (d + f) % 14L + 1L
-      val flen = element_at(kbpsTable, bi.cast("int")) * 3L
-      concat(
-        lit("fffb"), // sync + MPEG1 + Layer III + no CRC
-        lpad(hex(bi * 16L + 4L), 2, "0"), // bitrate idx + sr idx 1 (48k)
-        lit("c0"), // mono
-        zeros.substr(lit(1), (flen - 4L) * 2L))
+    // a frame's bytes are a pure function of its bitrate index, so all
+    // 14 full-frame hex strings fold at PLAN-BUILD time — the lambda is
+    // one O(1) array lookup per frame, not per-frame string assembly
+    val kbps = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320)
+    val frameTable = typedlit(kbps.zipWithIndex.map { case (k, i) =>
+      // sync+MPEG1+L3+noCRC | bitrate idx + sr idx 1 (48k) | mono
+      f"fffb${(i + 1) * 16 + 4}%02xc0" + "0" * ((3 * k - 4) * 2)
     })
+    val frames = transform(sequence(lit(0L), nf - 1L), f =>
+      element_at(frameTable, ((d + f) % 14L + 1L).cast("int")))
     concat(
       lit("ID3".getBytes), unhex(lit("0300" + "00" + "000000")),
       unhex(lpad(hex(tagSz), 2, "0")),
