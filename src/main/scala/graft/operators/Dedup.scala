@@ -852,7 +852,12 @@ object Dedup {
     * and arithmetic (oracle-pinned — `dedup_bucketed_probe` answers to
     * the same full value oracle), but both index scans carry partition
     * filters. The two bucket lists cross the driver as ≤ nBuckets ints
-    * each — index bookkeeping, not data. */
+    * each — index bookkeeping, not data. Operating point (measured,
+    * `IndexProbeScale`): the pruning pays for its fixed bookkeeping
+    * (two driver jobs + per-bucket file opens) only once the index
+    * dwarfs a node's per-trigger scan budget — below that, prefer the
+    * flat [[lshProbeNearDup]]; the partition-filter plan contract is
+    * what transfers to cluster scale. */
   def lshProbeNearDupBucketed(index: LshIndexBucketed, delta: DataFrame,
       textCol: String, idCol: String, threshold: Double = 0.8)
       : DataFrame = {
@@ -928,7 +933,11 @@ object Dedup {
     * index: identical semantics and output (oracle-pinned — the
     * bucketed probe answers to the same full value oracle), but the
     * index scan carries a partition filter on the delta's digest
-    * buckets (≤ nBuckets ints of driver bookkeeping). */
+    * buckets (≤ nBuckets ints of driver bookkeeping). Operating point
+    * (measured, `IndexProbeScale`): the flat probe's cost grows with
+    * the corpus (1.9× per 100× at harness scale) while this stays
+    * flat, but the crossover needs an index past a node's per-trigger
+    * scan budget — below that the flat anti-join is cheaper. */
   def incrementalNewBucketed(index: DigestIndexBucketed, delta: DataFrame,
       textCol: String, idCol: String): DataFrame = {
     val spark = delta.sparkSession

@@ -229,7 +229,7 @@ object ScaleProbe {
 
   /** Write the factor-`f` corpus (documents + embeddings) under `dir`
     * unless it already exists from an earlier run of this JVM. */
-  private def generate(spark: SparkSession, baseDir: String, dir: String,
+  private[tools] def generate(spark: SparkSession, baseDir: String, dir: String,
       factor: Int): Unit = {
     if (new java.io.File(s"$dir/documents.parquet").exists) return
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
