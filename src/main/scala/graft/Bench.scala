@@ -148,7 +148,7 @@ object Bench {
       "dedup_compacted_probe", "dedup_bucketed_probe",
       "dedup_incremental_bucketed", "sim_topk_compacted",
       "layout_bucket_join", "corpus_compact", "source_schema_evolution",
-      "corpus_export_range")
+      "source_avro_container", "corpus_export_range")
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach {
       case (name, fn) =>
@@ -168,7 +168,8 @@ object Bench {
         "dedup_incremental_near", "dedup_bucketed_probe",
         "dedup_incremental_bucketed", "dedup_compacted_probe",
         "sim_topk_compacted", "layout_bucket_join", "corpus_compact",
-        "source_schema_evolution", "corpus_export_range")
+        "source_schema_evolution", "source_avro_container",
+        "corpus_export_range")
       .filter(SparkEntry.queries.contains).foreach { name =>
         timeMinOf(s"${name}_probe", reps, () =>
           SparkEntry.queries(name)(spark, sfDir)

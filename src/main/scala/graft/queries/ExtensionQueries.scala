@@ -1691,6 +1691,25 @@ object ExtensionQueries {
     // read back with an explicit schema must be the identity (escaping,
     // unicode, null handling all round-trip); the oracle reads the
     // ORIGINAL parquet, so any loss in the JSON hop fails the hash
+    // AVRO object-container files (round 11) — the at-rest sibling of
+    // the engine's Confluent-framed wire format: our own writer emits
+    // one container file per partition, our own reader decodes blocks
+    // per file, and the whole hop must be lossless back to the table
+    "source_avro_container" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_avroc_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        ProcessHandle.current().pid()
+      if (!new java.io.File(path).exists) {
+        graft.sources.AvroContainerFiles.write(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("source"),
+              col("text")),
+          path)
+      }
+      graft.sources.AvroContainerFiles.read(s, path)
+        .orderBy(col("doc_id"))
+    }),
+
     "source_jsonl_roundtrip" -> ((s, dir) => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
         Integer.toHexString(dir.hashCode) + "_" +
@@ -4022,6 +4041,9 @@ object ExtensionQueries {
         |FROM b LEFT JOIN a ON b.source = a.source
         |ORDER BY source""".stripMargin,
     // both round-trip oracles read the ORIGINAL parquet — identity check
+    "source_avro_container" ->
+      """SELECT doc_id, lang, source, text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "source_jsonl_roundtrip" ->
       """SELECT doc_id, length(text) AS text_len, sha256(text) AS text_sha,
         |lang, source FROM documents ORDER BY doc_id""".stripMargin,

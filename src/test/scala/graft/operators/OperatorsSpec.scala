@@ -3788,6 +3788,52 @@ class DupNgramCoverageParitySpec extends SparkFunSuite {
 
 class SourceRoundTripSpec extends SparkFunSuite {
 
+  test("Avro container files: the full primitive surface round-trips " +
+      "losslessly (nulls, binary, unicode), the writer emits one file " +
+      "per partition, and rich types fail loud") {
+    val s = spark
+    import s.implicits._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_avrospec_" +
+      ProcessHandle.current().pid()
+    val df = Seq(
+      (1L, Some("plain"), Some(1.5), Some(42), Some(true),
+        Some(Array[Byte](1, 2, 0xff.toByte))),
+      (2L, Some("中文 😀 ünïcode"), Some(-0.25), Some(-7), Some(false),
+        Some(Array.emptyByteArray)),
+      (3L, None: Option[String], None: Option[Double], None: Option[Int],
+        None: Option[Boolean], None: Option[Array[Byte]]))
+      .toDF("id", "s", "d", "i", "b", "bin")
+      .repartition(3)
+    graft.sources.AvroContainerFiles.write(df, path)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length == 3, "one container file per non-empty partition")
+    val back = graft.sources.AvroContainerFiles.read(s, path)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("id", "s", "d", "i", "b", "bin"))
+    val got = back.orderBy("id").collect().map { r =>
+      (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+        Option(r.get(4)),
+        Option(r.get(5)).map(_.asInstanceOf[Array[Byte]].toSeq))
+    }.toSeq
+    assert(got == Seq(
+      (1L, Some("plain"), Some(1.5), Some(42), Some(true),
+        Some(Seq[Byte](1, 2, 0xff.toByte))),
+      (2L, Some("中文 😀 ünïcode"), Some(-0.25), Some(-7), Some(false),
+        Some(Seq.empty[Byte])),
+      (3L, None, None, None, None, None)), s"$got")
+    // the header really is the Avro container magic
+    val head = java.nio.file.Files.readAllBytes(
+      files.head.toPath).take(4)
+    assert(head.sameElements(Array[Byte]('O', 'b', 'j', 1)))
+    // rich types are rejected at the boundary, not mangled
+    val nested = Seq((1L, Seq(1, 2))).toDF("id", "arr")
+    intercept[IllegalArgumentException] {
+      graft.sources.AvroContainerFiles.write(nested, path + "_nested")
+    }
+    ()
+  }
+
   test("JSONL and CSV hops are lossless on adversarial content") {
     val s = spark
     import s.implicits._
