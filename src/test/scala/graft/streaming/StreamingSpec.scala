@@ -89,6 +89,15 @@ class StreamingSpec extends SparkFunSuite {
       .extractMp3Meta(mp3.toDF("doc_id", "blob"), "doc_id")
       .toDF().orderBy("doc_id").collect().map(_.toString).toSeq
     assert(gotMp3 == wantMp3, "mp3 meta: stream != batch")
+    val gotSync = run(mp4,
+      df => graft.operators.Multimodal.extractMp4SyncRanges(df, "doc_id")
+        .toDF(), "mp4_sync_stream")
+    val wantSync = graft.operators.Multimodal
+      .extractMp4SyncRanges(mp4.toDF("doc_id", "blob"), "doc_id")
+      .toDF().orderBy("doc_id", "sample_idx").collect()
+      .map(_.toString).toSeq
+    assert(gotSync.sorted == wantSync.sorted,
+      "mp4 sync ranges: stream != batch")
   }
 
   test("streaming decode: golden envelope via MemoryStream (M2 wiring)") {
