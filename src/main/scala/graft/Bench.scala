@@ -54,6 +54,19 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
       .max(1).min(5)
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
+    // Per-rep elapsed times and per-query failures, both machine-readable
+    // in the committed full-results file: round 11's driver sweep had a
+    // 9x outlier (avro_roundtrip_agg 13.8 s) that the min-only JSON could
+    // not attribute to rep 1 vs rep 2, and a swallowed stack trace only
+    // visible in the stderr tail. "reps" settles the former, "failed" the
+    // latter.
+    val repsLog =
+      new java.util.concurrent.ConcurrentHashMap[String, List[Double]]
+    val failedQ = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    // JVM-default-locale %f renders "1,234" under comma-decimal locales,
+    // breaking the JSON line — always format with ROOT.
+    def fmt3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
     def emit(metric: String): Unit =
       if (printed.compareAndSet(false, true)) {
@@ -61,8 +74,20 @@ object Bench {
         val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
         val total = results.map(_._2).sum
+        val repEntries = {
+          import scala.jdk.CollectionConverters._
+          repsLog.asScala.toSeq.sortBy(_._1).map { case (k, ts) =>
+            "\"" + k + "\":[" + ts.map(fmt3).mkString(",") + "]"
+          }.mkString("{", ",", "}")
+        }
+        val failedArr = {
+          import scala.jdk.CollectionConverters._
+          failedQ.asScala.toSeq.distinct.sorted
+            .map("\"" + _ + "\"").mkString("[", ",", "]")
+        }
         val fullLine =
-          s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+          s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,""" +
+            s""""reps":$repEntries,"failed":$failedArr,"sf":"$sfDir"}"""
         // Persist the FULL per-query results to a repo file FIRST (and
         // its stderr notice before the stdout line): the driver keeps
         // only the last ~2000 chars of output, so a 200-query map can
@@ -93,13 +118,19 @@ object Bench {
         for ((k, v) <- slow if sb.length < 1200) {
           if (kept > 0) sb.append(',')
           sb.append('"').append(k).append("\":")
-            .append(f"$v%.3f")
+            .append(fmt3(v))
           kept += 1
+        }
+        val nFailed = {
+          import scala.jdk.CollectionConverters._
+          failedQ.asScala.toSeq.distinct.size
         }
         val line = s"""{"metric":"$metric","value":$total,"unit":"sec",""" +
           s""""queries":{${sb.result()}},"n_queries":${results.size},""" +
+          s""""n_failed":$nFailed,""" +
           s""""protocol":"min-of-$reps per query; slowest $kept of """ +
-          s"""${results.size} inline","full":"$out","sf":"$sfDir"}"""
+          s"""${results.size} inline; per-rep times + failures in full",""" +
+          s""""full":"$out","sf":"$sfDir"}"""
         println(line)
         System.out.flush()
       }
@@ -122,17 +153,22 @@ object Bench {
       var best = Double.MaxValue
       var failedElapsed = -1.0
       var r = 0
+      val times = scala.collection.mutable.ListBuffer.empty[Double]
       while (r < n && failedElapsed < 0) {
         val t0 = System.nanoTime()
         try {
           run()
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          val dt = (System.nanoTime() - t0) / 1e9
+          times += dt
+          best = math.min(best, dt)
         } catch { case t: Throwable =>
           failedElapsed = (System.nanoTime() - t0) / 1e9
+          failedQ.add(name)
           System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
         }
         r += 1
       }
+      repsLog.put(name, times.toList)
       val v = if (best < Double.MaxValue) best else failedElapsed
       System.err.println(f"[bench] $name%-28s $v%8.2fs  (min of $r)")
       done.add(name -> v)
@@ -148,7 +184,8 @@ object Bench {
       "dedup_compacted_probe", "dedup_bucketed_probe",
       "dedup_incremental_bucketed", "sim_topk_compacted",
       "layout_bucket_join", "corpus_compact", "source_schema_evolution",
-      "source_avro_container", "corpus_export_range")
+      "source_avro_container", "source_avro_split", "source_avro_logical",
+      "corpus_export_range")
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach {
       case (name, fn) =>

@@ -2802,7 +2802,7 @@ object Multimodal {
           var nFrames = -1L; var totalBytes = -1L
           var mediaDur = -1L; var nChunks = -1L; var nSync = -1L
           children(ss, se).foreach {
-            case ("stts", s, e) if s >= 0 =>
+            case ("stts", s, e) if s >= 0 && s + 8 <= e =>
               val cnt = be32(s + 4)
               if (s + 8 + 8 * cnt <= e) {
                 var d = 0L; var i = 0

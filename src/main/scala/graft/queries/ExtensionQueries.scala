@@ -103,6 +103,42 @@ object ExtensionQueries {
       dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
       ProcessHandle.current().pid()
 
+  /** Memoize an on-disk fixture ATOMICALLY: build into a temp sibling,
+    * then rename into place. A bare `if (!exists) write(path)` guard
+    * treats the directory as complete the instant it exists — a crashed
+    * or concurrent first build leaves a partial dir every later rep
+    * reads as broken (round 11's driver bench hit exactly this on the
+    * avro container fixture). The rename is all-or-nothing on the same
+    * filesystem; a losing concurrent builder just discards its copy. */
+  private def memoizedFixture(path: String)(build: String => Unit): String = {
+    val target = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(target)) {
+      val tmp = java.nio.file.Paths.get(
+        path + ".tmp." + java.util.UUID.randomUUID().toString.take(8))
+      try {
+        build(tmp.toString)
+        try java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // concurrent winner already renamed a complete copy into place
+          case _: java.nio.file.FileAlreadyExistsException
+            if java.nio.file.Files.exists(target) => ()
+          case e: java.nio.file.FileSystemException
+            if java.nio.file.Files.exists(target) => ()
+        }
+      } finally deleteRecursively(tmp)
+    }
+    path
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: java.io.IOException => () })
+    }
+
   /** The memoized written LSH index for `dir` (self-healing a reaped
     * /tmp path) — shared by dedup_incremental_near and the compaction
     * probe. */
@@ -1696,18 +1732,61 @@ object ExtensionQueries {
     // one container file per partition, our own reader decodes blocks
     // per file, and the whole hop must be lossless back to the table
     "source_avro_container" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_avroc_" +
-        Integer.toHexString(dir.hashCode) + "_" +
-        ProcessHandle.current().pid()
-      if (!new java.io.File(path).exists) {
+      val path = memoizedFixture(tmpArtifact("graft_avroc", dir)) { tmp =>
         graft.sources.AvroContainerFiles.write(
           t(s, dir, "documents")
             .select(col("doc_id"), col("lang"), col("source"),
               col("text")),
-          path)
+          tmp)
       }
       graft.sources.AvroContainerFiles.read(s, path)
         .orderBy(col("doc_id"))
+    }),
+
+    // the 100 TB shape: a corpus archived as ONE huge container file
+    // must still fan out — the reader splits it on Avro sync markers
+    // (4 KiB blocks here, 64 KiB split ranges → many independent
+    // tasks; the split-count plan contract is spec-pinned)
+    "source_avro_split" -> ((s, dir) => {
+      val path = memoizedFixture(tmpArtifact("graft_avroc1", dir)) { tmp =>
+        graft.sources.AvroContainerFiles.write(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("source"), col("text"))
+            .repartition(1),
+          tmp, syncInterval = 4 * 1024)
+      }
+      graft.sources.AvroContainerFiles.read(s, path,
+          maxSplitBytes = 64 * 1024)
+        .orderBy(col("doc_id"))
+    }),
+
+    // logical types through the container hop: decimal(18,2) (integer-
+    // derived cents — exact in both engines), timestamp-micros, date,
+    // and an array of longs all round-trip; outputs are folded to
+    // int64 for the oracle (decimal/timestamp pandas paths are lossy)
+    "source_avro_logical" -> ((s, dir) => {
+      val path = memoizedFixture(tmpArtifact("graft_avrolt", dir)) { tmp =>
+        graft.sources.AvroContainerFiles.write(
+          t(s, dir, "orders").select(
+            col("o_orderkey"),
+            (col("o_orderkey") * 123 % 100000)
+              .cast("decimal(18,0)").divide(lit(100))
+              .cast("decimal(18,2)").as("price_dec"),
+            timestamp_micros(col("o_orderkey") * 1000003L).as("ots"),
+            date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+              (col("o_orderkey") % 20000).cast("int")).as("od"),
+            array(col("o_custkey"), col("o_orderkey")).as("keys")),
+          tmp)
+      }
+      graft.sources.AvroContainerFiles.read(s, path)
+        .select(
+          col("o_orderkey"),
+          (col("price_dec") * 100).cast("long").as("price_cents"),
+          unix_micros(col("ots")).as("ots_us"),
+          datediff(col("od"), lit(java.sql.Date.valueOf("1970-01-01")))
+            .cast("long").as("od_days"),
+          aggregate(col("keys"), lit(0L), (a, x) => a + x).as("keys_sum"))
+        .orderBy(col("o_orderkey"))
     }),
 
     "source_jsonl_roundtrip" -> ((s, dir) => {
@@ -4044,6 +4123,22 @@ object ExtensionQueries {
     "source_avro_container" ->
       """SELECT doc_id, lang, source, text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // identity again, but through ONE multi-block file read as many
+    // sync-marker splits — any block lost/duplicated at a split
+    // boundary fails the hash
+    "source_avro_split" ->
+      """SELECT doc_id, lang, source, text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // logical types (decimal/timestamp/date/array) folded to exact
+    // int64 on BOTH sides; the oracle computes the closed forms the
+    // container hop must preserve
+    "source_avro_logical" ->
+      """SELECT o_orderkey,
+        |  o_orderkey * 123 % 100000 AS price_cents,
+        |  o_orderkey * 1000003 AS ots_us,
+        |  o_orderkey % 20000 AS od_days,
+        |  o_custkey + o_orderkey AS keys_sum
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "source_jsonl_roundtrip" ->
       """SELECT doc_id, length(text) AS text_len, sha256(text) AS text_sha,
         |lang, source FROM documents ORDER BY doc_id""".stripMargin,

@@ -2,8 +2,8 @@ package graft.sources
 
 import scala.collection.JavaConverters._
 
-import org.apache.avro.Schema
-import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.{LogicalType, LogicalTypes, Schema}
+import org.apache.avro.file.{DataFileReader, DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader,
   GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.Path
@@ -22,37 +22,34 @@ import org.apache.spark.sql.types._
   *
   * Type surface (fail-loud, documented): Spark
   * long/int/double/float/boolean/string/binary columns map to the
-  * matching Avro primitives; nullable columns become `union(null, T)`.
-  * Anything richer (nested structs, arrays, decimals) is rejected at
-  * write/read time — the engine's rich-Avro path is the wire-format
-  * decoder with its full codec ([[graft.avro.AvroJsonCodec]]); this
-  * source is the flat-relation archive format.
+  * matching Avro primitives; `decimal(p,s)` ↔ Avro `bytes` with the
+  * decimal logical type, `timestamp` ↔ `long`/timestamp-micros,
+  * `date` ↔ `int`/date, and arrays of any of those map to Avro
+  * arrays. Nested structs and maps are rejected at write/read time —
+  * the engine's rich-Avro path is the wire-format decoder with its
+  * full codec ([[graft.avro.AvroJsonCodec]]); this source is the
+  * flat-relation archive format.
   *
   * Scale shape: the WRITER emits one container file per partition
   * (executor-side, streaming row-by-row through the Avro encoder — no
-  * partition materialization); the READER parallelizes per file via
-  * the built-in `binaryFile` source and decodes blocks inside
-  * `flatMap` (row-local; a production reader would additionally split
-  * big files on sync markers — per-file parallelism is the honest
-  * first cut and matches how these archives are laid out: many
-  * partition-sized files). */
+  * partition materialization); the READER splits every file on Avro
+  * sync markers into `maxSplitBytes`-sized ranges (the same contract
+  * as Hadoop's Avro input format: seek to the first sync after the
+  * split start, read blocks until past the split end), so a corpus
+  * archived as a few huge containers still fans out across the
+  * cluster instead of collapsing to one task per file. Each task
+  * streams blocks through the Avro decoder positionally — no file is
+  * ever materialized whole. Schema resolution is BY NAME against the
+  * first file's header schema (one small driver-side header read):
+  * files with reordered columns or compatible evolution decode
+  * correctly; files whose resolved types disagree fail loud. */
 object AvroContainerFiles {
 
-  /** Spark schema → Avro record schema (primitive surface only). */
+  /** Spark schema → Avro record schema (flat primitives + decimal /
+    * timestamp / date logical types + arrays thereof). */
   def avroSchemaFor(schema: StructType, name: String = "row"): Schema = {
     val fields = schema.fields.map { f =>
-      val base = f.dataType match {
-        case LongType => Schema.create(Schema.Type.LONG)
-        case IntegerType => Schema.create(Schema.Type.INT)
-        case DoubleType => Schema.create(Schema.Type.DOUBLE)
-        case FloatType => Schema.create(Schema.Type.FLOAT)
-        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
-        case StringType => Schema.create(Schema.Type.STRING)
-        case BinaryType => Schema.create(Schema.Type.BYTES)
-        case other => throw new IllegalArgumentException(
-          s"AvroContainerFiles supports flat primitive columns only; " +
-            s"column '${f.name}' is $other")
-      }
+      val base = leafAvroType(f.dataType, f.name)
       val s = if (f.nullable)
         Schema.createUnion(java.util.Arrays.asList(
           Schema.create(Schema.Type.NULL), base))
@@ -63,38 +60,148 @@ object AvroContainerFiles {
       java.util.Arrays.asList(fields: _*))
   }
 
+  private def leafAvroType(dt: DataType, col: String): Schema = dt match {
+    case LongType => Schema.create(Schema.Type.LONG)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case StringType => Schema.create(Schema.Type.STRING)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case d: DecimalType =>
+      LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
+    case TimestampType =>
+      LogicalTypes.timestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
+    case TimestampNTZType =>
+      LogicalTypes.localTimestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
+    case DateType =>
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case ArrayType(et, containsNull) =>
+      val elem = leafAvroType(et, s"$col[]")
+      Schema.createArray(
+        if (containsNull)
+          Schema.createUnion(java.util.Arrays.asList(
+            Schema.create(Schema.Type.NULL), elem))
+        else elem)
+    case other => throw new IllegalArgumentException(
+      s"AvroContainerFiles supports flat primitive/logical-type/array " +
+        s"columns only; column '$col' is $other")
+  }
+
   /** Avro record schema → Spark schema (the inverse surface). */
   def sparkSchemaFor(schema: Schema): StructType = {
     require(schema.getType == Schema.Type.RECORD,
       s"expected a record schema, got ${schema.getType}")
     StructType(schema.getFields.asScala.toSeq.map { f =>
-      val (t, nullable) = f.schema().getType match {
-        case Schema.Type.UNION =>
-          val ts = f.schema().getTypes.asScala
-          require(ts.size == 2 &&
-            ts.exists(_.getType == Schema.Type.NULL),
-            s"field '${f.name}': only union(null, T) is supported")
-          (ts.find(_.getType != Schema.Type.NULL).get.getType, true)
-        case other => (other, false)
-      }
-      val dt = t match {
-        case Schema.Type.LONG => LongType
-        case Schema.Type.INT => IntegerType
-        case Schema.Type.DOUBLE => DoubleType
-        case Schema.Type.FLOAT => FloatType
-        case Schema.Type.BOOLEAN => BooleanType
-        case Schema.Type.STRING => StringType
-        case Schema.Type.BYTES => BinaryType
-        case other => throw new IllegalArgumentException(
-          s"field '${f.name}': unsupported Avro type $other")
-      }
-      StructField(f.name, dt, nullable)
+      val (s, nullable) = unwrapNullable(f.schema(), f.name)
+      StructField(f.name, leafSparkType(s, f.name), nullable)
     })
   }
 
+  private def unwrapNullable(s: Schema, col: String): (Schema, Boolean) =
+    s.getType match {
+      case Schema.Type.UNION =>
+        val ts = s.getTypes.asScala
+        require(ts.size == 2 && ts.exists(_.getType == Schema.Type.NULL),
+          s"field '$col': only union(null, T) is supported")
+        (ts.find(_.getType != Schema.Type.NULL).get, true)
+      case _ => (s, false)
+    }
+
+  private def leafSparkType(s: Schema, col: String): DataType = {
+    val lt: LogicalType = s.getLogicalType
+    (s.getType, lt) match {
+      case (_, d: LogicalTypes.Decimal) =>
+        DecimalType(d.getPrecision, d.getScale)
+      case (_, _: LogicalTypes.TimestampMicros) => TimestampType
+      case (_, _: LogicalTypes.LocalTimestampMicros) => TimestampNTZType
+      case (_, _: LogicalTypes.Date) => DateType
+      case (Schema.Type.LONG, _) => LongType
+      case (Schema.Type.INT, _) => IntegerType
+      case (Schema.Type.DOUBLE, _) => DoubleType
+      case (Schema.Type.FLOAT, _) => FloatType
+      case (Schema.Type.BOOLEAN, _) => BooleanType
+      case (Schema.Type.STRING, _) => StringType
+      case (Schema.Type.BYTES, _) => BinaryType
+      case (Schema.Type.ARRAY, _) =>
+        val (es, en) = unwrapNullable(s.getElementType, s"$col[]")
+        ArrayType(leafSparkType(es, s"$col[]"), containsNull = en)
+      case (other, _) => throw new IllegalArgumentException(
+        s"field '$col': unsupported Avro type $other")
+    }
+  }
+
+  /** Spark external value → Avro datum for the matching leaf type. */
+  private def toAvro(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (s: String, _) => s
+    case (b: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(b)
+    case (bd: java.math.BigDecimal, d: DecimalType) =>
+      java.nio.ByteBuffer.wrap(
+        bd.setScale(d.scale).unscaledValue().toByteArray)
+    case (ts: java.sql.Timestamp, TimestampType) =>
+      val i = ts.toInstant
+      java.lang.Long.valueOf(
+        Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+          (i.getNano / 1000).toLong))
+    case (i: java.time.Instant, TimestampType) =>
+      java.lang.Long.valueOf(
+        Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+          (i.getNano / 1000).toLong))
+    case (ldt: java.time.LocalDateTime, TimestampNTZType) =>
+      val i = ldt.toInstant(java.time.ZoneOffset.UTC)
+      java.lang.Long.valueOf(
+        Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+          (i.getNano / 1000).toLong))
+    case (d: java.sql.Date, DateType) =>
+      java.lang.Integer.valueOf(d.toLocalDate.toEpochDay.toInt)
+    case (d: java.time.LocalDate, DateType) =>
+      java.lang.Integer.valueOf(d.toEpochDay.toInt)
+    case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
+      val out = new java.util.ArrayList[Any](seq.length)
+      seq.foreach(e => out.add(toAvro(e, et)))
+      out
+    case (x, _) => x
+  }
+
+  /** Avro datum → Spark external value for the matching leaf type. */
+  private def toExternal(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (u: org.apache.avro.util.Utf8, _) => u.toString
+    case (s: String, _) => s
+    case (bb: java.nio.ByteBuffer, d: DecimalType) =>
+      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a)
+      new java.math.BigDecimal(new java.math.BigInteger(a), d.scale)
+    case (bb: java.nio.ByteBuffer, _) =>
+      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+    case (l: java.lang.Long, TimestampType) =>
+      val micros = l.longValue()
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        Math.floorMod(micros, 1000000L) * 1000L))
+    case (l: java.lang.Long, TimestampNTZType) =>
+      val micros = l.longValue()
+      java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L),
+        java.time.ZoneOffset.UTC)
+    case (i: java.lang.Integer, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+    case (l: java.util.List[_], ArrayType(et, _)) =>
+      l.asScala.map(toExternal(_, et)).toSeq
+    case (x, _) => x
+  }
+
   /** Write `df` as Avro container files under `path`, one file per
-    * partition (empty partitions emit nothing). */
-  def write(df: DataFrame, path: String): Unit = {
+    * partition (empty partitions emit nothing). `syncInterval` is the
+    * approximate block size in bytes — the reader's split granularity
+    * (small values force many blocks, used by the split-read specs). */
+  def write(df: DataFrame, path: String,
+      syncInterval: Int = 64 * 1024): Unit = {
     val schema = df.schema
     val avroJson = avroSchemaFor(schema).toString
     df.foreachPartition { rows: Iterator[Row] =>
@@ -105,24 +212,19 @@ object AvroContainerFiles {
           f"part-$part%05d-${java.util.UUID.randomUUID()}.avro")
         // executor-side default Hadoop conf (Configuration is not
         // serializable; the default resolves local/HDFS schemes — the
-        // same assumption binaryFile makes on the read side)
+        // same assumption the read side makes)
         val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
         val out = fs.create(p, true)
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](avroSchema))
+        w.setSyncInterval(syncInterval)
         w.create(avroSchema, out)
         try {
           rows.foreach { row =>
             val rec = new GenericData.Record(avroSchema)
             var i = 0
             while (i < schema.length) {
-              val v = row.get(i) match {
-                case null => null
-                case s: String => s
-                case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-                case x => x
-              }
-              rec.put(i, v)
+              rec.put(i, toAvro(row.get(i), schema(i).dataType))
               i += 1
             }
             w.append(rec)
@@ -133,18 +235,25 @@ object AvroContainerFiles {
   }
 
   /** Read every `*.avro` container file under `path` back into a
-    * DataFrame. The writer schema comes from the FIRST file's header
-    * (one small driver-side header read); every file's own header
-    * schema drives its decode (Avro handles block codecs and sync
-    * markers), and a file whose columns disagree fails loud. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+    * DataFrame. The EXPECTED schema comes from the first file's header
+    * (one small driver-side header read); every file decodes through
+    * Avro schema resolution against it — fields resolve BY NAME, so a
+    * file with the same columns in a different order decodes
+    * correctly, and a file missing a field (or carrying an
+    * incompatible type) fails loud per Avro resolution rules. Files
+    * larger than `maxSplitBytes` (default: the session's
+    * `spark.sql.files.maxPartitionBytes`) are split on sync markers
+    * into independent tasks. */
+  def read(spark: SparkSession, path: String,
+      maxSplitBytes: Long = -1L): DataFrame = {
     val base = new Path(path)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(base).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".avro")).sortBy(_.getName)
+    val files = fs.listStatus(base).toSeq
+      .filter(_.getPath.getName.endsWith(".avro"))
+      .sortBy(_.getPath.getName)
     require(files.nonEmpty, s"no .avro container files under $path")
     val headerSchema = {
-      val in = fs.open(files.head)
+      val in = fs.open(files.head.getPath)
       try {
         val ds = new DataFileStream[GenericRecord](in,
           new GenericDatumReader[GenericRecord]())
@@ -153,38 +262,52 @@ object AvroContainerFiles {
         s
       } finally in.close()
     }
+    val expectedJson = headerSchema.toString
     val schema = sparkSchemaFor(headerSchema)
+    val fieldTypes = schema.fields.map(_.dataType)
     val n = schema.length
-    val binary = spark.read.format("binaryFile")
-      .load(s"$path/*.avro")
-      .select("content")
-    val rows = binary.rdd.flatMap { r =>
-      val bytes = r.getAs[Array[Byte]]("content")
-      val ds = new DataFileStream[GenericRecord](
-        new java.io.ByteArrayInputStream(bytes),
-        new GenericDatumReader[GenericRecord]())
-      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-      try {
-        while (ds.hasNext) {
-          val rec = ds.next()
-          val vals = new Array[Any](n)
-          var i = 0
-          while (i < n) {
-            vals(i) = rec.get(i) match {
-              case null => null
-              case u: org.apache.avro.util.Utf8 => u.toString
-              case s: String => s
-              case bb: java.nio.ByteBuffer =>
-                val a = new Array[Byte](bb.remaining()); bb.get(a); a
-              case x => x
-            }
-            i += 1
-          }
-          out += Row.fromSeq(vals.toSeq)
-        }
-      } finally ds.close()
-      out
+    val splitBytes =
+      if (maxSplitBytes > 0) maxSplitBytes
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    // (file, rangeStart, rangeEnd) splits — the task reads the blocks
+    // whose FIRST sync marker falls inside its range (avro's standard
+    // split contract), so every block is read exactly once.
+    val splits: Seq[(String, Long, Long)] = files.flatMap { st =>
+      val len = st.getLen
+      val p = st.getPath.toString
+      (0L until len by splitBytes).map(s => (p, s, math.min(s + splitBytes, len)))
     }
+    val rows = spark.sparkContext
+      .parallelize(splits, splits.size)
+      .flatMap { case (file, start, end) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val expected = new Schema.Parser().parse(expectedJson)
+        val in = new org.apache.avro.mapred.FsInput(new Path(file), conf)
+        // DataFileReader sets the file's own header schema as the
+        // WRITER schema; `expected` drives by-name resolution.
+        val reader = new DataFileReader[GenericRecord](in,
+          new GenericDatumReader[GenericRecord](null, expected))
+        new Iterator[Row] {
+          private var closed = false
+          reader.sync(start) // first sync at/after the range start
+          private def step(): Boolean =
+            if (closed) false
+            else if (reader.hasNext && !reader.pastSync(end)) true
+            else { reader.close(); closed = true; false }
+          override def hasNext: Boolean = step()
+          override def next(): Row = {
+            val rec = reader.next()
+            val vals = new Array[Any](n)
+            var i = 0
+            while (i < n) {
+              vals(i) = toExternal(rec.get(i), fieldTypes(i))
+              i += 1
+            }
+            Row.fromSeq(vals.toSeq)
+          }
+        }
+      }
     spark.createDataFrame(rows, schema)
   }
 }

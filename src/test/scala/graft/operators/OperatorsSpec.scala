@@ -3826,12 +3826,85 @@ class SourceRoundTripSpec extends SparkFunSuite {
     val head = java.nio.file.Files.readAllBytes(
       files.head.toPath).take(4)
     assert(head.sameElements(Array[Byte]('O', 'b', 'j', 1)))
-    // rich types are rejected at the boundary, not mangled
-    val nested = Seq((1L, Seq(1, 2))).toDF("id", "arr")
+    // NESTED types are rejected at the boundary, not mangled (arrays
+    // of primitives are supported since round 12; structs are not)
+    val nested = Seq((1L, (1, 2))).toDF("id", "st")
     intercept[IllegalArgumentException] {
       graft.sources.AvroContainerFiles.write(nested, path + "_nested")
     }
     ()
+  }
+
+  test("Avro container files: logical types (decimal/timestamp/ntz/" +
+      "date) and arrays round-trip losslessly") {
+    val s = spark
+    import s.implicits._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_avrolt_" +
+      ProcessHandle.current().pid()
+    val df = s.sql(
+      """SELECT id,
+        |  cast(cast(id * 137 as decimal(18,0)) / 100 as decimal(18,2))
+        |    AS dec,
+        |  timestamp_micros(id * 1000003) AS ts,
+        |  cast(timestamp_micros(id * 999983) as timestamp_ntz) AS tsn,
+        |  date_add(date'1970-01-01', cast(id % 1000 as int)) AS d,
+        |  CASE WHEN id = 3 THEN NULL
+        |       ELSE array(id, id * 2, NULL) END AS arr
+        |FROM range(0, 10) t(id)""".stripMargin)
+    graft.sources.AvroContainerFiles.write(df, path)
+    val back = graft.sources.AvroContainerFiles.read(s, path)
+    assert(back.schema == df.schema ||
+      back.schema.map(f => (f.name, f.dataType)) ==
+        df.schema.map(f => (f.name, f.dataType)),
+      s"schema mismatch: ${back.schema} vs ${df.schema}")
+    val a = df.orderBy("id").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b, s"$b")
+  }
+
+  test("Avro container files: ONE multi-block file is read as many " +
+      "sync-marker splits (>1 task) with no row lost or duplicated at " +
+      "split boundaries") {
+    val s = spark
+    import s.implicits._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_avrosp_" +
+      ProcessHandle.current().pid()
+    val n = 5000
+    val df = s.range(0, n)
+      .selectExpr("id", "repeat('x', 64) AS pad")
+      .repartition(1)
+    // tiny blocks → many sync markers inside the single file
+    graft.sources.AvroContainerFiles.write(df, path, syncInterval = 2048)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length == 1, "single container file")
+    val back = graft.sources.AvroContainerFiles.read(s, path,
+      maxSplitBytes = 16 * 1024)
+    assert(back.rdd.getNumPartitions > 1,
+      s"expected >1 split, got ${back.rdd.getNumPartitions}")
+    val ids = back.select("id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until n.toLong), "every row exactly once")
+  }
+
+  test("Avro container files: a file with the SAME columns in a " +
+      "different order resolves BY NAME against the first file's " +
+      "schema (no positional column swap)") {
+    val s = spark
+    import s.implicits._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_avrore_" +
+      ProcessHandle.current().pid()
+    // two writes into the same dir with reordered columns; file naming
+    // sorts part-00000 of the first write ahead, but which file wins
+    // header duty must not matter for correctness by name
+    val d1 = Seq((1L, "a"), (2L, "b")).toDF("id", "s").repartition(1)
+    val d2 = Seq(("c", 3L), ("d", 4L)).toDF("s", "id").repartition(1)
+    graft.sources.AvroContainerFiles.write(d1, path)
+    graft.sources.AvroContainerFiles.write(d2, path)
+    val back = graft.sources.AvroContainerFiles.read(s, path)
+      .select("id", "s").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+      s"$back")
   }
 
   test("JSONL and CSV hops are lossless on adversarial content") {
