@@ -182,7 +182,8 @@ object Bench {
       "text_index_phrase", "text_index_near", "sim_topk_ivf_indexed",
       "sim_topk_ivfpq_indexed", "dedup_incremental_near",
       "dedup_compacted_probe", "dedup_bucketed_probe",
-      "dedup_incremental_bucketed", "sim_topk_compacted",
+      "dedup_bucketed_append_probe", "dedup_incremental_bucketed",
+      "dedup_incremental_bucketed_append", "sim_topk_compacted",
       "layout_bucket_join", "corpus_compact", "source_schema_evolution",
       "source_avro_container", "source_avro_split", "source_avro_logical",
       "corpus_export_range")
@@ -203,7 +204,8 @@ object Bench {
     Seq("text_index_lookup", "text_index_and", "text_index_phrase",
         "text_index_near", "sim_topk_ivf_indexed", "sim_topk_ivfpq_indexed",
         "dedup_incremental_near", "dedup_bucketed_probe",
-        "dedup_incremental_bucketed", "dedup_compacted_probe",
+        "dedup_bucketed_append_probe", "dedup_incremental_bucketed",
+        "dedup_incremental_bucketed_append", "dedup_compacted_probe",
         "sim_topk_compacted", "layout_bucket_join", "corpus_compact",
         "source_schema_evolution", "source_avro_container",
         "corpus_export_range")

@@ -724,11 +724,17 @@ object Dedup {
   def compactLshIndex(spark: SparkSession, index: LshIndex,
       newPath: String, filesPerRelation: Int = 4): LshIndex = {
     require(filesPerRelation >= 1, "filesPerRelation must be >= 1")
+    // COALESCE, not repartition: compaction needs no clustering — only
+    // fewer files — and a full shuffle of a corpus-scaled index
+    // relation just to merge files is the scale bug. coalesce glues
+    // input splits into filesPerRelation write tasks shuffle-free
+    // (the Layout.compact discipline; plan contract spec-pinned: zero
+    // Exchange in the compaction jobs).
     spark.read.parquet(s"${index.path}/shingles")
-      .repartition(filesPerRelation)
+      .coalesce(filesPerRelation)
       .write.mode("overwrite").parquet(s"$newPath/shingles")
     spark.read.parquet(s"${index.path}/bands")
-      .repartition(filesPerRelation)
+      .coalesce(filesPerRelation)
       .write.mode("overwrite").parquet(s"$newPath/bands")
     index.copy(path = newPath)
   }
@@ -824,9 +830,10 @@ object Dedup {
     * |distinct candidate-id buckets| of the sidecar (PartitionFilters,
     * plan-spec-pinned) — at 100 TB a small daily delta touches a few
     * buckets of a corpus-sized index instead of scanning all of it.
-    * Build-once/probe-many: appends would fragment the bucket files —
-    * re-bucket via a fresh build (or keep the flat [[LshIndex]] +
-    * [[compactLshIndex]] pair for streaming ingest). */
+    * Refresh: [[appendToLshIndexBucketed]] writes delta rows INTO their
+    * bucket partitions (exactly-once via the ingest ledger), and
+    * [[compactLshIndexBucketed]] re-merges the per-batch bucket files —
+    * pruned probes AND incremental ingest, no corpus rebuild. */
   def buildLshIndexBucketed(corpus: DataFrame, textCol: String,
       idCol: String, path: String, shingleK: Int = 3, numHashes: Int = 64,
       bands: Int = 16, nBuckets: Int = 64): LshIndexBucketed = {
@@ -905,6 +912,71 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Stage a delta's band keys and shingle sets under `root` MIRRORING
+    * the bucketed index layout (`root/shingles/bucket=…`,
+    * `root/bands/bucket=…`) — the write half of
+    * [[appendToLshIndexBucketed]]'s staged commit. Each relation is
+    * repartitioned BY bucket before the partitioned write, so a delta
+    * adds at most ONE file per touched bucket per batch (delta-
+    * proportional shuffle — the delta is small by contract). */
+  def stageLshAppendBucketed(index: LshIndexBucketed, delta: DataFrame,
+      textCol: String, idCol: String, root: String): Unit = {
+    val sh = delta.select(col(idCol).as("id"),
+      TF.wordShingleHashes(col(textCol), index.shingleK).as("shingles"))
+      .localCheckpoint()
+    sh.withColumn("bucket", pmod(hash(col("id")), lit(index.nBuckets)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$root/shingles")
+    bandRows(sh, index.numHashes, index.bands)
+      .withColumn("bucket", pmod(hash(col("bk")), lit(index.nBuckets)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$root/bands")
+  }
+
+  /** Append a delta to a BUCKETED LSH index, bucket-aligned and
+    * exactly-once: rows stage under the index's `_ingest_staging`
+    * mirror and publish into their `bucket=` partitions through
+    * [[graft.streaming.IngestLedger.exactlyOnceAppend]]'s
+    * stage→manifest→idempotent-rename→mark protocol, so a checkpointed
+    * replay of the same (queryId, batchId) is a no-op (byte-identical
+    * index — spec-pinned) and a crash at any point either re-runs
+    * against an untouched index or only finishes the renames. Closes
+    * round 11's gap: pruned probes ([[lshProbeNearDupBucketed]]'s
+    * PartitionFilters hold over appended files — parquet partition
+    * discovery is file-set-agnostic) WITHOUT rebuild-the-world
+    * refresh. Anonymous callers (empty queryId) append unguarded, the
+    * [[graft.streaming.BucketedSnapshotStore.publish]] rule. */
+  def appendToLshIndexBucketed(index: LshIndexBucketed, delta: DataFrame,
+      textCol: String, idCol: String, queryId: String = "",
+      batchId: Long = 0L): LshIndexBucketed = {
+    graft.streaming.IngestLedger.exactlyOnceAppend(delta.sparkSession,
+      index.path, queryId, batchId)(root =>
+        stageLshAppendBucketed(index, delta, textCol, idCol, root))
+    index
+  }
+
+  /** Compact a bucketed LSH index into a FRESH path, merging the
+    * per-batch appended files WITHIN each bucket back to one file per
+    * bucket. Unlike the flat [[compactLshIndex]] (pure coalesce — no
+    * clustering needed), the bucketed layout IS a clustering contract,
+    * so the repartition-by-bucket here is justified (the IVF-PQ
+    * compactor's rule); it is one delta-history-sized shuffle per
+    * relation, amortized across every probe that follows. Same
+    * zero-downtime handle-swap pattern, same sidecar-first crash
+    * ordering, probe results spec- and oracle-pinned identical. */
+  def compactLshIndexBucketed(spark: SparkSession,
+      index: LshIndexBucketed, newPath: String): LshIndexBucketed = {
+    Seq("shingles", "bands").foreach { rel =>
+      spark.read.parquet(s"${index.path}/$rel")
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$newPath/$rel")
+    }
+    index.copy(path = newPath)
+  }
+
   // ---- Bucketed digest index: partition-pruned exact-dedup probe ----
 
   /** Handle to a written, hash-bucketed corpus digest index (see
@@ -917,8 +989,9 @@ object Dedup {
     * digests map to ≤ nBuckets buckets and the probe reads only those —
     * at 100 TB the corpus digest index is itself corpus-scaled (32
     * bytes/doc), and scanning all of it per delta is the hidden cost
-    * the flat layout pays. Build once per snapshot; appends re-bucket
-    * via a fresh build (the bucketed-LSH rule). */
+    * the flat layout pays. Refresh: [[appendToDigestIndexBucketed]]
+    * writes a delta's digests into their bucket partitions
+    * exactly-once — no corpus rebuild. */
   def buildDigestIndexBucketed(corpus: DataFrame, textCol: String,
       path: String, nBuckets: Int = 256): DigestIndexBucketed = {
     require(nBuckets >= 1, "nBuckets must be >= 1")
@@ -953,6 +1026,35 @@ object Dedup {
         .filter(col("bucket").isin(buckets: _*))
         .select(col("text_sha")),
       Seq("text_sha"), "left_anti")
+  }
+
+  /** Stage a delta's digests under `root` mirroring the bucketed
+    * digest layout (`root/bucket=…`) — the write half of
+    * [[appendToDigestIndexBucketed]]'s staged commit. */
+  def stageDigestAppendBucketed(index: DigestIndexBucketed,
+      delta: DataFrame, textCol: String, root: String): Unit =
+    delta.select(sha2(col(textCol), 256).as("text_sha"))
+      .withColumn("bucket", pmod(hash(col("text_sha")), lit(index.nBuckets)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(root)
+
+  /** Append a delta's digests to a BUCKETED digest index,
+    * bucket-aligned and exactly-once (the [[appendToLshIndexBucketed]]
+    * protocol applied to the exact-dedup index): new digests land in
+    * their `bucket=` partitions via the ingest ledger's staged commit,
+    * so the daily loop is probe ([[incrementalNewBucketed]], pruned) →
+    * append (this) with no corpus rebuild and no replay double-write.
+    * Appended duplicate digests are benign for the anti-join (any
+    * match suppresses) but accumulate; [[buildDigestIndexBucketed]] at
+    * a fresh path is the periodic re-distinct, exactly the flat
+    * pattern's compaction discipline. */
+  def appendToDigestIndexBucketed(index: DigestIndexBucketed,
+      delta: DataFrame, textCol: String, queryId: String = "",
+      batchId: Long = 0L): DigestIndexBucketed = {
+    graft.streaming.IngestLedger.exactlyOnceAppend(delta.sparkSession,
+      index.path, queryId, batchId)(root =>
+        stageDigestAppendBucketed(index, delta, textCol, root))
+    index
   }
 
   // ---- Bloom-filter incremental dedup ----

@@ -822,6 +822,56 @@ object ExtensionQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // BUCKET-ALIGNED APPEND (round 12): the index is built over HALF
+    // the corpus and the other half APPENDED into its bucket
+    // partitions through the ingest ledger's staged commit — the probe
+    // must then be indistinguishable from one over a fresh full build,
+    // so it answers to the same full value oracle as
+    // dedup_bucketed_probe; the replay (same batch twice → byte-
+    // identical index) and post-append PartitionFilters contracts are
+    // spec-pinned
+    "dedup_bucketed_append_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val path = memoizedFixture(tmpArtifact("graft_lsh_bapp", dir)) {
+        tmp =>
+          val idx = Dedup.buildLshIndexBucketed(
+            docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", tmp)
+          Dedup.appendToLshIndexBucketed(idx,
+            docs.filter(col("doc_id") % 2 =!= 0), "text", "doc_id")
+          ()
+      }
+      val index = Dedup.LshIndexBucketed(path, shingleK = 3,
+        numHashes = 64, bands = 16, nBuckets = 64)
+      val delta = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"))
+      Dedup.lshProbeNearDupBucketed(index, delta, "text", "doc_id",
+          threshold = 0.8)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // the digest-index twin: half-built, half-appended, probed by the
+    // same delta — identical output to dedup_incremental_bucketed by
+    // the same oracle
+    "dedup_incremental_bucketed_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val path = memoizedFixture(tmpArtifact("graft_digest_bapp", dir)) {
+        tmp =>
+          val idx = Dedup.buildDigestIndexBucketed(
+            docs.filter(col("doc_id") % 2 === 0), "text", tmp)
+          Dedup.appendToDigestIndexBucketed(idx,
+            docs.filter(col("doc_id") % 2 =!= 0), "text")
+          ()
+      }
+      val index = Dedup.DigestIndexBucketed(path, nBuckets = 256)
+      val delta1 = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" updated"))).as("text"))
+      val delta = delta1.unionAll(
+        delta1.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.incrementalNewBucketed(index, delta, "text", "doc_id")
+        .orderBy(col("survivor_id"))
+    }),
+
     // INDEX MAINTENANCE (round 11): the same probe over a COMPACTED
     // rewrite of the written LSH index (bounded file counts at a fresh
     // path, handle swap) — results must be identical, so it reuses the
@@ -4449,6 +4499,8 @@ object ExtensionQueries {
     // probe variants answer to the SAME full value oracle
     "dedup_compacted_probe" -> LshProbeOracleSql,
     "dedup_bucketed_probe" -> LshProbeOracleSql,
+    // half-built + half-appended index ≡ full build — same full oracle
+    "dedup_bucketed_append_probe" -> LshProbeOracleSql,
     "sim_topk_compacted" -> IvfPqOracleSql,
     // same qualifying pairs as dedup_minhash, then the transitive closure
     // (recursive CTE) picks each component's min id
@@ -4815,6 +4867,7 @@ object ExtensionQueries {
     "dedup_incremental" -> IncrementalNewOracleSql,
     // the bucketed-index probe must be invisible to results
     "dedup_incremental_bucketed" -> IncrementalNewOracleSql,
+    "dedup_incremental_bucketed_append" -> IncrementalNewOracleSql,
     // full recompute of the Bloom probe: the SAME poly-fingerprint fold,
     // Knuth double-hash chain (h1 + i·(h2|1) mod 2^20), and
     // all-positions-present test — bit packing is equivalent to position-

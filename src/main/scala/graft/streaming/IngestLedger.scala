@@ -155,8 +155,64 @@ object IngestLedger {
     * Anonymous callers (empty queryId) append without a transaction —
     * the staged files move under a batch-only token, with no replay
     * identity to guard (the [[BucketedSnapshotStore.publish]] rule). */
+  /** Delete staging dirs and manifests whose token belongs to
+    * `queryId` with a batchId at or below the index's high-water mark —
+    * debris from a crash in the record()→cleanup() window: on replay
+    * `alreadyApplied` is true BEFORE `resumePending` ever runs, so
+    * nothing else would ever delete them and crashed batches would
+    * accumulate unbounded. Safe to delete: batchId ≤ HWM means the
+    * moves completed before the mark was written (record follows
+    * completeMoves), so only the cleanup is being finished. Called at
+    * every append entry — one staging-dir listing, index bookkeeping
+    * not data. Anonymous (nanotime) tokens have no replay identity to
+    * compare against a mark; their appends clean up inline and a
+    * crashed anonymous batch is re-run by its own job-level retry. */
+  private def sweepApplied(spark: SparkSession, indexPath: String,
+      queryId: String): Unit = {
+    if (queryId.isEmpty) return
+    val root = new Path(indexPath)
+    val fs = fsOf(spark, root)
+    val mark = new Path(root, MarkFile)
+    if (!fs.exists(mark)) return
+    val kv = BucketedSnapshotStore.readSmallFile(fs, mark).linesIterator
+      .filter(_.contains('=')).map { l =>
+        val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+      }.toMap
+    if (!kv.get("lastQueryId").contains(queryId)) return
+    val hwmOpt = kv.get("lastBatchId").map(_.toLong)
+    if (hwmOpt.isEmpty) return
+    val hwm = hwmOpt.get
+    val prefix = queryId.replaceAll("[^A-Za-z0-9-]", "_") + "_b"
+    val sDir = new Path(root, StagingDir)
+    if (!fs.exists(sDir)) return
+    fs.listStatus(sDir).foreach { st =>
+      val name = st.getPath.getName
+      val token = name.stripSuffix(".manifest")
+      if (token.startsWith(prefix)) {
+        val bid = token.substring(prefix.length)
+        if (bid.nonEmpty && bid.forall(_.isDigit) && bid.toLong <= hwm) {
+          fs.delete(st.getPath, true)
+          ()
+        }
+      }
+    }
+  }
+
   def exactlyOnceAppend(spark: SparkSession, indexPath: String,
       queryId: String, batchId: Long)(stage: String => Unit): Unit = {
+    // the primitive is replay-safe on its own: an already-applied
+    // (queryId, batchId) no-ops (staged part files carry fresh UUID
+    // names, so re-staging + re-moving would DOUBLE the data — the
+    // per-file idempotent rename only guards re-moves of the SAME
+    // staged files), and a post-manifest crash only finishes. Batch
+    // bodies that sequence a probe/sink BEFORE the append still check
+    // these at entry to skip the whole body.
+    if (alreadyApplied(spark, indexPath, queryId, batchId)) {
+      sweepApplied(spark, indexPath, queryId)
+      return
+    }
+    if (resumePending(spark, indexPath, queryId, batchId)) return
+    sweepApplied(spark, indexPath, queryId)
     val root = new Path(indexPath)
     // an anonymous caller has no replay identity: its token carries a
     // nanotime disambiguator so two unrelated jobs reusing a batchId

@@ -115,6 +115,138 @@ class LshIndexSpec extends SparkFunSuite {
       c.filter(lit(false)), "text", "doc_id").count() == 0)
   }
 
+  private def fileManifest(root: String): Seq[(String, Long)] = {
+    val base = java.nio.file.Paths.get(root)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(base).iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p))
+      .map(p => (base.relativize(p).toString, java.nio.file.Files.size(p)))
+      .filterNot(_._1.contains("_ingest_"))   // ledger bookkeeping
+      .filterNot(_._1.endsWith("_SUCCESS"))
+      .toSeq.sortBy(_._1)
+  }
+
+  test("bucketed append: half-built + half-appended index probes " +
+    "identically to a full build; a replay of the same (queryId, " +
+    "batchId) is a byte-level no-op; partition pruning holds " +
+    "post-append") {
+    val c = corpus
+    val s = spark
+    import s.implicits._
+    val full = Dedup.buildLshIndexBucketed(c, "text", "doc_id",
+      tmpPath("bapp_full"), nBuckets = 64)
+    val half = Dedup.buildLshIndexBucketed(
+      c.filter($"doc_id" % 2 === 0), "text", "doc_id",
+      tmpPath("bapp_half"), nBuckets = 64)
+    Dedup.appendToLshIndexBucketed(half,
+      c.filter($"doc_id" % 2 =!= 0), "text", "doc_id",
+      queryId = "q-bapp", batchId = 7L)
+    val after = fileManifest(half.path)
+    // replay: same (queryId, batchId) again → nothing changes on disk
+    Dedup.appendToLshIndexBucketed(half,
+      c.filter($"doc_id" % 2 =!= 0), "text", "doc_id",
+      queryId = "q-bapp", batchId = 7L)
+    assert(fileManifest(half.path) == after,
+      "replayed append must be a no-op on the index file set")
+    val delta = c.limit(60).select(($"doc_id" + 1000L).as("doc_id"),
+      when($"doc_id" % 2 === 0, $"text")
+        .otherwise(concat($"text", lit(" tail drift words"))).as("text"))
+    def probe(i: Dedup.LshIndexBucketed) =
+      Dedup.lshProbeNearDupBucketed(i, delta, "text", "doc_id",
+          threshold = 0.6)
+        .orderBy($"a", $"b").collect().map(_.toString).toSeq
+    val got = probe(half)
+    assert(got.nonEmpty && got == probe(full),
+      "append must be indistinguishable from a fresh full build")
+    // partition pruning survives the appended files
+    val tiny = c.limit(2).select(($"doc_id" + 5000L).as("doc_id"), $"text")
+    val plan = Dedup.lshProbeNearDupBucketed(half, tiny, "text",
+      "doc_id", threshold = 0.6).queryExecution.executedPlan.toString
+    val filters =
+      """PartitionFilters: \[[^\]]*\]""".r.findAllIn(plan).toList
+    assert(filters.size >= 2 &&
+      filters.forall(f => f.contains("bucket") && !f.contains("[]")),
+      s"post-append probe must stay pruned on bucket: $filters")
+    // bucketed compaction: one file per touched bucket, identical probe
+    val compacted = Dedup.compactLshIndexBucketed(s, half,
+      tmpPath("bapp_compact"))
+    val perBucket = new java.io.File(s"${compacted.path}/bands")
+      .listFiles().filter(_.getName.startsWith("bucket="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perBucket.nonEmpty && perBucket.forall(_ == 1),
+      s"compaction must leave one file per bucket, got " +
+        perBucket.mkString(","))
+    assert(probe(compacted) == got,
+      "bucketed compaction must be invisible to probe results")
+  }
+
+  test("bucketed digest append: half-built + half-appended index " +
+    "gives the same incremental survivors as a full build") {
+    val c = corpus
+    val s = spark
+    import s.implicits._
+    val full = Dedup.buildDigestIndexBucketed(c, "text",
+      tmpPath("dapp_full"), nBuckets = 32)
+    val half = Dedup.buildDigestIndexBucketed(
+      c.filter($"doc_id" % 2 === 0), "text",
+      tmpPath("dapp_half"), nBuckets = 32)
+    Dedup.appendToDigestIndexBucketed(half,
+      c.filter($"doc_id" % 2 =!= 0), "text",
+      queryId = "q-dapp", batchId = 3L)
+    val delta = c.limit(60).select(($"doc_id" + 1000L).as("doc_id"),
+      when($"doc_id" % 2 === 0, $"text")
+        .otherwise(concat($"text", lit(" edited"))).as("text"))
+    def survivors(i: Dedup.DigestIndexBucketed) =
+      Dedup.incrementalNewBucketed(i, delta, "text", "doc_id")
+        .orderBy($"survivor_id").collect().map(_.toString).toSeq
+    val got = survivors(half)
+    assert(got.nonEmpty && got == survivors(full))
+    // replay idempotence on the digest index too
+    val before = fileManifest(half.path)
+    Dedup.appendToDigestIndexBucketed(half,
+      c.filter($"doc_id" % 2 =!= 0), "text",
+      queryId = "q-dapp", batchId = 3L)
+    assert(fileManifest(half.path) == before)
+  }
+
+  test("flat compaction plan contract: compactLshIndex runs ZERO " +
+    "shuffle exchanges (coalesce, not repartition)") {
+    val c = corpus
+    val s = spark
+    import s.implicits._
+    val index = Dedup.buildLshIndex(c, "text", "doc_id",
+      tmpPath("noshuffle_src"))
+    Dedup.appendToLshIndex(index, c.select($"doc_id" + 500L as "doc_id",
+      $"text"), "text", "doc_id")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        plans.add(qe.executedPlan.toString); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    try {
+      Dedup.compactLshIndex(s, index, tmpPath("noshuffle_dst"),
+        filesPerRelation = 1)
+      // listener delivery is async — poll for both write plans
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (plans.size() < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(plans.size() >= 2, "expected both relation-write plans")
+      import scala.jdk.CollectionConverters._
+      plans.asScala.foreach { p =>
+        assert(!p.contains("Exchange"),
+          s"compaction must be shuffle-free:\n$p")
+        assert(p.contains("Coalesce"), s"expected coalesce:\n$p")
+      }
+    } finally s.listenerManager.unregister(listener)
+  }
+
   test("plan contract: index relations are scanned, never shuffled — " +
     "delta band keys and candidates broadcast") {
     val c = corpus

@@ -60,6 +60,47 @@ class IngestLedgerSpec extends SparkFunSuite {
       s.read.parquet(s"$dir/shingles").count() == n1 + 1)
   }
 
+  test("record()→cleanup() crash debris is swept by the next append: " +
+      "manifests and staging dirs at or below the high-water mark are " +
+      "deleted; in-flight and foreign debris survive") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_ledger_sweep") + "/idx"
+    def append(batchId: Long, id: Long): Unit =
+      IngestLedger.exactlyOnceAppend(s, dir, "q-sweep", batchId) { root =>
+        Seq((id, s"text $id")).toDF("doc_id", "text")
+          .write.mode("overwrite").parquet(root)
+      }
+    append(0L, 1L)
+    // forge the exact crash window: batch 1's moves + mark completed,
+    // cleanup didn't — its staging dir and manifest remain while the
+    // HWM already covers batchId 1
+    append(1L, 2L)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(root, "_ingest_staging")
+    val debrisDir = new org.apache.hadoop.fs.Path(staging, "q-sweep_b1")
+    fs.mkdirs(debrisDir)
+    val debrisManifest =
+      new org.apache.hadoop.fs.Path(staging, "q-sweep_b1.manifest")
+    val out = fs.create(debrisManifest, true)
+    out.write("part-orphan.parquet\n".getBytes("UTF-8")); out.close()
+    // foreign debris (another queryId) and an anon token must survive
+    val foreign = new org.apache.hadoop.fs.Path(staging, "q-other_b0")
+    val anon = new org.apache.hadoop.fs.Path(staging, "anon_b5_12345")
+    fs.mkdirs(foreign); fs.mkdirs(anon)
+    // on replay alreadyApplied() is true BEFORE resumePending() runs —
+    // without the sweep this debris would live forever
+    assert(IngestLedger.alreadyApplied(s, dir, "q-sweep", 1L))
+    append(2L, 3L) // next real batch sweeps
+    assert(!fs.exists(debrisDir), "applied staging dir must be swept")
+    assert(!fs.exists(debrisManifest), "applied manifest must be swept")
+    assert(fs.exists(foreign), "another query's debris must survive")
+    assert(fs.exists(anon), "anonymous tokens have no HWM to compare")
+    // the index itself is intact
+    assert(s.read.parquet(dir).count() == 3)
+  }
+
   test("staged-commit appends: a crash at ANY point either fully " +
       "re-runs (pre-manifest) or only finishes (post-manifest, even " +
       "mid-move) — the index is never double-applied") {
