@@ -188,7 +188,15 @@ object Bench {
       "source_avro_container", "source_avro_split", "source_avro_logical",
       "corpus_export_range")
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach {
+    // SPARK_GRAFT_ONLY=a,b,c restricts the sweep — for focused
+    // re-timing (e.g. the round-11 avro_roundtrip_agg outlier hunt);
+    // the driver's full sweep never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
+
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => selected(n) }.foreach {
       case (name, fn) =>
         // noop sink: forces full evaluation of every output column —
         // count() would let Catalyst prune projections (a decode-heavy
@@ -209,10 +217,11 @@ object Bench {
         "sim_topk_compacted", "layout_bucket_join", "corpus_compact",
         "source_schema_evolution", "source_avro_container",
         "corpus_export_range")
-      .filter(SparkEntry.queries.contains).foreach { name =>
-        timeMinOf(s"${name}_probe", reps, () =>
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save())
+      .filter(SparkEntry.queries.contains).filter(selected).foreach {
+        name =>
+          timeMinOf(s"${name}_probe", reps, () =>
+            SparkEntry.queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save())
       }
     emit("total")
     spark.stop()

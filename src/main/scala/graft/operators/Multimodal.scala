@@ -251,7 +251,6 @@ object Multimodal {
         TF.intDivNonNeg(total * 1000L, sr).as("duration_ms")))
   }
 
-  final case class BlobRow(doc_id: Long, blob: Array[Byte])
   final case class FeatureRow(doc_id: Long, n_bytes: Int, mean_byte: Double,
       features: Array[Float])
 
@@ -3275,22 +3274,22 @@ object Multimodal {
       .as[ChunkRow]
   }
 
-  /** Per-partition batch feature extraction: one extractor instance per
-    * partition (where a codec would allocate its native context once),
-    * streaming iterator-to-iterator — no partition materialization. */
+  /** Format-agnostic byte statistics per blob — since round 12 a
+    * native Catalyst expression projection (the same promotion every
+    * real decoder got in round 11), retiring the repo's last
+    * `mapPartitions` and its Dataset-encoder boundary. NULL blobs
+    * coalesce to empty payloads (the historical semantics: a zero
+    * row, not a null row). */
   def extractFeatures(df: DataFrame, idCol: String,
       blobCol: String = "blob"): Dataset[FeatureRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
-      .as[BlobRow]
-      .mapPartitions { rows =>
-        // per-partition init happens here (native codec handle, model, …)
-        rows.map { r =>
-          val bytes = if (r.blob == null) Array.emptyByteArray else r.blob
-          val (mean, feats) = FeatureExtractor.decodeStub(bytes)
-          FeatureRow(r.doc_id, bytes.length, mean, feats)
-        }
-      }
+    df.select(col(idCol).cast("long").as("doc_id"),
+        graft.plans.MediaExprs.byteStatsCol(
+          coalesce(col(blobCol), lit(Array.emptyByteArray))).as("s"))
+      .select(col("doc_id"), col("s.n_bytes").as("n_bytes"),
+        col("s.mean_byte").as("mean_byte"),
+        col("s.features").as("features"))
+      .as[FeatureRow]
   }
 }

@@ -190,6 +190,20 @@ object MediaArrayKernel {
       InternalRow(r.sample_idx, r.chunk_idx, r.offset, r.size)
     }.toArray[Any])
 
+  /** [[Multimodal.FeatureRow]] minus doc_id — format-agnostic byte
+    * statistics. The kernel is TOTAL (empty blob → zeros), so the
+    * struct is never null for a non-null blob. */
+  val byteStatsSchema: StructType = StructType(Seq(
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("mean_byte", DoubleType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false),
+      nullable = false)))
+
+  def byteStats(b: Array[Byte]): InternalRow = {
+    val (mean, feats) = Multimodal.FeatureExtractor.decodeStub(b)
+    InternalRow(b.length, mean, new GenericArrayData(feats))
+  }
+
   def mp3Meta(b: Array[Byte]): InternalRow =
     Multimodal.mp3MetaJvm(b) match {
       case Some(m) => InternalRow(m.version_x10, m.layer, m.sample_rate,
@@ -367,6 +381,23 @@ case class Mp3Meta(child: Expression) extends MediaDecodeExpression {
 /** Column constructors for the round-11 media expressions — the
   * [[Multimodal.pngFeaturesCol]] convention, collected here so the
   * operators module reads declaratively. */
+/** `byte_stats(blob)` → format-agnostic content statistics (byte
+  * count, mean byte, 8-bucket histogram fractions) — the round-12
+  * promotion of the LAST `mapPartitions` extractor
+  * ([[Multimodal.extractFeatures]]) onto the native-expression path;
+  * unlike the decoders the kernel is total, so nullability tracks the
+  * child only. */
+case class ByteStats(child: Expression) extends MediaDecodeExpression {
+  override def dataType: DataType = MediaArrayKernel.byteStatsSchema
+  override def nullable: Boolean = child.nullable
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.byteStats($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.byteStats(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_byte_stats"
+}
+
 object MediaExprs {
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
@@ -386,4 +417,5 @@ object MediaExprs {
   def mp4TracksCol(blob: Column): Column = c(Mp4Tracks(e(blob)))
   def mp3MetaCol(blob: Column): Column = c(Mp3Meta(e(blob)))
   def mp4SyncRangesCol(blob: Column): Column = c(Mp4SyncRanges(e(blob)))
+  def byteStatsCol(blob: Column): Column = c(ByteStats(e(blob)))
 }

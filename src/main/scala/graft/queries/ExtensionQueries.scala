@@ -655,6 +655,29 @@ object ExtensionQueries {
   private[graft] def mp4Fixture(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), mp4Blob.as("blob"))
 
+  /** 16 KiB media region whose byte at ABSOLUTE file offset p is
+    * `p % 251` (prime modulus — no aliasing with the 2-periodic sample
+    * sizes) — ONE plan-time constant shared by every row. */
+  private[graft] lazy val mp4DataRegion: Array[Byte] =
+    Array.tabulate(16384)(p => (p % 251).toByte)
+
+  /** [[mp4Fixture]] plus a REAL mdat-style data region: the header's
+    * chunk offsets (4096·(c+1)) point INTO the blob, so the planned
+    * keyframe byte ranges are actually readable. The data literal is
+    * addressed absolutely (byte p of the final blob is `p % 251` for
+    * every p past the header), so slice content is pure offset
+    * arithmetic for the oracle. The header is hoisted into an alias
+    * first — `octet_length` then reads a bound attribute instead of
+    * cloning the fixture tree (the mm_wav_meta task-binary trap). */
+  private[graft] def mp4FixtureWithData(s: SparkSession, dir: String)
+      : DataFrame = {
+    val dataLit = lit(mp4DataRegion)
+    t(s, dir, "documents").select(col("doc_id"), mp4Blob.as("hdr"))
+      .select(col("doc_id"), concat(col("hdr"),
+        dataLit.substr((octet_length(col("hdr")) + 1).cast("int"),
+          (lit(16384) - octet_length(col("hdr"))).cast("int"))).as("blob"))
+  }
+
   /** MP3 fixture — a VBR MPEG1 Layer III mono stream in closed form:
     * ID3v2 tag of 6 + d%5 body bytes, then 20 + d%10 back-to-back
     * frames whose per-frame bitrate index cycles 1 + (d+f)%14. Sample
@@ -2540,6 +2563,40 @@ object ExtensionQueries {
       Multimodal.extractMp4SyncRanges(mp4Fixture(s, dir), "doc_id")
         .toDF()
         .orderBy(col("doc_id"), col("sample_idx"))),
+
+    // RANGED-GET KEYFRAME MATERIALIZATION (round 12) — the sync-range
+    // plan composed with the byte fetch it exists for: the fixture now
+    // carries a real data region at the header's chunk offsets, each
+    // planned (offset, size) range is sliced out of the blob (substr =
+    // the ranged GET), and integer checksums over the SLICED BYTES
+    // prove the plan addresses exactly the claimed keyframe bytes —
+    // the oracle recomputes both sums from the closed-form byte layout
+    "mm_video_keyframe_bytes" -> ((s, dir) => {
+      val sliced = mp4FixtureWithData(s, dir)
+        .select(col("doc_id"),
+          explode(graft.plans.MediaExprs.mp4SyncRangesCol(col("blob")))
+            .as("r"),
+          col("blob"))
+        .select(col("doc_id"),
+          col("r.sample_idx").as("sample_idx"),
+          col("r.offset").as("offset"), col("r.size").as("size"),
+          col("blob").substr((col("r.offset") + 1L).cast("int"),
+            col("r.size").cast("int")).as("slice"))
+      def byteAt(hx: org.apache.spark.sql.Column,
+          i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        conv(hx.substr((i * 2L - 1L).cast("int"), lit(2)), 16, 10)
+          .cast("long")
+      sliced
+        .select(col("doc_id"), col("sample_idx"), col("offset"),
+          col("size"), hex(col("slice")).as("hx"))
+        .select(col("doc_id"), col("sample_idx"), col("offset"),
+          col("size"),
+          aggregate(sequence(lit(1L), col("size")), lit(0L),
+            (a, i) => a + byteAt(col("hx"), i)).as("slice_sum"),
+          aggregate(sequence(lit(1L), col("size")), lit(0L),
+            (a, i) => a + i * byteAt(col("hx"), i)).as("slice_wsum"))
+        .orderBy(col("doc_id"), col("sample_idx"))
+    }),
 
     // PROGRESSIVE JPEG (round 11) — the same whole-image profile over
     // the three-scan SOF2 fixture: spectral selection + successive
@@ -5904,6 +5961,35 @@ object ExtensionQueries {
         |    + (i // 2 - (c * spc) // 2) AS BIGINT) AS offset,
         |  CAST(s0 + i % 2 AS BIGINT) AS size
         |FROM r ORDER BY doc_id, sample_idx""".stripMargin,
+
+    // the planned ranges PLUS the checksums of the bytes they address:
+    // the fixture's data region stores byte p%251 at absolute offset
+    // p, so both sums are pure offset arithmetic replayed per range
+    "mm_video_keyframe_bytes" ->
+      """WITH p AS (SELECT doc_id,
+        |    24 + doc_id % 8 AS n,
+        |    80 + doc_id % 32 AS s0,
+        |    (24 + doc_id % 8 + doc_id % 3) // (1 + doc_id % 3) AS spc
+        |  FROM documents),
+        |ix AS (SELECT doc_id, s0, spc, unnest(range(0, n)) AS i FROM p),
+        |r AS (SELECT doc_id, i, i // spc AS c, s0, spc FROM ix
+        |  WHERE doc_id % 2 = 0 OR i % 8 = 0),
+        |k AS (SELECT doc_id, i,
+        |    4096 * (c + 1) + (i - c * spc) * s0
+        |      + (i // 2 - (c * spc) // 2) AS o,
+        |    s0 + i % 2 AS sz
+        |  FROM r)
+        |SELECT doc_id,
+        |  CAST(i + 1 AS BIGINT) AS sample_idx,
+        |  CAST(o AS BIGINT) AS offset,
+        |  CAST(sz AS BIGINT) AS size,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0, sz), j -> (o + j) % 251)),
+        |    (a, x) -> a + x) AS BIGINT) AS slice_sum,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0, sz), j -> (j + 1) * ((o + j) % 251))),
+        |    (a, x) -> a + x) AS BIGINT) AS slice_wsum
+        |FROM k ORDER BY doc_id, sample_idx""".stripMargin,
 
     // the VBR frame grid recomputed: per-frame lengths are 3·kbps at
     // 48 kHz Layer III, summed over the cycling bitrate index; the

@@ -57,7 +57,8 @@ class MediaCodegenSpec extends SparkFunSuite {
         "mp4_meta" -> graft.plans.MediaExprs.mp4MetaCol,
         "mp4_tracks" -> graft.plans.MediaExprs.mp4TracksCol,
         "mp4_sync_ranges" -> graft.plans.MediaExprs.mp4SyncRangesCol,
-        "mp3_meta" -> graft.plans.MediaExprs.mp3MetaCol)
+        "mp3_meta" -> graft.plans.MediaExprs.mp3MetaCol,
+        "byte_stats" -> graft.plans.MediaExprs.byteStatsCol)
       for ((name, f) <- fns) {
         // junk blobs: structs NULL / arrays empty, audit gives a
         // verdict — the point is the collect not throwing under
