@@ -51,6 +51,8 @@ object Multimodal {
       .when(substring(blob, 1, 3) ===
         lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)), "jpeg")
       .when(substring(blob, 1, 4) === lit("GIF8".getBytes), "gif")
+      .when(substring(blob, 1, 4) === lit("RIFF".getBytes) &&
+        substring(blob, 9, 4) === lit("WEBP".getBytes), "webp")
       .when(substring(blob, 1, 4) === lit("RIFF".getBytes), "riff")
       .when(substring(blob, 1, 4) === lit("fLaC".getBytes), "flac")
       .when(substring(blob, 1, 2) === lit("BM".getBytes), "bmp")
@@ -2527,6 +2529,52 @@ object Multimodal {
       (w, h, 3, out)
     }
 
+  /** RIFF/WEBP chunk walk → the image-bearing chunk: fourcc + (offset,
+    * len) of the payload for `VP8L` (lossless) or `VP8 ` (lossy),
+    * scanning past `VP8X`/`ICCP`/`EXIF`/… chunks (extended container).
+    * Chunks are 2-byte aligned; sizes are little-endian. */
+  private[graft] def locateWebpCoded(b: Array[Byte])
+      : Option[(String, Int, Int)] = {
+    if (b == null || b.length < 12 || sniffKindJvm(b) != "webp") return None
+    var p = 12
+    while (p + 8 <= b.length) {
+      val fourcc = new String(b, p, 4, "ISO-8859-1")
+      val size = (b(p + 4) & 0xff) | ((b(p + 5) & 0xff) << 8) |
+        ((b(p + 6) & 0xff) << 16) | ((b(p + 7) & 0xff) << 24)
+      if (size < 0 || p + 8 + size > b.length) return None
+      if (fourcc == "VP8L" || fourcc == "VP8 ")
+        return Some((fourcc.trim, p + 8, size))
+      p += 8 + size + (size & 1) // chunks are 2-byte aligned
+    }
+    None
+  }
+
+  /** WebP lossless decode → (width, height, ARGB pixels); None for
+    * lossy VP8 (perceptual codec — honest `no_codec` upstream) and
+    * anything malformed. The VP8L bitstream work lives in [[Vp8l]]. */
+  def decodeWebpArgb(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    locateWebpCoded(bytes).flatMap {
+      case ("VP8L", off, len) => Vp8l.decode(bytes, off, len)
+      case _ => None
+    }
+
+  /** WebP lossless → the shared raster profile (ARGB unpacked to RGBA
+    * bytes; alpha ignored by [[rasterFeatures]]'s 4-channel path). */
+  def decodeWebpFeatures(bytes: Array[Byte]): Option[RasterFeatureRow] =
+    decodeWebpArgb(bytes).map { case (w, h, argb) =>
+      val px = new Array[Byte](w * h * 4)
+      var i = 0
+      while (i < argb.length) {
+        val p = argb(i)
+        px(i * 4) = ((p >> 16) & 0xff).toByte     // R
+        px(i * 4 + 1) = ((p >> 8) & 0xff).toByte  // G
+        px(i * 4 + 2) = (p & 0xff).toByte         // B
+        px(i * 4 + 3) = ((p >>> 24) & 0xff).toByte
+        i += 1
+      }
+      rasterFeatures(w, h, 4, px)
+    }
+
   /** ONE FRONT DOOR for a mixed-format image corpus (round 10): sniff
     * the magic, decode with the right real decoder, reduce through the
     * shared [[rasterFeatures]] profile. A production 100 TB corpus is
@@ -2539,6 +2587,7 @@ object Multimodal {
       case "png" => decodePngFeatures(bytes).map(("png", _))
       case "gif" => decodeGifFeatures(bytes).map(("gif", _))
       case "jpeg" => decodeJpegFeatures(bytes).map(("jpeg", _))
+      case "webp" => decodeWebpFeatures(bytes).map(("webp", _))
       case "bmp" => decodeBmpPixels(bytes).map { case (w, h, ch, px) =>
         ("bmp", rasterFeatures(w, h, ch, px)) }
       case _ => None
@@ -3164,6 +3213,9 @@ object Multimodal {
       (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) "jpeg"
     else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == '8') "gif"
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+      b(11) == 'P') "webp"
     else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == 'F') "riff"
     else if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
@@ -3207,6 +3259,18 @@ object Multimodal {
       case "jpeg" =>
         if (decodeJpegPixels(bytes).isDefined) ("jpeg", true, "ok")
         else ("jpeg", false, "undecodable_jpeg")
+      // WebP (round 12): VP8L really decodes; lossy VP8 is a perceptual
+      // codec this container honestly does not ship — the container
+      // walk still validates it as routable
+      case "webp" =>
+        locateWebpCoded(bytes) match {
+          case Some(("VP8L", off, len)) =>
+            if (Vp8l.decode(bytes, off, len).isDefined)
+              ("webp", true, "ok")
+            else ("webp", false, "undecodable_webp")
+          case Some(_) => ("webp", true, "ok_metadata")
+          case None => ("webp", false, "undecodable_webp")
+        }
       case "flac" =>
         if (decodeFlacPcm(bytes).isDefined) ("flac", true, "ok")
         else ("flac", false, "undecodable_flac")

@@ -655,6 +655,74 @@ object ExtensionQueries {
   private[graft] def mp4Fixture(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), mp4Blob.as("blob"))
 
+  /** WebP/VP8L fixture bit array (round 12) — a complete lossless
+    * stream in closed form: 8×(4+d%4) pixels, no transforms, SIMPLE
+    * prefix codes (2-symbol green {g0,g1} with g0<128≤g1 so canonical
+    * and listing order agree; 1-symbol r/b/a/distance read zero bits),
+    * one pixel bit each, `(x+y+d)%2` checkerboard. 98 header/tree bits
+    * + 8h pixel bits + 6 pad bits — a whole number of bytes. The bits
+    * are LSB-first within each byte (the VP8L convention). */
+  private[graft] def webpBits: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val h = lit(4L) + d % 4L
+    val g0 = lit(10L) + d % 60L
+    val g1 = lit(128L) + d % 60L
+    val r = lit(20L) + d % 77L
+    val bl = lit(30L) + d % 88L
+    def bitsOf(v: org.apache.spark.sql.Column, n: Int)
+        : org.apache.spark.sql.Column =
+      transform(sequence(lit(0), lit(n - 1)), i =>
+        pmod((v.cast("double") / pow(lit(2.0), i.cast("double")))
+          .cast("long"), lit(2L)).cast("int"))
+    def arr(vs: Int*): org.apache.spark.sql.Column =
+      array(vs.map(v => lit(v)): _*)
+    concat(
+      bitsOf(lit(7L), 14),      // width - 1
+      bitsOf(h - 1L, 14),       // height - 1
+      bitsOf(lit(0L), 4),       // alpha hint + version 0
+      arr(0, 0, 0),             // no transforms, no cache, no meta
+      arr(1, 1, 1), bitsOf(g0, 8), bitsOf(g1, 8), // green simple2
+      arr(1, 0, 1), bitsOf(r, 8),                 // red simple1
+      arr(1, 0, 1), bitsOf(bl, 8),                // blue simple1
+      arr(1, 0, 1), bitsOf(lit(255L), 8),         // alpha simple1
+      arr(1, 0, 1), bitsOf(lit(0L), 8),           // distance simple1
+      transform(sequence(lit(0L), h * 8L - 1L), p =>
+        pmod(pmod(p, lit(8L)) + TF.intDivNonNeg(p, lit(8L)) + d,
+          lit(2L)).cast("int")),
+      arr(0, 0, 0, 0, 0, 0))    // byte-align padding
+  }
+
+  /** Pack a pre-aliased bit array LSB-first into bytes and wrap it as
+    * a RIFF/WEBP container with one VP8L chunk (chunk sizes little-
+    * endian, odd payloads padded). `bits` MUST be a bound attribute
+    * (the pngAssemble hoisting discipline) — the packing lambda
+    * references it per byte. */
+  private[graft] def webpAssemble(bits: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val nBytes = TF.intDivNonNeg(size(bits).cast("long"), lit(8L))
+    val payBytes = unhex(array_join(
+      transform(sequence(lit(0L), nBytes - 1L),
+        k => lpad(hex(aggregate(sequence(lit(0L), lit(7L)), lit(0L),
+          (acc, j) => acc +
+            element_at(bits, (k * 8L + j + 1L).cast("int"))
+              .cast("long") *
+            pow(lit(2.0), j.cast("double")).cast("long"))), 2, "0")),
+      ""))
+    val payLen = nBytes + 1L // + signature byte
+    val pad = pmod(payLen, lit(2L))
+    concat(
+      lit("RIFF".getBytes), le32b(lit(4L) + 8L + payLen + pad),
+      lit("WEBP".getBytes), lit("VP8L".getBytes), le32b(payLen),
+      unhex(lit("2f")), payBytes,
+      when(pad === 1L, lit(Array[Byte](0)))
+        .otherwise(lit(Array.empty[Byte])))
+  }
+
+  private[graft] def webpFixture(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), webpBits.as("__bits"))
+      .select(col("doc_id"), webpAssemble(col("__bits")).as("blob"))
+
   /** 16 KiB media region whose byte at ABSOLUTE file offset p is
     * `p % 251` (prime modulus — no aliasing with the 2-periodic sample
     * sizes) — ONE plan-time constant shared by every row. */
@@ -2515,10 +2583,13 @@ object ExtensionQueries {
           pngAssemble(col("__png_scan"), lit(3L) + col("doc_id") % 4L,
             lit(2L) + col("doc_id") % 3L))
         .when(col("doc_id") % 4 === 2, gifBlob)
+        .when(col("doc_id") % 20 === 19, webpAssemble(col("__webp_bits")))
         .otherwise(jpegBlob)
       Multimodal.extractAnyImageFeatures(
           t(s, dir, "documents").select(col("doc_id"),
-              when(col("doc_id") % 4 === 1, pngScan).as("__png_scan"))
+              when(col("doc_id") % 4 === 1, pngScan).as("__png_scan"),
+              when(col("doc_id") % 20 === 19, webpBits)
+                .as("__webp_bits"))
             .select(col("doc_id"), blob.as("blob")), "doc_id")
         .toDF()
         .orderBy(col("doc_id"))
@@ -2597,6 +2668,16 @@ object ExtensionQueries {
             (a, i) => a + i * byteAt(col("hx"), i)).as("slice_wsum"))
         .orderBy(col("doc_id"), col("sample_idx"))
     }),
+
+    // WEBP LOSSLESS (round 12) — a REAL VP8L decode: RIFF chunk walk,
+    // LSB-first bitstream, simple prefix codes, per-pixel entropy
+    // decode — through the mixed-format front door (kind = 'webp' on
+    // every row proves the routing); the oracle replays the
+    // closed-form checkerboard
+    "mm_webp_features" -> ((s, dir) =>
+      Multimodal.extractAnyImageFeatures(webpFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"))),
 
     // PROGRESSIVE JPEG (round 11) — the same whole-image profile over
     // the three-scan SOF2 fixture: spectral selection + successive
@@ -5846,7 +5927,7 @@ object ExtensionQueries {
         |    / (w * h) AS mean_b
         |  FROM agv GROUP BY doc_id, w, h),
         |aj AS (SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
-        |  FROM documents WHERE doc_id % 4 = 3),
+        |  FROM documents WHERE doc_id % 4 = 3 AND doc_id % 20 != 19),
         |ajk AS (SELECT doc_id, bw, bh,
         |    CAST(unnest(range(0, bw * bh)) AS BIGINT) AS k FROM aj),
         |ajm AS (SELECT doc_id, bw, bh, k,
@@ -5873,9 +5954,36 @@ object ExtensionQueries {
         |  CAST(SUM(64 * v) AS DOUBLE) / (bw * bh * 64) AS mean_r,
         |  CAST(SUM(64 * v) AS DOUBLE) / (bw * bh * 64) AS mean_g,
         |  CAST(SUM(64 * v) AS DOUBLE) / (bw * bh * 64) AS mean_b
-        |  FROM ajv GROUP BY doc_id, bw, bh)
+        |  FROM ajv GROUP BY doc_id, bw, bh),
+        |wbp AS (SELECT doc_id, 4 + doc_id % 4 AS h,
+        |    10 + doc_id % 60 AS g0, 128 + doc_id % 60 AS g1,
+        |    20 + doc_id % 77 AS r, 30 + doc_id % 88 AS b
+        |  FROM documents WHERE doc_id % 20 = 19),
+        |wbx AS (SELECT doc_id, h, g0, g1, r, b,
+        |    unnest(range(0, 8 * h)) AS pos FROM wbp),
+        |wbg AS (SELECT doc_id, h, r, b, pos,
+        |    CASE WHEN (pos % 8 + pos // 8 + doc_id) % 2 = 0
+        |      THEN g0 ELSE g1 END AS gv
+        |  FROM wbx),
+        |wba AS (SELECT doc_id, MAX(h) AS h, MAX(r) AS r, MAX(b) AS b,
+        |    SUM(gv) AS sum_g, SUM(pos * gv) AS wsum_g,
+        |    SUM(pos) AS sp, COUNT(*) AS n
+        |  FROM wbg GROUP BY doc_id),
+        |wbf AS (SELECT doc_id, 'webp' AS kind,
+        |  CAST(8 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(4 AS BIGINT) AS channels, CAST(n AS BIGINT) AS n_px,
+        |  CAST(r * n AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+        |  CAST(b * n AS BIGINT) AS sum_b,
+        |  CAST(r * sp AS BIGINT) AS wsum_r,
+        |  CAST(wsum_g AS BIGINT) AS wsum_g,
+        |  CAST(b * sp AS BIGINT) AS wsum_b,
+        |  CAST(r AS DOUBLE) AS mean_r,
+        |  CAST(sum_g AS DOUBLE) / CAST(n AS DOUBLE) AS mean_g,
+        |  CAST(b AS DOUBLE) AS mean_b
+        |  FROM wba)
         |SELECT * FROM bmp UNION ALL SELECT * FROM png
         |UNION ALL SELECT * FROM gif UNION ALL SELECT * FROM jpg
+        |UNION ALL SELECT * FROM wbf
         |ORDER BY doc_id""".stripMargin,
 
     // WAV branch (odd docs — stereo) + FLAC branch (even docs — mono),
@@ -5961,6 +6069,36 @@ object ExtensionQueries {
         |    + (i // 2 - (c * spc) // 2) AS BIGINT) AS offset,
         |  CAST(s0 + i % 2 AS BIGINT) AS size
         |FROM r ORDER BY doc_id, sample_idx""".stripMargin,
+
+    // the VP8L checkerboard replayed: greens alternate g0/g1 by
+    // (x+y+d) parity (4 of each per 8-wide row), r/b/alpha constant
+    "mm_webp_features" ->
+      """WITH p AS (SELECT doc_id, 4 + doc_id % 4 AS h,
+        |    10 + doc_id % 60 AS g0, 128 + doc_id % 60 AS g1,
+        |    20 + doc_id % 77 AS r, 30 + doc_id % 88 AS b
+        |  FROM documents),
+        |px AS (SELECT doc_id, h, g0, g1, r, b,
+        |    unnest(range(0, 8 * h)) AS pos FROM p),
+        |g AS (SELECT doc_id, h, r, b, pos,
+        |    CASE WHEN (pos % 8 + pos // 8 + doc_id) % 2 = 0
+        |      THEN g0 ELSE g1 END AS gv
+        |  FROM px),
+        |a AS (SELECT doc_id, MAX(h) AS h, MAX(r) AS r, MAX(b) AS b,
+        |    SUM(gv) AS sum_g, SUM(pos * gv) AS wsum_g,
+        |    SUM(pos) AS sp, COUNT(*) AS n
+        |  FROM g GROUP BY doc_id)
+        |SELECT doc_id, 'webp' AS kind, CAST(8 AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, CAST(4 AS BIGINT) AS channels,
+        |  CAST(n AS BIGINT) AS n_px,
+        |  CAST(r * n AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+        |  CAST(b * n AS BIGINT) AS sum_b,
+        |  CAST(r * sp AS BIGINT) AS wsum_r,
+        |  CAST(wsum_g AS BIGINT) AS wsum_g,
+        |  CAST(b * sp AS BIGINT) AS wsum_b,
+        |  CAST(r AS DOUBLE) AS mean_r,
+        |  CAST(sum_g AS DOUBLE) / CAST(n AS DOUBLE) AS mean_g,
+        |  CAST(b AS DOUBLE) AS mean_b
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     // the planned ranges PLUS the checksums of the bytes they address:
     // the fixture's data region stores byte p%251 at absolute offset
