@@ -260,6 +260,119 @@ object StreamingPipelines {
     }
   }
 
+  /** [[ingestNearDupStream]] over a BUCKETED index (round 12) — the
+    * daily-ingest loop finally gets BOTH halves of the 100 TB story:
+    * partition-pruned probes ([[graft.operators.Dedup
+    * .lshProbeNearDupBucketed]]) AND bucket-aligned incremental
+    * appends ([[graft.operators.Dedup.stageLshAppendBucketed]] through
+    * the ledger's staged commit), where round 11 forced a choice
+    * between pruned probes (bucketed, rebuild-to-refresh) and
+    * incremental appends (flat, corpus-scan probes). Same exactly-once
+    * contract as the flat loop; compact per-batch bucket files with
+    * [[graft.operators.Dedup.compactLshIndexBucketed]] on a cadence. */
+  def ingestNearDupStreamBucketed(docs: DataFrame, textCol: String,
+      idCol: String, indexPath: String, threshold: Double = 0.8,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      nBuckets: Int = 64, checkpointLocation: Option[String] = None)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        bucketedNearDupIngestBatch(batch, batchId,
+          IngestLedger.currentQueryId(batch.sparkSession),
+          indexPath, textCol, idCol, threshold, shingleK, numHashes,
+          bands, nBuckets)(sink)
+      }
+    checkpointLocation.foreach(p => writer.option("checkpointLocation", p))
+    writer.start()
+  }
+
+  /** One micro-batch of [[ingestNearDupStreamBucketed]] — public for
+    * the replay/parity specs (the [[nearDupIngestBatch]] pattern). */
+  def bucketedNearDupIngestBatch(batch: DataFrame, batchId: Long,
+      queryId: String, indexPath: String, textCol: String, idCol: String,
+      threshold: Double, shingleK: Int, numHashes: Int, bands: Int,
+      nBuckets: Int)(sink: (DataFrame, Long) => Unit): Unit = {
+    import org.apache.spark.sql.types._
+    val spark = batch.sparkSession
+    if (IngestLedger.alreadyApplied(spark, indexPath, queryId, batchId))
+      return
+    if (IngestLedger.resumePending(spark, indexPath, queryId, batchId))
+      return
+    val index = graft.operators.Dedup.LshIndexBucketed(indexPath,
+      shingleK, numHashes, bands, nBuckets)
+    val hPath = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pairs =
+      if (fs.exists(hPath))
+        graft.operators.Dedup.lshProbeNearDupBucketed(index, batch,
+          textCol, idCol, threshold).localCheckpoint()
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("a", batch.schema(idCol).dataType),
+          StructField("b", batch.schema(idCol).dataType),
+          StructField("jaccard", DoubleType))))
+    sink(pairs, batchId)
+    IngestLedger.exactlyOnceAppend(spark, indexPath, queryId, batchId) {
+      root => graft.operators.Dedup.stageLshAppendBucketed(index, batch,
+        textCol, idCol, root)
+    }
+  }
+
+  /** [[ingestNewStream]] over a BUCKETED digest index — pruned
+    * anti-join probes + bucket-aligned appends, ledger-guarded
+    * (an exactly-once upgrade over the flat loop's bare append).
+    * The append stages the BATCH's digests (not just the fresh
+    * survivors): duplicate digests are benign for the anti-join — any
+    * match suppresses — and keeping the stage a pure function of the
+    * batch keeps replays trivially idempotent. */
+  def ingestNewStreamBucketed(docs: DataFrame, textCol: String,
+      idCol: String, indexPath: String, nBuckets: Int = 256,
+      checkpointLocation: Option[String] = None)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        bucketedNewIngestBatch(batch, batchId,
+          IngestLedger.currentQueryId(batch.sparkSession),
+          indexPath, textCol, idCol, nBuckets)(sink)
+      }
+    checkpointLocation.foreach(p => writer.option("checkpointLocation", p))
+    writer.start()
+  }
+
+  /** One micro-batch of [[ingestNewStreamBucketed]] — public for the
+    * replay/parity specs. */
+  def bucketedNewIngestBatch(batch: DataFrame, batchId: Long,
+      queryId: String, indexPath: String, textCol: String, idCol: String,
+      nBuckets: Int)(sink: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch.sparkSession
+    if (IngestLedger.alreadyApplied(spark, indexPath, queryId, batchId))
+      return
+    if (IngestLedger.resumePending(spark, indexPath, queryId, batchId))
+      return
+    val index = graft.operators.Dedup.DigestIndexBucketed(indexPath,
+      nBuckets)
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(hPath) && fs.listStatus(hPath)
+      .exists(_.getPath.getName.startsWith("bucket="))
+    val fresh =
+      if (hasData)
+        graft.operators.Dedup.incrementalNewBucketed(index, batch,
+          textCol, idCol).localCheckpoint()
+      else graft.operators.Dedup.exactByHash(batch, textCol, idCol)
+        .localCheckpoint()
+    sink(fresh, batchId)
+    IngestLedger.exactlyOnceAppend(spark, indexPath, queryId, batchId) {
+      root => graft.operators.Dedup.stageDigestAppendBucketed(index,
+        batch, textCol, root)
+    }
+  }
+
   /** Streaming IVF-PQ INGEST — the ANN-serving loop around
     * [[graft.operators.Similarity.appendToIvfPqIndex]], mirroring
     * [[ingestNearDupStream]]'s probe-then-append discipline: every

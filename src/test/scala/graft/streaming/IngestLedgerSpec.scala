@@ -60,6 +60,88 @@ class IngestLedgerSpec extends SparkFunSuite {
       s.read.parquet(s"$dir/shingles").count() == n1 + 1)
   }
 
+  test("BUCKETED near-dup ingest: batches accumulate bucket-aligned, " +
+      "pairs match the flat loop, replay no-ops, probes stay pruned") {
+    val s = spark
+    import s.implicits._
+    val bDir = tmp("graft_ledger_bnd") + "/lshb"
+    val fDir = tmp("graft_ledger_bnd") + "/lshf"
+    def docs(lo: Int, hi: Int) = (lo until hi).map { i =>
+      val words = (0 until 25).map(j => s"w${(i * 5 + j * 3) % 30}")
+      (i.toLong, words.mkString(" "))
+    }
+    var bPairs = Seq.empty[Seq[String]]
+    var fPairs = Seq.empty[Seq[String]]
+    def applyB(batchId: Long, rows: Seq[(Long, String)]): Int = {
+      var calls = 0
+      StreamingPipelines.bucketedNearDupIngestBatch(
+        rows.toDF("doc_id", "text"), batchId, "qb", bDir,
+        "text", "doc_id", 0.6, 3, 64, 16, 16) { (df, _) =>
+        calls += 1
+        bPairs = bPairs :+ df.collect().map(_.toString).toSeq.sorted
+      }
+      calls
+    }
+    def applyF(batchId: Long, rows: Seq[(Long, String)]): Unit =
+      StreamingPipelines.nearDupIngestBatch(
+        rows.toDF("doc_id", "text"), batchId, "qf", fDir,
+        "text", "doc_id", 0.6, 3, 64, 16) { (df, _) =>
+        fPairs = fPairs :+ df.collect().map(_.toString).toSeq.sorted
+      }
+    assert(applyB(0L, docs(0, 30)) == 1); applyF(0L, docs(0, 30))
+    assert(applyB(1L, docs(30, 60)) == 1); applyF(1L, docs(30, 60))
+    assert(applyB(2L, docs(0, 10).map { case (i, t) =>
+      (i + 100L, t) }) == 1)
+    applyF(2L, docs(0, 10).map { case (i, t) => (i + 100L, t) })
+    assert(bPairs.last.nonEmpty, "re-crawl batch must hit near-dups")
+    assert(bPairs == fPairs,
+      "bucketed loop must emit exactly the flat loop's pairs")
+    // replay of batch 2: sink NOT re-run, index unchanged on disk
+    val before = s.read.parquet(s"$bDir/bands").collect()
+      .map(_.toString).sorted.toSeq
+    assert(applyB(2L, docs(0, 10).map { case (i, t) =>
+      (i + 100L, t) }) == 0)
+    assert(s.read.parquet(s"$bDir/bands").collect()
+      .map(_.toString).sorted.toSeq == before)
+    // post-append probe stays partition-pruned
+    val probe = graft.operators.Dedup.lshProbeNearDupBucketed(
+      graft.operators.Dedup.LshIndexBucketed(bDir, 3, 64, 16, 16),
+      docs(0, 2).toDF("doc_id", "text"), "text", "doc_id", 0.6)
+    val filters = """PartitionFilters: \[[^\]]*\]""".r
+      .findAllIn(probe.queryExecution.executedPlan.toString).toList
+    assert(filters.size >= 2 && filters.forall(f =>
+      f.contains("bucket") && !f.contains("[]")), s"$filters")
+  }
+
+  test("BUCKETED exact-dedup ingest: survivors match the flat digest " +
+      "loop batch-for-batch; replay no-ops") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_ledger_bxd") + "/digb"
+    var outs = Seq.empty[Seq[String]]
+    def apply(batchId: Long, rows: Seq[(Long, String)]): Int = {
+      var calls = 0
+      StreamingPipelines.bucketedNewIngestBatch(
+        rows.toDF("doc_id", "text"), batchId, "qx", dir,
+        "text", "doc_id", 16) { (df, _) =>
+        calls += 1
+        outs = outs :+ df.select("survivor_id").as[Long].collect()
+          .sorted.toSeq.map(_.toString)
+      }
+      calls
+    }
+    assert(apply(0L, Seq(1L -> "aa", 2L -> "bb", 3L -> "aa")) == 1)
+    assert(outs.last == Seq("1", "2"), s"${outs.last}")
+    // batch 1: one re-crawl (suppressed), one novel
+    assert(apply(1L, Seq(10L -> "aa", 11L -> "cc")) == 1)
+    assert(outs.last == Seq("11"), s"${outs.last}")
+    // replay batch 1 → sink skipped, index byte-stable
+    val before = s.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    assert(apply(1L, Seq(10L -> "aa", 11L -> "cc")) == 0)
+    assert(s.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+      == before)
+  }
+
   test("record()→cleanup() crash debris is swept by the next append: " +
       "manifests and staging dirs at or below the high-water mark are " +
       "deleted; in-flight and foreign debris survive") {
