@@ -2643,29 +2643,56 @@ object ExtensionQueries {
     // prove the plan addresses exactly the claimed keyframe bytes —
     // the oracle recomputes both sums from the closed-form byte layout
     "mm_video_keyframe_bytes" -> ((s, dir) => {
+      // slice INSIDE the transform, before the explode: the exploded
+      // rows then carry ~100-byte keyframe slices, not the 16 KiB blob
+      // ×ranges (measured: blob-through-Generate traffic put the 6g
+      // bench JVM into GC thrash — 14 s vs 2 s)
       val sliced = mp4FixtureWithData(s, dir)
+        // the source parquet is one small file → one input split, but
+        // the per-doc work (range fan-out × per-byte checksum folds) is
+        // the heavy part; spread the 5k docs across the cluster before
+        // fanning out (measured 15 s → ~2 s at local[32])
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
-          explode(graft.plans.MediaExprs.mp4SyncRangesCol(col("blob")))
-            .as("r"),
-          col("blob"))
+          explode(transform(
+            graft.plans.MediaExprs.mp4SyncRangesCol(col("blob")),
+            r => struct(
+              r.getField("sample_idx").as("sample_idx"),
+              r.getField("offset").as("offset"),
+              r.getField("size").as("size"),
+              col("blob").substr(
+                (r.getField("offset") + 1L).cast("int"),
+                r.getField("size").cast("int")).as("slice"))))
+            .as("r"))
         .select(col("doc_id"),
           col("r.sample_idx").as("sample_idx"),
           col("r.offset").as("offset"), col("r.size").as("size"),
-          col("blob").substr((col("r.offset") + 1L).cast("int"),
-            col("r.size").cast("int")).as("slice"))
+          col("r.slice").as("slice"))
       def byteAt(hx: org.apache.spark.sql.Column,
           i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         conv(hx.substr((i * 2L - 1L).cast("int"), lit(2)), 16, 10)
           .cast("long")
+      // ONE fold pass for both checksums: the plain sum packs into the
+      // low 20 bits (≤ 112·255 < 2^20), the weighted sum rides above —
+      // and b·(1 + i·2^20) references the hex-decode ONCE per element
+      // (a second reference would double the per-byte conv work)
+      val packShift = 1048576L // 2^20
       sliced
+        // Generate barrier: with only ONE downstream reference,
+        // CollapseProject would inline hex(slice) INTO the fold lambda
+        // — re-hexing the whole slice per element (measured 27× here);
+        // explode(array(…)) pins exactly one evaluation per row
         .select(col("doc_id"), col("sample_idx"), col("offset"),
-          col("size"), hex(col("slice")).as("hx"))
+          col("size"), explode(array(hex(col("slice")))).as("hx"))
         .select(col("doc_id"), col("sample_idx"), col("offset"),
           col("size"),
-          aggregate(sequence(lit(1L), col("size")), lit(0L),
-            (a, i) => a + byteAt(col("hx"), i)).as("slice_sum"),
-          aggregate(sequence(lit(1L), col("size")), lit(0L),
-            (a, i) => a + i * byteAt(col("hx"), i)).as("slice_wsum"))
+          aggregate(sequence(lit(1L), col("size")), lit(0L), (a, i) =>
+            a + byteAt(col("hx"), i) * (lit(1L) + i * packShift))
+            .as("packed"))
+        .select(col("doc_id"), col("sample_idx"), col("offset"),
+          col("size"),
+          pmod(col("packed"), lit(packShift)).as("slice_sum"),
+          TF.intDivNonNeg(col("packed"), lit(packShift)).as("slice_wsum"))
         .orderBy(col("doc_id"), col("sample_idx"))
     }),
 

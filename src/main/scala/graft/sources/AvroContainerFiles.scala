@@ -201,9 +201,11 @@ object AvroContainerFiles {
     * approximate block size in bytes — the reader's split granularity
     * (small values force many blocks, used by the split-read specs). */
   def write(df: DataFrame, path: String,
-      syncInterval: Int = 64 * 1024): Unit = {
+      syncInterval: Int = 64 * 1024, codec: String = "null"): Unit = {
     val schema = df.schema
     val avroJson = avroSchemaFor(schema).toString
+    require(codec == "null" || codec == "deflate" || codec == "snappy",
+      s"unsupported avro codec '$codec' (null | deflate | snappy)")
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) {
         val avroSchema = new Schema.Parser().parse(avroJson)
@@ -218,6 +220,16 @@ object AvroContainerFiles {
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](avroSchema))
         w.setSyncInterval(syncInterval)
+        // block codec rides in the header; DataFileReader auto-detects
+        // on read, and sync-marker SPLITS still work — markers frame
+        // the compressed blocks, not the raw bytes
+        codec match {
+          case "deflate" =>
+            w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+          case "snappy" =>
+            w.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
+          case _ => ()
+        }
         w.create(avroSchema, out)
         try {
           rows.foreach { row =>

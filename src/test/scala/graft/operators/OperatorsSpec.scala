@@ -3886,6 +3886,28 @@ class SourceRoundTripSpec extends SparkFunSuite {
     assert(ids == (0L until n.toLong), "every row exactly once")
   }
 
+  test("Avro container files: deflate and snappy block codecs " +
+      "round-trip losslessly AND still split on sync markers") {
+    val s = spark
+    import s.implicits._
+    for (codec <- Seq("deflate", "snappy")) {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_avrocc_" +
+        codec + "_" + ProcessHandle.current().pid()
+      val n = 3000
+      val df = s.range(0, n)
+        .selectExpr("id", "repeat('compressme', 12) AS pad")
+        .repartition(1)
+      graft.sources.AvroContainerFiles.write(df, path,
+        syncInterval = 2048, codec = codec)
+      val back = graft.sources.AvroContainerFiles.read(s, path,
+        maxSplitBytes = 4 * 1024)
+      assert(back.rdd.getNumPartitions > 1,
+        s"$codec: compressed blocks must still split")
+      val ids = back.select("id").as[Long].collect().sorted.toSeq
+      assert(ids == (0L until n.toLong), s"$codec round-trip")
+    }
+  }
+
   test("Avro container files: a file with the SAME columns in a " +
       "different order resolves BY NAME against the first file's " +
       "schema (no positional column swap)") {
