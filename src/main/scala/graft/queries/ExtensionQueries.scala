@@ -163,16 +163,29 @@ object ExtensionQueries {
     else ivfPqIndexCache.compute(dir, (d, _) => build(d))
   }
 
-  /** documents ∪ documents-with-shifted-ids (adds exact twins). */
+  /** Testdata-artifact correction: the driver's parquet is ONE row
+    * group per table, so it reads as a single input split and every
+    * per-row kernel (shingles, media decode, quantized folds) runs
+    * single-threaded until the first shuffle — a production many-file
+    * corpus parallelizes the scan for free. Kernel-heavy entries
+    * spread the scan first; the shuffle moves raw testdata once
+    * (hundreds of KB) and buys 32-way map work. Cheap scan-shaped
+    * queries skip it (an extra exchange would cost more than it
+    * saves). */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** documents ∪ documents-with-shifted-ids (adds exact twins) —
+    * spread: every consumer runs corpus-scale text kernels. */
   private def docsUnion(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"),
       col("lang"), col("source"))
-    d.unionAll(d.withColumn("doc_id", col("doc_id") + 1000000L))
+    spread(d.unionAll(d.withColumn("doc_id", col("doc_id") + 1000000L)))
   }
 
   private def embUnion(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    e.unionAll(e.withColumn("vec_id", col("vec_id") + 1000000L))
+    spread(e.unionAll(e.withColumn("vec_id", col("vec_id") + 1000000L)))
   }
 
   private def le16b(x: org.apache.spark.sql.Column) = unhex(concat(
@@ -214,7 +227,8 @@ object ExtensionQueries {
 
   private def wavPcmFixture(s: SparkSession, dir: String): DataFrame =
     // blob hoisted into its own projection (mm_wav_meta discipline)
-    t(s, dir, "documents").select(col("doc_id"), wavPcmBlob.as("blob"))
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), wavPcmBlob.as("blob"))
 
   /** 24-bit BMP fixture shared by mm_bmp_features / mm_bmp_patches /
     * mm_decode_audit: pixel-array FILE bytes (padding included) are the
@@ -311,7 +325,7 @@ object ExtensionQueries {
   }
 
   private def pngFixture(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    spread(t(s, dir, "documents"))
       .select(col("doc_id"), pngScan.as("scan"),
         (lit(3L) + col("doc_id") % 4L).as("w"),
         (lit(2L) + col("doc_id") % 3L).as("h"))
@@ -362,7 +376,7 @@ object ExtensionQueries {
   }
 
   private[graft] def gifFixture(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"), gifBlob.as("blob"))
+    spread(t(s, dir, "documents")).select(col("doc_id"), gifBlob.as("blob"))
 
   /** Baseline-JPEG fixture shared by mm_jpeg_features / mm_decode_audit
     * — the byte-primitive pattern applied to a DCT codec WITHOUT a DCT
@@ -410,7 +424,7 @@ object ExtensionQueries {
   }
 
   private[graft] def jpegFixture(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"), jpegBlob.as("blob"))
+    spread(t(s, dir, "documents")).select(col("doc_id"), jpegBlob.as("blob"))
 
   /** PROGRESSIVE-JPEG fixture (round 11) — [[jpegBlob]]'s DC-only
     * byte-primitive rebuilt as a three-scan SOF2 stream exercising
@@ -461,7 +475,8 @@ object ExtensionQueries {
 
   private[graft] def jpegProgFixture(s: SparkSession, dir: String)
       : DataFrame =
-    t(s, dir, "documents").select(col("doc_id"), jpegProgBlob.as("blob"))
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), jpegProgBlob.as("blob"))
 
   /** Standard MSB-first CRC byte table, computed at plan-build time. */
   private def crcTable(width: Int, poly: Long): Seq[Long] = {
@@ -653,7 +668,7 @@ object ExtensionQueries {
   }
 
   private[graft] def mp4Fixture(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"), mp4Blob.as("blob"))
+    spread(t(s, dir, "documents")).select(col("doc_id"), mp4Blob.as("blob"))
 
   /** WebP/VP8L fixture bit array (round 12) — a complete lossless
     * stream in closed form: 8×(4+d%4) pixels, no transforms, SIMPLE
@@ -719,7 +734,7 @@ object ExtensionQueries {
   }
 
   private[graft] def webpFixture(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    spread(t(s, dir, "documents"))
       .select(col("doc_id"), webpBits.as("__bits"))
       .select(col("doc_id"), webpAssemble(col("__bits")).as("blob"))
 
@@ -740,7 +755,8 @@ object ExtensionQueries {
   private[graft] def mp4FixtureWithData(s: SparkSession, dir: String)
       : DataFrame = {
     val dataLit = lit(mp4DataRegion)
-    t(s, dir, "documents").select(col("doc_id"), mp4Blob.as("hdr"))
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), mp4Blob.as("hdr"))
       .select(col("doc_id"), concat(col("hdr"),
         dataLit.substr((octet_length(col("hdr")) + 1).cast("int"),
           (lit(16384) - octet_length(col("hdr"))).cast("int"))).as("blob"))
@@ -775,10 +791,10 @@ object ExtensionQueries {
   }
 
   private[graft] def mp3Fixture(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"), mp3Blob.as("blob"))
+    spread(t(s, dir, "documents")).select(col("doc_id"), mp3Blob.as("blob"))
 
   private[graft] def flacFixture(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    spread(t(s, dir, "documents"))
       .select(col("doc_id"), flacFrameVals.as("__fv"))
       .select(col("doc_id"), flacBlob(col("__fv")).as("blob"))
 
@@ -2086,7 +2102,7 @@ object ExtensionQueries {
     // iterations in HUGEINT with identical truncation rules.
     "emb_dominant_dir" -> ((s, dir) =>
       graft.operators.Embeddings.dominantDirection(
-          t(s, dir, "embeddings"), "embedding", iters = 2)
+          spread(t(s, dir, "embeddings")), "embedding", iters = 2)
         .orderBy(col("pos"))),
 
     // the removal audit: project out the dominant direction row-locally
@@ -2094,7 +2110,7 @@ object ExtensionQueries {
     // quantized norms — the full all-but-the-top pipeline cost (two
     // training scans + one audit scan)
     "emb_deproject" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = spread(t(s, dir, "embeddings"))
       val d = graft.operators.Embeddings.dominantDirection(
           emb, "embedding", iters = 2)
         .orderBy(col("pos")).collect().map(_.getLong(1))
@@ -2110,7 +2126,7 @@ object ExtensionQueries {
     // iterations + the truncated-division deflation) in HUGEINT.
     "emb_top_dirs" -> ((s, dir) =>
       graft.operators.Embeddings.topDirections(
-          t(s, dir, "embeddings"), "embedding", k = 2, iters = 2)
+          spread(t(s, dir, "embeddings")), "embedding", k = 2, iters = 2)
         .orderBy(col("k"), col("pos"))),
 
     // the COMPLETE all-but-the-top pipeline (round 10): train the top-2
@@ -2118,7 +2134,7 @@ object ExtensionQueries {
     // per-level coefficients + before/after norms; the oracle replays
     // training AND both sequential removals end-to-end in HUGEINT
     "emb_deproject_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = spread(t(s, dir, "embeddings"))
       val byK = graft.operators.Embeddings.topDirections(
           emb, "embedding", k = 2, iters = 2)
         .collect().groupBy(_.getInt(0)).toSeq.sortBy(_._1)
@@ -2391,7 +2407,7 @@ object ExtensionQueries {
     // row-local replace chains (codegen'd, zero shuffle); the oracle
     // runs the SAME table through SQL replace, generated from one list
     "text_bpe_tokens" -> ((s, dir) =>
-      t(s, dir, "documents")
+      spread(t(s, dir, "documents"))
         .select(col("doc_id"), TF.normTokens(col("text")).as("toks"))
         .select(col("doc_id"),
           length(concat_ws("", col("toks"))).as("n_chars"),
@@ -2524,7 +2540,7 @@ object ExtensionQueries {
       // whole per-byte concat at every reference (the 36 MiB-codegen /
       // GC-overhead failure mode the scale probe caught; same hoist as
       // mm_dims and the minhash kernels)
-      t(s, dir, "documents")
+      spread(t(s, dir, "documents"))
         .select(col("doc_id"), blob.as("blob"))
         .select(col("doc_id"), Multimodal.wavMeta(col("blob")).as("m"))
         .select(col("doc_id"), col("m.channels").as("channels"),
@@ -2599,7 +2615,7 @@ object ExtensionQueries {
     // docs FLAC — one per-channel profile relation out, kind attached
     "mm_audio_any" -> ((s, dir) => {
       Multimodal.extractAnyAudioFeatures(
-          t(s, dir, "documents").select(col("doc_id"),
+          spread(t(s, dir, "documents")).select(col("doc_id"),
               when(col("doc_id") % 2 === 0, flacFrameVals).as("__fv"))
             .select(col("doc_id"),
               when(col("doc_id") % 2 === 1, wavPcmBlob)
@@ -2648,11 +2664,6 @@ object ExtensionQueries {
       // ×ranges (measured: blob-through-Generate traffic put the 6g
       // bench JVM into GC thrash — 14 s vs 2 s)
       val sliced = mp4FixtureWithData(s, dir)
-        // the source parquet is one small file → one input split, but
-        // the per-doc work (range fan-out × per-byte checksum folds) is
-        // the heavy part; spread the 5k docs across the cluster before
-        // fanning out (measured 15 s → ~2 s at local[32])
-        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           explode(transform(
             graft.plans.MediaExprs.mp4SyncRangesCol(col("blob")),

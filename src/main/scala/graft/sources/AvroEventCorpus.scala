@@ -131,13 +131,18 @@ object AvroEventCorpus {
       else col("event_id").cast("string").cast("binary")
 
     events.select(
-      expr(topicExpr).as("topic"),
-      (col("event_id") % 32).cast("int").as("partition"),
-      keyCol.as("key"),
-      framed.as("value"),
-      col("ts").as("timestamp"),
-      array(struct(lit("origin").as("key"),
-        lit("graft").cast("binary").as("value"))).as("headers"))
+        expr(topicExpr).as("topic"),
+        (col("event_id") % 32).cast("int").as("partition"),
+        keyCol.as("key"),
+        framed.as("value"),
+        col("ts").as("timestamp"),
+        array(struct(lit("origin").as("key"),
+          lit("graft").cast("binary").as("value"))).as("headers"))
+      // the driver's events.parquet is ONE row group → one input split,
+      // so the cached corpus (and every decode query over it) would run
+      // single-threaded; a real Kafka source arrives partition-parallel
+      // — spread the fixture the same way before it persists
+      .repartition(spark.sparkContext.defaultParallelism)
   }
 
   /** Register the event schema in a fresh stub registry; returns
