@@ -144,7 +144,7 @@ object ExtensionQueries {
     * probe. */
   private def lshIndexFor(s: SparkSession, dir: String): Dedup.LshIndex = {
     def build(d: String) = Dedup.buildLshIndex(
-      t(s, d, "documents").select(col("doc_id"), col("text")),
+      spread(t(s, d, "documents")).select(col("doc_id"), col("text")),
       "text", "doc_id", tmpArtifact("graft_lsh_index", d))
     val cached = lshIndexCache.computeIfAbsent(dir, build(_))
     if (new java.io.File(s"${cached.path}/bands").exists) cached
@@ -156,7 +156,7 @@ object ExtensionQueries {
   private def ivfPqIndexFor(s: SparkSession, dir: String)
       : Similarity.IvfPqIndex = {
     def build(d: String) = Similarity.buildIvfPqIndex(
-      t(s, d, "embeddings"), tmpArtifact("graft_ivfpq_index", d),
+      spread(t(s, d, "embeddings")), tmpArtifact("graft_ivfpq_index", d),
       nlist = 16, m = 4, ksub = 16, iters = 1)
     val cached = ivfPqIndexCache.computeIfAbsent(dir, build(_))
     if (new java.io.File(cached.path).exists) cached
@@ -856,7 +856,8 @@ object ExtensionQueries {
     // index) and every odd doc is an update (survives); the delta also
     // carries one within-batch duplicate pair per odd doc's twin
     "dedup_incremental" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text"))
       val delta1 = docs.select((col("doc_id") + 1000000L).as("doc_id"),
         when(col("doc_id") % 2 === 0, col("text"))
           .otherwise(concat(col("text"), lit(" updated"))).as("text"))
@@ -872,9 +873,10 @@ object ExtensionQueries {
     // anti-join scans only the delta's digest buckets instead of the
     // corpus-scaled index; identical output by the same oracle
     "dedup_incremental_bucketed" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text"))
       def build(d: String) = Dedup.buildDigestIndexBucketed(
-        t(s, d, "documents").select(col("doc_id"), col("text")),
+        spread(t(s, d, "documents")).select(col("doc_id"), col("text")),
         "text", tmpArtifact("graft_digest_index", d))
       val cached = digestIndexCache.computeIfAbsent(dir, build(_))
       val index =
@@ -899,7 +901,8 @@ object ExtensionQueries {
     // index is memoized per (sfDir, JVM) and self-heals a reaped /tmp
     // path (same contract as sim_topk_ivf_indexed).
     "dedup_incremental_near" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text"))
       val index = lshIndexFor(s, dir)
       val delta = docs.select((col("doc_id") + 1000000L).as("doc_id"),
         col("text"))
@@ -914,9 +917,10 @@ object ExtensionQueries {
     // same full value oracle; the plan spec pins non-empty
     // PartitionFilters on BOTH index scans
     "dedup_bucketed_probe" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text"))
       def build(d: String) = Dedup.buildLshIndexBucketed(
-        t(s, d, "documents").select(col("doc_id"), col("text")),
+        spread(t(s, d, "documents")).select(col("doc_id"), col("text")),
         "text", "doc_id", tmpArtifact("graft_lsh_bucketed", d))
       val cached = bucketedLshCache.computeIfAbsent(dir, build(_))
       val index =
@@ -938,7 +942,8 @@ object ExtensionQueries {
     // identical index) and post-append PartitionFilters contracts are
     // spec-pinned
     "dedup_bucketed_append_probe" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text"))
       val path = memoizedFixture(tmpArtifact("graft_lsh_bapp", dir)) {
         tmp =>
           val idx = Dedup.buildLshIndexBucketed(
@@ -960,7 +965,8 @@ object ExtensionQueries {
     // same delta — identical output to dedup_incremental_bucketed by
     // the same oracle
     "dedup_incremental_bucketed_append" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text"))
       val path = memoizedFixture(tmpArtifact("graft_digest_bapp", dir)) {
         tmp =>
           val idx = Dedup.buildDigestIndexBucketed(
@@ -985,7 +991,8 @@ object ExtensionQueries {
     // uncompacted probe's full value oracle; the spec additionally pins
     // the file-count reduction
     "dedup_compacted_probe" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text"))
       def build(d: String) = Dedup.compactLshIndex(s, lshIndexFor(s, d),
         tmpArtifact("graft_lsh_compact", d), filesPerRelation = 1)
       val cached = compactedLshCache.computeIfAbsent(dir, build(_))
@@ -1007,7 +1014,8 @@ object ExtensionQueries {
     // construction; the oracle recomputes the exact position-set
     // membership, so even a false positive would match).
     "dedup_bloom" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text"))
       val delta = docs.select((col("doc_id") + 1000000L).as("doc_id"),
         when(col("doc_id") % 2 === 0, col("text"))
           .otherwise(concat(col("text"), lit(" updated"))).as("text"))
@@ -2155,7 +2163,7 @@ object ExtensionQueries {
       // indexes, so a repeat invocation times the PROBE alone (Bench's
       // _probe pass relies on this).
       def build(d: String) = InvertedIndex.build(
-        t(s, d, "documents"), "text", "doc_id",
+        spread(t(s, d, "documents")), "text", "doc_id",
         s"${System.getProperty("java.io.tmpdir")}/graft_term_index_" +
           Integer.toHexString(d.hashCode) + "_" +
           ProcessHandle.current().pid(),
@@ -2173,7 +2181,7 @@ object ExtensionQueries {
     // aggregate over the pruned postings — no per-term self-join)
     "text_index_and" -> ((s, dir) => {
       def build(d: String) = InvertedIndex.build(
-        t(s, d, "documents"), "text", "doc_id",
+        spread(t(s, d, "documents")), "text", "doc_id",
         s"${System.getProperty("java.io.tmpdir")}/graft_term_index_" +
           Integer.toHexString(d.hashCode) + "_" +
           ProcessHandle.current().pid(),
