@@ -55,6 +55,10 @@ object Multimodal {
         substring(blob, 9, 4) === lit("WEBP".getBytes), "webp")
       .when(substring(blob, 1, 4) === lit("RIFF".getBytes), "riff")
       .when(substring(blob, 1, 4) === lit("fLaC".getBytes), "flac")
+      .when(substring(blob, 1, 4) ===
+        lit(Array[Byte]('I', 'I', 42, 0)) ||
+        substring(blob, 1, 4) === lit(Array[Byte]('M', 'M', 0, 42)),
+        "tiff")
       .when(substring(blob, 1, 2) === lit("BM".getBytes), "bmp")
       .when(substring(blob, 5, 4) === lit("ftyp".getBytes), "mp4")
       .when(substring(blob, 1, 3) === lit("ID3".getBytes), "mp3")
@@ -2504,6 +2508,116 @@ object Multimodal {
       blobCol: String = "blob"): Dataset[RasterFeatureRow] =
     rasterExtract(df, idCol, blobCol, jpegFeaturesCol)
 
+  /** Baseline TIFF (round 12) as a top-down raster — the IFD walk both
+    * byte orders (`II`/`MM`), strip-organized, UNCOMPRESSED (tag 259 =
+    * 1), 8-bit RGB (photometric 2, 3 samples) or grayscale
+    * (photometric 1, 1 sample). LZW/JPEG-in-TIFF compressions return
+    * None (PERMISSIVE — route to a codec when one ships); inline
+    * values vs offset values resolved per the 4-byte rule; every
+    * offset bounds-checked. Returns (w, h, channels, top-down
+    * samples). */
+  def decodeTiffPixels(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Array[Byte])] = {
+    val b = bytes
+    if (b == null || b.length < 8) return None
+    val le =
+      if (b(0) == 'I' && b(1) == 'I') true
+      else if (b(0) == 'M' && b(1) == 'M') false
+      else return None
+    def u16(p: Int): Int =
+      if (p < 0 || p + 2 > b.length) -1
+      else if (le) (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      else ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+    def u32(p: Int): Long =
+      if (p < 0 || p + 4 > b.length) -1L
+      else if (le) (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+      else ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return None
+    val n = u16(ifd.toInt)
+    if (n <= 0 || ifd + 2 + 12L * n > b.length) return None
+    var w = -1L; var h = -1L; var comp = 1L; var photo = -1L
+    var spp = 1L; var rowsPerStrip = Long.MaxValue
+    var bitsOk = true
+    var stripOff: Seq[Long] = Nil; var stripCnt: Seq[Long] = Nil
+    var i = 0
+    while (i < n) {
+      val e = ifd.toInt + 2 + 12 * i
+      val tag = u16(e)
+      val typ = u16(e + 2)
+      val cnt = u32(e + 4)
+      val typeSize = typ match {
+        case 1 | 2 | 6 | 7 => 1L // byte/ascii
+        case 3 => 2L             // short
+        case 4 | 9 => 4L         // long
+        case _ => 0L
+      }
+      if (typeSize == 0L || cnt < 0) return None
+      // values ≤ 4 bytes are INLINE at e+8, else e+8 holds an offset
+      val inline = typeSize * cnt <= 4
+      def valAt(j: Long): Long = {
+        val base = if (inline) (e + 8).toLong else u32(e + 8)
+        val p = base + j * typeSize
+        if (p < 0 || p + typeSize > b.length) return -1L
+        if (typeSize == 2) u16(p.toInt).toLong else u32(p.toInt)
+      }
+      def vals: Seq[Long] = (0L until cnt).map(valAt)
+      tag match {
+        case 256 => w = valAt(0)
+        case 257 => h = valAt(0)
+        case 258 => bitsOk = vals.forall(_ == 8L)
+        case 259 => comp = valAt(0)
+        case 262 => photo = valAt(0)
+        case 273 => stripOff = vals
+        case 277 => spp = valAt(0)
+        case 278 => rowsPerStrip = valAt(0)
+        case 279 => stripCnt = vals
+        case _ => ()
+      }
+      i += 1
+    }
+    if (comp != 1L || !bitsOk) return None
+    val ch = photo match {
+      case 2 if spp >= 3 => 3
+      case 1 | 0 if spp == 1 => 1
+      case _ => return None
+    }
+    if (w <= 0 || h <= 0 || w * h > (1L << 26)) return None
+    if (stripOff.isEmpty || stripOff.size != stripCnt.size) return None
+    if (stripOff.exists(_ < 0) || stripCnt.exists(_ < 0)) return None
+    val need = w * h * spp
+    if (stripCnt.sum < need) return None
+    val out = new Array[Byte]((w * h * ch).toInt)
+    var written = 0L
+    var s = 0
+    while (s < stripOff.size && written < need) {
+      val off = stripOff(s); val len = stripCnt(s)
+      if (off + len > b.length) return None
+      var j = 0L
+      while (j < len && written < need) {
+        // spp may exceed ch (extra samples ignored per pixel)
+        val pix = written / spp
+        val samp = written % spp
+        if (samp < ch)
+          out((pix * ch + samp).toInt) = b((off + j).toInt)
+        written += 1
+        j += 1
+      }
+      s += 1
+    }
+    if (written < need) return None
+    Some((w.toInt, h.toInt, ch, out))
+  }
+
+  /** Baseline TIFF → the shared raster profile. */
+  def decodeTiffFeatures(bytes: Array[Byte]): Option[RasterFeatureRow] =
+    decodeTiffPixels(bytes).map { case (w, h, ch, px) =>
+      rasterFeatures(w, h, ch, px)
+    }
+
   /** 24-bit BMP as a top-down RGB raster — [[decodePngPixels]]'s return
     * shape, so BMP rides the same [[rasterFeatures]] reduction as the
     * other image formats (the file stores BGR bottom-up; both flips
@@ -2588,6 +2702,7 @@ object Multimodal {
       case "gif" => decodeGifFeatures(bytes).map(("gif", _))
       case "jpeg" => decodeJpegFeatures(bytes).map(("jpeg", _))
       case "webp" => decodeWebpFeatures(bytes).map(("webp", _))
+      case "tiff" => decodeTiffFeatures(bytes).map(("tiff", _))
       case "bmp" => decodeBmpPixels(bytes).map { case (w, h, ch, px) =>
         ("bmp", rasterFeatures(w, h, ch, px)) }
       case _ => None
@@ -3220,6 +3335,9 @@ object Multimodal {
       b(3) == 'F') "riff"
     else if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
       b(3) == 'C') "flac"
+    else if (b.length >= 4 && ((b(0) == 'I' && b(1) == 'I' &&
+      b(2) == 42 && b(3) == 0) || (b(0) == 'M' && b(1) == 'M' &&
+      b(2) == 0 && b(3) == 42))) "tiff"
     else if (b(0) == 'B' && b(1) == 'M') "bmp"
     else if (b.length >= 8 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
       b(7) == 'p') "mp4"
@@ -3259,6 +3377,11 @@ object Multimodal {
       case "jpeg" =>
         if (decodeJpegPixels(bytes).isDefined) ("jpeg", true, "ok")
         else ("jpeg", false, "undecodable_jpeg")
+      // baseline TIFF (round 12): uncompressed strips really decode;
+      // LZW/JPEG-in-TIFF need codecs and fail loud
+      case "tiff" =>
+        if (decodeTiffPixels(bytes).isDefined) ("tiff", true, "ok")
+        else ("tiff", false, "undecodable_tiff")
       // WebP (round 12): VP8L really decodes; lossy VP8 is a perceptual
       // codec this container honestly does not ship — the container
       // walk still validates it as routable

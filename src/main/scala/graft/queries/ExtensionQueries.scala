@@ -733,6 +733,45 @@ object ExtensionQueries {
         .otherwise(lit(Array.empty[Byte])))
   }
 
+  /** Baseline-TIFF fixture (round 12) — little-endian, one IFD of 9
+    * sorted entries, BitsPerSample as OFFSET data (6 bytes > the 4-byte
+    * inline rule — exercising the offset path), one uncompressed RGB
+    * strip whose FILE bytes are the closed-form primitive
+    * `(doc_id·23 + j·29) % 256` (the BMP discipline). Layout: header 8
+    * + count 2 + 9·12 + nextIFD 4 = 122 → bits data, 128 → pixels. */
+  private[graft] def tiffBlob: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val w = lit(3L) + d % 6L
+    val h = lit(2L) + d % 4L
+    val dsz = w * h * 3L
+    def entry(tag: Long, typ: Long, cnt: Long,
+        value: org.apache.spark.sql.Column) =
+      concat(le16b(lit(tag)), le16b(lit(typ)), le32b(lit(cnt)), value)
+    def shortVal(v: org.apache.spark.sql.Column) =
+      concat(le16b(v), le16b(lit(0L)))
+    val pixels = unhex(array_join(transform(sequence(lit(0L), dsz - 1L),
+      j => lpad(hex(pmod(d * 23L + j * 29L, lit(256L))), 2, "0")), ""))
+    concat(
+      lit("II".getBytes), le16b(lit(42L)), le32b(lit(8L)),
+      le16b(lit(9L)),
+      entry(256, 3, 1, shortVal(w)),
+      entry(257, 3, 1, shortVal(h)),
+      entry(258, 3, 3, le32b(lit(122L))),
+      entry(259, 3, 1, shortVal(lit(1L))),
+      entry(262, 3, 1, shortVal(lit(2L))),
+      entry(273, 4, 1, le32b(lit(128L))),
+      entry(277, 3, 1, shortVal(lit(3L))),
+      entry(278, 3, 1, shortVal(h)),
+      entry(279, 4, 1, le32b(dsz)),
+      le32b(lit(0L)),
+      le16b(lit(8L)), le16b(lit(8L)), le16b(lit(8L)),
+      pixels)
+  }
+
+  private[graft] def tiffFixture(s: SparkSession, dir: String): DataFrame =
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), tiffBlob.as("blob"))
+
   private[graft] def webpFixture(s: SparkSession, dir: String): DataFrame =
     spread(t(s, dir, "documents"))
       .select(col("doc_id"), webpBits.as("__bits"))
@@ -2722,6 +2761,15 @@ object ExtensionQueries {
     // closed-form checkerboard
     "mm_webp_features" -> ((s, dir) =>
       Multimodal.extractAnyImageFeatures(webpFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"))),
+
+    // BASELINE TIFF (round 12) — the IFD walk with an offset-resolved
+    // BitsPerSample and one uncompressed RGB strip, through the mixed
+    // front door (kind = 'tiff'); the oracle replays the closed-form
+    // strip bytes
+    "mm_tiff_features" -> ((s, dir) =>
+      Multimodal.extractAnyImageFeatures(tiffFixture(s, dir), "doc_id")
         .toDF()
         .orderBy(col("doc_id"))),
 
@@ -6115,6 +6163,30 @@ object ExtensionQueries {
         |    + (i // 2 - (c * spc) // 2) AS BIGINT) AS offset,
         |  CAST(s0 + i % 2 AS BIGINT) AS size
         |FROM r ORDER BY doc_id, sample_idx""".stripMargin,
+
+    // the TIFF strip bytes replayed: sample c of pixel (x,y) is byte
+    // j = (y·w + x)·3 + c of the closed-form strip
+    "mm_tiff_features" ->
+      """WITH p AS (SELECT doc_id, 3 + doc_id % 6 AS w,
+        |    2 + doc_id % 4 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |    unnest(range(0, w * h * 3)) AS j FROM p),
+        |v AS (SELECT doc_id, w, h, j % 3 AS c, (j // 3) % w AS x,
+        |    j // (3 * w) AS y,
+        |    (doc_id * 23 + j * 29) % 256 AS v FROM px)
+        |SELECT doc_id, 'tiff' AS kind,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels, CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(SUM(v) FILTER (c = 0) AS BIGINT) AS sum_r,
+        |  CAST(SUM(v) FILTER (c = 1) AS BIGINT) AS sum_g,
+        |  CAST(SUM(v) FILTER (c = 2) AS BIGINT) AS sum_b,
+        |  CAST(SUM((x + y * w) * v) FILTER (c = 0) AS BIGINT) AS wsum_r,
+        |  CAST(SUM((x + y * w) * v) FILTER (c = 1) AS BIGINT) AS wsum_g,
+        |  CAST(SUM((x + y * w) * v) FILTER (c = 2) AS BIGINT) AS wsum_b,
+        |  CAST(SUM(v) FILTER (c = 0) AS DOUBLE) / (w * h) AS mean_r,
+        |  CAST(SUM(v) FILTER (c = 1) AS DOUBLE) / (w * h) AS mean_g,
+        |  CAST(SUM(v) FILTER (c = 2) AS DOUBLE) / (w * h) AS mean_b
+        |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     // the VP8L checkerboard replayed: greens alternate g0/g1 by
     // (x+y+d) parity (4 of each per 8-wide row), r/b/alpha constant

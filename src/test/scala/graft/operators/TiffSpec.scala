@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.SparkFunSuite
+
+/** Hand-assembled baseline TIFFs pinning [[Multimodal.decodeTiffPixels]]:
+  * both byte orders, RGB and grayscale, the inline-vs-offset value rule,
+  * multi-strip assembly, and loud rejection of compressed/truncated
+  * streams. */
+class TiffSpec extends SparkFunSuite {
+
+  private def tiff(le: Boolean, entries: Seq[(Int, Int, Long, Long)],
+      tail: Array[Byte]): Array[Byte] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def p16(v: Int): Unit =
+      if (le) { buf += (v & 0xff).toByte; buf += ((v >> 8) & 0xff).toByte }
+      else { buf += ((v >> 8) & 0xff).toByte; buf += (v & 0xff).toByte }
+    def p32(v: Long): Unit =
+      if (le) { buf += (v & 0xff).toByte; buf += ((v >> 8) & 0xff).toByte
+        buf += ((v >> 16) & 0xff).toByte; buf += ((v >> 24) & 0xff).toByte }
+      else { buf += ((v >> 24) & 0xff).toByte
+        buf += ((v >> 16) & 0xff).toByte
+        buf += ((v >> 8) & 0xff).toByte; buf += (v & 0xff).toByte }
+    buf += (if (le) 'I' else 'M').toByte
+    buf += (if (le) 'I' else 'M').toByte
+    p16(42); p32(8)
+    p16(entries.size)
+    for ((tag, typ, cnt, v) <- entries) {
+      p16(tag); p16(typ); p32(cnt)
+      // inline by the 4-byte rule (SHORT count 1 → left-justified)
+      if (typ == 3 && cnt == 1) { p16(v.toInt); p16(0) } else p32(v)
+    }
+    p32(0) // next IFD
+    buf.toArray ++ tail
+  }
+
+  test("RGB little-endian single strip decodes to exact top-down " +
+      "samples; BitsPerSample resolves through an OFFSET value") {
+    val (w, h) = (3, 2)
+    val px = Array.tabulate(w * h * 3)(j => ((j * 7 + 5) % 256).toByte)
+    // entries end at 8 + 2 + 9*12 + 4 = 122; bits data 6 B; strip @128
+    val entries = Seq(
+      (256, 3, 1L, w.toLong), (257, 3, 1L, h.toLong),
+      (258, 3, 3L, 122L), (259, 3, 1L, 1L), (262, 3, 1L, 2L),
+      (273, 4, 1L, 128L), (277, 3, 1L, 3L), (278, 3, 1L, h.toLong),
+      (279, 4, 1L, (w * h * 3).toLong))
+    val bits = Array[Byte](8, 0, 8, 0, 8, 0)
+    val b = tiff(le = true, entries, bits ++ px)
+    val got = Multimodal.decodeTiffPixels(b)
+    assert(got.isDefined)
+    val (gw, gh, ch, out) = got.get
+    assert(gw == w && gh == h && ch == 3)
+    assert(out.toSeq == px.toSeq)
+    assert(Multimodal.auditPayload(b) == ("tiff", true, "ok"))
+    assert(Multimodal.decodeAnyRaster(b).map(_._1).contains("tiff"))
+  }
+
+  test("grayscale BIG-endian with TWO strips reassembles in order") {
+    val (w, h) = (4, 2)
+    val px = Array.tabulate(w * h)(j => ((j * 31 + 9) % 256).toByte)
+    // 9 entries → data starts 8 + 2 + 9·12 + 4 = 122: strip 0 (row 0,
+    // 4 B) @122, strip 1 @126; the count-2 offset/count arrays don't
+    // fit inline → stored @130 (273) and @138 (279)
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      (v & 0xff).toByte)
+    val tail = px.slice(0, 4) ++ px.slice(4, 8) ++
+      be32(122L) ++ be32(126L) ++ // strip offsets @130
+      be32(4L) ++ be32(4L)        // strip byte counts @138
+    val entries = Seq(
+      (256, 3, 1L, w.toLong), (257, 3, 1L, h.toLong),
+      (258, 3, 1L, 8L), (259, 3, 1L, 1L), (262, 3, 1L, 1L),
+      (273, 4, 2L, 130L), (277, 3, 1L, 1L), (278, 3, 1L, 1L),
+      (279, 4, 2L, 138L))
+    val b = tiff(le = false, entries, tail)
+    val got = Multimodal.decodeTiffPixels(b)
+    assert(got.isDefined, "big-endian two-strip gray must decode")
+    val (gw, gh, ch, out) = got.get
+    assert(gw == w && gh == h && ch == 1)
+    assert(out.toSeq == px.toSeq)
+  }
+
+  test("compressed, truncated, and non-8-bit TIFFs fail loud") {
+    val (w, h) = (2, 1)
+    val px = Array.tabulate(w * h * 3)(_.toByte)
+    def mk(comp: Long, bitsVal: Long): Array[Byte] = {
+      val entries = Seq(
+        (256, 3, 1L, w.toLong), (257, 3, 1L, h.toLong),
+        (258, 3, 3L, 122L), (259, 3, 1L, comp), (262, 3, 1L, 2L),
+        (273, 4, 1L, 128L), (277, 3, 1L, 3L), (278, 3, 1L, h.toLong),
+        (279, 4, 1L, (w * h * 3).toLong))
+      val bits = Array[Byte](bitsVal.toByte, 0, bitsVal.toByte, 0,
+        bitsVal.toByte, 0)
+      tiff(le = true, entries, bits ++ px)
+    }
+    assert(Multimodal.decodeTiffPixels(mk(1L, 8L)).isDefined)
+    assert(Multimodal.decodeTiffPixels(mk(5L, 8L)).isEmpty, "LZW")
+    assert(Multimodal.decodeTiffPixels(mk(1L, 16L)).isEmpty, "16-bit")
+    val good = mk(1L, 8L)
+    assert(Multimodal.decodeTiffPixels(good.take(good.length - 2)).isEmpty,
+      "truncated strip")
+    assert(Multimodal.auditPayload(mk(5L, 8L)) ==
+      ("tiff", false, "undecodable_tiff"))
+  }
+}
