@@ -2647,6 +2647,7 @@ object ExtensionQueries {
             lit(2L) + col("doc_id") % 3L))
         .when(col("doc_id") % 4 === 2, gifBlob)
         .when(col("doc_id") % 20 === 19, webpAssemble(col("__webp_bits")))
+        .when(col("doc_id") % 20 === 15, tiffBlob)
         .otherwise(jpegBlob)
       Multimodal.extractAnyImageFeatures(
           t(s, dir, "documents").select(col("doc_id"),
@@ -6021,7 +6022,8 @@ object ExtensionQueries {
         |    / (w * h) AS mean_b
         |  FROM agv GROUP BY doc_id, w, h),
         |aj AS (SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
-        |  FROM documents WHERE doc_id % 4 = 3 AND doc_id % 20 != 19),
+        |  FROM documents WHERE doc_id % 4 = 3 AND doc_id % 20 != 19
+        |    AND doc_id % 20 != 15),
         |ajk AS (SELECT doc_id, bw, bh,
         |    CAST(unnest(range(0, bw * bh)) AS BIGINT) AS k FROM aj),
         |ajm AS (SELECT doc_id, bw, bh, k,
@@ -6074,10 +6076,30 @@ object ExtensionQueries {
         |  CAST(r AS DOUBLE) AS mean_r,
         |  CAST(sum_g AS DOUBLE) / CAST(n AS DOUBLE) AS mean_g,
         |  CAST(b AS DOUBLE) AS mean_b
-        |  FROM wba)
+        |  FROM wba),
+        |tfp AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id % 20 = 15),
+        |tfx AS (SELECT doc_id, w, h,
+        |    unnest(range(0, w * h * 3)) AS j FROM tfp),
+        |tfv AS (SELECT doc_id, w, h, j % 3 AS c, (j // 3) % w AS x,
+        |    j // (3 * w) AS y, (doc_id * 23 + j * 29) % 256 AS v
+        |  FROM tfx),
+        |tff AS (SELECT doc_id, 'tiff' AS kind,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels, CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(SUM(v) FILTER (c = 0) AS BIGINT) AS sum_r,
+        |  CAST(SUM(v) FILTER (c = 1) AS BIGINT) AS sum_g,
+        |  CAST(SUM(v) FILTER (c = 2) AS BIGINT) AS sum_b,
+        |  CAST(SUM((x + y * w) * v) FILTER (c = 0) AS BIGINT) AS wsum_r,
+        |  CAST(SUM((x + y * w) * v) FILTER (c = 1) AS BIGINT) AS wsum_g,
+        |  CAST(SUM((x + y * w) * v) FILTER (c = 2) AS BIGINT) AS wsum_b,
+        |  CAST(SUM(v) FILTER (c = 0) AS DOUBLE) / (w * h) AS mean_r,
+        |  CAST(SUM(v) FILTER (c = 1) AS DOUBLE) / (w * h) AS mean_g,
+        |  CAST(SUM(v) FILTER (c = 2) AS DOUBLE) / (w * h) AS mean_b
+        |  FROM tfv GROUP BY doc_id, w, h)
         |SELECT * FROM bmp UNION ALL SELECT * FROM png
         |UNION ALL SELECT * FROM gif UNION ALL SELECT * FROM jpg
-        |UNION ALL SELECT * FROM wbf
+        |UNION ALL SELECT * FROM wbf UNION ALL SELECT * FROM tff
         |ORDER BY doc_id""".stripMargin,
 
     // WAV branch (odd docs — stereo) + FLAC branch (even docs — mono),
