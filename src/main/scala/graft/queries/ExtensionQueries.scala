@@ -156,7 +156,7 @@ object ExtensionQueries {
   private def ivfPqIndexFor(s: SparkSession, dir: String)
       : Similarity.IvfPqIndex = {
     def build(d: String) = Similarity.buildIvfPqIndex(
-      spread(t(s, d, "embeddings")), tmpArtifact("graft_ivfpq_index", d),
+      t(s, d, "embeddings"), tmpArtifact("graft_ivfpq_index", d),
       nlist = 16, m = 4, ksub = 16, iters = 1)
     val cached = ivfPqIndexCache.computeIfAbsent(dir, build(_))
     if (new java.io.File(cached.path).exists) cached
@@ -2587,7 +2587,7 @@ object ExtensionQueries {
       // whole per-byte concat at every reference (the 36 MiB-codegen /
       // GC-overhead failure mode the scale probe caught; same hoist as
       // mm_dims and the minhash kernels)
-      spread(t(s, dir, "documents"))
+      t(s, dir, "documents")
         .select(col("doc_id"), blob.as("blob"))
         .select(col("doc_id"), Multimodal.wavMeta(col("blob")).as("m"))
         .select(col("doc_id"), col("m.channels").as("channels"),
