@@ -2555,7 +2555,11 @@ object Multimodal {
         case 4 | 9 => 4L         // long
         case _ => 0L
       }
-      if (typeSize == 0L || cnt < 0) return None
+      // cnt is an untrusted u32: an unbounded (0L until cnt) would
+      // materialize a multi-billion-element Seq (fuzz-caught) — no
+      // legitimate tag here needs more than strip-count entries, and
+      // the strip data itself is bounded by the payload length
+      if (typeSize == 0L || cnt < 0 || cnt > (1L << 20)) return None
       // values ≤ 4 bytes are INLINE at e+8, else e+8 holds an offset
       val inline = typeSize * cnt <= 4
       def valAt(j: Long): Long = {

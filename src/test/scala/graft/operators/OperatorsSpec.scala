@@ -1538,11 +1538,25 @@ class MultimodalSpec extends SparkFunSuite {
       Seq(Array.tabulate(40)(i => (900 * math.sin(i * 0.3)).toLong)),
       16, 0, Seq(Fixed(2, 1, 5)))
     fuzzOne(flacGood, b => Multimodal.decodeFlacPcm(b), "flac")
+    // round-12 decoders: WebP/VP8L (bit-level entropy coding — the
+    // richest fuzz surface here) and baseline TIFF (offset arithmetic)
+    val webpGood = (19L until 20L).toDF("doc_id")
+      .select(graft.queries.ExtensionQueries.webpBits.as("__bits"))
+      .select(graft.queries.ExtensionQueries
+        .webpAssemble(col("__bits")).as("blob"))
+      .head().getAs[Array[Byte]]("blob")
+    fuzzOne(webpGood, Multimodal.decodeWebpArgb(_), "webp")
+    val tiffGood = (3L until 4L).toDF("doc_id")
+      .select(graft.queries.ExtensionQueries.tiffBlob.as("blob"))
+      .head().getAs[Array[Byte]]("blob")
+    fuzzOne(tiffGood, Multimodal.decodeTiffPixels(_), "tiff")
     // and the audit front door stays total over the same mutations
     fuzzOne(gifGood, b => Some(Multimodal.auditPayload(b)), "audit-gif")
     fuzzOne(pngGood, b => Some(Multimodal.auditPayload(b)), "audit-png")
     fuzzOne(jpegGood, b => Some(Multimodal.auditPayload(b)), "audit-jpeg")
     fuzzOne(flacGood, b => Some(Multimodal.auditPayload(b)), "audit-flac")
+    fuzzOne(webpGood, b => Some(Multimodal.auditPayload(b)), "audit-webp")
+    fuzzOne(tiffGood, b => Some(Multimodal.auditPayload(b)), "audit-tiff")
   }
 
   /** One doc's in-plan DC-only JPEG fixture rendered to bytes. */
