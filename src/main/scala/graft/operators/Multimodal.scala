@@ -2667,6 +2667,83 @@ object Multimodal {
     None
   }
 
+  /** WebP container metadata (round 12) — the curation-filter surface
+    * that needs NO pixel decode: alpha/animation flags + canvas
+    * geometry from VP8X (or the coded stream's own header for simple
+    * files), frame count / summed duration / loop count from the
+    * ANIM/ANMF walk. Frame payloads are SKIPPED by size — a thousand-
+    * frame animation costs a header walk, not a decode. */
+  final case class WebpMetaRow(doc_id: Long, has_alpha: Boolean,
+      has_anim: Boolean, canvas_w: Long, canvas_h: Long, n_frames: Long,
+      total_duration_ms: Long, loop_count: Long)
+
+  private[graft] def webpMetaJvm(b: Array[Byte])
+      : Option[(Boolean, Boolean, Long, Long, Long, Long, Long)] = {
+    if (b == null || b.length < 12 || sniffKindJvm(b) != "webp")
+      return None
+    def u24(p: Int): Long = (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16)
+    def u16(p: Int): Long = (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8)
+    def u32(p: Int): Long = u16(p) | (u16(p + 2) << 16)
+    var hasAlpha = false; var hasAnim = false
+    var cw = -1L; var chh = -1L
+    var nFrames = 0L; var dur = 0L; var loop = 0L
+    var sawStill = false
+    var p = 12
+    while (p + 8 <= b.length) {
+      val fourcc = new String(b, p, 4, "ISO-8859-1")
+      val size = u32(p + 4)
+      if (size < 0 || p + 8 + size > b.length) return None
+      val dp = p + 8
+      fourcc match {
+        case "VP8X" if size >= 10 =>
+          val flags = b(dp) & 0xff
+          hasAlpha = (flags & 0x10) != 0
+          hasAnim = (flags & 0x02) != 0
+          cw = u24(dp + 4) + 1
+          chh = u24(dp + 7) + 1
+        case "ANIM" if size >= 6 =>
+          loop = u16(dp + 4)
+        case "ANMF" if size >= 16 =>
+          nFrames += 1
+          dur += u24(dp + 12)
+        case "VP8L" if size >= 5 && (b(dp) & 0xff) == 0x2f =>
+          sawStill = true
+          if (cw < 0) {
+            // 14+14 bit dimensions, LSB-first from byte dp+1
+            val v = u32(dp + 1)
+            cw = (v & 0x3fff) + 1
+            chh = ((v >> 14) & 0x3fff) + 1
+          }
+        case "VP8 " if size >= 10 =>
+          sawStill = true
+          // keyframe: 3-byte frame tag, then 9d 01 2a, w u16le, h u16le
+          if (cw < 0 && (b(dp + 3) & 0xff) == 0x9d &&
+            (b(dp + 4) & 0xff) == 0x01 && (b(dp + 5) & 0xff) == 0x2a) {
+            cw = u16(dp + 6) & 0x3fff
+            chh = u16(dp + 8) & 0x3fff
+          }
+        case _ => ()
+      }
+      p = dp + size.toInt + (size.toInt & 1)
+    }
+    if (cw < 0 || chh < 0) return None
+    if (hasAnim && nFrames == 0) return None
+    if (!hasAnim && !sawStill) return None
+    Some((hasAlpha, hasAnim, cw, chh,
+      if (hasAnim) nFrames else 1L, dur, loop))
+  }
+
+  /** Batch WebP metadata (native-expression projection — NULL for
+    * non-WebP / malformed payloads, the [[extractMp4Meta]] shape). */
+  def extractWebpMeta(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[WebpMetaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    barrierExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.webpMetaCol).as[WebpMetaRow]
+  }
+
   /** WebP lossless decode → (width, height, ARGB pixels); None for
     * lossy VP8 (perceptual codec — honest `no_codec` upstream) and
     * anything malformed. The VP8L bitstream work lives in [[Vp8l]]. */

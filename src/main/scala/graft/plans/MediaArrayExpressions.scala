@@ -204,6 +204,23 @@ object MediaArrayKernel {
     InternalRow(b.length, mean, new GenericArrayData(feats))
   }
 
+  /** [[Multimodal.WebpMetaRow]] minus doc_id. */
+  val webpMetaSchema: StructType = StructType(Seq(
+    StructField("has_alpha", BooleanType, nullable = false),
+    StructField("has_anim", BooleanType, nullable = false),
+    StructField("canvas_w", LongType, nullable = false),
+    StructField("canvas_h", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("total_duration_ms", LongType, nullable = false),
+    StructField("loop_count", LongType, nullable = false)))
+
+  def webpMeta(b: Array[Byte]): InternalRow =
+    Multimodal.webpMetaJvm(b) match {
+      case Some((al, an, w, h, nf, dur, loop)) =>
+        InternalRow(al, an, w, h, nf, dur, loop)
+      case None => null
+    }
+
   def mp3Meta(b: Array[Byte]): InternalRow =
     Multimodal.mp3MetaJvm(b) match {
       case Some(m) => InternalRow(m.version_x10, m.layer, m.sample_rate,
@@ -381,6 +398,20 @@ case class Mp3Meta(child: Expression) extends MediaDecodeExpression {
 /** Column constructors for the round-11 media expressions — the
   * [[Multimodal.pngFeaturesCol]] convention, collected here so the
   * operators module reads declaratively. */
+/** `webp_meta(blob)` → container metadata struct (alpha/anim flags,
+  * canvas geometry, frame count / duration / loop), NULL for non-WebP
+  * or malformed payloads. */
+case class WebpMeta(child: Expression) extends MediaDecodeExpression {
+  override def dataType: DataType = MediaArrayKernel.webpMetaSchema
+  override def nullable: Boolean = true
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.webpMeta($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.webpMeta(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_webp_meta"
+}
+
 /** `byte_stats(blob)` → format-agnostic content statistics (byte
   * count, mean byte, 8-bucket histogram fractions) — the round-12
   * promotion of the LAST `mapPartitions` extractor
@@ -418,4 +449,5 @@ object MediaExprs {
   def mp3MetaCol(blob: Column): Column = c(Mp3Meta(e(blob)))
   def mp4SyncRangesCol(blob: Column): Column = c(Mp4SyncRanges(e(blob)))
   def byteStatsCol(blob: Column): Column = c(ByteStats(e(blob)))
+  def webpMetaCol(blob: Column): Column = c(WebpMeta(e(blob)))
 }

@@ -772,6 +772,53 @@ object ExtensionQueries {
     spread(t(s, dir, "documents"))
       .select(col("doc_id"), tiffBlob.as("blob"))
 
+  /** Animated-WebP fixture (round 12): VP8X (alpha on d%4==1, anim
+    * always) + ANIM(loop=d%5) + 2+d%3 ANMF frames of closed-form
+    * durations 40+(d+f)%20 ms, each carrying a stub VP8L sub-chunk
+    * (the metadata walker skips frame payloads by size — that IS the
+    * contract under test). Canvas (16+d%8) x (12+d%4). */
+  private[graft] def webpAnimBlob: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val w = lit(16L) + d % 8L
+    val h = lit(12L) + d % 4L
+    val k = lit(2L) + d % 3L
+    def le24h(v: org.apache.spark.sql.Column) = concat(
+      lpad(hex(pmod(v, lit(256L))), 2, "0"),
+      lpad(hex(pmod((v / lit(256L)).cast("long"), lit(256L))), 2, "0"),
+      lpad(hex(pmod((v / lit(65536L)).cast("long"), lit(256L))), 2, "0"))
+    def le16h(v: org.apache.spark.sql.Column) = concat(
+      lpad(hex(pmod(v, lit(256L))), 2, "0"),
+      lpad(hex(pmod((v / lit(256L)).cast("long"), lit(256L))), 2, "0"))
+    val flags = when(d % 4 === 1, lit(18L)).otherwise(lit(2L)) // 0x12/0x02
+    val vp8x = concat(lit("56503858" + "0a000000"),      // "VP8X" size 10
+      lpad(hex(flags), 2, "0"), lit("000000"),
+      le24h(w - 1L), le24h(h - 1L))
+    val anim = concat(lit("414e494d" + "06000000"),      // "ANIM" size 6
+      lit("00000000"), le16h(d % 5L))
+    // one ANMF frame: 16 header bytes + ("VP8L" + size 6 + 6 bytes)
+    val frames = array_join(transform(sequence(lit(0L), k - 1L), f =>
+      concat(lit("414e4d46" + "1e000000"),               // "ANMF" size 30
+        lit("000000" + "000000"),                        // x/2, y/2
+        le24h(w - 1L), le24h(h - 1L),
+        le24h(lit(40L) + pmod(d + f, lit(20L))),         // duration ms
+        lit("00"),                                       // blend/dispose
+        lit("5650384c" + "06000000" + "2f0000000000"))), "")
+    val payloadHex = concat(vp8x, anim, frames)
+    // RIFF size = 4 ("WEBP") + payload bytes
+    concat(lit("RIFF".getBytes),
+      le32b(lit(4L) + (lit(18L) + 14L) + k * 38L),
+      lit("WEBP".getBytes), unhex(payloadHex))
+  }
+
+  private[graft] def webpMetaFixture(s: SparkSession, dir: String)
+      : DataFrame =
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, webpBits).as("__bits"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, webpAssemble(col("__bits")))
+          .otherwise(webpAnimBlob).as("blob"))
+
   private[graft] def webpFixture(s: SparkSession, dir: String): DataFrame =
     spread(t(s, dir, "documents"))
       .select(col("doc_id"), webpBits.as("__bits"))
@@ -2771,6 +2818,15 @@ object ExtensionQueries {
     // strip bytes
     "mm_tiff_features" -> ((s, dir) =>
       Multimodal.extractAnyImageFeatures(tiffFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"))),
+
+    // WEBP CONTAINER METADATA (round 12) — the no-decode curation
+    // surface: VP8X flags + canvas, ANIM/ANMF frame walk (count,
+    // summed durations, loop), still files fall back to the coded
+    // stream's own header geometry; frame payloads skipped by size
+    "mm_webp_meta" -> ((s, dir) =>
+      Multimodal.extractWebpMeta(webpMetaFixture(s, dir), "doc_id")
         .toDF()
         .orderBy(col("doc_id"))),
 
@@ -6209,6 +6265,32 @@ object ExtensionQueries {
         |  CAST(SUM(v) FILTER (c = 1) AS DOUBLE) / (w * h) AS mean_g,
         |  CAST(SUM(v) FILTER (c = 2) AS DOUBLE) / (w * h) AS mean_b
         |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // still docs report the VP8L header geometry; animated docs the
+    // VP8X canvas + the ANMF duration sum
+    "mm_webp_meta" ->
+      """WITH ev AS (SELECT doc_id, FALSE AS has_alpha,
+        |    FALSE AS has_anim, CAST(8 AS BIGINT) AS canvas_w,
+        |    CAST(4 + doc_id % 4 AS BIGINT) AS canvas_h,
+        |    CAST(1 AS BIGINT) AS n_frames,
+        |    CAST(0 AS BIGINT) AS total_duration_ms,
+        |    CAST(0 AS BIGINT) AS loop_count
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |op AS (SELECT doc_id, 2 + doc_id % 3 AS k FROM documents
+        |  WHERE doc_id % 2 = 1),
+        |fr AS (SELECT doc_id, k, unnest(range(0, k)) AS f FROM op),
+        |dur AS (SELECT doc_id, MAX(k) AS k,
+        |    SUM(40 + (doc_id + f) % 20) AS dur FROM fr GROUP BY doc_id),
+        |od AS (SELECT doc_id, doc_id % 4 = 1 AS has_alpha,
+        |    TRUE AS has_anim,
+        |    CAST(16 + doc_id % 8 AS BIGINT) AS canvas_w,
+        |    CAST(12 + doc_id % 4 AS BIGINT) AS canvas_h,
+        |    CAST(k AS BIGINT) AS n_frames,
+        |    CAST(dur AS BIGINT) AS total_duration_ms,
+        |    CAST(doc_id % 5 AS BIGINT) AS loop_count
+        |  FROM dur)
+        |SELECT * FROM ev UNION ALL SELECT * FROM od
+        |ORDER BY doc_id""".stripMargin,
 
     // the VP8L checkerboard replayed: greens alternate g0/g1 by
     // (x+y+d) parity (4 of each per 8-wide row), r/b/alpha constant

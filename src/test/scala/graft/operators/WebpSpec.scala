@@ -287,6 +287,42 @@ class WebpSpec extends SparkFunSuite {
       s"${px.toSeq.map(_.toHexString)}")
   }
 
+  test("container metadata walk: VP8X canvas + ANIM/ANMF frame " +
+      "durations, still VP8L header geometry, lossy VP8 keyframe " +
+      "dimensions — frame payloads skipped by size") {
+    def le(v: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
+    def chunk(fourcc: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte)
+        else Array.empty[Byte]
+      fourcc.getBytes ++ le(body.length, 4) ++ body ++ pad
+    }
+    def riff(chunks: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ le(4 + chunks.length, 4) ++ "WEBP".getBytes ++
+        chunks
+    // animated: VP8X (alpha+anim, 33x21 canvas), ANIM loop 7, 2 ANMF
+    // frames 40 + 55 ms, payloads stubbed
+    val vp8x = chunk("VP8X",
+      Array[Byte](0x12, 0, 0, 0) ++ le(32, 3) ++ le(20, 3))
+    val anim = chunk("ANIM", le(0, 4) ++ le(7, 2))
+    def anmf(dur: Long) = chunk("ANMF",
+      le(0, 3) ++ le(0, 3) ++ le(32, 3) ++ le(20, 3) ++ le(dur, 3) ++
+        Array[Byte](0) ++ chunk("VP8L", Array[Byte](0x2f, 1, 2, 3)))
+    val animated = riff(vp8x ++ anim ++ anmf(40) ++ anmf(55))
+    assert(Multimodal.webpMetaJvm(animated) ==
+      Some((true, true, 33L, 21L, 2L, 95L, 7L)))
+    // lossy VP8 still: keyframe start code + 14-bit dimensions
+    val vp8body = Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a) ++
+      le(640, 2) ++ le(480, 2) ++ Array.fill(4)(0.toByte)
+    val lossy = riff(chunk("VP8 ", vp8body))
+    assert(Multimodal.webpMetaJvm(lossy) ==
+      Some((false, false, 640L, 480L, 1L, 0L, 0L)))
+    // truncated ANMF container fails loud
+    assert(Multimodal.webpMetaJvm(animated.take(40)).isEmpty)
+    // non-webp bytes are None
+    assert(Multimodal.webpMetaJvm("not a webp at all".getBytes).isEmpty)
+  }
+
   test("RIFF container walk + front door + audit: VP8L decodes, " +
       "lossy VP8 is ok_metadata, junk and truncation fail loud") {
     def le32(v: Int): Array[Byte] =

@@ -58,7 +58,8 @@ class MediaCodegenSpec extends SparkFunSuite {
         "mp4_tracks" -> graft.plans.MediaExprs.mp4TracksCol,
         "mp4_sync_ranges" -> graft.plans.MediaExprs.mp4SyncRangesCol,
         "mp3_meta" -> graft.plans.MediaExprs.mp3MetaCol,
-        "byte_stats" -> graft.plans.MediaExprs.byteStatsCol)
+        "byte_stats" -> graft.plans.MediaExprs.byteStatsCol,
+        "webp_meta" -> graft.plans.MediaExprs.webpMetaCol)
       for ((name, f) <- fns) {
         // junk blobs: structs NULL / arrays empty, audit gives a
         // verdict — the point is the collect not throwing under
