@@ -98,6 +98,27 @@ class StreamingSpec extends SparkFunSuite {
       .map(_.toString).toSeq
     assert(gotSync.sorted == wantSync.sorted,
       "mp4 sync ranges: stream != batch")
+    // round-12 extractors lift identically: WebP container metadata
+    // (mixed still/animated fixture) and the TIFF/webp branches of the
+    // mixed-raster front door
+    val webp = blobs(graft.queries.ExtensionQueries.webpAnimBlob)
+    val gotWebp = run(webp,
+      df => graft.operators.Multimodal.extractWebpMeta(df, "doc_id")
+        .toDF(), "webp_meta_stream")
+    val wantWebp = graft.operators.Multimodal
+      .extractWebpMeta(webp.toDF("doc_id", "blob"), "doc_id")
+      .toDF().orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(gotWebp == wantWebp, "webp meta: stream != batch")
+    assert(gotWebp.nonEmpty)
+    val tiff = blobs(graft.queries.ExtensionQueries.tiffBlob)
+    val gotTiff = run(tiff,
+      df => graft.operators.Multimodal.extractAnyImageFeatures(df,
+        "doc_id").toDF(), "tiff_stream")
+    val wantTiff = graft.operators.Multimodal
+      .extractAnyImageFeatures(tiff.toDF("doc_id", "blob"), "doc_id")
+      .toDF().orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(gotTiff == wantTiff && gotTiff.nonEmpty,
+      "tiff front door: stream != batch")
   }
 
   test("streaming decode: golden envelope via MemoryStream (M2 wiring)") {
