@@ -2744,6 +2744,74 @@ object Multimodal {
       graft.plans.MediaExprs.webpMetaCol).as[WebpMetaRow]
   }
 
+  /** GIF container metadata (round 12) — the animated-GIF curation
+    * surface without pixel decode: logical-screen geometry, frame
+    * count (image descriptors), summed GCE delays (centiseconds → ms)
+    * and the NETSCAPE2.0 loop count; LZW frame payloads skipped by
+    * their sub-block length chain. Malformed block structure → None
+    * (PERMISSIVE). */
+  final case class GifMetaRow(doc_id: Long, width: Long, height: Long,
+      n_frames: Long, total_duration_ms: Long, loop_count: Long)
+
+  private[graft] def gifMetaJvm(b: Array[Byte])
+      : Option[(Long, Long, Long, Long, Long)] = {
+    if (b == null || b.length < 14 || sniffKindJvm(b) != "gif") return None
+    def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    val w = u16(6).toLong; val h = u16(8).toLong
+    val packed = b(10) & 0xff
+    var p = 13
+    if ((packed & 0x80) != 0) p += 3 * (1 << ((packed & 7) + 1))
+    var frames = 0L; var dur = 0L; var loop = 0L
+    var done = false
+    // skip a length-prefixed sub-block chain from position q; -1 if it
+    // runs off the payload
+    def skipSubBlocks(q0: Int): Int = {
+      var q = q0
+      while (q < b.length && (b(q) & 0xff) != 0) q += 1 + (b(q) & 0xff)
+      if (q >= b.length) -1 else q + 1
+    }
+    while (!done) {
+      if (p < 0 || p >= b.length) return None
+      (b(p) & 0xff) match {
+        case 0x3b => done = true
+        case 0x2c => // image descriptor: one frame
+          frames += 1
+          if (p + 10 > b.length) return None
+          val ip = b(p + 9) & 0xff
+          p += 10
+          if ((ip & 0x80) != 0) p += 3 * (1 << ((ip & 7) + 1))
+          if (p >= b.length) return None
+          p += 1 // LZW min code size
+          p = skipSubBlocks(p)
+        case 0x21 => // extension
+          if (p + 2 > b.length) return None
+          val label = b(p + 1) & 0xff
+          val q = p + 2
+          if (label == 0xf9 && q + 6 <= b.length && (b(q) & 0xff) == 4)
+            dur += u16(q + 2) * 10L // delay is centiseconds
+          if (label == 0xff && q + 18 <= b.length &&
+            (b(q) & 0xff) == 11 &&
+            new String(b, q + 1, 11, "ISO-8859-1") == "NETSCAPE2.0" &&
+            (b(q + 12) & 0xff) == 3 && (b(q + 13) & 0xff) == 1)
+            loop = u16(q + 14).toLong
+          p = skipSubBlocks(q)
+        case _ => return None
+      }
+    }
+    if (frames == 0) return None
+    Some((w, h, frames, dur, loop))
+  }
+
+  /** Batch GIF metadata (native-expression projection, NULL for
+    * non-GIF / malformed payloads). */
+  def extractGifMeta(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[GifMetaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    barrierExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.gifMetaCol).as[GifMetaRow]
+  }
+
   /** WebP lossless decode → (width, height, ARGB pixels); None for
     * lossy VP8 (perceptual codec — honest `no_codec` upstream) and
     * anything malformed. The VP8L bitstream work lives in [[Vp8l]]. */

@@ -214,6 +214,20 @@ object MediaArrayKernel {
     StructField("total_duration_ms", LongType, nullable = false),
     StructField("loop_count", LongType, nullable = false)))
 
+  /** [[Multimodal.GifMetaRow]] minus doc_id. */
+  val gifMetaSchema: StructType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("total_duration_ms", LongType, nullable = false),
+    StructField("loop_count", LongType, nullable = false)))
+
+  def gifMeta(b: Array[Byte]): InternalRow =
+    Multimodal.gifMetaJvm(b) match {
+      case Some((w, h, nf, dur, loop)) => InternalRow(w, h, nf, dur, loop)
+      case None => null
+    }
+
   def webpMeta(b: Array[Byte]): InternalRow =
     Multimodal.webpMetaJvm(b) match {
       case Some((al, an, w, h, nf, dur, loop)) =>
@@ -401,6 +415,20 @@ case class Mp3Meta(child: Expression) extends MediaDecodeExpression {
 /** `webp_meta(blob)` → container metadata struct (alpha/anim flags,
   * canvas geometry, frame count / duration / loop), NULL for non-WebP
   * or malformed payloads. */
+/** `gif_meta(blob)` → container metadata struct (geometry, frame
+  * count, summed GCE delays, NETSCAPE loop), NULL for non-GIF or
+  * malformed payloads. */
+case class GifMeta(child: Expression) extends MediaDecodeExpression {
+  override def dataType: DataType = MediaArrayKernel.gifMetaSchema
+  override def nullable: Boolean = true
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.gifMeta($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.gifMeta(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_gif_meta"
+}
+
 case class WebpMeta(child: Expression) extends MediaDecodeExpression {
   override def dataType: DataType = MediaArrayKernel.webpMetaSchema
   override def nullable: Boolean = true
@@ -450,4 +478,5 @@ object MediaExprs {
   def mp4SyncRangesCol(blob: Column): Column = c(Mp4SyncRanges(e(blob)))
   def byteStatsCol(blob: Column): Column = c(ByteStats(e(blob)))
   def webpMetaCol(blob: Column): Column = c(WebpMeta(e(blob)))
+  def gifMetaCol(blob: Column): Column = c(GifMeta(e(blob)))
 }

@@ -772,6 +772,46 @@ object ExtensionQueries {
     spread(t(s, dir, "documents"))
       .select(col("doc_id"), tiffBlob.as("blob"))
 
+  /** Animated-GIF fixture (round 12): no GCT, NETSCAPE2.0 loop
+    * extension (loop = d%4), then 2+d%4 frames, each a GCE with delay
+    * 5+(d+f)%12 centiseconds followed by a 1x1 image descriptor with a
+    * stub LZW chain (the metadata walker skips payloads by sub-block
+    * lengths — that is the contract under test). */
+  private[graft] def gifAnimBlob: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val w = lit(20L) + d % 10L
+    val h = lit(15L) + d % 5L
+    val k = lit(2L) + d % 4L
+    def le16h(v: org.apache.spark.sql.Column) = concat(
+      lpad(hex(pmod(v, lit(256L))), 2, "0"),
+      lpad(hex(pmod((v / lit(256L)).cast("long"), lit(256L))), 2, "0"))
+    val netscape = lit("21ff0b" +
+      "4e45545343415045322e30" + // "NETSCAPE2.0"
+      "0301")
+    val frames = array_join(transform(sequence(lit(0L), k - 1L), f =>
+      concat(
+        lit("21f904" + "00"),                       // GCE, packed 0
+        le16h(lit(5L) + pmod(d + f, lit(12L))),     // delay (cs)
+        lit("00" + "00"),                           // transparent, term
+        lit("2c00000000"),                          // descriptor at 0,0
+        lit("0100010000"),                          // 1x1, no LCT
+        lit("02" + "0144" + "00"))), "")            // stub LZW chain
+    unhex(concat(
+      lit("474946383961"),                          // "GIF89a"
+      le16h(w), le16h(h), lit("000000"),            // LSD, no GCT
+      netscape, le16h(d % 4L), lit("00"),           // loop sub-block
+      frames, lit("3b")))
+  }
+
+  private[graft] def gifMetaFixture(s: SparkSession, dir: String)
+      : DataFrame =
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, col("doc_id")).as("__still"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, gifBlob)
+          .otherwise(gifAnimBlob).as("blob"))
+
   /** Animated-WebP fixture (round 12): VP8X (alpha on d%4==1, anim
     * always) + ANIM(loop=d%5) + 2+d%3 ANMF frames of closed-form
     * durations 40+(d+f)%20 ms, each carrying a stub VP8L sub-chunk
@@ -2818,6 +2858,14 @@ object ExtensionQueries {
     // strip bytes
     "mm_tiff_features" -> ((s, dir) =>
       Multimodal.extractAnyImageFeatures(tiffFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"))),
+
+    // GIF CONTAINER METADATA (round 12) — frame count, summed GCE
+    // delays, NETSCAPE loop walked without LZW decode; even docs are
+    // the real single-frame fixture, odd docs closed-form animations
+    "mm_gif_meta" -> ((s, dir) =>
+      Multimodal.extractGifMeta(gifMetaFixture(s, dir), "doc_id")
         .toDF()
         .orderBy(col("doc_id"))),
 
@@ -6265,6 +6313,32 @@ object ExtensionQueries {
         |  CAST(SUM(v) FILTER (c = 1) AS DOUBLE) / (w * h) AS mean_g,
         |  CAST(SUM(v) FILTER (c = 2) AS DOUBLE) / (w * h) AS mean_b
         |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // even docs: the single-frame fixture (geometry 3+d%4 x 2+d%3, no
+    // GCE, no loop); odd docs: the closed-form animation grid
+    "mm_gif_meta" ->
+      """WITH ev AS (SELECT doc_id,
+        |    CAST(3 + doc_id % 4 AS BIGINT) AS width,
+        |    CAST(2 + doc_id % 3 AS BIGINT) AS height,
+        |    CAST(1 AS BIGINT) AS n_frames,
+        |    CAST(0 AS BIGINT) AS total_duration_ms,
+        |    CAST(0 AS BIGINT) AS loop_count
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |op AS (SELECT doc_id, 2 + doc_id % 4 AS k FROM documents
+        |  WHERE doc_id % 2 = 1),
+        |fr AS (SELECT doc_id, k, unnest(range(0, k)) AS f FROM op),
+        |dur AS (SELECT doc_id, MAX(k) AS k,
+        |    SUM((5 + (doc_id + f) % 12) * 10) AS dur
+        |  FROM fr GROUP BY doc_id),
+        |od AS (SELECT doc_id,
+        |    CAST(20 + doc_id % 10 AS BIGINT) AS width,
+        |    CAST(15 + doc_id % 5 AS BIGINT) AS height,
+        |    CAST(k AS BIGINT) AS n_frames,
+        |    CAST(dur AS BIGINT) AS total_duration_ms,
+        |    CAST(doc_id % 4 AS BIGINT) AS loop_count
+        |  FROM dur)
+        |SELECT * FROM ev UNION ALL SELECT * FROM od
+        |ORDER BY doc_id""".stripMargin,
 
     // still docs report the VP8L header geometry; animated docs the
     // VP8X canvas + the ANMF duration sum

@@ -79,6 +79,28 @@ class TiffSpec extends SparkFunSuite {
     assert(out.toSeq == px.toSeq)
   }
 
+  test("GIF metadata walk: frames, summed GCE delays, NETSCAPE loop; " +
+      "payloads skipped by sub-block chains; truncation fails loud") {
+    def hexb(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // 2-frame animation, delays 7cs + 11cs, loop 3, 9x5 canvas
+    val anim = hexb("474946383961" + "09000500" + "000000" +
+      "21ff0b" + "4e45545343415045322e30" + "0301" + "0300" + "00" +
+      "21f90400" + "0700" + "0000" + "2c00000000" + "0100010000" +
+      "02014400" +
+      "21f90400" + "0b00" + "0000" + "2c00000000" + "0100010000" +
+      "02014400" +
+      "3b")
+    assert(Multimodal.gifMetaJvm(anim) == Some((9L, 5L, 2L, 180L, 3L)))
+    // truncation inside a sub-block chain → None
+    assert(Multimodal.gifMetaJvm(anim.take(anim.length - 3)).isEmpty)
+    // unknown block type (the 0x21 app-ext introducer at offset 13
+    // becomes an unknown introducer) → None
+    val bad = anim.clone(); bad(13) = 0x7f
+    assert(Multimodal.gifMetaJvm(bad).isEmpty)
+    assert(Multimodal.gifMetaJvm("GIF89a".getBytes).isEmpty)
+  }
+
   test("compressed, truncated, and non-8-bit TIFFs fail loud") {
     val (w, h) = (2, 1)
     val px = Array.tabulate(w * h * 3)(_.toByte)

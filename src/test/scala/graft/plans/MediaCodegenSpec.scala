@@ -59,7 +59,8 @@ class MediaCodegenSpec extends SparkFunSuite {
         "mp4_sync_ranges" -> graft.plans.MediaExprs.mp4SyncRangesCol,
         "mp3_meta" -> graft.plans.MediaExprs.mp3MetaCol,
         "byte_stats" -> graft.plans.MediaExprs.byteStatsCol,
-        "webp_meta" -> graft.plans.MediaExprs.webpMetaCol)
+        "webp_meta" -> graft.plans.MediaExprs.webpMetaCol,
+        "gif_meta" -> graft.plans.MediaExprs.gifMetaCol)
       for ((name, f) <- fns) {
         // junk blobs: structs NULL / arrays empty, audit gives a
         // verdict — the point is the collect not throwing under
