@@ -2802,6 +2802,62 @@ object Multimodal {
     Some((w, h, frames, dur, loop))
   }
 
+  /** APNG/PNG container metadata (round 12) — IHDR geometry plus the
+    * APNG animation-control walk: `acTL` frame/play counts and summed
+    * `fcTL` frame delays (num/den seconds; den 0 means 1/100 s per the
+    * spec; ms = 1000·num/den integer division). Plain PNGs report one
+    * frame, zero duration. IDAT/fdAT payloads skipped by chunk
+    * length — no inflate. */
+  final case class PngMetaRow(doc_id: Long, width: Long, height: Long,
+      n_frames: Long, total_duration_ms: Long, n_plays: Long)
+
+  private[graft] def pngMetaJvm(b: Array[Byte])
+      : Option[(Long, Long, Long, Long, Long)] = {
+    if (b == null || b.length < 16 || sniffKindJvm(b) != "png") return None
+    def u32(p: Int): Long = ((b(p) & 0xffL) << 24) |
+      ((b(p + 1) & 0xffL) << 16) | ((b(p + 2) & 0xffL) << 8) |
+      (b(p + 3) & 0xffL)
+    def u16(p: Int): Long = ((b(p) & 0xffL) << 8) | (b(p + 1) & 0xffL)
+    var w = -1L; var h = -1L
+    var frames = -1L; var plays = 0L; var dur = 0L; var fctl = 0L
+    var p = 8
+    var sawEnd = false
+    while (!sawEnd) {
+      if (p + 8 > b.length) return None
+      val len = u32(p)
+      val typ = new String(b, p + 4, 4, "ISO-8859-1")
+      val dp = p + 8
+      if (len < 0 || dp + len + 4 > b.length) return None
+      typ match {
+        case "IHDR" if len >= 8 => w = u32(dp); h = u32(dp + 4)
+        case "acTL" if len >= 8 =>
+          frames = u32(dp); plays = u32(dp + 4)
+        case "fcTL" if len >= 26 =>
+          fctl += 1
+          val num = u16(dp + 20)
+          val den = u16(dp + 22)
+          dur += num * 1000L / (if (den == 0) 100L else den)
+        case "IEND" => sawEnd = true
+        case _ => ()
+      }
+      p = dp + len.toInt + 4 // skip data + CRC
+    }
+    if (w <= 0 || h <= 0) return None
+    if (frames >= 0 && fctl != frames) return None // APNG must be whole
+    Some((w, h, if (frames >= 0) frames else 1L, dur,
+      if (frames >= 0) plays else 0L))
+  }
+
+  /** Batch PNG/APNG metadata (native-expression projection, NULL for
+    * non-PNG / malformed payloads). */
+  def extractPngMeta(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[PngMetaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    barrierExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.pngMetaCol).as[PngMetaRow]
+  }
+
   /** Batch GIF metadata (native-expression projection, NULL for
     * non-GIF / malformed payloads). */
   def extractGifMeta(df: DataFrame, idCol: String,

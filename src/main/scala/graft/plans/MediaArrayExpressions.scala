@@ -222,6 +222,20 @@ object MediaArrayKernel {
     StructField("total_duration_ms", LongType, nullable = false),
     StructField("loop_count", LongType, nullable = false)))
 
+  /** [[Multimodal.PngMetaRow]] minus doc_id. */
+  val pngMetaSchema: StructType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("total_duration_ms", LongType, nullable = false),
+    StructField("n_plays", LongType, nullable = false)))
+
+  def pngMeta(b: Array[Byte]): InternalRow =
+    Multimodal.pngMetaJvm(b) match {
+      case Some((w, h, nf, dur, pl)) => InternalRow(w, h, nf, dur, pl)
+      case None => null
+    }
+
   def gifMeta(b: Array[Byte]): InternalRow =
     Multimodal.gifMetaJvm(b) match {
       case Some((w, h, nf, dur, loop)) => InternalRow(w, h, nf, dur, loop)
@@ -418,6 +432,19 @@ case class Mp3Meta(child: Expression) extends MediaDecodeExpression {
 /** `gif_meta(blob)` → container metadata struct (geometry, frame
   * count, summed GCE delays, NETSCAPE loop), NULL for non-GIF or
   * malformed payloads. */
+/** `png_meta(blob)` → IHDR geometry + APNG acTL/fcTL animation
+  * metadata, NULL for non-PNG or malformed payloads. */
+case class PngMeta(child: Expression) extends MediaDecodeExpression {
+  override def dataType: DataType = MediaArrayKernel.pngMetaSchema
+  override def nullable: Boolean = true
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.pngMeta($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.pngMeta(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_png_meta"
+}
+
 case class GifMeta(child: Expression) extends MediaDecodeExpression {
   override def dataType: DataType = MediaArrayKernel.gifMetaSchema
   override def nullable: Boolean = true
@@ -479,4 +506,5 @@ object MediaExprs {
   def byteStatsCol(blob: Column): Column = c(ByteStats(e(blob)))
   def webpMetaCol(blob: Column): Column = c(WebpMeta(e(blob)))
   def gifMetaCol(blob: Column): Column = c(GifMeta(e(blob)))
+  def pngMetaCol(blob: Column): Column = c(PngMeta(e(blob)))
 }

@@ -772,6 +772,43 @@ object ExtensionQueries {
     spread(t(s, dir, "documents"))
       .select(col("doc_id"), tiffBlob.as("blob"))
 
+  /** APNG fixture (round 12): IHDR + acTL(k frames, d%6 plays) + k
+    * fcTL chunks with delay (3+(d+f)%9)/100 s + a stub IDAT + IEND —
+    * the metadata walker reads control chunks and skips payloads by
+    * length (no inflate). */
+  private[graft] def pngAnimBlob: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val w = lit(9L) + d % 7L
+    val h = lit(6L) + d % 5L
+    val k = lit(2L) + d % 3L
+    val crc0 = "00000000"
+    def be32h(v: org.apache.spark.sql.Column) = lpad(hex(v), 8, "0")
+    def be16h(v: org.apache.spark.sql.Column) = lpad(hex(v), 4, "0")
+    val ihdr = concat(lit("0000000d" + "49484452"), be32h(w), be32h(h),
+      lit("0802000000" + crc0))
+    val actl = concat(lit("00000008" + "6163544c"), be32h(k),
+      be32h(d % 6L), lit(crc0))
+    val fctls = array_join(transform(sequence(lit(0L), k - 1L), f =>
+      concat(lit("0000001a" + "6663544c"), be32h(f), be32h(w), be32h(h),
+        lit("00000000" + "00000000"),
+        be16h(lit(3L) + pmod(d + f, lit(9L))), lit("0064"),
+        lit("0000" + crc0))), "")
+    unhex(concat(lit("89504e470d0a1a0a"), ihdr, actl, fctls,
+      lit("00000001" + "49444154" + "00" + crc0),
+      lit("00000000" + "49454e44" + crc0)))
+  }
+
+  private[graft] def pngMetaFixture(s: SparkSession, dir: String)
+      : DataFrame =
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, pngScan).as("__png_scan"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          pngAssemble(col("__png_scan"), lit(3L) + col("doc_id") % 4L,
+            lit(2L) + col("doc_id") % 3L))
+          .otherwise(pngAnimBlob).as("blob"))
+
   /** Animated-GIF fixture (round 12): no GCT, NETSCAPE2.0 loop
     * extension (loop = d%4), then 2+d%4 frames, each a GCE with delay
     * 5+(d+f)%12 centiseconds followed by a 1x1 image descriptor with a
@@ -2858,6 +2895,15 @@ object ExtensionQueries {
     // strip bytes
     "mm_tiff_features" -> ((s, dir) =>
       Multimodal.extractAnyImageFeatures(tiffFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"))),
+
+    // APNG/PNG CONTAINER METADATA (round 12) — IHDR geometry + the
+    // acTL/fcTL animation walk (frame count, summed num/den delays,
+    // play count), IDAT/fdAT skipped by length; even docs the REAL
+    // single-frame PNG fixture, odd docs closed-form APNGs
+    "mm_png_meta" -> ((s, dir) =>
+      Multimodal.extractPngMeta(pngMetaFixture(s, dir), "doc_id")
         .toDF()
         .orderBy(col("doc_id"))),
 
@@ -6313,6 +6359,32 @@ object ExtensionQueries {
         |  CAST(SUM(v) FILTER (c = 1) AS DOUBLE) / (w * h) AS mean_g,
         |  CAST(SUM(v) FILTER (c = 2) AS DOUBLE) / (w * h) AS mean_b
         |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // even docs: the real PNG fixture geometry, one frame; odd docs:
+    // the APNG delay grid at den=100 (ms = 10*num exact)
+    "mm_png_meta" ->
+      """WITH ev AS (SELECT doc_id,
+        |    CAST(3 + doc_id % 4 AS BIGINT) AS width,
+        |    CAST(2 + doc_id % 3 AS BIGINT) AS height,
+        |    CAST(1 AS BIGINT) AS n_frames,
+        |    CAST(0 AS BIGINT) AS total_duration_ms,
+        |    CAST(0 AS BIGINT) AS n_plays
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |op AS (SELECT doc_id, 2 + doc_id % 3 AS k FROM documents
+        |  WHERE doc_id % 2 = 1),
+        |fr AS (SELECT doc_id, k, unnest(range(0, k)) AS f FROM op),
+        |dur AS (SELECT doc_id, MAX(k) AS k,
+        |    SUM((3 + (doc_id + f) % 9) * 10) AS dur
+        |  FROM fr GROUP BY doc_id),
+        |od AS (SELECT doc_id,
+        |    CAST(9 + doc_id % 7 AS BIGINT) AS width,
+        |    CAST(6 + doc_id % 5 AS BIGINT) AS height,
+        |    CAST(k AS BIGINT) AS n_frames,
+        |    CAST(dur AS BIGINT) AS total_duration_ms,
+        |    CAST(doc_id % 6 AS BIGINT) AS n_plays
+        |  FROM dur)
+        |SELECT * FROM ev UNION ALL SELECT * FROM od
+        |ORDER BY doc_id""".stripMargin,
 
     // even docs: the single-frame fixture (geometry 3+d%4 x 2+d%3, no
     // GCE, no loop); odd docs: the closed-form animation grid

@@ -101,6 +101,37 @@ class TiffSpec extends SparkFunSuite {
     assert(Multimodal.gifMetaJvm("GIF89a".getBytes).isEmpty)
   }
 
+  test("APNG metadata walk: acTL/fcTL frames + num/den delays; " +
+      "den 0 means 1/100 s; fcTL/acTL count mismatch fails loud") {
+    def hexb(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def chunk(typ: String, dataHex: String): String =
+      f"${dataHex.length / 2}%08x" +
+        typ.getBytes.map(b => f"$b%02x").mkString + dataHex + "00000000"
+    def fctl(seq: Int, num: Int, den: Int): String =
+      chunk("fcTL", f"$seq%08x" + "00000005" + "00000003" +
+        "00000000" + "00000000" + f"$num%04x" + f"$den%04x" + "0000")
+    val base = "89504e470d0a1a0a" +
+      chunk("IHDR", "00000005" + "00000003" + "0802000000")
+    // 2 frames: 3/100 s + 1/0 (den 0 → 1/100) → 30 + 10 ms; 4 plays
+    val apng = hexb(base +
+      chunk("acTL", "00000002" + "00000004") +
+      fctl(0, 3, 100) + fctl(1, 1, 0) +
+      chunk("IDAT", "00") + chunk("IEND", ""))
+    assert(Multimodal.pngMetaJvm(apng) == Some((5L, 3L, 2L, 40L, 4L)))
+    // plain PNG: one frame, no duration
+    val still = hexb(base + chunk("IDAT", "00") + chunk("IEND", ""))
+    assert(Multimodal.pngMetaJvm(still) == Some((5L, 3L, 1L, 0L, 0L)))
+    // acTL claims 2 frames but only 1 fcTL → malformed APNG
+    val broken = hexb(base +
+      chunk("acTL", "00000002" + "00000004") +
+      fctl(0, 3, 100) +
+      chunk("IDAT", "00") + chunk("IEND", ""))
+    assert(Multimodal.pngMetaJvm(broken).isEmpty)
+    // truncated mid-chunk
+    assert(Multimodal.pngMetaJvm(apng.take(apng.length - 6)).isEmpty)
+  }
+
   test("compressed, truncated, and non-8-bit TIFFs fail loud") {
     val (w, h) = (2, 1)
     val px = Array.tabulate(w * h * 3)(_.toByte)

@@ -60,7 +60,8 @@ class MediaCodegenSpec extends SparkFunSuite {
         "mp3_meta" -> graft.plans.MediaExprs.mp3MetaCol,
         "byte_stats" -> graft.plans.MediaExprs.byteStatsCol,
         "webp_meta" -> graft.plans.MediaExprs.webpMetaCol,
-        "gif_meta" -> graft.plans.MediaExprs.gifMetaCol)
+        "gif_meta" -> graft.plans.MediaExprs.gifMetaCol,
+        "png_meta" -> graft.plans.MediaExprs.pngMetaCol)
       for ((name, f) <- fns) {
         // junk blobs: structs NULL / arrays empty, audit gives a
         // verdict — the point is the collect not throwing under
