@@ -60,6 +60,9 @@ object Multimodal {
         substring(blob, 1, 4) === lit(Array[Byte]('M', 'M', 0, 42)),
         "tiff")
       .when(substring(blob, 1, 2) === lit("BM".getBytes), "bmp")
+      .when(substring(blob, 5, 4) === lit("ftyp".getBytes) &&
+        (substring(blob, 9, 4) === lit("avif".getBytes) ||
+          substring(blob, 9, 4) === lit("avis".getBytes)), "avif")
       .when(substring(blob, 5, 4) === lit("ftyp".getBytes), "mp4")
       .when(substring(blob, 1, 3) === lit("ID3".getBytes), "mp3")
       .otherwise("bin")
@@ -2848,6 +2851,131 @@ object Multimodal {
       if (frames >= 0) plays else 0L))
   }
 
+  /** AVIF container metadata (round 12) — the ISOBMFF `meta` walk the
+    * modern crawl formats need: primary-item geometry resolved
+    * PROPERLY through `pitm` → `ipma` associations → the `ispe`
+    * property in `ipco` (the first-ispe shortcut silently returns the
+    * ALPHA plane's extent on alpha-first encoders), item count from
+    * `iinf`, animation from the `avis` brand or a `moov` box. AV1
+    * payload (mdat) untouched — a perceptual codec this container
+    * honestly does not ship; the walk is the keep/route/skip curation
+    * surface. */
+  final case class AvifMetaRow(doc_id: Long, width: Long, height: Long,
+      n_items: Long, animated: Boolean)
+
+  private[graft] def avifMetaJvm(b: Array[Byte])
+      : Option[(Long, Long, Long, Boolean)] = {
+    if (b == null || b.length < 16) return None
+    def u32(p: Int): Long =
+      if (p < 0 || p + 4 > b.length) -1L
+      else ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    def u16(p: Int): Int =
+      if (p < 0 || p + 2 > b.length) -1
+      else ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+    def typ(p: Int): String =
+      if (p + 8 > b.length) "" else new String(b, p + 4, 4, "ISO-8859-1")
+    // iterate child boxes of [s, e); f receives (type, dataStart, dataEnd)
+    def children(s0: Int, e: Int)(f: (String, Int, Int) => Unit): Boolean = {
+      var p = s0
+      while (p + 8 <= e) {
+        val sz = u32(p)
+        if (sz < 8 || p + sz > e) return false
+        f(typ(p), p + 8, p + sz.toInt)
+        p += sz.toInt
+      }
+      p == e
+    }
+    if (typ(0) != "ftyp") return None
+    val brand = new String(b, 8, 4, "ISO-8859-1")
+    if (brand != "avif" && brand != "avis") return None
+    var animated = brand == "avis"
+    var metaRange: Option[(Int, Int)] = None
+    if (!children(0, b.length) { (t, s, e) =>
+      if (t == "meta") metaRange = Some((s, e))
+      if (t == "moov") animated = true
+    }) return None
+    val (ms0, me) = metaRange.getOrElse(return None)
+    val ms = ms0 + 4 // meta is a FullBox
+    var primary = -1L
+    var nItems = -1L
+    var ipcoRange: Option[(Int, Int)] = None
+    var ipmaRange: Option[(Int, Int)] = None
+    if (!children(ms, me) { (t, s, e) =>
+      t match {
+        case "pitm" =>
+          val v = b(s) & 0xff
+          primary = if (v == 0) u16(s + 4).toLong else u32(s + 4)
+        case "iinf" =>
+          val v = b(s) & 0xff
+          nItems = if (v == 0) u16(s + 4).toLong else u32(s + 4)
+        case "iprp" =>
+          children(s, e) { (t2, s2, e2) =>
+            if (t2 == "ipco") ipcoRange = Some((s2, e2))
+            if (t2 == "ipma") ipmaRange = Some((s2, e2))
+          }
+          ()
+        case _ => ()
+      }
+    }) return None
+    val (cs, ce) = ipcoRange.getOrElse(return None)
+    // ipco properties in order (1-based indices)
+    val props = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    if (!children(cs, ce) { (t, s, e) => props += ((t, s, e)) })
+      return None
+    // primary item's property indices via ipma; fall back to the first
+    // ispe only if pitm/ipma are absent entirely
+    def ispeAt(idx: Int): Option[(Long, Long)] =
+      if (idx < 1 || idx > props.size) None
+      else props(idx - 1) match {
+        case ("ispe", s, e) if e - s >= 12 =>
+          Some((u32(s + 4), u32(s + 8)))
+        case _ => None
+      }
+    var dims: Option[(Long, Long)] = None
+    ipmaRange match {
+      case Some((s, e)) if primary >= 0 =>
+        val version = b(s) & 0xff
+        val flags = u32(s) & 0xffffff
+        val n = u32(s + 4)
+        var p = s + 8
+        var i = 0L
+        while (i < n && p < e) {
+          val itemId: Long =
+            if (version < 1) { val v = u16(p); p += 2; v.toLong }
+            else { val v = u32(p); p += 4; v }
+          if (p >= e) return None
+          val cnt = b(p) & 0xff
+          p += 1
+          var a = 0
+          while (a < cnt) {
+            val idx =
+              if ((flags & 1) != 0) { val v = u16(p) & 0x7fff; p += 2; v }
+              else { val v = b(p) & 0x7f; p += 1; v }
+            if (itemId == primary && dims.isEmpty) dims = ispeAt(idx)
+            a += 1
+          }
+          i += 1
+        }
+      case _ =>
+        dims = props.collectFirst { case ("ispe", s, e)
+          if e - s >= 12 => (u32(s + 4), u32(s + 8)) }
+    }
+    val (w, h) = dims.getOrElse(return None)
+    if (w <= 0 || h <= 0) return None
+    Some((w, h, if (nItems >= 0) nItems else 1L, animated))
+  }
+
+  /** Batch AVIF metadata (native-expression projection, NULL for
+    * non-AVIF / malformed payloads). */
+  def extractAvifMeta(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[AvifMetaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    barrierExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.avifMetaCol).as[AvifMetaRow]
+  }
+
   /** Batch PNG/APNG metadata (native-expression projection, NULL for
     * non-PNG / malformed payloads). */
   def extractPngMeta(df: DataFrame, idCol: String,
@@ -3544,6 +3672,9 @@ object Multimodal {
       b(2) == 42 && b(3) == 0) || (b(0) == 'M' && b(1) == 'M' &&
       b(2) == 0 && b(3) == 42))) "tiff"
     else if (b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+      b(7) == 'p' && b(8) == 'a' && b(9) == 'v' && b(10) == 'i' &&
+      (b(11) == 'f' || b(11) == 's')) "avif"
     else if (b.length >= 8 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
       b(7) == 'p') "mp4"
     else if (b.length >= 3 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
@@ -3609,6 +3740,11 @@ object Multimodal {
       case "mp4" =>
         if (mp4MetaJvm(bytes).isDefined) ("mp4", true, "ok_metadata")
         else ("mp4", false, "undecodable_mp4")
+      // AVIF (round 12): the meta walk is real; AV1 pixel decode needs
+      // a perceptual codec this container does not ship
+      case "avif" =>
+        if (avifMetaJvm(bytes).isDefined) ("avif", true, "ok_metadata")
+        else ("avif", false, "undecodable_avif")
       case "mp3" =>
         if (mp3MetaJvm(bytes).isDefined) ("mp3", true, "ok_metadata")
         else ("mp3", false, "undecodable_mp3")

@@ -222,6 +222,19 @@ object MediaArrayKernel {
     StructField("total_duration_ms", LongType, nullable = false),
     StructField("loop_count", LongType, nullable = false)))
 
+  /** [[Multimodal.AvifMetaRow]] minus doc_id. */
+  val avifMetaSchema: StructType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_items", LongType, nullable = false),
+    StructField("animated", BooleanType, nullable = false)))
+
+  def avifMeta(b: Array[Byte]): InternalRow =
+    Multimodal.avifMetaJvm(b) match {
+      case Some((w, h, n, anim)) => InternalRow(w, h, n, anim)
+      case None => null
+    }
+
   /** [[Multimodal.PngMetaRow]] minus doc_id. */
   val pngMetaSchema: StructType = StructType(Seq(
     StructField("width", LongType, nullable = false),
@@ -432,6 +445,19 @@ case class Mp3Meta(child: Expression) extends MediaDecodeExpression {
 /** `gif_meta(blob)` → container metadata struct (geometry, frame
   * count, summed GCE delays, NETSCAPE loop), NULL for non-GIF or
   * malformed payloads. */
+/** `avif_meta(blob)` → primary-item geometry (pitm→ipma→ispe), item
+  * count, animation flag; NULL for non-AVIF or malformed payloads. */
+case class AvifMeta(child: Expression) extends MediaDecodeExpression {
+  override def dataType: DataType = MediaArrayKernel.avifMetaSchema
+  override def nullable: Boolean = true
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.avifMeta($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.avifMeta(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_avif_meta"
+}
+
 /** `png_meta(blob)` → IHDR geometry + APNG acTL/fcTL animation
   * metadata, NULL for non-PNG or malformed payloads. */
 case class PngMeta(child: Expression) extends MediaDecodeExpression {
@@ -507,4 +533,5 @@ object MediaExprs {
   def webpMetaCol(blob: Column): Column = c(WebpMeta(e(blob)))
   def gifMetaCol(blob: Column): Column = c(GifMeta(e(blob)))
   def pngMetaCol(blob: Column): Column = c(PngMeta(e(blob)))
+  def avifMetaCol(blob: Column): Column = c(AvifMeta(e(blob)))
 }

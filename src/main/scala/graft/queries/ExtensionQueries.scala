@@ -772,6 +772,42 @@ object ExtensionQueries {
     spread(t(s, dir, "documents"))
       .select(col("doc_id"), tiffBlob.as("blob"))
 
+  /** AVIF fixture (round 12): ftyp(avif | avis on odd docs) + meta
+    * with pitm(item 1), iinf(2 items), iprp{ipco[ispe_alpha,
+    * ispe_primary], ipma{1→prop2, 2→prop1}} + an mdat stub. The ALPHA
+    * ispe deliberately comes FIRST with different dims — a walker
+    * taking the first ispe instead of resolving pitm→ipma→ispe
+    * reports the wrong geometry and fails the oracle. */
+  private[graft] def avifBlob: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val w = lit(24L) + d % 16L
+    val h = lit(18L) + d % 12L
+    def be32h(v: org.apache.spark.sql.Column) = lpad(hex(v), 8, "0")
+    val brand = when(d % 2 === 1, lit("61766973"))
+      .otherwise(lit("61766966")) // "avis" / "avif"
+    def ispe(wc: org.apache.spark.sql.Column,
+        hc: org.apache.spark.sql.Column) =
+      concat(lit("00000014" + "69737065" + "00000000"),
+        be32h(wc), be32h(hc))
+    val ipco = concat(lit("00000030" + "6970636f"),
+      ispe(w + 2L, h + 2L), ispe(w, h))
+    val ipma = lit("00000018" + "69706d61" + "00000000" + "00000002" +
+      "0001" + "01" + "02" + "0002" + "01" + "01")
+    val iprp = concat(lit("00000050" + "69707270"), ipco, ipma)
+    val pitm = lit("0000000e" + "7069746d" + "00000000" + "0001")
+    val iinf = lit("0000000e" + "69696e66" + "00000000" + "0002")
+    val meta = concat(lit("00000078" + "6d657461" + "00000000"),
+      pitm, iinf, iprp)
+    unhex(concat(
+      lit("00000010" + "66747970"), brand, lit("00000000"),
+      meta,
+      lit("00000009" + "6d646174" + "00")))
+  }
+
+  private[graft] def avifFixture(s: SparkSession, dir: String): DataFrame =
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), avifBlob.as("blob"))
+
   /** APNG fixture (round 12): IHDR + acTL(k frames, d%6 plays) + k
     * fcTL chunks with delay (3+(d+f)%9)/100 s + a stub IDAT + IEND —
     * the metadata walker reads control chunks and skips payloads by
@@ -2895,6 +2931,15 @@ object ExtensionQueries {
     // strip bytes
     "mm_tiff_features" -> ((s, dir) =>
       Multimodal.extractAnyImageFeatures(tiffFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"))),
+
+    // AVIF CONTAINER METADATA (round 12) — the ISOBMFF meta walk:
+    // primary-item geometry via pitm→ipma→ispe (the alpha-first
+    // fixture makes the first-ispe shortcut fail), item count,
+    // animation from the avis brand; AV1 payload untouched
+    "mm_avif_meta" -> ((s, dir) =>
+      Multimodal.extractAvifMeta(avifFixture(s, dir), "doc_id")
         .toDF()
         .orderBy(col("doc_id"))),
 
@@ -6359,6 +6404,16 @@ object ExtensionQueries {
         |  CAST(SUM(v) FILTER (c = 1) AS DOUBLE) / (w * h) AS mean_g,
         |  CAST(SUM(v) FILTER (c = 2) AS DOUBLE) / (w * h) AS mean_b
         |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // the primary item's ispe (NOT the alpha plane's first-listed
+    // extent); odd docs carry the avis animation brand
+    "mm_avif_meta" ->
+      """SELECT doc_id,
+        |  CAST(24 + doc_id % 16 AS BIGINT) AS width,
+        |  CAST(18 + doc_id % 12 AS BIGINT) AS height,
+        |  CAST(2 AS BIGINT) AS n_items,
+        |  doc_id % 2 = 1 AS animated
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // even docs: the real PNG fixture geometry, one frame; odd docs:
     // the APNG delay grid at den=100 (ms = 10*num exact)

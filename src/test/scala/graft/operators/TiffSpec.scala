@@ -132,6 +132,22 @@ class TiffSpec extends SparkFunSuite {
     assert(Multimodal.pngMetaJvm(apng.take(apng.length - 6)).isEmpty)
   }
 
+  test("AVIF metadata walk: primary geometry resolves through " +
+      "pitm→ipma→ispe (NOT the first-listed alpha ispe); avis brand " +
+      "animates; truncation fails loud") {
+    val s = spark
+    import s.implicits._
+    val blob = (7L until 8L).toDF("doc_id")
+      .select(graft.queries.ExtensionQueries.avifBlob.as("blob"))
+      .head().getAs[Array[Byte]]("blob")
+    // doc 7: w = 24 + 7 = 31, h = 18 + 7 = 25, avis (odd) → animated;
+    // the alpha ispe lists (33, 27) FIRST — a first-ispe walker fails
+    assert(Multimodal.avifMetaJvm(blob) == Some((31L, 25L, 2L, true)))
+    assert(Multimodal.auditPayload(blob) == ("avif", true, "ok_metadata"))
+    assert(Multimodal.avifMetaJvm(blob.take(40)).isEmpty)
+    assert(Multimodal.avifMetaJvm("nope".getBytes).isEmpty)
+  }
+
   test("compressed, truncated, and non-8-bit TIFFs fail loud") {
     val (w, h) = (2, 1)
     val px = Array.tabulate(w * h * 3)(_.toByte)

@@ -61,7 +61,8 @@ class MediaCodegenSpec extends SparkFunSuite {
         "byte_stats" -> graft.plans.MediaExprs.byteStatsCol,
         "webp_meta" -> graft.plans.MediaExprs.webpMetaCol,
         "gif_meta" -> graft.plans.MediaExprs.gifMetaCol,
-        "png_meta" -> graft.plans.MediaExprs.pngMetaCol)
+        "png_meta" -> graft.plans.MediaExprs.pngMetaCol,
+        "avif_meta" -> graft.plans.MediaExprs.avifMetaCol)
       for ((name, f) <- fns) {
         // junk blobs: structs NULL / arrays empty, audit gives a
         // verdict — the point is the collect not throwing under
