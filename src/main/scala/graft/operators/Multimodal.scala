@@ -2966,6 +2966,91 @@ object Multimodal {
     Some((w, h, if (nItems >= 0) nItems else 1L, animated))
   }
 
+  /** OGG container metadata (round 12) — the audio twin of the image
+    * walks: page-structure walk of the first logical stream (BOS
+    * serial), codec identification from the id header (OpusHead /
+    * ␁vorbis / ␡FLAC), channels + rate from it, duration from the
+    * LAST page's granule position (Opus granules run at a fixed
+    * 48 kHz minus the pre-skip; Vorbis at the nominal rate). Packet
+    * payloads beyond the id header are skipped by the lacing tables —
+    * no codec. */
+  final case class OggMetaRow(doc_id: Long, codec: String,
+      channels: Long, sample_rate: Long, duration_ms: Long,
+      n_pages: Long)
+
+  private[graft] def oggMetaJvm(b: Array[Byte])
+      : Option[(String, Long, Long, Long, Long)] = {
+    if (b == null || b.length < 28 || b(0) != 'O' || b(1) != 'g' ||
+      b(2) != 'g' || b(3) != 'S') return None
+    def u16(p: Int): Long = (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8)
+    def u32(p: Int): Long = u16(p) | (u16(p + 2) << 16)
+    def u64(p: Int): Long = u32(p) | (u32(p + 4) << 32)
+    var codec = ""
+    var channels = -1L; var rate = -1L; var preSkip = 0L
+    var serial = -1L
+    var lastGranule = -1L
+    var nPages = 0L
+    var p = 0
+    while (p + 27 <= b.length) {
+      if (!(b(p) == 'O' && b(p + 1) == 'g' && b(p + 2) == 'g' &&
+        b(p + 3) == 'S' && b(p + 4) == 0)) return None
+      val hdrType = b(p + 5) & 0xff
+      val granule = u64(p + 6)
+      val ser = u32(p + 14)
+      val nSegs = b(p + 26) & 0xff
+      if (p + 27 + nSegs > b.length) return None
+      var payLen = 0
+      var i = 0
+      while (i < nSegs) { payLen += b(p + 27 + i) & 0xff; i += 1 }
+      val dp = p + 27 + nSegs
+      if (dp + payLen > b.length) return None
+      if (serial < 0 && (hdrType & 0x02) != 0) {
+        serial = ser
+        // id header sniff on the BOS payload
+        if (payLen >= 19 && new String(b, dp, 8, "ISO-8859-1") ==
+          "OpusHead") {
+          codec = "opus"
+          channels = b(dp + 9) & 0xffL
+          preSkip = u16(dp + 10)
+          rate = u32(dp + 12) // informational input rate
+        } else if (payLen >= 30 && (b(dp) & 0xff) == 1 &&
+          new String(b, dp + 1, 6, "ISO-8859-1") == "vorbis") {
+          codec = "vorbis"
+          channels = b(dp + 11) & 0xffL
+          rate = u32(dp + 12)
+        } else if (payLen >= 5 && (b(dp) & 0xff) == 0x7f &&
+          new String(b, dp + 1, 4, "ISO-8859-1") == "FLAC") {
+          codec = "flac"
+        } else return None
+      }
+      if (ser == serial) {
+        nPages += 1
+        if (granule >= 0) lastGranule = math.max(lastGranule, granule)
+      }
+      p = dp + payLen
+    }
+    if (p != b.length || codec.isEmpty || nPages == 0) return None
+    val durMs = codec match {
+      case "opus" =>
+        if (lastGranule < 0) 0L
+        else math.max(0L, lastGranule - preSkip) * 1000L / 48000L
+      case "vorbis" if rate > 0 =>
+        if (lastGranule < 0) 0L else lastGranule * 1000L / rate
+      case _ => 0L
+    }
+    Some((codec, channels, rate, durMs, nPages))
+  }
+
+  /** Batch OGG metadata (native-expression projection, NULL for
+    * non-OGG / malformed payloads). */
+  def extractOggMeta(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[OggMetaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    barrierExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.oggMetaCol).as[OggMetaRow]
+  }
+
   /** Batch AVIF metadata (native-expression projection, NULL for
     * non-AVIF / malformed payloads). */
   def extractAvifMeta(df: DataFrame, idCol: String,

@@ -222,6 +222,21 @@ object MediaArrayKernel {
     StructField("total_duration_ms", LongType, nullable = false),
     StructField("loop_count", LongType, nullable = false)))
 
+  /** [[Multimodal.OggMetaRow]] minus doc_id. */
+  val oggMetaSchema: StructType = StructType(Seq(
+    StructField("codec", StringType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("n_pages", LongType, nullable = false)))
+
+  def oggMeta(b: Array[Byte]): InternalRow =
+    Multimodal.oggMetaJvm(b) match {
+      case Some((c, ch, r, dur, np)) =>
+        InternalRow(UTF8String.fromString(c), ch, r, dur, np)
+      case None => null
+    }
+
   /** [[Multimodal.AvifMetaRow]] minus doc_id. */
   val avifMetaSchema: StructType = StructType(Seq(
     StructField("width", LongType, nullable = false),
@@ -445,6 +460,19 @@ case class Mp3Meta(child: Expression) extends MediaDecodeExpression {
 /** `gif_meta(blob)` → container metadata struct (geometry, frame
   * count, summed GCE delays, NETSCAPE loop), NULL for non-GIF or
   * malformed payloads. */
+/** `ogg_meta(blob)` → codec/channels/rate/duration/page-count from
+  * the OGG page walk, NULL for non-OGG or malformed payloads. */
+case class OggMeta(child: Expression) extends MediaDecodeExpression {
+  override def dataType: DataType = MediaArrayKernel.oggMetaSchema
+  override def nullable: Boolean = true
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.oggMeta($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.oggMeta(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_ogg_meta"
+}
+
 /** `avif_meta(blob)` → primary-item geometry (pitm→ipma→ispe), item
   * count, animation flag; NULL for non-AVIF or malformed payloads. */
 case class AvifMeta(child: Expression) extends MediaDecodeExpression {
@@ -534,4 +562,5 @@ object MediaExprs {
   def gifMetaCol(blob: Column): Column = c(GifMeta(e(blob)))
   def pngMetaCol(blob: Column): Column = c(PngMeta(e(blob)))
   def avifMetaCol(blob: Column): Column = c(AvifMeta(e(blob)))
+  def oggMetaCol(blob: Column): Column = c(OggMeta(e(blob)))
 }

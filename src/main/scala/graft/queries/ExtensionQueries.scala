@@ -772,6 +772,53 @@ object ExtensionQueries {
     spread(t(s, dir, "documents"))
       .select(col("doc_id"), tiffBlob.as("blob"))
 
+  /** OGG fixture (round 12): two pages per doc — a BOS page carrying
+    * the id header (odd docs OpusHead with pre-skip 312, even docs a
+    * Vorbis identification header) and an EOS page whose granule
+    * position encodes a closed-form duration. Page CRCs are zero (the
+    * walker, like most taggers, does not verify them). */
+  private[graft] def oggBlob: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    def le16h(v: org.apache.spark.sql.Column) = concat(
+      lpad(hex(pmod(v, lit(256L))), 2, "0"),
+      lpad(hex(pmod((v / lit(256L)).cast("long"), lit(256L))), 2, "0"))
+    def le32h(v: org.apache.spark.sql.Column) = concat(
+      le16h(v), le16h((v / lit(65536L)).cast("long")))
+    def page(hdrType: String, granule: org.apache.spark.sql.Column,
+        seq: String, segLen: org.apache.spark.sql.Column,
+        payloadHex: org.apache.spark.sql.Column) =
+      concat(lit("4f676753" + "00" + hdrType), le32h(granule),
+        lit("00000000"),            // granule high (always < 2^32 here)
+        lit("07000000"),            // serial 7
+        lit(seq + "000000"),        // page sequence
+        lit("00000000"),            // crc (unverified)
+        lit("01"), lpad(hex(segLen), 2, "0"), payloadHex)
+    // Opus (odd docs): 19-byte OpusHead, 960-sample frames
+    val opusCh = lit(1L) + d % 2L
+    val opusGranule = lit(312L) + (lit(50L) + d % 100L) * 960L
+    val opusHead = concat(lit("4f70757348656164" + "01"),
+      lpad(hex(opusCh), 2, "0"), le16h(lit(312L)),
+      le32h(lit(48000L)), lit("0000" + "00"))
+    val opus = concat(
+      page("02", lit(0L), "00", lit(19L), opusHead),
+      page("04", opusGranule, "01", lit(1L), lit("aa")))
+    // Vorbis (even docs): 30-byte identification header
+    val vorbCh = lit(1L) + d % 3L
+    val vorbRate = lit(8000L) * (lit(1L) + d % 5L)
+    val vorbGranule = vorbRate * (lit(2L) + d % 9L)
+    val vorbId = concat(lit("01" + "766f72626973" + "00000000"),
+      lpad(hex(vorbCh), 2, "0"), le32h(vorbRate),
+      lit("00" * 12 + "66" + "01"))
+    val vorb = concat(
+      page("02", lit(0L), "00", lit(30L), vorbId),
+      page("04", vorbGranule, "01", lit(1L), lit("bb")))
+    unhex(when(d % 2 === 1, opus).otherwise(vorb))
+  }
+
+  private[graft] def oggFixture(s: SparkSession, dir: String): DataFrame =
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), oggBlob.as("blob"))
+
   /** AVIF fixture (round 12): ftyp(avif | avis on odd docs) + meta
     * with pitm(item 1), iinf(2 items), iprp{ipco[ispe_alpha,
     * ispe_primary], ipma{1→prop2, 2→prop1}} + an mdat stub. The ALPHA
@@ -2931,6 +2978,15 @@ object ExtensionQueries {
     // strip bytes
     "mm_tiff_features" -> ((s, dir) =>
       Multimodal.extractAnyImageFeatures(tiffFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"))),
+
+    // OGG CONTAINER METADATA (round 12) — the audio twin of the
+    // image walks: codec id (OpusHead/vorbis), channels, rate, and
+    // duration from the last page's granule position (48 kHz minus
+    // pre-skip for Opus, nominal rate for Vorbis)
+    "mm_ogg_meta" -> ((s, dir) =>
+      Multimodal.extractOggMeta(oggFixture(s, dir), "doc_id")
         .toDF()
         .orderBy(col("doc_id"))),
 
@@ -6404,6 +6460,21 @@ object ExtensionQueries {
         |  CAST(SUM(v) FILTER (c = 1) AS DOUBLE) / (w * h) AS mean_g,
         |  CAST(SUM(v) FILTER (c = 2) AS DOUBLE) / (w * h) AS mean_b
         |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // opus duration = 960-sample frames at the fixed 48 kHz granule
+    // rate minus pre-skip; vorbis = granule over the nominal rate
+    "mm_ogg_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'opus' ELSE 'vorbis' END AS codec,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 1 + doc_id % 2
+        |    ELSE 1 + doc_id % 3 END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 48000
+        |    ELSE 8000 * (1 + doc_id % 5) END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 1
+        |    THEN 960 * (50 + doc_id % 100) * 1000 // 48000
+        |    ELSE (2 + doc_id % 9) * 1000 END AS BIGINT) AS duration_ms,
+        |  CAST(2 AS BIGINT) AS n_pages
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the primary item's ispe (NOT the alpha plane's first-listed
     // extent); odd docs carry the avis animation brand

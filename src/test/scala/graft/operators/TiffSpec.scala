@@ -148,6 +148,36 @@ class TiffSpec extends SparkFunSuite {
     assert(Multimodal.avifMetaJvm("nope".getBytes).isEmpty)
   }
 
+  test("OGG metadata walk: opus pre-skip + 48 kHz granules vs vorbis " +
+      "nominal-rate granules; multiplexed-serial pages of other " +
+      "streams excluded; truncation fails loud") {
+    val s = spark
+    import s.implicits._
+    def blob(d: Long): Array[Byte] = (d until d + 1).toDF("doc_id")
+      .select(graft.queries.ExtensionQueries.oggBlob.as("blob"))
+      .head().getAs[Array[Byte]]("blob")
+    // doc 3 (opus): ch 1+1=2, granule 312 + 960*53 → 1060 ms
+    assert(Multimodal.oggMetaJvm(blob(3)) ==
+      Some(("opus", 2L, 48000L, 960L * 53 * 1000 / 48000, 2L)))
+    // doc 4 (vorbis): ch 1+1=2, rate 8000*5=40000, dur 6000 ms
+    assert(Multimodal.oggMetaJvm(blob(4)) ==
+      Some(("vorbis", 2L, 40000L, 6000L, 2L)))
+    // splice a page of a DIFFERENT serial (9) between the two pages:
+    // its (huge) granule must not count toward the first stream
+    val base = blob(4)
+    val bosLen = 27 + 1 + 30
+    def hexb(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val foreign = hexb("4f676753" + "0000" + "ffffffff00000000" +
+      "09000000" + "00000000" + "00000000" + "01" + "01" + "cc")
+    val muxed = base.take(bosLen) ++ foreign ++ base.drop(bosLen)
+    assert(Multimodal.oggMetaJvm(muxed) ==
+      Some(("vorbis", 2L, 40000L, 6000L, 2L)),
+      "foreign-serial pages must not affect duration or page count")
+    assert(Multimodal.oggMetaJvm(blob(3).take(30)).isEmpty)
+    assert(Multimodal.oggMetaJvm("OggS but not really".getBytes).isEmpty)
+  }
+
   test("compressed, truncated, and non-8-bit TIFFs fail loud") {
     val (w, h) = (2, 1)
     val px = Array.tabulate(w * h * 3)(_.toByte)

@@ -62,7 +62,8 @@ class MediaCodegenSpec extends SparkFunSuite {
         "webp_meta" -> graft.plans.MediaExprs.webpMetaCol,
         "gif_meta" -> graft.plans.MediaExprs.gifMetaCol,
         "png_meta" -> graft.plans.MediaExprs.pngMetaCol,
-        "avif_meta" -> graft.plans.MediaExprs.avifMetaCol)
+        "avif_meta" -> graft.plans.MediaExprs.avifMetaCol,
+        "ogg_meta" -> graft.plans.MediaExprs.oggMetaCol)
       for ((name, f) <- fns) {
         // junk blobs: structs NULL / arrays empty, audit gives a
         // verdict — the point is the collect not throwing under
