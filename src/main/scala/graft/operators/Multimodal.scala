@@ -64,6 +64,8 @@ object Multimodal {
         (substring(blob, 9, 4) === lit("avif".getBytes) ||
           substring(blob, 9, 4) === lit("avis".getBytes)), "avif")
       .when(substring(blob, 5, 4) === lit("ftyp".getBytes), "mp4")
+      .when(substring(blob, 1, 5) ===
+        lit(Array[Byte]('O', 'g', 'g', 'S', 0)), "ogg")
       .when(substring(blob, 1, 3) === lit("ID3".getBytes), "mp3")
       .otherwise("bin")
 
@@ -3762,6 +3764,8 @@ object Multimodal {
       (b(11) == 'f' || b(11) == 's')) "avif"
     else if (b.length >= 8 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
       b(7) == 'p') "mp4"
+    else if (b.length >= 5 && b(0) == 'O' && b(1) == 'g' && b(2) == 'g' &&
+      b(3) == 'S' && b(4) == 0) "ogg"
     else if (b.length >= 3 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
       "mp3"
     else "bin"
@@ -3833,6 +3837,11 @@ object Multimodal {
       case "mp3" =>
         if (mp3MetaJvm(bytes).isDefined) ("mp3", true, "ok_metadata")
         else ("mp3", false, "undecodable_mp3")
+      // OGG (round 12): the page walk + id header are real; Opus/Vorbis
+      // sample decode needs perceptual codecs this container lacks
+      case "ogg" =>
+        if (oggMetaJvm(bytes).isDefined) ("ogg", true, "ok_metadata")
+        else ("ogg", false, "undecodable_ogg")
       case k => (k, false, "unknown_format")
     }
 
