@@ -3043,6 +3043,78 @@ object Multimodal {
     Some((codec, channels, rate, durMs, nPages))
   }
 
+  /** EXIF orientation from a JPEG's APP1 segment (round 12) — the
+    * rotate-before-train curation bit: marker walk to APP1/"Exif",
+    * then a bounds-checked TIFF IFD0 scan (both byte orders) for tag
+    * 0x0112. `orientation` 1-8 per TIFF; 0 = no EXIF / no tag (a
+    * plain JPEG is not an error). None only for non-JPEG payloads. */
+  final case class ExifMetaRow(doc_id: Long, has_exif: Boolean,
+      orientation: Long)
+
+  private[graft] def exifOrientationJvm(b: Array[Byte])
+      : Option[(Boolean, Long)] = {
+    if (b == null || b.length < 4 || sniffKindJvm(b) != "jpeg")
+      return None
+    def u16be(p: Int): Int =
+      if (p + 2 > b.length) -1
+      else ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+    var p = 2
+    while (p + 4 <= b.length) {
+      if ((b(p) & 0xff) != 0xff) return Some((false, 0L))
+      val marker = b(p + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+        p += 2 // standalone markers
+      } else if (marker == 0xda || marker == 0xd9) {
+        return Some((false, 0L)) // entropy data / EOI: no APP1 found
+      } else {
+        val len = u16be(p + 2)
+        if (len < 2 || p + 2 + len > b.length) return Some((false, 0L))
+        if (marker == 0xe1 && len >= 16 &&
+          new String(b, p + 4, 6, "ISO-8859-1") == "Exif\u0000\u0000") {
+          val t = p + 10 // TIFF header base
+          val le =
+            if (b(t) == 'I' && b(t + 1) == 'I') true
+            else if (b(t) == 'M' && b(t + 1) == 'M') false
+            else return Some((true, 0L))
+          def u16t(q: Int): Int =
+            if (q + 2 > b.length) -1
+            else if (le) (b(q) & 0xff) | ((b(q + 1) & 0xff) << 8)
+            else ((b(q) & 0xff) << 8) | (b(q + 1) & 0xff)
+          def u32t(q: Int): Long =
+            if (q + 4 > b.length) -1L
+            else if (le) (u16t(q) & 0xffffL) | ((u16t(q + 2) & 0xffffL) << 16)
+            else ((u16t(q) & 0xffffL) << 16) | (u16t(q + 2) & 0xffffL)
+          val ifd = u32t(t + 4)
+          if (ifd < 8) return Some((true, 0L))
+          val e0 = t + ifd.toInt
+          val n = u16t(e0)
+          if (n < 0 || e0 + 2 + 12 * n > b.length) return Some((true, 0L))
+          var i = 0
+          while (i < n) {
+            val e = e0 + 2 + 12 * i
+            if (u16t(e) == 0x0112 && u16t(e + 2) == 3) {
+              val v = u16t(e + 8).toLong
+              return Some((true, if (v >= 1 && v <= 8) v else 0L))
+            }
+            i += 1
+          }
+          return Some((true, 0L))
+        }
+        p += 2 + len
+      }
+    }
+    Some((false, 0L))
+  }
+
+  /** Batch EXIF orientation (native-expression projection). */
+  def extractExifMeta(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[ExifMetaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    barrierExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.exifMetaCol).as[ExifMetaRow]
+  }
+
   /** Batch OGG metadata (native-expression projection, NULL for
     * non-OGG / malformed payloads). */
   def extractOggMeta(df: DataFrame, idCol: String,

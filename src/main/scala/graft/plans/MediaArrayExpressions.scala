@@ -222,6 +222,17 @@ object MediaArrayKernel {
     StructField("total_duration_ms", LongType, nullable = false),
     StructField("loop_count", LongType, nullable = false)))
 
+  /** [[Multimodal.ExifMetaRow]] minus doc_id. */
+  val exifMetaSchema: StructType = StructType(Seq(
+    StructField("has_exif", BooleanType, nullable = false),
+    StructField("orientation", LongType, nullable = false)))
+
+  def exifMeta(b: Array[Byte]): InternalRow =
+    Multimodal.exifOrientationJvm(b) match {
+      case Some((has, o)) => InternalRow(has, o)
+      case None => null
+    }
+
   /** [[Multimodal.OggMetaRow]] minus doc_id. */
   val oggMetaSchema: StructType = StructType(Seq(
     StructField("codec", StringType, nullable = false),
@@ -462,6 +473,19 @@ case class Mp3Meta(child: Expression) extends MediaDecodeExpression {
   * malformed payloads. */
 /** `ogg_meta(blob)` → codec/channels/rate/duration/page-count from
   * the OGG page walk, NULL for non-OGG or malformed payloads. */
+/** `exif_meta(blob)` → (has_exif, orientation 0-8) from a JPEG's
+  * APP1/TIFF IFD0, NULL for non-JPEG payloads. */
+case class ExifMeta(child: Expression) extends MediaDecodeExpression {
+  override def dataType: DataType = MediaArrayKernel.exifMetaSchema
+  override def nullable: Boolean = true
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.exifMeta($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.exifMeta(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_exif_meta"
+}
+
 case class OggMeta(child: Expression) extends MediaDecodeExpression {
   override def dataType: DataType = MediaArrayKernel.oggMetaSchema
   override def nullable: Boolean = true
@@ -563,4 +587,5 @@ object MediaExprs {
   def pngMetaCol(blob: Column): Column = c(PngMeta(e(blob)))
   def avifMetaCol(blob: Column): Column = c(AvifMeta(e(blob)))
   def oggMetaCol(blob: Column): Column = c(OggMeta(e(blob)))
+  def exifMetaCol(blob: Column): Column = c(ExifMeta(e(blob)))
 }

@@ -772,6 +772,24 @@ object ExtensionQueries {
     spread(t(s, dir, "documents"))
       .select(col("doc_id"), tiffBlob.as("blob"))
 
+  /** EXIF-bearing JPEG fixture (round 12): [[jpegBlob]] with an APP1
+    * segment spliced after SOI — "Exif\0\0" + a little-endian TIFF
+    * IFD0 whose single entry is orientation tag 0x0112 = 1+d%8. The
+    * decoder pipeline is unaffected (APP segments are skipped); only
+    * the EXIF walk sees it. */
+  private[graft] def jpegExifBlob: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val o = lit(1L) + d % 8L
+    val app1 = concat(
+      lit("ffe1" + "0022" + "45786966" + "0000" +   // APP1 len 34, Exif\0\0
+        "4949" + "2a00" + "08000000" +              // II TIFF, IFD @8
+        "0100" + "1201" + "0300" + "01000000"),     // 1 entry: 0x0112 SHORT
+      lpad(hex(o), 2, "0"),
+      lit("000000" + "00000000"))                   // value pad + next IFD
+    concat(unhex(lit("ffd8")), unhex(app1),
+      jpegBlob.substr(lit(3), lit(1 << 30)))
+  }
+
   /** OGG fixture (round 12): two pages per doc — a BOS page carrying
     * the id header (odd docs OpusHead with pre-skip 312, even docs a
     * Vorbis identification header) and an EOS page whose granule
@@ -2978,6 +2996,17 @@ object ExtensionQueries {
     // strip bytes
     "mm_tiff_features" -> ((s, dir) =>
       Multimodal.extractAnyImageFeatures(tiffFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"))),
+
+    // EXIF ORIENTATION (round 12) — the rotate-before-train curation
+    // bit: APP1 marker walk + TIFF IFD0 scan for tag 0x0112; plain
+    // JPEGs (even docs) report no-EXIF/0 rather than erroring
+    "mm_exif_orientation" -> ((s, dir) =>
+      Multimodal.extractExifMeta(
+        spread(t(s, dir, "documents")).select(col("doc_id"),
+          when(col("doc_id") % 2 === 1, jpegExifBlob)
+            .otherwise(jpegBlob).as("blob")), "doc_id")
         .toDF()
         .orderBy(col("doc_id"))),
 
@@ -6460,6 +6489,12 @@ object ExtensionQueries {
         |  CAST(SUM(v) FILTER (c = 1) AS DOUBLE) / (w * h) AS mean_g,
         |  CAST(SUM(v) FILTER (c = 2) AS DOUBLE) / (w * h) AS mean_b
         |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    "mm_exif_orientation" ->
+      """SELECT doc_id, doc_id % 2 = 1 AS has_exif,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 1 + doc_id % 8
+        |    ELSE 0 END AS BIGINT) AS orientation
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // opus duration = 960-sample frames at the fixed 48 kHz granule
     // rate minus pre-skip; vorbis = granule over the nominal rate

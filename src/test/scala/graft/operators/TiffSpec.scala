@@ -178,6 +178,32 @@ class TiffSpec extends SparkFunSuite {
     assert(Multimodal.oggMetaJvm("OggS but not really".getBytes).isEmpty)
   }
 
+  test("EXIF orientation: APP1/TIFF IFD0 tag 0x0112 both byte " +
+      "orders; a decoder-valid JPEG with spliced APP1 still decodes; " +
+      "plain JPEGs report no-EXIF") {
+    val s = spark
+    import s.implicits._
+    def fx(col_ : org.apache.spark.sql.Column, d: Long): Array[Byte] =
+      (d until d + 1).toDF("doc_id").select(col_.as("blob"))
+        .head().getAs[Array[Byte]]("blob")
+    val withExif = fx(graft.queries.ExtensionQueries.jpegExifBlob, 5L)
+    assert(Multimodal.exifOrientationJvm(withExif) == Some((true, 6L)))
+    // the spliced APP1 must not break the REAL pixel decoder
+    assert(Multimodal.decodeJpegPixels(withExif).isDefined,
+      "APP1 splice must be decoder-transparent")
+    val plain = fx(graft.queries.ExtensionQueries.jpegBlob, 5L)
+    assert(Multimodal.exifOrientationJvm(plain) == Some((false, 0L)))
+    // big-endian TIFF payload: MM + tag 0x0112 orientation 3
+    def hexb(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val be = hexb("ffd8" + "ffe1" + "0022" + "457869660000" +
+      "4d4d" + "002a" + "00000008" +
+      "0001" + "0112" + "0003" + "00000001" + "0003" + "0000" +
+      "00000000" + "ffd9")
+    assert(Multimodal.exifOrientationJvm(be) == Some((true, 3L)))
+    assert(Multimodal.exifOrientationJvm("junk".getBytes).isEmpty)
+  }
+
   test("compressed, truncated, and non-8-bit TIFFs fail loud") {
     val (w, h) = (2, 1)
     val px = Array.tabulate(w * h * 3)(_.toByte)

@@ -63,7 +63,8 @@ class MediaCodegenSpec extends SparkFunSuite {
         "gif_meta" -> graft.plans.MediaExprs.gifMetaCol,
         "png_meta" -> graft.plans.MediaExprs.pngMetaCol,
         "avif_meta" -> graft.plans.MediaExprs.avifMetaCol,
-        "ogg_meta" -> graft.plans.MediaExprs.oggMetaCol)
+        "ogg_meta" -> graft.plans.MediaExprs.oggMetaCol,
+        "exif_meta" -> graft.plans.MediaExprs.exifMetaCol)
       for ((name, f) <- fns) {
         // junk blobs: structs NULL / arrays empty, audit gives a
         // verdict — the point is the collect not throwing under
