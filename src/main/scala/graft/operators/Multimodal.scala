@@ -3106,6 +3106,71 @@ object Multimodal {
     Some((false, 0L))
   }
 
+  /** ID3v2 text frames (round 12) — title/artist/album from an MP3's
+    * leading tag (the catalog surface for audio corpora): ID3v2.3
+    * (plain u32 frame sizes) and v2.4 (syncsafe) both handled, latin-1
+    * and UTF-8 encodings decoded, UTF-16 frames skipped (absent = "");
+    * padding terminates the walk. The audio stream is untouched. */
+  final case class Id3TextRow(doc_id: Long, title: String,
+    artist: String, album: String)
+
+  private[graft] def id3TextJvm(b: Array[Byte])
+      : Option[(String, String, String)] = {
+    if (b == null || b.length < 10 || sniffKindJvm(b) != "mp3") return None
+    val ver = b(3) & 0xff
+    if (ver < 3 || ver > 4) return None
+    def syncsafe(p: Int): Long = ((b(p) & 0x7fL) << 21) |
+      ((b(p + 1) & 0x7fL) << 14) | ((b(p + 2) & 0x7fL) << 7) |
+      (b(p + 3) & 0x7fL)
+    def u32be(p: Int): Long = ((b(p) & 0xffL) << 24) |
+      ((b(p + 1) & 0xffL) << 16) | ((b(p + 2) & 0xffL) << 8) |
+      (b(p + 3) & 0xffL)
+    val end = 10 + syncsafe(6)
+    if (end > b.length) return None
+    var title = ""; var artist = ""; var album = ""
+    var p = 10
+    var done = false
+    while (!done && p + 10 <= end) {
+      if (b(p) == 0) done = true // padding
+      else {
+        val id = new String(b, p, 4, "ISO-8859-1")
+        val sz = if (ver == 4) syncsafe(p + 4) else u32be(p + 4)
+        if (sz < 0 || p + 10 + sz > end) return None
+        if (id.startsWith("T") && sz >= 1) {
+          val enc = b(p + 10) & 0xff
+          val charset = enc match {
+            case 0 => "ISO-8859-1"
+            case 3 => "UTF-8"
+            case _ => null // UTF-16 variants skipped
+          }
+          if (charset != null) {
+            var len = (sz - 1).toInt
+            // strip one trailing NUL if present
+            if (len > 0 && b(p + 10 + len) == 0) len -= 1
+            val txt = new String(b, p + 11, len, charset)
+            id match {
+              case "TIT2" => title = txt
+              case "TPE1" => artist = txt
+              case "TALB" => album = txt
+              case _ => ()
+            }
+          }
+        }
+        p += 10 + sz.toInt
+      }
+    }
+    Some((title, artist, album))
+  }
+
+  /** Batch ID3 text extraction (native-expression projection). */
+  def extractId3Text(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[Id3TextRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    barrierExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.id3TextCol).as[Id3TextRow]
+  }
+
   /** Batch EXIF orientation (native-expression projection). */
   def extractExifMeta(df: DataFrame, idCol: String,
       blobCol: String = "blob"): Dataset[ExifMetaRow] = {

@@ -222,6 +222,19 @@ object MediaArrayKernel {
     StructField("total_duration_ms", LongType, nullable = false),
     StructField("loop_count", LongType, nullable = false)))
 
+  /** [[Multimodal.Id3TextRow]] minus doc_id. */
+  val id3TextSchema: StructType = StructType(Seq(
+    StructField("title", StringType, nullable = false),
+    StructField("artist", StringType, nullable = false),
+    StructField("album", StringType, nullable = false)))
+
+  def id3Text(b: Array[Byte]): InternalRow =
+    Multimodal.id3TextJvm(b) match {
+      case Some((t, a, al)) => InternalRow(UTF8String.fromString(t),
+        UTF8String.fromString(a), UTF8String.fromString(al))
+      case None => null
+    }
+
   /** [[Multimodal.ExifMetaRow]] minus doc_id. */
   val exifMetaSchema: StructType = StructType(Seq(
     StructField("has_exif", BooleanType, nullable = false),
@@ -475,6 +488,19 @@ case class Mp3Meta(child: Expression) extends MediaDecodeExpression {
   * the OGG page walk, NULL for non-OGG or malformed payloads. */
 /** `exif_meta(blob)` → (has_exif, orientation 0-8) from a JPEG's
   * APP1/TIFF IFD0, NULL for non-JPEG payloads. */
+/** `id3_text(blob)` → (title, artist, album) from an MP3's leading
+  * ID3v2 tag, NULL for non-MP3 payloads. */
+case class Id3Text(child: Expression) extends MediaDecodeExpression {
+  override def dataType: DataType = MediaArrayKernel.id3TextSchema
+  override def nullable: Boolean = true
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.id3Text($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.id3Text(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_id3_text"
+}
+
 case class ExifMeta(child: Expression) extends MediaDecodeExpression {
   override def dataType: DataType = MediaArrayKernel.exifMetaSchema
   override def nullable: Boolean = true
@@ -588,4 +614,5 @@ object MediaExprs {
   def avifMetaCol(blob: Column): Column = c(AvifMeta(e(blob)))
   def oggMetaCol(blob: Column): Column = c(OggMeta(e(blob)))
   def exifMetaCol(blob: Column): Column = c(ExifMeta(e(blob)))
+  def id3TextCol(blob: Column): Column = c(Id3Text(e(blob)))
 }

@@ -772,6 +772,35 @@ object ExtensionQueries {
     spread(t(s, dir, "documents"))
       .select(col("doc_id"), tiffBlob.as("blob"))
 
+  /** ID3v2.3-tagged MP3 fixture (round 12): TIT2/TPE1/TALB latin-1
+    * text frames with closed-form strings, one real 32 kbps MPEG1-L3
+    * frame after the tag. Tag body stays under 128 bytes so the
+    * syncsafe size is a single low byte. */
+  private[graft] def mp3Id3Blob: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    def frame(id: String, text: org.apache.spark.sql.Column) =
+      concat(lit(id.getBytes),
+        be32b(octet_length(text).cast("long") + 1L),
+        lit(Array[Byte](0, 0, 0)), // frame flags + encoding latin-1
+        text)
+    val body = concat(
+      frame("TIT2", encode(concat(lit("doc-"), d.cast("string")),
+        "utf-8")),
+      frame("TPE1", encode(concat(lit("artist-"),
+        pmod(d, lit(7L)).cast("string")), "utf-8")),
+      frame("TALB", encode(concat(lit("album-"),
+        pmod(d, lit(3L)).cast("string")), "utf-8")))
+    concat(lit("ID3".getBytes), lit(Array[Byte](3, 0, 0, 0, 0, 0)),
+      unhex(lpad(hex(octet_length(body)), 2, "0")),
+      body,
+      unhex(lit("fffb14c0" + "00" * 92))) // one 32 kbps L3 frame
+  }
+
+  private[graft] def mp3Id3Fixture(s: SparkSession, dir: String)
+      : DataFrame =
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), mp3Id3Blob.as("blob"))
+
   /** EXIF-bearing JPEG fixture (round 12): [[jpegBlob]] with an APP1
     * segment spliced after SOI — "Exif\0\0" + a little-endian TIFF
     * IFD0 whose single entry is orientation tag 0x0112 = 1+d%8. The
@@ -2996,6 +3025,13 @@ object ExtensionQueries {
     // strip bytes
     "mm_tiff_features" -> ((s, dir) =>
       Multimodal.extractAnyImageFeatures(tiffFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"))),
+
+    // ID3v2 TEXT FRAMES (round 12) — title/artist/album off the tag
+    // (the audio-catalog surface); frame sizes real, encodings latin-1
+    "mm_id3_text" -> ((s, dir) =>
+      Multimodal.extractId3Text(mp3Id3Fixture(s, dir), "doc_id")
         .toDF()
         .orderBy(col("doc_id"))),
 
@@ -6489,6 +6525,12 @@ object ExtensionQueries {
         |  CAST(SUM(v) FILTER (c = 1) AS DOUBLE) / (w * h) AS mean_g,
         |  CAST(SUM(v) FILTER (c = 2) AS DOUBLE) / (w * h) AS mean_b
         |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    "mm_id3_text" ->
+      """SELECT doc_id, 'doc-' || doc_id AS title,
+        |  'artist-' || (doc_id % 7) AS artist,
+        |  'album-' || (doc_id % 3) AS album
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_exif_orientation" ->
       """SELECT doc_id, doc_id % 2 = 1 AS has_exif,

@@ -204,6 +204,40 @@ class TiffSpec extends SparkFunSuite {
     assert(Multimodal.exifOrientationJvm("junk".getBytes).isEmpty)
   }
 
+  test("ID3v2 text frames: v2.3 plain + v2.4 syncsafe sizes, UTF-8 " +
+      "encoding, padding terminates, UTF-16 frames skipped not mangled") {
+    def hexb(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def ascii(s: String): String = s.getBytes.map(b => f"$b%02x").mkString
+    def frame(id: String, enc: Int, textHex: String): String =
+      ascii(id) + f"${textHex.length / 2 + 1}%08x" + "0000" +
+        f"$enc%02x" + textHex
+    // v2.3: TIT2 latin-1 + TPE1 UTF-8 (with trailing NUL) + padding
+    val f1 = frame("TIT2", 0, ascii("Hello"))
+    val body = f1 + ascii("TPE1") +
+      f"${"W\u00f6rld".getBytes("UTF-8").length + 2}%08x" + "0000" + "03" +
+      "57c3b6726c64" + "00" + // UTF-8 "Wörld" + trailing NUL
+      "00000000" // padding
+    val tag = "494433" + "0300" + "00" + "000000" +
+      f"${body.length / 2}%02x" + body
+    val mp3 = hexb(tag + "fffb14c0" + "00" * 10)
+    assert(Multimodal.id3TextJvm(mp3) ==
+      Some(("Hello", "W\u00f6rld", "")))
+    // v2.4 syncsafe frame size
+    val b4 = frame("TALB", 0, ascii("Rec"))
+    val tag4 = "494433" + "0400" + "00" + "000000" +
+      f"${b4.length / 2}%02x" + b4
+    assert(Multimodal.id3TextJvm(hexb(tag4 + "fffb14c0")) ==
+      Some(("", "", "Rec")))
+    // UTF-16 frame (enc 1) is skipped, not mangled
+    val b16 = frame("TIT2", 1, "fffe480065006c006c006f00")
+    val tag16 = "494433" + "0300" + "00" + "000000" +
+      f"${b16.length / 2}%02x" + b16
+    assert(Multimodal.id3TextJvm(hexb(tag16 + "fffb14c0")) ==
+      Some(("", "", "")))
+    assert(Multimodal.id3TextJvm("no tag here".getBytes).isEmpty)
+  }
+
   test("compressed, truncated, and non-8-bit TIFFs fail loud") {
     val (w, h) = (2, 1)
     val px = Array.tabulate(w * h * 3)(_.toByte)

@@ -64,7 +64,8 @@ class MediaCodegenSpec extends SparkFunSuite {
         "png_meta" -> graft.plans.MediaExprs.pngMetaCol,
         "avif_meta" -> graft.plans.MediaExprs.avifMetaCol,
         "ogg_meta" -> graft.plans.MediaExprs.oggMetaCol,
-        "exif_meta" -> graft.plans.MediaExprs.exifMetaCol)
+        "exif_meta" -> graft.plans.MediaExprs.exifMetaCol,
+        "id3_text" -> graft.plans.MediaExprs.id3TextCol)
       for ((name, f) <- fns) {
         // junk blobs: structs NULL / arrays empty, audit gives a
         // verdict — the point is the collect not throwing under
