@@ -3162,6 +3162,84 @@ object Multimodal {
     Some((title, artist, album))
   }
 
+  /** ZIP central-directory walk (round 12) — the archive-routing
+    * surface (docx/epub/jar are zips): EOCD scan from the tail, then
+    * per-entry name / method / sizes from the central directory, with
+    * STORED (method 0) entry CONTENT extracted by resolving the local
+    * header's variable-length fields (proof the offsets are walked,
+    * not guessed). Compressed entries report content NULL — route to
+    * an inflate stage. One row per entry. */
+  final case class ZipEntryRow(doc_id: Long, name: String, method: Long,
+    usize: Long, content: String)
+
+  private[graft] def zipEntriesJvm(b: Array[Byte])
+      : IndexedSeq[(String, Long, Long, String)] = {
+    val empty = Vector.empty[(String, Long, Long, String)]
+    if (b == null || b.length < 22) return empty
+    def u16(p: Int): Int =
+      if (p < 0 || p + 2 > b.length) -1
+      else (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long =
+      if (p < 0 || p + 4 > b.length) -1L
+      else (u16(p) & 0xffffL) | ((u16(p + 2) & 0xffffL) << 16)
+    // EOCD: PK\5\6 within the last 64 KiB + 22
+    var eocd = -1
+    var p = b.length - 22
+    val floor = math.max(0, b.length - 22 - 65535)
+    while (eocd < 0 && p >= floor) {
+      if (b(p) == 'P' && b(p + 1) == 'K' && b(p + 2) == 5 && b(p + 3) == 6)
+        eocd = p
+      p -= 1
+    }
+    if (eocd < 0) return empty
+    val n = u16(eocd + 10)
+    val cdOff = u32(eocd + 16)
+    if (n <= 0 || n > 65535 || cdOff < 0) return empty
+    val out = Vector.newBuilder[(String, Long, Long, String)]
+    var q = cdOff.toInt
+    var i = 0
+    while (i < n) {
+      if (q + 46 > b.length || !(b(q) == 'P' && b(q + 1) == 'K' &&
+        b(q + 2) == 1 && b(q + 3) == 2)) return empty
+      val method = u16(q + 10).toLong
+      val csize = u32(q + 20)
+      val usize = u32(q + 24)
+      val nameLen = u16(q + 28)
+      val extraLen = u16(q + 30)
+      val commentLen = u16(q + 32)
+      val localOff = u32(q + 42)
+      if (nameLen < 0 || q + 46 + nameLen > b.length) return empty
+      val name = new String(b, q + 46, nameLen, "UTF-8")
+      var content: String = null
+      if (method == 0L && localOff >= 0 &&
+        localOff + 30 <= b.length &&
+        b(localOff.toInt) == 'P' && b(localOff.toInt + 1) == 'K' &&
+        b(localOff.toInt + 2) == 3 && b(localOff.toInt + 3) == 4) {
+        val lp = localOff.toInt
+        val lNameLen = u16(lp + 26)
+        val lExtraLen = u16(lp + 28)
+        val dataOff = lp + 30 + lNameLen + lExtraLen
+        if (lNameLen >= 0 && lExtraLen >= 0 && csize >= 0 &&
+          dataOff + csize <= b.length)
+          content = new String(b, dataOff, csize.toInt, "UTF-8")
+      }
+      out += ((name, method, usize, content))
+      q += 46 + nameLen + extraLen + commentLen
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Batch ZIP entry listing + STORED extraction (native array-kernel
+    * expression, one output row per archive entry). */
+  def extractZipEntries(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[ZipEntryRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.zipEntriesCol).as[ZipEntryRow]
+  }
+
   /** Batch ID3 text extraction (native-expression projection). */
   def extractId3Text(df: DataFrame, idCol: String,
       blobCol: String = "blob"): Dataset[Id3TextRow] = {

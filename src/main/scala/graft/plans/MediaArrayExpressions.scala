@@ -222,6 +222,19 @@ object MediaArrayKernel {
     StructField("total_duration_ms", LongType, nullable = false),
     StructField("loop_count", LongType, nullable = false)))
 
+  /** [[Multimodal.ZipEntryRow]] minus doc_id. */
+  val zipEntrySchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("method", LongType, nullable = false),
+    StructField("usize", LongType, nullable = false),
+    StructField("content", StringType, nullable = true)))
+
+  def zipEntries(b: Array[Byte]): ArrayData =
+    new GenericArrayData(Multimodal.zipEntriesJvm(b).map {
+      case (n, m, u, c) => InternalRow(UTF8String.fromString(n), m, u,
+        if (c == null) null else UTF8String.fromString(c))
+    }.toArray[Any])
+
   /** [[Multimodal.Id3TextRow]] minus doc_id. */
   val id3TextSchema: StructType = StructType(Seq(
     StructField("title", StringType, nullable = false),
@@ -488,6 +501,19 @@ case class Mp3Meta(child: Expression) extends MediaDecodeExpression {
   * the OGG page walk, NULL for non-OGG or malformed payloads. */
 /** `exif_meta(blob)` → (has_exif, orientation 0-8) from a JPEG's
   * APP1/TIFF IFD0, NULL for non-JPEG payloads. */
+/** `zip_entries(blob)` → one struct per archive entry (name, method,
+  * usize, STORED content); empty array for non-zip payloads. */
+case class ZipEntries(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.zipEntrySchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.zipEntries($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.zipEntries(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_zip_entries"
+}
+
 /** `id3_text(blob)` → (title, artist, album) from an MP3's leading
   * ID3v2 tag, NULL for non-MP3 payloads. */
 case class Id3Text(child: Expression) extends MediaDecodeExpression {
@@ -615,4 +641,5 @@ object MediaExprs {
   def oggMetaCol(blob: Column): Column = c(OggMeta(e(blob)))
   def exifMetaCol(blob: Column): Column = c(ExifMeta(e(blob)))
   def id3TextCol(blob: Column): Column = c(Id3Text(e(blob)))
+  def zipEntriesCol(blob: Column): Column = c(ZipEntries(e(blob)))
 }

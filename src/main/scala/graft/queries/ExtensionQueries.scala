@@ -772,6 +772,50 @@ object ExtensionQueries {
     spread(t(s, dir, "documents"))
       .select(col("doc_id"), tiffBlob.as("blob"))
 
+  /** STORED-method ZIP fixture (round 12): 2+d%3 entries, names
+    * "f<i>.txt", fixed-width 16-byte contents
+    * "payload-<d zero-padded to 6>-<i>" — every record length is
+    * closed-form (local 52, CD 52), so all offsets are pure
+    * arithmetic for the oracle while the walker must really resolve
+    * EOCD → central directory → local headers. CRCs zero (listing
+    * walkers don't verify; the content equality check is stronger). */
+  private[graft] def zipBlob: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val k = lit(2L) + d % 3L
+    def le16h(v: org.apache.spark.sql.Column) = concat(
+      lpad(hex(pmod(v, lit(256L))), 2, "0"),
+      lpad(hex(pmod((v / lit(256L)).cast("long"), lit(256L))), 2, "0"))
+    def le32h(v: org.apache.spark.sql.Column) = concat(
+      le16h(v), le16h((v / lit(65536L)).cast("long")))
+    def nameHex(i: org.apache.spark.sql.Column) = concat(
+      lit("66"), lpad(hex(lit(48L) + i), 2, "0"), lit("2e747874")) // f<i>.txt
+    def dataHex(i: org.apache.spark.sql.Column) = concat(
+      lit("7061796c6f61642d"),                       // "payload-"
+      // six zero-padded decimal digits of d, as ASCII hex
+      array_join(transform(sequence(lit(0), lit(5)), j =>
+        lpad(hex(lit(48L) +
+          pmod(TF.intDivNonNeg(d,
+            pow(lit(10.0), (lit(5) - j).cast("double")).cast("long")),
+            lit(10L))), 2, "0")), ""),
+      lit("2d"), lpad(hex(lit(48L) + i), 2, "0"))    // "-<i>"
+    val locals = array_join(transform(sequence(lit(0L), k - 1L), i =>
+      concat(lit("504b0304" + "1400" + "0000" + "0000" + "0000" + "0000" +
+        "00000000" + "10000000" + "10000000" + "0600" + "0000"),
+        nameHex(i), dataHex(i))), "")
+    val cd = array_join(transform(sequence(lit(0L), k - 1L), i =>
+      concat(lit("504b0102" + "1400" + "1400" + "0000" + "0000" + "0000" +
+        "0000" + "00000000" + "10000000" + "10000000" + "0600" + "0000" +
+        "0000" + "0000" + "0000" + "00000000"),
+        le32h(i * 52L), nameHex(i))), "")
+    val eocd = concat(lit("504b0506" + "0000" + "0000"),
+      le16h(k), le16h(k), le32h(k * 52L), le32h(k * 52L), lit("0000"))
+    unhex(concat(locals, cd, eocd))
+  }
+
+  private[graft] def zipFixture(s: SparkSession, dir: String): DataFrame =
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), zipBlob.as("blob"))
+
   /** ID3v2.3-tagged MP3 fixture (round 12): TIT2/TPE1/TALB latin-1
     * text frames with closed-form strings, one real 32 kbps MPEG1-L3
     * frame after the tag. Tag body stays under 128 bytes so the
@@ -3027,6 +3071,15 @@ object ExtensionQueries {
       Multimodal.extractAnyImageFeatures(tiffFixture(s, dir), "doc_id")
         .toDF()
         .orderBy(col("doc_id"))),
+
+    // ZIP CENTRAL DIRECTORY (round 12) — the archive-routing source
+    // (docx/epub/jar): EOCD scan, per-entry listing, STORED content
+    // resolved through the local headers; oracle replays names,
+    // sizes, and the extracted bytes in closed form
+    "source_zip_entries" -> ((s, dir) =>
+      Multimodal.extractZipEntries(zipFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"), col("name"))),
 
     // ID3v2 TEXT FRAMES (round 12) — title/artist/album off the tag
     // (the audio-catalog surface); frame sizes real, encodings latin-1
@@ -6525,6 +6578,15 @@ object ExtensionQueries {
         |  CAST(SUM(v) FILTER (c = 1) AS DOUBLE) / (w * h) AS mean_g,
         |  CAST(SUM(v) FILTER (c = 2) AS DOUBLE) / (w * h) AS mean_b
         |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    "source_zip_entries" ->
+      """WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS k FROM documents),
+        |e AS (SELECT doc_id, unnest(range(0, k)) AS i FROM p)
+        |SELECT doc_id, 'f' || i || '.txt' AS name,
+        |  CAST(0 AS BIGINT) AS method, CAST(16 AS BIGINT) AS usize,
+        |  'payload-' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+        |    || '-' || i AS content
+        |FROM e ORDER BY doc_id, name""".stripMargin,
 
     "mm_id3_text" ->
       """SELECT doc_id, 'doc-' || doc_id AS title,

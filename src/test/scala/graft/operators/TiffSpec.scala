@@ -238,6 +238,35 @@ class TiffSpec extends SparkFunSuite {
     assert(Multimodal.id3TextJvm("no tag here".getBytes).isEmpty)
   }
 
+  test("ZIP walk vs the JDK's own writer: names, methods, sizes, and " +
+      "STORED content all agree; DEFLATED entries report NULL content") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    // STORED entries need size+crc up front
+    val payload = "hello stored world".getBytes("UTF-8")
+    val crc = new java.util.zip.CRC32(); crc.update(payload)
+    val se = new java.util.zip.ZipEntry("a/stored.txt")
+    se.setMethod(java.util.zip.ZipOutputStream.STORED)
+    se.setSize(payload.length); se.setCompressedSize(payload.length)
+    se.setCrc(crc.getValue)
+    zos.putNextEntry(se); zos.write(payload); zos.closeEntry()
+    val de = new java.util.zip.ZipEntry("b/deflated.bin")
+    zos.putNextEntry(de)
+    zos.write(Array.fill(500)(7.toByte)); zos.closeEntry()
+    zos.close()
+    val b = bos.toByteArray
+    val got = Multimodal.zipEntriesJvm(b)
+    assert(got.map(e => (e._1, e._2, e._3)) == Vector(
+      ("a/stored.txt", 0L, payload.length.toLong),
+      ("b/deflated.bin", 8L, 500L)), s"$got")
+    assert(got(0)._4 == "hello stored world",
+      "stored content must extract through the local header")
+    assert(got(1)._4 == null, "deflated content must be NULL, not bytes")
+    // truncation: chop inside the central directory → empty
+    assert(Multimodal.zipEntriesJvm(b.take(b.length - 30)).isEmpty)
+    assert(Multimodal.zipEntriesJvm("PK but junk".getBytes).isEmpty)
+  }
+
   test("compressed, truncated, and non-8-bit TIFFs fail loud") {
     val (w, h) = (2, 1)
     val px = Array.tabulate(w * h * 3)(_.toByte)

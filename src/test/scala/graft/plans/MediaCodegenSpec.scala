@@ -65,7 +65,8 @@ class MediaCodegenSpec extends SparkFunSuite {
         "avif_meta" -> graft.plans.MediaExprs.avifMetaCol,
         "ogg_meta" -> graft.plans.MediaExprs.oggMetaCol,
         "exif_meta" -> graft.plans.MediaExprs.exifMetaCol,
-        "id3_text" -> graft.plans.MediaExprs.id3TextCol)
+        "id3_text" -> graft.plans.MediaExprs.id3TextCol,
+        "zip_entries" -> graft.plans.MediaExprs.zipEntriesCol)
       for ((name, f) <- fns) {
         // junk blobs: structs NULL / arrays empty, audit gives a
         // verdict — the point is the collect not throwing under
