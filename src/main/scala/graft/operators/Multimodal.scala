@@ -3230,6 +3230,88 @@ object Multimodal {
     out.result()
   }
 
+  /** WARC record walk (round 12) — the crawl-archive source itself:
+    * per record, the WARC-Type / WARC-Target-URI / Content-Length
+    * headers and (for response records carrying HTTP) the status
+    * code; record bodies are SKIPPED by Content-Length (the 100 TB
+    * contract — a WARC reader that scans bodies for separators
+    * re-reads the archive). Any framing violation — bad version line,
+    * missing Content-Length, body overrun, absent record terminator —
+    * returns an EMPTY listing (fail loud: a partially-parsed archive
+    * must not masquerade as a complete one). */
+  final case class WarcRecordRow(doc_id: Long, rec_type: String,
+    target_uri: String, content_length: Long, http_status: Long)
+
+  private[graft] def warcRecordsJvm(b: Array[Byte])
+      : IndexedSeq[(String, String, Long, Long)] = {
+    val empty = Vector.empty[(String, String, Long, Long)]
+    if (b == null || b.length < 9) return empty
+    val out = Vector.newBuilder[(String, String, Long, Long)]
+    var p = 0
+    def line(from: Int): (String, Int) = {
+      var q = from
+      while (q + 1 < b.length && !(b(q) == '\r' && b(q + 1) == '\n'))
+        q += 1
+      if (q + 1 >= b.length) (null, -1)
+      else (new String(b, from, q - from, "UTF-8"), q + 2)
+    }
+    while (p < b.length) {
+      val (version, p1) = line(p)
+      if (version == null || !version.startsWith("WARC/")) return empty
+      var q = p1
+      var recType = ""; var uri = ""; var clen = -1L
+      var headersDone = false
+      while (!headersDone) {
+        val (l, nq) = line(q)
+        if (l == null) return empty
+        q = nq
+        if (l.isEmpty) headersDone = true
+        else {
+          val i = l.indexOf(':')
+          if (i > 0) {
+            val k = l.substring(0, i).trim.toLowerCase
+            val v = l.substring(i + 1).trim
+            k match {
+              case "warc-type" => recType = v
+              case "warc-target-uri" => uri = v
+              case "content-length" =>
+                clen = try v.toLong catch { case _: Exception => -1L }
+              case _ => ()
+            }
+          }
+        }
+      }
+      if (clen < 0 || q + clen > b.length) return empty
+      // HTTP status for response records carrying an HTTP payload
+      var status = 0L
+      if (recType == "response" && clen >= 12 &&
+        new String(b, q, 5, "ISO-8859-1") == "HTTP/") {
+        val sp = q + 9 // after "HTTP/1.1 "
+        if (sp + 3 <= q + clen) {
+          val st = new String(b, sp, 3, "ISO-8859-1")
+          if (st.forall(_.isDigit)) status = st.toLong
+        }
+      }
+      out += ((recType, uri, clen, status))
+      p = q + clen.toInt
+      // record terminator: \r\n\r\n
+      if (p + 4 > b.length || b(p) != '\r' || b(p + 1) != '\n' ||
+        b(p + 2) != '\r' || b(p + 3) != '\n') return empty
+      p += 4
+    }
+    out.result()
+  }
+
+  /** Batch WARC record listing (native array-kernel expression, one
+    * output row per record). */
+  def extractWarcRecords(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[WarcRecordRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.warcRecordsCol).as[WarcRecordRow]
+  }
+
   /** Batch ZIP entry listing + STORED extraction (native array-kernel
     * expression, one output row per archive entry). */
   def extractZipEntries(df: DataFrame, idCol: String,

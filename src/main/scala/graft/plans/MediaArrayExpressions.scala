@@ -222,6 +222,19 @@ object MediaArrayKernel {
     StructField("total_duration_ms", LongType, nullable = false),
     StructField("loop_count", LongType, nullable = false)))
 
+  /** [[Multimodal.WarcRecordRow]] minus doc_id. */
+  val warcRecordSchema: StructType = StructType(Seq(
+    StructField("rec_type", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = false),
+    StructField("content_length", LongType, nullable = false),
+    StructField("http_status", LongType, nullable = false)))
+
+  def warcRecords(b: Array[Byte]): ArrayData =
+    new GenericArrayData(Multimodal.warcRecordsJvm(b).map {
+      case (t, u, cl, st) => InternalRow(UTF8String.fromString(t),
+        UTF8String.fromString(u), cl, st)
+    }.toArray[Any])
+
   /** [[Multimodal.ZipEntryRow]] minus doc_id. */
   val zipEntrySchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
@@ -501,6 +514,19 @@ case class Mp3Meta(child: Expression) extends MediaDecodeExpression {
   * the OGG page walk, NULL for non-OGG or malformed payloads. */
 /** `exif_meta(blob)` → (has_exif, orientation 0-8) from a JPEG's
   * APP1/TIFF IFD0, NULL for non-JPEG payloads. */
+/** `warc_records(blob)` → one struct per WARC record (type, target
+  * URI, content length, HTTP status); empty for malformed framing. */
+case class WarcRecords(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.warcRecordSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.warcRecords($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.warcRecords(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_warc_records"
+}
+
 /** `zip_entries(blob)` → one struct per archive entry (name, method,
   * usize, STORED content); empty array for non-zip payloads. */
 case class ZipEntries(child: Expression) extends MediaArrayExpression {
@@ -642,4 +668,5 @@ object MediaExprs {
   def exifMetaCol(blob: Column): Column = c(ExifMeta(e(blob)))
   def id3TextCol(blob: Column): Column = c(Id3Text(e(blob)))
   def zipEntriesCol(blob: Column): Column = c(ZipEntries(e(blob)))
+  def warcRecordsCol(blob: Column): Column = c(WarcRecords(e(blob)))
 }

@@ -772,6 +772,41 @@ object ExtensionQueries {
     spread(t(s, dir, "documents"))
       .select(col("doc_id"), tiffBlob.as("blob"))
 
+  /** WARC fixture (round 12): one warcinfo record + 1+d%3 response
+    * records with closed-form URIs, alternating 200/404 statuses and
+    * fixed-width 13-byte bodies (HTTP head 19 B → Content-Length 32).
+    * Pure-ASCII assembly as a STRING, encoded once. */
+  private[graft] def warcBlob: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val k = lit(1L) + d % 3L
+    val crlf = "\r\n"
+    def record(headers: org.apache.spark.sql.Column,
+        body: org.apache.spark.sql.Column) =
+      concat(lit("WARC/1.0" + crlf), headers, lit(crlf), body,
+        lit(crlf + crlf))
+    val info = record(
+      concat(lit("WARC-Type: warcinfo" + crlf),
+        lit("Content-Length: 10" + crlf)),
+      lit("info-body!"))
+    val responses = array_join(
+      transform(sequence(lit(0L), k - 1L), i =>
+        record(
+          concat(lit("WARC-Type: response" + crlf),
+            lit("WARC-Target-URI: http://site"), pmod(d, lit(50L)),
+            lit(".example/p"), i, lit(crlf),
+            lit("Content-Length: 32" + crlf)),
+          concat(
+            when(pmod(i, lit(2L)) === 0L, lit("HTTP/1.1 200 OK" + crlf))
+              .otherwise(lit("HTTP/1.1 404 NO" + crlf)),
+            lit(crlf), lit("body-"),
+            lpad(d.cast("string"), 6, "0"), lit("-"), i))), "")
+    encode(concat(info, responses), "utf-8")
+  }
+
+  private[graft] def warcFixture(s: SparkSession, dir: String): DataFrame =
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), warcBlob.as("blob"))
+
   /** STORED-method ZIP fixture (round 12): 2+d%3 entries, names
     * "f<i>.txt", fixed-width 16-byte contents
     * "payload-<d zero-padded to 6>-<i>" — every record length is
@@ -3071,6 +3106,14 @@ object ExtensionQueries {
       Multimodal.extractAnyImageFeatures(tiffFixture(s, dir), "doc_id")
         .toDF()
         .orderBy(col("doc_id"))),
+
+    // WARC RECORDS (round 12) — the crawl archive itself: per-record
+    // type / target URI / content length / HTTP status, bodies
+    // SKIPPED by Content-Length (never scanned for separators)
+    "source_warc_records" -> ((s, dir) =>
+      Multimodal.extractWarcRecords(warcFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"), col("target_uri"))),
 
     // ZIP CENTRAL DIRECTORY (round 12) — the archive-routing source
     // (docx/epub/jar): EOCD scan, per-entry listing, STORED content
@@ -6578,6 +6621,21 @@ object ExtensionQueries {
         |  CAST(SUM(v) FILTER (c = 1) AS DOUBLE) / (w * h) AS mean_g,
         |  CAST(SUM(v) FILTER (c = 2) AS DOUBLE) / (w * h) AS mean_b
         |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    "source_warc_records" ->
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS k FROM documents),
+        |info AS (SELECT doc_id, 'warcinfo' AS rec_type, '' AS target_uri,
+        |  CAST(10 AS BIGINT) AS content_length,
+        |  CAST(0 AS BIGINT) AS http_status FROM p),
+        |e AS (SELECT doc_id, unnest(range(0, k)) AS i FROM p),
+        |resp AS (SELECT doc_id, 'response' AS rec_type,
+        |  'http://site' || (doc_id % 50) || '.example/p' || i
+        |    AS target_uri,
+        |  CAST(32 AS BIGINT) AS content_length,
+        |  CAST(CASE WHEN i % 2 = 0 THEN 200 ELSE 404 END AS BIGINT)
+        |    AS http_status FROM e)
+        |SELECT * FROM info UNION ALL SELECT * FROM resp
+        |ORDER BY doc_id, target_uri""".stripMargin,
 
     "source_zip_entries" ->
       """WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS k FROM documents),

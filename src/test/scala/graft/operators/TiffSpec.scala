@@ -267,6 +267,33 @@ class TiffSpec extends SparkFunSuite {
     assert(Multimodal.zipEntriesJvm("PK but junk".getBytes).isEmpty)
   }
 
+  test("WARC walk: bodies skipped by Content-Length (separator-" +
+      "looking bytes INSIDE a body are not boundaries); framing " +
+      "violations return empty") {
+    val crlf = "\r\n"
+    def rec(headers: String, body: String) =
+      "WARC/1.0" + crlf + headers + crlf + crlf + body + crlf + crlf
+    // the response body CONTAINS a fake record head — only
+    // Content-Length framing survives this
+    val trap = "WARC/1.0" + crlf + "WARC-Type: fake" + crlf
+    val body = "HTTP/1.1 301 MV" + crlf + crlf + trap
+    val warc =
+      rec("WARC-Type: warcinfo" + crlf + "Content-Length: 3", "abc") +
+      rec("WARC-Type: response" + crlf +
+        "WARC-Target-URI: http://x/y" + crlf +
+        s"Content-Length: ${body.length}", body)
+    val b = warc.getBytes("UTF-8")
+    val got = Multimodal.warcRecordsJvm(b)
+    assert(got == Vector(("warcinfo", "", 3L, 0L),
+      ("response", "http://x/y", body.length.toLong, 301L)), s"$got")
+    // short Content-Length desyncs the terminator → empty, not garbage
+    val badLen = warc.replace(s"Content-Length: ${body.length}",
+      s"Content-Length: ${body.length - 4}")
+    assert(Multimodal.warcRecordsJvm(badLen.getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.warcRecordsJvm(b.take(b.length - 2)).isEmpty)
+    assert(Multimodal.warcRecordsJvm("not a warc".getBytes).isEmpty)
+  }
+
   test("compressed, truncated, and non-8-bit TIFFs fail loud") {
     val (w, h) = (2, 1)
     val px = Array.tabulate(w * h * 3)(_.toByte)

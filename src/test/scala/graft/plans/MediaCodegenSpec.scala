@@ -66,7 +66,8 @@ class MediaCodegenSpec extends SparkFunSuite {
         "ogg_meta" -> graft.plans.MediaExprs.oggMetaCol,
         "exif_meta" -> graft.plans.MediaExprs.exifMetaCol,
         "id3_text" -> graft.plans.MediaExprs.id3TextCol,
-        "zip_entries" -> graft.plans.MediaExprs.zipEntriesCol)
+        "zip_entries" -> graft.plans.MediaExprs.zipEntriesCol,
+        "warc_records" -> graft.plans.MediaExprs.warcRecordsCol)
       for ((name, f) <- fns) {
         // junk blobs: structs NULL / arrays empty, audit gives a
         // verdict — the point is the collect not throwing under
