@@ -3302,6 +3302,86 @@ object Multimodal {
     out.result()
   }
 
+  /** TAR entry walk (round 12) — WebDataset shards (the multimodal
+    * training-data loader format) are plain tars: per 512-byte header,
+    * name / octal size / typeflag, CHECKSUM VERIFIED (header summed
+    * with the checksum field as spaces — corrupt headers fail loud),
+    * content skipped by size rounded to the block, extracted as UTF-8
+    * for small regular files. A zero block terminates. */
+  final case class TarEntryRow(doc_id: Long, name: String, size: Long,
+    typeflag: String, content: String)
+
+  private[graft] def tarEntriesJvm(b: Array[Byte])
+      : IndexedSeq[(String, Long, String, String)] = {
+    val empty = Vector.empty[(String, Long, String, String)]
+    if (b == null || b.length < 512) return empty
+    def octal(p: Int, len: Int): Long = {
+      var v = 0L; var i = p; var seen = false
+      while (i < p + len) {
+        val c = b(i) & 0xff
+        if (c >= '0' && c <= '7') { v = v * 8 + (c - '0'); seen = true }
+        else if (c == 0 || c == ' ') { if (seen) i = p + len }
+        else return -1L
+        i += 1
+      }
+      if (seen) v else -1L
+    }
+    def cstr(p: Int, len: Int): String = {
+      var e = p
+      while (e < p + len && b(e) != 0) e += 1
+      new String(b, p, e - p, "UTF-8")
+    }
+    val out = Vector.newBuilder[(String, Long, String, String)]
+    var p = 0
+    var done = false
+    while (!done) {
+      if (p + 512 > b.length) return empty
+      var allZero = true
+      var i = p
+      while (allZero && i < p + 512) { if (b(i) != 0) allZero = false; i += 1 }
+      if (allZero) { done = true }
+      else {
+        // checksum: header summed with bytes 148..155 as spaces
+        var sum = 0L
+        i = p
+        while (i < p + 512) {
+          sum += (if (i >= p + 148 && i < p + 156) 0x20L
+            else (b(i) & 0xffL))
+          i += 1
+        }
+        val declared = octal(p + 148, 8)
+        if (declared < 0 || declared != sum) return empty
+        val name = cstr(p, 100)
+        val size = octal(p + 124, 12)
+        if (name.isEmpty || size < 0) return empty
+        val tf = {
+          val c = b(p + 156) & 0xff
+          if (c == 0) "0" else String.valueOf(c.toChar)
+        }
+        val dataOff = p + 512
+        val blocks = ((size + 511) / 512).toInt
+        if (dataOff + blocks * 512L > b.length) return empty
+        val content =
+          if (tf == "0" && size <= 4096)
+            new String(b, dataOff, size.toInt, "UTF-8")
+          else null
+        out += ((name, size, tf, content))
+        p = dataOff + blocks * 512
+      }
+    }
+    out.result()
+  }
+
+  /** Batch TAR entry listing (native array-kernel expression, one
+    * output row per entry). */
+  def extractTarEntries(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[TarEntryRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.tarEntriesCol).as[TarEntryRow]
+  }
+
   /** Batch WARC record listing (native array-kernel expression, one
     * output row per record). */
   def extractWarcRecords(df: DataFrame, idCol: String,

@@ -222,6 +222,20 @@ object MediaArrayKernel {
     StructField("total_duration_ms", LongType, nullable = false),
     StructField("loop_count", LongType, nullable = false)))
 
+  /** [[Multimodal.TarEntryRow]] minus doc_id. */
+  val tarEntrySchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("typeflag", StringType, nullable = false),
+    StructField("content", StringType, nullable = true)))
+
+  def tarEntries(b: Array[Byte]): ArrayData =
+    new GenericArrayData(Multimodal.tarEntriesJvm(b).map {
+      case (n, sz, tf, c) => InternalRow(UTF8String.fromString(n), sz,
+        UTF8String.fromString(tf),
+        if (c == null) null else UTF8String.fromString(c))
+    }.toArray[Any])
+
   /** [[Multimodal.WarcRecordRow]] minus doc_id. */
   val warcRecordSchema: StructType = StructType(Seq(
     StructField("rec_type", StringType, nullable = false),
@@ -514,6 +528,20 @@ case class Mp3Meta(child: Expression) extends MediaDecodeExpression {
   * the OGG page walk, NULL for non-OGG or malformed payloads. */
 /** `exif_meta(blob)` → (has_exif, orientation 0-8) from a JPEG's
   * APP1/TIFF IFD0, NULL for non-JPEG payloads. */
+/** `tar_entries(blob)` → one struct per TAR entry (name, size,
+  * typeflag, small-file content); checksum-verified headers; empty
+  * for malformed archives. */
+case class TarEntries(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.tarEntrySchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.tarEntries($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.tarEntries(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_tar_entries"
+}
+
 /** `warc_records(blob)` → one struct per WARC record (type, target
   * URI, content length, HTTP status); empty for malformed framing. */
 case class WarcRecords(child: Expression) extends MediaArrayExpression {
@@ -669,4 +697,5 @@ object MediaExprs {
   def id3TextCol(blob: Column): Column = c(Id3Text(e(blob)))
   def zipEntriesCol(blob: Column): Column = c(ZipEntries(e(blob)))
   def warcRecordsCol(blob: Column): Column = c(WarcRecords(e(blob)))
+  def tarEntriesCol(blob: Column): Column = c(TarEntries(e(blob)))
 }

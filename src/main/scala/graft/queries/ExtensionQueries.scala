@@ -772,6 +772,54 @@ object ExtensionQueries {
     spread(t(s, dir, "documents"))
       .select(col("doc_id"), tiffBlob.as("blob"))
 
+  /** One ustar header with a CORRECT checksum, computed at plan-build
+    * time in Scala (the header is constant per entry index - only the
+    * content region is data-dependent). */
+  private def tarHeader(name: String, size: Long): Array[Byte] = {
+    val h = new Array[Byte](512)
+    def put(s: String, off: Int): Unit =
+      s.getBytes("UTF-8").zipWithIndex.foreach { case (c, i) =>
+        h(off + i) = c }
+    put(name, 0)
+    put("0000644 ", 100)
+    put("0000000 ", 108)
+    put("0000000 ", 116)
+    put(f"$size%011o ", 124)
+    put("00000000000 ", 136)
+    (148 until 156).foreach(i => h(i) = ' ')
+    h(156) = '0'
+    put("ustar 00", 257)
+    val sum = h.map(_ & 0xff).sum
+    put(f"$sum%06o ", 148)
+    h
+  }
+
+  private[graft] lazy val tarHeaders: Seq[Array[Byte]] =
+    (0 until 3).map(i => tarHeader(s"sample$i.txt", 16))
+
+  /** TAR (WebDataset-shard) fixture (round 12): 1+d%3 entries with
+    * plan-time-constant checksummed headers and data-dependent
+    * fixed-width contents, zero-block terminated. */
+  private[graft] def tarBlob: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val k = lit(1L) + d % 3L
+    val headers = typedLit(tarHeaders)
+    val pad496 = lit(Array.fill[Byte](496)(0))
+    val entryArr = transform(sequence(lit(0L), k - 1L), i =>
+      concat(element_at(headers, (i + 1L).cast("int")),
+        encode(concat(lit("content-"), lpad(d.cast("string"), 6, "0"),
+          lit("-"), i.cast("string")), "utf-8"),
+        pad496))
+    concat(
+      aggregate(entryArr, lit(Array.empty[Byte]),
+        (a, x) => concat(a, x)),
+      lit(Array.fill[Byte](1024)(0)))
+  }
+
+  private[graft] def tarFixture(s: SparkSession, dir: String): DataFrame =
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), tarBlob.as("blob"))
+
   /** WARC fixture (round 12): one warcinfo record + 1+d%3 response
     * records with closed-form URIs, alternating 200/404 statuses and
     * fixed-width 13-byte bodies (HTTP head 19 B → Content-Length 32).
@@ -3106,6 +3154,15 @@ object ExtensionQueries {
       Multimodal.extractAnyImageFeatures(tiffFixture(s, dir), "doc_id")
         .toDF()
         .orderBy(col("doc_id"))),
+
+    // TAR ENTRIES (round 12) - WebDataset shards are plain tars: the
+    // walk verifies each header's checksum, lists name/size/typeflag,
+    // and extracts small regular-file contents; bodies skipped by
+    // 512-block arithmetic
+    "source_tar_entries" -> ((s, dir) =>
+      Multimodal.extractTarEntries(tarFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"), col("name"))),
 
     // WARC RECORDS (round 12) — the crawl archive itself: per-record
     // type / target URI / content length / HTTP status, bodies
@@ -6621,6 +6678,15 @@ object ExtensionQueries {
         |  CAST(SUM(v) FILTER (c = 1) AS DOUBLE) / (w * h) AS mean_g,
         |  CAST(SUM(v) FILTER (c = 2) AS DOUBLE) / (w * h) AS mean_b
         |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    "source_tar_entries" ->
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS k FROM documents),
+        |e AS (SELECT doc_id, unnest(range(0, k)) AS i FROM p)
+        |SELECT doc_id, 'sample' || i || '.txt' AS name,
+        |  CAST(16 AS BIGINT) AS size, '0' AS typeflag,
+        |  'content-' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+        |    || '-' || i AS content
+        |FROM e ORDER BY doc_id, name""".stripMargin,
 
     "source_warc_records" ->
       """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS k FROM documents),

@@ -294,6 +294,28 @@ class TiffSpec extends SparkFunSuite {
     assert(Multimodal.warcRecordsJvm("not a warc".getBytes).isEmpty)
   }
 
+  test("TAR walk: header checksums verified (one flipped byte kills " +
+      "the archive), sizes round to 512-blocks, zero block ends, " +
+      "large files list without content") {
+    val s = spark
+    import s.implicits._
+    val blob = (7L until 8L).toDF("doc_id")
+      .select(graft.queries.ExtensionQueries.tarBlob.as("blob"))
+      .head().getAs[Array[Byte]]("blob")
+    // doc 7: k = 1 + 7%3 = 2 entries
+    val got = Multimodal.tarEntriesJvm(blob)
+    assert(got == Vector(
+      ("sample0.txt", 16L, "0", "content-000007-0"),
+      ("sample1.txt", 16L, "0", "content-000007-1")), s"$got")
+    // flip one byte inside the first header -> checksum mismatch -> empty
+    val bad = blob.clone(); bad(3) = 'X'
+    assert(Multimodal.tarEntriesJvm(bad).isEmpty,
+      "corrupted header must fail the checksum")
+    // truncation inside a content block -> empty
+    assert(Multimodal.tarEntriesJvm(blob.take(700)).isEmpty)
+    assert(Multimodal.tarEntriesJvm("not a tar".getBytes).isEmpty)
+  }
+
   test("compressed, truncated, and non-8-bit TIFFs fail loud") {
     val (w, h) = (2, 1)
     val px = Array.tabulate(w * h * 3)(_.toByte)

@@ -67,7 +67,8 @@ class MediaCodegenSpec extends SparkFunSuite {
         "exif_meta" -> graft.plans.MediaExprs.exifMetaCol,
         "id3_text" -> graft.plans.MediaExprs.id3TextCol,
         "zip_entries" -> graft.plans.MediaExprs.zipEntriesCol,
-        "warc_records" -> graft.plans.MediaExprs.warcRecordsCol)
+        "warc_records" -> graft.plans.MediaExprs.warcRecordsCol,
+        "tar_entries" -> graft.plans.MediaExprs.tarEntriesCol)
       for ((name, f) <- fns) {
         // junk blobs: structs NULL / arrays empty, audit gives a
         // verdict — the point is the collect not throwing under
