@@ -3372,6 +3372,78 @@ object Multimodal {
     out.result()
   }
 
+  /** GZIP member walk (round 12) — header metadata (FNAME, mtime, OS)
+    * plus a REAL inflate of the deflate stream via
+    * `java.util.zip.Inflater` (the PNG discipline), with the trailer
+    * CRC32 and ISIZE both verified against the inflated bytes —
+    * `crc_ok=false` flags silent corruption a header-only reader
+    * would miss. Content extracted as UTF-8 for small members (≤ 64
+    * KiB), NULL beyond. */
+  final case class GzipMemberRow(doc_id: Long, fname: String,
+    mtime: Long, isize: Long, content: String, crc_ok: Boolean)
+
+  private[graft] def gzipMemberJvm(b: Array[Byte])
+      : Option[(String, Long, Long, String, Boolean)] = {
+    if (b == null || b.length < 18 || (b(0) & 0xff) != 0x1f ||
+      (b(1) & 0xff) != 0x8b || (b(2) & 0xff) != 8) return None
+    def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long = (u16(p) & 0xffffL) | ((u16(p + 2) & 0xffffL) << 16)
+    val flg = b(3) & 0xff
+    val mtime = u32(4)
+    var p = 10
+    if ((flg & 0x04) != 0) { // FEXTRA
+      if (p + 2 > b.length) return None
+      p += 2 + u16(p)
+    }
+    var fname = ""
+    if ((flg & 0x08) != 0) { // FNAME, zero-terminated
+      val start = p
+      while (p < b.length && b(p) != 0) p += 1
+      if (p >= b.length) return None
+      fname = new String(b, start, p - start, "ISO-8859-1")
+      p += 1
+    }
+    if ((flg & 0x10) != 0) { // FCOMMENT
+      while (p < b.length && b(p) != 0) p += 1
+      if (p >= b.length) return None
+      p += 1
+    }
+    if ((flg & 0x02) != 0) p += 2 // FHCRC
+    if (p + 8 > b.length) return None
+    val isize = u32(b.length - 4)
+    val crcDeclared = u32(b.length - 8)
+    if (isize > (1L << 26)) return None
+    val inf = new java.util.zip.Inflater(true)
+    inf.setInput(b, p, b.length - 8 - p)
+    val out = new Array[Byte](isize.toInt)
+    val (n, clean) =
+      try {
+        val got = inf.inflate(out)
+        // drive past the last byte so finished() is authoritative
+        val probe = new Array[Byte](1)
+        val extra = if (!inf.finished()) inf.inflate(probe) else 0
+        (got, inf.finished() && extra == 0)
+      } catch { case _: java.util.zip.DataFormatException =>
+        (0, false)
+      } finally inf.end()
+    if (!clean || n != isize) return None
+    val crc = new java.util.zip.CRC32()
+    crc.update(out, 0, n)
+    val crcOk = crc.getValue == crcDeclared
+    val content =
+      if (isize <= 65536) new String(out, 0, n, "UTF-8") else null
+    Some((fname, mtime, isize, content, crcOk))
+  }
+
+  /** Batch GZIP member metadata + inflate (native expression). */
+  def extractGzipMember(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[GzipMemberRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    barrierExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.gzipMemberCol).as[GzipMemberRow]
+  }
+
   /** Batch TAR entry listing (native array-kernel expression, one
     * output row per entry). */
   def extractTarEntries(df: DataFrame, idCol: String,

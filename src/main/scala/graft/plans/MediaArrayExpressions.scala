@@ -222,6 +222,22 @@ object MediaArrayKernel {
     StructField("total_duration_ms", LongType, nullable = false),
     StructField("loop_count", LongType, nullable = false)))
 
+  /** [[Multimodal.GzipMemberRow]] minus doc_id. */
+  val gzipMemberSchema: StructType = StructType(Seq(
+    StructField("fname", StringType, nullable = false),
+    StructField("mtime", LongType, nullable = false),
+    StructField("isize", LongType, nullable = false),
+    StructField("content", StringType, nullable = true),
+    StructField("crc_ok", BooleanType, nullable = false)))
+
+  def gzipMember(b: Array[Byte]): InternalRow =
+    Multimodal.gzipMemberJvm(b) match {
+      case Some((f, mt, isz, c, ok)) =>
+        InternalRow(UTF8String.fromString(f), mt, isz,
+          if (c == null) null else UTF8String.fromString(c), ok)
+      case None => null
+    }
+
   /** [[Multimodal.TarEntryRow]] minus doc_id. */
   val tarEntrySchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
@@ -531,6 +547,19 @@ case class Mp3Meta(child: Expression) extends MediaDecodeExpression {
 /** `tar_entries(blob)` → one struct per TAR entry (name, size,
   * typeflag, small-file content); checksum-verified headers; empty
   * for malformed archives. */
+/** `gzip_member(blob)` -> header metadata + inflated content with the
+  * trailer CRC verified; NULL for non-gzip or broken streams. */
+case class GzipMember(child: Expression) extends MediaDecodeExpression {
+  override def dataType: DataType = MediaArrayKernel.gzipMemberSchema
+  override def nullable: Boolean = true
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.gzipMember($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.gzipMember(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_gzip_member"
+}
+
 case class TarEntries(child: Expression) extends MediaArrayExpression {
   override protected def structSchema: StructType =
     MediaArrayKernel.tarEntrySchema
@@ -698,4 +727,5 @@ object MediaExprs {
   def zipEntriesCol(blob: Column): Column = c(ZipEntries(e(blob)))
   def warcRecordsCol(blob: Column): Column = c(WarcRecords(e(blob)))
   def tarEntriesCol(blob: Column): Column = c(TarEntries(e(blob)))
+  def gzipMemberCol(blob: Column): Column = c(GzipMember(e(blob)))
 }

@@ -772,6 +772,35 @@ object ExtensionQueries {
     spread(t(s, dir, "documents"))
       .select(col("doc_id"), tiffBlob.as("blob"))
 
+  /** GZIP member fixture (round 12): FNAME header, closed-form mtime,
+    * a STORED deflate block (BTYPE=00 - the PNG-fixture discipline:
+    * the compressed layer is transparent, the engine must still drive
+    * a real Inflater through it) and a REAL CRC32 trailer computed
+    * in-plan with Spark's own crc32(). */
+  private[graft] def gzipBlob: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    def le16h(v: org.apache.spark.sql.Column) = concat(
+      lpad(hex(pmod(v, lit(256L))), 2, "0"),
+      lpad(hex(pmod((v / lit(256L)).cast("long"), lit(256L))), 2, "0"))
+    def le32h(v: org.apache.spark.sql.Column) = concat(
+      le16h(v), le16h((v / lit(65536L)).cast("long")))
+    val content = encode(concat(lit("gz-"),
+      lpad(d.cast("string"), 6, "0")), "utf-8") // 9 bytes
+    val fname = concat(lit("doc"), pmod(d, lit(100L)).cast("string"),
+      lit(".txt"))
+    concat(
+      unhex(concat(lit("1f8b08" + "08"), le32h(d * 100L),
+        lit("0003"))),                         // XFL 0, OS unix
+      encode(fname, "utf-8"), lit(Array[Byte](0)),
+      unhex(lit("01" + "0900" + "f6ff")),      // stored block, len 9
+      content,
+      unhex(concat(le32h(crc32(content)), le32h(lit(9L)))))
+  }
+
+  private[graft] def gzipFixture(s: SparkSession, dir: String): DataFrame =
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), gzipBlob.as("blob"))
+
   /** One ustar header with a CORRECT checksum, computed at plan-build
     * time in Scala (the header is constant per entry index - only the
     * content region is data-dependent). */
@@ -3152,6 +3181,14 @@ object ExtensionQueries {
     // strip bytes
     "mm_tiff_features" -> ((s, dir) =>
       Multimodal.extractAnyImageFeatures(tiffFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"))),
+
+    // GZIP MEMBER (round 12) - header metadata + a REAL inflate with
+    // the trailer CRC32 verified against the inflated bytes; content
+    // in-plan only because the fixture's CRC rides Spark's own crc32
+    "source_gzip_member" -> ((s, dir) =>
+      Multimodal.extractGzipMember(gzipFixture(s, dir), "doc_id")
         .toDF()
         .orderBy(col("doc_id"))),
 
@@ -6678,6 +6715,14 @@ object ExtensionQueries {
         |  CAST(SUM(v) FILTER (c = 1) AS DOUBLE) / (w * h) AS mean_g,
         |  CAST(SUM(v) FILTER (c = 2) AS DOUBLE) / (w * h) AS mean_b
         |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    "source_gzip_member" ->
+      """SELECT doc_id, 'doc' || (doc_id % 100) || '.txt' AS fname,
+        |  CAST(doc_id * 100 AS BIGINT) AS mtime,
+        |  CAST(9 AS BIGINT) AS isize,
+        |  'gz-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS content,
+        |  TRUE AS crc_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "source_tar_entries" ->
       """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS k FROM documents),

@@ -316,6 +316,33 @@ class TiffSpec extends SparkFunSuite {
     assert(Multimodal.tarEntriesJvm("not a tar".getBytes).isEmpty)
   }
 
+  test("GZIP walk vs the JDK's own GZIPOutputStream: content + CRC " +
+      "agree; a corrupted trailer CRC is FLAGGED not hidden; broken " +
+      "deflate streams are None") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write("hello gzip world".getBytes("UTF-8")); gz.close()
+    val b = bos.toByteArray
+    val got = Multimodal.gzipMemberJvm(b)
+    assert(got.isDefined)
+    val (fname, _, isize, content, crcOk) = got.get
+    assert(fname == "" && isize == 16L &&
+      content == "hello gzip world" && crcOk)
+    // corrupt the trailer CRC: stream still inflates, crc_ok flips
+    val badCrc = b.clone(); badCrc(b.length - 6) =
+      (badCrc(b.length - 6) ^ 0x55).toByte
+    val got2 = Multimodal.gzipMemberJvm(badCrc)
+    assert(got2.isDefined && !got2.get._5,
+      "corrupted trailer must flag crc_ok=false")
+    // corrupt the deflate stream itself: None
+    val badDef = b.clone(); badDef(12) = (badDef(12) ^ 0x7f).toByte
+    assert(Multimodal.gzipMemberJvm(badDef).isEmpty ||
+      !Multimodal.gzipMemberJvm(badDef).get._5,
+      "a broken stream must not pass as clean")
+    assert(Multimodal.gzipMemberJvm("not gzip".getBytes).isEmpty)
+    assert(Multimodal.gzipMemberJvm(b.take(12)).isEmpty)
+  }
+
   test("compressed, truncated, and non-8-bit TIFFs fail loud") {
     val (w, h) = (2, 1)
     val px = Array.tabulate(w * h * 3)(_.toByte)

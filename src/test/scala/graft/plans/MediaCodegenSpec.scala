@@ -68,7 +68,8 @@ class MediaCodegenSpec extends SparkFunSuite {
         "id3_text" -> graft.plans.MediaExprs.id3TextCol,
         "zip_entries" -> graft.plans.MediaExprs.zipEntriesCol,
         "warc_records" -> graft.plans.MediaExprs.warcRecordsCol,
-        "tar_entries" -> graft.plans.MediaExprs.tarEntriesCol)
+        "tar_entries" -> graft.plans.MediaExprs.tarEntriesCol,
+        "gzip_member" -> graft.plans.MediaExprs.gzipMemberCol)
       for ((name, f) <- fns) {
         // junk blobs: structs NULL / arrays empty, audit gives a
         // verdict — the point is the collect not throwing under
