@@ -47,10 +47,10 @@ private[graft] object Vp8l {
   }
 
   /** Canonical prefix code (DEFLATE convention: codes assigned in
-    * increasing (length, symbol) order, read MSB-of-code-first).
-    * `simple` listing order is preserved for the 1-/2-symbol case (the
-    * fixtures keep listed symbols in increasing order so canonical and
-    * listing order agree). A single-symbol code reads ZERO bits. */
+    * increasing (length, symbol) order, read MSB-of-code-first). The
+    * simple 2-symbol case is built directly in LISTING order in
+    * readCode (code 0 → first listed symbol, per spec — not canonical).
+    * A single-symbol code reads ZERO bits. */
   private final class Huff {
     var single: Int = -1                 // >= 0: zero-bit code
     var counts: Array[Int] = null        // per length 1..15
@@ -134,9 +134,17 @@ private[graft] object Vp8l {
       } else {
         val s1 = br.bits(8)
         if (s0 >= alphabetSize || s1 >= alphabetSize || s0 == s1) abort()
-        val lengths = new Array[Int](alphabetSize)
-        lengths(s0) = 1; lengths(s1) = 1
-        buildHuff(lengths)
+        // the spec assigns code 0 to the FIRST listed symbol and code 1
+        // to the second REGARDLESS of numeric order — canonical
+        // (sorted-symbol) assignment via buildHuff would swap the two
+        // symbols of an encoder that lists s0 > s1, so build the 1-bit
+        // table directly in listing order
+        val h = new Huff
+        h.counts = new Array[Int](16); h.counts(1) = 2
+        h.firstCode = new Array[Int](16)
+        h.firstSym = new Array[Int](16)
+        h.syms = Array(s0, s1)
+        h
       }
     } else {
       val numCodes = br.bits(4) + 4
@@ -395,7 +403,10 @@ private[graft] object Vp8l {
       pt += math.abs(pred - ch(t, sh))
       sh += 8
     }
-    if (pl <= pt) l else t
+    // spec pseudocode: `if (pL < pT) return L else return T` — TIES
+    // RETURN T (an `<=` here decodes tied-sum streams differently from
+    // conforming decoders whenever L != T)
+    if (pl < pt) l else t
   }
 
   private def predict(mode: Int, l: Int, t: Int, tr: Int, tl: Int): Int =
@@ -434,7 +445,11 @@ private[graft] object Vp8l {
             val l = px(pos - 1)
             val t = px(pos - w)
             val tl = px(pos - w - 1)
-            val tr = if (x == w - 1) px(pos - w) else px(pos - w + 1)
+            // TR of a rightmost-column pixel is px(pos - w + 1)
+            // UNCONDITIONALLY per spec/libwebp: with the contiguous row
+            // layout that wraps to the CURRENT row's leftmost (already
+            // decoded) pixel, not the top pixel
+            val tr = px(pos - w + 1)
             predict(mode, l, t, tr, tl)
           }
         px(pos) = addPixels(px(pos), pred)

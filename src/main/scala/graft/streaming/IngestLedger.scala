@@ -155,18 +155,27 @@ object IngestLedger {
     * Anonymous callers (empty queryId) append without a transaction —
     * the staged files move under a batch-only token, with no replay
     * identity to guard (the [[BucketedSnapshotStore.publish]] rule). */
-  /** Delete staging dirs and manifests whose token belongs to
-    * `queryId` with a batchId at or below the index's high-water mark —
-    * debris from a crash in the record()→cleanup() window: on replay
-    * `alreadyApplied` is true BEFORE `resumePending` ever runs, so
-    * nothing else would ever delete them and crashed batches would
-    * accumulate unbounded. Safe to delete: batchId ≤ HWM means the
-    * moves completed before the mark was written (record follows
-    * completeMoves), so only the cleanup is being finished. Called at
-    * every append entry — one staging-dir listing, index bookkeeping
-    * not data. Anonymous (nanotime) tokens have no replay identity to
-    * compare against a mark; their appends clean up inline and a
-    * crashed anonymous batch is re-run by its own job-level retry. */
+  /** Delete staging debris under `_ingest_staging` — called at every
+    * append entry (one staging-dir listing: index bookkeeping, not
+    * data). Only runs once THIS query owns the high-water mark (it has
+    * recorded a batch), so a fresh query's first batch never touches a
+    * live predecessor's in-flight state. Two debris classes:
+    *
+    *  - OWN tokens with batchId ≤ the mark: a crash in the
+    *    record()→cleanup() window — on replay `alreadyApplied` is true
+    *    before `resumePending` ever runs, so nothing else would delete
+    *    them. Safe: batchId ≤ HWM means the moves completed before the
+    *    mark (record follows completeMoves); only cleanup is finished.
+    *  - FOREIGN tokens (a superseded queryId — a stream recreated with
+    *    a new checkpoint — or a crashed anonymous append): once a newer
+    *    mark owner exists, nobody will ever resume them. COMMITTED
+    *    debris (manifest present) is FINISHED, not dropped — the
+    *    manifest is the commit point, so its files belong in the index
+    *    (the moves are per-file idempotent; a replay that already moved
+    *    them no-ops). Uncommitted staging (no manifest) never reached
+    *    the commit point and is deleted. For anonymous tokens this
+    *    keeps the documented at-least-once semantics: a crashed anon
+    *    batch both finishes here AND may be re-run by its job retry. */
   private def sweepApplied(spark: SparkSession, indexPath: String,
       queryId: String): Unit = {
     if (queryId.isEmpty) return
@@ -185,15 +194,25 @@ object IngestLedger {
     val prefix = queryId.replaceAll("[^A-Za-z0-9-]", "_") + "_b"
     val sDir = new Path(root, StagingDir)
     if (!fs.exists(sDir)) return
-    fs.listStatus(sDir).foreach { st =>
-      val name = st.getPath.getName
-      val token = name.stripSuffix(".manifest")
+    val entries = fs.listStatus(sDir).toSeq
+    val tokens = entries.map(_.getPath.getName.stripSuffix(".manifest"))
+      .distinct
+    val manifests = entries.filter(_.getPath.getName.endsWith(".manifest"))
+      .map(_.getPath.getName.stripSuffix(".manifest")).toSet
+    tokens.foreach { token =>
       if (token.startsWith(prefix)) {
         val bid = token.substring(prefix.length)
-        if (bid.nonEmpty && bid.forall(_.isDigit) && bid.toLong <= hwm) {
-          fs.delete(st.getPath, true)
-          ()
+        if (bid.nonEmpty && bid.forall(_.isDigit) && bid.toLong <= hwm)
+          cleanup(spark, root, token)
+      } else {
+        // superseded query or crashed anonymous append
+        if (manifests.contains(token)) {
+          val files = BucketedSnapshotStore.readSmallFile(fs,
+            manifestPath(root, token)).linesIterator
+            .filter(_.nonEmpty).toSeq
+          completeMoves(spark, root, token, files)
         }
+        cleanup(spark, root, token)
       }
     }
   }

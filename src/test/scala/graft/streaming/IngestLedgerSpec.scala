@@ -143,8 +143,9 @@ class IngestLedgerSpec extends SparkFunSuite {
   }
 
   test("record()→cleanup() crash debris is swept by the next append: " +
-      "manifests and staging dirs at or below the high-water mark are " +
-      "deleted; in-flight and foreign debris survive") {
+      "applied tokens at or below the high-water mark are deleted; " +
+      "SUPERSEDED queries' uncommitted staging is dropped and their " +
+      "committed manifests are FINISHED into the index") {
     val s = spark
     import s.implicits._
     val dir = tmp("graft_ledger_sweep") + "/idx"
@@ -167,20 +168,36 @@ class IngestLedgerSpec extends SparkFunSuite {
       new org.apache.hadoop.fs.Path(staging, "q-sweep_b1.manifest")
     val out = fs.create(debrisManifest, true)
     out.write("part-orphan.parquet\n".getBytes("UTF-8")); out.close()
-    // foreign debris (another queryId) and an anon token must survive
+    // SUPERSEDED-query debris (a stream recreated with a new checkpoint
+    // abandons its old queryId): round 12 left these forever —
+    // unbounded accumulation under _ingest_staging. Uncommitted staging
+    // (no manifest) is dropped; a COMMITTED manifest is finished, not
+    // dropped (the manifest is the commit point — its file must land
+    // in the live index).
     val foreign = new org.apache.hadoop.fs.Path(staging, "q-other_b0")
     val anon = new org.apache.hadoop.fs.Path(staging, "anon_b5_12345")
     fs.mkdirs(foreign); fs.mkdirs(anon)
+    val committed = new org.apache.hadoop.fs.Path(staging, "q-dead_b7")
+    Seq((99L, "text 99")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(committed.toString)
+    val committedFile = IngestLedger.listDataFiles(s, committed).head
+    val cm = new org.apache.hadoop.fs.Path(staging, "q-dead_b7.manifest")
+    val out2 = fs.create(cm, true)
+    out2.write((committedFile + "\n").getBytes("UTF-8")); out2.close()
     // on replay alreadyApplied() is true BEFORE resumePending() runs —
     // without the sweep this debris would live forever
     assert(IngestLedger.alreadyApplied(s, dir, "q-sweep", 1L))
     append(2L, 3L) // next real batch sweeps
     assert(!fs.exists(debrisDir), "applied staging dir must be swept")
     assert(!fs.exists(debrisManifest), "applied manifest must be swept")
-    assert(fs.exists(foreign), "another query's debris must survive")
-    assert(fs.exists(anon), "anonymous tokens have no HWM to compare")
-    // the index itself is intact
-    assert(s.read.parquet(dir).count() == 3)
+    assert(!fs.exists(foreign), "superseded uncommitted staging is swept")
+    assert(!fs.exists(anon), "crashed anonymous staging is swept")
+    assert(!fs.exists(committed) && !fs.exists(cm),
+      "superseded committed token is finished and cleaned")
+    // the committed foreign batch's file landed in the live index:
+    // 3 own rows + doc 99
+    assert(s.read.parquet(dir).count() == 4)
+    assert(s.read.parquet(dir).where("doc_id = 99").count() == 1)
   }
 
   test("staged-commit appends: a crash at ANY point either fully " +
