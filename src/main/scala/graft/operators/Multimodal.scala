@@ -3162,19 +3162,24 @@ object Multimodal {
     Some((title, artist, album))
   }
 
-  /** ZIP central-directory walk (round 12) — the archive-routing
-    * surface (docx/epub/jar are zips): EOCD scan from the tail, then
-    * per-entry name / method / sizes from the central directory, with
-    * STORED (method 0) entry CONTENT extracted by resolving the local
+  /** ZIP central-directory walk (round 12, DEFLATE round 13) — the
+    * archive-routing surface (docx/epub/jar are zips): EOCD scan from
+    * the tail, then per-entry name / method / sizes from the central
+    * directory, with entry CONTENT extracted by resolving the local
     * header's variable-length fields (proof the offsets are walked,
-    * not guessed). Compressed entries report content NULL — route to
-    * an inflate stage. One row per entry. */
+    * not guessed). STORED (method 0) entries slice directly; DEFLATED
+    * (method 8) entries drive a real raw `Inflater` over the csize
+    * bytes. `crc_ok` is true only when the content bytes were
+    * RECOVERED and their CRC32 matches the central directory's —
+    * failed inflate, size mismatch, or an oversized entry (> 64 MiB,
+    * skipped) report crc_ok=false with NULL content. One row per
+    * entry. */
   final case class ZipEntryRow(doc_id: Long, name: String, method: Long,
-    usize: Long, content: String)
+    usize: Long, content: String, crc_ok: Boolean)
 
   private[graft] def zipEntriesJvm(b: Array[Byte])
-      : IndexedSeq[(String, Long, Long, String)] = {
-    val empty = Vector.empty[(String, Long, Long, String)]
+      : IndexedSeq[(String, Long, Long, String, Boolean)] = {
+    val empty = Vector.empty[(String, Long, Long, String, Boolean)]
     if (b == null || b.length < 22) return empty
     def u16(p: Int): Int =
       if (p < 0 || p + 2 > b.length) -1
@@ -3195,13 +3200,14 @@ object Multimodal {
     val n = u16(eocd + 10)
     val cdOff = u32(eocd + 16)
     if (n <= 0 || n > 65535 || cdOff < 0) return empty
-    val out = Vector.newBuilder[(String, Long, Long, String)]
+    val out = Vector.newBuilder[(String, Long, Long, String, Boolean)]
     var q = cdOff.toInt
     var i = 0
     while (i < n) {
       if (q + 46 > b.length || !(b(q) == 'P' && b(q + 1) == 'K' &&
         b(q + 2) == 1 && b(q + 3) == 2)) return empty
       val method = u16(q + 10).toLong
+      val crcDeclared = u32(q + 16)
       val csize = u32(q + 20)
       val usize = u32(q + 24)
       val nameLen = u16(q + 28)
@@ -3210,9 +3216,11 @@ object Multimodal {
       val localOff = u32(q + 42)
       if (nameLen < 0 || q + 46 + nameLen > b.length) return empty
       val name = new String(b, q + 46, nameLen, "UTF-8")
-      var content: String = null
-      if (method == 0L && localOff >= 0 &&
-        localOff + 30 <= b.length &&
+      // recover the entry's bytes through the local header: STORED
+      // slices, DEFLATED inflates (raw deflate — the gzip machinery)
+      var recovered: Array[Byte] = null
+      if ((method == 0L || method == 8L) && localOff >= 0 &&
+        usize <= (1L << 26) && localOff + 30 <= b.length &&
         b(localOff.toInt) == 'P' && b(localOff.toInt + 1) == 'K' &&
         b(localOff.toInt + 2) == 3 && b(localOff.toInt + 3) == 4) {
         val lp = localOff.toInt
@@ -3220,10 +3228,45 @@ object Multimodal {
         val lExtraLen = u16(lp + 28)
         val dataOff = lp + 30 + lNameLen + lExtraLen
         if (lNameLen >= 0 && lExtraLen >= 0 && csize >= 0 &&
-          dataOff + csize <= b.length)
-          content = new String(b, dataOff, csize.toInt, "UTF-8")
+          dataOff + csize <= b.length) {
+          if (method == 0L) {
+            if (csize == usize)
+              recovered = java.util.Arrays.copyOfRange(b, dataOff,
+                dataOff + csize.toInt)
+          } else {
+            val inf = new java.util.zip.Inflater(true)
+            inf.setInput(b, dataOff, csize.toInt)
+            val buf = new Array[Byte](usize.toInt)
+            try {
+              var got = 0
+              var stuck = false
+              while (got < usize && !inf.finished() && !stuck) {
+                val k = inf.inflate(buf, got, usize.toInt - got)
+                if (k > 0) got += k else stuck = true
+              }
+              // drive past the last byte so finished() is authoritative
+              val probe = new Array[Byte](1)
+              val extra = if (!inf.finished()) inf.inflate(probe) else 0
+              if (got == usize && extra == 0 && inf.finished())
+                recovered = buf
+            } catch {
+              case _: java.util.zip.DataFormatException => ()
+            } finally inf.end()
+          }
+        }
       }
-      out += ((name, method, usize, content))
+      // crc_ok = bytes recovered AND verified against the central
+      // directory — never claimed for metadata-only rows
+      var crcOk = false
+      var content: String = null
+      if (recovered != null) {
+        val crc = new java.util.zip.CRC32()
+        crc.update(recovered, 0, recovered.length)
+        crcOk = crc.getValue == crcDeclared
+        if (crcOk && usize <= 65536)
+          content = new String(recovered, 0, recovered.length, "UTF-8")
+      }
+      out += ((name, method, usize, content, crcOk))
       q += 46 + nameLen + extraLen + commentLen
       i += 1
     }
@@ -3311,9 +3354,34 @@ object Multimodal {
   final case class TarEntryRow(doc_id: Long, name: String, size: Long,
     typeflag: String, content: String)
 
+  /** One row per TAR entry with its CONTENT BYTE RANGE instead of
+    * extracted content — the WebDataset loader shape: the walk stays
+    * metadata-speed and the caller slices exactly the members it
+    * wants (`substr` = the ranged GET), e.g. routing image members
+    * through the raster front door without stringifying bytes. */
+  final case class TarEntryRangeRow(doc_id: Long, name: String,
+    offset: Long, size: Long, typeflag: String)
+
   private[graft] def tarEntriesJvm(b: Array[Byte])
-      : IndexedSeq[(String, Long, String, String)] = {
-    val empty = Vector.empty[(String, Long, String, String)]
+      : IndexedSeq[(String, Long, String, String)] =
+    tarWalkJvm(b).map { case (name, size, tf, dataOff) =>
+      val content =
+        if (tf == "0" && size <= 4096)
+          new String(b, dataOff.toInt, size.toInt, "UTF-8")
+        else null
+      (name, size, tf, content)
+    }
+
+  private[graft] def tarEntryRangesJvm(b: Array[Byte])
+      : IndexedSeq[(String, Long, Long, String)] =
+    tarWalkJvm(b).map { case (name, size, tf, dataOff) =>
+      (name, dataOff, size, tf)
+    }
+
+  /** Core TAR walk: (name, size, typeflag, data offset) per entry. */
+  private[graft] def tarWalkJvm(b: Array[Byte])
+      : IndexedSeq[(String, Long, String, Long)] = {
+    val empty = Vector.empty[(String, Long, String, Long)]
     if (b == null || b.length < 512) return empty
     def octal(p: Int, len: Int): Long = {
       var v = 0L; var i = p; var seen = false
@@ -3331,7 +3399,7 @@ object Multimodal {
       while (e < p + len && b(e) != 0) e += 1
       new String(b, p, e - p, "UTF-8")
     }
-    val out = Vector.newBuilder[(String, Long, String, String)]
+    val out = Vector.newBuilder[(String, Long, String, Long)]
     var p = 0
     var done = false
     while (!done) {
@@ -3361,79 +3429,155 @@ object Multimodal {
         val dataOff = p + 512
         val blocks = ((size + 511) / 512).toInt
         if (dataOff + blocks * 512L > b.length) return empty
-        val content =
-          if (tf == "0" && size <= 4096)
-            new String(b, dataOff, size.toInt, "UTF-8")
-          else null
-        out += ((name, size, tf, content))
+        out += ((name, size, tf, dataOff.toLong))
         p = dataOff + blocks * 512
       }
     }
     out.result()
   }
 
-  /** GZIP member walk (round 12) — header metadata (FNAME, mtime, OS)
-    * plus a REAL inflate of the deflate stream via
-    * `java.util.zip.Inflater` (the PNG discipline), with the trailer
-    * CRC32 and ISIZE both verified against the inflated bytes —
-    * `crc_ok=false` flags silent corruption a header-only reader
-    * would miss. Content extracted as UTF-8 for small members (≤ 64
-    * KiB), NULL beyond. */
+  /** GZIP member walk (round 12, multi-member round 13) — per member:
+    * header metadata (FNAME, mtime) plus a REAL inflate of the deflate
+    * stream via `java.util.zip.Inflater` (the PNG discipline), the
+    * member boundary recovered from the inflater's consumed-byte count
+    * (`getRemaining` after `finished`), and the 8-byte trailer CRC32 +
+    * ISIZE verified against the inflated bytes. Concatenated members —
+    * the layout `.warc.gz` and pigz actually ship — walk to one row
+    * each. A CRC mismatch flags that member (`crc_ok=false`) WITHOUT
+    * killing the listing (the boundary is still sound); a STRUCTURAL
+    * violation — bad magic, broken deflate stream, ISIZE disagreeing
+    * with the inflated length, truncated trailer — returns an EMPTY
+    * listing (fail loud, the WARC-walk discipline). Content extracted
+    * as UTF-8 for small members (≤ 64 KiB), NULL beyond. */
   final case class GzipMemberRow(doc_id: Long, fname: String,
     mtime: Long, isize: Long, content: String, crc_ok: Boolean)
 
-  private[graft] def gzipMemberJvm(b: Array[Byte])
-      : Option[(String, Long, Long, String, Boolean)] = {
-    if (b == null || b.length < 18 || (b(0) & 0xff) != 0x1f ||
-      (b(1) & 0xff) != 0x8b || (b(2) & 0xff) != 8) return None
+  /** One row per gzip member: (member_idx, fname, mtime, isize,
+    * content, crc_ok). */
+  final case class GzipMembersRow(doc_id: Long, member_idx: Long,
+    fname: String, mtime: Long, isize: Long, content: String,
+    crc_ok: Boolean)
+
+  /** Core walk: per member (fname, mtime, isize, inflated bytes,
+    * crc_ok); None on any structural violation. Total inflated output
+    * capped at 64 MiB (a decompression bomb must not OOM an executor —
+    * cap exceeded is a structural failure, not a silent truncation). */
+  private[graft] def gzipWalkJvm(b: Array[Byte])
+      : Option[Vector[(String, Long, Long, Array[Byte], Boolean)]] = {
+    if (b == null || b.length < 18) return None
     def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
     def u32(p: Int): Long = (u16(p) & 0xffffL) | ((u16(p + 2) & 0xffffL) << 16)
-    val flg = b(3) & 0xff
-    val mtime = u32(4)
-    var p = 10
-    if ((flg & 0x04) != 0) { // FEXTRA
-      if (p + 2 > b.length) return None
-      p += 2 + u16(p)
-    }
-    var fname = ""
-    if ((flg & 0x08) != 0) { // FNAME, zero-terminated
-      val start = p
-      while (p < b.length && b(p) != 0) p += 1
-      if (p >= b.length) return None
-      fname = new String(b, start, p - start, "ISO-8859-1")
-      p += 1
-    }
-    if ((flg & 0x10) != 0) { // FCOMMENT
-      while (p < b.length && b(p) != 0) p += 1
-      if (p >= b.length) return None
-      p += 1
-    }
-    if ((flg & 0x02) != 0) p += 2 // FHCRC
-    if (p + 8 > b.length) return None
-    val isize = u32(b.length - 4)
-    val crcDeclared = u32(b.length - 8)
-    if (isize > (1L << 26)) return None
-    val inf = new java.util.zip.Inflater(true)
-    inf.setInput(b, p, b.length - 8 - p)
-    val out = new Array[Byte](isize.toInt)
-    val (n, clean) =
+    val out = Vector.newBuilder[(String, Long, Long, Array[Byte], Boolean)]
+    var p = 0
+    var totalOut = 0L
+    while (p < b.length) {
+      if (p + 18 > b.length || (b(p) & 0xff) != 0x1f ||
+        (b(p + 1) & 0xff) != 0x8b || (b(p + 2) & 0xff) != 8) return None
+      val flg = b(p + 3) & 0xff
+      val mtime = u32(p + 4)
+      var q = p + 10
+      if ((flg & 0x04) != 0) { // FEXTRA
+        if (q + 2 > b.length) return None
+        q += 2 + u16(q)
+      }
+      var fname = ""
+      if ((flg & 0x08) != 0) { // FNAME, zero-terminated
+        val start = q
+        while (q < b.length && b(q) != 0) q += 1
+        if (q >= b.length) return None
+        fname = new String(b, start, q - start, "ISO-8859-1")
+        q += 1
+      }
+      if ((flg & 0x10) != 0) { // FCOMMENT
+        while (q < b.length && b(q) != 0) q += 1
+        if (q >= b.length) return None
+        q += 1
+      }
+      if ((flg & 0x02) != 0) q += 2 // FHCRC
+      if (q + 8 > b.length) return None
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(b, q, b.length - q)
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var clean = true
       try {
-        val got = inf.inflate(out)
-        // drive past the last byte so finished() is authoritative
-        val probe = new Array[Byte](1)
-        val extra = if (!inf.finished()) inf.inflate(probe) else 0
-        (got, inf.finished() && extra == 0)
-      } catch { case _: java.util.zip.DataFormatException =>
-        (0, false)
-      } finally inf.end()
-    if (!clean || n != isize) return None
-    val crc = new java.util.zip.CRC32()
-    crc.update(out, 0, n)
-    val crcOk = crc.getValue == crcDeclared
-    val content =
-      if (isize <= 65536) new String(out, 0, n, "UTF-8") else null
-    Some((fname, mtime, isize, content, crcOk))
+        while (!inf.finished() && clean) {
+          val n = inf.inflate(chunk)
+          if (n > 0) {
+            totalOut += n
+            if (totalOut > (1L << 26)) return None
+            buf.write(chunk, 0, n)
+          } else if (!inf.finished()) clean = false // needs input: truncated
+        }
+      } catch { case _: java.util.zip.DataFormatException => clean = false }
+      // member boundary: bytes the inflater actually consumed
+      val consumed = (b.length - q) - inf.getRemaining
+      inf.end()
+      if (!clean) return None
+      val trailerOff = q + consumed
+      if (trailerOff + 8 > b.length) return None
+      val crcDeclared = u32(trailerOff)
+      val isize = u32(trailerOff + 4)
+      val payload = buf.toByteArray
+      // ISIZE is the uncompressed length mod 2^32 — a mismatch means a
+      // mis-framed member (structural), unlike a CRC mismatch (content)
+      if ((payload.length.toLong & 0xffffffffL) != isize) return None
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload, 0, payload.length)
+      out += ((fname, mtime, isize, payload, crc.getValue == crcDeclared))
+      p = trailerOff + 8
+    }
+    Some(out.result())
   }
+
+  private def gzipContentOf(payload: Array[Byte]): String =
+    if (payload.length <= 65536) new String(payload, 0, payload.length,
+      "UTF-8")
+    else null
+
+  /** First member of a (possibly multi-member) gzip stream — the
+    * round-12 single-member surface, now a view over [[gzipWalkJvm]]. */
+  private[graft] def gzipMemberJvm(b: Array[Byte])
+      : Option[(String, Long, Long, String, Boolean)] =
+    gzipWalkJvm(b).flatMap(_.headOption).map { case (f, mt, isz, pay, ok) =>
+      (f, mt, isz, gzipContentOf(pay), ok)
+    }
+
+  /** All members of a concatenated gzip stream, one tuple per member. */
+  private[graft] def gzipMembersJvm(b: Array[Byte])
+      : IndexedSeq[(Long, String, Long, Long, String, Boolean)] =
+    gzipWalkJvm(b) match {
+      case Some(ms) => ms.zipWithIndex.map {
+        case ((f, mt, isz, pay, ok), i) =>
+          (i.toLong, f, mt, isz, gzipContentOf(pay), ok)
+      }
+      case None => Vector.empty
+    }
+
+  /** WARC records out of a `.warc.gz` blob — the Common Crawl layout
+    * (one gzip member per WARC record, concatenated): inflate every
+    * member (CRC-verified — a corrupt member fails the whole listing
+    * loud, since its records can't be trusted), concatenate the
+    * payloads, and run the standard WARC record walk over the result.
+    * A `.warc.gz` therefore yields exactly its uncompressed twin's
+    * listing. */
+  private[graft] def warcGzRecordsJvm(b: Array[Byte])
+      : IndexedSeq[(String, String, Long, Long)] =
+    gzipWalkJvm(b) match {
+      case Some(ms) if ms.nonEmpty && ms.forall(_._5) =>
+        val total = ms.map(_._4.length.toLong).sum
+        if (total > (1L << 26)) Vector.empty
+        else {
+          val buf = new Array[Byte](total.toInt)
+          var off = 0
+          ms.foreach { m =>
+            System.arraycopy(m._4, 0, buf, off, m._4.length)
+            off += m._4.length
+          }
+          warcRecordsJvm(buf)
+        }
+      case _ => Vector.empty
+    }
 
   /** Batch GZIP member metadata + inflate (native expression). */
   def extractGzipMember(df: DataFrame, idCol: String,
@@ -3444,6 +3588,28 @@ object Multimodal {
       graft.plans.MediaExprs.gzipMemberCol).as[GzipMemberRow]
   }
 
+  /** Batch multi-member GZIP walk (native array-kernel expression,
+    * one output row per member). */
+  def extractGzipMembers(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[GzipMembersRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.gzipMembersCol).as[GzipMembersRow]
+  }
+
+  /** Batch `.warc.gz` record listing (native array-kernel expression):
+    * inflate the concatenated per-record gzip members, then the WARC
+    * record walk — one output row per record, same schema as
+    * [[extractWarcRecords]] on the uncompressed twin. */
+  def extractWarcGzRecords(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[WarcRecordRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.warcGzRecordsCol).as[WarcRecordRow]
+  }
+
   /** Batch TAR entry listing (native array-kernel expression, one
     * output row per entry). */
   def extractTarEntries(df: DataFrame, idCol: String,
@@ -3452,6 +3618,52 @@ object Multimodal {
     import spark.implicits._
     explodeExtract(df, idCol, blobCol,
       graft.plans.MediaExprs.tarEntriesCol).as[TarEntryRow]
+  }
+
+  /** Batch TAR entry byte-range listing (native array-kernel
+    * expression, one output row per entry — no content extraction). */
+  def extractTarEntryRanges(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[TarEntryRangeRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.tarEntryRangesCol).as[TarEntryRangeRow]
+  }
+
+  /** WebDataset sample assembly — the loader shape the TAR walk was
+    * built for: members of one shard grouped by SAMPLE KEY (the
+    * basename before its first '.', the WebDataset convention — a
+    * sample is `xxx.jpg` + `xxx.txt` + …), the text member carried as
+    * a caption column, the image member routed through the
+    * mixed-format raster front door. Returns one row per sample:
+    * (id, key, caption, image struct = [[AnyRasterRow]] minus id).
+    *
+    * 100 TB design: the tar walk emits byte RANGES, not content — the
+    * image member is sliced out with substr (binary-safe, never
+    * stringified), so the exploded rows carry member-sized slices,
+    * not the whole shard per member. The groupBy shuffles those
+    * slices clustered by (shard, key) — member bytes move once — and
+    * the decode runs ONCE per assembled sample after the aggregation,
+    * pinned behind a Generate barrier (explode(array(…))) so
+    * CollapseProject cannot inline one decode per projected field. */
+  def assembleWebdatasetSamples(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): DataFrame = {
+    val rasterExts =
+      Seq("bmp", "png", "gif", "jpg", "jpeg", "webp", "tif", "tiff")
+    val entries = df.select(col(idCol), col(blobCol),
+        explode(graft.plans.MediaExprs.tarEntryRangesCol(col(blobCol)))
+          .as("e"))
+      .select(col(idCol),
+        substring_index(col("e.name"), ".", 1).as("key"),
+        lower(substring_index(col("e.name"), ".", -1)).as("ext"),
+        col(blobCol).substr((col("e.offset") + 1L).cast("int"),
+          col("e.size").cast("int")).as("bytes"))
+    val samples = entries.groupBy(col(idCol), col("key")).agg(
+      max(when(col("ext") === "txt", col("bytes").cast("string")))
+        .as("caption"),
+      max(when(col("ext").isin(rasterExts: _*), col("bytes"))).as("img"))
+    samples.select(col(idCol), col("key"), col("caption"),
+      explode(array(anyRasterCol(col("img")))).as("image"))
   }
 
   /** Batch WARC record listing (native array-kernel expression, one

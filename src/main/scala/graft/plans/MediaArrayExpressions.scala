@@ -238,6 +238,28 @@ object MediaArrayKernel {
       case None => null
     }
 
+  /** [[Multimodal.GzipMembersRow]] minus doc_id. */
+  val gzipMembersSchema: StructType = StructType(Seq(
+    StructField("member_idx", LongType, nullable = false),
+    StructField("fname", StringType, nullable = false),
+    StructField("mtime", LongType, nullable = false),
+    StructField("isize", LongType, nullable = false),
+    StructField("content", StringType, nullable = true),
+    StructField("crc_ok", BooleanType, nullable = false)))
+
+  def gzipMembers(b: Array[Byte]): ArrayData =
+    new GenericArrayData(Multimodal.gzipMembersJvm(b).map {
+      case (i, f, mt, isz, c, ok) => InternalRow(i,
+        UTF8String.fromString(f), mt, isz,
+        if (c == null) null else UTF8String.fromString(c), ok)
+    }.toArray[Any])
+
+  def warcGzRecords(b: Array[Byte]): ArrayData =
+    new GenericArrayData(Multimodal.warcGzRecordsJvm(b).map {
+      case (t, u, cl, st) => InternalRow(UTF8String.fromString(t),
+        UTF8String.fromString(u), cl, st)
+    }.toArray[Any])
+
   /** [[Multimodal.TarEntryRow]] minus doc_id. */
   val tarEntrySchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
@@ -250,6 +272,19 @@ object MediaArrayKernel {
       case (n, sz, tf, c) => InternalRow(UTF8String.fromString(n), sz,
         UTF8String.fromString(tf),
         if (c == null) null else UTF8String.fromString(c))
+    }.toArray[Any])
+
+  /** [[Multimodal.TarEntryRangeRow]] minus doc_id. */
+  val tarEntryRangeSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("typeflag", StringType, nullable = false)))
+
+  def tarEntryRanges(b: Array[Byte]): ArrayData =
+    new GenericArrayData(Multimodal.tarEntryRangesJvm(b).map {
+      case (n, off, sz, tf) => InternalRow(UTF8String.fromString(n), off,
+        sz, UTF8String.fromString(tf))
     }.toArray[Any])
 
   /** [[Multimodal.WarcRecordRow]] minus doc_id. */
@@ -270,12 +305,13 @@ object MediaArrayKernel {
     StructField("name", StringType, nullable = false),
     StructField("method", LongType, nullable = false),
     StructField("usize", LongType, nullable = false),
-    StructField("content", StringType, nullable = true)))
+    StructField("content", StringType, nullable = true),
+    StructField("crc_ok", BooleanType, nullable = false)))
 
   def zipEntries(b: Array[Byte]): ArrayData =
     new GenericArrayData(Multimodal.zipEntriesJvm(b).map {
-      case (n, m, u, c) => InternalRow(UTF8String.fromString(n), m, u,
-        if (c == null) null else UTF8String.fromString(c))
+      case (n, m, u, c, ok) => InternalRow(UTF8String.fromString(n), m, u,
+        if (c == null) null else UTF8String.fromString(c), ok)
     }.toArray[Any])
 
   /** [[Multimodal.Id3TextRow]] minus doc_id. */
@@ -560,6 +596,35 @@ case class GzipMember(child: Expression) extends MediaDecodeExpression {
   override def prettyName: String = "graft_gzip_member"
 }
 
+/** `gzip_members(blob)` -> one struct per member of a concatenated
+  * gzip stream (the `.warc.gz`/pigz layout); CRC-corrupt members are
+  * flagged (`crc_ok=false`) without killing the listing; structural
+  * violations yield an empty array. */
+case class GzipMembers(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.gzipMembersSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.gzipMembers($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.gzipMembers(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_gzip_members"
+}
+
+/** `warc_gz_records(blob)` -> the WARC record walk over an inflated
+  * `.warc.gz` (one gzip member per record, concatenated); identical
+  * output schema to `warc_records` on the uncompressed twin. */
+case class WarcGzRecords(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.warcRecordSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.warcGzRecords($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.warcGzRecords(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_warc_gz_records"
+}
+
 case class TarEntries(child: Expression) extends MediaArrayExpression {
   override protected def structSchema: StructType =
     MediaArrayKernel.tarEntrySchema
@@ -569,6 +634,22 @@ case class TarEntries(child: Expression) extends MediaArrayExpression {
     MediaArrayKernel.tarEntries(b)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "graft_tar_entries"
+}
+
+/** `tar_entry_ranges(blob)` → one struct per TAR entry carrying the
+  * content BYTE RANGE (name, offset, size, typeflag) instead of
+  * extracted text — the WebDataset loader shape: callers slice the
+  * members they want with substr (binary-safe), so image bytes never
+  * round-trip through UTF-8. */
+case class TarEntryRanges(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.tarEntryRangeSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.tarEntryRanges($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.tarEntryRanges(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_tar_entry_ranges"
 }
 
 /** `warc_records(blob)` → one struct per WARC record (type, target
@@ -727,5 +808,8 @@ object MediaExprs {
   def zipEntriesCol(blob: Column): Column = c(ZipEntries(e(blob)))
   def warcRecordsCol(blob: Column): Column = c(WarcRecords(e(blob)))
   def tarEntriesCol(blob: Column): Column = c(TarEntries(e(blob)))
+  def tarEntryRangesCol(blob: Column): Column = c(TarEntryRanges(e(blob)))
   def gzipMemberCol(blob: Column): Column = c(GzipMember(e(blob)))
+  def gzipMembersCol(blob: Column): Column = c(GzipMembers(e(blob)))
+  def warcGzRecordsCol(blob: Column): Column = c(WarcGzRecords(e(blob)))
 }

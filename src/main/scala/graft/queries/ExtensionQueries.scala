@@ -801,6 +801,43 @@ object ExtensionQueries {
     spread(t(s, dir, "documents"))
       .select(col("doc_id"), gzipBlob.as("blob"))
 
+  /** One complete gzip member as binary: FNAME header, closed-form
+    * mtime, a STORED deflate block (BTYPE=00 with LEN + one's-
+    * complement NLEN — a valid stream any conforming inflater walks),
+    * and a REAL CRC32+ISIZE trailer computed in-plan. Content must be
+    * < 64 KiB (single stored block). */
+  private[graft] def gzipMemberBytes(fname: org.apache.spark.sql.Column,
+      mtime: org.apache.spark.sql.Column,
+      content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val len = octet_length(content).cast("long")
+    concat(
+      unhex(lit("1f8b08" + "08")), le32b(mtime), unhex(lit("0003")),
+      encode(fname, "utf-8"), lit(Array[Byte](0)),
+      unhex(lit("01")), le16b(len), le16b(lit(65535L) - len),
+      content,
+      le32b(crc32(content)), le32b(len))
+  }
+
+  /** Multi-member GZIP fixture (round 13): 1+d%3 CONCATENATED members
+    * — the layout `.warc.gz` and pigz actually ship — each with its
+    * own FNAME/mtime/content and real CRC trailer. */
+  private[graft] def gzipMultiBlob: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val k = lit(1L) + d % 3L
+    val members = transform(sequence(lit(0L), k - 1L), i =>
+      gzipMemberBytes(
+        concat(lit("m"), i.cast("string"), lit(".txt")),
+        d * 100L + i,
+        encode(concat(lit("gzm-"), lpad(d.cast("string"), 6, "0"),
+          lit("-"), i.cast("string")), "utf-8")))
+    aggregate(members, lit(Array.empty[Byte]), (a, x) => concat(a, x))
+  }
+
+  private[graft] def gzipMultiFixture(s: SparkSession, dir: String)
+      : DataFrame =
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), gzipMultiBlob.as("blob"))
+
   /** One ustar header with a CORRECT checksum, computed at plan-build
     * time in Scala (the header is constant per entry index - only the
     * content region is data-dependent). */
@@ -849,11 +886,60 @@ object ExtensionQueries {
     spread(t(s, dir, "documents"))
       .select(col("doc_id"), tarBlob.as("blob"))
 
+  private[graft] lazy val wdsBmpHeaders: Seq[Array[Byte]] =
+    (0 until 3).map(i => tarHeader(s"s$i.bmp", 90))
+  private[graft] lazy val wdsTxtHeaders: Seq[Array[Byte]] =
+    (0 until 3).map(i => tarHeader(s"s$i.txt", 12))
+
+  /** WebDataset-shard fixture (round 13): a tar of 1+d%3 SAMPLES, each
+    * two members keyed by basename — `s<i>.bmp` (a real fixed-geometry
+    * 4×3 24-bit BMP whose file bytes are the closed-form primitive
+    * `(d·11 + i·19 + j·17) % 256`) and `s<i>.txt` (a fixed-width
+    * caption). Headers are plan-time constants with correct checksums
+    * (sizes are fixed — 90 and 12 bytes); contents are data-dependent. */
+  private[graft] def webdatasetBlob: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val k = lit(1L) + d % 3L
+    val bmpHeaders = typedLit(wdsBmpHeaders)
+    val txtHeaders = typedLit(wdsTxtHeaders)
+    val padBmp = lit(Array.fill[Byte](422)(0))  // 512 - 90
+    val padTxt = lit(Array.fill[Byte](500)(0))  // 512 - 12
+    def bmpBytes(i: org.apache.spark.sql.Column) = {
+      // fixed 4×3 24-bit BMP, stride 12 (3·w, no row padding)
+      val pixels = unhex(array_join(transform(sequence(lit(0L), lit(35L)),
+        j => lpad(hex(pmod(d * 11L + i * 19L + j * 17L, lit(256L))),
+          2, "0")), ""))
+      concat(lit("BM".getBytes), le32b(lit(90L)), le32b(lit(0L)),
+        le32b(lit(54L)), le32b(lit(40L)), le32b(lit(4L)), le32b(lit(3L)),
+        le16b(lit(1L)), le16b(lit(24L)), le32b(lit(0L)), le32b(lit(36L)),
+        le32b(lit(0L)), le32b(lit(0L)), le32b(lit(0L)), le32b(lit(0L)),
+        pixels)
+    }
+    def caption(i: org.apache.spark.sql.Column) =
+      encode(concat(lit("cap-"), lpad(d.cast("string"), 6, "0"),
+        lit("-"), i.cast("string")), "utf-8")
+    val entryArr = transform(sequence(lit(0L), k - 1L), i =>
+      concat(
+        element_at(bmpHeaders, (i + 1L).cast("int")), bmpBytes(i), padBmp,
+        element_at(txtHeaders, (i + 1L).cast("int")), caption(i), padTxt))
+    concat(
+      aggregate(entryArr, lit(Array.empty[Byte]), (a, x) => concat(a, x)),
+      lit(Array.fill[Byte](1024)(0)))
+  }
+
+  private[graft] def webdatasetFixture(s: SparkSession, dir: String)
+      : DataFrame =
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), webdatasetBlob.as("blob"))
+
   /** WARC fixture (round 12): one warcinfo record + 1+d%3 response
     * records with closed-form URIs, alternating 200/404 statuses and
     * fixed-width 13-byte bodies (HTTP head 19 B → Content-Length 32).
     * Pure-ASCII assembly as a STRING, encoded once. */
-  private[graft] def warcBlob: org.apache.spark.sql.Column = {
+  /** The fixture's WARC records as an array<string> — one warcinfo
+    * record + 1+d%3 responses — shared by the plain concatenation
+    * ([[warcBlob]]) and the per-record gzip wrap ([[warcGzBlob]]). */
+  private[graft] def warcRecordStrings: org.apache.spark.sql.Column = {
     val d = col("doc_id")
     val k = lit(1L) + d % 3L
     val crlf = "\r\n"
@@ -865,7 +951,7 @@ object ExtensionQueries {
       concat(lit("WARC-Type: warcinfo" + crlf),
         lit("Content-Length: 10" + crlf)),
       lit("info-body!"))
-    val responses = array_join(
+    concat(array(info),
       transform(sequence(lit(0L), k - 1L), i =>
         record(
           concat(lit("WARC-Type: response" + crlf),
@@ -876,21 +962,45 @@ object ExtensionQueries {
             when(pmod(i, lit(2L)) === 0L, lit("HTTP/1.1 200 OK" + crlf))
               .otherwise(lit("HTTP/1.1 404 NO" + crlf)),
             lit(crlf), lit("body-"),
-            lpad(d.cast("string"), 6, "0"), lit("-"), i))), "")
-    encode(concat(info, responses), "utf-8")
+            lpad(d.cast("string"), 6, "0"), lit("-"), i))))
   }
+
+  private[graft] def warcBlob: org.apache.spark.sql.Column =
+    encode(array_join(warcRecordStrings, ""), "utf-8")
 
   private[graft] def warcFixture(s: SparkSession, dir: String): DataFrame =
     spread(t(s, dir, "documents"))
       .select(col("doc_id"), warcBlob.as("blob"))
 
-  /** STORED-method ZIP fixture (round 12): 2+d%3 entries, names
-    * "f<i>.txt", fixed-width 16-byte contents
-    * "payload-<d zero-padded to 6>-<i>" — every record length is
-    * closed-form (local 52, CD 52), so all offsets are pure
+  /** `.warc.gz` fixture (round 13): the SAME records as [[warcBlob]],
+    * but each record wrapped in its own gzip member and the members
+    * concatenated — the Common Crawl crawl-archive layout. Real
+    * in-plan CRC32 trailers; the walker must inflate every member and
+    * recover the record framing across member boundaries. */
+  private[graft] def warcGzBlob: org.apache.spark.sql.Column =
+    aggregate(
+      transform(warcRecordStrings, (r, i) =>
+        gzipMemberBytes(concat(lit("r"), i.cast("string"), lit(".warc")),
+          lit(0L), encode(r, "utf-8"))),
+      lit(Array.empty[Byte]), (a, x) => concat(a, x))
+
+  private[graft] def warcGzFixture(s: SparkSession, dir: String)
+      : DataFrame =
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), warcGzBlob.as("blob"))
+
+  /** ZIP fixture (round 12, DEFLATE + real CRCs round 13): 2+d%3
+    * entries, names "f<i>.txt", fixed-width 16-byte contents
+    * "payload-<d zero-padded to 6>-<i>". Even entries are STORED
+    * (local record 52 B); odd entries are DEFLATED (method 8) with the
+    * data wrapped in one stored deflate block (5 B framing → local
+    * record 57 B) — a valid raw-deflate stream the walker must drive a
+    * real Inflater through (the PNG-fixture discipline). CRC32s are
+    * REAL, computed in-plan over the uncompressed bytes, so the
+    * walker's crc_ok verification has something honest to check.
+    * Every record length is closed-form, so all offsets are pure
     * arithmetic for the oracle while the walker must really resolve
-    * EOCD → central directory → local headers. CRCs zero (listing
-    * walkers don't verify; the content equality check is stronger). */
+    * EOCD → central directory → local headers. */
   private[graft] def zipBlob: org.apache.spark.sql.Column = {
     val d = col("doc_id")
     val k = lit(2L) + d % 3L
@@ -910,17 +1020,35 @@ object ExtensionQueries {
             pow(lit(10.0), (lit(5) - j).cast("double")).cast("long")),
             lit(10L))), 2, "0")), ""),
       lit("2d"), lpad(hex(lit(48L) + i), 2, "0"))    // "-<i>"
+    def isDef(i: org.apache.spark.sql.Column) = pmod(i, lit(2L)) === 1L
+    def crcHex(i: org.apache.spark.sql.Column) =
+      le32h(crc32(unhex(dataHex(i))))
+    def methodHex(i: org.apache.spark.sql.Column) =
+      when(isDef(i), "0800").otherwise("0000")
+    def csizeHex(i: org.apache.spark.sql.Column) =
+      when(isDef(i), "15000000").otherwise("10000000")
+    // stored deflate block: BTYPE=00, LEN=16 le, NLEN=~16 le
+    def bodyHex(i: org.apache.spark.sql.Column) =
+      when(isDef(i), concat(lit("01" + "1000" + "efff"), dataHex(i)))
+        .otherwise(dataHex(i))
+    // local record lengths: stored 52, deflated 57
+    def localOff(i: org.apache.spark.sql.Column) =
+      TF.intDivNonNeg(i + 1L, lit(2L)) * 52L +
+        TF.intDivNonNeg(i, lit(2L)) * 57L
     val locals = array_join(transform(sequence(lit(0L), k - 1L), i =>
-      concat(lit("504b0304" + "1400" + "0000" + "0000" + "0000" + "0000" +
-        "00000000" + "10000000" + "10000000" + "0600" + "0000"),
-        nameHex(i), dataHex(i))), "")
+      concat(lit("504b0304" + "1400" + "0000"), methodHex(i),
+        lit("0000" + "0000"), crcHex(i), csizeHex(i),
+        lit("10000000" + "0600" + "0000"),
+        nameHex(i), bodyHex(i))), "")
+    val cdStart = localOff(k)
     val cd = array_join(transform(sequence(lit(0L), k - 1L), i =>
-      concat(lit("504b0102" + "1400" + "1400" + "0000" + "0000" + "0000" +
-        "0000" + "00000000" + "10000000" + "10000000" + "0600" + "0000" +
-        "0000" + "0000" + "0000" + "00000000"),
-        le32h(i * 52L), nameHex(i))), "")
+      concat(lit("504b0102" + "1400" + "1400" + "0000"), methodHex(i),
+        lit("0000" + "0000"), crcHex(i), csizeHex(i),
+        lit("10000000" + "0600" + "0000" +
+          "0000" + "0000" + "0000" + "00000000"),
+        le32h(localOff(i)), nameHex(i))), "")
     val eocd = concat(lit("504b0506" + "0000" + "0000"),
-      le16h(k), le16h(k), le32h(k * 52L), le32h(k * 52L), lit("0000"))
+      le16h(k), le16h(k), le32h(k * 52L), le32h(cdStart), lit("0000"))
     unhex(concat(locals, cd, eocd))
   }
 
@@ -3192,6 +3320,24 @@ object ExtensionQueries {
         .toDF()
         .orderBy(col("doc_id"))),
 
+    // MULTI-MEMBER GZIP (round 13) - concatenated members, the layout
+    // .warc.gz and pigz actually ship: one row per member, boundaries
+    // recovered from the inflater's consumed-byte count, per-member
+    // CRC32 verified against the inflated bytes
+    "source_gzip_members" -> ((s, dir) =>
+      Multimodal.extractGzipMembers(gzipMultiFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"), col("member_idx"))),
+
+    // WARC.GZ (round 13) - the crawl archive in the format it ships:
+    // one gzip member per record; the composition inflates every
+    // member and yields EXACTLY the uncompressed twin's listing (same
+    // oracle as source_warc_records)
+    "source_warc_gz" -> ((s, dir) =>
+      Multimodal.extractWarcGzRecords(warcGzFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"), col("target_uri"))),
+
     // TAR ENTRIES (round 12) - WebDataset shards are plain tars: the
     // walk verifies each header's checksum, lists name/size/typeflag,
     // and extracts small regular-file contents; bodies skipped by
@@ -3208,6 +3354,27 @@ object ExtensionQueries {
       Multimodal.extractWarcRecords(warcFixture(s, dir), "doc_id")
         .toDF()
         .orderBy(col("doc_id"), col("target_uri"))),
+
+    // WEBDATASET SAMPLES (round 13) — the composition the tar walk was
+    // built for: members grouped by sample key, the caption carried as
+    // a column, the image member sliced by BYTE RANGE (never
+    // stringified) and decoded through the mixed-format front door
+    // once per assembled sample
+    "source_webdataset_samples" -> ((s, dir) =>
+      Multimodal.assembleWebdatasetSamples(
+          webdatasetFixture(s, dir), "doc_id")
+        .select(col("doc_id"), col("key"), col("caption"),
+          col("image.kind").as("kind"),
+          col("image.width").as("width"),
+          col("image.height").as("height"),
+          col("image.n_px").as("n_px"),
+          col("image.sum_r").as("sum_r"),
+          col("image.sum_g").as("sum_g"),
+          col("image.sum_b").as("sum_b"),
+          col("image.wsum_r").as("wsum_r"),
+          col("image.wsum_g").as("wsum_g"),
+          col("image.wsum_b").as("wsum_b"))
+        .orderBy(col("doc_id"), col("key"))),
 
     // ZIP CENTRAL DIRECTORY (round 12) — the archive-routing source
     // (docx/epub/jar): EOCD scan, per-entry listing, STORED content
@@ -6724,6 +6891,34 @@ object ExtensionQueries {
         |  TRUE AS crc_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "source_gzip_members" ->
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS k FROM documents),
+        |e AS (SELECT doc_id, unnest(range(0, k)) AS i FROM p)
+        |SELECT doc_id, CAST(i AS BIGINT) AS member_idx,
+        |  'm' || i || '.txt' AS fname,
+        |  CAST(doc_id * 100 + i AS BIGINT) AS mtime,
+        |  CAST(12 AS BIGINT) AS isize,
+        |  'gzm-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '-' || i
+        |    AS content,
+        |  TRUE AS crc_ok
+        |FROM e ORDER BY doc_id, member_idx""".stripMargin,
+
+    // identical listing to the uncompressed twin — that IS the claim
+    "source_warc_gz" ->
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS k FROM documents),
+        |info AS (SELECT doc_id, 'warcinfo' AS rec_type, '' AS target_uri,
+        |  CAST(10 AS BIGINT) AS content_length,
+        |  CAST(0 AS BIGINT) AS http_status FROM p),
+        |e AS (SELECT doc_id, unnest(range(0, k)) AS i FROM p),
+        |resp AS (SELECT doc_id, 'response' AS rec_type,
+        |  'http://site' || (doc_id % 50) || '.example/p' || i
+        |    AS target_uri,
+        |  CAST(32 AS BIGINT) AS content_length,
+        |  CAST(CASE WHEN i % 2 = 0 THEN 200 ELSE 404 END AS BIGINT)
+        |    AS http_status FROM e)
+        |SELECT * FROM info UNION ALL SELECT * FROM resp
+        |ORDER BY doc_id, target_uri""".stripMargin,
+
     "source_tar_entries" ->
       """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS k FROM documents),
         |e AS (SELECT doc_id, unnest(range(0, k)) AS i FROM p)
@@ -6748,13 +6943,43 @@ object ExtensionQueries {
         |SELECT * FROM info UNION ALL SELECT * FROM resp
         |ORDER BY doc_id, target_uri""".stripMargin,
 
+    // per sample: the BMP closed form (file BGR bottom-up — channel
+    // c=2 is R; output y = 2 - file row) + the fixed-width caption
+    "source_webdataset_samples" ->
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS k FROM documents),
+        |e AS (SELECT doc_id, unnest(range(0, k)) AS i FROM p),
+        |px AS (SELECT doc_id, i, unnest(range(0, 36)) AS j FROM e),
+        |v AS (SELECT doc_id, i, j % 3 AS c, (j // 3) % 4 AS x,
+        |    2 - (j // 12) AS y,
+        |    (doc_id * 11 + i * 19 + j * 17) % 256 AS v FROM px),
+        |f AS (SELECT doc_id, i,
+        |    CAST(SUM(v) FILTER (c = 2) AS BIGINT) AS sum_r,
+        |    CAST(SUM(v) FILTER (c = 1) AS BIGINT) AS sum_g,
+        |    CAST(SUM(v) FILTER (c = 0) AS BIGINT) AS sum_b,
+        |    CAST(SUM((x + y * 4) * v) FILTER (c = 2) AS BIGINT) AS wsum_r,
+        |    CAST(SUM((x + y * 4) * v) FILTER (c = 1) AS BIGINT) AS wsum_g,
+        |    CAST(SUM((x + y * 4) * v) FILTER (c = 0) AS BIGINT) AS wsum_b
+        |  FROM v GROUP BY doc_id, i)
+        |SELECT doc_id, 's' || i AS key,
+        |  'cap-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '-' || i
+        |    AS caption,
+        |  'bmp' AS kind, CAST(4 AS BIGINT) AS width,
+        |  CAST(3 AS BIGINT) AS height, CAST(12 AS BIGINT) AS n_px,
+        |  sum_r, sum_g, sum_b, wsum_r, wsum_g, wsum_b
+        |FROM f ORDER BY doc_id, key""".stripMargin,
+
+    // even entries STORED, odd DEFLATED — identical recovered content,
+    // every CRC verified against the in-plan crc32
     "source_zip_entries" ->
       """WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS k FROM documents),
         |e AS (SELECT doc_id, unnest(range(0, k)) AS i FROM p)
         |SELECT doc_id, 'f' || i || '.txt' AS name,
-        |  CAST(0 AS BIGINT) AS method, CAST(16 AS BIGINT) AS usize,
+        |  CAST(CASE WHEN i % 2 = 0 THEN 0 ELSE 8 END AS BIGINT)
+        |    AS method,
+        |  CAST(16 AS BIGINT) AS usize,
         |  'payload-' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
-        |    || '-' || i AS content
+        |    || '-' || i AS content,
+        |  TRUE AS crc_ok
         |FROM e ORDER BY doc_id, name""".stripMargin,
 
     "mm_id3_text" ->

@@ -238,8 +238,9 @@ class TiffSpec extends SparkFunSuite {
     assert(Multimodal.id3TextJvm("no tag here".getBytes).isEmpty)
   }
 
-  test("ZIP walk vs the JDK's own writer: names, methods, sizes, and " +
-      "STORED content all agree; DEFLATED entries report NULL content") {
+  test("ZIP walk vs the JDK's own writer: names, methods, sizes agree; " +
+      "STORED and real-DEFLATED content both extract, CRC-verified; a " +
+      "corrupted compressed stream reports crc_ok=false, not garbage") {
     val bos = new java.io.ByteArrayOutputStream()
     val zos = new java.util.zip.ZipOutputStream(bos)
     // STORED entries need size+crc up front
@@ -259,9 +260,28 @@ class TiffSpec extends SparkFunSuite {
     assert(got.map(e => (e._1, e._2, e._3)) == Vector(
       ("a/stored.txt", 0L, payload.length.toLong),
       ("b/deflated.bin", 8L, 500L)), s"$got")
-    assert(got(0)._4 == "hello stored world",
-      "stored content must extract through the local header")
-    assert(got(1)._4 == null, "deflated content must be NULL, not bytes")
+    assert(got(0)._4 == "hello stored world" && got(0)._5,
+      "stored content must extract through the local header, CRC-verified")
+    assert(got(1)._4 != null && got(1)._4.length == 500 &&
+      got(1)._4.forall(_ == 7.toChar) && got(1)._5,
+      "REAL deflated content must inflate through the local header " +
+        "and verify against the central directory's CRC32")
+    // corrupt one byte inside the deflated entry's compressed stream:
+    // the walk survives (listing intact) but that entry is flagged
+    val dataOff = {
+      // locate the SECOND local header signature, then resolve its
+      // variable-length fields (the JDK may emit extra fields)
+      var p = 4
+      while (!(b(p) == 'P' && b(p + 1) == 'K' && b(p + 2) == 3 &&
+        b(p + 3) == 4)) p += 1
+      val nameLen = (b(p + 26) & 0xff) | ((b(p + 27) & 0xff) << 8)
+      val extraLen = (b(p + 28) & 0xff) | ((b(p + 29) & 0xff) << 8)
+      p + 30 + nameLen + extraLen
+    }
+    val bad = b.clone(); bad(dataOff + 3) = (bad(dataOff + 3) ^ 0x7f).toByte
+    val got2 = Multimodal.zipEntriesJvm(bad)
+    assert(got2.size == 2 && (got2(1)._4 == null || !got2(1)._5),
+      "a corrupted compressed stream must flag, not kill the listing")
     // truncation: chop inside the central directory → empty
     assert(Multimodal.zipEntriesJvm(b.take(b.length - 30)).isEmpty)
     assert(Multimodal.zipEntriesJvm("PK but junk".getBytes).isEmpty)
@@ -341,6 +361,50 @@ class TiffSpec extends SparkFunSuite {
       "a broken stream must not pass as clean")
     assert(Multimodal.gzipMemberJvm("not gzip".getBytes).isEmpty)
     assert(Multimodal.gzipMemberJvm(b.take(12)).isEmpty)
+  }
+
+  test("multi-member GZIP walk: concatenated JDK members list one row " +
+      "each; a CRC-corrupt member is FLAGGED without killing the " +
+      "listing; warc.gz composition equals the uncompressed twin") {
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    val b = gz("alpha") ++ gz("beta-beta") ++ gz("gamma!")
+    val got = Multimodal.gzipMembersJvm(b)
+    assert(got.map(m => (m._1, m._5, m._6)) == Vector(
+      (0L, "alpha", true), (1L, "beta-beta", true), (2L, "gamma!", true)),
+      s"$got")
+    // the single-member view over a multi-member stream = FIRST member
+    assert(Multimodal.gzipMemberJvm(b).get._4 == "alpha")
+    // corrupt the MIDDLE member's trailer CRC: boundary stays sound,
+    // so members 1 and 3 stay verified and member 2 is flagged
+    val off = gz("alpha").length + gz("beta-beta").length - 8
+    val bad = b.clone(); bad(off) = (bad(off) ^ 0x55).toByte
+    val got2 = Multimodal.gzipMembersJvm(bad)
+    assert(got2.size == 3 && got2(0)._6 && !got2(1)._6 && got2(2)._6,
+      s"$got2")
+    // structural violation (truncated last member) → empty, fail loud
+    assert(Multimodal.gzipMembersJvm(b.take(b.length - 4)).isEmpty)
+    // .warc.gz: one member per record — same listing as the plain twin
+    val crlf = "\r\n"
+    def rec(h: String, body: String) =
+      "WARC/1.0" + crlf + h + crlf + crlf + body + crlf + crlf
+    val r1 = rec("WARC-Type: warcinfo" + crlf + "Content-Length: 3", "abc")
+    val r2 = rec("WARC-Type: response" + crlf +
+      "WARC-Target-URI: http://x/y" + crlf + "Content-Length: 19",
+      "HTTP/1.1 200 OK" + crlf + crlf)
+    val plain = (r1 + r2).getBytes("UTF-8")
+    val wgz = gz(r1) ++ gz(r2)
+    assert(Multimodal.warcGzRecordsJvm(wgz) ==
+      Multimodal.warcRecordsJvm(plain))
+    assert(Multimodal.warcRecordsJvm(plain).size == 2)
+    // a corrupt member poisons the whole warc.gz listing (its records
+    // cannot be trusted) — empty, not partial
+    val wbad = wgz.clone()
+    wbad(gz(r1).length - 8) = (wbad(gz(r1).length - 8) ^ 0x55).toByte
+    assert(Multimodal.warcGzRecordsJvm(wbad).isEmpty)
   }
 
   test("compressed, truncated, and non-8-bit TIFFs fail loud") {

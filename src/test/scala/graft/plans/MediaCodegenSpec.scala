@@ -69,7 +69,10 @@ class MediaCodegenSpec extends SparkFunSuite {
         "zip_entries" -> graft.plans.MediaExprs.zipEntriesCol,
         "warc_records" -> graft.plans.MediaExprs.warcRecordsCol,
         "tar_entries" -> graft.plans.MediaExprs.tarEntriesCol,
-        "gzip_member" -> graft.plans.MediaExprs.gzipMemberCol)
+        "tar_entry_ranges" -> graft.plans.MediaExprs.tarEntryRangesCol,
+        "gzip_member" -> graft.plans.MediaExprs.gzipMemberCol,
+        "gzip_members" -> graft.plans.MediaExprs.gzipMembersCol,
+        "warc_gz_records" -> graft.plans.MediaExprs.warcGzRecordsCol)
       for ((name, f) <- fns) {
         // junk blobs: structs NULL / arrays empty, audit gives a
         // verdict — the point is the collect not throwing under
