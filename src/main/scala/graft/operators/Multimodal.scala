@@ -1619,6 +1619,93 @@ object Multimodal {
     Some(out)
   }
 
+  /** TIFF-variant LZW (round 13) — the GIF machinery with TIFF's three
+    * deltas (TIFF6 §13): codes are packed MSB-FIRST, the code size is
+    * fixed at 8-bit roots (Clear=256, EOI=257, first entry 258), and
+    * the code width increments EARLY — when the table reaches
+    * 2^width − 1, one code before the GIF rule (the historic libtiff
+    * off-by-one that became the spec). Decodes exactly `n` bytes from
+    * `data[off, off+len)`; None on any violation. */
+  private[graft] def lzwDecodeTiff(data: Array[Byte], off: Int, len: Int,
+      n: Int): Option[Array[Byte]] = {
+    val clear = 256
+    val eoi = 257
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var tableSize = eoi + 1
+    var width = 9
+    val out = new Array[Byte](n)
+    var produced = 0
+    var bitPos = off * 8
+    val totalBits = (off + len) * 8
+    var prev = -1
+    def readCode(): Int = {
+      if (bitPos + width > totalBits) return -1
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val b = bitPos + i
+        v = (v << 1) | ((data(b >> 3) >> (7 - (b & 7))) & 1)
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    def expand(code: Int): Boolean = {
+      var l = 0
+      var c = code
+      while (c >= clear) { l += 1; c = prefix(c) }
+      l += 1
+      if (produced + l > n) return false
+      var w = produced + l - 1
+      c = code
+      while (c >= clear) { out(w) = suffix(c); w -= 1; c = prefix(c) }
+      out(w) = c.toByte
+      produced += l
+      true
+    }
+    def firstByte(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    def bumpEarly(): Unit =
+      if (tableSize == (1 << width) - 1 && width < 12) width += 1
+    while (produced < n) {
+      val code = readCode()
+      if (code < 0 || code == eoi) return None // underflow
+      if (code == clear) {
+        tableSize = eoi + 1
+        width = 9
+        prev = -1
+      } else if (prev < 0) {
+        if (code >= clear) return None // first code must be a root
+        out(produced) = code.toByte
+        produced += 1
+        prev = code
+      } else if (code < tableSize) {
+        if (!expand(code)) return None
+        if (tableSize < 4096) {
+          prefix(tableSize) = prev
+          suffix(tableSize) = firstByte(code).toByte
+          tableSize += 1
+          bumpEarly()
+        }
+        prev = code
+      } else if (code == tableSize && tableSize < 4096) {
+        // KwKwK: new entry = prev + firstByte(prev)
+        val fb = firstByte(prev)
+        prefix(tableSize) = prev
+        suffix(tableSize) = fb.toByte
+        tableSize += 1
+        if (!expand(tableSize - 1)) return None
+        bumpEarly()
+        prev = tableSize - 1
+      } else return None // code beyond the table
+    }
+    Some(out)
+  }
+
   /** GIF features via [[rasterFeatures]] over [[decodeGifPixels]]. */
   def decodeGifFeatures(bytes: Array[Byte]): Option[RasterFeatureRow] =
     decodeGifPixels(bytes).map { case (w, h, px) =>
@@ -2513,14 +2600,16 @@ object Multimodal {
       blobCol: String = "blob"): Dataset[RasterFeatureRow] =
     rasterExtract(df, idCol, blobCol, jpegFeaturesCol)
 
-  /** Baseline TIFF (round 12) as a top-down raster — the IFD walk both
-    * byte orders (`II`/`MM`), strip-organized, UNCOMPRESSED (tag 259 =
-    * 1), 8-bit RGB (photometric 2, 3 samples) or grayscale
-    * (photometric 1, 1 sample). LZW/JPEG-in-TIFF compressions return
-    * None (PERMISSIVE — route to a codec when one ships); inline
-    * values vs offset values resolved per the 4-byte rule; every
-    * offset bounds-checked. Returns (w, h, channels, top-down
-    * samples). */
+  /** Baseline TIFF (round 12, LZW round 13) as a top-down raster — the
+    * IFD walk both byte orders (`II`/`MM`), strip-organized,
+    * UNCOMPRESSED (tag 259 = 1) or LZW (tag 259 = 5, the TIFF6 §13
+    * early-change variant via [[lzwDecodeTiff]]) with the horizontal-
+    * differencing predictor (tag 317 = 2) inverted per row, 8-bit RGB
+    * (photometric 2, 3 samples) or grayscale (photometric 1, 1
+    * sample). JPEG-in-TIFF and other compressions return None
+    * (PERMISSIVE — route to a codec when one ships); inline values vs
+    * offset values resolved per the 4-byte rule; every offset
+    * bounds-checked. Returns (w, h, channels, top-down samples). */
   def decodeTiffPixels(bytes: Array[Byte])
       : Option[(Int, Int, Int, Array[Byte])] = {
     val b = bytes
@@ -2546,6 +2635,7 @@ object Multimodal {
     if (n <= 0 || ifd + 2 + 12L * n > b.length) return None
     var w = -1L; var h = -1L; var comp = 1L; var photo = -1L
     var spp = 1L; var rowsPerStrip = Long.MaxValue
+    var predictor = 1L
     var bitsOk = true
     var stripOff: Seq[Long] = Nil; var stripCnt: Seq[Long] = Nil
     var i = 0
@@ -2584,11 +2674,13 @@ object Multimodal {
         case 277 => spp = valAt(0)
         case 278 => rowsPerStrip = valAt(0)
         case 279 => stripCnt = vals
+        case 317 => predictor = valAt(0)
         case _ => ()
       }
       i += 1
     }
-    if (comp != 1L || !bitsOk) return None
+    if ((comp != 1L && comp != 5L) || !bitsOk) return None
+    if (predictor != 1L && predictor != 2L) return None
     val ch = photo match {
       case 2 if spp >= 3 => 3
       case 1 | 0 if spp == 1 => 1
@@ -2598,24 +2690,75 @@ object Multimodal {
     if (stripOff.isEmpty || stripOff.size != stripCnt.size) return None
     if (stripOff.exists(_ < 0) || stripCnt.exists(_ < 0)) return None
     val need = w * h * spp
-    if (stripCnt.sum < need) return None
+    if (comp == 1L && stripCnt.sum < need) return None
     val out = new Array[Byte]((w * h * ch).toInt)
     var written = 0L
-    var s = 0
-    while (s < stripOff.size && written < need) {
-      val off = stripOff(s); val len = stripCnt(s)
-      if (off + len > b.length) return None
-      var j = 0L
-      while (j < len && written < need) {
-        // spp may exceed ch (extra samples ignored per pixel)
-        val pix = written / spp
-        val samp = written % spp
-        if (samp < ch)
-          out((pix * ch + samp).toInt) = b((off + j).toInt)
-        written += 1
-        j += 1
+    if (comp == 1L && predictor == 1L) {
+      var s = 0
+      while (s < stripOff.size && written < need) {
+        val off = stripOff(s); val len = stripCnt(s)
+        if (off + len > b.length) return None
+        var j = 0L
+        while (j < len && written < need) {
+          // spp may exceed ch (extra samples ignored per pixel)
+          val pix = written / spp
+          val samp = written % spp
+          if (samp < ch)
+            out((pix * ch + samp).toInt) = b((off + j).toInt)
+          written += 1
+          j += 1
+        }
+        s += 1
       }
-      s += 1
+    } else {
+      // LZW strips decode to exactly rowsInStrip·w·spp bytes; the
+      // predictor inverts per row WITHIN each strip (TIFF6 §14)
+      val rps = if (rowsPerStrip <= 0 || rowsPerStrip > h) h
+        else rowsPerStrip
+      val rowBytes = (w * spp).toInt
+      var s = 0
+      var row0 = 0L
+      while (s < stripOff.size && row0 < h) {
+        val off = stripOff(s); val len = stripCnt(s)
+        if (off < 0 || len <= 0 || off + len > b.length) return None
+        val rowsHere = math.min(rps, h - row0)
+        val decodedLen = (rowsHere * rowBytes).toInt
+        val src: Array[Byte] =
+          if (comp == 5L)
+            lzwDecodeTiff(b, off.toInt, len.toInt, decodedLen) match {
+              case Some(a) => a
+              case None => return None
+            }
+          else {
+            if (len < decodedLen) return None
+            java.util.Arrays.copyOfRange(b, off.toInt,
+              off.toInt + decodedLen)
+          }
+        if (predictor == 2L) {
+          var r = 0
+          while (r < rowsHere) {
+            val base = r * rowBytes
+            var i = spp.toInt
+            while (i < rowBytes) {
+              src(base + i) =
+                (src(base + i) + src(base + i - spp.toInt)).toByte
+              i += 1
+            }
+            r += 1
+          }
+        }
+        var j = 0
+        while (j < decodedLen) {
+          val pix = written / spp
+          val samp = written % spp
+          if (samp < ch)
+            out((pix * ch + samp).toInt) = src(j)
+          written += 1
+          j += 1
+        }
+        row0 += rowsHere
+        s += 1
+      }
     }
     if (written < need) return None
     Some((w.toInt, h.toInt, ch, out))
@@ -3137,16 +3280,27 @@ object Multimodal {
         val sz = if (ver == 4) syncsafe(p + 4) else u32be(p + 4)
         if (sz < 0 || p + 10 + sz > end) return None
         if (id.startsWith("T") && sz >= 1) {
+          // encodings per ID3v2.4 §4: 0 latin-1, 1 UTF-16 with BOM
+          // (v2.3's only Unicode form), 2 UTF-16BE without BOM
+          // (v2.4), 3 UTF-8. The JDK's "UTF-16" charset consumes the
+          // BOM and defaults to BE without one — exactly the spec's
+          // rule for encoding 1.
           val enc = b(p + 10) & 0xff
           val charset = enc match {
             case 0 => "ISO-8859-1"
+            case 1 => "UTF-16"
+            case 2 => "UTF-16BE"
             case 3 => "UTF-8"
-            case _ => null // UTF-16 variants skipped
+            case _ => null
           }
           if (charset != null) {
             var len = (sz - 1).toInt
-            // strip one trailing NUL if present
-            if (len > 0 && b(p + 10 + len) == 0) len -= 1
+            // strip one trailing terminator if present: a 00 00 pair
+            // for the UTF-16 forms, a single 00 otherwise
+            if (enc == 1 || enc == 2) {
+              if (len >= 2 && b(p + 10 + len) == 0 &&
+                b(p + 9 + len) == 0) len -= 2
+            } else if (len > 0 && b(p + 10 + len) == 0) len -= 1
             val txt = new String(b, p + 11, len, charset)
             id match {
               case "TIT2" => title = txt

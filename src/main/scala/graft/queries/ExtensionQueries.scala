@@ -733,39 +733,89 @@ object ExtensionQueries {
         .otherwise(lit(Array.empty[Byte])))
   }
 
-  /** Baseline-TIFF fixture (round 12) — little-endian, one IFD of 9
-    * sorted entries, BitsPerSample as OFFSET data (6 bytes > the 4-byte
-    * inline rule — exercising the offset path), one uncompressed RGB
-    * strip whose FILE bytes are the closed-form primitive
-    * `(doc_id·23 + j·29) % 256` (the BMP discipline). Layout: header 8
-    * + count 2 + 9·12 + nextIFD 4 = 122 → bits data, 128 → pixels. */
+  /** TIFF fixture (round 12, LZW + predictor round 13) — little-endian,
+    * one IFD of 10 sorted entries, BitsPerSample as OFFSET data (6
+    * bytes > the 4-byte inline rule — exercising the offset path), one
+    * RGB strip whose DECODED bytes are the closed-form primitive
+    * `(doc_id·23 + j·29) % 256` (the BMP discipline, oracle unchanged).
+    * Even docs store the strip UNCOMPRESSED; odd docs store a REAL
+    * TIFF-LZW stream built in-plan (Clear + literal codes + EOI, 9-bit
+    * MSB-first — the table never reaches the 511 early-change point at
+    * these strip sizes, and the decoder must still drive its full code
+    * loop); docs ≡ 3 (mod 4) additionally apply the horizontal-
+    * differencing predictor (tag 317 = 2), so the STORED values are
+    * row-wise deltas the decoder must re-accumulate. Layout: header 8
+    * + count 2 + 10·12 + nextIFD 4 = 134 → bits data, 140 → strip. */
   private[graft] def tiffBlob: org.apache.spark.sql.Column = {
     val d = col("doc_id")
     val w = lit(3L) + d % 6L
     val h = lit(2L) + d % 4L
     val dsz = w * h * 3L
+    val comp5 = d % 2L === 1L
+    val pred2 = d % 4L === 3L
     def entry(tag: Long, typ: Long, cnt: Long,
         value: org.apache.spark.sql.Column) =
       concat(le16b(lit(tag)), le16b(lit(typ)), le32b(lit(cnt)), value)
     def shortVal(v: org.apache.spark.sql.Column) =
       concat(le16b(v), le16b(lit(0L)))
-    val pixels = unhex(array_join(transform(sequence(lit(0L), dsz - 1L),
-      j => lpad(hex(pmod(d * 23L + j * 29L, lit(256L))), 2, "0")), ""))
+    def p(j: org.apache.spark.sql.Column) =
+      pmod(d * 23L + j * 29L, lit(256L))
+    // stored sample values: raw, or row-wise horizontal deltas
+    val rowB = w * 3L
+    val stored = transform(sequence(lit(0L), dsz - 1L), j =>
+      when(pred2 && pmod(j, rowB) >= 3L, pmod(p(j) - p(j - 3L), lit(256L)))
+        .otherwise(p(j)))
+    val rawBytes = unhex(array_join(
+      transform(stored, v => lpad(hex(v), 2, "0")), ""))
+    // all-literal TIFF-LZW stream: Clear(256) + one 9-bit code per
+    // stored byte + EOI(257), packed MSB-first, zero-padded to a byte.
+    // Packed CLOSED-FORM, never via element_at over a constructed
+    // array: an expression referenced inside a HOF lambda re-evaluates
+    // per call (the CollapseProject trap — the first cut of this
+    // fixture cost 10 s/query at sf0.001 rebuilding a ~1100-element
+    // bit array 8× per output byte). Output byte k covers bit window
+    // [8k, 8k+8) ⊂ codes a=(8k)div9 and a+1 (9 < 16, so never a
+    // third); with o = 8k mod 9 the byte is bits o..o+7 of the 18-bit
+    // window (code(a)·512 + code(a+1)) — two O(1) closed-form code
+    // lookups and one shift per byte.
+    def codeAt(i: org.apache.spark.sql.Column) =
+      when(i === 0L, lit(256L))
+        .when(i === dsz + 1L, lit(257L))
+        .when(i > dsz + 1L, lit(0L)) // zero bit padding past EOI
+        .otherwise({
+          val j = i - 1L
+          when(pred2 && pmod(j, rowB) >= 3L,
+            pmod(p(j) - p(j - 3L), lit(256L))).otherwise(p(j))
+        })
+    val nBits = (dsz + 2L) * 9L
+    val nBytes = TF.intDivNonNeg(nBits + 7L, lit(8L))
+    val lzwBytes = unhex(array_join(
+      transform(sequence(lit(0L), nBytes - 1L), k => {
+        val a = TF.intDivNonNeg(k * 8L, lit(9L))
+        val o = pmod(k * 8L, lit(9L))
+        val w18 = codeAt(a) * 512L + codeAt(a + 1L)
+        lpad(hex(pmod(TF.intDivNonNeg(w18,
+          pow(lit(2.0), (lit(10L) - o).cast("double")).cast("long")),
+          lit(256L))), 2, "0")
+      }), ""))
+    val strip = when(comp5, lzwBytes).otherwise(rawBytes)
+    val stripLen = when(comp5, nBytes).otherwise(dsz)
     concat(
       lit("II".getBytes), le16b(lit(42L)), le32b(lit(8L)),
-      le16b(lit(9L)),
+      le16b(lit(10L)),
       entry(256, 3, 1, shortVal(w)),
       entry(257, 3, 1, shortVal(h)),
-      entry(258, 3, 3, le32b(lit(122L))),
-      entry(259, 3, 1, shortVal(lit(1L))),
+      entry(258, 3, 3, le32b(lit(134L))),
+      entry(259, 3, 1, shortVal(when(comp5, lit(5L)).otherwise(lit(1L)))),
       entry(262, 3, 1, shortVal(lit(2L))),
-      entry(273, 4, 1, le32b(lit(128L))),
+      entry(273, 4, 1, le32b(lit(140L))),
       entry(277, 3, 1, shortVal(lit(3L))),
       entry(278, 3, 1, shortVal(h)),
-      entry(279, 4, 1, le32b(dsz)),
+      entry(279, 4, 1, le32b(stripLen)),
+      entry(317, 3, 1, shortVal(when(pred2, lit(2L)).otherwise(lit(1L)))),
       le32b(lit(0L)),
       le16b(lit(8L)), le16b(lit(8L)), le16b(lit(8L)),
-      pixels)
+      strip)
   }
 
   private[graft] def tiffFixture(s: SparkSession, dir: String): DataFrame =
@@ -1056,22 +1106,34 @@ object ExtensionQueries {
     spread(t(s, dir, "documents"))
       .select(col("doc_id"), zipBlob.as("blob"))
 
-  /** ID3v2.3-tagged MP3 fixture (round 12): TIT2/TPE1/TALB latin-1
-    * text frames with closed-form strings, one real 32 kbps MPEG1-L3
-    * frame after the tag. Tag body stays under 128 bytes so the
-    * syncsafe size is a single low byte. */
+  /** ID3v2.3-tagged MP3 fixture (round 12, UTF-16 round 13):
+    * TIT2/TPE1/TALB text frames with closed-form strings, one real
+    * 32 kbps MPEG1-L3 frame after the tag. The TPE1 frame rotates its
+    * text encoding by doc: latin-1 (enc 0), BOM'd UTF-16 (enc 1 —
+    * v2.3's only Unicode form), and UTF-16BE without BOM (enc 2) —
+    * same characters, three wire encodings, one oracle. Tag body
+    * stays under 128 bytes so the syncsafe size is a single low
+    * byte. */
   private[graft] def mp3Id3Blob: org.apache.spark.sql.Column = {
     val d = col("doc_id")
-    def frame(id: String, text: org.apache.spark.sql.Column) =
+    def frame(id: String, text: org.apache.spark.sql.Column,
+        enc: org.apache.spark.sql.Column = lit(0L)) =
       concat(lit(id.getBytes),
         be32b(octet_length(text).cast("long") + 1L),
-        lit(Array[Byte](0, 0, 0)), // frame flags + encoding latin-1
+        lit(Array[Byte](0, 0)), // frame flags
+        unhex(lpad(hex(enc), 2, "0")), // text encoding byte
         text)
+    val artistTxt = concat(lit("artist-"), pmod(d, lit(7L)).cast("string"))
+    val m = pmod(d, lit(3L))
     val body = concat(
       frame("TIT2", encode(concat(lit("doc-"), d.cast("string")),
         "utf-8")),
-      frame("TPE1", encode(concat(lit("artist-"),
-        pmod(d, lit(7L)).cast("string")), "utf-8")),
+      frame("TPE1",
+        when(m === 1L, encode(artistTxt, "UTF-16"))
+          .when(m === 2L, encode(artistTxt, "UTF-16BE"))
+          .otherwise(encode(artistTxt, "utf-8")),
+        when(m === 1L, lit(1L)).when(m === 2L, lit(2L))
+          .otherwise(lit(0L))),
       frame("TALB", encode(concat(lit("album-"),
         pmod(d, lit(3L)).cast("string")), "utf-8")))
     concat(lit("ID3".getBytes), lit(Array[Byte](3, 0, 0, 0, 0, 0)),

@@ -205,7 +205,7 @@ class TiffSpec extends SparkFunSuite {
   }
 
   test("ID3v2 text frames: v2.3 plain + v2.4 syncsafe sizes, UTF-8 " +
-      "encoding, padding terminates, UTF-16 frames skipped not mangled") {
+      "encoding, padding terminates, UTF-16 BOM'd + UTF-16BE decode") {
     def hexb(h: String): Array[Byte] =
       h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     def ascii(s: String): String = s.getBytes.map(b => f"$b%02x").mkString
@@ -229,12 +229,24 @@ class TiffSpec extends SparkFunSuite {
       f"${b4.length / 2}%02x" + b4
     assert(Multimodal.id3TextJvm(hexb(tag4 + "fffb14c0")) ==
       Some(("", "", "Rec")))
-    // UTF-16 frame (enc 1) is skipped, not mangled
-    val b16 = frame("TIT2", 1, "fffe480065006c006c006f00")
+    // UTF-16 with LE BOM (enc 1): "Hello" + 00 00 terminator
+    val b16 = frame("TIT2", 1, "fffe480065006c006c006f00" + "0000")
     val tag16 = "494433" + "0300" + "00" + "000000" +
       f"${b16.length / 2}%02x" + b16
     assert(Multimodal.id3TextJvm(hexb(tag16 + "fffb14c0")) ==
-      Some(("", "", "")))
+      Some(("Hello", "", "")))
+    // UTF-16 with BE BOM (enc 1): same text, other byte order
+    val b16be = frame("TIT2", 1, "feff00480065006c006c006f")
+    val tag16be = "494433" + "0300" + "00" + "000000" +
+      f"${b16be.length / 2}%02x" + b16be
+    assert(Multimodal.id3TextJvm(hexb(tag16be + "fffb14c0")) ==
+      Some(("Hello", "", "")))
+    // v2.4's enc 2: UTF-16BE WITHOUT BOM ("Wö")
+    val b2 = frame("TPE1", 2, "005700f6")
+    val tag2 = "494433" + "0400" + "00" + "000000" +
+      f"${b2.length / 2}%02x" + b2
+    assert(Multimodal.id3TextJvm(hexb(tag2 + "fffb14c0")) ==
+      Some(("", "Wö", "")))
     assert(Multimodal.id3TextJvm("no tag here".getBytes).isEmpty)
   }
 
@@ -407,6 +419,93 @@ class TiffSpec extends SparkFunSuite {
     assert(Multimodal.warcGzRecordsJvm(wbad).isEmpty)
   }
 
+  test("TIFF-LZW: a REAL early-change encoder (libtiff's rule — " +
+      "encoder bumps at 2^w, decoder at 2^w - 1) round-trips literals, " +
+      "backrefs, KwKwK runs, and width growth past 511/1023; " +
+      "predictor-2 strips decode end-to-end through decodeTiffPixels") {
+    def lzwEncode(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var bitBuf = 0L; var bitCnt = 0
+      var width = 9
+      def put(code: Int): Unit = {
+        bitBuf = (bitBuf << width) | code; bitCnt += width
+        while (bitCnt >= 8) {
+          out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8
+        }
+      }
+      val dict = scala.collection.mutable.HashMap.empty[(Int, Byte), Int]
+      var next = 258
+      put(256) // Clear
+      var cur = -1
+      data.foreach { b =>
+        if (cur < 0) cur = b & 0xff
+        else dict.get((cur, b)) match {
+          case Some(c) => cur = c
+          case None =>
+            put(cur)
+            if (next < 4094) {
+              dict((cur, b)) = next; next += 1
+              if (next == (1 << width) && width < 12) width += 1
+            }
+            cur = b & 0xff
+        }
+      }
+      if (cur >= 0) put(cur)
+      put(257) // EOI
+      if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+      out.toByteArray
+    }
+    val rnd = new scala.util.Random(42)
+    val cases = Seq(
+      Array.fill(64)(7.toByte),                      // KwKwK runs
+      Array.tabulate(300)(i => (i % 5).toByte),      // short backrefs
+      Array.tabulate(3000)(_ => rnd.nextInt(256).toByte)) // 9→10→11 bits
+    cases.foreach { data =>
+      val enc = lzwEncode(data)
+      val got = Multimodal.lzwDecodeTiff(enc, 0, enc.length, data.length)
+      assert(got.isDefined && java.util.Arrays.equals(got.get, data),
+        s"round-trip failed at ${data.length} bytes")
+    }
+    // truncation / garbage fail loud
+    val enc = lzwEncode(cases(1))
+    assert(Multimodal.lzwDecodeTiff(enc, 0, enc.length / 2, 300).isEmpty)
+    assert(Multimodal.lzwDecodeTiff(Array.fill(40)(0x5a.toByte), 0, 40,
+      64).isEmpty)
+    // end-to-end: a 4×3 RGB TIFF, LZW + predictor 2
+    val (w, h, spp) = (4, 3, 3)
+    val px = Array.tabulate(w * h * spp)(j => ((j * 37 + 11) % 256).toByte)
+    val deltas = px.clone()
+    for (r <- 0 until h; i <- (spp until w * spp).reverse)
+      deltas(r * w * spp + i) =
+        (px(r * w * spp + i) - px(r * w * spp + i - spp)).toByte
+    val strip = lzwEncode(deltas)
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    def entry(tag: Int, typ: Int, cnt: Int, value: Int): Unit = {
+      le16(tag); le16(typ); le32(cnt); le32(value)
+    }
+    bos.write('I'); bos.write('I'); le16(42); le32(8)
+    le16(10)
+    entry(256, 3, 1, w); entry(257, 3, 1, h)
+    entry(258, 3, 3, 134)              // bits offset
+    entry(259, 3, 1, 5)                // LZW
+    entry(262, 3, 1, 2)
+    entry(273, 4, 1, 140)              // strip offset
+    entry(277, 3, 1, spp); entry(278, 3, 1, h)
+    entry(279, 4, 1, strip.length)
+    entry(317, 3, 1, 2)                // horizontal differencing
+    le32(0)
+    le16(8); le16(8); le16(8)
+    bos.write(strip)
+    val got = Multimodal.decodeTiffPixels(bos.toByteArray)
+    assert(got.isDefined, "LZW+predictor TIFF must decode")
+    val (gw, gh, gch, gpx) = got.get
+    assert(gw == w && gh == h && gch == 3)
+    assert(java.util.Arrays.equals(gpx, px),
+      "predictor-2 inverse must re-accumulate the original samples")
+  }
+
   test("compressed, truncated, and non-8-bit TIFFs fail loud") {
     val (w, h) = (2, 1)
     val px = Array.tabulate(w * h * 3)(_.toByte)
@@ -421,7 +520,10 @@ class TiffSpec extends SparkFunSuite {
       tiff(le = true, entries, bits ++ px)
     }
     assert(Multimodal.decodeTiffPixels(mk(1L, 8L)).isDefined)
-    assert(Multimodal.decodeTiffPixels(mk(5L, 8L)).isEmpty, "LZW")
+    assert(Multimodal.decodeTiffPixels(mk(5L, 8L)).isEmpty,
+      "comp=5 whose strip is NOT a valid LZW stream must fail loud")
+    assert(Multimodal.decodeTiffPixels(mk(6L, 8L)).isEmpty,
+      "JPEG-in-TIFF stays an honest codec boundary")
     assert(Multimodal.decodeTiffPixels(mk(1L, 16L)).isEmpty, "16-bit")
     val good = mk(1L, 8L)
     assert(Multimodal.decodeTiffPixels(good.take(good.length - 2)).isEmpty,
