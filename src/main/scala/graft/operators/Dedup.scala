@@ -812,6 +812,60 @@ object Dedup {
 
   // ---- Bucketed LSH index: partition-pruned probes (round 11) ----
 
+  /** Shuffle for a bucketed partitioned write with WITHIN-bucket
+    * salting (round 13). Plain `repartition(col("bucket"))` hash-
+    * partitions on a column with only nBuckets distinct values, so a
+    * full-corpus build runs at most nBuckets non-empty write tasks,
+    * each carrying corpus/nBuckets bytes — at 100× scale with the
+    * default nBuckets that is a ~0.4 TB task, the build bottleneck.
+    * Adding `pmod(hash(saltKey, seed), fpb)` to the shuffle key fans
+    * each bucket across fpb tasks; `partitionBy("bucket")` prunes on
+    * DIRECTORIES, not file counts, so probes' PartitionFilters are
+    * untouched (spec-pinned) — buckets simply hold several files until
+    * the next compaction. `filesPerBucket <= 0` means AUTO:
+    * ceil(defaultParallelism / nBuckets), which resolves to 1 on a
+    * laptop (byte-identical layout to round 11/12) and scales the
+    * build fan-out with the cluster on a fleet. The salt hash carries
+    * a seed distinct from the bucket hash so the two keys decorrelate
+    * within a bucket. */
+  private def saltedByBucket(df: DataFrame, saltKey: Column,
+      nBuckets: Int, filesPerBucket: Int): DataFrame = {
+    val fpb =
+      if (filesPerBucket > 0) filesPerBucket
+      else math.max(1,
+        (df.sparkSession.sparkContext.defaultParallelism + nBuckets - 1)
+          / nBuckets)
+    if (fpb == 1) df.repartition(col("bucket"))
+    else df.repartition(nBuckets * fpb, col("bucket"),
+      pmod(hash(saltKey, lit(0x5a17)), lit(fpb)))
+  }
+
+  /** Broadcast-budget guard (round 13): hint `broadcast(df)` only when
+    * the caller's measured byte estimate fits the session's
+    * `autoBroadcastJoinThreshold`; above it (or with broadcasts
+    * disabled via threshold -1) return the relation UNHINTED so the
+    * planner shuffles it. The probes' "delta small by contract"
+    * assumption is real for daily ingest but a backfill day violates
+    * it silently at the broadcast-size wall — this turns that wall
+    * into a planned shuffle join with identical semantics
+    * (oracle-pinned by the oversized-delta spec). */
+  private def broadcastIfUnder(df: DataFrame, estBytes: Long): DataFrame = {
+    val t = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (t > 0 && estBytes <= t) broadcast(df) else df
+  }
+
+  /** Measured size proxy for a shingled delta (`id`, `shingles`): one
+    * cheap job over the already-localCheckpointed rows — 8 bytes per
+    * shingle hash plus a fixed per-row overhead that also covers the
+    * derived band rows (bands ≤ numHashes ints per doc). Exact enough
+    * to keep daily deltas on the broadcast fast path and push backfill
+    * days over to the shuffle fallback. */
+  private def shingledDeltaBytes(dSh: DataFrame): Long = {
+    val r = dSh.select(count(lit(1)).as("n"),
+      coalesce(sum(size(col("shingles"))), lit(0L)).as("s")).head()
+    r.getLong(0) * 512L + r.getLong(1) * 8L
+  }
+
   /** Handle to a BUCKETED written LSH index (see
     * [[buildLshIndexBucketed]]): like [[LshIndex]], but both relations
     * are hash-partitioned on disk — bands by band key, the shingle
@@ -833,23 +887,29 @@ object Dedup {
     * Refresh: [[appendToLshIndexBucketed]] writes delta rows INTO their
     * bucket partitions (exactly-once via the ingest ledger), and
     * [[compactLshIndexBucketed]] re-merges the per-batch bucket files —
-    * pruned probes AND incremental ingest, no corpus rebuild. */
+    * pruned probes AND incremental ingest, no corpus rebuild.
+    * Build parallelism: corpus-sized writes go through
+    * [[saltedByBucket]] (round 13) so the fan-out is NOT capped at
+    * nBuckets tasks; `filesPerBucket` 0 = auto from the cluster. */
   def buildLshIndexBucketed(corpus: DataFrame, textCol: String,
       idCol: String, path: String, shingleK: Int = 3, numHashes: Int = 64,
-      bands: Int = 16, nBuckets: Int = 64): LshIndexBucketed = {
+      bands: Int = 16, nBuckets: Int = 64, filesPerBucket: Int = 0)
+      : LshIndexBucketed = {
     require(nBuckets >= 1, "nBuckets must be >= 1")
     val sh = corpus.select(col(idCol).as("id"),
       TF.wordShingleHashes(col(textCol), shingleK).as("shingles"))
       .localCheckpoint()
     // sidecar first — same bands-present ⇒ sidecar-present crash
     // ordering as the flat writer
-    sh.withColumn("bucket", pmod(hash(col("id")), lit(nBuckets)))
-      .repartition(col("bucket"))
+    saltedByBucket(
+      sh.withColumn("bucket", pmod(hash(col("id")), lit(nBuckets))),
+      col("id"), nBuckets, filesPerBucket)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/shingles")
-    bandRows(sh, numHashes, bands)
-      .withColumn("bucket", pmod(hash(col("bk")), lit(nBuckets)))
-      .repartition(col("bucket"))
+    saltedByBucket(
+      bandRows(sh, numHashes, bands)
+        .withColumn("bucket", pmod(hash(col("bk")), lit(nBuckets))),
+      col("id"), nBuckets, filesPerBucket)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/bands")
     LshIndexBucketed(path, shingleK, numHashes, bands, nBuckets)
@@ -881,6 +941,17 @@ object Dedup {
     val dSh = delta.select(col(idCol).as("id"),
       TF.wordShingleHashes(col(textCol), index.shingleK).as("shingles"))
       .localCheckpoint()
+    // broadcast-budget guard (round 13): measure the checkpointed
+    // delta once; an over-budget delta (backfill day) demotes ALL
+    // THREE delta-derived broadcasts to planner-chosen shuffle joins —
+    // cands is delta-lower-bounded (>= one row per matched delta doc),
+    // so the one measurement governs the trio
+    val deltaSmall = {
+      val t = spark.sessionState.conf.autoBroadcastJoinThreshold
+      t > 0 && shingledDeltaBytes(dSh) <= t
+    }
+    def hinted(df: DataFrame): DataFrame =
+      if (deltaSmall) broadcast(df) else df
     // materialized: feeds the bucket collection AND the candidate join
     val dBands = bandRows(dSh, index.numHashes, index.bands)
       .select(col("bk"), col("id").as("b"))
@@ -895,7 +966,7 @@ object Dedup {
     // proportional to the delta, not the corpus
     def cands = spark.read.parquet(s"${index.path}/bands")
       .filter(col("bucket").isin(probeBuckets: _*))
-      .join(broadcast(dBands), Seq("bk"))
+      .join(hinted(dBands), Seq("bk"))
       .select(col("id").as("a"), col("b")).distinct()
     val candBuckets = cands
       .select(pmod(hash(col("a")), lit(index.nBuckets)).as("bucket"))
@@ -904,8 +975,8 @@ object Dedup {
     spark.read.parquet(s"${index.path}/shingles")
       .filter(col("bucket").isin(candBuckets: _*))
       .select(col("id").as("a"), col("shingles").as("sh_a"))
-      .join(broadcast(cands), Seq("a"))
-      .join(broadcast(dSh.select(col("id").as("b"),
+      .join(hinted(cands), Seq("a"))
+      .join(hinted(dSh.select(col("id").as("b"),
         col("shingles").as("sh_b"))), Seq("b"))
       .withColumn("jaccard", TF.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
@@ -963,14 +1034,17 @@ object Dedup {
     * clustering needed), the bucketed layout IS a clustering contract,
     * so the repartition-by-bucket here is justified (the IVF-PQ
     * compactor's rule); it is one delta-history-sized shuffle per
-    * relation, amortized across every probe that follows. Same
+    * relation, amortized across every probe that follows — salted
+    * within bucket ([[saltedByBucket]]) so a corpus-sized compaction
+    * is not capped at nBuckets tasks. Same
     * zero-downtime handle-swap pattern, same sidecar-first crash
     * ordering, probe results spec- and oracle-pinned identical. */
   def compactLshIndexBucketed(spark: SparkSession,
-      index: LshIndexBucketed, newPath: String): LshIndexBucketed = {
+      index: LshIndexBucketed, newPath: String,
+      filesPerBucket: Int = 0): LshIndexBucketed = {
     Seq("shingles", "bands").foreach { rel =>
-      spark.read.parquet(s"${index.path}/$rel")
-        .repartition(col("bucket"))
+      saltedByBucket(spark.read.parquet(s"${index.path}/$rel"),
+        col("id"), index.nBuckets, filesPerBucket)
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$newPath/$rel")
     }
@@ -993,11 +1067,13 @@ object Dedup {
     * writes a delta's digests into their bucket partitions
     * exactly-once — no corpus rebuild. */
   def buildDigestIndexBucketed(corpus: DataFrame, textCol: String,
-      path: String, nBuckets: Int = 256): DigestIndexBucketed = {
+      path: String, nBuckets: Int = 256, filesPerBucket: Int = 0)
+      : DigestIndexBucketed = {
     require(nBuckets >= 1, "nBuckets must be >= 1")
-    corpus.select(sha2(col(textCol), 256).as("text_sha"))
-      .withColumn("bucket", pmod(hash(col("text_sha")), lit(nBuckets)))
-      .repartition(col("bucket"))
+    saltedByBucket(
+      corpus.select(sha2(col(textCol), 256).as("text_sha"))
+        .withColumn("bucket", pmod(hash(col("text_sha")), lit(nBuckets))),
+      col("text_sha"), nBuckets, filesPerBucket)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     DigestIndexBucketed(path, nBuckets)
   }

@@ -268,4 +268,123 @@ class LshIndexSpec extends SparkFunSuite {
         .findAllIn(plan).length
     assert(shuffles <= 1, s"index side must not shuffle:\n$plan")
   }
+
+  test("salted bucketed builds: filesPerBucket fans the write past one " +
+    "task per bucket (more files than non-empty buckets) with probe " +
+    "results and partition pruning UNCHANGED; auto stays one file per " +
+    "bucket at test parallelism") {
+    val c = corpus
+    val s = spark
+    import s.implicits._
+    def bucketFiles(rel: String): (Int, Int) = {
+      val dirs = new java.io.File(rel).listFiles()
+        .filter(_.getName.startsWith("bucket="))
+      (dirs.length,
+        dirs.map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum)
+    }
+    val flat = Dedup.buildLshIndex(c, "text", "doc_id",
+      tmpPath("salt_flat"))
+    // explicit salt: each bucket's rows fan across up to 3 write tasks
+    val salted = Dedup.buildLshIndexBucketed(c, "text", "doc_id",
+      tmpPath("salt_lsh"), nBuckets = 16, filesPerBucket = 3)
+    Seq("bands", "shingles").foreach { rel =>
+      val (buckets, files) = bucketFiles(s"${salted.path}/$rel")
+      assert(buckets > 0 && files > buckets,
+        s"$rel: salted build must write >1 file in some buckets " +
+          s"(got $files files over $buckets buckets)")
+    }
+    // auto (filesPerBucket = 0) at local[4] with nBuckets >= 4 → 1
+    val auto = Dedup.buildLshIndexBucketed(c, "text", "doc_id",
+      tmpPath("salt_auto"), nBuckets = 16)
+    Seq("bands", "shingles").foreach { rel =>
+      val (buckets, files) = bucketFiles(s"${auto.path}/$rel")
+      assert(files == buckets,
+        s"$rel: auto salt at test parallelism must stay 1 file/bucket")
+    }
+    val delta = c.limit(60).select(($"doc_id" + 1000L).as("doc_id"),
+      when($"doc_id" % 2 === 0, $"text")
+        .otherwise(concat($"text", lit(" tail drift words"))).as("text"))
+    def probe(i: Dedup.LshIndexBucketed) =
+      Dedup.lshProbeNearDupBucketed(i, delta, "text", "doc_id",
+          threshold = 0.6)
+        .orderBy($"a", $"b").collect().map(_.toString).toSeq
+    val want = Dedup.lshProbeNearDup(flat, delta, "text", "doc_id",
+        threshold = 0.6)
+      .orderBy($"a", $"b").collect().map(_.toString).toSeq
+    assert(want.nonEmpty && probe(salted) == want,
+      "salting must be invisible to probe results")
+    // pruning holds over multi-file buckets (directories, not files)
+    val tiny = c.limit(2).select(($"doc_id" + 5000L).as("doc_id"), $"text")
+    val plan = Dedup.lshProbeNearDupBucketed(salted, tiny, "text",
+      "doc_id", threshold = 0.6).queryExecution.executedPlan.toString
+    val filters =
+      """PartitionFilters: \[[^\]]*\]""".r.findAllIn(plan).toList
+    assert(filters.size >= 2 &&
+      filters.forall(f => f.contains("bucket") && !f.contains("[]")),
+      s"salted probe must stay pruned on bucket: $filters")
+    // the digest index and the bucketed compactor take the same salt
+    val dig = Dedup.buildDigestIndexBucketed(c, "text",
+      tmpPath("salt_dig"), nBuckets = 8, filesPerBucket = 3)
+    val (db, dfl) = bucketFiles(dig.path)
+    assert(db > 0 && dfl > db, "digest build must salt too")
+    val surv = Dedup.incrementalNewBucketed(dig, delta, "text", "doc_id")
+      .orderBy($"survivor_id").collect().map(_.toString).toSeq
+    val flatDig = Dedup.buildDigestIndexBucketed(c, "text",
+      tmpPath("salt_dig_flat"), nBuckets = 8)
+    val wantSurv = Dedup.incrementalNewBucketed(flatDig, delta, "text",
+      "doc_id").orderBy($"survivor_id").collect().map(_.toString).toSeq
+    assert(surv == wantSurv, "digest salting must not change survivors")
+    val comp = Dedup.compactLshIndexBucketed(s, salted,
+      tmpPath("salt_comp"), filesPerBucket = 2)
+    Seq("bands", "shingles").foreach { rel =>
+      val (buckets, files) = bucketFiles(s"${comp.path}/$rel")
+      assert(files > buckets, s"$rel: salted compaction must fan out")
+    }
+    assert(probe(comp) == want,
+      "salted compaction must be invisible to probe results")
+  }
+
+  test("broadcast-budget guard: with broadcasts disabled the bucketed " +
+    "probe plans SHUFFLE joins (no BroadcastExchange), keeps both " +
+    "partition-pruned index scans, and returns identical pairs") {
+    val c = corpus
+    val s = spark
+    import s.implicits._
+    val bucketed = Dedup.buildLshIndexBucketed(c, "text", "doc_id",
+      tmpPath("guard"), nBuckets = 16)
+    val delta = c.limit(60).select(($"doc_id" + 1000L).as("doc_id"),
+      when($"doc_id" % 2 === 0, $"text")
+        .otherwise(concat($"text", lit(" tail drift words"))).as("text"))
+    def probe() = Dedup.lshProbeNearDupBucketed(bucketed, delta, "text",
+      "doc_id", threshold = 0.6)
+    val want = probe().orderBy($"a", $"b").collect()
+      .map(_.toString).toSeq
+    assert(want.nonEmpty)
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> s.conf.getOption(k)).toMap
+    // threshold -1 models the oversized-backfill day: the guard must
+    // demote every delta-derived broadcast hint to a planner-chosen
+    // shuffle join rather than ram a corpus-scale delta through a
+    // BroadcastExchange
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = probe()
+      val got = df.orderBy($"a", $"b").collect().map(_.toString).toSeq
+      assert(got == want,
+        "shuffle fallback must answer to the same value oracle")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"over-budget delta must not broadcast:\n$plan")
+      val filters =
+        """PartitionFilters: \[[^\]]*\]""".r.findAllIn(plan).toList
+      assert(filters.size >= 2 &&
+        filters.forall(f => f.contains("bucket") && !f.contains("[]")),
+        s"fallback must keep both pruned index scans: $filters")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 }
