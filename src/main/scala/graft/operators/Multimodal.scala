@@ -1706,6 +1706,40 @@ object Multimodal {
     Some(out)
   }
 
+  /** PackBits (round 13) — TIFF compression 32773, the scanned-document
+    * default (TIFF6 §9, the classic Mac run-length scheme): a signed
+    * control byte n per run — 0..127 copies n+1 literal bytes,
+    * -1..-127 repeats the next byte 1-n times, -128 is a no-op.
+    * Decodes exactly `need` bytes from `data[off, off+len)`; None on
+    * truncation or overrun (a corrupt stream must not silently yield
+    * short pixels). */
+  private[graft] def packBitsDecode(data: Array[Byte], off: Int, len: Int,
+      need: Int): Option[Array[Byte]] = {
+    val out = new Array[Byte](need)
+    var i = off
+    val end = off + len
+    var w = 0
+    while (w < need) {
+      if (i >= end) return None
+      val n = data(i)
+      i += 1
+      if (n >= 0) {
+        val cnt = n + 1
+        if (i + cnt > end || w + cnt > need) return None
+        System.arraycopy(data, i, out, w, cnt)
+        i += cnt
+        w += cnt
+      } else if (n != -128) {
+        val cnt = 1 - n
+        if (i >= end || w + cnt > need) return None
+        java.util.Arrays.fill(out, w, w + cnt, data(i))
+        i += 1
+        w += cnt
+      } // -128: no-op
+    }
+    Some(out)
+  }
+
   /** GIF features via [[rasterFeatures]] over [[decodeGifPixels]]. */
   def decodeGifFeatures(bytes: Array[Byte]): Option[RasterFeatureRow] =
     decodeGifPixels(bytes).map { case (w, h, px) =>
@@ -2600,16 +2634,18 @@ object Multimodal {
       blobCol: String = "blob"): Dataset[RasterFeatureRow] =
     rasterExtract(df, idCol, blobCol, jpegFeaturesCol)
 
-  /** Baseline TIFF (round 12, LZW round 13) as a top-down raster — the
-    * IFD walk both byte orders (`II`/`MM`), strip-organized,
-    * UNCOMPRESSED (tag 259 = 1) or LZW (tag 259 = 5, the TIFF6 §13
-    * early-change variant via [[lzwDecodeTiff]]) with the horizontal-
-    * differencing predictor (tag 317 = 2) inverted per row, 8-bit RGB
-    * (photometric 2, 3 samples) or grayscale (photometric 1, 1
-    * sample). JPEG-in-TIFF and other compressions return None
-    * (PERMISSIVE — route to a codec when one ships); inline values vs
-    * offset values resolved per the 4-byte rule; every offset
-    * bounds-checked. Returns (w, h, channels, top-down samples). */
+  /** Baseline TIFF (round 12, LZW + PackBits round 13) as a top-down
+    * raster — the IFD walk both byte orders (`II`/`MM`),
+    * strip-organized, UNCOMPRESSED (tag 259 = 1), LZW (tag 259 = 5,
+    * the TIFF6 §13 early-change variant via [[lzwDecodeTiff]]), or
+    * PackBits (tag 259 = 32773, TIFF6 §9 via [[packBitsDecode]] — the
+    * scanned-document default), each with the horizontal-differencing
+    * predictor (tag 317 = 2) inverted per row, 8-bit RGB (photometric
+    * 2, 3 samples) or grayscale (photometric 1, 1 sample).
+    * JPEG-in-TIFF and other compressions return None (PERMISSIVE —
+    * route to a codec when one ships); inline values vs offset values
+    * resolved per the 4-byte rule; every offset bounds-checked.
+    * Returns (w, h, channels, top-down samples). */
   def decodeTiffPixels(bytes: Array[Byte])
       : Option[(Int, Int, Int, Array[Byte])] = {
     val b = bytes
@@ -2679,7 +2715,8 @@ object Multimodal {
       }
       i += 1
     }
-    if ((comp != 1L && comp != 5L) || !bitsOk) return None
+    if ((comp != 1L && comp != 5L && comp != 32773L) || !bitsOk)
+      return None
     if (predictor != 1L && predictor != 2L) return None
     val ch = photo match {
       case 2 if spp >= 3 => 3
@@ -2726,6 +2763,11 @@ object Multimodal {
         val src: Array[Byte] =
           if (comp == 5L)
             lzwDecodeTiff(b, off.toInt, len.toInt, decodedLen) match {
+              case Some(a) => a
+              case None => return None
+            }
+          else if (comp == 32773L)
+            packBitsDecode(b, off.toInt, len.toInt, decodedLen) match {
               case Some(a) => a
               case None => return None
             }

@@ -738,14 +738,17 @@ object ExtensionQueries {
     * bytes > the 4-byte inline rule — exercising the offset path), one
     * RGB strip whose DECODED bytes are the closed-form primitive
     * `(doc_id·23 + j·29) % 256` (the BMP discipline, oracle unchanged).
-    * Even docs store the strip UNCOMPRESSED; odd docs store a REAL
-    * TIFF-LZW stream built in-plan (Clear + literal codes + EOI, 9-bit
-    * MSB-first — the table never reaches the 511 early-change point at
-    * these strip sizes, and the decoder must still drive its full code
-    * loop); docs ≡ 3 (mod 4) additionally apply the horizontal-
-    * differencing predictor (tag 317 = 2), so the STORED values are
-    * row-wise deltas the decoder must re-accumulate. Layout: header 8
-    * + count 2 + 10·12 + nextIFD 4 = 134 → bits data, 140 → strip. */
+    * Docs ≡ 0 (mod 4) store the strip UNCOMPRESSED; odd docs store a
+    * REAL TIFF-LZW stream built in-plan (Clear + literal codes + EOI,
+    * 9-bit MSB-first — the table never reaches the 511 early-change
+    * point at these strip sizes, and the decoder must still drive its
+    * full code loop); docs ≡ 2 (mod 4) store a PACKBITS stream (one
+    * all-literal run — dsz ≤ 120 < 128, so a single control byte
+    * frames the strip; repeat runs are spec territory); docs ≡ 3
+    * (mod 4) additionally apply the horizontal-differencing predictor
+    * (tag 317 = 2), so the STORED values are row-wise deltas the
+    * decoder must re-accumulate. Layout: header 8 + count 2 + 10·12 +
+    * nextIFD 4 = 134 → bits data, 140 → strip. */
   private[graft] def tiffBlob: org.apache.spark.sql.Column = {
     val d = col("doc_id")
     val w = lit(3L) + d % 6L
@@ -798,15 +801,23 @@ object ExtensionQueries {
           pow(lit(2.0), (lit(10L) - o).cast("double")).cast("long")),
           lit(256L))), 2, "0")
       }), ""))
-    val strip = when(comp5, lzwBytes).otherwise(rawBytes)
-    val stripLen = when(comp5, nBytes).otherwise(dsz)
+    // PackBits twin: one literal run (control byte = dsz-1) + the raw
+    // strip — the minimal conforming stream; repeat/no-op runs are
+    // exercised by the JVM spec's real encoder
+    val packBytes = concat(unhex(lpad(hex(dsz - 1L), 2, "0")), rawBytes)
+    val packbits = d % 4L === 2L
+    val strip = when(comp5, lzwBytes).when(packbits, packBytes)
+      .otherwise(rawBytes)
+    val stripLen = when(comp5, nBytes).when(packbits, dsz + 1L)
+      .otherwise(dsz)
     concat(
       lit("II".getBytes), le16b(lit(42L)), le32b(lit(8L)),
       le16b(lit(10L)),
       entry(256, 3, 1, shortVal(w)),
       entry(257, 3, 1, shortVal(h)),
       entry(258, 3, 3, le32b(lit(134L))),
-      entry(259, 3, 1, shortVal(when(comp5, lit(5L)).otherwise(lit(1L)))),
+      entry(259, 3, 1, shortVal(when(comp5, lit(5L))
+        .when(packbits, lit(32773L)).otherwise(lit(1L)))),
       entry(262, 3, 1, shortVal(lit(2L))),
       entry(273, 4, 1, le32b(lit(140L))),
       entry(277, 3, 1, shortVal(lit(3L))),

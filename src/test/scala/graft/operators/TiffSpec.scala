@@ -506,6 +506,90 @@ class TiffSpec extends SparkFunSuite {
       "predictor-2 inverse must re-accumulate the original samples")
   }
 
+  test("PackBits: a real encoder (literal runs, repeat runs, -128 " +
+      "no-ops) round-trips; truncation and overrun fail loud; a " +
+      "PackBits+predictor TIFF decodes end-to-end") {
+    def pbEncode(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < data.length) {
+        // repeat run if >= 3 identical bytes (the classic heuristic)
+        var run = 1
+        while (i + run < data.length && run < 128 &&
+          data(i + run) == data(i)) run += 1
+        if (run >= 3) {
+          out.write(1 - run); out.write(data(i)); i += run
+        } else {
+          var lit = i + 1
+          var same = 1
+          while (lit < data.length && lit - i < 128 && same < 3) {
+            if (data(lit) == data(lit - 1)) same += 1 else same = 1
+            lit += 1
+          }
+          if (same == 3) lit -= 2 // leave the repeat run for next pass
+          out.write(lit - i - 1)
+          out.write(data, i, lit - i)
+          i = lit
+        }
+      }
+      out.toByteArray
+    }
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(
+      Array.fill(200)(9.toByte),                        // one long repeat
+      Array.tabulate(257)(_.toByte),                    // >128 literals
+      Array.tabulate(400)(i =>
+        (if ((i / 7) % 2 == 0) 42 else rnd.nextInt(256)).toByte))
+    cases.foreach { data =>
+      val enc = pbEncode(data)
+      val got = Multimodal.packBitsDecode(enc, 0, enc.length, data.length)
+      assert(got.isDefined && java.util.Arrays.equals(got.get, data),
+        s"round-trip failed at ${data.length} bytes")
+      // -128 no-op control bytes between runs are skipped
+      val framed = (-128).toByte +: enc :+ (-128).toByte
+      val got3 = Multimodal.packBitsDecode(framed, 0, framed.length,
+        data.length)
+      assert(got3.isDefined && java.util.Arrays.equals(got3.get, data))
+      assert(Multimodal.packBitsDecode(enc, 0, enc.length / 2,
+        data.length).isEmpty, "truncated stream must fail loud")
+    }
+    // overrun: a repeat run promising more than `need` bytes
+    assert(Multimodal.packBitsDecode(
+      Array((-127).toByte, 5.toByte), 0, 2, 64).isEmpty)
+    // end-to-end: 5x2 RGB TIFF, PackBits + predictor 2
+    val (w, h, spp) = (5, 2, 3)
+    val px = Array.tabulate(w * h * spp)(j => ((j * 31 + 3) % 256).toByte)
+    val deltas = px.clone()
+    for (r <- 0 until h; i <- (spp until w * spp).reverse)
+      deltas(r * w * spp + i) =
+        (px(r * w * spp + i) - px(r * w * spp + i - spp)).toByte
+    val strip = pbEncode(deltas)
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    def entry(tag: Int, typ: Int, cnt: Int, value: Int): Unit = {
+      le16(tag); le16(typ); le32(cnt); le32(value)
+    }
+    bos.write('I'); bos.write('I'); le16(42); le32(8)
+    le16(10)
+    entry(256, 3, 1, w); entry(257, 3, 1, h)
+    entry(258, 3, 3, 134)
+    entry(259, 3, 1, 32773)
+    entry(262, 3, 1, 2)
+    entry(273, 4, 1, 140)
+    entry(277, 3, 1, spp); entry(278, 3, 1, h)
+    entry(279, 4, 1, strip.length)
+    entry(317, 3, 1, 2)
+    le32(0)
+    le16(8); le16(8); le16(8)
+    bos.write(strip)
+    val got = Multimodal.decodeTiffPixels(bos.toByteArray)
+    assert(got.isDefined, "PackBits+predictor TIFF must decode")
+    val (gw, gh, gch, gpx) = got.get
+    assert(gw == w && gh == h && gch == 3)
+    assert(java.util.Arrays.equals(gpx, px))
+  }
+
   test("compressed, truncated, and non-8-bit TIFFs fail loud") {
     val (w, h) = (2, 1)
     val px = Array.tabulate(w * h * 3)(_.toByte)
