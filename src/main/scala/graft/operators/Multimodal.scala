@@ -3862,6 +3862,179 @@ object Multimodal {
       explode(array(anyRasterCol(col("img")))).as("image"))
   }
 
+  // ---- zstd frame walk (round 13) ----
+
+  /** One row per zstd or skippable frame in a concatenated stream. */
+  final case class ZstdFrameRow(doc_id: Long, frame_idx: Long,
+    kind: String, window_size: Long, dict_id: Long, content_size: Long,
+    n_blocks: Long, compressed_len: Long, has_checksum: Boolean,
+    content: String, checksum_ok: java.lang.Boolean)
+
+  /** Zstandard frame walk (RFC 8878) WITHOUT decompression — the
+    * `.warc.zst` routing/splitting story: Common Crawl's zstd layout
+    * concatenates skippable frames (shared-dictionary carrier) with
+    * data frames, and a 100 TB ingest wants frame boundaries, window
+    * sizes, dictionary ids, and declared content sizes BEFORE
+    * committing decoder resources — all of which live in headers and
+    * block-length chains this walk reads with zero entropy decoding.
+    * Per frame: kind (`zstd`/`skippable`), window size (the
+    * Window_Descriptor exponent/mantissa arithmetic, or the frame
+    * content size under Single_Segment), dictionary id (0 = none),
+    * declared content size (-1 = unknown), block count, total frame
+    * byte length, and the checksum flag. Frames whose blocks are ALL
+    * Raw/RLE additionally EXTRACT their content (≤ 64 KiB, the stored-
+    * deflate discipline — real zstd fixtures are closed-form
+    * constructible in-plan without an entropy coder) and, when the
+    * frame carries a Content_Checksum, VERIFY it (low 32 bits of
+    * XXH64(content, seed 0) — Spark's own XXH64, matching RFC 8878
+    * §4.1; the empty-input vector 0xEF46DB3751D8E999 is spec-pinned);
+    * frames with Compressed blocks report metadata with NULL content —
+    * the honest FSE/Huffman codec boundary. Structural violations —
+    * bad magic, set Reserved_bit, Reserved block type, any truncation
+    * — return an EMPTY listing (fail loud, the WARC-walk rule). */
+  private[graft] def zstdFramesJvm(b: Array[Byte]): IndexedSeq[(String,
+      Long, Long, Long, Long, Long, Boolean, Array[Byte],
+      java.lang.Boolean)] = {
+    val empty = Vector.empty[(String, Long, Long, Long, Long, Long,
+      Boolean, Array[Byte], java.lang.Boolean)]
+    if (b == null || b.length < 4) return empty
+    def u32(p: Int): Long =
+      (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    val out = Vector.newBuilder[(String, Long, Long, Long, Long, Long,
+      Boolean, Array[Byte], java.lang.Boolean)]
+    var p = 0
+    while (p < b.length) {
+      if (p + 4 > b.length) return empty
+      val magic = u32(p)
+      if ((magic & 0xfffffff0L) == 0x184d2a50L) {
+        // skippable frame: 4-byte LE size + opaque payload
+        if (p + 8 > b.length) return empty
+        val n = u32(p + 4)
+        if (n < 0 || p + 8 + n > b.length) return empty
+        out += (("skippable", 0L, 0L, n, 0L, (8 + n), false, null, null))
+        p += (8 + n).toInt
+      } else if (magic == 0xfd2fb528L) {
+        val start = p
+        if (p + 5 > b.length) return empty
+        val desc = b(p + 4) & 0xff
+        if ((desc & 0x08) != 0) return empty // Reserved_bit MUST be 0
+        val fcsFlag = (desc >> 6) & 3
+        val singleSegment = (desc & 0x20) != 0
+        val hasChecksum = (desc & 0x04) != 0
+        val didFlag = desc & 3
+        var q = p + 5
+        var windowSize = 0L
+        if (!singleSegment) {
+          if (q >= b.length) return empty
+          val wd = b(q) & 0xff
+          val base = 1L << (10 + (wd >> 3))
+          windowSize = base + (base >> 3) * (wd & 7)
+          q += 1
+        }
+        val didLen = didFlag match {
+          case 0 => 0; case 1 => 1; case 2 => 2; case _ => 4
+        }
+        if (q + didLen > b.length) return empty
+        var dictId = 0L
+        var i = 0
+        while (i < didLen) {
+          dictId |= (b(q + i) & 0xffL) << (8 * i); i += 1
+        }
+        q += didLen
+        val fcsLen = fcsFlag match {
+          case 0 => if (singleSegment) 1 else 0
+          case 1 => 2; case 2 => 4; case _ => 8
+        }
+        if (q + fcsLen > b.length) return empty
+        var contentSize = -1L
+        if (fcsLen > 0) {
+          contentSize = 0L
+          i = 0
+          while (i < fcsLen) {
+            contentSize |= (b(q + i) & 0xffL) << (8 * i); i += 1
+          }
+          if (fcsLen == 2) contentSize += 256L
+        }
+        q += fcsLen
+        if (singleSegment) windowSize = contentSize
+        // block chain: 3-byte LE header — last | type<<1 | size<<3
+        var nBlocks = 0L
+        var allStored = true
+        val content = new java.io.ByteArrayOutputStream()
+        var last = false
+        while (!last) {
+          if (q + 3 > b.length) return empty
+          val hdr = (b(q) & 0xffL) | ((b(q + 1) & 0xffL) << 8) |
+            ((b(q + 2) & 0xffL) << 16)
+          q += 3
+          last = (hdr & 1L) != 0
+          val btype = ((hdr >> 1) & 3L).toInt
+          val bsize = (hdr >> 3).toInt
+          nBlocks += 1
+          btype match {
+            case 0 => // Raw
+              if (q + bsize > b.length) return empty
+              if (allStored && content.size() + bsize <= (1 << 16))
+                content.write(b, q, bsize)
+              else allStored = false
+              q += bsize
+            case 1 => // RLE: one byte, regenerated bsize times
+              if (q >= b.length) return empty
+              if (allStored && content.size() + bsize <= (1 << 16)) {
+                val run = new Array[Byte](bsize)
+                java.util.Arrays.fill(run, b(q))
+                content.write(run, 0, bsize)
+              } else allStored = false
+              q += 1
+            case 2 => // Compressed: metadata only
+              if (q + bsize > b.length) return empty
+              allStored = false
+              q += bsize
+            case _ => return empty // Reserved block type
+          }
+        }
+        var checksumOk: java.lang.Boolean = null
+        if (hasChecksum) {
+          if (q + 4 > b.length) return empty
+          if (allStored) {
+            val c = content.toByteArray
+            val h = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(c,
+                org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                c.length, 0L)
+            checksumOk = java.lang.Boolean.valueOf(
+              (h & 0xffffffffL) == u32(q))
+          }
+          q += 4
+        }
+        val payload =
+          if (allStored &&
+            (contentSize < 0 || contentSize == content.size()))
+            content.toByteArray
+          else null
+        // a declared content size contradicted by stored blocks is
+        // structural (fail loud) — sizes are the walk's whole product
+        if (allStored && contentSize >= 0 &&
+          contentSize != content.size()) return empty
+        out += (("zstd", windowSize, dictId, contentSize, nBlocks,
+          (q - start).toLong, hasChecksum, payload, checksumOk))
+        p = q
+      } else return empty
+    }
+    out.result()
+  }
+
+  /** Batch zstd frame walk (native array-kernel expression, one output
+    * row per frame). */
+  def extractZstdFrames(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[ZstdFrameRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.zstdFramesCol).as[ZstdFrameRow]
+  }
+
   /** Batch WARC record listing (native array-kernel expression, one
     * output row per record). */
   def extractWarcRecords(df: DataFrame, idCol: String,

@@ -314,6 +314,29 @@ object MediaArrayKernel {
         if (c == null) null else UTF8String.fromString(c), ok)
     }.toArray[Any])
 
+  /** [[Multimodal.ZstdFrameRow]] minus doc_id. */
+  val zstdFrameSchema: StructType = StructType(Seq(
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("window_size", LongType, nullable = false),
+    StructField("dict_id", LongType, nullable = false),
+    StructField("content_size", LongType, nullable = false),
+    StructField("n_blocks", LongType, nullable = false),
+    StructField("compressed_len", LongType, nullable = false),
+    StructField("has_checksum", BooleanType, nullable = false),
+    StructField("content", StringType, nullable = true),
+    StructField("checksum_ok", BooleanType, nullable = true)))
+
+  def zstdFrames(b: Array[Byte]): ArrayData =
+    new GenericArrayData(Multimodal.zstdFramesJvm(b).zipWithIndex.map {
+      case ((k, w, did, cs, nb, cl, hc, c, ok), i) =>
+        InternalRow(i.toLong, UTF8String.fromString(k), w, did, cs, nb,
+          cl, hc,
+          if (c == null) null
+          else UTF8String.fromBytes(c),
+          if (ok == null) null else ok.booleanValue())
+    }.toArray[Any])
+
   /** [[Multimodal.Id3TextRow]] minus doc_id. */
   val id3TextSchema: StructType = StructType(Seq(
     StructField("title", StringType, nullable = false),
@@ -625,6 +648,22 @@ case class WarcGzRecords(child: Expression) extends MediaArrayExpression {
   override def prettyName: String = "graft_warc_gz_records"
 }
 
+/** `zstd_frames(blob)` -> one struct per RFC 8878 frame (zstd or
+  * skippable) of a concatenated stream — header/block-chain metadata
+  * with NO entropy decoding; Raw/RLE-only frames extract content and
+  * verify the XXH64 content checksum; structural violations yield an
+  * empty array. */
+case class ZstdFrames(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.zstdFrameSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.zstdFrames($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.zstdFrames(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_zstd_frames"
+}
+
 case class TarEntries(child: Expression) extends MediaArrayExpression {
   override protected def structSchema: StructType =
     MediaArrayKernel.tarEntrySchema
@@ -808,6 +847,7 @@ object MediaExprs {
   def zipEntriesCol(blob: Column): Column = c(ZipEntries(e(blob)))
   def warcRecordsCol(blob: Column): Column = c(WarcRecords(e(blob)))
   def tarEntriesCol(blob: Column): Column = c(TarEntries(e(blob)))
+  def zstdFramesCol(blob: Column): Column = c(ZstdFrames(e(blob)))
   def tarEntryRangesCol(blob: Column): Column = c(TarEntryRanges(e(blob)))
   def gzipMemberCol(blob: Column): Column = c(GzipMember(e(blob)))
   def gzipMembersCol(blob: Column): Column = c(GzipMembers(e(blob)))

@@ -590,6 +590,96 @@ class TiffSpec extends SparkFunSuite {
     assert(java.util.Arrays.equals(gpx, px))
   }
 
+  test("zstd frame walk: descriptor/window/dict/FCS arithmetic, block " +
+      "chains, Raw+RLE content extraction, XXH64 checksum verify " +
+      "(empty-input vector pinned), compressed-block codec boundary, " +
+      "and loud structural failures") {
+    import java.io.ByteArrayOutputStream
+    def le(out: ByteArrayOutputStream, v: Long, n: Int): Unit =
+      (0 until n).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    def blockHdr(out: ByteArrayOutputStream, last: Boolean, btype: Int,
+        size: Int): Unit =
+      le(out, (if (last) 1L else 0L) | (btype.toLong << 1) |
+        (size.toLong << 3), 3)
+    // RFC 8878 empty-input XXH64 vector — pins that Spark's XXH64 is
+    // the same function zstd checksums with
+    val xxhEmpty = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(Array.empty[Byte],
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, 0, 0L)
+    assert(xxhEmpty == 0xef46db3751d8e999L)
+    def xxh32(c: Array[Byte]): Long =
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(c,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        c.length, 0L) & 0xffffffffL
+    // frame: window descriptor (exp=1, mant=3 -> 2816), 2-byte dict id,
+    // 4-byte FCS, raw + RLE + raw blocks, content checksum
+    // >= 256 bytes: FCS flag 1 stores (size - 256) in 2 bytes
+    val content = ("hello zstd walk " * 20).getBytes
+    val (rawA, rleN, rawB) = (content.take(10), 7, content.drop(10))
+    val full = rawA ++ Array.fill(rleN)('x'.toByte) ++ rawB
+    val f = new ByteArrayOutputStream()
+    le(f, 0xfd2fb528L, 4)
+    f.write(0x46)           // fcs=1 (2 bytes), checksum, did=2
+    f.write(0x0b)           // window: exp 1, mant 3 -> 2816
+    le(f, 0xbeef, 2)        // dict id
+    le(f, full.length - 256, 2) // FCS flag 1: value + 256
+    blockHdr(f, last = false, 0, rawA.length); f.write(rawA)
+    blockHdr(f, last = false, 1, rleN); f.write('x')
+    blockHdr(f, last = true, 0, rawB.length); f.write(rawB)
+    le(f, xxh32(full), 4)
+    val one = f.toByteArray
+    val got = Multimodal.zstdFramesJvm(one)
+    assert(got.size == 1)
+    val (k, w, did, cs, nb, cl, hc, pay, ok) = got.head
+    assert(k == "zstd" && w == 2816L && did == 0xbeefL &&
+      cs == full.length.toLong && nb == 3L && cl == one.length.toLong &&
+      hc && ok == java.lang.Boolean.TRUE &&
+      java.util.Arrays.equals(pay, full))
+    // corrupt the checksum: flagged false, never silently true
+    val bad = one.clone(); bad(bad.length - 1) = (bad(bad.length - 1) ^ 1).toByte
+    val gotBad = Multimodal.zstdFramesJvm(bad)
+    assert(gotBad.size == 1 && gotBad.head._9 == java.lang.Boolean.FALSE)
+    // skippable + zstd concatenation lists both, in order
+    val s2 = new ByteArrayOutputStream()
+    le(s2, 0x184d2a5eL, 4); le(s2, 5, 4); s2.write(Array[Byte](1, 2, 3, 4, 5))
+    s2.write(one)
+    val both = Multimodal.zstdFramesJvm(s2.toByteArray)
+    assert(both.size == 2 && both(0)._1 == "skippable" &&
+      both(0)._4 == 5L && both(0)._6 == 13L && both(1)._1 == "zstd")
+    // a Compressed block: metadata intact, content NULL (honest
+    // FSE/Huffman boundary), checksum unverifiable -> null
+    val c2 = new ByteArrayOutputStream()
+    le(c2, 0xfd2fb528L, 4)
+    c2.write(0x24)          // single-segment, checksum, fcs 1 byte
+    c2.write(40)            // declared content size
+    blockHdr(c2, last = true, 2, 6); c2.write("opaque".getBytes)
+    le(c2, 12345, 4)
+    val gotC = Multimodal.zstdFramesJvm(c2.toByteArray)
+    assert(gotC.size == 1 && gotC.head._8 == null &&
+      gotC.head._9 == null && gotC.head._5 == 1L &&
+      gotC.head._2 == 40L, "single-segment window = content size")
+    // structural failures return EMPTY: reserved descriptor bit,
+    // reserved block type, truncation, stored-size contradiction
+    def mut(src: Array[Byte])(fx: Array[Byte] => Unit): Array[Byte] = {
+      val c = src.clone(); fx(c); c
+    }
+    assert(Multimodal.zstdFramesJvm(mut(one)(a => a(4) =
+      (a(4) | 0x08).toByte)).isEmpty, "reserved descriptor bit")
+    assert(Multimodal.zstdFramesJvm(one.take(one.length - 6)).isEmpty,
+      "truncated frame")
+    assert(Multimodal.zstdFramesJvm("not zstd at all".getBytes).isEmpty)
+    val r3 = new ByteArrayOutputStream()
+    le(r3, 0xfd2fb528L, 4); r3.write(0x20); r3.write(1)
+    blockHdr(r3, last = true, 3, 1); r3.write(0)
+    assert(Multimodal.zstdFramesJvm(r3.toByteArray).isEmpty,
+      "reserved block type")
+    val contra = new ByteArrayOutputStream()
+    le(contra, 0xfd2fb528L, 4); contra.write(0x20); contra.write(9)
+    blockHdr(contra, last = true, 0, 3); contra.write("abc".getBytes)
+    assert(Multimodal.zstdFramesJvm(contra.toByteArray).isEmpty,
+      "declared content size contradicted by stored blocks")
+  }
+
   test("compressed, truncated, and non-8-bit TIFFs fail loud") {
     val (w, h) = (2, 1)
     val px = Array.tabulate(w * h * 3)(_.toByte)

@@ -72,7 +72,8 @@ class MediaCodegenSpec extends SparkFunSuite {
         "tar_entry_ranges" -> graft.plans.MediaExprs.tarEntryRangesCol,
         "gzip_member" -> graft.plans.MediaExprs.gzipMemberCol,
         "gzip_members" -> graft.plans.MediaExprs.gzipMembersCol,
-        "warc_gz_records" -> graft.plans.MediaExprs.warcGzRecordsCol)
+        "warc_gz_records" -> graft.plans.MediaExprs.warcGzRecordsCol,
+        "zstd_frames" -> graft.plans.MediaExprs.zstdFramesCol)
       for ((name, f) <- fns) {
         // junk blobs: structs NULL / arrays empty, audit gives a
         // verdict — the point is the collect not throwing under
