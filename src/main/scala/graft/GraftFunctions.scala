@@ -69,6 +69,8 @@ object GraftFunctions {
       es => PolyFingerprint(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_nfc",
       es => NfcNormalize(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_fix_mojibake",
+      es => FixMojibake(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_text_signals",
       es => TextSignals(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_bigram_stats",

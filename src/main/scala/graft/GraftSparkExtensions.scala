@@ -101,6 +101,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_nfc",
         "graft_nfc(text) - Unicode NFC canonical composition"),
       es => NfcNormalize(es(0))))
+    e.injectFunction((FunctionIdentifier("graft_fix_mojibake"),
+      info("graft_fix_mojibake",
+        "graft_fix_mojibake(text) - reverse UTF-8-as-Latin-1 mojibake"),
+      es => FixMojibake(es(0))))
     e.injectFunction((FunctionIdentifier("graft_text_signals"),
       info("graft_text_signals",
         "graft_text_signals(text) - one-pass per-document profile struct"),

@@ -80,6 +80,19 @@ object TextFunctions {
       graft.plans.NfcNormalize(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 
+  /** Mojibake repair (native kernel [[graft.plans.FixMojibake]]):
+    * UTF-8 text that was mis-decoded as Latin-1/Windows-1252 upstream
+    * ("Ã©" for "é", "â€™" for ') is detected and reversed; the repair
+    * fires only when the reverse-mapped bytes are strictly-valid UTF-8
+    * that shrinks, so genuine Latin-1 text and clean ASCII pass
+    * through untouched. Double-encoded damage unwinds to a fixpoint.
+    * Run alongside [[nfc]] at ingest — mojibake defeats dedup,
+    * language-ID, and quality scoring all at once. */
+  def fixMojibake(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.FixMojibake(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
   /** Canonical cleanup for ingested web text: NFC compose, then control
     * chars / DEL / NBSP and all whitespace runs squashed to single spaces,
     * trimmed. Everything after the NFC kernel is one codegen'd regex. */

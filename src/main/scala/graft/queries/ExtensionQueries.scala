@@ -1117,6 +1117,45 @@ object ExtensionQueries {
     spread(t(s, dir, "documents"))
       .select(col("doc_id"), zipBlob.as("blob"))
 
+  /** Zstandard frame fixture (round 13) — per doc an optional
+    * SKIPPABLE frame (docs ≡ 0 mod 3: magic 0x184D2A50, 4-byte opaque
+    * payload) followed by one REAL single-segment zstd frame whose two
+    * blocks are a Raw literal run (closed-form letters) and a final
+    * RLE run — valid RFC 8878 wire bytes constructible without an
+    * entropy coder (the stored-deflate discipline), so the walker must
+    * still drive its full descriptor/FCS/block-chain machinery and the
+    * oracle replays every field in closed form. */
+  private[graft] def zstdBlob: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val m = lit(8L) + d % 9L
+    val r = lit(3L) + d % 5L
+    val dsz = m + r
+    def b1(x: org.apache.spark.sql.Column) =
+      lpad(hex(pmod(x, lit(256L))), 2, "0")
+    def le24h(x: org.apache.spark.sql.Column) = concat(b1(x),
+      b1(TF.intDivNonNeg(x, lit(256L))),
+      b1(TF.intDivNonNeg(x, lit(65536L))))
+    val lits = array_join(transform(sequence(lit(0L), m - 1L), j =>
+      b1(lit(97L) + pmod(d * 7L + j * 3L, lit(26L)))), "")
+    val frame = concat(
+      lit("28b52ffd"),    // zstd magic, little-endian
+      lit("20"),          // descriptor: Single_Segment, 1-byte FCS
+      b1(dsz),            // Frame_Content_Size (<= 22 here)
+      le24h(m * 8L),      // block 1: Raw, not last
+      lits,
+      le24h(r * 8L + 3L), // block 2: RLE, last
+      b1(lit(97L) + d % 26L))
+    val skippable = concat(lit("502a4d18" + "04000000"),
+      array_join(transform(sequence(lit(0L), lit(3L)),
+        j => b1(d + j)), ""))
+    unhex(concat(
+      when(d % 3L === 0L, skippable).otherwise(lit("")), frame))
+  }
+
+  private[graft] def zstdFixture(s: SparkSession, dir: String): DataFrame =
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), zstdBlob.as("blob"))
+
   /** ID3v2.3-tagged MP3 fixture (round 12, UTF-16 round 13):
     * TIT2/TPE1/TALB text frames with closed-form strings, one real
     * 32 kbps MPEG1-L3 frame after the tag. The TPE1 frame rotates its
@@ -2315,6 +2354,34 @@ object ExtensionQueries {
     // deterministic non-NFC content (combining accents, NBSP, control
     // chars) per doc_id residue — the oracle check is non-vacuous on
     // every augmented row and an identity check on the rest
+    // MOJIBAKE REPAIR (round 13) — UTF-8-decoded-as-Latin-1 damage
+    // reversed by the FixMojibake native kernel: even docs carry a
+    // closed-form Latin-1-letter phrase put through the wrong-decode
+    // channel IN-PLAN (docs ≡ 2 mod 4 twice — double-encoded), odd
+    // docs are clean ASCII the repair must NOT touch; the oracle
+    // replays the pristine phrase with chr()
+    "text_fix_mojibake" -> ((s, dir) => {
+      val d = col("doc_id")
+      val litHex = array_join(transform(sequence(lit(0L), lit(5L)), j =>
+        lpad(hex(lit(224L) + pmod(d * 5L + j * 3L, lit(31L))), 2, "0")),
+        "")
+      val clean = concat(lit("word "),
+        decode(unhex(litHex), "ISO-8859-1"), lit(" tail"))
+      val m1 = decode(encode(clean, "UTF-8"), "ISO-8859-1")
+      val m2 = decode(encode(m1, "UTF-8"), "ISO-8859-1")
+      t(s, dir, "documents")
+        .select(d,
+          when(d % 2L === 1L,
+            concat(lit("plain text "), pmod(d, lit(10L))))
+            .when(d % 4L === 2L, m2)
+            .otherwise(m1).as("input"))
+        .select(d, TF.fixMojibake(col("input")).as("fixed"),
+          col("input"))
+        .select(d, col("fixed"),
+          (col("fixed") =!= col("input")).as("was_fixed"))
+        .orderBy(d)
+    }),
+
     "text_normalize" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), concat(col("text"),
@@ -3457,6 +3524,15 @@ object ExtensionQueries {
       Multimodal.extractZipEntries(zipFixture(s, dir), "doc_id")
         .toDF()
         .orderBy(col("doc_id"), col("name"))),
+
+    // ZSTD FRAME WALK (round 13) — RFC 8878 frame/block metadata with
+    // zero entropy decoding (the .warc.zst routing/splitting surface):
+    // skippable frames list alongside data frames, Raw/RLE-only frames
+    // extract content; every field replays in closed form
+    "source_zstd_frames" -> ((s, dir) =>
+      Multimodal.extractZstdFrames(zstdFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))),
 
     // ID3v2 TEXT FRAMES (round 12) — title/artist/album off the tag
     // (the audio-catalog surface); frame sizes real, encodings latin-1
@@ -4903,6 +4979,24 @@ object ExtensionQueries {
         |    AS path_depth,
         |  ref
         |FROM p ORDER BY doc_id""".stripMargin,
+    // the pristine phrase replayed with chr(); the repair recovers it
+    // from single- AND double-encoded mojibake, and leaves the odd
+    // docs' ASCII untouched
+    "text_fix_mojibake" ->
+      """WITH e AS (SELECT doc_id, unnest(range(0, 6)) AS j
+        |  FROM documents),
+        |phrase AS (SELECT doc_id,
+        |  string_agg(chr(CAST(224 + (doc_id*5 + j*3) % 31 AS INT)),
+        |    '' ORDER BY j) AS p
+        |  FROM e GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 2 = 1
+        |    THEN 'plain text ' || (d.doc_id % 10)
+        |    ELSE 'word ' || p.p || ' tail' END AS fixed,
+        |  d.doc_id % 2 = 0 AS was_fixed
+        |FROM documents d JOIN phrase p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // same augmentation via chr() (769/776 = combining acute/diaeresis,
     // 7 = BEL, 160 = NBSP, 9 = TAB); \xa0 in the RE2 class is the NBSP
     // codepoint, matching Java's
@@ -7054,6 +7148,42 @@ object ExtensionQueries {
         |    || '-' || i AS content,
         |  TRUE AS crc_ok
         |FROM e ORDER BY doc_id, name""".stripMargin,
+
+    // the zstd frame's every header/block field in closed form:
+    // window = content size (Single_Segment), compressed_len =
+    // 4 magic + 1 desc + 1 fcs + (3 + m) raw block + (3 + 1) RLE;
+    // docs % 3 = 0 carry a 12-byte skippable frame first
+    "source_zstd_frames" ->
+      """WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS m,
+        |  3 + doc_id % 5 AS r FROM documents),
+        |e AS (SELECT doc_id, m, r, unnest(range(0, m)) AS j FROM p),
+        |lits AS (SELECT doc_id, any_value(m) AS m, any_value(r) AS r,
+        |  string_agg(chr(CAST(97 + (doc_id*7 + j*3) % 26 AS INT)),
+        |    '' ORDER BY j) AS s
+        |  FROM e GROUP BY doc_id),
+        |z AS (SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS frame_idx,
+        |  'zstd' AS kind, CAST(m + r AS BIGINT) AS window_size,
+        |  CAST(0 AS BIGINT) AS dict_id,
+        |  CAST(m + r AS BIGINT) AS content_size,
+        |  CAST(2 AS BIGINT) AS n_blocks,
+        |  CAST(13 + m AS BIGINT) AS compressed_len,
+        |  FALSE AS has_checksum,
+        |  s || repeat(chr(CAST(97 + doc_id % 26 AS INT)), CAST(r AS INT))
+        |    AS content,
+        |  CAST(NULL AS BOOLEAN) AS checksum_ok
+        |  FROM lits),
+        |sk AS (SELECT doc_id, CAST(0 AS BIGINT) AS frame_idx,
+        |  'skippable' AS kind, CAST(0 AS BIGINT) AS window_size,
+        |  CAST(0 AS BIGINT) AS dict_id, CAST(4 AS BIGINT) AS content_size,
+        |  CAST(0 AS BIGINT) AS n_blocks,
+        |  CAST(12 AS BIGINT) AS compressed_len, FALSE AS has_checksum,
+        |  CAST(NULL AS VARCHAR) AS content,
+        |  CAST(NULL AS BOOLEAN) AS checksum_ok
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT * FROM z UNION ALL SELECT * FROM sk
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "mm_id3_text" ->
       """SELECT doc_id, 'doc-' || doc_id AS title,

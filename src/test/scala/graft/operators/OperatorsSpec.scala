@@ -1048,6 +1048,45 @@ class TextFunctionsSpec extends SparkFunSuite {
     assert(withNull == Seq("a", null))
   }
 
+  test("fixMojibake: reverses UTF-8-as-Latin-1 AND cp1252-special " +
+      "damage, unwinds double encoding, leaves genuine Latin-1 / " +
+      "ASCII / unmappable text untouched, null-safe") {
+    def fx(t: String): Any = one(TF.fixMojibake(col("t")), t)
+    def mojibake(clean: String): String =
+      new String(clean.getBytes("UTF-8"), "windows-1252")
+    // the classic: é on the wire, read as latin-1
+    assert(fx("cafÃ©") == "café")
+    // cp1252 specials: ' (U+2019) arrives as "â€™"
+    assert(fx(mojibake("it’s a “quote — ok")) ==
+      "it’s a “quote — ok")
+    assert(fx(mojibake("price €99")) == "price €99")
+    // the latin-1 channel preserves the C1 zone as control chars, so
+    // even ” (whose UTF-8 carries 0x9D — unassigned in cp1252 and
+    // lost to U+FFFD through THAT channel) recovers here
+    assert(fx(new String("a “quote” b".getBytes("UTF-8"),
+      "ISO-8859-1")) == "a “quote” b")
+    // ...while the cp1252 channel's U+FFFD is honestly unrecoverable:
+    // the repair must leave it alone, not guess
+    val lossy = mojibake("a ” b")
+    assert(lossy.contains('�') && fx(lossy) == lossy)
+    // double-encoded unwinds to the fixpoint
+    assert(fx(mojibake(mojibake("résumé naïve"))) ==
+      "résumé naïve")
+    // genuine Latin-1 text: a real é byte next to ASCII is NOT valid
+    // UTF-8 — must pass through untouched
+    assert(fx("café au lait") == "café au lait")
+    assert(fx("plain ascii 42") == "plain ascii 42")
+    assert(fx("") == "")
+    // unmappable non-Latin chars (CJK) can't be mojibake output
+    assert(fx("你好 world") == "你好 world")
+    val s = spark
+    import s.implicits._
+    val withNull = Seq(Some("Ã©"), None).toDF("t")
+      .select(TF.fixMojibake(col("t")).as("v")).collect()
+      .map(_.get(0)).toSeq
+    assert(withNull == Seq("é", null))
+  }
+
   test("cleanText: NFC + control/NBSP/whitespace squash + trim; exact " +
       "dedup then merges encoding variants of the same text") {
     assert(one(TF.cleanText(col("t")),
@@ -1557,6 +1596,11 @@ class MultimodalSpec extends SparkFunSuite {
     fuzzOne(flacGood, b => Some(Multimodal.auditPayload(b)), "audit-flac")
     fuzzOne(webpGood, b => Some(Multimodal.auditPayload(b)), "audit-webp")
     fuzzOne(tiffGood, b => Some(Multimodal.auditPayload(b)), "audit-tiff")
+    // round-13 archive walk: total by construction (empty on violation)
+    val zstdGood = (6L until 7L).toDF("doc_id")
+      .select(graft.queries.ExtensionQueries.zstdBlob.as("blob"))
+      .head().getAs[Array[Byte]]("blob")
+    fuzzOne(zstdGood, b => Some(Multimodal.zstdFramesJvm(b)), "zstd")
   }
 
   /** One doc's in-plan DC-only JPEG fixture rendered to bytes. */
