@@ -794,16 +794,25 @@ object Dedup {
     val dSh = delta.select(col(idCol).as("id"),
       TF.wordShingleHashes(col(textCol), index.shingleK).as("shingles"))
       .localCheckpoint()
+    // the bucketed probe's broadcast-budget guard (round 13), same
+    // contract: an over-budget backfill delta demotes the broadcast
+    // hints to planner-chosen shuffle joins
+    val deltaSmall = {
+      val t = spark.sessionState.conf.autoBroadcastJoinThreshold
+      t > 0 && shingledDeltaBytes(dSh) <= t
+    }
+    def hinted(df: DataFrame): DataFrame =
+      if (deltaSmall) broadcast(df) else df
     val dBands = bandRows(dSh, index.numHashes, index.bands)
       .select(col("bk"), col("id").as("b"))
     val cands = spark.read.parquet(s"${index.path}/bands")
-      .join(broadcast(dBands), Seq("bk"))
+      .join(hinted(dBands), Seq("bk"))
       .select(col("id").as("a"), col("b")).distinct()
     val withA = spark.read.parquet(s"${index.path}/shingles")
       .select(col("id").as("a"), col("shingles").as("sh_a"))
-      .join(broadcast(cands), Seq("a"))
+      .join(hinted(cands), Seq("a"))
     withA
-      .join(broadcast(dSh.select(col("id").as("b"),
+      .join(hinted(dSh.select(col("id").as("b"),
         col("shingles").as("sh_b"))), Seq("b"))
       .withColumn("jaccard", TF.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)

@@ -352,10 +352,14 @@ class LshIndexSpec extends SparkFunSuite {
     import s.implicits._
     val bucketed = Dedup.buildLshIndexBucketed(c, "text", "doc_id",
       tmpPath("guard"), nBuckets = 16)
+    val flat = Dedup.buildLshIndex(c, "text", "doc_id",
+      tmpPath("guard_flat"))
     val delta = c.limit(60).select(($"doc_id" + 1000L).as("doc_id"),
       when($"doc_id" % 2 === 0, $"text")
         .otherwise(concat($"text", lit(" tail drift words"))).as("text"))
     def probe() = Dedup.lshProbeNearDupBucketed(bucketed, delta, "text",
+      "doc_id", threshold = 0.6)
+    def probeFlat() = Dedup.lshProbeNearDup(flat, delta, "text",
       "doc_id", threshold = 0.6)
     val want = probe().orderBy($"a", $"b").collect()
       .map(_.toString).toSeq
@@ -382,6 +386,15 @@ class LshIndexSpec extends SparkFunSuite {
       assert(filters.size >= 2 &&
         filters.forall(f => f.contains("bucket") && !f.contains("[]")),
         s"fallback must keep both pruned index scans: $filters")
+      // the flat probe takes the same guard
+      val dfFlat = probeFlat()
+      val gotFlat = dfFlat.orderBy($"a", $"b").collect()
+        .map(_.toString).toSeq
+      assert(gotFlat == want,
+        "flat-probe shuffle fallback must answer identically")
+      assert(!dfFlat.queryExecution.executedPlan.toString
+        .contains("BroadcastExchange"),
+        "flat probe must not broadcast over budget")
     } finally saved.foreach {
       case (k, Some(v)) => s.conf.set(k, v)
       case (k, None) => s.conf.unset(k)
