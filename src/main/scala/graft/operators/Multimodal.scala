@@ -4008,7 +4008,7 @@ object Multimodal {
           }
           q += 4
         }
-        val payload =
+        var payload =
           if (allStored &&
             (contentSize < 0 || contentSize == content.size()))
             content.toByteArray
@@ -4017,6 +4017,17 @@ object Multimodal {
         // structural (fail loud) — sizes are the walk's whole product
         if (allStored && contentSize >= 0 &&
           contentSize != content.size()) return empty
+        // Compressed blocks: run the FULL decoder (round 13 —
+        // [[ZstdDecode]], golden-pinned against libzstd). Success
+        // yields the content (the frame's own checksum verified inside
+        // when present); failure keeps the metadata row with NULL
+        // content — the walk's framing is sound either way.
+        if (!allStored) ZstdDecode.decodeFrame(b, start) match {
+          case Some((c, consumed)) if consumed == (q - start) =>
+            if (c.length <= (1 << 16)) payload = c
+            if (hasChecksum) checksumOk = java.lang.Boolean.TRUE
+          case _ => ()
+        }
         out += (("zstd", windowSize, dictId, contentSize, nBlocks,
           (q - start).toLong, hasChecksum, payload, checksumOk))
         p = q
@@ -4033,6 +4044,32 @@ object Multimodal {
     import spark.implicits._
     explodeExtract(df, idCol, blobCol,
       graft.plans.MediaExprs.zstdFramesCol).as[ZstdFrameRow]
+  }
+
+  /** WARC records out of a `.warc.zst` blob — Common Crawl's current
+    * layout (one zstd frame per record or record-batch, concatenated,
+    * possibly with skippable dictionary frames): fully decompress via
+    * [[ZstdDecode.decompress]] (golden-pinned against libzstd) and run
+    * the standard WARC record walk over the result, the exact
+    * [[warcGzRecordsJvm]] discipline on the newer wire format. Frames
+    * needing an external dictionary, any structural violation, or a
+    * checksum mismatch fail the whole listing loud — records from a
+    * stream that didn't fully decode can't be trusted. */
+  private[graft] def warcZstRecordsJvm(b: Array[Byte])
+      : IndexedSeq[(String, String, Long, Long)] =
+    ZstdDecode.decompress(b) match {
+      case Some(buf) => warcRecordsJvm(buf)
+      case None => Vector.empty
+    }
+
+  /** Batch `.warc.zst` record listing (native array-kernel expression,
+    * one output row per WARC record). */
+  def extractWarcZstRecords(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[WarcRecordRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.warcZstRecordsCol).as[WarcRecordRow]
   }
 
   /** Batch WARC record listing (native array-kernel expression, one

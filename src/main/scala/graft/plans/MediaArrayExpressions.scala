@@ -327,6 +327,12 @@ object MediaArrayKernel {
     StructField("content", StringType, nullable = true),
     StructField("checksum_ok", BooleanType, nullable = true)))
 
+  def warcZstRecords(b: Array[Byte]): ArrayData =
+    new GenericArrayData(Multimodal.warcZstRecordsJvm(b).map {
+      case (t, u, cl, st) => InternalRow(UTF8String.fromString(t),
+        UTF8String.fromString(u), cl, st)
+    }.toArray[Any])
+
   def zstdFrames(b: Array[Byte]): ArrayData =
     new GenericArrayData(Multimodal.zstdFramesJvm(b).zipWithIndex.map {
       case ((k, w, did, cs, nb, cl, hc, c, ok), i) =>
@@ -653,6 +659,21 @@ case class WarcGzRecords(child: Expression) extends MediaArrayExpression {
   * with NO entropy decoding; Raw/RLE-only frames extract content and
   * verify the XXH64 content checksum; structural violations yield an
   * empty array. */
+/** `warc_zst_records(blob)` -> the WARC record walk over a fully
+  * zstd-decompressed `.warc.zst` (Common Crawl's current layout);
+  * identical output schema to `warc_records` on the uncompressed
+  * twin. */
+case class WarcZstRecords(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.warcRecordSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.warcZstRecords($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.warcZstRecords(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_warc_zst_records"
+}
+
 case class ZstdFrames(child: Expression) extends MediaArrayExpression {
   override protected def structSchema: StructType =
     MediaArrayKernel.zstdFrameSchema
@@ -848,6 +869,7 @@ object MediaExprs {
   def warcRecordsCol(blob: Column): Column = c(WarcRecords(e(blob)))
   def tarEntriesCol(blob: Column): Column = c(TarEntries(e(blob)))
   def zstdFramesCol(blob: Column): Column = c(ZstdFrames(e(blob)))
+  def warcZstRecordsCol(blob: Column): Column = c(WarcZstRecords(e(blob)))
   def tarEntryRangesCol(blob: Column): Column = c(TarEntryRanges(e(blob)))
   def gzipMemberCol(blob: Column): Column = c(GzipMember(e(blob)))
   def gzipMembersCol(blob: Column): Column = c(GzipMembers(e(blob)))

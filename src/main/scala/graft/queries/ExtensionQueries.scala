@@ -1156,6 +1156,69 @@ object ExtensionQueries {
     spread(t(s, dir, "documents"))
       .select(col("doc_id"), zstdBlob.as("blob"))
 
+  /** REAL libzstd frames (level 3, generated by
+    * `tools/gen_zstd_vectors.py`'s codec — golden templates, NOT
+    * hand-built): four closed-form plaintexts whose decoded bytes the
+    * oracle replays exactly, so `source_zstd_compressed` pins the full
+    * FSE/Huffman decode path against reference-encoder output inside
+    * the driver's correctness gate, not just in specs. */
+  private val ZstdGoldenHex: Seq[String] = Seq(
+    // repeat('alpha ', 40) — 240 bytes -> 22
+    "28b52ffd20f06d000030616c706861200100e750a508",
+    // repeat('the quick brown fox jumps over the lazy dog. ', 8)
+    "28b52ffd606800bd0100c40274686520717569636b2062726f776e20666f78" +
+      "206a756d7073206f76657220746865206c617a7920646f672e020034502" +
+      "9c0106619",
+    // chr(97 + (i*11 + 5) % 26) over range(300)
+    "28b52ffd602c000d0100d06671626d7869746570616c776873646f7a6b7667" +
+      "72636e796a7501003eb43ac7",
+    // repeat('key=value;', 30)
+    "28b52ffd602c008d0000506b65793d76616c75653b01001f550b12")
+
+  private[graft] def zstdCompressedFixture(s: SparkSession,
+      dir: String): DataFrame =
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), unhex(element_at(
+        array(ZstdGoldenHex.map(lit): _*),
+        (pmod(col("doc_id"), lit(4L)) + 1L).cast("int"))).as("blob"))
+
+  /** REAL libzstd frames each compressing ONE closed-form WARC record
+    * (the Common Crawl `.warc.zst` layout — one frame per record,
+    * concatenated): r0 response/a (body 53, HTTP 200), r1 request/a
+    * (19), r2 response/b (35, 404), r3 metadata/b (12). */
+  private val WarcZstHex: Seq[String] = Seq(
+    "28b52ffd2095cd030092471a1b70691de9e2cdaed6f012efdf2cbf34f4b500" +
+      "b5805de1ab74f93241babacc5842e84a5c3c38fb19fe8503a7046085542" +
+      "38e63a0ab1b10f0523e896e381ffda36cbaaf17a9400ee7f218debde6bf" +
+      "c28be012e73d619e3751cec6195e3e1bc7698e21ba09a96e8e210104005" +
+      "003a66180a1d4362131f3",
+    "28b52ffd20723d0300a2c6171c606b75a893fdd07a4b5b21c0af265311e5cf" +
+      "cd26932b60c90236e504cfe7f39950da8373047dab4e30783e034995d20" +
+      "964c369c80d19f67cbb3009c48ab83c07efaad8ada82a34c4694e9ad70c" +
+      "6e2cb851c5f1e10e6b0b7902505ad6161201001c319d",
+    "28b52ffd2083bd030072c71a1d606b1da869843ab4ed5f88e3cc5908b42049" +
+      "2446f5699d621611780506baba02761c9a138a18fe8803fe786025519829" +
+      "b6101012747503006ecf3bde86f4deefd1e92a561417aa1b326a20bd5693" +
+      "ff0fb7c24ba46fc7d1f4f428673bb8b58cc0e4dec2e8268a2df716260200" +
+      "4dcf1043623a01",
+    "28b52ffd206c0d03004246161b7069dbd9a1dac6c569b178e71e31c30f61f8" +
+      "98d1533cfcd739000b989848d24db4c396b701131349baec8cebc0b9ebbb" +
+      "466112506b16a30fafb1a211daf7335dc01a9c3783603e17f8dd74fb2d04" +
+      "47ad44c13c8c84d44a94010021319d")
+
+  /** Per doc: k = 2 + doc%3 record frames, rotation start doc%4 — the
+    * record SET varies by doc so the oracle check is non-vacuous. */
+  private[graft] def warcZstFixture(s: SparkSession,
+      dir: String): DataFrame = {
+    val d = col("doc_id")
+    val frames = array(WarcZstHex.map(lit): _*)
+    val k = lit(2L) + d % 3L
+    val blobHex = array_join(transform(sequence(lit(0L), k - 1L), j =>
+      element_at(frames, (pmod(d + j, lit(4L)) + 1L).cast("int"))), "")
+    spread(t(s, dir, "documents"))
+      .select(d, unhex(blobHex).as("blob"))
+  }
+
   /** ID3v2.3-tagged MP3 fixture (round 12, UTF-16 round 13):
     * TIT2/TPE1/TALB text frames with closed-form strings, one real
     * 32 kbps MPEG1-L3 frame after the tag. The TPE1 frame rotates its
@@ -3533,6 +3596,28 @@ object ExtensionQueries {
       Multimodal.extractZstdFrames(zstdFixture(s, dir), "doc_id")
         .toDF()
         .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // FULL ZSTD DECODE (round 13) — REAL libzstd frames (golden
+    // templates, level 3: FSE-described sequences + Huffman literals)
+    // through the frame walk's ZstdDecode path; the oracle replays the
+    // decoded plaintext and every header field, so the FSE/Huffman
+    // machinery answers to the driver's correctness gate, not just to
+    // the 50-vector golden spec
+    "source_zstd_compressed" -> ((s, dir) =>
+      Multimodal.extractZstdFrames(zstdCompressedFixture(s, dir),
+          "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // WARC.ZST (round 13) — Common Crawl's CURRENT archive layout (one
+    // real zstd frame per record, concatenated): full decompression +
+    // the WARC record walk; the record SET rotates per doc so the
+    // check is non-vacuous
+    "source_warc_zst" -> ((s, dir) =>
+      Multimodal.extractWarcZstRecords(warcZstFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"), col("rec_type"), col("target_uri"),
+          col("content_length"))),
 
     // ID3v2 TEXT FRAMES (round 12) — title/artist/album off the tag
     // (the audio-catalog surface); frame sizes real, encodings latin-1
@@ -7184,6 +7269,56 @@ object ExtensionQueries {
         |  FROM documents WHERE doc_id % 3 = 0)
         |SELECT * FROM z UNION ALL SELECT * FROM sk
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // each golden template's decoded plaintext + header fields; the
+    // level-3 frames are single-segment (window = content size),
+    // single-block, no dictionary, no checksum
+    "source_zstd_compressed" ->
+      """WITH e AS (SELECT doc_id, unnest(range(0, 300)) AS i
+        |  FROM documents),
+        |t2 AS (SELECT doc_id,
+        |  string_agg(chr(CAST(97 + (i*11 + 5) % 26 AS INT)),
+        |    '' ORDER BY i) AS s
+        |  FROM e GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(0 AS BIGINT) AS frame_idx,
+        |  'zstd' AS kind,
+        |  CAST(CASE d.doc_id % 4 WHEN 0 THEN 240 WHEN 1 THEN 360
+        |    ELSE 300 END AS BIGINT) AS window_size,
+        |  CAST(0 AS BIGINT) AS dict_id,
+        |  CAST(CASE d.doc_id % 4 WHEN 0 THEN 240 WHEN 1 THEN 360
+        |    ELSE 300 END AS BIGINT) AS content_size,
+        |  CAST(1 AS BIGINT) AS n_blocks,
+        |  CAST(CASE d.doc_id % 4 WHEN 0 THEN 22 WHEN 1 THEN 65
+        |    WHEN 2 THEN 43 ELSE 27 END AS BIGINT) AS compressed_len,
+        |  FALSE AS has_checksum,
+        |  CASE d.doc_id % 4
+        |    WHEN 0 THEN repeat('alpha ', 40)
+        |    WHEN 1 THEN repeat(
+        |      'the quick brown fox jumps over the lazy dog. ', 8)
+        |    WHEN 2 THEN t2.s
+        |    ELSE repeat('key=value;', 30) END AS content,
+        |  CAST(NULL AS BOOLEAN) AS checksum_ok
+        |FROM documents d JOIN t2 USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the four golden WARC records (response/a 53/200, request/a 19/0,
+    // response/b 35/404, metadata/b 12/0) selected per doc: k = 2 +
+    // doc%3 frames starting at rotation doc%4
+    "source_warc_zst" ->
+      """WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS k FROM documents),
+        |e AS (SELECT doc_id, unnest(range(0, k)) AS j FROM p),
+        |r AS (SELECT doc_id, (doc_id + j) % 4 AS ri FROM e)
+        |SELECT doc_id,
+        |  CASE ri WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+        |    WHEN 2 THEN 'response' ELSE 'metadata' END AS rec_type,
+        |  CASE WHEN ri IN (0, 1) THEN 'http://example.com/a'
+        |    ELSE 'http://example.com/b' END AS target_uri,
+        |  CAST(CASE ri WHEN 0 THEN 53 WHEN 1 THEN 19 WHEN 2 THEN 35
+        |    ELSE 12 END AS BIGINT) AS content_length,
+        |  CAST(CASE ri WHEN 0 THEN 200 WHEN 2 THEN 404
+        |    ELSE 0 END AS BIGINT) AS http_status
+        |FROM r ORDER BY doc_id, rec_type, target_uri,
+        |  content_length""".stripMargin,
 
     "mm_id3_text" ->
       """SELECT doc_id, 'doc-' || doc_id AS title,

@@ -73,7 +73,8 @@ class MediaCodegenSpec extends SparkFunSuite {
         "gzip_member" -> graft.plans.MediaExprs.gzipMemberCol,
         "gzip_members" -> graft.plans.MediaExprs.gzipMembersCol,
         "warc_gz_records" -> graft.plans.MediaExprs.warcGzRecordsCol,
-        "zstd_frames" -> graft.plans.MediaExprs.zstdFramesCol)
+        "zstd_frames" -> graft.plans.MediaExprs.zstdFramesCol,
+        "warc_zst_records" -> graft.plans.MediaExprs.warcZstRecordsCol)
       for ((name, f) <- fns) {
         // junk blobs: structs NULL / arrays empty, audit gives a
         // verdict — the point is the collect not throwing under
