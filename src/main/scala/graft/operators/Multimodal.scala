@@ -4046,6 +4046,36 @@ object Multimodal {
       graft.plans.MediaExprs.zstdFramesCol).as[ZstdFrameRow]
   }
 
+  /** One row per LZ4 frame (or skippable frame) of a concatenated
+    * stream (see [[Lz4Snappy.lz4FramesJvm]]). */
+  final case class Lz4FrameRow(doc_id: Long, frame_idx: Long,
+    kind: String, block_indep: Boolean, content_checksum: Boolean,
+    content_size: Long, n_blocks: Long, compressed_len: Long,
+    content: String, checksum_ok: java.lang.Boolean)
+
+  /** Batch LZ4 frame walk (native array-kernel expression, one output
+    * row per frame; golden-pinned decoder). */
+  def extractLz4Frames(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[Lz4FrameRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.lz4FramesCol).as[Lz4FrameRow]
+  }
+
+  /** Decoded Snappy raw block: content (≤ 64 KiB as UTF-8) + size. */
+  final case class SnappyRow(doc_id: Long, usize: Long, content: String)
+
+  /** Batch Snappy raw-block decode (native-expression projection, NULL
+    * struct for undecodable payloads; golden-pinned decoder). */
+  def extractSnappy(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[SnappyRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    barrierExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.snappyCol).as[SnappyRow]
+  }
+
   /** WARC records out of a `.warc.zst` blob — Common Crawl's current
     * layout (one zstd frame per record or record-batch, concatenated,
     * possibly with skippable dictionary frames): fully decompress via

@@ -327,6 +327,40 @@ object MediaArrayKernel {
     StructField("content", StringType, nullable = true),
     StructField("checksum_ok", BooleanType, nullable = true)))
 
+  /** [[Multimodal.Lz4FrameRow]] minus doc_id. */
+  val lz4FrameSchema: StructType = StructType(Seq(
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("block_indep", BooleanType, nullable = false),
+    StructField("content_checksum", BooleanType, nullable = false),
+    StructField("content_size", LongType, nullable = false),
+    StructField("n_blocks", LongType, nullable = false),
+    StructField("compressed_len", LongType, nullable = false),
+    StructField("content", StringType, nullable = true),
+    StructField("checksum_ok", BooleanType, nullable = true)))
+
+  def lz4Frames(b: Array[Byte]): ArrayData =
+    new GenericArrayData(
+      graft.operators.Lz4Snappy.lz4FramesJvm(b).zipWithIndex.map {
+        case ((k, bi, cc, cs, nb, cl, c, ok), i) =>
+          InternalRow(i.toLong, UTF8String.fromString(k), bi, cc, cs,
+            nb, cl,
+            if (c == null) null else UTF8String.fromBytes(c),
+            if (ok == null) null else ok.booleanValue())
+      }.toArray[Any])
+
+  /** [[Multimodal.SnappyRow]] minus doc_id. */
+  val snappySchema: StructType = StructType(Seq(
+    StructField("usize", LongType, nullable = false),
+    StructField("content", StringType, nullable = true)))
+
+  def snappy(b: Array[Byte]): InternalRow =
+    graft.operators.Lz4Snappy.snappyDecompress(b) match {
+      case Some(c) => InternalRow(c.length.toLong,
+        if (c.length <= (1 << 16)) UTF8String.fromBytes(c) else null)
+      case None => null
+    }
+
   def warcZstRecords(b: Array[Byte]): ArrayData =
     new GenericArrayData(Multimodal.warcZstRecordsJvm(b).map {
       case (t, u, cl, st) => InternalRow(UTF8String.fromString(t),
@@ -659,6 +693,34 @@ case class WarcGzRecords(child: Expression) extends MediaArrayExpression {
   * with NO entropy decoding; Raw/RLE-only frames extract content and
   * verify the XXH64 content checksum; structural violations yield an
   * empty array. */
+/** `lz4_frames(blob)` -> one struct per LZ4 frame of a concatenated
+  * stream, fully decoded (golden-pinned against the reference
+  * encoder), every present checksum verified; structural violations
+  * yield an empty array. */
+case class Lz4Frames(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.lz4FrameSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.lz4Frames($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.lz4Frames(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_lz4_frames"
+}
+
+/** `snappy_decode(blob)` -> (usize, content) for a raw-format Snappy
+  * block (the Parquet/Kafka codec); NULL struct on violation. */
+case class SnappyDecode(child: Expression) extends MediaDecodeExpression {
+  override def dataType: DataType = MediaArrayKernel.snappySchema
+  override def nullable: Boolean = true
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.snappy($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.snappy(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_snappy_decode"
+}
+
 /** `warc_zst_records(blob)` -> the WARC record walk over a fully
   * zstd-decompressed `.warc.zst` (Common Crawl's current layout);
   * identical output schema to `warc_records` on the uncompressed
@@ -870,6 +932,8 @@ object MediaExprs {
   def tarEntriesCol(blob: Column): Column = c(TarEntries(e(blob)))
   def zstdFramesCol(blob: Column): Column = c(ZstdFrames(e(blob)))
   def warcZstRecordsCol(blob: Column): Column = c(WarcZstRecords(e(blob)))
+  def lz4FramesCol(blob: Column): Column = c(Lz4Frames(e(blob)))
+  def snappyCol(blob: Column): Column = c(SnappyDecode(e(blob)))
   def tarEntryRangesCol(blob: Column): Column = c(TarEntryRanges(e(blob)))
   def gzipMemberCol(blob: Column): Column = c(GzipMember(e(blob)))
   def gzipMembersCol(blob: Column): Column = c(GzipMembers(e(blob)))

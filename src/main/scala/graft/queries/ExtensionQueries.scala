@@ -1206,6 +1206,45 @@ object ExtensionQueries {
       "466112506b16a30fafb1a211daf7335dc01a9c3783603e17f8dd74fb2d04" +
       "47ad44c13c8c84d44a94010021319d")
 
+  /** REAL LZ4 frames (pyarrow's bundled reference encoder) over the
+    * same four closed-form plaintexts as [[ZstdGoldenHex]] — the
+    * Kafka/Parquet codec pinned inside the driver's correctness
+    * gate. */
+  private val Lz4GoldenHex: Seq[String] = Seq(
+    "04224d18604082100000006f616c706861200600d2506c706861200000" +
+      "0000",
+    "04224d186040823a000000f01074686520717569636b2062726f776e20" +
+      "666f78206a756d7073206f766572201f00916c617a7920646f672e0e00" +
+      "0f2d00ff2050646f672e2000000000",
+    "04224d1860408225000000ff0b6671626d7869746570616c776873646f" +
+      "7a6b766772636e796a751a00fa50616c77687300000000",
+    "04224d1860408215000000af6b65793d76616c75653b0a00ff0b50616c" +
+      "75653b00000000")
+
+  private[graft] def lz4Fixture(s: SparkSession, dir: String): DataFrame =
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), unhex(element_at(
+        array(Lz4GoldenHex.map(lit): _*),
+        (pmod(col("doc_id"), lit(4L)) + 1L).cast("int"))).as("blob"))
+
+  /** REAL Snappy raw blocks (same reference encoder, same four
+    * plaintexts). */
+  private val SnappyGoldenHex: Seq[String] = Seq(
+    "f00114616c70686120fe0600fe0600fe0600a60600",
+    "e8027874686520717569636b2062726f776e20666f78206a756d707320" +
+      "6f76657220011f206c617a7920646f672e050efe2d00fe2d00fe2d00fe" +
+      "2d00da2d00",
+    "ac02646671626d7869746570616c776873646f7a6b766772636e796a75" +
+      "fe1a00fe1a00fe1a00fe1a00461a00",
+    "ac02246b65793d76616c75653bfe0a00fe0a00fe0a00fe0a00860a00")
+
+  private[graft] def snappyFixture(s: SparkSession,
+      dir: String): DataFrame =
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), unhex(element_at(
+        array(SnappyGoldenHex.map(lit): _*),
+        (pmod(col("doc_id"), lit(4L)) + 1L).cast("int"))).as("blob"))
+
   /** Per doc: k = 2 + doc%3 record frames, rotation start doc%4 — the
     * record SET varies by doc so the oracle check is non-vacuous. */
   private[graft] def warcZstFixture(s: SparkSession,
@@ -3608,6 +3647,21 @@ object ExtensionQueries {
           "doc_id")
         .toDF()
         .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // LZ4 FRAMES (round 13) — Kafka's and Parquet's codec through the
+    // golden-pinned pure-JVM decoder: real reference-encoder frames,
+    // every header field + decoded plaintext replayed by the oracle
+    "source_lz4_frames" -> ((s, dir) =>
+      Multimodal.extractLz4Frames(lz4Fixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // SNAPPY RAW DECODE (round 13) — the other Parquet/Kafka codec,
+    // same golden-template discipline
+    "source_snappy_decode" -> ((s, dir) =>
+      Multimodal.extractSnappy(snappyFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"))),
 
     // WARC.ZST (round 13) — Common Crawl's CURRENT archive layout (one
     // real zstd frame per record, concatenated): full decompression +
@@ -7298,6 +7352,52 @@ object ExtensionQueries {
         |    WHEN 2 THEN t2.s
         |    ELSE repeat('key=value;', 30) END AS content,
         |  CAST(NULL AS BOOLEAN) AS checksum_ok
+        |FROM documents d JOIN t2 USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // pyarrow's lz4 frames: version 01, independent blocks, no
+    // checksums/content-size (header HC always verified -> true),
+    // one block each at these sizes
+    "source_lz4_frames" ->
+      """WITH e AS (SELECT doc_id, unnest(range(0, 300)) AS i
+        |  FROM documents),
+        |t2 AS (SELECT doc_id,
+        |  string_agg(chr(CAST(97 + (i*11 + 5) % 26 AS INT)),
+        |    '' ORDER BY i) AS s
+        |  FROM e GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(0 AS BIGINT) AS frame_idx,
+        |  'lz4' AS kind, TRUE AS block_indep,
+        |  FALSE AS content_checksum,
+        |  CAST(-1 AS BIGINT) AS content_size,
+        |  CAST(1 AS BIGINT) AS n_blocks,
+        |  CAST(CASE d.doc_id % 4 WHEN 0 THEN 31 WHEN 1 THEN 73
+        |    WHEN 2 THEN 52 ELSE 36 END AS BIGINT) AS compressed_len,
+        |  CASE d.doc_id % 4
+        |    WHEN 0 THEN repeat('alpha ', 40)
+        |    WHEN 1 THEN repeat(
+        |      'the quick brown fox jumps over the lazy dog. ', 8)
+        |    WHEN 2 THEN t2.s
+        |    ELSE repeat('key=value;', 30) END AS content,
+        |  TRUE AS checksum_ok
+        |FROM documents d JOIN t2 USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "source_snappy_decode" ->
+      """WITH e AS (SELECT doc_id, unnest(range(0, 300)) AS i
+        |  FROM documents),
+        |t2 AS (SELECT doc_id,
+        |  string_agg(chr(CAST(97 + (i*11 + 5) % 26 AS INT)),
+        |    '' ORDER BY i) AS s
+        |  FROM e GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(CASE d.doc_id % 4 WHEN 0 THEN 240 WHEN 1 THEN 360
+        |    ELSE 300 END AS BIGINT) AS usize,
+        |  CASE d.doc_id % 4
+        |    WHEN 0 THEN repeat('alpha ', 40)
+        |    WHEN 1 THEN repeat(
+        |      'the quick brown fox jumps over the lazy dog. ', 8)
+        |    WHEN 2 THEN t2.s
+        |    ELSE repeat('key=value;', 30) END AS content
         |FROM documents d JOIN t2 USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 

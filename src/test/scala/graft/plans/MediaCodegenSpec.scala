@@ -74,7 +74,9 @@ class MediaCodegenSpec extends SparkFunSuite {
         "gzip_members" -> graft.plans.MediaExprs.gzipMembersCol,
         "warc_gz_records" -> graft.plans.MediaExprs.warcGzRecordsCol,
         "zstd_frames" -> graft.plans.MediaExprs.zstdFramesCol,
-        "warc_zst_records" -> graft.plans.MediaExprs.warcZstRecordsCol)
+        "warc_zst_records" -> graft.plans.MediaExprs.warcZstRecordsCol,
+        "lz4_frames" -> graft.plans.MediaExprs.lz4FramesCol,
+        "snappy_decode" -> graft.plans.MediaExprs.snappyCol)
       for ((name, f) <- fns) {
         // junk blobs: structs NULL / arrays empty, audit gives a
         // verdict — the point is the collect not throwing under
