@@ -4063,6 +4063,39 @@ object Multimodal {
       graft.plans.MediaExprs.lz4FramesCol).as[Lz4FrameRow]
   }
 
+  /** One row per RecordBatch v2 of a dumped Kafka segment (see
+    * [[KafkaSegment.batchesJvm]]). */
+  final case class KafkaBatchRow(doc_id: Long, base_offset: Long,
+    records_count: Long, codec: String, crc_ok: Boolean,
+    transactional: Boolean, control: Boolean, base_timestamp: Long,
+    max_timestamp: Long, batch_bytes: Long)
+
+  /** One row per Kafka record (see [[KafkaSegment.recordsJvm]]);
+    * values stay BINARY so Avro/protobuf bodies survive intact. */
+  final case class KafkaRecordRow(doc_id: Long, offset: Long,
+    timestamp: Long, key: String, value: Array[Byte], n_headers: Long,
+    codec: String)
+
+  /** Batch Kafka RecordBatch v2 metadata walk (native array-kernel
+    * expression, one output row per batch; CRC-32C verified). */
+  def extractKafkaBatches(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[KafkaBatchRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.kafkaBatchesCol).as[KafkaBatchRow]
+  }
+
+  /** Batch Kafka record walk (native array-kernel expression, one
+    * output row per record, codec-decompressed). */
+  def extractKafkaRecords(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[KafkaRecordRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.kafkaRecordsCol).as[KafkaRecordRow]
+  }
+
   /** Decoded Snappy raw block: content (≤ 64 KiB as UTF-8) + size. */
   final case class SnappyRow(doc_id: Long, usize: Long, content: String)
 

@@ -361,6 +361,43 @@ object MediaArrayKernel {
       case None => null
     }
 
+  /** [[Multimodal.KafkaBatchRow]] minus doc_id. */
+  val kafkaBatchSchema: StructType = StructType(Seq(
+    StructField("base_offset", LongType, nullable = false),
+    StructField("records_count", LongType, nullable = false),
+    StructField("codec", StringType, nullable = false),
+    StructField("crc_ok", BooleanType, nullable = false),
+    StructField("transactional", BooleanType, nullable = false),
+    StructField("control", BooleanType, nullable = false),
+    StructField("base_timestamp", LongType, nullable = false),
+    StructField("max_timestamp", LongType, nullable = false),
+    StructField("batch_bytes", LongType, nullable = false)))
+
+  def kafkaBatches(b: Array[Byte]): ArrayData =
+    new GenericArrayData(
+      graft.operators.KafkaSegment.batchesJvm(b).map { bt =>
+        InternalRow(bt.baseOffset, bt.recordsCount,
+          UTF8String.fromString(bt.codec), bt.crcOk, bt.transactional,
+          bt.control, bt.baseTimestamp, bt.maxTimestamp, bt.batchBytes)
+      }.toArray[Any])
+
+  /** [[Multimodal.KafkaRecordRow]] minus doc_id. */
+  val kafkaRecordSchema: StructType = StructType(Seq(
+    StructField("offset", LongType, nullable = false),
+    StructField("timestamp", LongType, nullable = false),
+    StructField("key", StringType, nullable = true),
+    StructField("value", BinaryType, nullable = true),
+    StructField("n_headers", LongType, nullable = false),
+    StructField("codec", StringType, nullable = false)))
+
+  def kafkaRecords(b: Array[Byte]): ArrayData =
+    new GenericArrayData(
+      graft.operators.KafkaSegment.recordsJvm(b).map { r =>
+        InternalRow(r.offset, r.timestamp,
+          if (r.key == null) null else UTF8String.fromString(r.key),
+          r.value, r.nHeaders, UTF8String.fromString(r.codec))
+      }.toArray[Any])
+
   def warcZstRecords(b: Array[Byte]): ArrayData =
     new GenericArrayData(Multimodal.warcZstRecordsJvm(b).map {
       case (t, u, cl, st) => InternalRow(UTF8String.fromString(t),
@@ -721,6 +758,35 @@ case class SnappyDecode(child: Expression) extends MediaDecodeExpression {
   override def prettyName: String = "graft_snappy_decode"
 }
 
+/** `kafka_batches(blob)` -> one struct per RecordBatch v2 of a dumped
+  * Kafka segment (CRC-32C verified, codec named); structural
+  * violations yield an empty array. */
+case class KafkaBatches(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.kafkaBatchSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.kafkaBatches($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.kafkaBatches(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_kafka_batches"
+}
+
+/** `kafka_records(blob)` -> one struct per RECORD of a dumped Kafka
+  * segment, the records section decompressed by attribute codec
+  * (none/gzip/snappy/lz4/zstd); values stay BINARY (Avro bodies
+  * survive). CRC-corrupt and control batches contribute no rows. */
+case class KafkaRecords(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.kafkaRecordSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.kafkaRecords($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.kafkaRecords(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_kafka_records"
+}
+
 /** `warc_zst_records(blob)` -> the WARC record walk over a fully
   * zstd-decompressed `.warc.zst` (Common Crawl's current layout);
   * identical output schema to `warc_records` on the uncompressed
@@ -934,6 +1000,8 @@ object MediaExprs {
   def warcZstRecordsCol(blob: Column): Column = c(WarcZstRecords(e(blob)))
   def lz4FramesCol(blob: Column): Column = c(Lz4Frames(e(blob)))
   def snappyCol(blob: Column): Column = c(SnappyDecode(e(blob)))
+  def kafkaBatchesCol(blob: Column): Column = c(KafkaBatches(e(blob)))
+  def kafkaRecordsCol(blob: Column): Column = c(KafkaRecords(e(blob)))
   def tarEntryRangesCol(blob: Column): Column = c(TarEntryRanges(e(blob)))
   def gzipMemberCol(blob: Column): Column = c(GzipMember(e(blob)))
   def gzipMembersCol(blob: Column): Column = c(GzipMembers(e(blob)))

@@ -1245,6 +1245,57 @@ object ExtensionQueries {
         array(SnappyGoldenHex.map(lit): _*),
         (pmod(col("doc_id"), lit(4L)) + 1L).cast("int"))).as("blob"))
 
+
+  /** REAL Kafka RecordBatch v2 segments (the independent python
+    * writer + reference codecs, `tools/gen_kafka_vectors.py`): one
+    * 6-record batch per codec, chosen by doc residue — the whole
+    * decompress-and-walk surface inside the driver's DuckDB gate. */
+  private val KafkaBatchHex: Seq[String] = Seq(
+    "00000000000003e8000000f70000000002a86f44500000000000050000" +
+      "0174876e800000000174876e8032ffffffffffffffffffffffffffff00" +
+      "000006420000000e6b6e6f6e652d301a76616c75652d6e6f6e652d302d" +
+      "0204683106687630360014020e6b6e6f6e652d311c76616c75652d6e6f" +
+      "6e652d312d7800460028040e6b6e6f6e652d321e76616c75652d6e6f6e" +
+      "652d322d787802046831066876323a003c060e6b6e6f6e652d33207661" +
+      "6c75652d6e6f6e652d332d787878004a0050080e6b6e6f6e652d342276" +
+      "616c75652d6e6f6e652d342d7878787802046831066876343e00640a0e" +
+      "6b6e6f6e652d352476616c75652d6e6f6e652d352d787878787800",
+    "00000000000003e8000000b000000000029296a26b0001000000050000" +
+      "0174876e800000000174876e8032ffffffffffffffffffffffffffff00" +
+      "0000061f8b080000000000000373626060e0cb4eafca2cd035902a4bcc" +
+      "294dd58570749958320cd932ca0ccc184498a02a0c65905418ea5630b8" +
+      "3168b040e58ce490e48c742b2aa0fa8dac186cd8a06a8c1590d41803d5" +
+      "54307831047040654d9490644d40b230334cec1852b8a0aa4c55905499" +
+      "82555530000050ea88eac6000000",
+    "00000000000003e8000000b800000000021adaf0a00002000000050000" +
+      "0174876e800000000174876e8032ffffffffffffffffffffffffffff00" +
+      "000006de01504a000000126b736e617070792d301e76616c75652d110f" +
+      "302d02046831066876303e00140215260431203226001c312d78004e00" +
+      "280415200432223220000c322d78780d48143242003c0612116e043324" +
+      "32280024332d7878780052005008152204342632220000340122114c10" +
+      "344600640a152a043528322a001c352d787878787800",
+    "00000000000003e8000000be00000000028aaae48a0003000000050000" +
+      "0174876e800000000174876e8032ffffffffffffffffffffffffffff00" +
+      "00000604224d186040827e000000f1033e0000000c6b6c7a342d301876" +
+      "616c75652d0c00d22d020468310668763032001402200026311a200082" +
+      "312d7800420028041a0026321c1a0043322d78783c00523236003c0622" +
+      "0026331e2200a2332d78787800460050081c002634201c0010341c0004" +
+      "400052343a00640a2400263522240080352d78787878780000000000",
+    "00000000000003e8000000ad0000000002c86058ca0004000000050000" +
+      "0174876e800000000174876e8032ffffffffffffffffffffffffffff00" +
+      "00000628b52ffd20c69d03006245141c704d8e01f160115f6be03f27df" +
+      "7b5d520c9a64c9b8bb1bb4dd942f05fdff1b1220139b78bfdfe02d8d32" +
+      "fadf4ee014a287f6bb055a2a74d19b0118726a58532a2613b21f948863" +
+      "3ecb7122a9409ab68a0d00c060c8fa0885008383ca08180c590f211360" +
+      "f0cfcc81c18aca3f0c330c")
+
+  private[graft] def kafkaFixture(s: SparkSession,
+      dir: String): DataFrame =
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), unhex(element_at(
+        array(KafkaBatchHex.map(lit): _*),
+        (pmod(col("doc_id"), lit(5L)) + 1L).cast("int"))).as("blob"))
+
   /** Per doc: k = 2 + doc%3 record frames, rotation start doc%4 — the
     * record SET varies by doc so the oracle check is non-vacuous. */
   private[graft] def warcZstFixture(s: SparkSession,
@@ -3647,6 +3698,66 @@ object ExtensionQueries {
           "doc_id")
         .toDF()
         .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // KAFKA SEGMENT WALK (round 13) — dumped RecordBatch v2 bytes at
+    // rest (replay/backfill without a broker): batch metadata with
+    // CRC-32C verdicts across all five codecs
+    "source_kafka_batches" -> ((s, dir) =>
+      Multimodal.extractKafkaBatches(kafkaFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"))),
+
+    // ... and the records themselves, the compressed sections routed
+    // through the golden-pinned codec decoders; values are binary by
+    // contract (Avro bodies survive) — decoded to UTF-8 here because
+    // THIS fixture's values are text
+    "source_kafka_records" -> ((s, dir) =>
+      Multimodal.extractKafkaRecords(kafkaFixture(s, dir), "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("offset"), col("timestamp"),
+          col("key"), decode(col("value"), "UTF-8").as("value"),
+          col("n_headers"), col("codec"))
+        .orderBy(col("doc_id"), col("offset"))),
+
+    // THE REFERENCE'S WHOLE PIPELINE FROM RAW SEGMENT BYTES (round 13)
+    // — Kafka batch walk (gzip records section) → binary record values
+    // → Confluent wire-format parse → schema-registry lookup → Avro
+    // decode → envelope, i.e. what the reference does as a Connect SMT
+    // but starting from the segment file a broker would serve; batch
+    // variants rotate record counts by doc so the check is non-vacuous
+    "source_kafka_avro" -> ((s, dir) => {
+      val (provider, id) = graft.sources.AvroEventCorpus.registry()
+      def ev(e: Int): Array[Byte] = graft.avro.WireFormat.frame(id,
+        graft.sources.AvroEventCorpus.encodeEventBody(e.toLong,
+          (e * 3 % 7).toLong,
+          Seq("view", "click", "purchase", "refund")(e % 4), e * 2.5,
+          s"""{"k": $e}""", 1600000000000000L + e))
+      val variants = (0 until 4).map { v =>
+        graft.operators.KafkaSegment.buildBatchV2(100L,
+          1600000000000L,
+          (0 until 5 + v).map(e => (e.toString.getBytes, ev(e))),
+          codec = 1)
+      }
+      val fixture = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), element_at(
+          array(variants.map(lit): _*),
+          (pmod(col("doc_id"), lit(4L)) + 1L).cast("int")).as("blob"))
+      val recs = Multimodal.extractKafkaRecords(fixture, "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("offset"),
+          lit("events").as("topic"), col("value"))
+      val decoded = graft.avro.AvroTransform.decoded(recs,
+        graft.config.EngineConfig(Seq("stub://in-memory"),
+          Map("events" -> false)), provider)
+      def f(name: String) =
+        get_json_object(col("origin_message"), s"$$.$name")
+      decoded.select(col("doc_id"), col("offset"),
+        f("event_id").cast("long").as("event_id"),
+        f("user_id").cast("long").as("user_id"),
+        f("event_type").as("event_type"),
+        f("value").cast("double").as("value"))
+        .orderBy(col("doc_id"), col("offset"))
+    }),
 
     // LZ4 FRAMES (round 13) — Kafka's and Parquet's codec through the
     // golden-pinned pure-JVM decoder: real reference-encoder frames,
@@ -7354,6 +7465,52 @@ object ExtensionQueries {
         |  CAST(NULL AS BOOLEAN) AS checksum_ok
         |FROM documents d JOIN t2 USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // python-writer batch constants: baseOffset 1000, 6 records, ts
+    // base 1.6e12 spaced 10 ms, sizes measured per codec file
+    "source_kafka_batches" ->
+      """SELECT doc_id, CAST(1000 AS BIGINT) AS base_offset,
+        |  CAST(6 AS BIGINT) AS records_count,
+        |  CASE doc_id % 5 WHEN 0 THEN 'none' WHEN 1 THEN 'gzip'
+        |    WHEN 2 THEN 'snappy' WHEN 3 THEN 'lz4' ELSE 'zstd' END
+        |    AS codec,
+        |  TRUE AS crc_ok, FALSE AS transactional, FALSE AS control,
+        |  CAST(1600000000000 AS BIGINT) AS base_timestamp,
+        |  CAST(1600000000050 AS BIGINT) AS max_timestamp,
+        |  CAST(CASE doc_id % 5 WHEN 0 THEN 259 WHEN 1 THEN 188
+        |    WHEN 2 THEN 196 WHEN 3 THEN 202 ELSE 185 END AS BIGINT)
+        |    AS batch_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "source_kafka_records" ->
+      """WITH e AS (SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'none' WHEN 1 THEN 'gzip'
+        |    WHEN 2 THEN 'snappy' WHEN 3 THEN 'lz4' ELSE 'zstd' END
+        |    AS tag,
+        |  unnest(range(0, 6)) AS i FROM documents)
+        |SELECT doc_id, CAST(1000 + i AS BIGINT) AS "offset",
+        |  CAST(1600000000000 + 10 * i AS BIGINT) AS "timestamp",
+        |  'k' || tag || '-' || i AS key,
+        |  'value-' || tag || '-' || i || '-' || repeat('x',
+        |    CAST(i % 7 AS INT)) AS value,
+        |  CAST(CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_headers,
+        |  tag AS codec
+        |FROM e ORDER BY doc_id, "offset"""".stripMargin,
+
+    // the capstone's closed-form events: k = 5 + doc%4 records,
+    // event e -> user e*3%7, type by e%4, value 2.5e (exact binary
+    // fraction -- the float-fold trap doesn't bite)
+    "source_kafka_avro" ->
+      """WITH p AS (SELECT doc_id, 5 + doc_id % 4 AS k FROM documents),
+        |e AS (SELECT doc_id, unnest(range(0, k)) AS ev FROM p)
+        |SELECT doc_id, CAST(100 + ev AS BIGINT) AS "offset",
+        |  CAST(ev AS BIGINT) AS event_id,
+        |  CAST((ev * 3) % 7 AS BIGINT) AS user_id,
+        |  CASE ev % 4 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+        |    WHEN 2 THEN 'purchase' ELSE 'refund' END AS event_type,
+        |  2.5 * ev AS value
+        |FROM e ORDER BY doc_id, "offset"""".stripMargin,
 
     // pyarrow's lz4 frames: version 01, independent blocks, no
     // checksums/content-size (header HC always verified -> true),

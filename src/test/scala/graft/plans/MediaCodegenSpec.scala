@@ -76,7 +76,9 @@ class MediaCodegenSpec extends SparkFunSuite {
         "zstd_frames" -> graft.plans.MediaExprs.zstdFramesCol,
         "warc_zst_records" -> graft.plans.MediaExprs.warcZstRecordsCol,
         "lz4_frames" -> graft.plans.MediaExprs.lz4FramesCol,
-        "snappy_decode" -> graft.plans.MediaExprs.snappyCol)
+        "snappy_decode" -> graft.plans.MediaExprs.snappyCol,
+        "kafka_batches" -> graft.plans.MediaExprs.kafkaBatchesCol,
+        "kafka_records" -> graft.plans.MediaExprs.kafkaRecordsCol)
       for ((name, f) <- fns) {
         // junk blobs: structs NULL / arrays empty, audit gives a
         // verdict — the point is the collect not throwing under
