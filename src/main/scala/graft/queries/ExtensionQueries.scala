@@ -1289,6 +1289,9 @@ object ExtensionQueries {
       "3ecb7122a9409ab68a0d00c060c8fa0885008383ca08180c590f211360" +
       "f0cfcc81c18aca3f0c330c")
 
+  /** Spec hook: one codec's golden batch hex (0 none … 4 zstd). */
+  private[graft] def kafkaBatchHexFor(i: Int): String = KafkaBatchHex(i)
+
   private[graft] def kafkaFixture(s: SparkSession,
       dir: String): DataFrame =
     spread(t(s, dir, "documents"))

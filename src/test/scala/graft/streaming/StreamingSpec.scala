@@ -119,6 +119,29 @@ class StreamingSpec extends SparkFunSuite {
       .toDF().orderBy("doc_id").collect().map(_.toString).toSeq
     assert(gotTiff == wantTiff && gotTiff.nonEmpty,
       "tiff front door: stream != batch")
+    // round-13 archive/codec walks lift identically: the Kafka segment
+    // record walk (codec-decompressed) and the zstd frame walk
+    val kafka = blobs(unhex(lit(graft.queries.ExtensionQueries
+      .kafkaBatchHexFor(1))))
+    val gotKafka = run(kafka,
+      df => graft.operators.Multimodal.extractKafkaRecords(df, "doc_id")
+        .toDF().drop("value"), "kafka_rec_stream")
+    val wantKafka = graft.operators.Multimodal
+      .extractKafkaRecords(kafka.toDF("doc_id", "blob"), "doc_id")
+      .toDF().drop("value").orderBy("doc_id", "offset").collect()
+      .map(_.toString).toSeq
+    assert(gotKafka.sorted == wantKafka.sorted && gotKafka.nonEmpty,
+      "kafka records: stream != batch")
+    val zstd = blobs(graft.queries.ExtensionQueries.zstdBlob)
+    val gotZstd = run(zstd,
+      df => graft.operators.Multimodal.extractZstdFrames(df, "doc_id")
+        .toDF(), "zstd_frames_stream")
+    val wantZstd = graft.operators.Multimodal
+      .extractZstdFrames(zstd.toDF("doc_id", "blob"), "doc_id")
+      .toDF().orderBy("doc_id", "frame_idx").collect()
+      .map(_.toString).toSeq
+    assert(gotZstd.sorted == wantZstd.sorted && gotZstd.nonEmpty,
+      "zstd frames: stream != batch")
   }
 
   test("streaming decode: golden envelope via MemoryStream (M2 wiring)") {
