@@ -1740,6 +1740,37 @@ object Multimodal {
     Some(out)
   }
 
+  /** Zlib inflate (round 13) — TIFF compression 8 (Adobe Deflate, the
+    * TechNote 2 / de-facto standard) and its legacy alias 32946: a
+    * zlib-wrapped deflate stream per strip. Decodes exactly `need`
+    * bytes from `data[off, off+len)`; None on truncation, a stream
+    * that regenerates short/long, or a zlib error (a corrupt strip
+    * must not silently yield short pixels — the Inflater verifies the
+    * Adler-32 trailer on `finished()`). */
+  private[graft] def inflateZlib(data: Array[Byte], off: Int, len: Int,
+      need: Int): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data, off, len)
+      val out = new Array[Byte](need)
+      var w = 0
+      while (w < need && !inf.finished()) {
+        val n = inf.inflate(out, w, need - w)
+        if (n == 0 && !inf.finished()) return None // starved mid-strip
+        w += n
+      }
+      // drain: a conforming strip ends exactly at `need` (one zero-
+      // length call lets the Inflater read the Adler trailer)
+      if (w == need && !inf.finished()) {
+        val extra = inf.inflate(new Array[Byte](1), 0, 1)
+        if (extra > 0 || !inf.finished()) return None
+      }
+      if (w == need) Some(out) else None
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
   /** GIF features via [[rasterFeatures]] over [[decodeGifPixels]]. */
   def decodeGifFeatures(bytes: Array[Byte]): Option[RasterFeatureRow] =
     decodeGifPixels(bytes).map { case (w, h, px) =>
@@ -2634,12 +2665,14 @@ object Multimodal {
       blobCol: String = "blob"): Dataset[RasterFeatureRow] =
     rasterExtract(df, idCol, blobCol, jpegFeaturesCol)
 
-  /** Baseline TIFF (round 12, LZW + PackBits round 13) as a top-down
-    * raster — the IFD walk both byte orders (`II`/`MM`),
+  /** Baseline TIFF (round 12, LZW + PackBits + Deflate round 13) as a
+    * top-down raster — the IFD walk both byte orders (`II`/`MM`),
     * strip-organized, UNCOMPRESSED (tag 259 = 1), LZW (tag 259 = 5,
-    * the TIFF6 §13 early-change variant via [[lzwDecodeTiff]]), or
+    * the TIFF6 §13 early-change variant via [[lzwDecodeTiff]]),
     * PackBits (tag 259 = 32773, TIFF6 §9 via [[packBitsDecode]] — the
-    * scanned-document default), each with the horizontal-differencing
+    * scanned-document default), or Deflate (tag 259 = 8 per Adobe
+    * TechNote 2, legacy alias 32946 — zlib-wrapped per strip via
+    * [[inflateZlib]]), each with the horizontal-differencing
     * predictor (tag 317 = 2) inverted per row, 8-bit RGB (photometric
     * 2, 3 samples) or grayscale (photometric 1, 1 sample).
     * JPEG-in-TIFF and other compressions return None (PERMISSIVE —
@@ -2715,7 +2748,8 @@ object Multimodal {
       }
       i += 1
     }
-    if ((comp != 1L && comp != 5L && comp != 32773L) || !bitsOk)
+    if ((comp != 1L && comp != 5L && comp != 32773L && comp != 8L &&
+        comp != 32946L) || !bitsOk)
       return None
     if (predictor != 1L && predictor != 2L) return None
     val ch = photo match {
@@ -2768,6 +2802,11 @@ object Multimodal {
             }
           else if (comp == 32773L)
             packBitsDecode(b, off.toInt, len.toInt, decodedLen) match {
+              case Some(a) => a
+              case None => return None
+            }
+          else if (comp == 8L || comp == 32946L)
+            inflateZlib(b, off.toInt, len.toInt, decodedLen) match {
               case Some(a) => a
               case None => return None
             }
@@ -3804,6 +3843,39 @@ object Multimodal {
     import spark.implicits._
     explodeExtract(df, idCol, blobCol,
       graft.plans.MediaExprs.warcGzRecordsCol).as[WarcRecordRow]
+  }
+
+  /** One row per bzip2 stream member (see
+    * [[graft.operators.Bzip2Decode.membersJvm]]). */
+  final case class Bz2MemberRow(doc_id: Long, member_idx: Long,
+    level: Long, n_blocks: Long, usize: Long, content: String,
+    crc_ok: Boolean, compressed_len: Long)
+
+  /** Batch multi-stream bzip2 walk (native array-kernel expression,
+    * one output row per stream member; golden-pinned decoder). */
+  def extractBz2Members(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[Bz2MemberRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.bz2MembersCol).as[Bz2MemberRow]
+  }
+
+  /** One row per MediaWiki `<page>` (see
+    * [[graft.operators.WikiDump.pagesJvm]]). */
+  final case class WikiPageRow(doc_id: Long, page_idx: Long,
+    page_id: Long, ns: Long, title: String, redirect: String,
+    text: String, text_bytes: Long)
+
+  /** Batch MediaWiki dump page walk (native array-kernel expression):
+    * `.xml.bz2` multistream blobs decompress first; plain XML passes
+    * straight through — one output row per page either way. */
+  def extractWikiPages(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[WikiPageRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.wikiPagesCol).as[WikiPageRow]
   }
 
   /** Batch TAR entry listing (native array-kernel expression, one

@@ -260,6 +260,45 @@ object MediaArrayKernel {
         UTF8String.fromString(u), cl, st)
     }.toArray[Any])
 
+  /** [[Multimodal.Bz2MemberRow]] minus doc_id. */
+  val bz2MemberSchema: StructType = StructType(Seq(
+    StructField("member_idx", LongType, nullable = false),
+    StructField("level", LongType, nullable = false),
+    StructField("n_blocks", LongType, nullable = false),
+    StructField("usize", LongType, nullable = false),
+    StructField("content", StringType, nullable = true),
+    StructField("crc_ok", BooleanType, nullable = false),
+    StructField("compressed_len", LongType, nullable = false)))
+
+  def bz2Members(b: Array[Byte]): ArrayData =
+    new GenericArrayData(
+      graft.operators.Bzip2Decode.membersJvm(b).zipWithIndex.map {
+        case (m, i) => InternalRow(i.toLong, m.level.toLong,
+          m.nBlocks.toLong, m.content.length.toLong,
+          if (m.content.length <= (1 << 16))
+            UTF8String.fromBytes(m.content)
+          else null,
+          m.crcOk, m.compressedLen.toLong)
+      }.toArray[Any])
+
+  /** [[Multimodal.WikiPageRow]] minus doc_id. */
+  val wikiPageSchema: StructType = StructType(Seq(
+    StructField("page_idx", LongType, nullable = false),
+    StructField("page_id", LongType, nullable = false),
+    StructField("ns", LongType, nullable = false),
+    StructField("title", StringType, nullable = false),
+    StructField("redirect", StringType, nullable = true),
+    StructField("text", StringType, nullable = false),
+    StructField("text_bytes", LongType, nullable = false)))
+
+  def wikiPages(b: Array[Byte]): ArrayData =
+    new GenericArrayData(graft.operators.WikiDump.pagesJvm(b).map {
+      case (i, id, ns, t, r, x, n) => InternalRow(i, id, ns,
+        UTF8String.fromString(t),
+        if (r == null) null else UTF8String.fromString(r),
+        UTF8String.fromString(x), n)
+    }.toArray[Any])
+
   /** [[Multimodal.TarEntryRow]] minus doc_id. */
   val tarEntrySchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
@@ -711,6 +750,36 @@ case class GzipMembers(child: Expression) extends MediaArrayExpression {
   override def prettyName: String = "graft_gzip_members"
 }
 
+/** `bz2_members(blob)` -> one struct per stream of a concatenated
+  * multi-stream bzip2 blob (the Wikipedia-multistream layout), fully
+  * decoded and CRC-verified (golden-pinned against libbz2);
+  * structural violations yield an empty array. */
+case class Bz2Members(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.bz2MemberSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.bz2Members($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.bz2Members(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_bz2_members"
+}
+
+/** `wiki_pages(blob)` -> one struct per MediaWiki `<page>` element;
+  * a `BZh` prefix routes through the multi-stream bzip2 decoder (the
+  * `pages-articles-multistream.xml.bz2` layout), anything else is
+  * plain dump XML. */
+case class WikiPages(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.wikiPageSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.wikiPages($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.wikiPages(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_wiki_pages"
+}
+
 /** `warc_gz_records(blob)` -> the WARC record walk over an inflated
   * `.warc.gz` (one gzip member per record, concatenated); identical
   * output schema to `warc_records` on the uncompressed twin. */
@@ -1006,4 +1075,6 @@ object MediaExprs {
   def gzipMemberCol(blob: Column): Column = c(GzipMember(e(blob)))
   def gzipMembersCol(blob: Column): Column = c(GzipMembers(e(blob)))
   def warcGzRecordsCol(blob: Column): Column = c(WarcGzRecords(e(blob)))
+  def bz2MembersCol(blob: Column): Column = c(Bz2Members(e(blob)))
+  def wikiPagesCol(blob: Column): Column = c(WikiPages(e(blob)))
 }

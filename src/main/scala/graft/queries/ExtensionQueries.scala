@@ -744,7 +744,9 @@ object ExtensionQueries {
     * point at these strip sizes, and the decoder must still drive its
     * full code loop); docs ≡ 2 (mod 4) store a PACKBITS stream (one
     * all-literal run — dsz ≤ 120 < 128, so a single control byte
-    * frames the strip; repeat runs are spec territory); docs ≡ 3
+    * frames the strip; repeat runs are spec territory); docs ≡ 4
+    * (mod 8) store an ADOBE-DEFLATE (comp 8) zlib stream with a real
+    * Adler-32 trailer; docs ≡ 3
     * (mod 4) additionally apply the horizontal-differencing predictor
     * (tag 317 = 2), so the STORED values are row-wise deltas the
     * decoder must re-accumulate. Layout: header 8 + count 2 + 10·12 +
@@ -806,9 +808,27 @@ object ExtensionQueries {
     // exercised by the JVM spec's real encoder
     val packBytes = concat(unhex(lpad(hex(dsz - 1L), 2, "0")), rawBytes)
     val packbits = d % 4L === 2L
+    // Deflate twin (round 13, docs ≡ 4 mod 8 — carved out of the
+    // uncompressed residue): a REAL zlib stream — header 78 01, one
+    // STORED deflate block (the transparent-compressed-layer
+    // discipline), and the Adler-32 trailer computed in closed form
+    // (A = 1+Σb, B = n+Σ(n-j)·b, both < 65521 barriers since dsz ≤
+    // 120·255) so the Inflater's trailer check is non-vacuous
+    val comp8 = d % 8L === 4L
+    val sumA = aggregate(sequence(lit(0L), dsz - 1L), lit(0L),
+      (a, j) => a + p(j))
+    val sumB = aggregate(sequence(lit(0L), dsz - 1L), lit(0L),
+      (a, j) => a + (dsz - j) * p(j))
+    val adler = pmod(dsz + sumB, lit(65521L)) * 65536L +
+      pmod(lit(1L) + sumA, lit(65521L))
+    val zlibBytes = concat(unhex(lit("780101")),
+      le16b(dsz), le16b(lit(65535L) - dsz), rawBytes,
+      unhex(lpad(hex(adler), 8, "0")))
     val strip = when(comp5, lzwBytes).when(packbits, packBytes)
+      .when(comp8, zlibBytes)
       .otherwise(rawBytes)
     val stripLen = when(comp5, nBytes).when(packbits, dsz + 1L)
+      .when(comp8, dsz + 11L)
       .otherwise(dsz)
     concat(
       lit("II".getBytes), le16b(lit(42L)), le32b(lit(8L)),
@@ -817,7 +837,8 @@ object ExtensionQueries {
       entry(257, 3, 1, shortVal(h)),
       entry(258, 3, 3, le32b(lit(134L))),
       entry(259, 3, 1, shortVal(when(comp5, lit(5L))
-        .when(packbits, lit(32773L)).otherwise(lit(1L)))),
+        .when(packbits, lit(32773L)).when(comp8, lit(8L))
+        .otherwise(lit(1L)))),
       entry(262, 3, 1, shortVal(lit(2L))),
       entry(273, 4, 1, le32b(lit(140L))),
       entry(277, 3, 1, shortVal(lit(3L))),
@@ -1311,6 +1332,89 @@ object ExtensionQueries {
     spread(t(s, dir, "documents"))
       .select(d, unhex(blobHex).as("blob"))
   }
+
+  /** REAL libbz2 streams (level 1, the reference encoder behind
+    * `tools/gen_bz2_vectors.py`) over the same four closed-form
+    * plaintexts as [[ZstdGoldenHex]] — the Wikipedia-dump codec inside
+    * the driver's correctness gate. Even docs append a second member
+    * (multi-stream, the `pages-articles-multistream` layout) so the
+    * walk's member accounting is non-vacuous. */
+  private val Bz2GoldenHex: Seq[String] = Seq(
+    // repeat('alpha ', 40) — 240 bytes -> 52
+    "425a6831314159265359e4b7ed1e00003b9180400020444000200030cd00" +
+      "52a699e1304c1344f89a270bb9229c2848725bf68f00",
+    // repeat('the quick brown fox jumps over the lazy dog. ', 8)
+    "425a6831314159265359033a1ea9000097918040013ffffff020009028d0" +
+      "d0000001554d35191a60136a6da931103510301412141e86637180d848" +
+      "6c15168e47415131c090b440e44c64283a131a8fc2a261020662cec763" +
+      "f8bb9229c2848019d0f548",
+    // chr(97 + (i*11 + 5) % 26) over range(300)
+    "425a6831314159265359c29d317c00001d01803ffffff020007050000064" +
+      "c80a5540000c087a2f65f2985312d99533a685a97da7ea762ee5e29e69" +
+      "e8bd97ca60589654ce9a16a5f69fa9fc5dc914e142430a74c5f0",
+    // repeat('key=value;', 30)
+    "425a68313141592653592c11f2c20000598980000a220c03202000544193" +
+      "1026aa807ea9d43434343e8790fa1a1a1a1e2ee48a70a1205823e584")
+
+  // repeat('tail member ', 10) — the even-doc second member
+  private val Bz2TailHex: String =
+    "425a68313141592653599bf5128800003b9180400032261400200020a548" +
+      "33420c988fd3898984da6d313131349a4e8bb9229c28484dfa894400"
+
+  private[graft] def bz2Fixture(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val base = element_at(array(Bz2GoldenHex.map(lit): _*),
+      (pmod(d, lit(4L)) + 1L).cast("int"))
+    spread(t(s, dir, "documents"))
+      .select(d, unhex(concat(base,
+        when(d % 2L === 0L, lit(Bz2TailHex)).otherwise(lit(""))))
+        .as("blob"))
+  }
+
+  /** Wikipedia-dump fixture: even docs carry a REAL `.xml.bz2`
+    * MULTISTREAM (two concatenated libbz2 streams — pages Alpha/Beta,
+    * then redirect page Gamma), odd docs the PLAIN-XML layout (pages
+    * Talk:Delta and Epsilon, entity escapes + a newline in the text
+    * body) — both front doors of the page walk in one query. */
+  private val WikiBz2Hex: Seq[String] = Seq(
+    "425a68313141592653591f87f964000051df8050105101f88f3000000a37" +
+      "efdde03000cb01953200000f50006802553f540046001180000aa9a229" +
+      "a7e54f533126818864f51ea68b04ce480d02086c1028500fcdd3060814" +
+      "bb0575c0cbaf404a2520b455a6d987875b43a4456524e58d25621c10d0" +
+      "8a0a44545e2689a1d28b97195222b9b9ce69cf86df0e888f239f8ec40b" +
+      "5ff6ea434acb8a9c8a1560612a699f53e0d7ccfcb6a54df0535ddfb2b6" +
+      "eb8c145aa6ccee5ea4b85145fb62e71266ffe650bd8f65966509aa7749" +
+      "8e333b3fc5dc914e142407e1fe5900",
+    "425a68313141592653593846f6de00001a5f8050105800e8272ea0140a3e" +
+      "efdde020009508a6d21a0068d01a3d43468004a214da6a7a279401a000" +
+      "64f446816a20a023843330db8174e4b5d53026d84984dcb639f6dd649a" +
+      "0e9804dd150224a169ccc3a5f780e7258102b125e48a54a634dc86b521" +
+      "22029f4f82e105b94522672fdfc4f05390ea10492a5e5b0b28322f1592" +
+      "1ad1ba7b0e31c5727bf72b2a4ac8a997f1772453850903846f6de0")
+
+  private val WikiXmlHex: String =
+    "3c6d6564696177696b693e0a20203c706167653e0a202020203c7469746c" +
+      "653e54616c6b3a44656c74613c2f7469746c653e0a202020203c6e733e" +
+      "313c2f6e733e0a202020203c69643e31313c2f69643e0a202020203c72" +
+      "65766973696f6e3e0a2020202020203c69643e313130313c2f69643e0a" +
+      "2020202020203c746578742062797465733d223331223e446973637573" +
+      "73696f6e2061626f757420266c743b44656c74612667743b2e3c2f7465" +
+      "78743e0a202020203c2f7265766973696f6e3e0a20203c2f706167653e" +
+      "0a20203c706167653e0a202020203c7469746c653e457073696c6f6e3c" +
+      "2f7469746c653e0a202020203c6e733e303c2f6e733e0a202020203c69" +
+      "643e31323c2f69643e0a202020203c7265766973696f6e3e0a20202020" +
+      "20203c69643e313230313c2f69643e0a2020202020203c746578742062" +
+      "797465733d223231223e457073696c6f6e2e0a5365636f6e64206c696e" +
+      "652e3c2f746578743e0a202020203c2f7265766973696f6e3e0a20203c" +
+      "2f706167653e0a3c2f6d6564696177696b693e0a"
+
+  private[graft] def wikiBlob: org.apache.spark.sql.Column = unhex(
+    when(col("doc_id") % 2L === 0L, lit(WikiBz2Hex.mkString))
+      .otherwise(lit(WikiXmlHex)))
+
+  private[graft] def wikiFixture(s: SparkSession, dir: String): DataFrame =
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), wikiBlob.as("blob"))
 
   /** ID3v2.3-tagged MP3 fixture (round 12, UTF-16 round 13):
     * TIT2/TPE1/TALB text frames with closed-form strings, one real
@@ -3786,6 +3890,25 @@ object ExtensionQueries {
         .toDF()
         .orderBy(col("doc_id"), col("rec_type"), col("target_uri"),
           col("content_length"))),
+
+    // BZIP2 MEMBER WALK (round 13) — the Wikipedia-dump codec: REAL
+    // libbz2 streams (golden templates) through the full
+    // Huffman/MTF/BWT/RLE decode with per-block + footer CRCs
+    // verified; even docs are multi-stream so member accounting is
+    // non-vacuous
+    "source_bz2_members" -> ((s, dir) =>
+      Multimodal.extractBz2Members(bz2Fixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"), col("member_idx"))),
+
+    // WIKIPEDIA PAGE WALK (round 13) — the composition the bzip2
+    // decoder exists for: `.xml.bz2` multistream blobs (even docs)
+    // and plain dump XML (odd docs) both yield one row per <page>
+    // with title/ns/id/redirect/text, entities unescaped
+    "source_wiki_pages" -> ((s, dir) =>
+      Multimodal.extractWikiPages(wikiFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"), col("page_idx"))),
 
     // ID3v2 TEXT FRAMES (round 12) — title/artist/album off the tag
     // (the audio-catalog surface); frame sizes real, encodings latin-1
@@ -7579,6 +7702,63 @@ object ExtensionQueries {
         |    ELSE 0 END AS BIGINT) AS http_status
         |FROM r ORDER BY doc_id, rec_type, target_uri,
         |  content_length""".stripMargin,
+
+    // each golden member's decoded plaintext + member accounting;
+    // all templates are level 1, single-block; even docs carry the
+    // 'tail member' second stream
+    "source_bz2_members" ->
+      """WITH e AS (SELECT doc_id, unnest(range(0, 300)) AS i
+        |  FROM documents),
+        |t2 AS (SELECT doc_id,
+        |  string_agg(chr(CAST(97 + (i*11 + 5) % 26 AS INT)),
+        |    '' ORDER BY i) AS s
+        |  FROM e GROUP BY doc_id),
+        |base AS (SELECT d.doc_id, 0 AS member_idx,
+        |  CASE d.doc_id % 4
+        |    WHEN 0 THEN repeat('alpha ', 40)
+        |    WHEN 1 THEN repeat(
+        |      'the quick brown fox jumps over the lazy dog. ', 8)
+        |    WHEN 2 THEN t2.s
+        |    ELSE repeat('key=value;', 30) END AS content,
+        |  CASE d.doc_id % 4 WHEN 0 THEN 52 WHEN 1 THEN 99
+        |    WHEN 2 THEN 85 ELSE 58 END AS compressed_len
+        |  FROM documents d JOIN t2 USING (doc_id)),
+        |tail AS (SELECT doc_id, 1 AS member_idx,
+        |  repeat('tail member ', 10) AS content, 58 AS compressed_len
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM tail)
+        |SELECT doc_id, CAST(member_idx AS BIGINT) AS member_idx,
+        |  CAST(1 AS BIGINT) AS level, CAST(1 AS BIGINT) AS n_blocks,
+        |  CAST(strlen(content) AS BIGINT) AS usize, content,
+        |  TRUE AS crc_ok,
+        |  CAST(compressed_len AS BIGINT) AS compressed_len
+        |FROM u ORDER BY doc_id, member_idx""".stripMargin,
+
+    // the five fixture pages in closed form; text_bytes is the
+    // UNESCAPED body's octet length (the parser's contract), so the
+    // oracle derives it rather than trusting the dump's bytes= attr
+    "source_wiki_pages" ->
+      """WITH a AS (SELECT * FROM (VALUES
+        |    (0, 1, 0, 'Alpha', CAST(NULL AS VARCHAR),
+        |      'Alpha is the first letter. A & B.'),
+        |    (1, 2, 0, 'Beta', NULL, 'Beta follows [[Alpha]].'),
+        |    (2, 3, 0, 'Gamma', 'Alpha', '#REDIRECT [[Alpha]]'))
+        |  t(page_idx, page_id, ns, title, redirect, body)),
+        |b AS (SELECT * FROM (VALUES
+        |    (0, 11, 1, 'Talk:Delta', CAST(NULL AS VARCHAR),
+        |      'Discussion about <Delta>.'),
+        |    (1, 12, 0, 'Epsilon', NULL,
+        |      'Epsilon.' || chr(10) || 'Second line.'))
+        |  t(page_idx, page_id, ns, title, redirect, body)),
+        |p AS (SELECT 0 AS par, * FROM a
+        |  UNION ALL SELECT 1 AS par, * FROM b)
+        |SELECT d.doc_id, CAST(p.page_idx AS BIGINT) AS page_idx,
+        |  CAST(p.page_id AS BIGINT) AS page_id,
+        |  CAST(p.ns AS BIGINT) AS ns, p.title, p.redirect,
+        |  p.body AS text,
+        |  CAST(strlen(p.body) AS BIGINT) AS text_bytes
+        |FROM documents d JOIN p ON d.doc_id % 2 = p.par
+        |ORDER BY d.doc_id, page_idx""".stripMargin,
 
     "mm_id3_text" ->
       """SELECT doc_id, 'doc-' || doc_id AS title,

@@ -590,6 +590,91 @@ class TiffSpec extends SparkFunSuite {
     assert(java.util.Arrays.equals(gpx, px))
   }
 
+  test("Adobe Deflate (comp 8 + legacy 32946): REAL zlib streams " +
+      "(java.util.zip.Deflater — the reference encoder) decode; a " +
+      "corrupted Adler trailer, a short stream, and an over-long " +
+      "stream all fail loud; Deflate+predictor end-to-end, TWO strips") {
+    def zlib(data: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(data); d.finish()
+      val buf = new Array[Byte](data.length * 2 + 64)
+      val n = d.deflate(buf)
+      d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val rnd = new scala.util.Random(11)
+    val cases = Seq(
+      Array.fill(300)(5.toByte),
+      Array.tabulate(1000)(_ => rnd.nextInt(256).toByte))
+    cases.foreach { data =>
+      val enc = zlib(data)
+      val got = Multimodal.inflateZlib(enc, 0, enc.length, data.length)
+      assert(got.isDefined && java.util.Arrays.equals(got.get, data))
+      assert(Multimodal.inflateZlib(enc, 0, enc.length / 2,
+        data.length).isEmpty, "truncated stream must fail loud")
+      val bad = enc.clone()
+      bad(bad.length - 1) = (bad(bad.length - 1) ^ 1).toByte
+      assert(Multimodal.inflateZlib(bad, 0, bad.length,
+        data.length).isEmpty, "corrupt Adler must fail loud")
+      // a strip that regenerates MORE than declared fails (lying IFD)
+      assert(Multimodal.inflateZlib(enc, 0, enc.length,
+        data.length - 10).isEmpty, "over-long regeneration must fail")
+      assert(Multimodal.inflateZlib(enc, 0, enc.length,
+        data.length + 10).isEmpty, "short regeneration must fail")
+    }
+    // end-to-end: 4x4 RGB, comp 8, predictor 2, TWO strips of 2 rows
+    val (w, h, spp) = (4, 4, 3)
+    val px = Array.tabulate(w * h * spp)(j => ((j * 29 + 17) % 256).toByte)
+    val deltas = px.clone()
+    for (r <- 0 until h; i <- (spp until w * spp).reverse)
+      deltas(r * w * spp + i) =
+        (px(r * w * spp + i) - px(r * w * spp + i - spp)).toByte
+    val half = w * spp * 2
+    val s1 = zlib(java.util.Arrays.copyOfRange(deltas, 0, half))
+    val s2 = zlib(java.util.Arrays.copyOfRange(deltas, half, 2 * half))
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    def entry(tag: Int, typ: Int, cnt: Int, value: Int): Unit = {
+      le16(tag); le16(typ); le32(cnt); le32(value)
+    }
+    // 10 entries; strip offset/count arrays (cnt 2) live past the IFD
+    val bitsOff = 8 + 2 + 10 * 12 + 4
+    val offArr = bitsOff + 6
+    val cntArr = offArr + 8
+    val strip1 = cntArr + 8
+    bos.write('I'); bos.write('I'); le16(42); le32(8)
+    le16(10)
+    entry(256, 3, 1, w); entry(257, 3, 1, h)
+    entry(258, 3, 3, bitsOff)
+    entry(259, 3, 1, 8)
+    entry(262, 3, 1, 2)
+    entry(273, 4, 2, offArr)
+    entry(277, 3, 1, spp); entry(278, 3, 1, 2)
+    entry(279, 4, 2, cntArr)
+    entry(317, 3, 1, 2)
+    le32(0)
+    le16(8); le16(8); le16(8)
+    le32(strip1); le32(strip1 + s1.length)
+    le32(s1.length); le32(s2.length)
+    bos.write(s1); bos.write(s2)
+    val got = Multimodal.decodeTiffPixels(bos.toByteArray)
+    assert(got.isDefined, "Deflate+predictor two-strip TIFF must decode")
+    val (gw, gh, gch, gpx) = got.get
+    assert(gw == w && gh == h && gch == 3)
+    assert(java.util.Arrays.equals(gpx, px))
+    // the legacy alias decodes identically
+    val legacy = bos.toByteArray
+    // comp tag value sits in entry #4's value field:
+    // 8 (hdr) + 2 + 3*12 + 8 = offset of entry(259) value
+    val compOff = 8 + 2 + 3 * 12 + 8
+    legacy(compOff) = (32946 & 0xff).toByte
+    legacy(compOff + 1) = ((32946 >> 8) & 0xff).toByte
+    val got2 = Multimodal.decodeTiffPixels(legacy)
+    assert(got2.isDefined && java.util.Arrays.equals(got2.get._4, px),
+      "legacy 32946 alias must decode identically")
+  }
+
   test("zstd frame walk: descriptor/window/dict/FCS arithmetic, block " +
       "chains, Raw+RLE content extraction, XXH64 checksum verify " +
       "(empty-input vector pinned), compressed-block codec boundary, " +

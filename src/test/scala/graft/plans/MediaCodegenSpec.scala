@@ -78,7 +78,9 @@ class MediaCodegenSpec extends SparkFunSuite {
         "lz4_frames" -> graft.plans.MediaExprs.lz4FramesCol,
         "snappy_decode" -> graft.plans.MediaExprs.snappyCol,
         "kafka_batches" -> graft.plans.MediaExprs.kafkaBatchesCol,
-        "kafka_records" -> graft.plans.MediaExprs.kafkaRecordsCol)
+        "kafka_records" -> graft.plans.MediaExprs.kafkaRecordsCol,
+        "bz2_members" -> graft.plans.MediaExprs.bz2MembersCol,
+        "wiki_pages" -> graft.plans.MediaExprs.wikiPagesCol)
       for ((name, f) <- fns) {
         // junk blobs: structs NULL / arrays empty, audit gives a
         // verdict — the point is the collect not throwing under

@@ -142,6 +142,18 @@ class StreamingSpec extends SparkFunSuite {
       .map(_.toString).toSeq
     assert(gotZstd.sorted == wantZstd.sorted && gotZstd.nonEmpty,
       "zstd frames: stream != batch")
+    // the Wikipedia page walk (bzip2 multistream + plain-XML front
+    // doors in one fixture) lifts identically
+    val wiki = blobs(graft.queries.ExtensionQueries.wikiBlob)
+    val gotWiki = run(wiki,
+      df => graft.operators.Multimodal.extractWikiPages(df, "doc_id")
+        .toDF(), "wiki_pages_stream")
+    val wantWiki = graft.operators.Multimodal
+      .extractWikiPages(wiki.toDF("doc_id", "blob"), "doc_id")
+      .toDF().orderBy("doc_id", "page_idx").collect()
+      .map(_.toString).toSeq
+    assert(gotWiki.sorted == wantWiki.sorted && gotWiki.nonEmpty,
+      "wiki pages: stream != batch")
   }
 
   test("streaming decode: golden envelope via MemoryStream (M2 wiring)") {
