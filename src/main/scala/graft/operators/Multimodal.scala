@@ -3861,6 +3861,34 @@ object Multimodal {
       graft.plans.MediaExprs.bz2MembersCol).as[Bz2MemberRow]
   }
 
+  /** One row per XZ stream member (see
+    * [[graft.operators.XzDecode.membersJvm]]). */
+  final case class XzMemberRow(doc_id: Long, member_idx: Long,
+    check: String, n_blocks: Long, usize: Long, content: String,
+    checks_ok: Boolean, compressed_len: Long)
+
+  /** Batch multi-stream XZ walk (native array-kernel expression, one
+    * output row per stream member; golden-pinned decoder). */
+  def extractXzMembers(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[XzMemberRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.xzMembersCol).as[XzMemberRow]
+  }
+
+  /** Batch `.tar.xz` entry listing (native array-kernel expression):
+    * full XZ decompression, then the TAR entry walk — one output row
+    * per entry, same schema as [[extractTarEntries]] on the
+    * uncompressed twin. */
+  def extractTarXzEntries(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[TarEntryRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.tarXzEntriesCol).as[TarEntryRow]
+  }
+
   /** One row per MediaWiki `<page>` (see
     * [[graft.operators.WikiDump.pagesJvm]]). */
   final case class WikiPageRow(doc_id: Long, page_idx: Long,

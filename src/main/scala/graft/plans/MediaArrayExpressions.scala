@@ -281,6 +281,37 @@ object MediaArrayKernel {
           m.crcOk, m.compressedLen.toLong)
       }.toArray[Any])
 
+  /** [[Multimodal.XzMemberRow]] minus doc_id. */
+  val xzMemberSchema: StructType = StructType(Seq(
+    StructField("member_idx", LongType, nullable = false),
+    StructField("check", StringType, nullable = false),
+    StructField("n_blocks", LongType, nullable = false),
+    StructField("usize", LongType, nullable = false),
+    StructField("content", StringType, nullable = true),
+    StructField("checks_ok", BooleanType, nullable = false),
+    StructField("compressed_len", LongType, nullable = false)))
+
+  def xzMembers(b: Array[Byte]): ArrayData =
+    new GenericArrayData(
+      graft.operators.XzDecode.membersJvm(b).zipWithIndex.map {
+        case (m, i) => InternalRow(i.toLong,
+          UTF8String.fromString(m.check), m.nBlocks.toLong,
+          m.content.length.toLong,
+          if (m.content.length <= (1 << 16))
+            UTF8String.fromBytes(m.content)
+          else null,
+          m.checksOk, m.compressedLen.toLong)
+      }.toArray[Any])
+
+  def tarXzEntries(b: Array[Byte]): ArrayData =
+    new GenericArrayData(graft.operators.XzDecode.decompress(b)
+      .map(Multimodal.tarEntriesJvm)
+      .getOrElse(Vector.empty).map {
+        case (n, sz, tf, c) => InternalRow(UTF8String.fromString(n), sz,
+          UTF8String.fromString(tf),
+          if (c == null) null else UTF8String.fromString(c))
+      }.toArray[Any])
+
   /** [[Multimodal.WikiPageRow]] minus doc_id. */
   val wikiPageSchema: StructType = StructType(Seq(
     StructField("page_idx", LongType, nullable = false),
@@ -765,6 +796,36 @@ case class Bz2Members(child: Expression) extends MediaArrayExpression {
   override def prettyName: String = "graft_bz2_members"
 }
 
+/** `xz_members(blob)` -> one struct per stream of a concatenated
+  * multi-stream `.xz` blob, fully decoded with every container CRC32
+  * and the per-block check (CRC32/CRC64/SHA-256/none) verified
+  * (golden-pinned against liblzma); structural violations yield an
+  * empty array. */
+case class XzMembers(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.xzMemberSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.xzMembers($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.xzMembers(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_xz_members"
+}
+
+/** `tar_xz_entries(blob)` -> the TAR entry walk over a decompressed
+  * `.tar.xz` (the dataset-shipping layout); identical output schema to
+  * `tar_entries` on the uncompressed twin. */
+case class TarXzEntries(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.tarEntrySchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.tarXzEntries($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.tarXzEntries(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_tar_xz_entries"
+}
+
 /** `wiki_pages(blob)` -> one struct per MediaWiki `<page>` element;
   * a `BZh` prefix routes through the multi-stream bzip2 decoder (the
   * `pages-articles-multistream.xml.bz2` layout), anything else is
@@ -1077,4 +1138,6 @@ object MediaExprs {
   def warcGzRecordsCol(blob: Column): Column = c(WarcGzRecords(e(blob)))
   def bz2MembersCol(blob: Column): Column = c(Bz2Members(e(blob)))
   def wikiPagesCol(blob: Column): Column = c(WikiPages(e(blob)))
+  def xzMembersCol(blob: Column): Column = c(XzMembers(e(blob)))
+  def tarXzEntriesCol(blob: Column): Column = c(TarXzEntries(e(blob)))
 }

@@ -1408,6 +1408,75 @@ object ExtensionQueries {
       "652e3c2f746578743e0a202020203c2f7265766973696f6e3e0a20203c" +
       "2f706167653e0a3c2f6d6564696177696b693e0a"
 
+  /** REAL liblzma `.xz` streams (preset 6, CRC64 — the default check,
+    * `tools/gen_xz_vectors.py`'s encoder) over the same four
+    * closed-form plaintexts; even docs append a second stream
+    * (multi-stream) so member accounting is non-vacuous. */
+  private val XzGoldenHex: Seq[String] = Seq(
+    // repeat('alpha ', 40) — 240 bytes -> 80
+    "fd377a585a000004e6d6b4460200210116000000742fe5a3e000ef000d5d0" +
+      "0309b0a67248ef2a6d7e67000000000000036aa84879223efb6000129f0" +
+      "010000001bb77e13b1c467fb020000000004595a",
+    // repeat('the quick brown fox jumps over the lazy dog. ', 8)
+    "fd377a585a000004e6d6b4460200210116000000742fe5a3e0016700335d0" +
+      "03a1a08ce76c7e5e9d60734c3d10ebfce55e1aabde0e48f9801dd8de507" +
+      "549e65255f273a6a7eb4d3490389ced47d3bf290c000000044573f9460e" +
+      "4742400014fe802000000f128f68fb1c467fb020000000004595a",
+    // chr(97 + (i*11 + 5) % 26) over range(300)
+    "fd377a585a000004e6d6b4460200210116000000742fe5a3e0012b00215d0" +
+      "0331c4868809cd44b541611891bbb9a76a11913e75d6a0eae8c37edbf9d" +
+      "63c4000000000000e497cddc20f2e6d200013dac02000000b27a6f64b1c" +
+      "467fb020000000004595a",
+    // repeat('key=value;', 30)
+    "fd377a585a000004e6d6b4460200210116000000742fe5a3e0012b00125d0" +
+      "035994b960c19ac913dd46814b91eea1dc0000000002075b1620ddf1e6d" +
+      "00012eac02000000870a2de1b1c467fb020000000004595a")
+
+  // repeat('tail member ', 10) — the even-doc second stream
+  private val XzTailHex: String =
+    "fd377a585a000004e6d6b4460200210116000000742fe5a3e0007700135d0" +
+      "03a184972593c8e0fd449113d58af69246800000000dbd2cfa4f87033f4" +
+      "00012f784874446c1fb6f37d010000000004595a"
+
+  private[graft] def xzFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val base = element_at(array(XzGoldenHex.map(lit): _*),
+      (pmod(d, lit(4L)) + 1L).cast("int"))
+    spread(t(s, dir, "documents"))
+      .select(d, unhex(concat(base,
+        when(d % 2L === 0L, lit(XzTailHex)).otherwise(lit(""))))
+        .as("blob"))
+  }
+
+  /** REAL `.tar.xz` blobs (python tarfile USTAR + liblzma): two
+    * closed-form shard layouts rotated by doc — the dataset-shipping
+    * archive format end-to-end (XZ decompress → TAR entry walk). */
+  private val TarXzHex: Seq[String] = Seq(
+    "fd377a585a000004e6d6b4460200210116000000742fe5a3e027ff00c85d0" +
+      "0321bc88e74d382c9e84897d8a9a07c198debc7b0da70f7abbbdbc4377e" +
+      "bfabb85f361575aa84249b1f7034a65e2fb4fee322fc878329b0e7f6213" +
+      "175714aa24d1a8d4bbbc0e40415df989e0d9fe2e27669c83378d9d6191e" +
+      "206f60b7137d1fffc0249c3b4c64cc9aad4e52b792277bb98b73a30bfb1" +
+      "ffe81749ee70e427636a77399bd930b56e14e182b0fbc4f5570c190e102" +
+      "42ab26faf85d672bc68f93b705053b04dabbb194bab73bb66f5e2f778d0" +
+      "da8369bb1b1d148d263aa0c5303e6d15ed0e239c93822530006f27dc1fa" +
+      "12aa8b0001e40180500000723c05f2b1c467fb020000000004595a",
+    "fd377a585a000004e6d6b4460200210116000000742fe5a3e027ff009b5d0" +
+      "0399a084845678fa3c69591e8bfcd42a821ba938cc8336221334824330c" +
+      "1c2d3f41217eaea40df61c46128c79318704aacc72d0dae67179eab324b" +
+      "1fba961c49fa016f77976700d831f3a0823729a639c8c750dc92b2701b8" +
+      "b548bc2dc851d91d0a3168b2e408b80f8d842f8f7b2124280563757af63" +
+      "313688bbe998a0765b4efe369fb795d4f65cde776522422139a482f14a6" +
+      "c196a00ef47b4600000077c6b53ce54d26850001b701805000002b461f7" +
+      "8b1c467fb020000000004595a")
+
+  private[graft] def tarXzFixture(s: SparkSession,
+      dir: String): DataFrame =
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), unhex(element_at(
+        array(TarXzHex.map(lit): _*),
+        (pmod(col("doc_id"), lit(2L)) + 1L).cast("int"))).as("blob"))
+
   private[graft] def wikiBlob: org.apache.spark.sql.Column = unhex(
     when(col("doc_id") % 2L === 0L, lit(WikiBz2Hex.mkString))
       .otherwise(lit(WikiXmlHex)))
@@ -3909,6 +3978,23 @@ object ExtensionQueries {
       Multimodal.extractWikiPages(wikiFixture(s, dir), "doc_id")
         .toDF()
         .orderBy(col("doc_id"), col("page_idx"))),
+
+    // XZ MEMBER WALK (round 13) — the last major archive codec: REAL
+    // liblzma streams (golden templates) through the full LZMA range
+    // decoder + LZMA2 chunk layer with every container CRC32 and the
+    // per-block CRC64 verified; even docs are multi-stream
+    "source_xz_members" -> ((s, dir) =>
+      Multimodal.extractXzMembers(xzFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"), col("member_idx"))),
+
+    // TAR.XZ COMPOSITION (round 13) — the dataset-shipping archive
+    // format end-to-end: XZ decompress then the TAR entry walk, two
+    // real python-tarfile/liblzma shard layouts rotated by doc
+    "source_tar_xz" -> ((s, dir) =>
+      Multimodal.extractTarXzEntries(tarXzFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"), col("name"))),
 
     // ID3v2 TEXT FRAMES (round 12) — title/artist/album off the tag
     // (the audio-catalog surface); frame sizes real, encodings latin-1
@@ -7733,6 +7819,58 @@ object ExtensionQueries {
         |  TRUE AS crc_ok,
         |  CAST(compressed_len AS BIGINT) AS compressed_len
         |FROM u ORDER BY doc_id, member_idx""".stripMargin,
+
+    // each golden stream's decoded plaintext + member accounting; all
+    // templates are preset-6 CRC64 single-block; even docs carry the
+    // 'tail member' second stream
+    "source_xz_members" ->
+      """WITH e AS (SELECT doc_id, unnest(range(0, 300)) AS i
+        |  FROM documents),
+        |t2 AS (SELECT doc_id,
+        |  string_agg(chr(CAST(97 + (i*11 + 5) % 26 AS INT)),
+        |    '' ORDER BY i) AS s
+        |  FROM e GROUP BY doc_id),
+        |base AS (SELECT d.doc_id, 0 AS member_idx,
+        |  CASE d.doc_id % 4
+        |    WHEN 0 THEN repeat('alpha ', 40)
+        |    WHEN 1 THEN repeat(
+        |      'the quick brown fox jumps over the lazy dog. ', 8)
+        |    WHEN 2 THEN t2.s
+        |    ELSE repeat('key=value;', 30) END AS content,
+        |  CASE d.doc_id % 4 WHEN 0 THEN 80 WHEN 1 THEN 116
+        |    WHEN 2 THEN 100 ELSE 84 END AS compressed_len
+        |  FROM documents d JOIN t2 USING (doc_id)),
+        |tail AS (SELECT doc_id, 1 AS member_idx,
+        |  repeat('tail member ', 10) AS content, 80 AS compressed_len
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM tail)
+        |SELECT doc_id, CAST(member_idx AS BIGINT) AS member_idx,
+        |  'crc64' AS check, CAST(1 AS BIGINT) AS n_blocks,
+        |  CAST(strlen(content) AS BIGINT) AS usize, content,
+        |  TRUE AS checks_ok,
+        |  CAST(compressed_len AS BIGINT) AS compressed_len
+        |FROM u ORDER BY doc_id, member_idx""".stripMargin,
+
+    // the two shard layouts' entry listings in closed form
+    "source_tar_xz" ->
+      """WITH csv AS (SELECT 'k,v' || chr(10) ||
+        |    string_agg(i || ',' || (i*i), chr(10) ORDER BY i) ||
+        |    chr(10) AS c
+        |  FROM range(0, 10) t(i)),
+        |ent AS (
+        |  SELECT 0 AS par, 'data/c.csv' AS name, (SELECT c FROM csv)
+        |    AS content
+        |  UNION ALL SELECT 0, 'docs/a.txt',
+        |    'alpha file content' || chr(10)
+        |  UNION ALL SELECT 0, 'docs/b.txt', repeat('beta ', 12)
+        |  UNION ALL SELECT 1, 'shard/x.json',
+        |    '{"id": 1, "text": "gamma"}'
+        |  UNION ALL SELECT 1, 'shard/y.txt', repeat('delta ', 20))
+        |SELECT d.doc_id, p.name,
+        |  CAST(strlen(p.content) AS BIGINT) AS size,
+        |  '0' AS typeflag, p.content
+        |FROM documents d JOIN ent p ON d.doc_id % 2 = p.par
+        |ORDER BY d.doc_id, p.name""".stripMargin,
 
     // the five fixture pages in closed form; text_bytes is the
     // UNESCAPED body's octet length (the parser's contract), so the

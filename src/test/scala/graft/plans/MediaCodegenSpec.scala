@@ -80,7 +80,9 @@ class MediaCodegenSpec extends SparkFunSuite {
         "kafka_batches" -> graft.plans.MediaExprs.kafkaBatchesCol,
         "kafka_records" -> graft.plans.MediaExprs.kafkaRecordsCol,
         "bz2_members" -> graft.plans.MediaExprs.bz2MembersCol,
-        "wiki_pages" -> graft.plans.MediaExprs.wikiPagesCol)
+        "wiki_pages" -> graft.plans.MediaExprs.wikiPagesCol,
+        "xz_members" -> graft.plans.MediaExprs.xzMembersCol,
+        "tar_xz_entries" -> graft.plans.MediaExprs.tarXzEntriesCol)
       for ((name, f) <- fns) {
         // junk blobs: structs NULL / arrays empty, audit gives a
         // verdict — the point is the collect not throwing under

@@ -1,0 +1,165 @@
+#!/usr/bin/env python3
+"""Golden-vector generator for graft's pure-JVM XZ/LZMA decoder
+(`operators/XzDecode.scala`): deterministic plaintexts -> REAL liblzma
+streams (via CPython's stdlib lzma binding), written to
+src/test/resources/xz/<name>.xz (or .lzma for the alone format).
+
+The spec (`XzGoldenSpec`) regenerates the plaintexts with the SAME
+deterministic recipes in Scala and asserts decoder(stream) == plaintext
+— decoder-vs-reference-encoder, so encoder/decoder bug cancellation is
+impossible by construction.
+
+Dev-only tool (driver-side python); NOT part of the Scala library.
+Regenerate with: python3 tools/gen_xz_vectors.py
+"""
+import lzma
+import os
+
+
+def xorshift_bytes(seed, n):
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    for _ in range(n):
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        out.append(x & 0xFF)
+    return bytes(out)
+
+
+def plaintexts():
+    # NOTE: every recipe here has a byte-identical twin in
+    # XzGoldenSpec.scala -- change BOTH or neither.
+    yield "rep", ("hello xz world " * 400).encode()
+    yield "seq", bytes((i * 7 + 3) % 251 for i in range(100_000))
+    yield "rand", xorshift_bytes(0x9E3779B97F4A7C15, 5000)
+    yield "text", " ".join(f"w{(i * 31) % 97}" for i in range(20_000)).encode()
+    yield "runs", b"a" * 10_000 + b"b" * 5_000 + b"abc" * 1_000
+    yield "mix", b"".join(
+        (b"record-%08d|" % i) + bytes((j * 13 + i) % 256 for j in range(52))
+        for i in range(6_250))
+    yield "tiny", b"a"
+    yield "empty", b""
+    yield "onebyte", b"z" * 200_000
+    yield "fewsym", bytes(b"abcd"[b & 3] for b in xorshift_bytes(42, 4000))
+    yield "qlit", (b"q" * 30 + b"the same filler block here! ") * 100
+
+
+def main():
+    outdir = os.path.join(os.path.dirname(__file__), "..",
+                          "src", "test", "resources", "xz")
+    os.makedirs(outdir, exist_ok=True)
+    # presets: 0 (fast/small dict), 6 (default), 9 | EXTREME
+    presets = [("p0", 0), ("p6", 6), ("p9e", 9 | lzma.PRESET_EXTREME)]
+    for name, data in plaintexts():
+        for tag, preset in presets:
+            comp = lzma.compress(data, format=lzma.FORMAT_XZ,
+                                 preset=preset)
+            with open(os.path.join(outdir, f"{name}_{tag}.xz"),
+                      "wb") as f:
+                f.write(comp)
+            print(f"{name}_{tag}: {len(data)} -> {len(comp)} bytes")
+    # check-type coverage on one recipe (CRC64 is the liblzma default
+    # and covered above)
+    data = dict(plaintexts())["mix"]
+    for tag, check in [("crc32", lzma.CHECK_CRC32),
+                       ("none", lzma.CHECK_NONE),
+                       ("sha256", lzma.CHECK_SHA256)]:
+        comp = lzma.compress(data, format=lzma.FORMAT_XZ, check=check)
+        with open(os.path.join(outdir, f"mix_{tag}.xz"), "wb") as f:
+            f.write(comp)
+        print(f"mix_{tag}: {len(comp)} bytes")
+    # delta-filter chain (dist 4 matches the mix recipe's 52-byte
+    # binary tail stride poorly on purpose -- the point is chain
+    # plumbing, not ratio)
+    comp = lzma.compress(data, format=lzma.FORMAT_XZ,
+                         filters=[{"id": lzma.FILTER_DELTA, "dist": 4},
+                                  {"id": lzma.FILTER_LZMA2,
+                                   "preset": 6}])
+    with open(os.path.join(outdir, "mix_delta.xz"), "wb") as f:
+        f.write(comp)
+    print(f"mix_delta: {len(comp)} bytes")
+    # multi-BLOCK stream (block size forced small)
+    comp = lzma.compress(dict(plaintexts())["seq"], format=lzma.FORMAT_XZ,
+                         filters=[{"id": lzma.FILTER_LZMA2, "preset": 6,
+                                   "dict_size": 1 << 16}])
+    with open(os.path.join(outdir, "seq_smalldict.xz"), "wb") as f:
+        f.write(comp)
+    print(f"seq_smalldict: {len(comp)} bytes")
+    # multi-STREAM: two frames concatenated + 4-byte stream padding
+    a = lzma.compress(b"first stream " * 50, format=lzma.FORMAT_XZ)
+    b = lzma.compress(b"second stream " * 30, format=lzma.FORMAT_XZ)
+    with open(os.path.join(outdir, "multi.xz"), "wb") as f:
+        f.write(a + b"\x00\x00\x00\x00" + b)
+    print(f"multi: 2 members, {len(a)}+4+{len(b)} bytes")
+    # multi-BLOCK stream: python can't set a block size, so splice two
+    # liblzma-produced single-block streams into ONE stream — block
+    # bodies stay byte-identical reference output; only the index and
+    # footer (pure container arithmetic, CRC32-checked by the decoder)
+    # are reassembled here
+    import zlib
+
+    def parts(comp):
+        bs = int.from_bytes(comp[-8:-4], "little")
+        index_size = (bs + 1) * 4
+        block = comp[12:len(comp) - 12 - index_size]
+        index = comp[len(comp) - 12 - index_size:len(comp) - 12]
+        # single record: skip indicator+count, read two VLIs
+        p = 2
+        rec = []
+        for _ in range(2):
+            v, sh = 0, 0
+            while True:
+                x = index[p]; p += 1
+                v |= (x & 0x7F) << sh
+                sh += 7
+                if not (x & 0x80):
+                    break
+            rec.append(v)
+        return block, rec
+
+    a_ = lzma.compress(("hello xz world " * 400).encode(),
+                       format=lzma.FORMAT_XZ)
+    b_ = lzma.compress(b"a" * 10_000 + b"b" * 5_000 + b"abc" * 1_000,
+                       format=lzma.FORMAT_XZ)
+    blk_a, rec_a = parts(a_)
+    blk_b, rec_b = parts(b_)
+
+    def vli(v):
+        out = bytearray()
+        while True:
+            if v < 0x80:
+                out.append(v)
+                return bytes(out)
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+
+    idx = b"\x00" + vli(2) + vli(rec_a[0]) + vli(rec_a[1]) + \
+        vli(rec_b[0]) + vli(rec_b[1])
+    idx += b"\x00" * (-len(idx) % 4)
+    idx += zlib.crc32(idx).to_bytes(4, "little")
+    flags = a_[6:8]
+    backward = (len(idx) // 4 - 1).to_bytes(4, "little")
+    footer = zlib.crc32(backward + flags).to_bytes(4, "little") + \
+        backward + flags + b"YZ"
+    two = a_[:12] + blk_a + blk_b + idx + footer
+    with open(os.path.join(outdir, "twoblocks.xz"), "wb") as f:
+        f.write(two)
+    # liblzma itself must accept the splice -- otherwise it's not a
+    # valid multi-block stream and the vector would pin nothing
+    want = ("hello xz world " * 400).encode() + \
+        b"a" * 10_000 + b"b" * 5_000 + b"abc" * 1_000
+    assert lzma.decompress(two) == want, "splice rejected by liblzma"
+    print(f"twoblocks: 2 blocks, {len(two)} bytes (liblzma-verified)")
+
+    # legacy LZMA_Alone
+    for name in ("rep", "mix", "tiny", "empty"):
+        data = dict(plaintexts())[name]
+        comp = lzma.compress(data, format=lzma.FORMAT_ALONE)
+        with open(os.path.join(outdir, f"{name}.lzma"), "wb") as f:
+            f.write(comp)
+        print(f"{name}.lzma: {len(data)} -> {len(comp)} bytes")
+
+
+if __name__ == "__main__":
+    main()
