@@ -3889,6 +3889,22 @@ object Multimodal {
       graft.plans.MediaExprs.tarXzEntriesCol).as[TarEntryRow]
   }
 
+  /** One row per TFRecord frame (see
+    * [[graft.operators.TfRecord.recordsJvm]]); payloads stay BINARY
+    * so tf.Example protobufs survive intact. */
+  final case class TfRecordRow(doc_id: Long, rec_idx: Long,
+    length: Long, data_crc_ok: Boolean, payload: Array[Byte])
+
+  /** Batch TFRecord framing walk (native array-kernel expression, one
+    * output row per record; masked CRC-32C verified). */
+  def extractTfRecords(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[TfRecordRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.tfRecordsCol).as[TfRecordRow]
+  }
+
   /** One row per MediaWiki `<page>` (see
     * [[graft.operators.WikiDump.pagesJvm]]). */
   final case class WikiPageRow(doc_id: Long, page_idx: Long,

@@ -312,6 +312,20 @@ object MediaArrayKernel {
           if (c == null) null else UTF8String.fromString(c))
       }.toArray[Any])
 
+  /** [[Multimodal.TfRecordRow]] minus doc_id. */
+  val tfRecordSchema: StructType = StructType(Seq(
+    StructField("rec_idx", LongType, nullable = false),
+    StructField("length", LongType, nullable = false),
+    StructField("data_crc_ok", BooleanType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  def tfRecords(b: Array[Byte]): ArrayData =
+    new GenericArrayData(
+      graft.operators.TfRecord.recordsJvm(b).zipWithIndex.map {
+        case (r, i) => InternalRow(i.toLong, r.length, r.dataCrcOk,
+          r.payload)
+      }.toArray[Any])
+
   /** [[Multimodal.WikiPageRow]] minus doc_id. */
   val wikiPageSchema: StructType = StructType(Seq(
     StructField("page_idx", LongType, nullable = false),
@@ -826,6 +840,21 @@ case class TarXzEntries(child: Expression) extends MediaArrayExpression {
   override def prettyName: String = "graft_tar_xz_entries"
 }
 
+/** `tf_records(blob)` -> one struct per TFRecord frame (length +
+  * masked-CRC32C framing, the TensorFlow training-data container);
+  * corrupt data CRCs are flagged with content withheld, corrupt
+  * length CRCs end the walk loud. */
+case class TfRecords(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.tfRecordSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.tfRecords($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.tfRecords(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_tf_records"
+}
+
 /** `wiki_pages(blob)` -> one struct per MediaWiki `<page>` element;
   * a `BZh` prefix routes through the multi-stream bzip2 decoder (the
   * `pages-articles-multistream.xml.bz2` layout), anything else is
@@ -1140,4 +1169,5 @@ object MediaExprs {
   def wikiPagesCol(blob: Column): Column = c(WikiPages(e(blob)))
   def xzMembersCol(blob: Column): Column = c(XzMembers(e(blob)))
   def tarXzEntriesCol(blob: Column): Column = c(TarXzEntries(e(blob)))
+  def tfRecordsCol(blob: Column): Column = c(TfRecords(e(blob)))
 }

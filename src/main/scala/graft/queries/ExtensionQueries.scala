@@ -4060,6 +4060,144 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PROTOBUF WIRE DECODE (round 13) — the other big Kafka value
+    // format: the message is assembled IN PLAN from closed-form
+    // single-byte varints (every doc-dependent value < 128, so the
+    // wire bytes are pure arithmetic) plus an unknown field the
+    // decoder must skip; every decoded field replays in the oracle
+    "source_proto_decode" -> ((s, dir) => {
+      import graft.operators.ProtoDecode._
+      val d = col("doc_id")
+      def b1(x: org.apache.spark.sql.Column) =
+        lpad(hex(pmod(x, lit(256L))), 2, "0")
+      val zz = { // zigzag of doc%7 - 3 stays under 128
+        val v = d % 7L - 3L
+        when(v >= 0L, v * 2L).otherwise(v * -2L - 1L)
+      }
+      // doubles rotate through a 4-entry LE-bits template
+      val dblHex = array(Seq("000000000000f83f", "00000000000002c0",
+        "0000000000000000", "0000000000806f40").map(lit): _*)
+      val msgHex = concat(
+        lit("08"), b1(d % 100L),                       // 1: varint
+        lit("10"), b1(zz),                             // 2: sint
+        lit("1a04") , hex(lit("ev-")), b1(lit(48L) + d % 5L), // 3: str
+        lit("21"), element_at(dblHex,
+          (pmod(d, lit(4L)) + 1L).cast("int")),        // 4: double
+        lit("2a03"), b1(d % 3L), lit("07"), lit("64"), // 5: packed
+        lit("a206") , lit("03abcdef"))                 // 100: unknown
+      val spec = Spec(Seq(Field(1, "a", PVarint), Field(2, "b", PSint),
+        Field(3, "s", PString), Field(4, "d", PDouble),
+        Field(5, "xs", PPackedVarint)))
+      spread(t(s, dir, "documents"))
+        .select(d, graft.plans.ProtoExprs.protoDecodeCol(
+          unhex(msgHex), spec).as("m"))
+        .select(col("doc_id"), col("m.a").as("a"), col("m.b").as("b"),
+          col("m.s").as("s"), col("m.d").as("d"),
+          array_join(col("m.xs"), ",").as("xs"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ... AND THE KAFKA→PROTO CAPSTONE — the reference's pipeline
+    // shape with protobuf values: segment bytes → record walk →
+    // Confluent proto envelope (magic 0 + schema id + message
+    // indexes) → schema-driven decode → typed columns; batch variants
+    // rotate record counts so the check is non-vacuous
+    "source_kafka_proto" -> ((s, dir) => {
+      import graft.operators.ProtoDecode._
+      def ev(e: Int): Array[Byte] = Writer.confluent(321,
+        Writer.vint(1, e.toLong) ++
+          Writer.sint(2, e.toLong - 3L) ++
+          Writer.str(3, Seq("view", "click", "purchase",
+            "refund")(e % 4)) ++
+          Writer.dbl(4, e * 2.5))
+      val variants = (0 until 4).map { v =>
+        graft.operators.KafkaSegment.buildBatchV2(500L,
+          1600000000000L,
+          (0 until 5 + v).map(e => (e.toString.getBytes, ev(e))),
+          codec = 1)
+      }
+      val fixture = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), element_at(
+          array(variants.map(lit): _*),
+          (pmod(col("doc_id"), lit(4L)) + 1L).cast("int")).as("blob"))
+      val spec = Spec(Seq(Field(1, "event_id", PVarint),
+        Field(2, "delta", PSint), Field(3, "event_type", PString),
+        Field(4, "value", PDouble)))
+      val recs = Multimodal.extractKafkaRecords(fixture, "doc_id")
+        .toDF()
+      recs.select(col("doc_id"), col("offset"),
+          graft.plans.ProtoExprs.protoDecodeCol(col("value"), spec,
+            confluent = true).as("m"))
+        .select(col("doc_id"), col("offset"),
+          col("m.schema_id").as("schema_id"),
+          col("m.event_id").as("event_id"), col("m.delta").as("delta"),
+          col("m.event_type").as("event_type"),
+          col("m.value").as("value"))
+        .orderBy(col("doc_id"), col("offset"))
+    }),
+
+    // TFRECORD FRAMING (round 13) — the TensorFlow training-data
+    // container read without TF: length + masked-CRC32C frames; the
+    // doc%4==3 variant carries one corrupt data CRC, which must be
+    // FLAGGED (content withheld) while the walk continues
+    "source_tfrecord" -> ((s, dir) => {
+      val variants = (0 until 4).map { v =>
+        val payloads = (0 until 2 + v).map(e =>
+          (s"rec-$v-$e-" + "y" * e).getBytes("UTF-8"))
+        val blob = graft.operators.TfRecord.write(payloads)
+        if (v == 3) // corrupt the LAST record's data CRC
+          blob(blob.length - 1) = (blob(blob.length - 1) ^ 1).toByte
+        blob
+      }
+      val fixture = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), element_at(
+          array(variants.map(lit): _*),
+          (pmod(col("doc_id"), lit(4L)) + 1L).cast("int")).as("blob"))
+      Multimodal.extractTfRecords(fixture, "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("rec_idx"), col("length"),
+          col("data_crc_ok"),
+          decode(col("payload"), "UTF-8").as("content"))
+        .orderBy(col("doc_id"), col("rec_idx"))
+    }),
+
+    // ... AND tf.train.Example THROUGH THE NESTED PROTO DECODE — the
+    // full TF ingest path (framing → Example → typed feature columns)
+    // in one declarative plan, no TF dependency
+    "source_tfrecord_example" -> ((s, dir) => {
+      import graft.operators.ProtoDecode
+      val variants = (0 until 4).map { v =>
+        graft.operators.TfRecord.write((0 until 2 + v).map(e =>
+          ProtoDecode.Writer.tfExample((s"text", s"doc-$v-$e"),
+            ("label", Seq(e.toLong, v.toLong)),
+            ("score", Seq(e * 0.5f, 1.25f)))))
+      }
+      val fixture = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), element_at(
+          array(variants.map(lit): _*),
+          (pmod(col("doc_id"), lit(4L)) + 1L).cast("int")).as("blob"))
+      val recs = Multimodal.extractTfRecords(fixture, "doc_id").toDF()
+      val ent = col("m.features.feature")
+      recs.select(col("doc_id"), col("rec_idx"),
+          graft.plans.ProtoExprs.protoDecodeCol(col("payload"),
+            ProtoDecode.TfExample.example).as("m"))
+        .select(col("doc_id"), col("rec_idx"),
+          element_at(ent, 1).getField("key").as("k1"),
+          element_at(ent, 1).getField("value").getField("bytes_list")
+            .getField("value").getItem(0).as("text"),
+          element_at(ent, 2).getField("key").as("k2"),
+          element_at(ent, 2).getField("value").getField("int64_list")
+            .getField("value").getItem(0).as("label0"),
+          element_at(ent, 2).getField("value").getField("int64_list")
+            .getField("value").getItem(1).as("label1"),
+          element_at(ent, 3).getField("key").as("k3"),
+          element_at(ent, 3).getField("value").getField("float_list")
+            .getField("value").getItem(0).as("score0"),
+          element_at(ent, 3).getField("value").getField("float_list")
+            .getField("value").getItem(1).as("score1"))
+        .orderBy(col("doc_id"), col("rec_idx"))
+    }),
+
     // XZ MEMBER WALK (round 13) — the last major archive codec: REAL
     // liblzma streams (golden templates) through the full LZMA range
     // decoder + LZMA2 chunk layer with every container CRC32 and the
@@ -7924,6 +8062,61 @@ object ExtensionQueries {
         |  p.body AS text
         |FROM documents d JOIN p ON 1 + d.doc_id % 5 = p.page_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // frame accounting in closed form: variant v = doc%4 has 2+v
+    // records of length 8+e; the v=3 variant's LAST record is
+    // data-corrupt -> flagged, content NULL
+    "source_tfrecord" ->
+      """WITH p AS (SELECT doc_id, doc_id % 4 AS v,
+        |  2 + doc_id % 4 AS k FROM documents),
+        |e AS (SELECT doc_id, v, unnest(range(0, k)) AS i FROM p)
+        |SELECT doc_id, CAST(i AS BIGINT) AS rec_idx,
+        |  CAST(8 + i AS BIGINT) AS length,
+        |  NOT (v = 3 AND i = 4) AS data_crc_ok,
+        |  CASE WHEN v = 3 AND i = 4 THEN NULL
+        |    ELSE 'rec-' || v || '-' || i || '-' ||
+        |      repeat('y', CAST(i AS INT)) END AS content
+        |FROM e ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // every decoded feature in closed form; float widening is exact
+    // (halves and 1.25 are dyadic)
+    "source_tfrecord_example" ->
+      """WITH p AS (SELECT doc_id, doc_id % 4 AS v,
+        |  2 + doc_id % 4 AS k FROM documents),
+        |e AS (SELECT doc_id, v, unnest(range(0, k)) AS i FROM p)
+        |SELECT doc_id, CAST(i AS BIGINT) AS rec_idx,
+        |  'text' AS k1, 'doc-' || v || '-' || i AS text,
+        |  'label' AS k2, CAST(i AS BIGINT) AS label0,
+        |  CAST(v AS BIGINT) AS label1,
+        |  'score' AS k3, CAST(i * 0.5 AS DOUBLE) AS score0,
+        |  CAST(1.25 AS DOUBLE) AS score1
+        |FROM e ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // every wire field in closed form; doubles rotate the 4-entry
+    // template (1.5, -2.25, 0, 252); the packed field round-trips as
+    // a joined string
+    "source_proto_decode" ->
+      """SELECT doc_id, CAST(doc_id % 100 AS BIGINT) AS a,
+        |  CAST(doc_id % 7 - 3 AS BIGINT) AS b,
+        |  'ev-' || (doc_id % 5) AS s,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 1.5 WHEN 1 THEN -2.25
+        |    WHEN 2 THEN 0.0 ELSE 252.0 END AS DOUBLE) AS d,
+        |  (doc_id % 3) || ',7,100' AS xs
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the capstone's decoded fields: schema id 321 everywhere, 5 +
+    // doc%4 records per segment, values derived from the record index
+    "source_kafka_proto" ->
+      """WITH p AS (SELECT doc_id, 5 + doc_id % 4 AS k FROM documents),
+        |e AS (SELECT doc_id, unnest(range(0, k)) AS i FROM p)
+        |SELECT doc_id, CAST(500 + i AS BIGINT) AS "offset",
+        |  CAST(321 AS BIGINT) AS schema_id,
+        |  CAST(i AS BIGINT) AS event_id,
+        |  CAST(i - 3 AS BIGINT) AS delta,
+        |  CASE i % 4 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+        |    WHEN 2 THEN 'purchase' ELSE 'refund' END AS event_type,
+        |  CAST(i * 2.5 AS DOUBLE) AS value
+        |FROM e ORDER BY doc_id, "offset"""".stripMargin,
 
     // each golden stream's decoded plaintext + member accounting; all
     // templates are preset-6 CRC64 single-block; even docs carry the

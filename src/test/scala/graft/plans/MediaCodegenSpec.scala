@@ -82,7 +82,20 @@ class MediaCodegenSpec extends SparkFunSuite {
         "bz2_members" -> graft.plans.MediaExprs.bz2MembersCol,
         "wiki_pages" -> graft.plans.MediaExprs.wikiPagesCol,
         "xz_members" -> graft.plans.MediaExprs.xzMembersCol,
-        "tar_xz_entries" -> graft.plans.MediaExprs.tarXzEntriesCol)
+        "tar_xz_entries" -> graft.plans.MediaExprs.tarXzEntriesCol,
+        "proto_decode" -> ((b: org.apache.spark.sql.Column) =>
+          graft.plans.ProtoExprs.protoDecodeCol(b,
+            graft.operators.ProtoDecode.Spec(Seq(
+              graft.operators.ProtoDecode.Field(1, "a",
+                graft.operators.ProtoDecode.PVarint),
+              graft.operators.ProtoDecode.Field(2, "s",
+                graft.operators.ProtoDecode.PString))))),
+        "proto_decode_confluent" -> ((b: org.apache.spark.sql.Column) =>
+          graft.plans.ProtoExprs.protoDecodeCol(b,
+            graft.operators.ProtoDecode.Spec(Seq(
+              graft.operators.ProtoDecode.Field(1, "a",
+                graft.operators.ProtoDecode.PVarint))),
+            confluent = true)))
       for ((name, f) <- fns) {
         // junk blobs: structs NULL / arrays empty, audit gives a
         // verdict — the point is the collect not throwing under
