@@ -312,6 +312,10 @@ object MediaArrayKernel {
           if (c == null) null else UTF8String.fromString(c))
       }.toArray[Any])
 
+  def cborJson(b: Array[Byte]): UTF8String =
+    graft.operators.CborDecode.toJson(b)
+      .map(UTF8String.fromString).orNull
+
   /** [[Multimodal.TfRecordRow]] minus doc_id. */
   val tfRecordSchema: StructType = StructType(Seq(
     StructField("rec_idx", LongType, nullable = false),
@@ -840,6 +844,20 @@ case class TarXzEntries(child: Expression) extends MediaArrayExpression {
   override def prettyName: String = "graft_tar_xz_entries"
 }
 
+/** `cbor_to_json(blob)` -> the RFC 8949 data item rendered as JSON
+  * (§6.1 conversion rules; pinned against the RFC's own Appendix A
+  * vectors); NULL for malformed/truncated/trailing-garbage input. */
+case class CborToJson(child: Expression) extends MediaDecodeExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.cborJson($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.cborJson(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_cbor_to_json"
+}
+
 /** `tf_records(blob)` -> one struct per TFRecord frame (length +
   * masked-CRC32C framing, the TensorFlow training-data container);
   * corrupt data CRCs are flagged with content withheld, corrupt
@@ -1170,4 +1188,5 @@ object MediaExprs {
   def xzMembersCol(blob: Column): Column = c(XzMembers(e(blob)))
   def tarXzEntriesCol(blob: Column): Column = c(TarXzEntries(e(blob)))
   def tfRecordsCol(blob: Column): Column = c(TfRecords(e(blob)))
+  def cborToJsonCol(blob: Column): Column = c(CborToJson(e(blob)))
 }

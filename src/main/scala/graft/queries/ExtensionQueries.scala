@@ -4136,6 +4136,34 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("offset"))
     }),
 
+    // CBOR → JSON (round 13) — the binary-JSON payloads of COSE/CWT/
+    // WebAuthn/IoT streams: a map assembled IN PLAN from closed-form
+    // single-byte CBOR items (ints < 24, 1-byte text lengths), every
+    // JSON character replayed by the oracle; a per-doc parse into
+    // typed columns via Spark's own get_json_object closes the loop
+    "source_cbor_decode" -> ((s, dir) => {
+      val d = col("doc_id")
+      def b1(x: org.apache.spark.sql.Column) =
+        lpad(hex(pmod(x, lit(256L))), 2, "0")
+      val blobHex = concat(
+        lit("a5"),                         // map, 5 entries
+        lit("62" + "6964"), b1(d % 24L),   // "id": uint < 24
+        lit("64" + "74616773"),            // "tags":
+        lit("82"), b1(d % 10L), lit("17"), //   [d%10, 23]
+        lit("64" + "6e616d65"),            // "name":
+        lit("62" + "64"), b1(lit(48L) + d % 5L), // "d<digit>"
+        lit("62" + "6f6b"),                // "ok":
+        when(d % 2L === 0L, lit("f5")).otherwise(lit("f4")),
+        lit("64" + "6e6f7465"), lit("f6")) // "note": null
+      spread(t(s, dir, "documents"))
+        .select(d, graft.plans.MediaExprs.cborToJsonCol(unhex(blobHex))
+          .as("json"))
+        .select(col("doc_id"), col("json"),
+          get_json_object(col("json"), "$.id").cast("long").as("id"),
+          get_json_object(col("json"), "$.name").as("name"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TFRECORD FRAMING (round 13) — the TensorFlow training-data
     // container read without TF: length + masked-CRC32C frames; the
     // doc%4==3 variant carries one corrupt data CRC, which must be
@@ -8062,6 +8090,20 @@ object ExtensionQueries {
         |  p.body AS text
         |FROM documents d JOIN p ON 1 + d.doc_id % 5 = p.page_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the rendered JSON character-for-character, plus two fields
+    // re-extracted from it
+    "source_cbor_decode" ->
+      """SELECT doc_id,
+        |  '{"id":' || (doc_id % 24) ||
+        |  ',"tags":[' || (doc_id % 10) || ',23]' ||
+        |  ',"name":"d' || (doc_id % 5) || '"' ||
+        |  ',"ok":' || CASE WHEN doc_id % 2 = 0 THEN 'true'
+        |    ELSE 'false' END ||
+        |  ',"note":null}' AS json,
+        |  CAST(doc_id % 24 AS BIGINT) AS id,
+        |  'd' || (doc_id % 5) AS name
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // frame accounting in closed form: variant v = doc%4 has 2+v
     // records of length 8+e; the v=3 variant's LAST record is

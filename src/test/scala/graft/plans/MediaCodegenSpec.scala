@@ -83,6 +83,8 @@ class MediaCodegenSpec extends SparkFunSuite {
         "wiki_pages" -> graft.plans.MediaExprs.wikiPagesCol,
         "xz_members" -> graft.plans.MediaExprs.xzMembersCol,
         "tar_xz_entries" -> graft.plans.MediaExprs.tarXzEntriesCol,
+        "tf_records" -> graft.plans.MediaExprs.tfRecordsCol,
+        "cbor_to_json" -> graft.plans.MediaExprs.cborToJsonCol,
         "proto_decode" -> ((b: org.apache.spark.sql.Column) =>
           graft.plans.ProtoExprs.protoDecodeCol(b,
             graft.operators.ProtoDecode.Spec(Seq(
