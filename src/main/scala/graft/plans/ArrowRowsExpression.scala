@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.ArrowIpc
+
+/** `arrow_rows(blob)` → one struct per DATA ROW of an Arrow IPC
+  * stream/file blob (batch_idx, row_idx, then the caller-declared
+  * columns — kinds `long`/`double`/`string`/`bool`, matched BY NAME
+  * against the stream's own schema). A blob whose schema doesn't
+  * carry every declared column at the declared kind yields an EMPTY
+  * array (PERMISSIVE), as does anything malformed — the
+  * [[ProtoDecodeStruct]] discipline with the array-explode shape of
+  * the media walks. */
+case class ArrowRows(child: Expression,
+    fields: Seq[(String, String)]) extends UnaryExpression {
+
+  private def kindType(k: String): DataType = k match {
+    case "long" => LongType
+    case "double" => DoubleType
+    case "string" => StringType
+    case "bool" => BooleanType
+    case other =>
+      throw new IllegalArgumentException(s"unsupported kind $other")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(
+    Seq(StructField("batch_idx", LongType, nullable = false),
+      StructField("row_idx", LongType, nullable = false)) ++
+      fields.map { case (n, k) =>
+        StructField(n, kindType(k), nullable = true)
+      }), containsNull = false)
+
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val batches = ArrowIpc.batchesJvm(input.asInstanceOf[Array[Byte]])
+    val empty = new GenericArrayData(Array.empty[Any])
+    if (batches.isEmpty) return empty
+    // resolve declared columns against the stream schema by name+kind
+    val first = batches.head.cols.map(c => c.name -> c.kind).toMap
+    if (!fields.forall { case (n, k) => first.get(n).contains(k) })
+      return empty
+    val rows = Vector.newBuilder[Any]
+    var rowIdx = 0L
+    batches.foreach { b =>
+      val byName = b.cols.map(c => c.name -> c).toMap
+      if (fields.exists { case (n, k) =>
+        !byName.get(n).exists(_.kind == k) }) return empty
+      var r = 0
+      while (r < b.nRows.toInt) {
+        rows += InternalRow.fromSeq(
+          Seq[Any](b.idx.toLong, rowIdx) ++ fields.map { case (n, _) =>
+            byName(n).values(r) match {
+              case null => null
+              case s: String => UTF8String.fromString(s)
+              case x => x
+            }
+          })
+        rowIdx += 1
+        r += 1
+      }
+    }
+    new GenericArrayData(rows.result().toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("arrowRows", this,
+      classOf[ArrowRows].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val setNull =
+        if (nullable) s"\n      ${ev.isNull} = ${ev.value} == null;"
+        else ""
+      s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+        $self.nullSafeEval($c);$setNull"""
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ArrowRows = copy(child = newChild)
+  override def prettyName: String = "graft_arrow_rows"
+}
+
+object ArrowExprs {
+  def arrowRowsCol(blob: Column,
+      fields: Seq[(String, String)]): Column =
+    ColumnBridge.column(ArrowRows(
+      ColumnBridge.expression(blob), fields))
+}

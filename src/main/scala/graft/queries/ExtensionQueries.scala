@@ -1524,6 +1524,80 @@ object ExtensionQueries {
         split(col("line"), ":").getItem(2).as("title"))
   }
 
+  /** REAL pyarrow IPC streams (the reference encoder) with
+    * closed-form columns — id = 3i, score = i/4 (null every 5th),
+    * name = 'r' + i%4 (null every 3rd), flag = even(i); template A is
+    * 12 rows in TWO batches (7+5), template B 9 rows in one. */
+  private val ArrowStreamHex: Seq[String] = Seq(
+      "ffffffff080100001000000000000a000c000600050008000a0000000001" +
+      "04000c0000000800080000000400080000000400000004000000a4000000" +
+      "6000000030000000040000007cffffff0000010610000000180000000400" +
+      "00000000000004000000666c616700000000d8ffffffa4ffffff00000105" +
+      "100000001c0000000400000000000000040000006e616d65000000000400" +
+      "040004000000d0ffffff00000103100000001c0000000400000000000000" +
+      "0500000073636f7265000600080006000600000000000200100014000800" +
+      "060007000c00000010001000000000000102100000001c00000004000000" +
+      "00000000020000006964000008000c000800070008000000000000014000" +
+      "0000ffffffff2801000014000000000000000c0016000600050008000c00" +
+      "0c0000000003040018000000b80000000000000000000a0018000c000400" +
+      "08000a000000ac0000001000000007000000000000000000000009000000" +
+      "000000000000000000000000000000000000000000000000380000000000" +
+      "000038000000000000000200000000000000400000000000000038000000" +
+      "000000007800000000000000020000000000000080000000000000002000" +
+      "000000000000a0000000000000001000000000000000b000000000000000" +
+      "0000000000000000b0000000000000000200000000000000000000000400" +
+      "000007000000000000000000000000000000070000000000000002000000" +
+      "000000000700000000000000030000000000000007000000000000000000" +
+      "000000000000000000000000000003000000000000000600000000000000" +
+      "09000000000000000c000000000000000f00000000000000120000000000" +
+      "0000de0b0000000000000000000000000000000000000000d03f00000000" +
+      "0000e03f000000000000e83f000000000000f03f00000000000000000000" +
+      "00000000f83fb60d00000000000000000000000000000200000004000000" +
+      "040000000600000008000000080000007231723272307231723372307232" +
+      "72335505000000000000ffffffff2801000014000000000000000c001600" +
+      "0600050008000c000c000000000304001800000088000000000000000000" +
+      "0a0018000c00040008000a000000ac000000100000000500000000000000" +
+      "000000000900000000000000000000000000000000000000000000000000" +
+      "000028000000000000002800000000000000010000000000000030000000" +
+      "000000002800000000000000580000000000000001000000000000006000" +
+      "000000000000180000000000000078000000000000000800000000000000" +
+      "800000000000000000000000000000008000000000000000010000000000" +
+      "000000000000040000000500000000000000000000000000000005000000" +
+      "000000000100000000000000050000000000000001000000000000000500" +
+      "000000000000000000000000000015000000000000001800000000000000" +
+      "1b000000000000001e000000000000002100000000000000170000000000" +
+      "0000000000000000fc3f0000000000000040000000000000024000000000" +
+      "0000000000000000000006401b0000000000000000000000020000000400" +
+      "000004000000060000000800000072337230723272330a00000000000000" +
+      "ffffffff00000000",
+      "ffffffff080100001000000000000a000c000600050008000a0000000001" +
+      "04000c0000000800080000000400080000000400000004000000a4000000" +
+      "6000000030000000040000007cffffff0000010610000000180000000400" +
+      "00000000000004000000666c616700000000d8ffffffa4ffffff00000105" +
+      "100000001c0000000400000000000000040000006e616d65000000000400" +
+      "040004000000d0ffffff00000103100000001c0000000400000000000000" +
+      "0500000073636f7265000600080006000600000000000200100014000800" +
+      "060007000c00000010001000000000000102100000001c00000004000000" +
+      "00000000020000006964000008000c000800070008000000000000014000" +
+      "0000ffffffff2801000014000000000000000c0016000600050008000c00" +
+      "0c0000000003040018000000e00000000000000000000a0018000c000400" +
+      "08000a000000ac0000001000000009000000000000000000000009000000" +
+      "000000000000000000000000000000000000000000000000480000000000" +
+      "000048000000000000000200000000000000500000000000000048000000" +
+      "0000000098000000000000000200000000000000a0000000000000002800" +
+      "000000000000c8000000000000000c00000000000000d800000000000000" +
+      "0000000000000000d8000000000000000200000000000000000000000400" +
+      "000009000000000000000000000000000000090000000000000002000000" +
+      "000000000900000000000000030000000000000009000000000000000000" +
+      "000000000000000000000000000003000000000000000600000000000000" +
+      "09000000000000000c000000000000000f00000000000000120000000000" +
+      "000015000000000000001800000000000000de0100000000000000000000" +
+      "00000000000000000000d03f000000000000e03f000000000000e83f0000" +
+      "00000000f03f0000000000000000000000000000f83f000000000000fc3f" +
+      "0000000000000040b6010000000000000000000000000000020000000400" +
+      "0000040000000600000008000000080000000a0000000c00000072317232" +
+      "7230723172337230000000005501000000000000ffffffff00000000")
+
   private[graft] def wikiBlob: org.apache.spark.sql.Column = unhex(
     when(col("doc_id") % 2L === 0L, lit(WikiBz2Hex.mkString))
       .otherwise(lit(WikiXmlHex)))
@@ -4134,6 +4208,26 @@ object ExtensionQueries {
           col("m.event_type").as("event_type"),
           col("m.value").as("value"))
         .orderBy(col("doc_id"), col("offset"))
+    }),
+
+    // ARROW IPC ROWS (round 13) — the interchange format read without
+    // the Arrow library: flatbuffer Message/Schema/RecordBatch walk,
+    // validity bitmaps honoured; templates rotate a two-batch and a
+    // one-batch REAL pyarrow stream by doc
+    "source_arrow_rows" -> ((s, dir) => {
+      val fixture = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), unhex(element_at(
+          array(ArrowStreamHex.map(lit): _*),
+          (pmod(col("doc_id"), lit(2L)) + 1L).cast("int"))).as("blob"))
+      fixture.select(col("doc_id"),
+          explode(graft.plans.ArrowExprs.arrowRowsCol(col("blob"),
+            Seq("id" -> "long", "score" -> "double",
+              "name" -> "string", "flag" -> "bool"))).as("r"))
+        .select(col("doc_id"), col("r.batch_idx").as("batch_idx"),
+          col("r.row_idx").as("row_idx"), col("r.id").as("id"),
+          col("r.score").as("score"), col("r.name").as("name"),
+          col("r.flag").as("flag"))
+        .orderBy(col("doc_id"), col("row_idx"))
     }),
 
     // CBOR → JSON (round 13) — the binary-JSON payloads of COSE/CWT/
@@ -8090,6 +8184,25 @@ object ExtensionQueries {
         |  p.body AS text
         |FROM documents d JOIN p ON 1 + d.doc_id % 5 = p.page_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // row replay: template A (even docs) 12 rows batched 7+5,
+    // template B 9 rows one batch; null patterns per column
+    "source_arrow_rows" ->
+      """WITH p AS (SELECT doc_id, doc_id % 2 AS par,
+        |  CASE WHEN doc_id % 2 = 0 THEN 12 ELSE 9 END AS n
+        |  FROM documents),
+        |e AS (SELECT doc_id, par, unnest(range(0, n)) AS i FROM p)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN par = 0 AND i >= 7 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS batch_idx,
+        |  CAST(i AS BIGINT) AS row_idx,
+        |  CAST(i * 3 AS BIGINT) AS id,
+        |  CASE WHEN i % 5 = 0 THEN NULL
+        |    ELSE CAST(i * 0.25 AS DOUBLE) END AS score,
+        |  CASE WHEN i % 3 = 0 THEN NULL
+        |    ELSE 'r' || (i % 4) END AS name,
+        |  i % 2 = 0 AS flag
+        |FROM e ORDER BY doc_id, row_idx""".stripMargin,
 
     // the rendered JSON character-for-character, plus two fields
     // re-extracted from it

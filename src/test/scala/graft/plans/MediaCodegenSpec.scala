@@ -85,6 +85,9 @@ class MediaCodegenSpec extends SparkFunSuite {
         "tar_xz_entries" -> graft.plans.MediaExprs.tarXzEntriesCol,
         "tf_records" -> graft.plans.MediaExprs.tfRecordsCol,
         "cbor_to_json" -> graft.plans.MediaExprs.cborToJsonCol,
+        "arrow_rows" -> ((b: org.apache.spark.sql.Column) =>
+          graft.plans.ArrowExprs.arrowRowsCol(b,
+            Seq("id" -> "long", "name" -> "string"))),
         "proto_decode" -> ((b: org.apache.spark.sql.Column) =>
           graft.plans.ProtoExprs.protoDecodeCol(b,
             graft.operators.ProtoDecode.Spec(Seq(

@@ -154,6 +154,33 @@ class StreamingSpec extends SparkFunSuite {
       .map(_.toString).toSeq
     assert(gotWiki.sorted == wantWiki.sorted && gotWiki.nonEmpty,
       "wiki pages: stream != batch")
+    // TFRecord framing (payload column dropped: binary Rows don't
+    // toString stably) and the CBOR projection lift identically
+    val tfBlob = lit(graft.operators.TfRecord.write(
+      (0 until 3).map(e => s"s-$e".getBytes("UTF-8"))))
+    val tf = blobs(tfBlob)
+    val gotTf = run(tf,
+      df => graft.operators.Multimodal.extractTfRecords(df, "doc_id")
+        .toDF().select(col("doc_id"), col("rec_idx"), col("length"),
+          col("data_crc_ok"), decode(col("payload"), "UTF-8")
+            .as("content")), "tfrecord_stream")
+    val wantTf = graft.operators.Multimodal
+      .extractTfRecords(tf.toDF("doc_id", "blob"), "doc_id")
+      .toDF().select(col("doc_id"), col("rec_idx"), col("length"),
+        col("data_crc_ok"), decode(col("payload"), "UTF-8")
+          .as("content"))
+      .orderBy("doc_id", "rec_idx").collect().map(_.toString).toSeq
+    assert(gotTf.sorted == wantTf.sorted && gotTf.nonEmpty,
+      "tfrecord: stream != batch")
+    val cborBlob = unhex(lit("a26161016162820203")) // {"a":1,"b":[2,3]}
+    val cbor = blobs(cborBlob)
+    val gotCbor = run(cbor,
+      df => df.select(col("doc_id"),
+        graft.plans.MediaExprs.cborToJsonCol(col("blob")).as("json")),
+      "cbor_stream")
+    val wantCbor = cbor.map(_._1).sorted
+      .map(d => s"[$d,{" + "\"a\":1,\"b\":[2,3]}]")
+    assert(gotCbor.sorted == wantCbor, "cbor: stream != batch")
   }
 
   test("streaming decode: golden envelope via MemoryStream (M2 wiring)") {

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Golden-vector generator for graft's Arrow IPC reader
+(`operators/ArrowIpc.scala`): deterministic tables -> REAL pyarrow
+IPC bytes (stream AND file format), written under
+src/test/resources/arrow/.
+
+The spec (`ArrowIpcGoldenSpec`) regenerates the expected values with
+the SAME deterministic recipes in Scala — decoder vs reference
+encoder.
+
+Dev-only tool; regenerate with: python3 tools/gen_arrow_vectors.py
+"""
+import os
+
+import pyarrow as pa
+import pyarrow.ipc as ipc
+
+
+def write(path, table, fmt, batch_rows=None):
+    sink = pa.BufferOutputStream()
+    opener = ipc.new_stream if fmt == "stream" else ipc.new_file
+    with opener(sink, table.schema) as w:
+        if batch_rows:
+            off = 0
+            while off < table.num_rows:
+                w.write_batch(
+                    table.slice(off, batch_rows).combine_chunks()
+                    .to_batches()[0])
+                off += batch_rows
+        else:
+            w.write_table(table)
+    with open(path, "wb") as f:
+        f.write(sink.getvalue().to_pybytes())
+
+
+def main():
+    outdir = os.path.join(os.path.dirname(__file__), "..",
+                          "src", "test", "resources", "arrow")
+    os.makedirs(outdir, exist_ok=True)
+    # NOTE: every recipe here has a twin in ArrowIpcGoldenSpec.scala.
+    n = 1000
+    t = pa.table({
+        "id": pa.array([i * 7 % 1000003 for i in range(n)],
+                       pa.int64()),
+        "small": pa.array([(i % 256) - 128 for i in range(n)],
+                          pa.int32()),
+        "score": pa.array([i * 0.25 for i in range(n)], pa.float64()),
+        "name": pa.array([f"row-{i % 97}" for i in range(n)]),
+        "flag": pa.array([i % 3 == 0 for i in range(n)]),
+    })
+    write(os.path.join(outdir, "plain.arrows"), t, "stream")
+    write(os.path.join(outdir, "plain.arrow"), t, "file")
+    write(os.path.join(outdir, "batched.arrows"), t, "stream",
+          batch_rows=300)  # 4 batches: 300/300/300/100
+    # nulls in every column (validity bitmaps)
+    tn = pa.table({
+        "id": pa.array([None if i % 5 == 0 else i for i in range(50)],
+                       pa.int64()),
+        "score": pa.array(
+            [None if i % 7 == 0 else i * 0.5 for i in range(50)],
+            pa.float64()),
+        "name": pa.array(
+            [None if i % 3 == 0 else f"n{i}" for i in range(50)]),
+        "flag": pa.array(
+            [None if i % 2 == 0 else i % 4 == 1 for i in range(50)]),
+    })
+    write(os.path.join(outdir, "nulls.arrows"), tn, "stream")
+    # empty table (schema + zero batches... pyarrow writes one empty
+    # batch for write_table of empty)
+    te = pa.table({"id": pa.array([], pa.int64())})
+    write(os.path.join(outdir, "empty.arrows"), te, "stream")
+    for f in sorted(os.listdir(outdir)):
+        print(f, os.path.getsize(os.path.join(outdir, f)))
+
+
+if __name__ == "__main__":
+    main()
