@@ -4210,6 +4210,55 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("offset"))
     }),
 
+    // DELTA LOG REPLAY (round 13) — the lakehouse transaction-log
+    // snapshot computation (delta.io PROTOCOL.md): JSON actions
+    // (add/remove per line, one file per version) replayed to the
+    // live file set — last action per path wins (ordered by
+    // version,seq packed into one int64: the argmax-by-join
+    // discipline, never struct max_by), re-ADDED files resurrect.
+    // The log is assembled in plan with closed-form sizes
+    "source_delta_log" -> ((s, dir) => {
+      val d = col("doc_id")
+      def sz(i: Int) = lit(100L) + d % 50L + lit(i.toLong)
+      def addLine(v: Int, q: Int, f: Int) = struct(lit(v).as("version"),
+        lit(q).as("seq"), concat(lit(s"""{"add":{"path":"f$f.parquet","size":"""),
+          sz(f), lit(""","dataChange":true}}""")).as("line"))
+      def rmLine(v: Int, q: Int, f: Int) = struct(lit(v).as("version"),
+        lit(q).as("seq"),
+        lit(s"""{"remove":{"path":"f$f.parquet","dataChange":true}}""")
+          .as("line"))
+      val metaLine = struct(lit(0).as("version"), lit(0).as("seq"),
+        lit("""{"metaData":{"id":"t1","partitionColumns":[]}}""")
+          .as("line"))
+      val log = array(metaLine,
+        addLine(0, 1, 0), addLine(0, 2, 1), // v0: f0 f1
+        addLine(1, 0, 2), rmLine(1, 1, 0),  // v1: +f2, -f0
+        addLine(2, 0, 3), addLine(2, 1, 0), // v2: +f3, f0 RE-ADDED
+        rmLine(3, 0, 3))                    // v3: -f3
+      val lines = spread(t(s, dir, "documents"))
+        .select(d, explode(log).as("a"))
+        .select(col("doc_id"), col("a.version").as("version"),
+          col("a.seq").as("seq"), col("a.line").as("line"))
+      val acts = lines.select(col("doc_id"),
+          get_json_object(col("line"), "$.add.path").as("add_path"),
+          get_json_object(col("line"), "$.add.size").cast("long")
+            .as("size"),
+          get_json_object(col("line"), "$.remove.path").as("rm_path"),
+          (col("version").cast("long") * 10L + col("seq")).as("ord"))
+        .where(col("add_path").isNotNull || col("rm_path").isNotNull)
+        .select(col("doc_id"),
+          coalesce(col("add_path"), col("rm_path")).as("path"),
+          col("add_path").isNotNull.as("is_add"), col("size"),
+          col("ord"))
+      val latest = acts.groupBy(col("doc_id"), col("path"))
+        .agg(max(col("ord")).as("ord"))
+      acts.join(latest, Seq("doc_id", "path", "ord"))
+        .where(col("is_add"))
+        .select(col("doc_id"), col("path"), col("size"),
+          TF.intDivNonNeg(col("ord"), lit(10L)).as("since_version"))
+        .orderBy(col("doc_id"), col("path"))
+    }),
+
     // ARROW IPC ROWS (round 13) — the interchange format read without
     // the Arrow library: flatbuffer Message/Schema/RecordBatch walk,
     // validity bitmaps honoured; templates rotate a two-batch and a
@@ -8184,6 +8233,17 @@ object ExtensionQueries {
         |  p.body AS text
         |FROM documents d JOIN p ON 1 + d.doc_id % 5 = p.page_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the live set after replay: f0 resurrected at v2, f1 from v0,
+    // f2 from v1; f3 removed at v3
+    "source_delta_log" ->
+      """SELECT d.doc_id, p.path,
+        |  CAST(100 + d.doc_id % 50 + p.f AS BIGINT) AS size,
+        |  CAST(p.since AS BIGINT) AS since_version
+        |FROM documents d CROSS JOIN (VALUES
+        |  ('f0.parquet', 0, 2), ('f1.parquet', 1, 0),
+        |  ('f2.parquet', 2, 1)) p(path, f, since)
+        |ORDER BY d.doc_id, p.path""".stripMargin,
 
     // row replay: template A (even docs) 12 rows batched 7+5,
     // template B 9 rows one batch; null patterns per column
