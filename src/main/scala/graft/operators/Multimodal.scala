@@ -3905,6 +3905,24 @@ object Multimodal {
       graft.plans.MediaExprs.tfRecordsCol).as[TfRecordRow]
   }
 
+  /** Batch `.tar.gz` / `.tar.bz2` entry listings (native array-kernel
+    * expressions; same schema as [[extractTarEntries]]). */
+  def extractTarGzEntries(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[TarEntryRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.tarGzEntriesCol).as[TarEntryRow]
+  }
+
+  def extractTarBz2Entries(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[TarEntryRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.tarBz2EntriesCol).as[TarEntryRow]
+  }
+
   /** One row per MediaWiki `<page>` (see
     * [[graft.operators.WikiDump.pagesJvm]]). */
   final case class WikiPageRow(doc_id: Long, page_idx: Long,

@@ -304,7 +304,24 @@ object MediaArrayKernel {
       }.toArray[Any])
 
   def tarXzEntries(b: Array[Byte]): ArrayData =
-    new GenericArrayData(graft.operators.XzDecode.decompress(b)
+    tarRows(graft.operators.XzDecode.decompress(b))
+
+  def tarBz2Entries(b: Array[Byte]): ArrayData =
+    tarRows(graft.operators.Bzip2Decode.decompress(b))
+
+  /** `.tar.gz`: inflate ALL members (tarballs are usually one member,
+    * but pigz-style concatenation is legal) and walk the RAW-BYTE
+    * concatenation (the core walk, not the string-typed member view);
+    * a CRC-corrupt member kills the listing — unlike the member WALK,
+    * an archive must decode fully or not at all. */
+  def tarGzEntries(b: Array[Byte]): ArrayData =
+    tarRows(Multimodal.gzipWalkJvm(b).flatMap { parts =>
+      if (parts.isEmpty || parts.exists(!_._5)) None
+      else Some(parts.toArray.flatMap(_._4))
+    })
+
+  private def tarRows(bytes: Option[Array[Byte]]): ArrayData =
+    new GenericArrayData(bytes
       .map(Multimodal.tarEntriesJvm)
       .getOrElse(Vector.empty).map {
         case (n, sz, tf, c) => InternalRow(UTF8String.fromString(n), sz,
@@ -873,6 +890,31 @@ case class TfRecords(child: Expression) extends MediaArrayExpression {
   override def prettyName: String = "graft_tf_records"
 }
 
+/** `tar_gz_entries(blob)` / `tar_bz2_entries(blob)` -> the TAR entry
+  * walk over decompressed `.tar.gz` / `.tar.bz2`; identical output
+  * schema to `tar_entries` on the uncompressed twin. */
+case class TarGzEntries(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.tarEntrySchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.tarGzEntries($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.tarGzEntries(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_tar_gz_entries"
+}
+
+case class TarBz2Entries(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.tarEntrySchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.tarBz2Entries($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.tarBz2Entries(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_tar_bz2_entries"
+}
+
 /** `wiki_pages(blob)` -> one struct per MediaWiki `<page>` element;
   * a `BZh` prefix routes through the multi-stream bzip2 decoder (the
   * `pages-articles-multistream.xml.bz2` layout), anything else is
@@ -1189,4 +1231,6 @@ object MediaExprs {
   def tarXzEntriesCol(blob: Column): Column = c(TarXzEntries(e(blob)))
   def tfRecordsCol(blob: Column): Column = c(TfRecords(e(blob)))
   def cborToJsonCol(blob: Column): Column = c(CborToJson(e(blob)))
+  def tarGzEntriesCol(blob: Column): Column = c(TarGzEntries(e(blob)))
+  def tarBz2EntriesCol(blob: Column): Column = c(TarBz2Entries(e(blob)))
 }

@@ -1598,6 +1598,72 @@ object ExtensionQueries {
       "0000040000000600000008000000080000000a0000000c00000072317232" +
       "7230723172337230000000005501000000000000ffffffff00000000")
 
+  /** The SAME two tar shard layouts as [[TarXzHex]], compressed with
+    * real gzip (mtime 0, no fname) and real libbz2 — `.tar.gz` and
+    * `.tar.bz2` share `source_tar_xz`'s oracle body. */
+  private val TarGzHex: Seq[String] = Seq(
+      "1f8b0800000000000003edd6c18ac2301485e1aeef53f4012e9aa431b18f" +
+      "13db8aa2e830cdc83cfed46160401782d2d6c5ff2d722104eed91c487b6e" +
+      "fa655ae4ef5c8cc60c82f7bf73703b8d715561abe8a2b77ff7311a579466" +
+      "bc48ffbefa9c3e879553ec7a43e9f8b14be5767feccae67ccadd29cbdc91" +
+      "30a1f6daffcdccfd8ffeaeffd6d2ff296cba9cca278fb9b3e3756dca69d9" +
+      "2c9afe32de8e87fd0feeb6ffd7e7f47f0207bd88512356ad38f552692d5e" +
+      "6d9095ba9504ad8244f5b5ac3578a9756df91e00000000000000000000c0" +
+      "5bfa01a251500400280000",
+      "1f8b0800000000000003edd3bd0ac2301486e15e4ac82cf5a40d2d783781" +
+      "147fb00a4d848a78ef86ba4817a7a622ef33e4842ce7cbf085831bfc762c" +
+      "4fe17a2916224963ed3493f914a9abc2d46dd55af37e3752d5b650b254a0" +
+      "4fb710dd90a2e4d8f5831efae8f54e998dd2b11b63baeabdeb7ba79f6b27" +
+      "430e61eaffbd8c635c6cc7b7fe9b56e6fd37d2d0ff1c7c778e4ee53fd7fe" +
+      "370000000000000000000000c0bf78010f6e969100280000")
+
+  private val TarBz2Hex: Seq[String] = Seq(
+      "425a68313141592653597babc27e0000e05b85ca104005ffe001007f6ddf" +
+      "402000009008083000dab6c32253d47ea8dea9a0d0d07a87a8d34d335085" +
+      "3d1a2340340000000da953da1268d346d40d000034efe5ab3018ab154c08" +
+      "6902138c0856596f818c88891cef31c9042102a6782c78d9622c39e92848" +
+      "92334599f95b557393caf0b69d884afd942080b8e04122d71ed9ce84a63c" +
+      "ee96e79147856634a2859a048010a4a9a4e9ad8292031358b04d60c27406" +
+      "a001cf02f9c1cd0d246655bc4f1ca986aec016c707fddeeaf689bc4a8c8a" +
+      "50518031b8c380c086fa2bc425fc5dc914e14241eeaf09f8",
+      "425a683131415926535915cacf730000d2db91ce005005fd90060066f79e" +
+      "6a0200080008083000b66094a689ea19a4d3d4d304f5193463537aa09251" +
+      "a08698693434c81a69802524da694f5340d347a8da9e900341e7ef236186" +
+      "cd924b846210e18421efc063883889ec40210e1309dca58f440d34d19396" +
+      "7ef26205a1470168e042256aa03d1ae1914e157c8c2f910cc4099190cc44" +
+      "a0a17821e7ad8763e407a202d80836789267a020e845ac0dd7f29ec50438" +
+      "8e728b554c7b6e1103f8bb9229c28480ae567b98")
+
+  /** One oracle body for all three compressed-tarball layouts
+    * (`lazy` — the round-8 init-order trap: a plain val referenced
+    * from the oracles map would still be null when the map builds). */
+  private lazy val TarballOracleSql: String =
+    """WITH csv AS (SELECT 'k,v' || chr(10) ||
+      |    string_agg(i || ',' || (i*i), chr(10) ORDER BY i) ||
+      |    chr(10) AS c
+      |  FROM range(0, 10) t(i)),
+      |ent AS (
+      |  SELECT 0 AS par, 'data/c.csv' AS name, (SELECT c FROM csv)
+      |    AS content
+      |  UNION ALL SELECT 0, 'docs/a.txt',
+      |    'alpha file content' || chr(10)
+      |  UNION ALL SELECT 0, 'docs/b.txt', repeat('beta ', 12)
+      |  UNION ALL SELECT 1, 'shard/x.json',
+      |    '{"id": 1, "text": "gamma"}'
+      |  UNION ALL SELECT 1, 'shard/y.txt', repeat('delta ', 20))
+      |SELECT d.doc_id, p.name,
+      |  CAST(strlen(p.content) AS BIGINT) AS size,
+      |  '0' AS typeflag, p.content
+      |FROM documents d JOIN ent p ON d.doc_id % 2 = p.par
+      |ORDER BY d.doc_id, p.name""".stripMargin
+
+  private def tarTwinFixture(s: SparkSession, dir: String,
+      hexes: Seq[String]): DataFrame =
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), unhex(element_at(
+        array(hexes.map(lit): _*),
+        (pmod(col("doc_id"), lit(2L)) + 1L).cast("int"))).as("blob"))
+
   private[graft] def wikiBlob: org.apache.spark.sql.Column = unhex(
     when(col("doc_id") % 2L === 0L, lit(WikiBz2Hex.mkString))
       .otherwise(lit(WikiXmlHex)))
@@ -4208,6 +4274,59 @@ object ExtensionQueries {
           col("m.event_type").as("event_type"),
           col("m.value").as("value"))
         .orderBy(col("doc_id"), col("offset"))
+    }),
+
+    // TAR.GZ / TAR.BZ2 (round 13) — the other two compressed-tarball
+    // layouts, same shard contents and oracle as source_tar_xz: the
+    // archive matrix (tar × gz/bz2/xz) closes
+    "source_tar_gz" -> ((s, dir) =>
+      Multimodal.extractTarGzEntries(
+          tarTwinFixture(s, dir, TarGzHex), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"), col("name"))),
+
+    "source_tar_bz2" -> ((s, dir) =>
+      Multimodal.extractTarBz2Entries(
+          tarTwinFixture(s, dir, TarBz2Hex), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"), col("name"))),
+
+    // JSONL.GZ (round 13) — the commonest shipped text-corpus layout:
+    // gzip member content → line split → JSON fields, all existing
+    // machinery; the gzip layer is the closed-form STORED-deflate
+    // fixture with a real in-plan CRC32
+    "source_jsonl_gz" -> ((s, dir) => {
+      val d = col("doc_id")
+      val k = lit(3L) + d % 3L
+      val payload = concat(array_join(transform(
+        sequence(lit(0L), k - 1L), j => concat(
+          lit("""{"line":"""), j,
+          lit(""","text":"t-"""), d % 7L, lit("""-"""), j,
+          lit(""""}"""))), "\n"), lit("\n"))
+      // STORED-deflate gzip member with a REAL CRC32 (the gzipBlob
+      // discipline): header | 01 | LEN | NLEN | payload | CRC | ISIZE
+      def le16h(x: org.apache.spark.sql.Column) = concat(
+        lpad(hex(pmod(x, lit(256L))), 2, "0"),
+        lpad(hex(TF.intDivNonNeg(x, lit(256L))), 2, "0"))
+      def le32h(x: org.apache.spark.sql.Column) = concat(
+        le16h(pmod(x, lit(65536L))),
+        le16h(TF.intDivNonNeg(x, lit(65536L))))
+      val pl = length(payload).cast("long")
+      val blob = unhex(concat(
+        lit("1f8b0800" + "00000000" + "0003" + "01"),
+        le16h(pl), le16h(lit(65535L) - pl), hex(payload),
+        le32h(crc32(payload)), le32h(pl)))
+      val fixture = spread(t(s, dir, "documents"))
+        .select(d, blob.as("blob"))
+      Multimodal.extractGzipMembers(fixture, "doc_id").toDF()
+        .select(col("doc_id"),
+          explode(filter(split(col("content"), "\n"),
+            l => length(l) > 0)).as("line"))
+        .select(col("doc_id"),
+          get_json_object(col("line"), "$.line").cast("long")
+            .as("line_no"),
+          get_json_object(col("line"), "$.text").as("text"))
+        .orderBy(col("doc_id"), col("line_no"))
     }),
 
     // DELTA LOG REPLAY (round 13) — the lakehouse transaction-log
@@ -8233,6 +8352,19 @@ object ExtensionQueries {
         |  p.body AS text
         |FROM documents d JOIN p ON 1 + d.doc_id % 5 = p.page_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // identical shard contents to source_tar_xz — one oracle body,
+    // three compression layers
+    "source_tar_gz" -> TarballOracleSql,
+    "source_tar_bz2" -> TarballOracleSql,
+
+    // the lines replay: k = 3 + doc%3 lines per member
+    "source_jsonl_gz" ->
+      """WITH p AS (SELECT doc_id, 3 + doc_id % 3 AS k FROM documents),
+        |e AS (SELECT doc_id, unnest(range(0, k)) AS i FROM p)
+        |SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+        |  't-' || (doc_id % 7) || '-' || i AS text
+        |FROM e ORDER BY doc_id, line_no""".stripMargin,
 
     // the live set after replay: f0 resurrected at v2, f1 from v0,
     // f2 from v1; f3 removed at v3

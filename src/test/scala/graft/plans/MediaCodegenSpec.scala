@@ -85,6 +85,8 @@ class MediaCodegenSpec extends SparkFunSuite {
         "tar_xz_entries" -> graft.plans.MediaExprs.tarXzEntriesCol,
         "tf_records" -> graft.plans.MediaExprs.tfRecordsCol,
         "cbor_to_json" -> graft.plans.MediaExprs.cborToJsonCol,
+        "tar_gz_entries" -> graft.plans.MediaExprs.tarGzEntriesCol,
+        "tar_bz2_entries" -> graft.plans.MediaExprs.tarBz2EntriesCol,
         "arrow_rows" -> ((b: org.apache.spark.sql.Column) =>
           graft.plans.ArrowExprs.arrowRowsCol(b,
             Seq("id" -> "long", "name" -> "string"))),
