@@ -209,7 +209,9 @@ object ArrowIpc {
       body: Int, schema: IndexedSeq[(String, String)])
       : (Long, IndexedSeq[Col]) = {
     if (rbT < 0) return null
-    val nRows = msg.longField(rbT, 0, -1L)
+    // flatbuffers OMITS default-valued fields: an absent length slot
+    // means 0 rows (the empty-batch shape), not corruption
+    val nRows = msg.longField(rbT, 0, 0L)
     if (nRows < 0 || nRows > MaxRows) return null
     if (msg.field(rbT, 3) >= 0) return null // body compression
     val (nNodes, nodesAt) = msg.vectorField(rbT, 1)
@@ -242,6 +244,7 @@ object ArrowIpc {
       @inline def isNull(i: Long): Boolean =
         hasValidity && !bitSet(vAt, i)
       val values: IndexedSeq[Any] = kind match {
+        case "string" if nRows == 0 => Vector.empty
         case "string" =>
           val (oAt, oLen) = slice(bi + 1)
           val (dAt, dLen) = slice(bi + 2)

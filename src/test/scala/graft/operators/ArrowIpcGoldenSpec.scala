@@ -89,6 +89,15 @@ class ArrowIpcGoldenSpec extends AnyFunSuite {
     assert(batches.map(_.nRows).sum == 0)
   }
 
+  test("EMPTY batch with string/bool columns (0-length offsets " +
+      "buffers) decodes — the false-reject edge") {
+    val batches = ArrowIpc.batchesJvm(vector("empty_str.arrows"))
+    assert(batches.nonEmpty, "empty-string batch must not be rejected")
+    assert(batches.map(_.nRows).sum == 0)
+    assert(batches.head.cols.map(_.name) ==
+      Vector("id", "name", "flag"))
+  }
+
   test("truncation, garbage, and byte-flips never throw; a truncated " +
       "stream yields a strict batch prefix or nothing") {
     val base = vector("batched.arrows")

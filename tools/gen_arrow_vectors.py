@@ -69,6 +69,19 @@ def main():
     # batch for write_table of empty)
     te = pa.table({"id": pa.array([], pa.int64())})
     write(os.path.join(outdir, "empty.arrows"), te, "stream")
+    # an EXPLICIT 0-row batch WITH string/bool columns (0-length
+    # offsets buffers) -- write_table of an empty table emits no
+    # batches at all, so force one with write_batch
+    schema2 = pa.schema([("id", pa.int64()), ("name", pa.string()),
+                         ("flag", pa.bool_())])
+    rb2 = pa.record_batch([pa.array([], pa.int64()),
+                           pa.array([], pa.string()),
+                           pa.array([], pa.bool_())], schema=schema2)
+    sink2 = pa.BufferOutputStream()
+    with ipc.new_stream(sink2, schema2) as w:
+        w.write_batch(rb2)
+    with open(os.path.join(outdir, "empty_str.arrows"), "wb") as f:
+        f.write(sink2.getvalue().to_pybytes())
     for f in sorted(os.listdir(outdir)):
         print(f, os.path.getsize(os.path.join(outdir, f)))
 
