@@ -181,6 +181,20 @@ class StreamingSpec extends SparkFunSuite {
     val wantCbor = cbor.map(_._1).sorted
       .map(d => s"[$d,{" + "\"a\":1,\"b\":[2,3]}]")
     assert(gotCbor.sorted == wantCbor, "cbor: stream != batch")
+    // the XZ member walk lifts identically
+    val xzBlobs = graft.queries.ExtensionQueries
+      .xzFixture(s, "/root/testdata/sf0.001")
+      .limit(4).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("blob"))).toSeq
+    val gotXz = run(xzBlobs,
+      df => graft.operators.Multimodal.extractXzMembers(df, "doc_id")
+        .toDF(), "xz_stream")
+    val wantXz = graft.operators.Multimodal
+      .extractXzMembers(xzBlobs.toDF("doc_id", "blob"), "doc_id")
+      .toDF().orderBy("doc_id", "member_idx").collect()
+      .map(_.toString).toSeq
+    assert(gotXz.sorted == wantXz.sorted && gotXz.nonEmpty,
+      "xz members: stream != batch")
   }
 
   test("streaming decode: golden envelope via MemoryStream (M2 wiring)") {
