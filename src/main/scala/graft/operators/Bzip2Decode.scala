@@ -257,6 +257,11 @@ object Bzip2Decode {
       val sym = cur.decode(in)
       if (sym < 0) return None
       if (sym <= 1) { // RUNA / RUNB
+        // runBit > 24 can only arise from a hostile stream (a
+        // conforming run is < 2^21 at level 9); past 30 the shift
+        // would wrap negative and slip the limit guard into a
+        // throwing Arrays.fill — cap it hard
+        if (runBit > 24) return None
         run += (sym + 1) << runBit
         runBit += 1
         if (run > limit) return None
