@@ -370,5 +370,19 @@ object Bench {
           warmEmb.filter(col("vec_id") < 2), k = 2)
         .write.format("noop").mode("overwrite").save()
     }
+    // The alphabetically-FIRST timed queries absorb whatever session
+    // cold-start the tiny-scale warmups above didn't reach (driver
+    // boxes fault fresh pages / fill the page cache during the first
+    // queries: BENCH_r13 read avro_envelope_ids at 6.45 s min-of-2 vs
+    // 0.39 s in the same-protocol builder fold). Run the first two
+    // sweep rows once at the REAL sfDir here, untimed — their timed
+    // min-of-2 below then measures steady state like every other row.
+    Seq("avro_envelope_ids", "avro_key_decode").foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] warmup $n @sfDir failed (continuing): $t")
+      }
+    }
   }
 }

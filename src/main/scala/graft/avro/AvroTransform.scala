@@ -1,7 +1,6 @@
 package graft.avro
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 import graft.config.{EngineConfig, ErrorMode}

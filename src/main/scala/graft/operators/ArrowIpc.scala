@@ -1,39 +1,48 @@
 package graft.operators
 
-/** Arrow IPC reading without the Arrow library — round 13.
+/** Arrow IPC reading without the Arrow library — rounds 13/14.
   *
   * Arrow IPC (`.arrow` / `.arrows` / Feather v2) is the interchange
   * format datasets increasingly ship in; executors here read the
   * ENCAPSULATED MESSAGE stream directly: per message a 0xFFFFFFFF
   * continuation marker, a little-endian flatbuffer length, the
   * flatbuffer metadata, and the 8-aligned body. A stream is one
-  * Schema message then RecordBatch messages until the end-of-stream
-  * marker; the FILE format wraps the same stream in `ARROW1\0\0`
-  * magic (the trailing footer is an index for seeking — sequential
-  * reads don't need it and this walk skips it).
+  * Schema message then DictionaryBatch/RecordBatch messages until the
+  * end-of-stream marker; the FILE format wraps the same stream in
+  * `ARROW1\0\0` magic (the trailing footer is an index for seeking —
+  * sequential reads don't need it and this walk skips it).
   *
   * Includes a minimal FLATBUFFERS navigator (soffset→vtable, field
   * slots, uoffset tables/vectors/strings, inline structs) and the
   * relevant slices of the public Arrow .fbs schemas: Message
   * (version/header-union/bodyLength), Schema (fields), Field
-  * (name/nullable/type-union), Int (bitWidth/signed), FloatingPoint
-  * (precision), RecordBatch (length / FieldNode structs / Buffer
-  * structs).
+  * (name/nullable/type-union/dictionary), DictionaryEncoding
+  * (id/indexType), Int (bitWidth/signed), FloatingPoint (precision),
+  * RecordBatch (length / FieldNode structs / Buffer structs /
+  * BodyCompression), DictionaryBatch (id/data/isDelta).
   *
   * Column types supported: Int 8/16/32/64 signed (→ Long), Float64
   * (→ Double), Utf8 (→ String), Bool (→ Boolean); validity bitmaps
-  * honoured (LSB-numbered). Anything else — dictionaries,
-  * compression (the Buffer-compression field must be ABSENT),
-  * nested types — is DECLINED honestly (None), never misread.
+  * honoured (LSB-numbered). DICTIONARY-ENCODED columns of those value
+  * types decode through replayed DictionaryBatch messages (replacement
+  * and delta batches both honoured; signed int 8/16/32/64 indices —
+  * pyarrow's default encoding for categorical strings). BODY
+  * COMPRESSION (per-buffer LZ4-frame or zstd, the two codecs the Arrow
+  * spec defines) decompresses through this repo's own golden-pinned
+  * decoders ([[Lz4Snappy]], [[ZstdDecode]]). Anything else — nested
+  * types, unsigned indices — is DECLINED honestly (empty), never
+  * misread.
   *
   * Validation: GOLDEN VECTORS from real pyarrow
   * (`tools/gen_arrow_vectors.py` → committed `.arrows`/`.arrow`
   * resources): multi-batch streams, null runs, empty batches, both
-  * container formats — decoder vs reference encoder.
+  * container formats, dictionary columns (including delta growth),
+  * LZ4- and zstd-compressed bodies — decoder vs reference encoder.
   */
 object ArrowIpc {
 
   private val MaxRows = 1 << 24
+  private val MaxBufferBytes = 1 << 26 // 64 MiB per decompressed buffer
 
   /** One decoded cell value: null | Long | Double | String |
     * Boolean. A decoded batch is rows × columns. */
@@ -42,6 +51,11 @@ object ArrowIpc {
 
   /** One record batch: (batch_idx, nRows, columns). */
   final case class Batch(idx: Int, nRows: Long, cols: IndexedSeq[Col])
+
+  /** One schema field: value kind, plus dictionary encoding if any
+    * (`dictId` -1 when plain; `indexBits` the signed index width). */
+  private final case class FieldSpec(name: String, kind: String,
+    dictId: Long, indexBits: Int)
 
   // ---- flatbuffers navigation ---------------------------------------
 
@@ -108,10 +122,30 @@ object ArrowIpc {
     }
   }
 
+  /** One materialized batch buffer: either a window into the message
+    * body or a freshly decompressed array. */
+  private final class BufView(val b: Array[Byte], val off: Int,
+      val len: Int) {
+    def i16(p: Int): Int =
+      (b(off + p) & 0xff) | ((b(off + p + 1) & 0xff) << 8)
+    def i32(p: Int): Int =
+      (b(off + p) & 0xff) | ((b(off + p + 1) & 0xff) << 8) |
+        ((b(off + p + 2) & 0xff) << 16) | ((b(off + p + 3) & 0xff) << 24)
+    def i64(p: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 8) { v |= (b(off + p + i) & 0xffL) << (8 * i); i += 1 }
+      v
+    }
+    def byteAt(p: Int): Byte = b(off + p)
+    def bit(i: Long): Boolean =
+      (b(off + (i >> 3).toInt) & (1 << (i & 7).toInt)) != 0
+  }
+
   // ---- the walk ------------------------------------------------------
 
   /** All record batches of an Arrow IPC stream or file blob; empty on
-    * anything malformed, unsupported, or compressed. */
+    * anything malformed, unsupported, or inconsistent. */
   def batchesJvm(blob: Array[Byte]): IndexedSeq[Batch] = {
     if (blob == null || blob.length < 8) return Vector.empty
     // file format: ARROW1\0\0 then the stream
@@ -121,7 +155,8 @@ object ArrowIpc {
       else 0
     val fbAll = new Fb(blob)
     var p = start
-    var schema: IndexedSeq[(String, String)] = null // (name, kind)
+    var schema: IndexedSeq[FieldSpec] = null
+    val dicts = scala.collection.mutable.Map.empty[Long, IndexedSeq[Any]]
     val out = Vector.newBuilder[Batch]
     var batchIdx = 0
     var done = false
@@ -135,7 +170,11 @@ object ArrowIpc {
       } else p += 4 // legacy framing
       if (metaLen == 0) { done = true }
       else {
-        if (metaLen < 0 || p + metaLen > blob.length) return Vector.empty
+        // long arithmetic: a hostile metaLen near Int.MaxValue wraps
+        // p + metaLen negative, sails past an int check, and OOMs in
+        // copyOfRange (2 GB allocation)
+        if (metaLen < 0 || p.toLong + metaLen > blob.length)
+          return Vector.empty
         val msg = new Fb(java.util.Arrays.copyOfRange(blob, p,
           p + metaLen))
         val root = msg.tableAt(0)
@@ -150,14 +189,17 @@ object ArrowIpc {
             if (schema != null) return Vector.empty
             schema = parseSchema(msg, header)
             if (schema == null) return Vector.empty
+          case 2 => // DictionaryBatch
+            if (schema == null) return Vector.empty
+            if (!applyDictBatch(msg, header, blob, bodyStart.toInt,
+              schema, dicts)) return Vector.empty
           case 3 => // RecordBatch
             if (schema == null) return Vector.empty
             val batch = parseBatch(msg, header, blob, bodyStart.toInt,
-              schema)
+              schema, dicts)
             if (batch == null) return Vector.empty
             out += Batch(batchIdx, batch._1, batch._2)
             batchIdx += 1
-          case 2 => return Vector.empty // dictionaries unsupported
           case _ => return Vector.empty
         }
         p = bodyStart + bodyLen.toInt
@@ -166,14 +208,15 @@ object ArrowIpc {
     if (schema == null) Vector.empty else out.result()
   }
 
-  /** Field list → (name, kind) with kind ∈ long/double/string/bool;
-    * null on unsupported. */
+  /** Field list → specs with kind ∈ long/double/string/bool and the
+    * dictionary encoding when present; null on unsupported. */
   private def parseSchema(msg: Fb,
-      schemaT: Int): IndexedSeq[(String, String)] = {
+      schemaT: Int): IndexedSeq[FieldSpec] = {
     if (schemaT < 0) return null
     val (n, elems) = msg.vectorField(schemaT, 1) // fields
     if (n < 0) return null
-    val out = Vector.newBuilder[(String, String)]
+    if (elems < 0 || elems + 4L * n > msg.b.length) return null
+    val out = Vector.newBuilder[FieldSpec]
     var i = 0
     while (i < n) {
       val f = msg.tableAt(elems + 4 * i)
@@ -182,7 +225,6 @@ object ArrowIpc {
       if (name == null) return null
       val typeType = msg.byteField(f, 2, 0)
       val typeT = msg.tableField(f, 3)
-      // a present dictionary encoding makes the data buffer indices
       val kind = typeType match {
         case 2 => // Int
           val bits = msg.intField(typeT, 0, 0)
@@ -197,98 +239,187 @@ object ArrowIpc {
         case 6 => "bool"
         case _ => return null
       }
-      if (msg.field(f, 4) >= 0) return null // dictionary-encoded
-      out += ((name, kind))
+      // DictionaryEncoding (slot 4): id + index Int type (the data
+      // buffers then carry indices of that width; default int32)
+      var dictId = -1L
+      var indexBits = 32
+      val dt = msg.tableField(f, 4)
+      if (msg.field(f, 4) >= 0) {
+        if (dt < 0) return null
+        dictId = msg.longField(dt, 0, 0L)
+        val it = msg.tableField(dt, 1)
+        if (it >= 0) {
+          val bits = msg.intField(it, 0, 32)
+          val signed = msg.byteField(it, 1, 0) != 0
+          if (!signed || (bits != 8 && bits != 16 && bits != 32 &&
+            bits != 64)) return null
+          indexBits = bits
+        }
+        if (dictId < 0) return null
+      }
+      out += FieldSpec(name, kind, dictId, indexBits)
       i += 1
     }
     out.result()
   }
 
+  /** Replay one DictionaryBatch into the id→values map: its payload is
+    * a 1-column RecordBatch of the VALUE type; `isDelta` appends,
+    * otherwise the dictionary is replaced (both legal in streams). */
+  private def applyDictBatch(msg: Fb, dbT: Int, blob: Array[Byte],
+      body: Int, schema: IndexedSeq[FieldSpec],
+      dicts: scala.collection.mutable.Map[Long, IndexedSeq[Any]])
+      : Boolean = {
+    if (dbT < 0) return false
+    val id = msg.longField(dbT, 0, 0L)
+    val data = msg.tableField(dbT, 1)
+    val isDelta = msg.byteField(dbT, 2, 0) != 0
+    // the value kind comes from the field(s) encoded against this id
+    val kind = schema.find(_.dictId == id).map(_.kind).getOrElse(null)
+    if (kind == null) return false
+    val synthetic = Vector(FieldSpec("values", kind, -1L, 32))
+    val parsed = parseBatch(msg, data, blob, body, synthetic, dicts)
+    if (parsed == null) return false
+    val values = parsed._2.head.values
+    dicts(id) =
+      if (isDelta) dicts.getOrElse(id, Vector.empty) ++ values
+      else values
+    true
+  }
+
   /** RecordBatch → (nRows, cols); null on violation. */
   private def parseBatch(msg: Fb, rbT: Int, blob: Array[Byte],
-      body: Int, schema: IndexedSeq[(String, String)])
+      body: Int, specs: IndexedSeq[FieldSpec],
+      dicts: scala.collection.mutable.Map[Long, IndexedSeq[Any]])
       : (Long, IndexedSeq[Col]) = {
     if (rbT < 0) return null
     // flatbuffers OMITS default-valued fields: an absent length slot
     // means 0 rows (the empty-batch shape), not corruption
     val nRows = msg.longField(rbT, 0, 0L)
     if (nRows < 0 || nRows > MaxRows) return null
-    if (msg.field(rbT, 3) >= 0) return null // body compression
+    // BodyCompression (slot 3): codec 0 = LZ4_FRAME, 1 = ZSTD; method
+    // must be BUFFER (0). Each non-empty buffer is then framed as
+    // [int64 LE uncompressed length | -1 = stored raw][payload].
+    var codec = -1
+    if (msg.field(rbT, 3) >= 0) {
+      val ct = msg.tableField(rbT, 3)
+      if (ct < 0) return null
+      codec = msg.byteField(ct, 0, 0)
+      if (codec != 0 && codec != 1) return null
+      if (msg.byteField(ct, 1, 0) != 0) return null // method != BUFFER
+    }
     val (nNodes, nodesAt) = msg.vectorField(rbT, 1)
     val (nBufs, bufsAt) = msg.vectorField(rbT, 2)
-    if (nNodes != schema.size || nBufs < 0) return null
+    if (nNodes != specs.size || nBufs < 0) return null
+    // corrupt metadata can declare more inline structs than the
+    // flatbuffer holds — bound BOTH vectors before any i64 read
+    if (nodesAt < 0 || nodesAt + 16L * nNodes > msg.b.length ||
+      bufsAt < 0 || bufsAt + 16L * nBufs > msg.b.length) return null
     def node(i: Int): (Long, Long) = // FieldNode: length, null_count
       (msg.i64(nodesAt + 16 * i), msg.i64(nodesAt + 16 * i + 8))
     def buf(i: Int): (Long, Long) = // Buffer: offset, length
       (msg.i64(bufsAt + 16 * i), msg.i64(bufsAt + 16 * i + 8))
-    def slice(i: Int): (Int, Int) = {
+    /** Materialize buffer `i`: a window into the body, or the
+      * decompressed bytes when the batch declares body compression.
+      * null = violation. */
+    def view(i: Int): BufView = {
       val (o, l) = buf(i)
-      if (o < 0 || l < 0 || body + o + l > blob.length) (-1, -1)
-      else ((body + o).toInt, l.toInt)
+      if (o < 0 || l < 0 || body + o + l > blob.length) return null
+      val at = (body + o).toInt
+      val n = l.toInt
+      if (codec < 0 || n == 0) return new BufView(blob, at, n)
+      if (n < 8) return null
+      var want = 0L
+      var k = 0
+      while (k < 8) { want |= (blob(at + k) & 0xffL) << (8 * k); k += 1 }
+      if (want == -1L) // stored uncompressed (incompressible buffer)
+        return new BufView(blob, at + 8, n - 8)
+      if (want < 0 || want > MaxBufferBytes) return null
+      val comp = java.util.Arrays.copyOfRange(blob, at + 8, at + n)
+      val plain = (if (codec == 0) Lz4Snappy.lz4Decompress(comp)
+        else ZstdDecode.decompress(comp)).orNull
+      if (plain == null || plain.length != want) return null
+      new BufView(plain, 0, plain.length)
     }
-    @inline def bitSet(at: Int, i: Long): Boolean =
-      (blob(at + (i >> 3).toInt) & (1 << (i & 7).toInt)) != 0
     var bi = 0
     val cols = Vector.newBuilder[Col]
     var fi = 0
-    while (fi < schema.size) {
-      val (name, kind) = schema(fi)
+    while (fi < specs.size) {
+      val spec = specs(fi)
+      val name = spec.name
+      val encoded = spec.dictId >= 0
+      // dictionary-encoded columns physically carry indices (fixed
+      // width), whatever the logical value kind
+      val physKind = if (encoded) s"int${spec.indexBits}" else spec.kind
       val (len, nullCount) = node(fi)
       if (len != nRows) return null
-      val expectBufs = if (kind == "string") 3 else 2
+      val expectBufs = if (physKind == "string") 3 else 2
       if (bi + expectBufs > nBufs) return null
-      val (vAt, vLen) = slice(bi)
+      val v = view(bi)
       val hasValidity = nullCount > 0
-      if (hasValidity &&
-        (vAt < 0 || vLen * 8L < nRows)) return null
+      if (hasValidity && (v == null || v.len * 8L < nRows)) return null
       @inline def isNull(i: Long): Boolean =
-        hasValidity && !bitSet(vAt, i)
-      val values: IndexedSeq[Any] = kind match {
+        hasValidity && !v.bit(i)
+      val values: IndexedSeq[Any] = physKind match {
         case "string" if nRows == 0 => Vector.empty
         case "string" =>
-          val (oAt, oLen) = slice(bi + 1)
-          val (dAt, dLen) = slice(bi + 2)
-          if (oAt < 0 || dAt < 0 || oLen < 4L * (nRows + 1))
+          val ov = view(bi + 1)
+          val dv = view(bi + 2)
+          if (ov == null || dv == null || ov.len < 4L * (nRows + 1))
             return null
           Vector.tabulate(nRows.toInt) { i =>
             if (isNull(i)) null
             else {
-              val s = new Fb(blob).i32(oAt + 4 * i)
-              val e = new Fb(blob).i32(oAt + 4 * (i + 1))
-              if (s < 0 || e < s || e > dLen) return null
-              new String(blob, dAt + s, e - s, "UTF-8")
+              val s = ov.i32(4 * i)
+              val e = ov.i32(4 * (i + 1))
+              if (s < 0 || e < s || e > dv.len) return null
+              new String(dv.b, dv.off + s, e - s, "UTF-8")
             }
           }
         case "bool" =>
-          val (dAt, dLen) = slice(bi + 1)
-          if (dAt < 0 || dLen * 8L < nRows) return null
+          val dv = view(bi + 1)
+          if (dv == null || dv.len * 8L < nRows) return null
           Vector.tabulate(nRows.toInt)(i =>
-            if (isNull(i)) null else bitSet(dAt, i))
+            if (isNull(i)) null else dv.bit(i))
         case "double" =>
-          val (dAt, dLen) = slice(bi + 1)
-          if (dAt < 0 || dLen < 8L * nRows) return null
-          val fb = new Fb(blob)
+          val dv = view(bi + 1)
+          if (dv == null || dv.len < 8L * nRows) return null
           Vector.tabulate(nRows.toInt)(i =>
             if (isNull(i)) null
-            else java.lang.Double.longBitsToDouble(fb.i64(dAt + 8 * i)))
+            else java.lang.Double.longBitsToDouble(dv.i64(8 * i)))
         case ik => // int8/16/32/64 → Long
           val w = ik.drop(3).toInt / 8
-          val (dAt, dLen) = slice(bi + 1)
-          if (dAt < 0 || dLen < w.toLong * nRows) return null
-          val fb = new Fb(blob)
+          val dv = view(bi + 1)
+          if (dv == null || dv.len < w.toLong * nRows) return null
           Vector.tabulate(nRows.toInt) { i =>
             if (isNull(i)) null
             else w match {
-              case 1 => blob(dAt + i).toLong
-              case 2 => fb.i16(dAt + 2 * i).toShort.toLong
-              case 4 => fb.i32(dAt + 4 * i).toLong
-              case 8 => fb.i64(dAt + 8 * i)
+              case 1 => dv.byteAt(i).toLong
+              case 2 => dv.i16(2 * i).toShort.toLong
+              case 4 => dv.i32(4 * i).toLong
+              case 8 => dv.i64(8 * i)
             }
           }
       }
+      val resolved: IndexedSeq[Any] =
+        if (!encoded) values
+        else dicts.get(spec.dictId) match {
+          case None => return null // batch before its dictionary
+          case Some(dv) =>
+            var bad = false
+            val r = values.map {
+              case null => null
+              case idx: Long =>
+                if (idx < 0 || idx >= dv.size) { bad = true; null }
+                else dv(idx.toInt)
+              case _ => { bad = true; null }
+            }
+            if (bad) return null // index out of dictionary range
+            r
+        }
       val outKind =
-        if (kind.startsWith("int")) "long" else kind
-      cols += Col(name, outKind, values)
+        if (spec.kind.startsWith("int")) "long" else spec.kind
+      cols += Col(name, outKind, resolved)
       bi += expectBufs
       fi += 1
     }

@@ -209,8 +209,9 @@ object CborDecode {
 
   private def strLen(b: Array[Byte], q: Int, end: Int): (Long, Int) = {
     val ai = b(q) & 0x1f
-    if (ai < 24) (ai.toLong, q + 1)
-    else if (ai <= 27) {
+    if (ai < 24) {
+      if (ai > end - q - 1) (0L, -1) else (ai.toLong, q + 1)
+    } else if (ai <= 27) {
       val n = 1 << (ai - 24)
       if (q + 1 + n > end) return (0L, -1)
       var v = 0L

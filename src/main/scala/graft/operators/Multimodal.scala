@@ -7,17 +7,22 @@ import graft.functions.{TextFunctions => TF}
 
 /** Multimodal (image/audio/video) column plumbing (builder mandate).
   *
-  * Media payloads are opaque `binary` columns + typed metadata, processed
-  * by batch-shaped per-partition extractors. CONTAINER-level work is real:
-  * magic-byte sniffing and actual PNG/GIF/JPEG header parsing
-  * ([[mediaDims]] — fixed-offset IHDR/LSD reads and a JPEG marker-segment
-  * walk, all portable byte arithmetic, no codec required). Only the
-  * pixel/sample DECODE step is a deterministic STUB (this container ships
-  * no image/audio codecs — see the builder prompt); everything Spark-side
-  * is real: schema, null handling, partition-parallel batch iteration,
-  * feature vector shape, and the downstream joins/aggregations. Swapping
-  * [[FeatureExtractor.decodeStub]] for a JNI/codec call changes no plan
-  * shape.
+  * Media payloads are opaque `binary` columns + typed metadata. The
+  * decoders here are REAL pure-JVM implementations, golden-pinned
+  * against reference encoders in the test tree: pixel decode for PNG
+  * (zlib inflate + all filter types), GIF (LZW), JPEG (baseline +
+  * progressive, full IDCT), BMP, TIFF (LZW + PackBits + predictor)
+  * and WebP-lossless (VP8L); sample decode for WAV PCM and FLAC;
+  * structural/metadata walks for MP4 (tracks, keyframes, byte
+  * ranges), MP3, OGG, AVIF, APNG, WebP, EXIF and ID3 (all four text
+  * encodings). Remaining honest codec boundaries — formats where only
+  * metadata is decoded, never misread — are the LOSSY bitstreams:
+  * VP8/AV1 pixel reconstruction and MP3 audio synthesis (the walks
+  * report `ok_metadata` for these). Spark-side everything is native
+  * Catalyst expressions ([[graft.plans.MediaDecodeExpressions]] /
+  * [[graft.plans.MediaArrayExpressions]]) kept inside whole-stage
+  * codegen, plus the typed-metadata schema, null handling and
+  * downstream joins/aggregations here.
   */
 object Multimodal {
 
@@ -1142,16 +1147,14 @@ object Multimodal {
     val FeatureDim = 8
 
     /** Content-agnostic BYTE-LEVEL featurizer: mean byte value + an
-      * 8-bucket byte histogram. Through round 6 this was the stand-in for
-      * payload decode; since round 7 the real decoders exist
-      * ([[decodeWavPcm16]], [[decodeBmp24]] and their window/patch
-      * variants) and this op keeps its own honest job — format-agnostic
-      * content statistics (entropy-ish fingerprinting, corruption drift
-      * monitoring) that apply to payloads no codec claims. Compressed
-      * formats (JPEG/PNG/MP3) still need a codec library this container
-      * doesn't ship; their integration point is a new branch in the same
-      * (batch-in, batch-out) extractors. */
-    def decodeStub(bytes: Array[Byte]): (Double, Array[Float]) = {
+      * 8-bucket byte histogram. Not a decode and not a stub — its job
+      * is format-agnostic content statistics (entropy-ish
+      * fingerprinting, corruption drift monitoring) that apply to
+      * payloads no codec claims; format-specific pixel/sample decode
+      * lives in the real decoders ([[decodePngFeatures]],
+      * [[decodeJpegFeatures]], [[decodeWavPcm16]], …). Backs
+      * [[graft.plans.ByteStats]] / the `mm_features` oracle query. */
+    def byteStats(bytes: Array[Byte]): (Double, Array[Float]) = {
       if (bytes.isEmpty) return (0.0, new Array[Float](FeatureDim))
       var sum = 0L
       val hist = new Array[Long](FeatureDim)
@@ -4244,17 +4247,20 @@ object Multimodal {
   }
 
   /** WARC records out of a `.warc.zst` blob — Common Crawl's current
-    * layout (one zstd frame per record or record-batch, concatenated,
-    * possibly with skippable dictionary frames): fully decompress via
-    * [[ZstdDecode.decompress]] (golden-pinned against libzstd) and run
-    * the standard WARC record walk over the result, the exact
-    * [[warcGzRecordsJvm]] discipline on the newer wire format. Frames
-    * needing an external dictionary, any structural violation, or a
-    * checksum mismatch fail the whole listing loud — records from a
-    * stream that didn't fully decode can't be trusted. */
+    * layout (one zstd frame per record or record-batch, concatenated;
+    * per the IIPC WARC/1.1 zstd annex a leading `0x184D2A5D` skippable
+    * frame may carry a dictionary, raw or itself zstd-compressed, that
+    * every record frame references): decompress via
+    * [[ZstdDecode.decompressDictAware]] (golden-pinned against libzstd,
+    * dictionary harvest included) and run the standard WARC record walk
+    * over the result, the exact [[warcGzRecordsJvm]] discipline on the
+    * newer wire format. Frames whose dictionary is missing or wrong,
+    * any structural violation, or a checksum mismatch fail the whole
+    * listing loud — records from a stream that didn't fully decode
+    * can't be trusted. */
   private[graft] def warcZstRecordsJvm(b: Array[Byte])
       : IndexedSeq[(String, String, Long, Long)] =
-    ZstdDecode.decompress(b) match {
+    ZstdDecode.decompressDictAware(b) match {
       case Some(buf) => warcRecordsJvm(buf)
       case None => Vector.empty
     }

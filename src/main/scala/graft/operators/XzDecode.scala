@@ -643,22 +643,35 @@ object XzDecode {
       unknown = false
       if (size < 0 || size > MaxOutput) return None
     }
-    val cap =
+    // Unknown-size streams have no ratio ceiling (LZMA compresses
+    // runs of zeros far beyond 300:1) — retry with a doubling buffer
+    // up to MaxOutput; each restart redoes the decode, so total work
+    // is < 2x the final pass. Known-size streams decode once.
+    var cap =
       if (unknown)
         math.min(MaxOutput.toLong,
           math.max(1L << 16, b.length.toLong * 300)).toInt
       else size.toInt
-    val out = new Array[Byte](cap)
-    val st = new LzmaState(lc, lp, pb)
-    val rc = new RangeDec(b, 13, b.length)
-    if (!rc.valid) return None
-    val eos = new Array[Boolean](1)
-    val limit = if (unknown) cap else size.toInt
-    val got = lzmaRun(rc, st, out, 0, limit, 0, allowEos = true, eos)
-    if (got < 0 || !rc.valid) return None
-    if (!unknown && got != size) return None
-    if (unknown && !eos(0)) return None
-    if (!rc.finished) return None
-    Some(java.util.Arrays.copyOf(out, got))
+    while (true) {
+      val out = new Array[Byte](cap)
+      val st = new LzmaState(lc, lp, pb)
+      val rc = new RangeDec(b, 13, b.length)
+      if (!rc.valid) return None
+      val eos = new Array[Boolean](1)
+      val got = lzmaRun(rc, st, out, 0, cap, 0, allowEos = true, eos)
+      if (unknown && !eos(0) && cap < MaxOutput &&
+        (got == cap || got < 0)) {
+        // hit the capacity ceiling (a match crossing the limit
+        // returns -1) — grow and redecode
+        cap = math.min(MaxOutput.toLong, cap * 2L).toInt
+      } else {
+        if (got < 0 || !rc.valid) return None
+        if (!unknown && got != size) return None
+        if (unknown && !eos(0)) return None
+        if (!rc.finished) return None
+        return Some(java.util.Arrays.copyOf(out, got))
+      }
+    }
+    None
   }
 }

@@ -9,8 +9,14 @@ package graft.operators
   * (1- and 4-stream, direct and FSE-compressed weight descriptions,
   * treeless repeats), the interleaved backwards sequence bitstream,
   * repeated-offset history, and cross-block state (window, Huffman
-  * table, FSE tables, offsets). Dictionary frames (`dict_id != 0`) are
-  * declined honestly — dictionary content is external by definition.
+  * table, FSE tables, offsets). Dictionaries (RFC 8878 §5, round 14)
+  * are fully supported: structured dicts (entropy-table preload +
+  * rep-offset seed + content window prefix), raw-content dicts, the
+  * out-of-band `zstd -D` layout ([[decompress(b,dict)*]]), and the
+  * IIPC `.warc.zst` in-band layout where a leading `0x184D2A5D`
+  * skippable frame carries the dictionary, raw or itself
+  * zstd-compressed ([[decompressDictAware]]). A dict-referencing frame
+  * with no (or the wrong) dictionary is still declined honestly.
   *
   * Validation: unlike the VP8L decoder (spec-only — no reference
   * encoder in the sandbox), every path here is pinned against GOLDEN
@@ -392,6 +398,69 @@ object ZstdDecode {
   private def rleTable(sym: Int): FseTable =
     new FseTable(0, Array(sym), Array(0), Array(0))
 
+  // ---- dictionaries (RFC 8878 §5) ------------------------------------
+
+  /** A parsed zstd dictionary: entropy-table preload + rep-offset
+    * history + the content window prefix. `id == 0` for raw-content
+    * dictionaries (no structure — the whole blob is prefix). */
+  final class ZDict private[ZstdDecode] (val id: Long,
+      private[ZstdDecode] val huf: HufTable,
+      private[ZstdDecode] val ofT: FseTable,
+      private[ZstdDecode] val mlT: FseTable,
+      private[ZstdDecode] val llT: FseTable,
+      private[ZstdDecode] val rep: Array[Long],
+      private[ZstdDecode] val content: Array[Byte])
+
+  /** Parse a dictionary blob (RFC 8878 §5): magic `0xEC30A437`, LE32
+    * dictionary id, entropy tables (Huffman literals table, then the
+    * OF / ML / LL FSE tables, the same descriptions compressed blocks
+    * carry), three LE32 recent offsets (each non-zero and ≤ content
+    * size), then the content window prefix. A blob WITHOUT the magic
+    * is a raw-content dictionary: all of it is prefix, entropy state
+    * starts fresh (`{1,4,8}` offsets), id 0. */
+  def parseDict(b: Array[Byte]): Option[ZDict] = {
+    if (b == null || b.length == 0) return None
+    if (b.length.toLong > MaxOutput) return None
+    def u32(p: Int): Long =
+      (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    if (b.length < 8 || u32(0) != 0xec30a437L) {
+      touch("dict-raw-content")
+      return Some(new ZDict(0L, null, null, null, null,
+        Array(1L, 4L, 8L), b))
+    }
+    touch("dict-structured")
+    val id = u32(4)
+    if (id == 0L) return None // structured dicts carry a real id
+    var p = 8
+    val huf = hufReadTable(b, p, b.length) match {
+      case Some((t, c)) => p += c; t
+      case None => return None
+    }
+    val of = fseReadTable(b, p, b.length, 8, 31) match {
+      case Some((t, c)) => p += c; t
+      case None => return None
+    }
+    val ml = fseReadTable(b, p, b.length, 9, 52) match {
+      case Some((t, c)) => p += c; t
+      case None => return None
+    }
+    val ll = fseReadTable(b, p, b.length, 9, 35) match {
+      case Some((t, c)) => p += c; t
+      case None => return None
+    }
+    if (p + 12 > b.length) return None
+    val rep = Array(u32(p), u32(p + 4), u32(p + 8))
+    p += 12
+    val content = java.util.Arrays.copyOfRange(b, p, b.length)
+    var i = 0
+    while (i < 3) {
+      if (rep(i) == 0L || rep(i) > content.length) return None
+      i += 1
+    }
+    Some(new ZDict(id, huf, of, ml, ll, rep, content))
+  }
+
   // ---- per-frame decode state ---------------------------------------
 
   private final class FrameState {
@@ -445,6 +514,10 @@ object ZstdDecode {
           math.min(cap2, Int.MaxValue.toLong).toInt)
       }
     def result: Array[Byte] = java.util.Arrays.copyOf(arr, n)
+    /** Result minus the first `from` bytes — strips a dictionary
+      * content prefix seeded as match-copy history. */
+    def resultFrom(from: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(arr, from, n)
   }
 
   // ---- literals section (§3.1.1.3.1) --------------------------------
@@ -679,7 +752,18 @@ object ZstdDecode {
   /** Decode ONE zstd frame starting at `off`; returns (content, bytes
     * consumed). Skippable frames and dictionary frames return None —
     * route those through the metadata walk. */
-  def decodeFrame(b: Array[Byte], off: Int): Option[(Array[Byte], Int)] = {
+  def decodeFrame(b: Array[Byte], off: Int): Option[(Array[Byte], Int)] =
+    decodeFrame(b, off, null)
+
+  /** Dictionary-aware frame decode: `dict` seeds the entropy tables,
+    * the rep-offset history, and the match window (its content is a
+    * prefix the frame's offsets may reach into — RFC 8878 §5). A frame
+    * declaring a `dict_id` decodes only when `dict` matches (a
+    * raw-content dict, id 0, serves any declared id — the id lives
+    * outside raw blobs by definition); with no dict supplied it is
+    * declined exactly as before. */
+  def decodeFrame(b: Array[Byte], off: Int,
+      dict: ZDict): Option[(Array[Byte], Int)] = {
     if (b == null || off + 5 > b.length) return None
     def u32(p: Int): Long =
       (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
@@ -702,7 +786,12 @@ object ZstdDecode {
     var dictId = 0L
     var i = 0
     while (i < didLen) { dictId |= (b(p + i) & 0xffL) << (8 * i); i += 1 }
-    if (dictId != 0L) return None // external dictionary — decline
+    if (dictId != 0L) {
+      // external dictionary — decode only with the matching one
+      if (dict == null) return None
+      if (dict.id != 0L && dict.id != dictId) return None
+      touch("frame-dict")
+    }
     p += didLen
     val fcsLen = fcsFlag match {
       case 0 => if (singleSegment) 1 else 0
@@ -721,7 +810,18 @@ object ZstdDecode {
     p += fcsLen
     if (contentSize > MaxOutput) return None
     val st = new FrameState
-    val out = new Out(MaxOutput)
+    // dictionary preload: entropy tables serve the first blocks'
+    // repeat/treeless modes; the content seeds the match window as an
+    // already-emitted prefix (stripped from the result)
+    val prefix = if (dict == null) 0 else {
+      st.huf = dict.huf
+      st.llT = dict.llT; st.mlT = dict.mlT; st.ofT = dict.ofT
+      st.rep(0) = dict.rep(0); st.rep(1) = dict.rep(1)
+      st.rep(2) = dict.rep(2)
+      dict.content.length
+    }
+    val out = new Out(MaxOutput.toLong + prefix)
+    if (prefix > 0 && !out.append(dict.content, 0, prefix)) return None
     var last = false
     while (!last) {
       if (p + 3 > b.length) return None
@@ -757,10 +857,10 @@ object ZstdDecode {
         case _ => return None
       }
     }
-    if (contentSize >= 0 && contentSize != out.size) return None
+    if (contentSize >= 0 && contentSize != out.size - prefix) return None
     if (hasChecksum) {
       if (p + 4 > b.length) return None
-      val c = out.result
+      val c = out.resultFrom(prefix) // checksum covers frame content only
       val h = org.apache.spark.sql.catalyst.expressions.XXH64
         .hashUnsafeBytes(c,
           org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
@@ -769,17 +869,37 @@ object ZstdDecode {
       p += 4
       return Some((c, p - off))
     }
-    Some((out.result, p - off))
+    Some((out.resultFrom(prefix), p - off))
   }
 
   /** Decode a whole (possibly multi-frame, possibly skippable-frame-
     * interleaved) zstd stream; None on any violation. */
-  def decompress(b: Array[Byte]): Option[Array[Byte]] = {
+  def decompress(b: Array[Byte]): Option[Array[Byte]] =
+    decompressImpl(b, null, harvest = false)
+
+  /** [[decompress]] with an externally-supplied dictionary (the plain
+    * `zstd -D` layout: the dictionary travels out-of-band). */
+  def decompress(b: Array[Byte], dict: ZDict): Option[Array[Byte]] =
+    decompressImpl(b, dict, harvest = false)
+
+  /** [[decompress]] for the Common Crawl `.warc.zst` layout (IIPC
+    * WARC/1.1 zstd annex): the dictionary travels IN-BAND as a leading
+    * skippable frame with magic `0x184D2A5D`, raw or itself
+    * zstd-compressed, and every record frame references it. Harvested
+    * dictionaries apply to subsequent data frames; other skippable
+    * frames are skipped as before, and a blob with no dictionary frame
+    * decodes exactly like [[decompress]]. */
+  def decompressDictAware(b: Array[Byte]): Option[Array[Byte]] =
+    decompressImpl(b, null, harvest = true)
+
+  private def decompressImpl(b: Array[Byte], dict0: ZDict,
+      harvest: Boolean): Option[Array[Byte]] = {
     if (b == null || b.length < 4) return None
     def u32(p: Int): Long =
       (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
         ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
     val out = new java.io.ByteArrayOutputStream()
+    var dict = dict0
     var p = 0
     while (p < b.length) {
       if (p + 4 > b.length) return None
@@ -788,8 +908,28 @@ object ZstdDecode {
         if (p + 8 > b.length) return None
         val n = u32(p + 4)
         if (p + 8 + n > b.length) return None
+        if (harvest && magic == 0x184d2a5dL) {
+          // the WARC-zstd dictionary frame: payload is the dictionary,
+          // raw or itself a (dictionary-less) zstd frame
+          touch("dict-harvest")
+          val payload = java.util.Arrays.copyOfRange(b, p + 8,
+            p + 8 + n.toInt)
+          val raw =
+            if (payload.length >= 4 &&
+              (payload(0) & 0xff) == 0x28 && (payload(1) & 0xff) == 0xb5 &&
+              (payload(2) & 0xff) == 0x2f && (payload(3) & 0xff) == 0xfd)
+              decompress(payload) match {
+                case Some(d) => d
+                case None => return None // corrupt wrapped dictionary
+              }
+            else payload
+          dict = parseDict(raw) match {
+            case Some(d) => d
+            case None => return None // a dict frame must parse
+          }
+        }
         p += (8 + n).toInt
-      } else decodeFrame(b, p) match {
+      } else decodeFrame(b, p, dict) match {
         case Some((c, consumed)) =>
           if (out.size().toLong + c.length > MaxOutput) return None
           out.write(c)

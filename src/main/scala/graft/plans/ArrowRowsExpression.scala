@@ -40,7 +40,17 @@ case class ArrowRows(child: Expression,
 
   override def nullable: Boolean = child.nullable
 
-  override protected def nullSafeEval(input: Any): Any = {
+  override protected def nullSafeEval(input: Any): Any =
+    // codegen routes through nullSafeEval too, so this one barrier
+    // covers both paths: a latent decoder throw on a corrupt blob
+    // degrades to the PERMISSIVE empty array, not a failed task
+    try evalRows(input)
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        new GenericArrayData(Array.empty[Any])
+    }
+
+  private def evalRows(input: Any): Any = {
     val batches = ArrowIpc.batchesJvm(input.asInstanceOf[Array[Byte]])
     val empty = new GenericArrayData(Array.empty[Any])
     if (batches.isEmpty) return empty

@@ -200,7 +200,7 @@ object MediaArrayKernel {
       nullable = false)))
 
   def byteStats(b: Array[Byte]): InternalRow = {
-    val (mean, feats) = Multimodal.FeatureExtractor.decodeStub(b)
+    val (mean, feats) = Multimodal.FeatureExtractor.byteStats(b)
     InternalRow(b.length, mean, new GenericArrayData(feats))
   }
 
@@ -328,6 +328,13 @@ object MediaArrayKernel {
           UTF8String.fromString(tf),
           if (c == null) null else UTF8String.fromString(c))
       }.toArray[Any])
+
+  private val sharedEmpty = new GenericArrayData(Array.empty[Any])
+
+  /** The empty array-of-structs shape — the exception-barrier
+    * fallback of every [[MediaArrayExpression]] (static forwarder so
+    * generated Java can call it). */
+  def emptyArray(): ArrayData = sharedEmpty
 
   def cborJson(b: Array[Byte]): UTF8String =
     graft.operators.CborDecode.toJson(b)
@@ -616,6 +623,12 @@ sealed abstract class MediaArrayExpression extends MediaDecodeExpression {
   override def dataType: DataType =
     ArrayType(structSchema, containsNull = false)
   override def nullable: Boolean = child.nullable
+  // array expressions may be non-nullable (nullable tracks the
+  // child) — a kernel throw degrades to the empty array, which
+  // explode() then drops, matching the documented PERMISSIVE shape
+  override protected def fallbackValue: Any = MediaArrayKernel.emptyArray()
+  override protected def fallbackJava: String =
+    "graft.plans.MediaArrayKernel.emptyArray()"
 }
 
 /** `wav_features(blob)` → per-channel PCM stats, 8- and 16-bit. */

@@ -71,6 +71,13 @@ object MediaDecodeKernel {
       UTF8String.fromString(reason))
   }
 
+  /** Verdict emitted if the (total) audit kernel ever threw — the
+    * audit expression may be non-nullable, so its exception barrier
+    * needs a non-null shape. */
+  def auditFallback(): InternalRow =
+    InternalRow(UTF8String.fromString("unknown"), false,
+      UTF8String.fromString("kernel_throw"))
+
   def anyRaster(blob: Array[Byte]): InternalRow =
     Multimodal.decodeAnyRaster(blob) match {
       case Some((kind, r)) =>
@@ -89,8 +96,18 @@ object MediaDecodeKernel {
 abstract class MediaDecodeExpression extends UnaryExpression {
   /** The generated-Java call over the child's value variable `c`. */
   protected def kernelCall(c: String): String
+  /** PERMISSIVE backstop: a latent kernel throw on a corrupt blob
+    * must degrade to this expression's empty/null shape, not fail the
+    * Spark task. Both eval paths route every kernel dispatch through
+    * this barrier; kernels still aim to never throw (golden-pinned),
+    * the barrier is defense in depth. */
+  protected def fallbackValue: Any = null
+  /** The generated-Java expression for [[fallbackValue]]. */
+  protected def fallbackJava: String = "null"
   override def nullSafeEval(input: Any): Any = input match {
-    case b: Array[Byte] => evalKernel(b)
+    case b: Array[Byte] =>
+      try evalKernel(b)
+      catch { case scala.util.control.NonFatal(_) => fallbackValue }
     case _ => null
   }
   protected def evalKernel(b: Array[Byte]): Any
@@ -104,7 +121,11 @@ abstract class MediaDecodeExpression extends UnaryExpression {
       val setNull =
         if (nullable) s"\n      ${ev.isNull} = ${ev.value} == null;" else ""
       s"""
-      ${ev.value} = ${kernelCall(c)};$setNull"""
+      try {
+        ${ev.value} = ${kernelCall(c)};
+      } catch (Exception kernelEx) {
+        ${ev.value} = ${fallbackJava};
+      }$setNull"""
     })
 }
 
@@ -168,6 +189,10 @@ case class AnyRasterFeatures(child: Expression)
 case class MediaAudit(child: Expression) extends MediaStructExpression {
   override def dataType: DataType = MediaDecodeKernel.auditSchema
   override def nullable: Boolean = child.nullable
+  override protected def fallbackValue: Any =
+    MediaDecodeKernel.auditFallback()
+  override protected def fallbackJava: String =
+    "graft.plans.MediaDecodeKernel.auditFallback()"
   override protected def kernelMethod: String = "audit"
   override protected def evalKernel(b: Array[Byte]): Any =
     MediaDecodeKernel.audit(b)

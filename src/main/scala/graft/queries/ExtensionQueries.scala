@@ -1333,6 +1333,88 @@ object ExtensionQueries {
       .select(d, unhex(blobHex).as("blob"))
   }
 
+  /** The IIPC `.warc.zst` DICTIONARY frame (round 14): skippable magic
+    * `0x184D2A5D` wrapping a REAL `zstd --train` dictionary (RFC 8878
+    * §5 structured format — entropy tables + rep offsets + content
+    * prefix; `tools/gen_zstd_vectors.py`). Common Crawl ships its
+    * crawl archives in exactly this layout: the dictionary leads the
+    * stream in-band and every record frame references it. */
+  private val WarcZstDictHeadHex: String =
+    "5d2a4d180004000037a430ec2fac915b1910103ca5030000e6799ee7799e" +
+      "2f65cb2db79432f66f134f0353080000079806c61e0000040000814a3a06" +
+      "12030b090b0f83c34085601800000000000038400e00056050008061810c" +
+      "f099010000946a9c17000000000000000000000000000000010000000400" +
+      "0000080000006774683a2034350d0a0d0a6669656c64303d76616c756533" +
+      "37266669656c64303d76616c75653337266669656c64303d76616c756533" +
+      "37260d0a0d0a574152432f312e300d0a574152432d547970653a20726573" +
+      "706f6e73650d0a574152432d5461726765742d5552493a20687474703a2f" +
+      "2f6578616d706c652e636f6d2f646963742f3130390d0a436f6e74656e74" +
+      "2d4c656e6774683a203130350d0a0d0a6669656c64343d76616c75653539" +
+      "266669656c64343d76616c75653539266669656c64343d76616c75653539" +
+      "266669656c64343d76616c75653539266669656c64343d76616c75653539" +
+      "266669656c64343d76616c75653539266669656c64343d76616c75653539" +
+      "260d0a0d0a574152432f312e300d0a574152432d547970653a2072657370" +
+      "6f6e73650d0a574152432d5461726765742d5552493a20687474703a2f2f" +
+      "6578616d706c652e636f6d2f646963742f3131350d0a436f6e74656e742d" +
+      "4c656e6774683a2034350d0a0d0a6669656c64333d76616c756534302666" +
+      "69656c64333d76616c75653430266669656c64333d76616c75653430260d" +
+      "0a0d0a574152432f312e300d0a574152432d547970653a20726573706f6e" +
+      "73650d0a574152432d5461726765742d5552493a20687474703a2f2f6578" +
+      "616d706c652e636f6d2f646963742f3131300d0a436f6e74656e742d4c65" +
+      "6e6774683a2034350d0a0d0a6669656c64353d76616c7565373226666965" +
+      "6c64353d76616c75653732266669656c64353d76616c75653732260d0a0d" +
+      "0a574152432f312e300d0a574152432d547970653a20726573706f6e7365" +
+      "0d0a574152432d5461726765742d5552493a20687474703a2f2f6578616d" +
+      "706c652e636f6d2f646963742f33320d0a436f6e74656e742d4c656e6774" +
+      "683a2037350d0a0d0a6669656c64343d76616c75653238266669656c6434" +
+      "3d76616c75653238266669656c64343d76616c75653238266669656c6434" +
+      "3d76616c75653238266669656c64343d76616c75653238260d0a0d0a5741" +
+      "52432f312e300d0a574152432d547970653a20726573706f6e73650d0a57" +
+      "4152432d5461726765742d5552493a20687474703a2f2f6578616d706c65" +
+      "2e636f6d2f646963742f31360d0a436f6e74656e742d4c656e6774683a20" +
+      "36300d0a0d0a6669656c64323d76616c75653134266669656c64323d7661" +
+      "6c75653134266669656c64323d76616c75653134266669656c64323d7661" +
+      "6c75653134260d0a0d0a5741"
+
+  /** REAL zstd-CLI frames (level 3) each compressing ONE closed-form
+    * WARC record AGAINST the dictionary above (dict_id declared in
+    * every frame header; CLI-round-trip-verified at generation).
+    * Record i: response, uri .../dict/i, body
+    * `field{i%7}=value{(i*13)%97}&` repeated 3+i%5 times. */
+  private val WarcZstDictRecHex: Seq[String] = Seq(
+    "28b52ffd07582fac915bb50000730001be6f760106fc01235e0a6242bdab" +
+      "d871a39c0c556f0aa0",
+    "28b52ffd07582fac915bc50000d3c001beff204284085109fc2619c6014c" +
+      "4d028d3de4d586da7acea0",
+    "28b52ffd07582fac915bd50000f30002beffe8e9e9e9e9050bfc2619c661" +
+      "22e355b0625f63d829e90d6052",
+    "28b52ffd07582fac915bb50000a34001be8f0b716107fc14c2be773826b1" +
+      "c5dee50a6dbee883d3",
+    "28b52ffd07582fac915be50000d3c001beffdcdddd5d0609fc65ca5213f9" +
+      "ff29d94ce2167bb6ab1201407ee676",
+    "28b52ffd07582fac915ba50000830001be9f92a606fc22e840fde816bbeb" +
+      "4e08012a5f1b1f",
+    "28b52ffd07582fac915ba50000830001beafab3406fca2f9acd4246cb11f" +
+      "b88210c518c522",
+    "28b52ffd07582fac915bc50000934001be6f68990a07fc0922f3eb15704c" +
+      "45147b1d94230140f4bd03")
+
+  /** Per doc: the dictionary frame, then k = 2 + doc%3 record frames
+    * starting at rotation doc%8 — the record SET varies by doc AND
+    * every frame needs the harvested dictionary, so the oracle check
+    * pins the full RFC 8878 §5 path. */
+  private[graft] def warcZstDictFixture(s: SparkSession,
+      dir: String): DataFrame = {
+    val d = col("doc_id")
+    val frames = array(WarcZstDictRecHex.map(lit): _*)
+    val k = lit(2L) + d % 3L
+    val blobHex = concat(lit(WarcZstDictHeadHex),
+      array_join(transform(sequence(lit(0L), k - 1L), j =>
+        element_at(frames, (pmod(d + j, lit(8L)) + 1L).cast("int"))), ""))
+    spread(t(s, dir, "documents"))
+      .select(d, unhex(blobHex).as("blob"))
+  }
+
   /** REAL libbz2 streams (level 1, the reference encoder behind
     * `tools/gen_bz2_vectors.py`) over the same four closed-form
     * plaintexts as [[ZstdGoldenHex]] — the Wikipedia-dump codec inside
@@ -1597,6 +1679,102 @@ object ExtensionQueries {
       "0000000000000040b6010000000000000000000000000000020000000400" +
       "0000040000000600000008000000080000000a0000000c00000072317232" +
       "7230723172337230000000005501000000000000ffffffff00000000")
+
+
+  /** REAL pyarrow IPC streams (round 14) with DICTIONARY-encoded
+    * columns AND body compression — closed-form columns id = 3i,
+    * cat = NULL every 4th row else `c<i%3>` for i<7 / `d<i%2>` after,
+    * flag = even(i). Template A: 12 rows in TWO batches (7+5), delta
+    * dictionary emission, zstd-compressed buffers; template B: 9 rows
+    * one batch, LZ4-frame buffers (`tools/gen_arrow_vectors.py`
+    * recipe twins). */
+  private val ArrowDictHex: Seq[String] = Seq(
+      "fffffffff80000001000000000000a000c000600050008000a0000000001" +
+      "0400040000008cffffff04000000030000009c0000004000000004000000" +
+      "80ffffff000001061000000018000000040000000000000004000000666c" +
+      "616700000000acffffff100018000800060007000c001000140010000000" +
+      "0000010514000000380000001c0000000400000000000000030000006361" +
+      "740008000800000004000800000004000000bcffffff0000000120000000" +
+      "0400040004000000100014000800060007000c0000001000100000000000" +
+      "0102100000001c0000000400000000000000020000006964000008000c00" +
+      "08000700080000000000000140000000ffffffffc0000000140000000000" +
+      "00000c0018000600050008000c000c000000000204001800000040000000" +
+      "0000000000000000080008000000040008000000100000000c001e001000" +
+      "040008000c000c0000006000000024000000180000000300000000000000" +
+      "000000000000060008000700060000000000000103000000000000000000" +
+      "000000000000000000000000000000000000210000000000000028000000" +
+      "000000001700000000000000000000000100000003000000000000000000" +
+      "000000000000100000000000000028b52ffd201081000000000000020000" +
+      "00040000000600000000000000000000060000000000000028b52ffd2006" +
+      "31000063316332633000ffffffff0001000014000000000000000c001800" +
+      "0600050008000c000c000000000304001c00000090000000000000000000" +
+      "00000c001e001000040008000c000c000000900000002400000018000000" +
+      "070000000000000000000000000006000800070006000000000000010600" +
+      "00000000000000000000000000000000000000000000000000002c000000" +
+      "000000003000000000000000120000000000000048000000000000002900" +
+      "000000000000780000000000000000000000000000007800000000000000" +
+      "120000000000000000000000030000000700000000000000000000000000" +
+      "000007000000000000000200000000000000070000000000000000000000" +
+      "00000000380000000000000028b52ffd2038dd0000a00000030006000900" +
+      "0c000f001200000000000000065402000301000000000100000000000000" +
+      "28b52ffd20010900006e0000000000001c0000000000000028b52ffd201c" +
+      "c50000800000010000000200010000000200000002006094016001000000" +
+      "00000000010000000000000028b52ffd200109000055000000000000ffff" +
+      "ffffc000000014000000000000000c0018000600050008000c000c000000" +
+      "000204001800000038000000000000000000000008000800000004000800" +
+      "0000100000000c001e001000040008000c000c0000006000000024000000" +
+      "180000000200000000000000000000000000060008000700060000000000" +
+      "000103000000000000000000000000000000000000000000000000000000" +
+      "1d0000000000000020000000000000001500000000000000000000000100" +
+      "0000020000000000000000000000000000000c0000000000000028b52ffd" +
+      "200c610000000000000200000004000000000000040000000000000028b5" +
+      "2ffd200421000064316430000000ffffffff000100001400000000000000" +
+      "0c0018000600050008000c000c000000000304001c000000800000000000" +
+      "0000000000000c001e001000040008000c000c0000009000000024000000" +
+      "180000000500000000000000000000000000060008000700060000000000" +
+      "000106000000000000000000000000000000000000000000000000000000" +
+      "280000000000000028000000000000001200000000000000400000000000" +
+      "000021000000000000006800000000000000000000000000000068000000" +
+      "000000001200000000000000000000000300000005000000000000000000" +
+      "000000000000050000000000000001000000000000000500000000000000" +
+      "0000000000000000280000000000000028b52ffd2028bd00008015001800" +
+      "1b001e002100000000000000045402000301010000000000000028b52ffd" +
+      "20010900001d000000000000140000000000000028b52ffd201485000050" +
+      "0000010000000000000001001bc002000000000000000100000000000000" +
+      "28b52ffd20010900000a000000000000ffffffff00000000",
+      "fffffffff80000001000000000000a000c000600050008000a0000000001" +
+      "0400040000008cffffff04000000030000009c0000004000000004000000" +
+      "80ffffff000001061000000018000000040000000000000004000000666c" +
+      "616700000000acffffff100018000800060007000c001000140010000000" +
+      "0000010514000000380000001c0000000400000000000000030000006361" +
+      "740008000800000004000800000004000000bcffffff0000000120000000" +
+      "0400040004000000100014000800060007000c0000001000100000000000" +
+      "0102100000001c0000000400000000000000020000006964000008000c00" +
+      "08000700080000000000000140000000ffffffffb8000000140000000000" +
+      "00000c0018000600050008000c000c000000000204001800000050000000" +
+      "0000000000000000080008000000040008000000100000000c001c001000" +
+      "040008000c000c000000580000001c000000140000000400000000000000" +
+      "000000000400040004000000030000000000000000000000000000000000" +
+      "000000000000000000002b0000000000000030000000000000001f000000" +
+      "000000000000000001000000040000000000000000000000000000001400" +
+      "00000000000004224d186040821400008000000000020000000400000006" +
+      "00000008000000000000000000000000080000000000000004224d186040" +
+      "820800008063316332633064310000000000fffffffff800000014000000" +
+      "000000000c0018000600050008000c000c000000000304001c000000b000" +
+      "000000000000000000000c001c001000040008000c000c00000088000000" +
+      "1c0000001400000009000000000000000000000004000400040000000600" +
+      "000000000000000000000000000000000000000000000000000040000000" +
+      "000000004000000000000000190000000000000060000000000000002c00" +
+      "000000000000900000000000000000000000000000009000000000000000" +
+      "190000000000000000000000030000000900000000000000000000000000" +
+      "000009000000000000000300000000000000090000000000000000000000" +
+      "00000000480000000000000004224d186040822900000013000100130308" +
+      "001306080013090800130c0800130f080013120800131508008018000000" +
+      "0000000000000000020000000000000004224d1860408202000080ee0000" +
+      "00000000000000000000240000000000000004224d186040821500000013" +
+      "0001005b01000000020c0080030000000000000000000000000000000200" +
+      "00000000000004224d186040820200008055010000000000000000000000" +
+      "ffffffff00000000")
 
   /** The SAME two tar shard layouts as [[TarXzHex]], compressed with
     * real gzip (mtime 0, no fname) and real libbz2 — `.tar.gz` and
@@ -4147,6 +4325,18 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("rec_type"), col("target_uri"),
           col("content_length"))),
 
+    // WARC.ZST with IN-BAND DICTIONARY (round 14) — the layout Common
+    // Crawl ACTUALLY publishes: a leading 0x184D2A5D skippable frame
+    // carries a real `zstd --train` dictionary (RFC 8878 §5) and every
+    // record frame declares its id; decode = harvest + entropy-table
+    // preload + rep-offset seed + content window prefix
+    "source_warc_zst_dict" -> ((s, dir) =>
+      Multimodal.extractWarcZstRecords(warcZstDictFixture(s, dir),
+          "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"), col("target_uri"),
+          col("content_length"))),
+
     // BZIP2 MEMBER WALK (round 13) — the Wikipedia-dump codec: REAL
     // libbz2 streams (golden templates) through the full
     // Huffman/MTF/BWT/RLE decode with per-block + footer CRCs
@@ -4394,6 +4584,26 @@ object ExtensionQueries {
         .select(col("doc_id"), col("r.batch_idx").as("batch_idx"),
           col("r.row_idx").as("row_idx"), col("r.id").as("id"),
           col("r.score").as("score"), col("r.name").as("name"),
+          col("r.flag").as("flag"))
+        .orderBy(col("doc_id"), col("row_idx"))
+    }),
+
+    // ARROW DICTIONARIES + BODY COMPRESSION (round 14) — pyarrow's
+    // default categorical layout: DictionaryBatch replay (delta +
+    // replacement), index→value resolution with validity over the
+    // indices, and per-buffer zstd / LZ4-frame decompression through
+    // the repo's own golden-pinned decoders
+    "source_arrow_dict" -> ((s, dir) => {
+      val fixture = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), unhex(element_at(
+          array(ArrowDictHex.map(lit): _*),
+          (pmod(col("doc_id"), lit(2L)) + 1L).cast("int"))).as("blob"))
+      fixture.select(col("doc_id"),
+          explode(graft.plans.ArrowExprs.arrowRowsCol(col("blob"),
+            Seq("id" -> "long", "cat" -> "string",
+              "flag" -> "bool"))).as("r"))
+        .select(col("doc_id"), col("r.row_idx").as("row_idx"),
+          col("r.id").as("id"), col("r.cat").as("cat"),
           col("r.flag").as("flag"))
         .orderBy(col("doc_id"), col("row_idx"))
     }),
@@ -8298,6 +8508,22 @@ object ExtensionQueries {
         |FROM r ORDER BY doc_id, rec_type, target_uri,
         |  content_length""".stripMargin,
 
+    // record i of the dictionary fixture: response, uri .../dict/i,
+    // body 'field{i%7}=value{(i*13)%97}&' x (3+i%5) — content_length
+    // = (13 + digits of (i*13)%97) * (3+i%5); bodies are not HTTP so
+    // http_status = 0; k = 2 + doc%3 frames from rotation doc%8
+    "source_warc_zst_dict" ->
+      """WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS k FROM documents),
+        |e AS (SELECT doc_id, unnest(range(0, k)) AS j FROM p),
+        |r AS (SELECT doc_id, (doc_id + j) % 8 AS ri FROM e)
+        |SELECT doc_id,
+        |  'response' AS rec_type,
+        |  'http://example.com/dict/' || ri AS target_uri,
+        |  CAST((13 + CASE WHEN (ri * 13) % 97 < 10 THEN 1 ELSE 2 END)
+        |    * (3 + ri % 5) AS BIGINT) AS content_length,
+        |  CAST(0 AS BIGINT) AS http_status
+        |FROM r ORDER BY doc_id, target_uri, content_length""".stripMargin,
+
     // each golden member's decoded plaintext + member accounting;
     // all templates are level 1, single-block; even docs carry the
     // 'tail member' second stream
@@ -8393,6 +8619,21 @@ object ExtensionQueries {
         |    ELSE CAST(i * 0.25 AS DOUBLE) END AS score,
         |  CASE WHEN i % 3 = 0 THEN NULL
         |    ELSE 'r' || (i % 4) END AS name,
+        |  i % 2 = 0 AS flag
+        |FROM e ORDER BY doc_id, row_idx""".stripMargin,
+
+    // template doc%2: A = 12 rows, B = 9; cat NULL every 4th row,
+    // else 'c'||(i%3) below row 7 and 'd'||(i%2) from it
+    "source_arrow_dict" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 12 ELSE 9 END AS n
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(range(0, n)) AS i FROM p)
+        |SELECT doc_id, CAST(i AS BIGINT) AS row_idx,
+        |  CAST(i * 3 AS BIGINT) AS id,
+        |  CASE WHEN i % 4 = 0 THEN NULL
+        |    WHEN i < 7 THEN 'c' || (i % 3)
+        |    ELSE 'd' || (i % 2) END AS cat,
         |  i % 2 = 0 AS flag
         |FROM e ORDER BY doc_id, row_idx""".stripMargin,
 

@@ -123,4 +123,27 @@ class ArrowIpcGoldenSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("EXHAUSTIVE single-byte metadata patch never throws (r13 " +
+      "advisory: a nodes/buffers vector pointer landing near the " +
+      "metadata end read inline structs past the flatbuffer)") {
+    // the schema + RecordBatch metadata of plain.arrows live in the
+    // leading bytes; patch every position there with the two values
+    // that steer flatbuffer offsets furthest (0xFF → huge/negative
+    // lengths, 0x80 → sign-bit offsets), decoding after each patch
+    val base = vector("plain.arrows")
+    val span = math.min(base.length, 1500)
+    Seq(0xff.toByte, 0x80.toByte, 0x7f.toByte).foreach { v =>
+      (0 until span).foreach { pos =>
+        val m = base.clone()
+        m(pos) = v
+        try ArrowIpc.batchesJvm(m)
+        catch {
+          case t: Throwable =>
+            fail(s"threw ${t.getClass.getSimpleName} patching " +
+              f"byte $pos%d to 0x${v & 0xff}%02x")
+        }
+      }
+    }
+  }
 }

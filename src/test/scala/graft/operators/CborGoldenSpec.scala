@@ -105,6 +105,16 @@ class CborGoldenSpec extends AnyFunSuite {
     assert(CborDecode.toJson(hex("5f6161ff")).isEmpty) // text in bytes
     assert(CborDecode.toJson(hex("9f")).isEmpty)       // unclosed array
     assert(CborDecode.toJson(Array.empty[Byte]).isEmpty)
+    // truncated chunk INSIDE an indefinite-length string: the
+    // short-form (ai<24) chunk length must be bounds-checked against
+    // the remaining input, not trusted (r13 advisory: hex 5f4201
+    // declared a 2-byte chunk with 1 byte left and threw
+    // IndexOutOfBoundsException past the buffer)
+    assert(CborDecode.toJson(hex("5f4201")).isEmpty)   // bytes, short form
+    assert(CborDecode.toJson(hex("7f6261")).isEmpty)   // text, short form
+    assert(CborDecode.toJson(hex("5f5803aabb")).isEmpty) // 1-byte arg form
+    assert(CborDecode.toJson(hex("5f42aabbff")) // exact-fit chunk still ok
+      == Some("\"qrs\"")) // base64url (no pad) of 0xAA 0xBB
     val rnd = new scala.util.Random(5)
     (0 until 500).foreach { _ =>
       val junk = Array.fill(1 + rnd.nextInt(30))(rnd.nextInt(256).toByte)

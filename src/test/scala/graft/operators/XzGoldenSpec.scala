@@ -114,6 +114,15 @@ class XzGoldenSpec extends AnyFunSuite {
     assert(XzDecode.decompressAlone(vector("rep_p6.xz")).isEmpty)
   }
 
+  test("unknown-size stream beyond 300:1 ratio (8 MB of zeros, " +
+      "~6500:1) decodes via the doubling output buffer — a ratio " +
+      "pre-size heuristic falsely rejects it (r13 advisory)") {
+    val got = XzDecode.decompressAlone(vector("zeros.lzma"))
+    assert(got.isDefined, "high-ratio zeros.lzma was rejected")
+    assert(got.get.length == (8 << 20))
+    assert(got.get.forall(_ == 0))
+  }
+
   test("truncation, garbage, and seeded byte-flips never throw; " +
       "corruptions fail loud (every output byte is under a block " +
       "check), never yield wrong bytes silently") {

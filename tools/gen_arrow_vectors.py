@@ -82,6 +82,81 @@ def main():
         w.write_batch(rb2)
     with open(os.path.join(outdir, "empty_str.arrows"), "wb") as f:
         f.write(sink2.getvalue().to_pybytes())
+
+    # ---- round 14: dictionary encoding + body compression ----------
+    # NOTE: recipes twinned in ArrowIpcDictSpec.scala.
+    def write_opts(path, batches, schema, fmt="stream",
+                   compression=None, emit_dictionary_deltas=False):
+        sink = pa.BufferOutputStream()
+        opts = ipc.IpcWriteOptions(
+            compression=compression,
+            emit_dictionary_deltas=emit_dictionary_deltas)
+        opener = ipc.new_stream if fmt == "stream" else ipc.new_file
+        with opener(sink, schema, options=opts) as w:
+            for rb in batches:
+                w.write_batch(rb)
+        with open(path, "wb") as f:
+            f.write(sink.getvalue().to_pybytes())
+
+    # dictionary-encoded string + int32 indices (pyarrow's default
+    # categorical layout) alongside plain columns
+    nd = 400
+    dschema = pa.schema([
+        ("id", pa.int64()),
+        ("cat", pa.dictionary(pa.int32(), pa.string())),
+        ("score", pa.float64()),
+    ])
+    def dict_batch(lo, hi, mod):
+        return pa.record_batch([
+            pa.array([i * 3 for i in range(lo, hi)], pa.int64()),
+            pa.array([f"cat-{i % mod}" for i in range(lo, hi)]
+                     ).dictionary_encode().cast(
+                         pa.dictionary(pa.int32(), pa.string())),
+            pa.array([i * 0.5 for i in range(lo, hi)], pa.float64()),
+        ], schema=dschema)
+    write_opts(os.path.join(outdir, "dict.arrows"),
+               [dict_batch(0, nd, 7)], dschema)
+    write_opts(os.path.join(outdir, "dict.arrow"),
+               [dict_batch(0, nd, 7)], dschema, fmt="file")
+    # growing dictionary across batches -> DELTA dictionary batches
+    write_opts(os.path.join(outdir, "dict_delta.arrows"),
+               [dict_batch(0, 200, 5), dict_batch(200, 400, 11)],
+               dschema, emit_dictionary_deltas=True)
+    # replacement dictionaries (default: no deltas -> second batch
+    # re-emits the full dictionary)
+    write_opts(os.path.join(outdir, "dict_replace.arrows"),
+               [dict_batch(0, 200, 5), dict_batch(200, 400, 11)],
+               dschema)
+    # small-index (int8) dictionary
+    d8schema = pa.schema([("tag", pa.dictionary(pa.int8(),
+                                                pa.string()))])
+    rb8 = pa.record_batch([
+        pa.array([f"t{i % 3}" for i in range(90)]).dictionary_encode()
+        .cast(pa.dictionary(pa.int8(), pa.string()))], schema=d8schema)
+    write_opts(os.path.join(outdir, "dict8.arrows"), [rb8], d8schema)
+    # dictionary column with NULLS (validity over indices)
+    dn = pa.record_batch([
+        pa.array([None if i % 4 == 0 else f"cat-{i % 7}"
+                  for i in range(100)]).dictionary_encode().cast(
+                      pa.dictionary(pa.int32(), pa.string()))],
+        schema=pa.schema([("cat", pa.dictionary(pa.int32(),
+                                                pa.string()))]))
+    write_opts(os.path.join(outdir, "dict_nulls.arrows"), [dn],
+               dn.schema)
+
+    # body compression: the SAME plain table recipe as plain.arrows,
+    # compressed with lz4 frames and with zstd, stream + file
+    plain_batch = t.combine_chunks().to_batches()[0]
+    write_opts(os.path.join(outdir, "plain_lz4.arrows"), [plain_batch],
+               t.schema, compression="lz4")
+    write_opts(os.path.join(outdir, "plain_zstd.arrows"), [plain_batch],
+               t.schema, compression="zstd")
+    write_opts(os.path.join(outdir, "plain_lz4.arrow"), [plain_batch],
+               t.schema, fmt="file", compression="lz4")
+    # compression + dictionary together
+    write_opts(os.path.join(outdir, "dict_zstd.arrows"),
+               [dict_batch(0, nd, 7)], dschema, compression="zstd")
+
     for f in sorted(os.listdir(outdir)):
         print(f, os.path.getsize(os.path.join(outdir, f)))
 

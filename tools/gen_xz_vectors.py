@@ -160,6 +160,17 @@ def main():
             f.write(comp)
         print(f"{name}.lzma: {len(data)} -> {len(comp)} bytes")
 
+    # unknown-size alone stream whose ratio is FAR beyond 300:1 (8 MB
+    # of zeros -> ~1.3 KB, ~6500:1): pins the growable-output path --
+    # a ratio-heuristic pre-size falsely rejects this valid stream
+    zeros = b"\x00" * (8 << 20)
+    comp = lzma.compress(zeros, format=lzma.FORMAT_ALONE)
+    assert comp[5:13] == b"\xff" * 8, "expected unknown-size header"
+    assert len(zeros) > 300 * len(comp), "ratio must exceed 300:1"
+    with open(os.path.join(outdir, "zeros.lzma"), "wb") as f:
+        f.write(comp)
+    print(f"zeros.lzma: {len(zeros)} -> {len(comp)} bytes")
+
 
 if __name__ == "__main__":
     main()

@@ -62,6 +62,114 @@ def main():
             with open(fn, "wb") as f:
                 f.write(comp)
             print(f"{name}_l{lvl}.zst  {len(data)} -> {len(comp)}")
+    gen_dict_vectors(outdir)
+
+
+def dict_records():
+    """The 8 dictionary-compressed WARC-record plaintexts -- NOTE:
+    byte-identical twin in ZstdGoldenSpec.scala (`dictRecord`); change
+    BOTH or neither."""
+    recs = []
+    for i in range(8):
+        body = ("field%d=value%d&" % (i % 7, (i * 13) % 97)) * (3 + i % 5)
+        rec = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+               "http://example.com/dict/%d\r\nContent-Length: %d\r\n\r\n%s"
+               "\r\n\r\n") % (i, len(body), body)
+        recs.append(rec.encode())
+    return recs
+
+
+def skippable(payload, nibble=0xD):
+    """A zstd skippable frame; 0x184D2A5D is the IIPC WARC-zstd
+    dictionary magic."""
+    magic = (0x184D2A50 | nibble).to_bytes(4, "little")
+    return magic + len(payload).to_bytes(4, "little") + payload
+
+
+def gen_dict_vectors(outdir):
+    """RFC 8878 §5 dictionary vectors: a REAL `zstd --train` dictionary
+    (committed as data), record frames compressed against it with the
+    real zstd CLI, and the two IIPC `.warc.zst` in-band layouts (raw
+    dictionary / zstd-compressed dictionary in the leading 0x184D2A5D
+    skippable frame)."""
+    import subprocess
+    import tempfile
+
+    recs = dict_records()
+    with tempfile.TemporaryDirectory() as td:
+        # training corpus: many record-shaped samples sharing the
+        # records' vocabulary (deterministic; NOT needed by the spec --
+        # only the trained dictionary itself is committed, as data)
+        samples = []
+        for i in range(120):
+            body = ("field%d=value%d&" % (i % 7, (i * 13) % 97)) * \
+                (3 + i % 5)
+            s = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+                 "http://example.com/dict/%d\r\nContent-Length: %d"
+                 "\r\n\r\n%s\r\n\r\n") % (i, len(body), body)
+            fn = os.path.join(td, "s%03d" % i)
+            with open(fn, "wb") as f:
+                f.write(s.encode())
+            samples.append(fn)
+        dict_fn = os.path.join(td, "dict.bin")
+        subprocess.run(["zstd", "--train"] + samples +
+                       ["-o", dict_fn, "--maxdict=1024"], check=True,
+                       capture_output=True)
+        ddata = open(dict_fn, "rb").read()
+        assert ddata[:4] == bytes.fromhex("37a430ec"), "dict magic"
+        with open(os.path.join(outdir, "warcdict.dict"), "wb") as f:
+            f.write(ddata)
+        print(f"warcdict.dict  {len(ddata)} bytes (zstd --train)")
+
+        frames3, frames19 = [], []
+        for i, rec in enumerate(recs):
+            for lvl, acc in ((3, frames3), (19, frames19)):
+                p = subprocess.run(
+                    ["zstd", f"-{lvl}", "-D", dict_fn, "-c"],
+                    input=rec, capture_output=True, check=True)
+                comp = p.stdout
+                # round-trip through the reference decoder with the dict
+                q = subprocess.run(["zstd", "-d", "-D", dict_fn, "-c"],
+                                   input=comp, capture_output=True,
+                                   check=True)
+                assert q.stdout == rec
+                acc.append(comp)
+                fn = os.path.join(outdir, f"dictrec{i}_l{lvl}.zst")
+                with open(fn, "wb") as f:
+                    f.write(comp)
+                print(f"dictrec{i}_l{lvl}.zst  {len(rec)} -> {len(comp)}")
+
+        # in-band layouts (IIPC WARC/1.1 zstd annex)
+        raw = skippable(ddata) + b"".join(frames3)
+        with open(os.path.join(outdir, "warc_dict_raw.warczst"),
+                  "wb") as f:
+            f.write(raw)
+        print(f"warc_dict_raw.warczst  {len(raw)} bytes")
+        c = pa.Codec("zstd", compression_level=19)
+        zdict = c.compress(ddata, asbytes=True)
+        zl = skippable(zdict) + b"".join(frames19)
+        with open(os.path.join(outdir, "warc_dict_z.warczst"),
+                  "wb") as f:
+            f.write(zl)
+        print(f"warc_dict_z.warczst  {len(zl)} bytes (compressed dict)")
+
+        # RAW-CONTENT dictionary (no magic): the shared record head is
+        # the prefix; compressed with the real CLI against it
+        rawdict = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                   b"WARC-Target-URI: http://example.com/dict/")
+        rd_fn = os.path.join(td, "rawdict.bin")
+        with open(rd_fn, "wb") as f:
+            f.write(rawdict)
+        with open(os.path.join(outdir, "rawcontent.dict"), "wb") as f:
+            f.write(rawdict)
+        p = subprocess.run(["zstd", "-19", "-D", rd_fn, "-c"],
+                           input=recs[0], capture_output=True, check=True)
+        q = subprocess.run(["zstd", "-d", "-D", rd_fn, "-c"],
+                           input=p.stdout, capture_output=True, check=True)
+        assert q.stdout == recs[0]
+        with open(os.path.join(outdir, "rawdictrec0.zst"), "wb") as f:
+            f.write(p.stdout)
+        print(f"rawdictrec0.zst  {len(recs[0])} -> {len(p.stdout)}")
 
 
 if __name__ == "__main__":
