@@ -142,6 +142,55 @@ object TextFunctions {
     regexp_count(text, lit(TagPattern)) > 0 ||
       regexp_count(text, lit("&(lt|gt|quot|amp|nbsp|#39);")) > 0
 
+  /** `[[File:…]]` / `[[Image:…]]` / `[[Category:…]]` links — media and
+    * category wikilinks are DROPPED whole (captions included), the
+    * RefinedWeb-style dump-cleaning choice. Bracket-free body only; the
+    * kernel applies it twice so captions whose inner links resolved in
+    * between still drop. */
+  private val WikiFilePattern =
+    "\\[\\[(File|Image|Category):[^\\[\\]]{0,1000}\\]\\]"
+
+  /** Wikitext → plaintext (round 14): the dump-cleaning pass a
+    * training pipeline runs over the Wikipedia pages the repo can now
+    * read ([[graft.operators.WikiDump]] multistream walk). In order:
+    * HTML comments and `<ref>` spans drop to nothing; `{|…|}` tables
+    * and `{{templates}}` drop to a space (template removal iterates
+    * 3× innermost-first, so 3 nesting levels resolve — deeper nests
+    * degrade to leftover braces, never to swallowed prose);
+    * File/Image/Category links drop whole (twice — see
+    * [[WikiFilePattern]]); `[[target]]` keeps target, `[[t|label]]`
+    * (any pipe count) keeps the LAST segment; labeled external links
+    * keep the label, bare ones drop; `''`/`'''` quote runs and
+    * `==` heading fences strip; leading `*#:;` list markers strip;
+    * then [[stripMarkup]] finishes (HTML tags, the six entities,
+    * whitespace collapse). All bounded codegen'd regex passes over one
+    * projection — the 100 TB cost is one streaming pass, no UDF, no
+    * parser state. */
+  def wikitextStrip(wt: Column): Column = {
+    val noComments = regexp_replace(wt, "(?s)<!--.{0,4000}?-->", "")
+    val noTables =
+      regexp_replace(noComments, "(?s)\\{\\|.{0,8000}?\\|\\}", " ")
+    val noTemplates = (1 to 3).foldLeft(noTables)((c, _) =>
+      regexp_replace(c, "\\{\\{[^{}]{0,2000}\\}\\}", " "))
+    val noRefs = regexp_replace(
+      regexp_replace(noTemplates, "(?s)<ref[^>]{0,256}?/>", ""),
+      "(?s)<ref[^>]{0,256}>.{0,4000}?</ref>", "")
+    val fileDrop1 = regexp_replace(noRefs, WikiFilePattern, " ")
+    val plainLinks = regexp_replace(fileDrop1,
+      "\\[\\[([^\\[\\]|]{0,256})\\]\\]", "$1")
+    val fileDrop2 = regexp_replace(plainLinks, WikiFilePattern, " ")
+    val pipeLinks = regexp_replace(fileDrop2,
+      "\\[\\[[^\\[\\]]{0,512}\\|([^\\[\\]|]{0,256})\\]\\]", "$1")
+    val extLabeled = regexp_replace(pipeLinks,
+      "\\[https?://[^\\s\\]]{0,2000}\\s+([^\\]]{0,500})\\]", "$1")
+    val extBare = regexp_replace(extLabeled,
+      "\\[https?://[^\\s\\]]{0,2000}\\]", " ")
+    val noQuotes = regexp_replace(extBare, "'{2,}", "")
+    val noHeadings = regexp_replace(noQuotes, "={2,}", " ")
+    val noLists = regexp_replace(noHeadings, "(?m)^[*#:;]+\\s*", "")
+    stripMarkup(noLists)
+  }
+
   /** Sentence segmentation (round 7): split on terminal-punctuation runs
     * `[.!?]+`, trim, drop empties — the boundary rule chunkers and
     * readability signals share. Deliberately regex-class simple (no

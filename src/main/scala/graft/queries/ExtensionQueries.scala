@@ -3108,6 +3108,32 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // WIKITEXT → PLAINTEXT (round 14) — the RefinedWeb-style cleaning
+    // pass over dump wikitext: templates (3 nesting levels), tables,
+    // refs, comments, wiki/file/external links, quotes, headings,
+    // list markers, then the HTML finisher. Six closed-form wikitext
+    // shapes rotate by doc; the oracle replays the EXPECTED plaintext
+    // literally — any kernel regression turns the row red
+    "text_wikitext_strip" -> ((s, dir) => {
+      val samples = Seq(
+        "'''Alpha''' is a [[letter|Greek letter]]." +
+          "{{Infobox|name=Alpha|type=letter}} See also [[Beta]].",
+        "== History ==\nThe city<ref name=\"a\">Smith 2001</ref> " +
+          "grew.<!-- todo --> It lies on the [[Danube]].",
+        "{| class=\"wikitable\"\n|-\n| a || b\n|}\nData after table. " +
+          "[http://x.org/a Site] and more.\n* item one\n* item two",
+        "Start {{outer|{{inner|x}}|y}} end. ''Italic'' text with " +
+          "[[target|label]] and [[plain]].",
+        "[[File:Pic.jpg|thumb|A [[cat]] photo]]Text about cats. " +
+          "[[Category:Animals]] Multi[[a|b|c]]link.",
+        "A &amp; B &lt;tag&gt; and {{cite web|url=x}} ref<ref>x</ref>.")
+      val wt = element_at(array(samples.map(lit): _*),
+        (pmod(col("doc_id"), lit(6L)) + 1L).cast("int"))
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"), TF.wikitextStrip(wt).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The xxhash64-based fingerprint itself is engine-defined (no
     // portable-SQL recomputation exists), so the driver-checkable output
     // is the INJECTIVITY CONTRACT users actually rely on: per doc_id
@@ -4566,6 +4592,21 @@ object ExtensionQueries {
         .select(col("doc_id"), col("path"), col("size"),
           TF.intDivNonNeg(col("ord"), lit(10L)).as("since_version"))
         .orderBy(col("doc_id"), col("path"))
+    }),
+
+    // DELTA CHECKPOINT REPLAY (round 14) — the lakehouse snapshot the
+    // way real readers compute it: _last_checkpoint → checkpoint
+    // parquet seed (distributed columnar scan) → post-checkpoint JSON
+    // tail → argmax-by-join reconcile. The fixture log is VACUUMED
+    // (pre-checkpoint JSON deleted), so this row is green ONLY through
+    // the checkpoint path
+    "source_delta_checkpoint" -> ((s, dir) => {
+      val path = memoizedFixture(tmpArtifact("graft_delta_ckpt", dir)) {
+        d => graft.sources.DeltaSnapshot.writeFixture(s, d,
+          vacuumed = true)
+      }
+      graft.sources.DeltaSnapshot.liveFiles(s, path)
+        .orderBy(col("path"))
     }),
 
     // ARROW IPC ROWS (round 13) — the interchange format read without
@@ -6219,6 +6260,19 @@ object ExtensionQueries {
         |  clean = trim(regexp_replace(source || ' ' || text,
         |    '\s+', ' ', 'g')) AS roundtrip_ok
         |FROM s ORDER BY doc_id""".stripMargin,
+    // the expected plaintext of each wikitext shape, literally
+    "text_wikitext_strip" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'Alpha is a Greek letter. See also Beta.'
+        |    WHEN 1 THEN 'History The city grew. It lies on the Danube.'
+        |    WHEN 2 THEN 'Data after table. Site and more. item one item two'
+        |    WHEN 3 THEN 'Start end. Italic text with label and plain.'
+        |    WHEN 4 THEN 'Text about cats. Multiclink.'
+        |    ELSE 'A & B <tag> and ref.'
+        |  END AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "text_pii_redact" ->
       """WITH aug AS (SELECT doc_id, text ||
         |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' ||
@@ -8602,6 +8656,20 @@ object ExtensionQueries {
         |  ('f0.parquet', 0, 2), ('f1.parquet', 1, 0),
         |  ('f2.parquet', 2, 1)) p(path, f, since)
         |ORDER BY d.doc_id, p.path""".stripMargin,
+
+    // the fixture's closed-form live set: c0,c2..c5 survive from the
+    // checkpoint; c1 was removed at v11 and re-added at v12 with size
+    // 2001; d6 added at v11 died at v12; d7 added at v12
+    "source_delta_checkpoint" ->
+      """SELECT * FROM (VALUES
+        |  ('c0.parquet', CAST(1000 AS BIGINT), 'checkpoint'),
+        |  ('c1.parquet', CAST(2001 AS BIGINT), 'log'),
+        |  ('c2.parquet', CAST(1002 AS BIGINT), 'checkpoint'),
+        |  ('c3.parquet', CAST(1003 AS BIGINT), 'checkpoint'),
+        |  ('c4.parquet', CAST(1004 AS BIGINT), 'checkpoint'),
+        |  ('c5.parquet', CAST(1005 AS BIGINT), 'checkpoint'),
+        |  ('d7.parquet', CAST(1207 AS BIGINT), 'log')
+        |) t(path, size, src) ORDER BY path""".stripMargin,
 
     // row replay: template A (even docs) 12 rows batched 7+5,
     // template B 9 rows one batch; null patterns per column
