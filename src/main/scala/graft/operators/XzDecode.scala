@@ -16,8 +16,10 @@ package graft.operators
   *  - integrity checks: None, CRC32 (JDK), CRC64 (ECMA-182 reflected,
   *    own table), SHA-256 (JDK MessageDigest) — per block AND the
   *    structural CRC32s;
-  *  - filters: LZMA2 (0x21) and Delta (0x03) chains; BCJ filters are
-  *    DECLINED honestly (executable-specific transforms, out of scope);
+  *  - filters: LZMA2 (0x21), Delta (0x03), and BCJ x86 (0x04 — the
+  *    branch converter x86-filtered binaries ship under, round 14)
+  *    chains, applied in reverse encode order; other BCJ architectures
+  *    are DECLINED honestly;
   *  - LZMA2 chunk layer: uncompressed chunks, dictionary/state/props
   *    resets, per-chunk unpacked/compressed size accounting;
   *  - the LZMA range decoder itself: 11-bit adaptive probabilities,
@@ -404,6 +406,75 @@ object XzDecode {
     }
   }
 
+  // ---- BCJ x86 filter (id 0x04) ---------------------------------------
+
+  /** The x86 branch-converter (BCJ) decode pass — the filter x86
+    * binaries ship under (`xz --x86`): relative CALL/JMP (E8/E9)
+    * 32-bit displacements were made absolute at encode time; this
+    * reverses them. Single-shot whole-block form of the public
+    * LZMA-SDK / xz-utils `x86_Convert` state machine (`mask` tracks
+    * recently-rejected candidate positions so overlapping E8 bytes
+    * inside a displacement don't double-convert — golden-pinned
+    * against liblzma, where any drift in this subtle loop shows up as
+    * a byte mismatch). `ip0` is the filter's start-offset property
+    * (default 0). All arithmetic is 32-bit wrapping. */
+  private def bcjX86Decode(buf: Array[Byte], off: Int, len: Int,
+      ip0: Int): Unit = {
+    @inline def test(v: Int): Boolean = v == 0 || v == 0xff
+    if (len < 5) return
+    val size = len - 4
+    val ip = ip0 + 5
+    var mask = 0
+    var pos = 0
+    var done = false
+    while (!done) {
+      var p = pos
+      while (p < size && (buf(off + p) & 0xfe) != 0xe8) p += 1
+      val d = p - pos
+      pos = p
+      if (p >= size) done = true
+      else {
+        var skip = false
+        if (d > 2) mask = 0
+        else {
+          mask >>= d
+          if (mask != 0 && (mask > 4 || mask == 3 ||
+            test(buf(off + p + (mask >> 1) + 1) & 0xff))) {
+            mask = (mask >> 1) | 4
+            pos += 1
+            skip = true
+          }
+        }
+        if (!skip) {
+          if (test(buf(off + p + 4) & 0xff)) {
+            var v = ((buf(off + p + 4) & 0xff) << 24) |
+              ((buf(off + p + 3) & 0xff) << 16) |
+              ((buf(off + p + 2) & 0xff) << 8) |
+              (buf(off + p + 1) & 0xff)
+            val cur = ip + pos // wrapping u32
+            pos += 5
+            v -= cur // decode direction
+            if (mask != 0) {
+              val sh = (mask & 6) << 2
+              if (test((v >>> sh) & 0xff)) {
+                v ^= (0x100 << sh) - 1
+                v -= cur
+              }
+              mask = 0
+            }
+            buf(off + p + 1) = v.toByte
+            buf(off + p + 2) = (v >>> 8).toByte
+            buf(off + p + 3) = (v >>> 16).toByte
+            buf(off + p + 4) = (0 - ((v >>> 24) & 1)).toByte
+          } else {
+            mask = (mask >> 1) | 4
+            pos += 1
+          }
+        }
+      }
+    }
+  }
+
   // ---- XZ container ----------------------------------------------------
 
   private def vli(b: Array[Byte], pos0: Int, end: Int): (Long, Int) = {
@@ -477,9 +548,13 @@ object XzDecode {
           if (v < 0) return None
           declaredUncomp = v
         }
-        // filter chain: collect (id, props)
-        var deltaDist = -1
+        // filter chain: collect (id, prop). Block headers list filters
+        // in ENCODE order with LZMA2 last; decode applies LZMA2 first
+        // then the rest in reverse. Supported pre-filters: Delta
+        // (0x03, prop = distance) and BCJ x86 (0x04, prop = start
+        // offset); anything else declined.
         var sawLzma2 = false
+        val chain = scala.collection.mutable.ListBuffer.empty[(Long, Int)]
         var f = 0
         while (f < nFilters) {
           val (fid, q2) = vli(b, q, p + headerSize); q = q2
@@ -490,8 +565,15 @@ object XzDecode {
             sawLzma2 = true // dict size byte ignored (we keep all out)
           } else if (fid == 0x03L) {
             if (psz != 1 || sawLzma2) return None
-            deltaDist = (b(q) & 0xff) + 1
-          } else return None // BCJ etc: declined
+            chain += ((fid, (b(q) & 0xff) + 1))
+          } else if (fid == 0x04L) {
+            // x86 BCJ: props absent (start offset 0) or LE32 offset
+            if (sawLzma2 || (psz != 0 && psz != 4)) return None
+            val ip = if (psz == 0) 0
+              else ((b(q) & 0xff) | ((b(q + 1) & 0xff) << 8) |
+                ((b(q + 2) & 0xff) << 16) | ((b(q + 3) & 0xff) << 24))
+            chain += ((fid, ip))
+          } else return None // other BCJ archs etc: declined
           q += psz.toInt
           f += 1
         }
@@ -513,7 +595,11 @@ object XzDecode {
         if (declaredUncomp >= 0 && produced != declaredUncomp)
           return None
         if (declaredComp >= 0 && consumed != declaredComp) return None
-        if (deltaDist > 0) deltaDecode(buf, 0, produced, deltaDist)
+        chain.reverse.foreach {
+          case (0x03L, dist) => deltaDecode(buf, 0, produced, dist)
+          case (0x04L, ip) => bcjX86Decode(buf, 0, produced, ip)
+          case _ => return None
+        }
         // block padding to 4 bytes, then the check
         var r = dataStart + consumed
         while (((r - blockStart) & 3) != 0) {

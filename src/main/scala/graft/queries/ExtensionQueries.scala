@@ -1530,6 +1530,90 @@ object ExtensionQueries {
         .as("blob"))
   }
 
+
+  /** BCJ x86 filter chains (round 14): the SAME 600-byte x86-ish
+    * payload (deterministic E8/E9 rel32 branches; recipe twin
+    * `x86ish` in XzGoldenSpec) under three REAL liblzma chains —
+    * x86+lzma2, x86(start_offset=16)+lzma2, delta+x86+lzma2. The
+    * payload is binary, so the query compares hex(). */
+  private val XzX86Hex: Seq[String] = Seq(
+      "fd377a585a000004e6d6b44602010400210116000d86351f010257cf82fb" +
+        "8485a3e90097ffffe89a1c1f00e91063ffffe832cf1d00ae55e97777ffff" +
+        "e8fd33e500e9efc4fffff575e814b31e00e9aa36ffff266d3513e96e1bff" +
+        "ffe814c76c000bbdec04e888bcff001d20c9e59c1ae95f62ffff1898de9c" +
+        "c39be9f698ffff4c54cc6fe3c77b15e93002ffffe802213a00e950b4ffff" +
+        "fdf45bff2fd7e8d7b8b700e94159ffff362de8b6f5d10011d148294a1df2" +
+        "67110411b915bb97988827f33b192a15eee8705806006ccbd445eadddff5" +
+        "fe98e9010fffff98b5e8be3efd00276e7389e9bad5ffffe888c1ca00e822" +
+        "64090057807b8a6676424df2c1b0da2dea3462c641beb8ed92bd9451ab23" +
+        "2ae91e42ffffe8f833690015e2610c54d9e9cf85ffffe8950d4c00e8c7a8" +
+        "9c00fb8deae4445d64d19ba5d38ce9a306ffff2927e8c0beea00d589532f" +
+        "e86c9ff600c2d36e15e9b426ffffbc6ce8910b2600e84b0ae40042548a5f" +
+        "e99bffffff69b6e9c84dffffaf71c0e6cbb61148e8ce066a00b045c41b4c" +
+        "4b02c2e83022db00d696e87d37080030c377c17f71ebc5e9334fffff4e55" +
+        "e9986bffff4f0c13b3e9887affff9a636a15c8f4e8cfb4fa00e809322400" +
+        "e99fa7ffffe961e4ffffe9df56ffff151ec9f5e89b7bfb005c83e9806bff" +
+        "ff0d5ce99559ffff0c10f04c08a30e653378c2ae3c1ee8c0597c0053fb2b" +
+        "1c27d941e2ea50adb64b175f287a28c637e830a37e00d47281a9e9c489ff" +
+        "ff3a4322af81f3c1cb0550c722e8d8f1d400e8324f1600091ee8475cd700" +
+        "68381c84e94f48ffff1a7e4fcaae2ce9f61fffffe97848ffffe8b69ba200" +
+        "d78c633acd90864a19864750e8a69fa900e904010000f291e9170700ce9d" +
+        "eb0859b457770001f004d8040000ae52aec7b1c467fb020000000004595a",
+      "fd377a585a000004e6d6b446030104041000000021011600b91cade00102" +
+        "57cf82fb8485a3e91097ffffe8aa1c1f00e92063ffffe842cf1d00ae55e9" +
+        "8777ffffe80d34e500e9ffc4fffff575e824b31e00e9ba36ffff266d3513" +
+        "e97e1bffffe824c76c000bbdec04e898bcff001d20c9e59c1ae96f62ffff" +
+        "1898de9cc39be90699ffff4c54cc6fe3c77b15e94002ffffe812213a00e9" +
+        "60b4fffffdf45bff2fd7e8e7b8b700e95159ffff362de8c6f5d10011d148" +
+        "294a1df267110411b915bb97988827f33b192a15eee8805806006ccbd445" +
+        "eadddff5fe98e9110fffff98b5e8ce3efd00276e7389e9cad5ffffe898c1" +
+        "ca00e83264090057807b8a6676424df2c1b0da2dea3462c641beb8ed92bd" +
+        "9451ab232ae92e42ffffe80834690015e2610c54d9e9df85ffffe8a50d4c" +
+        "00e8d7a89c00fb8deae4445d64d19ba5d38ce9b306ffff2927e8d0beea00" +
+        "d589532fe87c9ff600c2d36e15e9c426ffffbc6ce8a10b2600e85b0ae400" +
+        "42548a5fe9abffffff69b6e9d84dffffaf71c0e6cbb61148e8de066a00b0" +
+        "45c41b4c4b02c2e84022db00d696e88d37080030c377c17f71ebc5e9434f" +
+        "ffff4e55e9a86bffff4f0c13b3e9987affff9a636a15c8f4e8dfb4fa00e8" +
+        "19322400e9afa7ffffe971e4ffffe9ef56ffff151ec9f5e8ab7bfb005c83" +
+        "e9906bffff0d5ce9a559ffff0c10f04c08a30e653378c2ae3c1ee8d0597c" +
+        "0053fb2b1c27d941e2ea50adb64b175f287a28c637e840a37e00d47281a9" +
+        "e9d489ffff3a4322af81f3c1cb0550c722e8e8f1d400e8424f1600091ee8" +
+        "575cd70068381c84e95f48ffff1a7e4fcaae2ce90620ffffe98848ffffe8" +
+        "c69ba200d78c633acd90864a19864750e8b69fa900e914010000f291e917" +
+        "0700ce9deb0859b457770001f404d8040000b8103f5cb1c467fb02000000" +
+        "0004595a",
+      "fd377a585a000004e6d6b446030203010304002101160000fd9f1d8e0102" +
+        "57cf82fb84b621ee71115c16f3f41d20185fdf43ff16edb6d01e189686cc" +
+        "56c9aa16926034e6181291dfff1631b1e9e3bda91807c118ff16b3373614" +
+        "c3c1e6ec16bab4c76d183cf78004dd7dd0fb18e364cae57ffa2021c6e516" +
+        "1236df9dab030bf6d56416babccd709773afa606f886ea16298b213b185d" +
+        "b579ff1628415c0032e38d5289e01898fea1ff1680d5e925bfa418eddc77" +
+        "29394caa3ec7e71f5204b786df736c5ca3910322b3cf97421818ab74ce45" +
+        "7e120bb014bb0a4e10671655a7e9faa548182e317689c27e617616fce1c1" +
+        "cb18338a9909180d1d728a0ff6c7c38c4b6e8d3b29848899578a562751ff" +
+        "dc64196696987a1ed516c3b9336a181bb0f80c3ff788ba30261622030d4d" +
+        "1861a85b9c1847e64ee449d07aed57486fbb4eda327316aa22e99694c318" +
+        "40cc692f13af4bc7188a35781527a4b7ea164547e94e4eba189bf8e3e418" +
+        "404ba65fa7f574a01620b8ea70e349164025c1e71c4551621db2f4221848" +
+        "405a1b9c063ea79c721e191819760d036072182d8d6fc14fae74046a3b62" +
+        "3a16a208ea0b1caa1645a214b49ae5654c16a9eb6b162e917e18eb0618bb" +
+        "af36241887c381ff16f60be300163947560016ecc9caf6d3beb00618800a" +
+        "eeba0d7c1653f3eac94aa31644b9f14dfc931e192bd5b44909a626321b5e" +
+        "1873a4af1cd4de16c6c3776cd461c7b2722f11670f6e0fdb47189dd103a9" +
+        "155006561678bc23b047b09f1c845d0657e37528b218232b791618efd1d2" +
+        "2851b91840de458481ef2a7b16f33850cb94ae9af96fd3162623470016a8" +
+        "339aa3185ef3c13af60423104cf6c106cfd2565918911455ff164193ea18" +
+        "1500ce9deb0859b457770001f404d8040000b8103f5cb1c467fb02000000" +
+        "0004595a")
+
+  private[graft] def xzX86Fixture(s: SparkSession,
+      dir: String): DataFrame = {
+    val d = col("doc_id")
+    spread(t(s, dir, "documents"))
+      .select(d, unhex(element_at(array(XzX86Hex.map(lit): _*),
+        (pmod(d, lit(3L)) + 1L).cast("int"))).as("blob"))
+  }
+
   /** REAL `.tar.xz` blobs (python tarfile USTAR + liblzma): two
     * closed-form shard layouts rotated by doc — the dataset-shipping
     * archive format end-to-end (XZ decompress → TAR entry walk). */
@@ -4743,6 +4827,19 @@ object ExtensionQueries {
     // liblzma streams (golden templates) through the full LZMA range
     // decoder + LZMA2 chunk layer with every container CRC32 and the
     // per-block CRC64 verified; even docs are multi-stream
+    // BCJ x86 CHAINS (round 14) -- the filter x86-filtered binaries
+    // ship under: branch-converter decode (Bra86 state machine) wired
+    // through the member walk; delta+x86+lzma2 exercises reverse-order
+    // chain application. Binary payload -> hex() comparison
+    "source_xz_x86" -> ((s, dir) =>
+      Multimodal.extractXzMembers(xzX86Fixture(s, dir), "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("member_idx"), col("check"),
+          col("n_blocks"), col("usize"),
+          hex(col("content")).as("content_hex"),
+          col("checks_ok"), col("compressed_len"))
+        .orderBy(col("doc_id"), col("member_idx"))),
+
     "source_xz_members" -> ((s, dir) =>
       Multimodal.extractXzMembers(xzFixture(s, dir), "doc_id")
         .toDF()
@@ -8777,6 +8874,39 @@ object ExtensionQueries {
     // each golden stream's decoded plaintext + member accounting; all
     // templates are preset-6 CRC64 single-block; even docs carry the
     // 'tail member' second stream
+    // one member per doc: chain doc%3 (660/664/664 compressed), the
+    // decoded payload replayed as a hex literal
+    "source_xz_x86" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS member_idx,
+        |'crc64' AS check, CAST(1 AS BIGINT) AS n_blocks,
+        |CAST(600 AS BIGINT) AS usize,
+        |'CF82FB8485A3E9F596FFFFE88A1C1F00E9FB62FFFFE818CF1D00AE55' ||
+        |'E95677FFFFE8D733E500E9C4C4FFFFF575E8E2B21E00E97336FFFF26' ||
+        |'6D3513E92E1BFFFFE8CFC66C000BBDEC04E83ABCFF001D20C9E59C1A' ||
+        |'E90662FFFF1898DE9CC39BE99298FFFF4C54CC6FE3C77B15E9BF01FF' ||
+        |'FFE88C203A00E9D5B3FFFFFDF45BFF2FD7E851B8B700E9B658FFFF36' ||
+        |'2DE824F5D10011D148294A1DF267110411B915BB97988827F33B192A' ||
+        |'15EEE8C15706006CCBD445EADDDFF5FE98E9430EFFFF98B5E8F93DFD' ||
+        |'00276E7389E9ECD4FFFFE8B5C0CA00E84A63090057807B8A6676424D' ||
+        |'F2C1B0DA2DEA3462C641BEB8ED92BD9451AB232AE92541FFFFE8FA32' ||
+        |'690015E2610C54D9E9C684FFFFE8870C4C00E8B4A79C00FB8DEAE444' ||
+        |'5D64D19BA5D38CE97F05FFFF2927E895BDEA00D589532FE8389EF600' ||
+        |'C2D36E15E97725FFFFBC6CE84D0A2600E80209E40042548A5FE949FE' ||
+        |'FFFF69B6E96F4CFFFFAF71C0E6CBB61148E868056A00B045C41B4C4B' ||
+        |'02C2E8BD20DB00D696E80336080030C377C17F71EBC5E9AC4DFFFF4E' ||
+        |'55E90A6AFFFF4F0C13B3E9F178FFFF9A636A15C8F4E82DB3FA00E862' ||
+        |'302400E9F3A5FFFFE9B0E2FFFFE92955FFFF151EC9F5E8DC79FB005C' ||
+        |'83E9BA69FFFF0D5CE9C857FFFF0C10F04C08A30E653378C2AE3C1EE8' ||
+        |'E0577C0053FB2B1C27D941E2EA50ADB64B175F287A28C637E837A17E' ||
+        |'00D47281A9E9C287FFFF3A4322AF81F3C1CB0550C722E8C5EFD400E8' ||
+        |'1A4D1600091EE8285AD70068381C84E92746FFFF1A7E4FCAAE2CE9C3' ||
+        |'1DFFFFE94046FFFFE87999A200D78C633ACD90864A19864750E8589D' ||
+        |'A900E9B1FEFFFFF291E91707' AS content_hex,
+        |true AS checks_ok,
+        |CAST(CASE doc_id % 3 WHEN 0 THEN 660 ELSE 664 END AS BIGINT)
+        |  AS compressed_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "source_xz_members" ->
       """WITH e AS (SELECT doc_id, unnest(range(0, 300)) AS i
         |  FROM documents),

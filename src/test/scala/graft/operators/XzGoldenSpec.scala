@@ -114,6 +114,41 @@ class XzGoldenSpec extends AnyFunSuite {
     assert(XzDecode.decompressAlone(vector("rep_p6.xz")).isEmpty)
   }
 
+  /** Byte-identical twin of the generator's `x86ish`. */
+  private def x86ish(n: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var x = 12345L
+    while (out.size < n) {
+      x = (x * 1103515245L + 12345L) & 0x7fffffffL
+      val r = x % 7
+      if (r == 0) {
+        out.write(0xe8)
+        out.write((x & 0xff).toInt); out.write(((x >> 8) & 0xff).toInt)
+        out.write(((x >> 16) & 0xff).toInt); out.write(0x00)
+      } else if (r == 1) {
+        out.write(0xe9)
+        out.write((x & 0xff).toInt); out.write(((x >> 8) & 0xff).toInt)
+        out.write(0xff); out.write(0xff)
+      } else {
+        out.write(((x >> 3) & 0xff).toInt)
+        out.write(((x >> 11) & 0xff).toInt)
+      }
+    }
+    java.util.Arrays.copyOf(out.toByteArray, n)
+  }
+
+  test("BCJ x86 filter chains decode byte-exactly against liblzma: " +
+      "default start offset, start_offset=16, and a delta+x86+lzma2 " +
+      "chain applied in reverse encode order") {
+    val code = x86ish(50000)
+    for (name <- Seq("x86", "x86_off", "x86_delta")) {
+      val got = XzDecode.decompress(vector(s"code_$name.xz"))
+      assert(got.isDefined, s"code_$name.xz failed to decode")
+      assert(java.util.Arrays.equals(got.get, code),
+        s"code_$name.xz decoded wrong bytes")
+    }
+  }
+
   test("unknown-size stream beyond 300:1 ratio (8 MB of zeros, " +
       "~6500:1) decodes via the doubling output buffer — a ratio " +
       "pre-size heuristic falsely rejects it (r13 advisory)") {

@@ -160,6 +160,48 @@ def main():
             f.write(comp)
         print(f"{name}.lzma: {len(data)} -> {len(comp)} bytes")
 
+    # BCJ x86 filter chains (round 14) -- x86-ish code with embedded
+    # E8/E9 rel32 branches whose high byte is 00/FF (the convertible
+    # shape). NOTE: byte-identical twin in XzGoldenSpec.scala
+    # (`x86ish`); change BOTH or neither.
+    def x86ish(n):
+        out = bytearray()
+        x = 12345
+        while len(out) < n:
+            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+            r = x % 7
+            if r == 0:
+                out += b"\xe8" + (x & 0xFFFFFF).to_bytes(3, "little") \
+                    + b"\x00"
+            elif r == 1:
+                out += b"\xe9" + (x & 0xFFFF).to_bytes(2, "little") \
+                    + b"\xff\xff"
+            else:
+                out += bytes([(x >> 3) & 0xFF, (x >> 11) & 0xFF])
+        return bytes(out[:n])
+
+    code = x86ish(50_000)
+    chains = {
+        "x86": [{"id": lzma.FILTER_X86},
+                {"id": lzma.FILTER_LZMA2, "preset": 6}],
+        "x86_off": [{"id": lzma.FILTER_X86, "start_offset": 16},
+                    {"id": lzma.FILTER_LZMA2, "preset": 6}],
+        "x86_delta": [{"id": lzma.FILTER_DELTA, "dist": 4},
+                      {"id": lzma.FILTER_X86},
+                      {"id": lzma.FILTER_LZMA2, "preset": 6}],
+    }
+    for name, filt in chains.items():
+        comp = lzma.compress(code, format=lzma.FORMAT_XZ, filters=filt)
+        assert lzma.decompress(comp) == code
+        with open(os.path.join(outdir, f"code_{name}.xz"), "wb") as f:
+            f.write(comp)
+        print(f"code_{name}.xz: {len(code)} -> {len(comp)}")
+    # prove the filter matters: the same payload without BCJ must
+    # differ compressed (the filter really transformed branches)
+    plainxz = lzma.compress(code, format=lzma.FORMAT_XZ)
+    assert plainxz != open(os.path.join(outdir, "code_x86.xz"),
+                           "rb").read()
+
     # unknown-size alone stream whose ratio is FAR beyond 300:1 (8 MB
     # of zeros -> ~1.3 KB, ~6500:1): pins the growable-output path --
     # a ratio-heuristic pre-size falsely rejects this valid stream
