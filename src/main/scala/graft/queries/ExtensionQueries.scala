@@ -3429,6 +3429,34 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // NESTED CONTAINERS (round 14): struct ↔ named Avro record (two
+    // levels) and string-keyed map ↔ Avro map, round-tripped through
+    // the container hop then flattened for the identity oracle
+    "source_avro_nested" -> ((s, dir) => {
+      val path = memoizedFixture(tmpArtifact("graft_avron", dir)) { tmp =>
+        graft.sources.AvroContainerFiles.write(
+          t(s, dir, "documents").select(
+            col("doc_id"),
+            struct(col("lang").as("lang"),
+              octet_length(col("text")).cast("long").as("n_bytes"),
+              struct(col("source").as("source"),
+                (col("doc_id") % 7L).as("bucket")).as("inner"))
+              .as("meta"),
+            map(lit("lang"), col("lang"),
+              lit("source"), col("source")).as("tags")),
+          tmp)
+      }
+      graft.sources.AvroContainerFiles.read(s, path)
+        .select(col("doc_id"), col("meta.lang").as("lang"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.inner.source").as("source"),
+          col("meta.inner.bucket").as("bucket"),
+          element_at(col("tags"), "lang").as("tag_lang"),
+          element_at(col("tags"), "source").as("tag_source"),
+          size(col("tags")).cast("long").as("n_tags"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the 100 TB shape: a corpus archived as ONE huge container file
     // must still fan out — the reader splits it on Avro sync markers
     // (4 KiB blocks here, 64 KiB split ranges → many independent
@@ -4446,6 +4474,38 @@ object ExtensionQueries {
         .toDF()
         .orderBy(col("doc_id"), col("target_uri"),
           col("content_length"))),
+
+    // SEEKABLE WARC.ZST SPLIT READ (round 14) — the 100 TB fan-out
+    // for crawl archives: the published zstd seekable format's seek
+    // table (bounded driver tail read) splits one huge file into one
+    // positioned range read per frame group; the leading IIPC
+    // dictionary frame is harvested once and prepended per blob, so
+    // every split decodes independently. 24 dict-compressed record
+    // frames, 4 per split → 6 tasks (spec-pinned)
+    "source_warc_zst_split" -> ((s, dir) => {
+      val path = memoizedFixture(
+          tmpArtifact("graft_warczst_seek", dir)) { tmp =>
+        def hx(h: String): Array[Byte] =
+          h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+        val dict = hx(WarcZstDictHeadHex)
+        val recs = WarcZstDictRecHex.map(hx)
+        val dsz = Seq(143L, 161L, 176L, 191L, 207L, 146L, 161L, 176L)
+        val frames = dict +: (0 until 24).map(i => recs(i % 8))
+        val dsizes = 0L +: (0 until 24).map(i => dsz(i % 8))
+        java.nio.file.Files.write(java.nio.file.Paths.get(tmp),
+          graft.sources.ZstdSeekable.assemble(frames, dsizes))
+        ()
+      }
+      graft.sources.ZstdSeekable.readFrames(s, path, framesPerSplit = 4)
+        .select(col("frame_idx"), col("compressed_len"),
+          explode(graft.plans.MediaExprs.warcZstRecordsCol(col("blob")))
+            .as("r"))
+        .select(col("frame_idx"), col("compressed_len"),
+          col("r.rec_type").as("rec_type"),
+          col("r.target_uri").as("target_uri"),
+          col("r.content_length").as("content_length"))
+        .orderBy(col("frame_idx"))
+    }),
 
     // BZIP2 MEMBER WALK (round 13) — the Wikipedia-dump codec: REAL
     // libbz2 streams (golden templates) through the full
@@ -6578,6 +6638,15 @@ object ExtensionQueries {
     "source_avro_container" ->
       """SELECT doc_id, lang, source, text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // identity through the nested struct/map hop, flattened; strlen
+    // is BYTES in DuckDB (= Spark octet_length)
+    "source_avro_nested" ->
+      """SELECT doc_id, lang,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes, source,
+        |  CAST(doc_id % 7 AS BIGINT) AS bucket,
+        |  lang AS tag_lang, source AS tag_source,
+        |  CAST(2 AS BIGINT) AS n_tags
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // identity again, but through ONE multi-block file read as many
     // sync-marker splits — any block lost/duplicated at a split
     // boundary fails the hash
@@ -8658,6 +8727,22 @@ object ExtensionQueries {
         |    ELSE 0 END AS BIGINT) AS http_status
         |FROM r ORDER BY doc_id, rec_type, target_uri,
         |  content_length""".stripMargin,
+
+    // seek-table frames 1..24 (0 is the dictionary frame), frame j =
+    // record (j-1)%8; compressed lengths are the golden frame sizes,
+    // content lengths the closed-form record bodies
+    "source_warc_zst_split" ->
+      """WITH f AS (SELECT unnest(range(1, 25)) AS j),
+        |r AS (SELECT j, (j - 1) % 8 AS ri FROM f)
+        |SELECT CAST(j AS BIGINT) AS frame_idx,
+        |  CAST(CASE ri WHEN 0 THEN 39 WHEN 1 THEN 41 WHEN 2 THEN 43
+        |    WHEN 3 THEN 39 WHEN 4 THEN 45 WHEN 5 THEN 37 WHEN 6 THEN 37
+        |    ELSE 41 END AS BIGINT) AS compressed_len,
+        |  'response' AS rec_type,
+        |  'http://example.com/dict/' || ri AS target_uri,
+        |  CAST((13 + CASE WHEN (ri * 13) % 97 < 10 THEN 1 ELSE 2 END)
+        |    * (3 + ri % 5) AS BIGINT) AS content_length
+        |FROM r ORDER BY frame_idx""".stripMargin,
 
     // record i of the dictionary fixture: response, uri .../dict/i,
     // body 'field{i%7}=value{(i*13)%97}&' x (3+i%5) — content_length

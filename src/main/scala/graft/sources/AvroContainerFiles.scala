@@ -24,11 +24,10 @@ import org.apache.spark.sql.types._
   * long/int/double/float/boolean/string/binary columns map to the
   * matching Avro primitives; `decimal(p,s)` ↔ Avro `bytes` with the
   * decimal logical type, `timestamp` ↔ `long`/timestamp-micros,
-  * `date` ↔ `int`/date, and arrays of any of those map to Avro
-  * arrays. Nested structs and maps are rejected at write/read time —
-  * the engine's rich-Avro path is the wire-format decoder with its
-  * full codec ([[graft.avro.AvroJsonCodec]]); this source is the
-  * flat-relation archive format.
+  * `date` ↔ `int`/date, arrays map to Avro arrays, and (round 14)
+  * nested STRUCTS ↔ named Avro records and string-keyed MAPS ↔ Avro
+  * maps, each recursively over the same surface. Map keys must be
+  * strings (Avro's rule) and non-string keys fail loud.
   *
   * Scale shape: the WRITER emits one container file per partition
   * (executor-side, streaming row-by-row through the Avro encoder — no
@@ -86,9 +85,28 @@ object AvroContainerFiles {
           Schema.createUnion(java.util.Arrays.asList(
             Schema.create(Schema.Type.NULL), elem))
         else elem)
+    case st: StructType => // nested record (round 14); Avro records
+      // are NAMED — derive a unique, deterministic name from the
+      // column path so sibling structs never collide
+      avroSchemaFor(st, recordName(col))
+    case MapType(StringType, vt, valueContainsNull) =>
+      val v = leafAvroType(vt, s"$col{}")
+      Schema.createMap(
+        if (valueContainsNull)
+          Schema.createUnion(java.util.Arrays.asList(
+            Schema.create(Schema.Type.NULL), v))
+        else v)
+    case MapType(kt, _, _) => throw new IllegalArgumentException(
+      s"column '$col': Avro maps have STRING keys; got key type $kt")
     case other => throw new IllegalArgumentException(
-      s"AvroContainerFiles supports flat primitive/logical-type/array " +
-        s"columns only; column '$col' is $other")
+      s"AvroContainerFiles supports primitive/logical-type/array/" +
+        s"struct/map columns; column '$col' is $other")
+  }
+
+  /** Avro-legal record name from a column path ("a.b[]" → "a_b__rec"). */
+  private def recordName(col: String): String = {
+    val s = col.map(c => if (c.isLetterOrDigit) c else '_')
+    (if (s.nonEmpty && s.head.isDigit) "r_" + s else s) + "_rec"
   }
 
   /** Avro record schema → Spark schema (the inverse surface). */
@@ -129,42 +147,70 @@ object AvroContainerFiles {
       case (Schema.Type.ARRAY, _) =>
         val (es, en) = unwrapNullable(s.getElementType, s"$col[]")
         ArrayType(leafSparkType(es, s"$col[]"), containsNull = en)
+      case (Schema.Type.RECORD, _) => sparkSchemaFor(s)
+      case (Schema.Type.MAP, _) =>
+        val (vs, vn) = unwrapNullable(s.getValueType, s"$col{}")
+        MapType(StringType, leafSparkType(vs, s"$col{}"),
+          valueContainsNull = vn)
       case (other, _) => throw new IllegalArgumentException(
         s"field '$col': unsupported Avro type $other")
     }
   }
 
-  /** Spark external value → Avro datum for the matching leaf type. */
-  private def toAvro(v: Any, dt: DataType): Any = (v, dt) match {
-    case (null, _) => null
-    case (s: String, _) => s
-    case (b: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(b)
-    case (bd: java.math.BigDecimal, d: DecimalType) =>
-      java.nio.ByteBuffer.wrap(
-        bd.setScale(d.scale).unscaledValue().toByteArray)
-    case (ts: java.sql.Timestamp, TimestampType) =>
-      val i = ts.toInstant
-      java.lang.Long.valueOf(
-        Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
-          (i.getNano / 1000).toLong))
-    case (i: java.time.Instant, TimestampType) =>
-      java.lang.Long.valueOf(
-        Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
-          (i.getNano / 1000).toLong))
-    case (ldt: java.time.LocalDateTime, TimestampNTZType) =>
-      val i = ldt.toInstant(java.time.ZoneOffset.UTC)
-      java.lang.Long.valueOf(
-        Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
-          (i.getNano / 1000).toLong))
-    case (d: java.sql.Date, DateType) =>
-      java.lang.Integer.valueOf(d.toLocalDate.toEpochDay.toInt)
-    case (d: java.time.LocalDate, DateType) =>
-      java.lang.Integer.valueOf(d.toEpochDay.toInt)
-    case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
-      val out = new java.util.ArrayList[Any](seq.length)
-      seq.foreach(e => out.add(toAvro(e, et)))
-      out
-    case (x, _) => x
+  /** Spark external value → Avro datum for the matching type. `sch`
+    * is the field's Avro schema (possibly a nullable union — the
+    * non-null branch drives nested record/array/map construction). */
+  private def toAvro(v: Any, dt: DataType, sch: Schema): Any = {
+    if (v == null) return null
+    lazy val s =
+      if (sch.getType == Schema.Type.UNION)
+        sch.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+      else sch
+    (v, dt) match {
+      case (s0: String, _) => s0
+      case (b: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(b)
+      case (bd: java.math.BigDecimal, d: DecimalType) =>
+        java.nio.ByteBuffer.wrap(
+          bd.setScale(d.scale).unscaledValue().toByteArray)
+      case (ts: java.sql.Timestamp, TimestampType) =>
+        val i = ts.toInstant
+        java.lang.Long.valueOf(
+          Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+            (i.getNano / 1000).toLong))
+      case (i: java.time.Instant, TimestampType) =>
+        java.lang.Long.valueOf(
+          Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+            (i.getNano / 1000).toLong))
+      case (ldt: java.time.LocalDateTime, TimestampNTZType) =>
+        val i = ldt.toInstant(java.time.ZoneOffset.UTC)
+        java.lang.Long.valueOf(
+          Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+            (i.getNano / 1000).toLong))
+      case (d: java.sql.Date, DateType) =>
+        java.lang.Integer.valueOf(d.toLocalDate.toEpochDay.toInt)
+      case (d: java.time.LocalDate, DateType) =>
+        java.lang.Integer.valueOf(d.toEpochDay.toInt)
+      case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
+        val out = new java.util.ArrayList[Any](seq.length)
+        seq.foreach(e => out.add(toAvro(e, et, s.getElementType)))
+        out
+      case (r: Row, st: StructType) =>
+        val rec = new GenericData.Record(s)
+        var i = 0
+        while (i < st.length) {
+          rec.put(i, toAvro(r.get(i), st(i).dataType,
+            s.getFields.get(i).schema()))
+          i += 1
+        }
+        rec
+      case (m: scala.collection.Map[_, _], MapType(_, vt, _)) =>
+        val out = new java.util.HashMap[String, Any](m.size)
+        m.foreach { case (k, mv) =>
+          out.put(k.toString, toAvro(mv, vt, s.getValueType))
+        }
+        out
+      case (x, _) => x
+    }
   }
 
   /** Avro datum → Spark external value for the matching leaf type. */
@@ -193,6 +239,16 @@ object AvroContainerFiles {
       java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
     case (l: java.util.List[_], ArrayType(et, _)) =>
       l.asScala.map(toExternal(_, et)).toSeq
+    case (rec: GenericRecord, st: StructType) =>
+      // positional: Avro resolution reorders datum fields into the
+      // expected (reader) schema order, which IS st's order
+      Row.fromSeq(st.fields.toSeq.zipWithIndex.map { case (f, i) =>
+        toExternal(rec.get(i), f.dataType)
+      })
+    case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
+      m.asScala.map { case (k, mv) =>
+        k.toString -> toExternal(mv, vt)
+      }.toMap
     case (x, _) => x
   }
 
@@ -236,7 +292,8 @@ object AvroContainerFiles {
             val rec = new GenericData.Record(avroSchema)
             var i = 0
             while (i < schema.length) {
-              rec.put(i, toAvro(row.get(i), schema(i).dataType))
+              rec.put(i, toAvro(row.get(i), schema(i).dataType,
+                avroSchema.getFields.get(i).schema()))
               i += 1
             }
             w.append(rec)

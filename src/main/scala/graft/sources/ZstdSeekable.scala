@@ -1,0 +1,161 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** The zstd SEEKABLE format (round 14) — facebook/zstd's published
+  * `seekable_format` spec: a stream of independent frames followed by
+  * a seek-table SKIPPABLE frame (magic `0x184D2A5E`) whose footer
+  * (`Number_Of_Frames` LE32, descriptor byte, seekable magic
+  * `0x8F92EAB1`) and per-frame `(compressed, decompressed[, crc])`
+  * entries give random access WITHOUT walking the stream.
+  *
+  * This is the split story for huge `.warc.zst` archives: one 100 GB
+  * crawl file fans out into one task per frame group — the
+  * `source_avro_split` discipline on the zstd container. The driver
+  * reads ONLY the bounded tail (9-byte footer + the table); each task
+  * does one positioned range read of its frames. When the stream
+  * leads with an IIPC dictionary skippable frame (`0x184D2A5D`, the
+  * Common Crawl layout), the driver reads that small frame once and
+  * PREPENDS it to every emitted data-frame blob, so the existing
+  * dict-aware record walk decodes each split independently.
+  *
+  * [[assemble]] is the writer half: frames in, seekable stream out
+  * (framing only — the frames themselves come from any encoder). */
+object ZstdSeekable {
+
+  private val SeekTableMagic = 0x184d2a5eL
+  private val DictFrameMagic = 0x184d2a5dL
+  private val SeekableMagic = 0x8f92eab1L
+
+  /** One seek-table row: data-frame byte range + declared output. */
+  final case class Entry(idx: Int, offset: Long, csize: Long,
+    dsize: Long)
+
+  private def u32le(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Frames (+ per-frame decompressed sizes; 0 for skippable frames)
+    * → one seekable stream: the frames verbatim, then the seek-table
+    * skippable frame (no per-frame checksums). */
+  def assemble(frames: Seq[Array[Byte]], dsizes: Seq[Long])
+      : Array[Byte] = {
+    require(frames.size == dsizes.size,
+      "one decompressed size per frame")
+    val out = new java.io.ByteArrayOutputStream()
+    frames.foreach(out.write)
+    out.write(u32le(SeekTableMagic))
+    out.write(u32le(frames.size * 8L + 9L))
+    frames.zip(dsizes).foreach { case (f, d) =>
+      out.write(u32le(f.length.toLong))
+      out.write(u32le(d))
+    }
+    out.write(u32le(frames.size.toLong))
+    out.write(0x00) // descriptor: no checksums
+    out.write(u32le(SeekableMagic))
+    out.toByteArray
+  }
+
+  /** Parse the seek table from the file tail: (all entries with
+    * cumulative offsets, file length). Bounded tail reads only. */
+  def seekEntries(spark: SparkSession,
+      path: String): (Seq[Entry], Long) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen
+    require(len >= 17, s"$path too short for a seekable stream")
+    val in = fs.open(p)
+    try {
+      val footer = new Array[Byte](9)
+      in.readFully(len - 9, footer)
+      def u32(b: Array[Byte], o: Int): Long =
+        (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+          ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      require(u32(footer, 5) == SeekableMagic,
+        s"$path: no seekable footer magic")
+      val n = u32(footer, 0)
+      val desc = footer(4) & 0xff
+      require((desc & 0x7c) == 0, s"$path: reserved descriptor bits")
+      val entrySize = if ((desc & 0x80) != 0) 12 else 8
+      val tableBytes = n * entrySize
+      val tableStart = len - 9 - tableBytes
+      require(tableStart >= 8, s"$path: seek table larger than file")
+      val hdr = new Array[Byte](8)
+      in.readFully(tableStart - 8, hdr)
+      require(u32(hdr, 0) == SeekTableMagic &&
+        u32(hdr, 4) == tableBytes + 9,
+        s"$path: seek-table skippable frame header mismatch")
+      val table = new Array[Byte](tableBytes.toInt)
+      in.readFully(tableStart, table)
+      var off = 0L
+      val entries = (0 until n.toInt).map { i =>
+        val c = u32(table, i * entrySize)
+        val d = u32(table, i * entrySize + 4)
+        val e = Entry(i, off, c, d)
+        off += c
+        e
+      }
+      require(off == tableStart - 8,
+        s"$path: frame sizes (${off}) don't reach the seek table " +
+          s"(${tableStart - 8})")
+      (entries, len)
+    } finally in.close()
+  }
+
+  private val frameSchema = StructType(Seq(
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("compressed_len", LongType, nullable = false),
+    StructField("dsize", LongType, nullable = false),
+    StructField("blob", BinaryType, nullable = false)))
+
+  /** Distributed per-frame read: one row per DATA frame (skippable
+    * frames are consumed structurally), `framesPerSplit` frames per
+    * task, each task one positioned range read. A leading dictionary
+    * skippable frame is read once on the driver and prepended to every
+    * blob, so each row decodes independently through the dict-aware
+    * walk. Partition count = ceil(nDataFrames / framesPerSplit) —
+    * spec-pinned. */
+  def readFrames(spark: SparkSession, path: String,
+      framesPerSplit: Int = 16): DataFrame = {
+    require(framesPerSplit > 0, "framesPerSplit must be positive")
+    val (entries, _) = seekEntries(spark, path)
+    // harvest a LEADING dict skippable frame (dsize 0, dict magic)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dictBytes: Array[Byte] = entries.headOption match {
+      case Some(e0) if e0.dsize == 0 && e0.csize >= 8 =>
+        val head = new Array[Byte](e0.csize.toInt)
+        val in = fs.open(p)
+        try in.readFully(e0.offset, head) finally in.close()
+        def u32(o: Int): Long =
+          (head(o) & 0xffL) | ((head(o + 1) & 0xffL) << 8) |
+            ((head(o + 2) & 0xffL) << 16) | ((head(o + 3) & 0xffL) << 24)
+        if (u32(0) == DictFrameMagic) head else Array.empty[Byte]
+      case _ => Array.empty[Byte]
+    }
+    val data = entries.filter(_.dsize > 0)
+    val groups = data.grouped(framesPerSplit).toSeq
+    val bcDict = spark.sparkContext.broadcast(dictBytes)
+    val rows = spark.sparkContext
+      .parallelize(groups, math.max(groups.size, 1))
+      .flatMap { group =>
+        // executor-side default Hadoop conf (Configuration is not
+        // serializable — the AvroContainerFiles precedent)
+        val fp = new Path(path)
+        val gfs = fp.getFileSystem(
+          new org.apache.hadoop.conf.Configuration())
+        val in = gfs.open(fp)
+        val dict = bcDict.value
+        try group.map { e =>
+          val buf = new Array[Byte](dict.length + e.csize.toInt)
+          System.arraycopy(dict, 0, buf, 0, dict.length)
+          in.readFully(e.offset, buf, dict.length, e.csize.toInt)
+          Row(e.idx.toLong, e.offset, e.csize, e.dsize, buf)
+        } finally in.close()
+      }
+    spark.createDataFrame(rows, frameSchema)
+  }
+}

@@ -3884,11 +3884,19 @@ class SourceRoundTripSpec extends SparkFunSuite {
     val head = java.nio.file.Files.readAllBytes(
       files.head.toPath).take(4)
     assert(head.sameElements(Array[Byte]('O', 'b', 'j', 1)))
-    // NESTED types are rejected at the boundary, not mangled (arrays
-    // of primitives are supported since round 12; structs are not)
+    // nested structs + string-keyed maps round-trip since round 14
+    // (source_avro_nested oracle); the remaining fail-loud boundary
+    // is Avro's own rule — map keys must be STRINGS
     val nested = Seq((1L, (1, 2))).toDF("id", "st")
+    graft.sources.AvroContainerFiles.write(nested, path + "_nested")
+    val backNested = graft.sources.AvroContainerFiles
+      .read(s, path + "_nested").orderBy("id").collect()
+    assert(backNested.length == 1 &&
+      backNested.head.getStruct(1).getInt(0) == 1 &&
+      backNested.head.getStruct(1).getInt(1) == 2)
+    val intKeyed = Seq((1L, Map(1 -> "a"))).toDF("id", "m")
     intercept[IllegalArgumentException] {
-      graft.sources.AvroContainerFiles.write(nested, path + "_nested")
+      graft.sources.AvroContainerFiles.write(intKeyed, path + "_badmap")
     }
     ()
   }
