@@ -22,16 +22,19 @@ package graft.operators
   * BodyCompression), DictionaryBatch (id/data/isDelta).
   *
   * Column types supported: Int 8/16/32/64 signed (→ Long), Float64
-  * (→ Double), Utf8 (→ String), Bool (→ Boolean); validity bitmaps
-  * honoured (LSB-numbered). DICTIONARY-ENCODED columns of those value
-  * types decode through replayed DictionaryBatch messages (replacement
-  * and delta batches both honoured; signed int 8/16/32/64 indices —
-  * pyarrow's default encoding for categorical strings). BODY
-  * COMPRESSION (per-buffer LZ4-frame or zstd, the two codecs the Arrow
-  * spec defines) decompresses through this repo's own golden-pinned
-  * decoders ([[Lz4Snappy]], [[ZstdDecode]]). Anything else — nested
-  * types, unsigned indices — is DECLINED honestly (empty), never
-  * misread.
+  * (→ Double), Float32 (→ Double, exact binary widening), Utf8
+  * (→ String), Bool (→ Boolean), and LIST of any supported type
+  * (→ Seq; `list<float32>` is the layout embedding tables ship in) —
+  * validity bitmaps honoured (LSB-numbered), nested fields consumed
+  * in the spec's depth-first node/buffer order. DICTIONARY-ENCODED
+  * leaf columns decode through replayed DictionaryBatch messages
+  * (replacement and delta batches both honoured; signed int
+  * 8/16/32/64 indices — pyarrow's default encoding for categorical
+  * strings). BODY COMPRESSION (per-buffer LZ4-frame or zstd, the two
+  * codecs the Arrow spec defines) decompresses through this repo's
+  * own golden-pinned decoders ([[Lz4Snappy]], [[ZstdDecode]]).
+  * Anything else — structs, unsigned ints, half floats — is DECLINED
+  * honestly (empty), never misread.
   *
   * Validation: GOLDEN VECTORS from real pyarrow
   * (`tools/gen_arrow_vectors.py` → committed `.arrows`/`.arrow`
@@ -53,9 +56,11 @@ object ArrowIpc {
   final case class Batch(idx: Int, nRows: Long, cols: IndexedSeq[Col])
 
   /** One schema field: value kind, plus dictionary encoding if any
-    * (`dictId` -1 when plain; `indexBits` the signed index width). */
+    * (`dictId` -1 when plain; `indexBits` the signed index width) and
+    * the child field for nested kinds (`list`). */
   private final case class FieldSpec(name: String, kind: String,
-    dictId: Long, indexBits: Int)
+    dictId: Long, indexBits: Int,
+    children: IndexedSeq[FieldSpec] = Vector.empty)
 
   // ---- flatbuffers navigation ---------------------------------------
 
@@ -208,8 +213,9 @@ object ArrowIpc {
     if (schema == null) Vector.empty else out.result()
   }
 
-  /** Field list → specs with kind ∈ long/double/string/bool and the
-    * dictionary encoding when present; null on unsupported. */
+  /** Field list → specs with kind ∈ long/double/float32/string/bool/
+    * list and the dictionary encoding when present; null on
+    * unsupported. */
   private def parseSchema(msg: Fb,
       schemaT: Int): IndexedSeq[FieldSpec] = {
     if (schemaT < 0) return null
@@ -219,48 +225,68 @@ object ArrowIpc {
     val out = Vector.newBuilder[FieldSpec]
     var i = 0
     while (i < n) {
-      val f = msg.tableAt(elems + 4 * i)
-      if (f < 0) return null
-      val name = msg.stringField(f, 0)
-      if (name == null) return null
-      val typeType = msg.byteField(f, 2, 0)
-      val typeT = msg.tableField(f, 3)
-      val kind = typeType match {
-        case 2 => // Int
-          val bits = msg.intField(typeT, 0, 0)
-          val signed = msg.byteField(typeT, 1, 0) != 0
-          if (!signed || (bits != 8 && bits != 16 && bits != 32 &&
-            bits != 64)) return null
-          s"int$bits"
-        case 3 => // FloatingPoint (precision is a SHORT: 2 = DOUBLE)
-          if (msg.shortField(typeT, 0, 0) != 2) return null
-          "double"
-        case 5 => "string" // Utf8
-        case 6 => "bool"
-        case _ => return null
-      }
-      // DictionaryEncoding (slot 4): id + index Int type (the data
-      // buffers then carry indices of that width; default int32)
-      var dictId = -1L
-      var indexBits = 32
-      val dt = msg.tableField(f, 4)
-      if (msg.field(f, 4) >= 0) {
-        if (dt < 0) return null
-        dictId = msg.longField(dt, 0, 0L)
-        val it = msg.tableField(dt, 1)
-        if (it >= 0) {
-          val bits = msg.intField(it, 0, 32)
-          val signed = msg.byteField(it, 1, 0) != 0
-          if (!signed || (bits != 8 && bits != 16 && bits != 32 &&
-            bits != 64)) return null
-          indexBits = bits
-        }
-        if (dictId < 0) return null
-      }
-      out += FieldSpec(name, kind, dictId, indexBits)
+      val spec = parseField(msg, msg.tableAt(elems + 4 * i), 0)
+      if (spec == null) return null
+      out += spec
       i += 1
     }
     out.result()
+  }
+
+  /** One Field table → spec, recursing into `children` (slot 5) for
+    * list types; null on unsupported. */
+  private def parseField(msg: Fb, f: Int, depth: Int): FieldSpec = {
+    if (f < 0 || depth > 8) return null
+    val name = msg.stringField(f, 0)
+    if (name == null) return null
+    val typeType = msg.byteField(f, 2, 0)
+    val typeT = msg.tableField(f, 3)
+    var children: IndexedSeq[FieldSpec] = Vector.empty
+    val kind = typeType match {
+      case 2 => // Int
+        val bits = msg.intField(typeT, 0, 0)
+        val signed = msg.byteField(typeT, 1, 0) != 0
+        if (!signed || (bits != 8 && bits != 16 && bits != 32 &&
+          bits != 64)) return null
+        s"int$bits"
+      case 3 => // FloatingPoint (precision is a SHORT: 1=SINGLE 2=DOUBLE)
+        msg.shortField(typeT, 0, 0) match {
+          case 1 => "float32" // exact-widened to Double on read
+          case 2 => "double"
+          case _ => return null // HALF unsupported
+        }
+      case 5 => "string" // Utf8
+      case 6 => "bool"
+      case 12 => // List — exactly one child field (the element)
+        val (cn, celems) = msg.vectorField(f, 5)
+        if (cn != 1 || celems < 0 ||
+          celems + 4L > msg.b.length) return null
+        val child = parseField(msg, msg.tableAt(celems), depth + 1)
+        if (child == null) return null
+        children = Vector(child)
+        "list"
+      case _ => return null
+    }
+    // DictionaryEncoding (slot 4): id + index Int type (the data
+    // buffers then carry indices of that width; default int32) —
+    // leaf kinds only
+    var dictId = -1L
+    var indexBits = 32
+    val dt = msg.tableField(f, 4)
+    if (msg.field(f, 4) >= 0) {
+      if (dt < 0 || kind == "list") return null
+      dictId = msg.longField(dt, 0, 0L)
+      val it = msg.tableField(dt, 1)
+      if (it >= 0) {
+        val bits = msg.intField(it, 0, 32)
+        val signed = msg.byteField(it, 1, 0) != 0
+        if (!signed || (bits != 8 && bits != 16 && bits != 32 &&
+          bits != 64)) return null
+        indexBits = bits
+      }
+      if (dictId < 0) return null
+    }
+    FieldSpec(name, kind, dictId, indexBits, children)
   }
 
   /** Replay one DictionaryBatch into the id→values map: its payload is
@@ -310,7 +336,10 @@ object ArrowIpc {
     }
     val (nNodes, nodesAt) = msg.vectorField(rbT, 1)
     val (nBufs, bufsAt) = msg.vectorField(rbT, 2)
-    if (nNodes != specs.size || nBufs < 0) return null
+    // nested fields contribute their own nodes/buffers, so nNodes may
+    // exceed the top-level field count; the cursor walk checks the
+    // exact consumption at the end
+    if (nNodes < 0 || nBufs < 0) return null
     // corrupt metadata can declare more inline structs than the
     // flatbuffer holds — bound BOTH vectors before any i64 read
     if (nodesAt < 0 || nodesAt + 16L * nNodes > msg.b.length ||
@@ -341,57 +370,90 @@ object ArrowIpc {
       if (plain == null || plain.length != want) return null
       new BufView(plain, 0, plain.length)
     }
+    // Cursor-based recursive reader: FieldNodes and Buffers appear in
+    // DEPTH-FIRST field order (a list column contributes its own node
+    // + validity/offsets buffers, then its child's). A local control
+    // throwable turns nested violations into the method's null.
+    object ParseFail extends scala.util.control.ControlThrowable
+    def fail(): Nothing = throw ParseFail
+    var ni = 0
     var bi = 0
-    val cols = Vector.newBuilder[Col]
-    var fi = 0
-    while (fi < specs.size) {
-      val spec = specs(fi)
-      val name = spec.name
+    def nextNode(): (Long, Long) = {
+      if (ni >= nNodes) fail()
+      val r = node(ni); ni += 1; r
+    }
+    def peekNodeLen(): Long =
+      if (ni >= nNodes) -1L else node(ni)._1
+    def nextView(): BufView = {
+      if (bi >= nBufs) fail()
+      val r = view(bi); bi += 1; r
+    }
+    def readCol(spec: FieldSpec, expectRows: Long): IndexedSeq[Any] = {
+      val (len, nullCount) = nextNode()
+      if (len != expectRows || len < 0 || len > MaxRows) fail()
+      val n = len.toInt
       val encoded = spec.dictId >= 0
       // dictionary-encoded columns physically carry indices (fixed
       // width), whatever the logical value kind
       val physKind = if (encoded) s"int${spec.indexBits}" else spec.kind
-      val (len, nullCount) = node(fi)
-      if (len != nRows) return null
-      val expectBufs = if (physKind == "string") 3 else 2
-      if (bi + expectBufs > nBufs) return null
-      val v = view(bi)
+      val v = nextView()
       val hasValidity = nullCount > 0
-      if (hasValidity && (v == null || v.len * 8L < nRows)) return null
-      @inline def isNull(i: Long): Boolean =
+      if (hasValidity && (v == null || v.len * 8L < len)) fail()
+      @inline def isNull(i: Int): Boolean =
         hasValidity && !v.bit(i)
       val values: IndexedSeq[Any] = physKind match {
-        case "string" if nRows == 0 => Vector.empty
-        case "string" =>
-          val ov = view(bi + 1)
-          val dv = view(bi + 2)
-          if (ov == null || dv == null || ov.len < 4L * (nRows + 1))
-            return null
-          Vector.tabulate(nRows.toInt) { i =>
+        case "list" =>
+          val ov = nextView()
+          if (n > 0 && (ov == null || ov.len < 4L * (n + 1))) fail()
+          val child = readCol(spec.children.head, peekNodeLen())
+          if (n == 0) Vector.empty
+          else Vector.tabulate(n) { i =>
             if (isNull(i)) null
             else {
               val s = ov.i32(4 * i)
               val e = ov.i32(4 * (i + 1))
-              if (s < 0 || e < s || e > dv.len) return null
-              new String(dv.b, dv.off + s, e - s, "UTF-8")
+              if (s < 0 || e < s || e > child.size) fail()
+              child.slice(s, e)
+            }
+          }
+        case "string" =>
+          val ov = nextView()
+          val dv = nextView()
+          if (n == 0) Vector.empty
+          else {
+            if (ov == null || dv == null || ov.len < 4L * (n + 1))
+              fail()
+            Vector.tabulate(n) { i =>
+              if (isNull(i)) null
+              else {
+                val s = ov.i32(4 * i)
+                val e = ov.i32(4 * (i + 1))
+                if (s < 0 || e < s || e > dv.len) fail()
+                new String(dv.b, dv.off + s, e - s, "UTF-8")
+              }
             }
           }
         case "bool" =>
-          val dv = view(bi + 1)
-          if (dv == null || dv.len * 8L < nRows) return null
-          Vector.tabulate(nRows.toInt)(i =>
-            if (isNull(i)) null else dv.bit(i))
+          val dv = nextView()
+          if (dv == null || dv.len * 8L < len) fail()
+          Vector.tabulate(n)(i => if (isNull(i)) null else dv.bit(i))
         case "double" =>
-          val dv = view(bi + 1)
-          if (dv == null || dv.len < 8L * nRows) return null
-          Vector.tabulate(nRows.toInt)(i =>
+          val dv = nextView()
+          if (dv == null || dv.len < 8L * len) fail()
+          Vector.tabulate(n)(i =>
             if (isNull(i)) null
             else java.lang.Double.longBitsToDouble(dv.i64(8 * i)))
+        case "float32" => // exact binary widening to Double
+          val dv = nextView()
+          if (dv == null || dv.len < 4L * len) fail()
+          Vector.tabulate(n)(i =>
+            if (isNull(i)) null
+            else java.lang.Float.intBitsToFloat(dv.i32(4 * i)).toDouble)
         case ik => // int8/16/32/64 → Long
           val w = ik.drop(3).toInt / 8
-          val dv = view(bi + 1)
-          if (dv == null || dv.len < w.toLong * nRows) return null
-          Vector.tabulate(nRows.toInt) { i =>
+          val dv = nextView()
+          if (dv == null || dv.len < w.toLong * len) fail()
+          Vector.tabulate(n) { i =>
             if (isNull(i)) null
             else w match {
               case 1 => dv.byteAt(i).toLong
@@ -401,29 +463,32 @@ object ArrowIpc {
             }
           }
       }
-      val resolved: IndexedSeq[Any] =
-        if (!encoded) values
-        else dicts.get(spec.dictId) match {
-          case None => return null // batch before its dictionary
-          case Some(dv) =>
-            var bad = false
-            val r = values.map {
-              case null => null
-              case idx: Long =>
-                if (idx < 0 || idx >= dv.size) { bad = true; null }
-                else dv(idx.toInt)
-              case _ => { bad = true; null }
-            }
-            if (bad) return null // index out of dictionary range
-            r
-        }
-      val outKind =
-        if (spec.kind.startsWith("int")) "long" else spec.kind
-      cols += Col(name, outKind, resolved)
-      bi += expectBufs
-      fi += 1
+      if (!encoded) values
+      else dicts.get(spec.dictId) match {
+        case None => fail() // batch before its dictionary
+        case Some(dv) =>
+          values.map {
+            case null => null
+            case idx: Long =>
+              if (idx < 0 || idx >= dv.size) fail()
+              else dv(idx.toInt)
+            case _ => fail()
+          }
+      }
     }
-    if (bi != nBufs) return null
-    (nRows, cols.result())
+    def outKind(spec: FieldSpec): String = spec.kind match {
+      case k if k.startsWith("int") => "long"
+      case "float32" => "double"
+      case "list" => s"array<${outKind(spec.children.head)}>"
+      case k => k
+    }
+    try {
+      val cols = Vector.newBuilder[Col]
+      specs.foreach { spec =>
+        cols += Col(spec.name, outKind(spec), readCol(spec, nRows))
+      }
+      if (bi != nBufs || ni != nNodes) return null
+      (nRows, cols.result())
+    } catch { case ParseFail => null }
   }
 }

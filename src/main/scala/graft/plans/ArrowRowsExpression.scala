@@ -27,6 +27,11 @@ case class ArrowRows(child: Expression,
     case "double" => DoubleType
     case "string" => StringType
     case "bool" => BooleanType
+    case l if l.startsWith("array<") && l.endsWith(">") =>
+      // list columns (round 14): "array<double>" matches an Arrow
+      // list<float64|float32> column, "array<long>" a list<int*>, …
+      ArrayType(kindType(l.substring(6, l.length - 1)),
+        containsNull = true)
     case other =>
       throw new IllegalArgumentException(s"unsupported kind $other")
   }
@@ -64,15 +69,18 @@ case class ArrowRows(child: Expression,
       val byName = b.cols.map(c => c.name -> c).toMap
       if (fields.exists { case (n, k) =>
         !byName.get(n).exists(_.kind == k) }) return empty
+      def internal(v: Any): Any = v match {
+        case null => null
+        case s: String => UTF8String.fromString(s)
+        case seq: Seq[_] =>
+          new GenericArrayData(seq.map(internal).toArray)
+        case x => x
+      }
       var r = 0
       while (r < b.nRows.toInt) {
         rows += InternalRow.fromSeq(
           Seq[Any](b.idx.toLong, rowIdx) ++ fields.map { case (n, _) =>
-            byName(n).values(r) match {
-              case null => null
-              case s: String => UTF8String.fromString(s)
-              case x => x
-            }
+            internal(byName(n).values(r))
           })
         rowIdx += 1
         r += 1

@@ -1860,6 +1860,105 @@ object ExtensionQueries {
       "00000000000004224d186040820200008055010000000000000000000000" +
       "ffffffff00000000")
 
+
+  /** REAL pyarrow IPC streams (round 14) with LIST columns — the
+    * embedding-table layout: vec_id int64, emb list<float32> (NULL
+    * every 5th row; values (i·8+j)/4, exact in float32 and under the
+    * double widening), tokens list<int64> (i%4 entries — empty lists
+    * at i%4==0). Template A: 20 rows, zstd body compression;
+    * template B: 12 rows plain. */
+  private val ArrowListHex: Seq[String] = Seq(
+      "ffffffff400100001000000000000a000c000600050008000a0000000001" +
+      "04000c0000000800080000000400080000000400000003000000d4000000" +
+      "640000000400000048ffffff0000010c140000001c000000040000000100" +
+      "00001400000006000000746f6b656e730000a8ffffff74ffffff00000102" +
+      "10000000180000000400000000000000040000006974656d0000000064ff" +
+      "ffff0000000140000000a4ffffff0000010c140000001c00000004000000" +
+      "010000001400000003000000656d62000400040004000000d0ffffff0000" +
+      "0103100000001c0000000400000000000000040000006974656d00000600" +
+      "080006000600000000000100100014000800060007000c00000010001000" +
+      "00000000010210000000200000000400000000000000060000007665635f" +
+      "6964000008000c000800070008000000000000014000000000000000ffff" +
+      "ffff6001000014000000000000000c0018000600050008000c000c000000" +
+      "000304001c0000009002000000000000000000000c001e00100004000800" +
+      "0c000c000000d00000002400000018000000140000000000000000000000" +
+      "000006000800070006000000000000010a00000000000000000000000000" +
+      "000000000000000000000000000047000000000000004800000000000000" +
+      "140000000000000060000000000000005700000000000000b80000000000" +
+      "00000000000000000000b8000000000000003301000000000000f0010000" +
+      "000000000000000000000000f00100000000000051000000000000004802" +
+      "000000000000000000000000000048020000000000004400000000000000" +
+      "000000000500000014000000000000000000000000000000140000000000" +
+      "000004000000000000008000000000000000000000000000000014000000" +
+      "0000000000000000000000001e000000000000000000000000000000a000" +
+      "00000000000028b52ffd20a0b50100e40200000100020003000400050006" +
+      "000700080009000a000b000c000d000e000f001000110012001300000000" +
+      "00000013540200030100030000000000000028b52ffd2003190000de7b0f" +
+      "00000000540000000000000028b52ffd2054350200940300000800000010" +
+      "000000180000002028000000300000003800000040480000005000000058" +
+      "00000060680000007000000078000000800000000400207f207fbbfc0780" +
+      "0500000200000000000028b52ffd6000010d09000660473720752a8d0140" +
+      "42143682cde0116c149b6023dc0894001bc166f00836564a80a394984a89" +
+      "e1f860fb0a90109c2681478fd214081e79e8143600370038005379290fe5" +
+      "7ddec9f3bcce3b3599984c3913ce7433d94c3513cd3433c94c33261953cc" +
+      "0433bd4c2e53cbc432ad4c346598304c9fe9018bf160bc172fe6b9782d1e" +
+      "8b07f3563c152fc57b7928de8967e2b9bc128fc41bf15a9e8817e281782c" +
+      "efc3f3f03abc95c7e16d781a1e1d5bf294bc242fe72179479e9187f38a3c" +
+      "226fc8bb79425e9007e4d9bc1fcfc7ebf16a1e8fb7e3e978342fc7c3f16e" +
+      "bc9967e3d578349ecc0175e1b27055b8542e0ad7844bc2957245b8205c0f" +
+      "2e94cbc1d5e062707dae0597822bc1757221b80e5c062ecf55e022700db8" +
+      "3a97802bc005e07a000000000000540000000000000028b52ffd20540502" +
+      "002403000001000000030000000607000000090000000c0d0000000f0000" +
+      "0012130000001500000018190000001b0000001e0000000500201f900fc8" +
+      "6797cf00b000000000000000f00000000000000028b52ffd20f09d010022" +
+      "840a0e109f39d7de5d4e55917b8936670affad368bbd5aabd4a9340a7d3a" +
+      "9bcca532893c1a8bc4a130087c5d1d540200030100000000ffffffff0000" +
+      "0000",
+      "ffffffff400100001000000000000a000c000600050008000a0000000001" +
+      "04000c0000000800080000000400080000000400000003000000d4000000" +
+      "640000000400000048ffffff0000010c140000001c000000040000000100" +
+      "00001400000006000000746f6b656e730000a8ffffff74ffffff00000102" +
+      "10000000180000000400000000000000040000006974656d0000000064ff" +
+      "ffff0000000140000000a4ffffff0000010c140000001c00000004000000" +
+      "010000001400000003000000656d62000400040004000000d0ffffff0000" +
+      "0103100000001c0000000400000000000000040000006974656d00000600" +
+      "080006000600000000000100100014000800060007000c00000010001000" +
+      "00000000010210000000200000000400000000000000060000007665635f" +
+      "6964000008000c000800070008000000000000014000000000000000ffff" +
+      "ffff4801000014000000000000000c0016000600050008000c000c000000" +
+      "0003040018000000880200000000000000000a0018000c00040008000a00" +
+      "0000bc000000100000000c00000000000000000000000a00000000000000" +
+      "000000000000000000000000000000000000000060000000000000006000" +
+      "000000000000020000000000000068000000000000003400000000000000" +
+      "a0000000000000000000000000000000a000000000000000200100000000" +
+      "0000c0010000000000000000000000000000c00100000000000034000000" +
+      "00000000f8010000000000000000000000000000f8010000000000009000" +
+      "00000000000000000000050000000c000000000000000000000000000000" +
+      "0c0000000000000003000000000000004800000000000000000000000000" +
+      "00000c000000000000000000000000000000120000000000000000000000" +
+      "000000000000000000000000010000000000000002000000000000000300" +
+      "000000000000040000000000000005000000000000000600000000000000" +
+      "0700000000000000080000000000000009000000000000000a0000000000" +
+      "00000b00000000000000de0b000000000000000000000000000008000000" +
+      "100000001800000020000000200000002800000030000000380000004000" +
+      "000040000000480000000000000000000040000010400000204000003040" +
+      "000040400000504000006040000070400000804000008840000090400000" +
+      "98400000a0400000a8400000b0400000b8400000c0400000c8400000d040" +
+      "0000d8400000e0400000e8400000f0400000f84000000041000004410000" +
+      "084100000c4100001041000014410000184100001c410000404100004441" +
+      "0000484100004c4100005041000054410000584100005c41000060410000" +
+      "64410000684100006c4100007041000074410000784100007c4100008041" +
+      "0000824100008441000086410000884100008a4100008c4100008e410000" +
+      "90410000924100009441000096410000984100009a4100009c4100009e41" +
+      "0000b0410000b2410000b4410000b6410000b8410000ba410000bc410000" +
+      "be4100000000000000000100000003000000060000000600000007000000" +
+      "090000000c0000000c0000000d0000000f00000012000000000000000300" +
+      "000000000000060000000000000007000000000000000900000000000000" +
+      "0a000000000000000b000000000000000f00000000000000120000000000" +
+      "000013000000000000001500000000000000160000000000000017000000" +
+      "000000001b000000000000001e000000000000001f000000000000002100" +
+      "00000000000022000000000000002300000000000000ffffffff00000000")
+
   /** The SAME two tar shard layouts as [[TarXzHex]], compressed with
     * real gzip (mtime 0, no fname) and real libbz2 — `.tar.gz` and
     * `.tar.bz2` share `source_tar_xz`'s oracle body. */
@@ -4791,6 +4890,31 @@ object ExtensionQueries {
           col("r.id").as("id"), col("r.cat").as("cat"),
           col("r.flag").as("flag"))
         .orderBy(col("doc_id"), col("row_idx"))
+    }),
+
+    // ARROW LIST COLUMNS (round 14) — list<float32> embeddings +
+    // list<int64> tokens read straight off the IPC stream (nested
+    // node/buffer cursor walk, float32 exact-widened), reduced to
+    // closed-form scalars for the gate
+    "source_arrow_list" -> ((s, dir) => {
+      val fixture = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), unhex(element_at(
+          array(ArrowListHex.map(lit): _*),
+          (pmod(col("doc_id"), lit(2L)) + 1L).cast("int"))).as("blob"))
+      fixture.select(col("doc_id"),
+          explode(graft.plans.ArrowExprs.arrowRowsCol(col("blob"),
+            Seq("vec_id" -> "long", "emb" -> "array<double>",
+              "tokens" -> "array<long>"))).as("r"))
+        .select(col("doc_id"), col("r.vec_id").as("vec_id"),
+          when(col("r.emb").isNull, lit(null))
+            .otherwise(size(col("r.emb"))).cast("long").as("n_emb"),
+          aggregate(col("r.emb"), lit(0.0d), (a, x) => a + x)
+            .as("emb_sum"),
+          element_at(col("r.emb"), 1).as("emb0"),
+          size(col("r.tokens")).cast("long").as("n_tokens"),
+          aggregate(col("r.tokens"), lit(0L), (a, x) => a + x)
+            .as("tok_sum"))
+        .orderBy(col("doc_id"), col("vec_id"))
     }),
 
     // CBOR → JSON (round 13) — the binary-JSON payloads of COSE/CWT/
@@ -8886,6 +9010,27 @@ object ExtensionQueries {
         |    ELSE 'd' || (i % 2) END AS cat,
         |  i % 2 = 0 AS flag
         |FROM e ORDER BY doc_id, row_idx""".stripMargin,
+
+    // template doc%2: A = 20 rows, B = 12; emb sums in closed form
+    // (sum_j (i*8+j)/4 = 16i+7, first element 2i), token sums
+    // (k=i%4 entries of i*3+j)
+    "source_arrow_list" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 20 ELSE 12 END AS n
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(range(0, n)) AS i FROM p)
+        |SELECT doc_id, CAST(i AS BIGINT) AS vec_id,
+        |  CAST(CASE WHEN i % 5 = 0 THEN NULL ELSE 8 END AS BIGINT)
+        |    AS n_emb,
+        |  CASE WHEN i % 5 = 0 THEN NULL
+        |    ELSE CAST(16 * i + 7 AS DOUBLE) END AS emb_sum,
+        |  CASE WHEN i % 5 = 0 THEN NULL
+        |    ELSE CAST(2 * i AS DOUBLE) END AS emb0,
+        |  CAST(i % 4 AS BIGINT) AS n_tokens,
+        |  CAST((i % 4) * (i * 3) +
+        |    CASE i % 4 WHEN 2 THEN 1 WHEN 3 THEN 3 ELSE 0 END
+        |    AS BIGINT) AS tok_sum
+        |FROM e ORDER BY doc_id, vec_id""".stripMargin,
 
     // the rendered JSON character-for-character, plus two fields
     // re-extracted from it

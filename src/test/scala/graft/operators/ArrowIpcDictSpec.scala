@@ -117,11 +117,40 @@ class ArrowIpcDictSpec extends AnyFunSuite {
     checkDict400(ArrowIpc.batchesJvm(vector("dict_zstd.arrows")))
   }
 
+  private def checkList(batches: IndexedSeq[ArrowIpc.Batch]): Unit = {
+    assert(batches.map(_.nRows).sum == 200)
+    val vecId = flat(batches, "vec_id")
+    val emb = flat(batches, "emb")
+    val tokens = flat(batches, "tokens")
+    assert(batches.head.cols.find(_.name == "emb").get.kind ==
+      "array<double>")
+    assert(batches.head.cols.find(_.name == "tokens").get.kind ==
+      "array<long>")
+    (0 until 200).foreach { i =>
+      assert(vecId(i) == i.toLong)
+      if (i % 5 == 0) assert(emb(i) == null, s"emb $i should be null")
+      else assert(emb(i) ==
+        (0 until 8).map(j => (i * 8 + j) * 0.25), s"emb $i")
+      assert(tokens(i) ==
+        (0 until i % 4).map(j => (i * 3 + j).toLong), s"tokens $i")
+    }
+  }
+
+  test("LIST columns: list<float32> (exact-widened to double) and " +
+      "list<int64> decode with null lists and empty lists — the " +
+      "embedding-table layout") {
+    checkList(ArrowIpc.batchesJvm(vector("list.arrows")))
+  }
+
+  test("LIST columns under zstd body compression") {
+    checkList(ArrowIpc.batchesJvm(vector("list_zstd.arrows")))
+  }
+
   test("truncation, garbage, and byte-flips of the dict/compressed " +
       "vectors never throw; a record batch BEFORE its dictionary is " +
       "declined") {
     Seq("dict.arrows", "dict_delta.arrows", "plain_zstd.arrows",
-        "dict_zstd.arrows").foreach { v =>
+        "dict_zstd.arrows", "list.arrows").foreach { v =>
       val base = vector(v)
       (1 until base.length by 97).foreach { cut =>
         try ArrowIpc.batchesJvm(base.take(cut))

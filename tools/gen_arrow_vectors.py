@@ -157,6 +157,28 @@ def main():
     write_opts(os.path.join(outdir, "dict_zstd.arrows"),
                [dict_batch(0, nd, 7)], dschema, compression="zstd")
 
+    # LIST columns (round 14): list<float32> embeddings (the layout
+    # embedding tables ship in) + list<int64> token ids, with null
+    # lists and empty lists. NOTE: value recipes twinned in
+    # ArrowIpcDictSpec.scala.
+    ne = 200
+    eschema = pa.schema([("vec_id", pa.int64()),
+                         ("emb", pa.list_(pa.float32())),
+                         ("tokens", pa.list_(pa.int64()))])
+    def emb_batch(lo, hi):
+        return pa.record_batch([
+            pa.array(list(range(lo, hi)), pa.int64()),
+            pa.array([None if i % 5 == 0 else
+                      [(i * 8 + j) * 0.25 for j in range(8)]
+                      for i in range(lo, hi)], pa.list_(pa.float32())),
+            pa.array([[i * 3 + j for j in range(i % 4)]
+                      for i in range(lo, hi)], pa.list_(pa.int64())),
+        ], schema=eschema)
+    write_opts(os.path.join(outdir, "list.arrows"),
+               [emb_batch(0, 120), emb_batch(120, ne)], eschema)
+    write_opts(os.path.join(outdir, "list_zstd.arrows"),
+               [emb_batch(0, ne)], eschema, compression="zstd")
+
     for f in sorted(os.listdir(outdir)):
         print(f, os.path.getsize(os.path.join(outdir, f)))
 
