@@ -16,10 +16,11 @@ package graft.operators
   *  - integrity checks: None, CRC32 (JDK), CRC64 (ECMA-182 reflected,
   *    own table), SHA-256 (JDK MessageDigest) — per block AND the
   *    structural CRC32s;
-  *  - filters: LZMA2 (0x21), Delta (0x03), and BCJ x86 (0x04 — the
-  *    branch converter x86-filtered binaries ship under, round 14)
-  *    chains, applied in reverse encode order; other BCJ architectures
-  *    are DECLINED honestly;
+  *  - filters: LZMA2 (0x21), Delta (0x03), and the BCJ branch
+  *    converters filtered binaries ship under (round 14): x86 (0x04,
+  *    the stateful mask machine), ARM (0x07), ARM-Thumb (0x08),
+  *    PowerPC (0x05), SPARC (0x09) — chains applied in reverse encode
+  *    order; IA64 is DECLINED honestly;
   *  - LZMA2 chunk layer: uncompressed chunks, dictionary/state/props
   *    resets, per-chunk unpacked/compressed size accounting;
   *  - the LZMA range decoder itself: 11-bit adaptive probabilities,
@@ -475,6 +476,101 @@ object XzDecode {
     }
   }
 
+  // ---- BCJ ARM / ARM-Thumb / PowerPC / SPARC (ids 0x07/0x08/0x05/0x09)
+
+  /** The remaining SIMPLE branch converters (public LZMA-SDK `Bra.c`
+    * algorithms — stateless per block, unlike x86's mask machine):
+    * each rewrites absolute branch targets back to relative at its
+    * architecture's instruction alignment. Golden-pinned against
+    * liblzma per architecture. IA64 (0x06) stays declined — its
+    * 41-bit instruction-slot rewrite is the one BCJ liblzma itself
+    * rarely sees in the wild. */
+  private def bcjArmDecode(buf: Array[Byte], off: Int, len: Int,
+      ip0: Int): Unit = {
+    val ip = ip0 + 8
+    var i = 0
+    while (i + 4 <= len) {
+      if ((buf(off + i + 3) & 0xff) == 0xeb) { // BL
+        var v = ((buf(off + i + 2) & 0xff) << 16) |
+          ((buf(off + i + 1) & 0xff) << 8) | (buf(off + i) & 0xff)
+        v <<= 2
+        v -= ip + i
+        v >>>= 2
+        buf(off + i + 2) = (v >>> 16).toByte
+        buf(off + i + 1) = (v >>> 8).toByte
+        buf(off + i) = v.toByte
+      }
+      i += 4
+    }
+  }
+
+  private def bcjArmThumbDecode(buf: Array[Byte], off: Int, len: Int,
+      ip0: Int): Unit = {
+    val ip = ip0 + 4
+    var i = 0
+    while (i + 4 <= len) {
+      if ((buf(off + i + 1) & 0xf8) == 0xf0 &&
+        (buf(off + i + 3) & 0xf8) == 0xf8) { // BL pair
+        var v = ((buf(off + i + 1) & 0x07) << 19) |
+          ((buf(off + i) & 0xff) << 11) |
+          ((buf(off + i + 3) & 0x07) << 8) | (buf(off + i + 2) & 0xff)
+        v <<= 1
+        v -= ip + i
+        v >>>= 1
+        buf(off + i + 1) = (0xf0 | ((v >>> 19) & 0x07)).toByte
+        buf(off + i) = (v >>> 11).toByte
+        buf(off + i + 3) = (0xf8 | ((v >>> 8) & 0x07)).toByte
+        buf(off + i + 2) = v.toByte
+        i += 2
+      }
+      i += 2
+    }
+  }
+
+  private def bcjPpcDecode(buf: Array[Byte], off: Int, len: Int,
+      ip0: Int): Unit = {
+    var i = 0
+    while (i + 4 <= len) {
+      if ((buf(off + i) & 0xfc) == 0x48 &&
+        (buf(off + i + 3) & 0x03) == 0x01) { // bl (big-endian)
+        var v = ((buf(off + i) & 0x03) << 24) |
+          ((buf(off + i + 1) & 0xff) << 16) |
+          ((buf(off + i + 2) & 0xff) << 8) | (buf(off + i + 3) & 0xfc)
+        v -= ip0 + i
+        buf(off + i) = (0x48 | ((v >>> 24) & 0x03)).toByte
+        buf(off + i + 1) = (v >>> 16).toByte
+        buf(off + i + 2) = (v >>> 8).toByte
+        buf(off + i + 3) = ((buf(off + i + 3) & 0x03) | (v & 0xfc)).toByte
+      }
+      i += 4
+    }
+  }
+
+  private def bcjSparcDecode(buf: Array[Byte], off: Int, len: Int,
+      ip0: Int): Unit = {
+    var i = 0
+    while (i + 4 <= len) {
+      val b0 = buf(off + i) & 0xff
+      val b1 = buf(off + i + 1) & 0xff
+      // call with all-zero or all-one high bits (Bra.c's exact gate)
+      if ((b0 == 0x40 && (b1 & 0xc0) == 0x00) ||
+        (b0 == 0x7f && (b1 & 0xc0) == 0xc0)) {
+        var v = (b0 << 24) | (b1 << 16) |
+          ((buf(off + i + 2) & 0xff) << 8) | (buf(off + i + 3) & 0xff)
+        v <<= 2
+        v -= ip0 + i
+        v >>>= 2
+        v = ((0x40000000 - (v & 0x400000)) | 0x40000000 |
+          (v & 0x3fffff))
+        buf(off + i) = (v >>> 24).toByte
+        buf(off + i + 1) = (v >>> 16).toByte
+        buf(off + i + 2) = (v >>> 8).toByte
+        buf(off + i + 3) = v.toByte
+      }
+      i += 4
+    }
+  }
+
   // ---- XZ container ----------------------------------------------------
 
   private def vli(b: Array[Byte], pos0: Int, end: Int): (Long, Int) = {
@@ -566,14 +662,16 @@ object XzDecode {
           } else if (fid == 0x03L) {
             if (psz != 1 || sawLzma2) return None
             chain += ((fid, (b(q) & 0xff) + 1))
-          } else if (fid == 0x04L) {
-            // x86 BCJ: props absent (start offset 0) or LE32 offset
+          } else if (fid == 0x04L || fid == 0x05L || fid == 0x07L ||
+            fid == 0x08L || fid == 0x09L) {
+            // BCJ (x86/PPC/ARM/ARM-Thumb/SPARC): props absent (start
+            // offset 0) or a LE32 start offset
             if (sawLzma2 || (psz != 0 && psz != 4)) return None
             val ip = if (psz == 0) 0
               else ((b(q) & 0xff) | ((b(q + 1) & 0xff) << 8) |
                 ((b(q + 2) & 0xff) << 16) | ((b(q + 3) & 0xff) << 24))
             chain += ((fid, ip))
-          } else return None // other BCJ archs etc: declined
+          } else return None // IA64 / unknown filters: declined
           q += psz.toInt
           f += 1
         }
@@ -598,6 +696,10 @@ object XzDecode {
         chain.reverse.foreach {
           case (0x03L, dist) => deltaDecode(buf, 0, produced, dist)
           case (0x04L, ip) => bcjX86Decode(buf, 0, produced, ip)
+          case (0x05L, ip) => bcjPpcDecode(buf, 0, produced, ip)
+          case (0x07L, ip) => bcjArmDecode(buf, 0, produced, ip)
+          case (0x08L, ip) => bcjArmThumbDecode(buf, 0, produced, ip)
+          case (0x09L, ip) => bcjSparcDecode(buf, 0, produced, ip)
           case _ => return None
         }
         // block padding to 4 bytes, then the check

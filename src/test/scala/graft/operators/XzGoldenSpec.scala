@@ -149,6 +149,53 @@ class XzGoldenSpec extends AnyFunSuite {
     }
   }
 
+  /** Byte-identical twin of the generator's `archish`. */
+  private def archish(arch: String, n: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var x = 99L
+    def nxt(): Long = {
+      x = (x * 1103515245L + 12345L) & 0x7fffffffL
+      x
+    }
+    def w(bs: Int*): Unit = bs.foreach(b => out.write(b & 0xff))
+    while (out.size < n) {
+      val r = nxt().toInt
+      val hit = r % 3 == 0
+      arch match {
+        case "arm" =>
+          if (hit) w(r & 0xff, (r >> 8) & 0xff, (r >> 16) & 0x3f, 0xeb)
+          else w(r & 0xff, (r >> 8) & 0xff, (r >> 16) & 0xff,
+            (r >> 24) & 0xff)
+        case "armthumb" =>
+          if (hit) w(r & 0xff, 0xf0 | ((r >> 8) & 7), (r >> 16) & 0xff,
+            0xf8 | ((r >> 20) & 7))
+          else w(r & 0xff, (r >> 8) & 0x3f, (r >> 16) & 0xff,
+            (r >> 24) & 0x3f)
+        case "ppc" =>
+          if (hit) w(0x48 | ((r >> 20) & 3), (r >> 12) & 0xff,
+            (r >> 4) & 0xff, (r & 0xfc) | 1)
+          else w((r >> 24) & 0x3f, (r >> 16) & 0xff, (r >> 8) & 0xff,
+            r & 0xfc)
+        case _ => // sparc
+          if (hit) w(0x40, (r >> 16) & 0x3f, (r >> 8) & 0xff, r & 0xff)
+          else w(((r >> 24) & 0x3f) | 0x10, (r >> 16) & 0xff,
+            (r >> 8) & 0xff, r & 0xff)
+      }
+    }
+    java.util.Arrays.copyOf(out.toByteArray, n)
+  }
+
+  test("BCJ ARM / ARM-Thumb / PowerPC / SPARC filters decode " +
+      "byte-exactly against liblzma over branch-dense payloads") {
+    for (arch <- Seq("arm", "armthumb", "ppc", "sparc")) {
+      val code = archish(arch, 40000)
+      val got = XzDecode.decompress(vector(s"code_$arch.xz"))
+      assert(got.isDefined, s"code_$arch.xz failed to decode")
+      assert(java.util.Arrays.equals(got.get, code),
+        s"code_$arch.xz decoded wrong bytes")
+    }
+  }
+
   test("unknown-size stream beyond 300:1 ratio (8 MB of zeros, " +
       "~6500:1) decodes via the doubling output buffer — a ratio " +
       "pre-size heuristic falsely rejects it (r13 advisory)") {

@@ -202,6 +202,59 @@ def main():
     assert plainxz != open(os.path.join(outdir, "code_x86.xz"),
                            "rb").read()
 
+    # The SIMPLE BCJ family (round 14): ARM / ARM-Thumb / PowerPC /
+    # SPARC branch-dense payloads under their liblzma filters.
+    # NOTE: byte-identical twin `archish` in XzGoldenSpec.scala.
+    def archish(arch, n):
+        out = bytearray()
+        x = 99
+        def nxt():
+            nonlocal x
+            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+            return x
+        while len(out) < n:
+            r = nxt()
+            hit = r % 3 == 0
+            if arch == "arm":
+                out += (bytes([r & 0xFF, (r >> 8) & 0xFF,
+                               (r >> 16) & 0x3F, 0xEB]) if hit
+                        else r.to_bytes(4, "little"))
+            elif arch == "armthumb":
+                out += (bytes([r & 0xFF, 0xF0 | ((r >> 8) & 7),
+                               (r >> 16) & 0xFF, 0xF8 | ((r >> 20) & 7)])
+                        if hit else
+                        bytes([r & 0xFF, (r >> 8) & 0x3F,
+                               (r >> 16) & 0xFF, (r >> 24) & 0x3F]))
+            elif arch == "ppc":
+                out += (bytes([0x48 | ((r >> 20) & 3), (r >> 12) & 0xFF,
+                               (r >> 4) & 0xFF, (r & 0xFC) | 1]) if hit
+                        else
+                        bytes([(r >> 24) & 0x3F, (r >> 16) & 0xFF,
+                               (r >> 8) & 0xFF, r & 0xFC]))
+            else:  # sparc
+                out += (bytes([0x40, (r >> 16) & 0x3F, (r >> 8) & 0xFF,
+                               r & 0xFF]) if hit else
+                        bytes([((r >> 24) & 0x3F) | 0x10,
+                               (r >> 16) & 0xFF, (r >> 8) & 0xFF,
+                               r & 0xFF]))
+        return bytes(out[:n])
+
+    bcj = {"arm": lzma.FILTER_ARM, "armthumb": lzma.FILTER_ARMTHUMB,
+           "ppc": lzma.FILTER_POWERPC, "sparc": lzma.FILTER_SPARC}
+    for arch, fid in bcj.items():
+        data = archish(arch, 40_000)
+        comp = lzma.compress(data, format=lzma.FORMAT_XZ,
+                             filters=[{"id": fid},
+                                      {"id": lzma.FILTER_LZMA2,
+                                       "preset": 6}])
+        assert lzma.decompress(comp) == data
+        # the filter must actually fire on this payload
+        plain = lzma.compress(data, format=lzma.FORMAT_XZ)
+        assert comp != plain
+        with open(os.path.join(outdir, f"code_{arch}.xz"), "wb") as f:
+            f.write(comp)
+        print(f"code_{arch}.xz: {len(data)} -> {len(comp)}")
+
     # unknown-size alone stream whose ratio is FAR beyond 300:1 (8 MB
     # of zeros -> ~1.3 KB, ~6500:1): pins the growable-output path --
     # a ratio-heuristic pre-size falsely rejects this valid stream
