@@ -2710,6 +2710,7 @@ object Multimodal {
     var predictor = 1L
     var bitsOk = true
     var stripOff: Seq[Long] = Nil; var stripCnt: Seq[Long] = Nil
+    var jpegTablesOff = -1L; var jpegTablesLen = -1L
     var i = 0
     while (i < n) {
       val e = ifd.toInt + 2 + 12 * i
@@ -2717,9 +2718,10 @@ object Multimodal {
       val typ = u16(e + 2)
       val cnt = u32(e + 4)
       val typeSize = typ match {
-        case 1 | 2 | 6 | 7 => 1L // byte/ascii
-        case 3 => 2L             // short
-        case 4 | 9 => 4L         // long
+        case 1 | 2 | 6 | 7 => 1L  // byte/ascii/undefined
+        case 3 | 8 => 2L          // short
+        case 4 | 9 | 11 => 4L     // long/float
+        case 5 | 10 | 12 => 8L    // rational (XResolution etc.)/double
         case _ => 0L
       }
       // cnt is an untrusted u32: an unbounded (0L until cnt) would
@@ -2747,14 +2749,21 @@ object Multimodal {
         case 278 => rowsPerStrip = valAt(0)
         case 279 => stripCnt = vals
         case 317 => predictor = valAt(0)
+        case 347 => // JPEGTables: raw abbreviated-stream bytes
+          jpegTablesOff =
+            if (typeSize * cnt <= 4) (e + 8).toLong else u32(e + 8)
+          jpegTablesLen = cnt
         case _ => ()
       }
       i += 1
     }
     if ((comp != 1L && comp != 5L && comp != 32773L && comp != 8L &&
-        comp != 32946L) || !bitsOk)
+        comp != 32946L && comp != 7L) || !bitsOk)
       return None
     if (predictor != 1L && predictor != 2L) return None
+    if (comp == 7L) // new-style JPEG strips have their own pipeline
+      return decodeTiffJpegStrips(b, w, h, spp, photo, rowsPerStrip,
+        stripOff, stripCnt, jpegTablesOff, jpegTablesLen)
     val ch = photo match {
       case 2 if spp >= 3 => 3
       case 1 | 0 if spp == 1 => 1
@@ -2845,6 +2854,82 @@ object Multimodal {
       }
     }
     if (written < need) return None
+    Some((w.toInt, h.toInt, ch, out))
+  }
+
+  /** TIFF compression 7 ("new-style" JPEG, TIFF-F / TTN2): each strip
+    * is a complete or ABBREVIATED baseline JPEG stream; the shared
+    * `JPEGTables` tag (347) carries the DQT/DHT segments abbreviated
+    * strips omit. The tables interior (between its SOI and EOI) is
+    * spliced after each strip's SOI — a strip carrying its own tables
+    * just parses them again, last-wins, exactly like a real JPEG
+    * decoder. Photometric 6 (YCbCr — the common camera/scan shape) and
+    * 2 (RGB) decode through [[decodeJpegPixels]]'s 3-channel path
+    * (which already does the BT.601 conversion); photometric 0/1 is
+    * grayscale. Old-style compression 6 stays declined (deprecated,
+    * under-specified — TTN2's own advice). */
+  private def decodeTiffJpegStrips(b: Array[Byte], w: Long, h: Long,
+      spp: Long, photo: Long, rowsPerStrip: Long, stripOff: Seq[Long],
+      stripCnt: Seq[Long], tOff: Long, tLen: Long)
+      : Option[(Int, Int, Int, Array[Byte])] = {
+    val ch = photo match {
+      case 6 | 2 if spp == 3 => 3
+      case 1 | 0 if spp == 1 => 1
+      case _ => return None
+    }
+    if (w <= 0 || h <= 0 || w * h > (1L << 26)) return None
+    if (stripOff.isEmpty || stripOff.size != stripCnt.size) return None
+    // tables interior: bytes between the abbreviated stream's SOI and
+    // its trailing EOI (both required when the tag is present)
+    val tables: Array[Byte] =
+      if (tOff < 0) null
+      else {
+        if (tLen < 4 || tOff + tLen > b.length) return None
+        val t0 = tOff.toInt
+        if ((b(t0) & 0xff) != 0xff || (b(t0 + 1) & 0xff) != 0xd8 ||
+          (b(t0 + tLen.toInt - 2) & 0xff) != 0xff ||
+          (b(t0 + tLen.toInt - 1) & 0xff) != 0xd9) return None
+        java.util.Arrays.copyOfRange(b, t0 + 2, t0 + tLen.toInt - 2)
+      }
+    val rps = if (rowsPerStrip <= 0 || rowsPerStrip > h) h
+      else rowsPerStrip
+    val out = new Array[Byte]((w * h * ch).toInt)
+    var row0 = 0L
+    var s = 0
+    while (s < stripOff.size && row0 < h) {
+      val off = stripOff(s); val len = stripCnt(s)
+      if (off < 0 || len < 4 || off + len > b.length) return None
+      if ((b(off.toInt) & 0xff) != 0xff ||
+        (b(off.toInt + 1) & 0xff) != 0xd8) return None
+      val stream: Array[Byte] =
+        if (tables == null)
+          java.util.Arrays.copyOfRange(b, off.toInt, (off + len).toInt)
+        else {
+          val a = new Array[Byte](2 + tables.length + (len - 2).toInt)
+          a(0) = 0xff.toByte; a(1) = 0xd8.toByte
+          System.arraycopy(tables, 0, a, 2, tables.length)
+          System.arraycopy(b, off.toInt + 2, a, 2 + tables.length,
+            (len - 2).toInt)
+          a
+        }
+      val (jw, jh, jch, jpx) = decodeJpegPixels(stream) match {
+        case Some(x) => x
+        case None => return None
+      }
+      if (jw != w || jch != ch) return None
+      val rowsHere = math.min(math.min(rps, h - row0), jh.toLong)
+      if (rowsHere < math.min(rps, h - row0)) return None // short strip
+      val rowBytes = (w * ch).toInt
+      var r = 0
+      while (r < rowsHere) {
+        System.arraycopy(jpx, r * rowBytes, out,
+          ((row0 + r) * rowBytes).toInt, rowBytes)
+        r += 1
+      }
+      row0 += rowsHere
+      s += 1
+    }
+    if (row0 < h) return None
     Some((w.toInt, h.toInt, ch, out))
   }
 

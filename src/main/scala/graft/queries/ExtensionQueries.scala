@@ -426,6 +426,70 @@ object ExtensionQueries {
   private[graft] def jpegFixture(s: SparkSession, dir: String): DataFrame =
     spread(t(s, dir, "documents")).select(col("doc_id"), jpegBlob.as("blob"))
 
+  /** TIFF-JPEG fixture (round 14) — compression 7, the "new-style"
+    * JPEG-in-TIFF of scanned-document corpora: TWO abbreviated
+    * grayscale JPEG strips (8 rows each) sharing one `JPEGTables` tag
+    * (the DQT/DHT block [[jpegBlob]] uses), DC-only blocks so the
+    * whole pipeline replays in integers (v = (dc·17 + 1028) // 8
+    * clamped). Per strip the JPEG stream is SOI + SOF0(8 × w) + SOS +
+    * one entropy byte per block + EOI; the DC walk alternates sign on
+    * the GLOBAL block index t = s·bw + k but accumulates PER STRIP
+    * (each strip is its own stream — dcPred resets). Layout: header 8
+    * + count 2 + 10·12 + next 4 = 134 → strip offsets, 142 → counts,
+    * 150 → tables (117 B), 267 → strips. */
+  private[graft] def tiffJpegBlob: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val bw = lit(1L) + d % 3L
+    val w = bw * 8L
+    def u8h(x: org.apache.spark.sql.Column) =
+      lpad(hex(pmod(x, lit(256L))), 2, "0")
+    def mag(t: org.apache.spark.sql.Column) =
+      lit(32L) + pmod(d * 7L + t * 11L, lit(32L))
+    def entropyHex(s: Long) = array_join(
+      transform(sequence(lit(0L), bw - 1L), k => {
+        val t = lit(s) * bw + k
+        u8h(when(pmod(t, lit(2L)) === 0L, mag(t) * 2L)
+          .otherwise((lit(63L) - mag(t)) * 2L))
+      }), "")
+    val tables = unhex(lit(
+      "ffd8" + "ffdb0043" + "00" + "11" * 64 +
+        "ffc40014" + "00" + "01" + "00" * 15 + "06" +
+        "ffc40014" + "10" + "01" + "00" * 15 + "00" + "ffd9")) // 117 B
+    def strip(s: Long) = concat(
+      unhex(lit("ffd8" + "ffc0000b08" + "0008")), // SOI, SOF0, h=8
+      be16b(w), unhex(lit("01011100")),
+      unhex(lit("ffda0008010100003f00")),
+      unhex(entropyHex(s)), unhex(lit("ffd9")))
+    val stripLen = lit(27L) + bw
+    def entry(tag: Long, typ: Long, cnt: Long,
+        value: org.apache.spark.sql.Column) =
+      concat(le16b(lit(tag)), le16b(lit(typ)), le32b(lit(cnt)), value)
+    def shortVal(v: org.apache.spark.sql.Column) =
+      concat(le16b(v), le16b(lit(0L)))
+    concat(
+      lit("II".getBytes), le16b(lit(42L)), le32b(lit(8L)),
+      le16b(lit(10L)),
+      entry(256, 3, 1, shortVal(w)),
+      entry(257, 3, 1, shortVal(lit(16L))),
+      entry(258, 3, 1, shortVal(lit(8L))),
+      entry(259, 3, 1, shortVal(lit(7L))),
+      entry(262, 3, 1, shortVal(lit(1L))),
+      entry(273, 4, 2, le32b(lit(134L))),
+      entry(277, 3, 1, shortVal(lit(1L))),
+      entry(278, 3, 1, shortVal(lit(8L))),
+      entry(279, 4, 2, le32b(lit(142L))),
+      entry(347, 7, 117, le32b(lit(150L))),
+      le32b(lit(0L)), // next IFD
+      le32b(lit(267L)), le32b(lit(267L) + stripLen), // strip offsets
+      le32b(stripLen), le32b(stripLen), // strip byte counts
+      tables, strip(0), strip(1))
+  }
+
+  private[graft] def tiffJpegFixture(s: SparkSession,
+      dir: String): DataFrame =
+    spread(t(s, dir, "documents"))
+      .select(col("doc_id"), tiffJpegBlob.as("blob"))
+
   /** PROGRESSIVE-JPEG fixture (round 11) — [[jpegBlob]]'s DC-only
     * byte-primitive rebuilt as a three-scan SOF2 stream exercising
     * spectral selection AND successive approximation in closed form:
@@ -4380,6 +4444,16 @@ object ExtensionQueries {
     // strip bytes
     "mm_tiff_features" -> ((s, dir) =>
       Multimodal.extractAnyImageFeatures(tiffFixture(s, dir), "doc_id")
+        .toDF()
+        .orderBy(col("doc_id"))),
+
+    // JPEG-IN-TIFF (round 14) — compression 7 with a shared JPEGTABLES
+    // tag and two abbreviated grayscale strips: the tables splice +
+    // per-strip JPEG decode + strip reassembly, all in closed form
+    // (DC-only blocks — integer-exact pipeline)
+    "mm_tiff_jpeg" -> ((s, dir) =>
+      Multimodal.extractAnyImageFeatures(tiffJpegFixture(s, dir),
+          "doc_id")
         .toDF()
         .orderBy(col("doc_id"))),
 
@@ -8550,6 +8624,43 @@ object ExtensionQueries {
         |    + (i // 2 - (c * spc) // 2) AS BIGINT) AS offset,
         |  CAST(s0 + i % 2 AS BIGINT) AS size
         |FROM r ORDER BY doc_id, sample_idx""".stripMargin,
+
+    // the full JPEG-in-TIFF pipeline in integers: per strip s and
+    // block k, the signed DC walk (global index t = s*bw + k,
+    // accumulation PER STRIP) lands every 8x8 block at
+    // v = clamp((dc*17 + 1028) // 8); grayscale replicates r=g=b
+    "mm_tiff_jpeg" ->
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS bw FROM documents),
+        |bk AS (SELECT doc_id, bw,
+        |    CAST(unnest(range(0, 2 * bw)) AS BIGINT) AS t
+        |  FROM p),
+        |sd AS (SELECT doc_id, bw, t, t // bw AS s, t % bw AS k,
+        |    CASE WHEN t % 2 = 0 THEN 32 + (doc_id * 7 + t * 11) % 32
+        |         ELSE -(32 + (doc_id * 7 + t * 11) % 32) END AS d
+        |  FROM bk),
+        |dc AS (SELECT doc_id, bw, s, k,
+        |    SUM(d) OVER (PARTITION BY doc_id, s ORDER BY k) AS dc
+        |  FROM sd),
+        |v AS (SELECT doc_id, bw, s, k,
+        |    LEAST(255, GREATEST(0, (dc * 17 + 1028) // 8)) AS v
+        |  FROM dc)
+        |SELECT doc_id, 'tiff' AS kind,
+        |  CAST(bw * 8 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(bw * 128 AS BIGINT) AS n_px,
+        |  CAST(SUM(64 * v) AS BIGINT) AS sum_r,
+        |  CAST(SUM(64 * v) AS BIGINT) AS sum_g,
+        |  CAST(SUM(64 * v) AS BIGINT) AS sum_b,
+        |  CAST(SUM(v * (8 * (64 * k + 28)
+        |    + 8 * bw * 8 * (64 * s + 28))) AS BIGINT) AS wsum_r,
+        |  CAST(SUM(v * (8 * (64 * k + 28)
+        |    + 8 * bw * 8 * (64 * s + 28))) AS BIGINT) AS wsum_g,
+        |  CAST(SUM(v * (8 * (64 * k + 28)
+        |    + 8 * bw * 8 * (64 * s + 28))) AS BIGINT) AS wsum_b,
+        |  CAST(SUM(64 * v) AS DOUBLE) / (bw * 128) AS mean_r,
+        |  CAST(SUM(64 * v) AS DOUBLE) / (bw * 128) AS mean_g,
+        |  CAST(SUM(64 * v) AS DOUBLE) / (bw * 128) AS mean_b
+        |FROM v GROUP BY doc_id, bw ORDER BY doc_id""".stripMargin,
 
     // the TIFF strip bytes replayed: sample c of pixel (x,y) is byte
     // j = (y·w + x)·3 + c of the closed-form strip

@@ -765,6 +765,106 @@ class TiffSpec extends SparkFunSuite {
       "declared content size contradicted by stored blocks")
   }
 
+  private def tiffJpegEncode(img: java.awt.image.BufferedImage)
+      : Array[Byte] = {
+    val w = javax.imageio.ImageIO
+      .getImageWritersByFormatName("tiff").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionType("JPEG")
+    p.setCompressionQuality(0.95f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); w.dispose()
+    bos.toByteArray
+  }
+
+  test("JPEG-in-TIFF (compression 7) vs the JDK's OWN TIFF writer: " +
+      "grayscale and constant-chroma color decode within the ±1 T.81 " +
+      "IDCT envelope of the JDK's own TIFF reader") {
+    System.setProperty("java.awt.headless", "true")
+    // grayscale
+    val gw = 37; val gh = 23 // non-multiple-of-8: edge cropping
+    val gimg = new java.awt.image.BufferedImage(gw, gh,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until gh; x <- 0 until gw)
+      gimg.getRaster.setSample(x, y, 0,
+        (x * 7 + y * 11 + (x * y) % 31) % 256)
+    val gbytes = tiffJpegEncode(gimg)
+    val gref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gbytes))
+    val (dw, dh, ch, px) = Multimodal.decodeTiffPixels(gbytes)
+      .getOrElse(fail("JDK TIFF-JPEG (gray) undecodable"))
+    assert((dw, dh, ch) == (gw, gh, 1))
+    for (y <- 0 until gh; x <- 0 until gw) {
+      val mine = px(y * gw + x) & 0xff
+      val theirs = gref.getRaster.getSample(x, y, 0)
+      assert(math.abs(mine - theirs) <= 1, s"gray ($x,$y)")
+    }
+    // color with Cb = Cr = 128 everywhere (gray ramp in RGB): the
+    // chroma upsampling method cannot matter — pure IDCT ±1
+    val cw = 41; val chh = 29
+    val cimg = new java.awt.image.BufferedImage(cw, chh,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until chh; x <- 0 until cw) {
+      val v = (x * 5 + y * 9) % 256
+      cimg.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val cbytes = tiffJpegEncode(cimg)
+    val cref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(cbytes))
+    val (cw2, ch2, cc, cpx) = Multimodal.decodeTiffPixels(cbytes)
+      .getOrElse(fail("JDK TIFF-JPEG (color) undecodable"))
+    assert((cw2, ch2, cc) == (cw, chh, 3))
+    for (y <- 0 until chh; x <- 0 until cw; c <- 0 until 3) {
+      val mine = cpx((y * cw + x) * 3 + c) & 0xff
+      val theirs = (cref.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      assert(math.abs(mine - theirs) <= 1, s"color ($x,$y,$c)")
+    }
+  }
+
+  test("the in-plan TIFF-JPEG fixture decodes to the closed-form " +
+      "DC-only strip pixels (shared JPEGTables splice + per-strip " +
+      "dcPred reset), and ImageIO's TIFF reader agrees exactly") {
+    System.setProperty("java.awt.headless", "true")
+    val s = spark
+    import s.implicits._
+    (0L until 6L).foreach { d =>
+      val bytes = Seq(d).toDF("doc_id")
+        .select(graft.queries.ExtensionQueries.tiffJpegBlob.as("b"))
+        .head().getAs[Array[Byte]]("b")
+      val bw = (1 + d % 3).toInt
+      val (w, h, ch, px) = Multimodal.decodeTiffPixels(bytes)
+        .getOrElse(fail(s"doc $d: fixture undecodable"))
+      assert((w, h, ch) == (8 * bw, 16, 1))
+      // replay the per-strip DC walk
+      val want = Array.ofDim[Int](2, bw)
+      for (st <- 0 until 2) {
+        var dc = 0L
+        for (k <- 0 until bw) {
+          val t = st * bw + k
+          val m = 32 + (d * 7 + t * 11) % 32
+          dc += (if (t % 2 == 0) m else -m)
+          want(st)(k) =
+            math.min(255L, math.max(0L, (dc * 17 + 1028) / 8)).toInt
+        }
+      }
+      for (y <- 0 until 16; x <- 0 until 8 * bw) {
+        val v = px(y * 8 * bw + x) & 0xff
+        assert(v == want(y / 8)(x / 8), s"doc $d ($x,$y)")
+      }
+      // the fixture is REAL TIFF-JPEG: the JDK's reader agrees
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null, s"doc $d: ImageIO rejected the fixture")
+      for (y <- 0 until 16; x <- 0 until 8 * bw)
+        assert(ref.getRaster.getSample(x, y, 0) == want(y / 8)(x / 8),
+          s"doc $d ImageIO ($x,$y)")
+    }
+  }
+
   test("compressed, truncated, and non-8-bit TIFFs fail loud") {
     val (w, h) = (2, 1)
     val px = Array.tabulate(w * h * 3)(_.toByte)
