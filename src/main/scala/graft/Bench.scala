@@ -207,7 +207,8 @@ object Bench {
       "layout_bucket_join", "corpus_compact", "source_schema_evolution",
       "source_avro_container", "source_avro_split", "source_avro_logical",
       "corpus_export_range", "source_delta_checkpoint",
-      "source_avro_nested", "source_warc_zst_split")
+      "source_avro_nested", "source_warc_zst_split",
+      "corpus_export_warczst")
 
     // SPARK_GRAFT_ONLY=a,b,c restricts the sweep — for focused
     // re-timing (e.g. the round-11 avro_roundtrip_agg outlier hunt);

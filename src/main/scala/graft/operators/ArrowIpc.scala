@@ -23,18 +23,20 @@ package graft.operators
   *
   * Column types supported: Int 8/16/32/64 signed (→ Long), Float64
   * (→ Double), Float32 (→ Double, exact binary widening), Utf8
-  * (→ String), Bool (→ Boolean), and LIST of any supported type
-  * (→ Seq; `list<float32>` is the layout embedding tables ship in) —
-  * validity bitmaps honoured (LSB-numbered), nested fields consumed
-  * in the spec's depth-first node/buffer order. DICTIONARY-ENCODED
-  * leaf columns decode through replayed DictionaryBatch messages
+  * (→ String), Bool (→ Boolean), LIST of any supported type (→ Seq;
+  * `list<float32>` is the layout embedding tables ship in), and
+  * STRUCT of supported types (→ Seq of member values, null rows
+  * masked over the children) — validity bitmaps honoured
+  * (LSB-numbered), nested fields consumed in the spec's depth-first
+  * node/buffer order. DICTIONARY-ENCODED leaf columns (at any
+  * nesting depth) decode through replayed DictionaryBatch messages
   * (replacement and delta batches both honoured; signed int
   * 8/16/32/64 indices — pyarrow's default encoding for categorical
   * strings). BODY COMPRESSION (per-buffer LZ4-frame or zstd, the two
   * codecs the Arrow spec defines) decompresses through this repo's
   * own golden-pinned decoders ([[Lz4Snappy]], [[ZstdDecode]]).
-  * Anything else — structs, unsigned ints, half floats — is DECLINED
-  * honestly (empty), never misread.
+  * Anything else — unions, maps, unsigned ints, half floats — is
+  * DECLINED honestly (empty), never misread.
   *
   * Validation: GOLDEN VECTORS from real pyarrow
   * (`tools/gen_arrow_vectors.py` → committed `.arrows`/`.arrow`
@@ -265,6 +267,21 @@ object ArrowIpc {
         if (child == null) return null
         children = Vector(child)
         "list"
+      case 13 => // Struct — one child field per member
+        val (cn, celems) = msg.vectorField(f, 5)
+        if (cn < 1 || celems < 0 ||
+          celems + 4L * cn > msg.b.length) return null
+        val cs = Vector.newBuilder[FieldSpec]
+        var ci = 0
+        while (ci < cn) {
+          val child = parseField(msg, msg.tableAt(celems + 4 * ci),
+            depth + 1)
+          if (child == null) return null
+          cs += child
+          ci += 1
+        }
+        children = cs.result()
+        "struct"
       case _ => return null
     }
     // DictionaryEncoding (slot 4): id + index Int type (the data
@@ -274,7 +291,7 @@ object ArrowIpc {
     var indexBits = 32
     val dt = msg.tableField(f, 4)
     if (msg.field(f, 4) >= 0) {
-      if (dt < 0 || kind == "list") return null
+      if (dt < 0 || kind == "list" || kind == "struct") return null
       dictId = msg.longField(dt, 0, 0L)
       val it = msg.tableField(dt, 1)
       if (it >= 0) {
@@ -301,7 +318,11 @@ object ArrowIpc {
     val data = msg.tableField(dbT, 1)
     val isDelta = msg.byteField(dbT, 2, 0) != 0
     // the value kind comes from the field(s) encoded against this id
-    val kind = schema.find(_.dictId == id).map(_.kind).getOrElse(null)
+    // (dictionary-encoded fields may sit at any nesting depth)
+    def findKind(ss: IndexedSeq[FieldSpec]): Option[String] =
+      ss.collectFirst { case s if s.dictId == id => s.kind }
+        .orElse(ss.flatMap(s => findKind(s.children)).headOption)
+    val kind = findKind(schema).orNull
     if (kind == null) return false
     val synthetic = Vector(FieldSpec("values", kind, -1L, 32))
     val parsed = parseBatch(msg, data, blob, body, synthetic, dicts)
@@ -416,6 +437,14 @@ object ArrowIpc {
               child.slice(s, e)
             }
           }
+        case "struct" =>
+          // validity buffer only, then each child column in order
+          // (children have their OWN validity — a null struct row may
+          // carry arbitrary child values, masked here)
+          val kids = spec.children.map(c => readCol(c, len))
+          Vector.tabulate(n) { i =>
+            if (isNull(i)) null else kids.map(_(i))
+          }
         case "string" =>
           val ov = nextView()
           val dv = nextView()
@@ -480,6 +509,8 @@ object ArrowIpc {
       case k if k.startsWith("int") => "long"
       case "float32" => "double"
       case "list" => s"array<${outKind(spec.children.head)}>"
+      case "struct" => "struct<" + spec.children
+        .map(c => s"${c.name}:${outKind(c)}").mkString(",") + ">"
       case k => k
     }
     try {

@@ -5607,6 +5607,34 @@ object ExtensionQueries {
     // EXPORTED corpus, and the oracle recomputes boundaries, labels and
     // profile from the original table: any off-by-one in the threshold
     // rule or a row landing in the wrong partition breaks the match.
+    // CORPUS EXPORT AS WARC.ZST (round 14) — the Common-Crawl-shaped
+    // archive sink: one WARC resource record per doc, one RAW-BLOCK
+    // zstd frame per record (valid RFC 8878 any zstd tool reads), one
+    // seek-tabled shard per partition; read back through the seekable
+    // split reader + the in-plan frame walk and parsed to identity
+    "corpus_export_warczst" -> ((s, dir) => {
+      val path = memoizedFixture(
+          tmpArtifact("graft_warczst_export", dir)) { d =>
+        graft.sources.ZstdSeekable.writeWarcZstShards(
+          spread(t(s, dir, "documents"))
+            .select(col("doc_id"), col("text")), d)
+      }
+      val frames = graft.sources.ZstdSeekable
+        .readShardFrames(s, path, framesPerSplit = 64)
+      val rec = frames.select(explode(
+          graft.plans.MediaExprs.zstdFramesCol(col("blob"))).as("f"))
+        .select(col("f.content").as("rec"))
+      val pos = locate("\r\n\r\n", col("rec"))
+      val after = col("rec").substr(pos + lit(4),
+        length(col("rec")))
+      rec.select(
+          regexp_extract(col("rec"),
+            "WARC-Target-URI: http://corpus\\.local/doc/(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          after.substr(lit(1), length(after) - 4).as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "corpus_export_range" -> ((s, dir) => {
       def build(d: String): String = {
         val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
@@ -10103,6 +10131,11 @@ object ExtensionQueries {
 
     // boundaries = smallest value whose cumulative count reaches
     // ceil(p·n/100); part = # boundaries strictly below n_chars
+    // the export hop is lossless: every doc comes back byte-identical
+    "corpus_export_warczst" ->
+      """SELECT doc_id, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     "corpus_export_range" ->
       """WITH h AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents
         |  GROUP BY v),

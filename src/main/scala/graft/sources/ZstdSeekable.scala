@@ -58,6 +58,101 @@ object ZstdSeekable {
     out.toByteArray
   }
 
+  /** One RFC 8878 frame with RAW blocks only — VALID zstd with zero
+    * entropy coding (the stored-deflate discipline; any zstd tool
+    * decodes it): single-segment header carrying the exact content
+    * size, ≤ 64 KiB raw blocks, XXH64-low32 content checksum. The
+    * export sink's frame shape — compression can be layered later by
+    * swapping this encoder without touching the container. */
+  def rawFrame(content: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(content.length + 32)
+    out.write(u32le(0xfd2fb528L))
+    val n = content.length
+    val fcsFlag = if (n <= 255) 0 else if (n <= 65535 + 256) 1 else 2
+    // descriptor: FCS flag | single-segment (0x20) | checksum (0x04)
+    out.write((fcsFlag << 6) | 0x20 | 0x04)
+    fcsFlag match {
+      case 0 => out.write(n & 0xff)
+      case 1 =>
+        val v = n - 256
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      case _ => out.write(u32le(n.toLong))
+    }
+    val blockMax = 1 << 16
+    var p = 0
+    do {
+      val take = math.min(blockMax, n - p)
+      val last = if (p + take >= n) 1 else 0
+      val hdr = (take.toLong << 3) | last // type 0 = raw
+      out.write((hdr & 0xff).toInt)
+      out.write(((hdr >> 8) & 0xff).toInt)
+      out.write(((hdr >> 16) & 0xff).toInt)
+      out.write(content, p, take)
+      p += take
+    } while (p < n)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(content,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        content.length, 0L)
+    out.write(u32le(h & 0xffffffffL))
+    out.toByteArray
+  }
+
+  /** Export (id, text) rows as per-partition SEEKABLE `.warc.zst`
+    * shards — the Common-Crawl-shaped corpus export: one WARC resource
+    * record per row, one zstd frame per record ([[rawFrame]]), one
+    * seek-tabled shard file per non-empty partition (executor-side
+    * streaming — rows never materialize on the driver). Any zstd/WARC
+    * tool reads the shards; [[readFrames]] splits them per frame
+    * group. */
+  def writeWarcZstShards(df: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      uriPrefix: String = "http://corpus.local/doc/"): Unit = {
+    val rows = df.select(df(idCol).cast("long"),
+      df(textCol).cast("string"))
+    rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      if (it.hasNext) {
+        val frames = Vector.newBuilder[Array[Byte]]
+        val dsizes = Vector.newBuilder[Long]
+        it.foreach { r =>
+          val id = r.getLong(0)
+          val body = Option(r.getString(1)).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val hdr = (s"WARC/1.0\r\nWARC-Type: resource\r\n" +
+            s"WARC-Target-URI: $uriPrefix$id\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val rec = new Array[Byte](hdr.length + body.length + 4)
+          System.arraycopy(hdr, 0, rec, 0, hdr.length)
+          System.arraycopy(body, 0, rec, hdr.length, body.length)
+          rec(rec.length - 4) = '\r'; rec(rec.length - 3) = '\n'
+          rec(rec.length - 2) = '\r'; rec(rec.length - 1) = '\n'
+          frames += rawFrame(rec)
+          dsizes += rec.length.toLong
+        }
+        val blob = assemble(frames.result(), dsizes.result())
+        val part = org.apache.spark.TaskContext.get().partitionId()
+        val p = new Path(path,
+          f"part-$part%05d-${java.util.UUID.randomUUID()}.warczst")
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(p, true)
+        try out.write(blob) finally out.close()
+      }
+    }
+  }
+
+  /** All shards of a [[writeWarcZstShards]] directory, one DataFrame
+    * (union of per-shard [[readFrames]]). */
+  def readShardFrames(spark: SparkSession, dir: String,
+      framesPerSplit: Int = 16): DataFrame = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(d).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".warczst")).map(_.toString).sorted
+    require(files.nonEmpty, s"no .warczst shards under $dir")
+    files.map(readFrames(spark, _, framesPerSplit)).reduce(_.union(_))
+  }
+
   /** Parse the seek table from the file tail: (all entries with
     * cumulative offsets, file length). Bounded tail reads only. */
   def seekEntries(spark: SparkSession,

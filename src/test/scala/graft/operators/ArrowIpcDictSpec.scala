@@ -146,6 +146,28 @@ class ArrowIpcDictSpec extends AnyFunSuite {
     checkList(ArrowIpc.batchesJvm(vector("list_zstd.arrows")))
   }
 
+  private def checkStruct(batches: IndexedSeq[ArrowIpc.Batch]): Unit = {
+    assert(batches.map(_.nRows).sum == 100)
+    val id = flat(batches, "id")
+    val meta = flat(batches, "meta")
+    assert(batches.head.cols.find(_.name == "meta").get.kind ==
+      "struct<lang:string,score:double>")
+    (0 until 100).foreach { i =>
+      assert(id(i) == i.toLong)
+      if (i % 7 == 0) assert(meta(i) == null, s"meta $i should be null")
+      else assert(meta(i) == Vector(s"l${i % 5}", i * 0.5), s"meta $i")
+    }
+  }
+
+  test("STRUCT columns decode (validity masks child values on null " +
+      "rows; members in declared order)") {
+    checkStruct(ArrowIpc.batchesJvm(vector("struct.arrows")))
+  }
+
+  test("STRUCT columns under LZ4 body compression") {
+    checkStruct(ArrowIpc.batchesJvm(vector("struct_lz4.arrows")))
+  }
+
   test("truncation, garbage, and byte-flips of the dict/compressed " +
       "vectors never throw; a record batch BEFORE its dictionary is " +
       "declined") {

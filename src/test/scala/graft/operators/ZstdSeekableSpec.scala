@@ -91,6 +91,58 @@ class ZstdSeekableSpec extends SparkFunSuite {
     }
   }
 
+  test("rawFrame: CLI-VERIFIED golden bytes ('hello zstd world' " +
+      "frame decoded byte-exactly by the real zstd binary at " +
+      "generation time), empty/1-byte/multi-block round-trips, and " +
+      "checksum enforcement") {
+    val hello = "hello zstd world".getBytes("UTF-8")
+    val f = ZstdSeekable.rawFrame(hello)
+    // the exact bytes `zstd -d` accepted and decoded (round-14 dev
+    // verification) — encoder vs the REFERENCE decoder
+    assert(f.map(b => f"${b & 0xff}%02x").mkString ==
+      "28b52ffd241081000068656c6c6f207a73746420776f726c647f816860")
+    for (payload <- Seq(Array.empty[Byte], Array[Byte](7),
+        Array.tabulate(70000)(i => (i * 31).toByte),
+        Array.tabulate(200000)(i => (i % 251).toByte))) {
+      val frame = ZstdSeekable.rawFrame(payload)
+      val got = graft.operators.ZstdDecode.decompress(frame)
+      assert(got.isDefined, s"rawFrame(${payload.length}) undecodable")
+      assert(java.util.Arrays.equals(got.get, payload))
+    }
+    // the checksum is real: flipping a content byte fails the decode
+    val bad = f.clone(); bad(10) = (bad(10) ^ 1).toByte
+    assert(graft.operators.ZstdDecode.decompress(bad).isEmpty)
+  }
+
+  test("writeWarcZstShards round-trips: per-partition seekable " +
+      "shards, one record per row, read back to identity through " +
+      "readShardFrames + the record walk") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 50L)
+      .map(i => (i, s"body-$i " * (1 + (i % 5)).toInt))
+      .toDF("doc_id", "text").repartition(3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_warczst_export").toString
+    ZstdSeekable.writeWarcZstShards(docs, dir)
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warczst"))
+    assert(shards.length == 3, "one shard per non-empty partition")
+    val frames = ZstdSeekable.readShardFrames(spark, dir, 8)
+    assert(frames.count() == 50)
+    // every frame decodes through the dict-aware walk to ONE record
+    val recs = frames.select(org.apache.spark.sql.functions.explode(
+        graft.plans.MediaExprs.warcZstRecordsCol(
+          org.apache.spark.sql.functions.col("blob"))).as("r"))
+      .select("r.rec_type", "r.target_uri", "r.content_length")
+      .collect()
+    assert(recs.length == 50)
+    assert(recs.forall(_.getString(0) == "resource"))
+    val ids = recs.map(_.getString(1)
+      .stripPrefix("http://corpus.local/doc/").toLong).sorted
+    assert(ids.toSeq == (0L until 50L))
+  }
+
   test("corrupt tails fail loud: bad footer magic, truncated table, " +
       "frame sizes not reaching the table") {
     val (path, _) = writeSeekable(1)

@@ -179,6 +179,24 @@ def main():
     write_opts(os.path.join(outdir, "list_zstd.arrows"),
                [emb_batch(0, ne)], eschema, compression="zstd")
 
+    # STRUCT column (round 14), with null struct rows masking child
+    # values. NOTE: twin recipe in ArrowIpcDictSpec.scala.
+    ns = 100
+    sschema = pa.schema([
+        ("id", pa.int64()),
+        ("meta", pa.struct([("lang", pa.string()),
+                            ("score", pa.float64())])),
+    ])
+    srb = pa.record_batch([
+        pa.array(range(ns), pa.int64()),
+        pa.array([None if i % 7 == 0 else
+                  {"lang": "l%d" % (i % 5), "score": i * 0.5}
+                  for i in range(ns)], sschema.field("meta").type),
+    ], schema=sschema)
+    write_opts(os.path.join(outdir, "struct.arrows"), [srb], sschema)
+    write_opts(os.path.join(outdir, "struct_lz4.arrows"), [srb],
+               sschema, compression="lz4")
+
     for f in sorted(os.listdir(outdir)):
         print(f, os.path.getsize(os.path.join(outdir, f)))
 
