@@ -16,6 +16,20 @@ import graft.plans._
   */
 object GraftFunctions {
 
+  /** The wikitext kernel folded into a Catalyst expression tree —
+    * identical steps to `TextFunctions.wikitextStrip` (one shared
+    * step list, no drift) so SQL callers get the same plaintext. */
+  private[graft] def wikitextStripExpr(in: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal,
+      RegExpReplace, StringReplace, StringTrim}
+    StringTrim(graft.functions.TextFunctions.WikitextSteps.foldLeft(in) {
+      case (c, ("re", p, r)) =>
+        RegExpReplace(c, Literal(p), Literal(r))
+      case (c, (_, f, t)) =>
+        StringReplace(c, Literal(f), Literal(t))
+    })
+  }
+
   private def intArg(e: Expression, name: String): Int = e.eval() match {
     case i: Int => i
     case l: Long => l.toInt
@@ -71,6 +85,8 @@ object GraftFunctions {
       es => NfcNormalize(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_fix_mojibake",
       es => FixMojibake(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_wikitext_strip",
+      es => GraftFunctions.wikitextStripExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_text_signals",
       es => TextSignals(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_bigram_stats",

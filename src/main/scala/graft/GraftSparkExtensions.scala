@@ -105,6 +105,11 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_fix_mojibake",
         "graft_fix_mojibake(text) - reverse UTF-8-as-Latin-1 mojibake"),
       es => FixMojibake(es(0))))
+    e.injectFunction((FunctionIdentifier("graft_wikitext_strip"),
+      info("graft_wikitext_strip",
+        "graft_wikitext_strip(wikitext) - wikitext to plaintext " +
+          "(templates/tables/refs/links/quotes/headings)"),
+      es => GraftFunctions.wikitextStripExpr(es(0))))
     e.injectFunction((FunctionIdentifier("graft_text_signals"),
       info("graft_text_signals",
         "graft_text_signals(text) - one-pass per-document profile struct"),

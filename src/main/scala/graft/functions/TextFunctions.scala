@@ -166,30 +166,44 @@ object TextFunctions {
     * whitespace collapse). All bounded codegen'd regex passes over one
     * projection — the 100 TB cost is one streaming pass, no UDF, no
     * parser state. */
-  def wikitextStrip(wt: Column): Column = {
-    val noComments = regexp_replace(wt, "(?s)<!--.{0,4000}?-->", "")
-    val noTables =
-      regexp_replace(noComments, "(?s)\\{\\|.{0,8000}?\\|\\}", " ")
-    val noTemplates = (1 to 3).foldLeft(noTables)((c, _) =>
-      regexp_replace(c, "\\{\\{[^{}]{0,2000}\\}\\}", " "))
-    val noRefs = regexp_replace(
-      regexp_replace(noTemplates, "(?s)<ref[^>]{0,256}?/>", ""),
-      "(?s)<ref[^>]{0,256}>.{0,4000}?</ref>", "")
-    val fileDrop1 = regexp_replace(noRefs, WikiFilePattern, " ")
-    val plainLinks = regexp_replace(fileDrop1,
-      "\\[\\[([^\\[\\]|]{0,256})\\]\\]", "$1")
-    val fileDrop2 = regexp_replace(plainLinks, WikiFilePattern, " ")
-    val pipeLinks = regexp_replace(fileDrop2,
-      "\\[\\[[^\\[\\]]{0,512}\\|([^\\[\\]|]{0,256})\\]\\]", "$1")
-    val extLabeled = regexp_replace(pipeLinks,
-      "\\[https?://[^\\s\\]]{0,2000}\\s+([^\\]]{0,500})\\]", "$1")
-    val extBare = regexp_replace(extLabeled,
-      "\\[https?://[^\\s\\]]{0,2000}\\]", " ")
-    val noQuotes = regexp_replace(extBare, "'{2,}", "")
-    val noHeadings = regexp_replace(noQuotes, "={2,}", " ")
-    val noLists = regexp_replace(noHeadings, "(?m)^[*#:;]+\\s*", "")
-    stripMarkup(noLists)
+  /** The wikitext kernel AS DATA — ("re", pattern, repl) regex passes
+    * and ("lit", from, to) literal replaces, in order, trimmed at the
+    * end. Shared by the Column composition below and the SQL
+    * `graft_wikitext_strip` registration (which folds the same steps
+    * into Catalyst RegExpReplace/StringReplace nodes — one kernel,
+    * two front doors, no drift). The tail replays [[stripMarkup]]'s
+    * tag/entity/whitespace finisher verbatim. */
+  private[graft] val WikitextSteps: Seq[(String, String, String)] = {
+    val tpl = ("re", "\\{\\{[^{}]{0,2000}\\}\\}", " ")
+    Seq(
+      ("re", "(?s)<!--.{0,4000}?-->", ""),
+      ("re", "(?s)\\{\\|.{0,8000}?\\|\\}", " "),
+      tpl, tpl, tpl, // 3 nesting levels, innermost-first
+      ("re", "(?s)<ref[^>]{0,256}?/>", ""),
+      ("re", "(?s)<ref[^>]{0,256}>.{0,4000}?</ref>", ""),
+      ("re", WikiFilePattern, " "),
+      ("re", "\\[\\[([^\\[\\]|]{0,256})\\]\\]", "$1"),
+      ("re", WikiFilePattern, " "),
+      ("re", "\\[\\[[^\\[\\]]{0,512}\\|([^\\[\\]|]{0,256})\\]\\]", "$1"),
+      ("re", "\\[https?://[^\\s\\]]{0,2000}\\s+([^\\]]{0,500})\\]", "$1"),
+      ("re", "\\[https?://[^\\s\\]]{0,2000}\\]", " "),
+      ("re", "'{2,}", ""),
+      ("re", "={2,}", " "),
+      ("re", "(?m)^[*#:;]+\\s*", ""),
+      // the stripMarkup finisher: tags, the six entities (&amp; LAST
+      // — the double-decode guard), whitespace collapse
+      ("re", TagPattern, " "),
+      ("lit", "&lt;", "<"), ("lit", "&gt;", ">"),
+      ("lit", "&quot;", "\""), ("lit", "&#39;", "'"),
+      ("lit", "&nbsp;", " "), ("lit", "&amp;", "&"),
+      ("re", "\\s+", " "))
   }
+
+  def wikitextStrip(wt: Column): Column =
+    trim(WikitextSteps.foldLeft(wt) {
+      case (c, ("re", p, r)) => regexp_replace(c, p, r)
+      case (c, (_, f, t)) => replace(c, lit(f), lit(t))
+    })
 
   /** Sentence segmentation (round 7): split on terminal-punctuation runs
     * `[.!?]+`, trim, drop empties — the boundary rule chunkers and

@@ -59,6 +59,14 @@ class GraftFunctionsSpec extends SparkFunSuite {
     assert(media.getString(0) == "gif")
     assert(media.getLong(1) == 320L)
     assert(media.isNullAt(2) && media.isNullAt(3))
+
+    // round-14 wikitext cleaner (a Column composition expanded into
+    // the SQL expression tree)
+    val wiki = s.sql(
+      """SELECT graft_wikitext_strip(
+        |  "'''Bold''' [[a|link]] {{tmpl|x}} end") AS clean
+        |FROM gf_t LIMIT 1""".stripMargin).collect().head
+    assert(wiki.getString(0) == "Bold link end")
   }
 
   test("graft_top_k coerces int scores/ids at analysis time " +
