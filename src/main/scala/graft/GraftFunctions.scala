@@ -114,6 +114,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_flac_meta",
       es => colExpr(graft.operators.Multimodal.flacMeta(bridged(es(0)))),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_zstd_compress",
+      es => ZstdCompress(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_zstd_decompress",
+      es => ZstdDecompress(es(0)), "built-in")
     registerOptimizations(spark)
   }
 

@@ -138,6 +138,15 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         "graft_flac_meta(blob) - FLAC STREAMINFO metadata struct"),
       es => GraftFunctions.colExpr(
         graft.operators.Multimodal.flacMeta(GraftFunctions.bridged(es(0))))))
+    e.injectFunction((FunctionIdentifier("graft_zstd_compress"),
+      info("graft_zstd_compress",
+        "graft_zstd_compress(blob) - one compressed RFC 8878 zstd frame"),
+      es => ZstdCompress(es(0))))
+    e.injectFunction((FunctionIdentifier("graft_zstd_decompress"),
+      info("graft_zstd_decompress",
+        "graft_zstd_decompress(blob) - decompress a zstd stream " +
+          "(dict-aware), NULL on violation"),
+      es => ZstdDecompress(es(0))))
     e.injectOptimizerRule(_ => JaccardLengthPruning)
   }
 }

@@ -92,8 +92,11 @@ object ZstdDecode {
   // ---- FSE (§4.1) ---------------------------------------------------
 
   /** One FSE decode table: per state — symbol, bit width of the state
-    * refill, and the refill baseline. */
-  private final class FseTable(val accuracyLog: Int,
+    * refill, and the refill baseline. `private[operators]`: the encoder
+    * ([[ZstdEncode]]) walks the SAME tables backwards — symbol ranges
+    * partition the state space, so (symbol, next-state) uniquely names
+    * the decode cell to emit. One table, two directions, no drift. */
+  private[operators] final class FseTable(val accuracyLog: Int,
       val symbol: Array[Int], val nbBits: Array[Int],
       val baseline: Array[Int])
 
@@ -366,17 +369,21 @@ object ZstdDecode {
 
   // ---- sequence code tables (§3.1.1.3.2.1) --------------------------
 
-  private val LlBase = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12,
+  private[operators] val LlBase = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9,
+    10, 11, 12,
     13, 14, 15, 16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512,
     1024, 2048, 4096, 8192, 16384, 32768, 65536)
-  private val LlExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+  private[operators] val LlExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0,
     0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14,
     15, 16)
-  private val MlBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+  private[operators] val MlBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11,
+    12, 13, 14,
     15, 16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31,
     32, 33, 34, 35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259,
     515, 1027, 2051, 4099, 8195, 16387, 32771, 65539)
-  private val MlExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+  private[operators] val MlExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0,
     0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1,
     2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
 
@@ -390,9 +397,9 @@ object ZstdDecode {
   private val OfDefaultNorm = Array(1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1,
     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1)
 
-  private lazy val LlDefault = fseBuild(LlDefaultNorm, 6).get
-  private lazy val MlDefault = fseBuild(MlDefaultNorm, 6).get
-  private lazy val OfDefault = fseBuild(OfDefaultNorm, 5).get
+  private[operators] lazy val LlDefault = fseBuild(LlDefaultNorm, 6).get
+  private[operators] lazy val MlDefault = fseBuild(MlDefaultNorm, 6).get
+  private[operators] lazy val OfDefault = fseBuild(OfDefaultNorm, 5).get
 
   /** An RLE "table": one symbol, zero-bit updates. */
   private def rleTable(sym: Int): FseTable =

@@ -510,6 +510,20 @@ object MediaArrayKernel {
           r.value, r.nHeaders, UTF8String.fromString(r.codec))
       }.toArray[Any])
 
+  /** Column-at-rest zstd compression (round 14, [[graft.operators
+    * .ZstdEncode]]): one RFC 8878 frame — greedy LZ + predefined-FSE
+    * sequences, raw-block fallback, content size + checksum. NULL when
+    * the input exceeds the 64 MiB frame guard. */
+  def zstdCompress(b: Array[Byte]): Array[Byte] =
+    if (b.length > (1 << 26)) null
+    else graft.operators.ZstdEncode.compress(b)
+
+  /** Full-stream zstd decompression as a scalar column (dict-aware —
+    * a leading IIPC `0x184D2A5D` skippable frame is harvested); NULL
+    * on any violation (PERMISSIVE). */
+  def zstdDecompress(b: Array[Byte]): Array[Byte] =
+    graft.operators.ZstdDecode.decompressDictAware(b).orNull
+
   def warcZstRecords(b: Array[Byte]): ArrayData =
     new GenericArrayData(Multimodal.warcZstRecordsJvm(b).map {
       case (t, u, cl, st) => InternalRow(UTF8String.fromString(t),
@@ -1019,6 +1033,38 @@ case class KafkaRecords(child: Expression) extends MediaArrayExpression {
   override def prettyName: String = "graft_kafka_records"
 }
 
+/** `zstd_compress(blob)` -> one compressed RFC 8878 zstd frame
+  * (round 14): the column-at-rest codec hop — compress a payload
+  * column before an export sink, or re-compress decoded archive
+  * members. Any zstd tool (and [[ZstdDecompress]]) reads the output;
+  * NULL past the 64 MiB frame guard. */
+case class ZstdCompress(child: Expression) extends MediaDecodeExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.zstdCompress($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.zstdCompress(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_zstd_compress"
+}
+
+/** `zstd_decompress(blob)` -> the concatenated content of a (possibly
+  * multi-frame, possibly dictionary-led) zstd stream; NULL on any
+  * violation — the scalar twin of the [[ZstdFrames]] walk for callers
+  * that want the bytes, not the frame metadata. */
+case class ZstdDecompress(child: Expression)
+    extends MediaDecodeExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.zstdDecompress($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.zstdDecompress(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_zstd_decompress"
+}
+
 /** `warc_zst_records(blob)` -> the WARC record walk over a fully
   * zstd-decompressed `.warc.zst` (Common Crawl's current layout);
   * identical output schema to `warc_records` on the uncompressed
@@ -1229,6 +1275,9 @@ object MediaExprs {
   def warcRecordsCol(blob: Column): Column = c(WarcRecords(e(blob)))
   def tarEntriesCol(blob: Column): Column = c(TarEntries(e(blob)))
   def zstdFramesCol(blob: Column): Column = c(ZstdFrames(e(blob)))
+  def zstdCompressCol(blob: Column): Column = c(ZstdCompress(e(blob)))
+  def zstdDecompressCol(blob: Column): Column =
+    c(ZstdDecompress(e(blob)))
   def warcZstRecordsCol(blob: Column): Column = c(WarcZstRecords(e(blob)))
   def lz4FramesCol(blob: Column): Column = c(Lz4Frames(e(blob)))
   def snappyCol(blob: Column): Column = c(SnappyDecode(e(blob)))

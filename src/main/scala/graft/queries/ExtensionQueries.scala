@@ -4551,6 +4551,25 @@ object ExtensionQueries {
         .toDF()
         .orderBy(col("doc_id"), col("frame_idx"))),
 
+    // ZSTD ENCODE (round 14) — the WRITE half: every document body
+    // through graft_zstd_compress (greedy LZ + predefined-FSE
+    // sequences, ZstdEncode) then back through the libzstd-golden-
+    // pinned decoder, in one codegen'd projection. The decoder anchors
+    // the wire format, so a malformed frame can't cancel out — it
+    // NULLs and breaks the identity. n_bytes pins that the hop
+    // round-trips BYTES, not just displayable text.
+    "source_zstd_encode" -> ((s, dir) => {
+      val enc = graft.plans.MediaExprs.zstdCompressCol(
+        encode(col("text"), "UTF-8"))
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          graft.plans.MediaExprs.zstdDecompressCol(enc).as("rt"))
+        .select(col("doc_id"),
+          decode(col("rt"), "UTF-8").as("text"),
+          length(col("rt")).cast("long").as("n_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
     // KAFKA SEGMENT WALK (round 13) — dumped RecordBatch v2 bytes at
     // rest (replay/backfill without a broker): batch metadata with
     // CRC-32C verdicts across all five codecs
@@ -5608,10 +5627,12 @@ object ExtensionQueries {
     // profile from the original table: any off-by-one in the threshold
     // rule or a row landing in the wrong partition breaks the match.
     // CORPUS EXPORT AS WARC.ZST (round 14) — the Common-Crawl-shaped
-    // archive sink: one WARC resource record per doc, one RAW-BLOCK
-    // zstd frame per record (valid RFC 8878 any zstd tool reads), one
-    // seek-tabled shard per partition; read back through the seekable
-    // split reader + the in-plan frame walk and parsed to identity
+    // archive sink: one WARC resource record per doc, one COMPRESSED
+    // zstd frame per record (ZstdEncode — CLI-verified RFC 8878 any
+    // zstd tool reads), one seek-tabled shard per partition; read back
+    // through the seekable split reader + the in-plan frame walk
+    // (which routes compressed frames through the full decoder) and
+    // parsed to identity
     "corpus_export_warczst" -> ((s, dir) => {
       val path = memoizedFixture(
           tmpArtifact("graft_warczst_export", dir)) { d =>
@@ -8879,6 +8900,13 @@ object ExtensionQueries {
         |  CAST(NULL AS BOOLEAN) AS checksum_ok
         |FROM documents d JOIN t2 USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // compress→decompress is lossless byte-for-byte; n_bytes is the
+    // UTF-8 octet length of the original body
+    "source_zstd_encode" ->
+      """SELECT doc_id, text,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // python-writer batch constants: baseOffset 1000, 6 records, ts
     // base 1.6e12 spaced 10 ms, sizes measured per codec file

@@ -100,14 +100,18 @@ object ZstdSeekable {
 
   /** Export (id, text) rows as per-partition SEEKABLE `.warc.zst`
     * shards — the Common-Crawl-shaped corpus export: one WARC resource
-    * record per row, one zstd frame per record ([[rawFrame]]), one
-    * seek-tabled shard file per non-empty partition (executor-side
-    * streaming — rows never materialize on the driver). Any zstd/WARC
-    * tool reads the shards; [[readFrames]] splits them per frame
+    * record per row, one zstd frame per record, one seek-tabled shard
+    * file per non-empty partition (executor-side streaming — rows
+    * never materialize on the driver). Frames are genuinely COMPRESSED
+    * by default (round 14, [[graft.operators.ZstdEncode]] — greedy LZ
+    * + predefined-FSE sequences, CLI-verified); `compress = false`
+    * keeps the stored-frame shape ([[rawFrame]]). Any zstd/WARC tool
+    * reads the shards either way; [[readFrames]] splits them per frame
     * group. */
   def writeWarcZstShards(df: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text",
-      uriPrefix: String = "http://corpus.local/doc/"): Unit = {
+      uriPrefix: String = "http://corpus.local/doc/",
+      compress: Boolean = true): Unit = {
     val rows = df.select(df(idCol).cast("long"),
       df(textCol).cast("string"))
     rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
@@ -127,7 +131,8 @@ object ZstdSeekable {
           System.arraycopy(body, 0, rec, hdr.length, body.length)
           rec(rec.length - 4) = '\r'; rec(rec.length - 3) = '\n'
           rec(rec.length - 2) = '\r'; rec(rec.length - 1) = '\n'
-          frames += rawFrame(rec)
+          frames += (if (compress) graft.operators.ZstdEncode
+            .compress(rec) else rawFrame(rec))
           dsizes += rec.length.toLong
         }
         val blob = assemble(frames.result(), dsizes.result())

@@ -67,6 +67,22 @@ class GraftFunctionsSpec extends SparkFunSuite {
         |  "'''Bold''' [[a|link]] {{tmpl|x}} end") AS clean
         |FROM gf_t LIMIT 1""".stripMargin).collect().head
     assert(wiki.getString(0) == "Bold link end")
+
+    // round-14 zstd codec pair: compress really shrinks a repetitive
+    // payload, and the decompress hop is byte-lossless
+    val z = s.sql(
+      """SELECT
+        |  decode(graft_zstd_decompress(graft_zstd_compress(
+        |    encode(repeat('compress me. ', 500), 'utf-8'))),
+        |    'utf-8') AS rt,
+        |  octet_length(graft_zstd_compress(
+        |    encode(repeat('compress me. ', 500), 'utf-8'))) AS clen,
+        |  graft_zstd_decompress(encode('not zstd', 'utf-8')) AS bad
+        |FROM gf_t LIMIT 1""".stripMargin).collect().head
+    assert(z.getString(0) == "compress me. " * 500)
+    assert(z.getInt(1) < 200, s"6500 bytes should shrink, got " +
+      s"${z.getInt(1)}")
+    assert(z.isNullAt(2))
   }
 
   test("graft_top_k coerces int scores/ids at analysis time " +

@@ -74,6 +74,8 @@ class MediaCodegenSpec extends SparkFunSuite {
         "gzip_members" -> graft.plans.MediaExprs.gzipMembersCol,
         "warc_gz_records" -> graft.plans.MediaExprs.warcGzRecordsCol,
         "zstd_frames" -> graft.plans.MediaExprs.zstdFramesCol,
+        "zstd_compress" -> graft.plans.MediaExprs.zstdCompressCol,
+        "zstd_decompress" -> graft.plans.MediaExprs.zstdDecompressCol,
         "warc_zst_records" -> graft.plans.MediaExprs.warcZstRecordsCol,
         "lz4_frames" -> graft.plans.MediaExprs.lz4FramesCol,
         "snappy_decode" -> graft.plans.MediaExprs.snappyCol,
