@@ -5656,6 +5656,34 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CORPUS EXPORT AS WARC.GZ (round 14) — the ORIGINAL Common Crawl
+    // shard layout: one gzip member per WARC record (JDK
+    // GZIPOutputStream — a real reference encoder), `.idx` sidecar
+    // with member byte ranges (the CDX contract); read back via
+    // positioned range reads per member group + the golden-pinned
+    // gzip member walk, parsed to identity
+    "corpus_export_warcgz" -> ((s, dir) => {
+      val path = memoizedFixture(
+          tmpArtifact("graft_warcgz_export", dir)) { d =>
+        graft.sources.WarcGz.writeWarcGzShards(
+          spread(t(s, dir, "documents"))
+            .select(col("doc_id"), col("text")), d)
+      }
+      val members = graft.sources.WarcGz
+        .readShardMembers(s, path, membersPerSplit = 64)
+      val rec = members.select(graft.plans.MediaExprs
+          .gzipMemberCol(col("blob")).getField("content").as("rec"))
+      val pos = locate("\r\n\r\n", col("rec"))
+      val after = col("rec").substr(pos + lit(4),
+        length(col("rec")))
+      rec.select(
+          regexp_extract(col("rec"),
+            "WARC-Target-URI: http://corpus\\.local/doc/(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          after.substr(lit(1), length(after) - 4).as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "corpus_export_range" -> ((s, dir) => {
       def build(d: String): String = {
         val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
@@ -10161,6 +10189,10 @@ object ExtensionQueries {
     // ceil(p·n/100); part = # boundaries strictly below n_chars
     // the export hop is lossless: every doc comes back byte-identical
     "corpus_export_warczst" ->
+      """SELECT doc_id, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "corpus_export_warcgz" ->
       """SELECT doc_id, text FROM documents
         |ORDER BY doc_id""".stripMargin,
 
