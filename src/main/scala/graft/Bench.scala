@@ -208,7 +208,8 @@ object Bench {
       "source_avro_container", "source_avro_split", "source_avro_logical",
       "corpus_export_range", "source_delta_checkpoint",
       "source_avro_nested", "source_warc_zst_split",
-      "corpus_export_warczst", "corpus_export_warcgz")
+      "corpus_export_warczst", "corpus_export_warcgz",
+      "corpus_export_arrow", "corpus_export_arrow_emb")
 
     // SPARK_GRAFT_ONLY=a,b,c restricts the sweep — for focused
     // re-timing (e.g. the round-11 avro_roundtrip_agg outlier hunt);

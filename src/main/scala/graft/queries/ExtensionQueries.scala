@@ -5684,6 +5684,50 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CORPUS EXPORT AS ARROW IPC (round 14) — one .arrows stream per
+    // partition from the in-repo writer (hand-built flatbuffers,
+    // pyarrow-verified at dev time), read back through the
+    // graft_arrow_rows expression to identity. The write half of the
+    // round-13/14 Arrow reader: the GPU-loader interchange layout.
+    "corpus_export_arrow" -> ((s, dir) => {
+      val path = memoizedFixture(
+          tmpArtifact("graft_arrow_export", dir)) { d =>
+        graft.sources.ArrowShards.writeArrowShards(
+          spread(t(s, dir, "documents"))
+            .select(col("doc_id"), col("text"), col("n_chars")), d,
+          batchRows = 256)
+      }
+      s.read.format("binaryFile").load(path + "/*.arrows")
+        .select(explode(graft.plans.ArrowExprs.arrowRowsCol(
+          col("content"), Seq("doc_id" -> "long", "text" -> "string",
+            "n_chars" -> "long"))).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+          col("r.n_chars").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ... and the embedding table through the same hop: list<float32>
+    // columns survive byte-exactly (the reader widens to double, the
+    // cast back to float is exact by construction)
+    "corpus_export_arrow_emb" -> ((s, dir) => {
+      val path = memoizedFixture(
+          tmpArtifact("graft_arrow_emb_export", dir)) { d =>
+        graft.sources.ArrowShards.writeArrowShards(
+          spread(t(s, dir, "embeddings"))
+            .select(col("vec_id"), col("embedding"), col("label")), d,
+          batchRows = 256)
+      }
+      s.read.format("binaryFile").load(path + "/*.arrows")
+        .select(explode(graft.plans.ArrowExprs.arrowRowsCol(
+          col("content"), Seq("vec_id" -> "long",
+            "embedding" -> "array<double>", "label" -> "long"))).as("r"))
+        .select(col("r.vec_id").as("vec_id"),
+          transform(col("r.embedding"), x => x.cast("float"))
+            .as("embedding"),
+          col("r.label").as("label"))
+        .orderBy(col("vec_id"))
+    }),
+
     "corpus_export_range" -> ((s, dir) => {
       def build(d: String): String = {
         val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
@@ -10195,6 +10239,14 @@ object ExtensionQueries {
     "corpus_export_warcgz" ->
       """SELECT doc_id, text FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_export_arrow" ->
+      """SELECT doc_id, text, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "corpus_export_arrow_emb" ->
+      """SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "corpus_export_range" ->
       """WITH h AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents

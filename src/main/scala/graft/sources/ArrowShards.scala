@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+import graft.operators.ArrowWrite
+import graft.operators.ArrowWrite._
+
+/** Arrow IPC shard export (round 14) — the sink side of the
+  * [[graft.operators.ArrowIpc]] reader: one `.arrows` stream file per
+  * non-empty partition, record batches of `batchRows` streamed
+  * executor-side (a partition never materializes in memory), schema
+  * derived from the DataFrame. pyarrow / polars / duckdb load the
+  * shards directly; the repo reads them back through the
+  * `graft_arrow_rows` expression. The 100 TB story: the shard count
+  * follows the upstream partitioning, each file an independent
+  * sequential stream — the standard layout for feeding GPU loaders. */
+object ArrowShards {
+
+  /** Spark type → writer type; integral types widen to int64 (Arrow
+    * readers see the exact values; the repo's own reader outputs long
+    * for every int width anyway). */
+  def atypeOf(dt: DataType): AType = dt match {
+    case LongType | IntegerType | ShortType | ByteType => ALong
+    case DoubleType => ADouble
+    case FloatType => AFloat
+    case StringType => AString
+    case BooleanType => ABool
+    case ArrayType(et, _) => AList(atypeOf(et))
+    case other => throw new IllegalArgumentException(
+      s"unsupported Arrow export type $other")
+  }
+
+  def writeArrowShards(df: DataFrame, path: String,
+      batchRows: Int = 8192): Unit = {
+    require(batchRows > 0, "batchRows must be positive")
+    val schema = df.schema
+    val atypes: Seq[(String, AType)] =
+      schema.fields.toSeq.map(f => f.name -> atypeOf(f.dataType))
+    val nCols = schema.fields.length
+    df.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      if (it.hasNext) {
+        val part = org.apache.spark.TaskContext.get().partitionId()
+        val p = new Path(path,
+          f"part-$part%05d-${java.util.UUID.randomUUID()}.arrows")
+        val fs = p.getFileSystem(
+          new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(p, true)
+        val w = new ArrowWrite.StreamWriter(out, atypes)
+        val bufs = Array.fill(nCols)(
+          Vector.newBuilder[Any])
+        var n = 0
+        def flush(): Unit = if (n > 0) {
+          w.addBatch(atypes.zipWithIndex.map { case ((name, t), i) =>
+            ACol(name, t, bufs(i).result())
+          })
+          bufs.indices.foreach(i => bufs(i) = Vector.newBuilder[Any])
+          n = 0
+        }
+        it.foreach { r =>
+          var i = 0
+          while (i < nCols) {
+            bufs(i) += (r.get(i) match {
+              case null => null
+              case s: scala.collection.Seq[_] => s.toIndexedSeq
+              case v => v
+            })
+            i += 1
+          }
+          n += 1
+          if (n >= batchRows) flush()
+        }
+        flush()
+        w.close()
+      }
+    }
+  }
+}
