@@ -5728,6 +5728,35 @@ object ExtensionQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // CORPUS EXPORT AS TFRECORD (round 14) — one CRC-framed
+    // tf.train.Example per doc (TensorFlow's native ingest layout),
+    // one shard per partition; read back through the golden-pinned
+    // framing walk + nested proto decode to identity
+    "corpus_export_tfrecord" -> ((s, dir) => {
+      val path = memoizedFixture(
+          tmpArtifact("graft_tfrecord_export", dir)) { d =>
+        graft.sources.TfRecordShards.writeExampleShards(
+          spread(t(s, dir, "documents"))
+            .select(col("doc_id"), col("text"), col("n_chars")), d)
+      }
+      val recs = graft.operators.Multimodal.extractTfRecords(
+        s.read.format("binaryFile").load(path + "/*.tfrecord")
+          .select(monotonically_increasing_id().as("doc_id"),
+            col("content").as("blob")), "doc_id").toDF()
+      val ent = col("m.features.feature")
+      recs.select(graft.plans.ProtoExprs.protoDecodeCol(col("payload"),
+          graft.operators.ProtoDecode.TfExample.example).as("m"))
+        .select(
+          element_at(ent, 2).getField("value").getField("int64_list")
+            .getField("value").getItem(0).as("doc_id"),
+          decode(element_at(ent, 1).getField("value")
+            .getField("bytes_list").getField("value").getItem(0),
+            "UTF-8").as("text"),
+          element_at(ent, 2).getField("value").getField("int64_list")
+            .getField("value").getItem(1).as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "corpus_export_range" -> ((s, dir) => {
       def build(d: String): String = {
         val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
@@ -10247,6 +10276,10 @@ object ExtensionQueries {
     "corpus_export_arrow_emb" ->
       """SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "corpus_export_tfrecord" ->
+      """SELECT doc_id, text, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "corpus_export_range" ->
       """WITH h AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents
