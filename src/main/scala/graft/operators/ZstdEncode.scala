@@ -133,6 +133,218 @@ object ZstdEncode {
     }
   }
 
+  // ---- Huffman literals (§4.2) ----------------------------------------
+
+  /** Canonical length-limited (≤ 11 bits) Huffman code lengths for
+    * the given counts, with the EXACT Kraft equality the decoder's
+    * complete-table check demands. Returns null when Huffman can't
+    * apply (fewer than 2 distinct symbols). */
+  private def huffLengths(cnt: Array[Int], maxSym: Int): Array[Int] = {
+    val present = (0 to maxSym).count(cnt(_) > 0)
+    if (present < 2) return null
+    // plain Huffman over a min-heap of (freq, node); parent pointers
+    val freq = new Array[Long](2 * present)
+    val parent = new Array[Int](2 * present)
+    val leafOf = new Array[Int](present)
+    var m = 0
+    var s = 0
+    while (s <= maxSym) {
+      if (cnt(s) > 0) { freq(m) = cnt(s); leafOf(m) = s; m += 1 }
+      s += 1
+    }
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Long, Int)](
+      Ordering.by[(Long, Int), (Long, Int)](x => (-x._1, -x._2)))
+    (0 until m).foreach(i => pq.enqueue((freq(i), i)))
+    var next = m
+    while (pq.size > 1) {
+      val (f1, n1) = pq.dequeue()
+      val (f2, n2) = pq.dequeue()
+      freq(next) = f1 + f2
+      parent(n1) = next; parent(n2) = next
+      pq.enqueue((freq(next), next))
+      next += 1
+    }
+    val root = next - 1
+    val lens = new Array[Int](maxSym + 1)
+    var i = 0
+    while (i < m) {
+      var d = 0
+      var n = i
+      while (n != root) { n = parent(n); d += 1 }
+      lens(leafOf(i)) = d
+      i += 1
+    }
+    // limit to 11 bits, then restore Kraft EQUALITY (the decode table
+    // must close exactly): clamping frees K below 2^11; promote the
+    // longest codes one bit at a time while they still fit
+    val MaxLen = 11
+    var k = 0L
+    (0 to maxSym).foreach { s =>
+      if (lens(s) > 0) {
+        if (lens(s) > MaxLen) lens(s) = MaxLen
+        k += 1L << (MaxLen - lens(s))
+      }
+    }
+    val target = 1L << MaxLen
+    while (k > target) { // over-subscribed: demote a shortest code
+      val s = (0 to maxSym).filter(lens(_) > 0)
+        .minBy(x => (lens(x), x))
+      if (lens(s) >= MaxLen) return null // cannot converge
+      k -= 1L << (MaxLen - lens(s) - 1)
+      lens(s) += 1
+    }
+    while (k < target) { // free space: promote a longest code that fits
+      val cands = (0 to maxSym).filter(s => lens(s) > 1 &&
+        k + (1L << (MaxLen - lens(s))) <= target)
+      if (cands.isEmpty) return null
+      val s = cands.maxBy(x => (lens(x), -x))
+      k += 1L << (MaxLen - lens(s))
+      lens(s) -= 1
+    }
+    lens
+  }
+
+  /** Build a type-2 (Compressed) literals section with DIRECT 4-bit
+    * weights — 1 backward stream for regen ≤ 1023, the 4-stream jump-
+    * table layout otherwise. None when Huffman can't win or can't
+    * apply (max literal byte > 128 — the direct weight form lists at
+    * most 128 explicit weights). */
+  private def huffSection(lits: Array[Byte]): Option[Array[Byte]] = {
+    val n = lits.length
+    if (n < 32) return None
+    val cnt = new Array[Int](256)
+    var i = 0
+    while (i < n) { cnt(lits(i) & 0xff) += 1; i += 1 }
+    var maxSym = 255
+    while (maxSym >= 0 && cnt(maxSym) == 0) maxSym -= 1
+    if (maxSym > 128) return None
+    val lens = huffLengths(cnt, maxSym)
+    if (lens == null) return None
+    val maxBits = lens.max
+    if (maxBits < 1 || maxBits > 11) return None
+    // weights; the decoder re-derives the LAST explicit symbol's
+    // weight from the Kraft leftover, so only 0..maxSym-1 are listed
+    val w = new Array[Int](maxSym + 1)
+    (0 to maxSym).foreach(s =>
+      w(s) = if (lens(s) == 0) 0 else maxBits + 1 - lens(s))
+    // canonical codes replaying the decode-table fill: smallest
+    // weights (longest codes) first, symbols ascending per weight
+    val codes = new Array[Int](maxSym + 1)
+    var pos = 0
+    var weight = 1
+    while (weight <= maxBits) {
+      var sym = 0
+      while (sym <= maxSym) {
+        if (w(sym) == weight) {
+          val len = maxBits + 1 - weight
+          codes(sym) = pos >> (maxBits - len)
+          pos += 1 << (maxBits - len)
+        }
+        sym += 1
+      }
+      weight += 1
+    }
+    if (pos != (1 << maxBits)) return None
+    def streamOf(from: Int, until: Int): Array[Byte] = {
+      val bits = new BitItems
+      var j = from
+      while (j < until) {
+        val b = lits(j) & 0xff
+        bits.add(codes(b).toLong, lens(b))
+        j += 1
+      }
+      bits.render()
+    }
+    val weightBytes = new Array[Byte]((maxSym + 1) / 2)
+    var wi = 0
+    while (wi < maxSym) { // explicit weights: symbols 0..maxSym-1
+      val v = w(wi)
+      if ((wi & 1) == 0) weightBytes(wi >> 1) = (v << 4).toByte
+      else weightBytes(wi >> 1) = (weightBytes(wi >> 1) | v).toByte
+      wi += 1
+    }
+    val header = 127 + maxSym // direct form: maxSym explicit weights
+    if (header > 255) return None
+    val out = new java.io.ByteArrayOutputStream(n / 2 + 16)
+    if (n <= 1023) { // 1 stream, size format 0
+      val stream = streamOf(0, n)
+      val comp = 1 + weightBytes.length + stream.length
+      if (comp > 1023 || comp >= n) return None
+      val v = 2 | (n << 4) | (comp << 14)
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff)
+      out.write(header)
+      out.write(weightBytes, 0, weightBytes.length)
+      out.write(stream, 0, stream.length)
+    } else { // 4 streams; regen ≥ 1024 so every chunk is non-empty
+      val per = (n + 3) / 4
+      val last = n - 3 * per
+      if (last <= 0) return None
+      val ss = Array(streamOf(0, per), streamOf(per, 2 * per),
+        streamOf(2 * per, 3 * per), streamOf(3 * per, n))
+      val comp = 1 + weightBytes.length + 6 +
+        ss.map(_.length).sum
+      if (comp >= n) return None
+      if (n <= 16383 && comp <= 16383) { // size format 2
+        val v = 2L | (2L << 2) | (n.toLong << 4) | (comp.toLong << 18)
+        var b = 0
+        while (b < 4) { out.write(((v >> (8 * b)) & 0xff).toInt)
+          b += 1 }
+      } else { // size format 3
+        val v = 2L | (3L << 2) | (n.toLong << 4) | (comp.toLong << 22)
+        var b = 0
+        while (b < 5) { out.write(((v >> (8 * b)) & 0xff).toInt)
+          b += 1 }
+      }
+      out.write(header)
+      out.write(weightBytes, 0, weightBytes.length)
+      var si = 0
+      while (si < 3) {
+        out.write(ss(si).length & 0xff)
+        out.write((ss(si).length >> 8) & 0xff)
+        si += 1
+      }
+      ss.foreach(x => out.write(x, 0, x.length))
+    }
+    Some(out.toByteArray)
+  }
+
+  /** The literals section, smallest of RLE / Huffman / raw. */
+  private def literalSection(lits: Array[Byte]): Array[Byte] = {
+    val n = lits.length
+    if (n > 0) {
+      var same = true
+      var i = 1
+      while (same && i < n) { same = lits(i) == lits(0); i += 1 }
+      if (same) { // RLE literals
+        val out = new java.io.ByteArrayOutputStream(4)
+        if (n <= 31) out.write(1 | (n << 3))
+        else if (n <= 4095) {
+          out.write(1 | (1 << 2) | ((n & 0xf) << 4)); out.write(n >> 4)
+        } else {
+          out.write(1 | (3 << 2) | ((n & 0xf) << 4))
+          out.write((n >> 4) & 0xff); out.write(n >> 12)
+        }
+        out.write(lits(0))
+        return out.toByteArray
+      }
+    }
+    huffSection(lits) match {
+      case Some(h) => h
+      case None =>
+        val out = new java.io.ByteArrayOutputStream(n + 3)
+        if (n <= 31) out.write(n << 3)
+        else if (n <= 4095) {
+          out.write(((n & 0xf) << 4) | (1 << 2)); out.write(n >> 4)
+        } else {
+          out.write(((n & 0xf) << 4) | (3 << 2))
+          out.write((n >> 4) & 0xff); out.write(n >> 12)
+        }
+        out.write(lits, 0, n)
+        out.toByteArray
+    }
+  }
+
   // ---- block encode ----------------------------------------------------
 
   /** Greedy LZ parse of `src[from, to)` with frame-wide history in
@@ -186,24 +398,19 @@ object ZstdEncode {
     (seqs.result(), lits.toByteArray)
   }
 
-  /** Encode one compressed block body (literals section + sequences
-    * section). None when sequence-free or not smaller than raw. */
+  /** Encode one compressed block body (literals section — RLE /
+    * Huffman / raw, whichever is smallest — + sequences section).
+    * None when not smaller than a raw block. A sequence-free block
+    * still compresses when its literals do (nbSeq = 0). */
   private def encodeBlock(seqs: Vector[Seq3], lits: Array[Byte],
       rawLen: Int): Option[Array[Byte]] = {
-    if (seqs.isEmpty) return None
     val out = new java.io.ByteArrayOutputStream(rawLen)
-    // raw literals section header (type 0, smallest size format)
-    val n = lits.length
-    if (n <= 31) out.write(n << 3)
-    else if (n <= 4095) {
-      out.write(((n & 0xf) << 4) | (1 << 2))
-      out.write(n >> 4)
-    } else {
-      out.write(((n & 0xf) << 4) | (3 << 2))
-      out.write((n >> 4) & 0xff)
-      out.write(n >> 12)
+    val section = literalSection(lits)
+    out.write(section, 0, section.length)
+    if (seqs.isEmpty) {
+      out.write(0) // nbSeq = 0: literals only, no modes byte
+      return if (out.size() >= rawLen) None else Some(out.toByteArray)
     }
-    out.write(lits, 0, n)
     // sequences header
     val ns = seqs.length
     if (ns < 128) out.write(ns)
@@ -302,6 +509,7 @@ object ZstdEncode {
       val last = if (p + take >= n) 1 else 0
       val body =
         if (take == 0) None
+        else if (take < 16) None // headers dominate tiny blocks
         else {
           val (seqs, lits) = parse(content, p, p + take, tab)
           encodeBlock(seqs, lits, take)

@@ -26,7 +26,30 @@ object ZstdEncodeProbe {
       "abab" -> Array.tabulate[Byte](150000)(i => (if ((i & 1) == 0) 'a'
         else 'b').toByte),
       "period7" -> Array.tabulate[Byte](131073)(i => (i % 7 + 65).toByte),
-      "hello" -> "hello zstd world".getBytes("UTF-8"))
+      "hello" -> "hello zstd world".getBytes("UTF-8"),
+      // low-redundancy ASCII: matches are rare, Huffman literals must
+      // carry the compression (skewed letter frequencies)
+      "ascii" -> {
+        val r2 = new java.util.Random(5)
+        val freq = "etaoinshrdlcumwfgypbvk"
+        val sb = new StringBuilder
+        while (sb.length < 50000) {
+          val wl = 2 + r2.nextInt(9)
+          (0 until wl).foreach { _ =>
+            sb.append(freq(math.min(r2.nextInt(8) + r2.nextInt(15),
+              freq.length - 1)))
+          }
+          sb.append(' ')
+        }
+        sb.toString.getBytes("UTF-8")
+      },
+      "ascii_small" -> {
+        val r3 = new java.util.Random(9)
+        val sb = new StringBuilder
+        while (sb.length < 600)
+          sb.append(('a' + r3.nextInt(6)).toChar)
+        sb.toString.getBytes("UTF-8")
+      })
     var fail = 0
     cases.foreach { case (name, in) =>
       val enc = ZstdEncode.compress(in)

@@ -98,6 +98,54 @@ class ZstdEncodeSpec extends AnyFunSuite {
     assert(touched.contains("seq-predefined"))
   }
 
+  test("Huffman literals engage on low-redundancy ASCII: 1-stream " +
+      "and 4-stream forms, decoder path coverage, CLI-verified class " +
+      "of output (zstd -d decoded the dev matrix byte-exactly)") {
+    val r = new java.util.Random(5)
+    def skewed(n: Int): Array[Byte] = {
+      val freq = "etaoinshrdlcumwfgypbvk"
+      val sb = new StringBuilder
+      while (sb.length < n) {
+        (0 until 2 + r.nextInt(9)).foreach(_ => sb.append(
+          freq(math.min(r.nextInt(8) + r.nextInt(15), freq.length - 1))))
+        sb.append(' ')
+      }
+      sb.toString.getBytes("UTF-8")
+    }
+    val touched = scala.collection.mutable.Set[String]()
+    ZstdDecode.pathHook = p => { touched += p; () }
+    try {
+      val small = skewed(600) // regen ≤ 1023 → 1 backward stream
+      val encS = ZstdEncode.compress(small)
+      assert(encS.length < small.length * 7 / 10,
+        s"Huffman should shrink skewed ASCII: ${small.length} -> " +
+          s"${encS.length}")
+      assert(java.util.Arrays.equals(
+        ZstdDecode.decompress(encS).get, small))
+      val big = skewed(50000) // > 1023 literals → 4-stream jump table
+      val encB = ZstdEncode.compress(big)
+      assert(encB.length < big.length * 8 / 10)
+      assert(java.util.Arrays.equals(
+        ZstdDecode.decompress(encB).get, big))
+      // RLE literals: same-byte literal runs with a structure break
+      val rle = ("x" * 200 + "Q" + "x" * 200).getBytes("UTF-8")
+      assert(java.util.Arrays.equals(
+        ZstdDecode.decompress(ZstdEncode.compress(rle)).get, rle))
+    } finally ZstdDecode.pathHook = null
+    assert(touched.contains("lit-compressed"))
+    assert(touched.contains("weights-direct"))
+    assert(touched.contains("huf-1stream"))
+    assert(touched.contains("huf-4stream"))
+  }
+
+  test("Huffman declines honestly: >128 distinct byte values fall " +
+      "back to raw literals (the direct-weight form's ceiling)") {
+    val r = new java.util.Random(13)
+    val hi = new Array[Byte](5000)
+    r.nextBytes(hi) // full byte range → maxSym > 128 → raw literals
+    roundTrip(hi)
+  }
+
   test("offsets reach across block boundaries (frame-wide window)") {
     // block 2 opens with a verbatim copy of block 1's opening bytes:
     // a correct encoder matches back across the 128 KiB boundary
