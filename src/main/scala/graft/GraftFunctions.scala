@@ -89,6 +89,8 @@ object GraftFunctions {
       es => GraftFunctions.wikitextStripExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_text_signals",
       es => TextSignals(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_unigram_score",
+      es => UnigramScore(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_bigram_stats",
       es => BigramStats(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_dup_ngram_coverage",

@@ -114,6 +114,11 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_text_signals",
         "graft_text_signals(text) - one-pass per-document profile struct"),
       es => TextSignals(es(0))))
+    e.injectFunction((FunctionIdentifier("graft_unigram_score"),
+      info("graft_unigram_score",
+        "graft_unigram_score(text) - unigram-LM Viterbi segmentation " +
+          "totals (uni_total, n_pieces, score_fp)"),
+      es => UnigramScore(es(0))))
     e.injectFunction((FunctionIdentifier("graft_bigram_stats"),
       info("graft_bigram_stats",
         "graft_bigram_stats(text) - row-local bigram repetition stats"),

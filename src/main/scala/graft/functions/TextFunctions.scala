@@ -384,6 +384,15 @@ object TextFunctions {
       graft.plans.TextSignals(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 
+  /** Unigram-LM Viterbi score over the fixed piece inventory
+    * ([[graft.plans.UnigramScore]], round 14): struct(uni_total,
+    * n_pieces, score_fp) — the optimal SentencePiece-style
+    * segmentation's totals, one native DP pass per document. */
+  def unigramScore(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.UnigramScore(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
   /** Row-local bigram statistics struct(n_bigrams, top_n, n_distinct_bg)
     * over the normalized token stream ([[graft.plans.BigramStats]]) — the
     * explode+groupBy formulation shuffles a corpus-sized bigram stream for

@@ -337,6 +337,44 @@ case class DupNgramCoverage(child: Expression, n: Int)
   override def prettyName: String = "graft_dup_ngram_coverage"
 }
 
+/** Unigram-LM Viterbi scoring kernel (round 14 — see
+  * [[graft.functions.UnigramTokenizer]]): the fixed-inventory DP total
+  * decomposed into its (total, n_pieces, score_fp) parts. */
+object UnigramKernel {
+  import graft.functions.UnigramTokenizer
+
+  val schema: StructType = StructType(Seq(
+    StructField("uni_total", LongType, nullable = false),
+    StructField("n_pieces", LongType, nullable = false),
+    StructField("score_fp", LongType, nullable = false)))
+
+  def score(t: UTF8String): GenericInternalRow = {
+    if (t == null) return null
+    val total = UnigramTokenizer.viterbiTotal(
+      UnigramTokenizer.codePoints(t.toString),
+      UnigramTokenizer.fixedVocab)
+    val k = (-total) % 1024L
+    new GenericInternalRow(Array[Any](total, k, (total + k) / 1024L))
+  }
+}
+
+/** `unigram_score(text)` → (uni_total, n_pieces, score_fp): the
+  * optimal unigram segmentation's combined DP total and its parts —
+  * kernel and DuckDB oracle share one vocabulary constant. */
+case class UnigramScore(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = UnigramKernel.schema
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(input: Any): Any =
+    UnigramKernel.score(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.UnigramKernel.score($c);")
+  override protected def withNewChildInternal(c: Expression) =
+    copy(child = c)
+  override def prettyName: String = "graft_unigram_score"
+}
+
 /** `text_signals(text)` → struct of every per-document profile signal in
   * one native pass (see [[TextSignalsKernel]]). */
 case class TextSignals(child: Expression) extends UnaryExpression {

@@ -4138,6 +4138,24 @@ object ExtensionQueries {
               col("n_chars").cast("double")))
         .orderBy(col("doc_id"))),
 
+    // UNIGRAM-LM TOKENIZATION (round 14) — the OTHER classic subword
+    // scheme (Kudo 2018 / SentencePiece): Viterbi DP over a scored
+    // piece inventory, one native kernel pass per document. All
+    // integer fixed-point; the oracle is a recursive CTE carrying a
+    // 4-deep rolling DP window, GENERATED from the same vocabulary
+    // constant as the kernel — one inventory, two front doors. The
+    // 256-char prefix bounds DP work and keeps the piece count under
+    // the 1024 tie-break modulus.
+    "text_unigram_score" -> ((s, dir) =>
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          TF.unigramScore(lower(substring(col("text"), 1, 256)))
+            .as("u"))
+        .select(col("doc_id"), col("u.uni_total").as("uni_total"),
+          col("u.n_pieces").as("n_pieces"),
+          col("u.score_fp").as("score_fp"))
+        .orderBy(col("doc_id"))),
+
     // corpus vocabulary: top-20 terms by document frequency, ties
     // broken by term — orderBy+limit compiles to TakeOrderedAndProject
     // (per-partition partial top-k, only k×partitions rows exchanged;
@@ -7638,6 +7656,11 @@ object ExtensionQueries {
          |d AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tk)
          |SELECT term, COUNT(*) AS df FROM d
          |GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin,
+    // recursive-CTE Viterbi DP generated from UnigramTokenizer.Pieces
+    // — one inventory, two engines (see the query comment)
+    "text_unigram_score" -> graft.functions.UnigramTokenizer.oracleSql(
+      "SELECT doc_id, substr(lower(text), 1, 256) AS txt " +
+        "FROM documents"),
     // the two-pass engine result equals the straightforward exact count
     // (sketchK >= phiDenom guarantees discovery recall; the verify pass
     // discards sketch false positives)
