@@ -481,9 +481,24 @@ object ZstdEncode {
     * otherwise), XXH64-low32 content checksum — the compressing twin
     * of [[graft.sources.ZstdSeekable.rawFrame]], byte-compatible with
     * any zstd tool and with [[ZstdDecode.decompress]]. */
-  def compress(content: Array[Byte]): Array[Byte] = {
-    require(content.length <= MaxInput,
-      s"frame content ${content.length} exceeds $MaxInput")
+  def compress(content: Array[Byte]): Array[Byte] =
+    compress(content, Array.emptyByteArray)
+
+  /** DICTIONARY (raw-content / prefix) compression — the write half
+    * of the round-14 dictionary decode: matches may reach back into
+    * `prefix`, which the decoder seeds as already-emitted window
+    * history. Mirrors the `zstd -D <rawfile>` convention observed on
+    * the real CLI: NO dictionary id is declared in the frame header
+    * (raw dicts have no id by definition) — the reader must supply
+    * the same prefix out-of-band (`ZstdDecode.decompress(b, dict)`)
+    * or in-band via the IIPC skippable frame
+    * ([[ZstdDecode.decompressDictAware]]). CLI-verified: `zstd -d -D`
+    * decodes these frames byte-exactly. */
+  def compress(content: Array[Byte],
+      prefix: Array[Byte]): Array[Byte] = {
+    require(content.length.toLong + prefix.length <= MaxInput,
+      s"frame content ${content.length} + prefix ${prefix.length} " +
+        s"exceeds $MaxInput")
     val out = new java.io.ByteArrayOutputStream(content.length / 2 + 64)
     def u32le(v: Long): Unit = {
       out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
@@ -501,8 +516,28 @@ object ZstdEncode {
         out.write(v & 0xff); out.write((v >> 8) & 0xff)
       case _ => u32le(n.toLong)
     }
+    // the match window is prefix + content: sequences' offsets may
+    // reach into the prefix the decoder seeds as emitted history
+    val src =
+      if (prefix.length == 0) content
+      else {
+        val c = new Array[Byte](prefix.length + content.length)
+        System.arraycopy(prefix, 0, c, 0, prefix.length)
+        System.arraycopy(content, 0, c, prefix.length, content.length)
+        c
+      }
+    val base = prefix.length
     val tab = new Array[Int](1 << HashLog)
     java.util.Arrays.fill(tab, -1)
+    if (base >= 4) { // seed the finder over the prefix (insert-only)
+      var q = 0
+      while (q <= base - 4) {
+        val v = (src(q) & 0xff) | ((src(q + 1) & 0xff) << 8) |
+          ((src(q + 2) & 0xff) << 16) | ((src(q + 3) & 0xff) << 24)
+        tab((v * 0x9e3779b1) >>> HashShift) = q
+        q += 1
+      }
+    }
     var p = 0
     do {
       val take = math.min(BlockSpan, n - p)
@@ -511,7 +546,8 @@ object ZstdEncode {
         if (take == 0) None
         else if (take < 16) None // headers dominate tiny blocks
         else {
-          val (seqs, lits) = parse(content, p, p + take, tab)
+          val (seqs, lits) =
+            parse(src, base + p, base + p + take, tab)
           encodeBlock(seqs, lits, take)
         }
       body match {

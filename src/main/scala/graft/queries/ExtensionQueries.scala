@@ -5674,6 +5674,37 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ... AND THE DICTIONARY-COMPRESSED LAYOUT (round 14) — the shape
+    // Common Crawl actually publishes: a leading in-band 0x184D2A5D
+    // skippable frame carries a raw-content dictionary (the WARC
+    // header boilerplate), every record frame's matches reach into
+    // that shared prefix window (cross-record redundancy a per-record
+    // frame can't otherwise see). Read back per frame group with the
+    // dict frame prepended per blob; the dict-aware scalar decompress
+    // recovers each record
+    "corpus_export_warczst_dict" -> ((s, dir) => {
+      val path = memoizedFixture(
+          tmpArtifact("graft_warczstd_export", dir)) { d =>
+        graft.sources.ZstdSeekable.writeWarcZstShards(
+          spread(t(s, dir, "documents"))
+            .select(col("doc_id"), col("text")), d,
+          dict = graft.sources.ZstdSeekable.WarcDict)
+      }
+      val frames = graft.sources.ZstdSeekable
+        .readShardFrames(s, path, framesPerSplit = 64)
+      val rec = frames.select(decode(graft.plans.MediaExprs
+          .zstdDecompressCol(col("blob")), "UTF-8").as("rec"))
+      val pos = locate("\r\n\r\n", col("rec"))
+      val after = col("rec").substr(pos + lit(4),
+        length(col("rec")))
+      rec.select(
+          regexp_extract(col("rec"),
+            "WARC-Target-URI: http://corpus\\.local/doc/(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          after.substr(lit(1), length(after) - 4).as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CORPUS EXPORT AS WARC.GZ (round 14) — the ORIGINAL Common Crawl
     // shard layout: one gzip member per WARC record (JDK
     // GZIPOutputStream — a real reference encoder), `.idx` sidecar
@@ -10285,6 +10316,10 @@ object ExtensionQueries {
     // ceil(p·n/100); part = # boundaries strictly below n_chars
     // the export hop is lossless: every doc comes back byte-identical
     "corpus_export_warczst" ->
+      """SELECT doc_id, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "corpus_export_warczst_dict" ->
       """SELECT doc_id, text FROM documents
         |ORDER BY doc_id""".stripMargin,
 

@@ -108,16 +108,44 @@ object ZstdSeekable {
     * keeps the stored-frame shape ([[rawFrame]]). Any zstd/WARC tool
     * reads the shards either way; [[readFrames]] splits them per frame
     * group. */
+  /** The WARC-header boilerplate as a raw-content dictionary: every
+    * record repeats it, but each record is its own frame — only a
+    * shared prefix window captures the cross-record redundancy (the
+    * reason Common Crawl ships dictionary-compressed `.warc.zst`). */
+  val WarcDict: Array[Byte] =
+    ("WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: " +
+      "\r\n\r\nWARC/1.0\r\nWARC-Type: resource\r\n" +
+      "WARC-Target-URI: http://corpus.local/doc/")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** The IIPC in-band dictionary frame: skippable magic `0x184D2A5D`
+    * + LE32 length + the raw dictionary payload. */
+  def dictFrame(payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(payload.length + 8)
+    out.write(u32le(DictFrameMagic))
+    out.write(u32le(payload.length.toLong))
+    out.write(payload, 0, payload.length)
+    out.toByteArray
+  }
+
   def writeWarcZstShards(df: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text",
       uriPrefix: String = "http://corpus.local/doc/",
-      compress: Boolean = true): Unit = {
+      compress: Boolean = true,
+      dict: Array[Byte] = null): Unit = {
+    require(dict == null || compress,
+      "dictionary compression requires compress = true")
     val rows = df.select(df(idCol).cast("long"),
       df(textCol).cast("string"))
     rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       if (it.hasNext) {
         val frames = Vector.newBuilder[Array[Byte]]
         val dsizes = Vector.newBuilder[Long]
+        val prefix = if (dict == null) Array.emptyByteArray else dict
+        if (dict != null) { // leading in-band dictionary frame
+          frames += dictFrame(dict)
+          dsizes += 0L
+        }
         it.foreach { r =>
           val id = r.getLong(0)
           val body = Option(r.getString(1)).getOrElse("")
@@ -132,7 +160,7 @@ object ZstdSeekable {
           rec(rec.length - 4) = '\r'; rec(rec.length - 3) = '\n'
           rec(rec.length - 2) = '\r'; rec(rec.length - 1) = '\n'
           frames += (if (compress) graft.operators.ZstdEncode
-            .compress(rec) else rawFrame(rec))
+            .compress(rec, prefix) else rawFrame(rec))
           dsizes += rec.length.toLong
         }
         val blob = assemble(frames.result(), dsizes.result())

@@ -64,6 +64,24 @@ object ZstdEncodeProbe {
       val f = new java.io.FileOutputStream(s"/tmp/zenc_$name.zst")
       try f.write(enc) finally f.close()
     }
+    // dictionary (prefix) compression: CLI verifies via zstd -d -D
+    val dict = graft.sources.ZstdSeekable.WarcDict
+    val rec = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "WARC-Target-URI: http://corpus.local/doc/42\r\n" +
+      "Content-Length: 11\r\n\r\nhello world\r\n\r\n").getBytes("UTF-8")
+    val encD = ZstdEncode.compress(rec, dict)
+    val encP = ZstdEncode.compress(rec)
+    val zd = ZstdDecode.parseDict(dict).get
+    ZstdDecode.decompress(encD, zd) match {
+      case Some(d) if java.util.Arrays.equals(d, rec) =>
+        println(s"OK   dict-rec   ${rec.length} -> ${encD.length} " +
+          s"(plain ${encP.length})")
+      case _ => println("FAIL dict-rec"); fail += 1
+    }
+    val fd = new java.io.FileOutputStream("/tmp/zenc_dictrec.zst")
+    try fd.write(encD) finally fd.close()
+    val fw = new java.io.FileOutputStream("/tmp/zenc_warcdict.bin")
+    try fw.write(dict) finally fw.close()
     println(if (fail == 0) "ALL_OK" else s"FAILURES=$fail")
   }
 }

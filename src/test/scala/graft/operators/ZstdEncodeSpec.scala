@@ -146,6 +146,55 @@ class ZstdEncodeSpec extends AnyFunSuite {
     roundTrip(hi)
   }
 
+  test("CLI-VERIFIED golden: dictionary (prefix) compression — " +
+      "`zstd -d -D <rawdict>` decoded these exact bytes; matches " +
+      "reach into the shared prefix window") {
+    val dict = graft.sources.ZstdSeekable.WarcDict
+    val rec = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "WARC-Target-URI: http://corpus.local/doc/42\r\n" +
+      "Content-Length: 11\r\n\r\nhello world\r\n\r\n").getBytes("UTF-8")
+    val enc = ZstdEncode.compress(rec, dict)
+    assert(hex(enc) ==
+      "28b52ffd2471050100783432313168656c6c6f20776f726c64050032e15b" +
+      "1fe09579184bc060ab0202895c5cec")
+    // the dictionary pays: the record alone is too small to shrink
+    assert(enc.length < rec.length &&
+      ZstdEncode.compress(rec).length >= rec.length)
+    // mirror of the CLI convention: NO dict id declared (desc 0x24)
+    assert((enc(4) & 0x03) == 0)
+    val zd = ZstdDecode.parseDict(dict).get
+    assert(java.util.Arrays.equals(
+      ZstdDecode.decompress(enc, zd).get, rec))
+    // without the dictionary the frame is DECLINED, never misread
+    assert(ZstdDecode.decompress(enc).isEmpty)
+  }
+
+  test("dictionary round-trip matrix + the in-band IIPC layout " +
+      "(dict skippable frame + record frames through " +
+      "decompressDictAware)") {
+    val dict = ("shared boilerplate header: " * 8).getBytes("UTF-8")
+    val zd = ZstdDecode.parseDict(dict).get
+    val rnd = new java.util.Random(21)
+    val cases = Seq(
+      "shared boilerplate header: unique tail 1".getBytes("UTF-8"),
+      ("shared boilerplate header: " * 3 + "x").getBytes("UTF-8"),
+      Array.empty[Byte],
+      { val b = new Array[Byte](5000); rnd.nextBytes(b); b })
+    cases.foreach { c =>
+      val enc = ZstdEncode.compress(c, dict)
+      val dec = ZstdDecode.decompress(enc, zd)
+      assert(dec.isDefined && java.util.Arrays.equals(dec.get, c),
+        s"dict round-trip at ${c.length}")
+    }
+    // in-band: [dict frame][frame(c1)][frame(c2)] → concatenation
+    val stream = graft.sources.ZstdSeekable.dictFrame(dict) ++
+      ZstdEncode.compress(cases(0), dict) ++
+      ZstdEncode.compress(cases(1), dict)
+    val got = ZstdDecode.decompressDictAware(stream)
+    assert(got.isDefined &&
+      java.util.Arrays.equals(got.get, cases(0) ++ cases(1)))
+  }
+
   test("offsets reach across block boundaries (frame-wide window)") {
     // block 2 opens with a verbatim copy of block 1's opening bytes:
     // a correct encoder matches back across the 128 KiB boundary
