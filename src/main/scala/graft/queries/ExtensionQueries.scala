@@ -5705,6 +5705,38 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ... WITH A TRAINED DICTIONARY (round 14) — the full CC-style
+    // pipeline: train a raw-content dictionary from the corpus's own
+    // frequent grams (one scan + top-k; ZstdDictTrain), append the
+    // WARC boilerplate (nearest offsets), export every record frame
+    // against the shared window, read back through the seekable split
+    // + dict-aware decompress to identity
+    "corpus_export_warczst_trained" -> ((s, dir) => {
+      val path = memoizedFixture(
+          tmpArtifact("graft_warczstt_export", dir)) { d =>
+        val docs = spread(t(s, dir, "documents"))
+          .select(col("doc_id"), col("text"))
+        val trained = graft.operators.ZstdDictTrain
+          .trainRawDict(docs, "text", gram = 16, k = 256,
+            maxBytes = 2048)
+        graft.sources.ZstdSeekable.writeWarcZstShards(docs, d,
+          dict = trained ++ graft.sources.ZstdSeekable.WarcDict)
+      }
+      val frames = graft.sources.ZstdSeekable
+        .readShardFrames(s, path, framesPerSplit = 64)
+      val rec = frames.select(decode(graft.plans.MediaExprs
+          .zstdDecompressCol(col("blob")), "UTF-8").as("rec"))
+      val pos = locate("\r\n\r\n", col("rec"))
+      val after = col("rec").substr(pos + lit(4),
+        length(col("rec")))
+      rec.select(
+          regexp_extract(col("rec"),
+            "WARC-Target-URI: http://corpus\\.local/doc/(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          after.substr(lit(1), length(after) - 4).as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CORPUS EXPORT AS WARC.GZ (round 14) — the ORIGINAL Common Crawl
     // shard layout: one gzip member per WARC record (JDK
     // GZIPOutputStream — a real reference encoder), `.idx` sidecar
@@ -10320,6 +10352,10 @@ object ExtensionQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "corpus_export_warczst_dict" ->
+      """SELECT doc_id, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "corpus_export_warczst_trained" ->
       """SELECT doc_id, text FROM documents
         |ORDER BY doc_id""".stripMargin,
 
