@@ -42,8 +42,15 @@ object ZstdEncode {
     * never exceeds the window). */
   private val BlockSpan = 1 << 17
 
-  private val HashLog = 17
-  private val HashShift = 32 - HashLog
+  private val MaxHashLog = 17
+
+  /** Hash-table size scaled to the input: a 300-byte WARC record must
+    * not pay a 512 KiB table fill (measured 10x of the whole encode
+    * at corpus record sizes); ~2 slots per input byte up to 128K
+    * slots. */
+  private def hashLogFor(n: Int): Int =
+    math.min(MaxHashLog, math.max(9,
+      33 - Integer.numberOfLeadingZeros(math.max(1, n))))
 
   // per-sequence ceilings from the predefined code tables:
   // LL code 35 = 65536 + 16 extra bits, ML code 52 = 65539 + 16 bits
@@ -102,10 +109,14 @@ object ZstdEncode {
   /** Items in DECODER-READ order → the backwards stream: the first
     * item lands in the top bits under the 1-bit sentinel. */
   private final class BitItems {
-    private val buf = new scala.collection.mutable.ArrayBuffer[Long]()
+    private var buf = new Array[Long](64)
+    private var n = 0
     private var total = 0
     def add(value: Long, nb: Int): Unit = if (nb > 0) {
-      buf += (value | (nb.toLong << 48))
+      if (n == buf.length)
+        buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      buf(n) = value | (nb.toLong << 48)
+      n += 1
       total += nb
     }
     def render(): Array[Byte] = {
@@ -113,7 +124,7 @@ object ZstdEncode {
       val out = new Array[Byte](bytes)
       var ptr = total
       var i = 0
-      while (i < buf.length) {
+      while (i < n) {
         val packed = buf(i)
         val nb = (packed >>> 48).toInt
         val v = packed & 0xffffffffffffL
@@ -350,13 +361,13 @@ object ZstdEncode {
   /** Greedy LZ parse of `src[from, to)` with frame-wide history in
     * `tab` (positions are absolute). Returns (sequences, literals). */
   private def parse(src: Array[Byte], from: Int, to: Int,
-      tab: Array[Int]): (Vector[Seq3], Array[Byte]) = {
+      tab: Array[Int], hashShift: Int): (Vector[Seq3], Array[Byte]) = {
     val seqs = Vector.newBuilder[Seq3]
     val lits = new java.io.ByteArrayOutputStream()
     @inline def v4(p: Int): Int =
       (src(p) & 0xff) | ((src(p + 1) & 0xff) << 8) |
         ((src(p + 2) & 0xff) << 16) | ((src(p + 3) & 0xff) << 24)
-    @inline def h(v: Int): Int = (v * 0x9e3779b1) >>> HashShift
+    @inline def h(v: Int): Int = (v * 0x9e3779b1) >>> hashShift
     var i = from
     var anchor = from
     var miss = 0
@@ -527,14 +538,16 @@ object ZstdEncode {
         c
       }
     val base = prefix.length
-    val tab = new Array[Int](1 << HashLog)
+    val hashLog = hashLogFor(src.length)
+    val hashShift = 32 - hashLog
+    val tab = new Array[Int](1 << hashLog)
     java.util.Arrays.fill(tab, -1)
     if (base >= 4) { // seed the finder over the prefix (insert-only)
       var q = 0
       while (q <= base - 4) {
         val v = (src(q) & 0xff) | ((src(q + 1) & 0xff) << 8) |
           ((src(q + 2) & 0xff) << 16) | ((src(q + 3) & 0xff) << 24)
-        tab((v * 0x9e3779b1) >>> HashShift) = q
+        tab((v * 0x9e3779b1) >>> hashShift) = q
         q += 1
       }
     }
@@ -547,7 +560,7 @@ object ZstdEncode {
         else if (take < 16) None // headers dominate tiny blocks
         else {
           val (seqs, lits) =
-            parse(src, base + p, base + p + take, tab)
+            parse(src, base + p, base + p + take, tab, hashShift)
           encodeBlock(seqs, lits, take)
         }
       body match {
