@@ -91,6 +91,8 @@ object GraftFunctions {
       es => TextSignals(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_unigram_score",
       es => UnigramScore(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_greedy_segment",
+      es => GreedySegment(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_bigram_stats",
       es => BigramStats(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_dup_ngram_coverage",

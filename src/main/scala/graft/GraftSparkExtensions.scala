@@ -119,6 +119,11 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         "graft_unigram_score(text) - unigram-LM Viterbi segmentation " +
           "totals (uni_total, n_pieces, score_fp)"),
       es => UnigramScore(es(0))))
+    e.injectFunction((FunctionIdentifier("graft_greedy_segment"),
+      info("graft_greedy_segment",
+        "graft_greedy_segment(text) - greedy maximal-munch " +
+          "segmentation totals (wp_pieces, wp_score_fp, wp_unknown)"),
+      es => GreedySegment(es(0))))
     e.injectFunction((FunctionIdentifier("graft_bigram_stats"),
       info("graft_bigram_stats",
         "graft_bigram_stats(text) - row-local bigram repetition stats"),

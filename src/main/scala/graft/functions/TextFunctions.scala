@@ -393,6 +393,14 @@ object TextFunctions {
       graft.plans.UnigramScore(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 
+  /** Greedy maximal-munch segmentation totals over the same piece
+    * inventory ([[graft.plans.GreedySegment]]): struct(wp_pieces,
+    * wp_score_fp, wp_unknown) — WordPiece-style inference. */
+  def greedySegment(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.GreedySegment(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
   /** Row-local bigram statistics struct(n_bigrams, top_n, n_distinct_bg)
     * over the normalized token stream ([[graft.plans.BigramStats]]) — the
     * explode+groupBy formulation shuffles a corpus-sized bigram stream for

@@ -207,6 +207,79 @@ object UnigramTokenizer {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** GREEDY maximal-munch segmentation (the WordPiece/BERT inference
+    * rule: longest vocabulary piece first, position by position) over
+    * the same inventory — the classic contrast to Viterbi: locally
+    * optimal, globally ≤ the Viterbi score. Returns
+    * (n_pieces, score_fp, n_unknown). */
+  def greedySegment(cps: Array[Int],
+      vocab: java.util.HashMap[String, Integer]): (Long, Long, Long) = {
+    var i = 0
+    var pieces = 0L
+    var score = 0L
+    var unknown = 0L
+    while (i < cps.length) {
+      var len = math.min(MaxPieceLen, cps.length - i)
+      var taken = false
+      while (!taken && len >= 1) {
+        val sc = vocab.get(new String(cps, i, len))
+        if (sc != null) {
+          score += sc.longValue()
+          pieces += 1
+          i += len
+          taken = true
+        } else len -= 1
+      }
+      if (!taken) {
+        score += UnknownScore
+        unknown += 1
+        pieces += 1
+        i += 1
+      }
+    }
+    (pieces, score, unknown)
+  }
+
+  /** The greedy oracle: recursive CTE stepping `i` by the LONGEST
+    * matching piece (the caseFor lookups in 4→1 order), accumulating
+    * count / score / unknown — generated from [[Pieces]] like
+    * [[oracleSql]]. */
+  def greedyOracleSql(docsCte: String): String = {
+    val c4 = caseFor(4, "i+1")
+    val c3 = caseFor(3, "i+1")
+    val c2 = caseFor(2, "i+1")
+    val c1 = caseFor(1, "i+1")
+    // the caseFor weights are score*1024-1; undo to plain score_fp
+    def plain(c: String) = s"(($c) + 1) // 1024"
+    s"""WITH RECURSIVE docs AS ($docsCte),
+       |steps AS (
+       |  SELECT doc_id, txt, 0 AS i, CAST(0 AS BIGINT) AS np,
+       |    CAST(0 AS BIGINT) AS sc, CAST(0 AS BIGINT) AS unk
+       |  FROM docs
+       |  UNION ALL
+       |  SELECT doc_id, txt,
+       |    i + CASE
+       |      WHEN ($c4) IS NOT NULL THEN 4
+       |      WHEN ($c3) IS NOT NULL THEN 3
+       |      WHEN ($c2) IS NOT NULL THEN 2
+       |      ELSE 1 END AS i,
+       |    np + 1,
+       |    sc + CASE
+       |      WHEN ($c4) IS NOT NULL THEN ${plain(c4)}
+       |      WHEN ($c3) IS NOT NULL THEN ${plain(c3)}
+       |      WHEN ($c2) IS NOT NULL THEN ${plain(c2)}
+       |      ELSE COALESCE(${plain(c1)},
+       |        CAST($UnknownScore AS BIGINT)) END AS sc,
+       |    unk + CASE WHEN ($c4) IS NULL AND ($c3) IS NULL AND
+       |      ($c2) IS NULL AND ($c1) IS NULL THEN 1 ELSE 0 END AS unk
+       |  FROM steps WHERE i < length(txt)
+       |)
+       |SELECT doc_id, np AS wp_pieces, sc AS wp_score_fp,
+       |  unk AS wp_unknown
+       |FROM steps WHERE i = length(txt)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- training (hard-EM over word types, driver-local) ---------------
 
   /** Learn a unigram inventory: seed = frequent substrings of word

@@ -375,6 +375,44 @@ case class UnigramScore(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_unigram_score"
 }
 
+/** Greedy maximal-munch segmentation kernel (round 14 — the
+  * WordPiece/BERT inference rule over the same inventory as
+  * [[UnigramKernel]]). */
+object GreedySegmentKernel {
+  import graft.functions.UnigramTokenizer
+
+  val schema: StructType = StructType(Seq(
+    StructField("wp_pieces", LongType, nullable = false),
+    StructField("wp_score_fp", LongType, nullable = false),
+    StructField("wp_unknown", LongType, nullable = false)))
+
+  def segment(t: UTF8String): GenericInternalRow = {
+    if (t == null) return null
+    val (np, sc, unk) = UnigramTokenizer.greedySegment(
+      UnigramTokenizer.codePoints(t.toString),
+      UnigramTokenizer.fixedVocab)
+    new GenericInternalRow(Array[Any](np, sc, unk))
+  }
+}
+
+/** `greedy_segment(text)` → (wp_pieces, wp_score_fp, wp_unknown):
+  * longest-piece-first segmentation — the locally-optimal contrast to
+  * [[UnigramScore]]'s Viterbi (greedy score ≤ Viterbi score always,
+  * spec-pinned). */
+case class GreedySegment(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = GreedySegmentKernel.schema
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(input: Any): Any =
+    GreedySegmentKernel.segment(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.GreedySegmentKernel.segment($c);")
+  override protected def withNewChildInternal(c: Expression) =
+    copy(child = c)
+  override def prettyName: String = "graft_greedy_segment"
+}
+
 /** `text_signals(text)` → struct of every per-document profile signal in
   * one native pass (see [[TextSignalsKernel]]). */
 case class TextSignals(child: Expression) extends UnaryExpression {

@@ -4156,6 +4156,21 @@ object ExtensionQueries {
           col("u.score_fp").as("score_fp"))
         .orderBy(col("doc_id"))),
 
+    // GREEDY MAXIMAL-MUNCH SEGMENTATION (round 14) — the WordPiece/
+    // BERT inference rule over the SAME inventory: longest piece
+    // first, locally optimal (score ≤ the Viterbi row above,
+    // spec-pinned). Oracle: a recursive CTE stepping by the longest
+    // CASE match, generated from the same vocabulary constant.
+    "text_greedy_segment" -> ((s, dir) =>
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          TF.greedySegment(lower(substring(col("text"), 1, 256)))
+            .as("w"))
+        .select(col("doc_id"), col("w.wp_pieces").as("wp_pieces"),
+          col("w.wp_score_fp").as("wp_score_fp"),
+          col("w.wp_unknown").as("wp_unknown"))
+        .orderBy(col("doc_id"))),
+
     // corpus vocabulary: top-20 terms by document frequency, ties
     // broken by term — orderBy+limit compiles to TakeOrderedAndProject
     // (per-partition partial top-k, only k×partitions rows exchanged;
@@ -7724,6 +7739,10 @@ object ExtensionQueries {
     "text_unigram_score" -> graft.functions.UnigramTokenizer.oracleSql(
       "SELECT doc_id, substr(lower(text), 1, 256) AS txt " +
         "FROM documents"),
+    "text_greedy_segment" ->
+      graft.functions.UnigramTokenizer.greedyOracleSql(
+        "SELECT doc_id, substr(lower(text), 1, 256) AS txt " +
+          "FROM documents"),
     // the two-pass engine result equals the straightforward exact count
     // (sketchK >= phiDenom guarantees discovery recall; the verify pass
     // discards sketch false positives)

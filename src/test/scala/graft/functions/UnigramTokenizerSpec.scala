@@ -86,6 +86,46 @@ class UnigramTokenizerSpec extends SparkFunSuite {
       viterbiPieces(codePoints("the thing"), fixedVocab).length)
   }
 
+  test("greedy maximal munch: hand-worked segmentations, the " +
+      "greedy-score ≤ Viterbi-score invariant on random strings, " +
+      "unknown counting") {
+    // 'the' (len-3) wins over 'th'+'e' under longest-first, always
+    val (np1, sc1, unk1) = greedySegment(codePoints("the"), fixedVocab)
+    assert(np1 == 1L && sc1 == -5000L && unk1 == 0L)
+    // unknown chars count and score as unknowns
+    val (np2, sc2, unk2) = greedySegment(codePoints("?!"), fixedVocab)
+    assert(np2 == 2L && sc2 == 2L * UnknownScore && unk2 == 2L)
+    assert(greedySegment(codePoints(""), fixedVocab) == ((0L, 0L, 0L)))
+    // greedy is locally optimal: its plain score never beats Viterbi
+    val r = new scala.util.Random(7)
+    val alphabet = "theinow gsr.?"
+    (0 until 200).foreach { _ =>
+      val s = (0 until r.nextInt(30)).map(_ =>
+        alphabet(r.nextInt(alphabet.length))).mkString
+      val (_, gScore, _) = greedySegment(codePoints(s), fixedVocab)
+      val total = viterbiTotal(codePoints(s), fixedVocab)
+      val k = (-total) % 1024L
+      val vScore = (total + k) / 1024L
+      assert(gScore <= vScore, s"'$s': greedy $gScore > viterbi $vScore")
+    }
+  }
+
+  test("SQL front door graft_greedy_segment matches the kernel") {
+    val s = spark
+    import s.implicits._
+    Seq(("with the others?", 1)).toDF("t", "i")
+      .createOrReplaceTempView("gg_t")
+    graft.GraftFunctions.register(s)
+    val r = s.sql(
+      """SELECT graft_greedy_segment(t).wp_pieces,
+        |graft_greedy_segment(t).wp_score_fp,
+        |graft_greedy_segment(t).wp_unknown FROM gg_t"""
+        .stripMargin).collect().head
+    val (np, sc, unk) = greedySegment(
+      codePoints("with the others?"), fixedVocab)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((np, sc, unk)))
+  }
+
   test("trainUnigram: hard-EM learns the dominant pieces of a toy " +
       "corpus, deterministically, with full coverage") {
     val s = spark
