@@ -126,6 +126,35 @@ class UnigramTokenizerSpec extends SparkFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((np, sc, unk)))
   }
 
+  test("both kernels compile under CODEGEN_ONLY with fallback " +
+      "disabled (the MediaCodegenSpec discipline), nullable and " +
+      "non-nullable children") {
+    val s = spark
+    val prevF = s.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevB = s.conf.getOption("spark.sql.codegen.fallback")
+    s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import org.apache.spark.sql.functions._
+      // non-foldable strings (derived from range ids) dodge constant
+      // folding; coalesce makes the child non-nullable
+      val df = s.range(4).select(
+        concat(lit("the thing "), col("id")).as("t"))
+      val got = df.select(
+        graft.functions.TextFunctions.unigramScore(col("t")).as("u"),
+        graft.functions.TextFunctions.greedySegment(
+          coalesce(col("t"), lit(""))).as("w"))
+        .select(col("u.n_pieces"), col("w.wp_pieces")).collect()
+      assert(got.length == 4 && got.forall(r => r.getLong(0) > 0 &&
+        r.getLong(1) > 0))
+    } finally {
+      prevF.fold(s.conf.unset("spark.sql.codegen.factoryMode"))(v =>
+        s.conf.set("spark.sql.codegen.factoryMode", v))
+      prevB.fold(s.conf.unset("spark.sql.codegen.fallback"))(v =>
+        s.conf.set("spark.sql.codegen.fallback", v))
+    }
+  }
+
   test("trainUnigram: hard-EM learns the dominant pieces of a toy " +
       "corpus, deterministically, with full coverage") {
     val s = spark
