@@ -411,16 +411,64 @@ object ZstdEncode {
 
   /** Encode one compressed block body (literals section — RLE /
     * Huffman / raw, whichever is smallest — + sequences section).
-    * None when not smaller than a raw block. A sequence-free block
-    * still compresses when its literals do (nbSeq = 0). */
+    * None when not smaller than a raw block (rep history untouched
+    * then — a raw block executes no sequences). A sequence-free block
+    * still compresses when its literals do (nbSeq = 0).
+    *
+    * `rep` mirrors the DECODER's repeated-offset history across
+    * blocks: an offset equal to a recent one emits the 0/1-bit repeat
+    * code instead of its full width (decisive on stride-repetitive
+    * data, where one offset dominates every sequence). The litLen==0
+    * index shift and the history rotation replay
+    * [[ZstdDecode.decodeSequences]]'s rules exactly — and since that
+    * decoder is the golden-pinned arbiter, a history divergence can't
+    * survive the round-trip matrix. */
   private def encodeBlock(seqs: Vector[Seq3], lits: Array[Byte],
-      rawLen: Int): Option[Array[Byte]] = {
+      rawLen: Int, rep: Array[Long]): Option[Array[Byte]] = {
     val out = new java.io.ByteArrayOutputStream(rawLen)
     val section = literalSection(lits)
     out.write(section, 0, section.length)
     if (seqs.isEmpty) {
       out.write(0) // nbSeq = 0: literals only, no modes byte
       return if (out.size() >= rawLen) None else Some(out.toByteArray)
+    }
+    // offset values: repeat codes where the history matches, with the
+    // decoder's exact update rules replayed on a local copy (committed
+    // to `rep` only if this block really emits as compressed)
+    val r = Array(rep(0), rep(1), rep(2))
+    val offVals = new Array[Long](seqs.length)
+    locally {
+      var i = 0
+      while (i < seqs.length) {
+        val q = seqs(i)
+        val off = q.offset.toLong
+        val lit0 = q.litLen == 0
+        val ov: Long =
+          if (!lit0 && off == r(0)) 1L
+          else if (!lit0 && off == r(1)) 2L
+          else if (!lit0 && off == r(2)) 3L
+          else if (lit0 && off == r(1)) 1L
+          else if (lit0 && off == r(2)) 2L
+          else if (lit0 && off == r(0) - 1 && off > 0) 3L
+          else off + 3L
+        offVals(i) = ov
+        // decoder-mirrored history update
+        if (ov > 3L) {
+          r(2) = r(1); r(1) = r(0); r(0) = off
+        } else {
+          val idx = (if (lit0) ov + 1 else ov).toInt
+          idx match {
+            case 1 => () // rep0 reused, no rotation
+            case 2 =>
+              val t = r(1); r(1) = r(0); r(0) = t
+            case 3 =>
+              val t = r(2); r(2) = r(1); r(1) = r(0); r(0) = t
+            case _ => // idx 4: rep0 - 1
+              r(2) = r(1); r(1) = r(0); r(0) = off
+          }
+        }
+        i += 1
+      }
     }
     // sequences header
     val ns = seqs.length
@@ -440,7 +488,7 @@ object ZstdEncode {
       val q = seqs(i)
       llC(i) = codeFor(ZstdDecode.LlBase, q.litLen)
       mlC(i) = codeFor(ZstdDecode.MlBase, q.matchLen)
-      ofC(i) = highBit(q.offset + 3)
+      ofC(i) = highBit(offVals(i).toInt)
       i += 1
     }
     // backward state chains (last sequence's state is free)
@@ -464,7 +512,7 @@ object ZstdEncode {
     i = 0
     while (i < ns) {
       val q = seqs(i)
-      bits.add((q.offset + 3 - (1 << ofC(i))).toLong, ofC(i))
+      bits.add(offVals(i) - (1L << ofC(i)), ofC(i))
       bits.add((q.matchLen - ZstdDecode.MlBase(mlC(i))).toLong,
         ZstdDecode.MlExtra(mlC(i)))
       bits.add((q.litLen - ZstdDecode.LlBase(llC(i))).toLong,
@@ -482,7 +530,11 @@ object ZstdEncode {
     }
     val stream = bits.render()
     out.write(stream, 0, stream.length)
-    if (out.size() >= rawLen) None else Some(out.toByteArray)
+    if (out.size() >= rawLen) None
+    else { // the block really ships: commit the history walk
+      rep(0) = r(0); rep(1) = r(1); rep(2) = r(2)
+      Some(out.toByteArray)
+    }
   }
 
   // ---- frame encode ----------------------------------------------------
@@ -551,6 +603,9 @@ object ZstdEncode {
         q += 1
       }
     }
+    // repeated-offset history, decoder-initial {1,4,8} (raw-content
+    // dictionaries keep the fresh history — RFC 8878 §5)
+    val rep = Array(1L, 4L, 8L)
     var p = 0
     do {
       val take = math.min(BlockSpan, n - p)
@@ -561,7 +616,7 @@ object ZstdEncode {
         else {
           val (seqs, lits) =
             parse(src, base + p, base + p + take, tab, hashShift)
-          encodeBlock(seqs, lits, take)
+          encodeBlock(seqs, lits, take, rep)
         }
       body match {
         case Some(blob) =>

@@ -37,10 +37,12 @@ class ZstdEncodeSpec extends AnyFunSuite {
   }
 
   test("CLI-VERIFIED golden: compressed block ('abcdefgh' x 8 -> one " +
-    "sequence over predefined FSE tables)") {
+    "sequence over predefined FSE tables; offset 8 hits the initial " +
+    "rep history {1,4,8} and emits the 2-bit repeat code)") {
     val enc = ZstdEncode.compress(("abcdefgh" * 8).getBytes("UTF-8"))
     assert(hex(enc) ==
-      "28b52ffd24407500004061626364656667680100dd59b87b530718")
+      "28b52ffd2440750000406162636465666768" +
+      "01007d5e2e7b530718")
     assert(enc.length < 30) // 64 -> 27: the block really compresses
   }
 
@@ -193,6 +195,27 @@ class ZstdEncodeSpec extends AnyFunSuite {
     val got = ZstdDecode.decompressDictAware(stream)
     assert(got.isDefined &&
       java.util.Arrays.equals(got.get, cases(0) ++ cases(1)))
+  }
+
+  test("repeat-offset history: stride data compresses via rep codes " +
+      "and the encoder's history walk never diverges from the " +
+      "decoder's (small-alphabet stress)") {
+    // one dominant stride: after the first sequence every offset is a
+    // rep0 reuse — tiny sequences, tiny stream
+    val stride = Array.tabulate[Byte](40000)(i => ((i % 37) + 48).toByte)
+    val encS = roundTrip(stride)
+    assert(encS.length < 200, s"stride data: 40000 -> ${encS.length}")
+    // alternating strides rotate the history (idx 2/3 paths); random
+    // small-alphabet text exercises arbitrary interleavings — any
+    // encoder/decoder history divergence breaks these round-trips
+    val r = new java.util.Random(31)
+    (0 until 200).foreach { _ =>
+      val n = 50 + r.nextInt(3000)
+      val b = new Array[Byte](n)
+      var i = 0
+      while (i < n) { b(i) = (97 + r.nextInt(4)).toByte; i += 1 }
+      roundTrip(b)
+    }
   }
 
   test("offsets reach across block boundaries (frame-wide window)") {
