@@ -173,6 +173,57 @@ object StreamingPipelines {
     writer.start()
   }
 
+  /** One micro-batch of the streaming archive export
+    * ([[exportWarcZstStream]]), exposed for direct idempotency
+    * testing: write the batch's seekable `.warc.zst` shards into a
+    * STAGING directory, then atomically rename to the per-batch
+    * target. foreachBatch is at-least-once on retries — a replayed
+    * batch whose target already exists no-ops entirely, and a lost
+    * rename race cleans its own staging; either way exactly one
+    * committed `batch-NNNNNN` directory per batch id. */
+  def exportWarcZstBatch(batch: DataFrame, batchId: Long,
+      outPath: String, dict: Array[Byte] = null,
+      idCol: String = "doc_id", textCol: String = "text"): Boolean = {
+    val spark = batch.sparkSession
+    val target = new org.apache.hadoop.fs.Path(outPath,
+      f"batch-$batchId%06d")
+    val fs = target.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(target)) return false // replay of a committed batch
+    val stage = new org.apache.hadoop.fs.Path(outPath,
+      f".stage-$batchId%06d-${java.util.UUID.randomUUID()}")
+    graft.sources.ZstdSeekable.writeWarcZstShards(batch,
+      stage.toString, idCol = idCol, textCol = textCol, dict = dict)
+    if (!fs.exists(stage)) { // empty batch wrote nothing: mark done
+      fs.mkdirs(target)
+      return true
+    }
+    if (fs.rename(stage, target)) true
+    else { fs.delete(stage, true); false } // lost the commit race
+  }
+
+  /** Streaming corpus → Common-Crawl-shaped archive: every micro-batch
+    * lands as its own seekable (optionally dictionary-compressed)
+    * `.warc.zst` shard directory, staged-committed for idempotent
+    * replays. Downstream fan-out is the same seekable split read as
+    * the batch sink — a continuously-growing crawl archive whose
+    * every shard is independently random-accessible. Needs a DURABLE
+    * `checkpointLocation` for batch ids to stay stable across
+    * restarts. */
+  def exportWarcZstStream(docs: DataFrame, outPath: String,
+      checkpointLocation: Option[String] = None,
+      dict: Array[Byte] = null)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        exportWarcZstBatch(batch, batchId, outPath, dict); ()
+      }
+    checkpointLocation.foreach(p =>
+      writer.option("checkpointLocation", p))
+    writer.start()
+  }
+
   /** Streaming incremental NEAR-dup ingest — the near-dup twin of
     * [[ingestNewStream]], looped around
     * [[graft.operators.Dedup.lshProbeNearDup]]: every micro-batch probes

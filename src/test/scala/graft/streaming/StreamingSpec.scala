@@ -300,6 +300,47 @@ class StreamingSpec extends SparkFunSuite {
       "the digest index must outlive the streaming query")
   }
 
+  test("streaming archive export: every micro-batch lands as its own " +
+      "seekable warc.zst shard directory; replayed batches no-op " +
+      "(staged commit); all records read back to identity") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_stream_export").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingPipelines.exportWarcZstStream(
+      input.toDF().toDF("doc_id", "text"), out)
+    try {
+      input.addData(1L -> "first doc", 2L -> "second doc")
+      q.processAllAvailable()
+      input.addData(3L -> "third doc")
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+    assert(batchDirs.length == 2, batchDirs.mkString(","))
+    // replay of a committed batch id must no-op
+    val replay = StreamingPipelines.exportWarcZstBatch(
+      Seq(9L -> "ghost").toDF("doc_id", "text"), 0L, out)
+    assert(!replay, "a committed batch id must not re-commit")
+    // all shards read back to the union of the two batches
+    val got = batchDirs.flatMap { d =>
+      graft.sources.ZstdSeekable.readShardFrames(s, d.toString, 8)
+        .select(org.apache.spark.sql.functions.col("blob")).collect()
+        .map { r =>
+          val rec = new String(graft.operators.ZstdDecode
+            .decompressDictAware(r.getAs[Array[Byte]](0)).get, "UTF-8")
+          val id = "doc/(\\d+)".r.findFirstMatchIn(rec).get.group(1).toLong
+          val body = rec.substring(rec.indexOf("\r\n\r\n") + 4,
+            rec.length - 4)
+          id -> body
+        }
+    }.toSet
+    assert(got == Set(1L -> "first doc", 2L -> "second doc",
+      3L -> "third doc"))
+  }
+
   test("streaming CDC merge: upserts/deletes fold into the persistent " +
       "snapshot across micro-batches and across queries; batch twin " +
       "semantics (delta wins version ties)") {
