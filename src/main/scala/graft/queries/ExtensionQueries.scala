@@ -5803,8 +5803,10 @@ object ExtensionQueries {
     }),
 
     // ... and the embedding table through the same hop: list<float32>
-    // columns survive byte-exactly (the reader widens to double, the
-    // cast back to float is exact by construction)
+    // columns survive byte-exactly (the reader widens to double — an
+    // exact map for every float32). Output is exploded to one scalar
+    // row per vector element so the oracle harness compares plain
+    // doubles (raw array cells are unhashable on the driver side).
     "corpus_export_arrow_emb" -> ((s, dir) => {
       val path = memoizedFixture(
           tmpArtifact("graft_arrow_emb_export", dir)) { d =>
@@ -5818,10 +5820,11 @@ object ExtensionQueries {
           col("content"), Seq("vec_id" -> "long",
             "embedding" -> "array<double>", "label" -> "long"))).as("r"))
         .select(col("r.vec_id").as("vec_id"),
-          transform(col("r.embedding"), x => x.cast("float"))
-            .as("embedding"),
+          posexplode(col("r.embedding")).as(Seq("p", "value")),
           col("r.label").as("label"))
-        .orderBy(col("vec_id"))
+        .select(col("vec_id"), col("p").cast("long").as("pos"),
+          col("value"), col("label"))
+        .orderBy(col("vec_id"), col("pos"))
     }),
 
     // CORPUS EXPORT AS TFRECORD (round 14) — one CRC-framed
@@ -10387,8 +10390,13 @@ object ExtensionQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "corpus_export_arrow_emb" ->
-      """SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+      """WITH e AS (SELECT vec_id, embedding,
+        |    CAST(label AS BIGINT) AS label,
+        |    unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+        |  CAST(embedding[i] AS DOUBLE) AS value, label
+        |FROM e ORDER BY vec_id, pos""".stripMargin,
 
     "corpus_export_tfrecord" ->
       """SELECT doc_id, text, n_chars FROM documents
