@@ -412,6 +412,34 @@ object MediaArrayKernel {
         UTF8String.fromString(u), cl, st)
     }.toArray[Any])
 
+  /** [[Multimodal.WarcHttpRow]] minus doc_id. */
+  val warcHttpSchema: StructType = StructType(Seq(
+    StructField("rec_idx", LongType, nullable = false),
+    StructField("target_uri", StringType, nullable = false),
+    StructField("http_status", LongType, nullable = false),
+    StructField("content_type", StringType, nullable = false),
+    StructField("content_encoding", StringType, nullable = false),
+    StructField("transfer_encoding", StringType, nullable = false),
+    StructField("body_len", LongType, nullable = false),
+    StructField("body_text", StringType, nullable = true)))
+
+  private def warcHttpRows(rows: IndexedSeq[
+      (Long, String, Long, String, String, String, Long, String)])
+      : ArrayData =
+    new GenericArrayData(rows.map {
+      case (i, u, st, ct, ce, te, bl, bt) =>
+        InternalRow(i, UTF8String.fromString(u), st,
+          UTF8String.fromString(ct), UTF8String.fromString(ce),
+          UTF8String.fromString(te), bl,
+          if (bt == null) null else UTF8String.fromString(bt))
+    }.toArray[Any])
+
+  def warcHttpBodies(b: Array[Byte]): ArrayData =
+    warcHttpRows(Multimodal.warcHttpBodiesJvm(b))
+
+  def warcZstHttpBodies(b: Array[Byte]): ArrayData =
+    warcHttpRows(Multimodal.warcZstHttpBodiesJvm(b))
+
   /** [[Multimodal.ZipEntryRow]] minus doc_id. */
   val zipEntrySchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
@@ -1131,6 +1159,36 @@ case class WarcRecords(child: Expression) extends MediaArrayExpression {
   override def prettyName: String = "graft_warc_records"
 }
 
+/** `warc_http_bodies(blob)` → one struct per WARC RESPONSE record
+  * (rec_idx, target URI, status, Content-Type, codings, decoded body
+  * length + text); empty for malformed WARC framing, a body_len -1 /
+  * NULL-text row for a record whose HTTP payload fails to decode. */
+case class WarcHttpBodies(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.warcHttpSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.warcHttpBodies($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.warcHttpBodies(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_warc_http_bodies"
+}
+
+/** `warc_zst_http_bodies(blob)` → [[WarcHttpBodies]] over a
+  * `.warc.zst` blob (dict-aware zstd decompression first) — the
+  * one-expression Common Crawl text hop. */
+case class WarcZstHttpBodies(child: Expression)
+    extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.warcHttpSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.warcZstHttpBodies($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.warcZstHttpBodies(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_warc_zst_http_bodies"
+}
+
 /** `zip_entries(blob)` → one struct per archive entry (name, method,
   * usize, STORED content); empty array for non-zip payloads. */
 case class ZipEntries(child: Expression) extends MediaArrayExpression {
@@ -1279,6 +1337,9 @@ object MediaExprs {
   def zstdDecompressCol(blob: Column): Column =
     c(ZstdDecompress(e(blob)))
   def warcZstRecordsCol(blob: Column): Column = c(WarcZstRecords(e(blob)))
+  def warcHttpBodiesCol(blob: Column): Column = c(WarcHttpBodies(e(blob)))
+  def warcZstHttpBodiesCol(blob: Column): Column =
+    c(WarcZstHttpBodies(e(blob)))
   def lz4FramesCol(blob: Column): Column = c(Lz4Frames(e(blob)))
   def snappyCol(blob: Column): Column = c(SnappyDecode(e(blob)))
   def kafkaBatchesCol(blob: Column): Column = c(KafkaBatches(e(blob)))

@@ -1397,6 +1397,89 @@ object ExtensionQueries {
       .select(d, unhex(blobHex).as("blob"))
   }
 
+  /** WARC + HTTP fixture (round 15) — the Common Crawl text-pipeline
+    * capstone: per doc, one warcinfo record + one response record
+    * whose HTTP payload carries the text_html_strip HTML wrap of the
+    * doc's OWN text, rotated through the four transport/content
+    * coding combinations (doc%4): gzip+chunked, gzip+content-length,
+    * identity+chunked, identity+content-length. The gzip member is a
+    * real stream (stored deflate block + in-plan CRC32/ISIZE
+    * trailer); chunked framing is 200-byte hex-sized chunks with a
+    * terminal 0-chunk. The whole record stream is then compressed
+    * into one real RFC 8878 frame by the repo's own encoder, so the
+    * consumer decodes `.warc.zst → de-chunk → gunzip → charset →
+    * strip` in a single declarative plan. Each construction stage is
+    * hoisted into its own select (the mm_wav_meta task-binary trap:
+    * never hand a large constructed Column to an operator that
+    * references it many times). */
+  private[graft] def warcHtmlZstFixture(s: SparkSession,
+      dir: String): DataFrame = {
+    val d = col("doc_id")
+    val crlf = "\r\n"
+    val esc = replace(replace(col("text"), lit("&"), lit("&amp;")),
+      lit("<"), lit("&lt;"))
+    val html = concat(lit("<div class=\"doc\"><h1>"), col("source"),
+      lit("</h1><p>"), esc, lit("</p><br/></div>"))
+    val gzipCond = pmod(d, lit(4L)) < 2L
+    val chunkedCond = pmod(d, lit(2L)) === 0L
+    def gzipBare(content: org.apache.spark.sql.Column) = {
+      val len = octet_length(content).cast("long")
+      concat(unhex(lit("1f8b0800" + "00000000" + "0003" + "01")),
+        le16b(len), le16b(lit(65535L) - len), content,
+        le32b(crc32(content)), le32b(len))
+    }
+    // 200-byte chunks, lowercase-hex sizes, 0-chunk terminator (the
+    // content is never empty: gzip ≥ 23 B, html ≥ the wrap tags)
+    def chunked(body: org.apache.spark.sql.Column) = {
+      val n = octet_length(body).cast("long")
+      val lastIdx = TF.intDivNonNeg(n - 1L, lit(200L))
+      concat(
+        aggregate(
+          transform(sequence(lit(0L), lastIdx), i => {
+            val off = i * 200L
+            val take = least(lit(200L), n - off)
+            concat(
+              encode(concat(lower(hex(take)), lit(crlf)), "utf-8"),
+              body.substr((off + 1L).cast("int"), take.cast("int")),
+              encode(lit(crlf), "utf-8"))
+          }),
+          lit(Array.empty[Byte]), (a, x) => concat(a, x)),
+        encode(lit("0" + crlf + crlf), "utf-8"))
+    }
+    val head = concat(
+      lit("HTTP/1.1 200 OK" + crlf),
+      lit("Content-Type: text/html; charset=utf-8" + crlf),
+      when(gzipCond, lit("Content-Encoding: gzip" + crlf))
+        .otherwise(lit("")),
+      when(chunkedCond, lit("Transfer-Encoding: chunked" + crlf))
+        .otherwise(concat(lit("Content-Length: "),
+          octet_length(col("content")).cast("string"), lit(crlf))),
+      lit(crlf))
+    val warcHead = concat(
+      lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+        "WARC-Target-URI: http://site"),
+      pmod(d, lit(50L)).cast("string"),
+      lit(".example/doc"), d.cast("string"), lit(crlf),
+      lit("Content-Length: "),
+      octet_length(col("http")).cast("string"), lit(crlf + crlf))
+    val infoRec = "WARC/1.0" + crlf + "WARC-Type: warcinfo" + crlf +
+      "Content-Length: 10" + crlf + crlf + "info-body!" + crlf + crlf
+    spread(t(s, dir, "documents"))
+      .select(d, encode(html, "utf-8").as("html_bytes"))
+      .select(d, when(gzipCond, gzipBare(col("html_bytes")))
+        .otherwise(col("html_bytes")).as("content"))
+      .select(d, col("content"),
+        when(chunkedCond, chunked(col("content")))
+          .otherwise(col("content")).as("payload"))
+      .select(d, concat(encode(head, "utf-8"), col("payload"))
+        .as("http"))
+      .select(d, concat(encode(lit(infoRec), "utf-8"),
+        encode(warcHead, "utf-8"), col("http"),
+        encode(lit(crlf + crlf), "utf-8")).as("warc"))
+      .select(d, graft.plans.MediaExprs.zstdCompressCol(col("warc"))
+        .as("blob"))
+  }
+
   /** The IIPC `.warc.zst` DICTIONARY frame (round 14): skippable magic
     * `0x184D2A5D` wrapping a REAL `zstd --train` dictionary (RFC 8878
     * §5 structured format — entropy tables + rep offsets + content
@@ -4731,6 +4814,24 @@ object ExtensionQueries {
           col("r.content_length").as("content_length"))
         .orderBy(col("frame_idx"))
     }),
+
+    // WARC HTTP BODY → TEXT (round 15) — the step every Common Crawl
+    // consumer actually runs, end-to-end in ONE declarative plan:
+    // `.warc.zst` → WARC record walk → HTTP status/header parse →
+    // de-chunk → gunzip → charset decode → html strip. The fixture
+    // rotates all four transport/content coding combinations (doc%4)
+    // and the oracle replays the expected page text from the
+    // documents table through the text_html_strip chain — any
+    // regression in ANY hop of the pipeline turns the row red
+    "source_warc_html_text" -> ((s, dir) =>
+      Multimodal.extractWarcZstHttpBodies(warcHtmlZstFixture(s, dir),
+          "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("target_uri"), col("http_status"),
+          col("content_type"), col("content_encoding"),
+          col("transfer_encoding"), col("body_len"),
+          TF.stripMarkup(col("body_text")).as("clean"))
+        .orderBy(col("doc_id"))),
 
     // BZIP2 MEMBER WALK (round 13) — the Wikipedia-dump codec: REAL
     // libbz2 streams (golden templates) through the full
@@ -9227,6 +9328,33 @@ object ExtensionQueries {
         |    ELSE 0 END AS BIGINT) AS http_status
         |FROM r ORDER BY doc_id, rec_type, target_uri,
         |  content_length""".stripMargin,
+
+    // the expected page text replayed from the documents table
+    // through the text_html_strip chain; codings are the doc%4
+    // rotation, body_len the UTF-8 byte length of the HTML wrap
+    "source_warc_html_text" ->
+      """WITH h AS (SELECT doc_id, source, text,
+        |  '<div class="doc"><h1>' || source || '</h1><p>' ||
+        |    replace(replace(text, '&', '&amp;'), '<', '&lt;') ||
+        |    '</p><br/></div>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'http://site' || (doc_id % 50) || '.example/doc' || doc_id
+        |    AS target_uri,
+        |  CAST(200 AS BIGINT) AS http_status,
+        |  'text/html; charset=utf-8' AS content_type,
+        |  CASE WHEN doc_id % 4 < 2 THEN 'gzip' ELSE '' END
+        |    AS content_encoding,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'chunked' ELSE '' END
+        |    AS transfer_encoding,
+        |  CAST(strlen(html) AS BIGINT) AS body_len,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(html, '<[A-Za-z/!][^>]{0,256}>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     // seek-table frames 1..24 (0 is the dictionary frame), frame j =
     // record (j-1)%8; compressed lengths are the golden frame sizes,

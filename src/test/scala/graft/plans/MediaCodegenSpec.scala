@@ -77,6 +77,9 @@ class MediaCodegenSpec extends SparkFunSuite {
         "zstd_compress" -> graft.plans.MediaExprs.zstdCompressCol,
         "zstd_decompress" -> graft.plans.MediaExprs.zstdDecompressCol,
         "warc_zst_records" -> graft.plans.MediaExprs.warcZstRecordsCol,
+        "warc_http_bodies" -> graft.plans.MediaExprs.warcHttpBodiesCol,
+        "warc_zst_http_bodies" ->
+          graft.plans.MediaExprs.warcZstHttpBodiesCol,
         "lz4_frames" -> graft.plans.MediaExprs.lz4FramesCol,
         "snappy_decode" -> graft.plans.MediaExprs.snappyCol,
         "kafka_batches" -> graft.plans.MediaExprs.kafkaBatchesCol,
