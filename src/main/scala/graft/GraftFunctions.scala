@@ -93,6 +93,8 @@ object GraftFunctions {
       es => UnigramScore(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_greedy_segment",
       es => GreedySegment(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_byte_bpe_stats",
+      es => ByteBpeStats(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_bigram_stats",
       es => BigramStats(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_dup_ngram_coverage",

@@ -401,6 +401,14 @@ object TextFunctions {
       graft.plans.GreedySegment(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 
+  /** Byte-level BPE totals over the GPT-2 byte alphabet
+    * ([[graft.plans.ByteBpeStats]], round 15): struct(n_bytes,
+    * n_subwords, n_pretokens) — no input is ever UNK. */
+  def byteBpeStats(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.ByteBpeStats(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
   /** Row-local bigram statistics struct(n_bigrams, top_n, n_distinct_bg)
     * over the normalized token stream ([[graft.plans.BigramStats]]) — the
     * explode+groupBy formulation shuffles a corpus-sized bigram stream for

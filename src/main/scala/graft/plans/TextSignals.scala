@@ -375,6 +375,40 @@ case class UnigramScore(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_unigram_score"
 }
 
+/** Byte-level BPE counting kernel (round 15 — see
+  * [[graft.functions.ByteBpe]]): GPT-2 byte-to-unicode mapping,
+  * space-attach pre-tokens, rank-ordered merges — one pass per
+  * document, no UNK ever. */
+object ByteBpeKernel {
+  val schema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_subwords", LongType, nullable = false),
+    StructField("n_pretokens", LongType, nullable = false)))
+
+  def stats(t: UTF8String): GenericInternalRow = {
+    if (t == null) return null
+    val (nb, ns, np) = graft.functions.ByteBpe.countsJvm(t.toString)
+    new GenericInternalRow(Array[Any](nb, ns, np))
+  }
+}
+
+/** `byte_bpe_stats(text)` → (n_bytes, n_subwords, n_pretokens): the
+  * byte-level BPE segmentation's totals — kernel and DuckDB oracle
+  * share one merge-table constant ([[graft.functions.ByteBpe.Merges]]). */
+case class ByteBpeStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ByteBpeKernel.schema
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(input: Any): Any =
+    ByteBpeKernel.stats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ByteBpeKernel.stats($c);")
+  override protected def withNewChildInternal(c: Expression) =
+    copy(child = c)
+  override def prettyName: String = "graft_byte_bpe_stats"
+}
+
 /** Greedy maximal-munch segmentation kernel (round 14 — the
   * WordPiece/BERT inference rule over the same inventory as
   * [[UnigramKernel]]). */

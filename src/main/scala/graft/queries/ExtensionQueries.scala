@@ -4221,6 +4221,26 @@ object ExtensionQueries {
               col("n_chars").cast("double")))
         .orderBy(col("doc_id"))),
 
+    // BYTE-LEVEL BPE (round 15) — the GPT-2/tiktoken family: UTF-8
+    // bytes through the byte-to-unicode table, space-attach
+    // pre-tokens, rank-ordered merges; NO input is ever UNK. The
+    // augmentation suffixes force multi-byte UTF-8 runs + control
+    // bytes through the table; kernel and oracle share ONE constant
+    // set (ByteBpe.{FixtureSuffixes,Merges,byteToChar})
+    "text_bpe_bytes" -> ((s, dir) => {
+      val sfx = graft.functions.ByteBpe.FixtureSuffixes
+      val aug = concat(col("text"), element_at(
+        array(sfx.map(lit): _*),
+        (pmod(col("doc_id"), lit(sfx.length.toLong)) + 1L).cast("int")))
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"), aug.as("s_txt"))
+        .select(col("doc_id"), TF.byteBpeStats(col("s_txt")).as("b"))
+        .select(col("doc_id"), col("b.n_bytes").as("n_bytes"),
+          col("b.n_subwords").as("n_subwords"),
+          col("b.n_pretokens").as("n_pretokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // UNIGRAM-LM TOKENIZATION (round 14) — the OTHER classic subword
     // scheme (Kudo 2018 / SentencePiece): Viterbi DP over a scored
     // piece inventory, one native kernel pass per document. All
@@ -7833,6 +7853,9 @@ object ExtensionQueries {
          |      / CAST(length(array_to_string(toks, '')) AS DOUBLE)
          |  END AS compression
          |FROM m ORDER BY doc_id""".stripMargin,
+    // byte mapping + encoding + merge chain all GENERATED from the
+    // ByteBpe constants — one table, two engines (see the query)
+    "text_bpe_bytes" -> graft.functions.ByteBpe.oracleSql(),
     "text_vocab_topk" ->
       s"""WITH tk AS ($NormToksSql),
          |d AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tk)
