@@ -136,13 +136,18 @@ object StreamingPipelines {
     * lazily-evaluated anti-join can never observe its own batch's
     * digests.
     *
-    * Exactly-once note: foreachBatch is at-least-once on retries; the
-    * digest append is idempotent at the DEDUP level (a re-appended digest
-    * only strengthens suppression) and `sink` receives the batchId for
-    * its own idempotent writes — the standard Spark recipe, which needs a
-    * DURABLE `checkpointLocation` for batchIds to stay stable across
-    * restarts (omitted → temp checkpoint, batchIds reset on restart; the
-    * INDEX-level suppression still holds either way). */
+    * Exactly-once: foreachBatch is at-least-once on retries, so the
+    * whole batch body is guarded by the index's [[IngestLedger]]
+    * (queryId, batchId) high-water mark and the digest append goes
+    * through [[IngestLedger.exactlyOnceAppend]]'s staged commit —
+    * same contract as the near-dup and bucketed loops (round 15;
+    * previously a bare `mode("append")` re-appended a replayed
+    * batch's digests — results stayed correct because the probe is an
+    * anti-join, but the index grew garbage on every crash-retry).
+    * `sink` receives the batchId for its own idempotent writes. Needs
+    * a DURABLE `checkpointLocation` for batchIds to stay stable
+    * across restarts (omitted → temp checkpoint, batchIds reset on
+    * restart; the INDEX-level suppression still holds either way). */
   def ingestNewStream(docs: DataFrame, textCol: String, idCol: String,
       indexPath: String, checkpointLocation: Option[String] = None)
       (sink: (DataFrame, Long) => Unit)
@@ -150,27 +155,49 @@ object StreamingPipelines {
     val writer = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        import spark.implicits._
-        // existence via the Hadoop FS of the path, NOT java.io.File —
-        // the production index lives on hdfs://-s3a:// URIs where a
-        // local-file check is always false and would silently disable
-        // every cross-batch suppression
-        val hPath = new org.apache.hadoop.fs.Path(indexPath)
-        val fs = hPath.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        val index =
-          if (fs.exists(hPath)) spark.read.parquet(indexPath)
-          else Seq.empty[String].toDF("text_sha")
-        val fresh = graft.operators.Dedup
-          .incrementalNewByDigest(index, batch, textCol, idCol)
-          .localCheckpoint()
-        sink(fresh, batchId)
-        fresh.select(col("text_sha"))
-          .write.mode("append").parquet(indexPath)
+        newIngestBatch(batch, batchId,
+          IngestLedger.currentQueryId(batch.sparkSession),
+          indexPath, textCol, idCol)(sink)
       }
     checkpointLocation.foreach(p => writer.option("checkpointLocation", p))
     writer.start()
+  }
+
+  /** One micro-batch of [[ingestNewStream]] — public so the
+    * replay-idempotence spec can apply the SAME (queryId, batchId)
+    * twice and pin byte-identical index contents. */
+  def newIngestBatch(batch: DataFrame, batchId: Long, queryId: String,
+      indexPath: String, textCol: String, idCol: String)
+      (sink: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (IngestLedger.alreadyApplied(spark, indexPath, queryId, batchId))
+      return // replay of a fully-applied batch: sink ran, index absorbed
+    if (IngestLedger.resumePending(spark, indexPath, queryId, batchId))
+      return // crashed between manifest and mark: probe + sink already
+             // ran (they precede staging) — only the moves were owed
+    // existence via the Hadoop FS of the path, NOT java.io.File —
+    // the production index lives on hdfs://-s3a:// URIs where a
+    // local-file check is always false and would silently disable
+    // every cross-batch suppression. "Has data" means a non-bookkeeping
+    // entry: the ledger's mark/staging live under the same root.
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(hPath) && fs.listStatus(hPath).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    val index =
+      if (hasData) spark.read.parquet(indexPath)
+      else Seq.empty[String].toDF("text_sha")
+    val fresh = graft.operators.Dedup
+      .incrementalNewByDigest(index, batch, textCol, idCol)
+      .localCheckpoint()
+    sink(fresh, batchId)
+    IngestLedger.exactlyOnceAppend(spark, indexPath, queryId, batchId) {
+      root => fresh.select(col("text_sha"))
+        .write.mode("overwrite").parquet(root)
+    }
   }
 
   /** One micro-batch of the streaming archive export

@@ -60,6 +60,52 @@ class IngestLedgerSpec extends SparkFunSuite {
       s.read.parquet(s"$dir/shingles").count() == n1 + 1)
   }
 
+  test("flat digest ingest: replaying an applied (queryId, batchId) " +
+      "is a byte-level no-op on the index (round 15 — previously a " +
+      "bare append re-grew the index on every crash-retry)") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_ledger_new") + "/digests"
+    def apply(batchId: Long, queryId: String,
+        rows: Seq[(Long, String)]): (Int, Seq[Long]) = {
+      var sinkCalls = 0
+      var survivors: Seq[Long] = Nil
+      StreamingPipelines.newIngestBatch(
+        rows.toDF("doc_id", "text"), batchId, queryId, dir,
+        "text", "doc_id") { (fresh, _) =>
+        sinkCalls += 1
+        survivors = fresh.select("survivor_id").collect()
+          .map(_.getLong(0)).toSeq.sorted
+      }
+      (sinkCalls, survivors)
+    }
+    // batch 0: both docs are new
+    assert(apply(0L, "q1", Seq(1L -> "alpha text", 2L -> "beta text"))
+      == ((1, Seq(1L, 2L))))
+    def digests(): Seq[String] = s.read.parquet(dir).collect()
+      .map(_.getString(0)).toSeq.sorted
+    val d0 = digests()
+    assert(d0.length == 2)
+    // replay of batch 0: sink NOT re-run, index byte-identical
+    assert(apply(0L, "q1", Seq(1L -> "alpha text", 2L -> "beta text"))
+      ._1 == 0, "a replayed batch must not re-run the sink")
+    assert(digests() == d0,
+      "a replayed batch must not re-append its digests")
+    // batch 1: duplicate of doc 1 suppressed by the index, doc 3 new
+    assert(apply(1L, "q1", Seq(3L -> "alpha text", 4L -> "gamma text"))
+      == ((1, Seq(4L))))
+    assert(digests().length == 3)
+    // an OLDER batchId of the same query is also a replay
+    assert(apply(0L, "q1", Seq(9L -> "delta text"))._1 == 0)
+    // a FRESH query reusing batchId 0 applies normally
+    assert(apply(0L, "q2", Seq(9L -> "delta text"))._1 == 1)
+    assert(digests().length == 4)
+    // anonymous callers get no guard (at-least-once by design)
+    assert(apply(50L, "", Seq(10L -> "epsilon text"))._1 == 1)
+    assert(apply(50L, "", Seq(11L -> "zeta text"))._1 == 1)
+    assert(digests().length == 6)
+  }
+
   test("BUCKETED near-dup ingest: batches accumulate bucket-aligned, " +
       "pairs match the flat loop, replay no-ops, probes stay pruned") {
     val s = spark
