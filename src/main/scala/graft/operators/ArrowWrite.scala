@@ -36,6 +36,18 @@ object ArrowWrite {
   case object ABool extends AType
   final case class AList(elem: AType) extends AType
 
+  /** Dictionary-encoded utf8 (round 15): cells are Strings like
+    * [[AString]], but the stream carries int32 indices into a
+    * per-column dictionary maintained by the [[StreamWriter]], which
+    * emits the initial DictionaryBatch before the first record batch
+    * and DELTA batches as new values appear — repeated values (source
+    * labels, languages, hostnames) cost 4 bytes each on the wire.
+    * Top-level columns only (the reader accepts leaf kinds only). */
+  case object ADictString extends AType
+
+  /** Internal physical type of a dictionary column's indices. */
+  private case object AIndex32 extends AType
+
   /** One column: values are Long/Double/Float/String/Boolean/Seq[_]
     * (matching the type), null for null cells. */
   final case class ACol(name: String, tpe: AType,
@@ -177,12 +189,17 @@ object ArrowWrite {
       fb.startTable(1)
       fb.slotShort(0, 1, 0) // precision SINGLE
       (3, fb.endTable())
-    case AString => fb.startTable(0); (5, fb.endTable())
+    // a dictionary field's LOGICAL type is utf8; the encoding lives
+    // in the Field's dictionary slot
+    case AString | ADictString => fb.startTable(0); (5, fb.endTable())
     case ABool => fb.startTable(0); (6, fb.endTable())
     case AList(_) => fb.startTable(0); (12, fb.endTable())
+    case AIndex32 => throw new IllegalStateException(
+      "AIndex32 is physical-only")
   }
 
-  private def emitField(fb: Fbb, name: String, t: AType): Int = {
+  private def emitField(fb: Fbb, name: String, t: AType,
+      dictId: Long = -1L): Int = {
     val children = t match {
       case AList(e) =>
         val child = emitField(fb, "item", e)
@@ -191,6 +208,19 @@ object ArrowWrite {
         fb.endVector(1)
       case _ => 0
     }
+    // DictionaryEncoding: id + explicit Int(32, signed) index type
+    val dictOff =
+      if (dictId < 0) 0
+      else {
+        fb.startTable(2)
+        fb.slotInt(0, 32, 0) // bitWidth
+        fb.slotByte(1, 1, 0) // is_signed
+        val intT = fb.endTable()
+        fb.startTable(4)
+        fb.slotLong(0, dictId, 0L)
+        fb.slotOffset(1, intT)
+        fb.endTable()
+      }
     val (tt, typeOff) = emitType(fb, t)
     val nameOff = fb.createString(name)
     fb.startTable(7)
@@ -198,13 +228,22 @@ object ArrowWrite {
     fb.slotByte(1, 1, 0) // nullable
     fb.slotByte(2, tt.toByte, 0) // type_type
     fb.slotOffset(3, typeOff)
+    fb.slotOffset(4, dictOff)
     fb.slotOffset(5, children)
     fb.endTable()
   }
 
+  /** Dictionary ids in schema order for the ADictString columns. */
+  private def dictIdsOf(cols: Seq[(String, AType)]): Map[String, Long] =
+    cols.collect { case (n, ADictString) => n }
+      .zipWithIndex.map { case (n, i) => n -> i.toLong }.toMap
+
   private def schemaMessage(cols: Seq[(String, AType)]): Array[Byte] = {
     val fb = new Fbb()
-    val fieldOffs = cols.map { case (n, t) => emitField(fb, n, t) }
+    val ids = dictIdsOf(cols)
+    val fieldOffs = cols.map { case (n, t) =>
+      emitField(fb, n, t, ids.getOrElse(n, -1L))
+    }
     fb.startVector(4, fieldOffs.size, 4)
     fieldOffs.reverse.foreach(fb.addOffset)
     val fieldsVec = fb.endVector(fieldOffs.size)
@@ -226,13 +265,40 @@ object ArrowWrite {
 
   // ---- batch emission ---------------------------------------------------
 
-  /** One Arrow buffer staged for the body, already 8-padded on write. */
-  private final class Body {
+  /** Body-compression codec ids (the Arrow enum): -1 = none. */
+  private[operators] def codecIdOf(codec: String): Int = codec match {
+    case null | "" | "none" => -1
+    case "zstd" => 1
+    case other => throw new IllegalArgumentException(
+      s"unsupported Arrow body codec '$other' (zstd or none)")
+  }
+
+  /** One Arrow buffer staged for the body, already 8-padded on write.
+    * With a codec, each non-empty buffer is framed per the spec:
+    * [int64 LE uncompressed length | -1 = stored raw][payload] —
+    * incompressible buffers store raw so compression never inflates
+    * past 8 bytes/buffer. */
+  private final class Body(codecId: Int = -1) {
     val out = new java.io.ByteArrayOutputStream()
     val entries = Vector.newBuilder[(Long, Long)] // (offset, length)
     def add(b: Array[Byte]): Unit = {
-      entries += ((out.size().toLong, b.length.toLong))
-      out.write(b, 0, b.length)
+      val framed =
+        if (codecId < 0 || b.length == 0) b
+        else {
+          val comp = ZstdEncode.compress(b)
+          val (tag, payload) =
+            if (comp != null && comp.length < b.length)
+              (b.length.toLong, comp)
+            else (-1L, b)
+          val f = new Array[Byte](8 + payload.length)
+          var k = 0
+          while (k < 8) { f(k) = ((tag >> (8 * k)) & 0xff).toByte
+            k += 1 }
+          System.arraycopy(payload, 0, f, 8, payload.length)
+          f
+        }
+      entries += ((out.size().toLong, framed.length.toLong))
+      out.write(framed, 0, framed.length)
       var padTo = (8 - (out.size() & 7)) & 7
       while (padTo > 0) { out.write(0); padTo -= 1 }
     }
@@ -337,19 +403,34 @@ object ArrowWrite {
             s"float32 cell of ${other.getClass}")
         }
         body.add(b.array())
+      case AIndex32 =>
+        val b = java.nio.ByteBuffer.allocate(4 * values.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        values.foreach {
+          case null => b.putInt(0)
+          case v: Int => b.putInt(v)
+          case other => throw new IllegalArgumentException(
+            s"index cell of ${other.getClass}")
+        }
+        body.add(b.array())
+      case ADictString => throw new IllegalStateException(
+        "dictionary columns must be index-converted before emitCol")
     }
   }
 
-  private def batchMessage(cols: Seq[ACol])
-      : (Array[Byte], Array[Byte]) = {
-    val n = cols.headOption.map(_.values.length).getOrElse(0)
-    require(cols.forall(_.values.length == n),
-      "ragged columns in one batch")
-    val body = new Body
-    val nodes = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-    cols.foreach(c => emitCol(c.tpe, c.values, body, nodes))
-    val bufs = body.entries.result()
-    val fb = new Fbb()
+  /** RecordBatch flatbuffer table (length, nodes, buffers [,
+    * BodyCompression]) — shared by record and dictionary batches. */
+  private def recordBatchTable(fb: Fbb, n: Int,
+      nodes: Seq[(Long, Long)], bufs: Seq[(Long, Long)],
+      codecId: Int): Int = {
+    val compOff =
+      if (codecId < 0) 0
+      else {
+        fb.startTable(2)
+        fb.slotByte(0, codecId.toByte, 0) // codec (1 = ZSTD)
+        // method slot 1: BUFFER = 0 (default, omitted)
+        fb.endTable()
+      }
     // struct vectors: elements written in REVERSE so element 0 lands
     // at the lowest address; each struct's first member lowest
     fb.startVector(16, bufs.size, 8)
@@ -364,9 +445,44 @@ object ArrowWrite {
     fb.slotLong(0, n.toLong, 0L)
     fb.slotOffset(1, nodesVec)
     fb.slotOffset(2, bufsVec)
-    val rb = fb.endTable()
+    fb.slotOffset(3, compOff)
+    fb.endTable()
+  }
+
+  private def batchMessage(cols: Seq[ACol], codecId: Int = -1)
+      : (Array[Byte], Array[Byte]) = {
+    val n = cols.headOption.map(_.values.length).getOrElse(0)
+    require(cols.forall(_.values.length == n),
+      "ragged columns in one batch")
+    val body = new Body(codecId)
+    val nodes = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    cols.foreach(c => emitCol(c.tpe, c.values, body, nodes))
+    val fb = new Fbb()
+    val rb = recordBatchTable(fb, n, nodes.toSeq,
+      body.entries.result(), codecId)
     val bodyBytes = body.out.toByteArray
     (message(fb, headerType = 3, header = rb,
+      bodyLen = bodyBytes.length.toLong), bodyBytes)
+  }
+
+  /** DictionaryBatch message: the dictionary's (new) VALUES as a
+    * 1-column utf8 record batch, `isDelta` appending to an existing
+    * dictionary. */
+  private def dictBatchMessage(id: Long, values: IndexedSeq[Any],
+      isDelta: Boolean, codecId: Int): (Array[Byte], Array[Byte]) = {
+    val body = new Body(codecId)
+    val nodes = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    emitCol(AString, values, body, nodes)
+    val fb = new Fbb()
+    val rb = recordBatchTable(fb, values.length, nodes.toSeq,
+      body.entries.result(), codecId)
+    fb.startTable(3)
+    fb.slotLong(0, id, 0L)
+    fb.slotOffset(1, rb)
+    fb.slotByte(2, if (isDelta) 1 else 0, 0)
+    val db = fb.endTable()
+    val bodyBytes = body.out.toByteArray
+    (message(fb, headerType = 2, header = db,
       bodyLen = bodyBytes.length.toLong), bodyBytes)
   }
 
@@ -390,14 +506,60 @@ object ArrowWrite {
 
   /** Incremental stream writer: schema up front, one RecordBatch per
     * [[addBatch]], EOS on [[close]] — executors stream batches without
-    * holding a partition in memory. */
+    * holding a partition in memory.
+    *
+    * `codec = "zstd"` compresses every body buffer through the repo's
+    * own RFC 8878 encoder (the spec's per-buffer framing; buffers the
+    * codec can't shrink store raw). [[ADictString]] columns carry
+    * int32 indices on the wire; the writer emits each dictionary's
+    * initial DictionaryBatch before the first record batch and DELTA
+    * batches as new values appear — the accumulating-dictionary
+    * stream shape the reader ([[ArrowIpc]]) and pyarrow both replay. */
   final class StreamWriter(out: java.io.OutputStream,
-      schema: Seq[(String, AType)]) {
+      schema: Seq[(String, AType)], codec: String = null) {
+    private val codecId = codecIdOf(codec)
+    private val dictIds = dictIdsOf(schema)
+    private val dictMaps: Map[String, java.util.LinkedHashMap[String, Integer]] =
+      dictIds.keys.map(n =>
+        n -> new java.util.LinkedHashMap[String, Integer]()).toMap
+    private val dictEmitted =
+      scala.collection.mutable.Set.empty[String]
     writeMessage(out, schemaMessage(schema), Array.emptyByteArray)
     def addBatch(cols: Seq[ACol]): Unit = {
       require(cols.map(c => (c.name, c.tpe)) == schema,
         "batch columns must match the stream schema")
-      val (meta, body) = batchMessage(cols)
+      val physical = cols.map { c =>
+        if (c.tpe != ADictString) c
+        else {
+          val m = dictMaps(c.name)
+          val fresh = Vector.newBuilder[Any]
+          val idx = c.values.map {
+            case null => null
+            case s: String =>
+              var i = m.get(s)
+              if (i == null) {
+                i = Integer.valueOf(m.size)
+                m.put(s, i)
+                fresh += s
+              }
+              i.intValue(): Any
+            case other => throw new IllegalArgumentException(
+              s"dictionary cell of ${other.getClass}")
+          }
+          val newValues = fresh.result()
+          // initial batch always emitted (even empty: an all-null
+          // column still needs its dictionary to EXIST); deltas only
+          // when values actually appeared
+          if (!dictEmitted(c.name) || newValues.nonEmpty) {
+            val (m2, b2) = dictBatchMessage(dictIds(c.name), newValues,
+              isDelta = dictEmitted(c.name), codecId)
+            writeMessage(out, m2, b2)
+            dictEmitted += c.name
+          }
+          ACol(c.name, AIndex32, idx)
+        }
+      }
+      val (meta, body) = batchMessage(physical, codecId)
       writeMessage(out, meta, body)
     }
     def close(): Unit = {
@@ -409,9 +571,10 @@ object ArrowWrite {
 
   /** Whole stream in memory (convenience / tests): one batch per
     * `batchRows` slice. */
-  def stream(cols: Seq[ACol], batchRows: Int = 65536): Array[Byte] = {
+  def stream(cols: Seq[ACol], batchRows: Int = 65536,
+      codec: String = null): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    val w = new StreamWriter(bos, cols.map(c => (c.name, c.tpe)))
+    val w = new StreamWriter(bos, cols.map(c => (c.name, c.tpe)), codec)
     val n = cols.headOption.map(_.values.length).getOrElse(0)
     var p = 0
     while (p < n) {

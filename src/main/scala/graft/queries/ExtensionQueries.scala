@@ -5923,6 +5923,30 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ... the same export with the round-15 write-side features:
+    // DICTIONARY-encoded utf8 (the low-cardinality `source` column
+    // rides as int32 indices + initial/delta DictionaryBatches) and
+    // ZSTD body compression (per-buffer spec framing through the
+    // repo's own RFC 8878 encoder) — read back through the repo's
+    // dict-aware reader to identity; pyarrow is the dev-time referee
+    // (ArrowWriteSpec pins its decode)
+    "corpus_export_arrow_dict" -> ((s, dir) => {
+      val path = memoizedFixture(
+          tmpArtifact("graft_arrow_dict_export", dir)) { d =>
+        graft.sources.ArrowShards.writeArrowShards(
+          spread(t(s, dir, "documents"))
+            .select(col("doc_id"), col("source"), col("text")), d,
+          batchRows = 256, codec = "zstd", dictCols = Set("source"))
+      }
+      s.read.format("binaryFile").load(path + "/*.arrows")
+        .select(explode(graft.plans.ArrowExprs.arrowRowsCol(
+          col("content"), Seq("doc_id" -> "long", "source" -> "string",
+            "text" -> "string"))).as("r"))
+        .select(col("r.doc_id").as("doc_id"),
+          col("r.source").as("source"), col("r.text").as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ... and the embedding table through the same hop: list<float32>
     // columns survive byte-exactly (the reader widens to double — an
     // exact map for every float32). Output is exploded to one scalar
@@ -10538,6 +10562,10 @@ object ExtensionQueries {
 
     "corpus_export_arrow" ->
       """SELECT doc_id, text, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "corpus_export_arrow_dict" ->
+      """SELECT doc_id, source, text FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     "corpus_export_arrow_emb" ->

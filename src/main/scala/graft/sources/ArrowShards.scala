@@ -32,12 +32,27 @@ object ArrowShards {
       s"unsupported Arrow export type $other")
   }
 
+  /** @param codec    `"zstd"` compresses every body buffer (the spec's
+    *                  per-buffer framing through the repo's own RFC
+    *                  8878 encoder); null = uncompressed
+    * @param dictCols  string columns to dictionary-encode (int32
+    *                  indices + initial/delta DictionaryBatches) —
+    *                  the low-cardinality-label export shape */
   def writeArrowShards(df: DataFrame, path: String,
-      batchRows: Int = 8192): Unit = {
+      batchRows: Int = 8192, codec: String = null,
+      dictCols: Set[String] = Set.empty): Unit = {
     require(batchRows > 0, "batchRows must be positive")
     val schema = df.schema
     val atypes: Seq[(String, AType)] =
-      schema.fields.toSeq.map(f => f.name -> atypeOf(f.dataType))
+      schema.fields.toSeq.map { f =>
+        val t = atypeOf(f.dataType)
+        if (!dictCols.contains(f.name)) f.name -> t
+        else {
+          require(t == AString,
+            s"dictionary column ${f.name} must be a string column")
+          f.name -> ADictString
+        }
+      }
     val nCols = schema.fields.length
     df.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       if (it.hasNext) {
@@ -47,7 +62,7 @@ object ArrowShards {
         val fs = p.getFileSystem(
           new org.apache.hadoop.conf.Configuration())
         val out = fs.create(p, true)
-        val w = new ArrowWrite.StreamWriter(out, atypes)
+        val w = new ArrowWrite.StreamWriter(out, atypes, codec)
         val bufs = Array.fill(nCols)(
           Vector.newBuilder[Any])
         var n = 0

@@ -13,9 +13,9 @@ object ArrowWriteProbe {
       try f.write(b) finally f.close()
     }
     var fail = 0
-    def check(name: String, cols: Seq[ACol], batchRows: Int = 65536)
-        : Unit = {
-      val bytes = ArrowWrite.stream(cols, batchRows)
+    def check(name: String, cols: Seq[ACol], batchRows: Int = 65536,
+        codec: String = null): Unit = {
+      val bytes = ArrowWrite.stream(cols, batchRows, codec)
       dump(name, bytes)
       val batches = ArrowIpc.batchesJvm(bytes)
       val nRows = cols.headOption.map(_.values.length).getOrElse(0)
@@ -68,6 +68,26 @@ object ArrowWriteProbe {
     check("nonulls", Seq(
       ACol("id", ALong, Vector(7L, 8L)),
       ACol("s", AString, Vector("x", "y"))))
+    // round 15: zstd body compression + dictionary-encoded utf8
+    check("zstd", Seq(
+      ACol("id", ALong, Vector.tabulate(500)(i => i.toLong)),
+      ACol("s", AString, Vector.tabulate(500)(i => s"text-${i % 7} " * 8)),
+      ACol("emb", AList(AFloat), Vector.tabulate(500)(i =>
+        Seq.tabulate(16)(j => (i * 16 + j).toFloat)))),
+      batchRows = 128, codec = "zstd")
+    check("dict", Seq(
+      ACol("id", ALong, Vector.tabulate(300)(i => i.toLong)),
+      ACol("lang", ADictString, Vector.tabulate(300)(i =>
+        if (i % 11 == 0) null else s"lang-${i % 5 + i / 100}"))),
+      batchRows = 64)
+    check("dictzstd", Seq(
+      ACol("id", ALong, Vector.tabulate(300)(i => i.toLong)),
+      ACol("src", ADictString, Vector.tabulate(300)(i => s"crawl-${i % 3}")),
+      ACol("txt", AString, Vector.tabulate(300)(i => s"body $i " * 6))),
+      batchRows = 100, codec = "zstd")
+    check("dictallnull", Seq(
+      ACol("id", ALong, Vector(1L, 2L)),
+      ACol("d", ADictString, Vector(null, null))))
     println(if (fail == 0) "ALL_OK" else s"FAILURES=$fail")
   }
 }
