@@ -106,7 +106,7 @@ object ZstdDecode {
     * symbols fill from the table top with full-log reads; positive
     * counts spread with the (5/8·size + 3) step; per-cell bits/baseline
     * from the symbol's cumulative next-state counter. */
-  private def fseBuild(norm: Array[Int], accuracyLog: Int)
+  private[operators] def fseBuild(norm: Array[Int], accuracyLog: Int)
       : Option[FseTable] = {
     val size = 1 << accuracyLog
     val symbol = new Array[Int](size)
@@ -402,7 +402,7 @@ object ZstdDecode {
   private[operators] lazy val OfDefault = fseBuild(OfDefaultNorm, 5).get
 
   /** An RLE "table": one symbol, zero-bit updates. */
-  private def rleTable(sym: Int): FseTable =
+  private[operators] def rleTable(sym: Int): FseTable =
     new FseTable(0, Array(sym), Array(0), Array(0))
 
   // ---- dictionaries (RFC 8878 §5) ------------------------------------

@@ -68,11 +68,45 @@ object ZstdEncode {
     * (ranges partition [0, tableSize)). */
   private final class EncTable(val t: ZstdDecode.FseTable) {
     val states: Array[Array[Int]] = {
-      val maxSym = t.symbol.max
-      val bufs = Array.fill(maxSym + 1)(Vector.newBuilder[Int])
+      // primitive-array build + insertion sort by baseline (the
+      // boxed sortBy formulation dominated per-record encode time
+      // once fitted tables made EncTable construction per-block)
+      var maxSym = 0
       var d = 0
-      while (d < t.symbol.length) { bufs(t.symbol(d)) += d; d += 1 }
-      bufs.map(_.result().sortBy(t.baseline).toArray)
+      while (d < t.symbol.length) {
+        if (t.symbol(d) > maxSym) maxSym = t.symbol(d); d += 1
+      }
+      val cnt = new Array[Int](maxSym + 1)
+      d = 0
+      while (d < t.symbol.length) { cnt(t.symbol(d)) += 1; d += 1 }
+      val out = new Array[Array[Int]](maxSym + 1)
+      var s = 0
+      while (s <= maxSym) { out(s) = new Array[Int](cnt(s)); s += 1 }
+      val fill = new Array[Int](maxSym + 1)
+      d = 0
+      while (d < t.symbol.length) {
+        val sym = t.symbol(d)
+        out(sym)(fill(sym)) = d
+        fill(sym) += 1
+        d += 1
+      }
+      s = 0
+      while (s <= maxSym) {
+        val a = out(s)
+        var i = 1
+        while (i < a.length) { // tiny arrays: insertion sort
+          val v = a(i)
+          val key = t.baseline(v)
+          var j = i - 1
+          while (j >= 0 && t.baseline(a(j)) > key) {
+            a(j + 1) = a(j); j -= 1
+          }
+          a(j + 1) = v
+          i += 1
+        }
+        s += 1
+      }
+      out
     }
     /** The decode state for (symbol, target next-state): the unique
       * cell whose refill range contains `target`. */
@@ -91,7 +125,160 @@ object ZstdEncode {
   private lazy val MlEnc = new EncTable(ZstdDecode.MlDefault)
   private lazy val OfEnc = new EncTable(ZstdDecode.OfDefault)
 
+  /** Memoized 1-symbol RLE encode tables (symbol ≤ 52 across the
+    * three channels) — RLE fires per block, the table is constant. */
+  private val rleEncCache = new java.util.concurrent.ConcurrentHashMap[
+    Integer, EncTable]()
+  private def rleEncFor(sym: Int): EncTable =
+    rleEncCache.computeIfAbsent(sym,
+      s => new EncTable(ZstdDecode.rleTable(s)))
+
   private def highBit(v: Int): Int = 31 - Integer.numberOfLeadingZeros(v)
+
+  // ---- fitted FSE sequence tables (round 15) ---------------------------
+
+  /** Normalize a code histogram to 2^al slots (§4.1.1 semantics:
+    * every present symbol gets ≥ 1 slot, probability-<1 symbols carry
+    * -1 and consume one slot). Floor-scaling with the drift absorbed
+    * by the most frequent symbol — any valid normalization is legal,
+    * the wire DESCRIPTION is what the decoder rebuilds from. Null
+    * when the drift can't be absorbed. */
+  private def normalizeCounts(cnt: Array[Int], maxSym: Int,
+      al: Int): Array[Int] = {
+    val size = 1 << al
+    var total = 0L
+    var s = 0
+    while (s <= maxSym) { total += cnt(s); s += 1 }
+    if (total == 0) return null
+    val norm = new Array[Int](maxSym + 1)
+    var allocated = 0
+    var largest = -1
+    s = 0
+    while (s <= maxSym) {
+      if (cnt(s) > 0) {
+        if (largest < 0 || cnt(s) > cnt(largest)) largest = s
+        val p = (cnt(s).toLong * size / total).toInt
+        if (p == 0) { norm(s) = -1; allocated += 1 }
+        else { norm(s) = p; allocated += p }
+      }
+      s += 1
+    }
+    val drift = size - allocated
+    if (norm(largest) + drift < 1) return null
+    norm(largest) += drift
+    norm
+  }
+
+  /** Serialize an FSE table description (§4.1.1) — the exact inverse
+    * of [[ZstdDecode]]'s reader: 4-bit `al-5`, threshold-coded
+    * `count+1` values (small form when it fits under `max`), 2-bit
+    * zero-repeat runs, forward LSB-first bits, zero-padded to a
+    * byte. */
+  private def writeFseDesc(norm: Array[Int], al: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(16)
+    var cur = 0
+    var nbits = 0
+    def put(v: Int, nb: Int): Unit = {
+      cur |= (v & ((1 << nb) - 1)) << nbits
+      nbits += nb
+      while (nbits >= 8) {
+        out.write(cur & 0xff); cur >>>= 8; nbits -= 8
+      }
+    }
+    put(al - 5, 4)
+    var remaining = (1 << al) + 1
+    var threshold = 1 << al
+    var nbBitsRead = al + 1
+    var charnum = 0
+    while (remaining > 1) {
+      val n = norm(charnum)
+      val v = n + 1 // 0 encodes the -1 low-probability form
+      val max = (2 * threshold - 1) - remaining
+      if (v < max) put(v, nbBitsRead - 1)
+      else put(if (v < threshold) v else v + max, nbBitsRead)
+      remaining -= (if (n < 0) 1 else n)
+      charnum += 1
+      if (n == 0 && remaining > 1) {
+        // 2-bit runs of following zeros (a 3 continues the run)
+        var run = 0
+        while (charnum + run < norm.length &&
+          norm(charnum + run) == 0) run += 1
+        charnum += run
+        while (run >= 3) { put(3, 2); run -= 3 }
+        put(run, 2)
+      }
+      while (remaining < threshold) {
+        nbBitsRead -= 1; threshold >>= 1
+      }
+    }
+    if (nbits > 0) out.write(cur & 0xff)
+    out.toByteArray
+  }
+
+  /** Per-channel sequence-table choice: (mode, enc table, header
+    * bytes) — RLE (1 byte) when one code covers the channel, a FITTED
+    * table (description bytes) when its exact chain cost beats the
+    * predefined table's, else predefined (0 bytes). Cost is measured,
+    * not estimated: each candidate's backward state chain is walked
+    * and its bits summed. */
+  private def chooseTable(codes: Array[Int], predef: EncTable,
+      maxSym: Int, maxLog: Int): (Int, EncTable, Array[Byte]) = {
+    val ns = codes.length
+    def chainBits(enc: EncTable): Long = {
+      var bits = enc.t.accuracyLog.toLong
+      var st = enc.anyState(codes(ns - 1))
+      var j = ns - 2
+      while (j >= 0) {
+        val prev = enc.stateFor(codes(j), st)
+        bits += enc.t.nbBits(prev)
+        st = prev
+        j -= 1
+      }
+      bits
+    }
+    val predefCost = chainBits(predef)
+    var best = (0, predef, Array.emptyByteArray)
+    var bestCost = predefCost
+    var allSame = true
+    var i = 1
+    while (allSame && i < ns) { allSame = codes(i) == codes(0); i += 1 }
+    if (allSame) {
+      // RLE: 1 header byte, ZERO state bits (a 1-sequence block still
+      // prefers predefined — 5-8 initial bits beat the 8-bit header)
+      val rleCost = 8L
+      if (rleCost < bestCost)
+        return (1, rleEncFor(codes(0)), Array(codes(0).toByte))
+      return best
+    }
+    // a fitted description costs ~4-15 bytes; under ~8 sequences the
+    // per-seq state-bit savings can't repay it — skip the build
+    if (ns < 8) return best
+    val cnt = new Array[Int](maxSym + 1)
+    i = 0
+    while (i < ns) { cnt(codes(i)) += 1; i += 1 }
+    var distinct = 0
+    var top = 0
+    i = 0
+    while (i <= maxSym) {
+      if (cnt(i) > 0) { distinct += 1; top = i }; i += 1
+    }
+    // accuracy ~ log2(ns) (finer buys nothing on short chains), at
+    // least enough slots for every present symbol, within the RFC cap
+    val al = math.max(math.max(5, highBit(distinct) + 1),
+      math.min(maxLog, highBit(math.max(2, ns - 1))))
+    if (al > maxLog) return best
+    val norm = normalizeCounts(cnt, top, al)
+    if (norm == null) return best
+    ZstdDecode.fseBuild(norm, al) match {
+      case Some(t) =>
+        val desc = writeFseDesc(norm, al)
+        val enc = new EncTable(t)
+        val cost = desc.length * 8L + chainBits(enc)
+        if (cost < bestCost) { best = (2, enc, desc); bestCost = cost }
+        best
+      case None => best
+    }
+  }
 
   /** Largest code whose base ≤ v (the bases are ascending). */
   private def codeFor(bases: Array[Int], v: Int): Int = {
@@ -479,7 +666,6 @@ object ZstdEncode {
       out.write(0xff)
       out.write((ns - 0x7f00) & 0xff); out.write((ns - 0x7f00) >> 8)
     }
-    out.write(0) // modes: LL/OF/ML all predefined
     // codes + extras per sequence
     val llC = new Array[Int](ns); val mlC = new Array[Int](ns)
     val ofC = new Array[Int](ns)
@@ -491,24 +677,37 @@ object ZstdEncode {
       ofC(i) = highBit(offVals(i).toInt)
       i += 1
     }
+    // per-channel table choice (round 15): predefined / RLE / FITTED
+    // FSE, whichever measures smallest — fitted distributions cut the
+    // dominant per-sequence state bits on skewed code histograms (a
+    // corpus block's offsets often collapse to 2-3 codes; the
+    // predefined tables price them for the general case)
+    val (llMode, llT, llHdr) = chooseTable(llC, LlEnc, 35, 9)
+    val (ofMode, ofT, ofHdr) = chooseTable(ofC, OfEnc, 31, 8)
+    val (mlMode, mlT, mlHdr) = chooseTable(mlC, MlEnc, 52, 9)
+    out.write((llMode << 6) | (ofMode << 4) | (mlMode << 2))
+    // table descriptions / RLE symbols in the decoder's order
+    out.write(llHdr, 0, llHdr.length)
+    out.write(ofHdr, 0, ofHdr.length)
+    out.write(mlHdr, 0, mlHdr.length)
     // backward state chains (last sequence's state is free)
     val llS = new Array[Int](ns); val mlS = new Array[Int](ns)
     val ofS = new Array[Int](ns)
-    llS(ns - 1) = LlEnc.anyState(llC(ns - 1))
-    mlS(ns - 1) = MlEnc.anyState(mlC(ns - 1))
-    ofS(ns - 1) = OfEnc.anyState(ofC(ns - 1))
+    llS(ns - 1) = llT.anyState(llC(ns - 1))
+    mlS(ns - 1) = mlT.anyState(mlC(ns - 1))
+    ofS(ns - 1) = ofT.anyState(ofC(ns - 1))
     i = ns - 2
     while (i >= 0) {
-      llS(i) = LlEnc.stateFor(llC(i), llS(i + 1))
-      mlS(i) = MlEnc.stateFor(mlC(i), mlS(i + 1))
-      ofS(i) = OfEnc.stateFor(ofC(i), ofS(i + 1))
+      llS(i) = llT.stateFor(llC(i), llS(i + 1))
+      mlS(i) = mlT.stateFor(mlC(i), mlS(i + 1))
+      ofS(i) = ofT.stateFor(ofC(i), ofS(i + 1))
       i -= 1
     }
     // bitstream in decoder-read order
     val bits = new BitItems
-    bits.add(llS(0).toLong, LlEnc.t.accuracyLog)
-    bits.add(ofS(0).toLong, OfEnc.t.accuracyLog)
-    bits.add(mlS(0).toLong, MlEnc.t.accuracyLog)
+    bits.add(llS(0).toLong, llT.t.accuracyLog)
+    bits.add(ofS(0).toLong, ofT.t.accuracyLog)
+    bits.add(mlS(0).toLong, mlT.t.accuracyLog)
     i = 0
     while (i < ns) {
       val q = seqs(i)
@@ -518,7 +717,7 @@ object ZstdEncode {
       bits.add((q.litLen - ZstdDecode.LlBase(llC(i))).toLong,
         ZstdDecode.LlExtra(llC(i)))
       if (i < ns - 1) {
-        val llD = LlEnc.t; val mlD = MlEnc.t; val ofD = OfEnc.t
+        val llD = llT.t; val mlD = mlT.t; val ofD = ofT.t
         bits.add((llS(i + 1) - llD.baseline(llS(i))).toLong,
           llD.nbBits(llS(i)))
         bits.add((mlS(i + 1) - mlD.baseline(mlS(i))).toLong,
