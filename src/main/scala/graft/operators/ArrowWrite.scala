@@ -268,9 +268,10 @@ object ArrowWrite {
   /** Body-compression codec ids (the Arrow enum): -1 = none. */
   private[operators] def codecIdOf(codec: String): Int = codec match {
     case null | "" | "none" => -1
+    case "lz4" => 0 // LZ4_FRAME
     case "zstd" => 1
     case other => throw new IllegalArgumentException(
-      s"unsupported Arrow body codec '$other' (zstd or none)")
+      s"unsupported Arrow body codec '$other' (lz4, zstd or none)")
   }
 
   /** One Arrow buffer staged for the body, already 8-padded on write.
@@ -285,7 +286,9 @@ object ArrowWrite {
       val framed =
         if (codecId < 0 || b.length == 0) b
         else {
-          val comp = ZstdEncode.compress(b)
+          val comp =
+            if (codecId == 0) Lz4Snappy.lz4Compress(b)
+            else ZstdEncode.compress(b)
           val (tag, payload) =
             if (comp != null && comp.length < b.length)
               (b.length.toLong, comp)

@@ -558,6 +558,19 @@ object MediaArrayKernel {
         UTF8String.fromString(u), cl, st)
     }.toArray[Any])
 
+  /** Column-at-rest LZ4 frame compression (round 15,
+    * [[graft.operators.Lz4Snappy.lz4Compress]]): one frame,
+    * independent 64 KiB blocks, content size + XXH32 checksums. NULL
+    * past the 64 MiB guard. */
+  def lz4Compress(b: Array[Byte]): Array[Byte] =
+    if (b.length > (1 << 26)) null
+    else graft.operators.Lz4Snappy.lz4Compress(b)
+
+  /** Full LZ4 frame-stream decompression as a scalar column; NULL on
+    * any violation (PERMISSIVE). */
+  def lz4Decompress(b: Array[Byte]): Array[Byte] =
+    graft.operators.Lz4Snappy.lz4Decompress(b).orNull
+
   def zstdFrames(b: Array[Byte]): ArrayData =
     new GenericArrayData(Multimodal.zstdFramesJvm(b).zipWithIndex.map {
       case ((k, w, did, cs, nb, cl, hc, c, ok), i) =>
@@ -1093,6 +1106,34 @@ case class ZstdDecompress(child: Expression)
   override def prettyName: String = "graft_zstd_decompress"
 }
 
+/** `lz4_compress(blob)` -> one LZ4 frame (independent 64 KiB blocks,
+  * content size + XXH32 checksums); NULL past the 64 MiB guard. */
+case class Lz4Compress(child: Expression) extends MediaDecodeExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.lz4Compress($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.lz4Compress(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_lz4_compress"
+}
+
+/** `lz4_decompress(blob)` -> the concatenated content of a (possibly
+  * multi-frame) LZ4 frame stream; NULL on any violation — the scalar
+  * twin of [[Lz4Frames]] for callers that want the bytes. */
+case class Lz4Decompress(child: Expression)
+    extends MediaDecodeExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.lz4Decompress($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.lz4Decompress(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_lz4_decompress"
+}
+
 /** `warc_zst_records(blob)` -> the WARC record walk over a fully
   * zstd-decompressed `.warc.zst` (Common Crawl's current layout);
   * identical output schema to `warc_records` on the uncompressed
@@ -1341,6 +1382,8 @@ object MediaExprs {
   def warcZstHttpBodiesCol(blob: Column): Column =
     c(WarcZstHttpBodies(e(blob)))
   def lz4FramesCol(blob: Column): Column = c(Lz4Frames(e(blob)))
+  def lz4CompressCol(blob: Column): Column = c(Lz4Compress(e(blob)))
+  def lz4DecompressCol(blob: Column): Column = c(Lz4Decompress(e(blob)))
   def snappyCol(blob: Column): Column = c(SnappyDecode(e(blob)))
   def kafkaBatchesCol(blob: Column): Column = c(KafkaBatches(e(blob)))
   def kafkaRecordsCol(blob: Column): Column = c(KafkaRecords(e(blob)))

@@ -4706,6 +4706,24 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // LZ4 ENCODE (round 15) — the WRITE half of the lz4 story (the
+    // cheap-CPU export codec next to zstd): every document body
+    // through graft_lz4_compress (greedy block parse, independent
+    // 64 KiB blocks, XXH32 header/content checksums) then back
+    // through the golden-pinned frame walk, one codegen'd projection;
+    // same decoder-anchored identity discipline as source_zstd_encode
+    "source_lz4_encode" -> ((s, dir) => {
+      val enc = graft.plans.MediaExprs.lz4CompressCol(
+        encode(col("text"), "UTF-8"))
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          graft.plans.MediaExprs.lz4DecompressCol(enc).as("rt"))
+        .select(col("doc_id"),
+          decode(col("rt"), "UTF-8").as("text"),
+          length(col("rt")).cast("long").as("n_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
     // KAFKA SEGMENT WALK (round 13) — dumped RecordBatch v2 bytes at
     // rest (replay/backfill without a broker): batch metadata with
     // CRC-32C verdicts across all five codecs
@@ -9261,6 +9279,11 @@ object ExtensionQueries {
     // compress→decompress is lossless byte-for-byte; n_bytes is the
     // UTF-8 octet length of the original body
     "source_zstd_encode" ->
+      """SELECT doc_id, text,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "source_lz4_encode" ->
       """SELECT doc_id, text,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -76,6 +76,8 @@ class MediaCodegenSpec extends SparkFunSuite {
         "zstd_frames" -> graft.plans.MediaExprs.zstdFramesCol,
         "zstd_compress" -> graft.plans.MediaExprs.zstdCompressCol,
         "zstd_decompress" -> graft.plans.MediaExprs.zstdDecompressCol,
+        "lz4_compress" -> graft.plans.MediaExprs.lz4CompressCol,
+        "lz4_decompress" -> graft.plans.MediaExprs.lz4DecompressCol,
         "warc_zst_records" -> graft.plans.MediaExprs.warcZstRecordsCol,
         "warc_http_bodies" -> graft.plans.MediaExprs.warcHttpBodiesCol,
         "warc_zst_http_bodies" ->
