@@ -267,6 +267,19 @@ object ArrowIpc {
         if (child == null) return null
         children = Vector(child)
         "list"
+      case 17 => // Map (round 15) — physically list<struct<key,value>>:
+        // same offsets buffer + child struct as List, so the cursor
+        // walk reads it unchanged and rows surface as entry structs
+        // (the layout the spec itself defines Map as). The entries
+        // struct must have exactly two children.
+        val (cn, celems) = msg.vectorField(f, 5)
+        if (cn != 1 || celems < 0 ||
+          celems + 4L > msg.b.length) return null
+        val entries = parseField(msg, msg.tableAt(celems), depth + 1)
+        if (entries == null || entries.kind != "struct" ||
+          entries.children.size != 2) return null
+        children = Vector(entries)
+        "list"
       case 13 => // Struct — one child field per member
         val (cn, celems) = msg.vectorField(f, 5)
         if (cn < 1 || celems < 0 ||

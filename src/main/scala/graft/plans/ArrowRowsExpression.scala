@@ -32,6 +32,30 @@ case class ArrowRows(child: Expression,
       // list<float64|float32> column, "array<long>" a list<int*>, …
       ArrayType(kindType(l.substring(6, l.length - 1)),
         containsNull = true)
+    case s if s.startsWith("struct<") && s.endsWith(">") =>
+      // struct columns (round 15) — "struct<key:string,value:long>";
+      // members split at top-level commas (nesting via depth count)
+      val body = s.substring(7, s.length - 1)
+      val members = Vector.newBuilder[(String, String)]
+      var depth = 0
+      var start = 0
+      var i = 0
+      while (i <= body.length) {
+        if (i == body.length || (body.charAt(i) == ',' && depth == 0)) {
+          val m = body.substring(start, i)
+          val c = m.indexOf(':')
+          members += ((m.substring(0, c), m.substring(c + 1)))
+          start = i + 1
+        } else body.charAt(i) match {
+          case '<' => depth += 1
+          case '>' => depth -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+      StructType(members.result().map { case (n, kk) =>
+        StructField(n, kindType(kk), nullable = true)
+      })
     case other =>
       throw new IllegalArgumentException(s"unsupported kind $other")
   }
@@ -65,23 +89,32 @@ case class ArrowRows(child: Expression,
       return empty
     val rows = Vector.newBuilder[Any]
     var rowIdx = 0L
+    // TYPE-directed conversion (round 15): a struct value and an
+    // array value are both Seqs off the reader — the declared kind,
+    // not the runtime shape, decides InternalRow vs ArrayData
+    def internal(v: Any, dt: DataType): Any = (v, dt) match {
+      case (null, _) => null
+      case (s: String, _) => UTF8String.fromString(s)
+      case (seq: Seq[_], ArrayType(et, _)) =>
+        new GenericArrayData(seq.map(internal(_, et)).toArray)
+      case (m: Seq[_], st: StructType) =>
+        InternalRow.fromSeq(m.zip(st.fields.toSeq).map {
+          case (x, f) => internal(x, f.dataType)
+        })
+      case (x, _) => x
+    }
+    val fieldTypes = fields.map { case (_, k) => kindType(k) }
     batches.foreach { b =>
       val byName = b.cols.map(c => c.name -> c).toMap
       if (fields.exists { case (n, k) =>
         !byName.get(n).exists(_.kind == k) }) return empty
-      def internal(v: Any): Any = v match {
-        case null => null
-        case s: String => UTF8String.fromString(s)
-        case seq: Seq[_] =>
-          new GenericArrayData(seq.map(internal).toArray)
-        case x => x
-      }
       var r = 0
       while (r < b.nRows.toInt) {
         rows += InternalRow.fromSeq(
-          Seq[Any](b.idx.toLong, rowIdx) ++ fields.map { case (n, _) =>
-            internal(byName(n).values(r))
-          })
+          Seq[Any](b.idx.toLong, rowIdx) ++
+            fields.zip(fieldTypes).map { case ((n, _), dt) =>
+              internal(byName(n).values(r), dt)
+            })
         rowIdx += 1
         r += 1
       }

@@ -2106,6 +2106,67 @@ object ExtensionQueries {
       "000000001b000000000000001e000000000000001f000000000000002100" +
       "00000000000022000000000000002300000000000000ffffffff00000000")
 
+  private val ArrowMapHex: Seq[String] = Seq(
+      "ffffffff400100001000000000000a000c000600050008000a0000000001" +
+      "04000c0000000800080000000400080000000400000002000000dc000000" +
+      "040000003cffffff00000111140000001c00000004000000010000001400" +
+      "00000500000070726f70730000006cffffffa0ffffff0000000d18000000" +
+      "200000000400000002000000580000001400000007000000656e74726965" +
+      "73009cffffff98ffffff0000010210000000180000000400000000000000" +
+      "0500000076616c75650000008cffffff0000000140000000100014000800" +
+      "000007000c00000010001000000000000005100000001800000004000000" +
+      "00000000030000006b657900040004000400000010001400080006000700" +
+      "0c00000010001000000000000102100000001c0000000400000000000000" +
+      "020000006964000008000c0008000700080000000000000140000000ffff" +
+      "ffff4801000014000000000000000c0016000600050008000c000c000000" +
+      "0003040018000000a00000000000000000000a0018000c00040008000a00" +
+      "0000bc000000100000000500000000000000000000000a00000000000000" +
+      "000000000000000000000000000000000000000028000000000000002800" +
+      "000000000000010000000000000030000000000000001800000000000000" +
+      "480000000000000000000000000000004800000000000000000000000000" +
+      "000048000000000000001c00000000000000680000000000000006000000" +
+      "000000007000000000000000000000000000000070000000000000003000" +
+      "000000000000000000000500000005000000000000000000000000000000" +
+      "050000000000000001000000000000000600000000000000000000000000" +
+      "000006000000000000000000000000000000060000000000000000000000" +
+      "000000000000000000000000010000000000000002000000000000000300" +
+      "00000000000004000000000000001d000000000000000000000002000000" +
+      "020000000200000003000000060000000000000001000000020000000300" +
+      "00000400000005000000060000000000000061626b78797a000001000000" +
+      "0000000002000000000000001e0000000000000028000000000000002900" +
+      "0000000000002a00000000000000ffffffff00000000",
+      "ffffffff400100001000000000000a000c000600050008000a0000000001" +
+      "04000c0000000800080000000400080000000400000002000000dc000000" +
+      "040000003cffffff00000111140000001c00000004000000010000001400" +
+      "00000500000070726f70730000006cffffffa0ffffff0000000d18000000" +
+      "200000000400000002000000580000001400000007000000656e74726965" +
+      "73009cffffff98ffffff0000010210000000180000000400000000000000" +
+      "0500000076616c75650000008cffffff0000000140000000100014000800" +
+      "000007000c00000010001000000000000005100000001800000004000000" +
+      "00000000030000006b657900040004000400000010001400080006000700" +
+      "0c00000010001000000000000102100000001c0000000400000000000000" +
+      "020000006964000008000c0008000700080000000000000140000000ffff" +
+      "ffff6001000014000000000000000c0018000600050008000c000c000000" +
+      "000304001c000000d000000000000000000000000c001e00100004000800" +
+      "0c000c000000d00000002400000018000000030000000000000000000000" +
+      "000006000800070006000000000000010a00000000000000000000000000" +
+      "000000000000000000000000000025000000000000002800000000000000" +
+      "120000000000000040000000000000002100000000000000680000000000" +
+      "000000000000000000006800000000000000000000000000000068000000" +
+      "00000000210000000000000090000000000000001400000000000000a800" +
+      "0000000000000000000000000000a8000000000000002500000000000000" +
+      "000000000500000003000000000000000000000000000000030000000000" +
+      "000001000000000000000300000000000000000000000000000003000000" +
+      "000000000000000000000000030000000000000000000000000000001800" +
+      "00000000000028b52ffd2018a50000600a000b000c000000000000000200" +
+      "60e0016001000000010000000000000028b52ffd20010900000300000000" +
+      "0000100000000000000028b52ffd20108100000000000001000000030000" +
+      "000300000000000000000000100000000000000028b52ffd201081000000" +
+      "000000010000000200000003000000000000000000000300000000000000" +
+      "28b52ffd20031900006d6e6f00000000180000000000000028b52ffd2018" +
+      "a5000060050006000700000000000000020060e0016001000000ffffffff" +
+      "00000000")
+
   /** The SAME two tar shard layouts as [[TarXzHex]], compressed with
     * real gzip (mtime 0, no fname) and real libbz2 — `.tar.gz` and
     * `.tar.bz2` share `source_tar_xz`'s oracle body. */
@@ -5182,6 +5243,34 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("vec_id"))
     }),
 
+    // ARROW MAP COLUMNS (round 15) — map<utf8,int64> read as the
+    // spec's own physical layout (list<struct<key,value>> — the entry
+    // structs surface typed); one REAL pyarrow stream per rotation,
+    // the zstd-compressed twin included. Reduced to closed-form
+    // scalars for the gate: entry count (null map distinct from empty
+    // map), joined keys, value sum
+    "source_arrow_map" -> ((s, dir) => {
+      val fixture = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), unhex(element_at(
+          array(ArrowMapHex.map(lit): _*),
+          (pmod(col("doc_id"), lit(2L)) + 1L).cast("int"))).as("blob"))
+      fixture.select(col("doc_id"),
+          explode(graft.plans.ArrowExprs.arrowRowsCol(col("blob"),
+            Seq("id" -> "long",
+              "props" -> "array<struct<key:string,value:long>>")))
+            .as("r"))
+        .select(col("doc_id"), col("r.id").as("id"),
+          when(col("r.props").isNull, lit(null))
+            .otherwise(size(col("r.props"))).cast("long")
+            .as("n_entries"),
+          concat_ws(",",
+            transform(col("r.props"), e => e.getField("key")))
+            .as("keys"),
+          aggregate(col("r.props"), lit(0L),
+            (a, e) => a + e.getField("value")).as("val_sum"))
+        .orderBy(col("doc_id"), col("id"))
+    }),
+
     // CBOR → JSON (round 13) — the binary-JSON payloads of COSE/CWT/
     // WebAuthn/IoT streams: a map assembled IN PLAN from closed-form
     // single-byte CBOR items (ints < 24, 1-byte text lengths), every
@@ -5825,6 +5914,45 @@ object ExtensionQueries {
             "WARC-Target-URI: http://corpus\\.local/doc/(\\d+)", 1)
             .cast("long").as("doc_id"),
           after.substr(lit(1), length(after) - 4).as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // WET-STYLE TEXT EXPORT (round 15) — the conversion-record layout
+    // Common Crawl distributes for text-only consumers: the stripped
+    // page text (the text_html_strip kernel over the HTML wrap)
+    // re-archived as one `WARC-Type: conversion` record per doc, one
+    // compressed frame per record, seek-tabled shards. Read back
+    // through the frame walk; the record TYPE is parsed from the
+    // header so a sink regression to `resource` turns the row red,
+    // and the oracle replays the expected stripped text
+    "corpus_export_wet" -> ((s, dir) => {
+      val path = memoizedFixture(
+          tmpArtifact("graft_wet_export", dir)) { d =>
+        val esc = replace(replace(col("text"), lit("&"), lit("&amp;")),
+          lit("<"), lit("&lt;"))
+        val html = concat(lit("<div class=\"doc\"><h1>"), col("source"),
+          lit("</h1><p>"), esc, lit("</p><br/></div>"))
+        graft.sources.ZstdSeekable.writeWarcZstShards(
+          spread(t(s, dir, "documents"))
+            .select(col("doc_id"), html.as("html"))
+            .select(col("doc_id"), TF.stripMarkup(col("html"))
+              .as("clean")), d,
+          textCol = "clean", recType = "conversion")
+      }
+      val frames = graft.sources.ZstdSeekable
+        .readShardFrames(s, path, framesPerSplit = 64)
+      val rec = frames.select(explode(
+          graft.plans.MediaExprs.zstdFramesCol(col("blob"))).as("f"))
+        .select(col("f.content").as("rec"))
+      val pos = locate("\r\n\r\n", col("rec"))
+      val after = col("rec").substr(pos + lit(4), length(col("rec")))
+      rec.select(
+          regexp_extract(col("rec"),
+            "WARC-Target-URI: http://corpus\\.local/doc/(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          regexp_extract(col("rec"), "WARC-Type: ([a-z]+)", 1)
+            .as("rec_type"),
+          after.substr(lit(1), length(after) - 4).as("clean"))
         .orderBy(col("doc_id"))
     }),
 
@@ -9606,6 +9734,22 @@ object ExtensionQueries {
         |    AS BIGINT) AS tok_sum
         |FROM e ORDER BY doc_id, vec_id""".stripMargin,
 
+    // the two map-stream rotations' rows in closed form: null maps
+    // distinct from empty maps, entry keys joined, value sums
+    "source_arrow_map" ->
+      """WITH m AS (SELECT * FROM (VALUES
+        |  (0, 0, 2, 'a,b', 3), (0, 1, NULL, '', NULL),
+        |  (0, 2, 0, '', 0), (0, 3, 1, 'k', 30),
+        |  (0, 4, 3, 'x,y,z', 123),
+        |  (1, 10, 1, 'm', 5), (1, 11, 2, 'n,o', 13),
+        |  (1, 12, NULL, '', NULL))
+        |  t(v, id, n_entries, keys, val_sum))
+        |SELECT d.doc_id, CAST(id AS BIGINT) AS id,
+        |  CAST(n_entries AS BIGINT) AS n_entries, keys,
+        |  CAST(val_sum AS BIGINT) AS val_sum
+        |FROM documents d JOIN m ON m.v = d.doc_id % 2
+        |ORDER BY d.doc_id, id""".stripMargin,
+
     // the rendered JSON character-for-character, plus two fields
     // re-extracted from it
     "source_cbor_decode" ->
@@ -10574,6 +10718,23 @@ object ExtensionQueries {
     "corpus_export_warczst_dict" ->
       """SELECT doc_id, text FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // the conversion records carry the STRIPPED text — same chain as
+    // text_html_strip, plus the record-type pin
+    "corpus_export_wet" ->
+      """WITH h AS (SELECT doc_id, source, text,
+        |  '<div class="doc"><h1>' || source || '</h1><p>' ||
+        |    replace(replace(text, '&', '&amp;'), '<', '&lt;') ||
+        |    '</p><br/></div>' AS html
+        |  FROM documents)
+        |SELECT doc_id, 'conversion' AS rec_type,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(html, '<[A-Za-z/!][^>]{0,256}>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "corpus_export_warczst_trained" ->
       """SELECT doc_id, text FROM documents

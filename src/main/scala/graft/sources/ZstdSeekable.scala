@@ -128,11 +128,16 @@ object ZstdSeekable {
     out.toByteArray
   }
 
+  /** @param recType WARC record type per record: `resource` (the
+    *                 default raw-corpus shape) or `conversion` — the
+    *                 WET layout Common Crawl distributes for text-only
+    *                 consumers (stripped page text re-archived). */
   def writeWarcZstShards(df: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text",
       uriPrefix: String = "http://corpus.local/doc/",
       compress: Boolean = true,
-      dict: Array[Byte] = null): Unit = {
+      dict: Array[Byte] = null,
+      recType: String = "resource"): Unit = {
     require(dict == null || compress,
       "dictionary compression requires compress = true")
     val rows = df.select(df(idCol).cast("long"),
@@ -150,7 +155,7 @@ object ZstdSeekable {
           val id = r.getLong(0)
           val body = Option(r.getString(1)).getOrElse("")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val hdr = (s"WARC/1.0\r\nWARC-Type: resource\r\n" +
+          val hdr = (s"WARC/1.0\r\nWARC-Type: $recType\r\n" +
             s"WARC-Target-URI: $uriPrefix$id\r\n" +
             s"Content-Length: ${body.length}\r\n\r\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)

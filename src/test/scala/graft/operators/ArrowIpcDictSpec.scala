@@ -164,6 +164,33 @@ class ArrowIpcDictSpec extends AnyFunSuite {
     checkStruct(ArrowIpc.batchesJvm(vector("struct.arrows")))
   }
 
+  // twin of tools/gen_arrow_vectors.py map recipe (round 15): maps
+  // surface as their spec-defined physical layout — a list of
+  // (key, value) entry structs; null maps and empty maps included
+  private def checkMap(batches: IndexedSeq[ArrowIpc.Batch]): Unit = {
+    assert(batches.map(_.nRows).sum == 80)
+    val id = flat(batches, "id")
+    val props = flat(batches, "props")
+    assert(batches.head.cols.find(_.name == "props").get.kind ==
+      "array<struct<key:string,value:long>>")
+    (0 until 80).foreach { i =>
+      assert(id(i) == i.toLong)
+      if (i % 9 == 0) assert(props(i) == null, s"props $i should be null")
+      else assert(props(i) ==
+        (0 until i % 4).map(j => Vector(s"k$j", (i * 10 + j).toLong)),
+        s"props $i")
+    }
+  }
+
+  test("MAP columns decode as list<struct<key,value>> — the spec's " +
+      "own physical layout (round 15)") {
+    checkMap(ArrowIpc.batchesJvm(vector("map.arrows")))
+  }
+
+  test("MAP columns under zstd body compression") {
+    checkMap(ArrowIpc.batchesJvm(vector("map_zstd.arrows")))
+  }
+
   test("STRUCT columns under LZ4 body compression") {
     checkStruct(ArrowIpc.batchesJvm(vector("struct_lz4.arrows")))
   }

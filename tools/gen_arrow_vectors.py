@@ -197,6 +197,24 @@ def main():
     write_opts(os.path.join(outdir, "struct_lz4.arrows"), [srb],
                sschema, compression="lz4")
 
+    # MAP column (round 15): physically list<struct<key,value>> — the
+    # reader surfaces entry structs. Null maps and empty maps included.
+    # NOTE: twin recipe in ArrowIpcDictSpec.scala.
+    nm = 80
+    mschema = pa.schema([
+        ("id", pa.int64()),
+        ("props", pa.map_(pa.string(), pa.int64())),
+    ])
+    mrb = pa.record_batch([
+        pa.array(range(nm), pa.int64()),
+        pa.array([None if i % 9 == 0 else
+                  [("k%d" % j, i * 10 + j) for j in range(i % 4)]
+                  for i in range(nm)], mschema.field("props").type),
+    ], schema=mschema)
+    write_opts(os.path.join(outdir, "map.arrows"), [mrb], mschema)
+    write_opts(os.path.join(outdir, "map_zstd.arrows"), [mrb],
+               mschema, compression="zstd")
+
     for f in sorted(os.listdir(outdir)):
         print(f, os.path.getsize(os.path.join(outdir, f)))
 
