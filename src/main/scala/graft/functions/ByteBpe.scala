@@ -153,6 +153,21 @@ object ByteBpe {
        |FROM g ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-doc subword-count relation `(doc_id, n)` over RAW document
+    * text — the packing oracle's token counter, generated from the
+    * same constants as [[countsJvm]]. The byte-map chain covers the
+    * standard control chars; any raw corpus char outside it must be
+    * single-byte ASCII for the SQL replay to hold (true of the
+    * driver's documents table — the kernel itself handles anything). */
+  def subwordCountsSql(docsRel: String = "documents"): String = {
+    val mapped = byteMapChainSql("text", Seq('\n', '\t', '\r'))
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(
+       |    ${mergeChainSql(symEncodeSql(mapped))}, ';')) - 1
+       |    AS BIGINT) AS n
+       |FROM $docsRel""".stripMargin
+  }
+
   /** Text → pre-token symbol arrays in the mapped alphabet (each
     * symbol one mapped byte char), merges NOT yet applied. */
   private[graft] def preTokens(text: String): ArrayBuffer[ArrayBuffer[String]] = {

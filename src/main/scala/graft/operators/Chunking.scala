@@ -91,10 +91,19 @@ object Chunking {
     * `nShards <= 0` (the default) auto-sizes to the session's shuffle
     * parallelism; any explicit value up to 4096 gives the same result
     * (sharding is parallelization, not semantics). */
+  /** Default per-doc token counter: whitespace-normalized tokens. A
+    * caller packing for a REAL tokenizer passes its own counter —
+    * e.g. byte-level BPE subwords
+    * (`TF.byteBpeStats(_).getField("n_subwords")`), which is what the
+    * .bin shard's token budget actually means to the model. */
+  def normTokenCount(text: Column): Column =
+    size(TF.normTokens(text)).cast("long")
+
   def fixedPack(docs: DataFrame, textCol: String, idCol: String,
-      seqLen: Int, nShards: Int = 0): DataFrame = {
+      seqLen: Int, nShards: Int = 0,
+      tokenCount: Column => Column = normTokenCount): DataFrame = {
     val L = seqLen.toLong
-    fixedPackSpanBase(docs, textCol, idCol, seqLen, nShards)
+    fixedPackSpanBase(docs, textCol, idCol, seqLen, nShards, tokenCount)
       .groupBy(col("seq_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(least(col("end"), (col("seq_id") + 1) * L) -
@@ -116,9 +125,10 @@ object Chunking {
     * prefix sum, then a row-local explode; the span arithmetic is pure
     * integer projection on the exploded rows. */
   def fixedPackSpans(docs: DataFrame, textCol: String, idCol: String,
-      seqLen: Int, nShards: Int = 0): DataFrame = {
+      seqLen: Int, nShards: Int = 0,
+      tokenCount: Column => Column = normTokenCount): DataFrame = {
     val L = seqLen.toLong
-    fixedPackSpanBase(docs, textCol, idCol, seqLen, nShards)
+    fixedPackSpanBase(docs, textCol, idCol, seqLen, nShards, tokenCount)
       .select(col("seq_id"), col("id").as("doc_id"),
         (greatest(col("start"), col("seq_id") * L) - col("seq_id") * L)
           .as("start_in_seq"),
@@ -133,7 +143,8 @@ object Chunking {
     * the sharded prefix sum, exploded to one row per (doc, sequence it
     * touches). */
   private def fixedPackSpanBase(docs: DataFrame, textCol: String,
-      idCol: String, seqLen: Int, nShards0: Int): DataFrame = {
+      idCol: String, seqLen: Int, nShards0: Int,
+      tokenCount: Column => Column = normTokenCount): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     // nShards ≤ 0 = auto: track the session's shuffle parallelism (the
     // same rule Layout.rangeBoundaries uses for its own shard count), so
@@ -151,7 +162,7 @@ object Chunking {
       } else math.min(4096, math.max(1, docs.sparkSession.conf
         .get("spark.sql.shuffle.partitions", "32").toInt))
     val base = docs.select(col(idCol).cast("long").as("id"),
-      size(TF.normTokens(col(textCol))).cast("long").as("n"))
+      tokenCount(col(textCol)).cast("long").as("n"))
     val bs =
       if (nShards == 1) Seq.empty[Long]
       else Layout.equiCountBoundaries(base, "id", nShards)

@@ -3692,6 +3692,32 @@ object Multimodal {
     * discipline of the other container walks, sized up for web pages). */
   private val MaxHttpTextBytes = 1 << 20
 
+  /** Inflate a complete deflate stream (zlib-wrapped or raw) to its
+    * end, 64 MiB bomb-guarded; null on any violation or trailing
+    * garbage. */
+  private def inflateFully(b: Array[Byte], raw: Boolean): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(raw)
+    inf.setInput(b)
+    val out = new java.io.ByteArrayOutputStream(math.min(
+      math.max(64, b.length * 4), 1 << 20))
+    val chunk = new Array[Byte](8192)
+    try {
+      var total = 0L
+      while (!inf.finished()) {
+        val n = inf.inflate(chunk)
+        if (n > 0) {
+          total += n
+          if (total > (1L << 26)) return null
+          out.write(chunk, 0, n)
+        } else if (!inf.finished()) return null // truncated/needs dict
+      }
+      if (inf.getRemaining > 0) return null // trailing garbage
+      out.toByteArray
+    } catch {
+      case _: java.util.zip.DataFormatException => null
+    } finally inf.end()
+  }
+
   private[graft] def warcHttpBodiesJvm(b: Array[Byte]): IndexedSeq[
       (Long, String, Long, String, String, String, Long, String)] = {
     type Row = (Long, String, Long, String, String, String, Long, String)
@@ -3851,6 +3877,14 @@ object Multimodal {
                         buf.toByteArray
                       }
                     case _ => null
+                  }
+                else if (cenc == "deflate")
+                  // zlib-wrapped per RFC 9110; real servers also ship
+                  // raw deflate under this name — try zlib first, raw
+                  // second (the lenient-client behavior)
+                  inflateFully(transport, raw = false) match {
+                    case null => inflateFully(transport, raw = true)
+                    case ok => ok
                   }
                 else if (cenc.isEmpty || cenc == "identity") transport
                 else null // unsupported coding: PERMISSIVE row

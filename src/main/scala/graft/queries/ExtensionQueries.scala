@@ -1413,7 +1413,12 @@ object ExtensionQueries {
     * never hand a large constructed Column to an operator that
     * references it many times). */
   private[graft] def warcHtmlZstFixture(s: SparkSession,
-      dir: String): DataFrame = {
+      dir: String): DataFrame =
+    warcHtmlZstBlobs(spread(t(s, dir, "documents")))
+
+  /** The fixture construction over ANY (doc_id, source, text) frame —
+    * the capstone pipeline feeds group-duplicated pages through it. */
+  private[graft] def warcHtmlZstBlobs(docs: DataFrame): DataFrame = {
     val d = col("doc_id")
     val crlf = "\r\n"
     val esc = replace(replace(col("text"), lit("&"), lit("&amp;")),
@@ -1464,7 +1469,7 @@ object ExtensionQueries {
       octet_length(col("http")).cast("string"), lit(crlf + crlf))
     val infoRec = "WARC/1.0" + crlf + "WARC-Type: warcinfo" + crlf +
       "Content-Length: 10" + crlf + crlf + "info-body!" + crlf + crlf
-    spread(t(s, dir, "documents"))
+    docs
       .select(d, encode(html, "utf-8").as("html_bytes"))
       .select(d, when(gzipCond, gzipBare(col("html_bytes")))
         .otherwise(col("html_bytes")).as("content"))
@@ -4932,6 +4937,37 @@ object ExtensionQueries {
           TF.stripMarkup(col("body_text")).as("clean"))
         .orderBy(col("doc_id"))),
 
+    // THE COMMON CRAWL PIPELINE CAPSTONE (round 15) — everything a
+    // CC-scale corpus run actually does, ONE declarative plan with a
+    // full DuckDB oracle: `.warc.zst` → WARC record walk → HTTP
+    // status/header parse → de-chunk → gunzip → charset → html strip
+    // → quality gate (≥ 20 words) → exact dedup → survivors. Pages
+    // are GROUP-DUPLICATED (each group of 3 docs serves the group
+    // base's page) so the dedup stage is non-vacuous: survivors are
+    // the group minima with real n_copies
+    "cc_pipeline_survivors" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id").as("b_id"), col("text").as("b_text"),
+          col("source").as("b_source"))
+      val grouped = spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          (col("doc_id") - pmod(col("doc_id"), lit(3L))).as("b_id"))
+        .join(broadcast(base), "b_id")
+        .select(col("doc_id"), col("b_source").as("source"),
+          col("b_text").as("text"))
+      val bodies = Multimodal.extractWarcZstHttpBodies(
+        warcHtmlZstBlobs(grouped), "doc_id").toDF()
+      bodies
+        .select(col("doc_id"),
+          TF.stripMarkup(col("body_text")).as("clean"))
+        .filter(size(split(col("clean"), " ")) >= 20)
+        .groupBy(col("clean"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"), col("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BZIP2 MEMBER WALK (round 13) — the Wikipedia-dump codec: REAL
     // libbz2 streams (golden templates) through the full
     // Huffman/MTF/BWT/RLE decode with per-block + footer CRCs
@@ -5870,6 +5906,16 @@ object ExtensionQueries {
     "corpus_pack_fixed" -> ((s, dir) =>
       Chunking.fixedPack(t(s, dir, "documents"), "text", "doc_id",
         seqLen = 512)),
+
+    // the same packing driven by the BYTE-LEVEL BPE subword counter
+    // (round 15) — what a .bin shard's token budget actually means to
+    // the model: the native kernel counts per doc, the oracle replays
+    // the generated merge chain, and the identical two-phase prefix
+    // sum cuts the stream every 512 SUBWORDS
+    "corpus_pack_bytebpe" -> ((s, dir) =>
+      Chunking.fixedPack(t(s, dir, "documents"), "text", "doc_id",
+        seqLen = 512, tokenCount =
+          c => TF.byteBpeStats(c).getField("n_subwords"))),
 
     // the loader-facing span index of the same packing (round 9): one
     // row per (sequence, contributing document) with in-sequence and
@@ -9554,6 +9600,31 @@ object ExtensionQueries {
         |    '\s+', ' ', 'g')) AS clean
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    // group-duplicated pages (base = doc - doc%3), stripped through
+    // the shared chain, word-gated, exact-deduped to group minima
+    "cc_pipeline_survivors" ->
+      """WITH g AS (SELECT d.doc_id, b.text AS text, b.source AS source
+        |  FROM documents d
+        |  JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 3),
+        |h AS (SELECT doc_id,
+        |  '<div class="doc"><h1>' || source || '</h1><p>' ||
+        |    replace(replace(text, '&', '&amp;'), '<', '&lt;') ||
+        |    '</p><br/></div>' AS html
+        |  FROM g),
+        |s AS (SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(html, '<[A-Za-z/!][^>]{0,256}>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |  FROM h),
+        |q AS (SELECT * FROM s
+        |  WHERE len(string_split(clean, ' ')) >= 20)
+        |SELECT MIN(doc_id) AS doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies, clean
+        |FROM q GROUP BY clean ORDER BY doc_id""".stripMargin,
+
     // seek-table frames 1..24 (0 is the dictionary frame), frame j =
     // record (j-1)%8; compressed lengths are the golden frame sizes,
     // content lengths the closed-form record bodies
@@ -10673,6 +10744,25 @@ object ExtensionQueries {
       s"""WITH tk AS ($NormToksSql),
         |pbase AS (SELECT doc_id AS id, CAST(len(toks) AS BIGINT) AS n
         |  FROM tk),
+        |pcum AS (SELECT id, n,
+        |    CAST(SUM(n) OVER (ORDER BY id) AS BIGINT) AS e
+        |  FROM pbase),
+        |pspans AS (SELECT id, n, e - n AS s, e FROM pcum WHERE n > 0),
+        |psq AS (SELECT id, s, e,
+        |    CAST(unnest(range(s // 512, (e - 1) // 512 + 1)) AS BIGINT)
+        |      AS seq_id
+        |  FROM pspans)
+        |SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(LEAST(e, (seq_id + 1) * 512) -
+        |           GREATEST(s, seq_id * 512)) AS BIGINT) AS n_tokens
+        |FROM psq GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
+    // the pack arithmetic unchanged, the counter swapped for the
+    // generated byte-BPE subword chain
+    "corpus_pack_bytebpe" ->
+      s"""WITH pbase AS (
+        |  SELECT doc_id AS id, n
+        |  FROM (${graft.functions.ByteBpe.subwordCountsSql()})),
         |pcum AS (SELECT id, n,
         |    CAST(SUM(n) OVER (ORDER BY id) AS BIGINT) AS e
         |  FROM pbase),

@@ -100,6 +100,34 @@ class WarcHttpSpec extends SparkFunSuite {
     assert(rows.head._8 == "chunk-ext body")
   }
 
+  test("Content-Encoding: deflate decodes both zlib-wrapped and raw " +
+      "deflate (the lenient-client rule)") {
+    val text = "deflate body content " * 20
+    val bytes = text.getBytes("UTF-8")
+    def deflate(raw: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+      d.setInput(bytes); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      while (!d.finished()) out.write(chunk, 0, d.deflate(chunk))
+      d.end()
+      out.toByteArray
+    }
+    for (raw <- Seq(false, true)) {
+      val rows = walk(rec("response", "http://x/df",
+        http("200 OK", Seq("Content-Type: text/plain",
+          "Content-Encoding: deflate"), deflate(raw))))
+      assert(rows.length == 1)
+      assert(rows.head._8 == text, s"raw=$raw")
+    }
+    // garbage under the deflate label is PERMISSIVE
+    val bad = walk(rec("response", "http://x/dfbad",
+      http("200 OK", Seq("Content-Encoding: deflate"),
+        Array[Byte](0, 1, 2, 3))))
+    assert(bad.head._7 == -1L && bad.head._8 == null)
+  }
+
   test("multi-member gzip payloads concatenate") {
     val a = "first half / ".getBytes("UTF-8")
     val b = "second half".getBytes("UTF-8")
