@@ -216,15 +216,66 @@ object ByteBpe {
     toks.flatten.toSeq
   }
 
+  // ---- int-symbol fast path (round 15 bench fix) ----------------------
+  // The string formulation allocates one String per input BYTE; the
+  // counting kernel (the hot path — packing runs it per corpus doc)
+  // works over int symbol ids instead: base chars use their code
+  // point as id (< 0x400), merge results get 0x400 + rank. Every
+  // multi-char rule part must be an EARLIER rule's result (validated
+  // at init — true of any rank-ordered BPE table); -1 marks pre-token
+  // boundaries in the flat array so rules can never match across.
+  // Equivalence with the string path is pinned by the spec's
+  // countsJvm-vs-segmentsJvm assertions over random unicode.
+  private val MergedIdBase = 0x400
+  private val mergeRules: Array[(Int, Int, Int)] = {
+    val ids = scala.collection.mutable.HashMap.empty[String, Int]
+    Merges.zipWithIndex.map { case ((a, b), rank) =>
+      def idOf(s: String): Int =
+        if (s.length == 1) s.charAt(0).toInt
+        else ids.getOrElse(s, throw new IllegalStateException(
+          s"merge part '$s' is not a single char or an earlier result"))
+      val rule = (idOf(a), idOf(b), MergedIdBase + rank)
+      ids(a + b) = MergedIdBase + rank
+      rule
+    }.toArray
+  }
+
   /** One-pass counters: (n_bytes, n_subwords, n_pretokens). */
   def countsJvm(text: String): (Long, Long, Long) = {
     if (text == null) return (0L, 0L, 0L)
-    val nBytes =
-      text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
-    val toks = preTokens(text)
-    var subwords = 0L
-    toks.foreach { t => applyMergesTo(t); subwords += t.length }
-    (nBytes, subwords, toks.length.toLong)
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (bytes.length == 0) return (0L, 0L, 0L)
+    // flat symbol array with -1 pre-token sentinels
+    val syms = new Array[Int](bytes.length * 2)
+    var m = 0
+    var pending = false
+    var tokens = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      if (b == 0x20 && pending) { syms(m) = -1; m += 1; tokens += 1 }
+      syms(m) = byteToChar(b).toInt
+      m += 1
+      pending = true
+      i += 1
+    }
+    tokens += 1 // the final pre-token
+    // rank-ordered in-place compaction per rule
+    var r = 0
+    while (r < mergeRules.length) {
+      val (a, b, mid) = mergeRules(r)
+      var j = 0
+      var w = 0
+      while (j < m) {
+        if (j + 1 < m && syms(j) == a && syms(j + 1) == b) {
+          syms(w) = mid; j += 2
+        } else { syms(w) = syms(j); j += 1 }
+        w += 1
+      }
+      m = w
+      r += 1
+    }
+    (bytes.length.toLong, (m - (tokens - 1)).toLong, tokens)
   }
 
   /** Decode a merged symbol back to its original string (inverse of

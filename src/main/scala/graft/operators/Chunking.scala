@@ -161,8 +161,14 @@ object Chunking {
         nShards0
       } else math.min(4096, math.max(1, docs.sparkSession.conf
         .get("spark.sql.shuffle.partitions", "32").toInt))
+    // (id, n) is consumed by THREE jobs (boundary histogram, shard
+    // totals, the window pass) — materialize it once so an expensive
+    // token counter (byte-BPE subwords) runs per doc, not per job;
+    // 16 bytes/doc, strictly cheaper than re-deriving even for the
+    // whitespace default
     val base = docs.select(col(idCol).cast("long").as("id"),
       tokenCount(col(textCol)).cast("long").as("n"))
+      .localCheckpoint()
     val bs =
       if (nShards == 1) Seq.empty[Long]
       else Layout.equiCountBoundaries(base, "id", nShards)
