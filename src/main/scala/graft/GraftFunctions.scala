@@ -95,6 +95,10 @@ object GraftFunctions {
       es => GreedySegment(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_byte_bpe_stats",
       es => ByteBpeStats(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_lz4_compress",
+      es => Lz4Compress(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_lz4_decompress",
+      es => Lz4Decompress(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_bigram_stats",
       es => BigramStats(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_dup_ngram_coverage",

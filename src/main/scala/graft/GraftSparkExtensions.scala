@@ -157,6 +157,21 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         "graft_zstd_decompress(blob) - decompress a zstd stream " +
           "(dict-aware), NULL on violation"),
       es => ZstdDecompress(es(0))))
+    e.injectFunction((FunctionIdentifier("graft_lz4_compress"),
+      info("graft_lz4_compress",
+        "graft_lz4_compress(blob) - one LZ4 frame (64 KiB blocks, " +
+          "XXH32 checksums)"),
+      es => Lz4Compress(es(0))))
+    e.injectFunction((FunctionIdentifier("graft_lz4_decompress"),
+      info("graft_lz4_decompress",
+        "graft_lz4_decompress(blob) - decompress an LZ4 frame " +
+          "stream, NULL on violation"),
+      es => Lz4Decompress(es(0))))
+    e.injectFunction((FunctionIdentifier("graft_byte_bpe_stats"),
+      info("graft_byte_bpe_stats",
+        "graft_byte_bpe_stats(text) - byte-level BPE totals " +
+          "(n_bytes, n_subwords, n_pretokens)"),
+      es => ByteBpeStats(es(0))))
     e.injectOptimizerRule(_ => JaccardLengthPruning)
   }
 }

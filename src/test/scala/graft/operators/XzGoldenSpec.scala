@@ -196,6 +196,55 @@ class XzGoldenSpec extends AnyFunSuite {
     }
   }
 
+  /** Byte-identical twin of the generator's `ia64ish` (round 15). */
+  private def ia64ish(n: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var x = 99L
+    def nxt(): Long = {
+      x = (x * 1103515245L + 12345L) & 0x7fffffffL
+      x
+    }
+    val templates = Array(0x16, 0x17, 0x10, 0x11, 0x12, 0x00)
+    while (out.size < n) {
+      val r = nxt()
+      val template = templates((r % 6).toInt)
+      val b = new Array[Byte](16)
+      b(0) = (template | ((r & 0x7) << 5)).toByte
+      var j = 1
+      while (j < 16) {
+        b(j) = ((r >> (j % 4)) & 0xff).toByte
+        j += 1
+      }
+      if (r % 2 == 0) {
+        val inst = (5L << 37) | ((r & 0xfffffL) << 13) |
+          (((r >> 20) & 1L) << 36)
+        var merged = 0L
+        j = 0
+        while (j < 6) { merged |= (b(j) & 0xffL) << (8 * j); j += 1 }
+        merged &= ~(((1L << 41) - 1L) << 5)
+        merged |= inst << 5
+        j = 0
+        while (j < 6) { b(j) = ((merged >> (8 * j)) & 0xff).toByte
+          j += 1 }
+        b(0) = ((b(0) & 0xe0) | template).toByte
+      }
+      out.write(b, 0, 16)
+    }
+    java.util.Arrays.copyOf(out.toByteArray, n)
+  }
+
+  test("BCJ IA64 filter (round 15) decodes byte-exactly against " +
+      "liblzma — bundle templates, planted opcode-5 slots, and the " +
+      "start_offset=32 variant") {
+    val code = ia64ish(40000)
+    for (name <- Seq("code_ia64.xz", "code_ia64_off.xz")) {
+      val got = XzDecode.decompress(vector(name))
+      assert(got.isDefined, s"$name failed to decode")
+      assert(java.util.Arrays.equals(got.get, code),
+        s"$name decoded wrong bytes")
+    }
+  }
+
   test("unknown-size stream beyond 300:1 ratio (8 MB of zeros, " +
       "~6500:1) decodes via the doubling output buffer — a ratio " +
       "pre-size heuristic falsely rejects it (r13 advisory)") {

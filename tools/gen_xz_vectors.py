@@ -255,6 +255,51 @@ def main():
             f.write(comp)
         print(f"code_{arch}.xz: {len(data)} -> {len(comp)}")
 
+    # BCJ IA64 (round 15): 16-byte bundles rotating branch templates
+    # (0x16/0x17 mark all three slots, 0x10/0x11 slot 2, 0x12 slots
+    # 1-2, 0x00 none), half the bundles planting an opcode-5 slot-0
+    # instruction with bits 9-11 clear (the empirically-pinned fire
+    # condition). NOTE: byte-identical twin `ia64ish` in
+    # XzGoldenSpec.scala; change BOTH or neither.
+    def ia64ish(n):
+        out = bytearray()
+        x = 99
+        def nxt():
+            nonlocal x
+            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+            return x
+        templates = [0x16, 0x17, 0x10, 0x11, 0x12, 0x00]
+        while len(out) < n:
+            r = nxt()
+            template = templates[r % 6]
+            b = bytearray(16)
+            b[0] = template | ((r & 0x7) << 5)
+            for j in range(1, 16):
+                b[j] = (r >> (j % 4)) & 0xFF
+            if r % 2 == 0:
+                inst = ((5 << 37) | ((r & 0xFFFFF) << 13)
+                        | (((r >> 20) & 1) << 36))
+                merged = int.from_bytes(b[0:6], 'little')
+                merged &= ~(((1 << 41) - 1) << 5)
+                merged |= inst << 5
+                b[0:6] = merged.to_bytes(6, 'little')
+                b[0] = (b[0] & 0xE0) | template
+            out += b
+        return bytes(out[:n])
+
+    data = ia64ish(40_000)
+    for name, filt in [
+            ("ia64", [{"id": lzma.FILTER_IA64},
+                      {"id": lzma.FILTER_LZMA2, "preset": 6}]),
+            ("ia64_off", [{"id": lzma.FILTER_IA64, "start_offset": 32},
+                          {"id": lzma.FILTER_LZMA2, "preset": 6}])]:
+        comp = lzma.compress(data, format=lzma.FORMAT_XZ, filters=filt)
+        assert lzma.decompress(comp) == data
+        assert comp != lzma.compress(data, format=lzma.FORMAT_XZ)
+        with open(os.path.join(outdir, f"code_{name}.xz"), "wb") as f:
+            f.write(comp)
+        print(f"code_{name}.xz: {len(data)} -> {len(comp)}")
+
     # unknown-size alone stream whose ratio is FAR beyond 300:1 (8 MB
     # of zeros -> ~1.3 KB, ~6500:1): pins the growable-output path --
     # a ratio-heuristic pre-size falsely rejects this valid stream
