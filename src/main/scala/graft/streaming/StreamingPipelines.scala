@@ -163,6 +163,61 @@ object StreamingPipelines {
     writer.start()
   }
 
+  /** STREAMING COMMON CRAWL INGEST (round 15) — the capstone pipeline
+    * as a continuous loop: a GROWING directory of `.warc.zst` archive
+    * blobs (what a crawler drops) read by the binaryFile stream
+    * source; every micro-batch runs the full text hop — WARC record
+    * walk → HTTP status/header parse → de-chunk → gunzip/inflate →
+    * charset → html strip → word-count quality gate — then the
+    * ledgered exact-dedup ingest ([[newIngestBatch]]: probe the
+    * persistent digest index, genuinely-new pages to `sink`, digests
+    * absorbed through the staged exactly-once commit). Document
+    * identity is the WARC-Target-URI. Same replay contract as every
+    * ledgered loop; needs a DURABLE `checkpointLocation`. */
+  def ingestCcArchiveStream(spark: org.apache.spark.sql.SparkSession,
+      archiveDir: String, indexPath: String, minWords: Int = 20,
+      checkpointLocation: Option[String] = None)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val blobs = spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .option("pathGlobFilter", "*.warc.zst").load(archiveDir)
+      .select(col("content").as("blob"))
+    val writer = blobs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ccArchiveBatch(batch, batchId,
+          IngestLedger.currentQueryId(batch.sparkSession),
+          indexPath, minWords)(sink)
+      }
+    checkpointLocation.foreach(p => writer.option("checkpointLocation", p))
+    writer.start()
+  }
+
+  /** One micro-batch of [[ingestCcArchiveStream]] — public for the
+    * replay spec. `batch` carries archive blobs in `blob`. */
+  def ccArchiveBatch(batch: DataFrame, batchId: Long, queryId: String,
+      indexPath: String, minWords: Int)
+      (sink: (DataFrame, Long) => Unit): Unit = {
+    val pages = batch
+      .select(explode(graft.plans.MediaExprs
+        .warcZstHttpBodiesCol(col("blob"))).as("r"))
+      .select(col("r.target_uri").as("uri"),
+        TF.stripMarkup(col("r.body_text")).as("clean"))
+      .filter(col("clean").isNotNull &&
+        size(split(col("clean"), " ")) >= minWords)
+    newIngestBatch(pages, batchId, queryId, indexPath, "clean", "uri")(
+      sink)
+  }
+
   /** One micro-batch of [[ingestNewStream]] — public so the
     * replay-idempotence spec can apply the SAME (queryId, batchId)
     * twice and pin byte-identical index contents. */
