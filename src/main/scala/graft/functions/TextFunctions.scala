@@ -621,6 +621,37 @@ object TextFunctions {
         lit(java.util.regex.Pattern.quote(key))),
       lit(""))
 
+  /** URL CANONICALIZATION (round 15) — the URL-dedup key every crawl
+    * pipeline computes before fetch scheduling and after archive
+    * merge: lowercase scheme + host, default ports stripped (:80 for
+    * http, :443 for https), empty path → "/", fragment dropped, query
+    * params with empty entries and the standard tracking params
+    * (utm_*, fbclid, gclid) removed and the survivors SORTED so
+    * parameter order can't split a URL's identity. Path case and
+    * non-default ports are preserved (they are significant). A string
+    * without a scheme passes through unchanged (PERMISSIVE). Pure
+    * built-ins — the DuckDB oracle replays every step. */
+  def urlCanonical(url: Column): Column = {
+    val scheme = lower(regexp_extract(url,
+      "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
+    val hostport = lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)", 1))
+    val host =
+      when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+        .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    val rawPath = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val rawQuery = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = array_sort(filter(split(rawQuery, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid)=")))
+    val canon = concat(scheme, lit("://"), host, path,
+      when(size(params) > 0, concat(lit("?"), concat_ws("&", params)))
+        .otherwise(lit("")))
+    when(scheme === "", url).otherwise(canon)
+  }
+
   /** Registered-domain HEURISTIC: the last two NON-EMPTY host labels
     * (`a.b.c.example.com` → `example.com`; trailing-dot FQDNs like
     * `example.com.` normalize to `example.com`). A production pipeline

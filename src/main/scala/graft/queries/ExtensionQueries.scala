@@ -3426,6 +3426,36 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // URL CANONICALIZATION (round 15) — the URL-dedup key: four messy
+    // variants rotate by doc (mixed-case scheme/host + default port +
+    // tracking params + fragment + unsorted query; http:80; no path +
+    // empty params; already-canonical identity) and the oracle states
+    // each residue's EXPECTED canonical form in closed form — any
+    // regression in any step (case, port, path default, param filter,
+    // param sort, fragment drop) turns the row red
+    "text_url_canonical" -> ((s, dir) => {
+      val d = col("doc_id")
+      val url = when(d % 4 === 0, concat(
+          lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/"),
+          col("lang"), lit("/Doc-"), d,
+          lit("?utm_source=feed&z=9&a="), d % 5,
+          lit("&fbclid=xx#frag")))
+        .when(d % 4 === 1, concat(
+          lit("HTTP://"), col("source"), lit(".example.com:80/"),
+          col("lang"), lit("/doc-"), d))
+        .when(d % 4 === 2, concat(
+          lit("https://"), col("source"), lit(".example.com?b=2&&a=1")))
+        .otherwise(concat(
+          lit("https://"), col("source"), lit(".example.com/"),
+          col("lang"), lit("?a=1")))
+      t(s, dir, "documents")
+        .select(d, col("source"), col("lang"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          TF.urlCanonical(col("url")).as("canon"))
+        .withColumn("changed", col("url") =!= col("canon"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE merge TRAINING on the corpus (the learning half; text_bpe_tokens
     // applies a fixed table): 8 merges learned from the word-frequency
     // dict, deterministic argmax (count desc, pair). The oracle re-runs
@@ -7179,6 +7209,33 @@ object ExtensionQueries {
         |SELECT doc_id, clean, length(s) AS n_chars_raw,
         |  length(clean) AS n_chars_clean
         |FROM cl ORDER BY doc_id""".stripMargin,
+    // each residue's expected canonical form stated literally —
+    // closed-form, no replayed canonicalizer to cancel bugs against
+    "text_url_canonical" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/'
+        |      || lang || '/Doc-' || doc_id || '?utm_source=feed&z=9&a='
+        |      || (doc_id % 5) || '&fbclid=xx#frag'
+        |    WHEN 1 THEN 'HTTP://' || source || '.example.com:80/'
+        |      || lang || '/doc-' || doc_id
+        |    WHEN 2 THEN 'https://' || source || '.example.com?b=2&&a=1'
+        |    ELSE 'https://' || source || '.example.com/' || lang
+        |      || '?a=1'
+        |  END AS url,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'https://www.' || source || '.example.com/'
+        |      || lang || '/Doc-' || doc_id || '?a=' || (doc_id % 5)
+        |      || '&z=9'
+        |    WHEN 1 THEN 'http://' || source || '.example.com/'
+        |      || lang || '/doc-' || doc_id
+        |    WHEN 2 THEN 'https://' || source || '.example.com/?a=1&b=2'
+        |    ELSE 'https://' || source || '.example.com/' || lang
+        |      || '?a=1'
+        |  END AS canon,
+        |  doc_id % 4 <> 3 AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // same wrap construction, same strip chain: tags -> named entities ->
     // &amp; LAST (double-decode guard) -> whitespace collapse
     "text_html_strip" ->
