@@ -3685,7 +3685,7 @@ object Multimodal {
   final case class WarcHttpRow(doc_id: Long, rec_idx: Long,
     target_uri: String, http_status: Long, content_type: String,
     content_encoding: String, transfer_encoding: String,
-    body_len: Long, body_text: String)
+    body_len: Long, body: Array[Byte], body_text: String)
 
   /** Max decoded body size surfaced as TEXT (larger bodies keep their
     * real body_len but a NULL body_text — the 64 KiB content-cap
@@ -3718,9 +3718,26 @@ object Multimodal {
     } finally inf.end()
   }
 
+  /** True for content types whose payload is TEXT (charset decode is
+    * meaningful): the text family, the json/xml application types and
+    * their `+json`/`+xml` suffix families, or an ABSENT content type
+    * (many servers omit it; a wrong guess only mangles body_text —
+    * the binary `body` column is always exact). */
+  private def isTextualType(ctype: String): Boolean = {
+    val lower = ctype.toLowerCase(java.util.Locale.ROOT)
+    val main = { val i = lower.indexOf(';')
+      (if (i >= 0) lower.substring(0, i) else lower).trim }
+    main.isEmpty || main.startsWith("text/") ||
+      main == "application/json" || main == "application/xml" ||
+      main == "application/javascript" ||
+      main.endsWith("+json") || main.endsWith("+xml")
+  }
+
   private[graft] def warcHttpBodiesJvm(b: Array[Byte]): IndexedSeq[
-      (Long, String, Long, String, String, String, Long, String)] = {
-    type Row = (Long, String, Long, String, String, String, Long, String)
+      (Long, String, Long, String, String, String, Long, Array[Byte],
+        String)] = {
+    type Row = (Long, String, Long, String, String, String, Long,
+      Array[Byte], String)
     val empty = Vector.empty[Row]
     if (b == null || b.length < 9) return empty
     val out = Vector.newBuilder[Row]
@@ -3822,7 +3839,9 @@ object Multimodal {
         // HTTP head: status line + headers until the blank line —
         // everything PERMISSIVE from here down (body_len -1 row).
         var status = 0L; var ctype = ""; var cenc = ""; var tenc = ""
-        var bodyLen = -1L; var bodyText: String = null
+        var bodyLen = -1L
+        var bodyBytes: Array[Byte] = null
+        var bodyText: String = null
         val (statusLine, h1) = line(q, recEnd)
         if (statusLine != null && statusLine.startsWith("HTTP/") &&
             statusLine.length >= 12) {
@@ -3890,14 +3909,17 @@ object Multimodal {
                 else null // unsupported coding: PERMISSIVE row
               if (decoded != null) {
                 bodyLen = decoded.length.toLong
-                if (decoded.length <= MaxHttpTextBytes)
-                  bodyText = new String(decoded, charsetFor(ctype))
+                if (decoded.length <= MaxHttpTextBytes) {
+                  bodyBytes = decoded
+                  if (isTextualType(ctype))
+                    bodyText = new String(decoded, charsetFor(ctype))
+                }
               }
             }
           }
         }
         out += ((recIdx, uri, status, ctype, cenc, tenc, bodyLen,
-          bodyText))
+          bodyBytes, bodyText))
       }
       p = q + clen.toInt
       if (p + 4 > b.length || b(p) != '\r' || b(p + 1) != '\n' ||
@@ -3912,7 +3934,8 @@ object Multimodal {
     * honored) and run the HTTP body walk: the one-plan Common Crawl
     * composition `.warc.zst → HTTP body → text`. */
   private[graft] def warcZstHttpBodiesJvm(b: Array[Byte]): IndexedSeq[
-      (Long, String, Long, String, String, String, Long, String)] =
+      (Long, String, Long, String, String, String, Long, Array[Byte],
+        String)] =
     ZstdDecode.decompressDictAware(b) match {
       case Some(buf) => warcHttpBodiesJvm(buf)
       case None => Vector.empty

@@ -412,7 +412,10 @@ object MediaArrayKernel {
         UTF8String.fromString(u), cl, st)
     }.toArray[Any])
 
-  /** [[Multimodal.WarcHttpRow]] minus doc_id. */
+  /** [[Multimodal.WarcHttpRow]] minus doc_id. `body` carries the
+    * decoded payload BYTES (image/binary crawls route them to the
+    * media front doors); `body_text` is the charset decode, present
+    * only for textual content types. */
   val warcHttpSchema: StructType = StructType(Seq(
     StructField("rec_idx", LongType, nullable = false),
     StructField("target_uri", StringType, nullable = false),
@@ -421,16 +424,17 @@ object MediaArrayKernel {
     StructField("content_encoding", StringType, nullable = false),
     StructField("transfer_encoding", StringType, nullable = false),
     StructField("body_len", LongType, nullable = false),
+    StructField("body", BinaryType, nullable = true),
     StructField("body_text", StringType, nullable = true)))
 
   private def warcHttpRows(rows: IndexedSeq[
-      (Long, String, Long, String, String, String, Long, String)])
-      : ArrayData =
+      (Long, String, Long, String, String, String, Long, Array[Byte],
+        String)]): ArrayData =
     new GenericArrayData(rows.map {
-      case (i, u, st, ct, ce, te, bl, bt) =>
+      case (i, u, st, ct, ce, te, bl, bb, bt) =>
         InternalRow(i, UTF8String.fromString(u), st,
           UTF8String.fromString(ct), UTF8String.fromString(ce),
-          UTF8String.fromString(te), bl,
+          UTF8String.fromString(te), bl, bb,
           if (bt == null) null else UTF8String.fromString(bt))
     }.toArray[Any])
 

@@ -1419,12 +1419,22 @@ object ExtensionQueries {
   /** The fixture construction over ANY (doc_id, source, text) frame —
     * the capstone pipeline feeds group-duplicated pages through it. */
   private[graft] def warcHtmlZstBlobs(docs: DataFrame): DataFrame = {
-    val d = col("doc_id")
-    val crlf = "\r\n"
     val esc = replace(replace(col("text"), lit("&"), lit("&amp;")),
       lit("<"), lit("&lt;"))
     val html = concat(lit("<div class=\"doc\"><h1>"), col("source"),
       lit("</h1><p>"), esc, lit("</p><br/></div>"))
+    warcResponseZstBlobs(
+      docs.select(col("doc_id"), encode(html, "utf-8").as("payload")),
+      "text/html; charset=utf-8")
+  }
+
+  /** The same assembly over ANY (doc_id, payload binary) frame with a
+    * caller-chosen Content-Type — image crawls route BINARY bodies
+    * through the identical transport rotations (round 15). */
+  private[graft] def warcResponseZstBlobs(docs: DataFrame,
+      contentType: String): DataFrame = {
+    val d = col("doc_id")
+    val crlf = "\r\n"
     val gzipCond = pmod(d, lit(4L)) < 2L
     val chunkedCond = pmod(d, lit(2L)) === 0L
     def gzipBare(content: org.apache.spark.sql.Column) = {
@@ -1453,7 +1463,7 @@ object ExtensionQueries {
     }
     val head = concat(
       lit("HTTP/1.1 200 OK" + crlf),
-      lit("Content-Type: text/html; charset=utf-8" + crlf),
+      lit(s"Content-Type: $contentType" + crlf),
       when(gzipCond, lit("Content-Encoding: gzip" + crlf))
         .otherwise(lit("")),
       when(chunkedCond, lit("Transfer-Encoding: chunked" + crlf))
@@ -1470,13 +1480,12 @@ object ExtensionQueries {
     val infoRec = "WARC/1.0" + crlf + "WARC-Type: warcinfo" + crlf +
       "Content-Length: 10" + crlf + crlf + "info-body!" + crlf + crlf
     docs
-      .select(d, encode(html, "utf-8").as("html_bytes"))
-      .select(d, when(gzipCond, gzipBare(col("html_bytes")))
-        .otherwise(col("html_bytes")).as("content"))
+      .select(d, when(gzipCond, gzipBare(col("payload")))
+        .otherwise(col("payload")).as("content"))
       .select(d, col("content"),
         when(chunkedCond, chunked(col("content")))
-          .otherwise(col("content")).as("payload"))
-      .select(d, concat(encode(head, "utf-8"), col("payload"))
+          .otherwise(col("content")).as("wire"))
+      .select(d, concat(encode(head, "utf-8"), col("wire"))
         .as("http"))
       .select(d, concat(encode(lit(infoRec), "utf-8"),
         encode(warcHead, "utf-8"), col("http"),
@@ -4966,6 +4975,36 @@ object ExtensionQueries {
           col("transfer_encoding"), col("body_len"),
           TF.stripMarkup(col("body_text")).as("clean"))
         .orderBy(col("doc_id"))),
+
+    // MULTIMODAL CRAWL (round 15) — the image-crawl shape: WARC
+    // response records carrying image/bmp BODIES (binary — the
+    // round-15 `body` column; body_text stays NULL for non-textual
+    // content types) through the same four transport rotations, then
+    // straight into the raster front door: `.warc.zst` → HTTP decode
+    // → body bytes → BMP pixel features, one declarative plan; the
+    // oracle replays the closed-form pixel arithmetic
+    "mm_warc_images" -> ((s, dir) => {
+      val fixture = warcResponseZstBlobs(
+        spread(t(s, dir, "documents"))
+          .select(col("doc_id"), bmpBlob.as("payload")),
+        "image/bmp")
+      fixture.select(explode(graft.plans.MediaExprs
+          .warcZstHttpBodiesCol(col("blob"))).as("r"))
+        .select(
+          regexp_extract(col("r.target_uri"), "/doc(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("r.content_type").as("content_type"),
+          col("r.body_text").isNull.as("text_is_null"),
+          graft.plans.MediaExprs.bmpCol(col("r.body")).as("f"))
+        .select(col("doc_id"), col("content_type"),
+          col("text_is_null"),
+          col("f.width").as("width"), col("f.height").as("height"),
+          col("f.n_px").as("n_px"), col("f.sum_b").as("sum_b"),
+          col("f.sum_g").as("sum_g"), col("f.sum_r").as("sum_r"),
+          col("f.mean_b").as("mean_b"), col("f.mean_g").as("mean_g"),
+          col("f.mean_r").as("mean_r"))
+        .orderBy(col("doc_id"))
+    }),
 
     // THE COMMON CRAWL PIPELINE CAPSTONE (round 15) — everything a
     // CC-scale corpus run actually does, ONE declarative plan with a
@@ -9656,6 +9695,34 @@ object ExtensionQueries {
         |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS clean
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // the closed-form BMP pixel arithmetic (the mm_bmp_features
+    // recipe) behind the HTTP hop, plus the content-type and
+    // text-is-null pins
+    "mm_warc_images" ->
+      """WITH p AS (SELECT doc_id, 3 + doc_id % 6 AS w,
+        |    2 + doc_id % 4 AS h FROM documents),
+        |q AS (SELECT doc_id, w, h, ((3*w + 3) // 4) * 4 AS stride FROM p),
+        |px AS (SELECT doc_id, w, h, stride,
+        |    unnest(range(0, w * h * 3)) AS i FROM q),
+        |v AS (SELECT doc_id, w, h,
+        |    i % 3 AS c,
+        |    (doc_id*11
+        |      + ((h - 1 - i // (3*w)) * stride + 3 * ((i // 3) % w)
+        |         + i % 3) * 17) % 256 AS val
+        |  FROM px)
+        |SELECT doc_id, 'image/bmp' AS content_type,
+        |  TRUE AS text_is_null,
+        |  w AS width, h AS height,
+        |  CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(SUM(val) FILTER (c = 0) AS BIGINT) AS sum_b,
+        |  CAST(SUM(val) FILTER (c = 1) AS BIGINT) AS sum_g,
+        |  CAST(SUM(val) FILTER (c = 2) AS BIGINT) AS sum_r,
+        |  CAST(SUM(val) FILTER (c = 0) AS DOUBLE) / (w * h) AS mean_b,
+        |  CAST(SUM(val) FILTER (c = 1) AS DOUBLE) / (w * h) AS mean_g,
+        |  CAST(SUM(val) FILTER (c = 2) AS DOUBLE) / (w * h) AS mean_r
+        |FROM v GROUP BY doc_id, w, h
+        |ORDER BY doc_id""".stripMargin,
 
     // group-duplicated pages (base = doc - doc%3), stripped through
     // the shared chain, word-gated, exact-deduped to group minima

@@ -72,7 +72,7 @@ class WarcHttpSpec extends SparkFunSuite {
     rows.foreach { r =>
       assert(r._3 == 200L)
       assert(r._7 == bytes.length.toLong, "decoded byte length")
-      assert(r._8 == text, "decoded text")
+      assert(r._9 == text, "decoded text")
     }
     assert(rows.map(_._5) == Seq("gzip", "gzip", "", ""))
     assert(rows.map(_._6) == Seq("chunked", "", "chunked", ""))
@@ -86,7 +86,7 @@ class WarcHttpSpec extends SparkFunSuite {
       http("200 OK",
         Seq("Content-Type: text/plain; charset=ISO-8859-1"), bytes)))
     assert(rows.length == 1)
-    assert(rows.head._8 == text)
+    assert(rows.head._9 == text)
     assert(rows.head._4 == "text/plain; charset=ISO-8859-1")
   }
 
@@ -97,7 +97,7 @@ class WarcHttpSpec extends SparkFunSuite {
         "Transfer-Encoding: chunked"),
         chunked(bytes, 5, ext = ";name=v", trailer = "X-T: 1\r\n"))))
     assert(rows.length == 1)
-    assert(rows.head._8 == "chunk-ext body")
+    assert(rows.head._9 == "chunk-ext body")
   }
 
   test("Content-Encoding: deflate decodes both zlib-wrapped and raw " +
@@ -119,13 +119,13 @@ class WarcHttpSpec extends SparkFunSuite {
         http("200 OK", Seq("Content-Type: text/plain",
           "Content-Encoding: deflate"), deflate(raw))))
       assert(rows.length == 1)
-      assert(rows.head._8 == text, s"raw=$raw")
+      assert(rows.head._9 == text, s"raw=$raw")
     }
     // garbage under the deflate label is PERMISSIVE
     val bad = walk(rec("response", "http://x/dfbad",
       http("200 OK", Seq("Content-Encoding: deflate"),
         Array[Byte](0, 1, 2, 3))))
-    assert(bad.head._7 == -1L && bad.head._8 == null)
+    assert(bad.head._7 == -1L && bad.head._9 == null)
   }
 
   test("multi-member gzip payloads concatenate") {
@@ -134,7 +134,7 @@ class WarcHttpSpec extends SparkFunSuite {
     val rows = walk(rec("response", "http://x/mm",
       http("200 OK", Seq("Content-Type: text/plain",
         "Content-Encoding: gzip"), gz(a) ++ gz(b))))
-    assert(rows.head._8 == "first half / second half")
+    assert(rows.head._9 == "first half / second half")
   }
 
   test("a malformed HTTP payload is PERMISSIVE per record: body_len " +
@@ -155,8 +155,8 @@ class WarcHttpSpec extends SparkFunSuite {
       rec("response", "http://x/good",
         http("200 OK", Seq("Content-Type: text/plain"), good)))
     assert(rows.length == 4)
-    assert(rows.take(3).forall(r => r._7 == -1L && r._8 == null))
-    assert(rows(3)._8 == "good body")
+    assert(rows.take(3).forall(r => r._7 == -1L && r._8 == null && r._9 == null))
+    assert(rows(3)._9 == "good body")
     // statuses still parsed on the permissive rows
     assert(rows.forall(_._3 == 200L))
   }
@@ -185,8 +185,8 @@ class WarcHttpSpec extends SparkFunSuite {
     assert(walk(bad).isEmpty)
   }
 
-  test("bodies past the 1 MiB text cap keep their real body_len " +
-      "with a NULL body_text") {
+  test("bodies past the 1 MiB cap keep their real body_len with " +
+      "NULL body and body_text") {
     val big = new Array[Byte]((1 << 20) + 1)
     java.util.Arrays.fill(big, 'a'.toByte)
     val rows = walk(rec("response", "http://x/big",
@@ -194,6 +194,27 @@ class WarcHttpSpec extends SparkFunSuite {
         "Content-Type: text/plain"), gz(big))))
     assert(rows.head._7 == big.length.toLong)
     assert(rows.head._8 == null)
+    assert(rows.head._9 == null)
+  }
+
+  test("binary content types carry exact body BYTES with a NULL " +
+      "body_text (round 15 — the image-crawl shape)") {
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 1, 2,
+      0xff.toByte, 0xfe.toByte, 0x00)
+    val rows = walk(
+      rec("response", "http://x/img",
+        http("200 OK", Seq("Content-Type: image/png",
+          "Content-Encoding: gzip"), gz(png))),
+      rec("response", "http://x/page",
+        http("200 OK", Seq("Content-Type: text/html"),
+          "<p>hi</p>".getBytes("UTF-8"))))
+    assert(java.util.Arrays.equals(rows(0)._8, png),
+      "binary body survives byte-exactly")
+    assert(rows(0)._9 == null, "no charset decode for image/*")
+    assert(rows(1)._9 == "<p>hi</p>",
+      "textual types still decode")
+    assert(java.util.Arrays.equals(rows(1)._8,
+      "<p>hi</p>".getBytes("UTF-8")), "text rows carry bytes too")
   }
 
   test("the batch front doors run the kernel as native expressions " +
@@ -214,7 +235,10 @@ class WarcHttpSpec extends SparkFunSuite {
       df.select(col("doc_id"), col("warczst").as("blob")), "doc_id")
       .collect()
     assert(a.length == 1 && b.length == 1)
-    assert(a.head == b.head)
+    // case-class equality is reference equality on the Array field —
+    // compare fields + bytes explicitly
+    assert(a.head.copy(body = null) == b.head.copy(body = null))
+    assert(java.util.Arrays.equals(a.head.body, b.head.body))
     assert(a.head.body_text == text)
     assert(a.head.transfer_encoding == "chunked")
   }
