@@ -402,11 +402,157 @@ object ZstdEncode {
     lens
   }
 
-  /** Build a type-2 (Compressed) literals section with DIRECT 4-bit
-    * weights — 1 backward stream for regen ≤ 1023, the 4-stream jump-
-    * table layout otherwise. None when Huffman can't win or can't
-    * apply (max literal byte > 128 — the direct weight form lists at
-    * most 128 explicit weights). */
+  /** Decoder-exact simulation of the FSE weight stream (the BackBits
+    * + two-interleaved-state replay of [[ZstdDecode]]'s weights-fse
+    * path): the encoder ships an FSE weight header ONLY when this
+    * replay regenerates the exact weight list — termination
+    * subtleties (a zero-bit refill state never exhausts the stream)
+    * fall back to the direct form instead of shipping a frame our own
+    * decoder would decline. */
+  private def simulateWeights(bytes: Array[Byte], hdrBytes: Int,
+      t: ZstdDecode.FseTable, want: Array[Int], n: Int): Boolean = {
+    val off = hdrBytes
+    val len = bytes.length - hdrBytes
+    if (len <= 0) return false
+    val last = bytes(off + len - 1) & 0xff
+    if (last == 0) return false
+    var pos = (len - 1) * 8 + highBit(last)
+    var overflow = false
+    def read(nb: Int): Int = {
+      if (nb == 0) return 0
+      pos -= nb
+      var v = 0
+      var i = 0
+      while (i < nb) {
+        val bit = pos + i
+        if (bit >= 0)
+          v |= ((bytes(off + (bit >> 3)) >> (bit & 7)) & 1) << i
+        else overflow = true
+        i += 1
+      }
+      v
+    }
+    var s1 = read(t.accuracyLog)
+    var s2 = read(t.accuracyLog)
+    if (overflow) return false
+    var m = 0
+    var done = false
+    var ok = true
+    while (!done && m < 255) {
+      if (m >= n || t.symbol(s1) != want(m)) ok = false
+      m += 1
+      if (pos < t.nbBits(s1)) {
+        if (m < 255) {
+          if (m >= n || t.symbol(s2) != want(m)) ok = false
+          m += 1
+        }
+        done = true
+      } else {
+        s1 = t.baseline(s1) + read(t.nbBits(s1))
+        if (m < 255) {
+          if (m >= n || t.symbol(s2) != want(m)) ok = false
+          m += 1
+          if (pos < t.nbBits(s2)) {
+            if (m < 255) {
+              if (m >= n || t.symbol(s1) != want(m)) ok = false
+              m += 1
+            }
+            done = true
+          } else s2 = t.baseline(s2) + read(t.nbBits(s2))
+        }
+      }
+    }
+    done && ok && m == n
+  }
+
+  /** FSE-compressed Huffman WEIGHTS (§4.2.1, round 15): a fitted
+    * ≤6-bit table + the two-state interleaved backward stream,
+    * usually well under the direct form's ceil(maxSym/2) bytes on
+    * wide literal alphabets — and the only weight form that can carry
+    * maxSym > 128. Returns the post-header bytes, or null when it
+    * can't build, can't win, or fails the decoder simulation. */
+  private def fseWeightBytes(w: Array[Int], maxSym: Int): Array[Byte] = {
+    val n = maxSym // weights listed for symbols 0..maxSym-1
+    if (n < 4) return null
+    val cnt = new Array[Int](16)
+    var top = 0
+    var i = 0
+    while (i < n) {
+      cnt(w(i)) += 1
+      if (w(i) > top) top = w(i)
+      i += 1
+    }
+    var distinct = 0
+    i = 0
+    while (i <= top) { if (cnt(i) > 0) distinct += 1; i += 1 }
+    if (distinct < 2) return null
+    val al = if (n <= 64) 5 else 6 // fseReadTable floor 5, weights cap 6
+    val norm = normalizeCounts(cnt, top, al)
+    if (norm == null) return null
+    val table = ZstdDecode.fseBuild(norm, al).orNull
+    if (table == null) return null
+    val enc = new EncTable(table)
+    val nE = (n + 1) / 2
+    val nO = n / 2
+    val e = new Array[Int](nE)
+    val o = new Array[Int](nO)
+    i = 0
+    while (i < n) {
+      if ((i & 1) == 0) e(i >> 1) = w(i) else o(i >> 1) = w(i)
+      i += 1
+    }
+    // the state whose refill FAILS at stream end (s1 for even n, s2
+    // for odd) must carry nbBits > 0 or the decoder never terminates
+    def chain(syms: Array[Int], lastNeedsBits: Boolean): Array[Int] = {
+      val st = new Array[Int](syms.length)
+      val cands = enc.states(syms(syms.length - 1))
+      var pick = -1
+      var j = 0
+      while (pick < 0 && j < cands.length) {
+        if (!lastNeedsBits || table.nbBits(cands(j)) > 0) pick = cands(j)
+        j += 1
+      }
+      if (pick < 0) return null
+      st(syms.length - 1) = pick
+      j = syms.length - 2
+      while (j >= 0) {
+        st(j) = enc.stateFor(syms(j), st(j + 1))
+        j -= 1
+      }
+      st
+    }
+    val evenN = (n & 1) == 0
+    val se = chain(e, lastNeedsBits = evenN)
+    val so = chain(o, lastNeedsBits = !evenN)
+    if (se == null || so == null) return null
+    val bits = new BitItems
+    bits.add(se(0).toLong, al)
+    bits.add(so(0).toLong, al)
+    val r1 = nE - 1
+    val r2 = nO - 1
+    i = 0
+    while (i < math.max(r1, r2)) {
+      if (i < r1) bits.add((se(i + 1) - table.baseline(se(i))).toLong,
+        table.nbBits(se(i)))
+      if (i < r2) bits.add((so(i + 1) - table.baseline(so(i))).toLong,
+        table.nbBits(so(i)))
+      i += 1
+    }
+    val desc = writeFseDesc(norm, al)
+    val stream = bits.render()
+    val out = new Array[Byte](desc.length + stream.length)
+    System.arraycopy(desc, 0, out, 0, desc.length)
+    System.arraycopy(stream, 0, out, desc.length, stream.length)
+    if (out.length >= 128) return null // header byte < 128 = FSE form
+    if (!simulateWeights(out, desc.length, table, w, n)) return null
+    out
+  }
+
+  /** Build a type-2 (Compressed) literals section — FSE-compressed or
+    * DIRECT 4-bit weights, whichever is smaller (direct caps at 128
+    * explicit weights; FSE weights carry alphabets up to 255) — with
+    * 1 backward stream for regen ≤ 1023, the 4-stream jump-table
+    * layout otherwise. None when Huffman can't win or can't apply. */
   private def huffSection(lits: Array[Byte]): Option[Array[Byte]] = {
     val n = lits.length
     if (n < 32) return None
@@ -415,7 +561,6 @@ object ZstdEncode {
     while (i < n) { cnt(lits(i) & 0xff) += 1; i += 1 }
     var maxSym = 255
     while (maxSym >= 0 && cnt(maxSym) == 0) maxSym -= 1
-    if (maxSym > 128) return None
     val lens = huffLengths(cnt, maxSym)
     if (lens == null) return None
     val maxBits = lens.max
@@ -453,15 +598,27 @@ object ZstdEncode {
       }
       bits.render()
     }
-    val weightBytes = new Array[Byte]((maxSym + 1) / 2)
-    var wi = 0
-    while (wi < maxSym) { // explicit weights: symbols 0..maxSym-1
-      val v = w(wi)
-      if ((wi & 1) == 0) weightBytes(wi >> 1) = (v << 4).toByte
-      else weightBytes(wi >> 1) = (weightBytes(wi >> 1) | v).toByte
-      wi += 1
-    }
-    val header = 127 + maxSym // direct form: maxSym explicit weights
+    // weight header: direct 4-bit list (maxSym ≤ 128 only) vs fitted
+    // FSE (round 15) — smaller wins; maxSym > 128 NEEDS the FSE form
+    val direct: Array[Byte] =
+      if (maxSym > 128) null
+      else {
+        val wb = new Array[Byte]((maxSym + 1) / 2)
+        var wi = 0
+        while (wi < maxSym) { // explicit weights: symbols 0..maxSym-1
+          val v = w(wi)
+          if ((wi & 1) == 0) wb(wi >> 1) = (v << 4).toByte
+          else wb(wi >> 1) = (wb(wi >> 1) | v).toByte
+          wi += 1
+        }
+        wb
+      }
+    val fse = fseWeightBytes(w, maxSym)
+    val (header, weightBytes) =
+      if (fse != null && (direct == null || fse.length < direct.length))
+        (fse.length, fse)
+      else if (direct != null) (127 + maxSym, direct)
+      else return None
     if (header > 255) return None
     val out = new java.io.ByteArrayOutputStream(n / 2 + 16)
     if (n <= 1023) { // 1 stream, size format 0

@@ -133,18 +133,61 @@ class ZstdEncodeSpec extends AnyFunSuite {
       val rle = ("x" * 200 + "Q" + "x" * 200).getBytes("UTF-8")
       assert(java.util.Arrays.equals(
         ZstdDecode.decompress(ZstdEncode.compress(rle)).get, rle))
+      // a 3-symbol alphabet with NO repeated 4-grams (de Bruijn
+      // B(3,4) — LZ finds nothing, every byte stays literal): the FSE
+      // weight form declines (maxSym < 4 weights) and the DIRECT form
+      // carries the header
+      val tiny = {
+        val a = new Array[Int](3 * 4 + 1)
+        val seq = scala.collection.mutable.ArrayBuffer[Byte]()
+        def db(t: Int, p: Int): Unit =
+          if (t > 4) {
+            if (4 % p == 0) (1 to p).foreach(j => seq += a(j).toByte)
+          } else {
+            a(t) = a(t - p); db(t + 1, p)
+            var j = a(t - p) + 1
+            while (j < 3) { a(t) = j; db(t + 1, t); j += 1 }
+          }
+        db(1, 1)
+        seq.toArray
+      }
+      assert(tiny.length == 81)
+      assert(java.util.Arrays.equals(
+        ZstdDecode.decompress(ZstdEncode.compress(tiny)).get, tiny))
     } finally ZstdDecode.pathHook = null
     assert(touched.contains("lit-compressed"))
+    // round 15: wide ASCII alphabets ship FSE-compressed weights,
+    // tiny alphabets still use the direct 4-bit list
+    assert(touched.contains("weights-fse"))
     assert(touched.contains("weights-direct"))
     assert(touched.contains("huf-1stream"))
     assert(touched.contains("huf-4stream"))
   }
 
-  test("Huffman declines honestly: >128 distinct byte values fall " +
-      "back to raw literals (the direct-weight form's ceiling)") {
+  test("alphabets past 128 distinct byte values now compress via " +
+      "FSE weights (round 15 — the direct form's ceiling lifted); " +
+      "uniform random bytes still land raw") {
     val r = new java.util.Random(13)
+    // ~200 distinct byte values, heavily skewed → Huffman-compressible
+    // but impossible for the 128-weight direct form
+    val wide = Array.tabulate[Byte](20000) { _ =>
+      val v = r.nextInt(256)
+      (if (r.nextInt(4) == 0) v else v % 24).toByte
+    }
+    assert(wide.map(_ & 0xff).distinct.length > 128)
+    val touched = scala.collection.mutable.Set[String]()
+    ZstdDecode.pathHook = p => { touched += p; () }
+    try {
+      val enc = ZstdEncode.compress(wide)
+      assert(enc.length < wide.length, "skewed wide alphabet shrinks")
+      assert(java.util.Arrays.equals(
+        ZstdDecode.decompress(enc).get, wide))
+    } finally ZstdDecode.pathHook = null
+    assert(touched.contains("weights-fse"),
+      "a >128-symbol alphabet can only ship FSE weights")
+    // genuinely uniform bytes stay raw (headers-only growth)
     val hi = new Array[Byte](5000)
-    r.nextBytes(hi) // full byte range → maxSym > 128 → raw literals
+    r.nextBytes(hi)
     roundTrip(hi)
   }
 
@@ -159,9 +202,11 @@ class ZstdEncodeSpec extends AnyFunSuite {
     assert(hex(enc) ==
       "28b52ffd2471050100783432313168656c6c6f20776f726c64050032e15b" +
       "1fe09579184bc060ab0202895c5cec")
-    // the dictionary pays: the record alone is too small to shrink
+    // the dictionary pays decisively: less than half of what plain
+    // compression manages on the record alone (which only squeaked
+    // under raw size once round-15 FSE weights trimmed the header)
     assert(enc.length < rec.length &&
-      ZstdEncode.compress(rec).length >= rec.length)
+      enc.length * 2 < ZstdEncode.compress(rec).length)
     // mirror of the CLI convention: NO dict id declared (desc 0x24)
     assert((enc(4) & 0x03) == 0)
     val zd = ZstdDecode.parseDict(dict).get
