@@ -643,9 +643,13 @@ object TextFunctions {
     val rawPath = regexp_extract(url,
       "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)", 1)
     val path = when(rawPath === "", lit("/")).otherwise(rawPath)
-    val rawQuery = regexp_extract(url, "\\?([^#]*)", 1)
+    // the '?' must sit BEFORE any '#': a '?' that first appears inside
+    // the fragment is fragment text, not a query (…/p#a?b=1 has no query)
+    val rawQuery = regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
+    // (=|$) so a bare valueless tracking param ('&utm_source') is
+    // dropped too, not just the key=value form
     val params = array_sort(filter(split(rawQuery, "&"), p =>
-      p =!= "" && !p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid)=")))
+      p =!= "" && !p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid)(=|$)")))
     val canon = concat(scheme, lit("://"), host, path,
       when(size(params) > 0, concat(lit("?"), concat_ws("&", params)))
         .otherwise(lit("")))

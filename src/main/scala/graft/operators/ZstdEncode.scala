@@ -164,6 +164,14 @@ object ZstdEncode {
       s += 1
     }
     val drift = size - allocated
+    // the most frequent symbol must hold a REAL (>=1 slot) count before
+    // it can absorb drift: if even the largest normalized to -1 (one
+    // slot, "less than 1" probability), promoting it via += drift would
+    // leave `allocated` accounting for its -1 slot AND its new positive
+    // count — slots no longer sum to 2^al. Unreachable at current call
+    // sites (al always gives the largest >= 1) but guarded loud so a
+    // future caller with a smaller accuracy log falls back cleanly.
+    if (norm(largest) < 0) return null
     if (norm(largest) + drift < 1) return null
     norm(largest) += drift
     norm

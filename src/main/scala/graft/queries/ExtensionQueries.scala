@@ -3448,10 +3448,10 @@ object ExtensionQueries {
           lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/"),
           col("lang"), lit("/Doc-"), d,
           lit("?utm_source=feed&z=9&a="), d % 5,
-          lit("&fbclid=xx#frag")))
+          lit("&utm_campaign&fbclid=xx#frag")))
         .when(d % 4 === 1, concat(
           lit("HTTP://"), col("source"), lit(".example.com:80/"),
-          col("lang"), lit("/doc-"), d))
+          col("lang"), lit("/doc-"), d, lit("#sec?x=1")))
         .when(d % 4 === 2, concat(
           lit("https://"), col("source"), lit(".example.com?b=2&&a=1")))
         .otherwise(concat(
@@ -7249,15 +7249,18 @@ object ExtensionQueries {
         |  length(clean) AS n_chars_clean
         |FROM cl ORDER BY doc_id""".stripMargin,
     // each residue's expected canonical form stated literally —
-    // closed-form, no replayed canonicalizer to cancel bugs against
+    // closed-form, no replayed canonicalizer to cancel bugs against;
+    // residue 0 carries a BARE valueless tracking param (utm_campaign,
+    // must drop) and residue 1 a '?' that appears only inside the
+    // fragment (#sec?x=1 — fragment text, must NOT become a query)
     "text_url_canonical" ->
       """SELECT doc_id,
         |  CASE doc_id % 4
         |    WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/'
         |      || lang || '/Doc-' || doc_id || '?utm_source=feed&z=9&a='
-        |      || (doc_id % 5) || '&fbclid=xx#frag'
+        |      || (doc_id % 5) || '&utm_campaign&fbclid=xx#frag'
         |    WHEN 1 THEN 'HTTP://' || source || '.example.com:80/'
-        |      || lang || '/doc-' || doc_id
+        |      || lang || '/doc-' || doc_id || '#sec?x=1'
         |    WHEN 2 THEN 'https://' || source || '.example.com?b=2&&a=1'
         |    ELSE 'https://' || source || '.example.com/' || lang
         |      || '?a=1'

@@ -300,4 +300,99 @@ class ZstdEncodeSpec extends AnyFunSuite {
     while (dense.size() < 131000) { dense.write(w); dense.write(i & 0xff); i += 1 }
     roundTrip(dense.toByteArray)
   }
+
+  // ---- round-16: byte-exact pins for the ROUND-15 wire features ----
+  // (ADVICE r15: fitted FSE sequence tables and FSE-compressed Huffman
+  // weights were previously verified only by in-repo round-trip + a
+  // dev-time CLI run; a shared encoder/decoder RFC misreading could
+  // pass CI. These frames were decoded byte-exactly by the real zstd
+  // CLI v1.5.7 at pin time, and the gated test below re-runs the CLI
+  // whenever a `zstd` binary is on PATH.)
+
+  /** Deterministic skewed pseudo-text: enough symbol spread that
+    * Huffman weights go FSE-compressed, enough match structure that
+    * the sequence tables fit better than predefined. */
+  private def skewedText(n: Int): Array[Byte] = {
+    val rnd = new java.util.Random(16)
+    val freq = "eeeeettttaaaooiinnsshhrrdlcumwfgypbvkjxqz .,;:!?-'\"()[]0123456789ABCDEFGH"
+    val sb = new StringBuilder
+    while (sb.length < n) {
+      sb.append(freq.charAt(rnd.nextInt(freq.length)))
+      if (rnd.nextInt(9) == 0) sb.append(" the ")
+      if (rnd.nextInt(23) == 0) sb.append("jumped over")
+      if (rnd.nextInt(31) == 0) sb.append(" WARC-Target-URI: https://example.com/path ")
+    }
+    sb.toString.substring(0, n).getBytes("UTF-8")
+  }
+
+  private def decodePaths(enc: Array[Byte]): Set[String] = {
+    val touched = scala.collection.mutable.Set[String]()
+    ZstdDecode.pathHook = p => { touched += p; () }
+    try assert(ZstdDecode.decompress(enc).isDefined)
+    finally ZstdDecode.pathHook = null
+    touched.toSet
+  }
+
+  test("CLI-VERIFIED golden: fitted FSE sequence tables + " +
+      "FSE-compressed Huffman weights (1-stream), byte-exact pin") {
+    val in = skewedText(2000)
+    val enc = ZstdEncode.compress(in)
+    val p = decodePaths(enc)
+    assert(p.contains("seq-fse"), s"paths=$p")      // fitted tables used
+    assert(p.contains("weights-fse"), s"paths=$p")  // FSE weights used
+    assert(p.contains("huf-1stream"), s"paths=$p")
+    assert(hex(enc) ==
+      "28b52ffd64d006351600d2637025210e91b607af34f55ec42843d245d042" +
+      "d66a6b16824e4797b0b9f7f2f5252117607ea0ae03a85f8abbbf6c29e83b" +
+      "76ef729c656865ebd2bfcea8a3741fa4d15ed7d7fd84d829dbed21485d16" +
+      "e682e03118d1285a04af6bafca09967e3eb555e68428e358c230b4091287" +
+      "ce39143a3c628ee2502eb8a01b6ee03203c68cb992a56731825244abf0ba" +
+      "0b99e51b42824c9c9a6309348b350fc77d5d34af24fcc257001f8caf2e3c" +
+      "a2b42981e2a6e581dba96a95ccb46fbaa4c53c25d1a7a0c4174598adc3e7" +
+      "1cd06fab911aec9b25b7a4da2778167e1e8dd1726b1abe820cb741548eb9" +
+      "c6fadd8344c1dc264d7a93e28d7c8628bb1861b6bf9dd98e3f29daecbd6c" +
+      "c6359655342b896d24b7c67096afde5e14e6fb81689101f8363308c70754" +
+      "65795a725a12855507f28ac0813534c23f288a9eece5d0ba74e84c04b40a" +
+      "bed3936272597ccf5f8c186da48e6d8b39b954bd667ce4a7429054380345" +
+      "0e335c40472a66d97ff861bb3822a6a88685e3b742887cc1ec3fe5e30de4" +
+      "61c4d9d025c3fbaee4be1505c0cc0dfc13417bba8040b5c5ff9b54000604" +
+      "3cef9db6019ec5806240f274fb1d5eed04e241995979277e3f3905a156b3" +
+      "f632270f174132a2a5b1e62478a8714028a9a9c120095b021120042c072d" +
+      "787711545d318a94ff7f3c00fe2e0068d4a2dec6f1cf437e38a40a6b02ae" +
+      "82914adaad41c27bbcf25eec1e61b4c04351aa173c14ed58db73c606aebc" +
+      "71e6289ec8c9ddf4cd6bf7b58484539c28ef019b51c74878d0ad50be27e8" +
+      "86e5b8c39f49e3e0b95d0503851194e00d00b5d7a9402ad303c304eb4ef4" +
+      "be68d33f84760a5c468e16caacf474833001a3cbeff6dd2bfd20b0e8abb0" +
+      "0069734584e922794cb8ea06d0e5a7acd26cd112a5229450af76148019d4" +
+      "08101d948bcd0ad7a2f59f6a617e59feb7a46659c8c56669413ce1d840ca" +
+      "093856076567c3c3de44646702f0b33e186b16c81ac6f89576f85d165a3e" +
+      "5cfa2561")
+  }
+
+  test("gated CLI referee: real `zstd -d` decodes the fitted-FSE / " +
+      "FSE-weights frames byte-exactly (skipped when no zstd on PATH)") {
+    val zstd = (sys.env.getOrElse("PATH", "").split(":").toSeq
+        .map(_ + "/zstd") ++
+        Seq("/usr/bin/zstd", "/usr/local/bin/zstd", "/bin/zstd"))
+      .find(p => new java.io.File(p).canExecute)
+    assume(zstd.isDefined, "no zstd CLI on this host")
+    for (n <- Seq(2000, 4000)) { // 1-stream and 4-stream Huffman forms
+      val in = skewedText(n)
+      val enc = ZstdEncode.compress(in)
+      val p = decodePaths(enc)
+      assert(p.contains("seq-fse") && p.contains("weights-fse"),
+        s"n=$n paths=$p")
+      val f = java.io.File.createTempFile("graft16", ".zst")
+      try {
+        java.nio.file.Files.write(f.toPath, enc)
+        val pb = new ProcessBuilder(zstd.get, "-d", "-c", f.getPath)
+        pb.redirectErrorStream(false)
+        val proc = pb.start()
+        val out = proc.getInputStream.readAllBytes()
+        assert(proc.waitFor() == 0, s"zstd CLI exit != 0 at n=$n")
+        assert(java.util.Arrays.equals(out, in),
+          s"CLI decode mismatch at n=$n")
+      } finally f.delete()
+    }
+  }
 }
