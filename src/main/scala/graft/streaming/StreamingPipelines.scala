@@ -163,23 +163,34 @@ object StreamingPipelines {
     writer.start()
   }
 
-  /** STREAMING COMMON CRAWL INGEST (round 15) — the capstone pipeline
-    * as a continuous loop: a GROWING directory of `.warc.zst` archive
-    * blobs (what a crawler drops) read by the binaryFile stream
-    * source; every micro-batch runs the full text hop — WARC record
-    * walk → HTTP status/header parse → de-chunk → gunzip/inflate →
-    * charset → html strip → word-count quality gate — then the
-    * ledgered exact-dedup ingest ([[newIngestBatch]]: probe the
-    * persistent digest index, genuinely-new pages to `sink`, digests
-    * absorbed through the staged exactly-once commit). Document
-    * identity is the WARC-Target-URI. Same replay contract as every
-    * ledgered loop; needs a DURABLE `checkpointLocation`. */
+  /** STREAMING COMMON CRAWL INGEST (round 15, split-fan-out round 16)
+    * — the capstone pipeline as a continuous loop over a GROWING
+    * directory of `.warc.zst` archives (what a crawler drops); every
+    * micro-batch runs the full text hop — WARC record walk → HTTP
+    * status/header parse → de-chunk → gunzip/inflate → charset →
+    * html strip → word-count quality gate — then the ledgered
+    * exact-dedup ingest ([[newIngestBatch]]: probe the persistent
+    * digest index, genuinely-new pages to `sink`, digests absorbed
+    * through the staged exactly-once commit). Document identity is
+    * the WARC-Target-URI. Same replay contract as every ledgered
+    * loop; needs a DURABLE `checkpointLocation`.
+    *
+    * The stream source carries file METADATA ONLY (`path` — the
+    * binaryFile source prunes the content read when only `path` is
+    * required), and each micro-batch plans the SAME split read the
+    * batch capstone uses ([[graft.sources.ZstdSeekable.readArchives]]):
+    * a seekable archive fans into ceil(frames/k) positioned-range
+    * tasks, so a 100 GB crawl segment decodes across the cluster.
+    * Round 15 shipped this loop reading whole blobs as single binary
+    * rows — one task and one ≤2 GiB JVM array per archive; that
+    * ceiling is gone. */
   def ingestCcArchiveStream(spark: org.apache.spark.sql.SparkSession,
       archiveDir: String, indexPath: String, minWords: Int = 20,
-      checkpointLocation: Option[String] = None)
+      checkpointLocation: Option[String] = None,
+      framesPerSplit: Int = 16)
       (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val blobs = spark.readStream.format("binaryFile")
+    val meta = spark.readStream.format("binaryFile")
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("path",
           org.apache.spark.sql.types.StringType),
@@ -190,20 +201,39 @@ object StreamingPipelines {
         org.apache.spark.sql.types.StructField("content",
           org.apache.spark.sql.types.BinaryType))))
       .option("pathGlobFilter", "*.warc.zst").load(archiveDir)
-      .select(col("content").as("blob"))
-    val writer = blobs.writeStream
+      .select(col("path"))
+    val writer = meta.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ccArchiveBatch(batch, batchId,
+        // new-files-per-batch rows: metadata scale, bounded collect
+        val paths = batch.select(col("path")).collect()
+          .map(_.getString(0)).toSeq.sorted
+        ccArchivePathsBatch(batch.sparkSession, paths, batchId,
           IngestLedger.currentQueryId(batch.sparkSession),
-          indexPath, minWords)(sink)
+          indexPath, minWords, framesPerSplit)(sink)
       }
     checkpointLocation.foreach(p => writer.option("checkpointLocation", p))
     writer.start()
   }
 
-  /** One micro-batch of [[ingestCcArchiveStream]] — public for the
-    * replay spec. `batch` carries archive blobs in `blob`. */
+  /** One micro-batch of [[ingestCcArchiveStream]] over archive PATHS
+    * — plans the seekable split read, then the shared decode/dedup
+    * body ([[ccArchiveBatch]]). Public for the identity/replay
+    * specs. */
+  def ccArchivePathsBatch(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], batchId: Long, queryId: String,
+      indexPath: String, minWords: Int, framesPerSplit: Int = 16)
+      (sink: (DataFrame, Long) => Unit): Unit = {
+    val frames = graft.sources.ZstdSeekable
+      .readArchives(spark, paths, framesPerSplit)
+      .select(col("blob"))
+    ccArchiveBatch(frames, batchId, queryId, indexPath, minWords)(sink)
+  }
+
+  /** One micro-batch of [[ingestCcArchiveStream]]'s decode/dedup body
+    * — public for the replay spec. `batch` carries archive blobs (or
+    * independently-decodable frame-group blobs from the split read)
+    * in `blob`. */
   def ccArchiveBatch(batch: DataFrame, batchId: Long, queryId: String,
       indexPath: String, minWords: Int)
       (sink: (DataFrame, Long) => Unit): Unit = {
