@@ -72,6 +72,7 @@ object Multimodal {
       .when(substring(blob, 1, 5) ===
         lit(Array[Byte]('O', 'g', 'g', 'S', 0)), "ogg")
       .when(substring(blob, 1, 3) === lit("ID3".getBytes), "mp3")
+      .when(substring(blob, 1, 5) === lit("%PDF-".getBytes), "pdf")
       .otherwise("bin")
 
   // ---- Real media header parsing (portable byte arithmetic) ----
@@ -4666,6 +4667,21 @@ object Multimodal {
       graft.plans.MediaExprs.warcZstHttpBodiesCol).as[WarcHttpRow]
   }
 
+  /** One extracted PDF page (round 16). */
+  final case class PdfPageRow(doc_id: Long, page_idx: Long,
+    n_shows: Long, text: String, declined: String)
+
+  /** Batch PDF text extraction (native array-kernel expression, one
+    * output row per page) — [[PdfText]]'s classic-core parse behind
+    * the PERMISSIVE barrier. */
+  def extractPdfPages(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[PdfPageRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    explodeExtract(df, idCol, blobCol,
+      graft.plans.MediaExprs.pdfPagesCol).as[PdfPageRow]
+  }
+
   /** Batch ZIP entry listing + STORED extraction (native array-kernel
     * expression, one output row per archive entry). */
   def extractZipEntries(df: DataFrame, idCol: String,
@@ -5419,6 +5435,8 @@ object Multimodal {
       b(3) == 'S' && b(4) == 0) "ogg"
     else if (b.length >= 3 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
       "mp3"
+    else if (b.length >= 5 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' &&
+      b(3) == 'F' && b(4) == '-') "pdf"
     else "bin"
 
   /** PERMISSIVE decode audit — the reference's error-swallow discipline
@@ -5493,6 +5511,12 @@ object Multimodal {
       case "ogg" =>
         if (oggMetaJvm(bytes).isDefined) ("ogg", true, "ok_metadata")
         else ("ogg", false, "undecodable_ogg")
+      // PDF (round 16): text extraction through the classic core is
+      // real ([[PdfText]]); ok means at least one page yielded text
+      case "pdf" =>
+        val pages = PdfText.extractPagesJvm(bytes)
+        if (pages.exists(r => r._3 != null)) ("pdf", true, "ok")
+        else ("pdf", false, "undecodable_pdf")
       case k => (k, false, "unknown_format")
     }
 

@@ -444,6 +444,23 @@ object MediaArrayKernel {
   def warcZstHttpBodies(b: Array[Byte]): ArrayData =
     warcHttpRows(Multimodal.warcZstHttpBodiesJvm(b))
 
+  /** One struct per PDF page (round 16): page index, show-op count,
+    * extracted text (NULL when the page declines), decline reasons
+    * ('' when clean). Doc-level failure → one page_idx = -1 row. */
+  val pdfPageSchema: StructType = StructType(Seq(
+    StructField("page_idx", LongType, nullable = false),
+    StructField("n_shows", LongType, nullable = false),
+    StructField("text", StringType, nullable = true),
+    StructField("declined", StringType, nullable = false)))
+
+  def pdfPages(b: Array[Byte]): ArrayData =
+    new GenericArrayData(
+      graft.operators.PdfText.extractPagesJvm(b).map {
+        case (i, n, t, d) => InternalRow(i, n,
+          if (t == null) null else UTF8String.fromString(t),
+          UTF8String.fromString(d))
+      }.toArray[Any])
+
   /** [[Multimodal.ZipEntryRow]] minus doc_id. */
   val zipEntrySchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
@@ -1234,6 +1251,21 @@ case class WarcZstHttpBodies(child: Expression)
   override def prettyName: String = "graft_warc_zst_http_bodies"
 }
 
+/** `pdf_pages(blob)` → one struct per PDF page (page_idx, n_shows,
+  * text, declined) through [[graft.operators.PdfText]] — classic
+  * xref walk (+ object-scan fallback), FlateDecode, BT/ET text
+  * operators, simple-font decode; PERMISSIVE per page. */
+case class PdfPages(child: Expression) extends MediaArrayExpression {
+  override protected def structSchema: StructType =
+    MediaArrayKernel.pdfPageSchema
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.pdfPages($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.pdfPages(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_pdf_pages"
+}
+
 /** `zip_entries(blob)` → one struct per archive entry (name, method,
   * usize, STORED content); empty array for non-zip payloads. */
 case class ZipEntries(child: Expression) extends MediaArrayExpression {
@@ -1385,6 +1417,7 @@ object MediaExprs {
   def warcHttpBodiesCol(blob: Column): Column = c(WarcHttpBodies(e(blob)))
   def warcZstHttpBodiesCol(blob: Column): Column =
     c(WarcZstHttpBodies(e(blob)))
+  def pdfPagesCol(blob: Column): Column = c(PdfPages(e(blob)))
   def lz4FramesCol(blob: Column): Column = c(Lz4Frames(e(blob)))
   def lz4CompressCol(blob: Column): Column = c(Lz4Compress(e(blob)))
   def lz4DecompressCol(blob: Column): Column = c(Lz4Decompress(e(blob)))

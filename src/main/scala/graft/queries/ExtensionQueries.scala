@@ -1494,6 +1494,109 @@ object ExtensionQueries {
         .as("blob"))
   }
 
+  /** In-plan PDF assembly (round 16): `bodies` are BINARY object
+    * bodies (no `N 0 obj` wrapper); object offsets, the xref table
+    * and `startxref` are computed from `octet_length` exactly as a
+    * real writer would. `broken` forces a dangling `startxref`
+    * (exercises the extractor's object-scan fallback). Callers hoist
+    * the bodies into named columns first (the task-binary trap). */
+  private def pdfAssemble(bodies: Seq[org.apache.spark.sql.Column],
+      broken: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    def asc(s: String) = encode(lit(s), "utf-8")
+    val objs = bodies.zipWithIndex.map { case (bdy, i) =>
+      concat(asc(s"${i + 1} 0 obj\n"), bdy, asc("\nendobj\n")) }
+    val lens = objs.map(o => octet_length(o).cast("long"))
+    // offs(i) = 9 + len(obj_1..i-1); offs(N) = xref offset
+    val offs = lens.scanLeft(lit(9L)) { (acc, l) => acc + l }
+    val xref = concat(
+      asc(s"xref\n0 ${bodies.length + 1}\n0000000000 65535 f \n") +:
+      offs.dropRight(1).map(o => concat(
+        encode(lpad(o.cast("string"), 10, "0"), "utf-8"),
+        asc(" 00000 n \n"))): _*)
+    val startxref =
+      when(broken, lit(999999999L)).otherwise(offs.last)
+    val trailer = concat(
+      asc(s"trailer\n<< /Size ${bodies.length + 1} /Root 1 0 R " +
+        ">>\nstartxref\n"),
+      encode(startxref.cast("string"), "utf-8"), asc("\n%%EOF\n"))
+    concat(asc("%PDF-1.4\n") +: objs :+ xref :+ trailer: _*)
+  }
+
+  /** PDF fixture rotation (round 16) — four residues through the
+    * classic core: r0 plain xref + Td lines + literal escapes, r1
+    * WinAnsiEncoding with real cp1252 high bytes + TJ kerning, r2 TWO
+    * pages with a hex string and the `'` operator, r3 a broken
+    * `startxref` (object-scan fallback) + Tm + the `"` operator. All
+    * content uncompressed so every byte is closed-form (the
+    * FlateDecode path is pinned by PdfGoldenSpec's python-zlib
+    * vectors). */
+  private[graft] def pdfFixture(s: SparkSession,
+      dir: String): DataFrame = {
+    val d = col("doc_id")
+    val r = pmod(d, lit(4L))
+    def asc(c: org.apache.spark.sql.Column) = encode(c, "utf-8")
+    val base = spread(t(s, dir, "documents"))
+      .select(d, r.as("r"),
+        substring(col("text"), 1, 30).as("s1"),
+        substring(col("text"), 31, 30).as("s2"),
+        substring(col("text"), 1, 20).as("t1"),
+        substring(col("text"), 21, 20).as("t2"),
+        substring(col("text"), 21, 14).as("u2"),
+        substring(col("text"), 35, 14).as("u3"),
+        substring(col("text"), 1, 25).as("a25"),
+        substring(col("text"), 26, 20).as("b20"))
+    val withContent = base.select(col("doc_id"), col("r"),
+      when(col("r") === 0, asc(concat(
+          lit("BT /F1 12 Tf 72 720 Td (Doc \\("), col("doc_id"),
+          lit("\\)) Tj 0 -14 Td ("), col("s1"),
+          lit(") Tj 0 -14 Td ("), col("s2"), lit(") Tj ET"))))
+        .when(col("r") === 1, concat(
+          asc(lit("BT /F1 10 Tf (price ")), unhex(lit("80")),
+          asc(lit(" caf")), unhex(lit("E9")),
+          asc(concat(lit(") Tj 0 -12 Td [ ("), col("t1"),
+            lit(" ) -200 ("), col("t2"), lit(") ] TJ ET")))))
+        .otherwise(asc(concat(
+          lit("BT /F1 9 Tf 1 0 0 1 72 720 Tm ("), col("a25"),
+          lit(") Tj 1 2 ("), col("b20"), lit(") \" ET"))))
+        .as("cA"),
+      asc(concat(lit("BT /F1 10 Tf ("), col("t1"), lit(") Tj ET")))
+        .as("cB1"),
+      concat(asc(lit("BT /F1 10 Tf <")),
+        asc(hex(asc(col("u2")))),
+        asc(concat(lit("> Tj ("), col("u3"), lit(") ' ET"))))
+        .as("cB2"))
+    def contentObj(c: org.apache.spark.sql.Column) = concat(
+      asc(concat(lit("<< /Length "),
+        octet_length(c).cast("string"), lit(" >>\nstream\n"))),
+      c, asc(lit("\nendstream")))
+    val catalog = asc(lit("<< /Type /Catalog /Pages 2 0 R >>"))
+    def pagesObj(kids: String) =
+      asc(lit(s"<< /Type /Pages /Kids [$kids] /Count " +
+        s"${kids.count(_ == 'R')} >>"))
+    def pageObj(contents: Int) =
+      asc(lit(s"<< /Type /Page /Parent 2 0 R /Resources << /Font " +
+        s"<< /F1 5 0 R >> >> /Contents $contents 0 R >>"))
+    val helv = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+    val fontA = when(col("r") === 1,
+        asc(lit(helv + " /Encoding /WinAnsiEncoding >>")))
+      .otherwise(asc(lit(helv + " >>")))
+    val hoisted = withContent.select(col("doc_id"), col("r"),
+      contentObj(col("cA")).as("oA4"),
+      contentObj(col("cB1")).as("oB4"),
+      contentObj(col("cB2")).as("oB7"),
+      fontA.as("oFont"))
+    hoisted.select(col("doc_id"),
+      when(col("r") === 2, pdfAssemble(Seq(
+          catalog, pagesObj("3 0 R 6 0 R"), pageObj(4), col("oB4"),
+          asc(lit(helv + " >>")), pageObj(7), col("oB7")),
+          broken = lit(false)))
+        .otherwise(pdfAssemble(Seq(
+          catalog, pagesObj("3 0 R"), pageObj(4), col("oA4"),
+          col("oFont")), broken = col("r") === 3))
+        .as("blob"))
+  }
+
   /** The IIPC `.warc.zst` DICTIONARY frame (round 14): skippable magic
     * `0x184D2A5D` wrapping a REAL `zstd --train` dictionary (RFC 8878
     * §5 structured format — entropy tables + rep offsets + content
@@ -5034,6 +5137,29 @@ object ExtensionQueries {
         .agg(min(col("doc_id")).as("doc_id"),
           count(lit(1)).as("n_copies"))
         .select(col("doc_id"), col("n_copies"), col("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PDF TEXT EXTRACTION (round 16) — the paper/book training-corpus
+    // format: classic xref walk (+ scan fallback on r3's broken
+    // startxref), page tree, BT/ET text operators (Td/TD/Tm/T-star
+    // lines, Tj/TJ/quote ops, hex + literal strings with escapes),
+    // WinAnsi cp1252 bytes on r1. Every residue's expected text is
+    // stated closed-form from documents.text — no replayed extractor
+    "source_pdf_text" -> ((s, dir) =>
+      Multimodal.extractPdfPages(pdfFixture(s, dir), "doc_id").toDF()
+        .orderBy(col("doc_id"), col("page_idx"))),
+
+    // PDF AUDIT ROUTING (round 16) — the decode-audit front door
+    // recognizes %PDF- and renders a real verdict: intact fixtures are
+    // ok, a 20-byte truncation keeps the magic but fails extraction
+    "mm_pdf_audit" -> ((s, dir) => {
+      val keepAll = lit(1 << 30)
+      val blobs = pdfFixture(s, dir)
+        .select(col("doc_id"), col("blob").substr(lit(1),
+          when(col("doc_id") % 5 === 0, lit(20)).otherwise(keepAll))
+          .as("blob"))
+      Multimodal.extractDecodeAudit(blobs, "doc_id").toDF()
         .orderBy(col("doc_id"))
     }),
 
@@ -9783,6 +9909,46 @@ object ExtensionQueries {
         |    * (3 + ri % 5) AS BIGINT) AS content_length,
         |  CAST(0 AS BIGINT) AS http_status
         |FROM r ORDER BY doc_id, target_uri, content_length""".stripMargin,
+
+    // intact residues audit ok; the 20-byte truncations keep the
+    // %PDF- magic but cannot extract
+    "mm_pdf_audit" ->
+      """SELECT doc_id, 'pdf' AS kind,
+        |  doc_id % 5 <> 0 AS ok,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'undecodable_pdf'
+        |    ELSE 'ok' END AS reason
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // each residue's expected page text stated literally from
+    // documents.text (r0 Td lines + escaped parens; r1 WinAnsi cp1252
+    // bytes 0x80/0xE9 -> euro/e-acute + TJ join; r2 two pages, hex
+    // string + quote op; r3 scan-fallback doc, Tm + double-quote op)
+    "source_pdf_text" ->
+      """WITH p AS (SELECT doc_id, text, doc_id % 4 AS r
+        |  FROM documents),
+        |rows AS (
+        |  SELECT doc_id, 0 AS page_idx,
+        |    CASE r WHEN 0 THEN 3 WHEN 1 THEN 3 WHEN 2 THEN 1
+        |      ELSE 2 END AS n_shows,
+        |    CASE r
+        |      WHEN 0 THEN 'Doc (' || doc_id || ')' || chr(10) ||
+        |        substr(text, 1, 30) || chr(10) || substr(text, 31, 30)
+        |      WHEN 1 THEN 'price ' || chr(8364) || ' caf' || chr(233)
+        |        || chr(10) || substr(text, 1, 20) || ' ' ||
+        |        substr(text, 21, 20)
+        |      WHEN 2 THEN substr(text, 1, 20)
+        |      ELSE substr(text, 1, 25) || chr(10) ||
+        |        substr(text, 26, 20)
+        |    END AS text, '' AS declined
+        |  FROM p
+        |  UNION ALL
+        |  SELECT doc_id, 1, 2,
+        |    substr(text, 21, 14) || chr(10) || substr(text, 35, 14),
+        |    ''
+        |  FROM p WHERE r = 2)
+        |SELECT doc_id, CAST(page_idx AS BIGINT) AS page_idx,
+        |  CAST(n_shows AS BIGINT) AS n_shows, text, declined
+        |FROM rows ORDER BY doc_id, page_idx""".stripMargin,
 
     // each golden member's decoded plaintext + member accounting;
     // all templates are level 1, single-block; even docs carry the

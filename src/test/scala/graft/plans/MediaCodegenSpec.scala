@@ -83,6 +83,7 @@ class MediaCodegenSpec extends SparkFunSuite {
         "warc_zst_http_bodies" ->
           graft.plans.MediaExprs.warcZstHttpBodiesCol,
         "lz4_frames" -> graft.plans.MediaExprs.lz4FramesCol,
+        "pdf_pages" -> graft.plans.MediaExprs.pdfPagesCol,
         "snappy_decode" -> graft.plans.MediaExprs.snappyCol,
         "kafka_batches" -> graft.plans.MediaExprs.kafkaBatchesCol,
         "kafka_records" -> graft.plans.MediaExprs.kafkaRecordsCol,
