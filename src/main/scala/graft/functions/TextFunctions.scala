@@ -133,6 +133,18 @@ object TextFunctions {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** MAIN-CONTENT EXTRACTION (round 16) — readability-lite boilerplate
+    * removal BEFORE quality scoring: structural drop of
+    * script/style/nav/footer/header/aside subtrees, then per-block
+    * word-count + link-density gating, stripMarkup's entity/whitespace
+    * finishing on survivors. Returns struct(text, n_blocks, n_kept) —
+    * see [[graft.plans.MainContentKernel]] for the closed-form rules. */
+  def mainContent(html: Column, minWords: Int = 5): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.MainContent(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(html),
+        minWords))
+
   /** Cheap markup heuristic for gating [[stripMarkup]] over mixed
     * corpora: a doc "looks like markup" when it contains at least one
     * tag-shaped span OR an HTML entity. Plain text with stray `<`

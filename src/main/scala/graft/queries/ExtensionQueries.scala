@@ -3538,6 +3538,34 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // MAIN-CONTENT EXTRACTION (round 16) — readability-lite
+    // boilerplate removal: planted nav/header/footer/script subtrees
+    // and a link-saturated teaser block die; the two prose paragraphs
+    // survive with entity decode + whitespace collapse. n_blocks=4
+    // (h1, p1, teaser, p2), n_kept=2 — constants the oracle states
+    "text_main_content" -> ((s, dir) => {
+      val html = concat(
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a>" +
+          "</nav><header>site banner words</header>" +
+          "<div class=\"hdr\"><h1>"), col("source"),
+        lit("</h1></div><p>"), substring(col("text"), 1, 30),
+        lit("</p><div><a href=\"/l1\">long link text one</a> " +
+          "<a href=\"/l2\">long link text two</a> filler</div><p>"),
+        substring(col("text"), 31, 18),
+        lit(" &amp; closing words</p><footer><a>Terms</a> " +
+          "<a>Privacy</a></footer><script>var x = 1 + 2;</script>"))
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"), html.as("html"))
+        // Generate barrier: one kernel eval feeds all three fields
+        // (a bare alias would be CollapseProject-inlined per field)
+        .select(col("doc_id"), explode(array(
+          TF.mainContent(col("html"), minWords = 3))).as("mc"))
+        .select(col("doc_id"), col("mc.text").as("main_text"),
+          col("mc.n_blocks").as("n_blocks"),
+          col("mc.n_kept").as("n_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // URL CANONICALIZATION (round 15) — the URL-dedup key: four messy
     // variants rotate by doc (mixed-case scheme/host + default port +
     // tracking params + fragment + unsorted query; http:80; no path +
@@ -5132,6 +5160,47 @@ object ExtensionQueries {
       bodies
         .select(col("doc_id"),
           TF.stripMarkup(col("body_text")).as("clean"))
+        .filter(size(split(col("clean"), " ")) >= 20)
+        .groupBy(col("clean"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"), col("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CC CAPSTONE + MAIN-CONTENT (round 16): the same archive → HTTP
+    // → text composition, but with readability-lite boilerplate
+    // removal between the page and the quality gate — planted
+    // nav/footer menus and the one-word h1 never reach dedup, so the
+    // group key is the body prose alone (what RefinedWeb-style
+    // pipelines dedup on). Same transport rotations, full oracle.
+    "cc_pipeline_main" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id").as("b_id"), col("text").as("b_text"),
+          col("source").as("b_source"))
+      val grouped = spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          (col("doc_id") - pmod(col("doc_id"), lit(3L))).as("b_id"))
+        .join(broadcast(base), "b_id")
+        .select(col("doc_id"), col("b_source").as("source"),
+          col("b_text").as("text"))
+      val html = concat(
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+          "<a href=\"/c\">Contact</a></nav><div><h1>"), col("source"),
+        lit("</h1></div><p>"), col("text"),
+        lit("</p><footer><a>Terms</a> <a>Privacy</a></footer>"))
+      val blobs = warcResponseZstBlobs(
+        grouped.select(col("doc_id"),
+          encode(html, "utf-8").as("payload")),
+        "text/html; charset=utf-8")
+      val bodies = Multimodal.extractWarcZstHttpBodies(
+        blobs, "doc_id").toDF()
+      bodies
+        // Generate barrier: the filter below must not re-eval the
+        // kernel through alias substitution
+        .select(col("doc_id"), explode(array(
+          TF.mainContent(col("body_text"), minWords = 3))).as("mc"))
+        .select(col("doc_id"), col("mc.text").as("clean"))
         .filter(size(split(col("clean"), " ")) >= 20)
         .groupBy(col("clean"))
         .agg(min(col("doc_id")).as("doc_id"),
@@ -7374,6 +7443,17 @@ object ExtensionQueries {
         |SELECT doc_id, clean, length(s) AS n_chars_raw,
         |  length(clean) AS n_chars_clean
         |FROM cl ORDER BY doc_id""".stripMargin,
+    // the two surviving prose blocks stated literally (entity decode +
+    // collapse + trim replayed); block counts are fixture constants
+    "text_main_content" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(substr(text, 1, 30), '\s+', ' ', 'g'))
+        |    || chr(10) ||
+        |  trim(regexp_replace(substr(text, 31, 18) ||
+        |    ' & closing words', '\s+', ' ', 'g')) AS main_text,
+        |  CAST(4 AS INT) AS n_blocks, CAST(2 AS INT) AS n_kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // each residue's expected canonical form stated literally —
     // closed-form, no replayed canonicalizer to cancel bugs against;
     // residue 0 carries a BARE valueless tracking param (utm_campaign,
@@ -9873,6 +9953,22 @@ object ExtensionQueries {
         |    '\s+', ' ', 'g')) AS clean
         |  FROM h),
         |q AS (SELECT * FROM s
+        |  WHERE len(string_split(clean, ' ')) >= 20)
+        |SELECT MIN(doc_id) AS doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies, clean
+        |FROM q GROUP BY clean ORDER BY doc_id""".stripMargin,
+
+    // main-content survivors: the body prose alone is the group key —
+    // nav/footer menus and the one-word h1 are stated REMOVED (the
+    // corpus text carries no &<> so the entity hop is identity)
+    "cc_pipeline_main" ->
+      """WITH g AS (SELECT d.doc_id, b.text AS text
+        |  FROM documents d
+        |  JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 3),
+        |c AS (SELECT doc_id,
+        |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean
+        |  FROM g),
+        |q AS (SELECT * FROM c
         |  WHERE len(string_split(clean, ' ')) >= 20)
         |SELECT MIN(doc_id) AS doc_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_copies, clean
