@@ -18,12 +18,24 @@ import scala.collection.mutable.ArrayBuffer
   * — so 0x20 → `Ġ` (U+0120), 0x0A → `Ċ`, and multi-byte UTF-8
   * sequences become visible char runs (é = C3 A9 → `Ã©`).
   *
-  * Pre-tokenization: every 0x20 byte STARTS a new pre-token and maps
-  * to its `Ġ` marker inside that token (GPT-2's " word" → "Ġword"
-  * shape); merges never cross pre-token boundaries. This is the
-  * simplified space-attach rule, not GPT-2's full regex — the
-  * operator contract is byte-level rank-ordered merging, and the
-  * boundary rule is pinned by spec + oracle.
+  * Pre-tokenization (round 16): GPT-2's PUBLISHED regex (Radford et
+  * al. 2019, encoder.py) —
+  * `'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|`
+  * `\s+(?!\S)|\s+` — implemented as a single-pass scanner over code
+  * points (no regex engine in the hot path): the seven case-sensitive
+  * contractions, single-space-attached letter/number/punct runs, and
+  * the backtracked-whitespace rule (a whitespace run followed by a
+  * token yields all but its last char, which attaches forward iff it
+  * is a literal space). Class contract: `\p{L}` =
+  * `Character.isLetter`; `\p{N}` = the Nd/Nl/No categories; `\s` =
+  * the Unicode White_Space set approximated as
+  * `Character.isWhitespace` ∪ Zs ∪ {U+0085} (covers NBSP and NEL,
+  * which python's regex counts and Java's isWhitespace does not).
+  * Merges never cross pre-token boundaries. On the driver corpus
+  * (strictly `[a-z ]`, single-spaced) this agrees with the former
+  * space-attach rule token for token; the fixture suffixes exercise
+  * the digit/punct/contraction boundaries, and token budgets now
+  * match a tiktoken-family counter's on real mixed text.
   *
   * Merge APPLY matches [[BpeTokenizer]]'s semantics exactly: each
   * rule in rank order rewrites its pair left-to-right,
@@ -78,12 +90,13 @@ object ByteBpe {
 
   /** Fixture augmentation suffixes (doc_id % 4 picks one) — shared by
     * the Spark query and the generated oracle so the two sides cannot
-    * drift. Exercises 2- and 3-byte UTF-8 runs, digits, punctuation,
-    * newline, and tab; NEVER contains '/' or ';' (the oracle's
-    * boundary-encoding delimiters — the KERNEL handles any input, the
-    * SQL replay is only claimed for this alphabet). */
+    * drift. Exercises 2- and 3-byte UTF-8 runs, digit/punct class
+    * boundaries, a GPT-2 contraction (`'s`), newline, and tab; NEVER
+    * contains '/' or ';' (the oracle's boundary-encoding delimiters —
+    * the KERNEL handles any input, the SQL replay is only claimed for
+    * this alphabet). */
   val FixtureSuffixes: Seq[String] = Seq(
-    "", " café 9.99!", " the 日本\ndata", "\tand the café")
+    "", " café's 9.99!", " the 日本\ndata", "\tand the café")
 
   /** SQL string literal for `s`: quoted ASCII runs + `chr(n)` for
     * every non-printable or non-ASCII char — JSON-safe and
@@ -128,37 +141,61 @@ object ByteBpe {
       s"replace($e, ${sqlLit(s" $a; $b;")}, ${sqlLit(s" $a$b;")})"
     }
 
-  /** Complete DuckDB oracle for the `text_bpe_bytes` query — byte
-    * mapping, space-attach encoding, and merge chain all generated
-    * from the same constants as the kernel. */
+  /** Boundary-encoded CONSTANT for a fixture suffix, computed by the
+    * SAME pre-tokenizer as the kernel: each pre-token rendered as
+    * `/` + its mapped byte chars as ` c;` runs — the exact format
+    * [[symEncodeSql]] produces, with the leading `/` marking the
+    * junction boundary (every suffix starts a new pre-token after the
+    * corpus text, which always ends in a letter). */
+  private def encodedSuffixConst(sfx: String): String = {
+    preTokens(sfx).map { tok =>
+      "/" + tok.map(sym => s" $sym;").mkString
+    }.mkString
+  }
+
+  /** Complete DuckDB oracle for the `text_bpe_bytes` query — the
+    * corpus text (strictly `[a-z ]`, single-spaced: GPT-2 splits ==
+    * space splits there, replayed by [[symEncodeSql]]) concatenated
+    * with each suffix's PRE-COMPUTED boundary encoding (generated
+    * through the kernel's own GPT-2 scanner — same constants, two
+    * engines), then the shared merge chain. */
   def oracleSql(docsRel: String = "documents"): String = {
-    val nonAscii = FixtureSuffixes.flatten.distinct
-      .filter(c => c >= 0x7f || c < 0x20)
-    val caseArms = FixtureSuffixes.zipWithIndex.drop(1)
-      .map { case (sfx, i) => s"WHEN $i THEN ${sqlLit(sfx)}" }
+    val encArms = FixtureSuffixes.zipWithIndex.drop(1)
+      .map { case (sfx, i) =>
+        s"WHEN $i THEN ${sqlLit(encodedSuffixConst(sfx))}" }
       .mkString(" ")
-    s"""WITH a AS (SELECT doc_id, text ||
-       |    CASE doc_id % ${FixtureSuffixes.length} $caseArms
-       |    ELSE '' END AS s FROM $docsRel),
-       |m AS (SELECT doc_id, s,
-       |  ${byteMapChainSql("s", nonAscii)} AS bm FROM a),
-       |e AS (SELECT doc_id, s, ${symEncodeSql("bm")} AS sym FROM m),
-       |g AS (SELECT doc_id, s, ${mergeChainSql("sym")} AS msym FROM e)
+    val lenArms = FixtureSuffixes.zipWithIndex.drop(1)
+      .map { case (sfx, i) =>
+        s"WHEN $i THEN ${sfx.getBytes("UTF-8").length}" }
+      .mkString(" ")
+    val tokArms = FixtureSuffixes.zipWithIndex.drop(1)
+      .map { case (sfx, i) =>
+        s"WHEN $i THEN ${preTokenBounds(sfx).length / 2}" }
+      .mkString(" ")
+    s"""WITH e AS (SELECT doc_id, text,
+       |  ${symEncodeSql("text")} ||
+       |    CASE doc_id % ${FixtureSuffixes.length} $encArms
+       |    ELSE '' END AS sym FROM $docsRel),
+       |g AS (SELECT doc_id, text, ${mergeChainSql("sym")} AS msym
+       |  FROM e)
        |SELECT doc_id,
-       |  CAST(strlen(s) AS BIGINT) AS n_bytes,
+       |  CAST(strlen(text) +
+       |    CASE doc_id % ${FixtureSuffixes.length} $lenArms
+       |    ELSE 0 END AS BIGINT) AS n_bytes,
        |  CAST(len(string_split(msym, ';')) - 1 AS BIGINT) AS n_subwords,
-       |  CAST(length(s) - length(replace(s, ' ', ''))
-       |    + CASE WHEN s LIKE ' %' OR s = '' THEN 0 ELSE 1 END
-       |    AS BIGINT) AS n_pretokens
+       |  CAST(length(text) - length(replace(text, ' ', '')) + 1 +
+       |    CASE doc_id % ${FixtureSuffixes.length} $tokArms
+       |    ELSE 0 END AS BIGINT) AS n_pretokens
        |FROM g ORDER BY doc_id""".stripMargin
   }
 
   /** Per-doc subword-count relation `(doc_id, n)` over RAW document
     * text — the packing oracle's token counter, generated from the
-    * same constants as [[countsJvm]]. The byte-map chain covers the
-    * standard control chars; any raw corpus char outside it must be
-    * single-byte ASCII for the SQL replay to hold (true of the
-    * driver's documents table — the kernel itself handles anything). */
+    * same constants as [[countsJvm]]. The SQL replay's space rule
+    * equals GPT-2 pre-tokenization only on single-spaced `[a-z ]`
+    * text (true of the driver's documents table — the kernel itself
+    * handles anything); the byte-map chain covers the standard
+    * control chars. */
   def subwordCountsSql(docsRel: String = "documents"): String = {
     val mapped = byteMapChainSql("text", Seq('\n', '\t', '\r'))
     s"""SELECT doc_id,
@@ -168,23 +205,107 @@ object ByteBpe {
        |FROM $docsRel""".stripMargin
   }
 
+  // ---- GPT-2 pre-tokenization scanner (round 16) --------------------
+
+  @inline private def isL(cp: Int): Boolean = Character.isLetter(cp)
+
+  @inline private def isN(cp: Int): Boolean =
+    Character.getType(cp) match {
+      case Character.DECIMAL_DIGIT_NUMBER | Character.LETTER_NUMBER |
+        Character.OTHER_NUMBER => true
+      case _ => false
+    }
+
+  /** python-regex `\s` ≈ Unicode White_Space: Java isWhitespace plus
+    * the no-break Zs members (NBSP & friends) and NEL. */
+  @inline private def isWsCp(cp: Int): Boolean =
+    Character.isWhitespace(cp) || cp == 0x85 ||
+      Character.getType(cp) == Character.SPACE_SEPARATOR
+
+  /** Contraction length at `i` (0 = none): the seven case-sensitive
+    * GPT-2 alternatives `'s 't 're 've 'm 'll 'd`. */
+  @inline private def contractionLen(s: String, i: Int): Int = {
+    if (s.charAt(i) != '\'' || i + 1 >= s.length) return 0
+    s.charAt(i + 1) match {
+      case 's' | 't' | 'm' | 'd' => 2
+      case 'r' | 'v' =>
+        if (i + 2 < s.length && s.charAt(i + 2) == 'e') 3 else 0
+      case 'l' =>
+        if (i + 2 < s.length && s.charAt(i + 2) == 'l') 3 else 0
+      case _ => 0
+    }
+  }
+
+  /** GPT-2 pre-token boundaries as [start, end) CHAR offsets — the
+    * published regex as a left-to-right scanner (module scaladoc has
+    * the alternation and class contract). The bounds always partition
+    * the string (spec-pinned), so byte-stream decode stays exact. */
+  private[graft] def preTokenBounds(s: String): ArrayBuffer[Int] = {
+    val out = new ArrayBuffer[Int]() // flat pairs: start0,end0,start1…
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val cl = contractionLen(s, i)
+      if (cl > 0) { out += i; out += i + cl; i += cl }
+      else {
+        val start = i
+        // ` ?X+` attach: a single literal space glued to a run
+        val k = if (s.charAt(i) == ' ' && i + 1 < n) i + 1 else i
+        val cp0 = s.codePointAt(k)
+        if (!isWsCp(cp0) && (k > i || !isWsCp(s.codePointAt(i)))) {
+          // letter / number / punct run from k (cp0 is non-ws;
+          // when k == i the leading char itself must be non-ws)
+          var j = k
+          if (isL(cp0)) {
+            while (j < n && isL(s.codePointAt(j)))
+              j += Character.charCount(s.codePointAt(j))
+          } else if (isN(cp0)) {
+            while (j < n && isN(s.codePointAt(j)))
+              j += Character.charCount(s.codePointAt(j))
+          } else {
+            while (j < n && {
+              val cp = s.codePointAt(j)
+              !isWsCp(cp) && !isL(cp) && !isN(cp)
+            }) j += Character.charCount(s.codePointAt(j))
+          }
+          out += start; out += j; i = j
+        } else {
+          // whitespace run from `start` (covers ' ' followed by ws)
+          var j = i
+          while (j < n && isWsCp(s.codePointAt(j)))
+            j += Character.charCount(s.codePointAt(j))
+          if (j >= n) { out += i; out += j; i = j } // `\s+(?!\S)` all
+          else {
+            // followed by a token: leave the run's last CHAR to
+            // attach forward (literal space) or stand alone
+            val last = j - Character.charCount(s.codePointBefore(j))
+            if (last > i) { out += i; out += last; i = last }
+            else { out += i; out += j; i = j } // single non-space ws
+          }
+        }
+      }
+    }
+    out
+  }
+
   /** Text → pre-token symbol arrays in the mapped alphabet (each
     * symbol one mapped byte char), merges NOT yet applied. */
   private[graft] def preTokens(text: String): ArrayBuffer[ArrayBuffer[String]] = {
-    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val toks = new ArrayBuffer[ArrayBuffer[String]]()
-    var cur = new ArrayBuffer[String]()
-    var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xff
-      if (b == 0x20 && cur.nonEmpty) {
-        toks += cur
-        cur = new ArrayBuffer[String]()
+    val bounds = preTokenBounds(text)
+    val toks = new ArrayBuffer[ArrayBuffer[String]](bounds.length / 2)
+    var t = 0
+    while (t < bounds.length) {
+      val piece = text.substring(bounds(t), bounds(t + 1))
+      val bytes = piece.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val cur = new ArrayBuffer[String](bytes.length)
+      var i = 0
+      while (i < bytes.length) {
+        cur += byteToChar(bytes(i) & 0xff).toString
+        i += 1
       }
-      cur += byteToChar(b).toString
-      i += 1
+      toks += cur
+      t += 2
     }
-    if (cur.nonEmpty) toks += cur
     toks
   }
 
@@ -245,21 +366,36 @@ object ByteBpe {
     if (text == null) return (0L, 0L, 0L)
     val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     if (bytes.length == 0) return (0L, 0L, 0L)
-    // flat symbol array with -1 pre-token sentinels
+    // GPT-2 pre-token bounds (char offsets), then the flat symbol
+    // array with -1 sentinels at token boundaries; byte positions
+    // advance by each char range's UTF-8 length
+    val bounds = preTokenBounds(text)
     val syms = new Array[Int](bytes.length * 2)
     var m = 0
-    var pending = false
     var tokens = 0L
-    var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xff
-      if (b == 0x20 && pending) { syms(m) = -1; m += 1; tokens += 1 }
-      syms(m) = byteToChar(b).toInt
-      m += 1
-      pending = true
-      i += 1
+    var bytePos = 0
+    var t = 0
+    while (t < bounds.length) {
+      if (tokens > 0L) { syms(m) = -1; m += 1 }
+      tokens += 1L
+      // UTF-8 length of chars [bounds(t), bounds(t+1))
+      var c = bounds(t)
+      var blen = 0
+      while (c < bounds(t + 1)) {
+        val cp = text.codePointAt(c)
+        blen += (if (cp < 0x80) 1 else if (cp < 0x800) 2
+          else if (cp < 0x10000) 3 else 4)
+        c += Character.charCount(cp)
+      }
+      var i = bytePos
+      while (i < bytePos + blen) {
+        syms(m) = byteToChar(bytes(i) & 0xff).toInt
+        m += 1
+        i += 1
+      }
+      bytePos += blen
+      t += 2
     }
-    tokens += 1 // the final pre-token
     // rank-ordered in-place compaction per rule
     var r = 0
     while (r < mergeRules.length) {
@@ -348,7 +484,7 @@ object ByteBpe {
       dict.foreach { case (syms, freq) =>
         var k = 0
         while (k + 1 < syms.length) {
-          counts.merge(syms(k) + " " + syms(k + 1), freq, _ + _)
+          counts.merge(syms(k) + "\u0000" + syms(k + 1), freq, _ + _)
           k += 1
         }
       }
@@ -361,7 +497,7 @@ object ByteBpe {
             bestPr = pr; bestC = c
           }
         }
-        val sep = bestPr.indexOf(' ')
+        val sep = bestPr.indexOf('\u0000')
         val a = bestPr.substring(0, sep)
         val b = bestPr.substring(sep + 1)
         out += ((a, b, bestC))

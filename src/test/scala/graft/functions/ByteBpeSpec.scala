@@ -90,6 +90,56 @@ class ByteBpeSpec extends SparkFunSuite {
     }
   }
 
+  test("GPT-2 pre-tokenization parity: the published regex's splits, " +
+      "hand-derived vector table (contractions, class runs, " +
+      "backtracked whitespace, unicode classes)") {
+    def pre(s: String): Seq[String] = {
+      val b = ByteBpe.preTokenBounds(s)
+      // bounds must partition the string
+      assert(b.grouped(2).map { case p => p(1) - p(0) }.sum == s.length)
+      var prev = 0
+      b.grouped(2).foreach { p =>
+        assert(p(0) == prev && p(1) > p(0)); prev = p(1)
+      }
+      b.grouped(2).map(p => s.substring(p(0), p(1))).toSeq
+    }
+    val vectors: Seq[(String, Seq[String])] = Seq(
+      "Hello world" -> Seq("Hello", " world"),
+      "don't stop" -> Seq("don", "'t", " stop"),
+      "I've 10 cats!!" -> Seq("I", "'ve", " 10", " cats", "!!"),
+      // run of 2 spaces before a token: \s+(?!\S) takes 1, the last
+      // space attaches forward
+      "x  y" -> Seq("x", " ", " y"),
+      "x    y" -> Seq("x", "   ", " y"),
+      // the run's LAST char attaches only when it is a literal space
+      "a\n b" -> Seq("a", "\n", " b"),
+      "tab\tend" -> Seq("tab", "\t", "end"),
+      "price€9" -> Seq("price", "€", "9"),
+      " 9.99" -> Seq(" 9", ".", "99"),
+      "CamelCase splits? No" ->
+        Seq("CamelCase", " splits", "?", " No"),
+      // 'a is NOT one of the seven contractions
+      "y'all" -> Seq("y", "'", "all"),
+      "we'll we've it's I'm he'd" -> Seq("we", "'ll", " we", "'ve",
+        " it", "'s", " I", "'m", " he", "'d"),
+      "trailing  " -> Seq("trailing", "  "),
+      "日本語123" -> Seq("日本語", "123"),
+      // NBSP is python-\s whitespace (Zs) though Java isWhitespace
+      // says no
+      "a b" -> Seq("a", " ", "b"),
+      "'s tart" -> Seq("'s", " tart"),
+      "The 2022-ish mix" -> Seq("The", " 2022", "-", "ish", " mix"),
+      " 'quoted'" -> Seq(" '", "quoted", "'"),
+      "" -> Seq())
+    vectors.foreach { case (in, want) =>
+      assert(pre(in) == want, s"input ${in.take(30)}")
+    }
+    // on the corpus alphabet ([a-z ], single-spaced) GPT-2 equals the
+    // old space-attach rule — the oracle's standing assumption
+    assert(pre("key agg row scan") ==
+      Seq("key", " agg", " row", " scan"))
+  }
+
   test("pre-token boundaries: leading / trailing / consecutive " +
       "spaces count as the kernel defines them") {
     assert(ByteBpe.countsJvm("a b")._3 == 2L)
