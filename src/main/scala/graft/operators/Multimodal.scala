@@ -3787,16 +3787,7 @@ object Multimodal {
       }
       buf.toByteArray
     }
-    def charsetFor(ctype: String): java.nio.charset.Charset = {
-      val lower = ctype.toLowerCase(java.util.Locale.ROOT)
-      val i = lower.indexOf("charset=")
-      val name =
-        if (i < 0) "utf-8"
-        else {
-          var v = lower.substring(i + 8).trim
-          val j = v.indexOf(';'); if (j >= 0) v = v.substring(0, j)
-          v.stripPrefix("\"").stripSuffix("\"").trim
-        }
+    def nameToCharset(name: String): java.nio.charset.Charset =
       name match {
         case "" | "utf-8" | "utf8" => java.nio.charset.StandardCharsets.UTF_8
         case "iso-8859-1" | "latin-1" | "latin1" | "us-ascii" | "ascii" =>
@@ -3805,6 +3796,68 @@ object Multimodal {
           try java.nio.charset.Charset.forName(other)
           catch { case _: Exception =>
             java.nio.charset.StandardCharsets.UTF_8 }
+      }
+    def headerCharsetName(ctype: String): String = {
+      val lower = ctype.toLowerCase(java.util.Locale.ROOT)
+      val i = lower.indexOf("charset=")
+      if (i < 0) ""
+      else {
+        var v = lower.substring(i + 8).trim
+        val j = v.indexOf(';'); if (j >= 0) v = v.substring(0, j)
+        v.stripPrefix("\"").stripSuffix("\"").trim
+      }
+    }
+    // `<meta charset=…>` / http-equiv sniff over the first 1 KiB
+    // (ASCII-superset scan — a BOM-less UTF-16 meta is out of scope)
+    def metaCharsetName(body: Array[Byte]): String = {
+      val n = math.min(body.length, 1024)
+      val head = new String(body, 0, n,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+        .toLowerCase(java.util.Locale.ROOT)
+      var at = head.indexOf("<meta")
+      while (at >= 0) {
+        val end = head.indexOf('>', at)
+        val span = if (end >= 0) head.substring(at, end)
+          else head.substring(at)
+        val c = span.indexOf("charset=")
+        if (c >= 0) {
+          var v = span.substring(c + 8).trim
+          var k = 0
+          if (v.startsWith("\"") || v.startsWith("'")) {
+            val quote = v.charAt(0); v = v.substring(1)
+            k = v.indexOf(quote); if (k < 0) k = v.length
+          } else {
+            k = v.indexWhere(ch => ch == ';' || ch == ' ' ||
+              ch == '"' || ch == '\'' || ch == '/' || ch == '>')
+            if (k < 0) k = v.length
+          }
+          return v.substring(0, k).trim
+        }
+        at = head.indexOf("<meta", at + 1)
+      }
+      ""
+    }
+    /** Charset decision (round 16 hardening): BOM is authoritative
+      * (WHATWG precedence), then the Content-Type header, then a
+      * `<meta charset>` declaration, then the UTF-8 default. Returns
+      * (charset, bomBytesToSkip) — the BOM never reaches the text. */
+    def detectCharset(decoded: Array[Byte], ctype: String)
+        : (java.nio.charset.Charset, Int) = {
+      if (decoded.length >= 3 && (decoded(0) & 0xff) == 0xef &&
+        (decoded(1) & 0xff) == 0xbb && (decoded(2) & 0xff) == 0xbf)
+        (java.nio.charset.StandardCharsets.UTF_8, 3)
+      else if (decoded.length >= 2 && (decoded(0) & 0xff) == 0xff &&
+        (decoded(1) & 0xff) == 0xfe)
+        (java.nio.charset.StandardCharsets.UTF_16LE, 2)
+      else if (decoded.length >= 2 && (decoded(0) & 0xff) == 0xfe &&
+        (decoded(1) & 0xff) == 0xff)
+        (java.nio.charset.StandardCharsets.UTF_16BE, 2)
+      else {
+        val fromHeader = headerCharsetName(ctype)
+        val name =
+          if (fromHeader.nonEmpty) fromHeader
+          else metaCharsetName(decoded)
+        (nameToCharset(name), 0)
       }
     }
     while (p < b.length) {
@@ -3912,8 +3965,11 @@ object Multimodal {
                 bodyLen = decoded.length.toLong
                 if (decoded.length <= MaxHttpTextBytes) {
                   bodyBytes = decoded
-                  if (isTextualType(ctype))
-                    bodyText = new String(decoded, charsetFor(ctype))
+                  if (isTextualType(ctype)) {
+                    val (cs, skip) = detectCharset(decoded, ctype)
+                    bodyText = new String(decoded, skip,
+                      decoded.length - skip, cs)
+                  }
                 }
               }
             }

@@ -1432,7 +1432,14 @@ object ExtensionQueries {
     * caller-chosen Content-Type — image crawls route BINARY bodies
     * through the identical transport rotations (round 15). */
   private[graft] def warcResponseZstBlobs(docs: DataFrame,
-      contentType: String): DataFrame = {
+      contentType: String): DataFrame =
+    warcResponseZstBlobsCt(docs, lit(contentType))
+
+  /** [[warcResponseZstBlobs]] with a PER-ROW Content-Type column —
+    * the charset-rotation fixture varies the header per doc
+    * (round 16). */
+  private[graft] def warcResponseZstBlobsCt(docs: DataFrame,
+      contentType: org.apache.spark.sql.Column): DataFrame = {
     val d = col("doc_id")
     val crlf = "\r\n"
     val gzipCond = pmod(d, lit(4L)) < 2L
@@ -1463,7 +1470,7 @@ object ExtensionQueries {
     }
     val head = concat(
       lit("HTTP/1.1 200 OK" + crlf),
-      lit(s"Content-Type: $contentType" + crlf),
+      concat(lit("Content-Type: "), contentType, lit(crlf)),
       when(gzipCond, lit("Content-Encoding: gzip" + crlf))
         .otherwise(lit("")),
       when(chunkedCond, lit("Transfer-Encoding: chunked" + crlf))
@@ -5106,6 +5113,41 @@ object ExtensionQueries {
           col("transfer_encoding"), col("body_len"),
           TF.stripMarkup(col("body_text")).as("clean"))
         .orderBy(col("doc_id"))),
+
+    // CHARSET DETECTION (round 16) — the HTTP hop's hardened decode:
+    // r0 header-declared utf-8 (control), r1 UTF-8 BOM with NO header
+    // charset (BOM stripped from the text), r2 UTF-16LE BOM + UTF-16LE
+    // body, r3 cp1252 bytes declared only by <meta charset> — each
+    // page carries non-ASCII codepoints whose survival proves the
+    // charset path; the oracle states every decoded text and byte
+    // length in closed form
+    "source_warc_charsets" -> ((s, dir) => {
+      val d = col("doc_id")
+      val r = pmod(d, lit(4L))
+      def asc(c: org.apache.spark.sql.Column) = encode(c, "utf-8")
+      val base = spread(t(s, dir, "documents"))
+        .select(d, substring(col("text"), 1, 24).as("w"))
+      val htmlCafe = concat(lit("<p>"), col("w"),
+        lit(" café</p>"))
+      val payload = when(r === 0, asc(htmlCafe))
+        .when(r === 1, concat(unhex(lit("EFBBBF")), asc(htmlCafe)))
+        .when(r === 2, concat(unhex(lit("FFFE")),
+          encode(htmlCafe, "UTF-16LE")))
+        .otherwise(concat(
+          asc(concat(lit("<meta charset=\"windows-1252\"><p>"),
+            col("w"), lit(" eur "))),
+          unhex(lit("80")), asc(lit(" caf")), unhex(lit("E9")),
+          asc(lit("</p>"))))
+      val ctype = when(pmod(col("doc_id"), lit(4L)) === 0,
+          lit("text/html; charset=utf-8"))
+        .otherwise(lit("text/html"))
+      val fixture = warcResponseZstBlobsCt(
+        base.select(d, payload.as("payload")), ctype)
+      Multimodal.extractWarcZstHttpBodies(fixture, "doc_id").toDF()
+        .select(col("doc_id"), col("content_type"), col("body_len"),
+          TF.stripMarkup(col("body_text")).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
 
     // MULTIMODAL CRAWL (round 15) — the image-crawl shape: WARC
     // response records carrying image/bmp BODIES (binary — the
@@ -9904,6 +9946,28 @@ object ExtensionQueries {
         |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS clean
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // every decoded text stated literally (é = chr(233), € =
+    // chr(8364)); byte lengths: r0 utf-8 len+13, r1 +BOM3, r2
+    // 2 bytes/char + BOM2 over len+12 chars, r3 cp1252 len+47
+    "source_warc_charsets" ->
+      """WITH w AS (SELECT doc_id, substr(text, 1, 24) AS w
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'text/html; charset=utf-8'
+        |    ELSE 'text/html' END AS content_type,
+        |  CAST(CASE doc_id % 4
+        |    WHEN 0 THEN length(w) + 13
+        |    WHEN 1 THEN length(w) + 16
+        |    WHEN 2 THEN 2 * length(w) + 26
+        |    ELSE length(w) + 47 END AS BIGINT) AS body_len,
+        |  CASE doc_id % 4
+        |    WHEN 3 THEN trim(regexp_replace(w || ' eur ' ||
+        |      chr(8364) || ' caf' || chr(233), '\s+', ' ', 'g'))
+        |    ELSE trim(regexp_replace(w || ' caf' || chr(233),
+        |      '\s+', ' ', 'g'))
+        |  END AS clean
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     // the closed-form BMP pixel arithmetic (the mm_bmp_features
     // recipe) behind the HTTP hop, plus the content-type and
