@@ -268,13 +268,31 @@ object Sampling {
     * filtered to that group's rows first. Same shape as `groupCap`'s
     * oversized-group restriction.
     *
+    * SCORE-DOMAIN CONTRACT (round 16, loud): the per-score relation is
+    * broadcast and its cumulative window is a single-task sort — both
+    * only safe when the score domain is SMALL. Callers must QUANTIZE
+    * continuous scores first (`floor(score / step)` — the
+    * `sample_budget_cut` query shows the shape); the materialized
+    * domain is counted and anything past `maxScoreDomain` fails loud
+    * instead of silently serializing a corpus-sized sort.
+    *
     * Output: input row + `selected` boolean (every input row appears). */
   def budgetCut(df: DataFrame, scoreCol: String, idCol: String,
-      tokCol: String, budget: Long, salt: Long = 0L): DataFrame = {
+      tokCol: String, budget: Long, salt: Long = 0L,
+      maxScoreDomain: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget >= 0, "budget must be non-negative")
+    // materialize the aggregated (tiny) relation once: the guard
+    // count and the window both reuse it without a second corpus scan
     val per = df.groupBy(col(scoreCol).as("__s"))
       .agg(sum(col(tokCol).cast("long")).as("__grp_toks"))
+      .localCheckpoint()
+    val domain = per.count()
+    require(domain <= maxScoreDomain,
+      s"budgetCut: score domain $domain exceeds $maxScoreDomain — " +
+        "quantize the score column (floor(score/step)) before the " +
+        "cut; a corpus-sized domain would serialize the cumulative " +
+        "window into one task")
     val cumW = Window.orderBy(col("__s").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = per.withColumn("__cum_before",

@@ -3074,6 +3074,24 @@ object ExtensionQueries {
         .select(col("doc_id"), col("lang"), col("n_group"))
         .orderBy(col("doc_id"))),
 
+    // TOKEN-BUDGET CUT (wired round 16 — was dead code since round 6):
+    // "take the best 10k tokens" without a global sort. The score is
+    // QUANTIZED (n_chars DIV 50 — the operator's loud domain contract)
+    // so the per-score relation is tiny; scores fully under budget
+    // select row-locally, only the boundary group pays a ranked
+    // window. The oracle replays the equivalent GLOBAL cumulative rule
+    // over (score desc, Knuth hash, id) — equality proves the
+    // group-split formulation exact, not just plausible
+    "sample_budget_cut" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TF.intDivNonNeg(col("n_chars").cast("long"), lit(50L))
+          .as("q_score"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      Sampling.budgetCut(docs, "q_score", "doc_id", "toks",
+          budget = 10000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic 80/10/10 dataset split: exact cumulative hash ranges,
     // row-local, stable under corpus growth (new docs never migrate
     // existing rows between splits)
@@ -8194,6 +8212,21 @@ object ExtensionQueries {
         |SELECT doc_id, lang, n_group FROM r
         |WHERE n_group <= 70 OR rk <= 70
         |ORDER BY doc_id""".stripMargin,
+    // the equivalent GLOBAL rule: selected iff cumulative tokens
+    // before this doc (score desc, Knuth hash, id order) + its own
+    // fit the 10k budget — proves the operator's group-split form
+    "sample_budget_cut" ->
+      """WITH d AS (SELECT doc_id, n_chars // 50 AS q_score,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |o AS (SELECT *, COALESCE(SUM(toks) OVER (
+        |    ORDER BY q_score DESC,
+        |      ((doc_id + 0) * 2654435761) % 1000000007, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cum_before FROM d)
+        |SELECT doc_id, q_score, toks,
+        |  cum_before + toks <= 10000 AS selected
+        |FROM o ORDER BY doc_id""".stripMargin,
     // same cumulative Knuth-hash ranges: <8 train, <9 val, else test
     "sample_split" ->
       """SELECT doc_id,

@@ -589,6 +589,48 @@ class SimilaritySpec extends SparkFunSuite {
     assert(heated.filter(col("grp").isNull).count() == 10L)
   }
 
+  test("budgetCut: exact prefix rule incl. the boundary group; " +
+      "partitioning-independent; loud on an unquantized score domain") {
+    val s = spark
+    import s.implicits._
+    // 3 score groups, tokens sized so budget 25 fully takes score 2
+    // (10+8=18), straddles score 1 (4+4+4: first two fit at 18+4+4=26?
+    // no — 18+4=22, 22+4=26>25 → exactly one of the 4s fits after the
+    // hash order), and excludes score 0
+    val rows = Seq(
+      (1L, 2L, 10L), (2L, 2L, 8L),
+      (3L, 1L, 4L), (4L, 1L, 4L), (5L, 1L, 4L),
+      (6L, 0L, 9L))
+    val df = rows.toDF("doc_id", "sc", "toks")
+    def sel(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sampling.budgetCut(d, "sc", "doc_id", "toks", budget = 25L)
+        .filter(col("selected")).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    // global-rule replay: order (sc desc, Knuth hash, id)
+    val order = rows.sortBy { case (id, sc, _) =>
+      (-sc, Sampling.Knuth * id % 1000000007, id) }
+    var cum = 0L
+    val expect = order.flatMap { case (id, _, tk) =>
+      val in = cum + tk <= 25L; cum += tk
+      if (in) Some(id) else None
+    }.toSet
+    val got = sel(df)
+    assert(got == expect, s"got $got want $expect")
+    assert(sel(df.repartition(7)) == got,
+      "cut must not depend on partitioning")
+    assert((3L to 5L).count(got) == 1,
+      "exactly one boundary-group row fits the remaining 7 tokens")
+    assert(!got(6L) && got(1L) && got(2L))
+    // loud guard: 500 distinct continuous scores over a domain cap
+    val wide = (1L to 500L).map(i => (i, i * 0.001, 1L))
+      .toDF("doc_id", "sc", "toks")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.budgetCut(wide, "sc", "doc_id", "toks", budget = 10L,
+        maxScoreDomain = 100L).count()
+    }
+    assert(e.getMessage.contains("quantize"))
+  }
+
   test("hash sampling: deterministic, partitioning-independent, and rates " +
       "nest (membership at num=2 ⊆ membership at num=5)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
