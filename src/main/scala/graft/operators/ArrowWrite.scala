@@ -14,9 +14,11 @@ package graft.operators
   * depth-first order (validity first per node; offsets+data for
   * varsize; empty validity when a column has no nulls).
   *
-  * Column types: int64, float64, float32, utf8, bool, and list of any
-  * supported type (`list<float32>` — the embedding-table layout) —
-  * nullable at every level via validity bitmaps.
+  * Column types: int64, float64, float32, utf8, bool, list of any
+  * supported type (`list<float32>` — the embedding-table layout),
+  * and — round 16 — struct and map (the spec's list<struct<key,
+  * value>> with non-nullable keys) — nullable at every level via
+  * validity bitmaps.
   *
   * Verification stance: every stream round-trips through
   * [[ArrowIpc.batchesJvm]], which is golden-pinned against real
@@ -35,6 +37,15 @@ object ArrowWrite {
   case object AString extends AType
   case object ABool extends AType
   final case class AList(elem: AType) extends AType
+  /** Struct column (round 16): cells are `Seq[Any]` of the member
+    * values in field order (null for a null struct). */
+  final case class AStruct(fields: Seq[(String, AType)]) extends AType
+  /** Map column (round 16): the spec's list<struct<key, value>>
+    * layout with the conventional `entries`/`key`/`value` names and a
+    * NON-nullable key field; cells are `Seq[(Any, Any)]` (null for a
+    * null map). Emission delegates to the list+struct path, so reader
+    * and writer share one wire shape. */
+  final case class AMap(key: AType, value: AType) extends AType
 
   /** Dictionary-encoded utf8 (round 15): cells are Strings like
     * [[AString]], but the stream carries int32 indices into a
@@ -194,17 +205,49 @@ object ArrowWrite {
     case AString | ADictString => fb.startTable(0); (5, fb.endTable())
     case ABool => fb.startTable(0); (6, fb.endTable())
     case AList(_) => fb.startTable(0); (12, fb.endTable())
+    case AStruct(_) => fb.startTable(0); (13, fb.endTable())
+    // Map: keysSorted=false is the flatbuffer default -> empty table
+    case AMap(_, _) => fb.startTable(0); (17, fb.endTable())
     case AIndex32 => throw new IllegalStateException(
       "AIndex32 is physical-only")
   }
 
   private def emitField(fb: Fbb, name: String, t: AType,
-      dictId: Long = -1L): Int = {
+      dictId: Long = -1L, nullable: Boolean = true): Int = {
     val children = t match {
       case AList(e) =>
         val child = emitField(fb, "item", e)
         fb.startVector(4, 1, 4)
         fb.addOffset(child)
+        fb.endVector(1)
+      case AStruct(fields) =>
+        val offs = fields.map { case (n, ft) => emitField(fb, n, ft) }
+        fb.startVector(4, offs.size, 4)
+        offs.reverse.foreach(fb.addOffset)
+        fb.endVector(offs.size)
+      case AMap(k, v) =>
+        // the spec's conventional child shape: one non-nullable
+        // `entries` struct with a NON-nullable `key` and a `value`
+        val keyF = emitField(fb, "key", k, nullable = false)
+        val valF = emitField(fb, "value", v)
+        val entriesChildren = {
+          fb.startVector(4, 2, 4)
+          fb.addOffset(valF)
+          fb.addOffset(keyF)
+          fb.endVector(2)
+        }
+        val (ett, etype) = emitType(fb, AStruct(Seq("key" -> k,
+          "value" -> v)))
+        val enameOff = fb.createString("entries")
+        fb.startTable(7)
+        fb.slotOffset(0, enameOff)
+        // nullable slot 1: false (default) — entries never null
+        fb.slotByte(2, ett.toByte, 0)
+        fb.slotOffset(3, etype)
+        fb.slotOffset(5, entriesChildren)
+        val entries = fb.endTable()
+        fb.startVector(4, 1, 4)
+        fb.addOffset(entries)
         fb.endVector(1)
       case _ => 0
     }
@@ -225,7 +268,7 @@ object ArrowWrite {
     val nameOff = fb.createString(name)
     fb.startTable(7)
     fb.slotOffset(0, nameOff)
-    fb.slotByte(1, 1, 0) // nullable
+    fb.slotByte(1, if (nullable) 1 else 0, 0) // nullable
     fb.slotByte(2, tt.toByte, 0) // type_type
     fb.slotOffset(3, typeOff)
     fb.slotOffset(4, dictOff)
@@ -352,6 +395,42 @@ object ArrowWrite {
           case s: Seq[_] => s.asInstanceOf[Seq[Any]]
         }
         emitCol(elem, flat.toIndexedSeq, body, nodes)
+      case AStruct(fields) =>
+        // children share the parent's length; a null parent leaves
+        // null (masked) slots in every child
+        fields.zipWithIndex.foreach { case ((_, ft), i) =>
+          val child = values.map {
+            case null => null
+            case cell: Seq[_] => cell(i).asInstanceOf[Any]
+            case other => throw new IllegalArgumentException(
+              s"struct cell of ${other.getClass}")
+          }
+          emitCol(ft, child, body, nodes)
+        }
+      case AMap(k, v) =>
+        // list<struct<key,value>> — one wire shape with the reader
+        val asLists: IndexedSeq[Any] = values.map {
+          case null => null
+          case s: Seq[_] => s.map {
+            case (a, b) => Seq(a, b): Any
+            case cell: Seq[_] => cell: Any
+            case other => throw new IllegalArgumentException(
+              s"map entry of ${other.getClass}")
+          }
+          case other => throw new IllegalArgumentException(
+            s"map cell of ${other.getClass}")
+        }
+        val lens = asLists.map {
+          case null => 0
+          case s: Seq[_] => s.length
+        }
+        body.add(offsets32(lens))
+        val flat = asLists.flatMap {
+          case null => Nil
+          case s: Seq[_] => s.asInstanceOf[Seq[Any]]
+        }
+        emitCol(AStruct(Seq("key" -> k, "value" -> v)),
+          flat.toIndexedSeq, body, nodes)
       case AString =>
         val utf8 = values.map {
           case null => Array.emptyByteArray

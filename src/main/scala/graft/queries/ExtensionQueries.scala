@@ -6463,6 +6463,56 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // STRUCT columns through the writer (round 16): the writer's new
+    // Struct_ field emission + per-member child arrays, read back by
+    // the repo reader's struct kind to identity; pyarrow is the
+    // gated referee (ArrowWriteSpec)
+    "corpus_export_arrow_struct" -> ((s, dir) => {
+      val path = memoizedFixture(
+          tmpArtifact("graft_arrow_struct_export", dir)) { d =>
+        graft.sources.ArrowShards.writeArrowShards(
+          spread(t(s, dir, "documents"))
+            .select(col("doc_id"),
+              struct(col("source").as("source"),
+                col("n_chars").as("n_chars")).as("meta")), d,
+          batchRows = 256)
+      }
+      s.read.format("binaryFile").load(path + "/*.arrows")
+        .select(explode(graft.plans.ArrowExprs.arrowRowsCol(
+          col("content"), Seq("doc_id" -> "long",
+            "meta" -> "struct<source:string,n_chars:long>"))).as("r"))
+        .select(col("r.doc_id").as("doc_id"),
+          col("r.meta.source").as("source"),
+          col("r.meta.n_chars").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MAP columns through the writer (round 16): the spec's
+    // list<struct<key,value>> with non-nullable keys (entries
+    // key-sorted at write so the stream is deterministic), lz4
+    // bodies, exploded back to (doc_id, key, value) scalars
+    "corpus_export_arrow_map" -> ((s, dir) => {
+      val path = memoizedFixture(
+          tmpArtifact("graft_arrow_map_export", dir)) { d =>
+        graft.sources.ArrowShards.writeArrowShards(
+          spread(t(s, dir, "documents"))
+            .select(col("doc_id"),
+              map(lit("lang"), col("lang"),
+                lit("source"), col("source")).as("props")), d,
+          batchRows = 256, codec = "lz4")
+      }
+      s.read.format("binaryFile").load(path + "/*.arrows")
+        .select(explode(graft.plans.ArrowExprs.arrowRowsCol(
+          col("content"), Seq("doc_id" -> "long",
+            "props" -> "array<struct<key:string,value:string>>")))
+          .as("r"))
+        .select(col("r.doc_id").as("doc_id"),
+          explode(col("r.props")).as("e"))
+        .select(col("doc_id"), col("e.key").as("k"),
+          col("e.value").as("v"))
+        .orderBy(col("doc_id"), col("k"))
+    }),
+
     // ... and the embedding table through the same hop: list<float32>
     // columns survive byte-exactly (the reader widens to double — an
     // exact map for every float32). Output is exploded to one scalar
@@ -11327,6 +11377,16 @@ object ExtensionQueries {
     "corpus_export_arrow_dict" ->
       """SELECT doc_id, source, text FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_export_arrow_struct" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "corpus_export_arrow_map" ->
+      """SELECT doc_id, 'lang' AS k, lang AS v FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'source' AS k, source AS v FROM documents
+        |ORDER BY doc_id, k""".stripMargin,
 
     "corpus_export_arrow_emb" ->
       """WITH e AS (SELECT vec_id, embedding,

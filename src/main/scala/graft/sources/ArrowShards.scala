@@ -28,8 +28,25 @@ object ArrowShards {
     case StringType => AString
     case BooleanType => ABool
     case ArrayType(et, _) => AList(atypeOf(et))
+    case StructType(fields) =>
+      AStruct(fields.toSeq.map(f => f.name -> atypeOf(f.dataType)))
+    case MapType(kt, vt, _) => AMap(atypeOf(kt), atypeOf(vt))
     case other => throw new IllegalArgumentException(
       s"unsupported Arrow export type $other")
+  }
+
+  /** Spark cell → writer cell: Rows become field Seqs, maps become
+    * key-SORTED entry pairs (map iteration order is engine-internal —
+    * sorting makes the written stream deterministic), Seqs recurse. */
+  private def cellOf(v: Any): Any = v match {
+    case null => null
+    case r: org.apache.spark.sql.Row =>
+      r.toSeq.map(cellOf).toIndexedSeq
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, vv) => (cellOf(k), cellOf(vv)) }
+        .sortBy(_._1.toString).toIndexedSeq
+    case s: scala.collection.Seq[_] => s.map(cellOf).toIndexedSeq
+    case other => other
   }
 
   /** @param codec    `"zstd"` compresses every body buffer (the spec's
@@ -76,11 +93,7 @@ object ArrowShards {
         it.foreach { r =>
           var i = 0
           while (i < nCols) {
-            bufs(i) += (r.get(i) match {
-              case null => null
-              case s: scala.collection.Seq[_] => s.toIndexedSeq
-              case v => v
-            })
+            bufs(i) += cellOf(r.get(i))
             i += 1
           }
           n += 1
