@@ -335,8 +335,14 @@ object Bench {
     val tiny = new java.io.File(
       new java.io.File(sfDir).getParentFile, "sf0.001")
     if (tiny.isDirectory) {
+      // round 16: the r15 driver snapshot's outliers were
+      // first-of-FAMILY JIT (mm_image_any 6.71 s driver vs 1.24 s
+      // fold; ivf_kmeans_refine2 3.67 vs 0.41) — warm the media
+      // decode and kmeans kernels too, not just avro/dedup/sim
       Seq("avro_envelope_ids", "avro_error_permissive", "dedup_minhash",
-          "sim_topk_brute", "q1_pricing_summary").foreach { n =>
+          "sim_topk_brute", "q1_pricing_summary", "mm_image_any",
+          "mm_decode_audit", "ivf_kmeans_refine2",
+          "dedup_survivors").foreach { n =>
         try SparkEntry.queries(n)(spark, tiny.toString)
           .write.format("noop").mode("overwrite").save()
         catch { case t: Throwable =>

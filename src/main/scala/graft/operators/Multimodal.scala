@@ -3959,8 +3959,11 @@ object Multimodal {
                     case null => inflateFully(transport, raw = true)
                     case ok => ok
                   }
+                else if (cenc == "zstd")
+                  // RFC 8878 in HTTP (round 16) — the in-repo decoder
+                  ZstdDecode.decompress(transport).orNull
                 else if (cenc.isEmpty || cenc == "identity") transport
-                else null // unsupported coding: PERMISSIVE row
+                else null // unsupported coding (br, …): PERMISSIVE row
               if (decoded != null) {
                 bodyLen = decoded.length.toLong
                 if (decoded.length <= MaxHttpTextBytes) {

@@ -8,9 +8,14 @@ import scala.collection.mutable
   * core, PERMISSIVE everywhere else:
   *
   *  - classic cross-reference TABLES (`xref` sections + `trailer`
-  *    dicts, `/Prev` chains from incremental updates), with a
-  *    whole-buffer OBJECT SCAN fallback when the xref is broken or is
-  *    a PDF-1.5 xref STREAM (the fallback real extractors use);
+  *    dicts, `/Prev` chains from incremental updates) AND PDF-1.5
+  *    xref STREAMS (`/W` field widths, `/Index` subsections, type-2
+  *    in-ObjStm entries, FlateDecode + PNG predictors), with a
+  *    whole-buffer OBJECT SCAN fallback (which also expands `/Type
+  *    /ObjStm` containers) when both are broken;
+  *  - OBJECT STREAMS (`/Type /ObjStm`): `/N` header pairs, direct
+  *    values at `/First`-relative offsets — where modern writers put
+  *    every non-stream object;
   *  - object parser for the full base syntax: dicts, arrays, names
   *    (`#xx` escapes), literal strings (octal + line-continuation
   *    escapes, balanced parens), hex strings, refs (`n g R`), streams
@@ -24,10 +29,13 @@ import scala.collection.mutable
   *    text-positioning op after text has been shown starts a new
   *    line; `TJ` kern numbers are ignored (positions don't change
   *    reading order in the simple-font core);
-  *  - SIMPLE fonts only: `/WinAnsiEncoding` via the windows-1252
-  *    table, default/Standard as ASCII; `/Type0` (embedded-CMap CID)
-  *    fonts decline their shows with a named reason — never silently
-  *    mis-decode.
+  *  - fonts: `/WinAnsiEncoding` via the windows-1252 table,
+  *    default/Standard as ASCII, and — round 16 — `/ToUnicode` CMaps
+  *    (bfchar + both bfrange forms), the spec's own authoritative
+  *    text-extraction map: simple fonts with `/Differences` and
+  *    `/Type0` (Identity-H/V CID) fonts now DECODE when they carry
+  *    ToUnicode, and decline with a named reason when they don't —
+  *    never silently mis-decode.
   *
   * Never throws: a malformed document yields one `page_idx = -1` row
   * naming the reason; a malformed page declines alone. The kernel is
@@ -263,16 +271,21 @@ object PdfText {
     /** object number → byte offset of its `N G obj` header (newest
       * generation wins). */
     val offsets = mutable.Map.empty[Int, Int]
+    /** objects living INSIDE object streams (round 16, PDF 1.5):
+      * object number → (container stream object, index). */
+    val inObjStm = mutable.Map.empty[Int, (Int, Int)]
     var trailer: Map[String, PVal] = Map.empty
     var viaScan: Boolean = false
     private val cache = mutable.Map.empty[Int, PVal]
+    private val objStmCache = mutable.Map.empty[Int, Map[Int, PVal]]
+    private var scannedObjStms = false
 
     def load(): Unit = {
       val ok = try loadXref() catch { case _: Exception => false }
       // a dangling startxref can "succeed" without loading anything —
-      // empty offsets means the walk found no usable table either way
-      if (!ok || offsets.isEmpty) {
-        offsets.clear(); trailer = Map.empty
+      // an empty table means the walk found no usable entries
+      if (!ok || (offsets.isEmpty && inObjStm.isEmpty)) {
+        offsets.clear(); inObjStm.clear(); trailer = Map.empty
         scanObjects(); viaScan = true
       }
       if (offsets.isEmpty) throw new Decline("no-objects")
@@ -298,8 +311,15 @@ object PdfText {
         val l = new Lexer(bytes)
         l.pos = next.toInt
         l.skipWs()
+        val save = l.pos
         val kw = l.readToken()
-        if (kw != "xref") return false // xref STREAM → scan fallback
+        if (kw != "xref") {
+          // PDF 1.5 xref STREAM (round 16): `N G obj` carrying a
+          // /Type /XRef stream; Decline → caller scans
+          l.pos = save
+          next = parseXrefStream(l)
+          // continue the /Prev chain with the returned offset
+        } else {
         l.skipWs()
         while (l.peek != 't' && !l.atEnd) { // until "trailer"
           val start = l.readToken().toInt
@@ -333,8 +353,91 @@ object PdfText {
           case Some(PNum(p)) => p.toLong
           case _ => -1L
         }
+        }
       }
       true
+    }
+
+    /** One PDF-1.5 cross-reference STREAM at the lexer's position:
+      * register type-1 (offset) and type-2 (in-ObjStm) entries that
+      * newer sections haven't claimed, harvest the trailer fields
+      * from the SAME dict, return /Prev (or -1). The stream /Length
+      * must be direct — the spec's own chicken-egg rule. */
+    private def parseXrefStream(l: Lexer): Long = {
+      l.readToken() // obj num
+      l.skipWs()
+      l.readToken() // gen
+      l.skipWs()
+      if (l.readToken() != "obj") throw new Decline("xref-stream")
+      val d = l.parseValue(0) match {
+        case dd: PDict => dd
+        case _ => throw new Decline("xref-stream")
+      }
+      l.skipWs()
+      if (l.readToken() != "stream") throw new Decline("xref-stream")
+      if (l.peek == 0x0d) l.pos += 1
+      if (l.peek == 0x0a) l.pos += 1
+      if (!d.m.get("Type").contains(PName("XRef")))
+        throw new Decline("xref-stream")
+      d.m.get("Length") match {
+        case Some(PNum(_)) => ()
+        case _ => throw new Decline("xref-stream-length")
+      }
+      val data = streamData(PStream(d, l.pos))
+      val w = d.m.get("W") match {
+        case Some(PArr(items)) if items.size >= 3 =>
+          items.take(3).map {
+            case PNum(v) if v >= 0 && v <= 8 => v.toInt
+            case _ => throw new Decline("xref-w")
+          }
+        case _ => throw new Decline("xref-w")
+      }
+      val size = d.m.get("Size") match {
+        case Some(PNum(v)) if v >= 0 => v.toLong
+        case _ => throw new Decline("xref-size")
+      }
+      val index: Seq[(Long, Long)] = d.m.get("Index") match {
+        case Some(PArr(items)) if items.size % 2 == 0 =>
+          items.grouped(2).map {
+            case Vector(PNum(a), PNum(b)) => (a.toLong, b.toLong)
+            case _ => throw new Decline("xref-index")
+          }.toSeq
+        case None => Seq((0L, size))
+        case _ => throw new Decline("xref-index")
+      }
+      val rowLen = w.sum
+      if (rowLen <= 0) throw new Decline("xref-w")
+      var p = 0
+      def field(width: Int, dflt: Long): Long = {
+        if (width == 0) return dflt
+        var v = 0L
+        var i = 0
+        while (i < width) { v = (v << 8) | (data(p) & 0xffL)
+          p += 1; i += 1 }
+        v
+      }
+      index.foreach { case (start, count) =>
+        var i = 0L
+        while (i < count) {
+          if (p + rowLen > data.length) throw new Decline("xref-rows")
+          val t = field(w(0), 1L) // absent type field defaults to 1
+          val f2 = field(w(1), 0L)
+          val f3 = field(w(2), 0L)
+          val num = (start + i).toInt
+          if (!offsets.contains(num) && !inObjStm.contains(num)) {
+            if (t == 1L && f2 > 0 && f2 < bytes.length)
+              offsets(num) = f2.toInt
+            else if (t == 2L)
+              inObjStm(num) = (f2.toInt, f3.toInt)
+          }
+          i += 1
+        }
+      }
+      if (trailer.isEmpty) trailer = d.m
+      d.m.get("Prev") match {
+        case Some(PNum(v)) => v.toLong
+        case _ => -1L
+      }
     }
 
     /** Whole-buffer object scan — the PERMISSIVE fallback for broken
@@ -387,9 +490,16 @@ object PdfText {
       }
     }
 
-    def obj(num: Int): PVal = cache.getOrElseUpdate(num, {
+    def obj(num: Int): PVal = cache.get(num) match {
+      case Some(v) => v
+      case None =>
+        val v = computeObj(num)
+        cache(num) = v
+        v
+    }
+
+    private def computeObj(num: Int): PVal = {
       offsets.get(num) match {
-        case None => PNull
         case Some(off) =>
           val l = new Lexer(bytes)
           l.pos = off
@@ -413,8 +523,70 @@ object PdfText {
               case _ => throw new Decline("stream-dict")
             }
           } else { l.pos = save; v }
+        case None =>
+          // object stream membership (PDF 1.5): exact from an xref
+          // stream, or discovered by expanding every /Type /ObjStm
+          // container once in scan mode
+          if (!inObjStm.contains(num) && viaScan && !scannedObjStms) {
+            scannedObjStms = true
+            offsets.keys.toSeq.sorted.foreach { n =>
+              try obj(n) match {
+                case st: PStream if st.dict.m.get("Type")
+                    .contains(PName("ObjStm")) =>
+                  objStmObjects(n).keys.foreach { k =>
+                    if (!offsets.contains(k) && !inObjStm.contains(k))
+                      inObjStm(k) = (n, 0)
+                  }
+                case _ => ()
+              } catch { case _: Exception => () }
+            }
+          }
+          inObjStm.get(num) match {
+            case Some((container, _)) =>
+              objStmObjects(container).getOrElse(num, PNull)
+            case None => PNull
+          }
       }
-    })
+    }
+
+    /** Parse an object stream's contents: `/N` pairs of
+      * `objnum offset` in the header, each object a DIRECT value at
+      * `/First + offset` of the decoded data. Memoized per
+      * container. */
+    private def objStmObjects(container: Int): Map[Int, PVal] =
+      objStmCache.get(container) match {
+        case Some(m) => m
+        case None =>
+          val m: Map[Int, PVal] = obj(container) match {
+            case st: PStream if st.dict.m.get("Type")
+                .contains(PName("ObjStm")) =>
+              val data = streamData(st)
+              val n = dictGet(st.dict, "N") match {
+                case PNum(v) if v >= 0 && v <= 100000 => v.toInt
+                case _ => throw new Decline("objstm-n")
+              }
+              val first = dictGet(st.dict, "First") match {
+                case PNum(v) if v >= 0 && v <= data.length => v.toInt
+                case _ => throw new Decline("objstm-first")
+              }
+              val hdr = new Lexer(data)
+              val pairs = (0 until n).map { _ =>
+                hdr.skipWs()
+                val objNum = hdr.readToken().toInt
+                hdr.skipWs()
+                val off = hdr.readToken().toInt
+                (objNum, off)
+              }
+              pairs.map { case (objNum, off) =>
+                val bl = new Lexer(data)
+                bl.pos = first + off
+                objNum -> bl.parseValue(0)
+              }.toMap
+            case _ => throw new Decline("objstm")
+          }
+          objStmCache(container) = m
+          m
+      }
 
     def resolve(v: PVal, depth: Int = 0): PVal =
       if (depth > 32) throw new Decline("ref-cycle")
@@ -447,7 +619,7 @@ object PdfText {
         if (end > 0 && bytes(end - 1) == 0x0d) end -= 1
       }
       val raw = java.util.Arrays.copyOfRange(bytes, st.dataStart, end)
-      dictGet(d, "Filter") match {
+      val flat = dictGet(d, "Filter") match {
         case PNull => raw
         case PName("FlateDecode") => inflate(raw)
         case PArr(Vector(f)) => resolve(f) match {
@@ -458,7 +630,63 @@ object PdfText {
         case PName(other) => throw new Decline(s"filter:$other")
         case _ => throw new Decline("filter")
       }
+      // /DecodeParms /Predictor: PNG row filters (>= 10) over
+      // /Columns-byte rows — the xref-stream convention
+      dictGet(d, "DecodeParms") match {
+        case pd: PDict =>
+          dictGet(pd, "Predictor") match {
+            case PNum(p) if p >= 10 =>
+              val cols = dictGet(pd, "Columns") match {
+                case PNum(c) if c >= 1 => c.toInt
+                case _ => 1
+              }
+              pngUnpredict(flat, cols)
+            case PNum(p) if p > 1 =>
+              throw new Decline(s"predictor:${p.toInt}")
+            case _ => flat
+          }
+        case _ => flat
+      }
     }
+  }
+
+  /** Undo PNG row filtering (predictors 10-15): each row is one
+    * filter-type byte + `cols` data bytes, bpp = 1 (the xref-stream
+    * shape: 8-bit single-component columns). */
+  private def pngUnpredict(data: Array[Byte], cols: Int): Array[Byte] = {
+    val rowLen = cols + 1
+    if (data.length % rowLen != 0) throw new Decline("predictor-rows")
+    val nRows = data.length / rowLen
+    val out = new Array[Byte](nRows * cols)
+    var r = 0
+    while (r < nRows) {
+      val ft = data(r * rowLen) & 0xff
+      var i = 0
+      while (i < cols) {
+        val x = data(r * rowLen + 1 + i) & 0xff
+        val a = if (i > 0) out(r * cols + i - 1) & 0xff else 0
+        val b = if (r > 0) out((r - 1) * cols + i) & 0xff else 0
+        val c = if (i > 0 && r > 0) out((r - 1) * cols + i - 1) & 0xff
+          else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a
+              else if (pb <= pc) b else c)
+          case _ => throw new Decline("predictor-filter")
+        }
+        out(r * cols + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
   }
 
   private val EndstreamBytes =
@@ -524,21 +752,131 @@ object PdfText {
   private case object EncStandard extends FontEnc // ASCII core
   private case object EncWinAnsi extends FontEnc
   private case class EncDeclined(reason: String) extends FontEnc
+  /** /ToUnicode CMap (round 16): code → unicode string, fixed code
+    * width (1 byte for simple fonts, 2 for Identity-H Type0). The
+    * spec's own rule for text extraction: when present, ToUnicode is
+    * authoritative. */
+  private case class EncToUnicode(
+    map: java.util.HashMap[Integer, String], codeBytes: Int)
+    extends FontEnc
+
+  /** Parse a ToUnicode CMap's bfchar/bfrange sections. The CMap
+    * grammar is PostScript-shaped but the bf blocks are pure token
+    * runs the object lexer already reads (hex strings + keywords). */
+  private def parseCMap(data: Array[Byte])
+      : java.util.HashMap[Integer, String] = {
+    val m = new java.util.HashMap[Integer, String]()
+    def codeOf(b: Array[Byte]): Int = {
+      var v = 0
+      b.foreach(x => v = (v << 8) | (x & 0xff))
+      v
+    }
+    def uniOf(b: Array[Byte]): String =
+      new String(b, java.nio.charset.StandardCharsets.UTF_16BE)
+    val l = new Lexer(data)
+    var mode = 0 // 0 none, 1 bfchar, 2 bfrange
+    var pend = mutable.ArrayBuffer.empty[PVal]
+    var guard = 0
+    while (!l.atEnd && guard < 1000000) {
+      guard += 1
+      l.skipWs()
+      if (!l.atEnd) {
+        val v = try l.parseValue(0) catch {
+          case _: Decline => POp("?")
+        }
+        v match {
+          case POp("beginbfchar") => mode = 1; pend.clear()
+          case POp("beginbfrange") => mode = 2; pend.clear()
+          case POp("endbfchar") | POp("endbfrange") =>
+            mode = 0; pend.clear()
+          case s: PStr if mode == 1 =>
+            pend += s
+            if (pend.size == 2) {
+              (pend(0), pend(1)) match {
+                case (src: PStr, dst: PStr) =>
+                  m.put(codeOf(src.bytes), uniOf(dst.bytes))
+                case _ => ()
+              }
+              pend.clear()
+            }
+          case x if mode == 2 && (x.isInstanceOf[PStr] ||
+              x.isInstanceOf[PArr]) =>
+            pend += x
+            if (pend.size == 3) {
+              (pend(0), pend(1), pend(2)) match {
+                case (lo: PStr, hi: PStr, dst: PStr) =>
+                  val l0 = codeOf(lo.bytes)
+                  val h0 = codeOf(hi.bytes)
+                  if (h0 - l0 >= 0 && h0 - l0 <= 65535) {
+                    var c = l0
+                    // dstStart increments in its LAST code unit
+                    val base = dst.bytes.clone()
+                    while (c <= h0) {
+                      m.put(c, uniOf(base))
+                      val li = base.length - 1
+                      if (li >= 0)
+                        base(li) = ((base(li) & 0xff) + 1).toByte
+                      c += 1
+                    }
+                  }
+                case (lo: PStr, hi: PStr, PArr(items)) =>
+                  val l0 = codeOf(lo.bytes)
+                  items.zipWithIndex.foreach {
+                    case (d: PStr, i) => m.put(l0 + i, uniOf(d.bytes))
+                    case _ => ()
+                  }
+                case _ => ()
+              }
+              pend.clear()
+            }
+          case _ => if (mode == 0) pend.clear()
+        }
+      }
+    }
+    m
+  }
+
+  private def toUnicodeOf(doc: Doc, d: PDict)
+      : Option[java.util.HashMap[Integer, String]] =
+    d.m.get("ToUnicode").flatMap { v =>
+      doc.resolve(v) match {
+        case st: PStream =>
+          try Some(parseCMap(doc.streamData(st)))
+          catch { case _: Exception => None }
+        case _ => None
+      }
+    }
 
   private def fontEncoding(doc: Doc, fontDict: PVal): FontEnc =
     fontDict match {
       case d: PDict =>
+        val toUni = toUnicodeOf(doc, d)
         doc.dictGet(d, "Subtype") match {
-          case PName("Type0") => EncDeclined("type0-font")
+          case PName("Type0") =>
+            // 2-byte codes only under Identity ordering — any other
+            // CMap has variable code widths we would mis-split
+            val identity = doc.dictGet(d, "Encoding") match {
+              case PName("Identity-H") | PName("Identity-V") => true
+              case PNull => true
+              case _ => false
+            }
+            toUni match {
+              case Some(m) if identity => EncToUnicode(m, 2)
+              case Some(_) => EncDeclined("type0-cmap-encoding")
+              case None => EncDeclined("type0-font")
+            }
           case _ =>
-            doc.dictGet(d, "Encoding") match {
-              case PName("WinAnsiEncoding") => EncWinAnsi
-              case PName("MacRomanEncoding") =>
-                EncDeclined("macroman-encoding")
-              case PDict(_) =>
-                // /Differences tables: honest decline, never guess
-                EncDeclined("encoding-differences")
-              case _ => EncStandard
+            toUni match {
+              case Some(m) => EncToUnicode(m, 1) // spec: authoritative
+              case None => doc.dictGet(d, "Encoding") match {
+                case PName("WinAnsiEncoding") => EncWinAnsi
+                case PName("MacRomanEncoding") =>
+                  EncDeclined("macroman-encoding")
+                case PDict(_) =>
+                  // /Differences without ToUnicode: honest decline
+                  EncDeclined("encoding-differences")
+                case _ => EncStandard
+              }
             }
         }
       case _ => EncStandard
@@ -546,6 +884,21 @@ object PdfText {
 
   private def decodeShow(bytesIn: Array[Byte], enc: FontEnc): String =
     enc match {
+      case EncToUnicode(map, codeBytes) =>
+        val sb = new java.lang.StringBuilder(bytesIn.length)
+        var i = 0
+        while (i + codeBytes <= bytesIn.length) {
+          var code = 0
+          var k = 0
+          while (k < codeBytes) {
+            code = (code << 8) | (bytesIn(i + k) & 0xff); k += 1
+          }
+          val u = map.get(code)
+          sb.append(if (u != null) u else "�")
+          i += codeBytes
+        }
+        if (i < bytesIn.length) sb.append('�') // ragged tail
+        sb.toString
       case EncWinAnsi =>
         val sb = new java.lang.StringBuilder(bytesIn.length)
         var i = 0
@@ -713,7 +1066,11 @@ object PdfText {
         case d: PDict => d
         case _ =>
           // scan mode without a trailer: find the catalog directly
-          doc.offsets.keys.toSeq.sorted.iterator.map(doc.obj)
+          // (obj(-1) forces the lazy ObjStm expansion first, so
+          // catalogs living inside object streams are searched too)
+          doc.obj(-1)
+          (doc.offsets.keys ++ doc.inObjStm.keys).toSeq.distinct
+            .sorted.iterator.map(doc.obj)
             .collectFirst {
               case d: PDict if d.m.get("Type").contains(
                 PName("Catalog")) => d

@@ -1604,6 +1604,91 @@ object ExtensionQueries {
         .as("blob"))
   }
 
+  /** PDF-1.5 MODERN-LAYOUT fixture (round 16): even docs carry the
+    * ObjStm + xref-STREAM layout (all non-stream objects inside an
+    * uncompressed `/Type /ObjStm`, a W=[1,2,1] xref stream with
+    * type-2 entries — offsets computed in-plan, binary rows via
+    * unhex); odd docs a classic-xref Type0/Identity-H font whose
+    * `/ToUnicode` CMap is the identity bfrange over printable ASCII,
+    * content as 2-byte hex-string codes. The flate+predictor halves
+    * of both features are pinned by PdfGoldenSpec's python vectors. */
+  private[graft] def pdfModernFixture(s: SparkSession,
+      dir: String): DataFrame = {
+    val d = col("doc_id")
+    def asc(c: org.apache.spark.sql.Column) = encode(c, "utf-8")
+    // ---- modern residue constants ----
+    val innerNums = Seq(10, 11, 12, 13)
+    val innerBodies = Seq(
+      "<< /Type /Catalog /Pages 11 0 R >>",
+      "<< /Type /Pages /Kids [12 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 11 0 R /Resources << /Font " +
+        "<< /F1 13 0 R >> >> /Contents 2 0 R >>",
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val innerOffs = innerBodies.scanLeft(0)((a, b) => a + b.length + 1)
+    val stmHeader = innerNums.zip(innerOffs)
+      .map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+    val stmPayload = stmHeader + innerBodies.mkString("\n") + "\n"
+    val objStmWrapped = "1 0 obj\n<< /Type /ObjStm /N 4 /First " +
+      s"${stmHeader.length} /Length ${stmPayload.length} " +
+      s">>\nstream\n$stmPayload\nendstream\nendobj\n"
+    val off1 = 9 // after "%PDF-1.5\n"
+    val off2 = off1 + objStmWrapped.length
+    def xrow1(off: Int): String = f"01$off%04x00" // type-1 const hex
+    val rowsHead = "00000000" + xrow1(off1) + xrow1(off2)
+    val rowsTail = "00000000" * 6 +
+      (0 until 4).map(i => f"02${1}%04x$i%02x").mkString
+    // ---- per-doc columns ----
+    val base = spread(t(s, dir, "documents"))
+      .select(d,
+        substring(col("text"), 1, 30).as("l1"),
+        substring(col("text"), 31, 18).as("l2"),
+        substring(col("text"), 1, 24).as("w"))
+    val content = concat(lit("BT /F1 9 Tf ("), col("l1"),
+      lit(") Tj 0 -12 Td ("), col("l2"), lit(") Tj ET"))
+    val contentWrapped = concat(
+      lit("2 0 obj\n<< /Length "),
+      octet_length(content).cast("string"),
+      lit(" >>\nstream\n"), content, lit("\nendstream\nendobj\n"))
+    val xrefAt = lit(off2.toLong) + octet_length(contentWrapped)
+    val xrefData = concat(unhex(lit(rowsHead)),
+      unhex(lit("01")), unhex(lpad(hex(xrefAt), 4, "0")),
+      unhex(lit("00")), unhex(lit(rowsTail)))
+    val xrefBody = concat(
+      asc(lit("3 0 obj\n<< /Type /XRef /Size 14 /W [1 2 1] " +
+        "/Root 10 0 R /Length 56 >>\nstream\n")),
+      xrefData,
+      asc(concat(lit("\nendstream\nendobj\nstartxref\n"),
+        xrefAt.cast("string"), lit("\n%%EOF\n"))))
+    val modern = concat(asc(lit("%PDF-1.5\n" + objStmWrapped)),
+      asc(contentWrapped), xrefBody)
+    // ---- Type0 / ToUnicode residue (classic xref via pdfAssemble) --
+    val cmap = "1 beginbfrange\n<0020> <007e> <0020>\nendbfrange\n"
+    val type0Font = "<< /Type /Font /Subtype /Type0 /BaseFont /CIDX " +
+      "/Encoding /Identity-H /ToUnicode 6 0 R >>"
+    val hexCodes = regexp_replace(hex(asc(col("w"))),
+      "(..)", "00$1")
+    val t0Content = concat(lit("BT /F1 10 Tf <"), hexCodes,
+      lit("> Tj ET"))
+    val hoisted = base.select(d, modern.as("modern"),
+      concat(asc(concat(lit("<< /Length "),
+        octet_length(t0Content).cast("string"),
+        lit(" >>\nstream\n"))), asc(t0Content),
+        asc(lit("\nendstream"))).as("oT4"))
+    val catalogB = asc(lit("<< /Type /Catalog /Pages 2 0 R >>"))
+    val t0blob = pdfAssemble(Seq(
+      catalogB,
+      asc(lit("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")),
+      asc(lit("<< /Type /Page /Parent 2 0 R /Resources << /Font " +
+        "<< /F1 5 0 R >> >> /Contents 4 0 R >>")),
+      col("oT4"),
+      asc(lit(type0Font)),
+      asc(lit(s"<< /Length ${cmap.length} >>\nstream\n$cmap" +
+        "\nendstream"))), broken = lit(false))
+    hoisted.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(2L)) === 0, col("modern"))
+        .otherwise(t0blob).as("blob"))
+  }
+
   /** The IIPC `.warc.zst` DICTIONARY frame (round 14): skippable magic
     * `0x184D2A5D` wrapping a REAL `zstd --train` dictionary (RFC 8878
     * §5 structured format — entropy tables + rep offsets + content
@@ -5167,6 +5252,53 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ZSTD CONTENT-ENCODING (round 16) — RFC 8878 in HTTP: response
+    // bodies compressed with the repo's own zstd encoder ride
+    // `Content-Encoding: zstd` through the HTTP hop (even docs), and
+    // an UNSUPPORTED coding (`br`, odd docs) declines PERMISSIVELY as
+    // a body_len = -1 row instead of sinking the shard
+    "source_warc_zstd_encoding" -> ((s, dir) => {
+      val d = col("doc_id")
+      val crlf = "\r\n"
+      val html = concat(lit("<p>"), substring(col("text"), 1, 40),
+        lit("</p>"))
+      val base = spread(t(s, dir, "documents"))
+        .select(d, encode(html, "utf-8").as("payload"))
+        .select(d, col("payload"),
+          when(d % 2 === 0, graft.plans.MediaExprs
+            .zstdCompressCol(col("payload")))
+            .otherwise(col("payload")).as("wire"),
+          when(d % 2 === 0, lit("zstd")).otherwise(lit("br"))
+            .as("cenc"))
+      val http = concat(
+        encode(concat(
+          lit("HTTP/1.1 200 OK" + crlf +
+            "Content-Type: text/html; charset=utf-8" + crlf +
+            "Content-Encoding: "), col("cenc"), lit(crlf),
+          lit("Content-Length: "),
+          octet_length(col("wire")).cast("string"),
+          lit(crlf + crlf)), "utf-8"),
+        col("wire"))
+      val warc = concat(
+        encode(concat(
+          lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+            "WARC-Target-URI: http://site.example/doc"),
+          d.cast("string"), lit(crlf + "Content-Length: "),
+          octet_length(col("http")).cast("string"), lit(crlf + crlf)),
+          "utf-8"),
+        col("http"), encode(lit(crlf + crlf), "utf-8"))
+      val fixture = base
+        .select(d, http.as("http"))
+        .select(d, warc.as("warc"))
+        .select(d, graft.plans.MediaExprs.zstdCompressCol(col("warc"))
+          .as("blob"))
+      Multimodal.extractWarcZstHttpBodies(fixture, "doc_id").toDF()
+        .select(col("doc_id"), col("content_encoding"),
+          col("body_len"),
+          TF.stripMarkup(col("body_text")).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MULTIMODAL CRAWL (round 15) — the image-crawl shape: WARC
     // response records carrying image/bmp BODIES (binary — the
     // round-15 `body` column; body_text stays NULL for non-textual
@@ -5277,6 +5409,17 @@ object ExtensionQueries {
     // stated closed-form from documents.text — no replayed extractor
     "source_pdf_text" -> ((s, dir) =>
       Multimodal.extractPdfPages(pdfFixture(s, dir), "doc_id").toDF()
+        .orderBy(col("doc_id"), col("page_idx"))),
+
+    // PDF-1.5 MODERN LAYOUT (round 16) — even docs: object streams +
+    // xref streams (type-2 entries, in-plan binary rows); odd docs:
+    // Type0/Identity-H decoded through a ToUnicode CMap (identity
+    // bfrange over printable ASCII, 2-byte hex-string codes). The
+    // expected text is the raw substr — PDF extraction preserves
+    // bytes exactly, no collapse
+    "source_pdf_modern" -> ((s, dir) =>
+      Multimodal.extractPdfPages(pdfModernFixture(s, dir), "doc_id")
+        .toDF()
         .orderBy(col("doc_id"), col("page_idx"))),
 
     // PDF AUDIT ROUTING (round 16) — the decode-audit front door
@@ -10030,6 +10173,22 @@ object ExtensionQueries {
         |    '\s+', ' ', 'g')) AS clean
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    // even docs decode through the zstd coding (clean text + exact
+    // byte length); odd docs carry the unsupported `br` coding and
+    // decline as body_len -1 / NULL text
+    "source_warc_zstd_encoding" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'zstd' ELSE 'br' END
+        |    AS content_encoding,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN length(substr(text, 1, 40)) + 7
+        |    ELSE -1 END AS BIGINT) AS body_len,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN trim(regexp_replace(substr(text, 1, 40),
+        |      '\s+', ' ', 'g'))
+        |    ELSE NULL END AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // every decoded text stated literally (é = chr(233), € =
     // chr(8364)); byte lengths: r0 utf-8 len+13, r1 +BOM3, r2
     // 2 bytes/char + BOM2 over len+12 chars, r3 cp1252 len+47
@@ -10152,6 +10311,18 @@ object ExtensionQueries {
         |    * (3 + ri % 5) AS BIGINT) AS content_length,
         |  CAST(0 AS BIGINT) AS http_status
         |FROM r ORDER BY doc_id, target_uri, content_length""".stripMargin,
+
+    // one page per doc; even docs two Tj lines via the ObjStm/xref-
+    // stream walk, odd docs the identity-CMap Type0 decode
+    "source_pdf_modern" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS page_idx,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_shows,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN substr(text, 1, 30) || chr(10) || substr(text, 31, 18)
+        |    ELSE substr(text, 1, 24) END AS text,
+        |  '' AS declined
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // intact residues audit ok; the 20-byte truncations keep the
     // %PDF- magic but cannot extract

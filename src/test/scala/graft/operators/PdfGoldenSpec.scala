@@ -39,4 +39,16 @@ class PdfGoldenSpec extends AnyFunSuite {
     assert(PdfText.extractPagesJvm(vec("v4_scan.pdf")) ==
       IndexedSeq((0L, 1L, "scan me", "")))
   }
+
+  test("v5 (round 16): PDF-1.5 modern layout — flate ObjStm + flate " +
+      "PNG-predictor-12 xref stream with type-2 entries") {
+    assert(PdfText.extractPagesJvm(vec("v5_modern.pdf")) ==
+      IndexedSeq((0L, 2L, "modern layout\nobjstm + xref stream", "")))
+  }
+
+  test("v6 (round 16): Type0/Identity-H with ToUnicode CMap — " +
+      "bfchar + both bfrange forms, 2-byte hex-string codes") {
+    assert(PdfText.extractPagesJvm(vec("v6_tounicode.pdf")) ==
+      IndexedSeq((0L, 1L, "PDF123✓∞", "")))
+  }
 }

@@ -178,6 +178,174 @@ class PdfTextSpec extends AnyFunSuite {
       IndexedSeq((0L, 1L, "new text", "")))
   }
 
+  // ---- round 16: xref streams, object streams, ToUnicode ----------
+
+  /** Build a PDF whose cross-reference is a PDF-1.5 XREF STREAM
+    * (object objs.length+1), W=[1,2,1], optionally flate+predictor-12
+    * coded. `type2` maps inner object numbers to (container, idx) for
+    * ObjStm members. */
+  private def buildXrefStreamPdf(objs: Seq[String], rootObj: Int,
+      binObjs: Map[Int, Array[Byte]] = Map.empty,
+      type2: Map[Int, (Int, Int)] = Map.empty,
+      predictor: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(b("%PDF-1.5\n"))
+    val offsets = scala.collection.mutable.Map[Int, Long]()
+    objs.zipWithIndex.foreach { case (body, i) =>
+      offsets(i + 1) = out.size().toLong
+      out.write(b(s"${i + 1} 0 obj\n"))
+      out.write(binObjs.getOrElse(i + 1, b(body)))
+      out.write(b("\nendobj\n"))
+    }
+    val xrefNum = objs.length + 1
+    val xrefAt = out.size()
+    offsets(xrefNum) = xrefAt.toLong
+    val maxNum = (Seq(xrefNum) ++ type2.keys).max
+    val rows = (0 to maxNum).map { n =>
+      if (n == 0) Array[Byte](0, 0, 0, 0)
+      else offsets.get(n) match {
+        case Some(off) => Array[Byte](1,
+          ((off >> 8) & 0xff).toByte, (off & 0xff).toByte, 0)
+        case None => type2.get(n) match {
+          case Some((c, idx)) => Array[Byte](2,
+            ((c >> 8) & 0xff).toByte, (c & 0xff).toByte, idx.toByte)
+          case None => Array[Byte](0, 0, 0, 0)
+        }
+      }
+    }
+    val raw = rows.flatten.toArray
+    val data =
+      if (!predictor) raw
+      else { // PNG UP filter (type 2) per 4-byte row, then deflate
+        val cols = 4
+        val nRows = raw.length / cols
+        val filtered = new Array[Byte](nRows * (cols + 1))
+        var r = 0
+        while (r < nRows) {
+          filtered(r * 5) = 2
+          var i = 0
+          while (i < cols) {
+            val up = if (r > 0) raw((r - 1) * cols + i) & 0xff else 0
+            filtered(r * 5 + 1 + i) =
+              (((raw(r * cols + i) & 0xff) - up) & 0xff).toByte
+            i += 1
+          }
+          r += 1
+        }
+        val d = new java.util.zip.Deflater()
+        d.setInput(filtered); d.finish()
+        val buf = new Array[Byte](filtered.length * 2 + 64)
+        val n = d.deflate(buf); d.end()
+        java.util.Arrays.copyOf(buf, n)
+      }
+    val parms = if (predictor)
+      " /Filter /FlateDecode /DecodeParms << /Predictor 12 " +
+        "/Columns 4 >>" else ""
+    out.write(b(s"$xrefNum 0 obj\n<< /Type /XRef /Size ${maxNum + 1} " +
+      s"/W [1 2 1] /Root $rootObj 0 R /Length ${data.length}$parms " +
+      s">>\nstream\n"))
+    out.write(data)
+    out.write(b(s"\nendstream\nendobj\nstartxref\n$xrefAt\n%%EOF\n"))
+    out.toByteArray
+  }
+
+  test("PDF-1.5 xref stream (uncompressed W=[1,2,1]) resolves " +
+      "objects and extracts") {
+    val pdf = buildXrefStreamPdf(Seq(catalog, pages(Seq(3)),
+      page(4, 5), contentObj("BT /F1 9 Tf (xref stream text) Tj ET"),
+      helv), rootObj = 1)
+    assert(PdfText.extractPagesJvm(pdf) ==
+      IndexedSeq((0L, 1L, "xref stream text", "")))
+  }
+
+  test("xref stream with FlateDecode + PNG predictor 12 (UP rows)") {
+    val pdf = buildXrefStreamPdf(Seq(catalog, pages(Seq(3)),
+      page(4, 5), contentObj("BT /F1 9 Tf (predicted rows) Tj ET"),
+      helv), rootObj = 1, predictor = true)
+    assert(PdfText.extractPagesJvm(pdf) ==
+      IndexedSeq((0L, 1L, "predicted rows", "")))
+  }
+
+  test("object streams: catalog/pages/page/font live inside a " +
+      "/Type /ObjStm container referenced by type-2 xref entries") {
+    // inner objects 10-13 inside ObjStm object 1; content stream is
+    // top-level object 2
+    val inner = Seq(
+      10 -> "<< /Type /Catalog /Pages 11 0 R >>",
+      11 -> "<< /Type /Pages /Kids [12 0 R] /Count 1 >>",
+      12 -> ("<< /Type /Page /Parent 11 0 R /Resources << /Font " +
+        "<< /F1 13 0 R >> >> /Contents 2 0 R >>"),
+      13 -> helv)
+    val bodies = inner.map(_._2)
+    val offs = bodies.scanLeft(0)((a, s) => a + s.length + 1)
+    val header = inner.map(_._1).zip(offs)
+      .map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+    val payload = header + bodies.mkString("\n") + "\n"
+    val objStm = s"<< /Type /ObjStm /N 4 /First ${header.length} " +
+      s"/Length ${payload.length} >>\nstream\n$payload\nendstream"
+    val pdf = buildXrefStreamPdf(Seq(objStm,
+      contentObj("BT /F1 9 Tf (objstm text) Tj 0 -12 Td (line two) " +
+        "Tj ET")),
+      rootObj = 10,
+      type2 = Map(10 -> (1, 0), 11 -> (1, 1), 12 -> (1, 2),
+        13 -> (1, 3)))
+    assert(PdfText.extractPagesJvm(pdf) ==
+      IndexedSeq((0L, 2L, "objstm text\nline two", "")))
+    // scan fallback ALSO finds the ObjStm contents when the xref
+    // stream is unusable (truncate startxref)
+    val s2 = new String(pdf, "ISO-8859-1")
+    val broken = b(s2.substring(0, s2.lastIndexOf("startxref")) +
+      "startxref\n999999999\n%%EOF\n")
+    assert(PdfText.extractPagesJvm(broken) ==
+      IndexedSeq((0L, 2L, "objstm text\nline two", "")))
+  }
+
+  test("ToUnicode CMaps: Type0/Identity-H 2-byte codes decode via " +
+      "bfchar + both bfrange forms; a Differences simple font " +
+      "upgrades from decline when ToUnicode is present") {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |2 beginbfchar
+        |<0001> <0048>
+        |<0002> <00690021>
+        |endbfchar
+        |2 beginbfrange
+        |<0010> <0012> <0061>
+        |<0020> <0021> [<20AC> <00E9>]
+        |endbfrange
+        |endcmap end
+        |""".stripMargin
+    val type0 = "<< /Type /Font /Subtype /Type0 /BaseFont /CIDX " +
+      "/Encoding /Identity-H /ToUnicode 6 0 R >>"
+    // codes: 0001 0002 0010 0011 0012 0020 0021 ->
+    //        H  i!  a b c € é
+    val content = "BT /F1 10 Tf " +
+      "<0001000200100011001200200021> Tj ET"
+    val pdf = buildPdf(Seq(catalog, pages(Seq(3)), page(4, 5),
+      contentObj(content), type0,
+      s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream"))
+    assert(PdfText.extractPagesJvm(pdf) ==
+      IndexedSeq((0L, 1L, "Hi!abc€é", "")))
+    // simple font with /Differences: declined without ToUnicode,
+    // decoded with it (1-byte codes)
+    val cmap1 = "1 beginbfchar\n<41> <00C5>\nendbfchar\n"
+    val diffFontNoUni = "<< /Type /Font /Subtype /Type1 /BaseFont " +
+      "/Custom /Encoding << /Differences [65 /Aring] >> >>"
+    val diffFontUni = "<< /Type /Font /Subtype /Type1 /BaseFont " +
+      "/Custom /Encoding << /Differences [65 /Aring] >> " +
+      "/ToUnicode 6 0 R >>"
+    val c1 = contentObj("BT /F1 10 Tf (A) Tj ET")
+    val declined = PdfText.extractPagesJvm(buildPdf(Seq(catalog,
+      pages(Seq(3)), page(4, 5), c1, diffFontNoUni)))
+    assert(declined == IndexedSeq(
+      (0L, 1L, "", "encoding-differences")))
+    val upgraded = PdfText.extractPagesJvm(buildPdf(Seq(catalog,
+      pages(Seq(3)), page(4, 5), c1, diffFontUni,
+      s"<< /Length ${cmap1.length} >>\nstream\n$cmap1\nendstream")))
+    assert(upgraded == IndexedSeq((0L, 1L, "Å", "")))
+  }
+
   test("guards: not-pdf, encrypted, garbage fuzz never throws") {
     assert(PdfText.extractPagesJvm("hello".getBytes) ==
       IndexedSeq((-1L, 0L, null, "not-pdf")))
