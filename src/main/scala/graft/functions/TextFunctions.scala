@@ -145,6 +145,20 @@ object TextFunctions {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(html),
         minWords))
 
+  /** robots.txt gate (round 16): evaluate `path` for `agent` against
+    * a robots.txt body per RFC 9309 longest-match semantics — the
+    * crawl-frontier check before any URL is fetch-eligible. Returns
+    * struct(allowed, matched_rule, n_rules); see
+    * [[graft.plans.RobotsKernel]] for the grammar and tie-breaks. */
+  def robotsEval(robotsTxt: Column, agent: Column,
+      path: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.RobotsEval(
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .expression(robotsTxt),
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .expression(concat(agent, lit(" "), path))))
+
   /** Cheap markup heuristic for gating [[stripMarkup]] over mixed
     * corpora: a doc "looks like markup" when it contains at least one
     * tag-shaped span OR an HTML entity. Plain text with stray `<`

@@ -3676,6 +3676,44 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ROBOTS.TXT EVALUATION (round 16) — the crawl-frontier gate, RFC
+    // 9309 longest-match semantics: r0 allow-overrides-disallow by
+    // length, r1 wildcard + $ anchor, r2 specific-agent group beats
+    // the catch-all (whose Disallow: / would block everything), r3
+    // empty disallow matches nothing. Verdicts + matched rules stated
+    // closed-form per residue
+    "text_robots_gate" -> ((s, dir) => {
+      val d = col("doc_id")
+      val r = pmod(d, lit(4L))
+      val even = pmod(d, lit(2L)) === 0
+      val robots = when(r === 0, lit("User-agent: *\nDisallow: " +
+          "/private/\nAllow: /private/ok\n"))
+        .when(r === 1, lit("User-agent: *\nDisallow: /*.pdf$\n"))
+        .when(r === 2, lit("User-agent: graftbot\nDisallow: /g/\n" +
+          "User-agent: *\nDisallow: /\n"))
+        .otherwise(lit("User-agent: *\nDisallow:\n"))
+      val agent = when(r === 2, lit("graftbot")).otherwise(lit("ccbot"))
+      val path = when(r === 0, concat(
+          when(even, lit("/private/ok-")).otherwise(lit("/private/p-")),
+          d))
+        .when(r === 1, concat(lit("/f-"), d,
+          when(even, lit(".pdf")).otherwise(lit(".txt"))))
+        .when(r === 2, concat(
+          when(even, lit("/g/x-")).otherwise(lit("/open/x-")), d))
+        .otherwise(concat(lit("/any/"), d))
+      spread(t(s, dir, "documents"))
+        .select(d, robots.as("robots"), agent.as("agent"),
+          path.as("path"))
+        .select(col("doc_id"), col("path"), explode(array(
+          TF.robotsEval(col("robots"), col("agent"), col("path"))))
+          .as("v"))
+        .select(col("doc_id"), col("path"),
+          col("v.allowed").as("allowed"),
+          col("v.matched_rule").as("matched_rule"),
+          col("v.n_rules").as("n_rules"))
+        .orderBy(col("doc_id"))
+    }),
+
     // URL CANONICALIZATION (round 15) — the URL-dedup key: four messy
     // variants rotate by doc (mixed-case scheme/host + default port +
     // tracking params + fragment + unsorted query; http:80; no path +
@@ -7696,6 +7734,36 @@ object ExtensionQueries {
         |SELECT doc_id, clean, length(s) AS n_chars_raw,
         |  length(clean) AS n_chars_clean
         |FROM cl ORDER BY doc_id""".stripMargin,
+    // per-residue verdict + winning rule stated literally; note r2's
+    // allowed-odd rows prove the specific-agent group shields from
+    // the catch-all's Disallow: /
+    "text_robots_gate" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN CASE WHEN doc_id % 2 = 0
+        |      THEN '/private/ok-' ELSE '/private/p-' END || doc_id
+        |    WHEN 1 THEN '/f-' || doc_id || CASE WHEN doc_id % 2 = 0
+        |      THEN '.pdf' ELSE '.txt' END
+        |    WHEN 2 THEN CASE WHEN doc_id % 2 = 0
+        |      THEN '/g/x-' ELSE '/open/x-' END || doc_id
+        |    ELSE '/any/' || doc_id END AS path,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN doc_id % 2 = 0
+        |    WHEN 1 THEN doc_id % 2 <> 0
+        |    WHEN 2 THEN doc_id % 2 <> 0
+        |    ELSE TRUE END AS allowed,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN CASE WHEN doc_id % 2 = 0
+        |      THEN 'allow:/private/ok' ELSE 'disallow:/private/' END
+        |    WHEN 1 THEN CASE WHEN doc_id % 2 = 0
+        |      THEN 'disallow:/*.pdf$' ELSE '' END
+        |    WHEN 2 THEN CASE WHEN doc_id % 2 = 0
+        |      THEN 'disallow:/g/' ELSE '' END
+        |    ELSE '' END AS matched_rule,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INT)
+        |    AS n_rules
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // the two surviving prose blocks stated literally (entity decode +
     // collapse + trim replayed); block counts are fixture constants
     "text_main_content" ->
