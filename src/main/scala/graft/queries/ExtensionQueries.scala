@@ -3676,6 +3676,32 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // URL-LEVEL DEDUP (round 16) — the canonicalizer doing its actual
+    // job as a DEDUP KEY before fetch scheduling: groups of 4 docs
+    // carry four differently-messy spellings of one URL (case, :443,
+    // tracking params incl. a bare one, fragments, empty params) that
+    // all canonicalize identically; survivors are group minima
+    "dedup_url_canonical" -> ((s, dir) => {
+      val d = col("doc_id")
+      val b = (d - pmod(d, lit(4L)))
+      val url = when(d % 4 === 0, concat(
+          lit("HTTPS://Src.Example.COM:443/doc-"), b,
+          lit("?utm_source=x&a=1#frag")))
+        .when(d % 4 === 1, concat(
+          lit("https://src.example.com/doc-"), b, lit("?a=1")))
+        .when(d % 4 === 2, concat(
+          lit("https://src.example.com:443/doc-"), b,
+          lit("?a=1&utm_campaign")))
+        .otherwise(concat(
+          lit("HTTPS://SRC.example.com/doc-"), b, lit("?&a=1")))
+      spread(t(s, dir, "documents"))
+        .select(d, TF.urlCanonical(url).as("canon"))
+        .groupBy(col("canon"))
+        .agg(min(col("doc_id")).as("survivor_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy(col("survivor_id"))
+    }),
+
     // ROBOTS.TXT EVALUATION (round 16) — the crawl-frontier gate, RFC
     // 9309 longest-match semantics: r0 allow-overrides-disallow by
     // length, r1 wildcard + $ anchor, r2 specific-agent group beats
@@ -7734,6 +7760,15 @@ object ExtensionQueries {
         |SELECT doc_id, clean, length(s) AS n_chars_raw,
         |  length(clean) AS n_chars_clean
         |FROM cl ORDER BY doc_id""".stripMargin,
+    // every group of 4 spellings collapses to ONE stated canonical
+    "dedup_url_canonical" ->
+      """WITH g AS (SELECT doc_id, doc_id - doc_id % 4 AS b
+        |  FROM documents)
+        |SELECT 'https://src.example.com/doc-' || b || '?a=1' AS canon,
+        |  MIN(doc_id) AS survivor_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM g GROUP BY b ORDER BY survivor_id""".stripMargin,
+
     // per-residue verdict + winning rule stated literally; note r2's
     // allowed-odd rows prove the specific-agent group shields from
     // the catch-all's Disallow: /
