@@ -3676,6 +3676,48 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SITEMAP PARSE (round 16) — the other crawl-frontier input:
+    // <urlset> pages (even docs; per-url <loc> + a doc-level
+    // <lastmod>) and <sitemapindex> pointers (odd docs) through
+    // Spark's BUILT-IN xpath functions (codegen'd generator, no
+    // custom kernel needed); one row per <loc>, the oracle states
+    // every value closed-form — DuckDB has no xpath to cancel against
+    "source_sitemap" -> ((s, dir) => {
+      val d = col("doc_id")
+      val even = pmod(d, lit(2L)) === 0
+      val urlset = concat(
+        lit("<urlset>"),
+        concat_ws("", (0 until 3).map { i =>
+          concat(lit("<url><loc>https://site"), pmod(d, lit(50L)),
+            lit(".example/doc"), d, lit(s"/p$i</loc>"),
+            if (i == 0) concat(lit("<lastmod>2026-02-0"),
+              pmod(d, lit(9L)) + 1, lit("</lastmod>"))
+            else lit(""),
+            lit("</url>"))
+        }: _*),
+        lit("</urlset>"))
+      val smIndex = concat(
+        lit("<sitemapindex>"),
+        concat_ws("", (0 until 2).map { i =>
+          concat(lit("<sitemap><loc>https://site"), pmod(d, lit(50L)),
+            lit(s".example/maps/m$i.xml</loc></sitemap>"))
+        }: _*),
+        lit("</sitemapindex>"))
+      spread(t(s, dir, "documents"))
+        .select(d, when(even, urlset).otherwise(smIndex).as("xml"),
+          when(even, lit("urlset")).otherwise(lit("sitemapindex"))
+            .as("kind"))
+        .select(col("doc_id"), col("kind"),
+          expr("xpath_string(xml, '//lastmod')").as("lastmod"),
+          posexplode(expr("xpath(xml, '//loc/text()')")))
+        .withColumnRenamed("pos", "entry_idx")
+        .withColumnRenamed("col", "loc")
+        .select(col("doc_id"), col("kind"),
+          col("entry_idx").cast("long").as("entry_idx"), col("loc"),
+          col("lastmod"))
+        .orderBy(col("doc_id"), col("entry_idx"))
+    }),
+
     // URL-LEVEL DEDUP (round 16) — the canonicalizer doing its actual
     // job as a DEDUP KEY before fetch scheduling: groups of 4 docs
     // carry four differently-messy spellings of one URL (case, :443,
@@ -5414,6 +5456,54 @@ object ExtensionQueries {
       val bodies = Multimodal.extractWarcZstHttpBodies(
         warcHtmlZstBlobs(grouped), "doc_id").toDF()
       bodies
+        .select(col("doc_id"),
+          TF.stripMarkup(col("body_text")).as("clean"))
+        .filter(size(split(col("clean"), " ")) >= 20)
+        .groupBy(col("clean"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"), col("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CC CAPSTONE + ROBOTS GATE (round 16): the frontier check
+    // composed into the pipeline — pages join their host's robots.txt
+    // (a 50-row BROADCAST dim, the per-host cache shape at 100 TB)
+    // and only fetch-eligible paths reach dedup; hosts ≡ 0 (mod 3)
+    // disallow /doc so groups lose 1-2 of their 3 members (never all:
+    // consecutive host ids can't all be ≡ 0 mod 3) and n_copies
+    // really varies
+    "cc_pipeline_robots" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id").as("b_id"), col("text").as("b_text"),
+          col("source").as("b_source"))
+      val grouped = spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          (col("doc_id") - pmod(col("doc_id"), lit(3L))).as("b_id"))
+        .join(broadcast(base), "b_id")
+        .select(col("doc_id"), col("b_source").as("source"),
+          col("b_text").as("text"))
+      val bodies = Multimodal.extractWarcZstHttpBodies(
+        warcHtmlZstBlobs(grouped), "doc_id").toDF()
+      val hosts = s.range(50).select(
+        concat(lit("site"), col("id"), lit(".example")).as("host"),
+        when(pmod(col("id"), lit(3L)) === 0,
+          lit("User-agent: ccbot\nDisallow: /doc\n"))
+          .otherwise(
+            lit("User-agent: ccbot\nDisallow: /private/\n"))
+          .as("robots"))
+      bodies
+        .select(col("doc_id"),
+          regexp_extract(col("target_uri"), "^http://([^/]+)", 1)
+            .as("host"),
+          regexp_extract(col("target_uri"), "^http://[^/]+(/.*)$", 1)
+            .as("path"),
+          col("body_text"))
+        .join(broadcast(hosts), "host")
+        .select(col("doc_id"), col("body_text"), explode(array(
+          TF.robotsEval(col("robots"), lit("ccbot"), col("path"))))
+          .as("v"))
+        .filter(col("v.allowed"))
         .select(col("doc_id"),
           TF.stripMarkup(col("body_text")).as("clean"))
         .filter(size(split(col("clean"), " ")) >= 20)
@@ -7760,6 +7850,28 @@ object ExtensionQueries {
         |SELECT doc_id, clean, length(s) AS n_chars_raw,
         |  length(clean) AS n_chars_clean
         |FROM cl ORDER BY doc_id""".stripMargin,
+    // urlset docs yield 3 <loc> rows + the doc-level lastmod;
+    // sitemapindex docs 2 pointer rows with '' lastmod
+    "source_sitemap" ->
+      """WITH e AS (SELECT doc_id, unnest(range(0, 3)) AS i
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |o AS (SELECT doc_id, unnest(range(0, 2)) AS i
+        |  FROM documents WHERE doc_id % 2 <> 0),
+        |rows AS (
+        |  SELECT doc_id, 'urlset' AS kind, i AS entry_idx,
+        |    'https://site' || (doc_id % 50) || '.example/doc' ||
+        |      doc_id || '/p' || i AS loc,
+        |    '2026-02-0' || (doc_id % 9 + 1) AS lastmod
+        |  FROM e
+        |  UNION ALL
+        |  SELECT doc_id, 'sitemapindex', i,
+        |    'https://site' || (doc_id % 50) || '.example/maps/m' ||
+        |      i || '.xml', ''
+        |  FROM o)
+        |SELECT doc_id, kind, CAST(entry_idx AS BIGINT) AS entry_idx,
+        |  loc, lastmod
+        |FROM rows ORDER BY doc_id, entry_idx""".stripMargin,
+
     // every group of 4 spellings collapses to ONE stated canonical
     "dedup_url_canonical" ->
       """WITH g AS (SELECT doc_id, doc_id - doc_id % 4 AS b
@@ -10348,6 +10460,34 @@ object ExtensionQueries {
       """WITH g AS (SELECT d.doc_id, b.text AS text, b.source AS source
         |  FROM documents d
         |  JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 3),
+        |h AS (SELECT doc_id,
+        |  '<div class="doc"><h1>' || source || '</h1><p>' ||
+        |    replace(replace(text, '&', '&amp;'), '<', '&lt;') ||
+        |    '</p><br/></div>' AS html
+        |  FROM g),
+        |s AS (SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(html, '<[A-Za-z/!][^>]{0,256}>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |  FROM h),
+        |q AS (SELECT * FROM s
+        |  WHERE len(string_split(clean, ' ')) >= 20)
+        |SELECT MIN(doc_id) AS doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies, clean
+        |FROM q GROUP BY clean ORDER BY doc_id""".stripMargin,
+
+    // the robots gate replayed as the closed-form eligibility rule
+    // ((doc_id % 50) % 3 <> 0) BEFORE the dedup group-by, then the
+    // capstone's strip/gate/survivor chain
+    "cc_pipeline_robots" ->
+      """WITH g AS (SELECT d.doc_id, b.text AS text,
+        |    b.source AS source
+        |  FROM documents d
+        |  JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 3
+        |  WHERE (d.doc_id % 50) % 3 <> 0),
         |h AS (SELECT doc_id,
         |  '<div class="doc"><h1>' || source || '</h1><p>' ||
         |    replace(replace(text, '&', '&amp;'), '<', '&lt;') ||
