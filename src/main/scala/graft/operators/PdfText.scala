@@ -30,6 +30,7 @@ import scala.collection.mutable
   *    line; `TJ` kern numbers are ignored (positions don't change
   *    reading order in the simple-font core);
   *  - fonts: `/WinAnsiEncoding` via the windows-1252 table,
+  *    `/MacRomanEncoding` via the Mac OS Roman table,
   *    default/Standard as ASCII, and — round 16 — `/ToUnicode` CMaps
   *    (bfchar + both bfrange forms), the spec's own authoritative
   *    text-extraction map: simple fonts with `/Differences` and
@@ -737,11 +738,19 @@ object PdfText {
   /** byte → char via windows-1252 (PDF WinAnsiEncoding); the five
     * cp1252 holes pass through as their control codepoints —
     * deterministic, and never reachable from our writers. */
-  private val WinAnsi: Array[Char] = {
+  private val WinAnsi: Array[Char] = charsetTable("windows-1252")
+
+  /** byte → char via Mac OS Roman (PDF MacRomanEncoding, round 16;
+    * same approximation stance as WinAnsi — the JDK table is the
+    * published Mac OS Roman mapping, which Annex D's glyph set
+    * agrees with on every printable slot). */
+  private val MacRoman: Array[Char] = charsetTable("x-MacRoman")
+
+  private def charsetTable(name: String): Array[Char] = {
     val a = new Array[Char](256)
     var i = 0
     while (i < 256) {
-      val s = new String(Array(i.toByte), "windows-1252")
+      val s = new String(Array(i.toByte), name)
       a(i) = if (s.isEmpty) i.toChar else s.charAt(0)
       i += 1
     }
@@ -751,6 +760,7 @@ object PdfText {
   private sealed trait FontEnc
   private case object EncStandard extends FontEnc // ASCII core
   private case object EncWinAnsi extends FontEnc
+  private case object EncMacRoman extends FontEnc
   private case class EncDeclined(reason: String) extends FontEnc
   /** /ToUnicode CMap (round 16): code → unicode string, fixed code
     * width (1 byte for simple fonts, 2 for Identity-H Type0). The
@@ -870,8 +880,7 @@ object PdfText {
               case Some(m) => EncToUnicode(m, 1) // spec: authoritative
               case None => doc.dictGet(d, "Encoding") match {
                 case PName("WinAnsiEncoding") => EncWinAnsi
-                case PName("MacRomanEncoding") =>
-                  EncDeclined("macroman-encoding")
+                case PName("MacRomanEncoding") => EncMacRoman
                 case PDict(_) =>
                   // /Differences without ToUnicode: honest decline
                   EncDeclined("encoding-differences")
@@ -899,11 +908,12 @@ object PdfText {
         }
         if (i < bytesIn.length) sb.append('�') // ragged tail
         sb.toString
-      case EncWinAnsi =>
+      case EncWinAnsi | EncMacRoman =>
+        val table = if (enc == EncWinAnsi) WinAnsi else MacRoman
         val sb = new java.lang.StringBuilder(bytesIn.length)
         var i = 0
         while (i < bytesIn.length) {
-          sb.append(WinAnsi(bytesIn(i) & 0xff)); i += 1
+          sb.append(table(bytesIn(i) & 0xff)); i += 1
         }
         sb.toString
       case _ => // Standard: the ASCII core; high bytes → U+FFFD

@@ -346,6 +346,16 @@ class PdfTextSpec extends AnyFunSuite {
     assert(upgraded == IndexedSeq((0L, 1L, "Å", "")))
   }
 
+  test("MacRomanEncoding decodes via the Mac OS Roman table " +
+      "(upgraded from decline, round 16): 0x8E = é, 0xA5 = bullet") {
+    val macFont = "<< /Type /Font /Subtype /Type1 /BaseFont " +
+      "/Helvetica /Encoding /MacRomanEncoding >>"
+    val pdf = onePage(
+      "BT /F1 10 Tf (caf\\216 \\245 list) Tj ET", macFont)
+    assert(PdfText.extractPagesJvm(pdf) ==
+      IndexedSeq((0L, 1L, "café • list", "")))
+  }
+
   test("guards: not-pdf, encrypted, garbage fuzz never throws") {
     assert(PdfText.extractPagesJvm("hello".getBytes) ==
       IndexedSeq((-1L, 0L, null, "not-pdf")))
