@@ -4741,6 +4741,24 @@ object Multimodal {
       graft.plans.MediaExprs.pdfPagesCol).as[PdfPageRow]
   }
 
+  /** One PDF document-metadata row (round 16). */
+  final case class PdfMetaRow(doc_id: Long, version: String,
+    n_pages: Long, title: String, author: String, via_scan: Boolean,
+    reason: String)
+
+  /** Batch PDF document metadata (native expression projection):
+    * header version, page count, Info title/author
+    * (UTF-16BE-BOM-aware), scan-fallback flag. */
+  def extractPdfMeta(df: DataFrame, idCol: String,
+      blobCol: String = "blob"): Dataset[PdfMetaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), explode(array(
+        graft.plans.MediaExprs.pdfMetaCol(col(blobCol)))).as("m"))
+      .select(col("doc_id"), col("m.*"))
+      .as[PdfMetaRow]
+  }
+
   /** Batch ZIP entry listing + STORED extraction (native array-kernel
     * expression, one output row per archive entry). */
   def extractZipEntries(df: DataFrame, idCol: String,

@@ -1105,4 +1105,64 @@ object PdfText {
       case _: Exception => IndexedSeq((-1L, 0L, null, "parse-error"))
     }
   }
+
+  /** Document-level metadata: (version, n_pages, title, author,
+    * via_scan, ok_reason). Title/author come from the trailer `/Info`
+    * dict; PDF text strings are UTF-16BE when they carry the BOM,
+    * PDFDocEncoding (≈ latin-1 on the printable range) otherwise —
+    * both handled. Never throws; a failed parse yields n_pages -1
+    * with the reason. */
+  def extractMetaJvm(pdf: Array[Byte])
+      : (String, Long, String, String, Boolean, String) = {
+    def version: String =
+      if (pdf != null && pdf.length >= 8)
+        new String(pdf, 5, 3, "ISO-8859-1")
+      else ""
+    if (pdf == null || pdf.length < 8 ||
+      !(pdf(0) == '%' && pdf(1) == 'P' && pdf(2) == 'D' &&
+        pdf(3) == 'F'))
+      return ("", -1L, null, null, false, "not-pdf")
+    try {
+      val doc = new Doc(pdf)
+      doc.load()
+      val root = doc.resolve(
+        doc.trailer.getOrElse("Root", PNull)) match {
+        case d: PDict => d
+        case _ =>
+          doc.obj(-1)
+          (doc.offsets.keys ++ doc.inObjStm.keys).toSeq.distinct
+            .sorted.iterator.map(doc.obj)
+            .collectFirst {
+              case d: PDict if d.m.get("Type").contains(
+                PName("Catalog")) => d
+            }.getOrElse(throw new Decline("no-catalog"))
+      }
+      val pages = mutable.ArrayBuffer.empty[(PDict, PVal)]
+      collectPages(doc, doc.dictGet(root, "Pages"), PNull, pages,
+        mutable.Set.empty[Int], 0)
+      def textString(v: PVal): String = doc.resolve(v) match {
+        case PStr(b) =>
+          if (b.length >= 2 && (b(0) & 0xff) == 0xfe &&
+            (b(1) & 0xff) == 0xff)
+            new String(b, 2, b.length - 2,
+              java.nio.charset.StandardCharsets.UTF_16BE)
+          else new String(b,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+        case _ => null
+      }
+      val info = doc.resolve(
+        doc.trailer.getOrElse("Info", PNull)) match {
+        case d: PDict => d
+        case _ => PDict(Map.empty)
+      }
+      (version, pages.length.toLong,
+        info.m.get("Title").map(textString).orNull,
+        info.m.get("Author").map(textString).orNull,
+        doc.viaScan, "")
+    } catch {
+      case e: Decline => (version, -1L, null, null, false, e.reason)
+      case _: Exception => (version, -1L, null, null, false,
+        "parse-error")
+    }
+  }
 }

@@ -461,6 +461,26 @@ object MediaArrayKernel {
           UTF8String.fromString(d))
       }.toArray[Any])
 
+  /** Document-level PDF metadata (round 16): header version, page
+    * count (-1 + reason on a failed parse), Info title/author
+    * (UTF-16BE-BOM-aware), whether the object-scan fallback ran. */
+  val pdfMetaSchema: StructType = StructType(Seq(
+    StructField("version", StringType, nullable = false),
+    StructField("n_pages", LongType, nullable = false),
+    StructField("title", StringType, nullable = true),
+    StructField("author", StringType, nullable = true),
+    StructField("via_scan", BooleanType, nullable = false),
+    StructField("reason", StringType, nullable = false)))
+
+  def pdfMeta(b: Array[Byte]): InternalRow = {
+    val (v, n, t, a, vs, r) =
+      graft.operators.PdfText.extractMetaJvm(b)
+    InternalRow(UTF8String.fromString(v), n,
+      if (t == null) null else UTF8String.fromString(t),
+      if (a == null) null else UTF8String.fromString(a),
+      vs, UTF8String.fromString(r))
+  }
+
   /** [[Multimodal.ZipEntryRow]] minus doc_id. */
   val zipEntrySchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
@@ -1266,6 +1286,20 @@ case class PdfPages(child: Expression) extends MediaArrayExpression {
   override def prettyName: String = "graft_pdf_pages"
 }
 
+/** `pdf_meta(blob)` → document-level PDF metadata struct (version,
+  * n_pages, Info title/author, via_scan, reason) — the audit-side
+  * sibling of [[PdfPages]]. */
+case class PdfMeta(child: Expression) extends MediaDecodeExpression {
+  override def dataType: DataType = MediaArrayKernel.pdfMetaSchema
+  override def nullable: Boolean = true
+  override protected def kernelCall(c: String): String =
+    s"graft.plans.MediaArrayKernel.pdfMeta($c)"
+  override protected def evalKernel(b: Array[Byte]): Any =
+    MediaArrayKernel.pdfMeta(b)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_pdf_meta"
+}
+
 /** `zip_entries(blob)` → one struct per archive entry (name, method,
   * usize, STORED content); empty array for non-zip payloads. */
 case class ZipEntries(child: Expression) extends MediaArrayExpression {
@@ -1418,6 +1452,7 @@ object MediaExprs {
   def warcZstHttpBodiesCol(blob: Column): Column =
     c(WarcZstHttpBodies(e(blob)))
   def pdfPagesCol(blob: Column): Column = c(PdfPages(e(blob)))
+  def pdfMetaCol(blob: Column): Column = c(PdfMeta(e(blob)))
   def lz4FramesCol(blob: Column): Column = c(Lz4Frames(e(blob)))
   def lz4CompressCol(blob: Column): Column = c(Lz4Compress(e(blob)))
   def lz4DecompressCol(blob: Column): Column = c(Lz4Decompress(e(blob)))

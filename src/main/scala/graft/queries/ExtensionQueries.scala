@@ -1508,7 +1508,8 @@ object ExtensionQueries {
     * (exercises the extractor's object-scan fallback). Callers hoist
     * the bodies into named columns first (the task-binary trap). */
   private def pdfAssemble(bodies: Seq[org.apache.spark.sql.Column],
-      broken: org.apache.spark.sql.Column)
+      broken: org.apache.spark.sql.Column,
+      trailerExtra: String = "")
       : org.apache.spark.sql.Column = {
     def asc(s: String) = encode(lit(s), "utf-8")
     val objs = bodies.zipWithIndex.map { case (bdy, i) =>
@@ -1525,7 +1526,7 @@ object ExtensionQueries {
       when(broken, lit(999999999L)).otherwise(offs.last)
     val trailer = concat(
       asc(s"trailer\n<< /Size ${bodies.length + 1} /Root 1 0 R " +
-        ">>\nstartxref\n"),
+        s"$trailerExtra>>\nstartxref\n"),
       encode(startxref.cast("string"), "utf-8"), asc("\n%%EOF\n"))
     concat(asc("%PDF-1.4\n") +: objs :+ xref :+ trailer: _*)
   }
@@ -5575,6 +5576,54 @@ object ExtensionQueries {
       Multimodal.extractPdfPages(pdfModernFixture(s, dir), "doc_id")
         .toDF()
         .orderBy(col("doc_id"), col("page_idx"))),
+
+    // PDF DOCUMENT METADATA (round 16) — the audit-side battery:
+    // r0 classic PDFs with an /Info dict (PDFDoc-encoded title,
+    // constant author), r1 UTF-16BE-BOM titles via hex strings, r2
+    // the modern ObjStm/xref-stream layout (no Info), r3 a broken
+    // startxref exercising the via_scan flag
+    "mm_pdf_meta" -> ((s, dir) => {
+      val d = col("doc_id")
+      val r = pmod(d, lit(4L))
+      def asc(c: org.apache.spark.sql.Column) = encode(c, "utf-8")
+      val catalogB = asc(lit("<< /Type /Catalog /Pages 2 0 R >>"))
+      val pagesB = asc(lit("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"))
+      val pageB = asc(lit("<< /Type /Page /Parent 2 0 R /Resources " +
+        "<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"))
+      val helvB = asc(lit("<< /Type /Font /Subtype /Type1 " +
+        "/BaseFont /Helvetica >>"))
+      val contentB = asc(concat(lit("<< /Length 30 >>\nstream\n" +
+        "BT /F1 9 Tf (metadata page) Tj\nendstream")))
+      val title = concat(lit("Doc "), d.cast("string"))
+      val infoPlain = asc(concat(lit("<< /Title ("), title,
+        lit(") /Author (graft corpus) >>")))
+      val infoUtf16 = asc(concat(lit("<< /Title <FEFF"),
+        hex(encode(title, "UTF-16BE")),
+        lit("> /Author (graft corpus) >>")))
+      val classicWithInfo = pdfAssemble(Seq(catalogB, pagesB, pageB,
+        contentB, helvB,
+        when(r === 1, infoUtf16).otherwise(infoPlain)),
+        broken = r === 3, trailerExtra = "/Info 6 0 R ")
+      val hoisted = spread(t(s, dir, "documents"))
+        .select(d, col("text"))
+        .select(d, classicWithInfo.as("classic"))
+      val blobs = hoisted.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4L)) === 2,
+          lit(null).cast("binary")).otherwise(col("classic"))
+          .as("classic"))
+      // r2 swaps in the modern-layout fixture (built separately to
+      // keep the when() branches cheap)
+      val modern = pdfModernFixture(s, dir)
+        .filter(pmod(col("doc_id"), lit(4L)) === 2)
+        .filter(pmod(col("doc_id"), lit(2L)) === 0)
+      val withModern = blobs
+        .join(modern.withColumnRenamed("blob", "mblob"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("classic"), col("mblob")).as("blob"))
+      Multimodal.extractPdfMeta(withModern, "doc_id").toDF()
+        .orderBy(col("doc_id"))
+    }),
 
     // PDF AUDIT ROUTING (round 16) — the decode-audit front door
     // recognizes %PDF- and renders a real verdict: intact fixtures are
@@ -10554,6 +10603,21 @@ object ExtensionQueries {
         |    * (3 + ri % 5) AS BIGINT) AS content_length,
         |  CAST(0 AS BIGINT) AS http_status
         |FROM r ORDER BY doc_id, target_uri, content_length""".stripMargin,
+
+    // version/pages/title/author/via_scan per residue; r1's UTF-16BE
+    // title decodes identically to r0's PDFDoc one
+    "mm_pdf_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 2 THEN '1.5' ELSE '1.4' END
+        |    AS version,
+        |  CAST(1 AS BIGINT) AS n_pages,
+        |  CASE WHEN doc_id % 4 = 2 THEN NULL
+        |    ELSE 'Doc ' || doc_id END AS title,
+        |  CASE WHEN doc_id % 4 = 2 THEN NULL
+        |    ELSE 'graft corpus' END AS author,
+        |  doc_id % 4 = 3 AS via_scan,
+        |  '' AS reason
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // one page per doc; even docs two Tj lines via the ObjStm/xref-
     // stream walk, odd docs the identity-CMap Type0 decode

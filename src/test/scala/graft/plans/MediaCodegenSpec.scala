@@ -84,6 +84,7 @@ class MediaCodegenSpec extends SparkFunSuite {
           graft.plans.MediaExprs.warcZstHttpBodiesCol,
         "lz4_frames" -> graft.plans.MediaExprs.lz4FramesCol,
         "pdf_pages" -> graft.plans.MediaExprs.pdfPagesCol,
+        "pdf_meta" -> graft.plans.MediaExprs.pdfMetaCol,
         "snappy_decode" -> graft.plans.MediaExprs.snappyCol,
         "kafka_batches" -> graft.plans.MediaExprs.kafkaBatchesCol,
         "kafka_records" -> graft.plans.MediaExprs.kafkaRecordsCol,
