@@ -230,6 +230,89 @@ object StreamingPipelines {
     ccArchiveBatch(frames, batchId, queryId, indexPath, minWords)(sink)
   }
 
+  /** STREAMING PDF INGEST (round 16) — the paper/book corpus loop:
+    * a GROWING directory of `.pdf` files, metadata-only stream source
+    * (the CC loop's pruning discipline), each micro-batch reading the
+    * new files EXECUTOR-side (one task per file — a PDF is a single
+    * document, the natural unit; unlike archives there is nothing to
+    * split), extracting page text through [[graft.operators.PdfText]],
+    * assembling pages in order, gating on word count, and feeding the
+    * ledgered exact-dedup ingest keyed on the file path. Same replay
+    * contract as every ledgered loop. */
+  def ingestPdfStream(spark: org.apache.spark.sql.SparkSession,
+      pdfDir: String, indexPath: String, minWords: Int = 20,
+      checkpointLocation: Option[String] = None)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val meta = spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .option("pathGlobFilter", "*.pdf").load(pdfDir)
+      .select(col("path"))
+    val writer = meta.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val paths = batch.select(col("path")).collect()
+          .map(_.getString(0)).toSeq.sorted
+        pdfIngestBatch(batch.sparkSession, paths, batchId,
+          IngestLedger.currentQueryId(batch.sparkSession),
+          indexPath, minWords)(sink)
+      }
+    checkpointLocation.foreach(p => writer.option("checkpointLocation", p))
+    writer.start()
+  }
+
+  /** One micro-batch of [[ingestPdfStream]] — public for the
+    * identity/replay specs. */
+  def pdfIngestBatch(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], batchId: Long, queryId: String,
+      indexPath: String, minWords: Int)
+      (sink: (DataFrame, Long) => Unit): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val rows =
+      if (paths.isEmpty) spark.sparkContext.emptyRDD[Row]
+      else spark.sparkContext.parallelize(paths, paths.size)
+        .map { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(
+            new org.apache.hadoop.conf.Configuration())
+          val len = fs.getFileStatus(hp).getLen
+          require(len <= Int.MaxValue - 16,
+            s"$p: $len B exceeds the single-document byte-array " +
+              "ceiling")
+          val buf = new Array[Byte](len.toInt)
+          val in = fs.open(hp)
+          try in.readFully(0L, buf) finally in.close()
+          Row(p, buf)
+        }
+    val blobs = spark.createDataFrame(rows, schema)
+    val docs = blobs
+      .select(col("path"), explode(graft.plans.MediaExprs
+        .pdfPagesCol(col("blob"))).as("pg"))
+      .filter(col("pg.text").isNotNull)
+      .groupBy(col("path"))
+      .agg(sort_array(collect_list(
+        struct(col("pg.page_idx").as("i"), col("pg.text").as("t"))))
+        .as("pgs"))
+      .select(col("path"),
+        concat_ws("\n", transform(col("pgs"), p => p.getField("t")))
+          .as("text"))
+      .filter(size(split(col("text"), "[\\s]+")) >= minWords)
+    newIngestBatch(docs, batchId, queryId, indexPath, "text", "path")(
+      sink)
+  }
+
   /** One micro-batch of [[ingestCcArchiveStream]]'s decode/dedup body
     * — public for the replay spec. `batch` carries archive blobs (or
     * independently-decodable frame-group blobs from the split read)
