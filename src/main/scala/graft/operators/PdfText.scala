@@ -33,10 +33,11 @@ import scala.collection.mutable
   *    `/MacRomanEncoding` via the Mac OS Roman table,
   *    default/Standard as ASCII, and — round 16 — `/ToUnicode` CMaps
   *    (bfchar + both bfrange forms), the spec's own authoritative
-  *    text-extraction map: simple fonts with `/Differences` and
-  *    `/Type0` (Identity-H/V CID) fonts now DECODE when they carry
-  *    ToUnicode, and decline with a named reason when they don't —
-  *    never silently mis-decode.
+  *    text-extraction map: `/Type0` (Identity-H/V CID) fonts DECODE
+  *    when they carry ToUnicode and decline with a named reason when
+  *    they don't; `/Differences` tables decode through the Adobe
+  *    Glyph List core subset (unknown names render U+FFFD, never a
+  *    guess), with ToUnicode taking precedence when present.
   *
   * Never throws: a malformed document yields one `page_idx = -1` row
   * naming the reason; a malformed page declines alone. The kernel is
@@ -761,7 +762,97 @@ object PdfText {
   private case object EncStandard extends FontEnc // ASCII core
   private case object EncWinAnsi extends FontEnc
   private case object EncMacRoman extends FontEnc
+  /** /Differences table (round 16): explicit code → char overrides on
+    * top of a base encoding. */
+  private case class EncDifferences(map: Map[Int, Char],
+    base: FontEnc) extends FontEnc
   private case class EncDeclined(reason: String) extends FontEnc
+
+  /** Adobe Glyph List core subset (the published AGL): the Latin
+    * letters/digits/punctuation by name plus the common accented and
+    * symbol glyphs — enough to decode the /Differences tables
+    * old-style generators emit. Unknown names map to U+FFFD, never
+    * a guess. */
+  private val GlyphNames: Map[String, Char] = {
+    val m = Map.newBuilder[String, Char]
+    ('A' to 'Z').foreach(c => m += (c.toString -> c))
+    ('a' to 'z').foreach(c => m += (c.toString -> c))
+    Seq("zero", "one", "two", "three", "four", "five", "six",
+      "seven", "eight", "nine").zipWithIndex.foreach {
+      case (n, i) => m += (n -> ('0' + i).toChar) }
+    m ++= Seq(
+      "space" -> ' ', "exclam" -> '!', "quotedbl" -> '"',
+      "numbersign" -> '#', "dollar" -> '$', "percent" -> '%',
+      "ampersand" -> '&', "quotesingle" -> '\'', "quoteright" -> '’',
+      "quoteleft" -> '‘', "parenleft" -> '(', "parenright" -> ')',
+      "asterisk" -> '*', "plus" -> '+', "comma" -> ',',
+      "hyphen" -> '-', "period" -> '.', "slash" -> '/',
+      "colon" -> ':', "semicolon" -> ';', "less" -> '<',
+      "equal" -> '=', "greater" -> '>', "question" -> '?',
+      "at" -> '@', "bracketleft" -> '[', "backslash" -> '\\',
+      "bracketright" -> ']', "asciicircum" -> '^',
+      "underscore" -> '_', "grave" -> '`', "braceleft" -> '{',
+      "bar" -> '|', "braceright" -> '}', "asciitilde" -> '~',
+      "bullet" -> '•', "endash" -> '–',
+      "emdash" -> '—', "quotedblleft" -> '“',
+      "quotedblright" -> '”', "ellipsis" -> '…',
+      "Euro" -> '€', "sterling" -> '£', "yen" -> '¥',
+      "cent" -> '¢', "copyright" -> '©',
+      "registered" -> '®', "trademark" -> '™',
+      "degree" -> '°', "plusminus" -> '±',
+      "section" -> '§', "paragraph" -> '¶',
+      "dagger" -> '†', "daggerdbl" -> '‡',
+      "exclamdown" -> '¡', "questiondown" -> '¿',
+      "Aacute" -> 'Á', "Agrave" -> 'À',
+      "Acircumflex" -> 'Â', "Adieresis" -> 'Ä',
+      "Atilde" -> 'Ã', "Aring" -> 'Å', "AE" -> 'Æ',
+      "Ccedilla" -> 'Ç', "Eacute" -> 'É',
+      "Egrave" -> 'È', "Ecircumflex" -> 'Ê',
+      "Edieresis" -> 'Ë', "Iacute" -> 'Í',
+      "Igrave" -> 'Ì', "Icircumflex" -> 'Î',
+      "Idieresis" -> 'Ï', "Ntilde" -> 'Ñ',
+      "Oacute" -> 'Ó', "Ograve" -> 'Ò',
+      "Ocircumflex" -> 'Ô', "Odieresis" -> 'Ö',
+      "Otilde" -> 'Õ', "Oslash" -> 'Ø',
+      "Uacute" -> 'Ú', "Ugrave" -> 'Ù',
+      "Ucircumflex" -> 'Û', "Udieresis" -> 'Ü',
+      "Yacute" -> 'Ý', "Thorn" -> 'Þ', "Eth" -> 'Ð',
+      "aacute" -> 'á', "agrave" -> 'à',
+      "acircumflex" -> 'â', "adieresis" -> 'ä',
+      "atilde" -> 'ã', "aring" -> 'å', "ae" -> 'æ',
+      "ccedilla" -> 'ç', "eacute" -> 'é',
+      "egrave" -> 'è', "ecircumflex" -> 'ê',
+      "edieresis" -> 'ë', "iacute" -> 'í',
+      "igrave" -> 'ì', "icircumflex" -> 'î',
+      "idieresis" -> 'ï', "ntilde" -> 'ñ',
+      "oacute" -> 'ó', "ograve" -> 'ò',
+      "ocircumflex" -> 'ô', "odieresis" -> 'ö',
+      "otilde" -> 'õ', "oslash" -> 'ø',
+      "uacute" -> 'ú', "ugrave" -> 'ù',
+      "ucircumflex" -> 'û', "udieresis" -> 'ü',
+      "yacute" -> 'ý', "ydieresis" -> 'ÿ',
+      "thorn" -> 'þ', "eth" -> 'ð',
+      "germandbls" -> 'ß', "oe" -> 'œ', "OE" -> 'Œ',
+      "scaron" -> 'š', "Scaron" -> 'Š',
+      "zcaron" -> 'ž', "Zcaron" -> 'Ž',
+      "florin" -> 'ƒ', "dotlessi" -> 'ı',
+      "circumflex" -> 'ˆ', "tilde" -> '˜',
+      "guillemotleft" -> '«', "guillemotright" -> '»',
+      "guilsinglleft" -> '‹', "guilsinglright" -> '›',
+      "quotesinglbase" -> '‚', "quotedblbase" -> '„',
+      "perthousand" -> '‰', "minus" -> '−',
+      "fraction" -> '⁄', "currency" -> '¤',
+      "brokenbar" -> '¦', "dieresis" -> '¨',
+      "ordfeminine" -> 'ª', "logicalnot" -> '¬',
+      "macron" -> '¯', "mu" -> 'µ',
+      "periodcentered" -> '·', "cedilla" -> '¸',
+      "ordmasculine" -> 'º', "onequarter" -> '¼',
+      "onehalf" -> '½', "threequarters" -> '¾',
+      "multiply" -> '×', "divide" -> '÷',
+      "onesuperior" -> '¹', "twosuperior" -> '²',
+      "threesuperior" -> '³')
+    m.result()
+  }
   /** /ToUnicode CMap (round 16): code → unicode string, fixed code
     * width (1 byte for simple fonts, 2 for Identity-H Type0). The
     * spec's own rule for text extraction: when present, ToUnicode is
@@ -881,9 +972,33 @@ object PdfText {
               case None => doc.dictGet(d, "Encoding") match {
                 case PName("WinAnsiEncoding") => EncWinAnsi
                 case PName("MacRomanEncoding") => EncMacRoman
-                case PDict(_) =>
-                  // /Differences without ToUnicode: honest decline
-                  EncDeclined("encoding-differences")
+                case ed: PDict =>
+                  // /Differences via the AGL core subset (round 16):
+                  // [code name name … code name …] — ints set the
+                  // current code, names assign sequentially; unknown
+                  // glyph names render U+FFFD, never a guess
+                  val base = doc.dictGet(ed, "BaseEncoding") match {
+                    case PName("WinAnsiEncoding") => EncWinAnsi
+                    case PName("MacRomanEncoding") => EncMacRoman
+                    case _ => EncStandard
+                  }
+                  doc.dictGet(ed, "Differences") match {
+                    case PArr(items) =>
+                      val diffs = Map.newBuilder[Int, Char]
+                      var code = 0
+                      items.foreach {
+                        case PNum(v) => code = v.toInt
+                        case PName(g) =>
+                          if (code >= 0 && code < 256) {
+                            diffs += (code ->
+                              GlyphNames.getOrElse(g, '�'))
+                            code += 1
+                          }
+                        case _ => ()
+                      }
+                      EncDifferences(diffs.result(), base)
+                    case _ => base
+                  }
                 case _ => EncStandard
               }
             }
@@ -914,6 +1029,19 @@ object PdfText {
         var i = 0
         while (i < bytesIn.length) {
           sb.append(table(bytesIn(i) & 0xff)); i += 1
+        }
+        sb.toString
+      case EncDifferences(diffs, base) =>
+        val sb = new java.lang.StringBuilder(bytesIn.length)
+        var i = 0
+        while (i < bytesIn.length) {
+          val c = bytesIn(i) & 0xff
+          diffs.get(c) match {
+            case Some(ch) => sb.append(ch)
+            case None =>
+              sb.append(decodeShow(Array(bytesIn(i)), base))
+          }
+          i += 1
         }
         sb.toString
       case _ => // Standard: the ASCII core; high bytes → U+FFFD

@@ -51,4 +51,12 @@ class PdfGoldenSpec extends AnyFunSuite {
     assert(PdfText.extractPagesJvm(vec("v6_tounicode.pdf")) ==
       IndexedSeq((0L, 1L, "PDF123✓∞", "")))
   }
+
+  test("v7 (round 16): /Differences via the AGL core subset over a " +
+      "WinAnsi base — remapped codes, base-encoded tail byte") {
+    // codes 65 66 67 -> Euro bullet germandbls; ' then ' literal;
+    // 0xE9 through the WinAnsi base -> é
+    assert(PdfText.extractPagesJvm(vec("v7_differences.pdf")) ==
+      IndexedSeq((0L, 1L, "€•ß then é", "")))
+  }
 }

@@ -327,23 +327,28 @@ class PdfTextSpec extends AnyFunSuite {
       s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream"))
     assert(PdfText.extractPagesJvm(pdf) ==
       IndexedSeq((0L, 1L, "Hi!abc€é", "")))
-    // simple font with /Differences: declined without ToUnicode,
-    // decoded with it (1-byte codes)
-    val cmap1 = "1 beginbfchar\n<41> <00C5>\nendbfchar\n"
-    val diffFontNoUni = "<< /Type /Font /Subtype /Type1 /BaseFont " +
-      "/Custom /Encoding << /Differences [65 /Aring] >> >>"
+    // simple font with /Differences: decoded via the AGL core subset
+    // (round 16 — sequential name assignment, base encoding for
+    // unlisted codes, U+FFFD for unknown names), and ToUnicode still
+    // takes precedence when present
+    val cmap1 = "1 beginbfchar\n<41> <2660>\nendbfchar\n" // A -> ♠
+    val diffFont = "<< /Type /Font /Subtype /Type1 /BaseFont " +
+      "/Custom /Encoding << /Differences [65 /Aring /eacute " +
+      "/Mystery] >> >>"
     val diffFontUni = "<< /Type /Font /Subtype /Type1 /BaseFont " +
       "/Custom /Encoding << /Differences [65 /Aring] >> " +
       "/ToUnicode 6 0 R >>"
-    val c1 = contentObj("BT /F1 10 Tf (A) Tj ET")
-    val declined = PdfText.extractPagesJvm(buildPdf(Seq(catalog,
-      pages(Seq(3)), page(4, 5), c1, diffFontNoUni)))
-    assert(declined == IndexedSeq(
-      (0L, 1L, "", "encoding-differences")))
-    val upgraded = PdfText.extractPagesJvm(buildPdf(Seq(catalog,
-      pages(Seq(3)), page(4, 5), c1, diffFontUni,
+    // codes 65 66 67 mapped by Differences; 'd' (100) via base
+    val c1 = contentObj("BT /F1 10 Tf (ABCd) Tj ET")
+    val viaAgl = PdfText.extractPagesJvm(buildPdf(Seq(catalog,
+      pages(Seq(3)), page(4, 5), c1, diffFont)))
+    assert(viaAgl == IndexedSeq((0L, 1L, "Åé�d", "")))
+    val viaUni = PdfText.extractPagesJvm(buildPdf(Seq(catalog,
+      pages(Seq(3)), page(4, 5),
+      contentObj("BT /F1 10 Tf (A) Tj ET"), diffFontUni,
       s"<< /Length ${cmap1.length} >>\nstream\n$cmap1\nendstream")))
-    assert(upgraded == IndexedSeq((0L, 1L, "Å", "")))
+    assert(viaUni == IndexedSeq((0L, 1L, "♠", "")),
+      "ToUnicode must win over the Differences table")
   }
 
   test("MacRomanEncoding decodes via the Mac OS Roman table " +

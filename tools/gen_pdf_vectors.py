@@ -176,9 +176,20 @@ def main():
         b"<< /Length %d >>\nstream\n" % len(cmap) + cmap
         + b"\nendstream"])
 
+    # v7 (round 16): /Differences table decoded via the AGL core
+    # subset over a WinAnsi base; codes 65.. remapped sequentially.
+    diff_font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom"
+                 b" /Encoding << /BaseEncoding /WinAnsiEncoding"
+                 b" /Differences [65 /Euro /bullet /germandbls] >> >>")
+    v7 = build([
+        CATALOG, pages([3]), page(4, 5),
+        content(b"BT /F1 10 Tf (ABC then \351) Tj ET"),
+        diff_font])
+
     for name, data in [("v1_plain.pdf", v1), ("v2_flate.pdf", v2),
                        ("v3_winansi.pdf", v3), ("v4_scan.pdf", v4),
-                       ("v5_modern.pdf", v5), ("v6_tounicode.pdf", v6)]:
+                       ("v5_modern.pdf", v5), ("v6_tounicode.pdf", v6),
+                       ("v7_differences.pdf", v7)]:
         with open(os.path.join(OUT, name), "wb") as f:
             f.write(data)
         print(name, len(data), "bytes")
