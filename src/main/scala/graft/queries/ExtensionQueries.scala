@@ -6641,6 +6641,48 @@ object ExtensionQueries {
     // through the frame walk; the record TYPE is parsed from the
     // header so a sink regression to `resource` turns the row red,
     // and the oracle replays the expected stripped text
+    // WAT-STYLE METADATA EXPORT (round 16) — the third Common Crawl
+    // artifact beside the page archive and the WET text: per-page
+    // metadata JSON (uri, content sha-256, n_chars, lang) archived as
+    // `WARC-Type: metadata` records through the same seekable sink;
+    // every field parsed back from the re-read records and recomputed
+    // closed-form by the oracle (DuckDB's own sha256 referees the
+    // digest)
+    "corpus_export_wat" -> ((s, dir) => {
+      val path = memoizedFixture(
+          tmpArtifact("graft_wat_export", dir)) { d =>
+        val wat = concat(
+          lit("{\"uri\":\"http://corpus.local/doc/"), col("doc_id"),
+          lit("\",\"digest\":\""), sha2(col("text"), 256),
+          lit("\",\"n_chars\":"), col("n_chars"),
+          lit(",\"lang\":\""), col("lang"), lit("\"}"))
+        graft.sources.ZstdSeekable.writeWarcZstShards(
+          spread(t(s, dir, "documents"))
+            .select(col("doc_id"), wat.as("wat")), d,
+          textCol = "wat", recType = "metadata")
+      }
+      val frames = graft.sources.ZstdSeekable
+        .readShardFrames(s, path, framesPerSplit = 64)
+      val rec = frames.select(explode(
+          graft.plans.MediaExprs.zstdFramesCol(col("blob"))).as("f"))
+        .select(col("f.content").as("rec"))
+      val pos = locate("\r\n\r\n", col("rec"))
+      val after = col("rec").substr(pos + lit(4), length(col("rec")))
+      rec.select(
+          regexp_extract(col("rec"),
+            "WARC-Target-URI: http://corpus\\.local/doc/(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          regexp_extract(col("rec"), "WARC-Type: ([a-z]+)", 1)
+            .as("rec_type"),
+          after.substr(lit(1), length(after) - 4).as("payload"))
+        .select(col("doc_id"), col("rec_type"),
+          get_json_object(col("payload"), "$.digest").as("digest"),
+          get_json_object(col("payload"), "$.n_chars").cast("long")
+            .as("n_chars"),
+          get_json_object(col("payload"), "$.lang").as("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     "corpus_export_wet" -> ((s, dir) => {
       val path = memoizedFixture(
           tmpArtifact("graft_wet_export", dir)) { d =>
@@ -11825,6 +11867,13 @@ object ExtensionQueries {
 
     // the conversion records carry the STRIPPED text — same chain as
     // text_html_strip, plus the record-type pin
+    // every exported metadata field recomputed independently —
+    // DuckDB's own sha256 is the digest referee
+    "corpus_export_wat" ->
+      """SELECT doc_id, 'metadata' AS rec_type,
+        |  sha256(text) AS digest, n_chars, lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "corpus_export_wet" ->
       """WITH h AS (SELECT doc_id, source, text,
         |  '<div class="doc"><h1>' || source || '</h1><p>' ||
