@@ -3719,6 +3719,45 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("entry_idx"))
     }),
 
+    // CRAWL-FRONTIER BUILD (round 16) — the discovery stage end to
+    // end: sitemap-shaped URL lists (odd docs re-announce their even
+    // neighbor's pages, the real duplicate-discovery shape) →
+    // canonicalization → per-host robots gate (broadcast dim) →
+    // URL-level dedup with source counts; every surviving frontier
+    // row stated closed-form
+    "frontier_urls" -> ((s, dir) => {
+      val d = col("doc_id")
+      val b = (d - pmod(d, lit(2L))) // announced page set: even base
+      val urls = spread(t(s, dir, "documents"))
+        .select(d, b.as("b"))
+        .select(col("b"), explode(array(lit(0), lit(1), lit(2)))
+          .as("i"))
+        .select(col("b"), concat(lit("https://site"),
+          pmod(col("b"), lit(50L)), lit(".example/doc"), col("b"),
+          lit("/p"), col("i")).as("url"))
+        .select(col("b"), TF.urlCanonical(col("url")).as("canon"))
+        .select(col("b"), col("canon"),
+          regexp_extract(col("canon"), "^https://([^/]+)", 1)
+            .as("host"),
+          regexp_extract(col("canon"), "^https://[^/]+(/.*)$", 1)
+            .as("path"))
+      val hosts = s.range(50).select(
+        concat(lit("site"), col("id"), lit(".example")).as("host"),
+        when(pmod(col("id"), lit(3L)) === 0,
+          lit("User-agent: ccbot\nDisallow: /doc\n"))
+          .otherwise(
+            lit("User-agent: ccbot\nDisallow: /private/\n"))
+          .as("robots"))
+      urls.join(broadcast(hosts), "host")
+        .select(col("b"), col("canon"), explode(array(
+          TF.robotsEval(col("robots"), lit("ccbot"), col("path"))))
+          .as("v"))
+        .filter(col("v.allowed"))
+        .groupBy(col("canon"))
+        .agg(count(lit(1)).as("n_sources"))
+        .orderBy(col("canon"))
+    }),
+
     // URL-LEVEL DEDUP (round 16) — the canonicalizer doing its actual
     // job as a DEDUP KEY before fetch scheduling: groups of 4 docs
     // carry four differently-messy spellings of one URL (case, :443,
@@ -7962,6 +8001,18 @@ object ExtensionQueries {
         |SELECT doc_id, kind, CAST(entry_idx AS BIGINT) AS entry_idx,
         |  loc, lastmod
         |FROM rows ORDER BY doc_id, entry_idx""".stripMargin,
+
+    // each eligible even base announces 3 pages, re-announced once by
+    // its odd partner -> n_sources 2; hosts ≡ 0 (mod 3) are gated out
+    "frontier_urls" ->
+      """WITH b AS (SELECT DISTINCT doc_id - doc_id % 2 AS b
+        |  FROM documents),
+        |e AS (SELECT b, unnest(range(0, 3)) AS i FROM b
+        |  WHERE (b % 50) % 3 <> 0)
+        |SELECT 'https://site' || (b % 50) || '.example/doc' || b ||
+        |    '/p' || i AS canon,
+        |  CAST(2 AS BIGINT) AS n_sources
+        |FROM e ORDER BY canon""".stripMargin,
 
     // every group of 4 spellings collapses to ONE stated canonical
     "dedup_url_canonical" ->
