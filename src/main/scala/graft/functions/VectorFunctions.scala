@@ -17,6 +17,23 @@ object VectorFunctions {
   /** Cast float vector to double for stable arithmetic. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
+  /** Element-wise EXACT integer sum aggregate over `array<long>` rows,
+    * each row's array optionally scaled by a row-local long factor —
+    * `struct(sums: array<decimal(38,0)>, counts: array<long>)`. The
+    * native replacement for `posexplode → groupBy(pos) → sum(decimal)`
+    * in the power-iteration / centroid-mean scans: identical exact
+    * values (integer addition is order-free in both formulations; a
+    * term or sum past its bound fails loudly in both), but the array
+    * folds in place — no dim× row explosion, no per-element group
+    * probe, one buffer per task on the exchange
+    * ([[graft.plans.VectorSumExact]]). */
+  def vecSumExact(arr: Column, scale: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.VectorSumExact(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(arr),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(scale))
+        .toAggregateExpression())
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)

@@ -327,10 +327,22 @@ object Dedup {
     var rounds = 0
     var converged = e.isEmpty
     while (!converged && rounds < maxIters) {
-      val mid = star(e, large = true).localCheckpoint()
-      val next = star(mid, large = false).localCheckpoint()
-      mid.unpersist()
-      converged = next.count() == e.count() && next.except(e).isEmpty
+      // one materialization per round: the large-star intermediate is
+      // consumed exactly once by the small-star pass, so pinning it
+      // bought nothing and cost a full edge-relation write+read per
+      // round (round 17; lineage stays bounded — `next` is
+      // checkpointed, so a round's plan is at most two star ops deep)
+      val next = star(star(e, large = true), large = false)
+        .localCheckpoint()
+      // exact set equality in ONE job (round 17; was count + count +
+      // except = three driver round-trips per round): both sides are
+      // canonical DISTINCT edge sets, so tagging rows 1/3 and summing
+      // per edge yields 4 exactly on the intersection — any other sum
+      // is a difference row. `isEmpty` short-circuits at the first one.
+      converged = next.select(col("x"), col("y"), lit(1L).as("side"))
+        .unionAll(e.select(col("x"), col("y"), lit(3L).as("side")))
+        .groupBy(col("x"), col("y")).agg(sum(col("side")).as("s"))
+        .filter(col("s") =!= 4L).isEmpty
       e.unpersist()
       e = next
       rounds += 1
@@ -972,8 +984,12 @@ object Dedup {
     // cands stays UN-materialized so the final plan carries BOTH pruned
     // index scans (spec-pinned); the bucket collection below runs the
     // (already pruned) candidate job once ahead of it — bookkeeping
-    // proportional to the delta, not the corpus
-    def cands = spark.read.parquet(s"${index.path}/bands")
+    // proportional to the delta, not the corpus. `val`, not `def`
+    // (round 17): a def rebuilt the relation per reference, so the
+    // bands directory paid its 64-partition file-listing job TWICE per
+    // probe (measured in the job profile); one shared relation lists
+    // once and still plans the same pruned scan in both consumers.
+    val cands = spark.read.parquet(s"${index.path}/bands")
       .filter(col("bucket").isin(probeBuckets: _*))
       .join(hinted(dBands), Seq("bk"))
       .select(col("id").as("a"), col("b")).distinct()

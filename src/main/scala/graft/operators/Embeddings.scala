@@ -91,22 +91,27 @@ object Embeddings {
   private def dominantDirectionQuantized(q: DataFrame,
       iters: Int): Array[Long] = {
     require(iters >= 1)
-    val dec = DecimalType(38, 0)
-    val sums = q.select(posexplode(col("qv")).as(Seq("pos", "x")))
-      .groupBy(col("pos"))
-      .agg(sum(col("x").cast(dec)).as("s"), count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0),
-        r.getDecimal(1).toBigInteger, r.getLong(2)))
-      .sortBy(_._1)
+    // Per-position sums via the native element-wise aggregate (round
+    // 17): `posexplode → groupBy(pos) → sum(decimal)` exploded every
+    // corpus row into dim rows and pushed each through a dim-keyed
+    // hash aggregate; [[graft.plans.VectorSumExact]] folds the array
+    // in place (long fast path, BigInteger promotion — identical exact
+    // integer sums, same fail-loud contract edge) and ships ONE buffer
+    // per task instead of dim partial rows. Values are bit-identical:
+    // exact integer addition is order-free in both formulations.
+    val r0 = q.agg(VF.vecSumExact(col("qv"), lit(1L)).as("vs"))
+      .select(col("vs.sums").as("s"), col("vs.counts").as("n")).head()
+    val sums = r0.getSeq[java.math.BigDecimal](0).map(_.toBigInteger)
+    val ns = r0.getSeq[Long](1)
     require(sums.nonEmpty, "empty corpus")
     val dim = sums.length
     require(dim <= (1 << 12), s"dim $dim past the int64 matvec bound")
     // truncated integer mean — sign-symmetric division, both engines
-    val mean: Array[Long] = sums.map { case (_, s, n) =>
+    val mean: Array[Long] = sums.zip(ns).map { case (s, n) =>
       val neg = s.signum < 0
       val m = s.abs.divide(java.math.BigInteger.valueOf(n)).longValueExact()
       if (neg) -m else m
-    }
+    }.toArray
     def centered: Column = zip_with(col("qv"),
       typedLit(mean.toSeq), (x, m) => x - m)
     var v: Array[Long] = Array.fill(dim)(1000000L)
@@ -116,12 +121,13 @@ object Embeddings {
       // sign-symmetric rescale keeps the second matvec's terms exact
       val tScaled = signum(t).cast("long") *
         graft.functions.TextFunctions.intDivNonNeg(abs(t), lit(1000000L))
-      val u = q.select(tScaled.as("t"),
-          posexplode(centered).as(Seq("pos", "c")))
-        .groupBy(col("pos"))
-        .agg(sum((col("t") * col("c")).cast(dec)).as("u"))
-        .collect().map(r => r.getInt(0) -> r.getDecimal(1).toBigInteger)
-        .sortBy(_._1).map(_._2)
+      // t and the centered array are hoisted into a codegen'd project
+      // (ONE evaluation per row — the CollapseProject discipline);
+      // the aggregate multiplies per element on the long fast path
+      val u = q.select(tScaled.as("t"), centered.as("c"))
+        .agg(VF.vecSumExact(col("c"), col("t")).as("vs"))
+        .select(col("vs.sums").as("u")).head()
+        .getSeq[java.math.BigDecimal](0).map(_.toBigInteger).toArray
       require(u.length == dim, "dimension mismatch mid-iteration")
       val maxAbs = u.map(_.abs).max
       require(maxAbs.signum > 0,

@@ -70,10 +70,17 @@ object Graph {
     * Output: `(node, component)`, component = smallest reachable node
     * id; isolated nodes (no qualifying edge) are not in the node set. */
   def components(edges: DataFrame): DataFrame = {
-    val ids = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct()
+    // Materialize the edge relation ONCE (round 17): `edges` usually
+    // hides the corpus-scale extraction (a window over the raw log),
+    // and it feeds BOTH the node universe and the pair kernel — the
+    // un-pinned plan re-ran the whole extraction for the final
+    // label join (measured: the extraction jobs appeared twice per
+    // run). Same discipline as [[materializeGraph]].
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
+    val ids = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct()
     Dedup.survivorsFromPairsStar(ids,
-        edges.select(col("src").as("a"), col("dst").as("b")))
+        e0.select(col("src").as("a"), col("dst").as("b")))
       .select(col("id").as("node"), col("survivor_id").as("component"))
   }
 

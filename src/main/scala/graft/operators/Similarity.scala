@@ -123,21 +123,36 @@ object Similarity {
       centVecs: Array[Array[Double]], vecCol: String = "embedding")
       : Array[Array[Double]] = {
     val dim = centVecs.head.length
+    // Per-cell element-wise sums via the native exact aggregate (round
+    // 17): the posexplode form shipped cell×dim rows through a two-key
+    // hash aggregate; this folds each vector in place and ships one
+    // buffer per (task, cell). The mean is replayed on the driver with
+    // the IDENTICAL IEEE operations the old plan used —
+    // `(long sum → double) / (count → double) / 1e10` on the same
+    // exact integer sums — so trained centroids are bit-identical
+    // (oracle-pinned via every IVF/PQ query); `longValueExact` keeps
+    // the old ANSI long-SUM overflow a loud failure.
     val means = corpus.select(
         element_at(VF.nearestCentroids(col(vecCol), centIds, centVecs, 1), 1)
           .as("cell"),
-        col(vecCol).as("v"))
-      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("pos"))
-      .agg((sum(round(col("x").cast("double") * 1e10).cast("long"))
-          .cast("double") /
-        count(lit(1)).cast("double") / 1e10).as("m"))
+        transform(col(vecCol),
+          x => round(x.cast("double") * 1e10).cast("long")).as("qv"))
+      .groupBy(col("cell"))
+      .agg(VF.vecSumExact(col("qv"), lit(1L)).as("vs"))
+      .select(col("cell"), col("vs.sums").as("s"), col("vs.counts").as("n"))
       .collect()
-    val byCell = means.groupBy(_.getLong(0))
+    val byCell = means.map(r => r.getLong(0) ->
+      (r.getSeq[java.math.BigDecimal](1), r.getSeq[Long](2))).toMap
     centIds.zip(centVecs).map { case (cid, old) =>
-      byCell.get(cid).fold(old) { rows =>
+      byCell.get(cid).fold(old) { case (sums, ns) =>
         val v = new Array[Double](dim)
-        rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+        var p = 0
+        val bound = math.min(dim, sums.length)
+        while (p < bound) {
+          v(p) = sums(p).toBigInteger.longValueExact().toDouble /
+            ns(p).toDouble / 1e10
+          p += 1
+        }
         v
       }
     }
