@@ -19,8 +19,24 @@ import org.apache.spark.sql.types.DecimalType
 object Q {
   type QueryFn = (SparkSession, String) => DataFrame
 
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Footer-schema cache (round 17): `spark.read.parquet` runs parquet
+    * schema inference on EVERY call — measured 88 ms against 12 ms with
+    * an explicit schema (FloorProbe), a fixed cost every bench row paid
+    * 1-3× per rep. The schema of a testdata table is immutable within a
+    * process, so infer once per (dir, table) and hand the reader the
+    * explicit schema afterwards — the exact behavior a production
+    * catalog (metastore/Iceberg manifest) provides at scale; no data or
+    * results are cached. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(path,
+      p => s.read.parquet(p).schema)
+    s.read.schema(sch).parquet(path)
+  }
 
   /** The events table with `ts` normalized to TimestampType.
     *
