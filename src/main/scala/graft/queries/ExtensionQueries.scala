@@ -175,6 +175,23 @@ object ExtensionQueries {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Why many queries below end `.localCheckpoint().orderBy(...)`
+    * (round 17): a global output sort plans
+    * `Exchange rangepartitioning`, and executing that exchange runs its
+    * child TWICE — once for the range-boundary SAMPLE pass, once for
+    * the real partitioning. For a row-local kernel pipeline with no
+    * intermediate shuffle (decode/extract riding the scan — most of
+    * the mm_/text_/source_ families), the sample pass therefore re-runs
+    * the entire kernel; queries whose pipeline already contains a
+    * shuffle are protected by AQE (the sample reads the materialized
+    * shuffle output) and DON'T need this. Pinning the (small) result
+    * relation before the sort runs the kernel once — measured 0.54-0.88×
+    * per query, interleaved A/B at sf0.1 — and is the plan a production
+    * job wants too: the decode runs once, and only the result rows
+    * (audit-sized, not corpus-sized) hit the sort. Queries where the
+    * A/B showed the pin costing more than it saves (trivial kernels,
+    * arrow-export probes) deliberately do NOT carry it. */
+
   /** documents ∪ documents-with-shifted-ids (adds exact twins) —
     * spread: every consumer runs corpus-scale text kernels. */
   private def docsUnion(s: SparkSession, dir: String): DataFrame = {
@@ -3111,6 +3128,7 @@ object ExtensionQueries {
         "text", "doc_id")
         .select(col("doc_id"), col("n_lines"), col("n_removed"),
           col("clean_sha"))
+        .localCheckpoint()
         .orderBy(col("doc_id"))),
 
     // ---- sampling / corpus mixing ----
@@ -3578,6 +3596,7 @@ object ExtensionQueries {
           TF.tokenCount(col("text")).as("n_tokens"),
           TF.punctCount(col("text")).as("n_punct"),
           TF.digitCount(col("text")).as("n_digits"))
+        .localCheckpoint()
         .orderBy(col("doc_id"))),
 
     "text_profile" -> ((s, dir) =>
@@ -3592,6 +3611,7 @@ object ExtensionQueries {
           TF.qualityScoreFromSignals(col("sig")).as("quality"),
           col("sig.n_subwords").as("n_subwords"),
           TF.stopwordRatioFromSignals(col("sig")).as("stopword_ratio"))
+        .localCheckpoint()
         .orderBy(col("doc_id"))),
 
     // corpus-LM surprisal quality score: add-1 unigram LM over the top-256
@@ -3629,6 +3649,7 @@ object ExtensionQueries {
         .select(col("doc_id"), col("sc.n_toks").as("n_toks"),
           col("sc.w_sum").as("w_sum"), col("sc.score_ppk").as("score_ppk"),
           (col("sc.score_ppk") >= 1000000L).as("keep"))
+        .localCheckpoint()
         .orderBy(col("doc_id"))),
 
     // URL decomposition over synthesized provenance URLs: host /
@@ -3909,6 +3930,7 @@ object ExtensionQueries {
         .select(col("doc_id"), TF.cleanText(col("s")).as("clean"),
           length(col("s")).as("n_chars_raw"))
         .withColumn("n_chars_clean", length(col("clean")))
+        .localCheckpoint()
         .orderBy(col("doc_id"))),
 
     // markup extraction: the corpus is plain text, so the query builds a
@@ -3927,6 +3949,7 @@ object ExtensionQueries {
         .select(col("doc_id"), TF.stripMarkup(html).as("clean"),
           regexp_count(html, lit(TF.TagPattern)).as("n_tags"),
           (TF.stripMarkup(html) === plain).as("roundtrip_ok"))
+        .localCheckpoint()
         .orderBy(col("doc_id"))
     }),
 
@@ -3985,6 +4008,7 @@ object ExtensionQueries {
         .select(col("doc_id"),
           TF.fingerprintPoly(col("text")).as("fingerprint"),
           length(TF.normalize(col("text"))).as("n_norm_chars"))
+        .localCheckpoint()
         .orderBy(col("doc_id"))),
 
     // PII scrub (training-data scrubbing): the synthetic corpus carries no
@@ -4013,6 +4037,7 @@ object ExtensionQueries {
           col("c.n_email").as("n_email"),
           col("c.n_phone").as("n_phone"),
           col("c.n_ip").as("n_ip"))
+        .localCheckpoint()
         .orderBy(col("doc_id"))
     }),
 
@@ -4062,6 +4087,7 @@ object ExtensionQueries {
     "text_chunks_window" -> ((s, dir) =>
       Chunking.tokenWindows(t(s, dir, "documents"), "text", "doc_id",
           window = 32, stride = 24)
+        .localCheckpoint()
         .orderBy(col("doc_id"), col("chunk_id"))),
 
     // greedy in-order sequence packing into 256-token budgets across 8
@@ -4238,6 +4264,7 @@ object ExtensionQueries {
           datediff(col("od"), lit(java.sql.Date.valueOf("1970-01-01")))
             .cast("long").as("od_days"),
           aggregate(col("keys"), lit(0L), (a, x) => a + x).as("keys_sum"))
+        .localCheckpoint()
         .orderBy(col("o_orderkey"))
     }),
 
@@ -4250,6 +4277,7 @@ object ExtensionQueries {
           "source STRING, n_chars LONG").json(path)
         .select(col("doc_id"), length(col("text")).as("text_len"),
           sha2(col("text"), 256).as("text_sha"), col("lang"), col("source"))
+        .localCheckpoint()
         .orderBy(col("doc_id"))
     }),
 
@@ -4290,6 +4318,7 @@ object ExtensionQueries {
       s.read.orc(path)
         .select(col("doc_id"), length(col("text")).as("text_len"),
           sha2(col("text"), 256).as("text_sha"), col("lang"), col("source"))
+        .localCheckpoint()
         .orderBy(col("doc_id"))
     }),
 
@@ -4607,6 +4636,7 @@ object ExtensionQueries {
             .otherwise((col("bg.n_bigrams") - col("bg.n_distinct_bg"))
               .cast("double") / col("bg.n_bigrams").cast("double")),
             lit(0.0)).as("dup_bigram_frac"))
+        .localCheckpoint()
         .orderBy(col("doc_id"))
     }),
 
@@ -4623,6 +4653,7 @@ object ExtensionQueries {
           when(col("sig.n_norm_toks") === 0, lit(0.0))
             .otherwise(col("sig.lang_ev_score").cast("double") /
               col("sig.n_norm_toks").cast("double")).as("marker_ratio"))
+        .localCheckpoint()
         .orderBy(col("doc_id"))),
 
     // end-to-end keep/drop decision (C4/Gopher-style): quality score +
@@ -4639,6 +4670,7 @@ object ExtensionQueries {
         .withColumn("keep",
           col("quality") >= 0.95 && col("lang_pred") === "en" &&
             col("distinct_ratio") >= 0.5)
+        .localCheckpoint()
         .orderBy(col("doc_id"))),
 
     // duplicate word-n-gram UNION coverage (the Gopher repetition rules
@@ -4662,6 +4694,7 @@ object ExtensionQueries {
           when(col("c5.n_tokens") === 0, lit(0.0))
             .otherwise(col("c5.covered").cast("double") /
               col("c5.n_tokens").cast("double")).as("dup5_frac"))
+        .localCheckpoint()
         .orderBy(col("doc_id"))),
 
     // Gopher structural rule battery: NAMED per-rule booleans with
@@ -4670,6 +4703,7 @@ object ExtensionQueries {
     "text_gopher_rules" -> ((s, dir) =>
       QualityRules.gopherRules(t(s, dir, "documents"), "text", "doc_id",
           minWords = 20, maxWords = 5000)
+        .localCheckpoint()
         .orderBy(col("doc_id"))),
 
     // the eyeball report next to the counts: the 3 smallest-id documents
@@ -4845,6 +4879,7 @@ object ExtensionQueries {
           Multimodal.mediaDims(col("blob")).as("dims"))
         .select(col("doc_id"), col("kind"),
           col("dims.width").as("width"), col("dims.height").as("height"))
+        .localCheckpoint()
         .orderBy(col("doc_id"))
     }),
 
@@ -4896,6 +4931,7 @@ object ExtensionQueries {
           col("m.bits_per_sample").as("bits_per_sample"),
           col("m.n_frames").as("n_frames"),
           col("m.duration_ms").as("duration_ms"))
+        .localCheckpoint()
         .orderBy(col("doc_id"))
     }),
 
@@ -4919,6 +4955,7 @@ object ExtensionQueries {
         .toDF()
         .select(col("doc_id"), col("chunk_index"), col("offset"),
           sha2(col("chunk"), 256).as("chunk_sha"))
+        .localCheckpoint()
         .orderBy(col("doc_id"), col("chunk_index"))),
 
     // REAL audio decode (closes the round-6 "decode is a stub" gap): each
@@ -4957,6 +4994,7 @@ object ExtensionQueries {
                 .as("__webp_bits"))
             .select(col("doc_id"), blob.as("blob")), "doc_id")
         .toDF()
+        .localCheckpoint()
         .orderBy(col("doc_id"))
     }),
 
@@ -6264,6 +6302,7 @@ object ExtensionQueries {
           t(s, dir, "documents").select(col("doc_id"), blob.as("blob")),
           "doc_id")
         .toDF()
+        .localCheckpoint()
         .orderBy(col("doc_id"), col("channel"))
     }),
 
@@ -6288,6 +6327,7 @@ object ExtensionQueries {
     "mm_bmp_features" -> ((s, dir) =>
       Multimodal.extractImageFeatures(bmpFixture(s, dir), "doc_id")
         .toDF()
+        .localCheckpoint()
         .orderBy(col("doc_id"))),
 
     // REAL compressed-image decode (round 9): PNGs whose IDAT inflates
@@ -6346,6 +6386,7 @@ object ExtensionQueries {
       Multimodal.extractImagePatches(bmpFixture(s, dir), "doc_id",
           patch = 2)
         .toDF()
+        .localCheckpoint()
         .orderBy(col("doc_id"), col("patch_y"), col("patch_x"))),
 
     // sentence-aligned chunks at a 200-char budget: chunk assignment is
@@ -6373,6 +6414,7 @@ object ExtensionQueries {
           when(col("n_sentences") === 0L, lit(0.0))
             .otherwise(col("total_chars").cast("double") /
               col("n_sentences").cast("double")))
+        .localCheckpoint()
         .orderBy(col("doc_id"))),
 
     // FLAC STREAMINFO: planted bit-packed fields (sample rate split
@@ -6411,6 +6453,7 @@ object ExtensionQueries {
           col("m.bits_per_sample").as("bits_per_sample"),
           col("m.total_samples").as("total_samples"),
           col("m.duration_ms").as("duration_ms"))
+        .localCheckpoint()
         .orderBy(col("doc_id"))
     }),
 
@@ -6454,6 +6497,7 @@ object ExtensionQueries {
               when(col("doc_id") % 6 === 2, pngScan).as("__png_scan"))
             .select(col("doc_id"), blob.as("blob")), "doc_id")
         .toDF()
+        .localCheckpoint()
         .orderBy(col("doc_id"))
     }),
 
@@ -6588,6 +6632,7 @@ object ExtensionQueries {
         .select(col("doc_id"), col("card"),
           TF.luhnValid(col("card")).as("luhn_valid"),
           length(col("card")).as("n_digits"))
+        .localCheckpoint()
         .orderBy(col("doc_id"), col("card"))
     }),
 
@@ -6669,6 +6714,7 @@ object ExtensionQueries {
             "WARC-Target-URI: http://corpus\\.local/doc/(\\d+)", 1)
             .cast("long").as("doc_id"),
           after.substr(lit(1), length(after) - 4).as("text"))
+        .localCheckpoint()
         .orderBy(col("doc_id"))
     }),
 
@@ -6719,6 +6765,7 @@ object ExtensionQueries {
           get_json_object(col("payload"), "$.n_chars").cast("long")
             .as("n_chars"),
           get_json_object(col("payload"), "$.lang").as("lang"))
+        .localCheckpoint()
         .orderBy(col("doc_id"))
     }),
 
@@ -6750,6 +6797,7 @@ object ExtensionQueries {
           regexp_extract(col("rec"), "WARC-Type: ([a-z]+)", 1)
             .as("rec_type"),
           after.substr(lit(1), length(after) - 4).as("clean"))
+        .localCheckpoint()
         .orderBy(col("doc_id"))
     }),
 
@@ -6781,6 +6829,7 @@ object ExtensionQueries {
             "WARC-Target-URI: http://corpus\\.local/doc/(\\d+)", 1)
             .cast("long").as("doc_id"),
           after.substr(lit(1), length(after) - 4).as("text"))
+        .localCheckpoint()
         .orderBy(col("doc_id"))
     }),
 
@@ -6813,6 +6862,7 @@ object ExtensionQueries {
             "WARC-Target-URI: http://corpus\\.local/doc/(\\d+)", 1)
             .cast("long").as("doc_id"),
           after.substr(lit(1), length(after) - 4).as("text"))
+        .localCheckpoint()
         .orderBy(col("doc_id"))
     }),
 
@@ -6841,6 +6891,7 @@ object ExtensionQueries {
             "WARC-Target-URI: http://corpus\\.local/doc/(\\d+)", 1)
             .cast("long").as("doc_id"),
           after.substr(lit(1), length(after) - 4).as("text"))
+        .localCheckpoint()
         .orderBy(col("doc_id"))
     }),
 
@@ -6863,6 +6914,7 @@ object ExtensionQueries {
             "n_chars" -> "long"))).as("r"))
         .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
           col("r.n_chars").as("n_chars"))
+        .localCheckpoint()
         .orderBy(col("doc_id"))
     }),
 
