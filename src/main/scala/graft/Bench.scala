@@ -32,6 +32,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Partition-discovery strategy (round 17, guide §6): above this
+      // many paths Spark LISTS DIRECTORIES WITH A DISTRIBUTED JOB —
+      // right for object stores (S3/GCS list calls parallelize), wrong
+      // for a local filesystem, where the 256-bucket digest index paid
+      // a 0.6 s 256-task listing job per probe vs ~20 ms driver-side
+      // (measured, JobProfile). Local default: driver-side listing;
+      // on a cluster against an object store set
+      // SPARK_GRAFT_LIST_PARALLEL_THRESHOLD back to the Spark default
+      // (32) or lower. Parameterized so the scale-dependent value is a
+      // deployment choice, not a constant tuned to this box.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_PARALLEL_THRESHOLD", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
