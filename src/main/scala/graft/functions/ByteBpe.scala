@@ -378,12 +378,19 @@ object ByteBpe {
     while (t < bounds.length) {
       if (tokens > 0L) { syms(m) = -1; m += 1 }
       tokens += 1L
-      // UTF-8 length of chars [bounds(t), bounds(t+1))
+      // UTF-8 length of chars [bounds(t), bounds(t+1)). An UNPAIRED
+      // surrogate (codePointAt returns the bare code unit in
+      // D800..DFFF) encodes as 1 byte ('?') in getBytes(UTF_8), not 3 —
+      // counting 3 desynced bytePos from `bytes` (round-16 advice item;
+      // unreachable from Spark SQL strings, but this method is public
+      // API). Paired surrogates come back as cp >= 0x10000, so the
+      // range test below only catches unpaired ones.
       var c = bounds(t)
       var blen = 0
       while (c < bounds(t + 1)) {
         val cp = text.codePointAt(c)
         blen += (if (cp < 0x80) 1 else if (cp < 0x800) 2
+          else if (cp >= 0xD800 && cp <= 0xDFFF) 1
           else if (cp < 0x10000) 3 else 4)
         c += Character.charCount(cp)
       }

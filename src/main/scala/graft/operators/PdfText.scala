@@ -276,6 +276,11 @@ object PdfText {
     /** objects living INSIDE object streams (round 16, PDF 1.5):
       * object number → (container stream object, index). */
     val inObjStm = mutable.Map.empty[Int, (Int, Int)]
+    /** object numbers CLAIMED by any entry of a newer xref section —
+      * including FREE ('f' / type-0) ones: a deleted object's older
+      * /Prev-section offset must not resurrect it in incremental-update
+      * documents (round-16 advice item). */
+    val claimed = mutable.Set.empty[Int]
     var trailer: Map[String, PVal] = Map.empty
     var viaScan: Boolean = false
     private val cache = mutable.Map.empty[Int, PVal]
@@ -287,7 +292,8 @@ object PdfText {
       // a dangling startxref can "succeed" without loading anything —
       // an empty table means the walk found no usable entries
       if (!ok || (offsets.isEmpty && inObjStm.isEmpty)) {
-        offsets.clear(); inObjStm.clear(); trailer = Map.empty
+        offsets.clear(); inObjStm.clear(); claimed.clear()
+        trailer = Map.empty
         scanObjects(); viaScan = true
       }
       if (offsets.isEmpty) throw new Decline("no-objects")
@@ -338,8 +344,11 @@ object PdfText {
             val kind = l.readToken()
             l.skipWs()
             // newest xref section wins: /Prev chains are parsed
-            // NEWEST FIRST, so only absent entries are added
-            if (kind == "n" && !offsets.contains(start + i) &&
+            // NEWEST FIRST, so only UNCLAIMED numbers are added — and a
+            // free entry claims its number too (deletions shadow older
+            // in-use entries)
+            val fresh = claimed.add(start + i)
+            if (kind == "n" && fresh && !offsets.contains(start + i) &&
               off > 0 && off < bytes.length)
               offsets(start + i) = off.toInt
             i += 1
@@ -426,7 +435,10 @@ object PdfText {
           val f2 = field(w(1), 0L)
           val f3 = field(w(2), 0L)
           val num = (start + i).toInt
-          if (!offsets.contains(num) && !inObjStm.contains(num)) {
+          // type-0 (free) entries claim their number so older /Prev
+          // sections cannot resurrect a deleted object
+          val fresh = claimed.add(num)
+          if (fresh && !offsets.contains(num) && !inObjStm.contains(num)) {
             if (t == 1L && f2 > 0 && f2 < bytes.length)
               offsets(num) = f2.toInt
             else if (t == 2L)

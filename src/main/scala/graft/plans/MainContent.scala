@@ -113,6 +113,11 @@ object MainContentKernel {
       buf.setLength(0)
       linkNonWs = 0
       totalNonWs = 0
+      // HTML parsers auto-close <a> at block boundaries; without this an
+      // UNCLOSED <a> (common in real crawl markup) would mark every
+      // following block's text as link text and drop the rest of the
+      // document at the link-density gate (round-16 advice item).
+      linkDepth = 0
     }
 
     var i = 0

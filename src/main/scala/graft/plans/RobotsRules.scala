@@ -126,7 +126,11 @@ object RobotsKernel {
     // agent merge (RFC 9309 §2.2.1)
     def agentScore(tokens: Seq[String]): Int =
       tokens.foldLeft(-1) { (best, t) =>
-        if (t != "*" && agentLower.startsWith(t) && t.length > best)
+        // t.nonEmpty: a malformed empty `User-agent:` value would
+        // prefix-match every agent at score 0 and beat the '*'
+        // fallback group (round-16 advice item)
+        if (t != "*" && t.nonEmpty && agentLower.startsWith(t) &&
+            t.length > best)
           t.length else best
       }
     val bestScore = groups.map(g => agentScore(g._1))

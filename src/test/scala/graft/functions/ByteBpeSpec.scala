@@ -208,4 +208,17 @@ class ByteBpeSpec extends SparkFunSuite {
         v => s.conf.set("spark.sql.codegen.fallback", v))
     }
   }
+
+  test("countsJvm survives an unpaired surrogate: byte positions track " +
+      "getBytes(UTF_8), which encodes it as one '?' byte " +
+      "(round-17 advice fix)") {
+    // "a" + lone high surrogate + "b": UTF-8 encodes the surrogate as
+    // '?' (1 byte); the old code-point arithmetic counted 3 and walked
+    // past the byte array
+    val weird = "a\ud800b"
+    val (nBytes, nSub, nPre) = ByteBpe.countsJvm(weird)
+    assert(nBytes == weird.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+    assert(nSub >= 1L && nPre >= 1L)
+  }
 }

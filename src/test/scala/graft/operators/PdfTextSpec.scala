@@ -178,6 +178,31 @@ class PdfTextSpec extends AnyFunSuite {
       IndexedSeq((0L, 1L, "new text", "")))
   }
 
+  test("incremental update: a FREED object does not resurrect from an " +
+      "older /Prev section (round-17 advice fix)") {
+    // base doc: page 3 shows obj 4's "old text"
+    val base = buildPdf(Seq(catalog, pages(Seq(3)), page(4, 5),
+      contentObj("BT /F1 9 Tf (old text) Tj ET"), helv))
+    val prevXref = {
+      val s = new String(base, "ISO-8859-1")
+      val at = s.lastIndexOf("startxref")
+      s.substring(at + 9).trim.takeWhile(_.isDigit).toLong
+    }
+    // update: DELETE object 4 (free entry, no replacement) — the page
+    // still references it, so extraction must NOT return the stale
+    // content from the older section's offset
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base)
+    val xrefAt2 = out.size()
+    out.write(b("xref\n4 1\n" + "0000000000" + " 65535 f \n"))
+    out.write(b(s"trailer\n<< /Size 6 /Root 1 0 R /Prev $prevXref " +
+      s">>\nstartxref\n$xrefAt2\n%%EOF\n"))
+    val got = try PdfText.extractPagesJvm(out.toByteArray)
+      catch { case _: Exception => IndexedSeq.empty }
+    assert(!got.exists(_._3.contains("old text")),
+      s"freed object resurrected: $got")
+  }
+
   // ---- round 16: xref streams, object streams, ToUnicode ----------
 
   /** Build a PDF whose cross-reference is a PDF-1.5 XREF STREAM

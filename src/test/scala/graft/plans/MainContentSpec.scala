@@ -70,4 +70,20 @@ class MainContentSpec extends AnyFunSuite {
       "first part has five words\nsecond half also has words\n" +
         "after selfclosing nav words flow", 3, 3))
   }
+
+  test("unclosed <a> does not poison following blocks: link depth " +
+      "resets at block boundaries (round-17 advice fix)") {
+    // the anchor is never closed; without the per-block reset every
+    // later block counts as link text and dies at the density gate
+    val html = "<p><a href=x>tiny link text here okay</a?broken" +
+      "</p><p>this perfectly ordinary prose paragraph carries more " +
+      "than five words</p>"
+    // malformed: reopen an <a> and never close it, then a clean block
+    val html2 = "<p><a href=x>anchor text that never closes" +
+      "</p><p>this perfectly ordinary prose paragraph carries more " +
+      "than five words</p>"
+    val (text2, _, kept2) = run(html2)
+    assert(kept2 >= 1, s"clean block after unclosed <a> must survive: $text2")
+    assert(text2.contains("perfectly ordinary prose"))
+  }
 }

@@ -86,4 +86,14 @@ class RobotsRulesSpec extends AnyFunSuite {
     assert(eval(robots, "b", "/a/z") == (false, "disallow:/a", 1))
     assert(eval(robots, "b", "/b") == (true, "", 1))
   }
+
+  test("an empty User-agent: value never outranks the '*' fallback " +
+      "group (round-17 advice fix)") {
+    val robots = "User-agent:\nDisallow: /\n\n" +
+      "User-agent: *\nAllow: /\n"
+    // the malformed empty-agent group would prefix-match every agent
+    // at score 0 and shadow the catch-all; it must be ignored
+    val (allowed, rule, _) = eval(robots, "graftbot", "/page")
+    assert(allowed, s"empty-agent group must not shadow '*': $rule")
+  }
 }
