@@ -532,6 +532,7 @@ object AnalyticsQueries {
           bucketSeconds = 3600L)
         .filter(col("event_id") =!= col("purchase_id"))
         .select(col("purchase_id"), col("event_id"))
+        .localCheckpoint()
         .orderBy(col("purchase_id"), col("event_id"))
     }),
 
