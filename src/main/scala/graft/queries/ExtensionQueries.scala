@@ -3029,8 +3029,13 @@ object ExtensionQueries {
     // between sources — the "how much does crawl A repeat crawl B"
     // pre-mixing report. Sources share boilerplate-free synthetic text,
     // so overlap comes from genuinely shared shingles
+    // spread (round 18): the shingle kernel rode the single-split scan —
+    // one 0.48 s task shingling the whole table while 31 cores idled
+    // (JobProfile); the 32-way exchange moves raw text once and the
+    // kernel parallelizes, the same rule every other kernel-heavy
+    // entry follows
     "corpus_source_sim" -> ((s, dir) =>
-      Sketches.groupShingleJaccard(t(s, dir, "documents"), "source",
+      Sketches.groupShingleJaccard(spread(t(s, dir, "documents")), "source",
           "text", shingleK = 3)
         .orderBy(col("g_a"), col("g_b"))),
 
@@ -3276,6 +3281,14 @@ object ExtensionQueries {
     // on (partkey, suppkey) — files_hit/rows_scanned is what min/max
     // file skipping would actually open under each layout;
     // rows_matched is layout-invariant (sanity anchor)
+    // round 18: a fused single-window variant (explode-tag both layouts,
+    // Window.partitionBy(layout), one exchange) was implemented and
+    // MEASURED WORSE — 1.97 s pinned / 3.0-3.9 s unpinned vs 1.71 s for
+    // this shape (the tagged pipeline fuses into one stage, so the
+    // output sort's range sample re-ran both layout sorts; pinned, the
+    // parallel sorts still lost to the extra exchange + wider tagged
+    // rows). Reverted; the per-layout audits below stay the operating
+    // point.
     "layout_zorder_prune" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(pmod(col("l_partkey"), lit(65536)).as("x"),
@@ -4345,20 +4358,31 @@ object ExtensionQueries {
           pmod(sum(col("fp")), lit(2199023255552L)).as("content_sum41"))
         .orderBy(col("shard"))),
 
+    // round 18: the three scalar percentile() calls each buffered the
+    // full value multiset — one array-percentile buffer computes the
+    // identical interpolated values; sha/countDistinct hoisted so each
+    // is computed once and the derived columns project from the
+    // aggregate row (0.37 → 0.31 s). A spread() of the scan was
+    // measured WORSE (0.40 s) — the sha+tokenize kernel is too cheap
+    // to pay for an exchange of the raw text.
     "corpus_report" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("text"), size(TF.normTokens(col("text"))).as("n"))
+        .select(sha2(col("text"), 256).as("sha"),
+          size(TF.normTokens(col("text"))).as("n"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n").cast("long")).as("total_tokens"),
-          (sum(col("n").cast("long")).cast("double") /
-            count(lit(1)).cast("double")).as("avg_tokens"),
-          countDistinct(sha2(col("text"), 256)).as("n_distinct"),
-          ((count(lit(1)) - countDistinct(sha2(col("text"), 256)))
-            .cast("double") / count(lit(1)).cast("double")).as("dup_rate"),
-          expr("percentile(n, 0.5)").as("p50_tokens"),
-          expr("percentile(n, 0.9)").as("p90_tokens"),
-          expr("percentile(n, 0.99)").as("p99_tokens"))),
+          countDistinct(col("sha")).as("n_distinct"),
+          expr("percentile(n, array(0.5, 0.9, 0.99))").as("ps"))
+        .select(col("n_docs"), col("total_tokens"),
+          (col("total_tokens").cast("double") /
+            col("n_docs").cast("double")).as("avg_tokens"),
+          col("n_distinct"),
+          ((col("n_docs") - col("n_distinct")).cast("double") /
+            col("n_docs").cast("double")).as("dup_rate"),
+          element_at(col("ps"), 1).as("p50_tokens"),
+          element_at(col("ps"), 2).as("p90_tokens"),
+          element_at(col("ps"), 3).as("p99_tokens"))),
 
     // embedding hygiene stats: L2 norm (left-to-right fold + IEEE sqrt —
     // engine-portable like the cosine kernel), mean component, max |x| —

@@ -99,17 +99,24 @@ class LshIndexSpec extends SparkFunSuite {
     assert(got.nonEmpty && got == want,
       "bucketing must be invisible to probe results")
     // plan contract over a SMALL delta: both index scans carry a
-    // NON-EMPTY partition filter on `bucket` (the PqSimSpec discipline)
+    // NON-EMPTY partition filter on `bucket` (the PqSimSpec discipline).
+    // Round 18: the probe pins its candidate stage, so the bands-side
+    // pruned scan lives in the candidate plan (lshProbeCandsPlan — the
+    // exact relation the probe executes) and the shingles-side pruned
+    // scan in the final plan.
     val tiny = c.limit(2).select(($"doc_id" + 5000L).as("doc_id"), $"text")
     val probeDf = Dedup.lshProbeNearDupBucketed(bucketed, tiny, "text",
       "doc_id", threshold = 0.6)
     val plan = probeDf.queryExecution.executedPlan.toString
-    val filters =
-      """PartitionFilters: \[[^\]]*\]""".r.findAllIn(plan).toList
-    assert(filters.size >= 2,
-      s"expected BOTH pruned index scans in the probe plan:\n$plan")
-    assert(filters.forall(f => f.contains("bucket") && !f.contains("[]")),
-      s"every index scan must be pruned on bucket, got $filters\n$plan")
+    val candsPlan = Dedup.lshProbeCandsPlan(bucketed, tiny, "text",
+      "doc_id").queryExecution.executedPlan.toString
+    def bucketFilters(p: String): List[String] =
+      """PartitionFilters: \[[^\]]*\]""".r.findAllIn(p).toList
+        .filter(f => f.contains("bucket") && !f.contains("[]"))
+    assert(bucketFilters(plan).nonEmpty,
+      s"expected the pruned shingles scan in the probe plan:\n$plan")
+    assert(bucketFilters(candsPlan).nonEmpty,
+      s"expected the pruned bands scan in the candidate plan:\n$candsPlan")
     // and an empty delta yields an empty, correctly-typed frame
     assert(Dedup.lshProbeNearDupBucketed(bucketed,
       c.filter(lit(false)), "text", "doc_id").count() == 0)
@@ -158,15 +165,20 @@ class LshIndexSpec extends SparkFunSuite {
     val got = probe(half)
     assert(got.nonEmpty && got == probe(full),
       "append must be indistinguishable from a fresh full build")
-    // partition pruning survives the appended files
+    // partition pruning survives the appended files (round 18: bands
+    // pruning asserted on the candidate plan, shingles on the final —
+    // see the probe's pinned-candidate comment)
     val tiny = c.limit(2).select(($"doc_id" + 5000L).as("doc_id"), $"text")
     val plan = Dedup.lshProbeNearDupBucketed(half, tiny, "text",
       "doc_id", threshold = 0.6).queryExecution.executedPlan.toString
-    val filters =
-      """PartitionFilters: \[[^\]]*\]""".r.findAllIn(plan).toList
-    assert(filters.size >= 2 &&
-      filters.forall(f => f.contains("bucket") && !f.contains("[]")),
-      s"post-append probe must stay pruned on bucket: $filters")
+    val candsPlan = Dedup.lshProbeCandsPlan(half, tiny, "text",
+      "doc_id").queryExecution.executedPlan.toString
+    def bucketFilters(p: String): List[String] =
+      """PartitionFilters: \[[^\]]*\]""".r.findAllIn(p).toList
+        .filter(f => f.contains("bucket") && !f.contains("[]"))
+    assert(bucketFilters(plan).nonEmpty && bucketFilters(candsPlan).nonEmpty,
+      s"post-append probe must stay pruned on bucket: final=" +
+        s"${bucketFilters(plan)} cands=${bucketFilters(candsPlan)}")
     // bucketed compaction: one file per touched bucket, identical probe
     val compacted = Dedup.compactLshIndexBucketed(s, half,
       tmpPath("bapp_compact"))
@@ -313,15 +325,19 @@ class LshIndexSpec extends SparkFunSuite {
       .orderBy($"a", $"b").collect().map(_.toString).toSeq
     assert(want.nonEmpty && probe(salted) == want,
       "salting must be invisible to probe results")
-    // pruning holds over multi-file buckets (directories, not files)
+    // pruning holds over multi-file buckets (directories, not files;
+    // round 18: bands pruning asserted on the candidate plan)
     val tiny = c.limit(2).select(($"doc_id" + 5000L).as("doc_id"), $"text")
     val plan = Dedup.lshProbeNearDupBucketed(salted, tiny, "text",
       "doc_id", threshold = 0.6).queryExecution.executedPlan.toString
-    val filters =
-      """PartitionFilters: \[[^\]]*\]""".r.findAllIn(plan).toList
-    assert(filters.size >= 2 &&
-      filters.forall(f => f.contains("bucket") && !f.contains("[]")),
-      s"salted probe must stay pruned on bucket: $filters")
+    val candsPlan = Dedup.lshProbeCandsPlan(salted, tiny, "text",
+      "doc_id").queryExecution.executedPlan.toString
+    def bucketFilters(p: String): List[String] =
+      """PartitionFilters: \[[^\]]*\]""".r.findAllIn(p).toList
+        .filter(f => f.contains("bucket") && !f.contains("[]"))
+    assert(bucketFilters(plan).nonEmpty && bucketFilters(candsPlan).nonEmpty,
+      s"salted probe must stay pruned on bucket: final=" +
+        s"${bucketFilters(plan)} cands=${bucketFilters(candsPlan)}")
     // the digest index and the bucketed compactor take the same salt
     val dig = Dedup.buildDigestIndexBucketed(c, "text",
       tmpPath("salt_dig"), nBuckets = 8, filesPerBucket = 3)
@@ -381,11 +397,17 @@ class LshIndexSpec extends SparkFunSuite {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastExchange"),
         s"over-budget delta must not broadcast:\n$plan")
-      val filters =
-        """PartitionFilters: \[[^\]]*\]""".r.findAllIn(plan).toList
-      assert(filters.size >= 2 &&
-        filters.forall(f => f.contains("bucket") && !f.contains("[]")),
-        s"fallback must keep both pruned index scans: $filters")
+      // round 18: bands pruning asserted on the candidate plan (the
+      // final plan reads the pinned candidate rows)
+      val candsPlan = Dedup.lshProbeCandsPlan(bucketed, delta, "text",
+        "doc_id").queryExecution.executedPlan.toString
+      def bucketFilters(p: String): List[String] =
+        """PartitionFilters: \[[^\]]*\]""".r.findAllIn(p).toList
+          .filter(f => f.contains("bucket") && !f.contains("[]"))
+      assert(bucketFilters(plan).nonEmpty &&
+        bucketFilters(candsPlan).nonEmpty,
+        s"fallback must keep both pruned index scans: final=" +
+          s"${bucketFilters(plan)} cands=${bucketFilters(candsPlan)}")
       // the flat probe takes the same guard
       val dfFlat = probeFlat()
       val gotFlat = dfFlat.orderBy($"a", $"b").collect()

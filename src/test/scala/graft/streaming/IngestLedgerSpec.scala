@@ -149,14 +149,21 @@ class IngestLedgerSpec extends SparkFunSuite {
       (i + 100L, t) }) == 0)
     assert(s.read.parquet(s"$bDir/bands").collect()
       .map(_.toString).sorted.toSeq == before)
-    // post-append probe stays partition-pruned
+    // post-append probe stays partition-pruned (round 18: bands-side
+    // pruning lives in the probe's pinned candidate plan — assert it
+    // via the lshProbeCandsPlan spec hook, shingles on the final plan)
+    val idx = graft.operators.Dedup.LshIndexBucketed(bDir, 3, 64, 16, 16)
     val probe = graft.operators.Dedup.lshProbeNearDupBucketed(
-      graft.operators.Dedup.LshIndexBucketed(bDir, 3, 64, 16, 16),
-      docs(0, 2).toDF("doc_id", "text"), "text", "doc_id", 0.6)
-    val filters = """PartitionFilters: \[[^\]]*\]""".r
-      .findAllIn(probe.queryExecution.executedPlan.toString).toList
-    assert(filters.size >= 2 && filters.forall(f =>
-      f.contains("bucket") && !f.contains("[]")), s"$filters")
+      idx, docs(0, 2).toDF("doc_id", "text"), "text", "doc_id", 0.6)
+    val cands = graft.operators.Dedup.lshProbeCandsPlan(
+      idx, docs(0, 2).toDF("doc_id", "text"), "text", "doc_id")
+    def bucketFilters(p: String): List[String] =
+      """PartitionFilters: \[[^\]]*\]""".r.findAllIn(p).toList
+        .filter(f => f.contains("bucket") && !f.contains("[]"))
+    assert(bucketFilters(
+        probe.queryExecution.executedPlan.toString).nonEmpty &&
+      bucketFilters(
+        cands.queryExecution.executedPlan.toString).nonEmpty)
   }
 
   test("BUCKETED exact-dedup ingest: survivors match the flat digest " +
