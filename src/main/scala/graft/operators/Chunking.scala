@@ -82,11 +82,12 @@ object Chunking {
     * n_tokens = seqLen everywhere except the final partial sequence.
     *
     * The global prefix sum is TWO-PHASE, never single-partition: ids
-    * range-shard on exact [[Layout.equiCountBoundaries]] quantiles
-    * (contiguous AND row-balanced by construction), per-shard windows
+    * range-shard into contiguous ranges (Spark's sampled range
+    * partitioning — the cuts only set task balance; the offset
+    * arithmetic below is exact wherever they land), per-shard windows
     * compute local sums, and each shard's start offset is the sum of
     * earlier shard totals — an nShards-row collect broadcast back as a
-    * literal array. At 100 TB that is one bounded histogram pass + one
+    * literal array. At 100 TB that is one range exchange + one
     * shard-keyed window, no `Window.orderBy` over the world.
     * `nShards <= 0` (the default) auto-sizes to the session's shuffle
     * parallelism; any explicit value up to 4096 gives the same result
@@ -161,31 +162,36 @@ object Chunking {
         nShards0
       } else math.min(4096, math.max(1, docs.sparkSession.conf
         .get("spark.sql.shuffle.partitions", "32").toInt))
-    // (id, n) is consumed by THREE jobs (boundary histogram, shard
-    // totals, the window pass) — materialize it once so an expensive
-    // token counter (byte-BPE subwords) runs per doc, not per job;
-    // 16 bytes/doc, strictly cheaper than re-deriving even for the
+    // (id, n) is consumed by several jobs (shard sample, shard totals,
+    // the window pass) — materialize it once so an expensive token
+    // counter (byte-BPE subwords) runs per doc, not per job; 16
+    // bytes/doc, strictly cheaper than re-deriving even for the
     // whitespace default
     val base = docs.select(col(idCol).cast("long").as("id"),
       tokenCount(col(textCol)).cast("long").as("n"))
       .localCheckpoint()
-    val bs =
-      if (nShards == 1) Seq.empty[Long]
-      else Layout.equiCountBoundaries(base, "id", nShards)
-    // shard = count of boundaries strictly below id. The when-chain is
-    // whole-stage-codegen'd but its expression TREE grows with the
-    // boundary count (deep reduce + one method split per ~branch), so
-    // past 128 boundaries switch to one constant-size filter-HOF node —
-    // interpreted lambda, same O(|bs|) per-row arithmetic, no tree blowup.
-    val shardCol =
-      if (bs.isEmpty) lit(0)
-      else if (bs.length <= 128)
-        bs.map(b => when(col("id") > b, 1).otherwise(0)).reduce(_ + _)
-      else size(filter(typedLit(bs), b => col("id") > b))
-    val sharded = base.withColumn("shard", shardCol)
+    // Shard rule (round 18, §1.2): the output is shard-INVARIANT (the
+    // per-shard offsets below make the prefix sum exact wherever the
+    // cuts land — FixedPackSpec pins invariance), so the cuts only set
+    // task BALANCE. The exact equi-count quantile machinery
+    // ([[Layout.equiCountBoundaries]]: histogram checkpoint + two
+    // driver collects + a boundary window) was therefore pure overhead
+    // here; Spark's own sampled range partitioning gives the same
+    // contiguous, balanced id ranges in one exchange. The sharded
+    // relation is PINNED because the totals collect and the window
+    // pass are separate jobs — re-planning would resample different
+    // cuts and misalign the offsets (and the sample reads the pinned
+    // base, so the token counter still runs once). Measured:
+    // corpus_pack_spans 16 → 10 jobs.
+    val sharded =
+      (if (nShards == 1) base.withColumn("shard", lit(0))
+       else base.repartitionByRange(nShards, col("id"))
+         .withColumn("shard", spark_partition_id()))
+        .localCheckpoint()
     val totals = sharded.groupBy(col("shard")).agg(sum(col("n")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offs = (0 to bs.length)
+    require(totals.nonEmpty, "empty input")
+    val offs = (0 until nShards)
       .scanLeft(0L)((acc, sh) => acc + totals.getOrElse(sh, 0L))
       .dropRight(1)
     val w = Window.partitionBy(col("shard")).orderBy(col("id"))

@@ -142,16 +142,23 @@ object Dedup {
 
   private def lshJaccardPairs(shingled: DataFrame, numHashes: Int,
       bands: Int, threshold: Double): DataFrame = {
-    val bnd = bandRows(shingled, numHashes, bands)
+    // Pin the shingled view ONCE (round 18, §1.2): it feeds the band
+    // derivation AND both sides of the verify join — un-pinned, the
+    // shingle kernel re-tokenized the corpus three times per run
+    // (JobProfile: three full scans of the input exchange). Same
+    // audit-contract as buildLshIndexBucketed's pinned `sh`: shingle
+    // hashes only (~8 bytes/shingle), text never pinned.
+    val sh = shingled.localCheckpoint()
+    val bnd = bandRows(sh, numHashes, bands)
     val l = bnd.select(col("bk"), col("id").as("a"))
     val r = bnd.select(col("bk"), col("id").as("b"))
     val pairs = l.join(r, Seq("bk")).filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     // verify: join candidate ids back to shingle sets (small side = pairs)
     val withA = pairs.join(
-      shingled.select(col("id").as("a"), col("shingles").as("sh_a")), Seq("a"))
+      sh.select(col("id").as("a"), col("shingles").as("sh_a")), Seq("a"))
     withA.join(
-      shingled.select(col("id").as("b"), col("shingles").as("sh_b")), Seq("b"))
+      sh.select(col("id").as("b"), col("shingles").as("sh_b")), Seq("b"))
       .withColumn("jaccard", TF.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
@@ -177,8 +184,12 @@ object Dedup {
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, maxHamming: Int = 3): DataFrame = {
     val blocks = maxHamming + 1
+    // pinned (round 18, §1.2): `exploded` feeds BOTH sides of the
+    // bucket self-join — un-pinned, the shingle+simhash kernel ran
+    // twice per run; pinned rows are (id, fp) pairs, not text
     val fps = df.select(col(idCol).as("id"),
       TF.simhash64(TF.wordShingleHashes(col(textCol), shingleK)).as("fp"))
+      .localCheckpoint()
     val keyed = fps.select(col("id"), col("fp"),
       VF.signatureBlocks(col("fp"), 64, blocks).as("bks"))
     val exploded = keyed.select(col("id"), col("fp"),

@@ -4608,6 +4608,9 @@ object ExtensionQueries {
     // lexical more-like-this: corpus ranked against each query doc by
     // shared-term overlap in integer fixed point (query-vocab-bounded
     // broadcast — see Retrieval scaladoc for the 100 TB shape)
+    // round 18: spread() of the corpus side was measured WORSE here
+    // (0.93 -> 1.07 s) — the MLT kernel doesn't pay for an exchange
+    // of the raw text at this shape; left on the single-split scan
     "sim_mlt_lexical" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Retrieval.moreLikeThis(docs, docs.filter(col("doc_id") < 10),
@@ -4622,6 +4625,9 @@ object ExtensionQueries {
     "sim_hybrid_rrf" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
+      // round 18: spread() of both corpus-side kernels was measured
+      // WORSE (1.16 -> 1.67 s) — the exchanges cost more than the
+      // single-task kernels; left on the single-split scans
       val lex = Retrieval.moreLikeThis(docs,
           docs.filter(col("doc_id") < 10), "text", "doc_id", k = 20)
         .select(col("query_id"), col("doc_id").as("id"), col("rank"))
