@@ -145,6 +145,13 @@ object Similarity {
       (r.getSeq[java.math.BigDecimal](1), r.getSeq[Long](2))).toMap
     centIds.zip(centVecs).map { case (cid, old) =>
       byCell.get(cid).fold(old) { case (sums, ns) =>
+        // fail-loud contract (round-17 advice): corpus vectors LONGER
+        // than the centroid dim used to train on a silently truncated
+        // mean (the posexplode form threw); shorter vectors are the
+        // documented ragged case and keep the old vector's tail
+        require(sums.length <= dim,
+          s"refineCentroids: corpus vectors have ${sums.length} " +
+            s"components but centroids have $dim — malformed corpus")
         val v = new Array[Double](dim)
         var p = 0
         val bound = math.min(dim, sums.length)
@@ -484,10 +491,19 @@ object Similarity {
     * candidate ids move; recall vs exact is the `overfetch`/`ksub` knob,
     * audited by `sim_recall_pq` in the driver suite. */
   /** Lloyd-refined PQ codebooks: [[pqCodebooks]] init, then `iters`
-    * [[refineCentroids]] passes PER SUBSPACE over the sliced corpus —
-    * the exact-fixed-point k-means trainer reused m times. Each pass is
-    * one corpus scan per subspace with a ≤ ksub×(dim/m)-row exchange;
-    * emptied codewords keep their previous vector (trainer contract). */
+    * Lloyd passes. Round 18 (§1.2 — fewer passes): all `m` subspaces
+    * train in ONE job per iteration — the corpus row explodes into its
+    * m slices row-locally, each slice is assigned its nearest codeword
+    * in ITS OWN book (an m-branch when-chain over the native
+    * [[graft.functions.VectorFunctions.nearestCentroids]] kernel), and
+    * one `(subspace, code)` exact-sum aggregate replaces the m
+    * per-subspace jobs (each of which re-scanned the corpus — for the
+    * IVF-PQ residual input that meant recomputing the residuals m
+    * times per iteration). Sums/means are the identical exact integer
+    * arithmetic of [[refineCentroids]], so the trained books are
+    * bit-identical to the per-subspace form (oracle-pinned by the
+    * whole *_pq_trained / ivfpq family); emptied codewords keep their
+    * previous vector (trainer contract). */
   def pqCodebooksTrained(corpus: DataFrame, m: Int, ksub: Int,
       iters: Int = 1, vecCol: String = "embedding",
       idCol: String = "vec_id"): Array[Array[Array[Double]]] = {
@@ -495,15 +511,47 @@ object Similarity {
     val init = pqCodebooks(corpus, m, ksub, vecCol, idCol)
     val sub = init(0)(0).length
     val codeIds = Array.tabulate(ksub)(_.toLong)
-    Array.tabulate(m) { mi =>
-      val sliced = corpus.select(
-        slice(VF.asDouble(col(vecCol)), mi * sub + 1, sub).as("v"))
-      var vecs = init(mi)
-      (0 until iters).foreach { _ =>
-        vecs = refineCentroids(sliced, codeIds, vecs, "v")
+    var books = init
+    (0 until iters).foreach { _ =>
+      val slices = corpus.select(posexplode(array((0 until m).map(mi =>
+          slice(VF.asDouble(col(vecCol)), mi * sub + 1, sub)): _*))
+        .as(Seq("mi", "v")))
+      val cellChain = (1 until m).foldLeft(
+        when(col("mi") === 0,
+          element_at(VF.nearestCentroids(col("v"), codeIds, books(0), 1),
+            1)))((acc, mi) => acc.when(col("mi") === mi,
+        element_at(VF.nearestCentroids(col("v"), codeIds, books(mi), 1),
+          1)))
+      val means = slices.select(col("mi"), cellChain.as("cell"),
+          transform(col("v"),
+            x => round(x.cast("double") * 1e10).cast("long")).as("qv"))
+        .groupBy(col("mi"), col("cell"))
+        .agg(VF.vecSumExact(col("qv"), lit(1L)).as("vs"))
+        .select(col("mi"), col("cell"),
+          col("vs.sums").as("s"), col("vs.counts").as("n"))
+        .collect()
+      val byKey = means.map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getSeq[java.math.BigDecimal](2), r.getSeq[Long](3))).toMap
+      books = Array.tabulate(m) { mi =>
+        codeIds.zip(books(mi)).map { case (cid, old) =>
+          byKey.get((mi, cid)).fold(old) { case (sums, ns) =>
+            require(sums.length <= sub,
+              s"pqCodebooksTrained: slice has ${sums.length} components " +
+                s"but codewords have $sub — malformed corpus")
+            val v = new Array[Double](sub)
+            var p = 0
+            val bound = math.min(sub, sums.length)
+            while (p < bound) {
+              v(p) = sums(p).toBigInteger.longValueExact().toDouble /
+                ns(p).toDouble / 1e10
+              p += 1
+            }
+            v
+          }
+        }
       }
-      vecs
     }
+    books
   }
 
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -641,7 +689,19 @@ object Similarity {
       }: _*))
     def idot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-    val coded = resid.select(col("neighbor_id"), col("cell"),
+    // Generate barrier (round 18, the TextKernelCodegenSpec discipline):
+    // reconQ references r_vec 2·m times, and CollapseProject would
+    // inline the residual zip_with — centroid-map literal included —
+    // into every reference, re-evaluating the residual per reference
+    // and blowing the analyzed tree up ~8×. The explode(array(struct))
+    // Generate node is a projection barrier: the residual computes once
+    // per row and reconQ reads an attribute.
+    val residB = resid
+      .select(col("neighbor_id"), col("cell"),
+        explode(array(struct(col("r_vec")))).as("rw"))
+      .select(col("neighbor_id"), col("cell"),
+        col("rw.r_vec").as("r_vec"))
+    val coded = residB.select(col("neighbor_id"), col("cell"),
       reconQ(col("r_vec")).as("r_q"))
     val probes = queries.select(col(idCol).as("query_id"),
         col(vecCol).as("q_vec"),
