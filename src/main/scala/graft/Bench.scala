@@ -59,6 +59,35 @@ object Bench {
       System.err.println(s"[bench] warmup failed (continuing cold): $t")
     }
 
+    // Floor attribution (round 18, additions-only): measure the fixed
+    // per-query session cost once, after warmup, so per-query numbers
+    // can be read net-of-floor. Two probes bracketing the common query
+    // shapes: a trivial noop write (job schedule + write path) and a
+    // scan+project+orderBy noop (adds construct/plan + sample + sort).
+    // min-of-5, warm — the same steady-state rule as the timed rows.
+    val (floorNoop, floorScanSort) = try {
+      import org.apache.spark.sql.functions.col
+      def minOf(n: Int)(f: => Unit): Double = {
+        f // warm
+        (0 until n).map { _ =>
+          val t0 = System.nanoTime()
+          f
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val a = minOf(5)(spark.range(10)
+        .write.format("noop").mode("overwrite").save())
+      val b = minOf(5)(spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+        .write.format("noop").mode("overwrite").save())
+      System.err.println(
+        f"[bench] floor: noop=$a%.3fs scan+sort+noop=$b%.3fs")
+      (a, b)
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] floor probe failed (continuing): $t")
+      (-1.0, -1.0)
+    }
+
     // Partial-result insurance: if an external timeout SIGTERMs the JVM
     // mid-sweep (round 4's driver run was killed during startup, leaving
     // no numbers at all), the shutdown hook still emits the one JSON
@@ -114,6 +143,8 @@ object Bench {
           s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,""" +
             s""""reps":$repEntries,"failed":$failedArr,""" +
             s""""fixtures":$fixEntries,"fixtures_sec":${fmt3(fixTotal)},""" +
+            s""""floor_noop_sec":${fmt3(floorNoop)},""" +
+            s""""floor_scan_sort_sec":${fmt3(floorScanSort)},""" +
             s""""sf":"$sfDir"}"""
         // Persist the FULL per-query results to a repo file FIRST (and
         // its stderr notice before the stdout line): the driver keeps
@@ -155,6 +186,7 @@ object Bench {
         val line = s"""{"metric":"$metric","value":$total,"unit":"sec",""" +
           s""""queries":{${sb.result()}},"n_queries":${results.size},""" +
           s""""n_failed":$nFailed,"fixtures_sec":${fmt3(fixTotal)},""" +
+          s""""floor_scan_sort_sec":${fmt3(floorScanSort)},""" +
           s""""protocol":"fixtures pre-built untimed; min-of-$reps """ +
           s"""steady-state per query; slowest $kept of """ +
           s"""${results.size} inline; per-rep times + fixture builds """ +

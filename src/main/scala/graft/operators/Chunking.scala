@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.config.Pin._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -169,7 +171,7 @@ object Chunking {
     // whitespace default
     val base = docs.select(col(idCol).cast("long").as("id"),
       tokenCount(col(textCol)).cast("long").as("n"))
-      .localCheckpoint()
+      .pin()
     // Shard rule (round 18, §1.2): the output is shard-INVARIANT (the
     // per-shard offsets below make the prefix sum exact wherever the
     // cuts land — FixedPackSpec pins invariance), so the cuts only set
@@ -187,7 +189,7 @@ object Chunking {
       (if (nShards == 1) base.withColumn("shard", lit(0))
        else base.repartitionByRange(nShards, col("id"))
          .withColumn("shard", spark_partition_id()))
-        .localCheckpoint()
+        .pin()
     val totals = sharded.groupBy(col("shard")).agg(sum(col("n")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     require(totals.nonEmpty, "empty input")

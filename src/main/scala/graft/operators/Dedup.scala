@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.config.Pin._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -148,7 +150,7 @@ object Dedup {
     // (JobProfile: three full scans of the input exchange). Same
     // audit-contract as buildLshIndexBucketed's pinned `sh`: shingle
     // hashes only (~8 bytes/shingle), text never pinned.
-    val sh = shingled.localCheckpoint()
+    val sh = shingled.pin()
     val bnd = bandRows(sh, numHashes, bands)
     val l = bnd.select(col("bk"), col("id").as("a"))
     val r = bnd.select(col("bk"), col("id").as("b"))
@@ -189,7 +191,7 @@ object Dedup {
     // twice per run; pinned rows are (id, fp) pairs, not text
     val fps = df.select(col(idCol).as("id"),
       TF.simhash64(TF.wordShingleHashes(col(textCol), shingleK)).as("fp"))
-      .localCheckpoint()
+      .pin()
     val keyed = fps.select(col("id"), col("fp"),
       VF.signatureBlocks(col("fp"), 64, blocks).as("bks"))
     val exploded = keyed.select(col("id"), col("fp"),
@@ -248,9 +250,9 @@ object Dedup {
       pairs: DataFrame, maxIters: Int = 50): (DataFrame, Int) = {
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .unionAll(pairs.select(col("b").as("x"), col("a").as("y")))
-      .localCheckpoint() // materialize once; reused every iteration
+      .pin() // materialize once; reused every iteration
     var labels = ids.select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+      .pin()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -262,7 +264,7 @@ object Dedup {
         .join(neigh.select(col("x").as("id"), col("nl")), Seq("id"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("next"))
-        .localCheckpoint()
+        .pin()
       changed = updated.filter(col("next") < col("label")).count()
       // the superseded checkpoint's cached blocks are dead weight now —
       // without this, the loop pins O(iterations × |ids|) rows in storage
@@ -334,7 +336,7 @@ object Dedup {
       }
     }
     var e = canon(pairs.select(col("a").as("x"), col("b").as("y")))
-      .localCheckpoint()
+      .pin()
     var rounds = 0
     var converged = e.isEmpty
     while (!converged && rounds < maxIters) {
@@ -344,7 +346,7 @@ object Dedup {
       // round (round 17; lineage stays bounded — `next` is
       // checkpointed, so a round's plan is at most two star ops deep)
       val next = star(star(e, large = true), large = false)
-        .localCheckpoint()
+        .pin()
       // exact set equality in ONE job (round 17; was count + count +
       // except = three driver round-trips per round): both sides are
       // canonical DISTINCT edge sets, so tagging rows 1/3 and summing
@@ -442,7 +444,7 @@ object Dedup {
         stride = 1)
       .filter(col("n_toks") === k)
       .select(col("chunk_fp"), col("doc_id"), col("start_tok"))
-      .localCheckpoint()
+      .pin()
     val guard = wins.groupBy(col("chunk_fp"))
       .agg(countDistinct(col("doc_id")).as("dfc"))
       .filter(col("dfc").between(2, maxDf))
@@ -453,7 +455,7 @@ object Dedup {
     val r = g.select(col("chunk_fp"), col("doc_id").as("b"),
       col("start_tok").as("pb"))
     l.join(r, Seq("chunk_fp")).filter(col("a") < col("b"))
-      .localCheckpoint()
+      .pin()
   }
 
   /** Substring SCRUB (the removal half of Lee et al. 2022): every
@@ -773,7 +775,7 @@ object Dedup {
       idCol: String, index: LshIndex, mode: String): Unit = {
     val sh = docs.select(col(idCol).as("id"),
       TF.wordShingleHashes(col(textCol), index.shingleK).as("shingles"))
-      .localCheckpoint()
+      .pin()
     // An overwrite REBUILD deletes the band relation up front: probes
     // gate readiness on bands, so a crash mid-rebuild fails loud
     // (bands missing) instead of silently mixing the new sidecar with
@@ -816,7 +818,7 @@ object Dedup {
     // delta source scan) would run twice per probe
     val dSh = delta.select(col(idCol).as("id"),
       TF.wordShingleHashes(col(textCol), index.shingleK).as("shingles"))
-      .localCheckpoint()
+      .pin()
     // the bucketed probe's broadcast-budget guard (round 13), same
     // contract: an over-budget backfill delta demotes the broadcast
     // hints to planner-chosen shuffle joins
@@ -930,7 +932,7 @@ object Dedup {
     require(nBuckets >= 1, "nBuckets must be >= 1")
     val sh = corpus.select(col(idCol).as("id"),
       TF.wordShingleHashes(col(textCol), shingleK).as("shingles"))
-      .localCheckpoint()
+      .pin()
     // sidecar first — same bands-present ⇒ sidecar-present crash
     // ordering as the flat writer
     saltedByBucket(
@@ -972,7 +974,7 @@ object Dedup {
           org.apache.spark.sql.types.DoubleType))))
     val dSh = delta.select(col(idCol).as("id"),
       TF.wordShingleHashes(col(textCol), index.shingleK).as("shingles"))
-      .localCheckpoint()
+      .pin()
     // broadcast-budget guard (round 13): measure the checkpointed
     // delta once; an over-budget delta (backfill day) demotes ALL
     // THREE delta-derived broadcasts to planner-chosen shuffle joins —
@@ -987,7 +989,7 @@ object Dedup {
     // materialized: feeds the bucket collection AND the candidate join
     val dBands = bandRows(dSh, index.numHashes, index.bands)
       .select(col("bk"), col("id").as("b"))
-      .localCheckpoint()
+      .pin()
     val probeBuckets = dBands
       .select(pmod(hash(col("bk")), lit(index.nBuckets)).as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
@@ -1005,7 +1007,7 @@ object Dedup {
     // job. cands is delta-proportional (≥1 row per matched delta doc),
     // the same audit-sized-pin contract as dSh/dBands above.
     val cands = bucketedCands(index, dBands, probeBuckets, hinted)
-      .localCheckpoint(eager = false)
+      .pinLazy()
     val candBuckets = cands
       .select(pmod(hash(col("a")), lit(index.nBuckets)).as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
@@ -1061,7 +1063,7 @@ object Dedup {
       textCol: String, idCol: String, root: String): Unit = {
     val sh = delta.select(col(idCol).as("id"),
       TF.wordShingleHashes(col(textCol), index.shingleK).as("shingles"))
-      .localCheckpoint()
+      .pin()
     sh.withColumn("bucket", pmod(hash(col("id")), lit(index.nBuckets)))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
@@ -1158,7 +1160,7 @@ object Dedup {
       textCol: String, idCol: String): DataFrame = {
     val spark = delta.sparkSession
     // materialized: feeds the bucket collection AND the anti-join
-    val grouped = exactByHash(delta, textCol, idCol).localCheckpoint()
+    val grouped = exactByHash(delta, textCol, idCol).pin()
     val buckets = grouped
       .select(pmod(hash(col("text_sha")), lit(index.nBuckets))
         .as("bucket"))

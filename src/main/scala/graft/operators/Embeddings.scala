@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.config.Pin._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -176,7 +178,7 @@ object Embeddings {
     require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
     val spark = df.sparkSession
     var q = df.select(transform(VF.asDouble(col(vecCol)),
-      x => round(x * 1e6).cast("long")).as("qv")).localCheckpoint()
+      x => round(x * 1e6).cast("long")).as("qv")).pin()
     val dirs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
     try {
       (1 to k).foreach { level =>
@@ -198,7 +200,7 @@ object Embeddings {
               (x, w) => x - truncDiv(col("coeff") * w, lit(1000000L)))
               .as("qv"))
           val prev = q
-          q = deflated.localCheckpoint()
+          q = deflated.pin()
           prev.unpersist()
           ()
         }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.config.Pin._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -75,8 +77,14 @@ object Graph {
     // and it feeds BOTH the node universe and the pair kernel — the
     // un-pinned plan re-ran the whole extraction for the final
     // label join (measured: the extraction jobs appeared twice per
-    // run). Same discipline as [[materializeGraph]].
-    val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
+    // run). Same discipline as [[materializeGraph]]. Retention
+    // (round-17 advice, documented): the pin lives until the caller's
+    // result is dropped and the ContextCleaner reclaims it — callers
+    // that loop components() in one session should consume and release
+    // each result; at cluster scale a corpus-sized edge relation
+    // should run with spark.graft.pin.reliable=true (see
+    // [[graft.config.Pin]]) so the pin is also executor-loss-safe.
+    val e0 = edges.select(col("src"), col("dst")).pin()
     val ids = e0.select(col("src").as("id"))
       .union(e0.select(col("dst").as("id"))).distinct()
     Dedup.survivorsFromPairsStar(ids,
@@ -126,10 +134,10 @@ object Graph {
   private def materializeGraph(edges: DataFrame)
       : (DataFrame, DataFrame) = {
     val e0 = edges.select(col("src"), col("dst"), col("w"))
-      .localCheckpoint()
+      .pin()
     val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .pin()
     (e0, nodes)
   }
 

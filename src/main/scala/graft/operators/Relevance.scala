@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.config.Pin._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -241,10 +243,10 @@ object Relevance {
       contextVocab: Int = DefaultMaxVocab): DataFrame = {
     require(tableSize > 0 && scale > 0 && contextVocab > 0)
     val tokd = docs.select(col(idCol).as("doc_id"),
-      TF.normTokens(col(textCol)).as("ts")).localCheckpoint()
+      TF.normTokens(col(textCol)).as("ts")).pin()
     val bg = bigramStream(tokd)
     val c2 = bg.groupBy("u", "w").agg(count(lit(1)).as("c2"))
-      .localCheckpoint() // bigram-vocab-sized; referenced three times
+      .pin() // bigram-vocab-sized; referenced three times
     // context table capped like the pair table (pruned-KenLM shape): the
     // top `contextVocab` contexts by mass, deterministic tie on text.
     // Out-of-table contexts score as UNSEEN (c1' = 0 → add-one P(w|u) =
@@ -318,10 +320,10 @@ object Relevance {
       k: Int, minCount: Long = 5L, scale: Long = 1000000L): DataFrame = {
     require(k > 0 && minCount >= 1 && scale > 0)
     val tokd = docs.select(col(idCol).as("doc_id"),
-      TF.normTokens(col(textCol)).as("ts")).localCheckpoint()
+      TF.normTokens(col(textCol)).as("ts")).pin()
     val c2 = bigramStream(tokd)
       .groupBy("u", "w").agg(count(lit(1)).as("c2"))
-      .localCheckpoint() // bigram-vocab-sized; referenced four times
+      .pin() // bigram-vocab-sized; referenced four times
     val cu = c2.groupBy("u").agg(sum(col("c2")).as("cu"))
     val cw = c2.groupBy("w").agg(sum(col("c2")).as("cw"))
     val n = c2.agg(sum(col("c2")).as("n_bigrams"))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.config.Pin._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -286,7 +288,7 @@ object Sampling {
     // count and the window both reuse it without a second corpus scan
     val per = df.groupBy(col(scoreCol).as("__s"))
       .agg(sum(col(tokCol).cast("long")).as("__grp_toks"))
-      .localCheckpoint()
+      .pin()
     val domain = per.count()
     require(domain <= maxScoreDomain,
       s"budgetCut: score domain $domain exceeds $maxScoreDomain — " +

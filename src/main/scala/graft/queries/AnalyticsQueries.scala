@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.config.Pin._
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -532,7 +534,7 @@ object AnalyticsQueries {
           bucketSeconds = 3600L)
         .filter(col("event_id") =!= col("purchase_id"))
         .select(col("purchase_id"), col("event_id"))
-        .localCheckpoint()
+        .pin()
         .orderBy(col("purchase_id"), col("event_id"))
     }),
 

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.config.Pin._
+
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -224,7 +226,7 @@ object BucketedSnapshotStore {
     val bexpr = bucketExpr(keyCols, nB)
     // pin the delta: it feeds two jobs (touched-bucket scan + merge), and
     // upstream dedup/agg must not recompute between them
-    val delta = delta0.localCheckpoint()
+    val delta = delta0.pin()
     // deterministic across a crash replay (seq derives from the SAME
     // resolved manifest), so a complete v<seq> left by a crashed run is
     // this very batch's product and is safely reused below

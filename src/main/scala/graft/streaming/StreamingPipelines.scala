@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.config.Pin._
+
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
@@ -360,7 +362,7 @@ object StreamingPipelines {
       else Seq.empty[String].toDF("text_sha")
     val fresh = graft.operators.Dedup
       .incrementalNewByDigest(index, batch, textCol, idCol)
-      .localCheckpoint()
+      .pin()
     sink(fresh, batchId)
     IngestLedger.exactlyOnceAppend(spark, indexPath, queryId, batchId) {
       root => fresh.select(col("text_sha"))
@@ -489,7 +491,7 @@ object StreamingPipelines {
       if (fs.exists(hPath))
         graft.operators.Dedup
           .lshProbeNearDup(index, batch, textCol, idCol, threshold)
-          .localCheckpoint()
+          .pin()
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         // id columns typed from the ACTUAL batch schema so the sink
@@ -553,7 +555,7 @@ object StreamingPipelines {
     val pairs =
       if (fs.exists(hPath))
         graft.operators.Dedup.lshProbeNearDupBucketed(index, batch,
-          textCol, idCol, threshold).localCheckpoint()
+          textCol, idCol, threshold).pin()
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(
@@ -609,9 +611,9 @@ object StreamingPipelines {
     val fresh =
       if (hasData)
         graft.operators.Dedup.incrementalNewBucketed(index, batch,
-          textCol, idCol).localCheckpoint()
+          textCol, idCol).pin()
       else graft.operators.Dedup.exactByHash(batch, textCol, idCol)
-        .localCheckpoint()
+        .pin()
     sink(fresh, batchId)
     IngestLedger.exactlyOnceAppend(spark, indexPath, queryId, batchId) {
       root => graft.operators.Dedup.stageDigestAppendBucketed(index,
@@ -692,7 +694,7 @@ object StreamingPipelines {
       val hits = graft.operators.Similarity
         .ivfPqTopKIndexed(index, batch, k, nprobe, overfetch,
           vecCol, idCol)
-        .localCheckpoint()
+        .pin()
       sink(hits, batchId)
       IngestLedger.exactlyOnceAppend(spark, index.path, queryId, batchId) {
         root => graft.operators.Similarity.stageIvfPqAppend(index, batch,

@@ -42,6 +42,30 @@ class LayoutSpec extends SparkFunSuite {
     assert(r.getAs[Long]("rows_matched") == 2L)
   }
 
+  test("sharded global rank (spark.graft.layout.shardedRank) produces " +
+      "the identical audit as the single-task window") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(pmod(col("l_partkey"), lit(65536)).as("x"),
+        pmod(col("l_suppkey"), lit(65536)).as("y"),
+        col("l_orderkey"), col("l_linenumber"))
+    def audit(): Seq[String] = {
+      val zed = li.withColumn("z", Layout.zValue16(col("x"), col("y")))
+      Layout.pruneAudit(zed, "x", "y",
+          Seq(col("z"), col("l_orderkey"), col("l_linenumber")),
+          512, 32L, 63L, 2L, 3L)
+        .collect().map(_.toString).toSeq ++
+      Layout.pruneAudit(li, "x", "y",
+          Seq(col("l_orderkey"), col("l_linenumber")), 512,
+          32L, 63L, 2L, 3L)
+        .collect().map(_.toString).toSeq
+    }
+    val single = audit()
+    spark.conf.set("spark.graft.layout.shardedRank", "true")
+    try assert(audit() == single,
+      "sharded rank must pin the identical file assignment and audit")
+    finally spark.conf.set("spark.graft.layout.shardedRank", "false")
+  }
+
   test("z-order layout prunes a box the natural layout cannot") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(pmod(col("l_partkey"), lit(65536)).as("x"),
