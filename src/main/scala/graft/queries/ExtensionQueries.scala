@@ -49,6 +49,11 @@ object ExtensionQueries {
     new java.util.concurrent.ConcurrentHashMap[String,
       Similarity.IvfPqIndex]()
 
+  /** Built-then-appended IVF index per sf dir (sim_ivf_append_probe). */
+  private val ivfAppendIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Similarity.IvfIndex]()
+
   /** Built LSH near-dup index per sf dir (see dedup_incremental_near). */
   private val lshIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, Dedup.LshIndex]()
@@ -3603,13 +3608,26 @@ object ExtensionQueries {
     // partitions
     "sim_ivf_append_probe" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val delta = emb.withColumn("vec_id", col("vec_id") + 1000000L)
-      val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_ivf_append_" +
-          dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-          ProcessHandle.current().pid()
-      val index = Similarity.buildIvfIndex(emb, path, nlist = 16)
-      Similarity.appendToIvfIndex(index, delta)
+      // round 18: this entry was listed in Bench.indexBuilders but
+      // REBUILT + RE-APPENDED its written index on every invocation
+      // (JobProfile: two 0.4-0.5 s single-task write jobs per rep) —
+      // the one indexed query not following the memoized-artifact
+      // protocol every other *_indexed/_probe entry uses. Build+append
+      // once per (process, sfDir), self-healing a reaped /tmp path;
+      // every rep now measures the probe, which is what the row is
+      // documented to measure (and what the _probe/indexBuilders
+      // protocol bills builds to).
+      def build(d: String): Similarity.IvfIndex = {
+        val e = t(s, d, "embeddings")
+        val idx = Similarity.buildIvfIndex(e,
+          tmpArtifact("graft_ivf_append", d), nlist = 16)
+        Similarity.appendToIvfIndex(idx,
+          e.withColumn("vec_id", col("vec_id") + 1000000L))
+      }
+      val cached = ivfAppendIndexCache.computeIfAbsent(dir, build(_))
+      val index =
+        if (new java.io.File(cached.path).exists) cached
+        else ivfAppendIndexCache.compute(dir, (d, _) => build(d))
       Similarity.ivfTopKIndexed(index, emb.filter(col("vec_id") < 10),
           k = 5, nprobe = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
@@ -5149,6 +5167,11 @@ object ExtensionQueries {
           col("size"),
           pmod(col("packed"), lit(packShift)).as("slice_sum"),
           TF.intDivNonNeg(col("packed"), lit(packShift)).as("slice_wsum"))
+        // round 18: this entry missed the round-17 pin pass — the
+        // output sort's sample pass re-ran the whole mp4-walk +
+        // hex-fold kernel (JobProfile: two identical 0.5 s 32-task
+        // jobs per run); pinned, the kernel runs once
+        .pinLazy()
         .orderBy(col("doc_id"), col("sample_idx"))
     }),
 
